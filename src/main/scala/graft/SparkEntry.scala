@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** Every registered query, in module order. */
   def all: Seq[QueryDef] =
-    CoreQueries.defs
+    CoreQueries.defs ++ JoinQueries.defs ++ DiagQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Currently the covariate-splice slice (SURVEY §7.3); upgraded to the

@@ -1,0 +1,225 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.stats.Diagnostics
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Diagnostics / statistics queries (SURVEY §2.4 A3-A4, §2.7 C1-C2,
+  * C10-C12).
+  *
+  * Float discipline: every oracle-compared double is derived from exact
+  * integer aggregates through a single expression written with the SAME
+  * operation order in Spark and DuckDB, then rounded — see
+  * [[graft.queries]].
+  */
+object DiagQueries {
+
+  private def dailyCents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"), dayBucket(col("ts")).as("ds"))
+      .agg(sum(cents(col("value"))).as("y"))
+
+  private val dailySql =
+    """daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS ds,
+      |         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  /** q16 — A3/A4 logistic floor/ceiling defaults per series, computed
+    * from exact integer moments (n, Σy, Σy², max, min) so the
+    * `max + 3·stddev_samp` ceiling is bit-stable cross-engine. */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    dailyCents(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("y")).as("s1"),
+           sum(col("y") * col("y")).as("s2"),
+           max(col("y")).as("max_c"),
+           min(col("y")).as("min_c"))
+      .select(col("event_type"), col("n"), col("max_c"), col("min_c"),
+              least(lit(0L), col("min_c")).as("floor_c"),
+              round(col("max_c") +
+                    lit(3.0) * sqrt((col("s2").cast("double") -
+                      col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+                      (col("n") - 1)), 4).as("ceiling_c"))
+
+  private val q16Sql =
+    s"""WITH $dailySql,
+      |st AS (
+      |  SELECT event_type, count(*) AS n, CAST(sum(y) AS BIGINT) AS s1,
+      |         CAST(sum(y*y) AS BIGINT) AS s2, max(y) AS max_c, min(y) AS min_c
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, n, max_c, min_c,
+      |  least(0, min_c) AS floor_c,
+      |  round(max_c + 3.0 * sqrt((CAST(s2 AS DOUBLE) -
+      |        CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n) / (n - 1)), 4) AS ceiling_c
+      |FROM st""".stripMargin
+
+  /** q17 — C11 detrend: OLS line fit from exact integer sums (x = epoch
+    * day), residuals per row. The distributed form of the notebook's
+    * `remove_trend` (`Untitled.ipynb` cell 12). */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCents(s, dir)
+      .withColumn("x", datediff(col("ds"), lit("1970-01-01").cast("date")).cast("long"))
+    val st = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    val withSlope = st.select(col("event_type").as("et"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")) /
+       (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+      col("sx"), col("sy"), col("n"))
+      .select(col("et"), col("slope"),
+              ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"))
+    daily.join(broadcast(withSlope), daily("event_type") === withSlope("et"))
+      .select(col("event_type"), col("ds"), col("y").as("y_c"),
+              round(col("intercept") + col("slope") * col("x"), 6).as("trend"),
+              round(col("y") - (col("intercept") + col("slope") * col("x")), 6).as("resid"))
+  }
+
+  private val q17Sql =
+    s"""WITH $dailySql,
+      |dx AS (SELECT event_type, ds, y, CAST(ds - DATE '1970-01-01' AS BIGINT) AS x FROM daily),
+      |st AS (
+      |  SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*x) AS BIGINT) AS sxx,
+      |         CAST(sum(x*y) AS BIGINT) AS sxy
+      |  FROM dx GROUP BY 1),
+      |fit AS (
+      |  SELECT event_type,
+      |         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope, sx, sy, n
+      |  FROM st),
+      |fit2 AS (
+      |  SELECT event_type, slope, (sy - slope * sx) / n AS intercept FROM fit)
+      |SELECT dx.event_type, dx.ds, dx.y AS y_c,
+      |  round(intercept + slope * x, 6) AS trend,
+      |  round(y - (intercept + slope * x), 6) AS resid
+      |FROM dx JOIN fit2 ON dx.event_type = fit2.event_type""".stripMargin
+
+  /** q18 — C10 quantile bundle: exact interpolated percentiles over
+    * integer cents (order-independent → cross-engine stable). */
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), cents(col("value")).as("value_c"))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value_c, array(0.05, 0.25, 0.5, 0.75, 0.95))").as("q"))
+      .select(col("event_type"),
+              round(col("q")(0), 6).as("q05"), round(col("q")(1), 6).as("q25"),
+              round(col("q")(2), 6).as("q50"), round(col("q")(3), 6).as("q75"),
+              round(col("q")(4), 6).as("q95"))
+
+  private val q18Sql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS value_c FROM events)
+      |SELECT event_type,
+      |  round(quantile_cont(value_c, 0.05), 6) AS q05,
+      |  round(quantile_cont(value_c, 0.25), 6) AS q25,
+      |  round(quantile_cont(value_c, 0.5), 6) AS q50,
+      |  round(quantile_cont(value_c, 0.75), 6) AS q75,
+      |  round(quantile_cont(value_c, 0.95), 6) AS q95
+      |FROM e GROUP BY 1""".stripMargin
+
+  /** q19 — C12 univariateStatistics: count/sum/mean + skewness/kurtosis
+    * from explicit centered moments (NOT the built-in skewness/kurtosis,
+    * whose bias corrections differ across engines). */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_type"), col("value"), cents(col("value")).as("c"))
+    val m = e.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("c")).as("s1"))
+      .select(col("event_type").as("et"), col("n"),
+              (col("s1") / 100.0 / col("n")).as("mu"))
+    // explicit multiplications, not pow(): libm pow may differ by 1 ulp
+    // between engines; * and sqrt are IEEE correctly rounded everywhere
+    val dev = col("value") - col("mu")
+    val p = col("m2") / col("n")
+    e.join(broadcast(m), e("event_type") === m("et"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("mu")).as("mean_raw"),
+           sum(dev * dev).as("m2"),
+           sum(dev * dev * dev).as("m3"),
+           sum(dev * dev * dev * dev).as("m4"))
+      .select(col("event_type"), col("n"), round(col("mean_raw"), 6).as("mean_value"),
+              round((col("m3") / col("n")) / sqrt(p * p * p), 4).as("skew"),
+              round((col("m4") / col("n")) / (p * p) - 3.0, 4).as("kurt"))
+  }
+
+  private val q19Sql =
+    """WITH e AS (
+      |  SELECT event_type, value, CAST(round(value*100) AS BIGINT) AS c FROM events),
+      |m AS (
+      |  SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) / 100.0 / count(*) AS mu
+      |  FROM e GROUP BY 1),
+      |mom AS (
+      |  SELECT e.event_type, max(n) AS n, max(mu) AS mean_raw,
+      |         sum((value - mu) * (value - mu)) AS m2,
+      |         sum((value - mu) * (value - mu) * (value - mu)) AS m3,
+      |         sum((value - mu) * (value - mu) * (value - mu) * (value - mu)) AS m4
+      |  FROM e JOIN m ON e.event_type = m.event_type GROUP BY 1)
+      |SELECT event_type, n, round(mean_raw, 6) AS mean_value,
+      |  round((m3 / n) / sqrt((m2 / n) * (m2 / n) * (m2 / n)), 4) AS skew,
+      |  round((m4 / n) / ((m2 / n) * (m2 / n)) - 3.0, 4) AS kurt
+      |FROM mom""".stripMargin
+
+  /** q20 — C1 autocorrelation, exact statsmodels biased estimator, per
+    * series, lags 0..5. Oracle reproduces the estimator relationally via
+    * a date-shift self-join (days are contiguous per series). */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    Diagnostics.acfPacf(dailyCents(s, dir).withColumnRenamed("event_type", "series"),
+                        "series", Some(5))
+      .select(col("series").as("event_type"), col("lag"), round(col("acf"), 6).as("acf"))
+
+  private val q20Sql =
+    s"""WITH $dailySql,
+      |m AS (SELECT event_type, CAST(sum(y) AS DOUBLE)/count(*) AS mu, count(*) AS n
+      |      FROM daily GROUP BY 1),
+      |d AS (SELECT daily.event_type, ds, y - mu AS dev, n
+      |      FROM daily JOIN m ON daily.event_type = m.event_type),
+      |lags AS (SELECT CAST(unnest(range(0, 6)) AS INTEGER) AS k),
+      |pairs AS (SELECT d1.event_type, l.k, d1.dev * d2.dev AS prod, d1.n AS n
+      |          FROM d d1 CROSS JOIN lags l
+      |          JOIN d d2 ON d2.event_type = d1.event_type AND d2.ds = d1.ds + l.k),
+      |sums AS (SELECT event_type, k, sum(prod) AS sm, max(n) AS n
+      |         FROM pairs GROUP BY 1, 2)
+      |SELECT s.event_type, s.k AS lag, round((s.sm/s.n) / (c.sm/c.n), 6) AS acf
+      |FROM sums s JOIN sums c ON c.event_type = s.event_type AND c.k = 0""".stripMargin
+
+  /** q21 — C2 partial autocorrelation (ywadjusted), lags 1-2, with the
+    * closed-form Yule-Walker oracle (φ11 = r1/r0, φ22 by elimination). */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    Diagnostics.acfPacf(dailyCents(s, dir).withColumnRenamed("event_type", "series"),
+                        "series", Some(2))
+      .filter(col("lag") >= 1)
+      .select(col("series").as("event_type"), col("lag"), round(col("pacf"), 6).as("pacf"))
+
+  private val q21Sql =
+    s"""WITH $dailySql,
+      |m AS (SELECT event_type, CAST(sum(y) AS DOUBLE)/count(*) AS mu, count(*) AS n
+      |      FROM daily GROUP BY 1),
+      |d AS (SELECT daily.event_type, ds, y - mu AS dev, n
+      |      FROM daily JOIN m ON daily.event_type = m.event_type),
+      |lags AS (SELECT CAST(unnest(range(0, 3)) AS INTEGER) AS k),
+      |pairs AS (SELECT d1.event_type, l.k, d1.dev * d2.dev AS prod, d1.n AS n
+      |          FROM d d1 CROSS JOIN lags l
+      |          JOIN d d2 ON d2.event_type = d1.event_type AND d2.ds = d1.ds + l.k),
+      |r AS (SELECT event_type,
+      |        max(CASE WHEN k = 0 THEN sm/(n - 0) END) AS r0,
+      |        max(CASE WHEN k = 1 THEN sm/(n - 1) END) AS r1,
+      |        max(CASE WHEN k = 2 THEN sm/(n - 2) END) AS r2
+      |      FROM (SELECT event_type, k, sum(prod) AS sm, max(n) AS n
+      |            FROM pairs GROUP BY 1, 2) s
+      |      GROUP BY event_type)
+      |SELECT event_type, 1 AS lag, round(r1/r0, 6) AS pacf FROM r
+      |UNION ALL
+      |SELECT event_type, 2 AS lag,
+      |  round((r2 - (r1/r0)*r1) / (r0 - (r1/r0)*r1), 6) AS pacf FROM r""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q16_floor_ceiling", q16, Some(q16Sql)),
+    QueryDef("q17_detrend_ols", q17, Some(q17Sql)),
+    QueryDef("q18_quantiles", q18, Some(q18Sql)),
+    QueryDef("q19_moment_stats", q19, Some(q19Sql)),
+    QueryDef("q20_acf", q20, Some(q20Sql)),
+    QueryDef("q21_pacf", q21, Some(q21Sql))
+  )
+}
