@@ -14,13 +14,13 @@ object SparkEntry {
 
   /** Every registered query, in module order. */
   def all: Seq[QueryDef] =
-    CoreQueries.defs ++ JoinQueries.defs ++ DiagQueries.defs
+    CoreQueries.defs ++ JoinQueries.defs ++ DiagQueries.defs ++ ForecastQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Currently the covariate-splice slice (SURVEY §7.3); upgraded to the
-    * full analyze pipeline once the forecaster lands (M4). */
+    * The full §3.1 analyze pipeline (SURVEY §7.3): covariate forecast →
+    * splice → align → target forecast with regressor. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q07_splice_coalesce")(spark, "/root/testdata/sf0.001")
+    queries("q41_analyze_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,139 @@
+package graft.api
+
+import graft.forecast.{Forecaster, StructuralTS}
+import graft.stats.Diagnostics
+import graft.ts.{Aggregations, TimeOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, TimestampType}
+
+/** The `/analyze` dataflow (SURVEY §3.1) rebuilt Spark-first.
+  *
+  * The reference loops over correlations serially, fitting one Prophet at
+  * a time (`app.py:102-250`, and due to the §2.9 bug only the FIRST ever
+  * runs). Here every correlation becomes two tagged series (covariate,
+  * target) in two unioned frames; each stage — grain aggregation,
+  * covariate forecast, observed-splice, target alignment, target
+  * forecast-with-regressor, ACF/PACF — runs ONCE over all series,
+  * partitioned by the correlation id. Adding correlations adds rows, not
+  * stages: the plan shape is constant and the cluster scales it.
+  *
+  * Stage map (reference op → here):
+  *   P1 extract          → [[extractSeries]] (dotted path on nested struct)
+  *   T1/T2/T3 + A1 + A5  → `Aggregations.groupByTime` + driver-side counts
+  *   C3 + C6             → `Forecaster.forecast/futureGrid` on covariates
+  *   J1 + J2             → observed-splice left join + coalesce
+  *   J3 / J4             → covariate alignment joins (broadcast)
+  *   C4 + C8             → `Forecaster.forecast` with regressor on targets
+  *   C1 + C2             → `Diagnostics.acfPacf` on both sides
+  *   C7                  → `Forecaster.regressorCoefficients`
+  *   F1/F2               → `segment` column ("historical"/"future")
+  */
+object AnalyzePipeline {
+
+  case class AnalyzeResult(
+      covariateForecasts: DataFrame, // (series, ds, segment, spliced 13-col frame)
+      targetForecasts: DataFrame,    // (series, ds, segment, 13-col frame)
+      diagnostics: DataFrame,        // (series, side, lag, acf, pacf)
+      regressorCoefficients: DataFrame, // (series, regressor_mode, center, coef bounds)
+      bounds: DataFrame)             // (series, side, min_ds, max_ds, n)
+
+  /** P1: project (ds, y) out of a document frame; `path` is the dotted
+    * path the reference resolves with `pydash.get` (`app.py:111`) — on a
+    * Spark nested struct that is exactly a qualified column reference. */
+  def extractSeries(doc: DataFrame, dateCol: String, path: String): DataFrame = {
+    val ds = doc.schema(dateCol).dataType match {
+      case TimestampType => col(dateCol)
+      case StringType    => TimeOps.parseTimestamp(col(dateCol))
+      case _             => col(dateCol).cast("timestamp")
+    }
+    doc.select(ds.as("ds"), expr(path).cast("double").as("y"))
+      .filter(col("ds").isNotNull && col("y").isNotNull)
+  }
+
+  def analyze(documents: Map[String, DataFrame],
+              correlations: Seq[CorrelationSpec]): AnalyzeResult = {
+    require(correlations.nonEmpty, "no correlations requested")
+    val spark = documents.values.head.sparkSession
+
+    def histories(side: CorrelationSpec => (String, String)): DataFrame =
+      correlations.map { c =>
+        val (docName, path) = side(c)
+        val doc = documents.getOrElse(docName,
+          throw new IllegalArgumentException(s"unknown document: $docName"))
+        Aggregations.groupByTime(
+            extractSeries(doc, c.dateColumn, path), c.grain.map(TimeOps.normalizeGrain),
+            c.aggregation)
+          .select(lit(c.id).as("series"), col("ds"), col("y"))
+      }.reduce(_ unionByName _)
+
+    val covHist = histories(c => (c.fromData, c.fromIndex)).cache()
+    val tgtHist = histories(c => (c.toData, c.toIndex)).cache()
+
+    // A5: horizon defaults to post-aggregation length; per-series counts
+    // are a handful of scalars — the only driver materialization here
+    val covCounts = covHist.groupBy("series").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    val horizons: Map[String, Int] =
+      correlations.map(c => c.id -> c.unitsToForecast.getOrElse(covCounts.getOrElse(c.id, 1)))
+        .toMap
+
+    // resolved logistic bounds (A3/A4) only when requested
+    val capStats = tgtHist.groupBy("series")
+      .agg(max("y").as("mx"), stddev_samp("y").as("sd"), min("y").as("mn"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val specOverrides: Map[String, StructuralTS.FitSpec] = correlations.map { c =>
+      val (mx, sd, mn) = capStats.getOrElse(c.id, (1.0, 0.0, 0.0))
+      val cap = math.max(c.ceiling.getOrElse(mx + 3 * (if (sd.isNaN) 0.0 else sd)), mx)
+      val floor = math.min(c.floor, mn)
+      c.id -> c.fitSpec(floor, cap)
+    }.toMap
+    val defaultSpec = specOverrides(correlations.head.id)
+
+    // grains can differ per correlation; one grid per distinct grain
+    val grainOf: Map[String, String] =
+      correlations.map(c => c.id -> c.grain.map(TimeOps.normalizeGrain).getOrElse("D")).toMap
+    def gridFor(hist: DataFrame): DataFrame =
+      grainOf.values.toSeq.distinct.map { g =>
+        val ids = grainOf.collect { case (id, gg) if gg == g => id }.toSeq
+        Forecaster.futureGrid(hist.filter(col("series").isin(ids: _*)), g,
+                              horizon = 1, horizonOverrides = horizons)
+      }.reduce(_ unionByName _)
+
+    // C3: covariate forecasts over history + future
+    val covForecast = Forecaster.forecast(covHist, gridFor(covHist),
+                                          defaultSpec, "series", specOverrides)
+
+    // J1+J2: observed covariate wins, forecast fills the future
+    val covSpliced = covForecast
+      .join(covHist.select(col("series"), col("ds"), col("y")), Seq("series", "ds"), "left")
+      .withColumn("x", coalesce(col("y"), col("yhat")))
+      .drop("y")
+      .cache()
+
+    // J3 (history) / J4-as-inner (future): align covariate onto target
+    val covX = covSpliced.select(col("series"), col("ds"), col("x"))
+    val tgtHistX = tgtHist.join(covX, Seq("series", "ds"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0.0)))
+    val tgtFuture = gridFor(tgtHist).join(covX, Seq("series", "ds"), "inner")
+
+    // C4/C8: target forecast with the covariate as regressor
+    val tgtForecast = Forecaster.forecast(tgtHistX, tgtFuture,
+                                          defaultSpec, "series", specOverrides)
+
+    // C1/C2 diagnostics on both sides
+    val diag = Diagnostics.acfPacf(covHist, "series").withColumn("side", lit("from"))
+      .unionByName(Diagnostics.acfPacf(tgtHist, "series").withColumn("side", lit("to")))
+
+    // C7 regressor coefficients
+    val coefs = Forecaster.regressorCoefficients(tgtHistX, defaultSpec, "series", specOverrides)
+
+    // A2 date bounds per series/side
+    val bounds = covHist.withColumn("side", lit("from"))
+      .unionByName(tgtHist.withColumn("side", lit("to")))
+      .groupBy("series", "side")
+      .agg(min("ds").as("min_ds"), max("ds").as("max_ds"), count(lit(1)).as("n"))
+
+    AnalyzeResult(covSpliced, tgtForecast, diag, coefs, bounds)
+  }
+}

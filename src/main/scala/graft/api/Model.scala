@@ -1,0 +1,46 @@
+package graft.api
+
+import graft.forecast.StructuralTS.FitSpec
+
+/** Request model (SURVEY §1, FIXTURES.md §1).
+  *
+  * Mirrors the reference's pydantic `Correlation` (`app.py:31-58`) and
+  * `ForecastingOptions` (`app.py:253-272`) with the §2.9 fidelity fixes:
+  * grain "min"/"m" both accepted, "meadian" mapped to median, and the
+  * first-correlation-only bug NOT reproduced (all correlations run).
+  */
+case class CorrelationSpec(
+    id: String,
+    fromData: String,                    // covariate document name
+    fromIndex: String,                   // dotted path into the record
+    toData: String,                      // target document name
+    toIndex: String,
+    grain: Option[String] = None,        // "D"|"W"|"M"|"H"|"min"/"m"
+    aggregation: String = "sum",
+    unitsToForecast: Option[Int] = None, // default = series length (A5)
+    changePointPriorScale: Double = 0.8, // app.py:38 default
+    growth: String = "linear",
+    floor: Double = 0.0,
+    ceiling: Option[Double] = None,
+    uncertaintySamples: Int = 1000,
+    dateColumn: String = "date") {
+
+  def fitSpec(resolvedFloor: Double, resolvedCap: Double): FitSpec =
+    FitSpec(growth = growth,
+            changepointPriorScale = changePointPriorScale,
+            uncertaintySamples = uncertaintySamples,
+            floor = resolvedFloor, cap = resolvedCap)
+}
+
+/** Static "LLM context" explanation strings (R2, `app.py:230/236`). */
+object Explanations {
+  val autocorrelation: String =
+    "Autocorrelation of the series at each lag: the correlation between " +
+    "the series and itself shifted by that many periods; lag 0 is always 1."
+  val partialAutocorrelation: String =
+    "Partial autocorrelation at each lag: the correlation between the " +
+    "series and its lag after removing the effect of shorter lags."
+  val predictions: String =
+    "Model predictions with uncertainty bounds; historical rows cover " +
+    "observed dates, future rows extend unitsToForecast periods ahead."
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.api.{AnalyzePipeline, CorrelationSpec}
+import graft.forecast.{Forecaster, StructuralTS}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Forecast operators C3-C8 over the driver tables. Not SQL-expressible
+  * (no DuckDB Prophet) → registered without oracles; the driver records
+  * rows-only checks, and ForecasterSpec property-tests cover semantics.
+  * Outputs are fully deterministic (seeded uncertainty sampling). */
+object ForecastQueries {
+
+  private def purchasesDaily(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").filter(col("event_type") === "purchase")
+      .groupBy(dayBucket(col("ts")).cast("timestamp").as("ds"))
+      .agg((sum(cents(col("value"))) / 100.0).as("y"))
+      .select(lit("purchases").as("series"), col("ds"), col("y"))
+
+  /** q40 — C3 univariate forecast, 14 days ahead, 13-column frame. */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val hist = purchasesDaily(s, dir)
+    val fut = Forecaster.futureGrid(hist, "D", 14)
+    Forecaster.forecast(hist, fut,
+        StructuralTS.FitSpec(uncertaintySamples = 200))
+      .select(col("series"), col("ds"), col("segment"),
+              round(col("yhat"), 6).as("yhat"),
+              round(col("yhat_lower"), 6).as("yhat_lower"),
+              round(col("yhat_upper"), 6).as("yhat_upper"),
+              round(col("trend"), 6).as("trend"),
+              round(col("additive_terms"), 6).as("additive_terms"))
+  }
+
+  /** q41 — the full §3.1 analyze pipeline: error-rate covariate →
+    * purchase-revenue target, Prophet-with-regressor, diagnostics. */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val docs = Map(
+      "errors" -> events.filter(col("event_type") === "error")
+        .select(col("ts").as("date"), lit(1.0).as("n_errors")),
+      "purchases" -> events.filter(col("event_type") === "purchase")
+        .select(col("ts").as("date"), col("value")))
+    val specs = Seq(CorrelationSpec(
+      id = "x1", fromData = "errors", fromIndex = "n_errors",
+      toData = "purchases", toIndex = "value",
+      grain = Some("D"), aggregation = "sum", unitsToForecast = Some(14),
+      uncertaintySamples = 200))
+    AnalyzePipeline.analyze(docs, specs).targetForecasts
+      .select(col("series"), col("ds"), col("segment"),
+              round(col("yhat"), 6).as("yhat"),
+              round(col("trend"), 6).as("trend"),
+              round(col("additive_terms"), 6).as("additive_terms"))
+  }
+
+  /** q42 — C5 logistic (saturating) growth on the cumulative purchase
+    * total; floor/cap resolved by the A3/A4 defaults. */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    // single-series cumulative total: the constant partition key is
+    // constant-folded away, so this window IS a global sort — correct for
+    // one series of ~10² buckets; with many series the key is real and
+    // the window parallelizes per series
+    val w = Window.partitionBy(col("series")).orderBy(col("ds"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val daily = purchasesDaily(s, dir)
+    val cum = daily.withColumn("y", sum(col("y")).over(w))
+    val mx = cum.agg(max("y")).head().getDouble(0)
+    val hist = cum.select(col("series"), col("ds"), col("y"))
+    val fut = Forecaster.futureGrid(hist, "D", 30)
+    Forecaster.forecast(hist, fut,
+        StructuralTS.FitSpec(growth = "logistic", floor = 0.0, cap = mx * 1.5,
+                             uncertaintySamples = 200))
+      .select(col("series"), col("ds"), col("segment"),
+              round(col("yhat"), 6).as("yhat"),
+              round(col("yhat_lower"), 6).as("yhat_lower"),
+              round(col("yhat_upper"), 6).as("yhat_upper"))
+  }
+
+  /** q43 — C7 regressor coefficients from the q41 pipeline. */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val errors = events.filter(col("event_type") === "error")
+      .groupBy(dayBucket(col("ts")).cast("timestamp").as("ds"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val target = events.filter(col("event_type") === "purchase")
+      .groupBy(dayBucket(col("ts")).cast("timestamp").as("ds"))
+      .agg((sum(cents(col("value"))) / 100.0).as("y"))
+    val hist = target.join(errors, Seq("ds"), "left").na.fill(0.0, Seq("x"))
+      .select(lit("x1").as("series"), col("ds"), col("y"), col("x"))
+    Forecaster.regressorCoefficients(hist, StructuralTS.FitSpec())
+      .select(col("series"), col("regressor_mode"),
+              round(col("center"), 6).as("center"),
+              round(col("coef"), 6).as("coef"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q40_forecast_linear", q40, None),
+    QueryDef("q41_analyze_pipeline", q41, None),
+    QueryDef("q42_forecast_logistic", q42, None),
+    QueryDef("q43_regressor_coef", q43, None)
+  )
+}

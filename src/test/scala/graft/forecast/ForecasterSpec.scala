@@ -1,0 +1,119 @@
+package graft.forecast
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class ForecasterSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val day = 86400000L
+  private val base = Timestamp.valueOf("2023-01-02 00:00:00").getTime // a Monday
+
+  private def mkDaily(n: Int, f: Int => Double, series: String = "s1") =
+    (0 until n).map(i => (series, new Timestamp(base + i.toLong * day), f(i)))
+
+  test("linear trend recovery: noise-free line extrapolates") {
+    val hist = mkDaily(60, i => 2.0 + 3.0 * i).toDF("series", "ds", "y")
+    val fut = Forecaster.futureGrid(hist, "D", 10)
+    val out = Forecaster.forecast(hist, fut, StructuralTS.FitSpec(uncertaintySamples = 50))
+    val rows = out.orderBy("ds").collect()
+    assert(rows.length == 70)
+    val futRows = rows.filter(_.getAs[String]("segment") == "future")
+    assert(futRows.length == 10)
+    // future continuation of the line: i = 60..69 → y = 2 + 3i
+    futRows.zipWithIndex.foreach { case (r, k) =>
+      val expect = 2.0 + 3.0 * (60 + k)
+      val yhat = r.getAs[Double]("yhat")
+      assert(math.abs(yhat - expect) < 0.5, s"future yhat $yhat vs $expect")
+    }
+    // trend ≈ yhat for a pure-trend series
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("yhat") - r.getAs[Double]("trend")) < 0.6)
+    }
+  }
+
+  test("weekly seasonality recovery") {
+    val hist = mkDaily(112, i => 20.0 + 6.0 * math.sin(2 * math.Pi * i / 7.0))
+      .toDF("series", "ds", "y")
+    val fut = Forecaster.futureGrid(hist, "D", 14)
+    val out = Forecaster.forecast(hist, fut, StructuralTS.FitSpec(uncertaintySamples = 50))
+    val futRows = out.filter(col("segment") === "future").orderBy("ds").collect()
+    futRows.zipWithIndex.foreach { case (r, k) =>
+      val i = 112 + k
+      val expect = 20.0 + 6.0 * math.sin(2 * math.Pi * i / 7.0)
+      assert(math.abs(r.getAs[Double]("yhat") - expect) < 1.2,
+        s"day $i: ${r.getAs[Double]("yhat")} vs $expect")
+    }
+    // additive seasonal component carries the oscillation
+    val addRange = futRows.map(_.getAs[Double]("additive_terms"))
+    assert(addRange.max - addRange.min > 8.0)
+  }
+
+  test("logistic growth respects floor and cap everywhere") {
+    val cap = 100.0
+    val hist = mkDaily(80, i => cap / (1 + math.exp(-(i - 40) / 8.0)) + 0.5)
+      .toDF("series", "ds", "y")
+    val fut = Forecaster.futureGrid(hist, "D", 30)
+    val spec = StructuralTS.FitSpec(growth = "logistic", floor = 0.0, cap = 110.0,
+                                    uncertaintySamples = 50)
+    val out = Forecaster.forecast(hist, fut, spec).collect()
+    out.foreach { r =>
+      for (c <- Seq("yhat", "yhat_lower", "yhat_upper", "trend")) {
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 - 1e-9 && v <= 110.0 + 1e-9, s"$c=$v outside [floor,cap]")
+      }
+    }
+    // saturation: late future approaches cap region, never explodes
+    val lastYhat = out.filter(_.getAs[String]("segment") == "future")
+      .maxBy(_.getAs[Timestamp]("ds").getTime).getAs[Double]("yhat")
+    assert(lastYhat > 80.0 && lastYhat <= 110.0)
+  }
+
+  test("regressor coefficient recovery (C4/C7)") {
+    val rnd = new scala.util.Random(7)
+    val xs = Array.fill(90)(rnd.nextDouble() * 10)
+    val t = Array.tabulate(90)(i => base / 1000.0 + i * 86400.0)
+    val y = Array.tabulate(90)(i => 1.0 + 2.0 * xs(i) + 0.01 * i)
+    val m = StructuralTS.fit(t, y, Some(xs), StructuralTS.FitSpec(hasRegressor = true))
+    val Some((coef, lo, hi, center)) = StructuralTS.regressorCoefficient(m)
+    assert(math.abs(coef - 2.0) < 0.1, s"coef $coef")
+    assert(lo < coef && coef < hi)
+    assert(math.abs(center - xs.sum / 90) < 1e-9)
+  }
+
+  test("outputs are deterministic (seeded uncertainty)") {
+    val hist = mkDaily(50, i => 5.0 + i + 3 * math.sin(i / 3.0)).toDF("series", "ds", "y")
+    val fut = Forecaster.futureGrid(hist, "D", 7)
+    val spec = StructuralTS.FitSpec(uncertaintySamples = 100)
+    val a = Forecaster.forecast(hist, fut, spec).orderBy("ds").collect().map(_.toString)
+    val b = Forecaster.forecast(hist, fut, spec).orderBy("ds").collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+
+  test("futureGrid: per-series horizon at grain spacing") {
+    val hist = (mkDaily(5, _.toDouble, "a") ++ mkDaily(8, _.toDouble, "b"))
+      .toDF("series", "ds", "y")
+    val grid = Forecaster.futureGrid(hist, "D", 3).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1))).groupBy(_._1)
+    assert(grid("a").length == 3 && grid("b").length == 3)
+    val aDs = grid("a").map(_._2.getTime).sorted
+    assert(aDs.head == base + 5L * day && aDs.last == base + 7L * day)
+    val bDs = grid("b").map(_._2.getTime).sorted
+    assert(bDs.head == base + 8L * day)
+  }
+
+  test("multiple series fit independently in one pass") {
+    val hist = (mkDaily(40, i => 1.0 + 2.0 * i, "up") ++
+                mkDaily(40, i => 100.0 - 2.0 * i, "down")).toDF("series", "ds", "y")
+    val fut = Forecaster.futureGrid(hist, "D", 5)
+    val out = Forecaster.forecast(hist, fut, StructuralTS.FitSpec(uncertaintySamples = 20))
+      .filter(col("segment") === "future").collect()
+    val up = out.filter(_.getString(0) == "up").map(_.getAs[Double]("yhat"))
+    val down = out.filter(_.getString(0) == "down").map(_.getAs[Double]("yhat"))
+    assert(up.forall(_ > 75), s"up future ${up.mkString(",")}")
+    assert(down.forall(_ < 30), s"down future ${down.mkString(",")}")
+  }
+}
