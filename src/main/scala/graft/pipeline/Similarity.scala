@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (north-star ops; SURVEY §7.4).
+  *
+  * Two paths, same output shape:
+  *  - [[cosineTopK]]: exact brute force — broadcast the (small) query
+  *    set against the full corpus; O(|Q|·n), the correctness baseline.
+  *  - [[lshBucketTopK]]: random-hyperplane LSH — bucket every vector by
+  *    the sign pattern of `nPlanes` projections, then search only within
+  *    buckets. The pair generation is a hash-join on the bucket key, so
+  *    cost is O(Σ bucket²) ≈ n²/2^planes — the 100 TB path (more planes
+  *    or multi-probe as n grows).
+  *
+  * The dot product is a codegen'd `zip_with`+`aggregate` left fold — no
+  * UDF, deterministic summation order (matches the DuckDB oracle's
+  * `list_sum(list_transform(...))`).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product over array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k cosine neighbors for each query vector. `emb` needs
+    * (vec_id, v: array<double>); queries are `emb` rows matching
+    * `queryPred`. */
+  def cosineTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val q = emb.filter(queryPred).select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val joined = broadcast(q).crossJoin(emb.select(col("vec_id"), col("v")))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              round(cosine(col("qv"), col("v")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Sign-pattern LSH bucket id from the given projection vectors. */
+  def bucketOf(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: only vectors sharing an LSH bucket are compared.
+    * `planes` are the hyperplane normals (deterministic; callers pass a
+    * fixed set, e.g. the first few corpus vectors). */
+  def lshBucketTopK(emb: DataFrame, planes: Seq[Seq[Double]], k: Int): DataFrame = {
+    val bucketed = emb.select(col("vec_id"), col("v"),
+                              bucketOf(col("v"), planes).as("bucket"))
+    val a = bucketed.select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("neighbor_id"), col("v"), col("bucket"))
+    val pairs = a.join(b, Seq("bucket")) // hash join on bucket — the scale path
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("bucket"),
+              round(cosine(col("qv"), col("v")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication + text-analysis operators for training-data pipelines.
+  *
+  * Everything here is built from codegen'd `functions._` primitives (no
+  * UDFs) and is hash-portable: MD5 is the only hash, so the DuckDB
+  * oracles compute bit-identical values.
+  *
+  * Scale design: the only expensive step in near-dup detection is pair
+  * generation. All-pairs is O(n²) and is never done; candidates come
+  * from LSH band buckets (minhash bands → hash-join on band key), so
+  * cost is O(Σ bucket²) which stays near-linear when shingles are
+  * discriminative. At 100 TB: shingling is a flatMap (map-side),
+  * signatures one groupBy(doc), bands one groupBy(band) — three
+  * shuffles, all keyed, no driver materialization.
+  */
+object TextDedup {
+
+  /** Distinct word tokens per document (set semantics for Jaccard). */
+  def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+              explode(split(trim(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+
+  /** Distinct word-bigram shingles per document — far more selective
+    * than unigram sets on small vocabularies. */
+  def bigramShingles(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("l", split(trim(col(textCol)), " "))
+      .filter(size(col("l")) >= 2) // sequence(1, 0) would count DOWN in Spark
+      .select(col(idCol).as("id"),
+              explode(transform(sequence(lit(1), size(col("l")) - 1),
+                i => concat(element_at(col("l"), i), lit("_"),
+                            element_at(col("l"), i + 1)))).as("bg"))
+      .distinct()
+
+  /** MinHash signature: h_i(doc) = min over shingles of md5(i || ":" ||
+    * shingle) — lexicographic min over hex strings is a valid uniform
+    * minhash and is identical in any engine with binary collation. */
+  def minhashSignature(shingles: DataFrame, nHashes: Int): DataFrame = {
+    val hs = Seq.tabulate(nHashes)(i => min(md5(concat(lit(s"$i:"), col("bg")))).as(s"h$i"))
+    shingles.groupBy(col("id")).agg(hs.head, hs.tail: _*)
+  }
+
+  /** LSH bands: one row per (doc, band-hash); docs sharing any band are
+    * near-dup candidates. `bandSize` consecutive signature columns per
+    * band. */
+  def lshBands(signature: DataFrame, nHashes: Int, bandSize: Int): DataFrame = {
+    val bands = (0 until nHashes by bandSize).map { start =>
+      val cols = (start until math.min(start + bandSize, nHashes)).map(i => col(s"h$i"))
+      signature.select(col("id"), md5(concat(cols: _*)).as("band"))
+    }
+    bands.reduce(_ unionByName _)
+  }
+
+  /** Candidate pairs from shared bands (a < b, dedup across bands).
+    * This hash-join on the band key IS the scale path: no cross join. */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("id").as("da"), col("band"))
+    val b = bands.select(col("id").as("db"), col("band"))
+    a.join(b, Seq("band")).filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+  }
+
+  /** Exact Jaccard over the shingle sets of candidate pairs only. */
+  def jaccard(shingles: DataFrame, pairs: DataFrame): DataFrame = {
+    val counts = shingles.groupBy("id").agg(count(lit(1)).as("n"))
+    val sa = shingles.select(col("id").as("da"), col("bg"))
+    val sb = shingles.select(col("id").as("db"), col("bg"))
+    val inter = pairs.join(sa, Seq("da")).join(sb, Seq("db", "bg"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.withColumnRenamed("id", "da").withColumnRenamed("n", "na"), Seq("da"))
+      .join(counts.withColumnRenamed("id", "db").withColumnRenamed("n", "nb"), Seq("db"))
+      .select(col("da"), col("db"),
+              round(col("i") * 1.0 / (col("na") + col("nb") - col("i")), 6).as("jaccard"))
+  }
+
+  /** 16-bit SimHash from token frequencies: bit j of a token is the
+    * parity of hex digit j of its md5; bits vote ±1 weighted by
+    * occurrence count. Integer-only → engine-exact. */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+                         explode(split(trim(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("h", md5(col("tok")))
+    val votes = (0 until 16).map { j =>
+      sum(expr(s"(instr('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) % 2 * 2 - 1"))
+        .as(s"v$j")
+    }
+    val bits = (0 until 16).map { j =>
+      when(col(s"v$j") > 0, lit(1 << j)).otherwise(lit(0))
+    }
+    toks.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"), bits.reduce(_ + _).as("simhash"))
+  }
+
+  /** Padded-text substring occurrence count via `replace` + length
+    * arithmetic — identical non-overlapping left-to-right scan semantics
+    * in every engine. Exposed for quality/langid scoring. */
+  def wordOccurrences(textCol: Column, word: String): Column = {
+    val padded = concat(lit(" "), trim(textCol), lit(" "))
+    (length(padded) - length(call_function("replace", padded, lit(s" $word ")))) /
+      (word.length + 2)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** Native Catalyst expression: unsigned byte sum of a binary column.
+  *
+  * The multimodal pipeline treats media as opaque `binary`; cheap
+  * byte-level features (checksums, frame signatures) must not leave
+  * whole-stage codegen, so this is a real `Expression` with `doGenCode`
+  * (preference order (b) of the build brief: native expression > UDF).
+  */
+case class ByteSum(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"byte_sum requires BINARY input, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "byte_sum"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ByteSum.sum(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ByteSum.sum($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteSum =
+    copy(child = newChild)
+}
+
+object ByteSum {
+  /** Static helper invoked from generated code. */
+  def sum(bytes: Array[Byte]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+    s
+  }
+}
+
+/** Session registration for graft's native SQL functions. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "byte_sum", exprs => ByteSum(exprs.head), "scala_udf")
+}

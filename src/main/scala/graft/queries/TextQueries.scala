@@ -1,0 +1,227 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.pipeline.TextDedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text pipeline: token stats, quality scoring, language
+  * ID, fingerprinting, exact + MinHash/LSH + SimHash dedup (the
+  * north-star LLM-pipeline ops). All oracles are exact: md5 + integer
+  * arithmetic only.
+  */
+object TextQueries {
+
+  /** Shared oracle CTE: word arrays + distinct bigram shingles. */
+  private val shinglesCte =
+    """toks AS (SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
+      |big AS (SELECT DISTINCT doc_id, bg FROM (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(l)-1),
+      |                        i -> l[i] || '_' || l[i+1])) AS bg
+      |  FROM toks WHERE len(l) >= 2) x)""".stripMargin
+
+  /** q50 — token counting via pure length arithmetic (identical scan in
+    * both engines; no regex dialects involved). */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val tr = trim(col("text"))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      ((length(tr) - length(call_function("replace", tr, lit(" ")))) + 1)
+        .cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("text_len"),
+      col("n_chars"))
+  }
+
+  private val q50Sql =
+    """SELECT doc_id,
+      |  length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS n_tokens,
+      |  length(text) AS text_len, n_chars
+      |FROM documents""".stripMargin
+
+  private val stopwordsEn = Seq("the", "a", "and", "of", "is")
+
+  /** q51 — quality scoring: token count, average token length, stopword
+    * ratio, composite score. */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val tr = trim(col("text"))
+    val nTok = (length(tr) - length(call_function("replace", tr, lit(" ")))) + 1
+    val noSpace = length(call_function("replace", tr, lit(" ")))
+    val stopHits = stopwordsEn.map(w => TextDedup.wordOccurrences(col("text"), w))
+      .reduce(_ + _)
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      round(noSpace * 1.0 / nTok, 6).as("avg_token_len"),
+      round(stopHits * 1.0 / nTok, 6).as("stop_ratio"),
+      round((stopHits * 1.0 / nTok) * 0.5 + (noSpace * 1.0 / nTok) / 10.0 * 0.5, 6)
+        .as("quality_score"))
+  }
+
+  private def occSql(word: String): String = {
+    val pad = s"(' ' || trim(text) || ' ')"
+    s"(length($pad) - length(replace($pad, ' $word ', ''))) / ${word.length + 2}"
+  }
+
+  private val q51Sql = {
+    val stops = stopwordsEn.map(occSql).mkString("(", " + ", ")")
+    s"""SELECT doc_id,
+      |  length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS n_tokens,
+      |  round(length(replace(trim(text), ' ', '')) * 1.0 /
+      |        (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1), 6) AS avg_token_len,
+      |  round($stops * 1.0 /
+      |        (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1), 6) AS stop_ratio,
+      |  round(($stops * 1.0 /
+      |        (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)) * 0.5 +
+      |        (length(replace(trim(text), ' ', '')) * 1.0 /
+      |        (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)) / 10.0 * 0.5, 6)
+      |        AS quality_score
+      |FROM documents""".stripMargin
+  }
+
+  private val langWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"))
+
+  /** q52 — n-gram/stopword language ID heuristic: per-language evidence
+    * scores, argmax with a fixed preference order. */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val scores = langWords.map { case (lang, ws) =>
+      lang -> ws.map(w => TextDedup.wordOccurrences(col("text"), w)).reduce(_ + _)
+    }
+    val df0 = t(s, dir, "documents").select(
+      (col("doc_id") +: scores.map { case (l, c) => c.cast("long").as(s"s_$l") }): _*)
+    val pred = scores.map(_._1).foldRight(lit("und")) { (lang, acc) =>
+      // first language (in list order) attaining the max score wins
+      when(col(s"s_$lang") >= scores.map(p => col(s"s_${p._1}")).reduce(greatest(_, _)) &&
+           col(s"s_$lang") > 0, lit(lang)).otherwise(acc)
+    }
+    df0.withColumn("lang_pred", pred)
+  }
+
+  private val q52Sql = {
+    // occurrence terms divide to DOUBLE; cast back to BIGINT to match the
+    // Spark side's .cast("long")
+    val sels = langWords.map { case (lang, ws) =>
+      ws.map(occSql).mkString("CAST((", " + ", s") AS BIGINT) AS s_$lang")
+    }.mkString(",\n  ")
+    val maxExpr = langWords.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
+    val caseExpr = langWords.map { case (lang, _) =>
+      s"WHEN s_$lang >= $maxExpr AND s_$lang > 0 THEN '$lang'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH sc AS (SELECT doc_id,
+      |  $sels
+      |FROM documents)
+      |SELECT doc_id, s_en, s_es, s_de, s_fr, $caseExpr AS lang_pred FROM sc""".stripMargin
+  }
+
+  /** q53 — document fingerprint: md5 of normalized text (bit-identical
+    * hex in every engine). */
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      md5(trim(col("text"))).as("fingerprint"),
+      substring(md5(trim(col("text"))), 1, 8).as("fp_prefix"))
+
+  private val q53Sql =
+    """SELECT doc_id, md5(trim(text)) AS fingerprint,
+      |  substr(md5(trim(text)), 1, 8) AS fp_prefix
+      |FROM documents""".stripMargin
+
+  /** q54 — exact dedup: hash-groupBy on content hash, keep min doc_id
+    * (single shuffle on the hash key — the 100 TB pattern). */
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(trim(col("text"))).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+
+  private val q54Sql =
+    """SELECT md5(trim(text)) AS content_hash, min(doc_id) AS keeper,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** q55 — MinHash signatures (4 hashes over bigram shingles). */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashSignature(
+        TextDedup.bigramShingles(t(s, dir, "documents"), "doc_id", "text"), 4)
+      .withColumnRenamed("id", "doc_id")
+
+  private val q55Sql =
+    s"""WITH $shinglesCte
+      |SELECT doc_id, min(md5('0:' || bg)) AS h0, min(md5('1:' || bg)) AS h1,
+      |       min(md5('2:' || bg)) AS h2, min(md5('3:' || bg)) AS h3
+      |FROM big GROUP BY 1""".stripMargin
+
+  /** q56 — MinHash+LSH near-dup detection: band buckets → candidate
+    * pairs → exact Jaccard ≥ 0.5. Candidates come from the band
+    * hash-join, never an all-pairs cross join. */
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh = TextDedup.bigramShingles(docs, "doc_id", "text")
+    val sig = TextDedup.minhashSignature(sh, 4)
+    val pairs = TextDedup.candidatePairs(TextDedup.lshBands(sig, 4, 2))
+    TextDedup.jaccard(sh, pairs).filter(col("jaccard") >= 0.5)
+  }
+
+  private val q56Sql =
+    s"""WITH $shinglesCte,
+      |mh AS (SELECT doc_id, min(md5('0:' || bg)) AS h0, min(md5('1:' || bg)) AS h1,
+      |              min(md5('2:' || bg)) AS h2, min(md5('3:' || bg)) AS h3
+      |       FROM big GROUP BY 1),
+      |bands AS (SELECT doc_id, md5(h0 || h1) AS band FROM mh
+      |          UNION ALL SELECT doc_id, md5(h2 || h3) FROM mh),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+      |n AS (SELECT doc_id, count(*) AS n FROM big GROUP BY 1),
+      |inter AS (SELECT c.da, c.db, count(*) AS i
+      |          FROM cand c JOIN big x ON x.doc_id = c.da
+      |                      JOIN big y ON y.doc_id = c.db AND y.bg = x.bg
+      |          GROUP BY 1, 2)
+      |SELECT inter.da AS da, inter.db AS db,
+      |       round(i * 1.0 / (na.n + nb.n - i), 6) AS jaccard
+      |FROM inter JOIN n na ON na.doc_id = inter.da
+      |           JOIN n nb ON nb.doc_id = inter.db
+      |WHERE i * 1.0 / (na.n + nb.n - i) >= 0.5""".stripMargin
+
+  /** q57 — top-20 near-dup pairs by bigram Jaccard (deterministic
+    * tiebreak), over LSH candidates. */
+  private def q57(s: SparkSession, dir: String): DataFrame =
+    q56(s, dir).orderBy(col("jaccard").desc, col("da"), col("db")).limit(20)
+
+  private val q57Sql = q56Sql + "\nORDER BY jaccard DESC, da, db LIMIT 20"
+
+  /** q58 — 16-bit SimHash signatures (integer-exact votes). */
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhash16(t(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .select(col("doc_id"), col("simhash").cast("long").as("simhash"))
+
+  private val q58Sql = {
+    val votes = (0 until 16).map { j =>
+      s"sum((instr('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) % 2 * 2 - 1) AS v$j"
+    }.mkString(",\n  ")
+    val bits = (0 until 16).map(j => s"CASE WHEN v$j > 0 THEN ${1 << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+      |  SELECT doc_id, md5(t) AS h FROM (
+      |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents) x
+      |  WHERE t <> ''),
+      |v AS (SELECT doc_id,
+      |  $votes
+      |FROM tok GROUP BY 1)
+      |SELECT doc_id, $bits AS simhash FROM v""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q50_token_stats", q50, Some(q50Sql)),
+    QueryDef("q51_quality_score", q51, Some(q51Sql)),
+    QueryDef("q52_language_id", q52, Some(q52Sql)),
+    QueryDef("q53_fingerprint", q53, Some(q53Sql)),
+    QueryDef("q54_dedup_exact", q54, Some(q54Sql)),
+    QueryDef("q55_minhash_signature", q55, Some(q55Sql)),
+    QueryDef("q56_lsh_near_dup", q56, Some(q56Sql)),
+    QueryDef("q57_near_dup_topk", q57, Some(q57Sql)),
+    QueryDef("q58_simhash", q58, Some(q58Sql))
+  )
+}
