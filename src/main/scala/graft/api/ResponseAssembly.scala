@@ -1,0 +1,86 @@
+package graft.api
+
+import graft.api.AnalyzePipeline.AnalyzeResult
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** R1/R2: assemble the reference's nested response JSON
+  * (`app.py:100-248`, contract `responses.py:50-58`) from the pipeline's
+  * DataFrames. Collection happens here and only here — the frames are
+  * per-correlation aggregates (bounded by horizon × correlations, not by
+  * input size), mirroring the reference's response-sized payloads.
+  * Divergence from §2.9: ALL correlations are returned, not just the
+  * first. */
+object ResponseAssembly {
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def num(v: Double): String =
+    if (v.isNaN || v.isInfinite) "null" else {
+      val bd = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      bd.bigDecimal.stripTrailingZeros.toPlainString
+    }
+
+  private def lagMap(rows: Seq[Row], valueIdx: Int): String =
+    rows.sortBy(_.getInt(1)).map(r => s""""${r.getInt(1)}": ${num(r.getDouble(valueIdx))}""")
+      .mkString("{", ", ", "}")
+
+  private def forecastRow(r: Row): String = {
+    val cols = Seq("yhat" -> "prediction", "yhat_lower" -> "prediction_lower_bound",
+                   "yhat_upper" -> "prediction_upper_bound", "trend" -> "trend",
+                   "trend_lower" -> "trend_lower_bound", "trend_upper" -> "trend_upper_bound")
+    val ds = r.getAs[java.sql.Timestamp]("ds")
+    val vals = cols.map { case (src, dst) => s""""$dst": ${num(r.getAs[Double](src))}""" }
+    (s""""date": "$ds"""" +: vals).mkString("{", ", ", "}")
+  }
+
+  /** Build the full `/analyze`-shaped JSON response. */
+  def toJson(result: AnalyzeResult): String = {
+    val diag = result.diagnostics.collect().groupBy(r => (r.getString(0), r.getString(4)))
+    val bounds = result.bounds.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val coefs = result.regressorCoefficients.collect().groupBy(_.getString(0))
+    val forecasts = result.targetForecasts
+      .select(col("series"), col("ds"), col("segment"), col("yhat"), col("yhat_lower"),
+              col("yhat_upper"), col("trend"), col("trend_lower"), col("trend_upper"))
+      .collect().groupBy(_.getString(0))
+
+    val ids = forecasts.keySet ++ diag.keys.map(_._1)
+    val correlations = ids.toSeq.sorted.map { id =>
+      val fc = forecasts.getOrElse(id, Array.empty)
+      val hist = fc.filter(_.getString(2) == "historical").sortBy(_.getAs[java.sql.Timestamp]("ds").getTime)
+      val fut = fc.filter(_.getString(2) == "future").sortBy(_.getAs[java.sql.Timestamp]("ds").getTime)
+      def boundsJson(side: String): String = bounds.get((id, side)).map { b =>
+        s""""minDate": "${b.getAs[java.sql.Timestamp]("min_ds")}", "maxDate": "${b.getAs[java.sql.Timestamp]("max_ds")}", "n": ${b.getAs[Long]("n")}"""
+      }.getOrElse("")
+      def acfJson(side: String): String =
+        diag.get((id, side)).map(rs => lagMap(rs.toSeq, 2)).getOrElse("{}")
+      def pacfJson(side: String): String =
+        diag.get((id, side)).map(rs => lagMap(rs.toSeq, 3)).getOrElse("{}")
+      val coefJson = coefs.getOrElse(id, Array.empty).map { r =>
+        s"""{"regressor": "x", "regressor_mode": "${esc(r.getString(1))}", "center": ${num(r.getDouble(2))}, "coef_lower": ${num(r.getDouble(3))}, "coef": ${num(r.getDouble(4))}, "coef_upper": ${num(r.getDouble(5))}}"""
+      }.mkString("[", ", ", "]")
+
+      s""""${esc(id)}": {
+         |  "type": "prophet",
+         |  "diagnostics": {"from": {${boundsJson("from")}}, "to": {${boundsJson("to")}}},
+         |  "autocorrelations": {"description": "${esc(Explanations.autocorrelation)}",
+         |    "from": ${acfJson("from")}, "to": ${acfJson("to")}},
+         |  "partialAutocorrelations": {"description": "${esc(Explanations.partialAutocorrelation)}",
+         |    "from": ${pacfJson("from")}, "to": ${pacfJson("to")}},
+         |  "regressorCoefficients": $coefJson,
+         |  "predictions": {"description": "${esc(Explanations.predictions)}",
+         |    "historicalForecasts": ${hist.map(forecastRow).mkString("[", ", ", "]")},
+         |    "futureForecasts": ${fut.map(forecastRow).mkString("[", ", ", "]")}}
+         |}""".stripMargin
+    }
+    correlations.mkString("{\"correlations\": {", ", ", "}}")
+  }
+}

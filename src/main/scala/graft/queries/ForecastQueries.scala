@@ -94,10 +94,31 @@ object ForecastQueries {
               round(col("coef"), 6).as("coef"))
   }
 
+  /** q44 — C9 Granger causality (error count → purchase revenue), per-
+    * lag ssr F-tests. Not DuckDB-expressible (F CDF) → rows-only. */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val errors = events.filter(col("event_type") === "error")
+      .groupBy(dayBucket(col("ts")).cast("timestamp").as("ds"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val target = events.filter(col("event_type") === "purchase")
+      .groupBy(dayBucket(col("ts")).cast("timestamp").as("ds"))
+      .agg((sum(cents(col("value"))) / 100.0).as("y"))
+    val hist = target.join(errors, Seq("ds"), "left").na.fill(0.0, Seq("x"))
+      .select(lit("x1").as("series"), col("ds"), col("y"), col("x"))
+    graft.stats.Granger.causality(hist, 5)
+      .select(col("series"), col("lag").cast("long").as("lag"),
+              round(col("f_stat"), 6).as("f_stat"),
+              round(col("p_value"), 6).as("p_value"),
+              col("df_num").cast("long").as("df_num"),
+              col("df_denom").cast("long").as("df_denom"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_forecast_linear", q40, None),
     QueryDef("q41_analyze_pipeline", q41, None),
     QueryDef("q42_forecast_logistic", q42, None),
-    QueryDef("q43_regressor_coef", q43, None)
+    QueryDef("q43_regressor_coef", q43, None),
+    QueryDef("q44_granger_causality", q44, None)
   )
 }

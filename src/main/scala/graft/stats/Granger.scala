@@ -1,0 +1,153 @@
+package graft.stats
+
+import graft.forecast.LinAlg
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Granger causality (SURVEY §2.7 C9 — declared in the reference's enum
+  * at `app.py:33`, prototyped in `Untitled.ipynb` cell 12 via
+  * `granger_causality_tests(remove_trend(from), remove_trend(to), 14)`).
+  *
+  * Implements the standard ssr F-test: for each lag k ≤ maxlag,
+  *   restricted:   e_t ~ const + e_{t-1..t-k}
+  *   unrestricted: e_t ~ const + e_{t-1..t-k} + c_{t-1..t-k}
+  *   F = ((SSR_r − SSR_u)/k) / (SSR_u/(n − 2k − 1))
+  * "cause Granger-causes effect" when F is large (small p). P-values via
+  * the regularized incomplete beta function — pure JVM, deterministic.
+  */
+object Granger {
+
+  case class LagResult(lag: Int, fStat: Double, pValue: Double, dfNum: Int, dfDenom: Int)
+
+  /** OLS SSR for the given design rows (tiny ridge for numerical safety). */
+  private def ssr(rows: Array[Array[Double]], y: Array[Double]): Double = {
+    val p = rows(0).length
+    val beta = LinAlg.ridge(rows, y, Array.fill(p)(1e-10))
+    var s = 0.0
+    var i = 0
+    while (i < rows.length) {
+      var pred = 0.0
+      var j = 0
+      while (j < p) { pred += rows(i)(j) * beta(j); j += 1 }
+      val r = y(i) - pred
+      s += r * r
+      i += 1
+    }
+    s
+  }
+
+  /** Per-lag F tests of `cause` → `effect` (aligned arrays, time order). */
+  def test(effect: Array[Double], cause: Array[Double], maxlag: Int): Seq[LagResult] = {
+    require(effect.length == cause.length, "series must be aligned")
+    val n0 = effect.length
+    (1 to maxlag).flatMap { k =>
+      val n = n0 - k
+      val dfDenom = n - 2 * k - 1
+      if (dfDenom <= 0) None
+      else {
+        val y = Array.tabulate(n)(i => effect(i + k))
+        val restricted = Array.tabulate(n) { i =>
+          val row = new Array[Double](1 + k)
+          row(0) = 1.0
+          var j = 0
+          while (j < k) { row(1 + j) = effect(i + k - 1 - j); j += 1 }
+          row
+        }
+        val unrestricted = Array.tabulate(n) { i =>
+          val row = new Array[Double](1 + 2 * k)
+          row(0) = 1.0
+          var j = 0
+          while (j < k) {
+            row(1 + j) = effect(i + k - 1 - j)
+            row(1 + k + j) = cause(i + k - 1 - j)
+            j += 1
+          }
+          row
+        }
+        val ssrR = ssr(restricted, y)
+        val ssrU = ssr(unrestricted, y)
+        val f = if (ssrU <= 0) Double.PositiveInfinity
+                else ((ssrR - ssrU) / k) / (ssrU / dfDenom)
+        val p = if (f.isInfinite) 0.0 else fSurvival(f, k, dfDenom)
+        Some(LagResult(k, f, p, k, dfDenom))
+      }
+    }
+  }
+
+  /** P(F_{d1,d2} > f) via the regularized incomplete beta function. */
+  def fSurvival(f: Double, d1: Int, d2: Int): Double = {
+    if (f <= 0) return 1.0
+    val x = d2 / (d2 + d1 * f)
+    regIncBeta(d2 / 2.0, d1 / 2.0, x)
+  }
+
+  /** Regularized incomplete beta I_x(a,b), Lentz continued fraction. */
+  def regIncBeta(a: Double, b: Double, x: Double): Double = {
+    if (x <= 0) return 0.0
+    if (x >= 1) return 1.0
+    val lbeta = logGamma(a) + logGamma(b) - logGamma(a + b)
+    val front = math.exp(a * math.log(x) + b * math.log(1 - x) - lbeta)
+    if (x < (a + 1) / (a + b + 2)) front * betacf(a, b, x) / a
+    else 1.0 - regIncBeta(b, a, 1 - x)
+  }
+
+  private def betacf(a: Double, b: Double, x: Double): Double = {
+    val eps = 1e-14
+    val fpmin = 1e-300
+    val qab = a + b; val qap = a + 1; val qam = a - 1
+    var c = 1.0
+    var d = 1 - qab * x / qap
+    if (math.abs(d) < fpmin) d = fpmin
+    d = 1 / d
+    var h = d
+    var m = 1
+    while (m <= 300) {
+      val m2 = 2 * m
+      var aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+      d = 1 + aa * d; if (math.abs(d) < fpmin) d = fpmin
+      c = 1 + aa / c; if (math.abs(c) < fpmin) c = fpmin
+      d = 1 / d; h *= d * c
+      aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+      d = 1 + aa * d; if (math.abs(d) < fpmin) d = fpmin
+      c = 1 + aa / c; if (math.abs(c) < fpmin) c = fpmin
+      d = 1 / d
+      val del = d * c
+      h *= del
+      if (math.abs(del - 1.0) < eps) return h
+      m += 1
+    }
+    h
+  }
+
+  /** Lanczos log-gamma. */
+  def logGamma(xx: Double): Double = {
+    val cof = Array(76.18009172947146, -86.50532032941677, 24.01409824083091,
+                    -1.231739572450155, 0.1208650973866179e-2, -0.5395239384953e-5)
+    val x = xx
+    var y = xx
+    val tmp0 = x + 5.5
+    val tmp = tmp0 - (x + 0.5) * math.log(tmp0)
+    var ser = 1.000000000190015
+    var j = 0
+    while (j < 6) { y += 1; ser += cof(j) / y; j += 1 }
+    -tmp + math.log(2.5066282746310005 * ser / x)
+  }
+
+  /** DataFrame form: per series, test x → y at lags 1..maxlag. Input
+    * (series, ds, y, x) aligned rows; output one row per (series, lag). */
+  def causality(df: DataFrame, maxlag: Int, seriesCol: String = "series"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(seriesCol).cast("string"),
+              col("ds").cast("timestamp").cast("double"),
+              col("y").cast("double"), col("x").cast("double"))
+      .as[(String, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        test(rows.map(_._3), rows.map(_._4), maxlag).iterator
+          .map(r => (key, r.lag, r.fStat, r.pValue, r.dfNum, r.dfDenom))
+      }
+      .toDF(seriesCol, "lag", "f_stat", "p_value", "df_num", "df_denom")
+  }
+}

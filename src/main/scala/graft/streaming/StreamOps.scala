@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.ts.{Aggregations, TimeOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming forms of the batch time-series core (the
+  * north-star extension: the reference is batch-only, but its grain
+  * bucketing IS a tumbling window — SURVEY §1.3, §7.4).
+  *
+  * Batch/stream parity by construction: [[streamingGroupByTime]] uses
+  * `window(ds, grain)` whose `window.start` equals the batch
+  * `TimeOps.bucket` period-start for every fixed-width grain, so the
+  * same downstream operators (splice, diagnostics input, forecasting
+  * history) accept either. Calendar months are not fixed-width; month
+  * grain stays batch-only (documented divergence).
+  */
+object StreamOps {
+
+  /** Grain → window duration for fixed-width grains. */
+  def windowDuration(grain: String): String = TimeOps.normalizeGrain(grain) match {
+    case "D" => "1 day"
+    case "W" => "7 days"
+    case "H" => "1 hour"
+    case "m" => "1 minute"
+    case "M" => throw new IllegalArgumentException(
+      "month grain is calendar-based; not supported in streaming mode")
+  }
+
+  /** Streaming T3+A1: watermarked tumbling-window aggregation, one
+    * result row per (series, bucket) on window close. Late data within
+    * the watermark updates the bucket exactly like the batch dedupe. */
+  def streamingGroupByTime(stream: DataFrame, grain: String, agg: String,
+                           seriesCols: Seq[String] = Nil,
+                           watermark: String = "1 day"): DataFrame = {
+    val w = TimeOps.normalizeGrain(grain) match {
+      case "W" => weekAlignedWindow("ds") // Monday-aligned, matches date_trunc('week')
+      case _   => window(col("ds"), windowDuration(grain))
+    }
+    val keys = seriesCols.map(col) :+ w.as("w")
+    stream
+      .withWatermark("ds", watermark)
+      .groupBy(keys: _*)
+      .agg(Aggregations.aggExpr(agg, col("y")).as("y"))
+      .select(seriesCols.map(col) ++ Seq(col("w.start").as("ds"), col("y")): _*)
+  }
+
+  /** ISO-week alignment: Spark's `window` epochs start on Thursday
+    * 1970-01-01, so 7-day windows need a -3 day offset to open on
+    * Monday like `date_trunc('week', …)`. */
+  def weekAlignedWindow(dsCol: String): org.apache.spark.sql.Column =
+    window(col(dsCol), "7 days", "7 days", "-3 days")
+}
