@@ -28,15 +28,24 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Norms are precomputed once per vector (not once per PAIR — at n
+    * vectors × q queries that's 2/3 of all flops saved); the cosine per
+    * pair is then one dot product and one division. `sqrt(dot(v,v))`
+    * yields bit-identical values either way, so oracles are unaffected. */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
   /** Exact top-k cosine neighbors for each query vector. `emb` needs
     * (vec_id, v: array<double>); queries are `emb` rows matching
     * `queryPred`. */
   def cosineTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val q = emb.filter(queryPred).select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val joined = broadcast(q).crossJoin(emb.select(col("vec_id"), col("v")))
+    val normed = withNorm(emb)
+    val q = normed.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val joined = broadcast(q).crossJoin(normed.select(col("vec_id"), col("v"), col("nrm")))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-              round(cosine(col("qv"), col("v")), 4).as("cos"))
+              round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -52,16 +61,35 @@ object Similarity {
     * `planes` are the hyperplane normals (deterministic; callers pass a
     * fixed set, e.g. the first few corpus vectors). */
   def lshBucketTopK(emb: DataFrame, planes: Seq[Seq[Double]], k: Int): DataFrame = {
-    val bucketed = emb.select(col("vec_id"), col("v"),
-                              bucketOf(col("v"), planes).as("bucket"))
-    val a = bucketed.select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
-    val b = bucketed.select(col("vec_id").as("neighbor_id"), col("v"), col("bucket"))
+    val bucketed = withNorm(emb).select(col("vec_id"), col("v"), col("nrm"),
+                                        bucketOf(col("v"), planes).as("bucket"))
+    val a = bucketed.select(col("vec_id").as("query_id"), col("v").as("qv"),
+                            col("nrm").as("qn"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"), col("bucket"))
     val pairs = a.join(b, Seq("bucket")) // hash join on bucket — the scale path
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("bucket"),
-              round(cosine(col("qv"), col("v")), 4).as("cos"))
+              round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (the dedup-family member):
+    * LSH buckets generate candidates, cosine ≥ `minCos` confirms.
+    * Unordered pairs (a < b), no ranking — feeds a dedup keep/drop
+    * decision downstream. */
+  def nearDupPairs(emb: DataFrame, planes: Seq[Seq[Double]], minCos: Double): DataFrame = {
+    val bucketed = withNorm(emb).select(col("vec_id"), col("v"), col("nrm"),
+                                        bucketOf(col("v"), planes).as("bucket"))
+    val a = bucketed.select(col("vec_id").as("da"), col("v").as("va"), col("nrm").as("na"),
+                            col("bucket"))
+    val b = bucketed.select(col("vec_id").as("db"), col("v").as("vb"), col("nrm").as("nb"),
+                            col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+              round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos"))
+      .filter(col("cos") >= minCos)
   }
 }

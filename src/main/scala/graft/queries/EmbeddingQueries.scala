@@ -71,8 +71,30 @@ object EmbeddingQueries {
       |  FROM pairs)
       |SELECT query_id, neighbor_id, bucket, cos, rn FROM ranked WHERE rn <= 3""".stripMargin
 
+  /** q64 — embedding-cosine near-dup pairs: LSH candidates confirmed by
+    * cosine ≥ 0.25 (unordered pairs — the dedup decision input). */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val planes = e.filter(col("vec_id") < 6).orderBy("vec_id")
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    Similarity.nearDupPairs(e, planes, 0.25)
+  }
+
+  private val q64Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 6),
+      |bk AS (
+      |  SELECT e.vec_id, e.v,
+      |         CAST(sum(CASE WHEN ${dotSql("e.v", "p.pv")} > 0
+      |                       THEN (CAST(1 AS BIGINT) << pid) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM e CROSS JOIN p GROUP BY e.vec_id, e.v)
+      |SELECT a.vec_id AS da, b.vec_id AS db, ${cosSql("a.v", "b.v")} AS cos
+      |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |WHERE ${cosSql("a.v", "b.v")} >= 0.25""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q59_cosine_topk", q59, Some(q59Sql)),
-    QueryDef("q60_lsh_ann", q60, Some(q60Sql))
+    QueryDef("q60_lsh_ann", q60, Some(q60Sql)),
+    QueryDef("q64_embedding_neardup", q64, Some(q64Sql))
   )
 }
