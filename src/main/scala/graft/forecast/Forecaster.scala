@@ -22,7 +22,8 @@ object Forecaster {
                          additive_terms: Double, additive_terms_lower: Double,
                          additive_terms_upper: Double,
                          multiplicative_terms: Double, multiplicative_terms_lower: Double,
-                         multiplicative_terms_upper: Double)
+                         multiplicative_terms_upper: Double,
+                         quantile_values: Seq[Double])
 
   /** Fit per series on `history` (series, ds, y[, x]) and predict over
     * history ∪ `future` (series, ds[, x]) — the reference predicts on the
@@ -72,7 +73,8 @@ object Forecaster {
               p.yhat, p.yhatLower, p.yhatUpper,
               p.trend, p.trendLower, p.trendUpper,
               p.additive, p.additiveLower, p.additiveUpper,
-              0.0, 0.0, 0.0)
+              0.0, 0.0, 0.0,
+              p.quantileValues.toSeq)
           }
         }
       }

@@ -45,7 +45,11 @@ object StructuralTS {
       cap: Double = 1.0,
       hasRegressor: Boolean = false,
       regressorPriorScale: Double = 10.0,
-      seed: Long = 20240101L)
+      seed: Long = 20240101L,
+      /** C10 prediction quantiles (`app.py:54-58` declares them; the
+        * notebook prototype computes `np.quantile` over predictive
+        * samples — same generative story here, seeded). */
+      quantiles: Seq[Double] = Nil)
 
   /** Fitted model + everything needed for prediction. */
   case class Model(spec: FitSpec,
@@ -60,7 +64,8 @@ object StructuralTS {
 
   case class Prediction(yhat: Double, yhatLower: Double, yhatUpper: Double,
                         trend: Double, trendLower: Double, trendUpper: Double,
-                        additive: Double, additiveLower: Double, additiveUpper: Double)
+                        additive: Double, additiveLower: Double, additiveUpper: Double,
+                        quantileValues: Array[Double] = Array.empty)
 
   private def logit(p: Double): Double = math.log(p / (1 - p))
   private def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
@@ -265,6 +270,20 @@ object StructuralTS {
 
     val futPos: Map[Int, Int] = futureIdx.map(_._2).zipWithIndex.toMap
 
+    // observation-noise draws for sample-based future quantiles (drawn
+    // after the trend extras so the rng sequence is fixed per model)
+    val noiseMat: Array[Array[Double]] =
+      if (spec.quantiles.nonEmpty && nFut > 0)
+        Array.fill(nSamples, nFut)(rng.nextGaussian())
+      else Array.empty
+
+    def sortedQuantile(col: Array[Double], p: Double): Double = {
+      val pos = p * (col.length - 1)
+      val lo = pos.toInt
+      val hi = math.min(lo + 1, col.length - 1)
+      col(lo) + (pos - lo) * (col(hi) - col(lo))
+    }
+
     Array.tabulate(n) { i =>
       val f = features(tSec(i), m)
       xReg.foreach(xs => f(f.length - 1) = (xs(i) - m.xMean) / m.xStd)
@@ -292,6 +311,19 @@ object StructuralTS {
       def out(v: Double) = invTransformY(m.yOffset + v * m.yScale, m.spec)
       val yhat = out(zhat)
       val trend = out(trZ)
+      // C10: quantiles commute with the monotone de-transform, so compute
+      // them in fitting space and map through out()
+      val qvals: Array[Double] =
+        if (spec.quantiles.isEmpty) Array.empty
+        else futPos.get(i) match {
+          case Some(fi) =>
+            val samples = Array.tabulate(extras.length)(s =>
+              extras(s)(fi) + m.sigmaObs * noiseMat(s)(fi))
+            java.util.Arrays.sort(samples)
+            spec.quantiles.map(p => out(zhat + sortedQuantile(samples, p))).toArray
+          case None =>
+            spec.quantiles.map(p => out(zhat + m.sigmaObs * LinAlg.normInv(p))).toArray
+        }
       Prediction(
         yhat = yhat,
         yhatLower = out(zhat + trendSpread._1 + qLo * m.sigmaObs),
@@ -301,7 +333,8 @@ object StructuralTS {
         trendUpper = out(trZ + trendSpread._2),
         additive = out(zhat) - out(trZ),
         additiveLower = out(trZ + addZ + qLo * m.sigmaObs) - out(trZ),
-        additiveUpper = out(trZ + addZ + qHi * m.sigmaObs) - out(trZ))
+        additiveUpper = out(trZ + addZ + qHi * m.sigmaObs) - out(trZ),
+        quantileValues = qvals)
     }
   }
 

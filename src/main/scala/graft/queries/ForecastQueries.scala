@@ -114,11 +114,27 @@ object ForecastQueries {
               col("df_denom").cast("long").as("df_denom"))
   }
 
+  /** q45 — C10 quantile forecast: per-row prediction quantiles from the
+    * seeded predictive samples (notebook `np.quantile` capability). */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val hist = purchasesDaily(s, dir)
+    val fut = Forecaster.futureGrid(hist, "D", 14)
+    val qs = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+    Forecaster.forecast(hist, fut,
+        StructuralTS.FitSpec(uncertaintySamples = 200, quantiles = qs))
+      .select(col("series"), col("ds"), col("segment"),
+              round(col("yhat"), 6).as("yhat"),
+              round(element_at(col("quantile_values"), 1), 6).as("q05"),
+              round(element_at(col("quantile_values"), 3), 6).as("q50"),
+              round(element_at(col("quantile_values"), 5), 6).as("q95"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_forecast_linear", q40, None),
     QueryDef("q41_analyze_pipeline", q41, None),
     QueryDef("q42_forecast_logistic", q42, None),
     QueryDef("q43_regressor_coef", q43, None),
-    QueryDef("q44_granger_causality", q44, None)
+    QueryDef("q44_granger_causality", q44, None),
+    QueryDef("q45_quantile_forecast", q45, None)
   )
 }

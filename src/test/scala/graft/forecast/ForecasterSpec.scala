@@ -93,6 +93,23 @@ class ForecasterSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("quantile forecasts are monotone and bracket yhat (C10)") {
+    val hist = mkDaily(80, i => 50.0 + 0.5 * i + 4 * math.sin(i / 5.0)).toDF("series", "ds", "y")
+    val fut = Forecaster.futureGrid(hist, "D", 10)
+    val qs = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+    val out = Forecaster.forecast(hist, fut,
+      StructuralTS.FitSpec(uncertaintySamples = 300, quantiles = qs)).collect()
+    out.foreach { r =>
+      val qv = r.getSeq[Double](r.fieldIndex("quantile_values"))
+      assert(qv.length == 5)
+      assert(qv.sliding(2).forall(p => p(0) <= p(1)), s"not monotone: $qv")
+      val yhat = r.getAs[Double]("yhat")
+      assert(qv.head <= yhat + 1e-9 && yhat <= qv.last + 1e-9)
+      // median should track yhat closely
+      assert(math.abs(qv(2) - yhat) < 3.0, s"median ${qv(2)} vs yhat $yhat")
+    }
+  }
+
   test("futureGrid: per-series horizon at grain spacing") {
     val hist = (mkDaily(5, _.toDouble, "a") ++ mkDaily(8, _.toDouble, "b"))
       .toDF("series", "ds", "y")
