@@ -158,7 +158,10 @@ object TextQueries {
     * hash-join, never an all-pairs cross join. */
   private def q56(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val sh = TextDedup.bigramShingles(docs, "doc_id", "text")
+    // shingles feed 4 plan branches (signature, both jaccard sides,
+    // counts) and the whole subplan is shared verbatim by q57 — caching
+    // lets Spark's plan-canonical cache reuse it across both queries
+    val sh = TextDedup.bigramShingles(docs, "doc_id", "text").cache()
     val sig = TextDedup.minhashSignature(sh, 4)
     val pairs = TextDedup.candidatePairs(TextDedup.lshBands(sig, 4, 2))
     TextDedup.jaccard(sh, pairs).filter(col("jaccard") >= 0.5)
