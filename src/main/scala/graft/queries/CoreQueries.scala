@@ -257,7 +257,33 @@ object CoreQueries {
       |FROM events GROUP BY 1
       |ORDER BY y_c DESC, ds LIMIT 10""".stripMargin
 
+  /** q22 — as-of join: attach each user's latest daily error total (at
+    * or before the purchase instant) to every purchase event — the
+    * train-time feature-attach pattern. Oracle is DuckDB's native
+    * ASOF LEFT JOIN. */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), toSecond(col("ts")).as("ds"))
+    val errDaily = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), dayBucket(col("ts")).cast("timestamp").as("ds"))
+      .agg(sum(cents(col("value"))).as("err_c"))
+    graft.joins.AsOf.asOfJoin(purchases, errDaily, Seq("err_c"), Seq("user_id"))
+  }
+
+  private val q22Sql =
+    """WITH l AS (
+      |  SELECT user_id, event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ds
+      |  FROM events WHERE event_type = 'purchase'),
+      |r AS (
+      |  SELECT user_id, CAST(CAST(date_trunc('day', ts) AS DATE) AS TIMESTAMP) AS ds,
+      |         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS err_c
+      |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+      |SELECT l.user_id, l.ds AS ds, l.event_id, r.err_c
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ds >= r.ds""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q22_asof_join", q22, Some(q22Sql)),
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_bucket_hour", q02, Some(q02Sql)),
     QueryDef("q03_bucket_week_mean", q03, Some(q03Sql)),
