@@ -49,3 +49,17 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "byte_sum", exprs => ByteSum(exprs.head), "scala_udf")
 }
+
+/** `SparkSessionExtensions` entry point: makes graft's native functions
+  * available to any session via
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` (the
+  * injection route for cluster deployments, where sessions are built by
+  * the platform rather than application code). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("byte_sum"),
+       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+         classOf[ByteSum].getName, "byte_sum"),
+       (exprs: Seq[Expression]) => ByteSum(exprs.head)))
+}

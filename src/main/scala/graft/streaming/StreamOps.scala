@@ -50,4 +50,34 @@ object StreamOps {
     * Monday like `date_trunc('week', …)`. */
   def weekAlignedWindow(dsCol: String): org.apache.spark.sql.Column =
     window(col(dsCol), "7 days", "7 days", "-3 days")
+
+  /** Running per-series statistics updated as events arrive (A2 date
+    * bounds + A5 count + running sum as arbitrary custom state) — the
+    * `flatMapGroupsWithState` form of the batch diagnostics inputs.
+    * Emits one updated row per series per micro-batch. */
+  case class SeriesState(n: Long, sum: Double, minTs: Long, maxTs: Long)
+  case class SeriesUpdate(series: String, n: Long, sum: Double,
+                          min_ts: java.sql.Timestamp, max_ts: java.sql.Timestamp)
+
+  def runningBounds(stream: DataFrame): org.apache.spark.sql.Dataset[SeriesUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col("series").cast("string"), col("ds").cast("timestamp").cast("long"),
+              col("y").cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[SeriesState]) =>
+          val prev = state.getOption.getOrElse(SeriesState(0L, 0.0, Long.MaxValue, Long.MinValue))
+          val next = rows.foldLeft(prev) { case (s, (_, ts, y)) =>
+            SeriesState(s.n + 1, s.sum + y, math.min(s.minTs, ts), math.max(s.maxTs, ts))
+          }
+          state.update(next)
+          Iterator.single(SeriesUpdate(key, next.n, next.sum,
+            new java.sql.Timestamp(next.minTs * 1000), new java.sql.Timestamp(next.maxTs * 1000)))
+      }
+  }
 }

@@ -48,4 +48,31 @@ class StreamOpsSpec extends AnyFunSuite {
   test("month grain is rejected in streaming mode (calendar-width)") {
     intercept[IllegalArgumentException] { StreamOps.windowDuration("M") }
   }
+
+  test("stateful running bounds track batch count/sum/min/max per series") {
+    val data = sourceData
+    val batch = data.toDF("series", "ds", "y")
+    val expected = batch.groupBy("series")
+      .agg(count("*").as("n"), sum("y").as("s"), min("ds"), max("ds"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+             r.getTimestamp(3).getTime / 1000, r.getTimestamp(4).getTime / 1000)).toMap
+
+    val dir = Files.createTempDirectory("graft-stream-state").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = StreamOps.runningBounds(stream)
+      .writeStream.outputMode("update").format("memory").queryName("bounds").start()
+    try {
+      q.processAllAvailable()
+      // last update per series carries the full-state aggregate
+      val got = spark.table("bounds").orderBy(col("n").desc)
+        .collect().groupBy(_.getString(0)).map { case (k, rows) =>
+          val r = rows.maxBy(_.getLong(1))
+          k -> (r.getLong(1), r.getDouble(2),
+                r.getTimestamp(3).getTime / 1000, r.getTimestamp(4).getTime / 1000)
+        }
+      assert(got == expected)
+    } finally q.stop()
+  }
 }
