@@ -135,6 +135,22 @@ object ForecastQueries {
     QueryDef("q42_forecast_logistic", q42, None),
     QueryDef("q43_regressor_coef", q43, None),
     QueryDef("q44_granger_causality", q44, None),
-    QueryDef("q45_quantile_forecast", q45, None)
+    QueryDef("q45_quantile_forecast", q45, None),
+    QueryDef("q46_forecast_multiseries", q46, None)
   )
+
+  /** q46 — series-parallel forecasting: all five event-type daily series
+    * fitted in ONE flatMapGroups pass (the reference fits one Prophet at
+    * a time in a serial loop; here series count is just row count). */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val hist = t(s, dir, "events")
+      .groupBy(col("event_type").as("series"), dayBucket(col("ts")).cast("timestamp").as("ds"))
+      .agg((sum(cents(col("value"))) / 100.0).as("y"))
+    val fut = Forecaster.futureGrid(hist, "D", 14)
+    Forecaster.forecast(hist, fut, StructuralTS.FitSpec(uncertaintySamples = 200))
+      .select(col("series"), col("ds"), col("segment"),
+              round(col("yhat"), 6).as("yhat"),
+              round(col("yhat_lower"), 6).as("yhat_lower"),
+              round(col("yhat_upper"), 6).as("yhat_upper"))
+  }
 }

@@ -72,6 +72,50 @@ class ApiSpec extends AnyFunSuite {
     assert(json.count(_ == '{') == json.count(_ == '}'))
   }
 
+  test("electricity-demand-style request: mixed dd-MM-yyyy dates, hourly grain, 3 correlations") {
+    // mirrors electricity_demand.json: flat hourly records with the
+    // non-ISO date format, multiple correlation specs over 2 documents
+    def rec(day: Int, hour: Int, fields: (String, Double)*): String =
+      (s""""date": "${f"$day%02d"}-01-2015 ${f"$hour%02d"}:00"""" +:
+        fields.map { case (k, v) => s""""$k": $v""" }).mkString("{", ", ", "}")
+    val demand = (for (d <- 1 to 20; h <- 0 until 24)
+      yield rec(d, h, "nat_demand" -> (900 + 50 * math.sin(2 * math.Pi * h / 24) + 3 * d)))
+      .mkString("[", ",", "]")
+    val weather = (for (d <- 1 to 20; h <- 0 until 24)
+      yield rec(d, h, "T2M_toc" -> (25 + 3 * math.sin(2 * math.Pi * h / 24)),
+                      "W2M_toc" -> (12 + d * 0.1))).mkString("[", ",", "]")
+    def corr(id: String, fi: String, td: String, ti: String): String =
+      s"""{"id": "$id", "type": "prophet", "fromData": "weatherReport", "fromIndex": "$fi",
+         | "toData": "$td", "toIndex": "$ti", "dataSetGranularity": "H",
+         | "dataAggregationType": "mean", "unitsToForecast": 24}""".stripMargin
+    val req =
+      s"""{"documents": {
+         |  "electricityDemand": {"description": null, "data": $demand},
+         |  "weatherReport": {"description": null, "data": $weather}},
+         | "analyticsOptions": {"correlations": [
+         |  ${corr("x1", "T2M_toc", "electricityDemand", "nat_demand")},
+         |  ${corr("x2", "W2M_toc", "electricityDemand", "nat_demand")},
+         |  ${corr("x3", "W2M_toc", "weatherReport", "T2M_toc")}]}}""".stripMargin
+
+    val parsed = RequestParser.parse(spark, req)
+    assert(parsed.correlations.map(_.id) == Seq("x1", "x2", "x3"))
+    val result = AnalyzePipeline.analyze(parsed.documents,
+      parsed.correlations.map(_.copy(uncertaintySamples = 30)))
+    val fc = result.targetForecasts.collect()
+    // 3 correlations × (480 hourly history + 24 future)
+    assert(fc.length == 3 * (480 + 24), s"got ${fc.length}")
+    // the mixed-format dates parsed: history spans Jan 1-20 2015
+    val hist = fc.filter(_.getAs[String]("segment") == "historical")
+      .map(_.getAs[java.sql.Timestamp]("ds"))
+    assert(hist.min.toString.startsWith("2015-01-01"))
+    assert(hist.max.toString.startsWith("2015-01-20"))
+    // daily (24h) seasonality is NOT fitted (weekly/yearly only), but the
+    // hourly forecast should stay in a sane demand band
+    val fut = fc.filter(r => r.getAs[String]("segment") == "future" &&
+                             r.getString(0) == "x1").map(_.getAs[Double]("yhat"))
+    assert(fut.forall(v => v > 800 && v < 1100), s"${fut.min}..${fut.max}")
+  }
+
   test("all correlations are processed (the reference's first-only bug is fixed)") {
     val parsed = RequestParser.parse(spark, requestJson)
     val two = parsed.correlations ++ parsed.correlations.map(_.copy(id = "corr2"))
