@@ -122,6 +122,18 @@ class ForecasterSpec extends AnyFunSuite {
     assert(bDs.head == base + 8L * day)
   }
 
+  test("degenerate series: 1-point series skipped, 2-point series fits") {
+    val hist = (mkDaily(1, _ => 5.0, "one") ++ mkDaily(2, i => 5.0 + i, "two"))
+      .toDF("series", "ds", "y")
+    val fut = Forecaster.futureGrid(hist, "D", 3)
+    val out = Forecaster.forecast(hist, fut, StructuralTS.FitSpec(uncertaintySamples = 10))
+      .collect()
+    assert(!out.exists(_.getString(0) == "one"), "1-point series should be skipped")
+    val two = out.filter(_.getString(0) == "two")
+    assert(two.length == 5) // 2 history + 3 future
+    assert(two.forall(r => !r.getAs[Double]("yhat").isNaN))
+  }
+
   test("multiple series fit independently in one pass") {
     val hist = (mkDaily(40, i => 1.0 + 2.0 * i, "up") ++
                 mkDaily(40, i => 100.0 - 2.0 * i, "down")).toDF("series", "ds", "y")
