@@ -47,13 +47,14 @@ object TextDedup {
 
   /** LSH bands: one row per (doc, band-hash); docs sharing any band are
     * near-dup candidates. `bandSize` consecutive signature columns per
-    * band. */
+    * band. All bands emit from ONE pass over the signature frame
+    * (explode of a band-hash array), not one scan per band. */
   def lshBands(signature: DataFrame, nHashes: Int, bandSize: Int): DataFrame = {
-    val bands = (0 until nHashes by bandSize).map { start =>
+    val bandHashes = (0 until nHashes by bandSize).map { start =>
       val cols = (start until math.min(start + bandSize, nHashes)).map(i => col(s"h$i"))
-      signature.select(col("id"), md5(concat(cols: _*)).as("band"))
+      md5(concat(cols: _*))
     }
-    bands.reduce(_ unionByName _)
+    signature.select(col("id"), explode(array(bandHashes: _*)).as("band"))
   }
 
   /** Candidate pairs from shared bands (a < b, dedup across bands).
