@@ -63,8 +63,51 @@ object SessionQueries {
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** q25 — JSON-path extraction (the P1 dotted-path op on JSON-string
+    * columns, `get_json_object` ≙ the reference's `pydash.get`): pull
+    * props.k out of the event payload and aggregate it. */
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+              get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+           count(when(col("k") > 50, 1)).as("n_high"))
+
+  private val q25Sql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+      |             THEN 1 END) AS n_high
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** q26 — pivot: daily event counts, one column per event type (the
+    * wide-format projection a feature table needs). */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    t(s, dir, "events")
+      .groupBy(dayBucket(col("ts")).as("ds"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+  }
+
+  private val q26Sql =
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS ds,
+      |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      |FROM events GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q23_sessionize", q23, Some(q23Sql)),
-    QueryDef("q24_rollup_revenue", q24, Some(q24Sql))
+    QueryDef("q24_rollup_revenue", q24, Some(q24Sql)),
+    QueryDef("q25_json_extract", q25, Some(q25Sql)),
+    QueryDef("q26_pivot_daily_counts", q26, Some(q26Sql))
   )
 }
