@@ -38,16 +38,26 @@ object AnalyzePipeline {
       regressorCoefficients: DataFrame, // (series, regressor_mode, center, coef bounds)
       bounds: DataFrame)             // (series, side, min_ds, max_ds, n)
 
+  private val PathPattern = "^[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)*$".r
+
   /** P1: project (ds, y) out of a document frame; `path` is the dotted
     * path the reference resolves with `pydash.get` (`app.py:111`) — on a
-    * Spark nested struct that is exactly a qualified column reference. */
+    * Spark nested struct that is successive field accesses. The path
+    * comes from untrusted request JSON, so it is validated against a
+    * strict identifier pattern and resolved via `getField` chaining —
+    * never `expr()`, which would evaluate arbitrary SQL (pydash.get is
+    * a pure lookup; so is this). */
   def extractSeries(doc: DataFrame, dateCol: String, path: String): DataFrame = {
+    require(PathPattern.matches(path),
+      s"invalid series path (expected dotted identifiers): $path")
     val ds = doc.schema(dateCol).dataType match {
       case TimestampType => col(dateCol)
       case StringType    => TimeOps.parseTimestamp(col(dateCol))
       case _             => col(dateCol).cast("timestamp")
     }
-    doc.select(ds.as("ds"), expr(path).cast("double").as("y"))
+    val parts = path.split('.')
+    val y = parts.tail.foldLeft(col(parts.head))(_ getField _)
+    doc.select(ds.as("ds"), y.cast("double").as("y"))
       .filter(col("ds").isNotNull && col("y").isNotNull)
   }
 

@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   * first. */
 object ResponseAssembly {
 
+  // explicit UTC render — Timestamp.toString would use the driver JVM's
+  // default zone and shift dates on a non-UTC driver
+  private val tsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+  private def fmtTs(ts: java.sql.Timestamp): String = tsFmt.format(ts.toInstant)
+
   private def esc(s: String): String =
     s.flatMap {
       case '"' => "\\\""
@@ -36,7 +42,7 @@ object ResponseAssembly {
     val cols = Seq("yhat" -> "prediction", "yhat_lower" -> "prediction_lower_bound",
                    "yhat_upper" -> "prediction_upper_bound", "trend" -> "trend",
                    "trend_lower" -> "trend_lower_bound", "trend_upper" -> "trend_upper_bound")
-    val ds = r.getAs[java.sql.Timestamp]("ds")
+    val ds = fmtTs(r.getAs[java.sql.Timestamp]("ds"))
     val vals = cols.map { case (src, dst) => s""""$dst": ${num(r.getAs[Double](src))}""" }
     (s""""date": "$ds"""" +: vals).mkString("{", ", ", "}")
   }
@@ -58,7 +64,7 @@ object ResponseAssembly {
       val hist = fc.filter(_.getString(2) == "historical").sortBy(_.getAs[java.sql.Timestamp]("ds").getTime)
       val fut = fc.filter(_.getString(2) == "future").sortBy(_.getAs[java.sql.Timestamp]("ds").getTime)
       def boundsJson(side: String): String = bounds.get((id, side)).map { b =>
-        s""""minDate": "${b.getAs[java.sql.Timestamp]("min_ds")}", "maxDate": "${b.getAs[java.sql.Timestamp]("max_ds")}", "n": ${b.getAs[Long]("n")}"""
+        s""""minDate": "${fmtTs(b.getAs[java.sql.Timestamp]("min_ds"))}", "maxDate": "${fmtTs(b.getAs[java.sql.Timestamp]("max_ds"))}", "n": ${b.getAs[Long]("n")}"""
       }.getOrElse("")
       def acfJson(side: String): String =
         diag.get((id, side)).map(rs => lagMap(rs.toSeq, 2)).getOrElse("{}")

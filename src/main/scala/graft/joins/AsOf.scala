@@ -26,14 +26,22 @@ object AsOf {
                seriesCols: Seq[String]): DataFrame = {
     require(seriesCols.nonEmpty, "pass the series key (scale: partitions the sort)")
     val others = left.columns.toSeq.filterNot(c => seriesCols.contains(c) || c == "ds")
+    // the whole right row travels as ONE struct so every value column is
+    // attached from the SAME matched right row — per-column running-last
+    // would let a null in one column pull that value from an older row
+    // (DuckDB ASOF attaches rows, nulls included)
+    val rowStruct = struct(valueCols.map(col): _*)
+    val nullStruct = {
+      val dt = org.apache.spark.sql.types.StructType(valueCols.map(c => right.schema(c)))
+      lit(null).cast(dt)
+    }
     val lNorm = left.select(
       seriesCols.map(col) ++ Seq(col("ds"), lit(1).as("__side")) ++
-        others.map(col) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+        others.map(col) :+ nullStruct.as("__v"): _*)
     val rNorm = right.select(
       seriesCols.map(col) ++ Seq(col("ds"), lit(0).as("__side")) ++
-        others.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+        others.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        rowStruct.as("__v"): _*)
     // right rows sort BEFORE left rows at equal ds → ties are inclusive
     // (right.ds == left.ds matches), exactly like ASOF's >=
     val w = Window.partitionBy(seriesCols.map(col): _*)
@@ -41,9 +49,11 @@ object AsOf {
       .rowsBetween(Window.unboundedPreceding, 0)
     lNorm.unionByName(rNorm)
       .select(
-        seriesCols.map(col) ++ Seq(col("ds"), col("__side")) ++ others.map(col) ++
-          valueCols.map(c => last(col(s"__v_$c"), ignoreNulls = true).over(w).as(c)): _*)
+        seriesCols.map(col) ++ Seq(col("ds"), col("__side")) ++ others.map(col) :+
+          last(col("__v"), ignoreNulls = true).over(w).as("__v"): _*)
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(
+        seriesCols.map(col) ++ Seq(col("ds")) ++ others.map(col) ++
+          valueCols.map(c => col(s"__v.$c").as(c)): _*)
   }
 }

@@ -37,11 +37,15 @@ object Multimodal {
   }
 
   /** Frame sampling: one row per fixed-size byte window of the media
-    * blob — the distributed form of video frame extraction. */
+    * blob — the distributed form of video frame extraction. Empty
+    * payloads (n_frames = 0) emit no rows: Spark's `sequence(0, -1)`
+    * counts DOWN, so the sequence is gated behind `when` (explode of
+    * null yields nothing), matching `generate_series(0, -1)` = empty. */
   def frameSample(media: DataFrame): DataFrame =
     media.select(
         col("doc_id"), col("media"),
-        explode(sequence(lit(0L), col("meta.n_frames") - 1)).as("frame_idx"))
+        explode(when(col("meta.n_frames") > 0,
+                     sequence(lit(0L), col("meta.n_frames") - 1))).as("frame_idx"))
       .select(
         col("doc_id"), col("frame_idx"),
         expr(s"substring(media, cast(frame_idx * $FrameBytes + 1 as int), $FrameBytes)")

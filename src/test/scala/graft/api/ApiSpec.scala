@@ -44,6 +44,19 @@ class ApiSpec extends AnyFunSuite {
     assert(c.id == "corr1" && c.grain.contains("D") && c.unitsToForecast.contains(7))
   }
 
+  test("extractSeries rejects SQL-expression paths (injection surface)") {
+    val parsed = RequestParser.parse(spark, requestJson)
+    val doc = parsed.documents("sales_order")
+    // a pure dotted path works
+    assert(AnalyzePipeline.extractSeries(doc, "date", "data.summary.totalWithTax").count() == 28)
+    // anything expression-shaped is refused before reaching the planner
+    for (bad <- Seq("reflect('java.lang.System','getenv')", "1+1",
+                    "data.summary.totalWithTax); drop", "a b", "java_method('x','y')"))
+      intercept[IllegalArgumentException] {
+        AnalyzePipeline.extractSeries(doc, "date", bad)
+      }
+  }
+
   test("full analyze: forecasts, diagnostics, coefficients, response JSON") {
     val parsed = RequestParser.parse(spark, requestJson)
     val specs = parsed.correlations.map(_.copy(uncertaintySamples = 50))

@@ -33,6 +33,19 @@ class AsOfSpec extends AnyFunSuite {
     assert(out(5L).contains(99.0))
   }
 
+  test("all value columns come from the SAME matched right row, nulls included") {
+    // the nearest right row holds a NULL in one value column; per-column
+    // running-last would pull v1 from the older row — row-attach keeps it null
+    val left = Seq(("a", ts("2024-01-03 00:00:00"), 1L)).toDF("series", "ds", "id")
+    val right = Seq(
+      ("a", ts("2024-01-01 00:00:00"), Some(10.0), Some(100.0)),
+      ("a", ts("2024-01-02 00:00:00"), None, Some(200.0))
+    ).toDF("series", "ds", "v1", "v2")
+    val r = AsOf.asOfJoin(left, right, Seq("v1", "v2"), Seq("series")).collect().head
+    assert(r.isNullAt(r.fieldIndex("v1")), "v1 must be the matched row's null, not 10.0")
+    assert(r.getDouble(r.fieldIndex("v2")) == 200.0)
+  }
+
   test("row count preserved and right rows never leak") {
     val left = (1 to 100).map(i => ("s", ts(f"2024-01-${i % 28 + 1}%02d 12:00:00"), i.toLong))
       .toDF("series", "ds", "id")
