@@ -43,11 +43,17 @@ object ByteSum {
   }
 }
 
-/** Session registration for graft's native SQL functions. */
+/** Session registration for graft's native SQL functions. Idempotent:
+  * re-registering an already-present function would log a "replaced a
+  * previously registered function" warning per call site. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "byte_sum", exprs => ByteSum(exprs.head), "scala_udf")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("byte_sum")
+    if (!reg.functionExists(id))
+      reg.createOrReplaceTempFunction(
+        "byte_sum", exprs => ByteSum(exprs.head), "scala_udf")
+  }
 }
 
 /** `SparkSessionExtensions` entry point: makes graft's native functions

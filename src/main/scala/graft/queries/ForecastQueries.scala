@@ -13,11 +13,15 @@ import org.apache.spark.sql.expressions.Window
   * Outputs are fully deterministic (seeded uncertainty sampling). */
 object ForecastQueries {
 
+  // series comes from the DATA column (not a literal): a lit() key would
+  // be constant-folded out of window PARTITION BY clauses downstream,
+  // collapsing them to single-partition global windows
   private def purchasesDaily(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").filter(col("event_type") === "purchase")
-      .groupBy(dayBucket(col("ts")).cast("timestamp").as("ds"))
+      .groupBy(col("event_type").as("series"),
+               dayBucket(col("ts")).cast("timestamp").as("ds"))
       .agg((sum(cents(col("value"))) / 100.0).as("y"))
-      .select(lit("purchases").as("series"), col("ds"), col("y"))
+      .select(col("series"), col("ds"), col("y"))
 
   /** q40 — C3 univariate forecast, 14 days ahead, 13-column frame. */
   private def q40(s: SparkSession, dir: String): DataFrame = {
@@ -57,10 +61,9 @@ object ForecastQueries {
   /** q42 — C5 logistic (saturating) growth on the cumulative purchase
     * total; floor/cap resolved by the A3/A4 defaults. */
   private def q42(s: SparkSession, dir: String): DataFrame = {
-    // single-series cumulative total: the constant partition key is
-    // constant-folded away, so this window IS a global sort — correct for
-    // one series of ~10² buckets; with many series the key is real and
-    // the window parallelizes per series
+    // the cumsum runs AFTER daily aggregation (~10² rows per series) and
+    // partitions by the data-derived series key, so each series sorts
+    // independently — no single-partition global window
     val w = Window.partitionBy(col("series")).orderBy(col("ds"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val daily = purchasesDaily(s, dir)

@@ -164,7 +164,10 @@ object TextQueries {
     val sh = TextDedup.bigramShingles(docs, "doc_id", "text").cache()
     val sig = TextDedup.minhashSignature(sh, 4)
     val pairs = TextDedup.candidatePairs(TextDedup.lshBands(sig, 4, 2))
-    TextDedup.jaccard(sh, pairs).filter(col("jaccard") >= 0.5)
+    // result is pair-sized (tiny); caching it lets q57's identical
+    // subplan (same canonicalized plan) reuse it instead of re-running
+    // the dedup pipeline
+    TextDedup.jaccard(sh, pairs).filter(col("jaccard") >= 0.5).cache()
   }
 
   private val q56Sql =
