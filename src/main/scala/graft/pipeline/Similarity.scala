@@ -75,6 +75,44 @@ object Similarity {
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** IVF cell id: coarse-quantize `v` to its nearest centroid by
+    * cosine (rounded to 4 decimals; ties to the LOWEST centroid id).
+    * Struct ordering does the argmax: (cos, -cid) compares cos first,
+    * then prefers the higher -cid = lower cid. Pure map-side
+    * expression — no shuffle to assign a 100 TB corpus. */
+  def ivfCellOf(v: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+    val scored = centroids.map { case (cid, c) =>
+      struct(
+        round(dot(v, typedLit(c)) /
+              (sqrt(dot(v, v)) * sqrt(dot(typedLit(c), typedLit(c)))), 4).as("cos"),
+        lit(-cid).as("ncid"))
+    }
+    (-array_max(array(scored: _*)).getField("ncid")).cast("long")
+  }
+
+  /** IVF-style approximate NN (the data-adaptive sibling of
+    * [[lshBucketTopK]]): assign every vector to an inverted-file cell
+    * (nearest centroid), then search only within the query's cell
+    * (nprobe = 1). Pair generation is a hash-join on the cell id —
+    * identical scale path to LSH, but regions follow the data rather
+    * than random hyperplanes. `centroids` are caller-supplied: a
+    * production index trains them with k-means; the assign/partition/
+    * search plumbing here is unchanged by how they were produced. */
+  def ivfTopK(emb: DataFrame, centroids: Seq[(Int, Seq[Double])], k: Int): DataFrame = {
+    val celled = withNorm(emb).select(col("vec_id"), col("v"), col("nrm"),
+                                      ivfCellOf(col("v"), centroids).as("cell"))
+    val a = celled.select(col("vec_id").as("query_id"), col("v").as("qv"),
+                          col("nrm").as("qn"), col("cell"))
+    val b = celled.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"), col("cell"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+              round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (the dedup-family member):
     * LSH buckets generate candidates, cosine ≥ `minCos` confirms.
     * Unordered pairs (a < b), no ranking — feeds a dedup keep/drop

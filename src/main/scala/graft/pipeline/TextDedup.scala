@@ -90,6 +90,44 @@ object TextDedup {
               round(col("i") * 1.0 / (col("na") + col("nb") - col("i")), 6).as("jaccard"))
   }
 
+  /** Duplicate-cluster resolution: connected components over near-dup
+    * pairs via Pregel-style min-label propagation. Every doc starts
+    * labeled with its own id; each round it takes the min label among
+    * itself and its neighbors, until no label changes. The cluster id
+    * is therefore the min doc id in the component, and `is_keeper`
+    * marks the canonical survivor (the standard keep-one-per-cluster
+    * dedup decision).
+    *
+    * Scale: each round is one keyed shuffle (join labels onto edges +
+    * groupBy min); rounds = component diameter, which for dup clusters
+    * is tiny. Only the per-round change COUNT hits the driver — labels
+    * and edges stay distributed. */
+  def dupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .distinct().cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster").as("nc")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nc")).as("nbr_min"))
+        .withColumnRenamed("src", "doc_id")
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+                least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("cluster", "prev"), Seq("doc_id"))
+        .filter(col("cluster") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.withColumn("is_keeper", (col("doc_id") === col("cluster")).cast("long"))
+  }
+
   /** 16-bit SimHash from token frequencies: bit j of a token is the
     * parity of hex digit j of its md5; bits vote ±1 weighted by
     * occurrence count. Integer-only → engine-exact. */

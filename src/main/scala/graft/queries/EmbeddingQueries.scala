@@ -92,9 +92,44 @@ object EmbeddingQueries {
       |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       |WHERE ${cosSql("a.v", "b.v")} >= 0.25""".stripMargin
 
+  /** q65 — IVF-style ANN: 8-cell coarse quantizer (the first 8 corpus
+    * vectors as deterministic centroids), nprobe=1, per-query top-3.
+    * The data-adaptive counterpart of q60's LSH buckets. */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    Similarity.ivfTopK(e, cents, 3)
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("cos"),
+              col("rn").cast("long").as("rn"))
+  }
+
+  private val q65Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT e.vec_id, e.v, p.pid, ${cosSql("e.v", "p.pv")} AS cs
+      |  FROM e CROSS JOIN p),
+      |cells AS (
+      |  SELECT vec_id, v, pid AS cell FROM (
+      |    SELECT vec_id, v, pid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, pid) AS arn
+      |    FROM scored) x WHERE arn = 1),
+      |pairs AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.cell,
+      |         ${cosSql("a.v", "b.v")} AS cos
+      |  FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cell, cos,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cos DESC, neighbor_id) AS rn
+      |  FROM pairs)
+      |SELECT query_id, neighbor_id, cell, cos, rn FROM ranked WHERE rn <= 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q59_cosine_topk", q59, Some(q59Sql)),
     QueryDef("q60_lsh_ann", q60, Some(q60Sql)),
-    QueryDef("q64_embedding_neardup", q64, Some(q64Sql))
+    QueryDef("q64_embedding_neardup", q64, Some(q64Sql)),
+    QueryDef("q65_ivf_ann", q65, Some(q65Sql))
   )
 }

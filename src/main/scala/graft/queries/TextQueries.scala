@@ -170,8 +170,10 @@ object TextQueries {
     TextDedup.jaccard(sh, pairs).filter(col("jaccard") >= 0.5).cache()
   }
 
-  private val q56Sql =
-    s"""WITH $shinglesCte,
+  /** Near-dup CTE chain shared by q56/q57/q66 (`dup` = confirmed
+    * pairs). Kept WITH-less so q66 can prepend WITH RECURSIVE. */
+  private val nearDupCtes =
+    s"""$shinglesCte,
       |mh AS (SELECT doc_id, min(md5('0:' || bg)) AS h0, min(md5('1:' || bg)) AS h1,
       |              min(md5('2:' || bg)) AS h2, min(md5('3:' || bg)) AS h3
       |       FROM big GROUP BY 1),
@@ -183,12 +185,14 @@ object TextQueries {
       |inter AS (SELECT c.da, c.db, count(*) AS i
       |          FROM cand c JOIN big x ON x.doc_id = c.da
       |                      JOIN big y ON y.doc_id = c.db AND y.bg = x.bg
-      |          GROUP BY 1, 2)
-      |SELECT inter.da AS da, inter.db AS db,
-      |       round(i * 1.0 / (na.n + nb.n - i), 6) AS jaccard
-      |FROM inter JOIN n na ON na.doc_id = inter.da
-      |           JOIN n nb ON nb.doc_id = inter.db
-      |WHERE i * 1.0 / (na.n + nb.n - i) >= 0.5""".stripMargin
+      |          GROUP BY 1, 2),
+      |dup AS (SELECT inter.da AS da, inter.db AS db,
+      |               round(i * 1.0 / (na.n + nb.n - i), 6) AS jaccard
+      |        FROM inter JOIN n na ON na.doc_id = inter.da
+      |                   JOIN n nb ON nb.doc_id = inter.db
+      |        WHERE i * 1.0 / (na.n + nb.n - i) >= 0.5)""".stripMargin
+
+  private val q56Sql = s"WITH $nearDupCtes\nSELECT da, db, jaccard FROM dup"
 
   /** q57 — top-20 near-dup pairs by bigram Jaccard (deterministic
     * tiebreak), over LSH candidates. */
@@ -196,6 +200,28 @@ object TextQueries {
     q56(s, dir).orderBy(col("jaccard").desc, col("da"), col("db")).limit(20)
 
   private val q57Sql = q56Sql + "\nORDER BY jaccard DESC, da, db LIMIT 20"
+
+  /** q66 — duplicate-cluster resolution: connected components over the
+    * q56 near-dup pairs (min-label propagation; cluster id = min doc id
+    * in the component; keeper = the canonical survivor). The oracle is
+    * a recursive transitive closure producing the same min-reachable
+    * labels. */
+  private def q66(s: SparkSession, dir: String): DataFrame =
+    TextDedup.dupClusters(
+      t(s, dir, "documents").select(col("doc_id")),
+      q56(s, dir).select(col("da"), col("db")))
+
+  private val q66Sql =
+    s"""WITH RECURSIVE $nearDupCtes,
+      |edges AS (SELECT da AS src, db AS dst FROM dup
+      |          UNION SELECT db AS src, da AS dst FROM dup),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r)
+      |SELECT id AS doc_id, min(r) AS cluster,
+      |       CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+      |FROM reach GROUP BY id""".stripMargin
 
   /** q58 — 16-bit SimHash signatures (integer-exact votes). */
   private def q58(s: SparkSession, dir: String): DataFrame =
@@ -228,6 +254,7 @@ object TextQueries {
     QueryDef("q55_minhash_signature", q55, Some(q55Sql)),
     QueryDef("q56_lsh_near_dup", q56, Some(q56Sql)),
     QueryDef("q57_near_dup_topk", q57, Some(q57Sql)),
-    QueryDef("q58_simhash", q58, Some(q58Sql))
+    QueryDef("q58_simhash", q58, Some(q58Sql)),
+    QueryDef("q66_dup_clusters", q66, Some(q66Sql))
   )
 }

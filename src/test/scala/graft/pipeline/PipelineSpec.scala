@@ -35,6 +35,17 @@ class TextDedupSpec extends AnyFunSuite {
     assert(sh.values.forall(v => v >= 0 && v < 65536))
   }
 
+  test("dupClusters: min-label propagation finds components and keepers") {
+    val ids = (1L to 7L).map(Tuple1(_)).toDF("doc_id")
+    // components: {1,2,3} (chain 1-2, 2-3), {5,6}, singletons 4 and 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("da", "db")
+    val out = TextDedup.dupClusters(ids, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (1L, 1L) && out(2L) == (1L, 0L) && out(3L) == (1L, 0L))
+    assert(out(5L) == (5L, 1L) && out(6L) == (5L, 0L))
+    assert(out(4L) == (4L, 1L) && out(7L) == (7L, 1L))
+  }
+
   test("wordOccurrences counts word-boundary hits") {
     val got = docs.filter($"doc_id" === 1)
       .select(TextDedup.wordOccurrences($"text", "the").as("n"))
@@ -61,6 +72,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.head == 1L)
     assert(out(1) == 2L)
     assert(out.last == 3L)
+  }
+
+  test("IVF cells assign by nearest centroid; search stays within cell") {
+    val cents = Seq(0 -> Seq(1.0, 0.0, 0.0), 1 -> Seq(0.0, 1.0, 0.0))
+    val out = Similarity.ivfTopK(vecs, cents, 3).collect()
+    val cellOf = out.map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("cell")).toMap
+    // 0,1,2 point along +x → cell 0; 3 (-x) and 4 (+y) prefer centroid 1
+    assert(cellOf(0L) == 0L && cellOf(1L) == 0L && cellOf(2L) == 0L)
+    assert(cellOf(3L) == 1L && cellOf(4L) == 1L)
+    val n0 = out.filter(_.getAs[Long]("query_id") == 0L).map(_.getAs[Long]("neighbor_id")).toSet
+    assert(n0 == Set(1L, 2L)) // only same-cell vectors are candidates
+    val n4 = out.filter(_.getAs[Long]("query_id") == 4L).map(_.getAs[Long]("neighbor_id")).toSet
+    assert(n4 == Set(3L))
   }
 
   test("LSH buckets separate opposite-sign vectors, keep identical together") {
