@@ -40,6 +40,41 @@ object Profile {
       TextDedup.jaccard(sh, TextDedup.candidatePairs(
         TextDedup.lshBands(TextDedup.minhashSignature(sh, 4), 4, 2)))
         .filter(col("jaccard") >= 0.5).count())
+
+    // q65 stage timings
+    import graft.pipeline.Similarity
+    val e = graft.queries.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    time("emb count")(e.count())
+    val cents = time("centroid collect")(
+      e.filter(col("vec_id") < 32).orderBy("vec_id")
+        .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq)
+    graft.plans.GraftFunctions.register(spark)
+    val celled = e
+      .withColumn("nrm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+      .select(col("vec_id"), col("v"), col("nrm"),
+              Similarity.ivfCellOf(col("v"), col("nrm"), cents).as("cell"))
+    time("ivf assignment")(celled.count())
+    time("ivf assignment again")(celled.count())
+    val aSide = celled.select(col("vec_id").as("query_id"), col("v").as("qv"),
+                              col("nrm").as("qn"), col("cell"))
+    val bSide = celled.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"), col("cell"))
+    val prs = aSide.join(bSide, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    println(s"pair count: ${time("ivf pair join")(prs.count())}")
+    // is it recomputation of `celled` inside the join stages?
+    val celledC = celled.cache()
+    time("celled materialize")(celledC.count())
+    val aC = celledC.select(col("vec_id").as("query_id"), col("v").as("qv"),
+                            col("nrm").as("qn"), col("cell"))
+    val bC = celledC.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"), col("cell"))
+    val prsC = aC.join(bC, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
+    println(s"pair count cached: ${time("ivf pair join from cache")(prsC.count())}")
+    val withCos = prs.select(col("query_id"), col("neighbor_id"), col("cell"),
+      round(call_function("vec_dot", col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos"))
+    time("ivf pair cos")(withCos.count())
+    time("full ivfTopK")(Similarity.ivfTopK(e, cents, 3).count())
+    time("full ivfTopK again")(Similarity.ivfTopK(e, cents, 3).count())
     spark.stop()
   }
 }

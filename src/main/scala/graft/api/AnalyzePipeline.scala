@@ -81,17 +81,25 @@ object AnalyzePipeline {
     val tgtHist = histories(c => (c.toData, c.toIndex)).cache()
 
     // A5: horizon defaults to post-aggregation length; per-series counts
-    // are a handful of scalars — the only driver materialization here
-    val covCounts = covHist.groupBy("series").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    // are a handful of scalars — and the job is SKIPPED entirely when
+    // every correlation specifies unitsToForecast (the common case)
+    val covCounts: Map[String, Int] =
+      if (correlations.forall(_.unitsToForecast.isDefined)) Map.empty
+      else covHist.groupBy("series").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
     val horizons: Map[String, Int] =
       correlations.map(c => c.id -> c.unitsToForecast.getOrElse(covCounts.getOrElse(c.id, 1)))
         .toMap
 
-    // resolved logistic bounds (A3/A4) only when requested
-    val capStats = tgtHist.groupBy("series")
-      .agg(max("y").as("mx"), stddev_samp("y").as("sd"), min("y").as("mn"))
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // resolved logistic bounds (A3/A4): the reference computes
+    // floor/ceiling only for logistic growth (`app.py:354-364`); for
+    // all-linear requests the stats job is skipped (cap/floor are
+    // unused by the linear trend)
+    val capStats: Map[String, (Double, Double, Double)] =
+      if (correlations.forall(_.growth == "linear")) Map.empty
+      else tgtHist.groupBy("series")
+        .agg(max("y").as("mx"), stddev_samp("y").as("sd"), min("y").as("mn"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     val specOverrides: Map[String, StructuralTS.FitSpec] = correlations.map { c =>
       val (mx, sd, mn) = capStats.getOrElse(c.id, (1.0, 0.0, 0.0))
       val cap = math.max(c.ceiling.getOrElse(mx + 3 * (if (sd.isNaN) 0.0 else sd)), mx)

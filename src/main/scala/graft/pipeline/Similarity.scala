@@ -15,15 +15,19 @@ import org.apache.spark.sql.functions._
   *    cost is O(Σ bucket²) ≈ n²/2^planes — the 100 TB path (more planes
   *    or multi-probe as n grows).
   *
-  * The dot product is a codegen'd `zip_with`+`aggregate` left fold — no
-  * UDF, deterministic summation order (matches the DuckDB oracle's
-  * `list_sum(list_transform(...))`).
+  * The dot product is [[graft.plans.VecDot]], a native Catalyst
+  * expression with a tight codegen'd loop — measured several× faster
+  * than the `aggregate(zip_with(...))` higher-order form (HOFs are
+  * CodegenFallback: one interpreted lambda call per element). Same
+  * sequential summation order, so results match the DuckDB oracle's
+  * `list_sum(list_transform(...))` bit-for-bit.
   */
 object Similarity {
 
-  /** Sequential-fold dot product over array<double> columns. */
+  /** Sequential-fold dot product over array<double> columns (native
+    * expression; callers' entry points register it on the session). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    call_function("vec_dot", a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -39,6 +43,7 @@ object Similarity {
     * (vec_id, v: array<double>); queries are `emb` rows matching
     * `queryPred`. */
   def cosineTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val normed = withNorm(emb)
     val q = normed.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -61,6 +66,7 @@ object Similarity {
     * `planes` are the hyperplane normals (deterministic; callers pass a
     * fixed set, e.g. the first few corpus vectors). */
   def lshBucketTopK(emb: DataFrame, planes: Seq[Seq[Double]], k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val bucketed = withNorm(emb).select(col("vec_id"), col("v"), col("nrm"),
                                         bucketOf(col("v"), planes).as("bucket"))
     val a = bucketed.select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -79,15 +85,27 @@ object Similarity {
     * cosine (rounded to 4 decimals; ties to the LOWEST centroid id).
     * Struct ordering does the argmax: (cos, -cid) compares cos first,
     * then prefers the higher -cid = lower cid. Pure map-side
-    * expression — no shuffle to assign a 100 TB corpus. */
-  def ivfCellOf(v: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
-    val scored = centroids.map { case (cid, c) =>
+    * expression — no shuffle to assign a 100 TB corpus.
+    *
+    * `nrm` is the caller's precomputed ‖v‖; centroid norms fold to
+    * Scala constants — `Seq.sum` is the same sequential left fold as
+    * the in-plan `aggregate`, so the doubles are bit-identical.
+    *
+    * Shape matters: the centroids travel as ONE 2-D array literal
+    * scanned by a single `transform`. The first version inlined one
+    * struct expression per centroid; projection collapsing replicated
+    * the norm subtree into each of them and the generated method blew
+    * past janino limits into interpreted fallback (~1 ms/row — it made
+    * the whole ANN query 6× slower). MEASURED, not guessed. */
+  def ivfCellOf(v: Column, nrm: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+    val cvs = typedLit(centroids.map(_._2))
+    val cnorms = typedLit(centroids.map { case (_, c) => math.sqrt(c.map(x => x * x).sum) })
+    val cids = typedLit(centroids.map(_._1))
+    val scored = transform(sequence(lit(1), lit(centroids.size)), i =>
       struct(
-        round(dot(v, typedLit(c)) /
-              (sqrt(dot(v, v)) * sqrt(dot(typedLit(c), typedLit(c)))), 4).as("cos"),
-        lit(-cid).as("ncid"))
-    }
-    (-array_max(array(scored: _*)).getField("ncid")).cast("long")
+        round(dot(v, element_at(cvs, i)) / (nrm * element_at(cnorms, i)), 4).as("cos"),
+        (-element_at(cids, i)).as("ncid")))
+    (-array_max(scored).getField("ncid")).cast("long")
   }
 
   /** IVF-style approximate NN (the data-adaptive sibling of
@@ -99,8 +117,9 @@ object Similarity {
     * production index trains them with k-means; the assign/partition/
     * search plumbing here is unchanged by how they were produced. */
   def ivfTopK(emb: DataFrame, centroids: Seq[(Int, Seq[Double])], k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val celled = withNorm(emb).select(col("vec_id"), col("v"), col("nrm"),
-                                      ivfCellOf(col("v"), centroids).as("cell"))
+                                      ivfCellOf(col("v"), col("nrm"), centroids).as("cell"))
     val a = celled.select(col("vec_id").as("query_id"), col("v").as("qv"),
                           col("nrm").as("qn"), col("cell"))
     val b = celled.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"), col("cell"))
@@ -118,6 +137,7 @@ object Similarity {
     * Unordered pairs (a < b), no ranking — feeds a dedup keep/drop
     * decision downstream. */
   def nearDupPairs(emb: DataFrame, planes: Seq[Seq[Double]], minCos: Double): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val bucketed = withNorm(emb).select(col("vec_id"), col("v"), col("nrm"),
                                         bucketOf(col("v"), planes).as("bucket"))
     val a = bucketed.select(col("vec_id").as("da"), col("v").as("va"), col("nrm").as("na"),

@@ -92,12 +92,14 @@ object EmbeddingQueries {
       |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       |WHERE ${cosSql("a.v", "b.v")} >= 0.25""".stripMargin
 
-  /** q65 — IVF-style ANN: 8-cell coarse quantizer (the first 8 corpus
-    * vectors as deterministic centroids), nprobe=1, per-query top-3.
-    * The data-adaptive counterpart of q60's LSH buckets. */
+  /** q65 — IVF-style ANN: 32-cell coarse quantizer (the first 32
+    * corpus vectors as deterministic centroids), nprobe=1, per-query
+    * top-3. The data-adaptive counterpart of q60's LSH buckets; cell
+    * count is the recall/cost knob (like LSH plane count) — candidate
+    * list length scales as n/cells. */
   private def q65(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
+    val cents = e.filter(col("vec_id") < 32).orderBy("vec_id")
       .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
     Similarity.ivfTopK(e, cents, 3)
       .select(col("query_id"), col("neighbor_id"), col("cell"), col("cos"),
@@ -106,7 +108,7 @@ object EmbeddingQueries {
 
   private val q65Sql =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 8),
+      |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 32),
       |scored AS (
       |  SELECT e.vec_id, e.v, p.pid, ${cosSql("e.v", "p.pv")} AS cs
       |  FROM e CROSS JOIN p),
