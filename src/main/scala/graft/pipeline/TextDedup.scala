@@ -106,7 +106,8 @@ object TextDedup {
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
       .distinct().cache()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster")).cache()
+    var cached = docs.select(col("doc_id"), col("doc_id").as("cluster")).cache()
+    var labels = cached
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -114,14 +115,17 @@ object TextDedup {
         .join(labels.select(col("doc_id").as("dst"), col("cluster").as("nc")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("nc")).as("nbr_min"))
         .withColumnRenamed("src", "doc_id")
+      // carry the previous label through the same pass: change
+      // detection is then a filter on the cached round result instead
+      // of a second join against the old labels
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster").as("prev"),
                 least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("cluster", "prev"), Seq("doc_id"))
-        .filter(col("cluster") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("cluster") =!= col("prev")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("doc_id"), col("cluster"))
       rounds += 1
     }
     edges.unpersist()
