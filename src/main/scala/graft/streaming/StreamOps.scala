@@ -51,6 +51,33 @@ object StreamOps {
   def weekAlignedWindow(dsCol: String): org.apache.spark.sql.Column =
     window(col(dsCol), "7 days", "7 days", "-3 days")
 
+  /** Streaming exact dedup: keep the FIRST arrival per key within the
+    * watermark horizon — the ingestion-time form of the batch
+    * hash-groupBy dedup (q54). Dedup state is bounded by the
+    * watermark (expired keys are dropped), so the operator runs
+    * indefinitely at ingest scale; a duplicate arriving later than
+    * the watermark re-emits, which is the documented trade-off of
+    * every bounded-state streaming dedup. */
+  def streamingDedup(stream: DataFrame, keyCol: org.apache.spark.sql.Column,
+                     watermark: String = "1 day"): DataFrame =
+    stream.withColumn("__key", keyCol)
+      .withWatermark("ds", watermark)
+      .dropDuplicatesWithinWatermark("__key")
+      .drop("__key")
+
+  /** Streaming sessionization: `session_window` gap-merging per user —
+    * the streaming form of the batch gaps-and-islands query (q23).
+    * Sessions close (and emit, in append mode) once the watermark
+    * passes the gap, so state per user is one open session. */
+  def streamingSessionize(stream: DataFrame, gap: String = "30 minutes",
+                          userCol: String = "user_id",
+                          watermark: String = "1 day"): DataFrame =
+    stream.withWatermark("ds", watermark)
+      .groupBy(col(userCol), session_window(col("ds"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("y")).as("y_sum"))
+      .select(col(userCol), col("w.start").as("session_start"),
+              col("n_events"), col("y_sum"))
+
   /** Running per-series statistics updated as events arrive (A2 date
     * bounds + A5 count + running sum as arbitrary custom state) — the
     * `flatMapGroupsWithState` form of the batch diagnostics inputs.

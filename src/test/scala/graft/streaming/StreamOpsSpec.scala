@@ -49,6 +49,71 @@ class StreamOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { StreamOps.windowDuration("M") }
   }
 
+  test("streaming dedup keeps one row per key, matching batch distinct") {
+    // 200 rows over 40 distinct payload keys
+    val base = java.sql.Timestamp.valueOf("2024-03-04 00:00:00").getTime
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 200).map { i =>
+      (s"payload-${rnd.nextInt(40)}",
+       new java.sql.Timestamp(base + i * 60000L), rnd.nextInt(10).toDouble)
+    }
+    val batch = data.toDF("text", "ds", "y")
+    val expectedKeys = batch.select("text").distinct().count()
+
+    val dir = Files.createTempDirectory("graft-stream-dedup").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val out = StreamOps.streamingDedup(stream, md5(col("text")))
+    val q = out.writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup")
+      assert(got.count() == expectedKeys)
+      assert(got.select("text").distinct().count() == expectedKeys)
+    } finally q.stop()
+  }
+
+  test("streaming session windows match batch gaps-and-islands sessions") {
+    val base = java.sql.Timestamp.valueOf("2024-03-04 00:00:00").getTime
+    val rnd = new scala.util.Random(11)
+    // bursts separated by > 30 min gaps per user
+    val data = for {
+      u <- 0 until 4
+      burst <- 0 until 5
+      i <- 0 until (1 + rnd.nextInt(4))
+    } yield (s"u$u",
+      new java.sql.Timestamp(base + u * 977000L + burst * 3600_000L + i * 60000L),
+      rnd.nextInt(100).toDouble)
+    val batch = data.toDF("user_id", "ds", "y")
+
+    // batch oracle: gaps-and-islands with the same 30-minute gap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ds")
+    val sessions = batch
+      .withColumn("new_s", when(col("ds").cast("long") -
+        lag(col("ds").cast("long"), 1).over(w) > 1800 || lag(col("ds"), 1).over(w).isNull, 1)
+        .otherwise(0))
+      .withColumn("sid", sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("ds").as("session_start"), count(lit(1)).as("n_events"), sum("y").as("y_sum"))
+    val expected = sessions.collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Timestamp]("session_start"),
+                 r.getAs[Long]("n_events"), r.getAs[Double]("y_sum"))).toSet
+
+    val dir = Files.createTempDirectory("graft-stream-sess").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val out = StreamOps.streamingSessionize(stream, "30 minutes")
+    val q = out.writeStream.outputMode("complete").format("memory").queryName("sess").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sess").collect()
+        .map(r => (r.getString(0), r.getAs[java.sql.Timestamp]("session_start"),
+                   r.getAs[Long]("n_events"), r.getAs[Double]("y_sum"))).toSet
+      assert(got == expected, s"stream sessions != batch islands")
+    } finally q.stop()
+  }
+
   test("stateful running bounds track batch count/sum/min/max per series") {
     val data = sourceData
     val batch = data.toDF("series", "ds", "y")
