@@ -99,9 +99,12 @@ object TextDedup {
     * dedup decision).
     *
     * Scale: each round is one keyed shuffle (join labels onto edges +
-    * groupBy min); rounds = component diameter, which for dup clusters
-    * is tiny. Only the per-round change COUNT hits the driver — labels
-    * and edges stay distributed. */
+    * groupBy min); rounds = component diameter, tiny for dup clusters.
+    * Only the per-round change COUNT hits the driver — labels and
+    * edges stay distributed. (A connected-docs-only iteration with an
+    * anti-join for singletons was tried and MEASURED 2.5× slower here:
+    * it roots the whole loop's lineage in the near-dup pipeline
+    * instead of a plain scan, and the saved rows are not the cost.) */
   def dupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
