@@ -37,11 +37,16 @@ object TextDedup {
                             element_at(col("l"), i + 1)))).as("bg"))
       .distinct()
 
-  /** MinHash signature: h_i(doc) = min over shingles of md5(i || ":" ||
-    * shingle) — lexicographic min over hex strings is a valid uniform
-    * minhash and is identical in any engine with binary collation. */
+  /** MinHash signature: h_i(doc) = min over shingles of the i-th 8-hex
+    * slice of md5(shingle) — ONE digest per shingle row supplies all
+    * hashes (the one-permutation-hashing trick: disjoint slices of a
+    * uniform digest act as independent uniform hashes). Lexicographic
+    * min over hex is a valid minhash and identical in any engine with
+    * binary collation; 4× fewer md5 evaluations than hashing per-i. */
   def minhashSignature(shingles: DataFrame, nHashes: Int): DataFrame = {
-    val hs = Seq.tabulate(nHashes)(i => min(md5(concat(lit(s"$i:"), col("bg")))).as(s"h$i"))
+    require(nHashes * 8 <= 32, s"md5 supplies at most 4 8-hex slices, got $nHashes")
+    val digest = md5(col("bg"))
+    val hs = Seq.tabulate(nHashes)(i => min(substring(digest, i * 8 + 1, 8)).as(s"h$i"))
     shingles.groupBy(col("id")).agg(hs.head, hs.tail: _*)
   }
 

@@ -149,8 +149,9 @@ object TextQueries {
 
   private val q55Sql =
     s"""WITH $shinglesCte
-      |SELECT doc_id, min(md5('0:' || bg)) AS h0, min(md5('1:' || bg)) AS h1,
-      |       min(md5('2:' || bg)) AS h2, min(md5('3:' || bg)) AS h3
+      |SELECT doc_id,
+      |  min(substr(md5(bg), 1, 8)) AS h0, min(substr(md5(bg), 9, 8)) AS h1,
+      |  min(substr(md5(bg), 17, 8)) AS h2, min(substr(md5(bg), 25, 8)) AS h3
       |FROM big GROUP BY 1""".stripMargin
 
   /** q56 — MinHash+LSH near-dup detection: band buckets → candidate
@@ -174,8 +175,9 @@ object TextQueries {
     * pairs). Kept WITH-less so q66 can prepend WITH RECURSIVE. */
   private val nearDupCtes =
     s"""$shinglesCte,
-      |mh AS (SELECT doc_id, min(md5('0:' || bg)) AS h0, min(md5('1:' || bg)) AS h1,
-      |              min(md5('2:' || bg)) AS h2, min(md5('3:' || bg)) AS h3
+      |mh AS (SELECT doc_id,
+      |         min(substr(md5(bg), 1, 8)) AS h0, min(substr(md5(bg), 9, 8)) AS h1,
+      |         min(substr(md5(bg), 17, 8)) AS h2, min(substr(md5(bg), 25, 8)) AS h3
       |       FROM big GROUP BY 1),
       |bands AS (SELECT doc_id, md5(h0 || h1) AS band FROM mh
       |          UNION ALL SELECT doc_id, md5(h2 || h3) FROM mh),
