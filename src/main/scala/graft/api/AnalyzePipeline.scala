@@ -154,4 +154,61 @@ object AnalyzePipeline {
 
     AnalyzeResult(covSpliced, tgtForecast, diag, coefs, bounds)
   }
+
+  /** §3.3 `/saturating-growth/single` (`app.py:562-609`): fit the
+    * TARGET series alone — no covariate extraction, no splice or
+    * alignment, no regressor (the reference skips the J1/J2 branch
+    * when `is_target=True` with no covariates, `app.py:478-483`).
+    * Logistic floor/cap resolve from the series itself (A3/A4), same
+    * as the bundle's cached `floor`/`ceiling` properties. */
+  def analyzeSingle(documents: Map[String, DataFrame],
+                    correlations: Seq[CorrelationSpec]): AnalyzeResult = {
+    require(correlations.nonEmpty, "no correlations requested")
+
+    val hist = correlations.map { c =>
+      val doc = documents.getOrElse(c.toData,
+        throw new IllegalArgumentException(s"unknown document: ${c.toData}"))
+      Aggregations.groupByTime(
+          extractSeries(doc, c.dateColumn, c.toIndex), c.grain.map(TimeOps.normalizeGrain),
+          c.aggregation)
+        .select(lit(c.id).as("series"), col("ds"), col("y"))
+    }.reduce(_ unionByName _).cache()
+
+    val counts: Map[String, Int] =
+      if (correlations.forall(_.unitsToForecast.isDefined)) Map.empty
+      else hist.groupBy("series").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    val horizons = correlations
+      .map(c => c.id -> c.unitsToForecast.getOrElse(counts.getOrElse(c.id, 1))).toMap
+
+    val capStats: Map[String, (Double, Double, Double)] =
+      if (correlations.forall(_.growth == "linear")) Map.empty
+      else hist.groupBy("series")
+        .agg(max("y").as("mx"), stddev_samp("y").as("sd"), min("y").as("mn"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+    val specOverrides = correlations.map { c =>
+      val (mx, sd, mn) = capStats.getOrElse(c.id, (1.0, 0.0, 0.0))
+      val cap = math.max(c.ceiling.getOrElse(mx + 3 * (if (sd.isNaN) 0.0 else sd)), mx)
+      c.id -> c.fitSpec(math.min(c.floor, mn), cap)
+    }.toMap
+
+    val grainOf = correlations
+      .map(c => c.id -> c.grain.map(TimeOps.normalizeGrain).getOrElse("D")).toMap
+    val grid = grainOf.values.toSeq.distinct.map { g =>
+      val ids = grainOf.collect { case (id, gg) if gg == g => id }.toSeq
+      Forecaster.futureGrid(hist.filter(col("series").isin(ids: _*)), g,
+                            horizon = 1, horizonOverrides = horizons)
+    }.reduce(_ unionByName _)
+
+    val forecast = Forecaster.forecast(hist, grid,
+      specOverrides(correlations.head.id), "series", specOverrides)
+    val diag = Diagnostics.acfPacf(hist, "series").withColumn("side", lit("to"))
+    val bounds = hist.withColumn("side", lit("to"))
+      .groupBy("series", "side")
+      .agg(min("ds").as("min_ds"), max("ds").as("max_ds"), count(lit(1)).as("n"))
+
+    AnalyzeResult(forecast.limit(0), forecast, diag,
+                  forecast.sparkSession.emptyDataFrame, bounds)
+  }
 }

@@ -17,7 +17,7 @@ object RequestParser {
 
   def parse(spark: SparkSession, requestJson: String): ParsedRequest = {
     import spark.implicits._
-    val env = spark.read.option("multiLine", "true").json(Seq(requestJson).toDS)
+    val env = spark.read.option("multiLine", "true").json(Seq(requestJson).toDS())
 
     val docsType = env.schema("documents").dataType.asInstanceOf[StructType]
     val documents = docsType.fieldNames.map { name =>
@@ -40,7 +40,12 @@ object RequestParser {
         grain = strOpt(r, "dataSetGranularity"),
         aggregation = strOpt(r, "dataAggregationType").getOrElse("sum"),
         unitsToForecast = strOpt(r, "unitsToForecast").map(_.toDouble.toInt),
-        changePointPriorScale = strOpt(r, "ChangePointPriorScale").map(_.toDouble).getOrElse(0.8))
+        changePointPriorScale = strOpt(r, "ChangePointPriorScale").map(_.toDouble).getOrElse(0.8),
+        // saturating-growth options (§3.2/§3.3 ForecastingOptions,
+        // app.py:253-272), accepted flat on the correlation spec
+        growth = strOpt(r, "growth").getOrElse("linear"),
+        floor = strOpt(r, "floor").map(_.toDouble).getOrElse(0.0),
+        ceiling = strOpt(r, "ceiling").map(_.toDouble))
     }
     ParsedRequest(documents, correlations)
   }

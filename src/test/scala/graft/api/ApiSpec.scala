@@ -44,6 +44,37 @@ class ApiSpec extends AnyFunSuite {
     assert(c.id == "corr1" && c.grain.contains("D") && c.unitsToForecast.contains(7))
   }
 
+  test("single-series saturating pipeline: no covariate, logistic caps hold") {
+    // §3.3 /saturating-growth/single — target only, logistic growth
+    val json =
+      s"""{
+         |  "documents": {"sales_order": {"description": "s",
+         |    "data": ${(1 to 40).map(d => obs(d % 28 + 1, 100 + 5.0 * d, 1)).mkString("[", ",", "]")}}},
+         |  "analyticsOptions": {"correlations": [{
+         |    "id": "s1", "type": "prophet",
+         |    "fromData": "sales_order", "fromIndex": "data.summary.totalWithTax",
+         |    "toData": "sales_order", "toIndex": "data.summary.totalWithTax",
+         |    "dataSetGranularity": "D", "dataAggregationType": "sum",
+         |    "unitsToForecast": 5, "growth": "logistic"
+         |  }]}
+         |}""".stripMargin
+    val parsed = RequestParser.parse(spark, json)
+    assert(parsed.correlations.head.growth == "logistic")
+    val specs = parsed.correlations.map(_.copy(uncertaintySamples = 50))
+    val result = AnalyzePipeline.analyzeSingle(parsed.documents, specs)
+    val fc = result.targetForecasts.collect()
+    assert(fc.count(_.getAs[String]("segment") == "future") == 5)
+    assert(fc.count(_.getAs[String]("segment") == "historical") == 28)
+    // logistic predictions stay within resolved [floor, cap]
+    val caps = specs.map { c => c.id }.head
+    val yhats = fc.map(_.getAs[Double]("yhat"))
+    assert(yhats.forall(v => v >= 0.0), s"floor violated: ${yhats.min}")
+    // diagnostics exist for the single side; no regressor coefficients
+    assert(result.diagnostics.filter("side = 'to'").count() > 0)
+    assert(result.regressorCoefficients.isEmpty)
+    assert(result.covariateForecasts.count() == 0)
+  }
+
   test("extractSeries rejects SQL-expression paths (injection surface)") {
     val parsed = RequestParser.parse(spark, requestJson)
     val doc = parsed.documents("sales_order")
