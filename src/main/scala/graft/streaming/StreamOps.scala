@@ -51,6 +51,23 @@ object StreamOps {
   def weekAlignedWindow(dsCol: String): org.apache.spark.sql.Column =
     window(col(dsCol), "7 days", "7 days", "-3 days")
 
+  /** Streaming sliding-window aggregation: overlapping windows of
+    * `windowLen` opening every `slide` (each event contributes to
+    * windowLen/slide buckets). The batch form of the same call is the
+    * identical `window()` expression, so parity holds by construction;
+    * used for rolling rates/means over event streams. */
+  def streamingSlidingAgg(stream: DataFrame, windowLen: String, slide: String,
+                          agg: String, seriesCols: Seq[String] = Nil,
+                          watermark: String = "1 day"): DataFrame = {
+    val keys = seriesCols.map(col) :+ window(col("ds"), windowLen, slide).as("w")
+    stream
+      .withWatermark("ds", watermark)
+      .groupBy(keys: _*)
+      .agg(Aggregations.aggExpr(agg, col("y")).as("y"))
+      .select(seriesCols.map(col) ++
+        Seq(col("w.start").as("ds"), col("w.end").as("ds_end"), col("y")): _*)
+  }
+
   /** Streaming exact dedup: keep the FIRST arrival per key within the
     * watermark horizon — the ingestion-time form of the batch
     * hash-groupBy dedup (q54). Dedup state is bounded by the

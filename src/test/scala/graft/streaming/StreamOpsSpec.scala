@@ -49,6 +49,30 @@ class StreamOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { StreamOps.windowDuration("M") }
   }
 
+  test("sliding windows: stream equals batch window() on the same data") {
+    val data = sourceData
+    val batch = data.toDF("series", "ds", "y")
+    val expected = batch
+      .groupBy(col("series"), window(col("ds"), "2 days", "1 day").as("w"))
+      .agg(sum("y").as("y"))
+      .select(col("series"), col("w.start").as("ds"), col("w.end").as("ds_end"), col("y"))
+      .collect().map(_.toString).toSet
+
+    val dir = Files.createTempDirectory("graft-stream-slide").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val out = StreamOps.streamingSlidingAgg(stream, "2 days", "1 day", "sum", Seq("series"))
+    val q = out.writeStream.outputMode("complete").format("memory").queryName("slide").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("slide").collect().map(_.toString).toSet
+      assert(got == expected)
+      // every event lands in exactly 2 overlapping windows
+      assert(spark.table("slide").agg(sum("y")).head().getDouble(0) ==
+             batch.agg(sum("y") * 2).head().getDouble(0))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps one row per key, matching batch distinct") {
     // 200 rows over 40 distinct payload keys
     val base = java.sql.Timestamp.valueOf("2024-03-04 00:00:00").getTime
