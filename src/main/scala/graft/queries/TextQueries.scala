@@ -159,10 +159,7 @@ object TextQueries {
     * hash-join, never an all-pairs cross join. */
   private def q56(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    // shingles feed 4 plan branches (signature, both jaccard sides,
-    // counts) and the whole subplan is shared verbatim by q57 — caching
-    // lets Spark's plan-canonical cache reuse it across both queries
-    val sh = TextDedup.bigramShingles(docs, "doc_id", "text").cache()
+    val sh = TextDedup.bigramShingles(docs, "doc_id", "text")
     val sig = TextDedup.minhashSignature(sh, 4)
     val pairs = TextDedup.candidatePairs(TextDedup.lshBands(sig, 4, 2))
     // result is pair-sized (tiny); caching it lets q57's identical
