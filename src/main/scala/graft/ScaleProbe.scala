@@ -1,0 +1,70 @@
+package graft
+
+import graft.pipeline.{Similarity, TextDedup}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev utility: empirical scale-up probe for the training-data
+  * pipelines. Synthesizes a deterministic corpus N× the bench size and
+  * times the near-dup and ANN paths, to check the cost curves stay
+  * ~linear (bucketed joins) rather than quadratic (all-pairs).
+  * Usage: runMain graft.ScaleProbe [nDocs] [nVecs]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(50000)
+    val nVecs = args.drop(1).headOption.map(_.toInt).getOrElse(20000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def time[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"$label%-32s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // deterministic synthetic docs: 40-word texts from a 2k vocabulary,
+    // 5% exact duplicates — generated distributively from spark.range
+    val docs = spark.range(nDocs.toLong).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 40).map(j =>
+        concat(lit("w"), pmod(hash(when(col("id") % 20 === 0, col("id") - 1)
+          .otherwise(col("id")) * 37 + j), lit(2000)))): _*).as("text"))
+      .cache()
+    time("docs materialize")(docs.count())
+
+    val sh = TextDedup.bigramShingles(docs, "doc_id", "text")
+    val sig = TextDedup.minhashSignature(sh, 4)
+    val pairs = TextDedup.candidatePairs(TextDedup.lshBands(sig, 4, 2))
+    val dup = TextDedup.jaccard(sh, pairs).filter(col("jaccard") >= 0.5).cache()
+    println(s"near-dup pairs: ${time("near-dup pipeline")(dup.count())}")
+    println(s"dup clusters: ${time("dup clusters")(
+      TextDedup.dupClusters(docs.select(col("doc_id")), dup.select(col("da"), col("db")))
+        .filter(col("is_keeper") === 0).count())} non-keepers")
+
+    // deterministic synthetic embeddings (16-dim) via hash-derived doubles
+    val dim = 16
+    val vecs = spark.range(nVecs.toLong).select(
+      col("id").as("vec_id"),
+      array((0 until dim).map(j =>
+        (pmod(hash(col("id") * 131 + j), lit(1000)).cast("double") / 500.0 - 1.0)): _*).as("v"))
+      .cache()
+    time("vecs materialize")(vecs.count())
+    val cents = vecs.filter(col("vec_id") < 64).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    println(s"ivf rows: ${time("ivf topk (64 cells)")(
+      Similarity.ivfTopK(vecs, cents, 3).count())}")
+    val planes = vecs.filter(col("vec_id") < 8).orderBy("vec_id")
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    println(s"lsh rows: ${time("lsh topk (256 buckets)")(
+      Similarity.lshBucketTopK(vecs, planes, 3).count())}")
+    spark.stop()
+  }
+}
