@@ -36,7 +36,8 @@ object AnalyzePipeline {
       targetForecasts: DataFrame,    // (series, ds, segment, 13-col frame)
       diagnostics: DataFrame,        // (series, side, lag, acf, pacf)
       regressorCoefficients: DataFrame, // (series, regressor_mode, center, coef bounds)
-      bounds: DataFrame)             // (series, side, min_ds, max_ds, n)
+      bounds: DataFrame,             // (series, side, min_ds, max_ds, n)
+      fitBounds: Map[String, (Double, Double)] = Map.empty) // id -> resolved (floor, cap)
 
   private val PathPattern = "^[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)*$".r
 
@@ -152,7 +153,8 @@ object AnalyzePipeline {
       .groupBy("series", "side")
       .agg(min("ds").as("min_ds"), max("ds").as("max_ds"), count(lit(1)).as("n"))
 
-    AnalyzeResult(covSpliced, tgtForecast, diag, coefs, bounds)
+    AnalyzeResult(covSpliced, tgtForecast, diag, coefs, bounds,
+                  specOverrides.map { case (id, s) => id -> (s.floor, s.cap) })
   }
 
   /** §3.3 `/saturating-growth/single` (`app.py:562-609`): fit the
@@ -209,6 +211,7 @@ object AnalyzePipeline {
       .agg(min("ds").as("min_ds"), max("ds").as("max_ds"), count(lit(1)).as("n"))
 
     AnalyzeResult(forecast.limit(0), forecast, diag,
-                  forecast.sparkSession.emptyDataFrame, bounds)
+                  forecast.sparkSession.emptyDataFrame, bounds,
+                  specOverrides.map { case (id, s) => id -> (s.floor, s.cap) })
   }
 }

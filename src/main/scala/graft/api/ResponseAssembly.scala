@@ -89,4 +89,32 @@ object ResponseAssembly {
     }
     correlations.mkString("{\"correlations\": {", ", ", "}}")
   }
+
+  /** Build the saturating-growth response shape (`app.py:544-557`,
+    * `app.py:594-607`): per correlation `{type: {model, growth,
+    * bounds: {min, max}}, predictions: {historicalForecasts,
+    * futureForecasts}}` — distinct from the `/analyze` contract. */
+  def toJsonSaturating(result: AnalyzeResult,
+                       growthOf: Map[String, String]): String = {
+    val forecasts = result.targetForecasts
+      .select(col("series"), col("ds"), col("segment"), col("yhat"), col("yhat_lower"),
+              col("yhat_upper"), col("trend"), col("trend_lower"), col("trend_upper"))
+      .collect().groupBy(_.getString(0))
+    val correlations = forecasts.keySet.toSeq.sorted.map { id =>
+      val fc = forecasts.getOrElse(id, Array.empty)
+      val hist = fc.filter(_.getString(2) == "historical")
+        .sortBy(_.getAs[java.sql.Timestamp]("ds").getTime)
+      val fut = fc.filter(_.getString(2) == "future")
+        .sortBy(_.getAs[java.sql.Timestamp]("ds").getTime)
+      val (floor, cap) = result.fitBounds.getOrElse(id, (0.0, 1.0))
+      s""""${esc(id)}": {
+         |  "type": {"model": "prophet", "growth": "${esc(growthOf.getOrElse(id, "linear"))}",
+         |    "bounds": {"min": ${num(floor)}, "max": ${num(cap)}}},
+         |  "predictions": {"description": "${esc(Explanations.predictions)}",
+         |    "historicalForecasts": ${hist.map(forecastRow).mkString("[", ", ", "]")},
+         |    "futureForecasts": ${fut.map(forecastRow).mkString("[", ", ", "]")}}
+         |}""".stripMargin
+    }
+    correlations.mkString("{\"correlations\": {", ", ", "}}")
+  }
 }

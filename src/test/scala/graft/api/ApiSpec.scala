@@ -73,6 +73,15 @@ class ApiSpec extends AnyFunSuite {
     assert(result.diagnostics.filter("side = 'to'").count() > 0)
     assert(result.regressorCoefficients.isEmpty)
     assert(result.covariateForecasts.count() == 0)
+    // §3.2/§3.3 response contract: type.growth + resolved bounds
+    val resp = ResponseAssembly.toJsonSaturating(result,
+      specs.map(c => c.id -> c.growth).toMap)
+    assert(resp.contains("\"growth\": \"logistic\""))
+    assert(resp.contains("\"bounds\": {\"min\":"))
+    assert(resp.contains("historicalForecasts"))
+    assert(resp.count(_ == '{') == resp.count(_ == '}'))
+    val (floor, cap) = result.fitBounds("s1")
+    assert(floor <= cap && cap > 0)
   }
 
   test("extractSeries rejects SQL-expression paths (injection surface)") {
