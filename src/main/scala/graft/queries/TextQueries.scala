@@ -222,6 +222,32 @@ object TextQueries {
       |       CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
       |FROM reach GROUP BY id""".stripMargin
 
+  /** q67 — BPE-style pre-tokenization counts: the GPT-2-ish regex
+    * split into letter runs / digit runs / single punctuation marks
+    * (the subword pre-pass every BPE tokenizer applies before merges).
+    * Same regex class syntax evaluates identically in Java and RE2
+    * dialects, so counts are engine-exact. */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    def n(pat: String) =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      n("[A-Za-z]+").as("n_word_toks"),
+      n("[0-9]+").as("n_num_toks"),
+      n("[^A-Za-z0-9 ]").as("n_punct_toks"),
+      (n("[A-Za-z]+") + n("[0-9]+") + n("[^A-Za-z0-9 ]")).as("n_pre_toks"))
+  }
+
+  private val q67Sql =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[A-Za-z]+')) AS n_word_toks,
+      |  len(regexp_extract_all(text, '[0-9]+')) AS n_num_toks,
+      |  len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct_toks,
+      |  len(regexp_extract_all(text, '[A-Za-z]+')) +
+      |  len(regexp_extract_all(text, '[0-9]+')) +
+      |  len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_pre_toks
+      |FROM documents""".stripMargin
+
   /** q58 — 16-bit SimHash signatures (integer-exact votes). */
   private def q58(s: SparkSession, dir: String): DataFrame =
     TextDedup.simhash16(t(s, dir, "documents"), "doc_id", "text")
@@ -254,6 +280,7 @@ object TextQueries {
     QueryDef("q56_lsh_near_dup", q56, Some(q56Sql)),
     QueryDef("q57_near_dup_topk", q57, Some(q57Sql)),
     QueryDef("q58_simhash", q58, Some(q58Sql)),
-    QueryDef("q66_dup_clusters", q66, Some(q66Sql))
+    QueryDef("q66_dup_clusters", q66, Some(q66Sql)),
+    QueryDef("q67_bpe_pretokens", q67, Some(q67Sql))
   )
 }
