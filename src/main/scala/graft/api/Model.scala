@@ -25,6 +25,13 @@ case class CorrelationSpec(
     uncertaintySamples: Int = 1000,
     dateColumn: String = "date") {
 
+  // the reference's pydantic Literal rejects unknown growth values with
+  // a 422; silently falling back to linear would mis-forecast
+  require(growth == "linear" || growth == "logistic",
+          s"unsupported growth: $growth (expected linear|logistic)")
+  require(unitsToForecast.forall(_ >= 1), // conint(ge=1), app.py:49
+          s"unitsToForecast must be >= 1, got $unitsToForecast")
+
   def fitSpec(resolvedFloor: Double, resolvedCap: Double): FitSpec =
     FitSpec(growth = growth,
             changepointPriorScale = changePointPriorScale,

@@ -84,6 +84,14 @@ class ApiSpec extends AnyFunSuite {
     assert(floor <= cap && cap > 0)
   }
 
+  test("spec validation mirrors the reference's pydantic Literals") {
+    val base = CorrelationSpec(id = "x", fromData = "a", fromIndex = "v",
+                               toData = "b", toIndex = "w")
+    intercept[IllegalArgumentException] { base.copy(growth = "exponential") }
+    intercept[IllegalArgumentException] { base.copy(unitsToForecast = Some(0)) }
+    base.copy(growth = "logistic", unitsToForecast = Some(1)) // valid
+  }
+
   test("extractSeries rejects SQL-expression paths (injection surface)") {
     val parsed = RequestParser.parse(spark, requestJson)
     val doc = parsed.documents("sales_order")
