@@ -110,6 +110,9 @@ object GraftFunctions {
       if (!reg.functionExists(id))
         reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    if (!spark.experimental.extraOptimizations.contains(FrameLimitRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FrameLimitRule
   }
 }
 
@@ -130,5 +133,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
          classOf[VecDot].getName, "vec_dot"),
        (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
+    ext.injectOptimizerRule(_ => FrameLimitRule)
   }
 }

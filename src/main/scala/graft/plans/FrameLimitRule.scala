@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{
+  Attribute, Explode, Expression, Least, LessThan, LessThanOrEqual, Literal, Sequence}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/** Optimizer rule: push a `frame_idx < k` bound INTO the frame-index
+  * sequence generator.
+  *
+  * Frame sampling explodes `sequence(0, n_frames - 1)` (one row per
+  * media frame — [[graft.pipeline.Multimodal.frameSample]]). A common
+  * downstream pattern is "first k frames only" (`frame_idx < k`), and
+  * Spark cannot push that filter through the Generate: it materializes
+  * EVERY frame row and then discards most of them. For hour-long
+  * videos sampled at full rate that is orders of magnitude of wasted
+  * generation at 100 TB scale. This rule rewrites the sequence upper
+  * bound to `least(end, k-1)` so the excess rows are never produced;
+  * the filter stays in place (now a cheap no-op), so the rewrite can
+  * only reduce generated rows, never change results.
+  *
+  * Matched shape (deliberately narrow): a Filter of `genOut < lit k`
+  * (or `<=`) directly over a Generate(Explode(...)) whose expression
+  * tree contains `Sequence(0L, end, step = default)`, k > 0.
+  */
+object FrameLimitRule extends Rule[LogicalPlan] {
+
+  private def bound(cond: Expression, genOut: Seq[Attribute]): Option[Long] = {
+    def isGenOut(e: Expression): Boolean = e match {
+      case a: Attribute => genOut.exists(_.exprId == a.exprId)
+      case _            => false
+    }
+    cond match {
+      case LessThan(a, Literal(k: Long, LongType)) if isGenOut(a) && k > 0 => Some(k)
+      case LessThanOrEqual(a, Literal(k: Long, LongType)) if isGenOut(a) && k >= 0 =>
+        Some(k + 1)
+      case _ => None
+    }
+  }
+
+  /** Fixpoint guard: stop once the sequence is already capped by a
+    * literal at least as tight — the optimizer re-runs the batch until
+    * the plan stops changing, and an unconditional wrap would add a
+    * nested least() every iteration. */
+  private def alreadyBounded(stop: Expression, k: Long): Boolean = stop match {
+    case Least(children) => children.exists {
+      case Literal(v: Long, LongType) => v <= k - 1
+      case _                          => false
+    }
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, g @ Generate(e: Explode, _, _, _, genOut, _)) =>
+      bound(cond, genOut) match {
+        case Some(k) =>
+          val rewritten = e.transform {
+            case seq @ Sequence(Literal(0L, LongType), stop, None, _)
+                if !alreadyBounded(stop, k) =>
+              seq.copy(stop = Least(Seq(stop, Literal(k - 1, LongType))))
+          }.asInstanceOf[Explode]
+          if (rewritten fastEquals e) f
+          else f.copy(child = g.copy(generator = rewritten))
+        case None => f
+      }
+  }
+}

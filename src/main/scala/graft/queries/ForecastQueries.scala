@@ -132,6 +132,25 @@ object ForecastQueries {
               round(element_at(col("quantile_values"), 5), 6).as("q95"))
   }
 
+  /** q68 — C6 `make_future_dataframe` alone, oracle-checked: per
+    * event-type series, 7 daily periods after max(ds), generated
+    * distributively (sequence + timestampadd — no driver loop). */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val hist = t(s, dir, "events")
+      .groupBy(col("event_type").as("series"),
+               dayBucket(col("ts")).cast("timestamp").as("ds"))
+      .agg(count(lit(1)).as("n"))
+    Forecaster.futureGrid(hist, "D", 7)
+  }
+
+  private val q68Sql =
+    """WITH h AS (
+      |  SELECT event_type AS series,
+      |         max(CAST(CAST(date_trunc('day', ts) AS DATE) AS TIMESTAMP)) AS mx
+      |  FROM events GROUP BY 1)
+      |SELECT series, mx + s * INTERVAL 1 DAY AS ds
+      |FROM h CROSS JOIN range(1, 8) t(s)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_forecast_linear", q40, None),
     QueryDef("q41_analyze_pipeline", q41, None),
@@ -139,7 +158,8 @@ object ForecastQueries {
     QueryDef("q43_regressor_coef", q43, None),
     QueryDef("q44_granger_causality", q44, None),
     QueryDef("q45_quantile_forecast", q45, None),
-    QueryDef("q46_forecast_multiseries", q46, None)
+    QueryDef("q46_forecast_multiseries", q46, None),
+    QueryDef("q68_future_grid", q68, Some(q68Sql))
   )
 
   /** q46 — series-parallel forecasting: all five event-type daily series

@@ -116,6 +116,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m(2L).getAs[Long]("n_frames") == 4L) // ceil(200/64)
   }
 
+  test("FrameLimitRule pushes frame_idx bounds into the sequence generator") {
+    graft.plans.GraftFunctions.register(spark)
+    val media = Multimodal.mediaTable(docs, "doc_id", "text") // doc 2 has 4 frames
+    val limited = Multimodal.frameSample(media).filter(col("frame_idx") < 2)
+    // the optimized plan must bound the sequence itself, not just filter
+    val optimized = limited.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("least("), s"sequence bound not pushed:\n$optimized")
+    // and results are identical to the unrewritten semantics
+    val got = limited.select("doc_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 0L), (2L, 0L), (2L, 1L)))
+  }
+
   test("empty payload emits zero frames (no descending sequence)") {
     val empty = Seq((9L, "")).toDF("doc_id", "text")
     val frames = Multimodal.frameSample(Multimodal.mediaTable(empty, "doc_id", "text"))
