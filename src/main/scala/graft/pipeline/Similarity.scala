@@ -108,6 +108,23 @@ object Similarity {
     (-array_max(scored).getField("ncid")).cast("long")
   }
 
+  /** Train IVF centroids with Spark ML k-means (seeded → deterministic
+    * given fixed data and parallelism). This is the production path for
+    * [[ivfTopK]]'s coarse quantizer; the oracle-checked query uses
+    * fixed sample-vector centroids instead because k-means is not
+    * DuckDB-expressible, but the assign/search plumbing downstream is
+    * identical for either source of centroids. */
+  def trainCentroids(emb: DataFrame, k: Int, seed: Long = 42L,
+                     maxIter: Int = 5): Seq[(Int, Seq[Double])] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = emb.select(array_to_vector(col("v")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .fit(feats)
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => i -> c.toArray.toSeq }.toSeq
+  }
+
   /** IVF-style approximate NN (the data-adaptive sibling of
     * [[lshBucketTopK]]): assign every vector to an inverted-file cell
     * (nearest centroid), then search only within the query's cell

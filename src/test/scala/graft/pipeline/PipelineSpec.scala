@@ -87,6 +87,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(n4 == Set(3L))
   }
 
+  test("k-means-trained IVF centroids separate the two natural clusters") {
+    // two tight clusters around +x and +y
+    val data = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0, 0.0, 0.0) else Seq(0.0, 1.0, 0.0)
+      (i.toLong, base.map(_ + (i % 5) * 0.01))
+    }.toDF("vec_id", "v")
+    val cents = Similarity.trainCentroids(data, k = 2)
+    assert(cents.size == 2)
+    val out = Similarity.ivfTopK(data, cents, 3).collect()
+    // neighbors returned from WITHIN the query's cluster only: parity of
+    // ids encodes the cluster, so neighbor parity must match query parity
+    assert(out.nonEmpty)
+    assert(out.forall(r =>
+      r.getAs[Long]("query_id") % 2 == r.getAs[Long]("neighbor_id") % 2))
+  }
+
   test("LSH buckets separate opposite-sign vectors, keep identical together") {
     // second plane normal to z so no test vector lies ON a hyperplane
     val planes = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0))
