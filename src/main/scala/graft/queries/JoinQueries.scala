@@ -40,8 +40,10 @@ object JoinQueries {
       |WHERE rn <= 3""".stripMargin
 
   /** q14 — TPC-H Q3 shape (shipping priority): 3-way join with filters on
-    * all three tables, revenue top-10. Customer (dim) broadcast; orders
-    * filter pushed to scan before the join. */
+    * all three tables, revenue top-10. Only the true dimension (customer)
+    * carries a broadcast hint; lineitem⋈orders is fact⋈fact and is left to
+    * AQE, which picks sort-merge/shuffled-hash by runtime size — a forced
+    * broadcast of the 2-year orders slice would OOM at 100× SF. */
   private def q14(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
@@ -52,7 +54,7 @@ object JoinQueries {
       .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
       .select(col("l_orderkey"),
               cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
-    li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
             col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(col("rev_c")).as("revenue_c"))
@@ -75,8 +77,9 @@ object JoinQueries {
 
   /** q15 — TPC-H Q5 shape (local supplier revenue by nation): 6-way join
     * through region→nation→customer/supplier with the co-nationality
-    * predicate. All dims broadcast; the only shuffle is the final
-    * per-nation aggregate. */
+    * predicate. Dims (customer/supplier/nation/region) broadcast;
+    * lineitem⋈orders is fact⋈fact and left to AQE — the shuffles are that
+    * join and the final per-nation aggregate. */
   private def q15(s: SparkSession, dir: String): DataFrame = {
     val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
     val nation = t(s, dir, "nation")
@@ -91,7 +94,7 @@ object JoinQueries {
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"),
               cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
                              col("c_nationkey") === col("s_nationkey"))

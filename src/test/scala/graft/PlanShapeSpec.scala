@@ -1,6 +1,11 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+import org.apache.spark.sql.execution.{BaseLimitExec, CollectLimitExec}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Optimizer-shape regression tests: the physical plans the 100 TB
@@ -27,6 +32,60 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(p.contains("BroadcastHashJoin"), s"$q: no broadcast join\n$p")
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product!\n$p")
     }
+  }
+
+  /** Parquet tables a subtree scans *without* an intervening
+    * cardinality bound. Aggregates and limits cut the recursion: anything
+    * below them is bounded by grouping keys / k, not by fact row count
+    * (e.g. the splice queries broadcast daily aggregates of `events` —
+    * thousands of rows at any SF — which is the intended shape). */
+  private def unboundedScans(p: SparkPlan): Seq[String] = p match {
+    case _: HashAggregateExec | _: ObjectHashAggregateExec |
+         _: SortAggregateExec | _: BaseLimitExec | _: CollectLimitExec => Nil
+    case f: FileSourceScanExec =>
+      f.relation.location.rootPaths.map(_.getName.stripSuffix(".parquet"))
+    case other => other.children.flatMap(unboundedScans)
+  }
+
+  /** Tables a *hint-forced* broadcast would materialize, in full, on the
+    * driver. Plans with autoBroadcastJoinThreshold=-1 so size-estimated
+    * broadcasts (safe: they track actual data volume, and AQE re-checks at
+    * runtime) drop out and only explicit `broadcast()` hints remain, then
+    * walks each broadcast build side down to its unbounded parquet scans. */
+  private def forcedBroadcastTables(name: String): Set[String] = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+      df.queryExecution.sparkPlan.collect {
+        case b: BroadcastHashJoinExec =>
+          unboundedScans(if (b.buildSide == BuildLeft) b.left else b.right)
+        case b: BroadcastNestedLoopJoinExec =>
+          unboundedScans(if (b.buildSide == BuildLeft) b.left else b.right)
+      }.flatten.toSet
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("no fact table is ever a forced, unaggregated broadcast build side") {
+    // A hint-forced broadcast of a raw fact slice (orders/lineitem/events/
+    // documents/embeddings) plans fine at test SF but OOMs at 100 TB.
+    val facts = Set("orders", "lineitem", "events", "documents", "embeddings")
+    // q59 is the exact-ANN baseline: its broadcast side is the QUERY set
+    // (queryPred-bounded by contract, a handful of vectors), scanned from
+    // the embeddings table — small by construction, not by aggregation.
+    val exempt = Set("q59_cosine_topk")
+    for (q <- SparkEntry.all if q.oracle.isDefined && !exempt(q.name)) {
+      val hit = forcedBroadcastTables(q.name).intersect(facts)
+      assert(hit.isEmpty, s"${q.name} force-broadcasts fact table(s): $hit")
+    }
+  }
+
+  test("TPC-H dims are the only broadcast sides in q14/q15") {
+    val dims = Set("customer", "supplier", "nation", "region")
+    assert(forcedBroadcastTables("q14_tpch_q3_shape").subsetOf(dims))
+    assert(forcedBroadcastTables("q15_tpch_q5_shape").subsetOf(dims))
+    assert(forcedBroadcastTables("q15_tpch_q5_shape").nonEmpty)
   }
 
   test("fact scans push filters and prune columns") {
