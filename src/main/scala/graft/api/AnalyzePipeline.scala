@@ -1,6 +1,7 @@
 package graft.api
 
 import graft.forecast.{Forecaster, StructuralTS}
+import graft.queries.cacheOnce
 import graft.stats.Diagnostics
 import graft.ts.{Aggregations, TimeOps}
 import org.apache.spark.sql.DataFrame
@@ -78,8 +79,8 @@ object AnalyzePipeline {
           .select(lit(c.id).as("series"), col("ds"), col("y"))
       }.reduce(_ unionByName _)
 
-    val covHist = histories(c => (c.fromData, c.fromIndex)).cache()
-    val tgtHist = histories(c => (c.toData, c.toIndex)).cache()
+    val covHist = cacheOnce(histories(c => (c.fromData, c.fromIndex)))
+    val tgtHist = cacheOnce(histories(c => (c.toData, c.toIndex)))
 
     // A5: horizon defaults to post-aggregation length; per-series counts
     // are a handful of scalars — and the job is SKIPPED entirely when
@@ -124,11 +125,10 @@ object AnalyzePipeline {
                                           defaultSpec, "series", specOverrides)
 
     // J1+J2: observed covariate wins, forecast fills the future
-    val covSpliced = covForecast
+    val covSpliced = cacheOnce(covForecast
       .join(covHist.select(col("series"), col("ds"), col("y")), Seq("series", "ds"), "left")
       .withColumn("x", coalesce(col("y"), col("yhat")))
-      .drop("y")
-      .cache()
+      .drop("y"))
 
     // J3 (history) / J4-as-inner (future): align covariate onto target
     val covX = covSpliced.select(col("series"), col("ds"), col("x"))
@@ -167,14 +167,14 @@ object AnalyzePipeline {
                     correlations: Seq[CorrelationSpec]): AnalyzeResult = {
     require(correlations.nonEmpty, "no correlations requested")
 
-    val hist = correlations.map { c =>
+    val hist = cacheOnce(correlations.map { c =>
       val doc = documents.getOrElse(c.toData,
         throw new IllegalArgumentException(s"unknown document: ${c.toData}"))
       Aggregations.groupByTime(
           extractSeries(doc, c.dateColumn, c.toIndex), c.grain.map(TimeOps.normalizeGrain),
           c.aggregation)
         .select(lit(c.id).as("series"), col("ds"), col("y"))
-    }.reduce(_ unionByName _).cache()
+    }.reduce(_ unionByName _))
 
     val counts: Map[String, Int] =
       if (correlations.forall(_.unitsToForecast.isDefined)) Map.empty

@@ -106,10 +106,17 @@ object ResponseAssembly {
         .sortBy(_.getAs[java.sql.Timestamp]("ds").getTime)
       val fut = fc.filter(_.getString(2) == "future")
         .sortBy(_.getAs[java.sql.Timestamp]("ds").getTime)
-      val (floor, cap) = result.fitBounds.getOrElse(id, (0.0, 1.0))
+      val growth = growthOf.getOrElse(id, "linear")
+      // bounds only exist for logistic growth: for all-linear requests the
+      // pipeline skips the cap-stats job, so fitBounds holds a placeholder
+      // — reporting it would fabricate data-derived bounds
+      val boundsJson =
+        if (growth == "logistic") {
+          val (floor, cap) = result.fitBounds.getOrElse(id, (0.0, 1.0))
+          s""", "bounds": {"min": ${num(floor)}, "max": ${num(cap)}}"""
+        } else ""
       s""""${esc(id)}": {
-         |  "type": {"model": "prophet", "growth": "${esc(growthOf.getOrElse(id, "linear"))}",
-         |    "bounds": {"min": ${num(floor)}, "max": ${num(cap)}}},
+         |  "type": {"model": "prophet", "growth": "${esc(growth)}"$boundsJson},
          |  "predictions": {"description": "${esc(Explanations.predictions)}",
          |    "historicalForecasts": ${hist.map(forecastRow).mkString("[", ", ", "]")},
          |    "futureForecasts": ${fut.map(forecastRow).mkString("[", ", ", "]")}}

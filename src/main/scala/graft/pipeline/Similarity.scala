@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * sequential summation order, so results match the DuckDB oracle's
   * `list_sum(list_transform(...))` bit-for-bit.
   */
-object Similarity {
+object Similarity extends org.apache.spark.internal.Logging {
 
   /** Sequential-fold dot product over array<double> columns (native
     * expression; callers' entry points register it on the session). */
@@ -97,15 +97,32 @@ object Similarity {
     * the norm subtree into each of them and the generated method blew
     * past janino limits into interpreted fallback (~1 ms/row — it made
     * the whole ANN query 6× slower). MEASURED, not guessed. */
-  def ivfCellOf(v: Column, nrm: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+  private def cellScores(v: Column, nrm: Column,
+                         centroids: Seq[(Int, Seq[Double])]): Column = {
     val cvs = typedLit(centroids.map(_._2))
     val cnorms = typedLit(centroids.map { case (_, c) => math.sqrt(c.map(x => x * x).sum) })
     val cids = typedLit(centroids.map(_._1))
-    val scored = transform(sequence(lit(1), lit(centroids.size)), i =>
+    transform(sequence(lit(1), lit(centroids.size)), i =>
       struct(
         round(dot(v, element_at(cvs, i)) / (nrm * element_at(cnorms, i)), 4).as("cos"),
         (-element_at(cids, i)).as("ncid")))
-    (-array_max(scored).getField("ncid")).cast("long")
+  }
+
+  def ivfCellOf(v: Column, nrm: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+    require(centroids.nonEmpty, "ivfCellOf needs at least one centroid")
+    (-array_max(cellScores(v, nrm, centroids)).getField("ncid")).cast("long")
+  }
+
+  /** The `nprobe` nearest cell ids, best first. Struct sort is ascending
+    * (cos, then ncid); reversed that is cos desc with ties to the LOWER
+    * cid — the same tie rule as [[ivfCellOf]], whose result is always
+    * element 1 of this list. */
+  def ivfCellsOf(v: Column, nrm: Column, centroids: Seq[(Int, Seq[Double])],
+                 nprobe: Int): Column = {
+    require(centroids.nonEmpty, "ivfCellsOf needs at least one centroid")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val best = slice(reverse(array_sort(cellScores(v, nrm, centroids))), 1, nprobe)
+    transform(best, s => (-s.getField("ncid")).cast("long"))
   }
 
   /** Train IVF centroids with Spark ML k-means (seeded → deterministic
@@ -121,25 +138,36 @@ object Similarity {
     val feats = emb.select(array_to_vector(col("v")).as("features"))
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
       .fit(feats)
-    model.clusterCenters.zipWithIndex
+    val centers = model.clusterCenters.zipWithIndex
       .map { case (c, i) => i -> c.toArray.toSeq }.toSeq
+    if (centers.size < k)
+      logWarning(
+        s"k-means returned ${centers.size} < k=$k centers (degenerate data); " +
+        "IVF recall tuning assumes k distinct cells")
+    centers
   }
 
   /** IVF-style approximate NN (the data-adaptive sibling of
     * [[lshBucketTopK]]): assign every vector to an inverted-file cell
     * (nearest centroid), then search only within the query's cell
-    * (nprobe = 1). Pair generation is a hash-join on the cell id —
+    * (nprobe = 1). Queries additionally probe their `nprobe` nearest
+    * cells — the recall knob (nprobe = #cells ⇒ exact search); the probe
+    * explode multiplies only the QUERY side, the corpus is still scanned
+    * and shuffled once. Pair generation is a hash-join on the cell id —
     * identical scale path to LSH, but regions follow the data rather
     * than random hyperplanes. `centroids` are caller-supplied: a
     * production index trains them with k-means; the assign/partition/
     * search plumbing here is unchanged by how they were produced. */
-  def ivfTopK(emb: DataFrame, centroids: Seq[(Int, Seq[Double])], k: Int): DataFrame = {
+  def ivfTopK(emb: DataFrame, centroids: Seq[(Int, Seq[Double])], k: Int,
+              nprobe: Int = 1): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
-    val celled = withNorm(emb).select(col("vec_id"), col("v"), col("nrm"),
-                                      ivfCellOf(col("v"), col("nrm"), centroids).as("cell"))
-    val a = celled.select(col("vec_id").as("query_id"), col("v").as("qv"),
-                          col("nrm").as("qn"), col("cell"))
-    val b = celled.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"), col("cell"))
+    require(centroids.nonEmpty, "ivfTopK needs at least one centroid")
+    val normed = withNorm(emb)
+    val a = normed.select(
+        col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(ivfCellsOf(col("v"), col("nrm"), centroids, nprobe)).as("cell"))
+    val b = normed.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"),
+                          ivfCellOf(col("v"), col("nrm"), centroids).as("cell"))
     val pairs = a.join(b, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("cell"),

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 /** Deduplication + text-analysis operators for training-data pipelines.
   *
   * Everything here is built from codegen'd `functions._` primitives (no
-  * UDFs) and is hash-portable: MD5 is the only hash, so the DuckDB
-  * oracles compute bit-identical values.
+  * UDFs) and is hash-portable: md5 and sha256 are the only hashes, so
+  * the DuckDB oracles compute bit-identical values.
   *
   * Scale design: the only expensive step in near-dup detection is pair
   * generation. All-pairs is O(n²) and is never done; candidates come
@@ -37,17 +37,47 @@ object TextDedup {
                             element_at(col("l"), i + 1)))).as("bg"))
       .distinct()
 
-  /** MinHash signature: h_i(doc) = min over shingles of the i-th 8-hex
-    * slice of md5(shingle) — ONE digest per shingle row supplies all
+  /** MinHash signature: h_i(doc) = min over shingles of an 8-hex slice
+    * of a salted sha256 of the shingle — ONE digest per group of 8
     * hashes (the one-permutation-hashing trick: disjoint slices of a
-    * uniform digest act as independent uniform hashes). Lexicographic
-    * min over hex is a valid minhash and identical in any engine with
-    * binary collation; 4× fewer md5 evaluations than hashing per-i. */
+    * uniform digest act as independent uniform hashes), so 16 hashes
+    * cost 2 digest evaluations per shingle, not 16. Group 0 is the
+    * unsalted digest; group g > 0 salts with the group index
+    * (`sha256(g || shingle)`), which any engine reproduces — the salt
+    * lifts the old 4-hash md5 cap without losing oracle portability.
+    * Lexicographic min over hex is a valid minhash and identical in any
+    * engine with binary collation. The digests are materialized in a
+    * projection BEFORE the aggregate so each is computed once per
+    * shingle row, not once per slice. */
   def minhashSignature(shingles: DataFrame, nHashes: Int): DataFrame = {
-    require(nHashes * 8 <= 32, s"md5 supplies at most 4 8-hex slices, got $nHashes")
-    val digest = md5(col("bg"))
-    val hs = Seq.tabulate(nHashes)(i => min(substring(digest, i * 8 + 1, 8)).as(s"h$i"))
-    shingles.groupBy(col("id")).agg(hs.head, hs.tail: _*)
+    require(nHashes >= 1, s"need at least one hash, got $nHashes")
+    val nGroups = (nHashes + 7) / 8
+    val digests = Seq.tabulate(nGroups) { g =>
+      val in = if (g == 0) col("bg") else concat(lit(g.toString), col("bg"))
+      sha2(in, 256).as(s"d$g")
+    }
+    val projected = shingles.select(col("id") +: digests: _*)
+    val hs = Seq.tabulate(nHashes)(i =>
+      min(substring(col(s"d${i / 8}"), (i % 8) * 8 + 1, 8)).as(s"h$i"))
+    projected.groupBy(col("id")).agg(hs.head, hs.tail: _*)
+  }
+
+  /** Skew guard for candidate generation: drop shingles present in more
+    * than `maxDocFrac` of the documents BEFORE signatures. Web-scale
+    * boilerplate (shared headers/footers) otherwise lands whole corpora
+    * in one band bucket and the band self-join goes O(bucket²); a
+    * shingle carried by >10% of documents has no discriminating power
+    * for near-dup detection anyway. One extra groupBy on the shingle
+    * key; the frequent set is tiny by construction, so the removal is a
+    * broadcast anti-join. Prune feeds SIGNATURES only — exact Jaccard
+    * confirmation still uses the full shingle sets. */
+  def pruneFrequentShingles(shingles: DataFrame, maxDocFrac: Double): DataFrame = {
+    val nDocs = shingles.agg(countDistinct(col("id")).as("n_docs"))
+    val frequent = shingles.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > col("n_docs") * maxDocFrac)
+      .select(col("bg"))
+    shingles.join(broadcast(frequent), Seq("bg"), "left_anti")
   }
 
   /** LSH bands: one row per (doc, band-hash); docs sharing any band are
@@ -110,7 +140,7 @@ object TextDedup {
     * anti-join for singletons was tried and MEASURED 2.5× slower here:
     * it roots the whole loop's lineage in the near-dup pipeline
     * instead of a plain scan, and the saved rows are not the cost.) */
-  def dupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def dupClusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
       .distinct().cache()
@@ -118,26 +148,44 @@ object TextDedup {
     var labels = cached
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("cluster").as("nc")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("nc")).as("nbr_min"))
-        .withColumnRenamed("src", "doc_id")
-      // carry the previous label through the same pass: change
-      // detection is then a filter on the cached round result instead
-      // of a second join against the old labels
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("cluster").as("prev"),
-                least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-        .cache()
-      changed = next.filter(col("cluster") =!= col("prev")).count()
+    try {
+      while (changed > 0 && rounds < maxRounds) {
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("dst"), col("cluster").as("nc")), Seq("dst"))
+          .groupBy(col("src")).agg(min(col("nc")).as("nbr_min"))
+          .withColumnRenamed("src", "doc_id")
+        // carry the previous label through the same pass: change
+        // detection is then a filter on the cached round result instead
+        // of a second join against the old labels
+        val joined = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("cluster").as("prev"),
+                  least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        // cache bounds recompute but not logical-plan growth: cut the
+        // lineage every 5 rounds so deep-diameter graphs don't nest 50
+        // joins in one plan (analyzer cost grows superlinearly with depth)
+        val next = if (rounds % 5 == 4) joined.localCheckpoint() else joined.cache()
+        changed = next.filter(col("cluster") =!= col("prev")).count() // materializes next
+        cached.unpersist()
+        cached = next
+        labels = next.select(col("doc_id"), col("cluster"))
+        rounds += 1
+      }
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"dupClusters did not converge after $maxRounds rounds ($changed labels still " +
+          "changing): a duplicate component has diameter > maxRounds; raise maxRounds")
+      // eager localCheckpoint materializes the result OUTSIDE the round
+      // cache, so the per-call cache entries can be released (in the
+      // finally, which also covers the non-convergence throw) instead of
+      // leaking in the CacheManager until session end; checkpoint blocks
+      // are cleaned by the ContextCleaner once the frame is unreferenced
+      labels
+        .withColumn("is_keeper", (col("doc_id") === col("cluster")).cast("long"))
+        .localCheckpoint()
+    } finally {
       cached.unpersist()
-      cached = next
-      labels = next.select(col("doc_id"), col("cluster"))
-      rounds += 1
+      edges.unpersist()
     }
-    edges.unpersist()
-    labels.withColumn("is_keeper", (col("doc_id") === col("cluster")).cast("long"))
   }
 
   /** 16-bit SimHash from token frequencies: bit j of a token is the

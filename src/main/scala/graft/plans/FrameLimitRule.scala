@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
-  Attribute, Explode, Expression, Least, LessThan, LessThanOrEqual, Literal, Sequence}
+  Attribute, Explode, Expression, If, IsNull, Least, LessThan, LessThanOrEqual,
+  Literal, Sequence}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.LongType
@@ -42,13 +43,25 @@ object FrameLimitRule extends Rule[LogicalPlan] {
   /** Fixpoint guard: stop once the sequence is already capped by a
     * literal at least as tight — the optimizer re-runs the batch until
     * the plan stops changing, and an unconditional wrap would add a
-    * nested least() every iteration. */
+    * nested least() every iteration. Sees through the null-preserving
+    * If(IsNull(stop), null, least(...)) wrapper this rule emits. */
   private def alreadyBounded(stop: Expression, k: Long): Boolean = stop match {
+    case If(_, _, inner) => alreadyBounded(inner, k)
     case Least(children) => children.exists {
       case Literal(v: Long, LongType) => v <= k - 1
       case _                          => false
     }
     case _ => false
+  }
+
+  /** `least(stop, k-1)`, but null-preserving: Least SKIPS nulls, so on a
+    * nullable stop a bare least() would turn a NULL bound (explode of
+    * null sequence = zero rows) into k-1 and fabricate rows. Gate with
+    * IsNull so a null bound still yields a null sequence. */
+  private def cappedStop(stop: Expression, k: Long): Expression = {
+    val capped = Least(Seq(stop, Literal(k - 1, LongType)))
+    if (stop.nullable) If(IsNull(stop), Literal(null, LongType), capped)
+    else capped
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
@@ -58,7 +71,7 @@ object FrameLimitRule extends Rule[LogicalPlan] {
           val rewritten = e.transform {
             case seq @ Sequence(Literal(0L, LongType), stop, None, _)
                 if !alreadyBounded(stop, k) =>
-              seq.copy(stop = Least(Seq(stop, Literal(k - 1, LongType))))
+              seq.copy(stop = cappedStop(stop, k))
           }.asInstanceOf[Explode]
           if (rewritten fastEquals e) f
           else f.copy(child = g.copy(generator = rewritten))

@@ -93,15 +93,17 @@ object EmbeddingQueries {
       |WHERE ${cosSql("a.v", "b.v")} >= 0.25""".stripMargin
 
   /** q65 — IVF-style ANN: 32-cell coarse quantizer (the first 32
-    * corpus vectors as deterministic centroids), nprobe=1, per-query
+    * corpus vectors as deterministic centroids), nprobe=2, per-query
     * top-3. The data-adaptive counterpart of q60's LSH buckets; cell
-    * count is the recall/cost knob (like LSH plane count) — candidate
-    * list length scales as n/cells. */
+    * count and nprobe are the recall/cost knobs (like LSH plane count) —
+    * candidate list length scales as nprobe·n/cells. `cell` in the
+    * output is the MATCHED cell: the neighbor's home cell, which is one
+    * of the query's two probed cells. */
   private def q65(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val cents = e.filter(col("vec_id") < 32).orderBy("vec_id")
       .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
-    Similarity.ivfTopK(e, cents, 3)
+    Similarity.ivfTopK(e, cents, 3, nprobe = 2)
       .select(col("query_id"), col("neighbor_id"), col("cell"), col("cos"),
               col("rn").cast("long").as("rn"))
   }
@@ -112,15 +114,16 @@ object EmbeddingQueries {
       |scored AS (
       |  SELECT e.vec_id, e.v, p.pid, ${cosSql("e.v", "p.pv")} AS cs
       |  FROM e CROSS JOIN p),
-      |cells AS (
-      |  SELECT vec_id, v, pid AS cell FROM (
+      |probed AS (
+      |  SELECT vec_id, v, pid AS cell, arn FROM (
       |    SELECT vec_id, v, pid,
       |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, pid) AS arn
-      |    FROM scored) x WHERE arn = 1),
+      |    FROM scored) x WHERE arn <= 2),
       |pairs AS (
       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.cell,
       |         ${cosSql("a.v", "b.v")} AS cos
-      |  FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.vec_id),
+      |  FROM probed a JOIN probed b
+      |    ON a.cell = b.cell AND b.arn = 1 AND b.vec_id <> a.vec_id),
       |ranked AS (
       |  SELECT query_id, neighbor_id, cell, cos,
       |         row_number() OVER (PARTITION BY query_id

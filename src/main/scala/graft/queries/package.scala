@@ -48,4 +48,11 @@ package object queries {
     * truncates to micros on read but DuckDB preserves — raw `ts` values
     * must never be emitted by an oracle-checked query. */
   def toSecond(c: Column): Column = date_trunc("second", c)
+
+  /** Idempotent cache: repeated pipeline invocations produce the same
+    * canonicalized plan, and calling `.cache()` on it again makes the
+    * CacheManager log "already cached" warnings. `storageLevel` is the
+    * public probe for an existing entry. */
+  def cacheOnce(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache() else df
 }

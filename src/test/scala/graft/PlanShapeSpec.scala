@@ -118,8 +118,21 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("LSH near-dup pair generation joins on the band key") {
-    val p = planOf("q56_lsh_near_dup")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-           s"pair generation must be a keyed join:\n$p")
+    val df: DataFrame = SparkEntry.queries("q56_lsh_near_dup")(spark, dir)
+    // sparkPlan, not executedPlan: AQE's wrapper node hides its subtree
+    // from collect(), and plan SHAPE (not runtime re-planning) is what
+    // is under test here
+    val plan = df.queryExecution.sparkPlan
+    assert(!plan.toString.contains("CartesianProduct"),
+           s"pair generation must be a keyed join:\n$plan")
+    // a nested-loop join is acceptable ONLY as the scalar-subquery shape
+    // (the skew guard's 1-row doc-count side); a BNLJ over an unbounded
+    // scan would be the quadratic pair blowup this test exists to catch
+    val nlj = plan.collect { case b: BroadcastNestedLoopJoinExec => b }
+    nlj.foreach { b =>
+      val build = if (b.buildSide == BuildLeft) b.left else b.right
+      assert(unboundedScans(build).isEmpty,
+             s"nested-loop join over unbounded side:\n$b")
+    }
   }
 }

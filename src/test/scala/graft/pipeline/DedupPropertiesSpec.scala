@@ -47,6 +47,29 @@ object DedupPropertiesSpec extends Properties("graft.dedup") {
       sigsMatch && dupsFound && range
     }
 
+  property("frequent-shingle prune bounds boilerplate candidate blowup") =
+    Prop.forAll(Gen.choose(40, 60)) { n =>
+      import spark.implicits._
+      // every doc shares the same boilerplate sentence, plus unique
+      // content: unpruned, the boilerplate bigrams dominate most minhash
+      // slices and band buckets go quadratic in n; pruned (df > 10%), no
+      // doc pair shares ANY remaining bigram, so candidates vanish. The
+      // corpus is deterministic per n (md5 is fixed), so no flake.
+      val boiler = "terms of service apply to all content on this site"
+      val docs = (0 until n).map { i =>
+        (i.toLong, s"$boiler unique$i content$i words$i body$i text$i")
+      }.toDF("doc_id", "text")
+      val sh = TextDedup.bigramShingles(docs, "doc_id", "text")
+      val unpruned = TextDedup.candidatePairs(
+        TextDedup.lshBands(TextDedup.minhashSignature(sh, 16), 16, 2)).count()
+      val pruned = TextDedup.candidatePairs(
+        TextDedup.lshBands(
+          TextDedup.minhashSignature(
+            TextDedup.pruneFrequentShingles(sh, 0.1), 16), 16, 2)).count()
+      // super-linear blowup without the guard; zero candidates with it
+      unpruned >= n.toLong && pruned == 0L
+    }
+
   property("simhash is word-order invariant") =
     Prop.forAll(doc) { text =>
       import spark.implicits._
