@@ -37,7 +37,9 @@ object RequestParser {
         fromIndex = strOpt(r, "fromIndex").get,
         toData = strOpt(r, "toData").get,
         toIndex = strOpt(r, "toIndex").get,
-        grain = strOpt(r, "dataSetGranularity"),
+        // the reference's pydantic default is grain "D" (app.py:39-43):
+        // a request without dataSetGranularity still daily-buckets
+        grain = strOpt(r, "dataSetGranularity").orElse(Some("D")),
         aggregation = strOpt(r, "dataAggregationType").getOrElse("sum"),
         unitsToForecast = strOpt(r, "unitsToForecast").map(_.toDouble.toInt),
         changePointPriorScale = strOpt(r, "ChangePointPriorScale").map(_.toDouble).getOrElse(0.8),

@@ -1,0 +1,109 @@
+package graft.forecast
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.SparkTestSession
+import graft.api.{AnalyzePipeline, RequestParser}
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** SURVEY §5 golden parity on the reference's OWN fixture requests.
+  *
+  * Prophet itself cannot run in this container (no scipy/cmdstan) and the
+  * reference ships no stored forecasts, so the goldens are produced by an
+  * INDEPENDENT implementation of the same documented MAP model
+  * (`tools/golden_gen.py`: numpy normal equations, separate date/bucket
+  * code) over `/root/reference/example-timestamp.json` and
+  * `/root/reference/electricity_demand.json`. Two implementations of one
+  * spec agreeing to 1e-6 of the series scale pins the fitter end-to-end:
+  * date parsing, bucketing, A5 horizons, splice/alignment joins, design
+  * matrix, priors, and the solve.
+  *
+  * Tolerance: |Δyhat| ≤ 1e-6 · max(1, max|y|) per series — float-solver
+  * slack only; any modeling drift (a changed basis, prior, or scaling)
+  * fails by orders of magnitude.
+  */
+class GoldenParitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val mapper = new ObjectMapper()
+
+  private def readFile(p: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+
+  private def golden(name: String): JsonNode = {
+    val in = getClass.getResourceAsStream(s"/golden/$name.json")
+    require(in != null, s"golden resource $name missing — run tools/golden_gen.py")
+    try mapper.readTree(in) finally in.close()
+  }
+
+  /** (series, epochSec) -> (yhat, trend) from a forecast frame. */
+  private def collectFrame(df: org.apache.spark.sql.DataFrame)
+      : Map[(String, Long), (Double, Double)] =
+    df.select("series", "ds", "yhat", "trend").collect().map { r =>
+      (r.getString(0), r.getTimestamp(1).getTime / 1000L) ->
+        (r.getDouble(2), r.getDouble(3))
+    }.toMap
+
+  private def assertParity(fixtureJson: String, goldenName: String): Unit = {
+    val g = golden(goldenName)
+    val parsed = RequestParser.parse(spark, fixtureJson)
+    // uncertaintySamples only shapes the interval columns, which the
+    // goldens deliberately exclude (seeded JVM RNG ≠ numpy RNG)
+    val result = AnalyzePipeline.analyze(
+      parsed.documents, parsed.correlations.map(_.copy(uncertaintySamples = 20)))
+    val tgt = collectFrame(result.targetForecasts)
+    val cov = collectFrame(result.covariateForecasts)
+    val coefs = result.regressorCoefficients.collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4))).toMap
+
+    for (id <- g.fieldNames().asScala) {
+      val gc = g.get(id)
+      val tol = 1e-6 * math.max(1.0, gc.get("y_abs_max").asDouble)
+      def check(frame: Map[(String, Long), (Double, Double)],
+                rows: JsonNode, what: String): Unit = {
+        val expected = rows.elements().asScala.map { r =>
+          (r.get(0).asDouble.toLong, (r.get(1).asDouble, r.get(2).asDouble))
+        }.toMap
+        val got = frame.collect { case ((s, t), v) if s == id => t -> v }
+        assert(got.keySet == expected.keySet,
+               s"$id/$what ds mismatch: ${(got.keySet diff expected.keySet).take(3)} " +
+               s"extra, ${(expected.keySet diff got.keySet).take(3)} missing")
+        for ((t, (eYhat, eTrend)) <- expected) {
+          val (aYhat, aTrend) = got(t)
+          assert(math.abs(aYhat - eYhat) <= tol,
+                 s"$id/$what yhat@$t: $aYhat vs golden $eYhat (tol $tol)")
+          assert(math.abs(aTrend - eTrend) <= tol,
+                 s"$id/$what trend@$t: $aTrend vs golden $eTrend (tol $tol)")
+        }
+      }
+      check(tgt, gc.get("target"), "target")
+      check(cov, gc.get("covariate"), "covariate")
+      val (center, coef) = coefs(id)
+      assert(math.abs(coef - gc.get("coef").asDouble) <= tol,
+             s"$id coef: $coef vs ${gc.get("coef").asDouble}")
+      assert(math.abs(center - gc.get("coef_center").asDouble) <= 1e-6 *
+               math.max(1.0, math.abs(gc.get("coef_center").asDouble)),
+             s"$id coef center: $center vs ${gc.get("coef_center").asDouble}")
+    }
+  }
+
+  test("example-timestamp fixture: target+covariate forecasts match the " +
+       "independent golden fitter") {
+    assertParity(readFile("/root/reference/example-timestamp.json"),
+                 "example_timestamp")
+  }
+
+  test("electricity-demand fixture: grain defaults to D, forecasts match " +
+       "the independent golden fitter") {
+    // the fixture stores documents at the top level (the notebook wraps
+    // them before POSTing, Untitled.ipynb cell 16); mirror that wrap
+    val root = mapper.readTree(readFile("/root/reference/electricity_demand.json"))
+    val wrapped = mapper.createObjectNode()
+    val docs = mapper.createObjectNode()
+    root.fieldNames().asScala.foreach { k =>
+      if (k == "analyticsOptions") wrapped.set[JsonNode](k, root.get(k))
+      else docs.set[JsonNode](k, root.get(k))
+    }
+    wrapped.set[JsonNode]("documents", docs)
+    assertParity(mapper.writeValueAsString(wrapped), "electricity_demand")
+  }
+}
