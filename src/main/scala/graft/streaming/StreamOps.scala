@@ -12,37 +12,62 @@ import org.apache.spark.sql.functions._
   * `window(ds, grain)` whose `window.start` equals the batch
   * `TimeOps.bucket` period-start for every fixed-width grain, so the
   * same downstream operators (splice, diagnostics input, forecasting
-  * history) accept either. Calendar months are not fixed-width; month
-  * grain stays batch-only (documented divergence).
+  * history) accept either. Calendar months are not fixed-width, so they
+  * can't be a `window()` — but the month START is a deterministic
+  * event-time function, so month grain groups directly on
+  * `date_trunc('month', ds)` with the watermark on the derived column.
   */
 object StreamOps {
 
-  /** Grain → window duration for fixed-width grains. */
+  /** Grain → window duration for fixed-width grains. Month has no fixed
+    * duration — [[streamingGroupByTime]] handles it by grouping on the
+    * derived month start instead of a window. */
   def windowDuration(grain: String): String = TimeOps.normalizeGrain(grain) match {
     case "D" => "1 day"
     case "W" => "7 days"
     case "H" => "1 hour"
     case "m" => "1 minute"
     case "M" => throw new IllegalArgumentException(
-      "month grain is calendar-based; not supported in streaming mode")
+      "month grain is calendar-based, not a fixed window; " +
+      "streamingGroupByTime(\"M\") groups on date_trunc('month', ds)")
   }
 
   /** Streaming T3+A1: watermarked tumbling-window aggregation, one
     * result row per (series, bucket) on window close. Late data within
-    * the watermark updates the bucket exactly like the batch dedupe. */
+    * the watermark updates the bucket exactly like the batch dedupe.
+    *
+    * Month grain: grouped on `date_trunc('month', ds)` with the
+    * watermark moved to the DERIVED column. Because every event in a
+    * month carries the same month-start event time, lateness is measured
+    * between month starts — a bucket only falls behind the watermark
+    * once events from a LATER month have advanced it, so the given
+    * delay should budget intra-month spread (≥ ~31 days + intended
+    * lateness; the 62-day default allows a full trailing month). */
   def streamingGroupByTime(stream: DataFrame, grain: String, agg: String,
                            seriesCols: Seq[String] = Nil,
-                           watermark: String = "1 day"): DataFrame = {
-    val w = TimeOps.normalizeGrain(grain) match {
-      case "W" => weekAlignedWindow("ds") // Monday-aligned, matches date_trunc('week')
-      case _   => window(col("ds"), windowDuration(grain))
+                           watermark: String = "1 day",
+                           monthWatermark: String = "62 days"): DataFrame = {
+    TimeOps.normalizeGrain(grain) match {
+      case "M" =>
+        val keys = seriesCols.map(col) :+ col("month_start")
+        stream
+          .withColumn("month_start", date_trunc("month", col("ds")))
+          .withWatermark("month_start", monthWatermark)
+          .groupBy(keys: _*)
+          .agg(Aggregations.aggExpr(agg, col("y")).as("y"))
+          .select(seriesCols.map(col) ++
+            Seq(col("month_start").as("ds"), col("y")): _*)
+      case g =>
+        val w =
+          if (g == "W") weekAlignedWindow("ds") // Monday-aligned, matches date_trunc('week')
+          else window(col("ds"), windowDuration(g))
+        val keys = seriesCols.map(col) :+ w.as("w")
+        stream
+          .withWatermark("ds", watermark)
+          .groupBy(keys: _*)
+          .agg(Aggregations.aggExpr(agg, col("y")).as("y"))
+          .select(seriesCols.map(col) ++ Seq(col("w.start").as("ds"), col("y")): _*)
     }
-    val keys = seriesCols.map(col) :+ w.as("w")
-    stream
-      .withWatermark("ds", watermark)
-      .groupBy(keys: _*)
-      .agg(Aggregations.aggExpr(agg, col("y")).as("y"))
-      .select(seriesCols.map(col) ++ Seq(col("w.start").as("ds"), col("y")): _*)
   }
 
   /** ISO-week alignment: Spark's `window` epochs start on Thursday

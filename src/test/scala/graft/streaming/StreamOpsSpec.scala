@@ -45,8 +45,36 @@ class StreamOpsSpec extends AnyFunSuite {
   test("daily windows match batch bucketing") { runParity("D") }
   test("weekly windows are Monday-aligned like date_trunc") { runParity("W") }
 
-  test("month grain is rejected in streaming mode (calendar-width)") {
+  test("month grain has no fixed window duration") {
     intercept[IllegalArgumentException] { StreamOps.windowDuration("M") }
+  }
+
+  test("month grain matches batch bucketing (derived event-time grouping)") {
+    // ~4 calendar months of data, including month-length variation
+    // (Feb 29 2024) — months can't be a fixed window() but group on
+    // date_trunc('month', ds) with the watermark on the derived column
+    val base = java.sql.Timestamp.valueOf("2024-01-05 00:00:00").getTime
+    val rnd = new scala.util.Random(13)
+    val data = (0 until 400).map { i =>
+      ("s" + (i % 3), new java.sql.Timestamp(base + rnd.nextInt(110 * 86400) * 1000L),
+       rnd.nextInt(100).toDouble)
+    }
+    val batch = data.toDF("series", "ds", "y")
+    val expected = Aggregations.groupByTime(batch, Some("M"), "sum", Seq("series"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSet
+
+    val dir = Files.createTempDirectory("graft-stream-month").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val agg = StreamOps.streamingGroupByTime(stream, "M", "sum", Seq("series"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("parity_month").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("parity_month").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSet
+      assert(got == expected, s"month grain: stream != batch")
+    } finally q.stop()
   }
 
   test("sliding windows: stream equals batch window() on the same data") {
