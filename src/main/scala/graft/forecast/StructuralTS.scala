@@ -11,8 +11,9 @@ import scala.util.Random
   *   - a piecewise-linear trend basis: intercept, slope, and one hinge
   *     `(t − s_j)₊` per changepoint, changepoints evenly spaced over the
   *     first `changepointRange` of history;
-  *   - Fourier seasonal bases (weekly order 3, yearly order 10 — Prophet
-  *     defaults) on absolute day-of-epoch time;
+  *   - Fourier seasonal bases (weekly order 3, yearly order 10, daily
+  *     order 4 for sub-daily data — Prophet defaults) on absolute
+  *     day-of-epoch time;
   *   - optional standardized extra regressors (`add_regressor`,
   *     `app.py:171-178`).
   *
@@ -39,6 +40,7 @@ object StructuralTS {
       seasonalityPriorScale: Double = 10.0,
       weeklyOrder: Int = 3,
       yearlyOrder: Int = 10,
+      dailyOrder: Int = 4,
       intervalWidth: Double = 0.8,            // Prophet default
       uncertaintySamples: Int = 1000,         // reference default (app.py:125)
       floor: Double = 0.0,
@@ -59,7 +61,7 @@ object StructuralTS {
                    beta: Array[Double],                // coefficients on scaled target
                    xMean: Double, xStd: Double,        // regressor standardization
                    sigmaObs: Double,                   // residual std (scaled space)
-                   weeklyOn: Boolean, yearlyOn: Boolean,
+                   weeklyOn: Boolean, yearlyOn: Boolean, dailyOn: Boolean,
                    deltaMeanAbs: Double)               // mean |changepoint delta| for simulation
 
   case class Prediction(yhat: Double, yhatLower: Double, yhatUpper: Double,
@@ -87,12 +89,14 @@ object StructuralTS {
 
   /** Feature vector layout:
     * [0] intercept, [1] slope(tScaled), [2..2+J) hinges,
-    * then weekly sin/cos pairs, yearly sin/cos pairs, then regressor. */
+    * then weekly sin/cos pairs, yearly pairs, daily pairs, then
+    * regressor. */
   private def features(tSec: Double, m: Model): Array[Double] = {
     val spec = m.spec
     val j = m.changepointsTs.length
     val nSeas = (if (m.weeklyOn) 2 * spec.weeklyOrder else 0) +
-                (if (m.yearlyOn) 2 * spec.yearlyOrder else 0)
+                (if (m.yearlyOn) 2 * spec.yearlyOrder else 0) +
+                (if (m.dailyOn) 2 * spec.dailyOrder else 0)
     val p = 2 + j + nSeas + (if (spec.hasRegressor) 1 else 0)
     val out = new Array[Double](p)
     val ts = (tSec - m.t0) / m.tScaleSec
@@ -122,6 +126,14 @@ object StructuralTS {
         o += 2; k += 1
       }
     }
+    if (m.dailyOn) {
+      var k = 1
+      while (k <= spec.dailyOrder) {
+        val ang = 2 * math.Pi * k * day // period 1 day
+        out(o) = math.sin(ang); out(o + 1) = math.cos(ang)
+        o += 2; k += 1
+      }
+    }
     out
     // regressor slot (last) is filled by the caller when present
   }
@@ -138,9 +150,11 @@ object StructuralTS {
     val spanDays = (tSec.last - t0) / DaySeconds
     val minGapSec = tSec.sliding(2).map(p => p(1) - p(0)).min
     // Prophet auto-seasonality rules: weekly if span >= 2 weeks and
-    // spacing < 1 week; yearly if span >= 2 years
+    // spacing < 1 week; yearly if span >= 2 years; daily if span >= 2
+    // days and the data is sub-daily
     val weeklyOn = spanDays >= 14 && minGapSec < 7 * DaySeconds && spec.weeklyOrder > 0
     val yearlyOn = spanDays >= 730 && spec.yearlyOrder > 0
+    val dailyOn = spanDays >= 2 && minGapSec < DaySeconds && spec.dailyOrder > 0
 
     val z = yRaw.map(transformY(_, spec))
     // Prophet scales y by max |y| (after transform we just standardize)
@@ -168,7 +182,7 @@ object StructuralTS {
     }
 
     val preModel = Model(spec, t0, tScale, yOffset, yScale, cps, Array.empty,
-                         xMean, xStd, 0.0, weeklyOn, yearlyOn, 0.0)
+                         xMean, xStd, 0.0, weeklyOn, yearlyOn, dailyOn, 0.0)
     val rows = Array.tabulate(n) { i =>
       val f = features(tSec(i), preModel)
       xReg.foreach(xs => f(f.length - 1) = (xs(i) - xMean) / xStd)
@@ -176,7 +190,8 @@ object StructuralTS {
     }
     val p = rows(0).length
     val nSeas = (if (weeklyOn) 2 * spec.weeklyOrder else 0) +
-                (if (yearlyOn) 2 * spec.yearlyOrder else 0)
+                (if (yearlyOn) 2 * spec.yearlyOrder else 0) +
+                (if (dailyOn) 2 * spec.dailyOrder else 0)
     val lambda = new Array[Double](p)
     lambda(0) = 1e-8; lambda(1) = 1e-8
     var i = 0

@@ -170,8 +170,8 @@ class ApiSpec extends AnyFunSuite {
       .map(_.getAs[java.sql.Timestamp]("ds"))
     assert(hist.min.toString.startsWith("2015-01-01"))
     assert(hist.max.toString.startsWith("2015-01-20"))
-    // daily (24h) seasonality is NOT fitted (weekly/yearly only), but the
-    // hourly forecast should stay in a sane demand band
+    // daily (24h) seasonality auto-enables on hourly data, so the
+    // forecast tracks the demand cycle and stays in the demand band
     val fut = fc.filter(r => r.getAs[String]("segment") == "future" &&
                              r.getString(0) == "x1").map(_.getAs[Double]("yhat"))
     assert(fut.forall(v => v > 800 && v < 1100), s"${fut.min}..${fut.max}")

@@ -52,6 +52,30 @@ class ForecasterSpec extends AnyFunSuite {
     assert(addRange.max - addRange.min > 8.0)
   }
 
+  test("daily seasonality recovery on hourly data (Prophet auto-daily)") {
+    // 14 days hourly with a clean 24h cycle; Prophet auto-enables daily
+    // seasonality for sub-daily data — the next-day forecast must track
+    // the cycle, not flatten to its mean
+    val hour = 3600000L
+    val hist = (0 until 14 * 24)
+      .map(i => ("s1", new Timestamp(base + i.toLong * hour),
+                 100.0 + 20.0 * math.sin(2 * math.Pi * (i % 24) / 24.0)))
+      .toDF("series", "ds", "y")
+    val fut = Forecaster.futureGrid(hist, "H", 24)
+    val out = Forecaster.forecast(hist, fut, StructuralTS.FitSpec(uncertaintySamples = 30))
+    val futRows = out.filter(col("segment") === "future").orderBy("ds").collect()
+    assert(futRows.length == 24)
+    futRows.zipWithIndex.foreach { case (r, k) =>
+      val i = 14 * 24 + k
+      val expect = 100.0 + 20.0 * math.sin(2 * math.Pi * (i % 24) / 24.0)
+      assert(math.abs(r.getAs[Double]("yhat") - expect) < 3.0,
+        s"hour $i: ${r.getAs[Double]("yhat")} vs $expect")
+    }
+    // the cycle lives in the additive (seasonal) component
+    val add = futRows.map(_.getAs[Double]("additive_terms"))
+    assert(add.max - add.min > 30.0, s"daily cycle amplitude ${add.max - add.min}")
+  }
+
   test("logistic growth respects floor and cap everywhere") {
     val cap = 100.0
     val hist = mkDaily(80, i => cap / (1 + math.exp(-(i - 40) / 8.0)) + 0.5)

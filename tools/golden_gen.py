@@ -80,12 +80,12 @@ def extract_series(doc_records, path, grain, agg):
 # ---------------------------------------------------------------- fitting
 # Mirrors StructuralTS.fit/predict (linear growth path) exactly.
 
-WEEKLY_ORDER, YEARLY_ORDER = 3, 10
+WEEKLY_ORDER, YEARLY_ORDER, DAILY_ORDER = 3, 10, 4
 SEAS_PRIOR, REG_PRIOR = 10.0, 10.0
 N_CHANGEPOINTS, CP_RANGE = 25, 0.8
 
 
-def design(t, t0, t_scale, cps, weekly, yearly, x_std=None):
+def design(t, t0, t_scale, cps, weekly, yearly, daily, x_std=None):
     ts = (t - t0) / t_scale
     cols = [np.ones_like(ts), ts]
     for c in cps:
@@ -100,6 +100,10 @@ def design(t, t0, t_scale, cps, weekly, yearly, x_std=None):
         for k in range(1, YEARLY_ORDER + 1):
             ang = 2 * np.pi * k * day / 365.25
             cols += [np.sin(ang), np.cos(ang)]
+    if daily:
+        for k in range(1, DAILY_ORDER + 1):
+            ang = 2 * np.pi * k * day
+            cols += [np.sin(ang), np.cos(ang)]
     if x_std is not None:
         cols.append(x_std)
     return np.column_stack(cols)
@@ -112,6 +116,7 @@ def fit(t, y, x=None, cp_prior=0.8):
     min_gap = np.diff(t).min()
     weekly = span_days >= 14 and min_gap < 7 * DAY
     yearly = span_days >= 730
+    daily = span_days >= 2 and min_gap < DAY
 
     y_scale = np.abs(y).max() or 1.0
     z = y / y_scale
@@ -131,8 +136,10 @@ def fit(t, y, x=None, cp_prior=0.8):
     else:
         x_mean, x_sd, xs = 0.0, 1.0, None
 
-    X = design(t, t0, t_scale, cps, weekly, yearly, xs)
-    n_seas = (2 * WEEKLY_ORDER if weekly else 0) + (2 * YEARLY_ORDER if yearly else 0)
+    X = design(t, t0, t_scale, cps, weekly, yearly, daily, xs)
+    n_seas = ((2 * WEEKLY_ORDER if weekly else 0) +
+              (2 * YEARLY_ORDER if yearly else 0) +
+              (2 * DAILY_ORDER if daily else 0))
     lam = np.concatenate([
         [1e-8, 1e-8],
         np.full(len(cps), 1.0 / cp_prior ** 2),
@@ -140,12 +147,14 @@ def fit(t, y, x=None, cp_prior=0.8):
         [1.0 / REG_PRIOR ** 2] if x is not None else []])
     beta = np.linalg.solve(X.T @ X + np.diag(lam), X.T @ z)
     return dict(t0=t0, t_scale=t_scale, cps=cps, beta=beta, y_scale=y_scale,
-                weekly=weekly, yearly=yearly, x_mean=x_mean, x_sd=x_sd)
+                weekly=weekly, yearly=yearly, daily=daily,
+                x_mean=x_mean, x_sd=x_sd)
 
 
 def predict(m, t, x=None):
     xs = (x - m["x_mean"]) / m["x_sd"] if x is not None else None
-    X = design(t, m["t0"], m["t_scale"], m["cps"], m["weekly"], m["yearly"], xs)
+    X = design(t, m["t0"], m["t_scale"], m["cps"], m["weekly"], m["yearly"],
+               m["daily"], xs)
     yhat = (X @ m["beta"]) * m["y_scale"]
     ts = (t - m["t0"]) / m["t_scale"]
     ncp = len(m["cps"])
