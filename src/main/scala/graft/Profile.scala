@@ -24,21 +24,29 @@ object Profile {
       r
     }
 
+    // toRdd.count materializes every column of the plan as-is —
+    // a plain count() lets the optimizer prune the very expressions
+    // under test (see Bench variance notes)
+    def force(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
+
     val docs = graft.queries.t(spark, sfDir, "documents")
     time("warmup count")(docs.count())
     val sh = TextDedup.bigramShingles(docs, "doc_id", "text")
-    time("shingles")(sh.count())
-    val sig = TextDedup.minhashSignature(sh, 4)
-    time("signatures")(sig.count())
-    val bands = TextDedup.lshBands(sig, 4, 2)
-    time("bands")(bands.count())
+    time("shingles")(force(sh))
+    val shp = TextDedup.pruneFrequentShingles(sh, 0.1)
+    time("pruned shingles")(force(shp))
+    val sig = TextDedup.minhashSignature(shp, 16)
+    time("signatures 16")(force(sig))
+    val bands = TextDedup.lshBands(sig, 16, 2)
+    time("bands x8")(force(bands))
     val pairs = TextDedup.candidatePairs(bands)
-    time("candidatePairs")(pairs.count())
+    println(s"candidates: ${time("candidatePairs")(force(pairs))}")
     val jac = TextDedup.jaccard(sh, pairs)
-    time("jaccard")(jac.count())
+    time("jaccard")(force(jac))
     time("full q56 uncached")(
       TextDedup.jaccard(sh, TextDedup.candidatePairs(
-        TextDedup.lshBands(TextDedup.minhashSignature(sh, 4), 4, 2)))
+        TextDedup.lshBands(TextDedup.minhashSignature(shp, 16), 16, 2)))
         .filter(col("jaccard") >= 0.5).count())
 
     // q65 stage timings

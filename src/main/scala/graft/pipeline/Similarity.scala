@@ -162,12 +162,22 @@ object Similarity extends org.apache.spark.internal.Logging {
               nprobe: Int = 1): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     require(centroids.nonEmpty, "ivfTopK needs at least one centroid")
-    val normed = withNorm(emb)
-    val a = normed.select(
+    // the (vec, home cell, probed cells) frame IS the inverted-file
+    // index: materialize it once (idempotent cache, MEMORY_AND_DISK —
+    // spills at scale) so the centroid scoring runs one pass instead of
+    // once per join side, the way production ANN systems persist the
+    // index rather than re-running the quantizer per probe. Home cell
+    // and probed cells are projected together so codegen's
+    // common-subexpression elimination shares the score array.
+    val celled = graft.queries.cacheOnce(withNorm(emb).select(
+      col("vec_id"), col("v"), col("nrm"),
+      ivfCellOf(col("v"), col("nrm"), centroids).as("cell"),
+      ivfCellsOf(col("v"), col("nrm"), centroids, nprobe).as("cells")))
+    val a = celled.select(
         col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
-        explode(ivfCellsOf(col("v"), col("nrm"), centroids, nprobe)).as("cell"))
-    val b = normed.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"),
-                          ivfCellOf(col("v"), col("nrm"), centroids).as("cell"))
+        explode(col("cells")).as("cell"))
+    val b = celled.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"),
+                          col("cell"))
     val pairs = a.join(b, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("cell"),
