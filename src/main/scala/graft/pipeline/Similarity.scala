@@ -67,8 +67,11 @@ object Similarity extends org.apache.spark.internal.Logging {
     * fixed set, e.g. the first few corpus vectors). */
   def lshBucketTopK(emb: DataFrame, planes: Seq[Seq[Double]], k: Int): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
-    val bucketed = withNorm(emb).select(col("vec_id"), col("v"), col("nrm"),
-                                        bucketOf(col("v"), planes).as("bucket"))
+    // the bucket assignment is the LSH index — materialize once so the
+    // plane projections run one pass, not once per join side
+    val bucketed = graft.queries.cacheOnce(
+      withNorm(emb).select(col("vec_id"), col("v"), col("nrm"),
+                           bucketOf(col("v"), planes).as("bucket")))
     val a = bucketed.select(col("vec_id").as("query_id"), col("v").as("qv"),
                             col("nrm").as("qn"), col("bucket"))
     val b = bucketed.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"), col("bucket"))
@@ -193,8 +196,10 @@ object Similarity extends org.apache.spark.internal.Logging {
     * decision downstream. */
   def nearDupPairs(emb: DataFrame, planes: Seq[Seq[Double]], minCos: Double): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
-    val bucketed = withNorm(emb).select(col("vec_id"), col("v"), col("nrm"),
-                                        bucketOf(col("v"), planes).as("bucket"))
+    // same materialized-index pattern as ivfTopK/lshBucketTopK
+    val bucketed = graft.queries.cacheOnce(
+      withNorm(emb).select(col("vec_id"), col("v"), col("nrm"),
+                           bucketOf(col("v"), planes).as("bucket")))
     val a = bucketed.select(col("vec_id").as("da"), col("v").as("va"), col("nrm").as("na"),
                             col("bucket"))
     val b = bucketed.select(col("vec_id").as("db"), col("v").as("vb"), col("nrm").as("nb"),
