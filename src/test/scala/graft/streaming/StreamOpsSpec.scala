@@ -5,6 +5,7 @@ import graft.ts.Aggregations
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
+import java.sql.Timestamp
 
 /** Batch/stream parity: the streaming windowed aggregation must produce
   * exactly the batch groupByTime result on the same data. */
@@ -74,6 +75,37 @@ class StreamOpsSpec extends AnyFunSuite {
       val got = spark.table("parity_month").collect()
         .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSet
       assert(got == expected, s"month grain: stream != batch")
+    } finally q.stop()
+  }
+
+  test("late rows within the watermark update their bucket across batches") {
+    // two micro-batches: the second delivers a LATE row for day 1 (within
+    // the 1-day watermark at that point) plus a day-3 row; the day-1
+    // bucket must absorb the late row, and the final state must equal
+    // the batch aggregation of all rows
+    val rows1 = Seq(
+      ("s1", Timestamp.valueOf("2024-03-04 10:00:00"), 10.0),
+      ("s1", Timestamp.valueOf("2024-03-05 10:00:00"), 20.0))
+    val rows2 = Seq(
+      ("s1", Timestamp.valueOf("2024-03-05 02:00:00"), 7.0),  // late for day 2's max
+      ("s1", Timestamp.valueOf("2024-03-06 01:00:00"), 30.0))
+    val all = (rows1 ++ rows2).toDF("series", "ds", "y")
+    val expected = Aggregations.groupByTime(all, Some("D"), "sum", Seq("series"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSet
+
+    val dir = Files.createTempDirectory("graft-stream-late").toString
+    rows1.toDF("series", "ds", "y").write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(all.schema).parquet(dir)
+    val agg = StreamOps.streamingGroupByTime(stream, "D", "sum", Seq("series"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("late").start()
+    try {
+      q.processAllAvailable()
+      rows2.toDF("series", "ds", "y").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.table("late").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSet
+      assert(got == expected, s"late row lost: $got vs $expected")
     } finally q.stop()
   }
 
