@@ -30,7 +30,28 @@ object RequestParser {
     def strOpt(r: org.apache.spark.sql.Row, name: String): Option[String] =
       if (fields(name) && !r.isNullAt(r.fieldIndex(name))) Some(r.getAs[Any](name).toString)
       else None
+    // schema-checked descent into optional nested structs (inference only
+    // materializes fields that appear somewhere in the request JSON)
+    def dig(start: org.apache.spark.sql.Row, path: String*): Option[String] =
+      path.foldLeft(Option[Any](start)) {
+        case (Some(row: org.apache.spark.sql.Row), name) =>
+          val i = row.schema.fieldNames.indexOf(name)
+          if (i < 0 || row.isNullAt(i)) None else Some(row.get(i))
+        case _ => None
+      }.map(_.toString)
     val correlations = corrRows.collect().toSeq.map { r =>
+      // §3.2/§3.3 saturating requests nest per-side options under
+      // `ForecastingOptions.toIndex` (app.py:263-273) with DIFFERENT
+      // pydantic defaults: growth logistic, changepoint prior 0.5,
+      // floor 0 / no ceiling, 1000 uncertainty samples. The target-side
+      // block is honored here (the pipeline fits the target); flat keys
+      // on the correlation remain accepted and win when both appear.
+      val hasFo = fields("ForecastingOptions") &&
+        !r.isNullAt(r.fieldIndex("ForecastingOptions"))
+      def fo(name: String): Option[String] =
+        if (hasFo) dig(r, "ForecastingOptions", "toIndex", name) else None
+      def foCap(name: String): Option[String] =
+        if (hasFo) dig(r, "ForecastingOptions", "toIndex", "caps", name) else None
       CorrelationSpec(
         id = strOpt(r, "id").getOrElse("c0"),
         fromData = strOpt(r, "fromData").get,
@@ -42,12 +63,16 @@ object RequestParser {
         grain = strOpt(r, "dataSetGranularity").orElse(Some("D")),
         aggregation = strOpt(r, "dataAggregationType").getOrElse("sum"),
         unitsToForecast = strOpt(r, "unitsToForecast").map(_.toDouble.toInt),
-        changePointPriorScale = strOpt(r, "ChangePointPriorScale").map(_.toDouble).getOrElse(0.8),
-        // saturating-growth options (§3.2/§3.3 ForecastingOptions,
-        // app.py:253-272), accepted flat on the correlation spec
-        growth = strOpt(r, "growth").getOrElse("linear"),
-        floor = strOpt(r, "floor").map(_.toDouble).getOrElse(0.0),
-        ceiling = strOpt(r, "ceiling").map(_.toDouble))
+        changePointPriorScale = strOpt(r, "ChangePointPriorScale")
+          .orElse(fo("changepointPriorScale")).map(_.toDouble)
+          .getOrElse(if (hasFo) 0.5 else 0.8),
+        growth = strOpt(r, "growth").orElse(fo("growth"))
+          .getOrElse(if (hasFo) "logistic" else "linear"),
+        floor = strOpt(r, "floor").orElse(foCap("floor")).map(_.toDouble)
+          .getOrElse(0.0),
+        ceiling = strOpt(r, "ceiling").orElse(foCap("ceiling")).map(_.toDouble),
+        uncertaintySamples = strOpt(r, "uncertaintySamples")
+          .orElse(fo("uncertaintySamples")).map(_.toDouble.toInt).getOrElse(1000))
     }
     ParsedRequest(documents, correlations)
   }

@@ -84,6 +84,45 @@ class ApiSpec extends AnyFunSuite {
     assert(floor <= cap && cap > 0)
   }
 
+  test("saturating request in the reference's NESTED ForecastingOptions shape") {
+    // app.py:263-301: options live under ForecastingOptions.{fromIndex,
+    // toIndex} with pydantic defaults growth=logistic, prior 0.5 — a
+    // reference user's actual §3.2 payload must not silently fall back
+    // to linear
+    val json =
+      s"""{
+         |  "documents": {"sales_order": {"description": "s",
+         |    "data": ${(1 to 28).map(d => obs(d, 100 + 5.0 * d, 1)).mkString("[", ",", "]")}}},
+         |  "analyticsOptions": {"correlations": [{
+         |    "id": "n1", "type": "prophet",
+         |    "fromData": "sales_order", "fromIndex": "data.summary.totalWithTax",
+         |    "toData": "sales_order", "toIndex": "data.summary.totalWithTax",
+         |    "unitsToForecast": 5,
+         |    "ForecastingOptions": {"toIndex": {
+         |      "uncertaintySamples": 40, "changepointPriorScale": 0.3,
+         |      "caps": {"floor": 10, "ceiling": 500}
+         |    }}
+         |  }]}
+         |}""".stripMargin
+    val c = RequestParser.parse(spark, json).correlations.head
+    assert(c.growth == "logistic", "nested shape must default growth=logistic")
+    assert(c.changePointPriorScale == 0.3)
+    assert(c.uncertaintySamples == 40)
+    assert(c.floor == 10.0 && c.ceiling.contains(500.0))
+    // absent nested fields take the saturating defaults (growth logistic,
+    // prior 0.5, floor 0, no ceiling). NOTE: at least one concrete field
+    // must appear for detection — Spark's JSON schema inference drops
+    // EMPTY structs, so a bare `"ForecastingOptions": {}` is
+    // indistinguishable from absence (a request relying on the
+    // all-defaults block sets any field, or the flat `growth` key)
+    val jsonDefaults = json
+      .replace("\"uncertaintySamples\": 40, \"changepointPriorScale\": 0.3,", "")
+      .replace("\"caps\": {\"floor\": 10, \"ceiling\": 500}", "\"uncertaintySamples\": 1000")
+    val d = RequestParser.parse(spark, jsonDefaults).correlations.head
+    assert(d.growth == "logistic" && d.changePointPriorScale == 0.5)
+    assert(d.uncertaintySamples == 1000 && d.floor == 0.0 && d.ceiling.isEmpty)
+  }
+
   test("spec validation mirrors the reference's pydantic Literals") {
     val base = CorrelationSpec(id = "x", fromData = "a", fromIndex = "v",
                                toData = "b", toIndex = "w")
