@@ -93,9 +93,17 @@ object ResponseAssembly {
   /** Build the saturating-growth response shape (`app.py:544-557`,
     * `app.py:594-607`): per correlation `{type: {model, growth,
     * bounds: {min, max}}, predictions: {historicalForecasts,
-    * futureForecasts}}` — distinct from the `/analyze` contract. */
+    * futureForecasts}}` — distinct from the `/analyze` contract.
+    * `bounds` are the TARGET series' DATE bounds
+    * (`targets.date_bounds`, `app.py:367-370` — min/max of the time
+    * index), not the logistic floor/cap. */
   def toJsonSaturating(result: AnalyzeResult,
                        growthOf: Map[String, String]): String = {
+    val dateBounds = result.bounds.collect()
+      .filter(_.getString(1) == "to")
+      .map(r => r.getString(0) ->
+        (r.getAs[java.sql.Timestamp]("min_ds"), r.getAs[java.sql.Timestamp]("max_ds")))
+      .toMap
     val forecasts = result.targetForecasts
       .select(col("series"), col("ds"), col("segment"), col("yhat"), col("yhat_lower"),
               col("yhat_upper"), col("trend"), col("trend_lower"), col("trend_upper"))
@@ -107,14 +115,9 @@ object ResponseAssembly {
       val fut = fc.filter(_.getString(2) == "future")
         .sortBy(_.getAs[java.sql.Timestamp]("ds").getTime)
       val growth = growthOf.getOrElse(id, "linear")
-      // bounds only exist for logistic growth: for all-linear requests the
-      // pipeline skips the cap-stats job, so fitBounds holds a placeholder
-      // — reporting it would fabricate data-derived bounds
-      val boundsJson =
-        if (growth == "logistic") {
-          val (floor, cap) = result.fitBounds.getOrElse(id, (0.0, 1.0))
-          s""", "bounds": {"min": ${num(floor)}, "max": ${num(cap)}}"""
-        } else ""
+      val boundsJson = dateBounds.get(id).map { case (lo, hi) =>
+        s""", "bounds": {"min": "${fmtTs(lo)}", "max": "${fmtTs(hi)}"}"""
+      }.getOrElse("")
       s""""${esc(id)}": {
          |  "type": {"model": "prophet", "growth": "${esc(growth)}"$boundsJson},
          |  "predictions": {"description": "${esc(Explanations.predictions)}",

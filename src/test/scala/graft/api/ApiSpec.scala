@@ -73,11 +73,13 @@ class ApiSpec extends AnyFunSuite {
     assert(result.diagnostics.filter("side = 'to'").count() > 0)
     assert(result.regressorCoefficients.isEmpty)
     assert(result.covariateForecasts.count() == 0)
-    // §3.2/§3.3 response contract: type.growth + resolved bounds
+    // §3.2/§3.3 response contract: type.growth + bounds = the target's
+    // DATE bounds (app.py:367-370, 596-601), not floor/cap
     val resp = ResponseAssembly.toJsonSaturating(result,
       specs.map(c => c.id -> c.growth).toMap)
     assert(resp.contains("\"growth\": \"logistic\""))
-    assert(resp.contains("\"bounds\": {\"min\":"))
+    assert(resp.contains("\"bounds\": {\"min\": \"2024-03-01 00:00:00\""),
+           s"bounds must be the series date bounds:\n${resp.take(400)}")
     assert(resp.contains("historicalForecasts"))
     assert(resp.count(_ == '{') == resp.count(_ == '}'))
     val (floor, cap) = result.fitBounds("s1")
