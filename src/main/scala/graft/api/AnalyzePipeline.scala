@@ -38,7 +38,8 @@ object AnalyzePipeline {
       diagnostics: DataFrame,        // (series, side, lag, acf, pacf)
       regressorCoefficients: DataFrame, // (series, regressor_mode, center, coef bounds)
       bounds: DataFrame,             // (series, side, min_ds, max_ds, n)
-      fitBounds: Map[String, (Double, Double)] = Map.empty) // id -> resolved (floor, cap)
+      fitBounds: Map[String, (Double, Double)] = Map.empty, // id -> resolved (floor, cap)
+      horizons: Map[String, (Int, Int)] = Map.empty) // id -> honored (from, to) horizons
 
   private val PathPattern = "^[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)*$".r
 
@@ -82,15 +83,23 @@ object AnalyzePipeline {
     val covHist = cacheOnce(histories(c => (c.fromData, c.fromIndex)))
     val tgtHist = cacheOnce(histories(c => (c.toData, c.toIndex)))
 
-    // A5: horizon defaults to post-aggregation length; per-series counts
-    // are a handful of scalars — and the job is SKIPPED entirely when
-    // every correlation specifies unitsToForecast (the common case)
-    val covCounts: Map[String, Int] =
+    // A5: horizon defaults to EACH side's post-aggregation length
+    // (`prepare_dataset` is called per side, `app.py:115-120/158-163`,
+    // so the covariate grid runs len(cov) periods and the target grid
+    // len(target) periods); per-series counts are a handful of scalars —
+    // and the jobs are SKIPPED entirely when every correlation
+    // specifies unitsToForecast (the common case)
+    def seriesCounts(hist: DataFrame): Map[String, Int] =
       if (correlations.forall(_.unitsToForecast.isDefined)) Map.empty
-      else covHist.groupBy("series").count().collect()
+      else hist.groupBy("series").count().collect()
         .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
-    val horizons: Map[String, Int] =
+    val covCounts = seriesCounts(covHist)
+    val tgtCounts = seriesCounts(tgtHist)
+    val covHorizons: Map[String, Int] =
       correlations.map(c => c.id -> c.unitsToForecast.getOrElse(covCounts.getOrElse(c.id, 1)))
+        .toMap
+    val tgtHorizons: Map[String, Int] =
+      correlations.map(c => c.id -> c.unitsToForecast.getOrElse(tgtCounts.getOrElse(c.id, 1)))
         .toMap
 
     // resolved logistic bounds (A3/A4): the reference computes
@@ -113,7 +122,7 @@ object AnalyzePipeline {
     // grains can differ per correlation; one grid per distinct grain
     val grainOf: Map[String, String] =
       correlations.map(c => c.id -> c.grain.map(TimeOps.normalizeGrain).getOrElse("D")).toMap
-    def gridFor(hist: DataFrame): DataFrame =
+    def gridFor(hist: DataFrame, horizons: Map[String, Int]): DataFrame =
       grainOf.values.toSeq.distinct.map { g =>
         val ids = grainOf.collect { case (id, gg) if gg == g => id }.toSeq
         Forecaster.futureGrid(hist.filter(col("series").isin(ids: _*)), g,
@@ -121,7 +130,7 @@ object AnalyzePipeline {
       }.reduce(_ unionByName _)
 
     // C3: covariate forecasts over history + future
-    val covForecast = Forecaster.forecast(covHist, gridFor(covHist),
+    val covForecast = Forecaster.forecast(covHist, gridFor(covHist, covHorizons),
                                           defaultSpec, "series", specOverrides)
 
     // J1+J2: observed covariate wins, forecast fills the future
@@ -134,7 +143,9 @@ object AnalyzePipeline {
     val covX = covSpliced.select(col("series"), col("ds"), col("x"))
     val tgtHistX = tgtHist.join(covX, Seq("series", "ds"), "left")
       .withColumn("x", coalesce(col("x"), lit(0.0)))
-    val tgtFuture = gridFor(tgtHist).join(covX, Seq("series", "ds"), "inner")
+    // J4-as-inner also reproduces the reference's dropna: target-future
+    // dates beyond the covariate's forecast coverage are dropped
+    val tgtFuture = gridFor(tgtHist, tgtHorizons).join(covX, Seq("series", "ds"), "inner")
 
     // C4/C8: target forecast with the covariate as regressor
     val tgtForecast = Forecaster.forecast(tgtHistX, tgtFuture,
@@ -154,7 +165,9 @@ object AnalyzePipeline {
       .agg(min("ds").as("min_ds"), max("ds").as("max_ds"), count(lit(1)).as("n"))
 
     AnalyzeResult(covSpliced, tgtForecast, diag, coefs, bounds,
-                  specOverrides.map { case (id, s) => id -> (s.floor, s.cap) })
+                  specOverrides.map { case (id, s) => id -> (s.floor, s.cap) },
+                  correlations.map(c =>
+                    c.id -> (covHorizons(c.id), tgtHorizons(c.id))).toMap)
   }
 
   /** §3.3 `/saturating-growth/single` (`app.py:562-609`): fit the
@@ -212,6 +225,7 @@ object AnalyzePipeline {
 
     AnalyzeResult(forecast.limit(0), forecast, diag,
                   forecast.sparkSession.emptyDataFrame, bounds,
-                  specOverrides.map { case (id, s) => id -> (s.floor, s.cap) })
+                  specOverrides.map { case (id, s) => id -> (s.floor, s.cap) },
+                  horizons.map { case (id, h) => id -> (h, h) })
   }
 }

@@ -39,14 +39,26 @@ case class CorrelationSpec(
             floor = resolvedFloor, cap = resolvedCap)
 }
 
-/** Static "LLM context" explanation strings (R2, `app.py:230/236`). */
+/** Static "LLM context" explanation strings — the reference's exact
+  * response texts (R2, `app.py:230` and `app.py:236`). */
 object Explanations {
   val autocorrelation: String =
-    "Autocorrelation of the series at each lag: the correlation between " +
-    "the series and itself shifted by that many periods; lag 0 is always 1."
+    "Autocorrelation measures the correlation between a time series and " +
+    "its lagged values. It shows the degree of similarity between a time " +
+    "series and a lagged version of itself over successive time " +
+    "intervals. The autocorrelation coefficient ranges from -1 to +1, " +
+    "with values close to +1 indicating a strong positive correlation " +
+    "and values close to -1 indicating a strong negative correlation. " +
+    "However, autocorrelation does not distinguish between direct and " +
+    "indirect dependencies. It can be influenced by intermediate lags."
   val partialAutocorrelation: String =
-    "Partial autocorrelation at each lag: the correlation between the " +
-    "series and its lag after removing the effect of shorter lags."
+    "Partial autocorrelation measures the correlation between a time " +
+    "series and its lagged values, while removing the effect of the " +
+    "intermediate lags. It shows the direct relationship between a time " +
+    "series and a specific lagged value, excluding the influence of " +
+    "other lags in between. Partial autocorrelation helps identify the " +
+    "direct influence of a lagged value on the current value of the " +
+    "series."
   val predictions: String =
     "Model predictions with uncertainty bounds; historical rows cover " +
     "observed dates, future rows extend unitsToForecast periods ahead."

@@ -47,8 +47,16 @@ object ResponseAssembly {
     (s""""date": "$ds"""" +: vals).mkString("{", ", ", "}")
   }
 
-  /** Build the full `/analyze`-shaped JSON response. */
-  def toJson(result: AnalyzeResult): String = {
+  /** Build the full `/analyze`-shaped JSON response (`app.py:211-247`):
+    * per correlation — `type`; `diagnostics` with the grain as `units`
+    * and per-side data/index names, date bounds, and honored horizons;
+    * `autocorrelations`/`partialAutocorrelations` with lag maps nested
+    * under `"lags"` (`core.py:7-27`); `regressorCoefficients` naming the
+    * covariate path; and the historical/future prediction frames.
+    * `specs` supply the per-correlation request fields the reference
+    * echoes back (document names, index paths, grain). */
+  def toJson(result: AnalyzeResult, specs: Seq[CorrelationSpec]): String = {
+    val specOf = specs.map(c => c.id -> c).toMap
     val diag = result.diagnostics.collect().groupBy(r => (r.getString(0), r.getString(4)))
     val bounds = result.bounds.collect()
       .map(r => (r.getString(0), r.getString(1)) -> r).toMap
@@ -63,26 +71,38 @@ object ResponseAssembly {
       val fc = forecasts.getOrElse(id, Array.empty)
       val hist = fc.filter(_.getString(2) == "historical").sortBy(_.getAs[java.sql.Timestamp]("ds").getTime)
       val fut = fc.filter(_.getString(2) == "future").sortBy(_.getAs[java.sql.Timestamp]("ds").getTime)
-      def boundsJson(side: String): String = bounds.get((id, side)).map { b =>
-        s""""minDate": "${fmtTs(b.getAs[java.sql.Timestamp]("min_ds"))}", "maxDate": "${fmtTs(b.getAs[java.sql.Timestamp]("max_ds"))}", "n": ${b.getAs[Long]("n")}"""
-      }.getOrElse("")
+      val spec = specOf.get(id)
+      val (fromH, toH) = result.horizons.getOrElse(id, (0, 0))
+      def sideJson(side: String): String = {
+        val (doc, idx, h) =
+          if (side == "from") (spec.map(_.fromData), spec.map(_.fromIndex), fromH)
+          else (spec.map(_.toData), spec.map(_.toIndex), toH)
+        val names = doc.map(d => s""""data": "${esc(d)}", "index": "${esc(idx.get)}", """)
+          .getOrElse("")
+        bounds.get((id, side)).map { b =>
+          s"""{$names"minDate": "${fmtTs(b.getAs[java.sql.Timestamp]("min_ds"))}", "maxDate": "${fmtTs(b.getAs[java.sql.Timestamp]("max_ds"))}", "unitsForecasted": $h}"""
+        }.getOrElse(s"{$names}")
+      }
       def acfJson(side: String): String =
         diag.get((id, side)).map(rs => lagMap(rs.toSeq, 2)).getOrElse("{}")
       def pacfJson(side: String): String =
         diag.get((id, side)).map(rs => lagMap(rs.toSeq, 3)).getOrElse("{}")
+      val regName = spec.map(_.fromIndex).getOrElse("x")
       val coefJson = coefs.getOrElse(id, Array.empty).map { r =>
-        s"""{"regressor": "x", "regressor_mode": "${esc(r.getString(1))}", "center": ${num(r.getDouble(2))}, "coef_lower": ${num(r.getDouble(3))}, "coef": ${num(r.getDouble(4))}, "coef_upper": ${num(r.getDouble(5))}}"""
+        s"""{"regressor": "${esc(regName)}", "regressor_mode": "${esc(r.getString(1))}", "center": ${num(r.getDouble(2))}, "coef_lower": ${num(r.getDouble(3))}, "coef": ${num(r.getDouble(4))}, "coef_upper": ${num(r.getDouble(5))}}"""
       }.mkString("[", ", ", "]")
+      val units = spec.flatMap(_.grain).getOrElse("D")
 
       s""""${esc(id)}": {
          |  "type": "prophet",
-         |  "diagnostics": {"from": {${boundsJson("from")}}, "to": {${boundsJson("to")}}},
+         |  "diagnostics": {"units": "${esc(units)}",
+         |    "from": ${sideJson("from")}, "to": ${sideJson("to")}},
          |  "autocorrelations": {"description": "${esc(Explanations.autocorrelation)}",
-         |    "from": ${acfJson("from")}, "to": ${acfJson("to")}},
+         |    "from": {"lags": ${acfJson("from")}}, "to": {"lags": ${acfJson("to")}}},
          |  "partialAutocorrelations": {"description": "${esc(Explanations.partialAutocorrelation)}",
-         |    "from": ${pacfJson("from")}, "to": ${pacfJson("to")}},
+         |    "from": {"lags": ${pacfJson("from")}}, "to": {"lags": ${pacfJson("to")}}},
          |  "regressorCoefficients": $coefJson,
-         |  "predictions": {"description": "${esc(Explanations.predictions)}",
+         |  "predictions": {
          |    "historicalForecasts": ${hist.map(forecastRow).mkString("[", ", ", "]")},
          |    "futureForecasts": ${fut.map(forecastRow).mkString("[", ", ", "]")}}
          |}""".stripMargin

@@ -164,12 +164,21 @@ class ApiSpec extends AnyFunSuite {
     // lag-0 autocorrelation is 1 by definition
     assert(diag.filter(_.getInt(1) == 0).forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-12))
 
-    val json = ResponseAssembly.toJson(result)
+    val json = ResponseAssembly.toJson(result, specs)
     assert(json.contains("\"corr1\""))
     assert(json.contains("historicalForecasts"))
     assert(json.contains("futureForecasts"))
     assert(json.contains("prediction_lower_bound"))
     assert(json.contains("autocorrelations"))
+    // reference contract details (app.py:211-247, core.py:7-27): grain
+    // echoed as units, per-side doc/index names + honored horizons, lag
+    // maps nested under "lags", regressor named by the covariate path
+    assert(json.contains("\"units\": \"D\""))
+    assert(json.contains("\"data\": \"purchasing_order\""))
+    assert(json.contains("\"index\": \"data.summary.totalWithTax\""))
+    assert(json.contains("\"unitsForecasted\": 7"))
+    assert(json.contains("\"lags\": {\"0\": 1"))
+    assert(json.contains("\"regressor\": \"data.summary.totalWithTax\""))
     // balanced braces → structurally sound JSON
     assert(json.count(_ == '{') == json.count(_ == '}'))
   }

@@ -177,11 +177,13 @@ def run_analyze(documents, correlations):
                                       c["fromIndex"], grain, agg)
         tgt_t, tgt_y = extract_series(documents[c["toData"]]["data"],
                                       c["toIndex"], grain, agg)
-        horizon = int(c.get("unitsToForecast") or len(cov_t))  # A5
+        # A5: each side's horizon defaults to ITS OWN post-agg length
+        cov_h = int(c.get("unitsToForecast") or len(cov_t))
+        tgt_h = int(c.get("unitsToForecast") or len(tgt_t))
 
         # covariate forecast over history + future day grid
         cov_m = fit(cov_t, cov_y, cp_prior=cp_prior)
-        cov_fut = cov_t[-1] + DAY * np.arange(1, horizon + 1)
+        cov_fut = cov_t[-1] + DAY * np.arange(1, cov_h + 1)
         cov_all = np.concatenate([cov_t, cov_fut])
         cov_yhat, cov_trend = predict(cov_m, cov_all)
 
@@ -193,7 +195,7 @@ def run_analyze(documents, correlations):
         # J3: align x onto target history (missing -> 0.0)
         tgt_x = np.array([cov_x.get(t, 0.0) for t in tgt_t])
         # J4-as-inner: future grid rows kept only where the covariate has x
-        tgt_fut = [t for t in tgt_t[-1] + DAY * np.arange(1, horizon + 1)
+        tgt_fut = [t for t in tgt_t[-1] + DAY * np.arange(1, tgt_h + 1)
                    if t in cov_x]
         tgt_all = np.concatenate([tgt_t, np.array(tgt_fut)])
         x_all = np.array([cov_x.get(t, 0.0) for t in tgt_all])
