@@ -103,21 +103,39 @@ object AnalyzePipeline {
         .toMap
 
     // resolved logistic bounds (A3/A4): the reference computes
-    // floor/ceiling only for logistic growth (`app.py:354-364`); for
-    // all-linear requests the stats job is skipped (cap/floor are
-    // unused by the linear trend)
-    val capStats: Map[String, (Double, Double, Double)] =
-      if (correlations.forall(_.growth == "linear")) Map.empty
-      else tgtHist.groupBy("series")
+    // floor/ceiling only for logistic growth (`app.py:354-364`), each
+    // side from ITS OWN series (the bundle's self floor/ceiling,
+    // app.py:503-538); for all-linear requests the stats jobs are
+    // skipped (cap/floor are unused by the linear trend)
+    def capStatsOf(hist: DataFrame, anyLogistic: Boolean): Map[String, (Double, Double, Double)] =
+      if (!anyLogistic) Map.empty
+      else hist.groupBy("series")
         .agg(max("y").as("mx"), stddev_samp("y").as("sd"), min("y").as("mn"))
         .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val capStats = capStatsOf(tgtHist, correlations.exists(_.growth == "logistic"))
+    val covCapStats = capStatsOf(covHist,
+      correlations.exists(_.covOptions.exists(_.growth == "logistic")))
+    def resolve(stats: Map[String, (Double, Double, Double)], id: String,
+                userFloor: Double, userCeiling: Option[Double]): (Double, Double) = {
+      val (mx, sd, mn) = stats.getOrElse(id, (1.0, 0.0, 0.0))
+      (math.min(userFloor, mn),
+       math.max(userCeiling.getOrElse(mx + 3 * (if (sd.isNaN) 0.0 else sd)), mx))
+    }
     val specOverrides: Map[String, StructuralTS.FitSpec] = correlations.map { c =>
-      val (mx, sd, mn) = capStats.getOrElse(c.id, (1.0, 0.0, 0.0))
-      val cap = math.max(c.ceiling.getOrElse(mx + 3 * (if (sd.isNaN) 0.0 else sd)), mx)
-      val floor = math.min(c.floor, mn)
+      val (floor, cap) = resolve(capStats, c.id, c.floor, c.ceiling)
       c.id -> c.fitSpec(floor, cap)
     }.toMap
+    // §3.2 covariate-side options (ForecastingOptions.fromIndex) when
+    // present; otherwise the covariate fits with the correlation's spec
+    // (the /analyze behavior: one changepoint prior for both fits)
+    val covSpecOverrides: Map[String, StructuralTS.FitSpec] = correlations.map { c =>
+      c.id -> c.covOptions.map { o =>
+        val (floor, cap) = resolve(covCapStats, c.id, o.floor, o.ceiling)
+        o.fitSpec(floor, cap)
+      }.getOrElse(specOverrides(c.id))
+    }.toMap
     val defaultSpec = specOverrides(correlations.head.id)
+    val defaultCovSpec = covSpecOverrides(correlations.head.id)
 
     // grains can differ per correlation; one grid per distinct grain
     val grainOf: Map[String, String] =
@@ -129,9 +147,9 @@ object AnalyzePipeline {
                               horizon = 1, horizonOverrides = horizons)
       }.reduce(_ unionByName _)
 
-    // C3: covariate forecasts over history + future
+    // C3: covariate forecasts over history + future (covariate-side spec)
     val covForecast = Forecaster.forecast(covHist, gridFor(covHist, covHorizons),
-                                          defaultSpec, "series", specOverrides)
+                                          defaultCovSpec, "series", covSpecOverrides)
 
     // J1+J2: observed covariate wins, forecast fills the future
     val covSpliced = cacheOnce(covForecast

@@ -9,6 +9,25 @@ import graft.forecast.StructuralTS.FitSpec
   * grain "min"/"m" both accepted, "meadian" mapped to median, and the
   * first-correlation-only bug NOT reproduced (all correlations run).
   */
+/** One side's saturating-growth options (`ForecastingOption`,
+  * `app.py:263-267`): the §3.2 endpoint fits the covariate with the
+  * `fromIndex` block and the target with the `toIndex` block. */
+case class SideOptions(
+    growth: String = "logistic",            // pydantic default (app.py:266)
+    changepointPriorScale: Double = 0.5,    // app.py:265
+    uncertaintySamples: Int = 1000,
+    floor: Double = 0.0,
+    ceiling: Option[Double] = None) {
+  require(growth == "linear" || growth == "logistic",
+          s"unsupported growth: $growth (expected linear|logistic)")
+
+  def fitSpec(resolvedFloor: Double, resolvedCap: Double): FitSpec =
+    FitSpec(growth = growth,
+            changepointPriorScale = changepointPriorScale,
+            uncertaintySamples = uncertaintySamples,
+            floor = resolvedFloor, cap = resolvedCap)
+}
+
 case class CorrelationSpec(
     id: String,
     fromData: String,                    // covariate document name
@@ -23,6 +42,7 @@ case class CorrelationSpec(
     floor: Double = 0.0,
     ceiling: Option[Double] = None,
     uncertaintySamples: Int = 1000,
+    covOptions: Option[SideOptions] = None, // §3.2 fromIndex-side options
     dateColumn: String = "date") {
 
   // the reference's pydantic Literal rejects unknown growth values with

@@ -48,10 +48,29 @@ object RequestParser {
       // on the correlation remain accepted and win when both appear.
       val hasFo = fields("ForecastingOptions") &&
         !r.isNullAt(r.fieldIndex("ForecastingOptions"))
-      def fo(name: String): Option[String] =
-        if (hasFo) dig(r, "ForecastingOptions", "toIndex", name) else None
-      def foCap(name: String): Option[String] =
-        if (hasFo) dig(r, "ForecastingOptions", "toIndex", "caps", name) else None
+      def foSide(side: String, name: String): Option[String] =
+        if (hasFo) dig(r, "ForecastingOptions", side, name) else None
+      // the reference's Caps nests AGAIN per side (`options.caps
+      // .to_index`, app.py:253-260, read at app.py:515/534); a flat
+      // caps.{floor,ceiling} is tolerated as a lenient spelling
+      def foSideCap(side: String, name: String): Option[String] =
+        if (!hasFo) None
+        else dig(r, "ForecastingOptions", side, "caps", side, name)
+          .orElse(dig(r, "ForecastingOptions", side, "caps", name))
+      def fo(name: String): Option[String] = foSide("toIndex", name)
+      def foCap(name: String): Option[String] = foSideCap("toIndex", name)
+      // §3.2 covariate-side options: the reference fits the covariate
+      // bundle with the fromIndex block (app.py:503-520)
+      val covOptions: Option[SideOptions] =
+        if (!hasFo) None
+        else Some(SideOptions(
+          growth = foSide("fromIndex", "growth").getOrElse("logistic"),
+          changepointPriorScale =
+            foSide("fromIndex", "changepointPriorScale").map(_.toDouble).getOrElse(0.5),
+          uncertaintySamples =
+            foSide("fromIndex", "uncertaintySamples").map(_.toDouble.toInt).getOrElse(1000),
+          floor = foSideCap("fromIndex", "floor").map(_.toDouble).getOrElse(0.0),
+          ceiling = foSideCap("fromIndex", "ceiling").map(_.toDouble)))
       CorrelationSpec(
         id = strOpt(r, "id").getOrElse("c0"),
         fromData = strOpt(r, "fromData").get,
@@ -72,7 +91,8 @@ object RequestParser {
           .getOrElse(0.0),
         ceiling = strOpt(r, "ceiling").orElse(foCap("ceiling")).map(_.toDouble),
         uncertaintySamples = strOpt(r, "uncertaintySamples")
-          .orElse(fo("uncertaintySamples")).map(_.toDouble.toInt).getOrElse(1000))
+          .orElse(fo("uncertaintySamples")).map(_.toDouble.toInt).getOrElse(1000),
+        covOptions = covOptions)
     }
     ParsedRequest(documents, correlations)
   }

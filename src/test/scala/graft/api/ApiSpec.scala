@@ -100,9 +100,12 @@ class ApiSpec extends AnyFunSuite {
          |    "fromData": "sales_order", "fromIndex": "data.summary.totalWithTax",
          |    "toData": "sales_order", "toIndex": "data.summary.totalWithTax",
          |    "unitsToForecast": 5,
-         |    "ForecastingOptions": {"toIndex": {
-         |      "uncertaintySamples": 40, "changepointPriorScale": 0.3,
-         |      "caps": {"floor": 10, "ceiling": 500}
+         |    "ForecastingOptions": {
+         |      "fromIndex": {"growth": "linear", "changepointPriorScale": 0.7,
+         |        "caps": {"fromIndex": {"floor": 1, "ceiling": 900}}},
+         |      "toIndex": {
+         |        "uncertaintySamples": 40, "changepointPriorScale": 0.3,
+         |        "caps": {"toIndex": {"floor": 10, "ceiling": 500}}
          |    }}
          |  }]}
          |}""".stripMargin
@@ -111,6 +114,20 @@ class ApiSpec extends AnyFunSuite {
     assert(c.changePointPriorScale == 0.3)
     assert(c.uncertaintySamples == 40)
     assert(c.floor == 10.0 && c.ceiling.contains(500.0))
+    // §3.2 covariate-side block (fitted with fromIndex options,
+    // caps nested per side like the reference's Caps model)
+    val cov = c.covOptions.get
+    assert(cov.growth == "linear" && cov.changepointPriorScale == 0.7)
+    assert(cov.floor == 1.0 && cov.ceiling.contains(900.0))
+    // the mixed-growth request runs end-to-end: linear covariate fit,
+    // logistic target fit capped by its resolved bounds
+    val res = AnalyzePipeline.analyze(
+      RequestParser.parse(spark, json).documents,
+      Seq(c.copy(uncertaintySamples = 20,
+                 covOptions = Some(cov.copy(uncertaintySamples = 20)))))
+    val yhats = res.targetForecasts.collect().map(_.getAs[Double]("yhat"))
+    assert(yhats.forall(v => v >= 10.0 && v <= 500.0),
+           s"logistic target escaped [10, 500]: ${yhats.min}..${yhats.max}")
     // absent nested fields take the saturating defaults (growth logistic,
     // prior 0.5, floor 0, no ceiling). NOTE: at least one concrete field
     // must appear for detection — Spark's JSON schema inference drops
@@ -119,7 +136,8 @@ class ApiSpec extends AnyFunSuite {
     // all-defaults block sets any field, or the flat `growth` key)
     val jsonDefaults = json
       .replace("\"uncertaintySamples\": 40, \"changepointPriorScale\": 0.3,", "")
-      .replace("\"caps\": {\"floor\": 10, \"ceiling\": 500}", "\"uncertaintySamples\": 1000")
+      .replace("\"caps\": {\"toIndex\": {\"floor\": 10, \"ceiling\": 500}}",
+               "\"uncertaintySamples\": 1000")
     val d = RequestParser.parse(spark, jsonDefaults).correlations.head
     assert(d.growth == "logistic" && d.changePointPriorScale == 0.5)
     assert(d.uncertaintySamples == 1000 && d.floor == 0.0 && d.ceiling.isEmpty)
