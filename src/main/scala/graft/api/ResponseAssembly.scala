@@ -38,14 +38,28 @@ object ResponseAssembly {
     rows.sortBy(_.getInt(1)).map(r => s""""${r.getInt(1)}": ${num(r.getDouble(valueIdx))}""")
       .mkString("{", ", ", "}")
 
+  /** One `Prediction` record: the full 13-column contract
+    * (`responses.py:20-33` — P3 rename map `app.py:336-352`). */
   private def forecastRow(r: Row): String = {
     val cols = Seq("yhat" -> "prediction", "yhat_lower" -> "prediction_lower_bound",
                    "yhat_upper" -> "prediction_upper_bound", "trend" -> "trend",
-                   "trend_lower" -> "trend_lower_bound", "trend_upper" -> "trend_upper_bound")
+                   "trend_lower" -> "trend_lower_bound", "trend_upper" -> "trend_upper_bound",
+                   "additive_terms" -> "additive_terms",
+                   "additive_terms_lower" -> "additive_terms_lower",
+                   "additive_terms_upper" -> "additive_terms_upper",
+                   "multiplicative_terms" -> "multiplicative_terms",
+                   "multiplicative_terms_lower" -> "multiplicative_terms_lower",
+                   "multiplicative_terms_upper" -> "multiplicative_terms_upper")
     val ds = fmtTs(r.getAs[java.sql.Timestamp]("ds"))
     val vals = cols.map { case (src, dst) => s""""$dst": ${num(r.getAs[Double](src))}""" }
     (s""""date": "$ds"""" +: vals).mkString("{", ", ", "}")
   }
+
+  private val forecastCols = Seq(
+    "series", "ds", "segment", "yhat", "yhat_lower", "yhat_upper",
+    "trend", "trend_lower", "trend_upper",
+    "additive_terms", "additive_terms_lower", "additive_terms_upper",
+    "multiplicative_terms", "multiplicative_terms_lower", "multiplicative_terms_upper")
 
   /** Build the full `/analyze`-shaped JSON response (`app.py:211-247`):
     * per correlation — `type`; `diagnostics` with the grain as `units`
@@ -62,8 +76,7 @@ object ResponseAssembly {
       .map(r => (r.getString(0), r.getString(1)) -> r).toMap
     val coefs = result.regressorCoefficients.collect().groupBy(_.getString(0))
     val forecasts = result.targetForecasts
-      .select(col("series"), col("ds"), col("segment"), col("yhat"), col("yhat_lower"),
-              col("yhat_upper"), col("trend"), col("trend_lower"), col("trend_upper"))
+      .select(forecastCols.map(col): _*)
       .collect().groupBy(_.getString(0))
 
     val ids = forecasts.keySet ++ diag.keys.map(_._1)
@@ -125,8 +138,7 @@ object ResponseAssembly {
         (r.getAs[java.sql.Timestamp]("min_ds"), r.getAs[java.sql.Timestamp]("max_ds")))
       .toMap
     val forecasts = result.targetForecasts
-      .select(col("series"), col("ds"), col("segment"), col("yhat"), col("yhat_lower"),
-              col("yhat_upper"), col("trend"), col("trend_lower"), col("trend_upper"))
+      .select(forecastCols.map(col): _*)
       .collect().groupBy(_.getString(0))
     val correlations = forecasts.keySet.toSeq.sorted.map { id =>
       val fc = forecasts.getOrElse(id, Array.empty)
