@@ -40,9 +40,11 @@ object ScaleProbe {
       .cache()
     time("docs materialize")(docs.count())
 
+    // the production near-dup config: 16 hashes, 8 bands of 2, >10%-df
+    // shingle prune feeding signatures
     val sh = TextDedup.bigramShingles(docs, "doc_id", "text")
-    val sig = TextDedup.minhashSignature(sh, 4)
-    val pairs = TextDedup.candidatePairs(TextDedup.lshBands(sig, 4, 2))
+    val sig = TextDedup.minhashSignature(TextDedup.pruneFrequentShingles(sh, 0.1), 16)
+    val pairs = TextDedup.candidatePairs(TextDedup.lshBands(sig, 16, 2))
     val dup = TextDedup.jaccard(sh, pairs).filter(col("jaccard") >= 0.5).cache()
     println(s"near-dup pairs: ${time("near-dup pipeline")(dup.count())}")
     println(s"dup clusters: ${time("dup clusters")(

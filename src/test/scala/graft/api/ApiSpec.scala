@@ -197,8 +197,15 @@ class ApiSpec extends AnyFunSuite {
     assert(json.contains("\"unitsForecasted\": 7"))
     assert(json.contains("\"lags\": {\"0\": 1"))
     assert(json.contains("\"regressor\": \"data.summary.totalWithTax\""))
-    // balanced braces → structurally sound JSON
-    assert(json.count(_ == '{') == json.count(_ == '}'))
+    // structurally sound JSON: parses, and the contract keys nest where
+    // responses.py declares them
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val corr = tree.get("correlations").get("corr1")
+    assert(corr.get("diagnostics").get("from").get("unitsForecasted").asInt == 7)
+    val firstHist = corr.get("predictions").get("historicalForecasts").get(0)
+    for (k <- Seq("date", "prediction", "prediction_lower_bound", "trend",
+                  "additive_terms", "multiplicative_terms_upper"))
+      assert(firstHist.has(k), s"prediction record missing $k")
   }
 
   test("electricity-demand-style request: mixed dd-MM-yyyy dates, hourly grain, 3 correlations") {
