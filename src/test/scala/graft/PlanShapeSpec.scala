@@ -117,6 +117,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"expected running-last window\n$p")
   }
 
+  test("single-aggregation queries stay at exactly one shuffle") {
+    // the canonical group-by queries are one partial-agg -> exchange ->
+    // final-agg pipeline; a second Exchange would mean a plan regression
+    // (lost map-side combine or an accidental repartition). At this SF a
+    // single-partition scan can satisfy the distribution outright, so
+    // the budget is AT MOST one.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val oneShuffle = Seq("q01_pricing_summary", "q02_bucket_hour",
+                         "q03_bucket_week_mean", "q04_bucket_month_minmax",
+                         "q54_dedup_exact")
+    for (q <- oneShuffle) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
+      val n = plan.collect { case e: ShuffleExchangeExec => e }.size
+      assert(n <= 1, s"$q plans $n shuffles (expected <= 1):\n$plan")
+    }
+  }
+
   test("LSH near-dup pair generation joins on the band key") {
     val df: DataFrame = SparkEntry.queries("q56_lsh_near_dup")(spark, dir)
     // sparkPlan, not executedPlan: AQE's wrapper node hides its subtree
