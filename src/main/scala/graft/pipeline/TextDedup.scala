@@ -101,6 +101,28 @@ object TextDedup {
       .select("da", "db").distinct()
   }
 
+  /** MinHash-estimate prefilter: keep only candidate pairs whose
+    * signatures agree on at least `minAgree` of `nHashes` hashes. The
+    * per-hash agreement probability IS the Jaccard similarity, so this
+    * estimates J for free from the already-computed signatures and
+    * spares the exact-Jaccard join its background traffic: at 16 hashes
+    * and minAgree=4, a J=0.1 background pair passes ~7% of the time
+    * (13× fewer candidates) while a J=0.5 pair is lost only
+    * P(Binom(16,0.5) < 4) ≈ 1% — the standard LSH practice of
+    * estimate-then-verify. Pair-sized broadcast joins against the
+    * signature frame; no new wide shuffle. */
+  def filterBySignatureAgreement(pairs: DataFrame, signature: DataFrame,
+                                 nHashes: Int, minAgree: Int): DataFrame = {
+    val hs = (0 until nHashes).map(i => s"h$i")
+    val sa = signature.select(col("id").as("da") +: hs.map(h => col(h).as(s"a_$h")): _*)
+    val sb = signature.select(col("id").as("db") +: hs.map(h => col(h).as(s"b_$h")): _*)
+    val agreement = hs.map(h => when(col(s"a_$h") === col(s"b_$h"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sa, Seq("da")).join(sb, Seq("db"))
+      .filter(agreement >= minAgree)
+      .select("da", "db")
+  }
+
   /** Exact Jaccard over the shingle sets of candidate pairs only.
     *
     * Plan shape: `pairs` is band-collision-sized (tiny relative to the

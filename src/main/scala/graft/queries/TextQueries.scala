@@ -32,6 +32,9 @@ object TextQueries {
   private val nHashes = 16
   private val bandSize = 2
   private val maxDocFrac = 0.1
+  /** estimate-then-verify: candidates must agree on ≥ this many of the
+    * 16 minhashes before the exact-Jaccard join sees them. */
+  private val minAgree = 4
 
   /** Shared oracle CTE: word arrays + distinct bigram shingles. */
   private val shinglesCte =
@@ -61,6 +64,11 @@ object TextQueries {
     val hs = (st until math.min(st + bandSize, nHashes)).map(i => s"h$i").mkString(" || ")
     s"SELECT doc_id, md5($hs) AS band FROM mh"
   }.mkString("\n          UNION ALL ")
+
+  /** Oracle mirror of [[TextDedup.filterBySignatureAgreement]]. */
+  private val agreeSql = (0 until nHashes)
+    .map(i => s"CASE WHEN ma.h$i = mb.h$i THEN 1 ELSE 0 END")
+    .mkString(" + ")
 
   /** q50 — token counting via pure length arithmetic (identical scan in
     * both engines; no regex dialects involved). */
@@ -214,7 +222,9 @@ object TextQueries {
       val sh = TextDedup.bigramShingles(docs, "doc_id", "text")
       val sig = TextDedup.minhashSignature(
         TextDedup.pruneFrequentShingles(sh, maxDocFrac), nHashes)
-      val pairs = TextDedup.candidatePairs(TextDedup.lshBands(sig, nHashes, bandSize))
+      val pairs = TextDedup.filterBySignatureAgreement(
+        TextDedup.candidatePairs(TextDedup.lshBands(sig, nHashes, bandSize)),
+        sig, nHashes, minAgree)
       TextDedup.jaccard(sh, pairs).filter(col("jaccard") >= 0.5).cache()
     })
 
@@ -234,10 +244,14 @@ object TextQueries {
       |bands AS ($bandSelects),
       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+      |candf AS (SELECT c.da, c.db FROM cand c
+      |          JOIN mh ma ON ma.doc_id = c.da
+      |          JOIN mh mb ON mb.doc_id = c.db
+      |          WHERE ($agreeSql) >= $minAgree),
       |n AS (SELECT doc_id, count(*) AS n FROM big GROUP BY 1),
       |inter AS (SELECT c.da, c.db, count(*) AS i
-      |          FROM cand c JOIN big x ON x.doc_id = c.da
-      |                      JOIN big y ON y.doc_id = c.db AND y.bg = x.bg
+      |          FROM candf c JOIN big x ON x.doc_id = c.da
+      |                       JOIN big y ON y.doc_id = c.db AND y.bg = x.bg
       |          GROUP BY 1, 2),
       |dup AS (SELECT inter.da AS da, inter.db AS db,
       |               round(i * 1.0 / (na.n + nb.n - i), 6) AS jaccard

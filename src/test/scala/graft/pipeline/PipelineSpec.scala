@@ -64,8 +64,11 @@ class TextDedupSpec extends AnyFunSuite {
     val df = rows.toDF("doc_id", "text")
     val sh = TextDedup.bigramShingles(df, "doc_id", "text")
     val sig = TextDedup.minhashSignature(sh, 16)
+    // the full production chain including the estimate-then-verify
+    // prefilter (expected loss at J≈0.5 is ~1% of pairs)
     val found = TextDedup.jaccard(sh,
-        TextDedup.candidatePairs(TextDedup.lshBands(sig, 16, 2)))
+        TextDedup.filterBySignatureAgreement(
+          TextDedup.candidatePairs(TextDedup.lshBands(sig, 16, 2)), sig, 16, 4))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val planted = bases.indices.map(i => (i.toLong, i.toLong + 100))
     val recall = planted.count(found).toDouble / planted.size
