@@ -43,6 +43,47 @@ object ByteSum {
   }
 }
 
+/** Native Catalyst expression: polynomial rolling hash of a binary
+  * column — `h = fold((h·257 + byte) mod 1e9+7)` over the bytes, the
+  * Rabin-Karp content fingerprint. The dedup family's md5 fingerprint
+  * (q53) identifies exact content; the rolling form is the
+  * incremental/chunkable fingerprint a content-defined-chunking dedup
+  * pipeline builds on. Integer-exact, so any engine reproduces it (the
+  * DuckDB oracle folds ord() code points, identical for the ASCII
+  * corpus); codegen'd tight loop per the brief's preference order. */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash requires BINARY input, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash.hash(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.RollingHash.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  val Base = 257L
+  val Mod = 1000000007L
+
+  /** Static helper invoked from generated code. */
+  def hash(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = (h * Base + (bytes(i) & 0xff)) % Mod; i += 1 }
+    h
+  }
+}
+
 /** Native Catalyst expression: dot product of two array<double>
   * columns as a tight codegen'd loop.
   *
@@ -101,6 +142,7 @@ object VecDot {
 object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "byte_sum" -> (exprs => ByteSum(exprs.head)),
+    "rolling_hash" -> (exprs => RollingHash(exprs.head)),
     "vec_dot" -> (exprs => VecDot(exprs.head, exprs(1))))
 
   def register(spark: SparkSession): Unit = {
@@ -128,6 +170,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
          classOf[ByteSum].getName, "byte_sum"),
        (exprs: Seq[Expression]) => ByteSum(exprs.head)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash"),
+       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+         classOf[RollingHash].getName, "rolling_hash"),
+       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -316,6 +316,34 @@ object TextQueries {
       |  len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_pre_toks
       |FROM documents""".stripMargin
 
+  /** q69 — Rabin-Karp rolling-hash fingerprints: the incremental
+    * content fingerprint (native codegen'd expression) over the full
+    * text and over the first-64-byte chunk — the per-chunk form a
+    * content-defined-chunking dedup builds on. Integer-exact in any
+    * engine; the DuckDB oracle folds ord() code points, identical on
+    * this ASCII corpus (char length == octet length for every doc). */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    def rh(c: org.apache.spark.sql.Column) =
+      call_function("rolling_hash", encode(c, "UTF-8"))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      rh(trim(col("text"))).as("rh_doc"),
+      rh(substring(trim(col("text")), 1, 64)).as("rh_chunk0"))
+  }
+
+  private def rhSql(expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(generate_series(1, length($expr)),
+       |                 i -> CAST(ord(substr($expr, i, 1)) AS BIGINT))),
+       |  (acc, x) -> (acc * 257 + x) % 1000000007)""".stripMargin
+
+  private val q69Sql =
+    s"""SELECT doc_id,
+      |  ${rhSql("trim(text)")} AS rh_doc,
+      |  ${rhSql("substr(trim(text), 1, 64)")} AS rh_chunk0
+      |FROM documents""".stripMargin
+
   /** q58 — 16-bit SimHash signatures (integer-exact votes). */
   private def q58(s: SparkSession, dir: String): DataFrame =
     TextDedup.simhash16(t(s, dir, "documents"), "doc_id", "text")
@@ -349,6 +377,7 @@ object TextQueries {
     QueryDef("q57_near_dup_topk", q57, Some(q57Sql)),
     QueryDef("q58_simhash", q58, Some(q58Sql)),
     QueryDef("q66_dup_clusters", q66, Some(q66Sql)),
-    QueryDef("q67_bpe_pretokens", q67, Some(q67Sql))
+    QueryDef("q67_bpe_pretokens", q67, Some(q67Sql)),
+    QueryDef("q69_rolling_fingerprint", q69, Some(q69Sql))
   )
 }

@@ -210,6 +210,19 @@ class MultimodalSpec extends AnyFunSuite {
     GraftSumCheck.check(spark)
   }
 
+  test("rolling_hash expression: known Rabin-Karp values, empty = 0") {
+    graft.plans.GraftFunctions.register(spark)
+    val got = Seq("hello world", "").toDF("s")
+      .select(call_function("rolling_hash", encode(col("s"), "UTF-8")).as("h"))
+      .collect().map(_.getLong(0))
+    // fold((h*257 + byte) % 1e9+7) over UTF-8 bytes, cross-checked
+    // against an independent computation of the same recurrence
+    assert(got(0) == 739570078L, s"got ${got(0)}")
+    assert(got(1) == 0L)
+    // direct helper agrees with the codegen'd path
+    assert(graft.plans.RollingHash.hash("hello world".getBytes("UTF-8")) == 739570078L)
+  }
+
   test("media table carries byte-accurate metadata") {
     val m = Multimodal.mediaTable(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getStruct(2)).toMap
