@@ -39,7 +39,18 @@ object AnalyzePipeline {
       regressorCoefficients: DataFrame, // (series, regressor_mode, center, coef bounds)
       bounds: DataFrame,             // (series, side, min_ds, max_ds, n)
       fitBounds: Map[String, (Double, Double)] = Map.empty, // id -> resolved (floor, cap)
-      horizons: Map[String, (Int, Int)] = Map.empty) // id -> honored (from, to) horizons
+      horizons: Map[String, (Int, Int)] = Map.empty, // id -> honored (from, to) horizons
+      cachedFrames: Seq[DataFrame] = Nil) { // request-scoped caches, released by close()
+
+    /** Release the request-scoped caches (per-request histories/splice).
+      * Each `analyze` call caches frames built from THAT request's data —
+      * distinct canonicalized plans per request — so a long-lived session
+      * serving many requests would otherwise accumulate CacheManager
+      * entries unboundedly. Call after the result frames are consumed;
+      * the result frames stay valid afterwards (they recompute from
+      * source if re-evaluated). Idempotent. */
+    def close(): Unit = cachedFrames.foreach(_.unpersist())
+  }
 
   private val PathPattern = "^[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)*$".r
 
@@ -185,7 +196,8 @@ object AnalyzePipeline {
     AnalyzeResult(covSpliced, tgtForecast, diag, coefs, bounds,
                   specOverrides.map { case (id, s) => id -> (s.floor, s.cap) },
                   correlations.map(c =>
-                    c.id -> (covHorizons(c.id), tgtHorizons(c.id))).toMap)
+                    c.id -> (covHorizons(c.id), tgtHorizons(c.id))).toMap,
+                  cachedFrames = Seq(covHist, tgtHist, covSpliced))
   }
 
   /** §3.3 `/saturating-growth/single` (`app.py:562-609`): fit the
@@ -244,6 +256,7 @@ object AnalyzePipeline {
     AnalyzeResult(forecast.limit(0), forecast, diag,
                   forecast.sparkSession.emptyDataFrame, bounds,
                   specOverrides.map { case (id, s) => id -> (s.floor, s.cap) },
-                  horizons.map { case (id, h) => id -> (h, h) })
+                  horizons.map { case (id, h) => id -> (h, h) },
+                  cachedFrames = Seq(hist))
   }
 }

@@ -68,8 +68,22 @@ object ResponseAssembly {
     * under `"lags"` (`core.py:7-27`); `regressorCoefficients` naming the
     * covariate path; and the historical/future prediction frames.
     * `specs` supply the per-correlation request fields the reference
-    * echoes back (document names, index paths, grain). */
-  def toJson(result: AnalyzeResult, specs: Seq[CorrelationSpec]): String = {
+    * echoes back (document names, index paths, grain).
+    *
+    * TWO reference shapes exist and we support both explicitly:
+    * `app.py:211-247` assembles a dict with per-side `data` fields and
+    * `autocorrelations`/`partialAutocorrelations` blocks, but FastAPI's
+    * `response_model=AnalyticsResponse` filtering strips everything not
+    * in `responses.py` — `IndexResponse` has no `data` field and
+    * `CorrelationResponse` has no ACF/PACF blocks — so the on-the-wire
+    * JSON is a strict subset. Default (`servedContract = false`) is the
+    * richer assembled dict: the ACF/PACF diagnostics are the point of
+    * the "LLM context" product and silently computing-then-dropping
+    * them (what the reference actually does) is treated as a contract
+    * bug, documented here. `servedContract = true` emits exactly the
+    * post-filter wire shape for byte-level reference compatibility. */
+  def toJson(result: AnalyzeResult, specs: Seq[CorrelationSpec],
+             servedContract: Boolean = false): String = {
     val specOf = specs.map(c => c.id -> c).toMap
     val diag = result.diagnostics.collect().groupBy(r => (r.getString(0), r.getString(4)))
     val bounds = result.bounds.collect()
@@ -90,8 +104,12 @@ object ResponseAssembly {
         val (doc, idx, h) =
           if (side == "from") (spec.map(_.fromData), spec.map(_.fromIndex), fromH)
           else (spec.map(_.toData), spec.map(_.toIndex), toH)
-        val names = doc.map(d => s""""data": "${esc(d)}", "index": "${esc(idx.get)}", """)
-          .getOrElse("")
+        // "data" is app.py-dict-only: IndexResponse (responses.py:6-10)
+        // filters it from the served JSON
+        val names =
+          if (servedContract) idx.map(i => s""""index": "${esc(i)}", """).getOrElse("")
+          else doc.map(d => s""""data": "${esc(d)}", "index": "${esc(idx.get)}", """)
+            .getOrElse("")
         bounds.get((id, side)).map { b =>
           s"""{$names"minDate": "${fmtTs(b.getAs[java.sql.Timestamp]("min_ds"))}", "maxDate": "${fmtTs(b.getAs[java.sql.Timestamp]("max_ds"))}", "unitsForecasted": $h}"""
         }.getOrElse(s"{$names}")
@@ -106,15 +124,19 @@ object ResponseAssembly {
       }.mkString("[", ", ", "]")
       val units = spec.flatMap(_.grain).getOrElse("D")
 
+      // CorrelationResponse (responses.py:49-53) has no ACF/PACF blocks:
+      // the wire shape drops what app.py:229-239 computed
+      val acfBlocks = if (servedContract) "" else
+        s"""  "autocorrelations": {"description": "${esc(Explanations.autocorrelation)}",
+           |    "from": {"lags": ${acfJson("from")}}, "to": {"lags": ${acfJson("to")}}},
+           |  "partialAutocorrelations": {"description": "${esc(Explanations.partialAutocorrelation)}",
+           |    "from": {"lags": ${pacfJson("from")}}, "to": {"lags": ${pacfJson("to")}}},
+           |""".stripMargin
       s""""${esc(id)}": {
          |  "type": "prophet",
          |  "diagnostics": {"units": "${esc(units)}",
          |    "from": ${sideJson("from")}, "to": ${sideJson("to")}},
-         |  "autocorrelations": {"description": "${esc(Explanations.autocorrelation)}",
-         |    "from": {"lags": ${acfJson("from")}}, "to": {"lags": ${acfJson("to")}}},
-         |  "partialAutocorrelations": {"description": "${esc(Explanations.partialAutocorrelation)}",
-         |    "from": {"lags": ${pacfJson("from")}}, "to": {"lags": ${pacfJson("to")}}},
-         |  "regressorCoefficients": $coefJson,
+         |$acfBlocks  "regressorCoefficients": $coefJson,
          |  "predictions": {
          |    "historicalForecasts": ${hist.map(forecastRow).mkString("[", ", ", "]")},
          |    "futureForecasts": ${fut.map(forecastRow).mkString("[", ", ", "]")}}

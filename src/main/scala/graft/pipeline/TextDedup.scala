@@ -109,8 +109,13 @@ object TextDedup {
     * and minAgree=4, a J=0.1 background pair passes ~7% of the time
     * (13× fewer candidates) while a J=0.5 pair is lost only
     * P(Binom(16,0.5) < 4) ≈ 1% — the standard LSH practice of
-    * estimate-then-verify. Pair-sized broadcast joins against the
-    * signature frame; no new wide shuffle. */
+    * estimate-then-verify. The candidate-PAIR side is the small one
+    * (band-collision-sized), so it is what broadcasts — hinted below —
+    * while the doc-count-sized signature frame stays partitioned
+    * (broadcasting signatures would not survive a 100 TB corpus). If
+    * pairs ever exceed the broadcast threshold these degrade to keyed
+    * shuffle joins on doc id; still no cross join, no new wide shuffle
+    * of the shingle table. */
   def filterBySignatureAgreement(pairs: DataFrame, signature: DataFrame,
                                  nHashes: Int, minAgree: Int): DataFrame = {
     val hs = (0 until nHashes).map(i => s"h$i")
@@ -118,7 +123,7 @@ object TextDedup {
     val sb = signature.select(col("id").as("db") +: hs.map(h => col(h).as(s"b_$h")): _*)
     val agreement = hs.map(h => when(col(s"a_$h") === col(s"b_$h"), 1).otherwise(0))
       .reduce(_ + _)
-    pairs.join(sa, Seq("da")).join(sb, Seq("db"))
+    broadcast(pairs).join(sa, Seq("da")).join(sb, Seq("db"))
       .filter(agreement >= minAgree)
       .select("da", "db")
   }

@@ -44,9 +44,12 @@ object FrameLimitRule extends Rule[LogicalPlan] {
     * literal at least as tight — the optimizer re-runs the batch until
     * the plan stops changing, and an unconditional wrap would add a
     * nested least() every iteration. Sees through the null-preserving
-    * If(IsNull(stop), null, least(...)) wrapper this rule emits. */
+    * If(IsNull(stop), null, least(...)) wrapper this rule emits — and
+    * ONLY that exact shape: a looser `case If(_, _, inner)` would treat
+    * any user-written conditional whose else-branch happens to contain
+    * a tight least() as already-capped and silently skip the pushdown. */
   private def alreadyBounded(stop: Expression, k: Long): Boolean = stop match {
-    case If(_, _, inner) => alreadyBounded(inner, k)
+    case If(IsNull(_), Literal(null, LongType), inner) => alreadyBounded(inner, k)
     case Least(children) => children.exists {
       case Literal(v: Long, LongType) => v <= k - 1
       case _                          => false

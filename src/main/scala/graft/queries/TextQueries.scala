@@ -218,6 +218,15 @@ object TextQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def nearDupFrame(s: SparkSession, dir: String): DataFrame =
     nearDupMemo.getOrElseUpdate((s, dir), {
+      // eviction: at most ONE cached pair frame per session. A session
+      // that walks many data dirs (bench warmup at sf0.001 then timing
+      // at sf0.1, or a long-lived service) would otherwise accumulate a
+      // CacheManager entry per dir forever; the memo's purpose is reuse
+      // across q56/q57/q66 on the CURRENT dir, so the previous dir's
+      // frame is released on replacement.
+      nearDupMemo.keys.filter(_._1 eq s).foreach { k =>
+        nearDupMemo.remove(k).foreach(_.unpersist())
+      }
       val docs = t(s, dir, "documents")
       val sh = TextDedup.bigramShingles(docs, "doc_id", "text")
       val sig = TextDedup.minhashSignature(

@@ -52,7 +52,16 @@ package object queries {
   /** Idempotent cache: repeated pipeline invocations produce the same
     * canonicalized plan, and calling `.cache()` on it again makes the
     * CacheManager log "already cached" warnings. `storageLevel` is the
-    * public probe for an existing entry. */
+    * public probe for an existing entry.
+    *
+    * Lifecycle contract: the CALLER owns release. Each distinct
+    * input/param combination is a distinct canonicalized plan and
+    * therefore a distinct CacheManager entry for the session's lifetime;
+    * pipelines that cache request-scoped frames must expose an
+    * unpersist path (AnalyzePipeline → `AnalyzeResult.close()`,
+    * TextQueries → per-session memo eviction, Similarity index frames →
+    * one entry per (input, params), reused across calls — a service
+    * cycling many distinct corpora should `unpersist()` retired ones). */
   def cacheOnce(df: DataFrame): DataFrame =
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache() else df
 }
