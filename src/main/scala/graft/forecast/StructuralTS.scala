@@ -1,7 +1,5 @@
 package graft.forecast
 
-import scala.util.Random
-
 /** Prophet-equivalent structural time-series fitter (SURVEY §2.7 C3-C8).
   *
   * The reference calls `prophet.Prophet` (`app.py:124-137`,
@@ -22,8 +20,19 @@ import scala.util.Random
   *   - logistic growth fit in logit space of capacity utilization rather
   *     than Stan's nonlinear trend (predictions still respect floor/cap
   *     exactly);
-  *   - uncertainty via seeded deterministic trend-continuation sampling
-  *     (same generative story, fixed RNG → reproducible outputs).
+  *   - uncertainty via the CLOSED FORM of Prophet's trend-continuation
+  *     generative story instead of Monte-Carlo sampling: future
+  *     changepoints arrive as a Poisson stream at the historical rate λ
+  *     with Laplace(0, b) slope changes (b = mean |historical delta|,
+  *     Prophet's own plug-in), so by Campbell's theorem the extra-trend
+  *     variance at scaled future time τ is exactly
+  *     `V(τ) = λ · 2b² · (τ−1)³ / 3` — the analytic limit of the
+  *     sampler as samples → ∞. Intervals are Gaussian quantiles of
+  *     N(0, V(τ) + σ_obs²). Deterministic and engine-portable: the
+  *     numpy mirror in `tools/golden_gen.py` reproduces every interval
+  *     column to float tolerance, so the goldens pin them
+  *     (GoldenParitySpec). O(1) per row instead of
+  *     O(uncertainty_samples).
   *
   * Pure JVM math, no Spark imports: executed inside `flatMapGroups`
   * tasks by [[Forecaster]], one series per call.
@@ -42,12 +51,14 @@ object StructuralTS {
       yearlyOrder: Int = 10,
       dailyOrder: Int = 4,
       intervalWidth: Double = 0.8,            // Prophet default
-      uncertaintySamples: Int = 1000,         // reference default (app.py:125)
+      /** Accepted for request-contract fidelity (`app.py:125/264`); the
+        * closed-form intervals are exact, so sample count no longer
+        * affects output (Prophet uses it only for MC precision). */
+      uncertaintySamples: Int = 1000,
       floor: Double = 0.0,
       cap: Double = 1.0,
       hasRegressor: Boolean = false,
       regressorPriorScale: Double = 10.0,
-      seed: Long = 20240101L,
       /** C10 prediction quantiles (`app.py:54-58` declares them; the
         * notebook prototype computes `np.quantile` over predictive
         * samples — same generative story here, seeded). */
@@ -244,60 +255,22 @@ object StructuralTS {
     val qLo = LinAlg.normInv(zLo)
     val qHi = LinAlg.normInv(zHi)
 
-    // deterministic future-trend simulation (Prophet's generative story,
-    // fixed seed): changepoints arrive uniformly at the historical rate,
-    // deltas ~ Laplace(0, mean |delta_hist|)
-    val tMaxScaled = 1.0
-    val futureIdx = tSec.zipWithIndex.filter { case (t, _) => (t - m.t0) / m.tScaleSec > tMaxScaled }
-    val nSamples = math.max(spec.uncertaintySamples, 1)
-    val rng = new Random(spec.seed)
+    // Closed-form trend-continuation uncertainty (see object doc):
+    // changepoints after history end arrive as a Poisson stream at the
+    // historical rate λ (per unit scaled time) with Laplace(0, b) slope
+    // deltas, so extra(τ) = Σ δ_i (τ − loc_i)₊ has mean 0 and, by
+    // Campbell's theorem, Var = λ · E[δ²] · ∫₁^τ (τ−u)² du
+    //                         = λ · 2b² · (τ−1)³ / 3.
+    // Exactly the sampler's limit as samples → ∞; no RNG, bit-portable.
     val histRate = if (m.changepointsTs.nonEmpty)
       m.changepointsTs.length / math.max(m.spec.changepointRange, 1e-9) else 0.0
-
-    // per future sample: extra trend offsets per future row
-    val futureScaledTimes = futureIdx.map { case (t, _) => (t - m.t0) / m.tScaleSec }
-    val maxFut = if (futureScaledTimes.nonEmpty) futureScaledTimes.max else 1.0
-    val nFut = futureScaledTimes.length
-    val extras: Array[Array[Double]] = Array.ofDim(nSamples, nFut)
-    if (nFut > 0 && histRate > 0 && m.deltaMeanAbs > 0) {
-      var s = 0
-      while (s < nSamples) {
-        val horizon = maxFut - 1.0
-        val expected = histRate * horizon
-        val nCp = (expected + rng.nextGaussian() * math.sqrt(math.max(expected, 1e-12))).round.toInt
-        var c = 0
-        while (c < math.max(nCp, 0)) {
-          val loc = 1.0 + rng.nextDouble() * horizon
-          // Laplace draw via inverse CDF
-          val u = rng.nextDouble() - 0.5
-          val delta = -m.deltaMeanAbs * math.signum(u) * math.log(1 - 2 * math.abs(u))
-          var f = 0
-          while (f < nFut) {
-            val d = futureScaledTimes(f) - loc
-            if (d > 0) extras(s)(f) += delta * d
-            f += 1
-          }
-          c += 1
-        }
-        s += 1
+    val deltaVar = 2.0 * m.deltaMeanAbs * m.deltaMeanAbs // Laplace(0,b): Var = 2b²
+    def trendVar(ts: Double): Double =
+      if (ts <= 1.0 || histRate <= 0.0) 0.0
+      else {
+        val h = ts - 1.0
+        histRate * deltaVar * h * h * h / 3.0
       }
-    }
-
-    val futPos: Map[Int, Int] = futureIdx.map(_._2).zipWithIndex.toMap
-
-    // observation-noise draws for sample-based future quantiles (drawn
-    // after the trend extras so the rng sequence is fixed per model)
-    val noiseMat: Array[Array[Double]] =
-      if (spec.quantiles.nonEmpty && nFut > 0)
-        Array.fill(nSamples, nFut)(rng.nextGaussian())
-      else Array.empty
-
-    def sortedQuantile(col: Array[Double], p: Double): Double = {
-      val pos = p * (col.length - 1)
-      val lo = pos.toInt
-      val hi = math.min(lo + 1, col.length - 1)
-      col(lo) + (pos - lo) * (col(hi) - col(lo))
-    }
 
     Array.tabulate(n) { i =>
       val f = features(tSec(i), m)
@@ -309,19 +282,13 @@ object StructuralTS {
       val trZ = trendScaled(m, ts)
       val addZ = zhat - trZ
 
-      val (trendSpread, yhatSpreadExtra) = futPos.get(i) match {
-        case Some(fi) =>
-          val col = extras.map(_(fi))
-          java.util.Arrays.sort(col)
-          def q(p: Double): Double = {
-            val pos = p * (col.length - 1)
-            val lo = pos.toInt
-            val hi = math.min(lo + 1, col.length - 1)
-            col(lo) + (pos - lo) * (col(hi) - col(lo))
-          }
-          ((q(zLo), q(zHi)), true)
-        case None => ((0.0, 0.0), false)
-      }
+      val vTrend = trendVar(ts)            // 0 on historical rows
+      val sTrend = math.sqrt(vTrend)
+      // yhat bounds: trend continuation and observation noise are
+      // independent, so the predictive spread is the quantile of their
+      // SUM'S distribution N(0, V+σ²) — not the sum of two quantiles
+      // (which the old sampler approximated and overstates)
+      val sTot = math.sqrt(vTrend + m.sigmaObs * m.sigmaObs)
 
       def out(v: Double) = invTransformY(m.yOffset + v * m.yScale, m.spec)
       val yhat = out(zhat)
@@ -330,22 +297,14 @@ object StructuralTS {
       // them in fitting space and map through out()
       val qvals: Array[Double] =
         if (spec.quantiles.isEmpty) Array.empty
-        else futPos.get(i) match {
-          case Some(fi) =>
-            val samples = Array.tabulate(extras.length)(s =>
-              extras(s)(fi) + m.sigmaObs * noiseMat(s)(fi))
-            java.util.Arrays.sort(samples)
-            spec.quantiles.map(p => out(zhat + sortedQuantile(samples, p))).toArray
-          case None =>
-            spec.quantiles.map(p => out(zhat + m.sigmaObs * LinAlg.normInv(p))).toArray
-        }
+        else spec.quantiles.map(p => out(zhat + LinAlg.normInv(p) * sTot)).toArray
       Prediction(
         yhat = yhat,
-        yhatLower = out(zhat + trendSpread._1 + qLo * m.sigmaObs),
-        yhatUpper = out(zhat + trendSpread._2 + qHi * m.sigmaObs),
+        yhatLower = out(zhat + qLo * sTot),
+        yhatUpper = out(zhat + qHi * sTot),
         trend = trend,
-        trendLower = out(trZ + trendSpread._1),
-        trendUpper = out(trZ + trendSpread._2),
+        trendLower = out(trZ + qLo * sTrend),
+        trendUpper = out(trZ + qHi * sTrend),
         additive = out(zhat) - out(trZ),
         additiveLower = out(trZ + addZ + qLo * m.sigmaObs) - out(trZ),
         additiveUpper = out(trZ + addZ + qHi * m.sigmaObs) - out(trZ),

@@ -108,13 +108,44 @@ class ForecasterSpec extends AnyFunSuite {
     assert(math.abs(center - xs.sum / 90) < 1e-9)
   }
 
-  test("outputs are deterministic (seeded uncertainty)") {
+  test("outputs are deterministic (closed-form intervals, no RNG)") {
     val hist = mkDaily(50, i => 5.0 + i + 3 * math.sin(i / 3.0)).toDF("series", "ds", "y")
     val fut = Forecaster.futureGrid(hist, "D", 7)
     val spec = StructuralTS.FitSpec(uncertaintySamples = 100)
     val a = Forecaster.forecast(hist, fut, spec).orderBy("ds").collect().map(_.toString)
     val b = Forecaster.forecast(hist, fut, spec).orderBy("ds").collect().map(_.toString)
     assert(a.sameElements(b))
+  }
+
+  test("interval bounds: bracket yhat, collapse to ±q·σ on history, widen with horizon") {
+    val rnd = new scala.util.Random(11)
+    val hist = mkDaily(80, i => 10.0 + 0.7 * i + rnd.nextGaussian()).toDF("series", "ds", "y")
+    val fut = Forecaster.futureGrid(hist, "D", 20)
+    val rows = Forecaster.forecast(hist, fut, StructuralTS.FitSpec())
+      .orderBy("ds").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("yhat_lower") <= r.getAs[Double]("yhat") + 1e-9)
+      assert(r.getAs[Double]("yhat") <= r.getAs[Double]("yhat_upper") + 1e-9)
+      assert(r.getAs[Double]("trend_lower") <= r.getAs[Double]("trend") + 1e-9)
+      assert(r.getAs[Double]("trend") <= r.getAs[Double]("trend_upper") + 1e-9)
+    }
+    // historical rows: no trend-continuation variance -> trend bounds
+    // equal trend, yhat width constant (2·|q|·σ)
+    val histRows = rows.filter(_.getAs[String]("segment") == "historical")
+    histRows.foreach { r =>
+      assert(r.getAs[Double]("trend_lower") == r.getAs[Double]("trend"))
+      assert(r.getAs[Double]("trend_upper") == r.getAs[Double]("trend"))
+    }
+    val histWidths = histRows.map(r => r.getAs[Double]("yhat_upper") - r.getAs[Double]("yhat_lower"))
+    assert(histWidths.max - histWidths.min < 1e-9)
+    // future rows: V(τ) = λ·2b²·(τ−1)³/3 grows with τ, so widths are
+    // strictly increasing with horizon
+    val futWidths = rows.filter(_.getAs[String]("segment") == "future")
+      .map(r => r.getAs[Double]("yhat_upper") - r.getAs[Double]("yhat_lower"))
+    assert(futWidths.length == 20)
+    assert(futWidths.sliding(2).forall(p => p(0) < p(1)),
+           s"future widths not increasing: ${futWidths.take(5).mkString(",")}")
+    assert(futWidths.head >= histWidths.max - 1e-9)
   }
 
   test("quantile forecasts are monotone and bracket yhat (C10)") {

@@ -21,6 +21,12 @@ import scala.jdk.CollectionConverters._
   * Tolerance: |Δyhat| ≤ 1e-6 · max(1, max|y|) per series — float-solver
   * slack only; any modeling drift (a changed basis, prior, or scaling)
   * fails by orders of magnitude.
+  *
+  * Since round 4 the goldens also pin the INTERVAL columns
+  * (yhat_lower/upper, trend_lower/upper): the closed-form
+  * trend-continuation scheme is deterministic, so the numpy mirror
+  * reproduces the bounds exactly and the 13-column contract's largest
+  * previously-unanchored numeric surface is now cross-checked.
   */
 class GoldenParitySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -35,19 +41,22 @@ class GoldenParitySpec extends AnyFunSuite {
     try mapper.readTree(in) finally in.close()
   }
 
-  /** (series, epochSec) -> (yhat, trend) from a forecast frame. */
+  /** Golden column order after epoch_sec: matches golden_gen.py. */
+  private val valueCols =
+    Seq("yhat", "trend", "yhat_lower", "yhat_upper", "trend_lower", "trend_upper")
+
+  /** (series, epochSec) -> value columns from a forecast frame. */
   private def collectFrame(df: org.apache.spark.sql.DataFrame)
-      : Map[(String, Long), (Double, Double)] =
-    df.select("series", "ds", "yhat", "trend").collect().map { r =>
-      (r.getString(0), r.getTimestamp(1).getTime / 1000L) ->
-        (r.getDouble(2), r.getDouble(3))
-    }.toMap
+      : Map[(String, Long), Array[Double]] =
+    df.select((Seq("series", "ds") ++ valueCols).map(org.apache.spark.sql.functions.col): _*)
+      .collect().map { r =>
+        (r.getString(0), r.getTimestamp(1).getTime / 1000L) ->
+          Array.tabulate(valueCols.length)(i => r.getDouble(2 + i))
+      }.toMap
 
   private def assertParity(fixtureJson: String, goldenName: String): Unit = {
     val g = golden(goldenName)
     val parsed = RequestParser.parse(spark, fixtureJson)
-    // uncertaintySamples only shapes the interval columns, which the
-    // goldens deliberately exclude (seeded JVM RNG ≠ numpy RNG)
     val result = AnalyzePipeline.analyze(
       parsed.documents, parsed.correlations.map(_.copy(uncertaintySamples = 20)))
     val tgt = collectFrame(result.targetForecasts)
@@ -58,21 +67,20 @@ class GoldenParitySpec extends AnyFunSuite {
     for (id <- g.fieldNames().asScala) {
       val gc = g.get(id)
       val tol = 1e-6 * math.max(1.0, gc.get("y_abs_max").asDouble)
-      def check(frame: Map[(String, Long), (Double, Double)],
+      def check(frame: Map[(String, Long), Array[Double]],
                 rows: JsonNode, what: String): Unit = {
         val expected = rows.elements().asScala.map { r =>
-          (r.get(0).asDouble.toLong, (r.get(1).asDouble, r.get(2).asDouble))
+          (r.get(0).asDouble.toLong,
+           Array.tabulate(valueCols.length)(i => r.get(1 + i).asDouble))
         }.toMap
         val got = frame.collect { case ((s, t), v) if s == id => t -> v }
         assert(got.keySet == expected.keySet,
                s"$id/$what ds mismatch: ${(got.keySet diff expected.keySet).take(3)} " +
                s"extra, ${(expected.keySet diff got.keySet).take(3)} missing")
-        for ((t, (eYhat, eTrend)) <- expected) {
-          val (aYhat, aTrend) = got(t)
-          assert(math.abs(aYhat - eYhat) <= tol,
-                 s"$id/$what yhat@$t: $aYhat vs golden $eYhat (tol $tol)")
-          assert(math.abs(aTrend - eTrend) <= tol,
-                 s"$id/$what trend@$t: $aTrend vs golden $eTrend (tol $tol)")
+        for ((t, evals) <- expected; (cname, ci) <- valueCols.zipWithIndex) {
+          val actual = got(t)(ci)
+          assert(math.abs(actual - evals(ci)) <= tol,
+                 s"$id/$what $cname@$t: $actual vs golden ${evals(ci)} (tol $tol)")
         }
       }
       check(tgt, gc.get("target"), "target")

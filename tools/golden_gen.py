@@ -13,8 +13,13 @@ date/bucketing code), on the reference's OWN fixture requests:
                                             defaulted to "D", 3 corrs)
 
 Output: src/test/resources/golden/<name>.json with per-correlation target
-and covariate forecast frames [epoch_sec, yhat, trend] plus the regressor
-coefficient. GoldenParitySpec runs the Scala pipeline end-to-end
+and covariate forecast frames
+[epoch_sec, yhat, trend, yhat_lower, yhat_upper, trend_lower, trend_upper]
+plus the regressor coefficient. The interval columns mirror StructuralTS's
+closed-form trend-continuation uncertainty (Campbell variance of the
+Poisson-Laplace changepoint stream, Gaussian quantiles of N(0, V+sigma^2))
+— deterministic, so cross-implementation parity extends to the bounds.
+GoldenParitySpec runs the Scala pipeline end-to-end
 (RequestParser -> AnalyzePipeline) on the same fixtures and asserts
 tight-band agreement: two independent implementations of one spec.
 
@@ -83,6 +88,32 @@ def extract_series(doc_records, path, grain, agg):
 WEEKLY_ORDER, YEARLY_ORDER, DAILY_ORDER = 3, 10, 4
 SEAS_PRIOR, REG_PRIOR = 10.0, 10.0
 N_CHANGEPOINTS, CP_RANGE = 25, 0.8
+INTERVAL_WIDTH = 0.8  # Prophet default; bounds at the 10%/90% quantiles
+
+
+def norm_inv(p):
+    """Acklam's rational approximation — the same coefficients as
+    LinAlg.normInv, so both implementations agree to ~1e-9."""
+    assert 0 < p < 1
+    a = [-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+         1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+         6.680131188771972e+01, -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+         -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+         3.754408661907416e+00]
+    p_low = 0.02425
+    if p < p_low:
+        q = math.sqrt(-2 * math.log(p))
+        return ((((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) /
+                ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1))
+    if p <= 1 - p_low:
+        q = p - 0.5
+        r = q * q
+        return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / \
+               (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1)
+    return -norm_inv(1 - p)
 
 
 def design(t, t0, t_scale, cps, weekly, yearly, daily, x_std=None):
@@ -146,23 +177,48 @@ def fit(t, y, x=None, cp_prior=0.8):
         np.full(n_seas, 1.0 / SEAS_PRIOR ** 2),
         [1.0 / REG_PRIOR ** 2] if x is not None else []])
     beta = np.linalg.solve(X.T @ X + np.diag(lam), X.T @ z)
+    # residual std (scaled space, n-1 divisor) and mean |changepoint
+    # delta| — the two plug-ins of the closed-form interval scheme
+    resid = z - X @ beta
+    sigma_obs = math.sqrt(float((resid ** 2).sum()) / max(n - 1, 1))
+    deltas = beta[2:2 + len(cps)]
+    delta_mean_abs = float(np.abs(deltas).mean()) if len(deltas) else 0.0
     return dict(t0=t0, t_scale=t_scale, cps=cps, beta=beta, y_scale=y_scale,
                 weekly=weekly, yearly=yearly, daily=daily,
-                x_mean=x_mean, x_sd=x_sd)
+                x_mean=x_mean, x_sd=x_sd,
+                sigma_obs=sigma_obs, delta_mean_abs=delta_mean_abs)
 
 
 def predict(m, t, x=None):
+    """yhat, trend, and the closed-form interval bounds (linear growth:
+    out(v) = v * y_scale, so everything is computed in z space and
+    scaled at the end — same order of operations as StructuralTS)."""
     xs = (x - m["x_mean"]) / m["x_sd"] if x is not None else None
     X = design(t, m["t0"], m["t_scale"], m["cps"], m["weekly"], m["yearly"],
                m["daily"], xs)
-    yhat = (X @ m["beta"]) * m["y_scale"]
+    zhat = X @ m["beta"]
     ts = (t - m["t0"]) / m["t_scale"]
-    ncp = len(m["cps"])
     trend_z = m["beta"][0] + m["beta"][1] * ts
     for i, c in enumerate(m["cps"]):
         d = ts - c
         trend_z = trend_z + m["beta"][2 + i] * np.where(d > 0, d, 0.0)
-    return yhat, trend_z * m["y_scale"]
+
+    # Campbell variance of the Poisson-Laplace trend continuation:
+    # V(tau) = rate * 2 b^2 * (tau-1)^3 / 3 for tau > 1, else 0
+    rate = len(m["cps"]) / CP_RANGE if len(m["cps"]) else 0.0
+    delta_var = 2.0 * m["delta_mean_abs"] ** 2
+    h = np.maximum(ts - 1.0, 0.0)
+    v_trend = np.where((ts > 1.0) & (rate > 0.0),
+                       rate * delta_var * h * h * h / 3.0, 0.0)
+    s_trend = np.sqrt(v_trend)
+    s_tot = np.sqrt(v_trend + m["sigma_obs"] ** 2)
+    q_lo = norm_inv((1 - INTERVAL_WIDTH) / 2)
+    q_hi = norm_inv(1 - (1 - INTERVAL_WIDTH) / 2)
+
+    ys = m["y_scale"]
+    return (zhat * ys, trend_z * ys,
+            (zhat + q_lo * s_tot) * ys, (zhat + q_hi * s_tot) * ys,
+            (trend_z + q_lo * s_trend) * ys, (trend_z + q_hi * s_trend) * ys)
 
 # ---------------------------------------------------------------- pipeline
 
@@ -185,7 +241,8 @@ def run_analyze(documents, correlations):
         cov_m = fit(cov_t, cov_y, cp_prior=cp_prior)
         cov_fut = cov_t[-1] + DAY * np.arange(1, cov_h + 1)
         cov_all = np.concatenate([cov_t, cov_fut])
-        cov_yhat, cov_trend = predict(cov_m, cov_all)
+        cov_yhat, cov_trend, cov_ylo, cov_yhi, cov_tlo, cov_thi = \
+            predict(cov_m, cov_all)
 
         # J1+J2 splice: observed wins on history, forecast fills future
         cov_x = {t: y for t, y in zip(cov_t, cov_y)}
@@ -201,14 +258,17 @@ def run_analyze(documents, correlations):
         x_all = np.array([cov_x.get(t, 0.0) for t in tgt_all])
 
         tgt_m = fit(tgt_t, tgt_y, tgt_x, cp_prior=cp_prior)
-        tgt_yhat, tgt_trend = predict(tgt_m, tgt_all, x_all)
+        tgt_yhat, tgt_trend, tgt_ylo, tgt_yhi, tgt_tlo, tgt_thi = \
+            predict(tgt_m, tgt_all, x_all)
 
         coef = tgt_m["beta"][-1] * tgt_m["y_scale"] / tgt_m["x_sd"]
         out[c["id"]] = {
-            "target": [[t, yh, tr] for t, yh, tr
-                       in zip(tgt_all, tgt_yhat, tgt_trend)],
-            "covariate": [[t, yh, tr] for t, yh, tr
-                          in zip(cov_all, cov_yhat, cov_trend)],
+            "target": [list(row) for row in
+                       zip(tgt_all, tgt_yhat, tgt_trend,
+                           tgt_ylo, tgt_yhi, tgt_tlo, tgt_thi)],
+            "covariate": [list(row) for row in
+                          zip(cov_all, cov_yhat, cov_trend,
+                              cov_ylo, cov_yhi, cov_tlo, cov_thi)],
             "coef": coef, "coef_center": tgt_m["x_mean"],
             "y_abs_max": float(np.abs(tgt_y).max()),
         }
