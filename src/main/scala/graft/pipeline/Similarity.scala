@@ -64,16 +64,34 @@ object Similarity extends org.apache.spark.internal.Logging {
 
   /** Approximate top-k: only vectors sharing an LSH bucket are compared.
     * `planes` are the hyperplane normals (deterministic; callers pass a
-    * fixed set, e.g. the first few corpus vectors). */
-  def lshBucketTopK(emb: DataFrame, planes: Seq[Seq[Double]], k: Int): DataFrame = {
+    * fixed set, e.g. the first few corpus vectors).
+    *
+    * `multiProbe = true` additionally probes every Hamming-1 neighbor
+    * bucket on the QUERY side — the sign-LSH analogue of IVF's nprobe
+    * (same explode pattern as [[ivfTopK]]): a true near neighbor that
+    * landed one plane-flip away is recovered at the cost of scanning
+    * `nPlanes` extra buckets per query, while the corpus side is still
+    * hashed and shuffled exactly once. No recall is bought with more
+    * planes (which would shrink buckets and LOWER recall); the probe
+    * set is the knob. Each corpus vector lives in exactly one bucket
+    * and the probe list is distinct, so a (query, neighbor) pair can
+    * match at most once — no dedup step needed. The emitted `bucket`
+    * is the MATCHED (neighbor's home) bucket, mirroring ivfTopK's
+    * matched-cell semantics. */
+  def lshBucketTopK(emb: DataFrame, planes: Seq[Seq[Double]], k: Int,
+                    multiProbe: Boolean = false): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     // the bucket assignment is the LSH index — materialize once so the
     // plane projections run one pass, not once per join side
     val bucketed = graft.queries.cacheOnce(
       withNorm(emb).select(col("vec_id"), col("v"), col("nrm"),
                            bucketOf(col("v"), planes).as("bucket")))
+    val probes =
+      if (!multiProbe) array(col("bucket"))
+      else array(col("bucket") +: planes.indices.map(i =>
+        col("bucket").bitwiseXOR(lit(1L << i))): _*)
     val a = bucketed.select(col("vec_id").as("query_id"), col("v").as("qv"),
-                            col("nrm").as("qn"), col("bucket"))
+                            col("nrm").as("qn"), explode(probes).as("bucket"))
     val b = bucketed.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"), col("bucket"))
     val pairs = a.join(b, Seq("bucket")) // hash join on bucket — the scale path
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -40,13 +40,16 @@ object EmbeddingQueries {
       |  FROM pairs)
       |SELECT query_id, neighbor_id, cos, rn FROM ranked WHERE rn <= 5""".stripMargin
 
-  /** q60 — LSH-bucketed approximate NN: 6 sign-hyperplanes (the first 6
-    * corpus vectors as normals) → 64 buckets → per-bucket top-3. */
+  /** q60 — LSH-bucketed approximate NN with Hamming-1 multi-probe: 6
+    * sign-hyperplanes (the first 6 corpus vectors as normals) → 64
+    * buckets; each query probes its home bucket plus the 6 one-bit-flip
+    * neighbors (the sign-LSH nprobe) → per-query top-3. `bucket` is the
+    * matched (neighbor's home) bucket. */
   private def q60(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val planes = e.filter(col("vec_id") < 6).orderBy("vec_id")
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
-    Similarity.lshBucketTopK(e, planes, 3)
+    Similarity.lshBucketTopK(e, planes, 3, multiProbe = true)
       .select(col("query_id"), col("neighbor_id"),
               col("bucket").cast("long").as("bucket"), col("cos"),
               col("rn").cast("long").as("rn"))
@@ -60,10 +63,16 @@ object EmbeddingQueries {
       |         CAST(sum(CASE WHEN ${dotSql("e.v", "p.pv")} > 0
       |                       THEN (CAST(1 AS BIGINT) << pid) ELSE 0 END) AS BIGINT) AS bucket
       |  FROM e CROSS JOIN p GROUP BY e.vec_id, e.v),
+      |probed AS (
+      |  SELECT vec_id, v, bucket AS pbucket FROM bk
+      |  UNION ALL
+      |  SELECT bk.vec_id, bk.v,
+      |         xor(bk.bucket, CAST(1 AS BIGINT) << p.pid) AS pbucket
+      |  FROM bk CROSS JOIN p),
       |pairs AS (
-      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket,
-      |         ${cosSql("a.v", "b.v")} AS cos
-      |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id),
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |         a.pbucket AS bucket, ${cosSql("a.v", "b.v")} AS cos
+      |  FROM probed a JOIN bk b ON a.pbucket = b.bucket AND b.vec_id <> a.vec_id),
       |ranked AS (
       |  SELECT query_id, neighbor_id, bucket, cos,
       |         row_number() OVER (PARTITION BY query_id

@@ -190,6 +190,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r1 >= 0.35, s"nprobe=1 recall $r1 below the cell-affinity lift")
   }
 
+  test("multi-probe LSH (Hamming-1) lifts recall@3 to >= 0.9 on clustered embeddings") {
+    // same planted-cluster corpus shape as the IVF recall test: near
+    // neighbors are same-cluster vectors whose sign patterns differ by
+    // at most a plane or two, so probing the Hamming-1 buckets recovers
+    // the pairs a single hashed bucket splits
+    val rnd = new scala.util.Random(13)
+    val centers = Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+    val data = (0 until 320).map { i =>
+      (i.toLong, centers(i % 16).map(_ + rnd.nextGaussian() * 0.15))
+    }.toDF("vec_id", "v")
+    val planes = Seq.fill(6)(Seq.fill(64)(rnd.nextGaussian()))
+    val truth = exactTop3(data)
+    def recall(mp: Boolean): Double = {
+      val got = Similarity.lshBucketTopK(data, planes, 3, multiProbe = mp).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    val r1 = recall(mp = false)
+    val rM = recall(mp = true)
+    assert(rM >= r1, s"multi-probe lowered recall: $r1 -> $rM")
+    assert(rM >= 0.9, s"multi-probe recall@3 is $rM (single-probe $r1)")
+  }
+
   test("LSH buckets separate opposite-sign vectors, keep identical together") {
     // second plane normal to z so no test vector lies ON a hyperplane
     val planes = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0))
