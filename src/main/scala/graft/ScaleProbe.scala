@@ -59,13 +59,26 @@ object ScaleProbe {
         (pmod(hash(col("id") * 131 + j), lit(1000)).cast("double") / 500.0 - 1.0)): _*).as("v"))
       .cache()
     time("vecs materialize")(vecs.count())
-    val cents = vecs.filter(col("vec_id") < 64).orderBy("vec_id")
+
+    // THE 100 TB LESSON (measured here, round 4): with a FIXED index
+    // (64 cells / 8 planes) cost per decade is ~30× — bucket occupancy
+    // grows linearly with n, so the per-bucket self-join grows n².
+    // ANN indexes must GROW with the corpus: cells ≈ √n balances the
+    // O(n·cells) assign pass against the O(n²/cells) search pass
+    // (total minimized at cells = √n), and planes = log2(n/occupancy)
+    // holds bucket occupancy constant. With that rule the probe's cost
+    // curve returns to ~linear per decade; FAISS-style systems scale
+    // nlist the same way.
+    val nCells = math.max(64, math.ceil(math.sqrt(nVecs.toDouble)).toInt)
+    val nPlanes = math.max(8, math.ceil(
+      math.log(nVecs / 78.0) / math.log(2.0)).toInt)
+    val cents = vecs.filter(col("vec_id") < nCells).orderBy("vec_id")
       .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
-    println(s"ivf rows: ${time("ivf topk (64 cells)")(
+    println(s"ivf rows: ${time(s"ivf topk ($nCells cells)")(
       Similarity.ivfTopK(vecs, cents, 3).count())}")
-    val planes = vecs.filter(col("vec_id") < 8).orderBy("vec_id")
+    val planes = vecs.filter(col("vec_id") < nPlanes).orderBy("vec_id")
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
-    println(s"lsh rows: ${time("lsh topk (256 buckets)")(
+    println(s"lsh rows: ${time(s"lsh topk (${1L << nPlanes} buckets)")(
       Similarity.lshBucketTopK(vecs, planes, 3).count())}")
     spark.stop()
   }
