@@ -206,6 +206,19 @@ class ApiSpec extends AnyFunSuite {
     for (k <- Seq("date", "prediction", "prediction_lower_bound", "trend",
                   "additive_terms", "multiplicative_terms_upper"))
       assert(firstHist.has(k), s"prediction record missing $k")
+
+    // servedContract = the post-response_model-filter wire shape:
+    // IndexResponse has no "data" field and CorrelationResponse has no
+    // ACF/PACF blocks (responses.py:6-10, 49-53); everything else stays
+    val served = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(ResponseAssembly.toJson(result, specs, servedContract = true))
+    val sc = served.get("correlations").get("corr1")
+    assert(!sc.has("autocorrelations") && !sc.has("partialAutocorrelations"))
+    val scFrom = sc.get("diagnostics").get("from")
+    assert(!scFrom.has("data") && scFrom.has("index") &&
+           scFrom.get("unitsForecasted").asInt == 7)
+    assert(sc.get("predictions").get("historicalForecasts").size ==
+           corr.get("predictions").get("historicalForecasts").size)
   }
 
   test("electricity-demand-style request: mixed dd-MM-yyyy dates, hourly grain, 3 correlations") {
