@@ -76,6 +76,10 @@ object ScaleProbe {
       .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
     println(s"ivf rows: ${time(s"ivf topk ($nCells cells)")(
       Similarity.ivfTopK(vecs, cents, 3).count())}")
+    // two-level quantizer at the same cell count: assign drops from
+    // O(cells) to O(√cells + 2·√cells) dots per row; search unchanged
+    println(s"ivf-hier rows: ${time(s"ivf-hier topk ($nCells cells, coarse 2)")(
+      Similarity.ivfTopK(vecs, cents, 3, nprobe = 1, coarseProbe = 2).count())}")
     val planes = vecs.filter(col("vec_id") < nPlanes).orderBy("vec_id")
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
     println(s"lsh rows: ${time(s"lsh topk (${1L << nPlanes} buckets)")(

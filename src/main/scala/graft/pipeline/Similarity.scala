@@ -146,6 +146,88 @@ object Similarity extends org.apache.spark.internal.Logging {
     transform(best, s => (-s.getField("ncid")).cast("long"))
   }
 
+  /** Two-level (coarse → fine) quantizer structure: fine centroids
+    * grouped under coarse centroids by nearest-coarse assignment. Built
+    * driver-side with a tiny pure-Scala k-means over the centroid
+    * vectors themselves (k ≤ ~thousands — microseconds; deterministic:
+    * initial coarse centers are evenly-spaced fine centroids, fixed
+    * iteration count, no RNG). */
+  case class CoarseIndex(coarse: Seq[Seq[Double]],
+                         groups: Seq[Seq[(Int, Seq[Double])]])
+
+  def buildCoarseIndex(centroids: Seq[(Int, Seq[Double])],
+                       coarseK0: Int = 0): CoarseIndex = {
+    require(centroids.nonEmpty, "buildCoarseIndex needs centroids")
+    val k = centroids.size
+    val coarseK = math.max(1, math.min(
+      if (coarseK0 > 0) coarseK0 else math.ceil(math.sqrt(k.toDouble)).toInt, k))
+    def cosSim(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.max(math.sqrt(na) * math.sqrt(nb), 1e-300)
+    }
+    // init: evenly spaced fine centroids; refine with 5 Lloyd rounds
+    var coarse: IndexedSeq[Seq[Double]] =
+      (0 until coarseK).map(i => centroids(i * k / coarseK)._2).toIndexedSeq
+    var assign: Seq[Int] = Nil
+    for (_ <- 0 until 5) {
+      assign = centroids.map { case (_, c) =>
+        (0 until coarseK).maxBy(g => (cosSim(c, coarse(g)), -g))
+      }
+      coarse = (0 until coarseK).map { g =>
+        val members = centroids.indices.filter(assign(_) == g)
+        if (members.isEmpty) coarse(g)
+        else {
+          val dim = centroids.head._2.length
+          val mean = new Array[Double](dim)
+          members.foreach(m => centroids(m)._2.indices.foreach(i => mean(i) += centroids(m)._2(i)))
+          mean.map(_ / members.size).toSeq
+        }
+      }.toIndexedSeq
+    }
+    // every group non-empty: empty groups keep their (unused) coarse
+    // center but must not appear as probe targets — drop them, keeping
+    // group order stable
+    val grouped = (0 until coarseK).map(g =>
+      centroids.indices.filter(assign(_) == g).map(centroids).toSeq)
+    val kept = grouped.zipWithIndex.filter(_._1.nonEmpty)
+    CoarseIndex(kept.map { case (_, g) => coarse(g) }, kept.map(_._1))
+  }
+
+  /** Hierarchical cell probe: score the √k coarse centers, descend into
+    * the best `coarseProbe` groups, and take the `nprobe` best fine
+    * cells among their members — O(√k + coarseProbe·k/√k) dot products
+    * per row instead of the flat quantizer's O(k). Same tie rule as
+    * [[ivfCellsOf]] (cos desc, lower cid), so with every group probed
+    * the result is EXACTLY the flat assignment (pinned by test); with
+    * fewer probed groups it is the standard hierarchical-ANN
+    * approximation. Centroid groups travel as one 3-D literal scanned
+    * by nested transforms — same single-literal shape that kept the
+    * flat scorer inside codegen limits. */
+  def ivfCellsOfHier(v: Column, nrm: Column, index: CoarseIndex,
+                     nprobe: Int, coarseProbe: Int = 2): Column = {
+    require(nprobe >= 1 && coarseProbe >= 1, s"nprobe=$nprobe coarseProbe=$coarseProbe")
+    val cvs = typedLit(index.coarse)
+    val cnorms = typedLit(index.coarse.map(c => math.sqrt(c.map(x => x * x).sum)))
+    val coarseScores = transform(sequence(lit(1), lit(index.coarse.size)), i =>
+      struct(round(dot(v, element_at(cvs, i)) / (nrm * element_at(cnorms, i)), 4).as("cos"),
+             (-i).as("ngi")))
+    val bestGroups = transform(
+      slice(reverse(array_sort(coarseScores)), 1, math.min(coarseProbe, index.groups.size)),
+      s => -s.getField("ngi"))
+    val gvs = typedLit(index.groups.map(_.map(_._2)))
+    val gnorms = typedLit(index.groups.map(_.map { case (_, c) => math.sqrt(c.map(x => x * x).sum) }))
+    val gids = typedLit(index.groups.map(_.map(_._1)))
+    val fineScores = flatten(transform(bestGroups, gi =>
+      transform(sequence(lit(1), size(element_at(gvs, gi))), i =>
+        struct(round(dot(v, element_at(element_at(gvs, gi), i)) /
+                     (nrm * element_at(element_at(gnorms, gi), i)), 4).as("cos"),
+               (-element_at(element_at(gids, gi), i)).as("ncid")))))
+    transform(slice(reverse(array_sort(fineScores)), 1, nprobe),
+              s => (-s.getField("ncid")).cast("long"))
+  }
+
   /** Train IVF centroids with Spark ML k-means (seeded → deterministic
     * given fixed data and parallelism). This is the production path for
     * [[ivfTopK]]'s coarse quantizer; the oracle-checked query uses
@@ -180,7 +262,7 @@ object Similarity extends org.apache.spark.internal.Logging {
     * production index trains them with k-means; the assign/partition/
     * search plumbing here is unchanged by how they were produced. */
   def ivfTopK(emb: DataFrame, centroids: Seq[(Int, Seq[Double])], k: Int,
-              nprobe: Int = 1): DataFrame = {
+              nprobe: Int = 1, coarseProbe: Int = 0): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     require(centroids.nonEmpty, "ivfTopK needs at least one centroid")
     // the (vec, home cell, probed cells) frame IS the inverted-file
@@ -190,10 +272,24 @@ object Similarity extends org.apache.spark.internal.Logging {
     // index rather than re-running the quantizer per probe. Home cell
     // and probed cells are projected together so codegen's
     // common-subexpression elimination shares the score array.
+    // coarseProbe > 0 switches to the two-level quantizer
+    // (ivfCellsOfHier): O(√k) instead of O(k) dots per assigned row —
+    // the cell-count scale path once k itself grows with the corpus.
+    // Home cell and probed cells then come from the SAME hierarchical
+    // descent, so a neighbor is matched iff its (hier) home cell is
+    // among the query's probes — consistent approximation on both
+    // sides.
+    val probeCells: Column =
+      if (coarseProbe <= 0) ivfCellsOf(col("v"), col("nrm"), centroids, nprobe)
+      else ivfCellsOfHier(col("v"), col("nrm"), buildCoarseIndex(centroids),
+                          nprobe, coarseProbe)
+    val homeCell: Column =
+      if (coarseProbe <= 0) ivfCellOf(col("v"), col("nrm"), centroids)
+      else element_at(probeCells, 1)
     val celled = graft.queries.cacheOnce(withNorm(emb).select(
       col("vec_id"), col("v"), col("nrm"),
-      ivfCellOf(col("v"), col("nrm"), centroids).as("cell"),
-      ivfCellsOf(col("v"), col("nrm"), centroids, nprobe).as("cells")))
+      homeCell.as("cell"),
+      probeCells.as("cells")))
     val a = celled.select(
         col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(col("cells")).as("cell"))

@@ -190,6 +190,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r1 >= 0.35, s"nprobe=1 recall $r1 below the cell-affinity lift")
   }
 
+  test("hierarchical IVF: probing every coarse group reproduces the flat result exactly") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < 32).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    val idx = Similarity.buildCoarseIndex(cents)
+    def rows(coarseProbe: Int) =
+      Similarity.ivfTopK(e, cents, 3, nprobe = 2, coarseProbe = coarseProbe)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+                             r.getAs[Long]("cell"), r.getAs[Double]("cos"))).toSet
+    // exhaustive coarse probing must descend into every fine cell, so
+    // the same tie rule yields the identical pair set — pins that the
+    // hierarchy changes COST, not semantics
+    assert(rows(idx.groups.size) == rows(0))
+  }
+
+  test("hierarchical IVF keeps recall@3 >= 0.9 on clustered embeddings at O(sqrt k) assign cost") {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+    val data = (0 until 320).map { i =>
+      (i.toLong, centers(i % 16).map(_ + rnd.nextGaussian() * 0.15))
+    }.toDF("vec_id", "v")
+    val cents = Similarity.trainCentroids(data, k = 16)
+    val truth = exactTop3(data)
+    val got = Similarity.ivfTopK(data, cents, 3, nprobe = 2, coarseProbe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    assert(recall >= 0.9, s"hierarchical recall@3 is $recall")
+  }
+
   test("multi-probe LSH (Hamming-1) lifts recall@3 to >= 0.9 on clustered embeddings") {
     // same planted-cluster corpus shape as the IVF recall test: near
     // neighbors are same-cluster vectors whose sign patterns differ by
