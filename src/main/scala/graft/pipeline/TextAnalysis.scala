@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Stateless text-analysis operators as a public library surface
+  * (token counting, quality scoring, language ID, fingerprinting) —
+  * the per-document transforms behind q50-q53, usable on ANY frame
+  * with a text column, batch or streaming: every expression here is a
+  * pure per-row projection (codegen'd `functions._` arithmetic, no
+  * UDFs, no state), so the same call works unchanged under Structured
+  * Streaming (StreamOpsSpec pins batch/stream parity).
+  *
+  * Token counting is length arithmetic (`length - length(replace)`),
+  * identical scan semantics in every engine — the DuckDB oracles in
+  * TextQueries mirror these expressions verbatim; change them only in
+  * lockstep. */
+object TextAnalysis {
+
+  /** Whitespace token count of the trimmed text. */
+  def tokenCount(text: Column): Column = {
+    val tr = trim(text)
+    (length(tr) - length(call_function("replace", tr, lit(" ")))) + 1
+  }
+
+  /** q50 projection: (id, n_tokens, text_len [, passthrough cols]). */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String,
+                 passthrough: Seq[String] = Nil): DataFrame =
+    df.select(
+      col(idCol) +:
+      tokenCount(col(textCol)).cast("long").as("n_tokens") +:
+      length(col(textCol)).cast("long").as("text_len") +:
+      passthrough.map(col): _*)
+
+  val stopwordsEn: Seq[String] = Seq("the", "a", "and", "of", "is")
+
+  /** q51 projection: token count, average token length, stopword
+    * ratio, composite quality score. */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String] = stopwordsEn): DataFrame = {
+    val text = col(textCol)
+    val tr = trim(text)
+    val nTok = tokenCount(text)
+    val noSpace = length(call_function("replace", tr, lit(" ")))
+    val stopHits = stopwords.map(w => TextDedup.wordOccurrences(text, w))
+      .reduce(_ + _)
+    df.select(
+      col(idCol),
+      nTok.cast("long").as("n_tokens"),
+      round(noSpace * 1.0 / nTok, 6).as("avg_token_len"),
+      round(stopHits * 1.0 / nTok, 6).as("stop_ratio"),
+      round((stopHits * 1.0 / nTok) * 0.5 + (noSpace * 1.0 / nTok) / 10.0 * 0.5, 6)
+        .as("quality_score"))
+  }
+
+  val defaultLangWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"))
+
+  /** q52 projection: per-language stopword evidence scores plus the
+    * argmax prediction (first language in list order attaining the
+    * max, "und" when no evidence). */
+  def languageId(df: DataFrame, idCol: String, textCol: String,
+                 langWords: Seq[(String, Seq[String])] = defaultLangWords): DataFrame = {
+    val scores = langWords.map { case (lang, ws) =>
+      lang -> ws.map(w => TextDedup.wordOccurrences(col(textCol), w)).reduce(_ + _)
+    }
+    val df0 = df.select(
+      (col(idCol) +: scores.map { case (l, c) => c.cast("long").as(s"s_$l") }): _*)
+    val pred = scores.map(_._1).foldRight(lit("und")) { (lang, acc) =>
+      when(col(s"s_$lang") >= scores.map(p => col(s"s_${p._1}")).reduce(greatest(_, _)) &&
+           col(s"s_$lang") > 0, lit(lang)).otherwise(acc)
+    }
+    df0.withColumn("lang_pred", pred)
+  }
+
+  /** q53 projection: md5 content fingerprint + 8-hex prefix. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      md5(trim(col(textCol))).as("fingerprint"),
+      substring(md5(trim(col(textCol))), 1, 8).as("fp_prefix"))
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.pipeline.TextDedup
+import graft.pipeline.{TextAnalysis, TextDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -71,16 +71,11 @@ object TextQueries {
     .mkString(" + ")
 
   /** q50 — token counting via pure length arithmetic (identical scan in
-    * both engines; no regex dialects involved). */
-  private def q50(s: SparkSession, dir: String): DataFrame = {
-    val tr = trim(col("text"))
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      ((length(tr) - length(call_function("replace", tr, lit(" ")))) + 1)
-        .cast("long").as("n_tokens"),
-      length(col("text")).cast("long").as("text_len"),
-      col("n_chars"))
-  }
+    * both engines; no regex dialects involved). Delegates to the public
+    * [[TextAnalysis.tokenStats]] surface. */
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(t(s, dir, "documents"), "doc_id", "text",
+                            passthrough = Seq("n_chars"))
 
   private val q50Sql =
     """SELECT doc_id,
@@ -88,24 +83,12 @@ object TextQueries {
       |  length(text) AS text_len, n_chars
       |FROM documents""".stripMargin
 
-  private val stopwordsEn = Seq("the", "a", "and", "of", "is")
+  private val stopwordsEn = TextAnalysis.stopwordsEn
 
   /** q51 — quality scoring: token count, average token length, stopword
-    * ratio, composite score. */
-  private def q51(s: SparkSession, dir: String): DataFrame = {
-    val tr = trim(col("text"))
-    val nTok = (length(tr) - length(call_function("replace", tr, lit(" ")))) + 1
-    val noSpace = length(call_function("replace", tr, lit(" ")))
-    val stopHits = stopwordsEn.map(w => TextDedup.wordOccurrences(col("text"), w))
-      .reduce(_ + _)
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      nTok.cast("long").as("n_tokens"),
-      round(noSpace * 1.0 / nTok, 6).as("avg_token_len"),
-      round(stopHits * 1.0 / nTok, 6).as("stop_ratio"),
-      round((stopHits * 1.0 / nTok) * 0.5 + (noSpace * 1.0 / nTok) / 10.0 * 0.5, 6)
-        .as("quality_score"))
-  }
+    * ratio, composite score ([[TextAnalysis.qualityScore]]). */
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
 
   private def occSql(word: String): String = {
     val pad = s"(' ' || trim(text) || ' ')"
@@ -128,27 +111,13 @@ object TextQueries {
       |FROM documents""".stripMargin
   }
 
-  private val langWords: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "and", "of", "is"),
-    "es" -> Seq("el", "la", "de", "y", "es"),
-    "de" -> Seq("der", "die", "das", "und", "ist"),
-    "fr" -> Seq("le", "la", "de", "et", "est"))
+  private val langWords: Seq[(String, Seq[String])] = TextAnalysis.defaultLangWords
 
   /** q52 — n-gram/stopword language ID heuristic: per-language evidence
-    * scores, argmax with a fixed preference order. */
-  private def q52(s: SparkSession, dir: String): DataFrame = {
-    val scores = langWords.map { case (lang, ws) =>
-      lang -> ws.map(w => TextDedup.wordOccurrences(col("text"), w)).reduce(_ + _)
-    }
-    val df0 = t(s, dir, "documents").select(
-      (col("doc_id") +: scores.map { case (l, c) => c.cast("long").as(s"s_$l") }): _*)
-    val pred = scores.map(_._1).foldRight(lit("und")) { (lang, acc) =>
-      // first language (in list order) attaining the max score wins
-      when(col(s"s_$lang") >= scores.map(p => col(s"s_${p._1}")).reduce(greatest(_, _)) &&
-           col(s"s_$lang") > 0, lit(lang)).otherwise(acc)
-    }
-    df0.withColumn("lang_pred", pred)
-  }
+    * scores, argmax with a fixed preference order
+    * ([[TextAnalysis.languageId]]). */
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
 
   private val q52Sql = {
     // occurrence terms divide to DOUBLE; cast back to BIGINT to match the
@@ -167,12 +136,9 @@ object TextQueries {
   }
 
   /** q53 — document fingerprint: md5 of normalized text (bit-identical
-    * hex in every engine). */
+    * hex in every engine; [[TextAnalysis.fingerprint]]). */
   private def q53(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      md5(trim(col("text"))).as("fingerprint"),
-      substring(md5(trim(col("text"))), 1, 8).as("fp_prefix"))
+    TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
 
   private val q53Sql =
     """SELECT doc_id, md5(trim(text)) AS fingerprint,

@@ -46,6 +46,34 @@ class StreamOpsSpec extends AnyFunSuite {
   test("daily windows match batch bucketing") { runParity("D") }
   test("weekly windows are Monday-aligned like date_trunc") { runParity("W") }
 
+  test("stateless text-analysis ops run unchanged on a stream (batch parity)") {
+    // the TextAnalysis surface is pure per-row projection (no state, no
+    // time semantics), so the SAME calls must work on a readStream
+    // frame in append mode — the streaming posture of the q50-q53 ops
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "the quick brown fox and the lazy dog"),
+      (2L, "el perro y el gato es de la casa"),
+      (3L, "x")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-stream-text").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+
+    def all(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.qualityScore(df, "doc_id", "text")
+        .join(TextAnalysis.languageId(df, "doc_id", "text"), "doc_id")
+        .join(TextAnalysis.fingerprint(df, "doc_id", "text"), "doc_id")
+
+    val expected = all(docs).collect().map(_.toString).toSet
+    val q = all(stream).writeStream.outputMode("append")
+      .format("memory").queryName("text_parity").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("text_parity").collect().map(_.toString).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("month grain has no fixed window duration") {
     intercept[IllegalArgumentException] { StreamOps.windowDuration("M") }
   }
