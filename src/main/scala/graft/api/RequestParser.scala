@@ -71,12 +71,18 @@ object RequestParser {
             foSide("fromIndex", "uncertaintySamples").map(_.toDouble.toInt).getOrElse(1000),
           floor = foSideCap("fromIndex", "floor").map(_.toDouble).getOrElse(0.0),
           ceiling = foSideCap("fromIndex", "ceiling").map(_.toDouble)))
+      // pydantic rejects a correlation missing its required fields with a
+      // named 422 detail (app.py:31-58); mirror the named-field error
+      // instead of a bare NoSuchElementException
+      def required(name: String): String = strOpt(r, name).getOrElse(
+        throw new IllegalArgumentException(
+          s"correlation ${strOpt(r, "id").getOrElse("?")}: required field '$name' missing"))
       CorrelationSpec(
         id = strOpt(r, "id").getOrElse("c0"),
-        fromData = strOpt(r, "fromData").get,
-        fromIndex = strOpt(r, "fromIndex").get,
-        toData = strOpt(r, "toData").get,
-        toIndex = strOpt(r, "toIndex").get,
+        fromData = required("fromData"),
+        fromIndex = required("fromIndex"),
+        toData = required("toData"),
+        toIndex = required("toIndex"),
         // the reference's pydantic default is grain "D" (app.py:39-43):
         // a request without dataSetGranularity still daily-buckets
         grain = strOpt(r, "dataSetGranularity").orElse(Some("D")),

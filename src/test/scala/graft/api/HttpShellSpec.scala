@@ -51,7 +51,19 @@ class HttpShellSpec extends AnyFunSuite {
       assert(single.body().contains("\"growth\": \"linear\"") &&
              single.body().contains("\"bounds\""))
 
+      // §3.2 pair route: nested ForecastingOptions defaults -> logistic
+      // (an empty toIndex struct would be pruned by schema inference —
+      // carry one real field so ForecastingOptions survives the parse)
+      val pair = post(port, "/saturating-growth",
+        request.replace("\"unitsToForecast\": 3",
+          "\"unitsToForecast\": 3, " +
+          "\"ForecastingOptions\": {\"toIndex\": {\"changepointPriorScale\": 0.5}}"))
+      assert(pair.statusCode() == 200, pair.body().take(200))
+      assert(pair.body().contains("\"growth\": \"logistic\""))
+
       assert(post(port, "/analyze", "{not json").statusCode() == 422)
+      val missing = post(port, "/analyze", request.replace("\"toData\": \"m\", ", ""))
+      assert(missing.statusCode() == 422 && missing.body().contains("toData"))
     } finally server.stop(0)
   }
 }
