@@ -109,13 +109,17 @@ object TextDedup {
     * and minAgree=4, a J=0.1 background pair passes ~7% of the time
     * (13× fewer candidates) while a J=0.5 pair is lost only
     * P(Binom(16,0.5) < 4) ≈ 1% — the standard LSH practice of
-    * estimate-then-verify. The candidate-PAIR side is the small one
-    * (band-collision-sized), so it is what broadcasts — hinted below —
-    * while the doc-count-sized signature frame stays partitioned
-    * (broadcasting signatures would not survive a 100 TB corpus). If
-    * pairs ever exceed the broadcast threshold these degrade to keyed
-    * shuffle joins on doc id; still no cross join, no new wide shuffle
-    * of the shingle table. */
+    * estimate-then-verify. The candidate-PAIR side is the smaller one
+    * (band-collision-sized, vs the doc-count-sized signature frame), and
+    * at bench scale AQE's runtime size check broadcasts it. We
+    * deliberately do NOT hint it: an explicit `broadcast()` forces a
+    * BroadcastHashJoin regardless of `autoBroadcastJoinThreshold`, and
+    * the pair set grows ~linearly with corpus size (95k pairs at 50k
+    * docs), so at the 100 TB posture a forced broadcast would collect a
+    * non-driver-sized frame. Unhinted, Spark broadcasts only when the
+    * measured size is small and otherwise plans keyed shuffle joins on
+    * doc id — still no cross join, no new wide shuffle of the shingle
+    * table. (PlanShapeSpec pins the no-forced-pair-broadcast shape.) */
   def filterBySignatureAgreement(pairs: DataFrame, signature: DataFrame,
                                  nHashes: Int, minAgree: Int): DataFrame = {
     val hs = (0 until nHashes).map(i => s"h$i")
@@ -123,7 +127,7 @@ object TextDedup {
     val sb = signature.select(col("id").as("db") +: hs.map(h => col(h).as(s"b_$h")): _*)
     val agreement = hs.map(h => when(col(s"a_$h") === col(s"b_$h"), 1).otherwise(0))
       .reduce(_ + _)
-    broadcast(pairs).join(sa, Seq("da")).join(sb, Seq("db"))
+    pairs.join(sa, Seq("da")).join(sb, Seq("db"))
       .filter(agreement >= minAgree)
       .select("da", "db")
   }
@@ -131,9 +135,10 @@ object TextDedup {
   /** Exact Jaccard over the shingle sets of candidate pairs only.
     *
     * Plan shape: `pairs` is band-collision-sized (tiny relative to the
-    * corpus), so the first join broadcasts it onto the shingle table
-    * map-side; only the (db, bg) intersection join shuffles shingles,
-    * once. A semi-filter of shingles down to candidate docs before the
+    * corpus), so Spark's size estimation broadcasts the first join onto
+    * the shingle table map-side at bench scale (unhinted — at corpus
+    * scale it degrades gracefully to a keyed shuffle join); only the
+    * (db, bg) intersection join shuffles shingles, once. A semi-filter of shingles down to candidate docs before the
     * wide join was tried and MEASURED 2.4× slower at bench scale: the
     * candidate list depends on the band self-join, so filtering by it
     * serializes the whole DAG behind pair generation and adds a second

@@ -110,6 +110,41 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup pair joins are never hint-forced broadcasts") {
+    // The candidate-pair frame ends in distinct() — an aggregate — so
+    // forcedBroadcastTables' recursion cut can't see through it and the
+    // fact-table test above is blind here. Pin the property directly on
+    // the operator composition (bypassing the q56 memo, whose plan is
+    // frozen under whatever config was live at first touch): with
+    // size-estimated broadcasts disabled, NO join on the doc-id pair
+    // keys (da/db) may remain a broadcast join. Pairs grow ~linearly
+    // with corpus size, so a hint-forced pair broadcast (which ignores
+    // autoBroadcastJoinThreshold) would OOM the driver at the 100 TB
+    // posture. Hinted broadcasts of genuinely bounded frames (the 1-row
+    // doc count, the frequent-shingle set) join on other keys and are
+    // unaffected.
+    import graft.pipeline.TextDedup
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val docs = graft.queries.t(spark, dir, "documents")
+      val sh = TextDedup.bigramShingles(docs, "doc_id", "text")
+      val sig = TextDedup.minhashSignature(
+        TextDedup.pruneFrequentShingles(sh, 0.1), 16)
+      val pairs = TextDedup.filterBySignatureAgreement(
+        TextDedup.candidatePairs(TextDedup.lshBands(sig, 16, 2)), sig, 16, 4)
+      val confirmed = TextDedup.jaccard(sh, pairs)
+      val pairKeyed = confirmed.queryExecution.sparkPlan.collect {
+        case b: BroadcastHashJoinExec
+          if (b.leftKeys ++ b.rightKeys).flatMap(_.references)
+            .exists(a => a.name == "da" || a.name == "db") => b
+      }
+      assert(pairKeyed.isEmpty,
+             s"near-dup path hint-forces a broadcast of the candidate-pair frame:\n${pairKeyed.mkString("\n")}")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("as-of join is one partitioned sort, not a range join explosion") {
     val p = planOf("q22_asof_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
