@@ -36,30 +36,41 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => }
       }
     spark.catalog.clearCache()
-    // Median-of-3 per query: single-shot timings on a shared box swing far
-    // beyond the real signal (BENCH_r03 measured 2x the reproducible total
-    // under host contention). Three runs + median is cheap (~3x a ~30 s
-    // total) and makes round-over-round deltas meaningful. Failures are
-    // NAMED on stderr and reported in the JSON instead of silently
+    // Median-of-3 per query, reps INTERLEAVED across full suite passes:
+    // single-shot timings on a shared box swing far beyond the real
+    // signal (BENCH_r03 measured 2x the reproducible total under host
+    // contention), and back-to-back reps of one query all sit inside the
+    // same multi-second contention window, so a per-query median-of-3
+    // cannot reject it (BENCH_r04's q10/q11 medians were ~10x their
+    // reproducible cost for exactly that reason). Running the whole
+    // suite `reps` times and taking each query's median ACROSS passes
+    // costs the same wall-clock but decorrelates the noise: a window
+    // that inflates pass 1's q10 leaves passes 2-3 untouched. Failures
+    // are NAMED on stderr and reported in the JSON instead of silently
     // becoming a fast "-1" that would improve the total.
     // Semantics: STEADY-STATE medians. Queries whose design includes a
     // once-per-(session,dir) materialized index (near-dup pair memo,
-    // ANN bucket/IVF indexes) pay the build in rep 1 and read the index
-    // in reps 2-3, so their median reports amortized per-query cost —
+    // ANN bucket/IVF indexes) pay the build in pass 1 and read the index
+    // in passes 2-3, so their median reports amortized per-query cost —
     // the served-workload number; the build cost itself is what
     // ScaleProbe measures.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
-            None
-        }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val timesByQuery = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (pass <- 1 to reps; name <- names) {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        timesByQuery(name) = ((System.nanoTime() - t0) / 1e9) :: timesByQuery.getOrElse(name, Nil)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILURE $name pass $pass: ${e.getClass.getName}: ${e.getMessage}")
       }
+    }
+    var failed = List.empty[String]
+    val results = names.map { name =>
+      val times = timesByQuery.getOrElse(name, Nil)
       if (times.isEmpty) { failed ::= name; name -> -1.0 }
       else name -> times.sorted.apply(times.size / 2)
     }

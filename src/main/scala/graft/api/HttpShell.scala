@@ -77,6 +77,19 @@ object HttpShell {
 
   def start(spark: SparkSession, port: Int): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
+    // A real executor: HttpServer's default (null) executor dispatches
+    // on the server thread, so one slow /analyze would serialize every
+    // request — the reference runs 3 uvicorn replicas behind a load
+    // balancer (docker-compose.yaml), i.e. concurrent service is part of
+    // the S1 contract. Spark sessions are thread-safe for concurrent
+    // actions, so a small fixed pool is all the shell needs; each
+    // request still releases its own caches via close() in the handler.
+    // Daemon threads: HttpServer.stop() does not shut down a caller-
+    // provided executor, and a non-daemon pool would pin the JVM after
+    // the shell is stopped (specs start/stop servers repeatedly).
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, Runtime.getRuntime.availableProcessors()),
+      (r: Runnable) => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t }))
     server.createContext("/health", handler(spark)("health"))
     server.createContext("/analyze", handler(spark)("analyze"))
     // more-specific path registered too: HttpServer matches the longest

@@ -66,4 +66,44 @@ class HttpShellSpec extends AnyFunSuite {
       assert(missing.statusCode() == 422 && missing.body().contains("toData"))
     } finally server.stop(0)
   }
+
+  test("concurrent analyze posts are served in parallel, not serialized") {
+    val server = HttpShell.start(spark, 0)
+    try {
+      val port = server.getAddress.getPort
+      // Two slow POSTs in flight plus a health probe: with the default
+      // (null) executor the probe would queue behind both analyses on
+      // the single dispatch thread; with the pool it answers while they
+      // run. Assert both that the probe overlaps an in-flight analysis
+      // and that both analyses complete correctly (cache lifecycle under
+      // concurrency).
+      import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+      val pool = Executors.newFixedThreadPool(2)
+      val started = new CountDownLatch(1)
+      val analyses = (1 to 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[HttpResponse[String]] {
+          override def call(): HttpResponse[String] = {
+            started.countDown()
+            post(port, "/analyze", request)
+          }
+        })
+      }
+      assert(started.await(10, TimeUnit.SECONDS))
+      Thread.sleep(300) // let both POSTs reach the server before probing
+      val t0 = System.nanoTime()
+      val health = get(port, "/health")
+      val healthSec = (System.nanoTime() - t0) / 1e9
+      assert(health.statusCode() == 200 && health.body() == "null")
+      val bodies = analyses.map(_.get(120, TimeUnit.SECONDS))
+      bodies.foreach { r =>
+        assert(r.statusCode() == 200, r.body().take(200))
+        assert(r.body().contains("futureForecasts"))
+      }
+      // an /analyze on this box takes seconds; a serialized shell would
+      // have held the probe behind at least one full analysis
+      assert(healthSec < 2.0,
+             f"health probe took $healthSec%.1f s — requests look serialized")
+      pool.shutdown()
+    } finally server.stop(0)
+  }
 }
