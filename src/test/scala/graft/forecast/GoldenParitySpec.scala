@@ -25,8 +25,11 @@ import scala.jdk.CollectionConverters._
   * Since round 4 the goldens also pin the INTERVAL columns
   * (yhat_lower/upper, trend_lower/upper): the closed-form
   * trend-continuation scheme is deterministic, so the numpy mirror
-  * reproduces the bounds exactly and the 13-column contract's largest
-  * previously-unanchored numeric surface is now cross-checked.
+  * reproduces the bounds exactly. Round 5 extends the pin to the full
+  * 13-column numeric surface: additive_terms and its bounds are golden
+  * columns, and the multiplicative terms — constant zero by construction
+  * on both sides (no multiplicative seasonality in the consumed surface)
+  * — are asserted to be exactly 0.0 on every row.
   */
 class GoldenParitySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -43,7 +46,11 @@ class GoldenParitySpec extends AnyFunSuite {
 
   /** Golden column order after epoch_sec: matches golden_gen.py. */
   private val valueCols =
-    Seq("yhat", "trend", "yhat_lower", "yhat_upper", "trend_lower", "trend_upper")
+    Seq("yhat", "trend", "yhat_lower", "yhat_upper", "trend_lower", "trend_upper",
+        "additive_terms", "additive_terms_lower", "additive_terms_upper")
+
+  private val multCols =
+    Seq("multiplicative_terms", "multiplicative_terms_lower", "multiplicative_terms_upper")
 
   /** (series, epochSec) -> value columns from a forecast frame. */
   private def collectFrame(df: org.apache.spark.sql.DataFrame)
@@ -61,6 +68,12 @@ class GoldenParitySpec extends AnyFunSuite {
       parsed.documents, parsed.correlations.map(_.copy(uncertaintySamples = 20)))
     val tgt = collectFrame(result.targetForecasts)
     val cov = collectFrame(result.covariateForecasts)
+    // the remaining 13-column fields: constant zero, on every row
+    for (frame <- Seq(result.targetForecasts, result.covariateForecasts)) {
+      val nonZero = frame.filter(multCols.map(c =>
+        org.apache.spark.sql.functions.col(c) =!= 0.0).reduce(_ || _)).count()
+      assert(nonZero == 0, s"multiplicative terms must be constant 0.0 ($nonZero rows differ)")
+    }
     val coefs = result.regressorCoefficients.collect()
       .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4))).toMap
 

@@ -14,8 +14,11 @@ date/bucketing code), on the reference's OWN fixture requests:
 
 Output: src/test/resources/golden/<name>.json with per-correlation target
 and covariate forecast frames
-[epoch_sec, yhat, trend, yhat_lower, yhat_upper, trend_lower, trend_upper]
-plus the regressor coefficient. The interval columns mirror StructuralTS's
+[epoch_sec, yhat, trend, yhat_lower, yhat_upper, trend_lower, trend_upper,
+ additive_terms, additive_terms_lower, additive_terms_upper]
+plus the regressor coefficient. (The remaining 13-column fields — the
+multiplicative terms — are constant zero by construction on both sides;
+GoldenParitySpec asserts that directly rather than storing zeros here.) The interval columns mirror StructuralTS's
 closed-form trend-continuation uncertainty (Campbell variance of the
 Poisson-Laplace changepoint stream, Gaussian quantiles of N(0, V+sigma^2))
 — deterministic, so cross-implementation parity extends to the bounds.
@@ -215,10 +218,18 @@ def predict(m, t, x=None):
     q_lo = norm_inv((1 - INTERVAL_WIDTH) / 2)
     q_hi = norm_inv(1 - (1 - INTERVAL_WIDTH) / 2)
 
+    # additive terms = yhat - trend; bounds carry only observation noise
+    # (StructuralTS.predict: out(trend + add + q*sigma_obs) - out(trend),
+    # which for the linear out(v) = v*y_scale mirrored here reduces to
+    # (add + q*sigma_obs)*y_scale)
+    add_z = zhat - trend_z
     ys = m["y_scale"]
     return (zhat * ys, trend_z * ys,
             (zhat + q_lo * s_tot) * ys, (zhat + q_hi * s_tot) * ys,
-            (trend_z + q_lo * s_trend) * ys, (trend_z + q_hi * s_trend) * ys)
+            (trend_z + q_lo * s_trend) * ys, (trend_z + q_hi * s_trend) * ys,
+            add_z * ys,
+            (add_z + q_lo * m["sigma_obs"]) * ys,
+            (add_z + q_hi * m["sigma_obs"]) * ys)
 
 # ---------------------------------------------------------------- pipeline
 
@@ -241,8 +252,8 @@ def run_analyze(documents, correlations):
         cov_m = fit(cov_t, cov_y, cp_prior=cp_prior)
         cov_fut = cov_t[-1] + DAY * np.arange(1, cov_h + 1)
         cov_all = np.concatenate([cov_t, cov_fut])
-        cov_yhat, cov_trend, cov_ylo, cov_yhi, cov_tlo, cov_thi = \
-            predict(cov_m, cov_all)
+        cov_cols = predict(cov_m, cov_all)
+        cov_yhat = cov_cols[0]
 
         # J1+J2 splice: observed wins on history, forecast fills future
         cov_x = {t: y for t, y in zip(cov_t, cov_y)}
@@ -258,17 +269,12 @@ def run_analyze(documents, correlations):
         x_all = np.array([cov_x.get(t, 0.0) for t in tgt_all])
 
         tgt_m = fit(tgt_t, tgt_y, tgt_x, cp_prior=cp_prior)
-        tgt_yhat, tgt_trend, tgt_ylo, tgt_yhi, tgt_tlo, tgt_thi = \
-            predict(tgt_m, tgt_all, x_all)
+        tgt_cols = predict(tgt_m, tgt_all, x_all)
 
         coef = tgt_m["beta"][-1] * tgt_m["y_scale"] / tgt_m["x_sd"]
         out[c["id"]] = {
-            "target": [list(row) for row in
-                       zip(tgt_all, tgt_yhat, tgt_trend,
-                           tgt_ylo, tgt_yhi, tgt_tlo, tgt_thi)],
-            "covariate": [list(row) for row in
-                          zip(cov_all, cov_yhat, cov_trend,
-                              cov_ylo, cov_yhi, cov_tlo, cov_thi)],
+            "target": [list(row) for row in zip(tgt_all, *tgt_cols)],
+            "covariate": [list(row) for row in zip(cov_all, *cov_cols)],
             "coef": coef, "coef_center": tgt_m["x_mean"],
             "y_abs_max": float(np.abs(tgt_y).max()),
         }
