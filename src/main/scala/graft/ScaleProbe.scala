@@ -60,26 +60,43 @@ object ScaleProbe {
       .cache()
     time("vecs materialize")(vecs.count())
 
-    // THE 100 TB LESSON (measured here, round 4): with a FIXED index
+    // THE 100 TB LESSON (measured here, rounds 4-5): with a FIXED index
     // (64 cells / 8 planes) cost per decade is ~30× — bucket occupancy
     // grows linearly with n, so the per-bucket self-join grows n².
-    // ANN indexes must GROW with the corpus: cells ≈ √n balances the
-    // O(n·cells) assign pass against the O(n²/cells) search pass
-    // (total minimized at cells = √n), and planes = log2(n/occupancy)
-    // holds bucket occupancy constant. With that rule the probe's cost
-    // curve returns to ~linear per decade; FAISS-style systems scale
-    // nlist the same way.
-    val nCells = math.max(64, math.ceil(math.sqrt(nVecs.toDouble)).toInt)
+    // ANN indexes must GROW with the corpus (Similarity.ivfCellCount):
+    // cells = √n balances the flat quantizer's O(n·cells) assign pass
+    // against the O(n²/cells) search pass (both O(n^1.5)), and planes =
+    // log2(n/occupancy) holds LSH bucket occupancy constant. With the
+    // TWO-LEVEL quantizer assignment is O(√cells) per row, so cells
+    // grow as n^(2/3) — assign and search balance at O(n^(4/3)).
+    // Round-5 measurement of that rule surfaced a SECOND lesson: with
+    // the assignment descent composed from Spark HOFs (CodegenFallback
+    // — interpreted per candidate), the quantizer scan dominated the
+    // whole query (flat 143 s at 200k vecs) and growing cells made
+    // queries SLOWER (18 → 41 s). After moving assignment into the
+    // native ivf_assign expression (plans/IvfAssign.scala) the same
+    // decade reads flat 12.7 s / hier-√n 9.0 s / hier-n^(2/3) 3.1 s —
+    // the growth rule's config is now the fastest, and the decade ratio
+    // at n^(2/3) cells is ~8× for 10× data (sub-linear per row).
+    val nCells = math.max(64, Similarity.ivfCellCount(nVecs, hierarchical = false))
     val nPlanes = math.max(8, math.ceil(
       math.log(nVecs / 78.0) / math.log(2.0)).toInt)
     val cents = vecs.filter(col("vec_id") < nCells).orderBy("vec_id")
       .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
     println(s"ivf rows: ${time(s"ivf topk ($nCells cells)")(
       Similarity.ivfTopK(vecs, cents, 3).count())}")
-    // two-level quantizer at the same cell count: assign drops from
-    // O(cells) to O(√cells + 2·√cells) dots per row; search unchanged
+    // two-level quantizer, same √n cells: isolates the assignment win
+    // (O(cells) → O(√cells) dots per row) with search cost unchanged
     println(s"ivf-hier rows: ${time(s"ivf-hier topk ($nCells cells, coarse 2)")(
       Similarity.ivfTopK(vecs, cents, 3, nprobe = 1, coarseProbe = 2).count())}")
+    // two-level quantizer at ITS OWN balance point, cells = n^(2/3):
+    // cheap assignment buys smaller cells, cutting the n²/cells search
+    // pass — the configuration the growth rule prescribes at scale
+    val hCells = math.max(64, Similarity.ivfCellCount(nVecs, hierarchical = true))
+    val hCents = vecs.filter(col("vec_id") < hCells).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    println(s"ivf-hier-n23 rows: ${time(s"ivf-hier topk ($hCells cells, coarse 2)")(
+      Similarity.ivfTopK(vecs, hCents, 3, nprobe = 1, coarseProbe = 2).count())}")
     val planes = vecs.filter(col("vec_id") < nPlanes).orderBy("vec_id")
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
     println(s"lsh rows: ${time(s"lsh topk (${1L << nPlanes} buckets)")(

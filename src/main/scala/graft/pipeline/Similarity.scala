@@ -102,48 +102,38 @@ object Similarity extends org.apache.spark.internal.Logging {
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
-  /** IVF cell id: coarse-quantize `v` to its nearest centroid by
-    * cosine (rounded to 4 decimals; ties to the LOWEST centroid id).
-    * Struct ordering does the argmax: (cos, -cid) compares cos first,
-    * then prefers the higher -cid = lower cid. Pure map-side
-    * expression — no shuffle to assign a 100 TB corpus.
-    *
-    * `nrm` is the caller's precomputed ‖v‖; centroid norms fold to
-    * Scala constants — `Seq.sum` is the same sequential left fold as
-    * the in-plan `aggregate`, so the doubles are bit-identical.
-    *
-    * Shape matters: the centroids travel as ONE 2-D array literal
-    * scanned by a single `transform`. The first version inlined one
-    * struct expression per centroid; projection collapsing replicated
-    * the norm subtree into each of them and the generated method blew
-    * past janino limits into interpreted fallback (~1 ms/row — it made
-    * the whole ANN query 6× slower). MEASURED, not guessed. */
-  private def cellScores(v: Column, nrm: Column,
-                         centroids: Seq[(Int, Seq[Double])]): Column = {
-    val cvs = typedLit(centroids.map(_._2))
-    val cnorms = typedLit(centroids.map { case (_, c) => math.sqrt(c.map(x => x * x).sum) })
-    val cids = typedLit(centroids.map(_._1))
-    transform(sequence(lit(1), lit(centroids.size)), i =>
-      struct(
-        round(dot(v, element_at(cvs, i)) / (nrm * element_at(cnorms, i)), 4).as("cos"),
-        (-element_at(cids, i)).as("ncid")))
-  }
+  /** All quantizer assignment routes through [[graft.plans.IvfAssign]],
+    * a native expression: one codegen'd pass over primitive centroid
+    * arrays per row, candidates ranked (cos rounded to 4 desc, cid asc)
+    * by bounded insertion. Earlier rounds composed this from
+    * `transform`/`array_sort` over centroid literals; HOFs are
+    * CodegenFallback and ScaleProbe measured the interpreted assignment
+    * scan DOMINATING the 200k-vec ANN queries (flat 143 s → the plan's
+    * cost ceiling was the quantizer, not the search join). Pure
+    * map-side either way — no shuffle to assign a 100 TB corpus; `nrm`
+    * is the caller's precomputed ‖v‖. */
+  private def probeCellsCol(v: Column, nrm: Column, coarse: Seq[Seq[Double]],
+                            groups: Seq[Seq[(Int, Seq[Double])]],
+                            nprobe: Int, coarseProbe: Int): Column =
+    call_function("ivf_assign", v, nrm,
+                  typedLit(coarse), typedLit(groups.map(_.map(_._2))),
+                  typedLit(groups.map(_.map(_._1))), lit(nprobe), lit(coarseProbe))
 
+  /** IVF cell id: quantize `v` to its nearest centroid by cosine
+    * (rounded to 4 decimals; ties to the LOWEST centroid id). */
   def ivfCellOf(v: Column, nrm: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
     require(centroids.nonEmpty, "ivfCellOf needs at least one centroid")
-    (-array_max(cellScores(v, nrm, centroids)).getField("ncid")).cast("long")
+    element_at(ivfCellsOf(v, nrm, centroids, 1), 1)
   }
 
-  /** The `nprobe` nearest cell ids, best first. Struct sort is ascending
-    * (cos, then ncid); reversed that is cos desc with ties to the LOWER
-    * cid — the same tie rule as [[ivfCellOf]], whose result is always
-    * element 1 of this list. */
+  /** The `nprobe` nearest cell ids, best first (flat scan of every
+    * centroid = the single-group special case of the native
+    * expression); [[ivfCellOf]]'s result is always element 1. */
   def ivfCellsOf(v: Column, nrm: Column, centroids: Seq[(Int, Seq[Double])],
                  nprobe: Int): Column = {
     require(centroids.nonEmpty, "ivfCellsOf needs at least one centroid")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val best = slice(reverse(array_sort(cellScores(v, nrm, centroids))), 1, nprobe)
-    transform(best, s => (-s.getField("ncid")).cast("long"))
+    probeCellsCol(v, nrm, Seq(centroids.head._2), Seq(centroids), nprobe, 1)
   }
 
   /** Two-level (coarse → fine) quantizer structure: fine centroids
@@ -202,30 +192,34 @@ object Similarity extends org.apache.spark.internal.Logging {
     * [[ivfCellsOf]] (cos desc, lower cid), so with every group probed
     * the result is EXACTLY the flat assignment (pinned by test); with
     * fewer probed groups it is the standard hierarchical-ANN
-    * approximation. Centroid groups travel as one 3-D literal scanned
-    * by nested transforms — same single-literal shape that kept the
-    * flat scorer inside codegen limits. */
+    * approximation. */
   def ivfCellsOfHier(v: Column, nrm: Column, index: CoarseIndex,
                      nprobe: Int, coarseProbe: Int = 2): Column = {
     require(nprobe >= 1 && coarseProbe >= 1, s"nprobe=$nprobe coarseProbe=$coarseProbe")
-    val cvs = typedLit(index.coarse)
-    val cnorms = typedLit(index.coarse.map(c => math.sqrt(c.map(x => x * x).sum)))
-    val coarseScores = transform(sequence(lit(1), lit(index.coarse.size)), i =>
-      struct(round(dot(v, element_at(cvs, i)) / (nrm * element_at(cnorms, i)), 4).as("cos"),
-             (-i).as("ngi")))
-    val bestGroups = transform(
-      slice(reverse(array_sort(coarseScores)), 1, math.min(coarseProbe, index.groups.size)),
-      s => -s.getField("ngi"))
-    val gvs = typedLit(index.groups.map(_.map(_._2)))
-    val gnorms = typedLit(index.groups.map(_.map { case (_, c) => math.sqrt(c.map(x => x * x).sum) }))
-    val gids = typedLit(index.groups.map(_.map(_._1)))
-    val fineScores = flatten(transform(bestGroups, gi =>
-      transform(sequence(lit(1), size(element_at(gvs, gi))), i =>
-        struct(round(dot(v, element_at(element_at(gvs, gi), i)) /
-                     (nrm * element_at(element_at(gnorms, gi), i)), 4).as("cos"),
-               (-element_at(element_at(gids, gi), i)).as("ncid")))))
-    transform(slice(reverse(array_sort(fineScores)), 1, nprobe),
-              s => (-s.getField("ncid")).cast("long"))
+    probeCellsCol(v, nrm, index.coarse, index.groups, nprobe, coarseProbe)
+  }
+
+  /** Index-growth rule (the 100 TB lesson ScaleProbe measured: FIXED
+    * cell counts die — per-cell occupancy n/k grows linearly with the
+    * corpus and the within-cell self-join returns to n²).
+    *
+    * Flat quantizer: assignment costs O(n·k) dots, search O(n²/k); the
+    * total is minimized at k = √n, where both terms are O(n^1.5) —
+    * ~31×/decade.
+    *
+    * Two-level quantizer ([[ivfCellsOfHier]]): assignment drops to
+    * O(√k) dots per row, so the balance moves to k = n^(2/3), where
+    * assign O(n·√k) and search O(n²/k) are both O(n^(4/3)) —
+    * the residual superlinearity is n^(1/3), i.e. ~2.2× beyond the 10×
+    * the scans themselves pay per decade. FAISS scales nlist the same
+    * way (its guidelines: nlist between 4√n and 16√n flat, more with a
+    * cheap coarse stage). Beyond n^(4/3), the next rung is a deeper
+    * quantizer tree (O(log k) assign → k ≈ n/log n), not bigger cells. */
+  def ivfCellCount(n: Long, hierarchical: Boolean = true): Int = {
+    require(n > 0, s"corpus size must be positive, got $n")
+    val k = if (hierarchical) math.pow(n.toDouble, 2.0 / 3.0)
+            else math.sqrt(n.toDouble)
+    math.max(1, math.min(math.ceil(k), n.toDouble).toInt)
   }
 
   /** Train IVF centroids with Spark ML k-means (seeded → deterministic
@@ -283,9 +277,9 @@ object Similarity extends org.apache.spark.internal.Logging {
       if (coarseProbe <= 0) ivfCellsOf(col("v"), col("nrm"), centroids, nprobe)
       else ivfCellsOfHier(col("v"), col("nrm"), buildCoarseIndex(centroids),
                           nprobe, coarseProbe)
-    val homeCell: Column =
-      if (coarseProbe <= 0) ivfCellOf(col("v"), col("nrm"), centroids)
-      else element_at(probeCells, 1)
+    // element 1 is the home cell under either quantizer (same tie rule),
+    // so one assignment scan feeds both columns
+    val homeCell: Column = element_at(probeCells, 1)
     val celled = graft.queries.cacheOnce(withNorm(emb).select(
       col("vec_id"), col("v"), col("nrm"),
       homeCell.as("cell"),

@@ -143,7 +143,8 @@ object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "byte_sum" -> (exprs => ByteSum(exprs.head)),
     "rolling_hash" -> (exprs => RollingHash(exprs.head)),
-    "vec_dot" -> (exprs => VecDot(exprs.head, exprs(1))))
+    "vec_dot" -> (exprs => VecDot(exprs.head, exprs(1))),
+    "ivf_assign" -> (exprs => IvfAssign.fromArgs(exprs)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -180,6 +181,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
          classOf[VecDot].getName, "vec_dot"),
        (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("ivf_assign"),
+       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+         classOf[IvfAssign].getName, "ivf_assign"),
+       (exprs: Seq[Expression]) => IvfAssign.fromArgs(exprs)))
     ext.injectOptimizerRule(_ => FrameLimitRule)
   }
 }

@@ -220,6 +220,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"hierarchical recall@3 is $recall")
   }
 
+  test("ivfCellCount growth rule: sqrt(n) flat, n^(2/3) hierarchical") {
+    assert(Similarity.ivfCellCount(1000000L, hierarchical = false) == 1000)
+    assert(Similarity.ivfCellCount(1000000L) == 10000)
+    assert(Similarity.ivfCellCount(1L) == 1)
+    assert(Similarity.ivfCellCount(8L) <= 8) // never more cells than vectors
+  }
+
+  test("the n^(2/3) cell-growth rule holds recall@3 >= 0.9 with a proportional nprobe") {
+    // same planted-cluster corpus as the fixed-k recall tests, but the
+    // index is sized by the rule ScaleProbe validated: cells = n^(2/3)
+    // (47 at n=320) on the two-level quantizer. More cells mean smaller
+    // cells, so the companion knobs scale with them — nprobe holds the
+    // probed corpus fraction at ~1/8 and coarseProbe covers half the
+    // coarse groups (FAISS grows nprobe with nlist the same way);
+    // the per-query probe COST still falls because each probed cell is
+    // a ~1/47th slice instead of a ~1/16th one.
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+    val data = (0 until 320).map { i =>
+      (i.toLong, centers(i % 16).map(_ + rnd.nextGaussian() * 0.15))
+    }.toDF("vec_id", "v")
+    val k = Similarity.ivfCellCount(320)
+    assert(k == 47, s"growth rule changed: cells($k) at n=320")
+    val cents = Similarity.trainCentroids(data, k = k)
+    val nprobe = math.max(2, math.ceil(k / 8.0).toInt)
+    val coarseProbe = math.max(2, math.ceil(math.sqrt(k.toDouble) / 2).toInt)
+    val truth = exactTop3(data)
+    val got = Similarity.ivfTopK(data, cents, 3, nprobe = nprobe, coarseProbe = coarseProbe)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    assert(recall >= 0.9,
+           s"recall@3 is $recall at cells=$k nprobe=$nprobe coarseProbe=$coarseProbe")
+  }
+
   test("multi-probe LSH (Hamming-1) lifts recall@3 to >= 0.9 on clustered embeddings") {
     // same planted-cluster corpus shape as the IVF recall test: near
     // neighbors are same-cluster vectors whose sign patterns differ by
