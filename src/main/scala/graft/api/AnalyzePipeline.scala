@@ -40,6 +40,7 @@ object AnalyzePipeline {
       bounds: DataFrame,             // (series, side, min_ds, max_ds, n)
       fitBounds: Map[String, (Double, Double)] = Map.empty, // id -> resolved (floor, cap)
       horizons: Map[String, (Int, Int)] = Map.empty, // id -> honored (from, to) horizons
+      granger: Option[DataFrame] = None, // C9 per-lag F-tests for type=granger correlations
       cachedFrames: Seq[DataFrame] = Nil) { // request-scoped caches, released by close()
 
     /** Release the request-scoped caches (per-request histories/splice).
@@ -187,6 +188,22 @@ object AnalyzePipeline {
     // C7 regressor coefficients
     val coefs = Forecaster.regressorCoefficients(tgtHistX, defaultSpec, "series", specOverrides)
 
+    // C9 for type="granger" correlations: the notebook prototype
+    // (`Untitled.ipynb` cell 12) runs
+    // `granger_causality_tests(remove_trend(from), remove_trend(to),
+    // maxlag=14)` — from is the CAUSE, to the EFFECT. tgtHistX already
+    // holds exactly that aligned pair (y = target, x = spliced
+    // covariate), so the tests reuse the pipeline's joins: one extra
+    // keyed flatMapGroups over only the granger-typed series, no new
+    // wide shuffle. Lags that run out of degrees of freedom are dropped
+    // inside the test (short series yield fewer than 14 rows).
+    val grangerIds = correlations.filter(_.corrType == "granger").map(_.id)
+    val granger: Option[DataFrame] =
+      if (grangerIds.isEmpty) None
+      else Some(graft.stats.Granger.causality(
+        tgtHistX.filter(col("series").isin(grangerIds: _*)),
+        maxlag = 14, detrend = true))
+
     // A2 date bounds per series/side
     val bounds = covHist.withColumn("side", lit("from"))
       .unionByName(tgtHist.withColumn("side", lit("to")))
@@ -197,6 +214,7 @@ object AnalyzePipeline {
                   specOverrides.map { case (id, s) => id -> (s.floor, s.cap) },
                   correlations.map(c =>
                     c.id -> (covHorizons(c.id), tgtHorizons(c.id))).toMap,
+                  granger = granger,
                   cachedFrames = Seq(covHist, tgtHist, covSpliced))
   }
 

@@ -43,12 +43,21 @@ case class CorrelationSpec(
     ceiling: Option[Double] = None,
     uncertaintySamples: Int = 1000,
     covOptions: Option[SideOptions] = None, // §3.2 fromIndex-side options
-    dateColumn: String = "date") {
+    dateColumn: String = "date",
+    /** `type` (app.py:33): the reference declares the Literal but never
+      * dispatches on it (every correlation runs the prophet path). Here
+      * "granger" additionally runs C9 on the aligned pair — closing the
+      * declared-but-unshipped loop the way C10/C12 are — and
+      * "univariateStatistics" is accepted and echoed. */
+    corrType: String = "prophet") {
 
   // the reference's pydantic Literal rejects unknown growth values with
   // a 422; silently falling back to linear would mis-forecast
   require(growth == "linear" || growth == "logistic",
           s"unsupported growth: $growth (expected linear|logistic)")
+  // Literal["prophet", "granger", "univariateStatistics"], app.py:33
+  require(Set("prophet", "granger", "univariateStatistics")(corrType),
+          s"unsupported type: $corrType (expected prophet|granger|univariateStatistics)")
   require(unitsToForecast.forall(_ >= 1), // conint(ge=1), app.py:49
           s"unitsToForecast must be >= 1, got $unitsToForecast")
 

@@ -98,7 +98,8 @@ object RequestParser {
         ceiling = strOpt(r, "ceiling").orElse(foCap("ceiling")).map(_.toDouble),
         uncertaintySamples = strOpt(r, "uncertaintySamples")
           .orElse(fo("uncertaintySamples")).map(_.toDouble.toInt).getOrElse(1000),
-        covOptions = covOptions)
+        covOptions = covOptions,
+        corrType = strOpt(r, "type").getOrElse("prophet"))
     }
     ParsedRequest(documents, correlations)
   }

@@ -89,6 +89,8 @@ object ResponseAssembly {
     val bounds = result.bounds.collect()
       .map(r => (r.getString(0), r.getString(1)) -> r).toMap
     val coefs = result.regressorCoefficients.collect().groupBy(_.getString(0))
+    val grangerRows = result.granger
+      .map(_.collect().groupBy(_.getString(0))).getOrElse(Map.empty)
     val forecasts = result.targetForecasts
       .select(forecastCols.map(col): _*)
       .collect().groupBy(_.getString(0))
@@ -132,9 +134,22 @@ object ResponseAssembly {
            |  "partialAutocorrelations": {"description": "${esc(Explanations.partialAutocorrelation)}",
            |    "from": {"lags": ${pacfJson("from")}}, "to": {"lags": ${pacfJson("to")}}},
            |""".stripMargin
+      // request `type` is echoed (the served Literal admits it,
+      // responses.py:51); the per-lag C9 block — a shape the reference
+      // declares but never ships — joins the ACF/PACF blocks on the
+      // richer side of the contract only
+      val corrType = spec.map(_.corrType).getOrElse("prophet")
+      val grangerBlock =
+        if (servedContract || corrType != "granger") "" else {
+          val lags = grangerRows.getOrElse(id, Array.empty).sortBy(_.getInt(1)).map { r =>
+            s""""${r.getInt(1)}": {"fStat": ${num(r.getDouble(2))}, "pValue": ${num(r.getDouble(3))}, "dfNum": ${r.getInt(4)}, "dfDenom": ${r.getInt(5)}}"""
+          }.mkString("{", ", ", "}")
+          s"""  "grangerCausality": {"causeIndex": "${esc(spec.map(_.fromIndex).getOrElse("x"))}", "lags": $lags},
+             |""".stripMargin
+        }
       s""""${esc(id)}": {
-         |  "type": "prophet",
-         |  "diagnostics": {"units": "${esc(units)}",
+         |  "type": "${esc(corrType)}",
+         |$grangerBlock  "diagnostics": {"units": "${esc(units)}",
          |    "from": ${sideJson("from")}, "to": ${sideJson("to")}},
          |$acfBlocks  "regressorCoefficients": $coefJson,
          |  "predictions": {

@@ -133,9 +133,29 @@ object Granger {
     -tmp + math.log(2.5066282746310005 * ser / x)
   }
 
+  /** Per-series OLS linear detrend (the notebook's `remove_trend`,
+    * `Untitled.ipynb` cell 12): fit v ~ a + b·t, return residuals.
+    * Runs in-JVM on one already-grouped series — no extra shuffle. */
+  private def detrendArr(t: Array[Double], v: Array[Double]): Array[Double] = {
+    val n = v.length
+    if (n < 2) return v.clone()
+    var st = 0.0; var sv = 0.0; var stt = 0.0; var stv = 0.0
+    var i = 0
+    while (i < n) { st += t(i); sv += v(i); stt += t(i) * t(i); stv += t(i) * v(i); i += 1 }
+    val den = n * stt - st * st
+    if (den == 0.0) return v.map(_ - sv / n)
+    val slope = (n * stv - st * sv) / den
+    val icept = (sv - slope * st) / n
+    Array.tabulate(n)(i => v(i) - (icept + slope * t(i)))
+  }
+
   /** DataFrame form: per series, test x → y at lags 1..maxlag. Input
-    * (series, ds, y, x) aligned rows; output one row per (series, lag). */
-  def causality(df: DataFrame, maxlag: Int, seriesCol: String = "series"): DataFrame = {
+    * (series, ds, y, x) aligned rows; output one row per (series, lag).
+    * `detrend = true` removes a per-series linear trend from BOTH sides
+    * first, mirroring the notebook's
+    * `granger_causality_tests(remove_trend(from), remove_trend(to))`. */
+  def causality(df: DataFrame, maxlag: Int, seriesCol: String = "series",
+                detrend: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(seriesCol).cast("string"),
@@ -145,7 +165,11 @@ object Granger {
       .groupByKey(_._1)
       .flatMapGroups { (key, it) =>
         val rows = it.toArray.sortBy(_._2)
-        test(rows.map(_._3), rows.map(_._4), maxlag).iterator
+        val ts = rows.map(_._2)
+        val (effect, cause) =
+          if (detrend) (detrendArr(ts, rows.map(_._3)), detrendArr(ts, rows.map(_._4)))
+          else (rows.map(_._3), rows.map(_._4))
+        test(effect, cause, maxlag).iterator
           .map(r => (key, r.lag, r.fStat, r.pValue, r.dfNum, r.dfDenom))
       }
       .toDF(seriesCol, "lag", "f_stat", "p_value", "df_num", "df_denom")

@@ -148,7 +148,58 @@ class ApiSpec extends AnyFunSuite {
                                toData = "b", toIndex = "w")
     intercept[IllegalArgumentException] { base.copy(growth = "exponential") }
     intercept[IllegalArgumentException] { base.copy(unitsToForecast = Some(0)) }
+    intercept[IllegalArgumentException] { base.copy(corrType = "arima") }
     base.copy(growth = "logistic", unitsToForecast = Some(1)) // valid
+    base.copy(corrType = "univariateStatistics") // app.py:33 Literal member
+  }
+
+  test("granger-typed correlation: C9 per-lag block in the response (declared enum wired)") {
+    // planted lag-2 causality: x is hash-noise, y_t = 3·x_{t-2} + tiny
+    // noise — y's own lags explain nothing, adding x's lags explains
+    // everything, so the lag-2 F test must reject with a tiny p
+    def x0(d: Int): Double = (((d * 2654435761L) >>> 7) % 1000) / 500.0 - 1.0
+    def row(day: Int, field: String, v: Double): String =
+      s"""{"date": "2024-03-${f"$day%02d"}T00:00:00Z", "$field": $v}"""
+    val cov = (1 to 31).map(d => row(d, "x", x0(d))).mkString("[", ",", "]")
+    val tgt = (1 to 31).map(d => row(d, "y",
+      if (d <= 2) 0.0 else 3.0 * x0(d - 2) + ((d * 17) % 7) * 0.01)).mkString("[", ",", "]")
+    val json =
+      s"""{"documents": {"c": {"description": null, "data": $cov},
+         |               "t": {"description": null, "data": $tgt}},
+         |  "analyticsOptions": {"correlations": [{
+         |    "id": "g1", "type": "granger",
+         |    "fromData": "c", "fromIndex": "x", "toData": "t", "toIndex": "y",
+         |    "dataSetGranularity": "D", "unitsToForecast": 3}]}}""".stripMargin
+    val parsed = RequestParser.parse(spark, json)
+    assert(parsed.correlations.head.corrType == "granger")
+    val result = AnalyzePipeline.analyze(parsed.documents,
+      parsed.correlations.map(_.copy(uncertaintySamples = 20)))
+    try {
+      val g = result.granger.get.collect()
+      assert(g.nonEmpty, "granger frame empty for a granger-typed correlation")
+      assert(g.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+      val lag2p = g.find(_.getInt(1) == 2).get.getDouble(3)
+      assert(lag2p < 0.01, s"lag-2 p-value $lag2p for a planted lag-2 cause")
+
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val corr = mapper.readTree(ResponseAssembly.toJson(result, parsed.correlations))
+        .get("correlations").get("g1")
+      assert(corr.get("type").asText == "granger")
+      val block = corr.get("grangerCausality")
+      assert(block.get("causeIndex").asText == "x")
+      assert(block.get("lags").has("1") && block.get("lags").has("2"))
+      assert(block.get("lags").get("2").get("pValue").asDouble < 0.01)
+      // prophet surface still present alongside (the reference runs the
+      // prophet path for every type; the C9 block is additive)
+      assert(corr.get("predictions").get("futureForecasts").size == 3)
+
+      // the served Literal admits "granger" but CorrelationResponse has
+      // no granger field — wire shape keeps the type, drops the block
+      val served = mapper.readTree(
+          ResponseAssembly.toJson(result, parsed.correlations, servedContract = true))
+        .get("correlations").get("g1")
+      assert(served.get("type").asText == "granger" && !served.has("grangerCausality"))
+    } finally result.close()
   }
 
   test("extractSeries rejects SQL-expression paths (injection surface)") {
