@@ -41,6 +41,7 @@ object AnalyzePipeline {
       fitBounds: Map[String, (Double, Double)] = Map.empty, // id -> resolved (floor, cap)
       horizons: Map[String, (Int, Int)] = Map.empty, // id -> honored (from, to) horizons
       granger: Option[DataFrame] = None, // C9 per-lag F-tests for type=granger correlations
+      univariate: Option[DataFrame] = None, // C12 per-side moments for type=univariateStatistics
       cachedFrames: Seq[DataFrame] = Nil) { // request-scoped caches, released by close()
 
     /** Release the request-scoped caches (per-request histories/splice).
@@ -204,6 +205,23 @@ object AnalyzePipeline {
         tgtHistX.filter(col("series").isin(grangerIds: _*)),
         maxlag = 14, detrend = true))
 
+    // C12 for type="univariateStatistics" correlations (the Literal's
+    // last member, also declared-but-unshipped in the reference): the
+    // q19 moment bundle per side over the aggregated series — one
+    // grouped agg over already-built frames. Spark's skewness/kurtosis
+    // are the population / excess-population estimators (pandas
+    // describe-family defaults).
+    val uniIds = correlations.filter(_.corrType == "univariateStatistics").map(_.id)
+    val univariate: Option[DataFrame] =
+      if (uniIds.isEmpty) None
+      else Some(covHist.withColumn("side", lit("from"))
+        .unionByName(tgtHist.withColumn("side", lit("to")))
+        .filter(col("series").isin(uniIds: _*))
+        .groupBy("series", "side")
+        .agg(count(lit(1)).as("n"), avg("y").as("mean"),
+             stddev_samp("y").as("std"), min("y").as("min"), max("y").as("max"),
+             skewness(col("y")).as("skewness"), kurtosis(col("y")).as("kurtosis")))
+
     // A2 date bounds per series/side
     val bounds = covHist.withColumn("side", lit("from"))
       .unionByName(tgtHist.withColumn("side", lit("to")))
@@ -214,7 +232,7 @@ object AnalyzePipeline {
                   specOverrides.map { case (id, s) => id -> (s.floor, s.cap) },
                   correlations.map(c =>
                     c.id -> (covHorizons(c.id), tgtHorizons(c.id))).toMap,
-                  granger = granger,
+                  granger = granger, univariate = univariate,
                   cachedFrames = Seq(covHist, tgtHist, covSpliced))
   }
 

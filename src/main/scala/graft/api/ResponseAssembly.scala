@@ -91,6 +91,8 @@ object ResponseAssembly {
     val coefs = result.regressorCoefficients.collect().groupBy(_.getString(0))
     val grangerRows = result.granger
       .map(_.collect().groupBy(_.getString(0))).getOrElse(Map.empty)
+    val uniRows = result.univariate
+      .map(_.collect().groupBy(_.getString(0))).getOrElse(Map.empty)
     val forecasts = result.targetForecasts
       .select(forecastCols.map(col): _*)
       .collect().groupBy(_.getString(0))
@@ -134,10 +136,13 @@ object ResponseAssembly {
            |  "partialAutocorrelations": {"description": "${esc(Explanations.partialAutocorrelation)}",
            |    "from": {"lags": ${pacfJson("from")}}, "to": {"lags": ${pacfJson("to")}}},
            |""".stripMargin
-      // request `type` is echoed (the served Literal admits it,
-      // responses.py:51); the per-lag C9 block — a shape the reference
-      // declares but never ships — joins the ACF/PACF blocks on the
-      // richer side of the contract only
+      // request `type` is echoed on both shapes (the served Literal
+      // responses.py:51 admits "granger" but not "univariateStatistics"
+      // — the reference never sets a non-default type, so its response
+      // model was never exercised; echoing is the consistent choice).
+      // The C9/C12 blocks — shapes the reference declares but never
+      // ships — join the ACF/PACF blocks on the richer side of the
+      // contract only
       val corrType = spec.map(_.corrType).getOrElse("prophet")
       val grangerBlock =
         if (servedContract || corrType != "granger") "" else {
@@ -147,9 +152,18 @@ object ResponseAssembly {
           s"""  "grangerCausality": {"causeIndex": "${esc(spec.map(_.fromIndex).getOrElse("x"))}", "lags": $lags},
              |""".stripMargin
         }
+      val uniBlock =
+        if (servedContract || corrType != "univariateStatistics") "" else {
+          def sideStats(side: String): String =
+            uniRows.getOrElse(id, Array.empty).find(_.getString(1) == side).map { r =>
+              s"""{"count": ${r.getLong(2)}, "mean": ${num(r.getDouble(3))}, "std": ${num(r.getDouble(4))}, "min": ${num(r.getDouble(5))}, "max": ${num(r.getDouble(6))}, "skewness": ${num(r.getDouble(7))}, "kurtosis": ${num(r.getDouble(8))}}"""
+            }.getOrElse("{}")
+          s"""  "univariateStatistics": {"from": ${sideStats("from")}, "to": ${sideStats("to")}},
+             |""".stripMargin
+        }
       s""""${esc(id)}": {
          |  "type": "${esc(corrType)}",
-         |$grangerBlock  "diagnostics": {"units": "${esc(units)}",
+         |$grangerBlock$uniBlock  "diagnostics": {"units": "${esc(units)}",
          |    "from": ${sideJson("from")}, "to": ${sideJson("to")}},
          |$acfBlocks  "regressorCoefficients": $coefJson,
          |  "predictions": {

@@ -202,6 +202,37 @@ class ApiSpec extends AnyFunSuite {
     } finally result.close()
   }
 
+  test("univariateStatistics-typed correlation: C12 per-side moment block") {
+    val json = requestJson.replace("\"type\": \"prophet\"", "\"type\": \"univariateStatistics\"")
+    val parsed = RequestParser.parse(spark, json)
+    assert(parsed.correlations.head.corrType == "univariateStatistics")
+    val result = AnalyzePipeline.analyze(parsed.documents,
+      parsed.correlations.map(_.copy(uncertaintySamples = 20)))
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val corr = mapper.readTree(ResponseAssembly.toJson(result, parsed.correlations))
+        .get("correlations").get("corr1")
+      assert(corr.get("type").asText == "univariateStatistics")
+      val uni = corr.get("univariateStatistics")
+      // both sides aggregate 28 daily rows; sales values sit in the
+      // 1000-2300 band so mean/min/max must too, and std is positive
+      for (side <- Seq("from", "to")) {
+        val s = uni.get(side)
+        assert(s.get("count").asLong == 28, s"$side count")
+        assert(s.get("min").asDouble <= s.get("mean").asDouble &&
+               s.get("mean").asDouble <= s.get("max").asDouble)
+        assert(s.get("std").asDouble > 0 && s.has("skewness") && s.has("kurtosis"))
+      }
+      assert(uni.get("to").get("mean").asDouble > 1000)
+      // wire shape: type still echoed, the extra block is filtered
+      val served = mapper.readTree(
+          ResponseAssembly.toJson(result, parsed.correlations, servedContract = true))
+        .get("correlations").get("corr1")
+      assert(served.get("type").asText == "univariateStatistics" &&
+             !served.has("univariateStatistics"))
+    } finally result.close()
+  }
+
   test("extractSeries rejects SQL-expression paths (injection surface)") {
     val parsed = RequestParser.parse(spark, requestJson)
     val doc = parsed.documents("sales_order")
