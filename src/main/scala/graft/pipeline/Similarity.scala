@@ -139,9 +139,12 @@ object Similarity extends org.apache.spark.internal.Logging {
   /** Two-level (coarse → fine) quantizer structure: fine centroids
     * grouped under coarse centroids by nearest-coarse assignment. Built
     * driver-side with a tiny pure-Scala k-means over the centroid
-    * vectors themselves (k ≤ ~thousands — microseconds; deterministic:
-    * initial coarse centers are evenly-spaced fine centroids, fixed
-    * iteration count, no RNG). */
+    * vectors themselves (deterministic: initial coarse centers are
+    * evenly-spaced fine centroids, fixed iteration count, no RNG).
+    * Driver-side is right for k up to ~10^5 (5 Lloyd rounds × k·√k
+    * cosines — sub-second); past that, train the coarse level with
+    * seeded Spark ML k-means over the fine centroids the same way
+    * [[trainCentroids]] trains the fine level over the corpus. */
   case class CoarseIndex(coarse: Seq[Seq[Double]],
                          groups: Seq[Seq[(Int, Seq[Double])]])
 

@@ -36,7 +36,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * nprobe, coarseProbe)` where the centroid arguments are foldable
   * literals — the registered builder collapses them into a [[Quantizer]]
   * at analysis time, so the expression tree the executor sees has only
-  * the two row-dependent children. */
+  * the two row-dependent children.
+  *
+  * Scale bound of the embedded-quantizer design: the centroid matrix
+  * ships with the task binary, which is the right call up to roughly
+  * 10^5-10^6 centroids (tens-to-hundreds of MB at embedding dims —
+  * broadcast-sized, scanned from L2/L3). `ivfCellCount`'s n^(2/3) rule
+  * crosses that around 10^9 corpus vectors; past it the next rungs are
+  * (a) a deeper quantizer tree (O(log k) assignment, k ≈ n/log n) with
+  * the same embedded-matrix trick per level, then (b) distributing the
+  * assignment itself as a join against a centroid *frame* (centroids
+  * partitioned by coarse group; vectors routed to their coarse group
+  * first) once no level fits in a task binary. The expression's
+  * semantics (round-4 cosine, cos desc / cid asc) are the contract all
+  * three rungs share. */
 case class IvfAssign(left: Expression, right: Expression,
                      quantizer: IvfAssign.Quantizer) extends BinaryExpression {
 
