@@ -80,7 +80,15 @@ object IvfAssign {
 
   /** Resolved centroid structure: primitive arrays, norms precomputed
     * with the same sequential fold the literal-based version used
-    * (`math.sqrt(c.map(x*x).sum)`), so cosines are bit-identical. */
+    * (`math.sqrt(c.map(x*x).sum)`), so cosines are bit-identical.
+    *
+    * Equality is STRUCTURAL (deep array compare), not by reference:
+    * case-class equality on Array fields would compare references, so
+    * two `ivfTopK` calls with equal centroids would build non-equal
+    * expressions, the canonicalized index plans would differ, and
+    * `cacheOnce` would add a fresh CacheManager entry per invocation —
+    * breaking the materialized-index memo (and leaking cache entries)
+    * that repeated queries rely on. Pinned by SimilaritySpec. */
   case class Quantizer(coarse: Array[Array[Double]],
                        groupVecs: Array[Array[Array[Double]]],
                        groupIds: Array[Array[Int]],
@@ -90,6 +98,21 @@ object IvfAssign {
     require(coarse.length == groupVecs.length && coarse.length > 0,
             s"quantizer needs one coarse center per group (${coarse.length} vs ${groupVecs.length})")
     require(nprobe >= 1 && coarseProbe >= 1, s"nprobe=$nprobe coarseProbe=$coarseProbe")
+
+    private def deep(a: Array[_]): Array[AnyRef] = a.asInstanceOf[Array[AnyRef]]
+    override def equals(o: Any): Boolean = o match {
+      case q: Quantizer =>
+        nprobe == q.nprobe && coarseProbe == q.coarseProbe &&
+        java.util.Arrays.deepEquals(deep(coarse), deep(q.coarse)) &&
+        java.util.Arrays.deepEquals(deep(groupVecs), deep(q.groupVecs)) &&
+        java.util.Arrays.deepEquals(deep(groupIds), deep(q.groupIds))
+      case _ => false
+    }
+    override def hashCode: Int =
+      java.util.Objects.hash(Int.box(nprobe), Int.box(coarseProbe),
+        Int.box(java.util.Arrays.deepHashCode(deep(coarse))),
+        Int.box(java.util.Arrays.deepHashCode(deep(groupVecs))),
+        Int.box(java.util.Arrays.deepHashCode(deep(groupIds))))
   }
 
   private def norm(c: Array[Double]): Double = {

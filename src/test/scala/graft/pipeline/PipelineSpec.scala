@@ -254,6 +254,24 @@ class SimilaritySpec extends AnyFunSuite {
            s"recall@3 is $recall at cells=$k nprobe=$nprobe coarseProbe=$coarseProbe")
   }
 
+  test("equal centroid sets share one cached IVF index across invocations") {
+    // Quantizer equality must be structural: centroids rebuilt per call
+    // are equal in value but not by reference. With reference equality
+    // the canonicalized index plans would differ and every invocation
+    // would add a CacheManager entry — breaking the materialized-index
+    // memo (bench steady-state semantics) and leaking caches.
+    def freshCents = (0 until 4).map(i =>
+      i -> Seq.tabulate(8)(j => math.sin(i * 8 + j + 1.0))).toSeq
+    val data = (0 until 40).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.cos(i + j * 0.7)))).toDF("vec_id", "v")
+    assert(Similarity.ivfTopK(data, freshCents, 2, nprobe = 2, coarseProbe = 2).count() > 0)
+    val n1 = spark.sparkContext.getPersistentRDDs.size
+    assert(Similarity.ivfTopK(data, freshCents, 2, nprobe = 2, coarseProbe = 2).count() > 0)
+    val n2 = spark.sparkContext.getPersistentRDDs.size
+    assert(n2 == n1,
+           s"second ivfTopK with equal centroids grew persistent RDDs $n1 -> $n2")
+  }
+
   test("multi-probe LSH (Hamming-1) lifts recall@3 to >= 0.9 on clustered embeddings") {
     // same planted-cluster corpus shape as the IVF recall test: near
     // neighbors are same-cluster vectors whose sign patterns differ by
