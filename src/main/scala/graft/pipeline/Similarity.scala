@@ -258,35 +258,38 @@ object Similarity extends org.apache.spark.internal.Logging {
     * than random hyperplanes. `centroids` are caller-supplied: a
     * production index trains them with k-means; the assign/partition/
     * search plumbing here is unchanged by how they were produced. */
-  def ivfTopK(emb: DataFrame, centroids: Seq[(Int, Seq[Double])], k: Int,
-              nprobe: Int = 1, coarseProbe: Int = 0): DataFrame = {
+  /** The materialized inverted-file index: every vector with its norm,
+    * home cell, and probed cells (element 1 of `cells` IS the home cell
+    * under either quantizer — same tie rule — so one assignment scan
+    * feeds both columns). Idempotent cache (MEMORY_AND_DISK — spills at
+    * scale): the quantizer scoring runs one pass instead of once per
+    * join side, the way production ANN systems persist the index rather
+    * than re-running the quantizer per probe. Public so stream-static
+    * consumers ([[graft.streaming.StreamOps.streamingAnnCandidates]])
+    * join incoming vectors against the same index the batch top-k uses.
+    * coarseProbe > 0 selects the two-level quantizer. */
+  def ivfIndex(emb: DataFrame, centroids: Seq[(Int, Seq[Double])],
+               nprobe: Int = 1, coarseProbe: Int = 0): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
-    require(centroids.nonEmpty, "ivfTopK needs at least one centroid")
-    // the (vec, home cell, probed cells) frame IS the inverted-file
-    // index: materialize it once (idempotent cache, MEMORY_AND_DISK —
-    // spills at scale) so the centroid scoring runs one pass instead of
-    // once per join side, the way production ANN systems persist the
-    // index rather than re-running the quantizer per probe. Home cell
-    // and probed cells are projected together so codegen's
-    // common-subexpression elimination shares the score array.
-    // coarseProbe > 0 switches to the two-level quantizer
-    // (ivfCellsOfHier): O(√k) instead of O(k) dots per assigned row —
-    // the cell-count scale path once k itself grows with the corpus.
-    // Home cell and probed cells then come from the SAME hierarchical
-    // descent, so a neighbor is matched iff its (hier) home cell is
-    // among the query's probes — consistent approximation on both
-    // sides.
+    require(centroids.nonEmpty, "ivfIndex needs at least one centroid")
     val probeCells: Column =
       if (coarseProbe <= 0) ivfCellsOf(col("v"), col("nrm"), centroids, nprobe)
       else ivfCellsOfHier(col("v"), col("nrm"), buildCoarseIndex(centroids),
                           nprobe, coarseProbe)
-    // element 1 is the home cell under either quantizer (same tie rule),
-    // so one assignment scan feeds both columns
-    val homeCell: Column = element_at(probeCells, 1)
-    val celled = graft.queries.cacheOnce(withNorm(emb).select(
+    graft.queries.cacheOnce(withNorm(emb).select(
       col("vec_id"), col("v"), col("nrm"),
-      homeCell.as("cell"),
+      element_at(probeCells, 1).as("cell"),
       probeCells.as("cells")))
+  }
+
+  def ivfTopK(emb: DataFrame, centroids: Seq[(Int, Seq[Double])], k: Int,
+              nprobe: Int = 1, coarseProbe: Int = 0): DataFrame = {
+    // see ivfIndex for the materialization/quantizer rationale; with
+    // the hierarchical quantizer, home and probed cells come from the
+    // SAME descent, so a neighbor is matched iff its (hier) home cell
+    // is among the query's probes — consistent approximation on both
+    // sides
+    val celled = ivfIndex(emb, centroids, nprobe, coarseProbe)
     val a = celled.select(
         col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(col("cells")).as("cell"))

@@ -80,16 +80,66 @@ object TextDedup {
     shingles.join(broadcast(frequent), Seq("bg"), "left_anti")
   }
 
-  /** LSH bands: one row per (doc, band-hash); docs sharing any band are
-    * near-dup candidates. `bandSize` consecutive signature columns per
-    * band. All bands emit from ONE pass over the signature frame
-    * (explode of a band-hash array), not one scan per band. */
-  def lshBands(signature: DataFrame, nHashes: Int, bandSize: Int): DataFrame = {
-    val bandHashes = (0 until nHashes by bandSize).map { start =>
+  /** Band-hash array over a signature row's `h*` columns: one md5 per
+    * `bandSize` consecutive hashes. Shared by the batch band index
+    * ([[lshBands]]) and the streaming routing op
+    * ([[graft.streaming.StreamOps.streamingNearDupCandidates]]), so
+    * both sides bucket identically by construction. */
+  def bandHashArray(nHashes: Int, bandSize: Int): Column =
+    array((0 until nHashes by bandSize).map { start =>
       val cols = (start until math.min(start + bandSize, nHashes)).map(i => col(s"h$i"))
       md5(concat(cols: _*))
+    }: _*)
+
+  /** LSH bands: one row per (doc, band-hash); docs sharing any band are
+    * near-dup candidates. All bands emit from ONE pass over the
+    * signature frame (explode of a band-hash array), not one scan per
+    * band. */
+  def lshBands(signature: DataFrame, nHashes: Int, bandSize: Int): DataFrame =
+    signature.select(col("id"), explode(bandHashArray(nHashes, bandSize)).as("band"))
+
+  /** Per-ROW minhash signature: the same `h0..h{n-1}` values as
+    * [[minhashSignature]], computed on a single document row with NO
+    * shuffle — the ingestion-time form of the signature (a streaming
+    * source can't run the shingle-explode + groupBy pipeline per
+    * micro-batch without stateful aggregation, but a whole document
+    * arrives on one row, so its signature is a pure projection).
+    *
+    * Parity by construction (pinned by test): min is
+    * duplicate-insensitive, so the batch path's shingle `.distinct()`
+    * is unnecessary here; digests, slices, and lexicographic mins are
+    * the identical expressions. `exclude` mirrors
+    * [[pruneFrequentShingles]]' corpus-derived frequent set — tiny by
+    * construction (the batch side broadcasts it), so it travels as a
+    * literal. Docs with fewer than 2 words get null signature columns
+    * (the batch pipeline drops them before the groupBy) — their band
+    * hashes are null and join nothing.
+    *
+    * HOF note: the transforms here are CodegenFallback like any HOF,
+    * but each interpreted element does a sha256 digest — the lambda
+    * dispatch is noise against the crypto, unlike the centroid-scan
+    * case that motivated `plans/IvfAssign`. The digest arrays are
+    * aliased in their own projection and referenced 8× each, which
+    * CollapseProject refuses to inline — each digest is computed once
+    * per shingle, as in the batch path. */
+  def withRowMinhashSignature(df: DataFrame, textCol: String, nHashes: Int,
+                              exclude: Seq[String] = Nil): DataFrame = {
+    require(nHashes >= 1, s"need at least one hash, got $nHashes")
+    val nGroups = (nHashes + 7) / 8
+    val l = split(trim(col(textCol)), " ")
+    val sh0 = transform(sequence(lit(1), size(l) - 1),
+      i => concat(element_at(l, i), lit("_"), element_at(l, i + 1)))
+    val sh1 = if (exclude.isEmpty) sh0 else array_except(sh0, typedLit(exclude))
+    val shingles = when(size(l) >= 2, sh1)
+    val digests = Seq.tabulate(nGroups) { g =>
+      transform(shingles, s =>
+        sha2(if (g == 0) s else concat(lit(g.toString), s), 256)).as(s"__d$g")
     }
-    signature.select(col("id"), explode(array(bandHashes: _*)).as("band"))
+    val sigCols = Seq.tabulate(nHashes)(i =>
+      array_min(transform(col(s"__d${i / 8}"),
+        d => substring(d, (i % 8) * 8 + 1, 8))).as(s"h$i"))
+    df.select(col("*") +: digests: _*)
+      .select(df.columns.map(col).toSeq ++ sigCols: _*)
   }
 
   /** Candidate pairs from shared bands (a < b, dedup across bands).

@@ -120,6 +120,64 @@ object StreamOps {
       .select(col(userCol), col("w.start").as("session_start"),
               col("n_events"), col("y_sum"))
 
+  /** Streaming near-dup ROUTING: match each incoming document against a
+    * STATIC corpus band index — the continuous-ingest form of the batch
+    * candidate generation (q56's front half). The stream side computes
+    * its minhash signature per ROW ([[graft.pipeline.TextDedup
+    * .withRowMinhashSignature]] — a pure projection, no shuffle, no
+    * state), explodes the same band hashes the corpus index was built
+    * with, and stream-static inner-joins on the band key. Emits one row
+    * per (stream doc, corpus doc, shared band) — a doc pair sharing
+    * several bands emits several rows; route to an exact-Jaccard
+    * confirm or a `dropDuplicatesWithinWatermark` as the consumer
+    * requires (distinct needs state; candidate generation does not).
+    *
+    * 100 TB posture: the corpus band index is partitioned corpus-side;
+    * each micro-batch is map-side signature + one keyed join. `exclude`
+    * must be the SAME frequent-shingle set the corpus signatures were
+    * pruned with, or band hashes diverge. */
+  def streamingNearDupCandidates(stream: DataFrame, idCol: String, textCol: String,
+                                 corpusBands: DataFrame, nHashes: Int, bandSize: Int,
+                                 exclude: Seq[String] = Nil): DataFrame = {
+    import graft.pipeline.TextDedup
+    val signed = TextDedup.withRowMinhashSignature(stream, textCol, nHashes, exclude)
+    signed.select(col(idCol).as("stream_id"),
+                  explode(TextDedup.bandHashArray(nHashes, bandSize)).as("band"))
+      .join(corpusBands.select(col("id").as("corpus_id"), col("band")), Seq("band"))
+      .filter(col("stream_id") =!= col("corpus_id"))
+      .select("stream_id", "corpus_id", "band")
+  }
+
+  /** Streaming ANN ROUTING: assign each incoming embedding to its IVF
+    * probe cells and match it against a STATIC corpus index
+    * ([[graft.pipeline.Similarity.ivfIndex]]) — the continuous-ingest
+    * form of the batch `ivfTopK` up to (not including) the per-query
+    * top-k rank, which needs per-key state in a stream; this op emits
+    * every (query, neighbor, cos) candidate and the consumer ranks
+    * (batch-equivalence of exactly that split is test-pinned).
+    * Assignment is the native `ivf_assign` expression — pure per-row
+    * codegen, streaming-safe by construction. `nprobe`/`coarseProbe`
+    * choose the stream side's probe set; the corpus side matches on its
+    * HOME cell, mirroring ivfTopK. */
+  def streamingAnnCandidates(stream: DataFrame, corpusIndex: DataFrame,
+                             centroids: Seq[(Int, Seq[Double])], nprobe: Int,
+                             coarseProbe: Int = 0): DataFrame = {
+    import graft.pipeline.Similarity
+    graft.plans.GraftFunctions.register(stream.sparkSession)
+    val nrm = sqrt(Similarity.dot(col("v"), col("v")))
+    val cells =
+      if (coarseProbe <= 0) Similarity.ivfCellsOf(col("v"), nrm, centroids, nprobe)
+      else Similarity.ivfCellsOfHier(col("v"), nrm, Similarity.buildCoarseIndex(centroids),
+                                     nprobe, coarseProbe)
+    stream.select(col("vec_id").as("query_id"), col("v").as("qv"),
+                  nrm.as("qn"), explode(cells).as("cell"))
+      .join(corpusIndex.select(col("vec_id").as("neighbor_id"), col("v"),
+                               col("nrm"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+              round(Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos"))
+  }
+
   /** Running per-series statistics updated as events arrive (A2 date
     * bounds + A5 count + running sum as arbitrary custom state) — the
     * `flatMapGroupsWithState` form of the batch diagnostics inputs.

@@ -94,6 +94,38 @@ class TextDedupSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(got == 2.0)
   }
+
+  test("per-row minhash signature equals the shuffle-based batch signature") {
+    // the ingestion-time form must produce bit-identical h* values —
+    // including under the frequent-shingle prune, where the exclude
+    // literal must reproduce pruneFrequentShingles' effect exactly
+    val many = docs.union(Seq(
+      (5L, "the quick red fox naps under the lazy dog"),
+      (6L, "one"), // <2 words: batch drops it, row form yields nulls
+      (7L, "")).toDF("doc_id", "text"))
+    def collectSig(df: org.apache.spark.sql.DataFrame, idCol: String) =
+      df.collect().map(r => r.getLong(r.fieldIndex(idCol)) ->
+        (0 until 16).map(i => r.getAs[String](s"h$i")).toList).toMap
+
+    val sh = TextDedup.bigramShingles(many, "doc_id", "text")
+    val batch = collectSig(TextDedup.minhashSignature(sh, 16), "id")
+    val byRow = collectSig(
+      TextDedup.withRowMinhashSignature(many, "text", 16), "doc_id")
+    assert(batch.keySet.forall(id => byRow(id) == batch(id)),
+           "unpruned signatures diverge")
+    assert(byRow(6L).forall(_ == null) && byRow(7L).forall(_ == null))
+
+    // pruned parity: "the_quick" etc. appear in >40% of docs
+    val pruned = TextDedup.pruneFrequentShingles(sh, 0.4)
+    val frequent = sh.select("bg").distinct().except(pruned.select("bg").distinct())
+      .collect().map(_.getString(0)).toSeq
+    assert(frequent.nonEmpty, "test corpus has no frequent shingles to prune")
+    val batchP = collectSig(TextDedup.minhashSignature(pruned, 16), "id")
+    val byRowP = collectSig(
+      TextDedup.withRowMinhashSignature(many, "text", 16, exclude = frequent), "doc_id")
+    assert(batchP.keySet.forall(id => byRowP(id) == batchP(id)),
+           "pruned signatures diverge")
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {

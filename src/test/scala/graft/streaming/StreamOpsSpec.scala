@@ -78,6 +78,85 @@ class StreamOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { StreamOps.windowDuration("M") }
   }
 
+  test("streaming near-dup routing matches the batch band join") {
+    import graft.pipeline.TextDedup
+    // corpus with planted near-dups; the stream replays the same docs,
+    // so every batch candidate pair must be routed (both directions,
+    // since routing is stream-doc -> corpus-doc, not a < b)
+    val vocab = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+    val rnd = new scala.util.Random(23)
+    val corpus = (0 until 30).flatMap { i =>
+      val ws = Seq.fill(10)(vocab(rnd.nextInt(vocab.size)))
+      Seq((i.toLong, ws.mkString(" ")),
+          (i.toLong + 100, (ws.take(8) ++ Seq(s"xx$i", s"yy$i")).mkString(" ")))
+    }.toDF("doc_id", "text")
+    val corpusBands = TextDedup.lshBands(
+      TextDedup.minhashSignature(TextDedup.bigramShingles(corpus, "doc_id", "text"), 16),
+      16, 2)
+
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.streamingNearDupCandidates(df, "doc_id", "text", corpusBands, 16, 2)
+    val expected = pairsOf(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "no candidates routed — test corpus too sparse")
+    // the batch band self-join (the q56 front half) must be a subset,
+    // in both orientations, of what routing finds for replayed docs
+    val batchPairs = TextDedup.candidatePairs(corpusBands).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.forall(p => expected(p) && expected(p.swap)))
+
+    val dir = Files.createTempDirectory("graft-stream-neardup").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(corpus.schema).parquet(dir)
+    val q = pairsOf(stream).writeStream.outputMode("append")
+      .format("memory").queryName("neardup_route").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("neardup_route").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, "streamed routing != batch routing")
+    } finally q.stop()
+  }
+
+  test("streaming ANN routing matches batch candidates; ranking them reproduces ivfTopK") {
+    import graft.pipeline.Similarity
+    val rnd = new scala.util.Random(31)
+    val centers = Seq.fill(8)(Seq.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, centers(i % 8).map(_ + rnd.nextGaussian() * 0.2))
+    }.toDF("vec_id", "v")
+    val cents = vecs.filter(col("vec_id") < 8).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    val index = Similarity.ivfIndex(vecs, cents, nprobe = 2)
+
+    def cands(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.streamingAnnCandidates(df, index, cents, nprobe = 2)
+    val expected = cands(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+
+    val dir = Files.createTempDirectory("graft-stream-ann").toString
+    vecs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(vecs.schema).parquet(dir)
+    val q = cands(stream).writeStream.outputMode("append")
+      .format("memory").queryName("ann_route").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ann_route").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+      assert(got == expected, "streamed ANN candidates != batch candidates")
+    } finally q.stop()
+
+    // consumer-side rank of the candidates == the batch ivfTopK rows:
+    // pins the documented "everything up to the top-k" equivalence
+    val ranked = expected.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.toSeq.sortBy { case (_, nid, cos) => (-cos, nid) }.take(3)
+        .map { case (_, nid, _) => (qid, nid) }
+    }.toSet
+    val batchTopK = Similarity.ivfTopK(vecs, cents, 3, nprobe = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(ranked == batchTopK, "ranked streamed candidates != batch ivfTopK")
+  }
+
   test("month grain matches batch bucketing (derived event-time grouping)") {
     // ~4 calendar months of data, including month-length variation
     // (Feb 29 2024) — months can't be a fixed window() but group on
