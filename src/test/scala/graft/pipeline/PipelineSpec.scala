@@ -95,6 +95,19 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == 2.0)
   }
 
+  test("per-row simhash equals the shuffle-based batch simhash") {
+    val many = docs.union(Seq(
+      (5L, "the quick red fox naps under the lazy dog"),
+      (6L, "")).toDF("doc_id", "text"))
+    val batch = TextDedup.simhash16(many, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byRow = TextDedup.withRowSimhash16(many, "text").collect()
+      .map(r => r.getLong(0) -> r.getInt(r.fieldIndex("simhash"))).toMap
+    assert(batch.keySet.forall(id => byRow(id) == batch(id)),
+           "per-row simhash diverges from batch")
+    assert(byRow(6L) == 0) // tokenless doc: batch absent, row form 0
+  }
+
   test("per-row minhash signature equals the shuffle-based batch signature") {
     // the ingestion-time form must produce bit-identical h* values —
     // including under the frequent-shingle prune, where the exclude
