@@ -64,6 +64,17 @@ class HttpShellSpec extends AnyFunSuite {
       assert(post(port, "/analyze", "{not json").statusCode() == 422)
       val missing = post(port, "/analyze", request.replace("\"toData\": \"m\", ", ""))
       assert(missing.statusCode() == 422 && missing.body().contains("toData"))
+
+      // the declared type enum over the wire: granger adds its block,
+      // an unknown type is a pydantic-style 422
+      val granger = post(port, "/analyze",
+        request.replace("\"type\": \"prophet\"", "\"type\": \"granger\""))
+      assert(granger.statusCode() == 200, granger.body().take(200))
+      assert(granger.body().contains("\"type\": \"granger\"") &&
+             granger.body().contains("grangerCausality"))
+      val badType = post(port, "/analyze",
+        request.replace("\"type\": \"prophet\"", "\"type\": \"arima\""))
+      assert(badType.statusCode() == 422 && badType.body().contains("arima"))
     } finally server.stop(0)
   }
 
