@@ -221,7 +221,14 @@ object TextDedup {
     * edges stay distributed. (A connected-docs-only iteration with an
     * anti-join for singletons was tried and MEASURED 2.5× slower here:
     * it roots the whole loop's lineage in the near-dup pipeline
-    * instead of a plain scan, and the saved rows are not the cost.) */
+    * instead of a plain scan, and the saved rows are not the cost.)
+    * If a corpus ever produces DEEP components (chained paraphrase
+    * families rather than tight dup clusters), the escalation is
+    * pointer jumping — label(v) ← label(label(v)) each round, a second
+    * keyed join per round for O(log diameter) rounds total; at typical
+    * dup diameters (2-4) it costs more than it saves, which is why the
+    * plain propagation is the shipped form and `maxRounds` guards the
+    * assumption. */
   def dupClusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
