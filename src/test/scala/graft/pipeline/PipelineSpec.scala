@@ -382,6 +382,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m(2L).getAs[Long]("n_frames") == 4L) // ceil(200/64)
   }
 
+  test("multimodal ops run unchanged on a stream (batch parity)") {
+    // mediaTable → frameSample → frameFeatures is pure projection +
+    // generator (no state, no time semantics), so the SAME calls must
+    // work on a readStream frame in append mode — the streaming posture
+    // of the q61/q62 plumbing (ingest-time media feature extraction)
+    graft.plans.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-media").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    def features(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.frameFeatures(Multimodal.frameSample(
+        Multimodal.mediaTable(df, "doc_id", "text")))
+    val expected = features(docs).collect().map(_.toString).toSet
+    val q = features(stream).writeStream.outputMode("append")
+      .format("memory").queryName("media_parity").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("media_parity").collect().map(_.toString).toSet
+      assert(got == expected, "streamed multimodal features != batch")
+    } finally q.stop()
+  }
+
   test("FrameLimitRule pushes frame_idx bounds into the sequence generator") {
     graft.plans.GraftFunctions.register(spark)
     val media = Multimodal.mediaTable(docs, "doc_id", "text") // doc 2 has 4 frames
