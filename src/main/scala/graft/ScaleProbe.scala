@@ -8,12 +8,22 @@ import org.apache.spark.sql.functions._
   * pipelines. Synthesizes a deterministic corpus N× the bench size and
   * times the near-dup and ANN paths, to check the cost curves stay
   * ~linear (bucketed joins) rather than quadratic (all-pairs).
-  * Usage: runMain graft.ScaleProbe [nDocs] [nVecs]
+  * Usage: runMain graft.ScaleProbe [nDocs] [nVecs] [vocab]
+  *
+  * `vocab` (0 or absent = auto): the synthetic corpus' word-vocabulary
+  * size. Auto scales it with the corpus (nDocs/25, floor 2000 — the
+  * historical value at the 50k base decade) so per-word document
+  * frequency stays CONSTANT across decades, the way a real growing
+  * corpus behaves; a fixed vocabulary under a growing corpus instead
+  * densifies shingle df ∝ n and measures an artifact, not the
+  * algorithm. Pass an explicit value to reproduce fixed-vocab runs.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(50000)
     val nVecs = args.drop(1).headOption.map(_.toInt).getOrElse(20000)
+    val vocab = args.drop(2).headOption.map(_.toInt).filter(_ > 0)
+      .getOrElse(math.max(2000, nDocs / 25))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -30,13 +40,14 @@ object ScaleProbe {
       r
     }
 
-    // deterministic synthetic docs: 40-word texts from a 2k vocabulary,
+    // deterministic synthetic docs: 40-word texts from the vocabulary,
     // 5% exact duplicates — generated distributively from spark.range
+    println(s"config: nDocs=$nDocs nVecs=$nVecs vocab=$vocab")
     val docs = spark.range(nDocs.toLong).select(
       col("id").as("doc_id"),
       concat_ws(" ", (0 until 40).map(j =>
         concat(lit("w"), pmod(hash(when(col("id") % 20 === 0, col("id") - 1)
-          .otherwise(col("id")) * 37 + j), lit(2000)))): _*).as("text"))
+          .otherwise(col("id")) * 37 + j), lit(vocab)))): _*).as("text"))
       .cache()
     time("docs materialize")(docs.count())
 
@@ -48,8 +59,14 @@ object ScaleProbe {
     val dup = TextDedup.jaccard(sh, pairs).filter(col("jaccard") >= 0.5).cache()
     println(s"near-dup pairs: ${time("near-dup pipeline")(dup.count())}")
     println(s"dup clusters: ${time("dup clusters")(
-      TextDedup.dupClusters(docs.select(col("doc_id")), dup.select(col("da"), col("db")))
+      TextDedup.dupClusters(docs.select(col("doc_id")), dup.select(col("da"), col("db")),
+        onRound = (r, ch, s) => println(f"    round $r%2d: $ch%9d changed  $s%6.2f s"))
         .filter(col("is_keeper") === 0).count())} non-keepers")
+    // diagnostic recount (re-runs the band join once, off the timers) —
+    // the candidate and edge volumes are what separate a probe artifact
+    // (volume growing superlinearly with n under a fixed vocab) from a
+    // real per-round algorithmic cost
+    println(s"diag: candidate pairs = ${pairs.count()}, confirmed edges = ${dup.count()}")
 
     // deterministic synthetic embeddings (16-dim) via hash-derived doubles
     val dim = 16

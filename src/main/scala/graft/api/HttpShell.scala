@@ -84,9 +84,10 @@ object HttpShell {
     // the S1 contract. Spark sessions are thread-safe for concurrent
     // actions, so a small fixed pool is all the shell needs; each
     // request still releases its own caches via close() in the handler.
-    // Daemon threads: HttpServer.stop() does not shut down a caller-
-    // provided executor, and a non-daemon pool would pin the JVM after
-    // the shell is stopped (specs start/stop servers repeatedly).
+    // Daemon threads as a backstop only: HttpServer.stop() does not shut
+    // down a caller-provided executor, so [[stop]] below shuts the pool
+    // down explicitly — repeated start/stop cycles must not accumulate
+    // idle pools (specs start/stop servers repeatedly).
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
       math.min(8, Runtime.getRuntime.availableProcessors()),
       (r: Runnable) => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t }))
@@ -98,6 +99,18 @@ object HttpShell {
     server.createContext("/saturating-growth/single", handler(spark)("single"))
     server.start()
     server
+  }
+
+  /** Stop a server started by [[start]], including its executor pool
+    * (which `HttpServer.stop` leaves running for caller-provided
+    * executors). `delaySeconds` mirrors `HttpServer.stop`'s drain. */
+  def stop(server: HttpServer, delaySeconds: Int = 0): Unit = {
+    val ex = server.getExecutor
+    server.stop(delaySeconds)
+    ex match {
+      case p: java.util.concurrent.ExecutorService => p.shutdown()
+      case _ =>
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -156,7 +156,11 @@ object ResponseAssembly {
         if (servedContract || corrType != "univariateStatistics") "" else {
           def sideStats(side: String): String =
             uniRows.getOrElse(id, Array.empty).find(_.getString(1) == side).map { r =>
-              s"""{"count": ${r.getLong(2)}, "mean": ${num(r.getDouble(3))}, "std": ${num(r.getDouble(4))}, "min": ${num(r.getDouble(5))}, "max": ${num(r.getDouble(6))}, "skewness": ${num(r.getDouble(7))}, "kurtosis": ${num(r.getDouble(8))}}"""
+              // stddev_samp is NULL for n=1 and skewness/kurtosis for
+              // n<3; Row.getDouble throws on null, which would turn a
+              // short series into a 500 instead of a response
+              def nnum(i: Int): String = if (r.isNullAt(i)) "null" else num(r.getDouble(i))
+              s"""{"count": ${r.getLong(2)}, "mean": ${nnum(3)}, "std": ${nnum(4)}, "min": ${nnum(5)}, "max": ${nnum(6)}, "skewness": ${nnum(7)}, "kurtosis": ${nnum(8)}}"""
             }.getOrElse("{}")
           s"""  "univariateStatistics": {"from": ${sideStats("from")}, "to": ${sideStats("to")}},
              |""".stripMargin

@@ -229,7 +229,8 @@ object TextDedup {
     * dup diameters (2-4) it costs more than it saves, which is why the
     * plain propagation is the shipped form and `maxRounds` guards the
     * assumption. */
-  def dupClusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def dupClusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 50,
+                  onRound: (Int, Long, Double) => Unit = null): DataFrame = {
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
       .distinct().cache()
@@ -239,6 +240,7 @@ object TextDedup {
     var rounds = 0
     try {
       while (changed > 0 && rounds < maxRounds) {
+        val roundT0 = System.nanoTime()
         val nbrMin = edges
           .join(labels.select(col("doc_id").as("dst"), col("cluster").as("nc")), Seq("dst"))
           .groupBy(col("src")).agg(min(col("nc")).as("nbr_min"))
@@ -258,6 +260,10 @@ object TextDedup {
         cached = next
         labels = next.select(col("doc_id"), col("cluster"))
         rounds += 1
+        // diagnostics hook (round #, labels changed, round seconds) —
+        // nothing extra is computed when unset
+        if (onRound != null)
+          onRound(rounds, changed, (System.nanoTime() - roundT0) / 1e9)
       }
       if (changed > 0)
         throw new IllegalStateException(

@@ -98,6 +98,13 @@ object IvfAssign {
     require(coarse.length == groupVecs.length && coarse.length > 0,
             s"quantizer needs one coarse center per group (${coarse.length} vs ${groupVecs.length})")
     require(nprobe >= 1 && coarseProbe >= 1, s"nprobe=$nprobe coarseProbe=$coarseProbe")
+    /** Uniform centroid dimensionality, enforced at construction so a
+      * dim-mismatched input vector can be REJECTED per row rather than
+      * silently truncated to a plausible-but-wrong cosine. */
+    val dim: Int = coarse(0).length
+    require(coarse.forall(_.length == dim) &&
+            groupVecs.forall(_.forall(_.length == dim)),
+            s"quantizer centroids must share one dimensionality (expected $dim)")
 
     private def deep(a: Array[_]): Array[AnyRef] = a.asInstanceOf[Array[AnyRef]]
     override def equals(o: Any): Boolean = o match {
@@ -130,10 +137,9 @@ object IvfAssign {
       .doubleValue()
 
   private def dot(v: ArrayData, c: Array[Double]): Double = {
-    val n = math.min(v.numElements(), c.length)
     var s = 0.0
     var i = 0
-    while (i < n) { s += v.getDouble(i) * c(i); i += 1 }
+    while (i < c.length) { s += v.getDouble(i) * c(i); i += 1 }
     s
   }
 
@@ -156,8 +162,16 @@ object IvfAssign {
     math.min(filled + 1, k)
   }
 
-  /** Static helper invoked from generated code. */
+  /** Static helper invoked from generated code. A vector whose length
+    * differs from the quantizer's dimensionality fails loudly: a
+    * truncated dot product would rank cells by a plausible-but-wrong
+    * cosine, which no test or oracle could distinguish from a real
+    * score — a data-contract violation should stop the job, not skew
+    * its output. */
   def assign(v: ArrayData, nrm: Double, q: Quantizer): ArrayData = {
+    if (v.numElements() != q.dim)
+      throw new IllegalArgumentException(
+        s"ivf_assign: input vector has ${v.numElements()} dims, quantizer expects ${q.dim}")
     // coarse pass: best `coarseProbe` groups of the √k coarse centers
     val nG = math.min(q.coarseProbe, q.coarse.length)
     val gScores = new Array[Double](nG)

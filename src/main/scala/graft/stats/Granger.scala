@@ -133,8 +133,13 @@ object Granger {
     -tmp + math.log(2.5066282746310005 * ser / x)
   }
 
-  /** Per-series OLS linear detrend (the notebook's `remove_trend`,
-    * `Untitled.ipynb` cell 12): fit v ~ a + b·t, return residuals.
+  /** Per-series OLS linear detrend: fit v ~ a + b·t, return residuals.
+    * An additive-linear APPROXIMATION of the notebook's `remove_trend`
+    * intent (`Untitled.ipynb` cell 12) — darts' `remove_trend` defaults
+    * to dividing out a decomposition-extracted trend (multiplicative),
+    * and the notebook also skips granger for series shorter than 14
+    * points; neither exact behavior is mirrored here (the reference
+    * never serves this path, so there is no wire contract to match).
     * Runs in-JVM on one already-grouped series — no extra shuffle. */
   private def detrendArr(t: Array[Double], v: Array[Double]): Array[Double] = {
     val n = v.length
@@ -152,8 +157,10 @@ object Granger {
   /** DataFrame form: per series, test x → y at lags 1..maxlag. Input
     * (series, ds, y, x) aligned rows; output one row per (series, lag).
     * `detrend = true` removes a per-series linear trend from BOTH sides
-    * first, mirroring the notebook's
-    * `granger_causality_tests(remove_trend(from), remove_trend(to))`. */
+    * first, approximating the notebook's
+    * `granger_causality_tests(remove_trend(from), remove_trend(to))`
+    * (see [[detrendArr]] for where the approximation diverges from the
+    * darts default). */
   def causality(df: DataFrame, maxlag: Int, seriesCol: String = "series",
                 detrend: Boolean = false): DataFrame = {
     val spark = df.sparkSession

@@ -75,7 +75,7 @@ class HttpShellSpec extends AnyFunSuite {
       val badType = post(port, "/analyze",
         request.replace("\"type\": \"prophet\"", "\"type\": \"arima\""))
       assert(badType.statusCode() == 422 && badType.body().contains("arima"))
-    } finally server.stop(0)
+    } finally HttpShell.stop(server)
   }
 
   test("concurrent analyze posts are served in parallel, not serialized") {
@@ -115,6 +115,12 @@ class HttpShellSpec extends AnyFunSuite {
       assert(healthSec < 2.0,
              f"health probe took $healthSec%.1f s — requests look serialized")
       pool.shutdown()
-    } finally server.stop(0)
+    } finally HttpShell.stop(server)
+  }
+
+  test("stop shuts down the executor pool (no idle-pool accumulation)") {
+    val server = HttpShell.start(spark, 0)
+    HttpShell.stop(server)
+    assert(server.getExecutor.asInstanceOf[java.util.concurrent.ExecutorService].isShutdown)
   }
 }
