@@ -8,15 +8,18 @@ import org.apache.spark.sql.functions._
   *
   * Media (image/audio/video) are opaque `binary` columns with a typed
   * metadata struct. The Spark-side machinery — schema, frame sampling,
-  * per-frame features, batch shape — is real and tested; the actual
-  * codec decode is STUBBED (no image/audio libraries in this
-  * environment) behind [[decodeStub]], which produces deterministic
-  * fake features with the same schema a real decoder would emit.
+  * per-frame features, batch shape — is real and tested. IMAGE decode
+  * is real too ([[decodeImage]] over the JDK's `javax.imageio`
+  * PNG/BMP/GIF/JPEG readers — zero added dependencies); audio/video
+  * codecs genuinely aren't in this environment, so [[decodeStub]]
+  * remains as the marked stand-in for those modalities only.
   *
   * Scale: media rows never leave executors; frame sampling is a
-  * flatMap (`explode(sequence(...))`) and features are codegen'd
-  * expressions ([[graft.plans.ByteSum]]), so a 100 TB media corpus
-  * streams through scan → explode → project with zero shuffles.
+  * flatMap (`explode(sequence(...))`), features are codegen'd
+  * expressions ([[graft.plans.ByteSum]]), and decode is a per-row
+  * native expression ([[graft.plans.DecodeImage]]), so a 100 TB media
+  * corpus streams through scan → explode/decode → project with zero
+  * shuffles.
   */
 object Multimodal {
 
@@ -61,10 +64,46 @@ object Multimodal {
       call_function("byte_sum", col("frame")).as("frame_sum"))
   }
 
-  /** STUB decoder: where a real pipeline would decode pixels/samples
-    * (e.g. via a vectorized UDF batching binary payloads), we emit a
-    * deterministic fake "feature vector" derived from byte statistics.
-    * The schema and batch shape match what a real decoder would return. */
+  /** Synthesize a REAL image table: one `w`×`h` 24-bit BMP per input
+    * row, pixels a deterministic function of the id
+    * ([[graft.plans.GenBmp]]) — genuine codec bytes generated
+    * distributively (no fixture table, no driver work), so the decode
+    * path can be exercised and ORACLE-CHECKED at any corpus size: the
+    * per-channel pixel means [[decodeImage]] extracts are predictable
+    * arithmetic over (id, x, y). */
+  def imageTable(docs: DataFrame, idCol: String, w: Int = 4, h: Int = 4): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val media = call_function("gen_bmp", col(idCol), lit(w), lit(h))
+    docs.select(
+      col(idCol).as("doc_id"),
+      media.as("media"),
+      struct(
+        lit("image/bmp").as("mime"),
+        length(media).cast("long").as("n_bytes"),
+        lit(1L).as("n_frames")).as("meta"))
+  }
+
+  /** REAL image decode ([[graft.plans.DecodeImage]]): pixels out of the
+    * binary payload via the JDK image registry, reduced per row to
+    * (width, height, per-channel means). Undecodable payloads yield
+    * null stats — skipped, not fabricated. Pure map-side: a native
+    * expression inside whole-stage codegen, no UDF, no shuffle. */
+  def decodeImage(media: DataFrame): DataFrame = {
+    GraftFunctions.register(media.sparkSession)
+    media
+      .select(col("doc_id"), col("meta.mime").as("mime"),
+              call_function("decode_image", col("media")).as("img"))
+      .select(col("doc_id"), col("mime"),
+              col("img.width").as("width"), col("img.height").as("height"),
+              col("img.mean_r").as("mean_r"), col("img.mean_g").as("mean_g"),
+              col("img.mean_b").as("mean_b"))
+  }
+
+  /** STUB decoder for the modalities whose codecs are genuinely absent
+    * in this environment (audio/video): emits a deterministic fake
+    * "feature vector" derived from byte statistics, with the schema and
+    * batch shape a real decoder would return. Image decode is NOT
+    * stubbed — see [[decodeImage]]. */
   def decodeStub(media: DataFrame, dim: Int = 8): DataFrame = {
     GraftFunctions.register(media.sparkSession)
     val feats = transform(sequence(lit(0), lit(dim - 1)),

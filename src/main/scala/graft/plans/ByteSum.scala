@@ -140,11 +140,19 @@ object VecDot {
   * re-registering an already-present function would log a "replaced a
   * previously registered function" warning per call site. */
 object GraftFunctions {
+  private[plans] def intLit(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match { case i: Int => i; case l: Long => l.toInt }
+  }
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "byte_sum" -> (exprs => ByteSum(exprs.head)),
     "rolling_hash" -> (exprs => RollingHash(exprs.head)),
     "vec_dot" -> (exprs => VecDot(exprs.head, exprs(1))),
-    "ivf_assign" -> (exprs => IvfAssign.fromArgs(exprs)))
+    "ivf_assign" -> (exprs => IvfAssign.fromArgs(exprs)),
+    "gen_bmp" -> (exprs => GenBmp(exprs.head,
+      intLit(exprs(1), "gen_bmp width"), intLit(exprs(2), "gen_bmp height"))),
+    "decode_image" -> (exprs => DecodeImage(exprs.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -186,6 +194,18 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
          classOf[IvfAssign].getName, "ivf_assign"),
        (exprs: Seq[Expression]) => IvfAssign.fromArgs(exprs)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("gen_bmp"),
+       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+         classOf[GenBmp].getName, "gen_bmp"),
+       (exprs: Seq[Expression]) => GenBmp(exprs.head,
+         GraftFunctions.intLit(exprs(1), "gen_bmp width"),
+         GraftFunctions.intLit(exprs(2), "gen_bmp height"))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("decode_image"),
+       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+         classOf[DecodeImage].getName, "decode_image"),
+       (exprs: Seq[Expression]) => DecodeImage(exprs.head)))
     ext.injectOptimizerRule(_ => FrameLimitRule)
   }
 }

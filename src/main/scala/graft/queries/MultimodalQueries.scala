@@ -48,19 +48,37 @@ object MultimodalQueries {
       |    x -> ascii(x))) AS BIGINT) AS frame_sum
       |FROM f""".stripMargin
 
-  /** q63 — stubbed decode: deterministic fake feature vectors with the
-    * real schema/batch shape (no oracle — the stub marks where a codec
-    * would run; rows-only check). */
+  /** q63 — REAL image decode, oracle-checked end-to-end: gen_bmp
+    * synthesizes genuine 24-bit BMP bytes per doc_id (pixel (x,y):
+    * blue = (id·31+7x+13y) mod 256, green/red offset 85/170),
+    * decode_image runs them through `javax.imageio` and reduces to
+    * per-channel means. With a 4×4 grid the mean is k/16 — exactly
+    * representable in a double — so DuckDB can predict every decoded
+    * stat arithmetically over the same (id, x, y) formula and the hash
+    * compare is bit-exact. */
   private def q63(s: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeStub(
-        Multimodal.mediaTable(t(s, dir, "documents"), "doc_id", "text"))
-      .select(col("doc_id"), col("mime"),
-              round(element_at(col("features"), 1), 6).as("f0"),
-              round(element_at(col("features"), 8), 6).as("f7"))
+    Multimodal.decodeImage(
+      Multimodal.imageTable(t(s, dir, "documents"), "doc_id"))
+
+  private val q63Sql =
+    """WITH px AS (
+      |  SELECT d.doc_id,
+      |         (d.doc_id * 31 + 7 * g.x + 13 * g.y) % 256 AS b
+      |  FROM documents d
+      |  CROSS JOIN (
+      |    SELECT xs.x, ys.y
+      |    FROM (SELECT unnest(generate_series(0, 3)) AS x) xs,
+      |         (SELECT unnest(generate_series(0, 3)) AS y) ys) g)
+      |SELECT doc_id, 'image/bmp' AS mime,
+      |  CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+      |  avg((b + 170) % 256) AS mean_r,
+      |  avg((b + 85) % 256) AS mean_g,
+      |  avg(b) AS mean_b
+      |FROM px GROUP BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q61_media_meta", q61, Some(q61Sql)),
     QueryDef("q62_frame_features", q62, Some(q62Sql)),
-    QueryDef("q63_decode_stub", q63, None)
+    QueryDef("q63_image_decode", q63, Some(q63Sql))
   )
 }

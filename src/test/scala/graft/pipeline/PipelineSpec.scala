@@ -174,6 +174,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(n4 == Set(3L))
   }
 
+  test("ivf_assign fails loudly on dimension mismatch (no silent truncation)") {
+    // non-uniform centroid dims are rejected at construction
+    intercept[IllegalArgumentException] {
+      graft.plans.IvfAssign.Quantizer(
+        Array(Array(1.0, 0.0), Array(1.0)),
+        Array(Array(Array(1.0, 0.0)), Array(Array(1.0))),
+        Array(Array(0), Array(1)), 1, 1)
+    }
+    // a row vector shorter than the quantizer's dim errors instead of
+    // scoring a truncated (plausible-but-wrong) cosine
+    val cents = Seq(0 -> Seq(1.0, 0.0, 0.0), 1 -> Seq(0.0, 1.0, 0.0))
+    val bad = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("vec_id", "v")
+    val e = intercept[Exception] { Similarity.ivfTopK(bad, cents, 1).collect() }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("quantizer expects"), msgs(e).take(300))
+  }
+
   test("k-means-trained IVF centroids separate the two natural clusters") {
     // two tight clusters around +x and +y
     val data = (0 until 20).map { i =>
@@ -456,6 +474,45 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(a.sameElements(b))
     assert(a.nonEmpty)
+  }
+
+  test("gen_bmp emits genuine codec bytes: javax.imageio decodes them directly") {
+    // the synthesized payload must be a REAL image, not image-shaped
+    // bytes — prove it by decoding on the driver with the JDK API alone
+    val bytes = graft.plans.GenBmp.bmp(7L, 5, 3)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO rejected gen_bmp output")
+    assert(img.getWidth == 5 && img.getHeight == 3)
+    // spot-check pixel (2, 1): BMP rows are bottom-up, decoded top-down,
+    // so decoded (x=2, y=1) is stored row y'=h-1-y=1 → same formula y=1
+    val rgb = img.getRGB(2, 1)
+    val v = java.lang.Math.floorMod(7L * 31 + 7 * 2 + 13 * 1, 256L).toInt
+    assert((rgb & 0xff) == v, "blue channel")
+    assert(((rgb >>> 8) & 0xff) == (v + 85) % 256, "green channel")
+    assert(((rgb >>> 16) & 0xff) == (v + 170) % 256, "red channel")
+  }
+
+  test("decode_image: exact channel means end-to-end; null for garbage bytes") {
+    graft.plans.GraftFunctions.register(spark)
+    val ids = Seq(0L, 1L, 12345L).toDF("doc_id")
+    val got = Multimodal.decodeImage(Multimodal.imageTable(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    for (id <- Seq(0L, 1L, 12345L)) {
+      val px = for { y <- 0 until 4; x <- 0 until 4 }
+        yield java.lang.Math.floorMod(id * 31 + 7 * x + 13 * y, 256L).toInt
+      val (w, h, mr, mg, mb) = got(id)
+      assert(w == 4 && h == 4)
+      // k/16 is exactly representable: equality, not tolerance
+      assert(mb == px.sum / 16.0, s"mean_b id=$id")
+      assert(mg == px.map(v => (v + 85) % 256).sum / 16.0, s"mean_g id=$id")
+      assert(mr == px.map(v => (v + 170) % 256).sum / 16.0, s"mean_r id=$id")
+    }
+    // undecodable payloads yield null stats (skip-don't-poison)
+    val junk = Seq((1L, Array[Byte](1, 2, 3), "junk/bytes")).toDF("doc_id", "media", "mime")
+      .select(col("doc_id"), col("media"), struct(col("mime")).as("meta"))
+    val r = junk.select(call_function("decode_image", col("media")).as("img")).collect()
+    assert(r.head.isNullAt(0), "garbage bytes should decode to null")
   }
 }
 
