@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * metadata struct. The Spark-side machinery — schema, frame sampling,
   * per-frame features, batch shape — is real and tested. IMAGE decode
   * is real too ([[decodeImage]] over the JDK's `javax.imageio`
-  * PNG/BMP/GIF/JPEG readers — zero added dependencies); audio/video
-  * codecs genuinely aren't in this environment, so [[decodeStub]]
-  * remains as the marked stand-in for those modalities only.
+  * PNG/BMP/GIF/JPEG readers — zero added dependencies), and so is
+  * AUDIO decode ([[decodeAudio]] over the JDK's `javax.sound.sampled`
+  * WAV/PCM readers); video codecs genuinely aren't in this
+  * environment, so [[decodeStub]] remains as the marked stand-in for
+  * that modality only.
   *
   * Scale: media rows never leave executors; frame sampling is a
   * flatMap (`explode(sequence(...))`), features are codegen'd
@@ -99,11 +101,50 @@ object Multimodal {
               col("img.mean_b").as("mean_b"))
   }
 
-  /** STUB decoder for the modalities whose codecs are genuinely absent
-    * in this environment (audio/video): emits a deterministic fake
+  /** Synthesize a REAL audio table: one 16-bit PCM mono WAV per input
+    * row ([[graft.plans.GenWav]]), sample t of clip `id` carrying
+    * `((id·31 + t·7919) mod 2048) − 1024` — genuine codec bytes
+    * generated distributively, so audio decode is exercised and
+    * ORACLE-CHECKED at any corpus size (sums are integer-exact; mean
+    * and RMS one IEEE op away). */
+  def audioTable(docs: DataFrame, idCol: String,
+                 nSamples: Int = 256, sampleRate: Int = 8000): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val media = call_function("gen_wav", col(idCol), lit(nSamples), lit(sampleRate))
+    docs.select(
+      col(idCol).as("doc_id"),
+      media.as("media"),
+      struct(
+        lit("audio/wav").as("mime"),
+        length(media).cast("long").as("n_bytes"),
+        lit(1L).as("n_frames")).as("meta"))
+  }
+
+  /** REAL audio decode ([[graft.plans.DecodeAudio]]): PCM frames out of
+    * the binary payload via the JDK audio registry, reduced per row to
+    * (sample_rate, channels, n_samples, mean/RMS amplitude, zero
+    * crossings). Undecodable payloads yield null stats — skipped, not
+    * fabricated. Pure map-side, inside whole-stage codegen. */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    GraftFunctions.register(media.sparkSession)
+    media
+      .select(col("doc_id"), col("meta.mime").as("mime"),
+              call_function("decode_audio", col("media")).as("au"))
+      .select(col("doc_id"), col("mime"),
+              col("au.sample_rate").as("sample_rate"),
+              col("au.channels").as("channels"),
+              col("au.n_samples").as("n_samples"),
+              col("au.mean_amp").as("mean_amp"),
+              col("au.rms_amp").as("rms_amp"),
+              col("au.zero_cross").as("zero_cross"))
+  }
+
+  /** STUB decoder for the one modality whose codecs are genuinely
+    * absent in this environment (video): emits a deterministic fake
     * "feature vector" derived from byte statistics, with the schema and
-    * batch shape a real decoder would return. Image decode is NOT
-    * stubbed — see [[decodeImage]]. */
+    * batch shape a real decoder would return. Image decode
+    * ([[decodeImage]]) and audio decode ([[decodeAudio]]) are NOT
+    * stubbed. */
   def decodeStub(media: DataFrame, dim: Int = 8): DataFrame = {
     GraftFunctions.register(media.sparkSession)
     val feats = transform(sequence(lit(0), lit(dim - 1)),

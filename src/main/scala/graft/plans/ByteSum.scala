@@ -152,7 +152,10 @@ object GraftFunctions {
     "ivf_assign" -> (exprs => IvfAssign.fromArgs(exprs)),
     "gen_bmp" -> (exprs => GenBmp(exprs.head,
       intLit(exprs(1), "gen_bmp width"), intLit(exprs(2), "gen_bmp height"))),
-    "decode_image" -> (exprs => DecodeImage(exprs.head)))
+    "decode_image" -> (exprs => DecodeImage(exprs.head)),
+    "gen_wav" -> (exprs => GenWav(exprs.head,
+      intLit(exprs(1), "gen_wav samples"), intLit(exprs(2), "gen_wav rate"))),
+    "decode_audio" -> (exprs => DecodeAudio(exprs.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -206,6 +209,18 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
          classOf[DecodeImage].getName, "decode_image"),
        (exprs: Seq[Expression]) => DecodeImage(exprs.head)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("gen_wav"),
+       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+         classOf[GenWav].getName, "gen_wav"),
+       (exprs: Seq[Expression]) => GenWav(exprs.head,
+         GraftFunctions.intLit(exprs(1), "gen_wav samples"),
+         GraftFunctions.intLit(exprs(2), "gen_wav rate"))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("decode_audio"),
+       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+         classOf[DecodeAudio].getName, "decode_audio"),
+       (exprs: Seq[Expression]) => DecodeAudio(exprs.head)))
     ext.injectOptimizerRule(_ => FrameLimitRule)
   }
 }

@@ -140,10 +140,104 @@ object EmbeddingQueries {
       |  FROM pairs)
       |SELECT query_id, neighbor_id, cell, cos, rn FROM ranked WHERE rn <= 3""".stripMargin
 
+  /** Full-precision cosine with buildCoarseIndex's guard — the Lloyd
+    * rounds compare UNROUNDED cosines (only the descent rounds to 4). */
+  private def cosFullSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / greatest(sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}), 1e-300)"
+
+  /** q70 — hierarchical IVF ANN: q65's 32 fine centroids descended
+    * through the TWO-LEVEL quantizer (coarseProbe = 2, nprobe = 2) —
+    * the configuration `ivfCellCount(hierarchical = true)` prescribes at
+    * scale, so the 100 TB path itself sits under the hash oracle. The
+    * oracle replays the entire construction in SQL: buildCoarseIndex's
+    * five unrolled Lloyd rounds over the fine centroids (coarseK =
+    * ceil(√32) = 6, init centers = fine centroids 0/5/10/16/21/26,
+    * full-precision cosine with ties to the lower group, member-order
+    * mean sums, empty groups keeping their center, centers updated
+    * AFTER the final assignment), then the native ivf_assign descent
+    * (round-4 cosine; best 2 groups by cos desc/group asc; best 2 fine
+    * cells among their members by cos desc/cid asc), then the
+    * matched-home-cell join and per-query ranking. */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = e.filter(col("vec_id") < 32).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    Similarity.ivfTopK(e, cents, 3, nprobe = 2, coarseProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("cos"),
+              col("rn").cast("long").as("rn"))
+  }
+
+  private val q70Sql: String = {
+    // one Lloyd round: assign each fine centroid to its best coarse
+    // center (full-precision cos, tie -> lower g), then recompute each
+    // center as the member mean (summed in ascending-cid order, the
+    // Scala loop's order); empty groups keep their previous center
+    def lloydRound(r: Int): String = {
+      val prev = s"c${r - 1}"
+      s"""s$r AS (
+        |  SELECT f.cid, p.g, ${cosFullSql("f.v", "p.cv")} AS cs
+        |  FROM fine f CROSS JOIN $prev p),
+        |a$r AS (
+        |  SELECT cid, g FROM (
+        |    SELECT cid, g, row_number() OVER (PARTITION BY cid ORDER BY cs DESC, g) AS rn
+        |    FROM s$r) x WHERE rn = 1),
+        |m$r AS (
+        |  SELECT g, list(mx ORDER BY i) AS mv FROM (
+        |    SELECT a.g, gs.i, list_sum(list(f.v[gs.i] ORDER BY f.cid)) / count(*) AS mx
+        |    FROM a$r a JOIN fine f USING (cid) CROSS JOIN generate_series(1, 64) gs(i)
+        |    GROUP BY a.g, gs.i) y GROUP BY g),
+        |c$r AS (
+        |  SELECT p.g, COALESCE(m.mv, p.cv) AS cv
+        |  FROM $prev p LEFT JOIN m$r m USING (g))""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |fine AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 32),
+      |c0 AS (
+      |  SELECT m.g, f.v AS cv
+      |  FROM (VALUES (0, 0), (1, 5), (2, 10), (3, 16), (4, 21), (5, 26)) AS m(g, cid)
+      |  JOIN fine f ON f.cid = m.cid),
+      |${(1 to 5).map(lloydRound).mkString(",\n")},
+      |kept AS (SELECT g, cv FROM c5 WHERE g IN (SELECT DISTINCT g FROM a5)),
+      |gsc AS (
+      |  SELECT e.vec_id, e.v, k.g,
+      |         round(${dotSql("e.v", "k.cv")} /
+      |               (sqrt(${dotSql("e.v", "e.v")}) * sqrt(${dotSql("k.cv", "k.cv")})), 4) AS gcs
+      |  FROM e CROSS JOIN kept k),
+      |gtop AS (
+      |  SELECT vec_id, v, g FROM (
+      |    SELECT vec_id, v, g, row_number() OVER (PARTITION BY vec_id ORDER BY gcs DESC, g) AS grn
+      |    FROM gsc) x WHERE grn <= 2),
+      |fsc AS (
+      |  SELECT t.vec_id, f.cid AS cell,
+      |         round(${dotSql("t.v", "f.v")} /
+      |               (sqrt(${dotSql("t.v", "t.v")}) * sqrt(${dotSql("f.v", "f.v")})), 4) AS fcs
+      |  FROM gtop t JOIN a5 a ON a.g = t.g JOIN fine f ON f.cid = a.cid),
+      |ftop AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY fcs DESC, cell) AS farn
+      |    FROM fsc) x WHERE farn <= 2),
+      |home AS (SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY fcs DESC, cell) AS farn
+      |    FROM fsc) x WHERE farn = 1),
+      |pairs AS (
+      |  SELECT q.vec_id AS query_id, h.vec_id AS neighbor_id, q.cell,
+      |         ${cosSql("qa.v", "nb.v")} AS cos
+      |  FROM ftop q JOIN home h ON q.cell = h.cell AND h.vec_id <> q.vec_id
+      |  JOIN e qa ON qa.vec_id = q.vec_id
+      |  JOIN e nb ON nb.vec_id = h.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cell, cos,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cos DESC, neighbor_id) AS rn
+      |  FROM pairs)
+      |SELECT query_id, neighbor_id, cell, cos, rn FROM ranked WHERE rn <= 3""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q59_cosine_topk", q59, Some(q59Sql)),
     QueryDef("q60_lsh_ann", q60, Some(q60Sql)),
     QueryDef("q64_embedding_neardup", q64, Some(q64Sql)),
-    QueryDef("q65_ivf_ann", q65, Some(q65Sql))
+    QueryDef("q65_ivf_ann", q65, Some(q65Sql)),
+    QueryDef("q70_ivf_hier_ann", q70, Some(q70Sql))
   )
 }

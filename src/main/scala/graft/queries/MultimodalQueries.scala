@@ -76,9 +76,40 @@ object MultimodalQueries {
       |  avg(b) AS mean_b
       |FROM px GROUP BY doc_id""".stripMargin
 
+  /** q71 — REAL audio decode, oracle-checked end-to-end: gen_wav
+    * synthesizes genuine 16-bit PCM WAV bytes per doc_id (sample t:
+    * ((id·31 + t·7919) mod 2048) − 1024), decode_audio runs them
+    * through `javax.sound.sampled` and reduces to per-clip stats.
+    * Integer sample sums are exact, mean/RMS are one IEEE op away, and
+    * zero crossings are integer counts — DuckDB predicts every decoded
+    * stat arithmetically and the hash compare is bit-exact. */
+  private def q71(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudio(
+      Multimodal.audioTable(t(s, dir, "documents"), "doc_id"))
+
+  private val q71Sql =
+    """WITH s AS (
+      |  SELECT d.doc_id, g.t,
+      |         (d.doc_id * 31 + g.t * 7919) % 2048 - 1024 AS v
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS t) g),
+      |w AS (
+      |  SELECT doc_id, v,
+      |         lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS prev
+      |  FROM s)
+      |SELECT doc_id, 'audio/wav' AS mime,
+      |  CAST(8000 AS INTEGER) AS sample_rate, CAST(1 AS INTEGER) AS channels,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(v) AS DOUBLE) / count(*) AS mean_amp,
+      |  sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)) AS rms_amp,
+      |  CAST(count(*) FILTER (WHERE prev IS NOT NULL AND (prev < 0) != (v < 0))
+      |       AS BIGINT) AS zero_cross
+      |FROM w GROUP BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q61_media_meta", q61, Some(q61Sql)),
     QueryDef("q62_frame_features", q62, Some(q62Sql)),
-    QueryDef("q63_image_decode", q63, Some(q63Sql))
+    QueryDef("q63_image_decode", q63, Some(q63Sql)),
+    QueryDef("q71_audio_decode", q71, Some(q71Sql))
   )
 }

@@ -59,9 +59,58 @@ package object queries {
     * therefore a distinct CacheManager entry for the session's lifetime;
     * pipelines that cache request-scoped frames must expose an
     * unpersist path (AnalyzePipeline → `AnalyzeResult.close()`,
-    * TextQueries → per-session memo eviction, Similarity index frames →
-    * one entry per (input, params), reused across calls — a service
-    * cycling many distinct corpora should `unpersist()` retired ones). */
-  def cacheOnce(df: DataFrame): DataFrame =
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache() else df
+    * TextQueries → per-session memo eviction, Similarity/TextDedup index
+    * frames → one entry per (input, params), reused across calls). A
+    * long-lived service cycling many distinct corpora retires a
+    * corpus's indexes with [[releaseIndexes]] — without it the
+    * CacheManager accumulates one entry per corpus forever. */
+  def cacheOnce(df: DataFrame): DataFrame = registry.synchronized {
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      df.cache()
+      registry += df
+    }
+    df
+  }
+
+  /** Every live frame cacheOnce has materialized, so eviction can be
+    * keyed by the SOURCE frame rather than the derived index the caller
+    * never held. Entries whose cache was dropped elsewhere (e.g.
+    * `AnalyzeResult.close()` unpersisting the same frame) are pruned on
+    * each access, so the registry tracks live entries only. */
+  private val registry = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  private def pruneRegistry(): Unit = registry.filterInPlace(
+    _.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+
+  /** Live cacheOnce entries (post-prune) — the service-health probe a
+    * corpus-cycling caller watches to confirm eviction keeps up. */
+  def cachedIndexCount: Int = registry.synchronized {
+    pruneRegistry(); registry.size
+  }
+
+  /** Evict every cacheOnce-materialized frame DERIVED FROM `source`:
+    * any registered frame whose analyzed plan contains a subtree that
+    * `sameResult`s the source's plan (plan containment, so the caller
+    * passes the corpus frame it built indexes over — LSH buckets, IVF
+    * cells, shingle signatures — without having kept handles to the
+    * derived frames). Returns the number of entries released.
+    * `blocking = false`: eviction is async, the entries are removed from
+    * the CacheManager immediately. */
+  def releaseIndexes(source: DataFrame): Int = registry.synchronized {
+    pruneRegistry()
+    val target = source.queryExecution.analyzed
+    val hit = registry.filter(_.queryExecution.analyzed.exists(_.sameResult(target)))
+    hit.foreach(_.unpersist())
+    registry.filterInPlace(f => !hit.exists(_ eq f))
+    hit.size
+  }
+
+  /** Evict every cacheOnce entry (session teardown / test isolation). */
+  def releaseAllIndexes(): Int = registry.synchronized {
+    pruneRegistry()
+    val n = registry.size
+    registry.foreach(_.unpersist())
+    registry.clear()
+    n
+  }
 }

@@ -514,6 +514,45 @@ class MultimodalSpec extends AnyFunSuite {
     val r = junk.select(call_function("decode_image", col("media")).as("img")).collect()
     assert(r.head.isNullAt(0), "garbage bytes should decode to null")
   }
+
+  test("gen_wav emits genuine codec bytes: javax.sound.sampled decodes them directly") {
+    // the synthesized payload must be a REAL WAV, not wav-shaped bytes —
+    // prove it by decoding on the driver with the JDK API alone
+    val bytes = graft.plans.GenWav.wav(7L, 32, 8000)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val f = in.getFormat
+    assert(f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+    assert(f.getSampleRate == 8000.0f && f.getChannels == 1 && f.getSampleSizeInBits == 16)
+    val data = in.readAllBytes()
+    assert(data.length == 64, "32 samples x 2 bytes")
+    // spot-check sample t=3 (little-endian 16-bit)
+    val got = ((data(7) << 8) | (data(6) & 0xff)).toShort.toInt
+    assert(got == (java.lang.Math.floorMod(7L * 31 + 3L * 7919, 2048L) - 1024L).toInt)
+  }
+
+  test("decode_audio: exact clip stats end-to-end; null for garbage bytes") {
+    graft.plans.GraftFunctions.register(spark)
+    val ids = Seq(0L, 1L, 12345L).toDF("doc_id")
+    val got = Multimodal.decodeAudio(Multimodal.audioTable(ids, "doc_id", nSamples = 64))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+         r.getLong(7))).toMap
+    for (id <- Seq(0L, 1L, 12345L)) {
+      val s = (0 until 64).map(t =>
+        (java.lang.Math.floorMod(id * 31 + t.toLong * 7919, 2048L) - 1024L).toInt)
+      val (rate, ch, n, mean, rms, zc) = got(id)
+      assert(rate == 8000 && ch == 1 && n == 64L)
+      // integer sums are exact: equality, not tolerance
+      assert(mean == s.map(_.toLong).sum.toDouble / 64, s"mean_amp id=$id")
+      assert(rms == math.sqrt(s.map(v => v.toLong * v).sum.toDouble / 64), s"rms_amp id=$id")
+      assert(zc == s.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)), s"zero_cross id=$id")
+    }
+    // undecodable payloads yield null stats (skip-don't-poison)
+    val junk = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
+    val r = junk.select(call_function("decode_audio", col("media")).as("au")).collect()
+    assert(r.head.isNullAt(0), "garbage bytes should decode to null")
+  }
 }
 
 object GraftSumCheck {
