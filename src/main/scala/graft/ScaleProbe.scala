@@ -118,6 +118,30 @@ object ScaleProbe {
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
     println(s"lsh rows: ${time(s"lsh topk (${1L << nPlanes} buckets)")(
       Similarity.lshBucketTopK(vecs, planes, 3).count())}")
+
+    // Sampled recall@3 at THIS decade (100 queries vs exact brute force
+    // — 100·n dots, cheap at any probed n): the timed nprobe=1 config
+    // and a recall config, so the nprobe knob's effect is measured at
+    // scale rather than asserted from the small-corpus suite tests.
+    // The hash-derived synthetic vectors are near-isotropic — the
+    // ADVERSARIAL case for any partitioned ANN (no cluster structure to
+    // exploit); real embedding corpora sit far above these floors.
+    val exact = Similarity.cosineTopK(vecs, col("vec_id") < 100, 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (nprobe, coarseProbe) sweep: BOTH are recall levers — nprobe
+    // widens the fine-cell probe list, coarseProbe widens the set of
+    // coarse groups those fine cells may come from; on isotropic data
+    // fine probing saturates quickly under a narrow coarse beam, so a
+    // recall-tuned config raises the two together
+    for ((np, cp) <- Seq((1, 2), (4, 2), (4, 8))) {
+      val approx = Similarity.ivfTopK(vecs, hCents, 3, nprobe = np, coarseProbe = cp)
+        .filter(col("query_id") < 100)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"recall@3 hier-n23 nprobe=$np coarseProbe=$cp (100 queries): ${
+        (exact & approx).size / exact.size.toDouble}%.3f")
+    }
     spark.stop()
   }
 }

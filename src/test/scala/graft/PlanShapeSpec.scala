@@ -169,6 +169,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal generate/decode queries are zero-shuffle map-only plans") {
+    // the 100 TB posture for media pipelines: scan → generate/decode →
+    // project, nothing wide. A shuffle appearing here would mean the
+    // decode path stopped streaming through executors (e.g. an
+    // accidental repartition or a decode expression forced out of the
+    // projection). q62 (frame explode + byte features) is also
+    // shuffle-free; q61/q63/q71 are the metadata/image/audio decodes.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    for (q <- Seq("q61_media_meta", "q62_frame_features",
+                  "q63_image_decode", "q71_audio_decode")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
+      val n = plan.collect { case e: ShuffleExchangeExec => e }.size
+      assert(n == 0, s"$q plans $n shuffles (expected 0):\n$plan")
+    }
+  }
+
   test("LSH near-dup pair generation joins on the band key") {
     val df: DataFrame = SparkEntry.queries("q56_lsh_near_dup")(spark, dir)
     // sparkPlan, not executedPlan: AQE's wrapper node hides its subtree

@@ -422,6 +422,29 @@ class MultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("real image/audio decode runs unchanged on a stream (batch parity)") {
+    // gen_bmp/decode_image and gen_wav/decode_audio are pure per-row
+    // native expressions (no state, no shuffle), so ingest-time media
+    // decoding is just the same calls on a readStream frame
+    graft.plans.GraftFunctions.register(spark)
+    val ids = Seq(3L, 4L, 5L).toDF("doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-decode").toString
+    ids.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(ids.schema).parquet(dir)
+    def decoded(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.decodeImage(Multimodal.imageTable(df, "doc_id"))
+        .join(Multimodal.decodeAudio(Multimodal.audioTable(df, "doc_id", nSamples = 32))
+                .withColumnRenamed("mime", "audio_mime"), "doc_id")
+    val expected = decoded(ids).collect().map(_.toString).toSet
+    val q = decoded(stream).writeStream.outputMode("append")
+      .format("memory").queryName("decode_parity").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("decode_parity").collect().map(_.toString).toSet
+      assert(got == expected, "streamed media decode != batch")
+    } finally q.stop()
+  }
+
   test("FrameLimitRule pushes frame_idx bounds into the sequence generator") {
     graft.plans.GraftFunctions.register(spark)
     val media = Multimodal.mediaTable(docs, "doc_id", "text") // doc 2 has 4 frames

@@ -62,6 +62,25 @@ class TimeOpsSpec extends AnyFunSuite {
     assert(end("D") == ts("2024-03-14 00:00:00"))
   }
 
+  test("S5 CSV source feeds the parse/bucket path (spark.read.csv end-to-end)") {
+    // the reference's CSV ingestion is Spark's built-in csv reader; what
+    // needs pinning is that a header CSV with MIXED timestamp formats
+    // flows through parseTimestamp → bucket unchanged (strings in, the
+    // same T2 fallback chain, day buckets out)
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in.csv"),
+      "date,v\n2024-03-05T10:30:00Z,1.5\n2024-03-05 11:00:00,2.5\n2024/03/06 09:15:00,4.0\n")
+    val raw = spark.read.option("header", "true").csv(dir)
+    val got = raw
+      .select(TimeOps.bucket(TimeOps.parseTimestamp($"date"), Some("D")).as("d"),
+              $"v".cast("double").as("v"))
+      .groupBy("d").agg(org.apache.spark.sql.functions.sum("v").as("s"))
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1))).toMap
+    assert(got == Map(ts("2024-03-05 00:00:00") -> 4.0, ts("2024-03-06 00:00:00") -> 4.0),
+      s"csv→parse→bucket mismatch: $got")
+  }
+
   test("bucket invariant: bucket(ds) <= ds < bucketEnd(ds)") {
     val rnd = new scala.util.Random(42)
     val stamps = Seq.fill(200)(new Timestamp(1700000000000L + rnd.nextLong() % 100000000000L))
