@@ -71,6 +71,20 @@ object TextDedup {
     * key; the frequent set is tiny by construction, so the removal is a
     * broadcast anti-join. Prune feeds SIGNATURES only — exact Jaccard
     * confirmation still uses the full shingle sets. */
+  /** The frequent-shingle set itself, collected: the exclude list for
+    * the per-row signature path ([[withRowMinhashSignature]]). Tiny by
+    * construction — a shingle qualifies only above `maxDocFrac` of the
+    * corpus, so at most 1/maxDocFrac DISTINCT shingles qualify per
+    * document-length bound — which is why the batch path broadcasts it
+    * and this path can fold it into an expression literal. Same
+    * count/threshold semantics as [[pruneFrequentShingles]]. */
+  def frequentShingles(shingles: DataFrame, maxDocFrac: Double): Seq[String] = {
+    val nDocs = shingles.agg(countDistinct(col("id"))).head().getLong(0)
+    shingles.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > nDocs * maxDocFrac)
+      .select(col("bg")).collect().map(_.getString(0)).toSeq
+  }
+
   def pruneFrequentShingles(shingles: DataFrame, maxDocFrac: Double): DataFrame = {
     val nDocs = shingles.agg(countDistinct(col("id")).as("n_docs"))
     val frequent = shingles.groupBy(col("bg")).agg(count(lit(1)).as("df"))
@@ -115,30 +129,24 @@ object TextDedup {
     * (the batch pipeline drops them before the groupBy) — their band
     * hashes are null and join nothing.
     *
-    * HOF note: the transforms here are CodegenFallback like any HOF,
-    * but each interpreted element does a sha256 digest — the lambda
-    * dispatch is noise against the crypto, unlike the centroid-scan
-    * case that motivated `plans/IvfAssign`. The digest arrays are
-    * aliased in their own projection and referenced 8× each, which
-    * CollapseProject refuses to inline — each digest is computed once
-    * per shingle, as in the batch path. */
+    * Implementation: the native [[graft.plans.MinhashSig]] expression —
+    * the whole tokenize→shingle→digest→min pipeline as one codegen'd
+    * pass per row. Rounds 4-5 composed this from HOFs
+    * (`transform`/`array_min` over digest arrays) on the theory that
+    * sha256 cost would drown the interpreted dispatch; a round-6 A/B at
+    * sf0.1 falsified that (HOF row form 6.7 s vs 3.3 s for the batch
+    * shuffle form it was meant to beat — per-element UTF8String↔String
+    * conversions and array allocations, not just dispatch), while the
+    * native form beats both. */
   def withRowMinhashSignature(df: DataFrame, textCol: String, nHashes: Int,
                               exclude: Seq[String] = Nil): DataFrame = {
     require(nHashes >= 1, s"need at least one hash, got $nHashes")
-    val nGroups = (nHashes + 7) / 8
-    val l = split(trim(col(textCol)), " ")
-    val sh0 = transform(sequence(lit(1), size(l) - 1),
-      i => concat(element_at(l, i), lit("_"), element_at(l, i + 1)))
-    val sh1 = if (exclude.isEmpty) sh0 else array_except(sh0, typedLit(exclude))
-    val shingles = when(size(l) >= 2, sh1)
-    val digests = Seq.tabulate(nGroups) { g =>
-      transform(shingles, s =>
-        sha2(if (g == 0) s else concat(lit(g.toString), s), 256)).as(s"__d$g")
-    }
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val sig = call_function("minhash_sig", col(textCol), lit(nHashes),
+                            typedLit(exclude))
     val sigCols = Seq.tabulate(nHashes)(i =>
-      array_min(transform(col(s"__d${i / 8}"),
-        d => substring(d, (i % 8) * 8 + 1, 8))).as(s"h$i"))
-    df.select(col("*") +: digests: _*)
+      element_at(col("__sig"), i + 1).as(s"h$i"))
+    df.withColumn("__sig", sig)
       .select(df.columns.map(col).toSeq ++ sigCols: _*)
   }
 

@@ -155,7 +155,8 @@ object GraftFunctions {
     "decode_image" -> (exprs => DecodeImage(exprs.head)),
     "gen_wav" -> (exprs => GenWav(exprs.head,
       intLit(exprs(1), "gen_wav samples"), intLit(exprs(2), "gen_wav rate"))),
-    "decode_audio" -> (exprs => DecodeAudio(exprs.head)))
+    "decode_audio" -> (exprs => DecodeAudio(exprs.head)),
+    "minhash_sig" -> (exprs => MinhashSig.fromArgs(exprs)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -221,6 +222,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
          classOf[DecodeAudio].getName, "decode_audio"),
        (exprs: Seq[Expression]) => DecodeAudio(exprs.head)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
+       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+         classOf[MinhashSig].getName, "minhash_sig"),
+       (exprs: Seq[Expression]) => MinhashSig.fromArgs(exprs)))
     ext.injectOptimizerRule(_ => FrameLimitRule)
   }
 }

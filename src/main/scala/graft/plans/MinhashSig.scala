@@ -1,0 +1,159 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: the whole per-document MinHash signature
+  * — tokenize → bigram shingles → salted sha256 per shingle → per-hash
+  * minimum slice — as one codegen'd pass per row.
+  *
+  * Why a THIRD form: the batch signature
+  * ([[graft.pipeline.TextDedup.minhashSignature]]) shuffles every
+  * (doc, shingle-digest) row to a groupBy — ~200 wide rows per document
+  * crossing the wire; the per-row HOF composition (rounds 4-5's
+  * `transform`/`array_min` streaming form) avoids the shuffle but pays
+  * CodegenFallback interpretation per shingle, which an A/B at sf0.1
+  * measured 2× SLOWER than the shuffle it saved (6.7 s vs 3.3 s —
+  * the HOF lesson, third sighting). This expression keeps the zero-
+  * shuffle shape AND stays native: measured faster than both, and the
+  * form a 100 TB ingest pipeline wants — signatures computed where the
+  * text already is, nothing wide ever materialized.
+  *
+  * Semantics are EXACTLY the other two forms' (pinned by the existing
+  * row-vs-batch parity tests, which run through this implementation):
+  * tokens = `split(trim(text), " ")` (single-space regex, trailing
+  * empties kept); shingles = adjacent pairs joined by `_`; fewer than
+  * 2 tokens OR an empty post-exclusion shingle set → null (so batch
+  * consumers can drop exactly the docs the groupBy form never emits);
+  * group-g digest = lowercase-hex sha256((g == 0 ? "" : g) + shingle);
+  * hash i = min over shingles of digest[i/8] sliced at (i%8)*8, length
+  * 8 (one-permutation-hashing slices; ASCII hex, so string min ==
+  * binary min in both engines). The `exclude` list (frequent-shingle
+  * prune) is resolved into a hash set at analysis time, the same
+  * folded-literal pattern as [[IvfAssign.Quantizer]]. */
+case class MinhashSig(child: Expression, cfg: MinhashSig.Config)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires STRING input, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // null for <2 tokens / empty shingle set even when the input is non-null
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinhashSig.sig(input.asInstanceOf[UTF8String], cfg)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = ctx.addReferenceObj("minhashCfg", cfg, classOf[MinhashSig.Config].getName)
+    nullSafeCodeGen(ctx, ev, in => s"""
+      ${ev.value} = graft.plans.MinhashSig.sig($in, $c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
+object MinhashSig {
+
+  /** Folded signature parameters. Structural equality (the exclude set
+    * participates by content) so equal configurations canonicalize to
+    * equal plans — same rationale as [[IvfAssign.Quantizer]]: repeated
+    * invocations must hit the same cache entries. */
+  case class Config(nHashes: Int, exclude: Array[String]) {
+    require(nHashes >= 1, s"need at least one hash, got $nHashes")
+    val nGroups: Int = (nHashes + 7) / 8
+    @transient lazy val excludeSet: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String](math.max(16, exclude.length * 2))
+      exclude.foreach(s.add)
+      s
+    }
+    override def equals(o: Any): Boolean = o match {
+      case c: Config => nHashes == c.nHashes &&
+        java.util.Arrays.equals(exclude.asInstanceOf[Array[AnyRef]],
+                                c.exclude.asInstanceOf[Array[AnyRef]])
+      case _ => false
+    }
+    override def hashCode: Int = java.util.Objects.hash(
+      Int.box(nHashes),
+      Int.box(java.util.Arrays.hashCode(exclude.asInstanceOf[Array[AnyRef]])))
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  /** Static helper invoked from generated code. One thread-local digest
+    * instance; per shingle the nGroups digests are computed and their
+    * 8-hex-char slices folded into the running minima. */
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+
+  def sig(text: UTF8String, cfg: Config): ArrayData = {
+    // UTF8String.trim trims ' ' only — identical to SQL trim (Java
+    // String.trim would also strip control chars and diverge)
+    val tokens = text.trim().toString.split(" ", -1)
+    if (tokens.length < 2) return null
+    val digest = md.get()
+    val mins = new Array[String](cfg.nHashes)
+    var any = false
+    var t = 0
+    while (t < tokens.length - 1) {
+      val shingle = tokens(t) + "_" + tokens(t + 1)
+      if (!cfg.excludeSet.contains(shingle)) {
+        any = true
+        var g = 0
+        while (g < cfg.nGroups) {
+          val salted = if (g == 0) shingle else g.toString + shingle
+          digest.reset()
+          val bytes = digest.digest(salted.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // lowercase-hex slices, 8 chars per hash: hash i of this group
+          // covers hex chars [(i%8)*8, (i%8)*8+8) = bytes [s*4, s*4+4)
+          val base = g * 8
+          var s = 0
+          while (s < 8) {
+            val i = base + s
+            if (i < cfg.nHashes) {
+              val chars = new Array[Char](8)
+              var b = 0
+              while (b < 4) {
+                val v = bytes(s * 4 + b) & 0xff
+                chars(b * 2) = hexChars(v >>> 4)
+                chars(b * 2 + 1) = hexChars(v & 0xf)
+                b += 1
+              }
+              val slice = new String(chars)
+              if (mins(i) == null || slice.compareTo(mins(i)) < 0) mins(i) = slice
+            }
+            s += 1
+          }
+          g += 1
+        }
+      }
+      t += 1
+    }
+    if (!any) return null
+    new GenericArrayData(mins.map(m => UTF8String.fromString(m): Any))
+  }
+
+  /** Analysis-time builder for the registered function: evaluates the
+    * foldable (nHashes, exclude) literals once into the [[Config]]. */
+  def fromArgs(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"minhash_sig expects (text, nHashes, exclude), got ${exprs.length} args")
+    val n = GraftFunctions.intLit(exprs(1), "minhash_sig nHashes")
+    require(exprs(2).foldable, "minhash_sig: exclude must be a literal")
+    val ad = exprs(2).eval().asInstanceOf[ArrayData]
+    val excl = Array.tabulate(ad.numElements())(i => ad.getUTF8String(i).toString)
+    MinhashSig(exprs.head, Config(n, excl))
+  }
+}

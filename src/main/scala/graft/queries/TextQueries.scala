@@ -158,14 +158,25 @@ object TextQueries {
       |FROM documents GROUP BY 1""".stripMargin
 
   /** q55 — MinHash signatures (16 salted hashes over document-frequency-
-    * pruned bigram shingles). */
-  private def q55(s: SparkSession, dir: String): DataFrame =
-    TextDedup.minhashSignature(
-        TextDedup.pruneFrequentShingles(
-          TextDedup.bigramShingles(t(s, dir, "documents"), "doc_id", "text"),
-          maxDocFrac),
-        nHashes)
-      .withColumnRenamed("id", "doc_id")
+    * pruned bigram shingles). Since round 6 this runs the ZERO-SHUFFLE
+    * per-row plan: one tiny corpus aggregation collects the frequent-
+    * shingle exclude list (broadcast-sized by construction), then the
+    * native `minhash_sig` expression computes each document's signature
+    * where the text already is — nothing wide is ever shuffled, vs the
+    * batch form's ~200 digest rows per document crossing the groupBy
+    * (measured 3.3 s → the shuffle was the cost). Values are
+    * bit-identical (row-vs-batch parity is test-pinned), so the oracle
+    * is unchanged; docs the batch form never emits (<2 tokens, or every
+    * shingle pruned) surface here as null signatures and are filtered. */
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val excl = TextDedup.frequentShingles(
+      TextDedup.bigramShingles(docs, "doc_id", "text"), maxDocFrac)
+    TextDedup.withRowMinhashSignature(
+        docs.select(col("doc_id"), col("text")), "text", nHashes, excl)
+      .filter(col("h0").isNotNull)
+      .drop("text")
+  }
 
   private val q55Sql =
     s"""WITH $shinglesCte,
