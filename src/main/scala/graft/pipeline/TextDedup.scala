@@ -150,6 +150,38 @@ object TextDedup {
       .select(df.columns.map(col).toSeq ++ sigCols: _*)
   }
 
+  /** Content-defined chunk table: one row per CDC chunk —
+    * (doc_id, chunk_idx, chunk_start, chunk_len, chunk_hash) — via the
+    * native [[graft.plans.CdcChunks]] expression (boundary rationale
+    * and the stateless-vs-clamped design there). chunk_hash is
+    * md5(substr(text, start, len)): engine-portable content identity.
+    * Pure scan → explode → project, zero shuffles — the ingest-side
+    * half of chunk-level dedup; [[chunkDedup]] adds the one shuffle
+    * that resolves duplicates corpus-wide. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                window: Int = 16, maskBits: Int = 6, maxLen: Int = 0): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+              posexplode(call_function("cdc_chunks", col(textCol),
+                                       lit(window), lit(maskBits), lit(maxLen))))
+      .select(col("doc_id"), (col("pos") + 1).as("chunk_idx"),
+              col("col.start").as("chunk_start"), col("col.len").as("chunk_len"),
+              md5(expr("substring(__t, col.start, col.len)")).as("chunk_hash"))
+  }
+
+  /** Chunk-level dedup resolution: which chunk contents repeat across
+    * the corpus, where the canonical copy lives, and how many bytes
+    * dedup would reclaim. One hash-groupBy on the content hash — the
+    * same single-shuffle shape as exact doc dedup (q54), but applied
+    * to CDC chunks so documents that share MOST of their bytes (edits,
+    * insertions) still dedup the untouched regions. */
+  def chunkDedup(chunks: DataFrame): DataFrame =
+    chunks.groupBy(col("chunk_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc"),
+           count(lit(1)).as("n_copies"),
+           countDistinct(col("doc_id")).as("n_docs"),
+           min(col("chunk_len")).as("chunk_len"))
+
   /** Candidate pairs from shared bands (a < b, dedup across bands).
     * This hash-join on the band key IS the scale path: no cross join. */
   def candidatePairs(bands: DataFrame): DataFrame = {

@@ -156,7 +156,8 @@ object GraftFunctions {
     "gen_wav" -> (exprs => GenWav(exprs.head,
       intLit(exprs(1), "gen_wav samples"), intLit(exprs(2), "gen_wav rate"))),
     "decode_audio" -> (exprs => DecodeAudio(exprs.head)),
-    "minhash_sig" -> (exprs => MinhashSig.fromArgs(exprs)))
+    "minhash_sig" -> (exprs => MinhashSig.fromArgs(exprs)),
+    "cdc_chunks" -> (exprs => CdcChunks.fromArgs(exprs)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -227,6 +228,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
          classOf[MinhashSig].getName, "minhash_sig"),
        (exprs: Seq[Expression]) => MinhashSig.fromArgs(exprs)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("cdc_chunks"),
+       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+         classOf[CdcChunks].getName, "cdc_chunks"),
+       (exprs: Seq[Expression]) => CdcChunks.fromArgs(exprs)))
     ext.injectOptimizerRule(_ => FrameLimitRule)
   }
 }

@@ -352,6 +352,64 @@ object TextQueries {
       |SELECT doc_id, $bits AS simhash FROM v""".stripMargin
   }
 
+  /** q72 — content-defined chunking (w=16, maskBits=6 → ~64-char
+    * expected chunks): the full chunk table, hash-checked. The oracle
+    * recomputes every position's 16-byte window hash POSITIONALLY
+    * (list_sum of ascii·257^k mod 1e9+7 — exact BIGINT arithmetic, the
+    * same polynomial as the native expression's O(1) rolling update),
+    * applies the identical mask rule, and reassembles spans from the
+    * per-doc cut list. */
+  private def q72(s: SparkSession, dir: String): DataFrame =
+    TextDedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+              col("chunk_start"), col("chunk_len"), col("chunk_hash"))
+
+  private val q72Sql = {
+    val M = graft.plans.RollingHash.Mod
+    // 257^(15-j) mod M for window position j = 0..15 (oldest byte first)
+    val pows = (0 until 16).map(j =>
+      (0 until (15 - j)).foldLeft(1L)((h, _) => h * graft.plans.RollingHash.Base % M))
+    val powList = pows.mkString("[", ", ", "]")
+    val st = "CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END"
+    val ln = "ends[k] - CASE WHEN k = 1 THEN 0 ELSE ends[k-1] END"
+    s"""WITH d AS (SELECT doc_id, text AS s FROM documents WHERE length(text) > 0),
+      |pos AS (SELECT doc_id, s, unnest(generate_series(16, length(s))) AS i FROM d),
+      |h AS (
+      |  SELECT doc_id, i,
+      |         list_sum(list_transform(generate_series(0, 15),
+      |           j -> CAST(ascii(substr(s, CAST(i - 15 + j AS BIGINT), 1)) AS BIGINT)
+      |                * $powList[j + 1]))
+      |           % $M AS hw
+      |  FROM pos),
+      |cuts AS (SELECT doc_id, list(i ORDER BY i) AS cs FROM h
+      |         WHERE hw % 64 = 63 GROUP BY doc_id),
+      |ce AS (
+      |  SELECT d.doc_id, d.s,
+      |         CASE WHEN c.cs IS NULL THEN [CAST(length(d.s) AS BIGINT)]
+      |              WHEN c.cs[-1] = length(d.s) THEN c.cs
+      |              ELSE list_append(c.cs, CAST(length(d.s) AS BIGINT)) END AS ends
+      |  FROM d LEFT JOIN cuts c USING (doc_id)),
+      |ch AS (SELECT doc_id, s, unnest(generate_series(1, len(ends))) AS k, ends FROM ce)
+      |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+      |  CAST($st AS INTEGER) AS chunk_start,
+      |  CAST($ln AS INTEGER) AS chunk_len,
+      |  md5(substr(s, $st, $ln)) AS chunk_hash
+      |FROM ch""".stripMargin
+  }
+
+  /** q73 — chunk-level dedup resolution over the q72 table: one
+    * hash-groupBy on chunk content (q54's single-shuffle shape at
+    * chunk granularity — finds the bytes edit-shifted documents still
+    * share). */
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    TextDedup.chunkDedup(TextDedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text"))
+
+  private val q73Sql =
+    s"""WITH chunks AS ($q72Sql)
+      |SELECT chunk_hash, min(doc_id) AS keeper_doc, count(*) AS n_copies,
+      |  count(DISTINCT doc_id) AS n_docs, min(chunk_len) AS chunk_len
+      |FROM chunks GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q50_token_stats", q50, Some(q50Sql)),
     QueryDef("q51_quality_score", q51, Some(q51Sql)),
@@ -364,6 +422,8 @@ object TextQueries {
     QueryDef("q58_simhash", q58, Some(q58Sql)),
     QueryDef("q66_dup_clusters", q66, Some(q66Sql)),
     QueryDef("q67_bpe_pretokens", q67, Some(q67Sql)),
-    QueryDef("q69_rolling_fingerprint", q69, Some(q69Sql))
+    QueryDef("q69_rolling_fingerprint", q69, Some(q69Sql)),
+    QueryDef("q72_cdc_chunks", q72, Some(q72Sql)),
+    QueryDef("q73_chunk_dedup", q73, Some(q73Sql))
   )
 }

@@ -161,7 +161,7 @@ class PlanShapeSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val oneShuffle = Seq("q01_pricing_summary", "q02_bucket_hour",
                          "q03_bucket_week_mean", "q04_bucket_month_minmax",
-                         "q54_dedup_exact")
+                         "q54_dedup_exact", "q73_chunk_dedup")
     for (q <- oneShuffle) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
       val n = plan.collect { case e: ShuffleExchangeExec => e }.size
@@ -169,16 +169,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal generate/decode queries are zero-shuffle map-only plans") {
-    // the 100 TB posture for media pipelines: scan → generate/decode →
-    // project, nothing wide. A shuffle appearing here would mean the
-    // decode path stopped streaming through executors (e.g. an
-    // accidental repartition or a decode expression forced out of the
-    // projection). q62 (frame explode + byte features) is also
-    // shuffle-free; q61/q63/q71 are the metadata/image/audio decodes.
+  test("per-row ingest queries are zero-shuffle map-only plans") {
+    // the 100 TB posture for ingest-side pipelines: scan →
+    // generate/decode/fingerprint → project, nothing wide. A shuffle
+    // appearing here would mean the path stopped streaming through
+    // executors (e.g. an accidental repartition or an expression forced
+    // out of the projection). q61-q63/q71 are the media ops, q72 the
+    // CDC chunker, q55 the native per-row minhash signature (its
+    // exclude-list aggregation is a separate tiny job at build time,
+    // not part of the signature plan).
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     for (q <- Seq("q61_media_meta", "q62_frame_features",
-                  "q63_image_decode", "q71_audio_decode")) {
+                  "q63_image_decode", "q71_audio_decode", "q72_cdc_chunks",
+                  "q55_minhash_signature")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
       val n = plan.collect { case e: ShuffleExchangeExec => e }.size
       assert(n == 0, s"$q plans $n shuffles (expected 0):\n$plan")

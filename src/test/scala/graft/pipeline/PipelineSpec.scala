@@ -15,6 +15,65 @@ class TextDedupSpec extends AnyFunSuite {
     (4L, "completely different words appear in this text here")
   ).toDF("doc_id", "text")
 
+  test("cdc chunks tile every document exactly; short docs are one chunk; empty docs vanish") {
+    val texts = Seq(
+      (1L, "x"),                              // shorter than the window
+      (2L, "exactly fifteen"),                // len 15 < w = 16
+      (3L, ("the quick brown fox " * 40).trim), // long, repeating
+      (4L, ""),                               // empty -> no rows
+      (5L, scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+             .alphanumeric.take(500).mkString)
+    ).toDF("doc_id", "text")
+    val chunks = TextDedup.cdcChunks(texts, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getInt(2), r.getInt(3))).toSeq
+    assert(!chunks.exists(_._1 == 4L), "empty doc must emit no chunks")
+    for ((id, len) <- Seq(1L -> 1, 2L -> 15)) {
+      val c = chunks.filter(_._1 == id)
+      assert(c == Seq((id, 1L, 1, len)), s"doc $id should be one whole-doc chunk: $c")
+    }
+    // tiling: per doc, spans are contiguous from 1 and sum to the length
+    val lens = Map(3L -> ("the quick brown fox " * 40).trim.length, 5L -> 500)
+    for ((id, total) <- lens) {
+      val c = chunks.filter(_._1 == id).sortBy(_._2)
+      assert(c.head._3 == 1, "first chunk starts at 1")
+      c.sliding(2).foreach { case Seq(a, b) =>
+        assert(b._3 == a._3 + a._4, s"doc $id: gap between chunks $a -> $b")
+      case _ => }
+      assert(c.map(_._4).sum == total, s"doc $id chunks must sum to the doc length")
+      assert(c.forall(_._4 > 0))
+    }
+  }
+
+  test("cdc boundaries resynchronize after an insertion (the reason CDC exists)") {
+    // one sentence inserted near the front of a 1000-char doc: fixed-width
+    // chunking shifts every later boundary (zero shared chunks after the
+    // edit); content-defined boundaries depend only on the local window,
+    // so the untouched tail re-aligns and its chunks hash identically
+    val base = scala.util.Random.javaRandomToRandom(new java.util.Random(11))
+      .alphanumeric.grouped(8).take(125).map(_.mkString).mkString(" ")
+    val edited = base.substring(0, 100) + " INSERTED SENTENCE HERE " + base.substring(100)
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val byDoc = TextDedup.cdcChunks(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(4))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val shared = byDoc(1L) & byDoc(2L)
+    assert(shared.size >= math.min(byDoc(1L).size, byDoc(2L).size) / 2,
+      s"tail chunks must re-align after the edit: ${byDoc(1L).size}/${byDoc(2L).size} " +
+      s"chunks, only ${shared.size} shared")
+    // and chunk-level dedup sees exactly those shared contents as 2-doc rows
+    val dd = TextDedup.chunkDedup(TextDedup.cdcChunks(df, "doc_id", "text"))
+      .filter(col("n_docs") === 2).count()
+    assert(dd == shared.size)
+  }
+
+  test("cdc maxLen clamp bounds every chunk; stateless mode is unclamped") {
+    val long = ("z" * 2000) // pathological: no mask match in constant text region?
+    val df = Seq((1L, long)).toDF("doc_id", "text")
+    val clamped = TextDedup.cdcChunks(df, "doc_id", "text", maxLen = 100).collect()
+    assert(clamped.forall(_.getInt(3) <= 100), "maxLen must bound every chunk")
+    assert(clamped.map(_.getInt(3)).sum == 2000)
+  }
+
   test("minhash+LSH finds exact and near duplicates, skips unrelated") {
     val sh = TextDedup.bigramShingles(docs, "doc_id", "text")
     val sig = TextDedup.minhashSignature(sh, 4)
