@@ -68,6 +68,11 @@ object ScaleProbe {
     // real per-round algorithmic cost
     println(s"diag: candidate pairs = ${pairs.count()}, confirmed edges = ${dup.count()}")
 
+    // content-defined chunking + chunk-level dedup: a zero-shuffle scan
+    // plus ONE hash-groupBy — expect linear in corpus bytes
+    println(s"cdc distinct chunks: ${time("cdc chunk+dedup")(
+      TextDedup.chunkDedup(TextDedup.cdcChunks(docs, "doc_id", "text")).count())}")
+
     // deterministic synthetic embeddings (16-dim) via hash-derived doubles
     val dim = 16
     val vecs = spark.range(nVecs.toLong).select(

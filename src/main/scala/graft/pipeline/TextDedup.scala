@@ -345,24 +345,17 @@ object TextDedup {
   /** Per-ROW SimHash: the same 16-bit value as [[simhash16]], computed
     * on a single document row with no shuffle (the ingestion-time form,
     * completing the per-row dedup family with
-    * [[withRowMinhashSignature]]). Identical votes by construction: the
-    * batch form's `instr('0123456789abcdef', c) - 1` is the hex digit's
-    * value, here `conv(c, 16, 10)` — same parity, same ±1 vote, same
-    * sum-vs-zero bit rule over the same md5 digests (md5 emits
-    * lowercase hex in both paths). Docs with no tokens get simhash 0
-    * (the batch groupBy simply has no row for them). */
+    * [[withRowMinhashSignature]]). Identical votes by construction:
+    * hex-digit parity ±1 votes over the same md5 digests, same
+    * sum-vs-zero bit rule (pinned by the row-vs-batch parity test).
+    * Docs with no tokens get simhash 0 (the batch groupBy simply has
+    * no row for them). Implementation is the native
+    * [[graft.plans.Simhash16]] expression — the earlier HOF
+    * composition paid an interpreted `aggregate` lambda per
+    * (token, bit): 16× per token. */
   def withRowSimhash16(df: DataFrame, textCol: String): DataFrame = {
-    val toks = filter(split(trim(col(textCol)), " "), t => t =!= "")
-    val withDigests = df.select(col("*"), transform(toks, t => md5(t)).as("__mh"))
-    val votes = (0 until 16).map { j =>
-      aggregate(col("__mh"), lit(0), (acc, h) =>
-        acc + (conv(substring(h, j + 1, 1), 16, 10).cast("int") % 2 * 2 - 1))
-    }
-    val bits = votes.zipWithIndex.map { case (v, j) =>
-      when(v > 0, lit(1 << j)).otherwise(lit(0))
-    }
-    withDigests.select(df.columns.map(col).toSeq :+
-      bits.reduce(_ + _).as("simhash"): _*)
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.withColumn("simhash", call_function("simhash16", col(textCol)))
   }
 
   /** Padded-text substring occurrence count via `replace` + length

@@ -157,7 +157,8 @@ object GraftFunctions {
       intLit(exprs(1), "gen_wav samples"), intLit(exprs(2), "gen_wav rate"))),
     "decode_audio" -> (exprs => DecodeAudio(exprs.head)),
     "minhash_sig" -> (exprs => MinhashSig.fromArgs(exprs)),
-    "cdc_chunks" -> (exprs => CdcChunks.fromArgs(exprs)))
+    "cdc_chunks" -> (exprs => CdcChunks.fromArgs(exprs)),
+    "simhash16" -> (exprs => Simhash16(exprs.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -233,6 +234,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
          classOf[CdcChunks].getName, "cdc_chunks"),
        (exprs: Seq[Expression]) => CdcChunks.fromArgs(exprs)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash16"),
+       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+         classOf[Simhash16].getName, "simhash16"),
+       (exprs: Seq[Expression]) => Simhash16(exprs.head)))
     ext.injectOptimizerRule(_ => FrameLimitRule)
   }
 }

@@ -63,6 +63,75 @@ case class MinhashSig(child: Expression, cfg: MinhashSig.Config)
     copy(child = newChild)
 }
 
+/** Native Catalyst expression: per-document 16-bit SimHash — tokenize →
+  * md5 per token → ±1 vote per hex-digit parity → sign bits — as one
+  * codegen'd pass per row (the [[MinhashSig]] treatment applied to the
+  * other fingerprint; the HOF composition it replaces paid an
+  * interpreted `aggregate` lambda per (token, bit)). Semantics are
+  * EXACTLY the batch groupBy form's (pinned by the row-vs-batch parity
+  * test): tokens = non-empty pieces of `split(trim(text), " ")`; vote j
+  * = (value of lowercase-hex digit j of md5(token)) mod 2 × 2 − 1; bit
+  * j set iff the vote sum is > 0. Zero tokens → 0 (the batch form
+  * simply emits no row; callers filter `trim(text) != ''` when batch
+  * row-set parity matters). */
+case class Simhash16(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash16 requires STRING input, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "simhash16"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Simhash16.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in => s"graft.plans.Simhash16.hash($in)")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash16 =
+    copy(child = newChild)
+}
+
+object Simhash16 {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Static helper invoked from generated code. Hex digit j of the
+    * digest is nibble j (high nibble first); its parity is its low bit,
+    * so the vote is `(nibble & 1) * 2 - 1` — identical to the SQL
+    * forms' `digitValue % 2 * 2 - 1` on lowercase hex. */
+  def hash(text: UTF8String): Int = {
+    val tokens = text.trim().toString.split(" ", -1)
+    val votes = new Array[Int](16)
+    val digest = md5.get()
+    var t = 0
+    while (t < tokens.length) {
+      val tok = tokens(t)
+      if (tok.nonEmpty) {
+        digest.reset()
+        val bytes = digest.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 16 hex digits = first 8 bytes, high nibble first
+        var j = 0
+        while (j < 16) {
+          val b = bytes(j / 2) & 0xff
+          val nibble = if (j % 2 == 0) b >>> 4 else b & 0xf
+          votes(j) += (nibble & 1) * 2 - 1
+          j += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0
+    var j = 0
+    while (j < 16) { if (votes(j) > 0) out |= 1 << j; j += 1 }
+    out
+  }
+}
+
 object MinhashSig {
 
   /** Folded signature parameters. Structural equality (the exclude set

@@ -330,10 +330,16 @@ object TextQueries {
       |  ${rhSql("substr(trim(text), 1, 64)")} AS rh_chunk0
       |FROM documents""".stripMargin
 
-  /** q58 — 16-bit SimHash signatures (integer-exact votes). */
+  /** q58 — 16-bit SimHash signatures (integer-exact votes). Since
+    * round 6 this runs the zero-shuffle per-row plan (native
+    * `simhash16` expression; values bit-identical to the batch vote
+    * groupBy, parity-pinned, oracle unchanged). The trim filter
+    * replicates the batch row set exactly: a doc has zero tokens iff
+    * its trimmed text is empty. */
   private def q58(s: SparkSession, dir: String): DataFrame =
-    TextDedup.simhash16(t(s, dir, "documents"), "doc_id", "text")
-      .withColumnRenamed("id", "doc_id")
+    TextDedup.withRowSimhash16(
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .filter(trim(col("text")) =!= ""), "text")
       .select(col("doc_id"), col("simhash").cast("long").as("simhash"))
 
   private val q58Sql = {

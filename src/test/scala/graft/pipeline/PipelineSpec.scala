@@ -481,6 +481,30 @@ class MultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cdc chunking runs unchanged on a stream (batch parity)") {
+    // stateless CDC is a pure projection (every cut local to its
+    // window), so ingest-time chunking is the same call on a
+    // readStream frame — chunk-level dedup then reduces to the
+    // streaming exact-dedup problem on chunk_hash
+    import graft.pipeline.TextDedup
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps running"),
+      (2L, ("chunk me please " * 30).trim),
+      (3L, "tiny")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-cdc").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val expected = TextDedup.cdcChunks(docs, "doc_id", "text")
+      .collect().map(_.toString).toSet
+    val q = TextDedup.cdcChunks(stream, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory").queryName("cdc_parity").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cdc_parity").collect().map(_.toString).toSet
+      assert(got == expected, "streamed cdc chunks != batch")
+    } finally q.stop()
+  }
+
   test("real image/audio decode runs unchanged on a stream (batch parity)") {
     // gen_bmp/decode_image and gen_wav/decode_audio are pure per-row
     // native expressions (no state, no shuffle), so ingest-time media
