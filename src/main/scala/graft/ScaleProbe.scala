@@ -119,6 +119,16 @@ object ScaleProbe {
       .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
     println(s"ivf-hier-n23 rows: ${time(s"ivf-hier topk ($hCells cells, coarse 2)")(
       Similarity.ivfTopK(vecs, hCents, 3, nprobe = 1, coarseProbe = 2).count())}")
+    // three-level quantizer tree at ITS balance point, cells = n^(3/4):
+    // O(k^(1/3)) assignment buys cells smaller still, cutting the
+    // n²/cells search pass below the 2-level optimum — the rung past
+    // n^(4/3) (total O(n^(5/4)))
+    val tCells = math.max(64, Similarity.ivfCellCount(nVecs, tree = true))
+    val tCents = vecs.filter(col("vec_id") < tCells).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    println(s"ivf-tree rows: ${time(s"ivf-tree topk ($tCells cells, top 2, coarse 2)")(
+      Similarity.ivfTopK(vecs, tCents, 3, nprobe = 1, coarseProbe = 2, topProbe = 2)
+        .count())}")
     val planes = vecs.filter(col("vec_id") < nPlanes).orderBy("vec_id")
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
     println(s"lsh rows: ${time(s"lsh topk (${1L << nPlanes} buckets)")(
@@ -145,6 +155,15 @@ object ScaleProbe {
         .select(col("query_id"), col("neighbor_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(f"recall@3 hier-n23 nprobe=$np coarseProbe=$cp (100 queries): ${
+        (exact & approx).size / exact.size.toDouble}%.3f")
+    }
+    for ((np, cp, tp) <- Seq((1, 2, 2), (4, 8, 4))) {
+      val approx = Similarity.ivfTopK(vecs, tCents, 3, nprobe = np,
+                                      coarseProbe = cp, topProbe = tp)
+        .filter(col("query_id") < 100)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"recall@3 tree-n34 nprobe=$np coarseProbe=$cp topProbe=$tp (100 queries): ${
         (exact & approx).size / exact.size.toDouble}%.3f")
     }
     spark.stop()

@@ -160,21 +160,32 @@ object Similarity extends org.apache.spark.internal.Logging {
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       d / math.max(math.sqrt(na) * math.sqrt(nb), 1e-300)
     }
-    // init: evenly spaced fine centroids; refine with 5 Lloyd rounds
+    // init: evenly spaced fine centroids; refine with 5 Lloyd rounds.
+    // The assign step is embarrassingly parallel per centroid (each
+    // reads the coarse array, writes its own slot) and runs on a
+    // parallel IntStream — bit-identical to the serial loop (same
+    // maxBy per element, order-independent writes), which matters
+    // because the q70 oracle replays this construction exactly. The
+    // serial form made the k ≈ 4·10^4 tree-index build the dominant
+    // cost of the whole probed query (~200M cosines single-threaded).
+    val cents = centroids.toIndexedSeq
     var coarse: IndexedSeq[Seq[Double]] =
-      (0 until coarseK).map(i => centroids(i * k / coarseK)._2).toIndexedSeq
-    var assign: Seq[Int] = Nil
+      (0 until coarseK).map(i => cents(i * k / coarseK)._2).toIndexedSeq
+    var assign: IndexedSeq[Int] = IndexedSeq.empty
     for (_ <- 0 until 5) {
-      assign = centroids.map { case (_, c) =>
-        (0 until coarseK).maxBy(g => (cosSim(c, coarse(g)), -g))
+      val cur = coarse
+      val out = new Array[Int](k)
+      java.util.stream.IntStream.range(0, k).parallel().forEach { m =>
+        out(m) = (0 until coarseK).maxBy(g => (cosSim(cents(m)._2, cur(g)), -g))
       }
+      assign = out.toIndexedSeq
       coarse = (0 until coarseK).map { g =>
-        val members = centroids.indices.filter(assign(_) == g)
+        val members = cents.indices.filter(assign(_) == g)
         if (members.isEmpty) coarse(g)
         else {
-          val dim = centroids.head._2.length
+          val dim = cents.head._2.length
           val mean = new Array[Double](dim)
-          members.foreach(m => centroids(m)._2.indices.foreach(i => mean(i) += centroids(m)._2(i)))
+          members.foreach(m => cents(m)._2.indices.foreach(i => mean(i) += cents(m)._2(i)))
           mean.map(_ / members.size).toSeq
         }
       }.toIndexedSeq
@@ -202,6 +213,46 @@ object Similarity extends org.apache.spark.internal.Logging {
     probeCellsCol(v, nrm, index.coarse, index.groups, nprobe, coarseProbe)
   }
 
+  /** Three-level quantizer tree — the rung [[ivfCellCount]]'s Scaladoc
+    * promises past n^(4/3): `top` centers (∛k of them) partition the
+    * coarse centers, so assignment scores O(∛k + topProbe·∛k +
+    * coarseProbe·k^(1/3)) = O(k^(1/3)) dots per row, moving the
+    * assign/search balance to k = n^(3/4) (total O(n^(5/4))). Built by
+    * applying [[buildCoarseIndex]]'s Lloyd grouping TWICE: fine cells
+    * under k^(2/3) coarse centers, those under √(k^(2/3)) = k^(1/3)
+    * top centers. Same tie rules at every level, so exhaustive probing
+    * (topProbe = #top, coarseProbe = #coarse) reproduces the flat
+    * assignment EXACTLY (test-pinned). */
+  case class TreeIndex(fine: CoarseIndex, top: Seq[Seq[Double]],
+                       topGroups: Seq[Seq[Int]])
+
+  def buildTreeIndex(centroids: Seq[(Int, Seq[Double])]): TreeIndex = {
+    require(centroids.nonEmpty, "buildTreeIndex needs centroids")
+    val k = centroids.size
+    val coarseK = math.max(1, math.ceil(math.pow(k.toDouble, 2.0 / 3.0)).toInt)
+    val fine = buildCoarseIndex(centroids, coarseK)
+    // group the (kept) coarse centers themselves; member "ids" are
+    // coarse POSITIONS, which is what the descent's restricted pass
+    // needs — buildCoarseIndex assigns every member exactly once, so
+    // the top groups partition the coarse level
+    val coarseAsCentroids = fine.coarse.zipWithIndex.map { case (v, i) => i -> v }
+    val topIdx = buildCoarseIndex(coarseAsCentroids)
+    TreeIndex(fine, topIdx.coarse, topIdx.groups.map(_.map(_._1)))
+  }
+
+  /** Tree cell probe: [[ivfCellsOfHier]] with the extra top level. */
+  def ivfCellsOfTree(v: Column, nrm: Column, index: TreeIndex,
+                     nprobe: Int, coarseProbe: Int = 2, topProbe: Int = 2): Column = {
+    require(nprobe >= 1 && coarseProbe >= 1 && topProbe >= 1,
+            s"nprobe=$nprobe coarseProbe=$coarseProbe topProbe=$topProbe")
+    call_function("ivf_assign", v, nrm,
+                  typedLit(index.fine.coarse),
+                  typedLit(index.fine.groups.map(_.map(_._2))),
+                  typedLit(index.fine.groups.map(_.map(_._1))),
+                  lit(nprobe), lit(coarseProbe),
+                  typedLit(index.top), typedLit(index.topGroups), lit(topProbe))
+  }
+
   /** Index-growth rule (the 100 TB lesson ScaleProbe measured: FIXED
     * cell counts die — per-cell occupancy n/k grows linearly with the
     * corpus and the within-cell self-join returns to n²).
@@ -217,10 +268,15 @@ object Similarity extends org.apache.spark.internal.Logging {
     * the scans themselves pay per decade. FAISS scales nlist the same
     * way (its guidelines: nlist between 4√n and 16√n flat, more with a
     * cheap coarse stage). Beyond n^(4/3), the next rung is a deeper
-    * quantizer tree (O(log k) assign → k ≈ n/log n), not bigger cells. */
-  def ivfCellCount(n: Long, hierarchical: Boolean = true): Int = {
+    * quantizer tree — implemented since round 6 as the three-level
+    * [[TreeIndex]] (O(k^(1/3)) assign → balance k = n^(3/4), total
+    * O(n^(5/4))); `tree = true` selects its growth rule. The limiting
+    * form is O(log k) assignment with k ≈ n/log n. */
+  def ivfCellCount(n: Long, hierarchical: Boolean = true,
+                   tree: Boolean = false): Int = {
     require(n > 0, s"corpus size must be positive, got $n")
-    val k = if (hierarchical) math.pow(n.toDouble, 2.0 / 3.0)
+    val k = if (tree) math.pow(n.toDouble, 3.0 / 4.0)
+            else if (hierarchical) math.pow(n.toDouble, 2.0 / 3.0)
             else math.sqrt(n.toDouble)
     math.max(1, math.min(math.ceil(k), n.toDouble).toInt)
   }
@@ -269,11 +325,15 @@ object Similarity extends org.apache.spark.internal.Logging {
     * join incoming vectors against the same index the batch top-k uses.
     * coarseProbe > 0 selects the two-level quantizer. */
   def ivfIndex(emb: DataFrame, centroids: Seq[(Int, Seq[Double])],
-               nprobe: Int = 1, coarseProbe: Int = 0): DataFrame = {
+               nprobe: Int = 1, coarseProbe: Int = 0,
+               topProbe: Int = 0): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     require(centroids.nonEmpty, "ivfIndex needs at least one centroid")
     val probeCells: Column =
-      if (coarseProbe <= 0) ivfCellsOf(col("v"), col("nrm"), centroids, nprobe)
+      if (topProbe > 0)
+        ivfCellsOfTree(col("v"), col("nrm"), buildTreeIndex(centroids),
+                       nprobe, math.max(coarseProbe, 1), topProbe)
+      else if (coarseProbe <= 0) ivfCellsOf(col("v"), col("nrm"), centroids, nprobe)
       else ivfCellsOfHier(col("v"), col("nrm"), buildCoarseIndex(centroids),
                           nprobe, coarseProbe)
     graft.queries.cacheOnce(withNorm(emb).select(
@@ -283,13 +343,14 @@ object Similarity extends org.apache.spark.internal.Logging {
   }
 
   def ivfTopK(emb: DataFrame, centroids: Seq[(Int, Seq[Double])], k: Int,
-              nprobe: Int = 1, coarseProbe: Int = 0): DataFrame = {
+              nprobe: Int = 1, coarseProbe: Int = 0,
+              topProbe: Int = 0): DataFrame = {
     // see ivfIndex for the materialization/quantizer rationale; with
     // the hierarchical quantizer, home and probed cells come from the
     // SAME descent, so a neighbor is matched iff its (hier) home cell
     // is among the query's probes — consistent approximation on both
     // sides
-    val celled = ivfIndex(emb, centroids, nprobe, coarseProbe)
+    val celled = ivfIndex(emb, centroids, nprobe, coarseProbe, topProbe)
     val a = celled.select(
         col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(col("cells")).as("cell"))

@@ -82,6 +82,14 @@ object IvfAssign {
     * with the same sequential fold the literal-based version used
     * (`math.sqrt(c.map(x*x).sum)`), so cosines are bit-identical.
     *
+    * Optional THIRD level (`top` non-empty): `top` centers partition
+    * the COARSE centers (`topGroups(i)` = coarse indices under top
+    * center i), and the descent scores O(∛k) top centers, the best
+    * `topProbe` groups' coarse members, then the fine members — the
+    * deeper-tree rung the 2-level Scaladoc promises (assignment
+    * O(k^(1/3)) per row, balance k = n^(3/4)). Empty `top` = the
+    * 2-level descent, bit-identical to before the level existed.
+    *
     * Equality is STRUCTURAL (deep array compare), not by reference:
     * case-class equality on Array fields would compare references, so
     * two `ivfTopK` calls with equal centroids would build non-equal
@@ -92,34 +100,50 @@ object IvfAssign {
   case class Quantizer(coarse: Array[Array[Double]],
                        groupVecs: Array[Array[Array[Double]]],
                        groupIds: Array[Array[Int]],
-                       nprobe: Int, coarseProbe: Int) {
+                       nprobe: Int, coarseProbe: Int,
+                       top: Array[Array[Double]] = Array.empty,
+                       topGroups: Array[Array[Int]] = Array.empty,
+                       topProbe: Int = 1) {
     val coarseNorms: Array[Double] = coarse.map(norm)
     val groupNorms: Array[Array[Double]] = groupVecs.map(_.map(norm))
+    val topNorms: Array[Double] = top.map(norm)
     require(coarse.length == groupVecs.length && coarse.length > 0,
             s"quantizer needs one coarse center per group (${coarse.length} vs ${groupVecs.length})")
-    require(nprobe >= 1 && coarseProbe >= 1, s"nprobe=$nprobe coarseProbe=$coarseProbe")
+    require(nprobe >= 1 && coarseProbe >= 1 && topProbe >= 1,
+            s"nprobe=$nprobe coarseProbe=$coarseProbe topProbe=$topProbe")
+    require(top.length == topGroups.length,
+            s"quantizer needs one top center per top group (${top.length} vs ${topGroups.length})")
+    require(top.isEmpty || java.util.Arrays.equals(
+              topGroups.iterator.flatMap(_.iterator).toArray.sorted,
+              coarse.indices.toArray),
+            "top groups must partition the coarse centers exactly")
     /** Uniform centroid dimensionality, enforced at construction so a
       * dim-mismatched input vector can be REJECTED per row rather than
       * silently truncated to a plausible-but-wrong cosine. */
     val dim: Int = coarse(0).length
     require(coarse.forall(_.length == dim) &&
-            groupVecs.forall(_.forall(_.length == dim)),
+            groupVecs.forall(_.forall(_.length == dim)) &&
+            top.forall(_.length == dim),
             s"quantizer centroids must share one dimensionality (expected $dim)")
 
     private def deep(a: Array[_]): Array[AnyRef] = a.asInstanceOf[Array[AnyRef]]
     override def equals(o: Any): Boolean = o match {
       case q: Quantizer =>
-        nprobe == q.nprobe && coarseProbe == q.coarseProbe &&
+        nprobe == q.nprobe && coarseProbe == q.coarseProbe && topProbe == q.topProbe &&
         java.util.Arrays.deepEquals(deep(coarse), deep(q.coarse)) &&
         java.util.Arrays.deepEquals(deep(groupVecs), deep(q.groupVecs)) &&
-        java.util.Arrays.deepEquals(deep(groupIds), deep(q.groupIds))
+        java.util.Arrays.deepEquals(deep(groupIds), deep(q.groupIds)) &&
+        java.util.Arrays.deepEquals(deep(top), deep(q.top)) &&
+        java.util.Arrays.deepEquals(deep(topGroups), deep(q.topGroups))
       case _ => false
     }
     override def hashCode: Int =
-      java.util.Objects.hash(Int.box(nprobe), Int.box(coarseProbe),
+      java.util.Objects.hash(Int.box(nprobe), Int.box(coarseProbe), Int.box(topProbe),
         Int.box(java.util.Arrays.deepHashCode(deep(coarse))),
         Int.box(java.util.Arrays.deepHashCode(deep(groupVecs))),
-        Int.box(java.util.Arrays.deepHashCode(deep(groupIds))))
+        Int.box(java.util.Arrays.deepHashCode(deep(groupIds))),
+        Int.box(java.util.Arrays.deepHashCode(deep(top))),
+        Int.box(java.util.Arrays.deepHashCode(deep(topGroups))))
   }
 
   private def norm(c: Array[Double]): Double = {
@@ -172,16 +196,46 @@ object IvfAssign {
     if (v.numElements() != q.dim)
       throw new IllegalArgumentException(
         s"ivf_assign: input vector has ${v.numElements()} dims, quantizer expects ${q.dim}")
-    // coarse pass: best `coarseProbe` groups of the √k coarse centers
+    // optional top pass (3-level tree): best `topProbe` of the ∛k top
+    // centers select which coarse centers the next pass scores at all
     val nG = math.min(q.coarseProbe, q.coarse.length)
     val gScores = new Array[Double](nG)
     val gIdx = new Array[Int](nG)
     var filled = 0
-    var g = 0
-    while (g < q.coarse.length) {
-      filled = insert(gScores, gIdx, filled,
-                      round4(dot(v, q.coarse(g)) / (nrm * q.coarseNorms(g))), g)
-      g += 1
+    if (q.top.nonEmpty) {
+      val nT = math.min(q.topProbe, q.top.length)
+      val tScores = new Array[Double](nT)
+      val tIdx = new Array[Int](nT)
+      var tFilled = 0
+      var t = 0
+      while (t < q.top.length) {
+        tFilled = insert(tScores, tIdx, tFilled,
+                         round4(dot(v, q.top(t)) / (nrm * q.topNorms(t))), t)
+        t += 1
+      }
+      // coarse pass restricted to the selected top groups' members;
+      // ranking still by (score desc, GLOBAL coarse index asc), so with
+      // every top group probed this is exactly the unrestricted pass
+      var ti = 0
+      while (ti < tFilled) {
+        val members = q.topGroups(tIdx(ti))
+        var m = 0
+        while (m < members.length) {
+          val g = members(m)
+          filled = insert(gScores, gIdx, filled,
+                          round4(dot(v, q.coarse(g)) / (nrm * q.coarseNorms(g))), g)
+          m += 1
+        }
+        ti += 1
+      }
+    } else {
+      // coarse pass: best `coarseProbe` groups of the √k coarse centers
+      var g = 0
+      while (g < q.coarse.length) {
+        filled = insert(gScores, gIdx, filled,
+                        round4(dot(v, q.coarse(g)) / (nrm * q.coarseNorms(g))), g)
+        g += 1
+      }
     }
     // fine pass: best `nprobe` cells among the selected groups' members
     val cScores = new Array[Double](q.nprobe)
@@ -211,8 +265,9 @@ object IvfAssign {
     * evaluates the foldable centroid literals once and folds them into
     * the [[Quantizer]], leaving (v, nrm) as the only children. */
   def fromArgs(exprs: Seq[Expression]): Expression = {
-    require(exprs.length == 7,
-      s"ivf_assign expects (v, nrm, coarse, groups, groupIds, nprobe, coarseProbe), got ${exprs.length} args")
+    require(exprs.length == 7 || exprs.length == 10,
+      "ivf_assign expects (v, nrm, coarse, groups, groupIds, nprobe, coarseProbe" +
+      s"[, top, topGroups, topProbe]), got ${exprs.length} args")
     def lit(e: Expression, what: String): Any = {
       require(e.foldable, s"ivf_assign: $what must be a literal")
       e.eval()
@@ -228,6 +283,15 @@ object IvfAssign {
     val ids = Array.tabulate(idsAd.numElements())(i => idsAd.getArray(i).toIntArray())
     val nprobe = lit(exprs(5), "nprobe").asInstanceOf[Int]
     val coarseProbe = lit(exprs(6), "coarseProbe").asInstanceOf[Int]
-    IvfAssign(exprs(0), exprs(1), Quantizer(coarse, groups, ids, nprobe, coarseProbe))
+    val q =
+      if (exprs.length == 7) Quantizer(coarse, groups, ids, nprobe, coarseProbe)
+      else {
+        val top = to2D(lit(exprs(7), "top centers"))
+        val tgAd = lit(exprs(8), "top groups").asInstanceOf[ArrayData]
+        val tg = Array.tabulate(tgAd.numElements())(i => tgAd.getArray(i).toIntArray())
+        val topProbe = lit(exprs(9), "topProbe").asInstanceOf[Int]
+        Quantizer(coarse, groups, ids, nprobe, coarseProbe, top, tg, topProbe)
+      }
+    IvfAssign(exprs(0), exprs(1), q)
   }
 }

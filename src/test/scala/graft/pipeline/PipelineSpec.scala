@@ -342,9 +342,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"hierarchical recall@3 is $recall")
   }
 
-  test("ivfCellCount growth rule: sqrt(n) flat, n^(2/3) hierarchical") {
+  test("tree IVF: exhaustive top+coarse probing reproduces the flat result exactly") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < 32).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    val tree = Similarity.buildTreeIndex(cents)
+    def rows(coarseProbe: Int, topProbe: Int) =
+      Similarity.ivfTopK(e, cents, 3, nprobe = 2,
+                         coarseProbe = coarseProbe, topProbe = topProbe)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+                             r.getAs[Long]("cell"), r.getAs[Double]("cos"))).toSet
+    // probing every top group scores every coarse center; probing every
+    // coarse group descends into every fine cell — so the 3-level
+    // descent with exhaustive probes must equal the flat assignment,
+    // pinning that the extra level changes COST, not semantics
+    assert(rows(tree.fine.groups.size, tree.topGroups.size) == rows(0, 0))
+  }
+
+  test("tree IVF keeps recall@3 >= 0.9 on clustered embeddings at O(k^(1/3)) assign cost") {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+    val data = (0 until 320).map { i =>
+      (i.toLong, centers(i % 16).map(_ + rnd.nextGaussian() * 0.15))
+    }.toDF("vec_id", "v")
+    val cents = Similarity.trainCentroids(data, k = 16)
+    // 16 fine cells -> 7 coarse -> 3 top; knobs sized like the 2-level
+    // recall tests (probe ~half of each level)
+    val got = Similarity.ivfTopK(data, cents, 3, nprobe = 2,
+                                 coarseProbe = 3, topProbe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val truth = exactTop3(data)
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    assert(recall >= 0.9, s"tree recall@3 is $recall")
+  }
+
+  test("ivfCellCount growth rule: sqrt(n) flat, n^(2/3) hierarchical, n^(3/4) tree") {
     assert(Similarity.ivfCellCount(1000000L, hierarchical = false) == 1000)
     assert(Similarity.ivfCellCount(1000000L) == 10000)
+    assert(Similarity.ivfCellCount(1000000L, tree = true) == 31623)
     assert(Similarity.ivfCellCount(1L) == 1)
     assert(Similarity.ivfCellCount(8L) <= 8) // never more cells than vectors
   }
