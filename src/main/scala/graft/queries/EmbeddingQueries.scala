@@ -167,37 +167,50 @@ object EmbeddingQueries {
               col("rn").cast("long").as("rn"))
   }
 
-  private val q70Sql: String = {
-    // one Lloyd round: assign each fine centroid to its best coarse
-    // center (full-precision cos, tie -> lower g), then recompute each
-    // center as the member mean (summed in ascending-cid order, the
-    // Scala loop's order); empty groups keep their previous center
-    def lloydRound(r: Int): String = {
-      val prev = s"c${r - 1}"
-      s"""s$r AS (
-        |  SELECT f.cid, p.g, ${cosFullSql("f.v", "p.cv")} AS cs
-        |  FROM fine f CROSS JOIN $prev p),
-        |a$r AS (
-        |  SELECT cid, g FROM (
-        |    SELECT cid, g, row_number() OVER (PARTITION BY cid ORDER BY cs DESC, g) AS rn
-        |    FROM s$r) x WHERE rn = 1),
-        |m$r AS (
-        |  SELECT g, list(mx ORDER BY i) AS mv FROM (
-        |    SELECT a.g, gs.i, list_sum(list(f.v[gs.i] ORDER BY f.cid)) / count(*) AS mx
-        |    FROM a$r a JOIN fine f USING (cid) CROSS JOIN generate_series(1, 64) gs(i)
-        |    GROUP BY a.g, gs.i) y GROUP BY g),
-        |c$r AS (
-        |  SELECT p.g, COALESCE(m.mv, p.cv) AS cv
-        |  FROM $prev p LEFT JOIN m$r m USING (g))""".stripMargin
-    }
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |fine AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 32),
-      |c0 AS (
+  /** One Lloyd round over the fine centroids: assign each fine centroid
+    * to its best coarse center (full-precision cos, tie -> lower g),
+    * then recompute each center as the member mean (summed in
+    * ascending-cid order, the Scala loop's order); empty groups keep
+    * their previous center. */
+  private def lloydRound(r: Int): String = {
+    val prev = s"c${r - 1}"
+    s"""s$r AS (
+      |  SELECT f.cid, p.g, ${cosFullSql("f.v", "p.cv")} AS cs
+      |  FROM fine f CROSS JOIN $prev p),
+      |a$r AS MATERIALIZED (
+      |  SELECT cid, g FROM (
+      |    SELECT cid, g, row_number() OVER (PARTITION BY cid ORDER BY cs DESC, g) AS rn
+      |    FROM s$r) x WHERE rn = 1),
+      |m$r AS MATERIALIZED (
+      |  SELECT g, list(mx ORDER BY i) AS mv FROM (
+      |    SELECT a.g, gs.i, list_sum(list(f.v[gs.i] ORDER BY f.cid)) / count(*) AS mx
+      |    FROM a$r a JOIN fine f USING (cid) CROSS JOIN generate_series(1, 64) gs(i)
+      |    GROUP BY a.g, gs.i) y GROUP BY g),
+      |c$r AS MATERIALIZED (
+      |  SELECT p.g, COALESCE(m.mv, p.cv) AS cv
+      |  FROM $prev p LEFT JOIN m$r m USING (g))""".stripMargin
+  }
+
+  /** Shared CTE prefix: corpus, the 32 fine centroids, buildCoarseIndex's
+    * five unrolled Lloyd rounds at the given group count (init centers =
+    * evenly-spaced fine centroids, Scala's `i·k/coarseK` integer
+    * arithmetic), and the kept (non-empty) coarse groups. q70's 2-level
+    * path groups at the DEFAULT coarseK = ceil(√32) = 6; q74's tree path
+    * groups at buildTreeIndex's k^(2/3) = 11. */
+  private def lloyd1Ctes(coarseK: Int): String = {
+    val init = (0 until coarseK).map(i => s"($i, ${i * 32 / coarseK})").mkString(", ")
+    s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |fine AS MATERIALIZED (SELECT vec_id AS cid, v FROM e WHERE vec_id < 32),
+      |c0 AS MATERIALIZED (
       |  SELECT m.g, f.v AS cv
-      |  FROM (VALUES (0, 0), (1, 5), (2, 10), (3, 16), (4, 21), (5, 26)) AS m(g, cid)
+      |  FROM (VALUES $init) AS m(g, cid)
       |  JOIN fine f ON f.cid = m.cid),
       |${(1 to 5).map(lloydRound).mkString(",\n")},
-      |kept AS (SELECT g, cv FROM c5 WHERE g IN (SELECT DISTINCT g FROM a5)),
+      |kept AS MATERIALIZED (SELECT g, cv FROM c5 WHERE g IN (SELECT DISTINCT g FROM a5))""".stripMargin
+  }
+
+  private val q70Sql: String = {
+    s"""WITH ${lloyd1Ctes(6)},
       |gsc AS (
       |  SELECT e.vec_id, e.v, k.g,
       |         round(${dotSql("e.v", "k.cv")} /
@@ -233,11 +246,106 @@ object EmbeddingQueries {
       |SELECT query_id, neighbor_id, cell, cos, rn FROM ranked WHERE rn <= 3""".stripMargin
   }
 
+  /** q74 — three-level (tree) IVF ANN: q65's 32 fine centroids
+    * descended through the TREE quantizer (topProbe = coarseProbe =
+    * nprobe = 2) — the throughput rung `ivfCellCount(tree = true)`
+    * prescribes past n^(4/3), itself under the hash oracle. The oracle
+    * replays BOTH Lloyd groupings: the shared first-level CTEs, then
+    * buildTreeIndex's second grouping over the kept coarse centers with
+    * DATA-DEPENDENT shape (coarseK = ceil(√c) and evenly-spaced init
+    * positions computed IN SQL from the kept count c, exactly Scala's
+    * integer arithmetic), then the three-pass descent (round-4 cosine;
+    * ties by kept-top position, kept-coarse position, cid — the native
+    * expression's insert order at each level). */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = e.filter(col("vec_id") < 32).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    Similarity.ivfTopK(e, cents, 3, nprobe = 2, coarseProbe = 2, topProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("cos"),
+              col("rn").cast("long").as("rn"))
+  }
+
+  private val q74Sql: String = {
+    // second Lloyd (over the kept coarse centers, keyed by position p):
+    // same template as the fine-level rounds with dynamic group count
+    def lloyd2Round(r: Int): String = {
+      val prev = s"t${r - 1}"
+      s"""ts$r AS (
+        |  SELECT kp.p, t.tg, ${cosFullSql("kp.cv", "t.cv")} AS cs
+        |  FROM kp CROSS JOIN $prev t),
+        |ta$r AS MATERIALIZED (
+        |  SELECT p, tg FROM (
+        |    SELECT p, tg, row_number() OVER (PARTITION BY p ORDER BY cs DESC, tg) AS rn
+        |    FROM ts$r) x WHERE rn = 1),
+        |tm$r AS MATERIALIZED (
+        |  SELECT tg, list(mx ORDER BY i) AS mv FROM (
+        |    SELECT a.tg, gs.i, list_sum(list(kp.cv[gs.i] ORDER BY kp.p)) / count(*) AS mx
+        |    FROM ta$r a JOIN kp USING (p) CROSS JOIN generate_series(1, 64) gs(i)
+        |    GROUP BY a.tg, gs.i) y GROUP BY tg),
+        |t$r AS MATERIALIZED (
+        |  SELECT p0.tg, COALESCE(m.mv, p0.cv) AS cv
+        |  FROM $prev p0 LEFT JOIN tm$r m USING (tg))""".stripMargin
+    }
+    def r4(a: String, b: String): String =
+      s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 4)"
+    s"""WITH ${lloyd1Ctes(11)},
+      |kp AS MATERIALIZED (
+      |  SELECT g, cv, CAST(row_number() OVER (ORDER BY g) - 1 AS BIGINT) AS p
+      |  FROM kept),
+      |cfg AS MATERIALIZED (SELECT count(*) AS c, CAST(ceil(sqrt(count(*))) AS BIGINT) AS ck FROM kp),
+      |t0 AS MATERIALIZED (
+      |  SELECT i.tg, kp.cv
+      |  FROM (SELECT unnest(generate_series(0, (SELECT ck FROM cfg) - 1)) AS tg) i
+      |  JOIN kp ON kp.p = (i.tg * (SELECT c FROM cfg)) // (SELECT ck FROM cfg)),
+      |${(1 to 5).map(lloyd2Round).mkString(",\n")},
+      |ktop AS MATERIALIZED (
+      |  SELECT tg, cv, CAST(row_number() OVER (ORDER BY tg) - 1 AS BIGINT) AS tp
+      |  FROM t5 WHERE tg IN (SELECT DISTINCT tg FROM ta5)),
+      |tsc AS (
+      |  SELECT e.vec_id, e.v, k.tg, k.tp, ${r4("e.v", "k.cv")} AS tcs
+      |  FROM e CROSS JOIN ktop k),
+      |ttop AS (
+      |  SELECT vec_id, v, tg FROM (
+      |    SELECT vec_id, v, tg, row_number() OVER (PARTITION BY vec_id ORDER BY tcs DESC, tp) AS trn
+      |    FROM tsc) x WHERE trn <= 2),
+      |csc AS (
+      |  SELECT q.vec_id, q.v, kp.p, kp.g, ${r4("q.v", "kp.cv")} AS ccs
+      |  FROM ttop q JOIN ta5 a ON a.tg = q.tg JOIN kp ON kp.p = a.p),
+      |ctop AS (
+      |  SELECT vec_id, v, g FROM (
+      |    SELECT vec_id, v, g, row_number() OVER (PARTITION BY vec_id ORDER BY ccs DESC, p) AS crn
+      |    FROM csc) x WHERE crn <= 2),
+      |fsc AS (
+      |  SELECT t.vec_id, f.cid AS cell, ${r4("t.v", "f.v")} AS fcs
+      |  FROM ctop t JOIN a5 a ON a.g = t.g JOIN fine f ON f.cid = a.cid),
+      |ftop AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY fcs DESC, cell) AS farn
+      |    FROM fsc) x WHERE farn <= 2),
+      |home AS (SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY fcs DESC, cell) AS farn
+      |    FROM fsc) x WHERE farn = 1),
+      |pairs AS (
+      |  SELECT q.vec_id AS query_id, h.vec_id AS neighbor_id, q.cell,
+      |         ${cosSql("qa.v", "nb.v")} AS cos
+      |  FROM ftop q JOIN home h ON q.cell = h.cell AND h.vec_id <> q.vec_id
+      |  JOIN e qa ON qa.vec_id = q.vec_id
+      |  JOIN e nb ON nb.vec_id = h.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cell, cos,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cos DESC, neighbor_id) AS rn
+      |  FROM pairs)
+      |SELECT query_id, neighbor_id, cell, cos, rn FROM ranked WHERE rn <= 3""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q59_cosine_topk", q59, Some(q59Sql)),
     QueryDef("q60_lsh_ann", q60, Some(q60Sql)),
     QueryDef("q64_embedding_neardup", q64, Some(q64Sql)),
     QueryDef("q65_ivf_ann", q65, Some(q65Sql)),
-    QueryDef("q70_ivf_hier_ann", q70, Some(q70Sql))
+    QueryDef("q70_ivf_hier_ann", q70, Some(q70Sql)),
+    QueryDef("q74_ivf_tree_ann", q74, Some(q74Sql))
   )
 }
