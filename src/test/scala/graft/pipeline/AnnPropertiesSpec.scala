@@ -95,4 +95,36 @@ object AnnPropertiesSpec extends Properties("graft.ann") {
         got(i.toLong) == hierOracle(v, idx, nprobe, coarseProbe)
       }
     }
+
+  /** Oracle of the three-level descent over a [[Similarity.TreeIndex]]:
+    * top groups ranked (cos desc, kept-top position asc), their coarse
+    * members ranked (cos desc, coarse position asc), then the fine
+    * members — the same two-stage rule one level deeper. */
+  private def treeOracle(v: Seq[Double], t: Similarity.TreeIndex,
+                         nprobe: Int, coarseProbe: Int, topProbe: Int): Seq[Long] = {
+    val topSel = t.top.zipWithIndex
+      .map { case (c, tp) => (cos(v, c), tp) }
+      .sortBy { case (s, tp) => (-s, tp) }
+      .take(math.min(topProbe, t.topGroups.size)).map(_._2)
+    val coarseSel = topSel.flatMap(tp => t.topGroups(tp))
+      .map(p => (cos(v, t.fine.coarse(p)), p))
+      .sortBy { case (s, p) => (-s, p) }
+      .take(coarseProbe).map(_._2)
+    coarseSel.flatMap(p => t.fine.groups(p))
+      .map { case (cid, c) => (cos(v, c), cid) }
+      .sortBy { case (s, cid) => (-s, cid) }.take(nprobe).map(_._2.toLong)
+  }
+
+  property("tree ivf_assign equals the plain-Scala three-level oracle") =
+    Prop.forAll(cfg) { case (_, vs, cs, nprobe, coarseProbe) =>
+      val cents = cs.zipWithIndex.map { case (c, i) => i -> c }
+      val tree = Similarity.buildTreeIndex(cents)
+      val topProbe = 1 + coarseProbe % 2 // 1 or 2, varied with the config
+      val got = runAssign(vs,
+        Similarity.ivfCellsOfTree(col("v"), col("nrm"), tree,
+                                  nprobe, coarseProbe, topProbe))
+      vs.zipWithIndex.forall { case (v, i) =>
+        got(i.toLong) == treeOracle(v, tree, nprobe, coarseProbe, topProbe)
+      }
+    }
 }
