@@ -82,4 +82,30 @@ object TextAnalysis {
       col(idCol),
       md5(trim(col(textCol))).as("fingerprint"),
       substring(md5(trim(col(textCol))), 1, 8).as("fp_prefix"))
+
+  /** Deterministic train/validation/test split — the dataset-sharding
+    * op every training pipeline needs. The split key is content-derived
+    * (first 8 hex chars of md5(salt || key) read as an integer, mod the
+    * weight total), NOT `rand()`: the assignment is reproducible across
+    * runs, engines (md5 is portable — a DuckDB/pandas pipeline shards
+    * identically), partitionings, and corpus growth (a document keeps
+    * its split when new data arrives — no leakage of yesterday's train
+    * docs into tomorrow's test set). Salting decorrelates the split
+    * from every other md5-keyed decision (q54's exact-dedup hash).
+    * Pure projection: zero shuffle, streaming-safe. `buckets` are
+    * (name, weight) pairs; a row lands in the first bucket whose
+    * cumulative weight exceeds its hash point. */
+  def deterministicSplit(df: DataFrame, keyCol: String,
+                         buckets: Seq[(String, Int)] = Seq(("train", 90), ("val", 5), ("test", 5)),
+                         salt: String = "split"): DataFrame = {
+    require(buckets.nonEmpty && buckets.forall(_._2 > 0), "weights must be positive")
+    val total = buckets.map(_._2).sum
+    val point = pmod(conv(substring(md5(concat(lit(salt), col(keyCol))), 1, 8), 16, 10)
+                       .cast("long"), lit(total.toLong))
+    val cum = buckets.scanLeft(0)(_ + _._2).tail
+    val assigned = buckets.zip(cum).foldRight(lit(buckets.last._1): Column) {
+      case (((name, _), bound), acc) => when(point < bound, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split_point", point).withColumn("split", assigned)
+  }
 }

@@ -159,14 +159,17 @@ object TextDedup {
     * half of chunk-level dedup; [[chunkDedup]] adds the one shuffle
     * that resolves duplicates corpus-wide. */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
-                window: Int = 16, maskBits: Int = 6, maxLen: Int = 0): DataFrame = {
+                window: Int = 16, maskBits: Int = 6, maxLen: Int = 0,
+                passthrough: Seq[String] = Nil): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
-    df.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+    df.select(col(idCol).as("doc_id") +: col(textCol).as("__t") +:
+              passthrough.map(col) :+
               posexplode(call_function("cdc_chunks", col(textCol),
-                                       lit(window), lit(maskBits), lit(maxLen))))
-      .select(col("doc_id"), (col("pos") + 1).as("chunk_idx"),
-              col("col.start").as("chunk_start"), col("col.len").as("chunk_len"),
-              md5(expr("substring(__t, col.start, col.len)")).as("chunk_hash"))
+                                       lit(window), lit(maskBits), lit(maxLen))): _*)
+      .select(col("doc_id") +: (col("pos") + 1).as("chunk_idx") +:
+              col("col.start").as("chunk_start") +: col("col.len").as("chunk_len") +:
+              md5(expr("substring(__t, col.start, col.len)")).as("chunk_hash") +:
+              passthrough.map(col): _*)
   }
 
   /** Chunk-level dedup resolution: which chunk contents repeat across

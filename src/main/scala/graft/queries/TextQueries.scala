@@ -416,6 +416,30 @@ object TextQueries {
       |  count(DISTINCT doc_id) AS n_docs, min(chunk_len) AS chunk_len
       |FROM chunks GROUP BY 1""".stripMargin
 
+  /** q75 — deterministic train/val/test split (90/5/5): content-derived
+    * hash point (md5, engine-portable), not rand() — assignments are
+    * reproducible across runs/engines/partitionings and stable under
+    * corpus growth. The oracle folds the same 8 hex chars positionally
+    * (exact BIGINT arithmetic). */
+  private def q75(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.deterministicSplit(
+      t(s, dir, "documents").select(col("doc_id")), "doc_id")
+
+  private val q75Sql =
+    """WITH h AS (
+      |  SELECT doc_id, md5('split' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |         CAST(list_sum(list_transform(generate_series(1, 8),
+      |           j -> CAST(instr('0123456789abcdef', substr(m, j, 1)) - 1 AS BIGINT)
+      |                * CAST(pow(16, 8 - j) AS BIGINT))) AS BIGINT) % 100 AS split_point
+      |  FROM h)
+      |SELECT doc_id, split_point,
+      |  CASE WHEN split_point < 90 THEN 'train'
+      |       WHEN split_point < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM p""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q50_token_stats", q50, Some(q50Sql)),
     QueryDef("q51_quality_score", q51, Some(q51Sql)),
@@ -430,6 +454,7 @@ object TextQueries {
     QueryDef("q67_bpe_pretokens", q67, Some(q67Sql)),
     QueryDef("q69_rolling_fingerprint", q69, Some(q69Sql)),
     QueryDef("q72_cdc_chunks", q72, Some(q72Sql)),
-    QueryDef("q73_chunk_dedup", q73, Some(q73Sql))
+    QueryDef("q73_chunk_dedup", q73, Some(q73Sql)),
+    QueryDef("q75_dataset_split", q75, Some(q75Sql))
   )
 }

@@ -541,6 +541,60 @@ class MultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming chunk-level dedup: CDC chunks compose with streamingDedup end-to-end") {
+    // ingest-time chunk dedup = cdcChunks (pure projection, ds carried
+    // through) -> streamingDedup on chunk_hash (watermark-bounded
+    // first-arrival state) — the streaming form of q73's resolution.
+    // Docs 1 and 2 are identical, so every chunk content arrives twice;
+    // the deduped stream must emit each distinct chunk hash exactly once.
+    import graft.pipeline.TextDedup
+    import graft.streaming.StreamOps
+    val docs = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), ("shared content block " * 20).trim),
+      (2L, java.sql.Timestamp.valueOf("2024-03-01 00:01:00"), ("shared content block " * 20).trim),
+      (3L, java.sql.Timestamp.valueOf("2024-03-01 00:02:00"), "entirely different text that stands alone")
+    ).toDF("doc_id", "ds", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-chunkdedup").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val deduped = StreamOps.streamingDedup(
+      TextDedup.cdcChunks(stream, "doc_id", "text", passthrough = Seq("ds")),
+      col("chunk_hash"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("chunk_dedup_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("chunk_dedup_stream").collect()
+      val batchHashes = TextDedup.cdcChunks(docs, "doc_id", "text")
+        .select("chunk_hash").distinct().collect().map(_.getString(0)).toSet
+      assert(got.length == batchHashes.size,
+        s"one emission per distinct chunk: ${got.length} vs ${batchHashes.size}")
+      assert(got.map(_.getAs[String]("chunk_hash")).toSet == batchHashes)
+    } finally q.stop()
+  }
+
+  test("deterministicSplit: stable under corpus growth, weights respected, zero-shuffle") {
+    import graft.pipeline.TextAnalysis
+    val small = (0L until 500L).toDF("doc_id")
+    val grown = (0L until 1000L).toDF("doc_id")
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.deterministicSplit(df, "doc_id").collect()
+        .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val a = splits(small)
+    val b = splits(grown)
+    // growth stability: every original doc keeps its assignment
+    assert(a.forall { case (id, s) => b(id) == s },
+      "corpus growth must not reassign existing documents")
+    // weights: 90/5/5 within sampling tolerance at n=1000
+    val frac = b.values.groupBy(identity).view.mapValues(_.size / 1000.0).toMap
+    assert(math.abs(frac("train") - 0.90) < 0.05, s"train frac ${frac("train")}")
+    assert(frac.getOrElse("val", 0.0) > 0.005 && frac.getOrElse("test", 0.0) > 0.005)
+    // pure projection: no shuffle in the plan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = TextAnalysis.deterministicSplit(grown, "doc_id").queryExecution.sparkPlan
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty)
+  }
+
   test("real image/audio decode runs unchanged on a stream (batch parity)") {
     // gen_bmp/decode_image and gen_wav/decode_audio are pure per-row
     // native expressions (no state, no shuffle), so ingest-time media
