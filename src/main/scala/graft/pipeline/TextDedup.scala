@@ -361,6 +361,53 @@ object TextDedup {
     df.withColumn("simhash", call_function("simhash16", col(textCol)))
   }
 
+  /** SimHash near-duplicate pairs: Hamming distance ≤ `maxHamming` on
+    * the 16-bit fingerprint — the sketch-level dedup decision that
+    * completes the SimHash story (q58 computes the fingerprint; this
+    * USES it). Candidate generation is pigeonhole banding: split the 16
+    * bits into `maxHamming + 1` bands — two fingerprints within
+    * distance d ≤ maxHamming must agree EXACTLY on at least one band
+    * (d errors can dirty at most d of the d+1 bands), so the band
+    * equi-join has perfect recall while comparing only same-band pairs.
+    * The confirm is an exact integer popcount of the XOR. Same
+    * hash-join-never-cross-join scale shape as MinHash LSH, but the
+    * whole pipeline is integer-exact — fingerprint, bands, distance —
+    * so the oracle reproduces it bit-for-bit with no float discipline
+    * needed. 16 bits / 4 bands ⇒ 4-bit band values: at corpus scale
+    * this 16-bucket-per-band join saturates (the 16-bit sketch is a
+    * TOY WIDTH for 100 TB — production uses 64/128-bit simhash where
+    * the same banding yields 16/32-bit band keys; the operator is
+    * width-generic in structure, the fingerprint expression fixes 16
+    * for oracle parity with q58). */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15, s"maxHamming out of range: $maxHamming")
+    val nBands = maxHamming + 1
+    val bandBits = 16 / nBands
+    // token-less docs are dropped (matching the batch simhash row set):
+    // they all sketch to 0 and would otherwise band-join into one giant
+    // false cluster
+    val sh = withRowSimhash16(
+      df.select(col(idCol).as("id"), col(textCol).as("__t"))
+        .filter(trim(col("__t")) =!= ""), "__t")
+      .select(col("id"), col("simhash"))
+    val banded = sh.select(col("id"), col("simhash"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+               shiftright(col("simhash"), b * bandBits)
+                 .bitwiseAND(lit((1 << bandBits) - 1)).as("bv"))): _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band"), col("bk.bv"))
+    val a = banded.select(col("id").as("da"), col("simhash").as("sa"),
+                          col("band"), col("bv"))
+    val b = banded.select(col("id").as("db"), col("simhash").as("sb"),
+                          col("band"), col("bv"))
+    a.join(b, Seq("band", "bv")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"), col("sa"), col("sb")).distinct()
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("da"), col("db"), col("hamming").cast("long").as("hamming"))
+  }
+
   /** Padded-text substring occurrence count via `replace` + length
     * arithmetic — identical non-overlapping left-to-right scan semantics
     * in every engine. Exposed for quality/langid scoring. */

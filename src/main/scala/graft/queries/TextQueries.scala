@@ -342,21 +342,26 @@ object TextQueries {
           .filter(trim(col("text")) =!= ""), "text")
       .select(col("doc_id"), col("simhash").cast("long").as("simhash"))
 
-  private val q58Sql = {
+  /** Shared simhash CTEs → `sh(doc_id, simhash)` (q58 and q76). */
+  private val simhashCtes = {
     val votes = (0 until 16).map { j =>
       s"sum((instr('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) % 2 * 2 - 1) AS v$j"
     }.mkString(",\n  ")
     val bits = (0 until 16).map(j => s"CASE WHEN v$j > 0 THEN ${1 << j} ELSE 0 END")
       .mkString(" + ")
-    s"""WITH tok AS (
+    s"""tok AS (
       |  SELECT doc_id, md5(t) AS h FROM (
       |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents) x
       |  WHERE t <> ''),
       |v AS (SELECT doc_id,
       |  $votes
-      |FROM tok GROUP BY 1)
-      |SELECT doc_id, $bits AS simhash FROM v""".stripMargin
+      |FROM tok GROUP BY 1),
+      |sh AS (SELECT doc_id, $bits AS simhash FROM v)""".stripMargin
   }
+
+  private val q58Sql =
+    s"""WITH $simhashCtes
+      |SELECT doc_id, simhash FROM sh""".stripMargin
 
   /** q72 — content-defined chunking (w=16, maskBits=6 → ~64-char
     * expected chunks): the full chunk table, hash-checked. The oracle
@@ -416,6 +421,26 @@ object TextQueries {
       |  count(DISTINCT doc_id) AS n_docs, min(chunk_len) AS chunk_len
       |FROM chunks GROUP BY 1""".stripMargin
 
+  /** q76 — SimHash near-dup pairs: Hamming ≤ 3 on the 16-bit sketch via
+    * pigeonhole banding (4 bands of 4 bits — a pair within distance 3
+    * must agree on ≥ 1 band, so the band equi-join has perfect recall)
+    * + exact popcount confirm. Integer-exact end to end. */
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q76Sql =
+    s"""WITH $simhashCtes,
+      |banded AS (
+      |  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 4)) & 15 AS bv
+      |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db,
+      |         a.simhash AS sa, b2.simhash AS sb
+      |  FROM banded a JOIN banded b2
+      |    ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+      |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+      |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
+
   /** q75 — deterministic train/val/test split (90/5/5): content-derived
     * hash point (md5, engine-portable), not rand() — assignments are
     * reproducible across runs/engines/partitionings and stable under
@@ -455,6 +480,7 @@ object TextQueries {
     QueryDef("q69_rolling_fingerprint", q69, Some(q69Sql)),
     QueryDef("q72_cdc_chunks", q72, Some(q72Sql)),
     QueryDef("q73_chunk_dedup", q73, Some(q73Sql)),
-    QueryDef("q75_dataset_split", q75, Some(q75Sql))
+    QueryDef("q75_dataset_split", q75, Some(q75Sql)),
+    QueryDef("q76_simhash_neardup", q76, Some(q76Sql))
   )
 }

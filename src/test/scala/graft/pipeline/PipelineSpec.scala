@@ -94,6 +94,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(sh.values.forall(v => v >= 0 && v < 65536))
   }
 
+  test("simhashNearDupPairs equals brute-force Hamming filtering (pigeonhole recall is perfect)") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the sleepy dog"),
+      (4L, "completely different words appear in this text here"),
+      (5L, "yet another unrelated document with its own vocabulary"),
+      (6L, "   ")  // token-less: must not join anything
+    ).toDF("doc_id", "text")
+    val got = TextDedup.simhashNearDupPairs(corpus, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force over the same sketches
+    val sh = TextDedup.simhash16(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = Integer.bitCount(sh(a) ^ sh(b)) if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    assert(got == want, s"banded pairs must equal brute force: $got vs $want")
+    assert(got((1L, 2L)) == 0L, "identical docs are a hamming-0 pair")
+    assert(!got.keySet.exists(p => p._1 == 6L || p._2 == 6L), "token-less doc joins nothing")
+  }
+
   test("dupClusters: min-label propagation finds components and keepers") {
     val ids = (1L to 7L).map(Tuple1(_)).toDF("doc_id")
     // components: {1,2,3} (chain 1-2, 2-3), {5,6}, singletons 4 and 7
