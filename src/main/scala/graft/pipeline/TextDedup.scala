@@ -361,41 +361,77 @@ object TextDedup {
     df.withColumn("simhash", call_function("simhash16", col(textCol)))
   }
 
-  /** SimHash near-duplicate pairs: Hamming distance ≤ `maxHamming` on
-    * the 16-bit fingerprint — the sketch-level dedup decision that
-    * completes the SimHash story (q58 computes the fingerprint; this
-    * USES it). Candidate generation is pigeonhole banding: split the 16
-    * bits into `maxHamming + 1` bands — two fingerprints within
-    * distance d ≤ maxHamming must agree EXACTLY on at least one band
-    * (d errors can dirty at most d of the d+1 bands), so the band
-    * equi-join has perfect recall while comparing only same-band pairs.
-    * The confirm is an exact integer popcount of the XOR. Same
-    * hash-join-never-cross-join scale shape as MinHash LSH, but the
-    * whole pipeline is integer-exact — fingerprint, bands, distance —
-    * so the oracle reproduces it bit-for-bit with no float discipline
-    * needed. 16 bits / 4 bands ⇒ 4-bit band values: at corpus scale
-    * this 16-bucket-per-band join saturates (the 16-bit sketch is a
-    * TOY WIDTH for 100 TB — production uses 64/128-bit simhash where
-    * the same banding yields 16/32-bit band keys; the operator is
-    * width-generic in structure, the fingerprint expression fixes 16
-    * for oracle parity with q58). */
-  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 15, s"maxHamming out of range: $maxHamming")
+  /** Per-ROW 64-bit SimHash — the PRODUCTION sketch width (see
+    * [[graft.plans.Simhash64]] for the width rationale and the exact
+    * vote rule: [[graft.plans.Simhash16]]'s nibble-parity votes
+    * extended over md5(token) and md5('1'+token)). Zero-shuffle
+    * projection like [[withRowSimhash16]]; LongType output. */
+  def withRowSimhash64(df: DataFrame, textCol: String): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.withColumn("simhash", call_function("simhash64", col(textCol)))
+  }
+
+  /** Batch (groupBy-vote) 64-bit SimHash — the shuffle form kept as the
+    * independent parity witness for the native expression (the same
+    * row-vs-batch pinning [[simhash16]] provides for the 16-bit width):
+    * identical votes composed from Spark's own md5/instr/substr
+    * primitives, so a disagreement can only be a bug in the native
+    * helper. Disjoint bit literals sum without carries (bit 63's
+    * literal is Long.MinValue; addition over disjoint bit patterns is
+    * exactly OR). */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+                         explode(split(trim(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("h0", md5(col("tok")))
+      .withColumn("h1", md5(concat(lit("1"), col("tok"))))
+    val votes = (0 until 64).map { j =>
+      val h = if (j < 32) "h0" else "h1"
+      sum(expr(s"(instr('0123456789abcdef', substr($h, ${j % 32 + 1}, 1)) - 1) % 2 * 2 - 1"))
+        .as(s"v$j")
+    }
+    val bits = (0 until 64).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    toks.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"), bits.reduce(_ + _).as("simhash"))
+  }
+
+  /** Pigeonhole band split of a `width`-bit fingerprint into
+    * `maxHamming + 1` bands: two fingerprints within Hamming distance
+    * d ≤ maxHamming must agree EXACTLY on at least one band (d errors
+    * can dirty at most d of the d+1 bands), so a band equi-join has
+    * perfect recall while comparing only same-band pairs. When
+    * `maxHamming + 1` does not divide `width`, the remainder bits are
+    * DISTRIBUTED across the leading bands (band b gets width/nBands
+    * plus one while b < width%nBands) — every bit participates in
+    * exactly one band, so no bit position is excluded from candidate
+    * generation (an earlier integer-division form silently left the
+    * top width%nBands bits out of every band key). Returns per-band
+    * (band index, band value) structs for an explode. */
+  private def bandSplit(simhash: Column, width: Int, maxHamming: Int): Seq[Column] = {
     val nBands = maxHamming + 1
-    val bandBits = 16 / nBands
-    // token-less docs are dropped (matching the batch simhash row set):
-    // they all sketch to 0 and would otherwise band-join into one giant
-    // false cluster
-    val sh = withRowSimhash16(
-      df.select(col(idCol).as("id"), col(textCol).as("__t"))
-        .filter(trim(col("__t")) =!= ""), "__t")
-      .select(col("id"), col("simhash"))
+    val widths = (0 until nBands).map(b =>
+      width / nBands + (if (b < width % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    (0 until nBands).map { b =>
+      // & mask after the (arithmetic) shift: sign-extension bits land
+      // above the mask, so the band value is shift-semantics-agnostic
+      val mask = if (widths(b) >= 64) lit(-1L) else lit((1L << widths(b)) - 1)
+      struct(lit(b).as("band"),
+             shiftright(simhash, offsets(b)).bitwiseAND(mask).as("bv"))
+    }
+  }
+
+  /** Shared banded-pairing tail: explode band keys, self-join on
+    * (band, bv), exact popcount confirm. `sh` must carry (id, simhash).
+    * The band equi-join IS the scale path — hash join, never cross
+    * join; its cost is O(Σ bucket²) over band buckets, which is why the
+    * band-key WIDTH matters (see [[simhashNearDupPairs64]]). */
+  private def bandedHammingPairs(sh: DataFrame, width: Int,
+                                 maxHamming: Int): DataFrame = {
     val banded = sh.select(col("id"), col("simhash"),
-      explode(array((0 until nBands).map(b =>
-        struct(lit(b).as("band"),
-               shiftright(col("simhash"), b * bandBits)
-                 .bitwiseAND(lit((1 << bandBits) - 1)).as("bv"))): _*)).as("bk"))
+        explode(array(bandSplit(col("simhash"), width, maxHamming): _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.bv"))
     val a = banded.select(col("id").as("da"), col("simhash").as("sa"),
                           col("band"), col("bv"))
@@ -406,6 +442,56 @@ object TextDedup {
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("da"), col("db"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** SimHash near-duplicate pairs: Hamming distance ≤ `maxHamming` on
+    * the 16-bit fingerprint — the sketch-level dedup decision that
+    * completes the SimHash story (q58 computes the fingerprint; this
+    * USES it). Candidates from pigeonhole banding ([[bandSplit]]), an
+    * exact integer popcount confirms. Same hash-join-never-cross-join
+    * scale shape as MinHash LSH, but the whole pipeline is
+    * integer-exact — fingerprint, bands, distance — so the oracle
+    * reproduces it bit-for-bit with no float discipline needed.
+    *
+    * 16 bits / 4 bands ⇒ 4-bit band values: at corpus scale this
+    * 16-bucket-per-band join saturates (O(n²/16)). This width is kept
+    * as the ORACLE form (its fingerprint is q58's, hash-pinned in
+    * DuckDB); the production operator is [[simhashNearDupPairs64]],
+    * whose 16-bit band keys give 65,536 buckets per band. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15, s"maxHamming out of range: $maxHamming")
+    // token-less docs are dropped (matching the batch simhash row set):
+    // they all sketch to 0 and would otherwise band-join into one giant
+    // false cluster
+    val sh = withRowSimhash16(
+      df.select(col(idCol).as("id"), col(textCol).as("__t"))
+        .filter(trim(col("__t")) =!= ""), "__t")
+      .select(col("id"), col("simhash"))
+    bandedHammingPairs(sh, 16, maxHamming)
+  }
+
+  /** PRODUCTION-width SimHash near-dup pairs: Hamming ≤ `maxHamming`
+    * on the 64-bit fingerprint. Identical operator structure to the
+    * 16-bit oracle form — only the sketch width changes — but the
+    * band-key width is what the whole pipeline's scale rests on: at
+    * maxHamming = 3 the four band keys are 16 bits, so each band
+    * self-join has 65,536 buckets instead of 16 — expected bucket
+    * occupancy n/65,536, band-join cost O(n²/65,536) ≈ 4096× less
+    * candidate volume than the 16-bit sketch at ANY corpus size (the
+    * standard production configuration: Google's simhash dedup used
+    * 64-bit fingerprints with k=3 at 8B pages for exactly this
+    * arithmetic). Confirmed-pair semantics differ from the 16-bit form
+    * only through sketch resolution: 64 bits over-splits far less, so
+    * "hamming ≤ 3 at width 64" is a STRICTER near-dup statement. */
+  def simhashNearDupPairs64(df: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63, s"maxHamming out of range: $maxHamming")
+    val sh = withRowSimhash64(
+      df.select(col(idCol).as("id"), col(textCol).as("__t"))
+        .filter(trim(col("__t")) =!= ""), "__t")
+      .select(col("id"), col("simhash"))
+    bandedHammingPairs(sh, 64, maxHamming)
   }
 
   /** Padded-text substring occurrence count via `replace` + length

@@ -141,11 +141,17 @@ object DecodeAudio {
   /** Static helper invoked from generated code: decode via the JDK
     * audio registry, reduce the PCM stream to per-clip statistics.
     * Supports signed 8/16-bit PCM (what `javax.sound.sampled` serves
-    * for WAV); anything it can't decode returns null. Statistics are
-    * over the interleaved sample sequence: integer sums (exact), one
-    * division for the mean, one sqrt for the RMS; `zero_cross` counts
-    * strict sign-boundary changes (prev < 0) != (cur < 0) — all
-    * integer-exact, so any engine reproduces them. */
+    * for WAV); anything it can't decode returns null. mean/RMS are over
+    * ALL samples (channel-agnostic by definition): integer sums
+    * (exact), one division for the mean, one sqrt for the RMS.
+    * `zero_cross` counts strict sign-boundary changes
+    * (prev < 0) != (cur < 0) PER CHANNEL (consecutive samples of the
+    * SAME channel, stride = channel count), summed across channels —
+    * comparing interleaved samples of different channels would count a
+    * physically meaningless statistic on stereo input. All
+    * integer-exact, so any engine reproduces them; for mono the stride
+    * is 1 and the count equals the plain sequential form (what the q71
+    * oracle predicts). */
   def decode(bytes: Array[Byte]): InternalRow = {
     val in =
       try AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
@@ -155,11 +161,13 @@ object DecodeAudio {
       val bits = f.getSampleSizeInBits
       if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
           (bits != 8 && bits != 16)) return null
+      val nCh = f.getChannels
+      if (nCh < 1) return null
       val data = in.readAllBytes()
       val bytesPer = bits / 8
       val n = data.length / bytesPer
       var sum = 0L; var sumSq = 0L; var crossings = 0L
-      var prevNeg = false
+      val prevNeg = new Array[Boolean](nCh)
       var i = 0
       while (i < n) {
         val v =
@@ -171,9 +179,10 @@ object DecodeAudio {
           }
         sum += v
         sumSq += v.toLong * v
+        val ch = i % nCh
         val neg = v < 0
-        if (i > 0 && neg != prevNeg) crossings += 1
-        prevNeg = neg
+        if (i >= nCh && neg != prevNeg(ch)) crossings += 1
+        prevNeg(ch) = neg
         i += 1
       }
       if (n == 0) return null

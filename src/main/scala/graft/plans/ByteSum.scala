@@ -158,7 +158,8 @@ object GraftFunctions {
     "decode_audio" -> (exprs => DecodeAudio(exprs.head)),
     "minhash_sig" -> (exprs => MinhashSig.fromArgs(exprs)),
     "cdc_chunks" -> (exprs => CdcChunks.fromArgs(exprs)),
-    "simhash16" -> (exprs => Simhash16(exprs.head)))
+    "simhash16" -> (exprs => Simhash16(exprs.head)),
+    "simhash64" -> (exprs => Simhash64(exprs.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -239,6 +240,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
          classOf[Simhash16].getName, "simhash16"),
        (exprs: Seq[Expression]) => Simhash16(exprs.head)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+         classOf[Simhash64].getName, "simhash64"),
+       (exprs: Seq[Expression]) => Simhash64(exprs.head)))
     ext.injectOptimizerRule(_ => FrameLimitRule)
   }
 }

@@ -33,11 +33,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * an optional `maxLen` forced-cut clamp (Scala-tested; the
   * oracle-checked query runs unclamped).
   *
+  * UNIT: offsets and lengths are Unicode CODE POINTS, not bytes — the
+  * unit of SQL `substring` in both Spark (UTF8String.substringSQL counts
+  * code points) and DuckDB (`substr`), and of DuckDB's `ascii()`. The
+  * rolling hash feeds on code-point values, so for ASCII input the
+  * spans are bit-identical to a byte-fed hash (code point == byte),
+  * while non-ASCII documents get spans that tile the text in the SAME
+  * unit the downstream `md5(substring(text, start, len))` content hash
+  * slices by. (An earlier form hashed UTF-8 bytes but sliced by
+  * characters — silently wrong chunk contents for any non-ASCII doc.)
+  *
   * Returns array<struct<start int, len int>> (1-based start offsets;
   * spans tile the document exactly), null for empty input. The chunk
   * CONTENT hash is taken downstream as md5(substr(text, start, len)) —
   * engine-portable, so the whole chunk table is hash-comparable. One
-  * codegen'd pass per row; the rolling window update is O(1) per byte. */
+  * codegen'd pass per row; the rolling window update is O(1) per
+  * code point. */
 case class CdcChunks(child: Expression, window: Int, maskBits: Int,
                      maxLen: Int) extends UnaryExpression {
   require(window >= 2 && window <= 1024, s"cdc window out of range: $window")
@@ -73,14 +84,24 @@ object CdcChunks {
     StructField("len", IntegerType, nullable = false)))
 
   /** Static helper invoked from generated code. Rolling window hash:
-    * h_i = (h_{i-1}·257 − b_{i−w}·257^w + b_i) mod M maintained in
-    * O(1) per byte (the subtraction uses the precomputed 257^w mod M;
-    * negatives are re-wrapped). `maxLen = 0` disables the forced-cut
-    * clamp (the stateless, oracle-checked mode). */
+    * h_i = (h_{i-1}·257 − c_{i−w}·257^w + c_i) mod M over CODE-POINT
+    * values c (see the unit note above), maintained in O(1) per code
+    * point (the subtraction uses the precomputed 257^w mod M; negatives
+    * are re-wrapped). `maxLen = 0` disables the forced-cut clamp (the
+    * stateless, oracle-checked mode). */
   def spans(text: UTF8String, w: Int, maskBits: Int, maxLen: Int): ArrayData = {
-    val bytes = text.getBytes
-    val n = bytes.length
+    val s = text.toString
+    val n = s.codePointCount(0, s.length)
     if (n == 0) return null
+    val cps = new Array[Int](n)
+    var si = 0
+    var ci = 0
+    while (si < s.length) {
+      val cp = s.codePointAt(si)
+      cps(ci) = cp
+      ci += 1
+      si += Character.charCount(cp)
+    }
     val M = RollingHash.Mod
     val B = RollingHash.Base
     // 257^w mod M for the outgoing byte
@@ -93,8 +114,8 @@ object CdcChunks {
     var start = 1
     var i = 0
     while (i < n) {
-      h = (h * B + (bytes(i) & 0xff)) % M
-      if (i >= w) h = ((h - (bytes(i - w) & 0xff) * powW) % M + M) % M
+      h = (h * B + cps(i)) % M
+      if (i >= w) h = ((h - cps(i - w).toLong * powW) % M + M) % M
       val pos = i + 1 // 1-based
       val windowFull = pos >= w
       val cut = (windowFull && (h % (mask + 1)).toInt == mask) ||

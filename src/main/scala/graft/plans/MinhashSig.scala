@@ -94,6 +94,86 @@ case class Simhash16(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Catalyst expression: per-document 64-bit SimHash — the
+  * PRODUCTION sketch width ([[Simhash16]]'s own Scaladoc calls 16 bits
+  * a toy for 100 TB: its 4-bit band keys give only 16 buckets per band,
+  * so the near-dup band self-join saturates at O(n²/16)). At 64 bits
+  * the same maxHamming=3 pigeonhole banding yields 16-BIT band keys —
+  * 65,536 buckets per band — so bucket occupancy, and with it the band
+  * join's cost, drops by 4096× at any corpus size.
+  *
+  * Vote rule is [[Simhash16]]'s nibble-parity form extended to 64
+  * lanes: lane j's vote comes from hex digit j%32 of digest j/32,
+  * where digest 0 = md5(token) and digest 1 = md5('1' || token) — the
+  * same salted-digest extension [[MinhashSig]] uses to grow hash count
+  * past one digest's width, so the value stays engine-portable (the
+  * q77 oracle replays all 64 votes from the two md5s in SQL). Vote j =
+  * (nibble & 1)·2 − 1 summed over token OCCURRENCES; bit j of the
+  * LongType result is set iff the sum is > 0. Zero tokens → 0 (same
+  * contract as simhash16). */
+case class Simhash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires STRING input, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Simhash64.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in => s"graft.plans.Simhash64.hash($in)")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash64 =
+    copy(child = newChild)
+}
+
+object Simhash64 {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Static helper invoked from generated code. Lanes 0-31 vote from
+    * the 32 hex nibbles of md5(token); lanes 32-63 from md5('1'+token).
+    * Nibble j of a digest is byte j/2, high nibble first — identical to
+    * [[Simhash16.hash]]'s walk, just over the full digest and a second
+    * salted one. */
+  def hash(text: UTF8String): Long = {
+    val tokens = text.trim().toString.split(" ", -1)
+    val votes = new Array[Int](64)
+    val digest = md5.get()
+    var t = 0
+    while (t < tokens.length) {
+      val tok = tokens(t)
+      if (tok.nonEmpty) {
+        var g = 0
+        while (g < 2) {
+          digest.reset()
+          val in = if (g == 0) tok else "1" + tok
+          val bytes = digest.digest(in.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var j = 0
+          while (j < 32) {
+            val b = bytes(j / 2) & 0xff
+            val nibble = if (j % 2 == 0) b >>> 4 else b & 0xf
+            votes(g * 32 + j) += (nibble & 1) * 2 - 1
+            j += 1
+          }
+          g += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= 1L << j; j += 1 }
+    out
+  }
+}
+
 object Simhash16 {
   private val md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

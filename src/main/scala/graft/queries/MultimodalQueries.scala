@@ -61,9 +61,13 @@ object MultimodalQueries {
       Multimodal.imageTable(t(s, dir, "documents"), "doc_id"))
 
   private val q63Sql =
+    // floor-mod formulation (((x % m) + m) % m): GenBmp uses
+    // Math.floorMod while DuckDB's % follows the sign of the dividend —
+    // identical for the nonnegative doc_ids shipped today, and this form
+    // stays correct if a corpus ever carries negative ids
     """WITH px AS (
       |  SELECT d.doc_id,
-      |         (d.doc_id * 31 + 7 * g.x + 13 * g.y) % 256 AS b
+      |         ((d.doc_id * 31 + 7 * g.x + 13 * g.y) % 256 + 256) % 256 AS b
       |  FROM documents d
       |  CROSS JOIN (
       |    SELECT xs.x, ys.y
@@ -88,9 +92,10 @@ object MultimodalQueries {
       Multimodal.audioTable(t(s, dir, "documents"), "doc_id"))
 
   private val q71Sql =
+    // same floor-mod guard as q63 (GenWav uses Math.floorMod)
     """WITH s AS (
       |  SELECT d.doc_id, g.t,
-      |         (d.doc_id * 31 + g.t * 7919) % 2048 - 1024 AS v
+      |         ((d.doc_id * 31 + g.t * 7919) % 2048 + 2048) % 2048 - 1024 AS v
       |  FROM documents d
       |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS t) g),
       |w AS (

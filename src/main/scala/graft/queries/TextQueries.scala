@@ -441,6 +441,59 @@ object TextQueries {
       |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
       |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
 
+  /** Shared 64-bit simhash CTEs → `sh64(doc_id, simhash)` (q77). Same
+    * vote rule as `simhashCtes` extended to 64 lanes: lanes 0-31 vote
+    * from md5(token), lanes 32-63 from md5('1' || token) (the salted
+    * second digest — [[graft.plans.Simhash64]]). Disjoint bit literals
+    * sum without carries; bit 63's literal is built with an explicit
+    * BIGINT shift so DuckDB never promotes to HUGEINT. */
+  private val simhash64Ctes = {
+    val votes = (0 until 64).map { j =>
+      val h = if (j < 32) "h0" else "h1"
+      s"sum((instr('0123456789abcdef', substr($h, ${j % 32 + 1}, 1)) - 1) % 2 * 2 - 1) AS v$j"
+    }.mkString(",\n  ")
+    // DuckDB overflow-checks 1::BIGINT << 63, so bit 63's literal is
+    // built as INT64_MIN arithmetic (the sum over disjoint bits never
+    // overflows: bits 0-62 max to INT64_MAX, then + MIN is in range)
+    val bits = (0 until 64).map { j =>
+      val bitLit = if (j == 63) "(-9223372036854775807 - 1)"
+                   else s"(CAST(1 AS BIGINT) << $j)"
+      s"CASE WHEN v$j > 0 THEN $bitLit ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"""tok64 AS (
+      |  SELECT doc_id, md5(t) AS h0, md5('1' || t) AS h1 FROM (
+      |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents) x
+      |  WHERE t <> ''),
+      |v64 AS (SELECT doc_id,
+      |  $votes
+      |FROM tok64 GROUP BY 1),
+      |sh64 AS (SELECT doc_id, $bits AS simhash FROM v64)""".stripMargin
+  }
+
+  /** q77 — PRODUCTION-width (64-bit) SimHash near-dup pairs: Hamming
+    * ≤ 3 via 4 bands of 16-BIT keys (65,536 buckets per band — the
+    * band self-join that saturates at 16 buckets under q76's toy width
+    * gets 4096× the key space here; see
+    * [[TextDedup.simhashNearDupPairs64]]). The oracle replays all 64
+    * nibble-parity votes from the two md5s, the band split, and the
+    * popcount confirm — the full production operator hash-checked end
+    * to end, not just its fingerprint. */
+  private def q77(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashNearDupPairs64(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q77Sql =
+    s"""WITH $simhash64Ctes,
+      |banded AS (
+      |  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 16)) & 65535 AS bv
+      |  FROM sh64 CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db,
+      |         a.simhash AS sa, b2.simhash AS sb
+      |  FROM banded a JOIN banded b2
+      |    ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+      |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+      |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
+
   /** q75 — deterministic train/val/test split (90/5/5): content-derived
     * hash point (md5, engine-portable), not rand() — assignments are
     * reproducible across runs/engines/partitionings and stable under
@@ -481,6 +534,7 @@ object TextQueries {
     QueryDef("q72_cdc_chunks", q72, Some(q72Sql)),
     QueryDef("q73_chunk_dedup", q73, Some(q73Sql)),
     QueryDef("q75_dataset_split", q75, Some(q75Sql)),
-    QueryDef("q76_simhash_neardup", q76, Some(q76Sql))
+    QueryDef("q76_simhash_neardup", q76, Some(q76Sql)),
+    QueryDef("q77_simhash64_neardup", q77, Some(q77Sql))
   )
 }

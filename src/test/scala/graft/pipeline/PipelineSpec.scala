@@ -117,6 +117,68 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!got.keySet.exists(p => p._1 == 6L || p._2 == 6L), "token-less doc joins nothing")
   }
 
+  test("simhashNearDupPairs64 equals brute-force Hamming filtering at width 64") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the sleepy dog"),
+      (4L, "completely different words appear in this text here"),
+      (5L, "yet another unrelated document with its own vocabulary"),
+      (6L, "   ")  // token-less: must not join anything
+    ).toDF("doc_id", "text")
+    val got = TextDedup.simhashNearDupPairs64(corpus, "doc_id", "text", maxHamming = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force over the batch 64-bit sketches (maxHamming generous
+    // enough that CONFIRMED pairs exist across band-width boundaries —
+    // 41 bands over 64 bits exercises the variable-width band split)
+    val sh = TextDedup.simhash64(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= 40
+    } yield (a, b) -> h.toLong).toMap
+    assert(got == want, s"banded 64-bit pairs must equal brute force: $got vs $want")
+    assert(got((1L, 2L)) == 0L, "identical docs are a hamming-0 pair")
+    assert(!got.keySet.exists(p => p._1 == 6L || p._2 == 6L), "token-less doc joins nothing")
+  }
+
+  test("per-row simhash64 equals the shuffle-based batch simhash64") {
+    val many = docs.union(Seq(
+      (5L, "the quick red fox naps under the lazy dog"),
+      (6L, "")).toDF("doc_id", "text"))
+    val batch = TextDedup.simhash64(many, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byRow = TextDedup.withRowSimhash64(many, "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("simhash"))).toMap
+    assert(batch.keySet.forall(id => byRow(id) == batch(id)),
+           "per-row simhash64 diverges from batch")
+    assert(byRow(6L) == 0L) // tokenless doc: batch absent, row form 0
+    // identical texts share the sketch; 64 bits resolve the sleepy-dog
+    // near-pair and the unrelated docs to distinct values
+    assert(batch(1L) == batch(2L) && batch(1L) != batch(4L))
+  }
+
+  test("variable-width band split (non-divisor maxHamming) keeps perfect recall") {
+    // maxHamming = 2 over the 16-bit sketch ⇒ 3 bands of widths 6/5/5:
+    // the remainder bit is distributed (every bit participates in
+    // exactly one band) and brute-force equality must still hold
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the sleepy dog"),
+      (4L, "completely different words appear in this text here")
+    ).toDF("doc_id", "text")
+    val got = TextDedup.simhashNearDupPairs(corpus, "doc_id", "text", maxHamming = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sh = TextDedup.simhash16(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = Integer.bitCount(sh(a) ^ sh(b)) if h <= 9
+    } yield (a, b) -> h.toLong).toMap
+    assert(got == want, s"variable-width bands must equal brute force: $got vs $want")
+  }
+
   test("dupClusters: min-label propagation finds components and keepers") {
     val ids = (1L to 7L).map(Tuple1(_)).toDF("doc_id")
     // components: {1,2,3} (chain 1-2, 2-3), {5,6}, singletons 4 and 7
