@@ -265,15 +265,21 @@ object TextDedup {
     * anti-join for singletons was tried and MEASURED 2.5× slower here:
     * it roots the whole loop's lineage in the near-dup pipeline
     * instead of a plain scan, and the saved rows are not the cost.)
-    * If a corpus ever produces DEEP components (chained paraphrase
-    * families rather than tight dup clusters), the escalation is
-    * pointer jumping — label(v) ← label(label(v)) each round, a second
-    * keyed join per round for O(log diameter) rounds total; at typical
-    * dup diameters (2-4) it costs more than it saves, which is why the
-    * plain propagation is the shipped form and `maxRounds` guards the
-    * assumption. */
+    *
+    * `pointerJump = true` is the escalation for DEEP components
+    * (chained paraphrase families rather than tight dup clusters):
+    * each round additionally shortcuts label(v) ← label(label(v)) —
+    * one extra keyed join against the (cached) previous labels, valid
+    * because labels ARE doc ids. Reach doubles per round instead of
+    * growing by one, so rounds = O(log diameter): a diameter-100 chain
+    * that exhausts the default maxRounds under plain propagation
+    * converges in ~9 rounds (test-pinned, labels identical). At
+    * typical dup diameters (2-4) the extra join costs more than it
+    * saves, which is why plain propagation stays the default and
+    * `maxRounds` guards the assumption. */
   def dupClusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 50,
-                  onRound: (Int, Long, Double) => Unit = null): DataFrame = {
+                  onRound: (Int, Long, Double) => Unit = null,
+                  pointerJump: Boolean = false): DataFrame = {
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
       .distinct().cache()
@@ -291,9 +297,19 @@ object TextDedup {
         // carry the previous label through the same pass: change
         // detection is then a filter on the cached round result instead
         // of a second join against the old labels
-        val joined = labels.join(nbrMin, Seq("doc_id"), "left")
+        val withNbr = labels.join(nbrMin, Seq("doc_id"), "left")
           .select(col("doc_id"), col("cluster").as("prev"),
                   least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        // pointer jump: also take label(label(v)) from the PREVIOUS
+        // round's (cached) labels — both joins read the same cached
+        // frame, so the round stays two keyed shuffles, no recompute
+        val joined =
+          if (!pointerJump) withNbr
+          else withNbr
+            .join(labels.select(col("doc_id").as("__jk"), col("cluster").as("jump")),
+                  col("prev") === col("__jk"), "left")
+            .select(col("doc_id"), col("prev"),
+                    least(col("cluster"), coalesce(col("jump"), col("prev"))).as("cluster"))
         // cache bounds recompute but not logical-plan growth: cut the
         // lineage every 5 rounds so deep-diameter graphs don't nest 50
         // joins in one plan (analyzer cost grows superlinearly with depth)
@@ -311,7 +327,8 @@ object TextDedup {
       if (changed > 0)
         throw new IllegalStateException(
           s"dupClusters did not converge after $maxRounds rounds ($changed labels still " +
-          "changing): a duplicate component has diameter > maxRounds; raise maxRounds")
+          "changing): a duplicate component has diameter > maxRounds; set " +
+          "pointerJump = true (O(log diameter) rounds) or raise maxRounds")
       // eager localCheckpoint materializes the result OUTSIDE the round
       // cache, so the per-call cache entries can be released (in the
       // finally, which also covers the non-convergence throw) instead of

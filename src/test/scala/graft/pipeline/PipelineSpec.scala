@@ -232,6 +232,33 @@ class TextDedupSpec extends AnyFunSuite {
     assert(ok.forall(_.getLong(1) == 1L))
   }
 
+  test("pointer jumping converges a diameter-100 chain in O(log d) rounds, labels identical") {
+    // a 101-node chain: plain propagation needs ~100 rounds (throws at
+    // the default maxRounds = 50); pointer jumping doubles label reach
+    // per round, so it must converge in ~log2(100) + slack rounds
+    val ids = (1L to 101L).map(Tuple1(_)).toDF("doc_id")
+    val chain = (1L until 101L).map(i => (i, i + 1)).toDF("da", "db")
+    intercept[IllegalStateException] {
+      TextDedup.dupClusters(ids, chain) // plain form exhausts maxRounds
+    }
+    var rounds = 0
+    val jumped = TextDedup.dupClusters(ids, chain, pointerJump = true,
+        onRound = (r, _, _) => rounds = r)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rounds <= 10, s"pointer jumping took $rounds rounds for diameter 100")
+    assert(jumped.keySet == (1L to 101L).toSet)
+    assert(jumped.values.forall(_._1 == 1L), "one component, min label 1")
+    assert(jumped(1L)._2 == 1L && (2L to 101L).forall(jumped(_)._2 == 0L))
+    // and on a multi-component graph the labels equal the plain form's
+    val ids2 = (1L to 7L).map(Tuple1(_)).toDF("doc_id")
+    val pairs2 = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("da", "db")
+    val plain = TextDedup.dupClusters(ids2, pairs2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pj = TextDedup.dupClusters(ids2, pairs2, pointerJump = true).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(pj == plain, "pointer jumping must not change the resolved labels")
+  }
+
   test("wordOccurrences counts word-boundary hits") {
     val got = docs.filter($"doc_id" === 1)
       .select(TextDedup.wordOccurrences($"text", "the").as("n"))
