@@ -142,9 +142,10 @@ object Similarity extends org.apache.spark.internal.Logging {
     * vectors themselves (deterministic: initial coarse centers are
     * evenly-spaced fine centroids, fixed iteration count, no RNG).
     * Driver-side is right for k up to ~10^5 (5 Lloyd rounds × k·√k
-    * cosines — sub-second); past that, train the coarse level with
-    * seeded Spark ML k-means over the fine centroids the same way
-    * [[trainCentroids]] trains the fine level over the corpus. */
+    * cosines — sub-second); past that,
+    * [[buildCoarseIndexDistributed]] trains the coarse level with
+    * seeded Spark ML k-means over the centroid frame
+    * ([[buildCoarseIndexAuto]] switches at [[DriverLloydMaxK]]). */
   case class CoarseIndex(coarse: Seq[Seq[Double]],
                          groups: Seq[Seq[(Int, Seq[Double])]])
 
@@ -199,6 +200,58 @@ object Similarity extends org.apache.spark.internal.Logging {
     CoarseIndex(kept.map { case (_, g) => coarse(g) }, kept.map(_._1))
   }
 
+  /** Distributed escalation of [[buildCoarseIndex]]: past the
+    * documented ~10⁵-centroid driver bound (5 Lloyd rounds × k·√k
+    * cosines on one thread pool — at the tree rule's k ≈ 5.6M fine
+    * centroids for n = 10⁹ that is ~10¹³ driver-side cosines), the
+    * coarse centers are trained with seeded Spark ML k-means over the
+    * centroid FRAME — the same production path [[trainCentroids]]
+    * provides for the fine level over the corpus — and the fine→coarse
+    * assignment runs as one native `ivf_assign` pass over that frame
+    * (the coarse array is the only expression literal: √k vectors,
+    * driver-safe by the growth rules). Only (cid, group) id pairs are
+    * collected — two ints per fine centroid, not the Lloyd working set.
+    *
+    * Semantics: a valid CoarseIndex with the same structural contract
+    * as the driver form (groups partition the centroids, empty groups
+    * dropped, order stable) but NOT the same centers — k-means init
+    * differs, which is fine: the hierarchy changes COST, not
+    * correctness (exhaustive probing reproduces the flat assignment
+    * under ANY grouping — test-pinned for both builders). The
+    * oracle-replayed queries (q70/q74) pin the DRIVER construction;
+    * this path exists for k past what those queries ever build. */
+  def buildCoarseIndexDistributed(centroids: Seq[(Int, Seq[Double])],
+                                  coarseK0: Int = 0, seed: Long = 42L): CoarseIndex = {
+    require(centroids.nonEmpty, "buildCoarseIndexDistributed needs centroids")
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    val k = centroids.size
+    val coarseK = math.max(1, math.min(
+      if (coarseK0 > 0) coarseK0 else math.ceil(math.sqrt(k.toDouble)).toInt, k))
+    val cf = centroids.toDF("cid", "v")
+    val coarse = trainCentroids(cf, coarseK, seed)
+    val assigned = cf.select(col("cid"),
+        element_at(ivfCellsOf(col("v"), sqrt(dot(col("v"), col("v"))), coarse, 1), 1)
+          .as("g"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1).toInt).toMap
+    val grouped = coarse.map { case (g, gv) =>
+      gv -> centroids.filter(c => assigned(c._1) == g)
+    }.filter(_._2.nonEmpty)
+    CoarseIndex(grouped.map(_._1), grouped.map(_._2))
+  }
+
+  /** The documented driver-Lloyd safety bound (see
+    * [[buildCoarseIndex]]): below it the deterministic driver
+    * construction (what the q70/q74 oracles replay); above it the
+    * distributed k-means escalation. */
+  val DriverLloydMaxK = 100000
+
+  def buildCoarseIndexAuto(centroids: Seq[(Int, Seq[Double])],
+                           coarseK0: Int = 0): CoarseIndex =
+    if (centroids.size <= DriverLloydMaxK) buildCoarseIndex(centroids, coarseK0)
+    else buildCoarseIndexDistributed(centroids, coarseK0)
+
   /** Hierarchical cell probe: score the √k coarse centers, descend into
     * the best `coarseProbe` groups, and take the `nprobe` best fine
     * cells among their members — O(√k + coarseProbe·k/√k) dot products
@@ -230,13 +283,16 @@ object Similarity extends org.apache.spark.internal.Logging {
     require(centroids.nonEmpty, "buildTreeIndex needs centroids")
     val k = centroids.size
     val coarseK = math.max(1, math.ceil(math.pow(k.toDouble, 2.0 / 3.0)).toInt)
-    val fine = buildCoarseIndex(centroids, coarseK)
+    // auto: the tree rule is exactly where k outgrows the driver bound
+    // (k = n^(3/4) passes 10^5 near n = 4.6·10^6 vectors), so the fine
+    // grouping escalates to the distributed builder past it
+    val fine = buildCoarseIndexAuto(centroids, coarseK)
     // group the (kept) coarse centers themselves; member "ids" are
     // coarse POSITIONS, which is what the descent's restricted pass
-    // needs — buildCoarseIndex assigns every member exactly once, so
+    // needs — the builder assigns every member exactly once, so
     // the top groups partition the coarse level
     val coarseAsCentroids = fine.coarse.zipWithIndex.map { case (v, i) => i -> v }
-    val topIdx = buildCoarseIndex(coarseAsCentroids)
+    val topIdx = buildCoarseIndexAuto(coarseAsCentroids)
     TreeIndex(fine, topIdx.coarse, topIdx.groups.map(_.map(_._1)))
   }
 
@@ -334,7 +390,7 @@ object Similarity extends org.apache.spark.internal.Logging {
         ivfCellsOfTree(col("v"), col("nrm"), buildTreeIndex(centroids),
                        nprobe, math.max(coarseProbe, 1), topProbe)
       else if (coarseProbe <= 0) ivfCellsOf(col("v"), col("nrm"), centroids, nprobe)
-      else ivfCellsOfHier(col("v"), col("nrm"), buildCoarseIndex(centroids),
+      else ivfCellsOfHier(col("v"), col("nrm"), buildCoarseIndexAuto(centroids),
                           nprobe, coarseProbe)
     graft.queries.cacheOnce(withNorm(emb).select(
       col("vec_id"), col("v"), col("nrm"),

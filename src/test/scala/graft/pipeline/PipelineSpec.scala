@@ -489,6 +489,66 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"tree recall@3 is $recall")
   }
 
+  test("distributed coarse training: valid structure, exhaustive probing equals flat") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < 32).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    val idx = Similarity.buildCoarseIndexDistributed(cents)
+    // structural contract: groups partition the centroid ids, no empty
+    // group survives, one coarse center per kept group
+    assert(idx.coarse.size == idx.groups.size)
+    assert(idx.groups.forall(_.nonEmpty))
+    assert(idx.groups.flatMap(_.map(_._1)).sorted == cents.map(_._1).sorted,
+           "groups must partition the centroids")
+    // exhaustive coarse probing must reproduce the flat assignment
+    // under ANY valid grouping — the same pin the driver builder has
+    graft.plans.GraftFunctions.register(spark)
+    val nrm = sqrt(graft.pipeline.Similarity.dot(col("v"), col("v")))
+    def assign(c: org.apache.spark.sql.Column) =
+      e.select(col("vec_id"), element_at(c, 1).as("cell")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flat = assign(Similarity.ivfCellsOf(col("v"), nrm, cents, 1))
+    val hier = assign(Similarity.ivfCellsOfHier(col("v"), nrm, idx, 1,
+                                                coarseProbe = idx.groups.size))
+    assert(hier == flat, "exhaustive distributed-index descent must equal flat")
+    // and the auto builder picks the driver form below the bound
+    val auto = Similarity.buildCoarseIndexAuto(cents)
+    val driver = Similarity.buildCoarseIndex(cents)
+    assert(auto.coarse == driver.coarse && auto.groups == driver.groups)
+  }
+
+  test("distributed coarse training keeps recall@3 >= 0.9 on clustered embeddings") {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+    val data = (0 until 320).map { i =>
+      (i.toLong, centers(i % 16).map(_ + rnd.nextGaussian() * 0.15))
+    }.toDF("vec_id", "v")
+    val cents = Similarity.trainCentroids(data, k = 16)
+    val idx = Similarity.buildCoarseIndexDistributed(cents)
+    graft.plans.GraftFunctions.register(spark)
+    // same probe budget as the driver-built hier recall test, routed
+    // through the distributed index
+    val nrm = sqrt(Similarity.dot(col("v"), col("v")))
+    val celled = data.select(col("vec_id"), col("v"), nrm.as("nrm"),
+      element_at(Similarity.ivfCellsOfHier(col("v"), nrm, idx, 2, 2), 1).as("cell"),
+      Similarity.ivfCellsOfHier(col("v"), nrm, idx, 2, 2).as("cells"))
+    val a = celled.select(col("vec_id").as("query_id"), col("v").as("qv"),
+                          col("nrm").as("qn"), explode(col("cells")).as("cell"))
+    val b = celled.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"), col("cell"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              (Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val got = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val truth = exactTop3(data)
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    assert(recall >= 0.9, s"distributed-coarse recall@3 is $recall")
+  }
+
   test("ivfCellCount growth rule: sqrt(n) flat, n^(2/3) hierarchical, n^(3/4) tree") {
     assert(Similarity.ivfCellCount(1000000L, hierarchical = false) == 1000)
     assert(Similarity.ivfCellCount(1000000L) == 10000)
