@@ -146,8 +146,10 @@ object ResponseAssembly {
       val corrType = spec.map(_.corrType).getOrElse("prophet")
       val grangerBlock =
         if (servedContract || corrType != "granger") "" else {
+          // all four statsmodels statistics per lag (`Untitled.ipynb`
+          // cell 12 prints ssr_ftest/ssr_chi2test/lrtest/params_ftest)
           val lags = grangerRows.getOrElse(id, Array.empty).sortBy(_.getInt(1)).map { r =>
-            s""""${r.getInt(1)}": {"fStat": ${num(r.getDouble(2))}, "pValue": ${num(r.getDouble(3))}, "dfNum": ${r.getInt(4)}, "dfDenom": ${r.getInt(5)}}"""
+            s""""${r.getInt(1)}": {"fStat": ${num(r.getDouble(2))}, "pValue": ${num(r.getDouble(3))}, "dfNum": ${r.getInt(4)}, "dfDenom": ${r.getInt(5)}, "ssrChi2": ${num(r.getDouble(6))}, "pChi2": ${num(r.getDouble(7))}, "lr": ${num(r.getDouble(8))}, "pLr": ${num(r.getDouble(9))}, "paramsF": ${num(r.getDouble(10))}, "pParamsF": ${num(r.getDouble(11))}}"""
           }.mkString("{", ", ", "}")
           s"""  "grangerCausality": {"causeIndex": "${esc(spec.map(_.fromIndex).getOrElse("x"))}", "lags": $lags},
              |""".stripMargin

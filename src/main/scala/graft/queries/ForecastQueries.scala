@@ -114,7 +114,13 @@ object ForecastQueries {
               round(col("f_stat"), 6).as("f_stat"),
               round(col("p_value"), 6).as("p_value"),
               col("df_num").cast("long").as("df_num"),
-              col("df_denom").cast("long").as("df_denom"))
+              col("df_denom").cast("long").as("df_denom"),
+              round(col("ssr_chi2"), 6).as("ssr_chi2"),
+              round(col("p_chi2"), 6).as("p_chi2"),
+              round(col("lr_stat"), 6).as("lr_stat"),
+              round(col("p_lr"), 6).as("p_lr"),
+              round(col("params_f"), 6).as("params_f"),
+              round(col("p_params_f"), 6).as("p_params_f"))
   }
 
   /** q45 — C10 quantile forecast: per-row prediction quantiles from the

@@ -8,16 +8,29 @@ import org.apache.spark.sql.functions._
   * at `app.py:33`, prototyped in `Untitled.ipynb` cell 12 via
   * `granger_causality_tests(remove_trend(from), remove_trend(to), 14)`).
   *
-  * Implements the standard ssr F-test: for each lag k ≤ maxlag,
+  * Implements ALL FOUR statistics the notebook's statsmodels call emits
+  * per lag: for each lag k ≤ maxlag,
   *   restricted:   e_t ~ const + e_{t-1..t-k}
   *   unrestricted: e_t ~ const + e_{t-1..t-k} + c_{t-1..t-k}
-  *   F = ((SSR_r − SSR_u)/k) / (SSR_u/(n − 2k − 1))
-  * "cause Granger-causes effect" when F is large (small p). P-values via
-  * the regularized incomplete beta function — pure JVM, deterministic.
+  *   ssr_ftest:    F = ((SSR_r − SSR_u)/k) / (SSR_u/(n − 2k − 1))
+  *   ssr_chi2test: χ² = n·(SSR_r − SSR_u)/SSR_u, df = k
+  *   lrtest:       LR = n·(ln SSR_r − ln SSR_u), df = k (−2Δloglik for
+  *                 Gaussian OLS — the σ̂² terms collapse to the SSR ratio)
+  *   params_ftest: Wald F on the joint zero restriction of the k cause
+  *                 coefficients — (Rβ)'[R(X'X)⁻¹R']⁻¹(Rβ)/(k·σ̂²),
+  *                 computed independently from the SSR route (equal to
+  *                 ssr_ftest for OLS up to numerical precision, which
+  *                 is the statsmodels-documented relationship and is
+  *                 test-pinned here)
+  * "cause Granger-causes effect" when the statistics are large (small
+  * p). F p-values via the regularized incomplete beta, χ² p-values via
+  * the regularized upper incomplete gamma — pure JVM, deterministic.
   */
 object Granger {
 
-  case class LagResult(lag: Int, fStat: Double, pValue: Double, dfNum: Int, dfDenom: Int)
+  case class LagResult(lag: Int, fStat: Double, pValue: Double, dfNum: Int, dfDenom: Int,
+                       chi2: Double, pChi2: Double, lr: Double, pLr: Double,
+                       paramsF: Double, paramsP: Double)
 
   /** OLS SSR for the given design rows (tiny ridge for numerical safety). */
   private def ssr(rows: Array[Array[Double]], y: Array[Double]): Double = {
@@ -69,9 +82,112 @@ object Granger {
         val f = if (ssrU <= 0) Double.PositiveInfinity
                 else ((ssrR - ssrU) / k) / (ssrU / dfDenom)
         val p = if (f.isInfinite) 0.0 else fSurvival(f, k, dfDenom)
-        Some(LagResult(k, f, p, k, dfDenom))
+        // statsmodels' other three: χ² scales the SSR drop by n (not by
+        // dfDenom), LR is the Gaussian log-likelihood-ratio, and the
+        // Wald form re-derives the F from the coefficient covariance
+        val chi2 = if (ssrU <= 0) Double.PositiveInfinity
+                   else n * (ssrR - ssrU) / ssrU
+        val pChi2 = if (chi2.isInfinite) 0.0 else chiSqSurvival(chi2, k)
+        val lr = if (ssrU <= 0 || ssrR <= 0) Double.PositiveInfinity
+                 else n * (math.log(ssrR) - math.log(ssrU))
+        val pLr = if (lr.isInfinite) 0.0 else chiSqSurvival(lr, k)
+        val pf = if (ssrU <= 0) Double.PositiveInfinity
+                 else waldF(unrestricted, y, k, ssrU, dfDenom)
+        val pp = if (pf.isInfinite) 0.0 else fSurvival(pf, k, dfDenom)
+        Some(LagResult(k, f, p, k, dfDenom, chi2, pChi2, lr, pLr, pf, pp))
       }
     }
+  }
+
+  /** Wald F for the joint restriction "the last k coefficients of the
+    * design are zero": (Rβ)'[R(X'X)⁻¹R']⁻¹(Rβ) / (k·σ̂²) with σ̂² =
+    * SSR_u/dfDenom. The tail block of (X'X)⁻¹ is built by solving
+    * against the tail unit vectors (k solves of a p×p system, p =
+    * 2k+1 — trivial at Granger lags); the same 1e-10 ridge as [[ssr]]
+    * keeps degenerate designs finite. */
+  private def waldF(rows: Array[Array[Double]], y: Array[Double], k: Int,
+                    ssrU: Double, dfDenom: Int): Double = {
+    val p = rows(0).length
+    val n = rows.length
+    val xtx = Array.ofDim[Double](p, p)
+    val xty = new Array[Double](p)
+    var i = 0
+    while (i < n) {
+      val r = rows(i)
+      var a = 0
+      while (a < p) {
+        xty(a) += r(a) * y(i)
+        var b = 0
+        while (b < p) { xtx(a)(b) += r(a) * r(b); b += 1 }
+        a += 1
+      }
+      i += 1
+    }
+    var d = 0
+    while (d < p) { xtx(d)(d) += 1e-10; d += 1 }
+    def solve(b: Array[Double]): Array[Double] =
+      LinAlg.solveInPlace(xtx.map(_.clone()), b.clone())
+    val beta = solve(xty)
+    val tail = p - k
+    val invCols = (0 until k).map { j =>
+      val e = new Array[Double](p); e(tail + j) = 1.0
+      solve(e)
+    }
+    val cSub = Array.tabulate(k, k)((r2, c2) => invCols(c2)(tail + r2))
+    val w = Array.tabulate(k)(j => beta(tail + j))
+    val z = LinAlg.solveInPlace(cSub.map(_.clone()), w.clone())
+    var quad = 0.0
+    var j = 0
+    while (j < k) { quad += w(j) * z(j); j += 1 }
+    quad / k / (ssrU / dfDenom)
+  }
+
+  /** P(χ²_df > x) = Q(df/2, x/2), the regularized UPPER incomplete
+    * gamma — series for P below the a+1 crossover, Lentz continued
+    * fraction for Q above it (the standard numerical split; reuses
+    * [[logGamma]]). Closed forms pin it in GrangerSpec: df=2 →
+    * exp(−x/2), df=4 → exp(−x/2)(1 + x/2). */
+  def chiSqSurvival(x: Double, df: Int): Double = {
+    require(df >= 1, s"chi-square df must be positive, got $df")
+    if (x <= 0) return 1.0
+    val a = df / 2.0
+    val xh = x / 2.0
+    if (xh < a + 1) 1.0 - gammaPSeries(a, xh) else gammaQCf(a, xh)
+  }
+
+  private def gammaPSeries(a: Double, x: Double): Double = {
+    var ap = a
+    var sum = 1.0 / a
+    var del = sum
+    var it = 0
+    while (it < 500 && math.abs(del) >= math.abs(sum) * 1e-15) {
+      ap += 1
+      del *= x / ap
+      sum += del
+      it += 1
+    }
+    sum * math.exp(-x + a * math.log(x) - logGamma(a))
+  }
+
+  private def gammaQCf(a: Double, x: Double): Double = {
+    val fpmin = 1e-300
+    var b = x + 1 - a
+    var c = 1 / fpmin
+    var d = 1 / b
+    var h = d
+    var i = 1
+    var del = 0.0
+    do {
+      val an = -i * (i - a)
+      b += 2
+      d = an * d + b; if (math.abs(d) < fpmin) d = fpmin
+      c = b + an / c; if (math.abs(c) < fpmin) c = fpmin
+      d = 1 / d
+      del = d * c
+      h *= del
+      i += 1
+    } while (i <= 500 && math.abs(del - 1.0) >= 1e-15)
+    math.exp(-x + a * math.log(x) - logGamma(a)) * h
   }
 
   /** P(F_{d1,d2} > f) via the regularized incomplete beta function. */
@@ -177,8 +293,10 @@ object Granger {
           if (detrend) (detrendArr(ts, rows.map(_._3)), detrendArr(ts, rows.map(_._4)))
           else (rows.map(_._3), rows.map(_._4))
         test(effect, cause, maxlag).iterator
-          .map(r => (key, r.lag, r.fStat, r.pValue, r.dfNum, r.dfDenom))
+          .map(r => (key, r.lag, r.fStat, r.pValue, r.dfNum, r.dfDenom,
+                     r.chi2, r.pChi2, r.lr, r.pLr, r.paramsF, r.paramsP))
       }
-      .toDF(seriesCol, "lag", "f_stat", "p_value", "df_num", "df_denom")
+      .toDF(seriesCol, "lag", "f_stat", "p_value", "df_num", "df_denom",
+            "ssr_chi2", "p_chi2", "lr_stat", "p_lr", "params_f", "p_params_f")
   }
 }
