@@ -178,6 +178,35 @@ object StreamOps {
               round(Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos"))
   }
 
+  /** Rebuild-and-swap for the static corpus index under a long-lived
+    * routing service: a real ingest pipeline's corpus GROWS, and the
+    * stream-static joins above bind a SNAPSHOT index — without a
+    * refresh path the service silently serves stale routing forever,
+    * and without eviction the CacheManager accumulates one retired
+    * index per corpus version until the session dies.
+    *
+    * Contract: build (and MATERIALIZE) the fresh index first, then
+    * retire every cached index derived from the old corpus
+    * ([[graft.queries.releaseIndexes]] keys eviction by the source
+    * frame, so the caller needs no handle on the derived index), then
+    * start the new routing query against the returned index — no
+    * serving gap, and `cachedIndexCount` stays O(live corpora) across
+    * arbitrarily many refresh cycles (test-pinned). Stream-static
+    * joins resolve the static side per micro-batch, but the OLD
+    * query's plan still references the old index — swap means starting
+    * a new query on the fresh index and stopping the old one, the
+    * standard blue/green handoff. The same build-then-release pattern
+    * applies to caller-cached near-dup band frames. */
+  def refreshAnnIndex(oldCorpus: DataFrame, newCorpus: DataFrame,
+                      centroids: Seq[(Int, Seq[Double])], nprobe: Int = 1,
+                      coarseProbe: Int = 0, topProbe: Int = 0): DataFrame = {
+    import graft.pipeline.Similarity
+    val fresh = Similarity.ivfIndex(newCorpus, centroids, nprobe, coarseProbe, topProbe)
+    fresh.count() // materialize BEFORE releasing the old: no serving gap
+    graft.queries.releaseIndexes(oldCorpus)
+    fresh
+  }
+
   /** Running per-series statistics updated as events arrive (A2 date
     * bounds + A5 count + running sum as arbitrary custom state) — the
     * `flatMapGroupsWithState` form of the batch diagnostics inputs.

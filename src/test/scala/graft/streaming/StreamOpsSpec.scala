@@ -157,6 +157,60 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(ranked == batchTopK, "ranked streamed candidates != batch ivfTopK")
   }
 
+  test("index refresh: candidates follow the fresh index, cache count stays O(1) across cycles") {
+    import graft.pipeline.Similarity
+    val rnd = new scala.util.Random(41)
+    val centers = Seq.fill(4)(Seq.fill(8)(rnd.nextGaussian()))
+    def corpus(idBase: Long) = (0 until 40).map { i =>
+      (idBase + i, centers(i % 4).map(_ + rnd.nextGaussian() * 0.2))
+    }.toDF("vec_id", "v")
+    val v1 = corpus(0L)
+    val v2 = corpus(1000L)
+    val v3 = corpus(2000L)
+    val cents = centers.zipWithIndex.map { case (c, i) => i -> c.toSeq }
+    // stream side: a handful of probe vectors near the centers
+    val probes = (0 until 8).map(i =>
+      (9000L + i, centers(i % 4).map(_ + rnd.nextGaussian() * 0.1))).toDF("vec_id", "v")
+    val dir = Files.createTempDirectory("graft-stream-refresh").toString
+    probes.write.mode("overwrite").parquet(dir)
+
+    def routedAgainst(index: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val stream = spark.readStream.schema(probes.schema).parquet(dir)
+      val name = s"refresh_route_${System.nanoTime()}"
+      val q = StreamOps.streamingAnnCandidates(stream, index, cents, nprobe = 2)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        spark.table(name).collect().map(_.getLong(1)).toSet
+      } finally q.stop()
+    }
+
+    val idx1 = Similarity.ivfIndex(v1, cents, nprobe = 2)
+    idx1.count()
+    val n1 = graft.queries.cachedIndexCount
+    val got1 = routedAgainst(idx1)
+    assert(got1.nonEmpty && got1.forall(id => id >= 0L && id < 1000L),
+           s"cycle 1 must route against corpus v1 only: $got1")
+
+    // swap v1 -> v2: fresh index live before the old one is released,
+    // and the registry does not grow
+    val idx2 = StreamOps.refreshAnnIndex(v1, v2, cents, nprobe = 2)
+    assert(graft.queries.cachedIndexCount == n1,
+           "refresh must retire exactly the old corpus's index entries")
+    val got2 = routedAgainst(idx2)
+    assert(got2.nonEmpty && got2.forall(id => id >= 1000L && id < 2000L),
+           s"cycle 2 must route against corpus v2 only: $got2")
+
+    // and again v2 -> v3: O(1) across arbitrarily many cycles
+    val idx3 = StreamOps.refreshAnnIndex(v2, v3, cents, nprobe = 2)
+    assert(graft.queries.cachedIndexCount == n1,
+           "cache count must stay flat across refresh cycles")
+    val got3 = routedAgainst(idx3)
+    assert(got3.nonEmpty && got3.forall(_ >= 2000L),
+           s"cycle 3 must route against corpus v3 only: $got3")
+    graft.queries.releaseIndexes(v3)
+  }
+
   test("month grain matches batch bucketing (derived event-time grouping)") {
     // ~4 calendar months of data, including month-length variation
     // (Feb 29 2024) — months can't be a fixed window() but group on
