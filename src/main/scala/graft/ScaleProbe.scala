@@ -73,6 +73,21 @@ object ScaleProbe {
     println(s"cdc distinct chunks: ${time("cdc chunk+dedup")(
       TextDedup.chunkDedup(TextDedup.cdcChunks(docs, "doc_id", "text")).count())}")
 
+    // SimHash near-dup — the WIDTH lesson: candidate volume of the band
+    // self-join at 16-bit vs 64-bit sketches (occupancy math, O(n) to
+    // compute — the 16-bit join itself is n²/32-per-band and must never
+    // be run at probe scale). 16 buckets/band saturate: expect the
+    // 16-bit volume ~n²/32 per band at every decade, the 64-bit volume
+    // 4096× lower. The production operator (64-bit, banded join +
+    // popcount confirm) then runs for real.
+    val c16 = time("simhash16 candidate volume")(
+      TextDedup.simhashCandidateVolume(docs, "doc_id", "text", 16))
+    val c64 = time("simhash64 candidate volume")(
+      TextDedup.simhashCandidateVolume(docs, "doc_id", "text", 64))
+    println(f"simhash candidates: width16=$c16%d width64=$c64%d ratio=${c16.toDouble / math.max(c64, 1L)}%.0f")
+    println(s"simhash64 near-dup pairs: ${time("simhash64 near-dup (full)")(
+      TextDedup.simhashNearDupPairs64(docs, "doc_id", "text").count())}")
+
     // deterministic synthetic embeddings (16-dim) via hash-derived doubles
     val dim = 16
     val vecs = spark.range(nVecs.toLong).select(

@@ -511,6 +511,36 @@ object TextDedup {
     bandedHammingPairs(sh, 64, maxHamming)
   }
 
+  /** Candidate volume of the banded simhash self-join WITHOUT running
+    * it: Σ over (band, bucket) of n·(n−1)/2 — exactly the pair count
+    * the equi-join would generate (before the cross-band distinct), at
+    * O(n) cost (one groupBy on the band keys). This is the probe
+    * diagnostic for band-key saturation: at 16-bit width every band
+    * has 16 buckets, so the volume approaches n²/32 per band no matter
+    * the corpus; at 64-bit width the 65,536-bucket keyspace divides
+    * the same n² by 4096× more. ScaleProbe reports both at each decade
+    * — the number that justifies [[simhashNearDupPairs64]] being the
+    * production form. */
+  def simhashCandidateVolume(df: DataFrame, idCol: String, textCol: String,
+                             width: Int = 64, maxHamming: Int = 3): Long = {
+    val sh = width match {
+      case 16 => withRowSimhash16(
+        df.select(col(idCol).as("id"), col(textCol).as("__t"))
+          .filter(trim(col("__t")) =!= ""), "__t")
+      case 64 => withRowSimhash64(
+        df.select(col(idCol).as("id"), col(textCol).as("__t"))
+          .filter(trim(col("__t")) =!= ""), "__t")
+      case w => throw new IllegalArgumentException(s"unsupported simhash width: $w")
+    }
+    sh.select(explode(array(bandSplit(col("simhash"), width, maxHamming): _*)).as("bk"))
+      .select(col("bk.band"), col("bk.bv"))
+      .groupBy("band", "bv").agg(count(lit(1)).as("n"))
+      // n(n−1) is even, so the / 2 (double in Spark SQL) is exact and
+      // the long cast loses nothing below 2^53 pairs per bucket
+      .agg(sum((col("n") * (col("n") - 1) / 2).cast("long")).as("cands"))
+      .head().getLong(0)
+  }
+
   /** Padded-text substring occurrence count via `replace` + length
     * arithmetic — identical non-overlapping left-to-right scan semantics
     * in every engine. Exposed for quality/langid scoring. */
