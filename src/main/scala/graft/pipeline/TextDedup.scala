@@ -440,6 +440,28 @@ object TextDedup {
     }
   }
 
+  /** Exploded band-key table of a sketch frame: one row per (id,
+    * simhash, band, bv). The common index form for the batch self-join
+    * ([[bandedHammingPairs]]) and streaming stream-static routing
+    * ([[graft.streaming.StreamOps.streamingSimhashCandidates]]) — both
+    * sides bucket identically by construction. */
+  private def simhashBanded(sh: DataFrame, width: Int, maxHamming: Int): DataFrame =
+    sh.select(col("id"), col("simhash"),
+        explode(array(bandSplit(col("simhash"), width, maxHamming): _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band"), col("bk.bv"))
+
+  /** Public 64-bit band index of a corpus — the static side of
+    * streaming simhash routing; schema (id, simhash, band, bv). */
+  def simhash64Bands(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63, s"maxHamming out of range: $maxHamming")
+    val sh = withRowSimhash64(
+      df.select(col(idCol).as("id"), col(textCol).as("__t"))
+        .filter(trim(col("__t")) =!= ""), "__t")
+      .select(col("id"), col("simhash"))
+    simhashBanded(sh, 64, maxHamming)
+  }
+
   /** Shared banded-pairing tail: explode band keys, self-join on
     * (band, bv), exact popcount confirm. `sh` must carry (id, simhash).
     * The band equi-join IS the scale path — hash join, never cross
@@ -447,9 +469,7 @@ object TextDedup {
     * band-key WIDTH matters (see [[simhashNearDupPairs64]]). */
   private def bandedHammingPairs(sh: DataFrame, width: Int,
                                  maxHamming: Int): DataFrame = {
-    val banded = sh.select(col("id"), col("simhash"),
-        explode(array(bandSplit(col("simhash"), width, maxHamming): _*)).as("bk"))
-      .select(col("id"), col("simhash"), col("bk.band"), col("bk.bv"))
+    val banded = simhashBanded(sh, width, maxHamming)
     val a = banded.select(col("id").as("da"), col("simhash").as("sa"),
                           col("band"), col("bv"))
     val b = banded.select(col("id").as("db"), col("simhash").as("sb"),

@@ -276,6 +276,17 @@ object TextQueries {
       |       CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
       |FROM reach GROUP BY id""".stripMargin
 
+  /** q78 — duplicate-cluster resolution through the POINTER-JUMP path
+    * (the r7 deep-component escalation: label(v) ← label(label(v)) per
+    * round, O(log diameter) rounds) under q66's EXACT oracle: the
+    * escalation must change round count, never labels, so the same
+    * recursive-transitive-closure SQL hash-checks it end-to-end. */
+  private def q78(s: SparkSession, dir: String): DataFrame =
+    TextDedup.dupClusters(
+      t(s, dir, "documents").select(col("doc_id")),
+      nearDupFrame(s, dir).select(col("da"), col("db")),
+      pointerJump = true)
+
   /** q67 — BPE-style pre-tokenization counts: the GPT-2-ish regex
     * split into letter runs / digit runs / single punctuation marks
     * (the subword pre-pass every BPE tokenizer applies before merges).
@@ -535,6 +546,7 @@ object TextQueries {
     QueryDef("q73_chunk_dedup", q73, Some(q73Sql)),
     QueryDef("q75_dataset_split", q75, Some(q75Sql)),
     QueryDef("q76_simhash_neardup", q76, Some(q76Sql)),
-    QueryDef("q77_simhash64_neardup", q77, Some(q77Sql))
+    QueryDef("q77_simhash64_neardup", q77, Some(q77Sql)),
+    QueryDef("q78_dup_clusters_pj", q78, Some(q66Sql))
   )
 }

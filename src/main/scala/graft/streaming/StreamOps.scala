@@ -148,6 +148,40 @@ object StreamOps {
       .select("stream_id", "corpus_id", "band")
   }
 
+  /** Streaming SimHash NEAR-DUP detection against a static corpus band
+    * index ([[graft.pipeline.TextDedup.simhash64Bands]]) — the
+    * production-width (64-bit) sketch completes the streaming dedup
+    * family: exact dedup, MinHash band routing, CDC chunk dedup, and
+    * now the Hamming sketch. Unlike MinHash routing — which can only
+    * emit CANDIDATES because the exact-Jaccard confirm needs the
+    * shingle sets — the simhash confirm is a stateless popcount on the
+    * pair row itself, so this op emits CONFIRMED near-dups (Hamming ≤
+    * maxHamming) straight from the stream. A pair sharing several
+    * bands emits several rows (a distinct would need state; route to
+    * `dropDuplicatesWithinWatermark` if the consumer requires unique
+    * pairs — same caveat as MinHash routing).
+    *
+    * 100 TB posture: per-row sketch is a pure projection (native
+    * `simhash64`, no shuffle, no state); the corpus index is
+    * partitioned corpus-side; each micro-batch is one keyed
+    * stream-static join on 16-bit band keys. `maxHamming` must match
+    * the value the corpus bands were built with, or band splits
+    * diverge. */
+  def streamingSimhashCandidates(stream: DataFrame, idCol: String, textCol: String,
+                                 corpusBands: DataFrame,
+                                 maxHamming: Int = 3): DataFrame = {
+    import graft.pipeline.TextDedup
+    TextDedup.simhash64Bands(stream, idCol, textCol, maxHamming)
+      .select(col("id").as("stream_id"), col("simhash").as("ssh"),
+              col("band"), col("bv"))
+      .join(corpusBands.select(col("id").as("corpus_id"), col("simhash").as("csh"),
+                               col("band"), col("bv")), Seq("band", "bv"))
+      .filter(col("stream_id") =!= col("corpus_id"))
+      .withColumn("hamming", bit_count(col("ssh").bitwiseXOR(col("csh"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("stream_id"), col("corpus_id"), col("band"), col("hamming"))
+  }
+
   /** Streaming ANN ROUTING: assign each incoming embedding to its IVF
     * probe cells and match it against a STATIC corpus index
     * ([[graft.pipeline.Similarity.ivfIndex]]) — the continuous-ingest

@@ -118,6 +118,45 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming simhash routing emits exactly the batch-confirmed near-dup pairs") {
+    import graft.pipeline.TextDedup
+    val vocab = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+    val rnd = new scala.util.Random(29)
+    val corpus = (0 until 30).flatMap { i =>
+      val ws = Seq.fill(10)(vocab(rnd.nextInt(vocab.size)))
+      Seq((i.toLong, ws.mkString(" ")),
+          (i.toLong + 100, (ws.take(9) :+ s"zz$i").mkString(" ")))
+    }.toDF("doc_id", "text")
+    val corpusBands = TextDedup.simhash64Bands(corpus, "doc_id", "text")
+
+    def routed(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.streamingSimhashCandidates(df, "doc_id", "text", corpusBands)
+    // batch reference: the production operator's confirmed pairs must
+    // equal routed pairs for a replayed corpus, in both orientations
+    // (routing is stream->corpus directed and multi-band; compare as
+    // unordered distinct pairs)
+    val batch = TextDedup.simhashNearDupPairs64(corpus, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "no near-dup pairs planted — corpus too sparse")
+    val expected = routed(corpus).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+                 math.max(r.getLong(0), r.getLong(1)))).toSet
+    assert(expected == batch, s"routed (batch frame) != batch operator: $expected vs $batch")
+
+    val dir = Files.createTempDirectory("graft-stream-simhash").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(corpus.schema).parquet(dir)
+    val q = routed(stream).writeStream.outputMode("append")
+      .format("memory").queryName("simhash_route").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("simhash_route").collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+                   math.max(r.getLong(0), r.getLong(1)))).toSet
+      assert(got == batch, "streamed simhash near-dups != batch operator pairs")
+    } finally q.stop()
+  }
+
   test("streaming ANN routing matches batch candidates; ranking them reproduces ivfTopK") {
     import graft.pipeline.Similarity
     val rnd = new scala.util.Random(31)
