@@ -337,6 +337,60 @@ object Similarity extends org.apache.spark.internal.Logging {
     math.max(1, math.min(math.ceil(k), n.toDouble).toInt)
   }
 
+  /** Recall-knob sizing from the PROBED-CORPUS-FRACTION invariant (the
+    * round-6 tree-recall lesson: deeper quantizers shrink cells, so
+    * matched probe COUNTS buy less corpus — the fraction of the corpus
+    * a query scans, nprobe/k, is what recall actually follows, and the
+    * coarse/top beams must be wide enough to REACH that many fine
+    * cells). Returns (nprobe, coarseProbe, topProbe) for `k` cells at
+    * the given depth:
+    *  - nprobe = ceil(fraction·k) — fixes the probed corpus fraction
+    *    regardless of how the growth rule scales k with n;
+    *  - each coarse group holds ~k/√k' cells (k' = coarse count), so
+    *    coarseProbe = ceil(nprobe·coarseK/k) × 2 — the ×2 slack covers
+    *    group-size imbalance and the descent pruning the beam BEFORE
+    *    fine ranking;
+    *  - topProbe scales the same way one level up.
+    * FAISS sizes nprobe against nlist with the same fraction logic.
+    * Probing fraction ~1/8 reproduces the suite's recall ≥ 0.9 configs
+    * at every depth (test-pinned). */
+  def ivfProbeConfig(k: Int, fraction: Double, hierarchical: Boolean = true,
+                     tree: Boolean = false): (Int, Int, Int) = {
+    require(k >= 1 && fraction > 0 && fraction <= 1,
+            s"ivfProbeConfig k=$k fraction=$fraction")
+    val nprobe = math.max(1, math.ceil(fraction * k).toInt)
+    if (!hierarchical && !tree) return (nprobe, 0, 0)
+    val coarseK = if (tree) math.ceil(math.pow(k.toDouble, 2.0 / 3.0)).toInt
+                  else math.ceil(math.sqrt(k.toDouble)).toInt
+    val coarseProbe = math.min(coarseK,
+      math.max(2, math.ceil(nprobe.toDouble * coarseK / k).toInt * 2))
+    if (!tree) return (nprobe, coarseProbe, 0)
+    val topK = math.ceil(math.sqrt(coarseK.toDouble)).toInt
+    val topProbe = math.min(topK,
+      math.max(2, math.ceil(coarseProbe.toDouble * topK / coarseK).toInt * 2))
+    (nprobe, coarseProbe, topProbe)
+  }
+
+  /** Persist trained centroids as a tiny parquet table (cid, v) — the
+    * operational form a 100 TB deployment needs: k-means over the
+    * corpus is the expensive build step, and every downstream job
+    * (batch top-k, streaming routing, index refresh) should REUSE the
+    * same quantizer rather than retrain — not least because two
+    * independently trained quantizers assign the same vector to
+    * different cells (stream and corpus sides MUST share centroids).
+    * The frame is centroids-sized (k rows), never corpus-sized. */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+                    centroids: Seq[(Int, Seq[Double])], path: String): Unit = {
+    import spark.implicits._
+    centroids.toDF("cid", "v").repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[(Int, Seq[Double])] =
+    spark.read.parquet(path).select(col("cid"), col("v"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1).toSeq
+
   /** Train IVF centroids with Spark ML k-means (seeded → deterministic
     * given fixed data and parallelism). This is the production path for
     * [[ivfTopK]]'s coarse quantizer; the oracle-checked query uses

@@ -584,6 +584,52 @@ class SimilaritySpec extends AnyFunSuite {
            s"recall@3 is $recall at cells=$k nprobe=$nprobe coarseProbe=$coarseProbe")
   }
 
+  test("ivfProbeConfig holds recall >= 0.9 at every quantizer depth from one fraction") {
+    // the probed-corpus-fraction invariant: one fraction (1/8), three
+    // depths — the returned knobs must hit the same recall bar the
+    // hand-tuned suite configs do on clustered data
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+    val data = (0 until 320).map { i =>
+      (i.toLong, centers(i % 16).map(_ + rnd.nextGaussian() * 0.15))
+    }.toDF("vec_id", "v")
+    val cents = Similarity.trainCentroids(data, k = 16)
+    val truth = exactTop3(data)
+    def recallWith(np: Int, cp: Int, tp: Int): Double = {
+      val got = Similarity.ivfTopK(data, cents, 3, nprobe = np,
+                                   coarseProbe = cp, topProbe = tp)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    val (fn, fc, ft) = Similarity.ivfProbeConfig(16, 0.125, hierarchical = false)
+    assert(fc == 0 && ft == 0)
+    val rFlat = recallWith(fn, 0, 0)
+    val (hn, hc, ht) = Similarity.ivfProbeConfig(16, 0.125)
+    assert(ht == 0 && hc >= 2)
+    val rHier = recallWith(hn, hc, 0)
+    val (tn, tc, tt) = Similarity.ivfProbeConfig(16, 0.125, tree = true)
+    assert(tt >= 2)
+    val rTree = recallWith(tn, tc, tt)
+    assert(rFlat >= 0.9 && rHier >= 0.9 && rTree >= 0.9,
+           s"recall flat=$rFlat hier=$rHier tree=$rTree at fraction 1/8")
+    // structure: knob growth is monotone with depth (deeper quantizers
+    // need wider beams to reach the same fraction), and the fraction
+    // knob itself is monotone
+    val (n2, _, _) = Similarity.ivfProbeConfig(16, 0.25)
+    assert(n2 >= hn)
+  }
+
+  test("centroids round-trip through parquet persistence") {
+    val cents = Similarity.trainCentroids(
+      (0 until 40).map(i => (i.toLong, Seq.tabulate(8)(j => (i * 31 + j * 7 % 13).toDouble)))
+        .toDF("vec_id", "v"), k = 5)
+    val path = java.nio.file.Files.createTempDirectory("graft-cents").toString + "/cents"
+    Similarity.saveCentroids(spark, cents, path)
+    val loaded = Similarity.loadCentroids(spark, path)
+    assert(loaded == cents.sortBy(_._1),
+           "persisted centroids must round-trip exactly (bit-identical doubles)")
+  }
+
   test("equal centroid sets share one cached IVF index across invocations") {
     // Quantizer equality must be structural: centroids rebuilt per call
     // are equal in value but not by reference. With reference equality
