@@ -56,6 +56,39 @@ object Similarity extends org.apache.spark.internal.Logging {
     joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** SQ8-compressed exact-scan top-k: [[cosineTopK]] over an index
+    * that holds ONLY the 8-bit codes (+ per-vector range params) — the
+    * memory rung of the ANN family (see [[graft.plans.Sq8Encode]]:
+    * ~6.4× smaller than the float64 index, no trained codebook, pure
+    * per-row arithmetic). The scan encodes once into a cached index;
+    * scoring reconstructs on the fly inside one codegen'd fold
+    * ([[graft.plans.Sq8Dot]]) — the original float column is never
+    * touched again after encode, which is the point: at corpus scale
+    * the codes fit where the floats spill. Cosine of reconstructions ≈
+    * cosine of originals to ~1e-2 at 8 bits over zero-mean data
+    * (recall parity is test-pinned; q79 hash-checks the whole
+    * encode→reconstruct→score→rank path against SQL).
+    * `queryPred` must reference `vec_id` (the float column is gone
+    * from the index). Composes with IVF: partition by cell first, then
+    * sq8-score within cells — the search-join shape is orthogonal to
+    * how vectors are stored. */
+  def sq8TopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val enc = graft.queries.cacheOnce(
+      emb.select(col("vec_id"), call_function("sq8_encode", col("v")).as("q8"))
+        .withColumn("nrm", sqrt(call_function("sq8_dot", col("q8"), col("q8")))))
+    val q = enc.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q8").as("qq8"), col("nrm").as("qn"))
+    val joined = broadcast(q).crossJoin(enc.select(col("vec_id"), col("q8"), col("nrm")))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              round(call_function("sq8_dot", col("qq8"), col("q8")) /
+                    (col("qn") * col("nrm")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Sign-pattern LSH bucket id from the given projection vectors. */
   def bucketOf(v: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>

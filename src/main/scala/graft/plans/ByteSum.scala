@@ -159,7 +159,9 @@ object GraftFunctions {
     "minhash_sig" -> (exprs => MinhashSig.fromArgs(exprs)),
     "cdc_chunks" -> (exprs => CdcChunks.fromArgs(exprs)),
     "simhash16" -> (exprs => Simhash16(exprs.head)),
-    "simhash64" -> (exprs => Simhash64(exprs.head)))
+    "simhash64" -> (exprs => Simhash64(exprs.head)),
+    "sq8_encode" -> (exprs => Sq8Encode(exprs.head)),
+    "sq8_dot" -> (exprs => Sq8Dot(exprs.head, exprs(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -245,6 +247,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
          classOf[Simhash64].getName, "simhash64"),
        (exprs: Seq[Expression]) => Simhash64(exprs.head)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("sq8_encode"),
+       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+         classOf[Sq8Encode].getName, "sq8_encode"),
+       (exprs: Seq[Expression]) => Sq8Encode(exprs.head)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("sq8_dot"),
+       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+         classOf[Sq8Dot].getName, "sq8_dot"),
+       (exprs: Seq[Expression]) => Sq8Dot(exprs.head, exprs(1))))
     ext.injectOptimizerRule(_ => FrameLimitRule)
   }
 }

@@ -340,8 +340,46 @@ object EmbeddingQueries {
       |SELECT query_id, neighbor_id, cell, cos, rn FROM ranked WHERE rn <= 3""".stripMargin
   }
 
+  /** q79 — SQ8-compressed exact-scan top-5 (q59's shape over the
+    * 8-bit-code index): the oracle replays the ENTIRE quantization
+    * path in SQL — per-vector min/max range, scale = range/255,
+    * code = clamp(floor((x−mn)/scale + 0.5), 0, 255) (floor(x+0.5),
+    * not round(): HALF_UP vs HALF_EVEN differs between engines),
+    * reconstruction mn + code·scale, then the same fold/round/rank
+    * discipline as q59. Integer codes make the reconstruction
+    * deterministic in any engine, so the hash compare pins the
+    * compression arithmetic itself, not just the ranking. */
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    Similarity.sq8TopK(emb(s, dir), col("vec_id") < 5, 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+              col("rn").cast("long").as("rn"))
+
+  private val q79Sql = {
+    val recon =
+      """list_transform(v, x -> CASE WHEN scale = 0 THEN mn
+        |    ELSE mn + LEAST(255, GREATEST(0, floor((x - mn) / scale + 0.5))) * scale
+        |    END)""".stripMargin
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |rng AS (
+      |  SELECT vec_id, v, list_aggregate(v, 'min') AS mn,
+      |         (list_aggregate(v, 'max') - list_aggregate(v, 'min')) / 255 AS scale
+      |  FROM e0),
+      |e AS (SELECT vec_id, $recon AS v FROM rng),
+      |pairs AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |         ${cosSql("a.v", "b.v")} AS cos
+      |  FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cos DESC, neighbor_id) AS rn
+      |  FROM pairs)
+      |SELECT query_id, neighbor_id, cos, rn FROM ranked WHERE rn <= 5""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q59_cosine_topk", q59, Some(q59Sql)),
+    QueryDef("q79_sq8_topk", q79, Some(q79Sql)),
     QueryDef("q60_lsh_ann", q60, Some(q60Sql)),
     QueryDef("q64_embedding_neardup", q64, Some(q64Sql)),
     QueryDef("q65_ivf_ann", q65, Some(q65Sql)),

@@ -584,6 +584,39 @@ class SimilaritySpec extends AnyFunSuite {
            s"recall@3 is $recall at cells=$k nprobe=$nprobe coarseProbe=$coarseProbe")
   }
 
+  test("sq8 quantization: per-element error bounded by scale/2, codes are dim bytes") {
+    graft.plans.GraftFunctions.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val rows = e.select(col("v"), call_function("sq8_encode", col("v")).as("q8"))
+      .select(col("v"), col("q8.mn"), col("q8.scale"), col("q8.codes")).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val v = r.getSeq[Double](0)
+      val mn = r.getDouble(1); val scale = r.getDouble(2)
+      val codes = r.getAs[Array[Byte]](3)
+      assert(codes.length == v.length, "one byte per dimension")
+      val maxErr = v.zip(codes).map { case (x, c) =>
+        math.abs(x - (mn + (c & 0xff) * scale))
+      }.max
+      // floor(x + 0.5) rounds to the nearest level: error <= scale/2
+      // (+ a few ulps of slack for the division round-trip)
+      assert(maxErr <= scale / 2 + 1e-12, s"max reconstruction error $maxErr vs scale $scale")
+    }
+  }
+
+  test("sq8 top-k reaches recall >= 0.9 against the exact float scan") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val truth = exactTop3(e)
+    val got = Similarity.sq8TopK(e, col("vec_id").isNotNull, 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    // 8 bits per dim on isotropic embeddings: near-exact ranking is
+    // expected; the bar pins that compression does not cost recall
+    assert(recall >= 0.9, s"sq8 recall@3 is $recall vs exact")
+  }
+
   test("ivfProbeConfig holds recall >= 0.9 at every quantizer depth from one fraction") {
     // the probed-corpus-fraction invariant: one fraction (1/8), three
     // depths — the returned knobs must hit the same recall bar the
