@@ -485,6 +485,60 @@ object Similarity extends org.apache.spark.internal.Logging {
       probeCells.as("cells")))
   }
 
+  /** SQ8-compressed IVF index: the [[ivfIndex]] shape with the float
+    * column REPLACED by 8-bit codes — cell assignment still runs on
+    * the exact floats (one pass at build time, so partition quality is
+    * unchanged), but what the cache HOLDS per vector is (codes, range
+    * params, cells): ~6.4× less memory than the float index, which at
+    * corpus scale is the difference between a resident index and one
+    * that spills per probe. Scoring downstream reconstructs inside
+    * [[graft.plans.Sq8Dot]]; `nrm` is the RECONSTRUCTION's norm so
+    * cosines are internally consistent. The search join is orthogonal
+    * to vector storage — [[ivfTopKSq8]] is [[ivfTopK]] with the score
+    * expression swapped. */
+  def ivfIndexSq8(emb: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                  nprobe: Int = 1, coarseProbe: Int = 0,
+                  topProbe: Int = 0): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    require(centroids.nonEmpty, "ivfIndexSq8 needs at least one centroid")
+    val probeCells: Column =
+      if (topProbe > 0)
+        ivfCellsOfTree(col("v"), col("nrm"), buildTreeIndex(centroids),
+                       nprobe, math.max(coarseProbe, 1), topProbe)
+      else if (coarseProbe <= 0) ivfCellsOf(col("v"), col("nrm"), centroids, nprobe)
+      else ivfCellsOfHier(col("v"), col("nrm"), buildCoarseIndexAuto(centroids),
+                          nprobe, coarseProbe)
+    val q8 = call_function("sq8_encode", col("v"))
+    graft.queries.cacheOnce(withNorm(emb).select(
+      col("vec_id"), q8.as("q8"),
+      element_at(probeCells, 1).as("cell"),
+      probeCells.as("cells"))
+      .withColumn("nrm", sqrt(call_function("sq8_dot", col("q8"), col("q8")))))
+  }
+
+  /** [[ivfTopK]] over the SQ8-compressed index — identical candidate
+    * generation (same cells, assigned on exact floats), scores from
+    * reconstructions. Recall parity with the float index is
+    * test-pinned on clustered data. */
+  def ivfTopKSq8(emb: DataFrame, centroids: Seq[(Int, Seq[Double])], k: Int,
+                 nprobe: Int = 1, coarseProbe: Int = 0,
+                 topProbe: Int = 0): DataFrame = {
+    val celled = ivfIndexSq8(emb, centroids, nprobe, coarseProbe, topProbe)
+    val a = celled.select(
+        col("vec_id").as("query_id"), col("q8").as("qq8"), col("nrm").as("qn"),
+        explode(col("cells")).as("cell"))
+    val b = celled.select(col("vec_id").as("neighbor_id"), col("q8"), col("nrm"),
+                          col("cell"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+              round(call_function("sq8_dot", col("qq8"), col("q8")) /
+                    (col("qn") * col("nrm")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   def ivfTopK(emb: DataFrame, centroids: Seq[(Int, Seq[Double])], k: Int,
               nprobe: Int = 1, coarseProbe: Int = 0,
               topProbe: Int = 0): DataFrame = {

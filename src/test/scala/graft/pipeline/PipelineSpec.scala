@@ -605,6 +605,28 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("sq8-compressed IVF: float-free index schema, recall parity with the float index") {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+    val data = (0 until 320).map { i =>
+      (i.toLong, centers(i % 16).map(_ + rnd.nextGaussian() * 0.15))
+    }.toDF("vec_id", "v")
+    val cents = Similarity.trainCentroids(data, k = 16)
+    // the index must hold NO float vector column — that's its point
+    val idx = Similarity.ivfIndexSq8(data, cents, nprobe = 2)
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    assert(!idx.schema.fields.exists(f => f.dataType == ArrayType(DoubleType, false) ||
+                                          f.dataType == ArrayType(DoubleType, true)),
+           s"sq8 index must not carry the float column: ${idx.schema.simpleString}")
+    val truth = exactTop3(data)
+    val got = Similarity.ivfTopKSq8(data, cents, 3, nprobe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    // same bar as the float-index ivfTopK test: compression must not
+    // cost recall (cells are assigned on exact floats either way)
+    assert(recall >= 0.9, s"sq8 IVF recall@3 is $recall")
+  }
+
   test("sq8 top-k reaches recall >= 0.9 against the exact float scan") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
