@@ -161,7 +161,8 @@ object GraftFunctions {
     "simhash16" -> (exprs => Simhash16(exprs.head)),
     "simhash64" -> (exprs => Simhash64(exprs.head)),
     "sq8_encode" -> (exprs => Sq8Encode(exprs.head)),
-    "sq8_dot" -> (exprs => Sq8Dot(exprs.head, exprs(1))))
+    "sq8_dot" -> (exprs => Sq8Dot(exprs.head, exprs(1))),
+    "sq8_dot_asym" -> (exprs => Sq8DotAsym(exprs.head, exprs(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -257,6 +258,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
          classOf[Sq8Dot].getName, "sq8_dot"),
        (exprs: Seq[Expression]) => Sq8Dot(exprs.head, exprs(1))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("sq8_dot_asym"),
+       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+         classOf[Sq8DotAsym].getName, "sq8_dot_asym"),
+       (exprs: Seq[Expression]) => Sq8DotAsym(exprs.head, exprs(1))))
     ext.injectOptimizerRule(_ => FrameLimitRule)
   }
 }

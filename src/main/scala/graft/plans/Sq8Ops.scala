@@ -137,3 +137,52 @@ object Sq8Dot {
     s
   }
 }
+
+/** ASYMMETRIC SQ8 dot — the ADC (asymmetric distance computation)
+  * standard: the QUERY side stays an exact float vector, only the
+  * CORPUS side is reconstructed from its codes. Halves the
+  * quantization noise in the score at zero extra corpus memory (the
+  * query vector exists in full precision anyway — a streaming probe
+  * arrives as floats, a batch query is one row), which is why FAISS
+  * scores IVF-SQ/PQ probes asymmetrically by default. Exactly equals
+  * [[VecDot]] of the query against the reconstruction (test-pinned). */
+case class Sq8DotAsym(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), b: StructType) if b == Sq8Encode.schema =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sq8_dot_asym requires (ARRAY<DOUBLE>, sq8 struct), got ${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq8_dot_asym"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Sq8DotAsym.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.Sq8DotAsym.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8DotAsym =
+    copy(left = newLeft, right = newRight)
+}
+
+object Sq8DotAsym {
+  /** Static helper invoked from generated code. */
+  def dot(v: ArrayData, b: InternalRow): Double = {
+    val mnB = b.getDouble(0); val sB = b.getDouble(1)
+    val cB = b.getBinary(2)
+    val n = math.min(v.numElements(), cB.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += v.getDouble(i) * (mnB + (cB(i) & 0xff) * sB)
+      i += 1
+    }
+    s
+  }
+}

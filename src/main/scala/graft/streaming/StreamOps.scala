@@ -241,6 +241,37 @@ object StreamOps {
     fresh
   }
 
+  /** Streaming ANN routing against the SQ8-COMPRESSED corpus index
+    * ([[graft.pipeline.Similarity.ivfIndexSq8]]): identical shape to
+    * [[streamingAnnCandidates]], but the static side holds only 8-bit
+    * codes (~6.4× less resident memory — the config a long-lived
+    * routing service at corpus scale actually wants) and scoring is
+    * ASYMMETRIC ([[graft.plans.Sq8DotAsym]]): the incoming probe
+    * vector arrives as exact floats and is used as-is, only the
+    * corpus side is reconstructed — half the quantization noise at
+    * zero extra memory, the FAISS ADC default. The probe's own norm
+    * is exact; the corpus norm is the reconstruction's (what the
+    * index carries). */
+  def streamingAnnCandidatesSq8(stream: DataFrame, corpusIndexSq8: DataFrame,
+                                centroids: Seq[(Int, Seq[Double])], nprobe: Int,
+                                coarseProbe: Int = 0): DataFrame = {
+    import graft.pipeline.Similarity
+    graft.plans.GraftFunctions.register(stream.sparkSession)
+    val nrm = sqrt(Similarity.dot(col("v"), col("v")))
+    val cells =
+      if (coarseProbe <= 0) Similarity.ivfCellsOf(col("v"), nrm, centroids, nprobe)
+      else Similarity.ivfCellsOfHier(col("v"), nrm, Similarity.buildCoarseIndexAuto(centroids),
+                                     nprobe, coarseProbe)
+    stream.select(col("vec_id").as("query_id"), col("v").as("qv"),
+                  nrm.as("qn"), explode(cells).as("cell"))
+      .join(corpusIndexSq8.select(col("vec_id").as("neighbor_id"), col("q8"),
+                                  col("nrm"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+              round(call_function("sq8_dot_asym", col("qv"), col("q8")) /
+                    (col("qn") * col("nrm")), 4).as("cos"))
+  }
+
   /** Running per-series statistics updated as events arrive (A2 date
     * bounds + A5 count + running sum as arbitrary custom state) — the
     * `flatMapGroupsWithState` form of the batch diagnostics inputs.

@@ -605,6 +605,28 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("asymmetric sq8 dot equals the exact dot against the reconstruction") {
+    graft.plans.GraftFunctions.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(50)
+    val rows = e.select(col("v"),
+        call_function("sq8_encode", col("v")).as("q8"))
+      .select(col("v"), col("q8.mn"), col("q8.scale"), col("q8.codes"),
+              call_function("sq8_dot_asym", col("v"), col("q8")).as("asym"))
+      .collect()
+    for (r <- rows) {
+      val v = r.getSeq[Double](0)
+      val mn = r.getDouble(1); val scale = r.getDouble(2)
+      val codes = r.getAs[Array[Byte]](3)
+      // the same sequential fold over v_i * (mn + code*scale) — must be
+      // BIT-identical, not merely close
+      var want = 0.0
+      v.indices.foreach(i => want += v(i) * (mn + (codes(i) & 0xff) * scale))
+      assert(r.getDouble(4) == want, s"asym dot diverges: ${r.getDouble(4)} vs $want")
+    }
+  }
+
   test("sq8-compressed IVF: float-free index schema, recall parity with the float index") {
     val rnd = new scala.util.Random(7)
     val centers = Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))

@@ -250,6 +250,45 @@ class StreamOpsSpec extends AnyFunSuite {
     graft.queries.releaseIndexes(v3)
   }
 
+  test("streaming sq8 ANN routing matches its batch application (asymmetric scoring)") {
+    import graft.pipeline.Similarity
+    val rnd = new scala.util.Random(37)
+    val centers = Seq.fill(8)(Seq.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, centers(i % 8).map(_ + rnd.nextGaussian() * 0.2))
+    }.toDF("vec_id", "v")
+    val cents = vecs.filter(col("vec_id") < 8).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    val index = Similarity.ivfIndexSq8(vecs, cents, nprobe = 2)
+
+    def cands(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.streamingAnnCandidatesSq8(df, index, cents, nprobe = 2)
+    val expected = cands(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(expected.nonEmpty)
+
+    val dir = Files.createTempDirectory("graft-stream-sq8ann").toString
+    vecs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(vecs.schema).parquet(dir)
+    val q = cands(stream).writeStream.outputMode("append")
+      .format("memory").queryName("sq8_ann_route").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sq8_ann_route").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+      assert(got == expected, "streamed sq8 ANN candidates != batch application")
+    } finally q.stop()
+    // asymmetric scores track the float-index scores closely (the ADC
+    // property): compare against the float streaming route pairwise
+    val floatIndex = Similarity.ivfIndex(vecs, cents, nprobe = 2)
+    val exact = StreamOps.streamingAnnCandidates(vecs, floatIndex, cents, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val asym = expected.map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(asym.keySet == exact.keySet, "same candidate pairs under either index")
+    val maxDelta = asym.map { case (k, c) => math.abs(c - exact(k)) }.max
+    assert(maxDelta <= 0.02, s"asymmetric cos drifts $maxDelta from exact")
+  }
+
   test("month grain matches batch bucketing (derived event-time grouping)") {
     // ~4 calendar months of data, including month-length variation
     // (Feb 29 2024) — months can't be a fixed window() but group on
