@@ -144,6 +144,12 @@ object ScaleProbe {
     println(s"ivf-tree rows: ${time(s"ivf-tree topk ($tCells cells, top 2, coarse 2)")(
       Similarity.ivfTopK(vecs, tCents, 3, nprobe = 1, coarseProbe = 2, topProbe = 2)
         .count())}")
+    // the SQ8-compressed index at the 2-level growth config: same
+    // cells/search join, 8-bit codes instead of floats — expect time
+    // parity with the float form (the join dominates; scoring is one
+    // codegen'd fold either way) at ~6.4× less resident index memory
+    println(s"ivf-hier-sq8 rows: ${time(s"ivf-hier-sq8 topk ($hCells cells, coarse 2)")(
+      Similarity.ivfTopKSq8(vecs, hCents, 3, nprobe = 1, coarseProbe = 2).count())}")
     val planes = vecs.filter(col("vec_id") < nPlanes).orderBy("vec_id")
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
     println(s"lsh rows: ${time(s"lsh topk (${1L << nPlanes} buckets)")(

@@ -343,6 +343,56 @@ object TextDedup {
     }
   }
 
+  /** One-call corpus dedup VERDICT — the porcelain composition of the
+    * dedup family into the decision a training-data pipeline actually
+    * consumes: for every document its duplicate-cluster id, whether it
+    * is the canonical keeper, and the cluster size. Edges are the
+    * union of (a) EXACT-duplicate pairs from the md5 content hash —
+    * which also covers shingle-less short documents the similarity
+    * path cannot see — and (b) MinHash-LSH near-dup pairs confirmed
+    * by exact Jaccard ≥ `minJaccard` (the full q56 chain: df-pruned
+    * signatures → band join → agreement prefilter → Jaccard).
+    * Connected components then resolve TRANSITIVE chains: A≈B≈C
+    * dedups as one cluster even when (A, C) are not pairwise similar.
+    * Exact edges are star-shaped (min doc per hash → others), so a
+    * hash shared by m docs contributes m−1 edges, not m²/2.
+    *
+    * Scale shape: the parts' documented postures unchanged — keyed
+    * band/Jaccard joins, one md5 groupBy, label-propagation rounds
+    * (`pointerJump` escalates deep chains). Output: (doc_id, cluster,
+    * is_keeper, n_cluster).
+    *
+    * `maxDocFrac` presumes a corpus with more than 1/maxDocFrac
+    * documents — on a tiny corpus the df threshold rounds below one
+    * document and the prune drops EVERY shingle (near-dup edges
+    * vanish; only exact edges remain). Raise it toward 1.0 for
+    * small-corpus use. */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  nHashes: Int = 16, bandSize: Int = 2, maxDocFrac: Double = 0.1,
+                  minAgree: Int = 4, minJaccard: Double = 0.5,
+                  pointerJump: Boolean = false): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    val hashed = base.select(col("doc_id"), md5(col("__t")).as("h"))
+    val keepers = hashed.groupBy("h")
+      .agg(min(col("doc_id")).as("da"), count(lit(1)).as("nh"))
+      .filter(col("nh") > 1).select("h", "da")
+    val exactEdges = hashed.join(keepers, Seq("h"))
+      .filter(col("da") < col("doc_id"))
+      .select(col("da"), col("doc_id").as("db"))
+    val sh = bigramShingles(base, "doc_id", "__t")
+    val sig = minhashSignature(pruneFrequentShingles(sh, maxDocFrac), nHashes)
+    val near = jaccard(sh,
+        filterBySignatureAgreement(candidatePairs(lshBands(sig, nHashes, bandSize)),
+                                   sig, nHashes, minAgree))
+      .filter(col("jaccard") >= minJaccard).select("da", "db")
+    val pairs = near.unionByName(exactEdges).distinct()
+    val clusters = dupClusters(base.select(col("doc_id")), pairs,
+                               pointerJump = pointerJump)
+    val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("n_cluster"))
+    clusters.join(sizes, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("is_keeper"), col("n_cluster"))
+  }
+
   /** 16-bit SimHash from token frequencies: bit j of a token is the
     * parity of hex digit j of its md5; bits vote ±1 weighted by
     * occurrence count. Integer-only → engine-exact. */

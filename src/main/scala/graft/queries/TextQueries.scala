@@ -287,6 +287,38 @@ object TextQueries {
       nearDupFrame(s, dir).select(col("da"), col("db")),
       pointerJump = true)
 
+  /** q80 — the one-call corpus dedup verdict
+    * ([[TextDedup.dedupCorpus]]): exact-md5 edges ∪ confirmed near-dup
+    * edges → connected components → (cluster, keeper, cluster size)
+    * per document. The oracle extends q66's recursive closure with the
+    * star-shaped exact edges and a cluster-size join — the whole
+    * porcelain surface hash-checked as one query. */
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    TextDedup.dedupCorpus(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q80Sql =
+    s"""WITH RECURSIVE $nearDupCtes,
+      |ex AS (SELECT md5(text) AS h, doc_id FROM documents),
+      |exk AS (SELECT h, min(doc_id) AS da, count(*) AS nh FROM ex GROUP BY 1),
+      |exedges AS (
+      |  SELECT k.da AS src, e.doc_id AS dst FROM exk k JOIN ex e USING (h)
+      |  WHERE k.nh > 1 AND k.da < e.doc_id),
+      |edges AS (SELECT da AS src, db AS dst FROM dup
+      |          UNION SELECT db AS src, da AS dst FROM dup
+      |          UNION SELECT src, dst FROM exedges
+      |          UNION SELECT dst AS src, src AS dst FROM exedges),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r),
+      |cl AS (
+      |  SELECT id AS doc_id, min(r) AS cluster,
+      |         CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+      |  FROM reach GROUP BY id),
+      |sz AS (SELECT cluster, count(*) AS n_cluster FROM cl GROUP BY 1)
+      |SELECT cl.doc_id, cl.cluster, cl.is_keeper, sz.n_cluster
+      |FROM cl JOIN sz USING (cluster)""".stripMargin
+
   /** q67 — BPE-style pre-tokenization counts: the GPT-2-ish regex
     * split into letter runs / digit runs / single punctuation marks
     * (the subword pre-pass every BPE tokenizer applies before merges).
@@ -547,6 +579,7 @@ object TextQueries {
     QueryDef("q75_dataset_split", q75, Some(q75Sql)),
     QueryDef("q76_simhash_neardup", q76, Some(q76Sql)),
     QueryDef("q77_simhash64_neardup", q77, Some(q77Sql)),
-    QueryDef("q78_dup_clusters_pj", q78, Some(q66Sql))
+    QueryDef("q78_dup_clusters_pj", q78, Some(q66Sql)),
+    QueryDef("q80_dedup_corpus", q80, Some(q80Sql))
   )
 }

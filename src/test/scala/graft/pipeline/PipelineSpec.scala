@@ -259,6 +259,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pj == plain, "pointer jumping must not change the resolved labels")
   }
 
+  test("dedupCorpus: exact + near + transitive dedup in one verdict, short docs covered") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog tonight"), // near dup (J = 8/9)
+      (4L, "completely different words appear in this text here"),
+      (5L, "hi"),                                            // shingle-less short doc
+      (6L, "hi"),                                            // exact dup of 5 — ONLY md5 sees it
+      (7L, "hello")                                          // short unique
+    ).toDF("doc_id", "text")
+    // maxDocFrac = 1.0: the production 0.1 default presumes > 10 docs
+    // (documented) — at 7 docs it would prune every shingle
+    val out = TextDedup.dedupCorpus(corpus, "doc_id", "text", maxDocFrac = 1.0)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // {1,2,3} one cluster via exact(1,2) + near(1,3): keeper 1, size 3
+    assert(out(1L) == (1L, 1L, 3L) && out(2L) == (1L, 0L, 3L) && out(3L) == (1L, 0L, 3L))
+    // {5,6} exact-dup cluster of SHORT docs the shingle path can't see
+    assert(out(5L) == (5L, 1L, 2L) && out(6L) == (5L, 0L, 2L))
+    // singletons keep themselves
+    assert(out(4L) == (4L, 1L, 1L) && out(7L) == (7L, 1L, 1L))
+  }
+
   test("wordOccurrences counts word-boundary hits") {
     val got = docs.filter($"doc_id" === 1)
       .select(TextDedup.wordOccurrences($"text", "the").as("n"))
