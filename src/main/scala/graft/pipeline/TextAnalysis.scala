@@ -95,6 +95,52 @@ object TextAnalysis {
     * Pure projection: zero shuffle, streaming-safe. `buckets` are
     * (name, weight) pairs; a row lands in the first bucket whose
     * cumulative weight exceeds its hash point. */
+  /** BM25 lexical top-k — the retrieval scorer that completes the
+    * similarity-search family's LEXICAL side (embedding ANN finds
+    * semantic neighbors; curation pipelines equally need "which
+    * documents match these terms", e.g. contamination checks against
+    * benchmark queries or topical subsetting). Standard
+    * Okapi/Lucene-form BM25: idf = ln((N − df + ½)/(df + ½) + 1)
+    * (always positive), tf saturation k1, length normalization b
+    * against the corpus mean document length.
+    *
+    * Oracle discipline: per-(doc, term) contributions are scaled to
+    * integer MICROS (`round(c·1e6)::long`) BEFORE the per-doc sum —
+    * the repo's exact-integer workhorse — so the score is an
+    * order-independent integer sum and the DuckDB oracle (q81)
+    * hash-matches regardless of partial-aggregation order. Scale
+    * shape: tokens are filtered to the QUERY terms before any
+    * aggregation (the tf groupBy carries query-term rows only, not
+    * the corpus vocabulary); df/corpus stats are scalar-sized
+    * broadcasts; the final top-k is TakeOrdered (no global sort
+    * shuffle), with rank applied to the k survivors. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               query: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty && k >= 1, "bm25TopK needs query terms and k >= 1")
+    val toks = df.select(col(idCol).as("doc_id"),
+                         explode(split(trim(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks.filter(col("tok").isin(query: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(docFreq), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+              (col("tf") * lit(k1 + 1)) /
+              (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))) *
+              lit(1e6)).cast("long").as("c_e6"))
+    val scored = contrib.groupBy("doc_id").agg(sum(col("c_e6")).as("score_e6"))
+    val top = scored.orderBy(col("score_e6").desc, col("doc_id")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_e6").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   def deterministicSplit(df: DataFrame, keyCol: String,
                          buckets: Seq[(String, Int)] = Seq(("train", 90), ("val", 5), ("test", 5)),
                          salt: String = "split"): DataFrame = {

@@ -319,6 +319,41 @@ object TextQueries {
       |SELECT cl.doc_id, cl.cluster, cl.is_keeper, sz.n_cluster
       |FROM cl JOIN sz USING (cluster)""".stripMargin
 
+  /** q81 — BM25 lexical top-20 for a fixed query ("hash join filter" —
+    * three mid-frequency corpus terms): the retrieval scorer over the
+    * documents table. Per-(doc, term) contributions are integer-micro
+    * scaled before the per-doc sum (order-independent — the repo's
+    * exact-integer discipline), so score AND rank hash-match. The SQL
+    * interpolates the SAME Scala doubles for k1+1 / 1−b (Double.toString
+    * is shortest-round-trip, so both engines parse the identical
+    * value). */
+  private def q81(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+                          Seq("hash", "join", "filter"), 20)
+
+  private val q81Sql = {
+    val k1 = 1.2; val b = 0.75
+    s"""WITH toks AS (
+      |  SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents) x
+      |  WHERE t <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks
+      |       WHERE t IN ('hash', 'join', 'filter') GROUP BY 1, 2),
+      |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+      |c AS (
+      |  SELECT tf.doc_id,
+      |         CAST(round(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      |           * (tf.tf * ${k1 + 1}) / (tf.tf + $k1 * (${1.0 - b} + $b * dl.dl / st.avgdl))
+      |           * 1000000.0) AS BIGINT) AS c_e6
+      |  FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN st),
+      |sc AS (SELECT doc_id, CAST(sum(c_e6) AS BIGINT) AS score_e6 FROM c GROUP BY 1)
+      |SELECT doc_id, score_e6,
+      |       CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank
+      |FROM sc ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** q67 — BPE-style pre-tokenization counts: the GPT-2-ish regex
     * split into letter runs / digit runs / single punctuation marks
     * (the subword pre-pass every BPE tokenizer applies before merges).
@@ -580,6 +615,7 @@ object TextQueries {
     QueryDef("q76_simhash_neardup", q76, Some(q76Sql)),
     QueryDef("q77_simhash64_neardup", q77, Some(q77Sql)),
     QueryDef("q78_dup_clusters_pj", q78, Some(q66Sql)),
-    QueryDef("q80_dedup_corpus", q80, Some(q80Sql))
+    QueryDef("q80_dedup_corpus", q80, Some(q80Sql)),
+    QueryDef("q81_bm25_topk", q81, Some(q81Sql))
   )
 }

@@ -282,6 +282,30 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(4L) == (4L, 1L, 1L) && out(7L) == (7L, 1L, 1L))
   }
 
+  test("bm25TopK: tf raises, rarity raises, length normalizes, ranks are dense") {
+    import graft.pipeline.TextAnalysis
+    val corpus = Seq(
+      (1L, "spark shuffle spark shuffle spark"),   // tf(spark)=3, dl 5
+      (2L, "spark shuffle join window group agg"), // tf(spark)=1, dl 6
+      (3L, "join join join join join join"),       // no query terms
+      (4L, "rare spark"),                          // short doc, tf 1
+      (5L, "window group agg sort")                // no query terms
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(corpus, "doc_id", "text", Seq("spark", "rare"), 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docs without query terms never appear
+    assert(!out.contains(3L) && !out.contains(5L))
+    assert(out.keySet == Set(1L, 2L, 4L))
+    // doc 4 carries the RAREST term (df=1) plus spark in the shortest
+    // doc: highest score; doc 1's tf=3 beats doc 2's tf=1
+    val ranks = out.map { case (id, (_, rank)) => id -> rank }
+    assert(ranks(4L) == 1L, s"rarity + brevity must lead: $out")
+    assert(ranks(1L) == 2L && ranks(2L) == 3L, s"tf must order 1 above 2: $out")
+    // scores strictly positive and consistent with rank order
+    val byRank = out.values.toSeq.sortBy(_._2).map(_._1)
+    assert(byRank == byRank.sorted.reverse && byRank.forall(_ > 0L))
+  }
+
   test("wordOccurrences counts word-boundary hits") {
     val got = docs.filter($"doc_id" === 1)
       .select(TextDedup.wordOccurrences($"text", "the").as("n"))
