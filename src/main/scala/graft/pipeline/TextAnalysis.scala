@@ -83,18 +83,6 @@ object TextAnalysis {
       md5(trim(col(textCol))).as("fingerprint"),
       substring(md5(trim(col(textCol))), 1, 8).as("fp_prefix"))
 
-  /** Deterministic train/validation/test split — the dataset-sharding
-    * op every training pipeline needs. The split key is content-derived
-    * (first 8 hex chars of md5(salt || key) read as an integer, mod the
-    * weight total), NOT `rand()`: the assignment is reproducible across
-    * runs, engines (md5 is portable — a DuckDB/pandas pipeline shards
-    * identically), partitionings, and corpus growth (a document keeps
-    * its split when new data arrives — no leakage of yesterday's train
-    * docs into tomorrow's test set). Salting decorrelates the split
-    * from every other md5-keyed decision (q54's exact-dedup hash).
-    * Pure projection: zero shuffle, streaming-safe. `buckets` are
-    * (name, weight) pairs; a row lands in the first bucket whose
-    * cumulative weight exceeds its hash point. */
   /** BM25 lexical top-k — the retrieval scorer that completes the
     * similarity-search family's LEXICAL side (embedding ANN finds
     * semantic neighbors; curation pipelines equally need "which
@@ -141,6 +129,59 @@ object TextAnalysis {
     top.withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** The FULL curation verdict — one call from raw documents to the
+    * per-document decision a training-data build executes, in the
+    * standard pipeline order:
+    *  1. quality gate (q51's composite score + a token-count floor) —
+    *     a cheap pure projection, so junk never reaches the expensive
+    *     stages;
+    *  2. duplicate resolution over the quality survivors
+    *     ([[TextDedup.dedupCorpus]]: exact-md5 ∪ confirmed near-dup
+    *     edges → connected components → keeper per cluster);
+    *  3. deterministic train/val/test split for the kept documents
+    *     ([[deterministicSplit]] — content-hash, growth-stable).
+    * EVERY input document comes back with its verdict: quality stats,
+    * cluster/keeper (null if quality-dropped — dedup never saw it),
+    * split (null unless kept), `keep` ∈ {0,1} and a `drop_reason`
+    * ('quality' | 'duplicate' | null). Auditable curation: the drop
+    * ledger is the same frame as the keep list. q82 hash-checks the
+    * whole composition. */
+  def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
+                   minTokens: Int = 10, minQuality: Double = 0.0,
+                   maxDocFrac: Double = 0.1, minJaccard: Double = 0.5): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    val gated = qualityScore(base, "doc_id", "__t")
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .withColumn("q_ok",
+        col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
+    val passDocs = base.join(gated.filter(col("q_ok")).select("doc_id"), Seq("doc_id"))
+    val dd = TextDedup.dedupCorpus(passDocs, "doc_id", "__t",
+                                   maxDocFrac = maxDocFrac, minJaccard = minJaccard)
+      .select(col("doc_id"), col("cluster"), col("is_keeper"))
+    val sp = deterministicSplit(dd.filter(col("is_keeper") === 1).select("doc_id"),
+                                "doc_id")
+      .select(col("doc_id"), col("split"))
+    gated.join(dd, Seq("doc_id"), "left")
+      .join(sp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+              col("cluster"), col("is_keeper"), col("split"),
+              when(!col("q_ok"), lit("quality"))
+                .when(col("is_keeper") === 0, lit("duplicate")).as("drop_reason"),
+              (col("q_ok") && col("is_keeper") === 1).cast("long").as("keep"))
+  }
+
+  /** Deterministic train/validation/test split — the dataset-sharding
+    * op every training pipeline needs. The split key is content-derived
+    * (first 8 hex chars of md5(salt || key) read as an integer, mod the
+    * weight total), NOT `rand()`: the assignment is reproducible across
+    * runs, engines (md5 is portable — a DuckDB/pandas pipeline shards
+    * identically), partitionings, and corpus growth (a document keeps
+    * its split when new data arrives — no leakage of yesterday's train
+    * docs into tomorrow's test set). Salting decorrelates the split
+    * from every other md5-keyed decision (q54's exact-dedup hash).
+    * Pure projection: zero shuffle, streaming-safe. `buckets` are
+    * (name, weight) pairs; a row lands in the first bucket whose
+    * cumulative weight exceeds its hash point. */
   def deterministicSplit(df: DataFrame, keyCol: String,
                          buckets: Seq[(String, Int)] = Seq(("train", 90), ("val", 5), ("test", 5)),
                          salt: String = "split"): DataFrame = {

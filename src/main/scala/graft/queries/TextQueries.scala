@@ -354,6 +354,69 @@ object TextQueries {
       |FROM sc ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** q82 — the FULL curation verdict ([[TextAnalysis.curateCorpus]]):
+    * quality gate → dedup over survivors → split for keepers, every
+    * document with its keep/drop decision and reason. The oracle
+    * composes q51's quality SQL, the near-dup chain REBASED onto the
+    * quality-passing subset (one mechanical `FROM documents` →
+    * `FROM docs_q` rename of the shared CTE string — the chain's only
+    * base-table reference), q80's closure with exact edges, and q75's
+    * split fold. Thresholds (15 tokens, 0.24 score) sit inside the
+    * corpus's measured quality range (0.195-0.306) so BOTH gate
+    * branches are exercised. */
+  private def q82(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.curateCorpus(t(s, dir, "documents"), "doc_id", "text",
+                              minTokens = 15, minQuality = 0.24)
+
+  private val q82Sql = {
+    val minTokens = 15; val minQuality = 0.24
+    val nearDupQ = nearDupCtes.replace("FROM documents", "FROM docs_q")
+    s"""WITH RECURSIVE qual AS (
+      |  SELECT doc_id, n_tokens, quality_score,
+      |         (n_tokens >= $minTokens AND quality_score >= $minQuality) AS q_ok
+      |  FROM ($q51Sql) q51),
+      |docs_q AS (
+      |  SELECT d.doc_id, d.text FROM documents d JOIN qual USING (doc_id)
+      |  WHERE qual.q_ok),
+      |$nearDupQ,
+      |ex AS (SELECT md5(text) AS h, doc_id FROM docs_q),
+      |exk AS (SELECT h, min(doc_id) AS da, count(*) AS nh FROM ex GROUP BY 1),
+      |exedges AS (
+      |  SELECT k.da AS src, e.doc_id AS dst FROM exk k JOIN ex e USING (h)
+      |  WHERE k.nh > 1 AND k.da < e.doc_id),
+      |edges AS (SELECT da AS src, db AS dst FROM dup
+      |          UNION SELECT db AS src, da AS dst FROM dup
+      |          UNION SELECT src, dst FROM exedges
+      |          UNION SELECT dst AS src, src AS dst FROM exedges),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM docs_q
+      |  UNION
+      |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r),
+      |cl AS (
+      |  SELECT id AS doc_id, min(r) AS cluster,
+      |         CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+      |  FROM reach GROUP BY id),
+      |sph AS (SELECT doc_id, md5('split' || CAST(doc_id AS VARCHAR)) AS m
+      |        FROM cl WHERE is_keeper = 1),
+      |spp AS (
+      |  SELECT doc_id,
+      |         CAST(list_sum(list_transform(generate_series(1, 8),
+      |           j -> CAST(instr('0123456789abcdef', substr(m, j, 1)) - 1 AS BIGINT)
+      |                * CAST(pow(16, 8 - j) AS BIGINT))) AS BIGINT) % 100 AS split_point
+      |  FROM sph),
+      |sp AS (SELECT doc_id,
+      |         CASE WHEN split_point < 90 THEN 'train'
+      |              WHEN split_point < 95 THEN 'val'
+      |              ELSE 'test' END AS split
+      |       FROM spp)
+      |SELECT q.doc_id, q.n_tokens, q.quality_score,
+      |       cl.cluster, cl.is_keeper, sp.split,
+      |       CASE WHEN NOT q.q_ok THEN 'quality'
+      |            WHEN cl.is_keeper = 0 THEN 'duplicate' END AS drop_reason,
+      |       CAST(CASE WHEN q.q_ok AND cl.is_keeper = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM qual q LEFT JOIN cl USING (doc_id) LEFT JOIN sp USING (doc_id)""".stripMargin
+  }
+
   /** q67 — BPE-style pre-tokenization counts: the GPT-2-ish regex
     * split into letter runs / digit runs / single punctuation marks
     * (the subword pre-pass every BPE tokenizer applies before merges).
@@ -616,6 +679,7 @@ object TextQueries {
     QueryDef("q77_simhash64_neardup", q77, Some(q77Sql)),
     QueryDef("q78_dup_clusters_pj", q78, Some(q66Sql)),
     QueryDef("q80_dedup_corpus", q80, Some(q80Sql)),
-    QueryDef("q81_bm25_topk", q81, Some(q81Sql))
+    QueryDef("q81_bm25_topk", q81, Some(q81Sql)),
+    QueryDef("q82_curate_corpus", q82, Some(q82Sql))
   )
 }

@@ -282,6 +282,40 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(4L) == (4L, 1L, 1L) && out(7L) == (7L, 1L, 1L))
   }
 
+  test("curateCorpus: quality-dropped docs never reach dedup; keepers get splits; ledger complete") {
+    import graft.pipeline.TextAnalysis
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),   // dup of 1
+      (3L, "completely different words appear in this text here"),
+      (4L, "x"),                                             // quality-dropped (1 token)
+      (5L, "the quick brown fox jumps over the lazy dog")    // dup of 1 too
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.curateCorpus(corpus, "doc_id", "text",
+        minTokens = 5, minQuality = 0.0, maxDocFrac = 1.0).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 5, "every input doc appears in the ledger")
+    // quality-dropped: no cluster (dedup never saw it), no split, reason
+    val d4 = out(4L)
+    assert(d4.isNullAt(d4.fieldIndex("cluster")) && d4.isNullAt(d4.fieldIndex("split")))
+    assert(d4.getString(d4.fieldIndex("drop_reason")) == "quality" &&
+           d4.getLong(d4.fieldIndex("keep")) == 0L)
+    // duplicates: clustered under 1, dropped with reason, no split
+    for (id <- Seq(2L, 5L)) {
+      val r = out(id)
+      assert(r.getLong(r.fieldIndex("cluster")) == 1L &&
+             r.getString(r.fieldIndex("drop_reason")) == "duplicate" &&
+             r.getLong(r.fieldIndex("keep")) == 0L && r.isNullAt(r.fieldIndex("split")))
+    }
+    // keepers: keep = 1, a split assigned, no reason
+    for (id <- Seq(1L, 3L)) {
+      val r = out(id)
+      assert(r.getLong(r.fieldIndex("keep")) == 1L &&
+             !r.isNullAt(r.fieldIndex("split")) && r.isNullAt(r.fieldIndex("drop_reason")))
+      assert(Set("train", "val", "test")(r.getString(r.fieldIndex("split"))))
+    }
+  }
+
   test("bm25TopK: tf raises, rarity raises, length normalizes, ranks are dense") {
     import graft.pipeline.TextAnalysis
     val corpus = Seq(
