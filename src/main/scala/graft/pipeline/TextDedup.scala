@@ -385,7 +385,12 @@ object TextDedup {
         filterBySignatureAgreement(candidatePairs(lshBands(sig, nHashes, bandSize)),
                                    sig, nHashes, minAgree))
       .filter(col("jaccard") >= minJaccard).select("da", "db")
-    val pairs = near.unionByName(exactEdges).distinct()
+    // the edge set is the expensive intermediate (shingle scan + band
+    // and Jaccard joins) and is pair-count-sized — memoize it with the
+    // same cacheOnce contract every other corpus index uses (one entry
+    // per (input plan, params); repeated verdicts over the same corpus
+    // reuse it; release via graft.queries.releaseIndexes(docs))
+    val pairs = graft.queries.cacheOnce(near.unionByName(exactEdges).distinct())
     val clusters = dupClusters(base.select(col("doc_id")), pairs,
                                pointerJump = pointerJump)
     val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("n_cluster"))
