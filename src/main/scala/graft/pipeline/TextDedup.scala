@@ -37,6 +37,49 @@ object TextDedup {
                             element_at(col("l"), i + 1)))).as("bg"))
       .distinct()
 
+  /** Distinct word n-gram shingles — [[bigramShingles]] generalized to
+    * the longer windows decontamination uses (industry practice checks
+    * 8-13-gram overlap: long enough that a shared gram means copied
+    * TEXT, not shared vocabulary). Same `_`-joined form; docs shorter
+    * than n words emit nothing. */
+  def ngramShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+    df.withColumn("l", split(trim(col(textCol)), " "))
+      .filter(size(col("l")) >= n)
+      .select(col(idCol).as("id"),
+              explode(transform(sequence(lit(1), size(col("l")) - (n - 1)),
+                i => concat_ws("_", (0 until n).map(k => element_at(col("l"), i + k)): _*)))
+                .as("bg"))
+      .distinct()
+  }
+
+  /** DECONTAMINATION — corpus documents sharing ≥ `minHits` distinct
+    * word n-grams with any benchmark item: the check every training
+    * pipeline runs before a data release (a test-set question quoted
+    * inside a crawled page poisons the benchmark; at n = 8 a single
+    * shared gram is already 8 consecutive copied words, so the default
+    * flags verbatim inclusion while shared VOCABULARY never collides).
+    * Output one row per contaminated (doc, benchmark item) pair with
+    * the shared-gram count — the audit trail, not just a drop list.
+    *
+    * Scale shape: benchmark suites are contract-small (thousands of
+    * items, not corpora), so the bench gram table is explicitly
+    * broadcast and the whole check is ONE map-side hash join over the
+    * corpus gram scan — no shuffle of corpus data at any n. */
+  def contaminatedDocs(corpus: DataFrame, idCol: String, textCol: String,
+                       bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                       n: Int = 8, minHits: Int = 1): DataFrame = {
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    val cg = ngramShingles(corpus, idCol, textCol, n)
+      .select(col("id").as("doc_id"), col("bg"))
+    val bg = ngramShingles(bench, benchIdCol, benchTextCol, n)
+      .select(col("id").as("bench_id"), col("bg"))
+    cg.join(broadcast(bg), Seq("bg"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared")) // both sides distinct → count = distinct shared
+      .filter(col("n_shared") >= minHits)
+  }
+
   /** MinHash signature: h_i(doc) = min over shingles of an 8-hex slice
     * of a salted sha256 of the shingle — ONE digest per group of 8
     * hashes (the one-permutation-hashing trick: disjoint slices of a

@@ -417,6 +417,31 @@ object TextQueries {
       |FROM qual q LEFT JOIN cl USING (doc_id) LEFT JOIN sp USING (doc_id)""".stripMargin
   }
 
+  /** q83 — decontamination ([[TextDedup.contaminatedDocs]]): corpus
+    * docs sharing ≥ 1 distinct 8-gram with a benchmark set (docs 0-4
+    * standing in as the benchmark — every returned pair is a verbatim
+    * 8-consecutive-word inclusion). The oracle reuses the corpus gram
+    * table for the benchmark side (benchmark ⊂ corpus here), which is
+    * exactly what the Spark side computes from the filtered frame. */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextDedup.contaminatedDocs(docs, "doc_id", "text",
+                               docs.filter(col("doc_id") < 5), "doc_id", "text")
+  }
+
+  private val q83Sql = {
+    val gram8 = (0 until 8).map(k => s"l[i + $k]").mkString(" || '_' || ")
+    s"""WITH lw AS (SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
+      |cg AS (SELECT DISTINCT doc_id, bg FROM (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 7),
+      |                        i -> $gram8)) AS bg
+      |  FROM lw WHERE len(l) >= 8) x),
+      |bg8 AS (SELECT doc_id AS bench_id, bg FROM cg WHERE doc_id < 5)
+      |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+      |FROM cg c JOIN bg8 b USING (bg)
+      |GROUP BY 1, 2 HAVING count(*) >= 1""".stripMargin
+  }
+
   /** q67 — BPE-style pre-tokenization counts: the GPT-2-ish regex
     * split into letter runs / digit runs / single punctuation marks
     * (the subword pre-pass every BPE tokenizer applies before merges).
@@ -680,6 +705,7 @@ object TextQueries {
     QueryDef("q78_dup_clusters_pj", q78, Some(q66Sql)),
     QueryDef("q80_dedup_corpus", q80, Some(q80Sql)),
     QueryDef("q81_bm25_topk", q81, Some(q81Sql)),
-    QueryDef("q82_curate_corpus", q82, Some(q82Sql))
+    QueryDef("q82_curate_corpus", q82, Some(q82Sql)),
+    QueryDef("q83_contamination", q83, Some(q83Sql))
   )
 }

@@ -316,6 +316,30 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("contaminatedDocs flags verbatim n-gram inclusion, never shared vocabulary") {
+    val benchSentence = "what is the capital of france and when was it founded"
+    val corpus = Seq(
+      // doc 1 QUOTES the benchmark item inside other text → contaminated
+      (1L, "some crawled page text " + benchSentence + " with trailing boilerplate"),
+      // doc 2 shares VOCABULARY but never 8 consecutive words → clean
+      (2L, "france is a country and paris is the capital when it was founded"),
+      (3L, "completely unrelated document about spark shuffle partitions here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, benchSentence)).toDF("bench_id", "btext")
+    val hits = TextDedup.contaminatedDocs(corpus, "doc_id", "text",
+                                          bench, "bench_id", "btext")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(hits.keySet == Set((1L, 100L)), s"only the quoting doc is flagged: $hits")
+    // an 11-word benchmark quoted verbatim yields 11-8+1 = 4 shared 8-grams
+    assert(hits((1L, 100L)) == 4L, s"shared-gram count is the audit trail: $hits")
+    // ngram generalization: n=2 equals bigramShingles exactly
+    val bi = TextDedup.bigramShingles(corpus, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val n2 = TextDedup.ngramShingles(corpus, "doc_id", "text", 2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(n2 == bi, "ngramShingles(2) must equal bigramShingles")
+  }
+
   test("bm25TopK: tf raises, rarity raises, length normalizes, ranks are dense") {
     import graft.pipeline.TextAnalysis
     val corpus = Seq(
