@@ -83,6 +83,38 @@ object TextAnalysis {
       md5(trim(col(textCol))).as("fingerprint"),
       substring(md5(trim(col(textCol))), 1, 8).as("fp_prefix"))
 
+  /** Repetition statistics — the quality-filter family's REPETITION
+    * axis (the published corpus-filter rulebooks drop documents whose
+    * text loops: a high share of all bigrams landing on one repeated
+    * bigram, or few distinct bigrams overall, marks boilerplate and
+    * degenerate generations that the length/stopword score misses).
+    * Per document: total/distinct bigram counts, the top bigram's
+    * share of all bigram OCCURRENCES (`top_bigram_frac`), and the
+    * share of occurrences beyond each bigram's first
+    * (`dup_bigram_frac` = 1 − distinct/total). One shingle explode +
+    * one two-level groupBy — integer counts with two rounded
+    * divisions, so the oracle (q84) hash-matches exactly. Docs with
+    * < 2 words emit nothing (no bigrams — same row contract as the
+    * shingle table). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = df.withColumn("l", split(trim(col(textCol)), " "))
+      .filter(size(col("l")) >= 2) // sequence(1, 0) would count DOWN in Spark
+      .select(col(idCol).as("doc_id"),
+        explode(transform(sequence(lit(1), size(col("l")) - 1),
+          i => concat(element_at(col("l"), i), lit("_"),
+                      element_at(col("l"), i + 1)))).as("bg"))
+    val perGram = grams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    perGram.groupBy("doc_id").agg(
+        sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      .select(col("doc_id"),
+        col("n_bigrams").cast("long").as("n_bigrams"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        round(col("top_c") / col("n_bigrams"), 6).as("top_bigram_frac"),
+        round(lit(1.0) - col("n_distinct") / col("n_bigrams"), 6).as("dup_bigram_frac"))
+  }
+
   /** BM25 lexical top-k — the retrieval scorer that completes the
     * similarity-search family's LEXICAL side (embedding ANN finds
     * semantic neighbors; curation pipelines equally need "which

@@ -442,6 +442,27 @@ object TextQueries {
       |GROUP BY 1, 2 HAVING count(*) >= 1""".stripMargin
   }
 
+  /** q84 — repetition statistics ([[TextAnalysis.repetitionStats]]):
+    * the quality family's repetition axis — per-doc bigram occurrence
+    * counts, the top bigram's occurrence share, and the
+    * duplicated-occurrence share. Integer counts + two rounded
+    * divisions → exact hash compare. */
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q84Sql =
+    """WITH lw AS (SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 1),
+      |                            i -> l[i] || '_' || l[i + 1])) AS bg
+      |      FROM lw WHERE len(l) >= 2),
+      |pg AS (SELECT doc_id, bg, count(*) AS c FROM g GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |  count(*) AS n_distinct,
+      |  round(max(c) / sum(c), 6) AS top_bigram_frac,
+      |  round(1.0 - count(*) / sum(c), 6) AS dup_bigram_frac
+      |FROM pg GROUP BY doc_id""".stripMargin
+
   /** q67 — BPE-style pre-tokenization counts: the GPT-2-ish regex
     * split into letter runs / digit runs / single punctuation marks
     * (the subword pre-pass every BPE tokenizer applies before merges).
@@ -706,6 +727,7 @@ object TextQueries {
     QueryDef("q80_dedup_corpus", q80, Some(q80Sql)),
     QueryDef("q81_bm25_topk", q81, Some(q81Sql)),
     QueryDef("q82_curate_corpus", q82, Some(q82Sql)),
-    QueryDef("q83_contamination", q83, Some(q83Sql))
+    QueryDef("q83_contamination", q83, Some(q83Sql)),
+    QueryDef("q84_repetition", q84, Some(q84Sql))
   )
 }

@@ -316,6 +316,24 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("repetitionStats separates looping text from diverse text") {
+    import graft.pipeline.TextAnalysis
+    val corpus = Seq(
+      (1L, "buy now buy now buy now buy now buy now"),       // degenerate loop
+      (2L, "the quick brown fox jumps over the lazy dog"),   // diverse
+      (3L, "x")                                              // <2 words: no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+                                 r.getDouble(3), r.getDouble(4))).toMap
+    assert(!out.contains(3L), "sub-bigram docs emit nothing")
+    // doc 1: 9 bigram occurrences, 2 distinct (buy_now x5, now_buy x4)
+    assert(out(1L)._1 == 9L && out(1L)._2 == 2L)
+    assert(out(1L)._3 > 0.5 && out(1L)._4 > 0.7, s"loop must score high: ${out(1L)}")
+    // doc 2: all 8 bigrams distinct → zero duplication
+    assert(out(2L) == ((8L, 8L, 0.125, 0.0)), s"diverse doc: ${out(2L)}")
+  }
+
   test("contaminatedDocs flags verbatim n-gram inclusion, never shared vocabulary") {
     val benchSentence = "what is the capital of france and when was it founded"
     val corpus = Seq(
