@@ -268,9 +268,14 @@ object Similarity extends org.apache.spark.internal.Logging {
         element_at(ivfCellsOf(col("v"), sqrt(dot(col("v"), col("v"))), coarse, 1), 1)
           .as("g"))
       .collect().map(r => r.getInt(0) -> r.getLong(1).toInt).toMap
-    val grouped = coarse.map { case (g, gv) =>
-      gv -> centroids.filter(c => assigned(c._1) == g)
-    }.filter(_._2.nonEmpty)
+    // one O(k) grouping pass (order-preserving) — a per-group
+    // centroids.filter would re-scan all k centroids coarseK times:
+    // O(k^1.5) sequential driver work at exactly the k this function
+    // exists to escape
+    val byGroup = centroids.groupBy(c => assigned(c._1))
+    val grouped = coarse.flatMap { case (g, gv) =>
+      byGroup.get(g).map(gv -> _)
+    }
     CoarseIndex(grouped.map(_._1), grouped.map(_._2))
   }
 
@@ -467,18 +472,24 @@ object Similarity extends org.apache.spark.internal.Logging {
     * consumers ([[graft.streaming.StreamOps.streamingAnnCandidates]])
     * join incoming vectors against the same index the batch top-k uses.
     * coarseProbe > 0 selects the two-level quantizer. */
+  /** Quantizer dispatch shared by the float and SQ8 index builders —
+    * ONE definition so the two can never desynchronize (ivfTopKSq8's
+    * recall-parity contract rests on identical candidate generation). */
+  private def probeCellsFor(centroids: Seq[(Int, Seq[Double])], nprobe: Int,
+                            coarseProbe: Int, topProbe: Int): Column =
+    if (topProbe > 0)
+      ivfCellsOfTree(col("v"), col("nrm"), buildTreeIndex(centroids),
+                     nprobe, math.max(coarseProbe, 1), topProbe)
+    else if (coarseProbe <= 0) ivfCellsOf(col("v"), col("nrm"), centroids, nprobe)
+    else ivfCellsOfHier(col("v"), col("nrm"), buildCoarseIndexAuto(centroids),
+                        nprobe, coarseProbe)
+
   def ivfIndex(emb: DataFrame, centroids: Seq[(Int, Seq[Double])],
                nprobe: Int = 1, coarseProbe: Int = 0,
                topProbe: Int = 0): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     require(centroids.nonEmpty, "ivfIndex needs at least one centroid")
-    val probeCells: Column =
-      if (topProbe > 0)
-        ivfCellsOfTree(col("v"), col("nrm"), buildTreeIndex(centroids),
-                       nprobe, math.max(coarseProbe, 1), topProbe)
-      else if (coarseProbe <= 0) ivfCellsOf(col("v"), col("nrm"), centroids, nprobe)
-      else ivfCellsOfHier(col("v"), col("nrm"), buildCoarseIndexAuto(centroids),
-                          nprobe, coarseProbe)
+    val probeCells = probeCellsFor(centroids, nprobe, coarseProbe, topProbe)
     graft.queries.cacheOnce(withNorm(emb).select(
       col("vec_id"), col("v"), col("nrm"),
       element_at(probeCells, 1).as("cell"),
@@ -501,13 +512,7 @@ object Similarity extends org.apache.spark.internal.Logging {
                   topProbe: Int = 0): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     require(centroids.nonEmpty, "ivfIndexSq8 needs at least one centroid")
-    val probeCells: Column =
-      if (topProbe > 0)
-        ivfCellsOfTree(col("v"), col("nrm"), buildTreeIndex(centroids),
-                       nprobe, math.max(coarseProbe, 1), topProbe)
-      else if (coarseProbe <= 0) ivfCellsOf(col("v"), col("nrm"), centroids, nprobe)
-      else ivfCellsOfHier(col("v"), col("nrm"), buildCoarseIndexAuto(centroids),
-                          nprobe, coarseProbe)
+    val probeCells = probeCellsFor(centroids, nprobe, coarseProbe, topProbe)
     val q8 = call_function("sq8_encode", col("v"))
     graft.queries.cacheOnce(withNorm(emb).select(
       col("vec_id"), q8.as("q8"),

@@ -141,10 +141,18 @@ object TextAnalysis {
     val toks = df.select(col(idCol).as("doc_id"),
                          explode(split(trim(col(textCol)), " ")).as("tok"))
       .filter(col("tok") =!= "")
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // dl and tf are the two doc-count-bounded intermediates every
+    // downstream subtree hangs off (stats from dl, df from tf, the
+    // contribution join from all four) — memoized with the standard
+    // cacheOnce contract so the token explode runs TWICE total instead
+    // of once per subtree (4×), and repeated queries over the same
+    // corpus reuse the doc-length index outright
+    val dl = graft.queries.cacheOnce(
+      toks.groupBy("doc_id").agg(count(lit(1)).as("dl")))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = toks.filter(col("tok").isin(query: _*))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val tf = graft.queries.cacheOnce(
+      toks.filter(col("tok").isin(query: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
     val docFreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val contrib = tf.join(broadcast(docFreq), Seq("tok"))
       .join(dl, Seq("doc_id"))

@@ -549,7 +549,12 @@ object TextDedup {
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.bv"))
 
   /** Public 64-bit band index of a corpus — the static side of
-    * streaming simhash routing; schema (id, simhash, band, bv). */
+    * streaming simhash routing; schema (id, simhash, band, bv, mh).
+    * The `mh` column carries the maxHamming the bands were built with,
+    * so consumers DERIVE their band split from the index instead of
+    * trusting a caller-supplied value to match — a mismatched split
+    * would join bucket values from different bit ranges and silently
+    * drop genuinely-near pairs. */
   def simhash64Bands(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 63, s"maxHamming out of range: $maxHamming")
@@ -557,7 +562,7 @@ object TextDedup {
       df.select(col(idCol).as("id"), col(textCol).as("__t"))
         .filter(trim(col("__t")) =!= ""), "__t")
       .select(col("id"), col("simhash"))
-    simhashBanded(sh, 64, maxHamming)
+    simhashBanded(sh, 64, maxHamming).withColumn("mh", lit(maxHamming))
   }
 
   /** Shared banded-pairing tail: explode band keys, self-join on
@@ -654,8 +659,11 @@ object TextDedup {
       .select(col("bk.band"), col("bk.bv"))
       .groupBy("band", "bv").agg(count(lit(1)).as("n"))
       // n(n−1) is even, so the / 2 (double in Spark SQL) is exact and
-      // the long cast loses nothing below 2^53 pairs per bucket
-      .agg(sum((col("n") * (col("n") - 1) / 2).cast("long")).as("cands"))
+      // the long cast loses nothing below 2^53 pairs per bucket;
+      // coalesce: sum over ZERO buckets (empty/token-less corpus) is
+      // null, and the honest volume there is 0, not an NPE
+      .agg(coalesce(sum((col("n") * (col("n") - 1) / 2).cast("long")), lit(0L))
+             .as("cands"))
       .head().getLong(0)
   }
 

@@ -95,15 +95,26 @@ package object queries {
     * cells, shingle signatures — without having kept handles to the
     * derived frames). Returns the number of entries released.
     * `blocking = false`: eviction is async, the entries are removed from
-    * the CacheManager immediately. */
-  def releaseIndexes(source: DataFrame): Int = registry.synchronized {
-    pruneRegistry()
-    val target = source.queryExecution.analyzed
-    val hit = registry.filter(_.queryExecution.analyzed.exists(_.sameResult(target)))
-    hit.foreach(_.unpersist())
-    registry.filterInPlace(f => !hit.exists(_ eq f))
-    hit.size
-  }
+    * the CacheManager immediately.
+    *
+    * `except` frames survive even when their plans contain the source —
+    * the rebuild-and-swap case: a fresh index built over
+    * `oldCorpus.union(delta)` CONTAINS the old corpus's plan, so
+    * containment alone would evict the replacement the caller just
+    * materialized ([[graft.streaming.StreamOps.refreshAnnIndex]] passes
+    * the fresh index here). Matched by reference — the caller holds the
+    * exact frame it wants kept. */
+  def releaseIndexes(source: DataFrame, except: Seq[DataFrame] = Nil): Int =
+    registry.synchronized {
+      pruneRegistry()
+      val target = source.queryExecution.analyzed
+      val hit = registry.filter(f =>
+        !except.exists(_ eq f) &&
+        f.queryExecution.analyzed.exists(_.sameResult(target)))
+      hit.foreach(_.unpersist())
+      registry.filterInPlace(f => !hit.exists(_ eq f))
+      hit.size
+    }
 
   /** Evict every cacheOnce entry (session teardown / test isolation). */
   def releaseAllIndexes(): Int = registry.synchronized {

@@ -164,13 +164,21 @@ object StreamOps {
     * 100 TB posture: per-row sketch is a pure projection (native
     * `simhash64`, no shuffle, no state); the corpus index is
     * partitioned corpus-side; each micro-batch is one keyed
-    * stream-static join on 16-bit band keys. `maxHamming` must match
-    * the value the corpus bands were built with, or band splits
-    * diverge. */
+    * stream-static join on 16-bit band keys. The band split (and the
+    * Hamming confirm threshold) is READ FROM the corpus index's `mh`
+    * column rather than taken as a parameter — a caller-supplied value
+    * that differed from the index's would join bucket values from
+    * different bit ranges and silently lose near-dup recall; deriving
+    * it makes the mismatch impossible (one driver-side `first()` on
+    * the static frame at query-build time). */
   def streamingSimhashCandidates(stream: DataFrame, idCol: String, textCol: String,
-                                 corpusBands: DataFrame,
-                                 maxHamming: Int = 3): DataFrame = {
+                                 corpusBands: DataFrame): DataFrame = {
     import graft.pipeline.TextDedup
+    val head = corpusBands.select(col("mh")).limit(1).collect()
+    require(head.nonEmpty,
+      "streamingSimhashCandidates: corpus band index is empty — build it with " +
+      "TextDedup.simhash64Bands over a non-empty corpus")
+    val maxHamming = head(0).getInt(0)
     TextDedup.simhash64Bands(stream, idCol, textCol, maxHamming)
       .select(col("id").as("stream_id"), col("simhash").as("ssh"),
               col("band"), col("bv"))
@@ -237,7 +245,11 @@ object StreamOps {
     import graft.pipeline.Similarity
     val fresh = Similarity.ivfIndex(newCorpus, centroids, nprobe, coarseProbe, topProbe)
     fresh.count() // materialize BEFORE releasing the old: no serving gap
-    graft.queries.releaseIndexes(oldCorpus)
+    // except = fresh: when the corpus GROWS (newCorpus = old ∪ delta —
+    // the motivating case) the fresh index's plan CONTAINS the old
+    // corpus, and plan-containment eviction would otherwise retire the
+    // replacement that was just materialized
+    graft.queries.releaseIndexes(oldCorpus, except = Seq(fresh))
     fresh
   }
 

@@ -289,6 +289,31 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(maxDelta <= 0.02, s"asymmetric cos drifts $maxDelta from exact")
   }
 
+  test("refresh keeps the fresh index when the new corpus CONTAINS the old (growth case)") {
+    import graft.pipeline.Similarity
+    import org.apache.spark.storage.StorageLevel
+    val rnd = new scala.util.Random(43)
+    val centers = Seq.fill(4)(Seq.fill(8)(rnd.nextGaussian()))
+    val v1 = (0 until 30).map(i =>
+      (i.toLong, centers(i % 4).map(_ + rnd.nextGaussian() * 0.2))).toDF("vec_id", "v")
+    val delta = (1000 until 1010).map(i =>
+      (i.toLong, centers(i % 4).map(_ + rnd.nextGaussian() * 0.2))).toDF("vec_id", "v")
+    // the motivating scenario: the corpus GROWS, so the new frame's
+    // plan contains the old one — plan-containment eviction must not
+    // retire the replacement that was just materialized
+    val v2 = v1.unionByName(delta)
+    val cents = centers.zipWithIndex.map { case (c, i) => i -> c.toSeq }
+    val idx1 = Similarity.ivfIndex(v1, cents, nprobe = 2)
+    idx1.count()
+    val idx2 = StreamOps.refreshAnnIndex(v1, v2, cents, nprobe = 2)
+    assert(idx2.storageLevel != StorageLevel.NONE,
+           "fresh index built over old ∪ delta must survive the old corpus's release")
+    assert(idx1.storageLevel == StorageLevel.NONE, "the old index must be retired")
+    assert(idx2.filter(col("vec_id") >= 1000L).count() == 10L,
+           "the surviving index serves the grown corpus")
+    graft.queries.releaseIndexes(v2)
+  }
+
   test("month grain matches batch bucketing (derived event-time grouping)") {
     // ~4 calendar months of data, including month-length variation
     // (Feb 29 2024) — months can't be a fixed window() but group on
