@@ -634,6 +634,58 @@ object TextDedup {
     bandedHammingPairs(sh, 64, maxHamming)
   }
 
+  /** Per-ROW 128-bit SimHash (struct hi/lo — see
+    * [[graft.plans.Simhash128]] for the 10¹⁰-doc band-key arithmetic
+    * that motivates the width). Zero-shuffle projection. */
+  def withRowSimhash128(df: DataFrame, textCol: String): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.withColumn("simhash", call_function("simhash128", col(textCol)))
+  }
+
+  /** 128-bit SimHash near-dup pairs: Hamming ≤ `maxHamming` over the
+    * two-long sketch — the band-key rung for 10¹⁰-document corpora
+    * (maxHamming = 3 ⇒ 4 bands × 32-BIT keys ⇒ 4.3B buckets per band;
+    * the 64-bit form's 65,536 buckets saturate there). Same pigeonhole
+    * banding and popcount confirm as the narrower widths; the confirm
+    * sums the popcounts of both halves. Restricted to configurations
+    * whose bands never straddle the hi/lo boundary
+    * (`maxHamming + 1` divides 128 AND the band width divides 64 —
+    * 1/3/7/15/31/63 all qualify), which keeps the band extraction one
+    * shift+mask on a single long in BOTH engines (q85's oracle
+    * replays it). */
+  def simhashNearDupPairs128(df: DataFrame, idCol: String, textCol: String,
+                             maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    require(maxHamming >= 1 && 128 % nBands == 0 && 64 % (128 / nBands) == 0,
+      s"maxHamming + 1 must divide 128 with a band width dividing 64, got $maxHamming")
+    val width = 128 / nBands
+    val mask = if (width >= 64) lit(-1L) else lit((1L << width) - 1)
+    val sh = withRowSimhash128(
+      df.select(col(idCol).as("id"), col(textCol).as("__t"))
+        .filter(trim(col("__t")) =!= ""), "__t")
+      .select(col("id"), col("simhash.hi").as("hi"), col("simhash.lo").as("lo"))
+    val banded = sh.select(col("id"), col("hi"), col("lo"),
+        explode(array((0 until nBands).map { b =>
+          val off = b * width
+          val part = if (off < 64) col("lo") else col("hi")
+          struct(lit(b).as("band"),
+                 shiftright(part, off % 64).bitwiseAND(mask).as("bv"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("hi"), col("lo"), col("bk.band"), col("bk.bv"))
+    val a = banded.select(col("id").as("da"), col("hi").as("ha"), col("lo").as("la"),
+                          col("band"), col("bv"))
+    val b = banded.select(col("id").as("db"), col("hi").as("hb"), col("lo").as("lb"),
+                          col("band"), col("bv"))
+    a.join(b, Seq("band", "bv")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"), col("ha"), col("la"), col("hb"), col("lb"))
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+         bit_count(col("la").bitwiseXOR(col("lb")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("da"), col("db"), col("hamming"))
+  }
+
   /** Candidate volume of the banded simhash self-join WITHOUT running
     * it: Σ over (band, bucket) of n·(n−1)/2 — exactly the pair count
     * the equi-join would generate (before the cross-band distinct), at

@@ -160,6 +160,7 @@ object GraftFunctions {
     "cdc_chunks" -> (exprs => CdcChunks.fromArgs(exprs)),
     "simhash16" -> (exprs => Simhash16(exprs.head)),
     "simhash64" -> (exprs => Simhash64(exprs.head)),
+    "simhash128" -> (exprs => Simhash128(exprs.head)),
     "sq8_encode" -> (exprs => Sq8Encode(exprs.head)),
     "sq8_dot" -> (exprs => Sq8Dot(exprs.head, exprs(1))),
     "sq8_dot_asym" -> (exprs => Sq8DotAsym(exprs.head, exprs(1))))
@@ -248,6 +249,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
          classOf[Simhash64].getName, "simhash64"),
        (exprs: Seq[Expression]) => Simhash64(exprs.head)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash128"),
+       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+         classOf[Simhash128].getName, "simhash128"),
+       (exprs: Seq[Expression]) => Simhash128(exprs.head)))
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("sq8_encode"),
        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

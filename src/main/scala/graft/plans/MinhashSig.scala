@@ -174,6 +174,91 @@ object Simhash64 {
   }
 }
 
+/** Native Catalyst expression: per-document 128-bit SimHash as a
+  * struct<hi: bigint, lo: bigint> — the band-key rung PAST 64 bits.
+  * The arithmetic that forces it: a band self-join's cost is
+  * O(Σ occupancy²) per bucket, and at the brief's own scale (100 TB ≈
+  * 10¹⁰ ~10 KB documents) even the 64-bit sketch's 16-BIT band keys
+  * saturate — 65,536 buckets per band means ~150k docs per bucket.
+  * Hamming ≤ 3 at that corpus size needs 32-bit band keys (4.3B
+  * buckets, occupancy ~2), i.e. 4 bands × 32 bits = a 128-bit sketch.
+  *
+  * Vote rule extends the [[Simhash64]] salted-digest ladder: lanes
+  * 0-63 vote from md5(token) and md5('1'+token) — IDENTICAL to
+  * [[Simhash64]], so `lo` equals the 64-bit sketch by construction
+  * (test-pinned) — and lanes 64-127 from md5('2'+token) and
+  * md5('3'+token) into `hi`. Engine-portable: the q85 oracle replays
+  * all 128 votes from the four md5s in SQL. Zero tokens → (0, 0). */
+case class Simhash128(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash128 requires STRING input, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = Simhash128.schema
+  override def prettyName: String = "simhash128"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Simhash128.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in => s"graft.plans.Simhash128.hash($in)")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash128 =
+    copy(child = newChild)
+}
+
+object Simhash128 {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("hi", LongType, nullable = false),
+    StructField("lo", LongType, nullable = false)))
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Static helper invoked from generated code. Lane j votes from hex
+    * nibble j%32 of digest j/32, digests salted '', '1', '2', '3' —
+    * the first two lanes-groups are exactly [[Simhash64.hash]]'s. */
+  def hash(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val tokens = text.trim().toString.split(" ", -1)
+    val votes = new Array[Int](128)
+    val digest = md5.get()
+    var t = 0
+    while (t < tokens.length) {
+      val tok = tokens(t)
+      if (tok.nonEmpty) {
+        var g = 0
+        while (g < 4) {
+          digest.reset()
+          val in = if (g == 0) tok else g.toString + tok
+          val bytes = digest.digest(in.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var j = 0
+          while (j < 32) {
+            val b = bytes(j / 2) & 0xff
+            val nibble = if (j % 2 == 0) b >>> 4 else b & 0xf
+            votes(g * 32 + j) += (nibble & 1) * 2 - 1
+            j += 1
+          }
+          g += 1
+        }
+      }
+      t += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) lo |= 1L << j; j += 1 }
+    while (j < 128) { if (votes(j) > 0) hi |= 1L << (j - 64); j += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](hi, lo))
+  }
+}
+
 object Simhash16 {
   private val md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

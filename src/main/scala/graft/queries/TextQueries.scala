@@ -681,6 +681,58 @@ object TextQueries {
       |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
       |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
 
+  /** Shared 128-bit simhash CTEs → `sh128(doc_id, hi, lo)` (q85): four
+    * salted digests (md5(t), md5('1'..'3' || t)), 32 nibble-parity
+    * votes each; lanes 0-63 → lo (identical to sh64 by construction),
+    * 64-127 → hi. */
+  private val simhash128Ctes = {
+    val votes = (0 until 128).map { j =>
+      s"sum((instr('0123456789abcdef', substr(h${j / 32}, ${j % 32 + 1}, 1)) - 1) % 2 * 2 - 1) AS v$j"
+    }.mkString(",\n  ")
+    def bits(offset: Int) = (0 until 64).map { k =>
+      val bitLit = if (k == 63) "(-9223372036854775807 - 1)"
+                   else s"(CAST(1 AS BIGINT) << $k)"
+      s"CASE WHEN v${offset + k} > 0 THEN $bitLit ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"""tok128 AS (
+      |  SELECT doc_id, md5(t) AS h0, md5('1' || t) AS h1,
+      |         md5('2' || t) AS h2, md5('3' || t) AS h3 FROM (
+      |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents) x
+      |  WHERE t <> ''),
+      |v128 AS (SELECT doc_id,
+      |  $votes
+      |FROM tok128 GROUP BY 1),
+      |sh128 AS (SELECT doc_id, ${bits(64)} AS hi, ${bits(0)} AS lo FROM v128)""".stripMargin
+  }
+
+  /** q85 — 128-bit SimHash near-dup pairs: Hamming ≤ 3 via 4 bands of
+    * 32-BIT keys — the band-key rung for 10¹⁰-document corpora
+    * ([[TextDedup.simhashNearDupPairs128]]: 4.3B buckets per band
+    * where the 64-bit form's 65,536 saturate). The oracle replays all
+    * 128 votes from the four md5s, the two-long band split, and the
+    * summed popcount confirm. */
+  private def q85(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashNearDupPairs128(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q85Sql =
+    s"""WITH $simhash128Ctes,
+      |banded AS (
+      |  SELECT doc_id, hi, lo, b.band,
+      |         CASE WHEN b.band < 2 THEN (lo >> (b.band * 32)) & 4294967295
+      |              ELSE (hi >> ((b.band - 2) * 32)) & 4294967295 END AS bv
+      |  FROM sh128 CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db,
+      |         a.hi AS ha, a.lo AS la, b2.hi AS hb, b2.lo AS lb
+      |  FROM banded a JOIN banded b2
+      |    ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+      |SELECT da, db,
+      |       CAST(bit_count(xor(ha, hb)) AS BIGINT) +
+      |       CAST(bit_count(xor(la, lb)) AS BIGINT) AS hamming
+      |FROM pairs
+      |WHERE CAST(bit_count(xor(ha, hb)) AS BIGINT) +
+      |      CAST(bit_count(xor(la, lb)) AS BIGINT) <= 3""".stripMargin
+
   /** q75 — deterministic train/val/test split (90/5/5): content-derived
     * hash point (md5, engine-portable), not rand() — assignments are
     * reproducible across runs/engines/partitionings and stable under
@@ -728,6 +780,7 @@ object TextQueries {
     QueryDef("q81_bm25_topk", q81, Some(q81Sql)),
     QueryDef("q82_curate_corpus", q82, Some(q82Sql)),
     QueryDef("q83_contamination", q83, Some(q83Sql)),
-    QueryDef("q84_repetition", q84, Some(q84Sql))
+    QueryDef("q84_repetition", q84, Some(q84Sql)),
+    QueryDef("q85_simhash128_neardup", q85, Some(q85Sql))
   )
 }

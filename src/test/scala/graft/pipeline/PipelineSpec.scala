@@ -158,6 +158,41 @@ class TextDedupSpec extends AnyFunSuite {
     assert(batch(1L) == batch(2L) && batch(1L) != batch(4L))
   }
 
+  test("simhash128: lo half equals simhash64 by construction; banding equals brute force") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the sleepy dog"),
+      (4L, "completely different words appear in this text here"),
+      (5L, "   ")  // token-less: must not join anything
+    ).toDF("doc_id", "text")
+    // lanes 0-63 use the same digests/votes as simhash64 → lo == sh64
+    val s128 = TextDedup.withRowSimhash128(corpus.filter(trim($"text") =!= ""), "text")
+      .select($"doc_id", $"simhash.hi", $"simhash.lo").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val s64 = TextDedup.withRowSimhash64(corpus.filter(trim($"text") =!= ""), "text")
+      .select($"doc_id", $"simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s128.forall { case (id, (_, lo)) => lo == s64(id) },
+           "the 128-bit sketch's low half must equal the 64-bit sketch")
+    // banded pairing equals brute force over (hi, lo) at a wide radius
+    // (maxHamming = 31 → 4 bands of 32: exercises both longs' bands)
+    val got = TextDedup.simhashNearDupPairs128(corpus, "doc_id", "text", maxHamming = 31)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = (for {
+      a <- s128.keys; b <- s128.keys if a < b
+      h = java.lang.Long.bitCount(s128(a)._1 ^ s128(b)._1) +
+          java.lang.Long.bitCount(s128(a)._2 ^ s128(b)._2) if h <= 31
+    } yield (a, b) -> h.toLong).toMap
+    assert(got == want, s"banded 128-bit pairs must equal brute force: $got vs $want")
+    assert(got((1L, 2L)) == 0L)
+    assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L), "token-less doc joins nothing")
+    // invalid configurations (bands would straddle the hi/lo boundary)
+    intercept[IllegalArgumentException] {
+      TextDedup.simhashNearDupPairs128(corpus, "doc_id", "text", maxHamming = 2)
+    }
+  }
+
   test("variable-width band split (non-divisor maxHamming) keeps perfect recall") {
     // maxHamming = 2 over the 16-bit sketch ⇒ 3 bands of widths 6/5/5:
     // the remainder bit is distributed (every bit participates in
