@@ -650,13 +650,18 @@ object TextDedup {
     * sums the popcounts of both halves. Restricted to configurations
     * whose bands never straddle the hi/lo boundary
     * (`maxHamming + 1` divides 128 AND the band width divides 64 —
-    * 1/3/7/15/31/63 all qualify), which keeps the band extraction one
-    * shift+mask on a single long in BOTH engines (q85's oracle
-    * replays it). */
+    * 0/1/3/7/15/31/63 all qualify; 0 bands as 2×64), which keeps the
+    * band extraction one shift+mask on a single long in BOTH engines
+    * (q85's oracle replays it). */
   def simhashNearDupPairs128(df: DataFrame, idCol: String, textCol: String,
                              maxHamming: Int = 3): DataFrame = {
-    val nBands = maxHamming + 1
-    require(maxHamming >= 1 && 128 % nBands == 0 && 64 % (128 / nBands) == 0,
+    // maxHamming = 0 (exact sketch equality) uses 2 bands of 64 — the
+    // pigeonhole still holds (0 errors dirty 0 of 2 bands) and each
+    // band key stays one shift+mask on a single long, so the width
+    // family's API accepts 0 like the 16/64-bit forms do
+    require(maxHamming >= 0, s"maxHamming out of range: $maxHamming")
+    val nBands = if (maxHamming == 0) 2 else maxHamming + 1
+    require(128 % nBands == 0 && 64 % (128 / nBands) == 0,
       s"maxHamming + 1 must divide 128 with a band width dividing 64, got $maxHamming")
     val width = 128 / nBands
     val mask = if (width >= 64) lit(-1L) else lit((1L << width) - 1)
@@ -710,13 +715,16 @@ object TextDedup {
     sh.select(explode(array(bandSplit(col("simhash"), width, maxHamming): _*)).as("bk"))
       .select(col("bk.band"), col("bk.bv"))
       .groupBy("band", "bv").agg(count(lit(1)).as("n"))
-      // n(n−1) is even, so the / 2 (double in Spark SQL) is exact and
-      // the long cast loses nothing below 2^53 pairs per bucket;
-      // coalesce: sum over ZERO buckets (empty/token-less corpus) is
-      // null, and the honest volume there is 0, not an NPE
-      .agg(coalesce(sum((col("n") * (col("n") - 1) / 2).cast("long")), lit(0L))
+      // the per-bucket product runs in DOUBLE: a long n·(n−1) silently
+      // overflows past ~3·10⁹ rows per bucket — exactly the saturated-
+      // band regime this diagnostic exists to expose — while the double
+      // form stays monotone at any occupancy (exact below 2^53 total,
+      // approximate-but-correct-magnitude above; it is a diagnostic,
+      // not an oracle value). coalesce: sum over ZERO buckets (empty/
+      // token-less corpus) is null, and the honest volume there is 0
+      .agg(coalesce(sum(col("n").cast("double") * (col("n") - 1) / 2), lit(0.0))
              .as("cands"))
-      .head().getLong(0)
+      .head().getDouble(0).toLong
   }
 
   /** Padded-text substring occurrence count via `replace` + length

@@ -63,6 +63,18 @@ object Sq8Encode {
     StructField("scale", DoubleType, nullable = false),
     StructField("codes", BinaryType, nullable = false)))
 
+  /** Field-name/type match IGNORING nullability: a persisted SQ8 index
+    * round-tripped through parquet comes back with nullable struct
+    * fields (parquet groups drop the non-null guarantee), and an exact
+    * StructType equality would reject that valid data at analysis. */
+  def schemaMatches(t: DataType): Boolean = t match {
+    case s: StructType =>
+      s.length == schema.length &&
+        s.fields.zip(schema.fields).forall { case (a, b) =>
+          a.name == b.name && a.dataType == b.dataType }
+    case _ => false
+  }
+
   /** Static helper invoked from generated code. */
   def encode(v: ArrayData): InternalRow = {
     val n = v.numElements()
@@ -100,8 +112,7 @@ case class Sq8Dot(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (a: StructType, b: StructType)
-        if a == Sq8Encode.schema && b == Sq8Encode.schema =>
+      case (a, b) if Sq8Encode.schemaMatches(a) && Sq8Encode.schemaMatches(b) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"sq8_dot requires two sq8_encode structs, got ${l.catalogString}, ${r.catalogString}")
@@ -151,7 +162,7 @@ case class Sq8DotAsym(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), b: StructType) if b == Sq8Encode.schema =>
+      case (ArrayType(DoubleType, _), b) if Sq8Encode.schemaMatches(b) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"sq8_dot_asym requires (ARRAY<DOUBLE>, sq8 struct), got ${l.catalogString}, ${r.catalogString}")

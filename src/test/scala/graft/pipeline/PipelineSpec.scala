@@ -191,6 +191,15 @@ class TextDedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextDedup.simhashNearDupPairs128(corpus, "doc_id", "text", maxHamming = 2)
     }
+    // maxHamming = 0 (2 bands of 64): exact sketch equality only —
+    // API-consistent with the 16/64-bit widths, which also accept 0
+    val exact = TextDedup.simhashNearDupPairs128(corpus, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val wantExact = (for {
+      a <- s128.keys; b <- s128.keys if a < b && s128(a) == s128(b)
+    } yield (a, b) -> 0L).toMap
+    assert(exact == wantExact, s"maxHamming=0 must be exact equality: $exact vs $wantExact")
+    assert(exact.contains((1L, 2L)))
   }
 
   test("variable-width band split (non-divisor maxHamming) keeps perfect recall") {
@@ -783,6 +792,31 @@ class SimilaritySpec extends AnyFunSuite {
       v.indices.foreach(i => want += v(i) * (mn + (codes(i) & 0xff) * scale))
       assert(r.getDouble(4) == want, s"asym dot diverges: ${r.getDouble(4)} vs $want")
     }
+  }
+
+  test("sq8 index survives a parquet round-trip (nullable struct fields still score)") {
+    graft.plans.GraftFunctions.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(20)
+    val enc = e.select(col("vec_id"), col("v"),
+                       call_function("sq8_encode", col("v")).as("q8"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8-rt").toString
+    enc.select(col("vec_id"), col("q8")).write.mode("overwrite").parquet(dir)
+    // parquet marks struct fields nullable on read — the dot expressions
+    // must accept the round-tripped schema (name/type match, nullability
+    // ignored) and score identically to the in-memory form
+    val back = spark.read.parquet(dir)
+    val want = enc.select(col("vec_id"),
+        call_function("sq8_dot", col("q8"), col("q8")).as("d"),
+        call_function("sq8_dot_asym", col("v"), col("q8")).as("da"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val got = back.join(e, Seq("vec_id"))
+      .select(col("vec_id"),
+        call_function("sq8_dot", col("q8"), col("q8")).as("d"),
+        call_function("sq8_dot_asym", col("v"), col("q8")).as("da"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got == want, "reloaded sq8 index scores diverge from the in-memory index")
   }
 
   test("sq8-compressed IVF: float-free index schema, recall parity with the float index") {
