@@ -546,13 +546,142 @@ object Similarity extends org.apache.spark.internal.Logging {
 
   def ivfTopK(emb: DataFrame, centroids: Seq[(Int, Seq[Double])], k: Int,
               nprobe: Int = 1, coarseProbe: Int = 0,
-              topProbe: Int = 0): DataFrame = {
+              topProbe: Int = 0): DataFrame =
     // see ivfIndex for the materialization/quantizer rationale; with
     // the hierarchical quantizer, home and probed cells come from the
     // SAME descent, so a neighbor is matched iff its (hier) home cell
     // is among the query's probes — consistent approximation on both
     // sides
-    val celled = ivfIndex(emb, centroids, nprobe, coarseProbe, topProbe)
+    searchTopK(ivfIndex(emb, centroids, nprobe, coarseProbe, topProbe), k)
+
+  /** FRAME-BACKED quantizer — the de-literalized serving path.
+    *
+    * The native `ivf_assign` descent embeds every fine centroid in the
+    * expression tree ([[probeCellsCol]]'s `typedLit`s): the right call
+    * up to ~10⁵ centroids (broadcast-sized task binary), but a hard
+    * O(k) driver/plan ceiling at the k ≈ 5.6M regime the tree growth
+    * rule prescribes for 10⁹-vector corpora — the plan literal and the
+    * driver Seq both scale with k, so the distributed TRAINER could
+    * build what the serving path could not hold. This family removes
+    * that ceiling: only the UPPER levels stay literals (coarse = √k
+    * vectors, plus the ∛k-sized top level when present — both
+    * driver-safe under every growth rule), while the k-sized fine
+    * level lives in a DataFrame and fine scoring runs as a keyed JOIN:
+    *
+    *   route:  explode the best `coarseProbe` coarse groups per row
+    *           (one `ivf_assign` pass over the SMALL literal levels)
+    *   score:  join routed rows against the fine frame on the group
+    *           key — Spark broadcasts the frame while it is small and
+    *           degrades to a shuffle hash join at frame sizes no
+    *           literal could ship
+    *   rank:   window per vec_id by (round-4 cos desc, cid asc),
+    *           keep `nprobe` — EXACTLY the descent's insert order, so
+    *           join-path cells ≡ literal-path cells (test-pinned, and
+    *           q86-q88 run the q65/q70/q74 oracles over this path)
+    *
+    * Shuffle account at scale: routing is map-side; the fine join
+    * shuffles (vec_id, v) once on √k group keys; the rank windows once
+    * on vec_id. That is the price of unbounded k — below the literal
+    * ceiling the embedded-quantizer path stays the cheaper plan, which
+    * is why both exist. */
+  case class IvfFrames(coarse: Seq[Seq[Double]],
+                       top: Seq[Seq[Double]],
+                       topGroups: Seq[Seq[Int]],
+                       fine: DataFrame)
+
+  /** Fine frame (cid, g, cv, cnrm) from driver-side groups — the
+    * norm is precomputed ONCE per centroid (cacheOnce'd with the
+    * frame), not once per joined row pair. */
+  private def fineFrameOf(spark: org.apache.spark.sql.SparkSession,
+                          groups: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val rows = groups.zipWithIndex.flatMap { case (members, g) =>
+      members.map { case (cid, cv) => (cid.toLong, g.toLong, cv) }
+    }
+    graft.queries.cacheOnce(
+      rows.toDF("cid", "g", "cv")
+        .withColumn("cnrm", sqrt(dot(col("cv"), col("cv")))))
+  }
+
+  /** Flat quantizer as frames: one group holding every centroid (the
+    * single-group special case, mirroring [[ivfCellsOf]]). */
+  def framesFlat(spark: org.apache.spark.sql.SparkSession,
+                 centroids: Seq[(Int, Seq[Double])]): IvfFrames = {
+    require(centroids.nonEmpty, "framesFlat needs at least one centroid")
+    IvfFrames(Seq(centroids.head._2), Nil, Nil,
+              fineFrameOf(spark, Seq(centroids)))
+  }
+
+  /** Two-level frames from a driver-built [[CoarseIndex]] (the
+    * oracle/parity bridge: same grouping, same tie rules). */
+  def framesOf(spark: org.apache.spark.sql.SparkSession,
+               index: CoarseIndex): IvfFrames =
+    IvfFrames(index.coarse, Nil, Nil, fineFrameOf(spark, index.groups))
+
+  /** Three-level frames from a driver-built [[TreeIndex]]: top AND
+    * coarse stay literals (∛k + k^(2/3) vectors — still driver-safe),
+    * only the k fine cells move to the frame. */
+  def framesOfTree(spark: org.apache.spark.sql.SparkSession,
+                   index: TreeIndex): IvfFrames =
+    IvfFrames(index.fine.coarse, index.top, index.topGroups,
+              fineFrameOf(spark, index.fine.groups))
+
+  /** Coarse-group routing column: the literal-level descent emitting
+    * the best `coarseProbe` GROUP indices (best first). With a top
+    * level this is the tree's first two passes expressed as the
+    * existing 2-level expression over (top → coarse positions) —
+    * ranking (cos desc, global coarse position asc) at the lower pass,
+    * exactly the 3-level descent's coarse selection. */
+  private def routeGroupsCol(frames: IvfFrames, coarseProbe: Int,
+                             topProbe: Int): Column =
+    if (frames.top.nonEmpty)
+      ivfCellsOfHier(col("v"), col("nrm"),
+        CoarseIndex(frames.top,
+                    frames.topGroups.map(_.map(p => p -> frames.coarse(p)))),
+        nprobe = coarseProbe, coarseProbe = topProbe)
+    else
+      ivfCellsOf(col("v"), col("nrm"),
+                 frames.coarse.zipWithIndex.map { case (cv, g) => g -> cv },
+                 coarseProbe)
+
+  /** Probe cells per vector via the frame join — (vec_id, cells), with
+    * `cells` the best `nprobe` fine cell ids best-first, identical to
+    * the literal descent's output (parity test-pinned). */
+  def ivfCellsJoinFrame(emb: DataFrame, frames: IvfFrames, nprobe: Int,
+                        coarseProbe: Int = 1, topProbe: Int = 1): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    require(nprobe >= 1 && coarseProbe >= 1 && topProbe >= 1,
+            s"nprobe=$nprobe coarseProbe=$coarseProbe topProbe=$topProbe")
+    val routed = withNorm(emb).select(
+      col("vec_id"), col("v"), col("nrm"),
+      explode(routeGroupsCol(frames, coarseProbe, topProbe)).as("g"))
+    val scored = routed.join(frames.fine, Seq("g"))
+      .select(col("vec_id"), col("cid"),
+              round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 4).as("cs"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= nprobe)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("rn"), col("cid")))),
+                     x => x.getField("cid")).as("cells"))
+  }
+
+  /** [[ivfIndex]] built through the frame join — same (vec_id, v, nrm,
+    * cell, cells) shape, cacheOnce'd, so every downstream consumer
+    * (batch top-k, streaming routing, refresh) is path-agnostic. */
+  def ivfIndexJoin(emb: DataFrame, frames: IvfFrames, nprobe: Int = 1,
+                   coarseProbe: Int = 1, topProbe: Int = 1): DataFrame = {
+    val cells = ivfCellsJoinFrame(emb, frames, nprobe, coarseProbe, topProbe)
+    graft.queries.cacheOnce(withNorm(emb)
+      .join(cells, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("v"), col("nrm"),
+              element_at(col("cells"), 1).as("cell"), col("cells")))
+  }
+
+  /** Shared float-index search tail (probe explode → home-cell hash
+    * join → per-query rank) — ONE definition for the literal and frame
+    * index paths, so the two can never desynchronize. */
+  private def searchTopK(celled: DataFrame, k: Int): DataFrame = {
     val a = celled.select(
         col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(col("cells")).as("cell"))
@@ -565,6 +694,135 @@ object Similarity extends org.apache.spark.internal.Logging {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** [[ivfTopK]] over the frame-backed index — the serving path with
+    * no O(k) driver or plan object anywhere. */
+  def ivfTopKJoin(emb: DataFrame, frames: IvfFrames, k: Int, nprobe: Int = 1,
+                  coarseProbe: Int = 1, topProbe: Int = 1): DataFrame =
+    searchTopK(ivfIndexJoin(emb, frames, nprobe, coarseProbe, topProbe), k)
+
+  /** Deterministic local Lloyd over a (small) in-memory vector set —
+    * the per-group trainer of [[buildIvfFramesDistributed]]. Same
+    * semantics family as [[buildCoarseIndex]]'s rounds (init = evenly
+    * spaced inputs, 5 rounds, full-precision cosine with ties to the
+    * lower center, member-order means, empty centers kept), run
+    * SERIALLY because groups already parallelize across executors. */
+  private[pipeline] def localLloyd(vs: IndexedSeq[Seq[Double]],
+                                   kk: Int): IndexedSeq[Seq[Double]] = {
+    require(vs.nonEmpty && kk >= 1 && kk <= vs.length,
+            s"localLloyd needs 1 <= k <= n, got k=$kk n=${vs.length}")
+    def cosSim(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.max(math.sqrt(na) * math.sqrt(nb), 1e-300)
+    }
+    val m = vs.length
+    var centers: IndexedSeq[Seq[Double]] =
+      (0 until kk).map(j => vs(j * m / kk)).toIndexedSeq
+    for (_ <- 0 until 5) {
+      val cur = centers
+      val assign = vs.map(v => (0 until kk).maxBy(c => (cosSim(v, cur(c)), -c)))
+      centers = (0 until kk).map { c =>
+        val members = vs.indices.filter(assign(_) == c)
+        if (members.isEmpty) cur(c)
+        else {
+          val dim = vs.head.length
+          val mean = new Array[Double](dim)
+          members.foreach(i => vs(i).indices.foreach(d => mean(d) += vs(i)(d)))
+          mean.map(_ / members.size).toSeq
+        }
+      }.toIndexedSeq
+    }
+    centers
+  }
+
+  /** DRIVER-FREE distributed index build — corpus → [[IvfFrames]] with
+    * driver memory O(√k) at every step (the escalation
+    * [[buildCoarseIndexDistributed]] could train but the literal path
+    * could not serve, and whose (cid, group) collect was still O(k)):
+    *
+    *  1. train the √k COARSE centers with seeded Spark ML k-means
+    *     (the only collect: √k cluster centers);
+    *  2. route every corpus vector to its home coarse group — one
+    *     map-side `ivf_assign` pass over the √k literal;
+    *  3. per group, train its fine centers with a deterministic local
+    *     Lloyd inside `flatMapGroups` — each group's share is
+    *     proportional to its population (⌈m·k/n⌋ bounded to [1, m]),
+    *     training reads at most `maxTrainPerGroup` members (lowest
+    *     vec_id first — deterministic under any shuffle order), and
+    *     the emitted fine rows (cid = g·k + j, g, center) never touch
+    *     the driver;
+    *  4. drop coarse groups that received no corpus rows (mirroring
+    *     [[buildCoarseIndex]]'s empty-group rule) — the kept-group
+    *     list is ≤ √k, driver-safe.
+    *
+    * Executor-memory bound (documented, not hidden): step 3
+    * materializes one group — n/√k vectors — per task; at n = 10⁹ and
+    * the tree rule's k ≈ 5.6M that is ~420k vectors/task (~220 MB at
+    * 64 dims), within a standard executor. `maxTrainPerGroup` bounds
+    * the LLOYD working set independently of group size. */
+  def buildIvfFramesDistributed(emb: DataFrame, k: Int, seed: Long = 42L,
+                                maxTrainPerGroup: Int = 100000): IvfFrames = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = emb.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    val n = emb.count()
+    require(n > 0, "buildIvfFramesDistributed needs a non-empty corpus")
+    val coarseK = math.max(1, math.min(math.ceil(math.sqrt(k.toDouble)).toInt, k))
+    val coarse = trainCentroids(emb, coarseK, seed).map(_._2)
+    val kL = k.toLong
+    val routed = withNorm(emb).select(
+        col("vec_id").cast("long"),
+        element_at(ivfCellsOf(col("v"), col("nrm"),
+                   coarse.zipWithIndex.map { case (cv, g) => g -> cv }, 1), 1).as("g"),
+        col("v"))
+      .as[(Long, Long, Seq[Double])]
+    val fine0 = routed.groupByKey(_._2).flatMapGroups { (g, it) =>
+      val members = it.toArray.sortBy(_._1)
+      val m = members.length
+      val subK = math.max(1, math.min(m,
+        math.round(m.toDouble * kL / n).toInt))
+      val train = members.iterator.take(maxTrainPerGroup).map(_._3).toIndexedSeq
+      localLloyd(train, math.min(subK, train.length)).zipWithIndex.map {
+        case (cv, j) => (g * kL + j, g, cv)
+      }.iterator
+    }.toDF("cid", "g", "cv")
+    // kept-group rebase: groups with no corpus rows never emitted fine
+    // rows; drop them from the ROUTING literal too (a probe spent on a
+    // memberless group finds nothing) and re-base positions stably —
+    // the same empty-group rule as the driver builder. ≤ √k values.
+    val present = fine0.select(col("g")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val keptCoarse = present.map(g => coarse(g.toInt)).toSeq
+    val fine =
+      if (present.length == coarse.length) fine0
+      else {
+        val pos = present.zipWithIndex.map { case (g, p) => (g, p.toLong) }
+          .toSeq.toDF("g", "gp")
+        fine0.join(broadcast(pos), Seq("g"))
+          .select(col("cid"), col("gp").as("g"), col("cv"))
+      }
+    IvfFrames(keptCoarse, Nil, Nil, graft.queries.cacheOnce(
+      fine.withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))))
+  }
+
+  /** Corpus → served ANN index with NO k-sized driver or plan object
+    * anywhere in the chain: distributed frame build
+    * ([[buildIvfFramesDistributed]]) + frame-join assignment
+    * ([[ivfIndexJoin]]). `k0 = 0` sizes cells by the two-level growth
+    * rule n^(2/3) (the frame path's balance: routing scans the √k
+    * literal, fine scoring joins coarseProbe·√k candidates per row).
+    * Returns (frames, index) — the frames are the reusable quantizer
+    * (batch top-k, streaming routing, refresh all share them). */
+  def ivfIndexAuto(emb: DataFrame, k0: Int = 0, seed: Long = 42L,
+                   nprobe: Int = 1, coarseProbe: Int = 2): (IvfFrames, DataFrame) = {
+    val n = emb.count()
+    val k = if (k0 > 0) k0 else ivfCellCount(n, hierarchical = true)
+    val frames = buildIvfFramesDistributed(emb, k, seed)
+    (frames, ivfIndexJoin(emb, frames, nprobe, coarseProbe))
   }
 
   /** Embedding-cosine near-duplicate pairs (the dedup-family member):

@@ -656,6 +656,101 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"tree recall@3 is $recall")
   }
 
+  test("frame-join assignment equals the literal descent at every quantizer depth") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < 32).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    def literalCells(coarseProbe: Int, topProbe: Int) =
+      Similarity.ivfIndex(e, cents, nprobe = 2, coarseProbe = coarseProbe,
+                          topProbe = topProbe)
+        .select(col("vec_id"), col("cells")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    def joinCells(frames: Similarity.IvfFrames, coarseProbe: Int, topProbe: Int) =
+      Similarity.ivfCellsJoinFrame(e, frames, nprobe = 2,
+                                   coarseProbe = coarseProbe, topProbe = topProbe)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    // flat (single group), two-level, and tree frames must reproduce
+    // the native descent's probe list CELL FOR CELL, order included
+    val flat = joinCells(Similarity.framesFlat(spark, cents), 1, 1)
+    assert(flat == literalCells(0, 0), "flat frame path diverges from literal descent")
+    val hier = joinCells(
+      Similarity.framesOf(spark, Similarity.buildCoarseIndex(cents)), 2, 1)
+    assert(hier == literalCells(2, 0), "hier frame path diverges from literal descent")
+    val tree = joinCells(
+      Similarity.framesOfTree(spark, Similarity.buildTreeIndex(cents)), 2, 2)
+    assert(tree == literalCells(2, 2), "tree frame path diverges from literal descent")
+  }
+
+  test("ivfTopKJoin returns the identical result set to the literal ivfTopK") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < 32).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    val frames = Similarity.framesOf(spark, Similarity.buildCoarseIndex(cents))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+                 r.getAs[Long]("cell"), r.getAs[Double]("cos"),
+                 r.getAs[Int]("rn"))).toSet
+    val want = asSet(Similarity.ivfTopK(e, cents, 3, nprobe = 2, coarseProbe = 2))
+    val got = asSet(Similarity.ivfTopKJoin(e, frames, 3, nprobe = 2, coarseProbe = 2))
+    assert(got == want, "frame-backed top-k diverges from the literal path")
+  }
+
+  test("driver-free frame build: exhaustive probe equals brute force over its own cells") {
+    val rnd = new scala.util.Random(11)
+    val centers = Seq.fill(8)(Seq.fill(16)(rnd.nextGaussian()))
+    val data = (0 until 240).map { i =>
+      (i.toLong, centers(i % 8).map(_ + rnd.nextGaussian() * 0.1))
+    }.toDF("vec_id", "v")
+    val frames = Similarity.buildIvfFramesDistributed(data, k = 16)
+    // structure: groups partition the cells, every group non-empty,
+    // population-proportional shares land near k total
+    val fine = frames.fine.collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("g"), r.getSeq[Double](2).toSeq))
+    assert(fine.nonEmpty && fine.map(_._1).distinct.length == fine.length)
+    val groups = fine.map(_._2).distinct.sorted
+    assert(groups.forall(g => g >= 0 && g < frames.coarse.size))
+    assert((groups.toSet -- (0L until frames.coarse.size.toLong).toSet).isEmpty)
+    assert(math.abs(fine.length - 16) <= frames.coarse.size,
+           s"${fine.length} cells vs k=16 (±coarseK slack)")
+    // exhaustive probing (every group, every cell) must put each vector
+    // in its true global-argmax cell — brute-forced over the collected
+    // fine frame with the same round-4/tie discipline
+    val got = Similarity.ivfCellsJoinFrame(data, frames,
+        nprobe = 1, coarseProbe = frames.coarse.size)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).head).toMap
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = data.collect().map { r =>
+      val v = r.getSeq[Double](1).toSeq
+      r.getLong(0) -> fine.map(f => (f._1, r4(cos(v, f._3))))
+        .minBy { case (cid, cs) => (-cs, cid) }._1
+    }.toMap
+    assert(got == want, "exhaustive frame probe diverges from brute-force argmax")
+  }
+
+  test("ivfIndexAuto: corpus to served index driver-free, recall >= 0.9 on clustered data") {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+    val data = (0 until 320).map { i =>
+      (i.toLong, centers(i % 16).map(_ + rnd.nextGaussian() * 0.15))
+    }.toDF("vec_id", "v")
+    val (frames, index) = Similarity.ivfIndexAuto(data, k0 = 16, nprobe = 2,
+                                                  coarseProbe = 2)
+    assert(index.columns.toSeq == Seq("vec_id", "v", "nrm", "cell", "cells"),
+           s"index shape must match ivfIndex: ${index.columns.mkString(",")}")
+    val truth = exactTop3(data)
+    val got = Similarity.ivfTopKJoin(data, frames, 3, nprobe = 2, coarseProbe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    assert(recall >= 0.9, s"driver-free IVF recall@3 is $recall")
+  }
+
   test("distributed coarse training: valid structure, exhaustive probing equals flat") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
