@@ -187,6 +187,61 @@ object ScaleProbe {
       println(f"recall@3 tree-n34 nprobe=$np coarseProbe=$cp topProbe=$tp (100 queries): ${
         (exact & approx).size / exact.size.toDouble}%.3f")
     }
+
+    // FRAME-VS-LITERAL serving at plan-scale k (the de-literalization
+    // evidence): the literal path ships all k fine centroids through a
+    // typedLit → analysis-time fold → task binary, so its cost grows
+    // with k on the DRIVER/PLAN side; the frame path's plan holds only
+    // the √k coarse literal and joins a k-row frame. Identical descent
+    // semantics (parity test-pinned), so any timing gap is pure plan
+    // machinery. Both sides get the SAME synthetic grouping, built
+    // outside the timers; the literal timer necessarily includes
+    // expression construction — that IS the cost being measured.
+    // args(3) overrides the probed k (0 skips the section).
+    val kProbe = args.drop(3).headOption.map(_.toInt).getOrElse(100000)
+    if (kProbe > 0) {
+      def synth(cid: Int): Seq[Double] = (0 until dim).map(j =>
+        (((cid.toLong * 1315423911L + j * 2654435761L) % 1000 + 1000) % 1000) / 500.0 - 1.0)
+      val coarseKP = math.ceil(math.sqrt(kProbe.toDouble)).toInt
+      val subK = (kProbe + coarseKP - 1) / coarseKP
+      val groupsP = (0 until coarseKP).map(g =>
+        (g * subK until math.min((g + 1) * subK, kProbe)).map(c => c -> synth(c)))
+        .filter(_.nonEmpty)
+      val idxP = Similarity.CoarseIndex(groupsP.indices.map(g => synth(kProbe + g)),
+                                        groupsP)
+      graft.plans.GraftFunctions.register(spark)
+      val nrmC = sqrt(Similarity.dot(col("v"), col("v")))
+      println(s"literal-assign rows: ${time(s"literal hier assign (k=$kProbe)")(
+        vecs.select(col("vec_id"),
+            Similarity.ivfCellsOfHier(col("v"), nrmC, idxP, 1, 2).as("cells"))
+          .count())}")
+      val framesP = Similarity.framesOf(spark, idxP)
+      framesP.fine.count() // index build, outside the serving timer
+      println(s"frame-assign rows: ${time(s"frame-join assign (k=$kProbe)")(
+        Similarity.ivfCellsJoinFrame(vecs, framesP, 1, 2).count())}")
+      // What local[32] CANNOT show: the literal quantizer is a
+      // reference-passed object in one JVM here, but on a cluster it is
+      // the task binary — java-serialized and shipped to EVERY executor
+      // (and resident per JVM). Measure that payload directly; the
+      // frame path ships only the √k coarse literal and moves the k
+      // fine rows as ordinary (columnar, partitioned) shuffle/broadcast
+      // data. THIS, plus driver heap for the nested Seq literal, is the
+      // ceiling the frame path removes — not local wall-clock, where
+      // the in-JVM literal stays cheaper (measured above, by design).
+      val q = graft.plans.IvfAssign.Quantizer(
+        idxP.coarse.map(_.toArray).toArray,
+        idxP.groups.map(_.map(_._2.toArray).toArray).toArray,
+        idxP.groups.map(_.map(_._1).toArray).toArray, 1, 2)
+      val t0 = System.nanoTime()
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(q); oos.close()
+      val serS = (System.nanoTime() - t0) / 1e9
+      val coarseBytes = idxP.coarse.size * dim * 8
+      println(f"literal task payload (k=$kProbe): ${bos.size / 1048576.0}%.1f MB, " +
+              f"serialized in $serS%.2f s (ships per executor); " +
+              f"frame-path plan literal: ${coarseBytes / 1024.0}%.1f KB coarse only")
+    }
     spark.stop()
   }
 }

@@ -193,6 +193,34 @@ object TextDedup {
       .select(df.columns.map(col).toSeq ++ sigCols: _*)
   }
 
+  /** Materialized MinHash BAND INDEX of a corpus — the static side of
+    * streaming near-dup routing ([[graft.streaming.StreamOps
+    * .streamingNearDupCandidates]]), built from the per-row signature
+    * (zero shuffle — parity with the batch groupBy signature is
+    * test-pinned) and cacheOnce'd like every other corpus index (one
+    * entry per (corpus, params); release via
+    * `graft.queries.releaseIndexes(corpus)` or swap via
+    * [[graft.streaming.StreamOps.refreshMinhashIndex]]). Docs with
+    * fewer than 2 words have null signatures → null band hashes; they
+    * are dropped here (they can never match) rather than carried as
+    * join-dead rows. */
+  def minhashBandIndex(df: DataFrame, idCol: String, textCol: String,
+                       nHashes: Int, bandSize: Int,
+                       exclude: Seq[String] = Nil): DataFrame = {
+    val signed = withRowMinhashSignature(
+      df.select(col(idCol).as("id"), col(textCol).as("__t")), "__t", nHashes, exclude)
+    graft.queries.cacheOnce(
+      lshBands(signed, nHashes, bandSize).filter(col("band").isNotNull))
+  }
+
+  /** Materialized 64-bit SimHash band index — [[simhash64Bands]]
+    * cacheOnce'd, the static side of
+    * [[graft.streaming.StreamOps.streamingSimhashCandidates]] with the
+    * same lifecycle contract as [[minhashBandIndex]]. */
+  def simhash64BandIndex(df: DataFrame, idCol: String, textCol: String,
+                         maxHamming: Int = 3): DataFrame =
+    graft.queries.cacheOnce(simhash64Bands(df, idCol, textCol, maxHamming))
+
   /** Content-defined chunk table: one row per CDC chunk —
     * (doc_id, chunk_idx, chunk_start, chunk_len, chunk_hash) — via the
     * native [[graft.plans.CdcChunks]] expression (boundary rationale

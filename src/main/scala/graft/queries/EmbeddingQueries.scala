@@ -377,6 +377,44 @@ object EmbeddingQueries {
       |SELECT query_id, neighbor_id, cos, rn FROM ranked WHERE rn <= 5""".stripMargin
   }
 
+  /** q86-q88 — the FRAME-BACKED (de-literalized) serving path under
+    * the UNCHANGED q65/q70/q74 oracles: same centroids, same descent
+    * semantics, but fine-cell assignment runs as the routed frame JOIN
+    * ([[Similarity.ivfCellsJoinFrame]]) instead of the embedded-literal
+    * expression — so the path that scales past the ~10⁵-centroid plan
+    * ceiling itself sits under the hash oracle at every quantizer
+    * depth. A divergence between the two assignment paths would show
+    * here as a hash mismatch against the SAME SQL. */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = e.filter(col("vec_id") < 32).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    Similarity.ivfTopKJoin(e, Similarity.framesFlat(s, cents), 3,
+                           nprobe = 2, coarseProbe = 1)
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("cos"),
+              col("rn").cast("long").as("rn"))
+  }
+
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = e.filter(col("vec_id") < 32).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    Similarity.ivfTopKJoin(e, Similarity.framesOf(s, Similarity.buildCoarseIndex(cents)),
+                           3, nprobe = 2, coarseProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("cos"),
+              col("rn").cast("long").as("rn"))
+  }
+
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = e.filter(col("vec_id") < 32).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    Similarity.ivfTopKJoin(e, Similarity.framesOfTree(s, Similarity.buildTreeIndex(cents)),
+                           3, nprobe = 2, coarseProbe = 2, topProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("cos"),
+              col("rn").cast("long").as("rn"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q59_cosine_topk", q59, Some(q59Sql)),
     QueryDef("q79_sq8_topk", q79, Some(q79Sql)),
@@ -384,6 +422,9 @@ object EmbeddingQueries {
     QueryDef("q64_embedding_neardup", q64, Some(q64Sql)),
     QueryDef("q65_ivf_ann", q65, Some(q65Sql)),
     QueryDef("q70_ivf_hier_ann", q70, Some(q70Sql)),
-    QueryDef("q74_ivf_tree_ann", q74, Some(q74Sql))
+    QueryDef("q74_ivf_tree_ann", q74, Some(q74Sql)),
+    QueryDef("q86_ivf_ann_frames", q86, Some(q65Sql)),
+    QueryDef("q87_ivf_hier_frames", q87, Some(q70Sql)),
+    QueryDef("q88_ivf_tree_frames", q88, Some(q74Sql))
   )
 }

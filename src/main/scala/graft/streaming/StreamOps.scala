@@ -253,6 +253,43 @@ object StreamOps {
     fresh
   }
 
+  /** Rebuild-and-swap for the TEXT band indexes — the same blue/green
+    * contract as [[refreshAnnIndex]] applied to the static side of
+    * MinHash routing. The growing-corpus case is MORE common for text
+    * ingest than for embeddings (a crawl's corpus only grows), and the
+    * same two hazards apply: plan-containment eviction would retire a
+    * fresh index built over `old ∪ delta` without the `except` rule,
+    * and un-released retired indexes accumulate one CacheManager entry
+    * per corpus version forever. Build + MATERIALIZE first, then
+    * retire everything derived from the old corpus, then start the new
+    * routing query — no serving gap, `cachedIndexCount` flat across
+    * cycles (test-pinned). `exclude` must be the frequent-shingle set
+    * the NEW corpus's signatures should prune with. */
+  def refreshMinhashIndex(oldCorpus: DataFrame, newCorpus: DataFrame,
+                          idCol: String, textCol: String,
+                          nHashes: Int, bandSize: Int,
+                          exclude: Seq[String] = Nil): DataFrame = {
+    import graft.pipeline.TextDedup
+    val fresh = TextDedup.minhashBandIndex(newCorpus, idCol, textCol,
+                                           nHashes, bandSize, exclude)
+    fresh.count() // materialize BEFORE releasing the old: no serving gap
+    graft.queries.releaseIndexes(oldCorpus, except = Seq(fresh))
+    fresh
+  }
+
+  /** [[refreshMinhashIndex]] for the 64-bit SimHash band index
+    * ([[graft.pipeline.TextDedup.simhash64BandIndex]]) — the static
+    * side of [[streamingSimhashCandidates]]. */
+  def refreshSimhashIndex(oldCorpus: DataFrame, newCorpus: DataFrame,
+                          idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    import graft.pipeline.TextDedup
+    val fresh = TextDedup.simhash64BandIndex(newCorpus, idCol, textCol, maxHamming)
+    fresh.count()
+    graft.queries.releaseIndexes(oldCorpus, except = Seq(fresh))
+    fresh
+  }
+
   /** Streaming ANN routing against the SQ8-COMPRESSED corpus index
     * ([[graft.pipeline.Similarity.ivfIndexSq8]]): identical shape to
     * [[streamingAnnCandidates]], but the static side holds only 8-bit

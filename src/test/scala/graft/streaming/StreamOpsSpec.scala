@@ -250,6 +250,108 @@ class StreamOpsSpec extends AnyFunSuite {
     graft.queries.releaseIndexes(v3)
   }
 
+  test("text index refresh: minhash routing follows the fresh index, cache count flat") {
+    import graft.pipeline.TextDedup
+    val vocab = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+    val rnd = new scala.util.Random(43)
+    // one fixed text set shared by every corpus version, so the same
+    // probe stream routes in every cycle (ids distinguish the version)
+    val texts = (0 until 30).map(_ =>
+      Seq.fill(10)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    def corpus(idBase: Long) =
+      texts.zipWithIndex.map { case (t, i) => (idBase + i, t) }.toDF("doc_id", "text")
+    val v1 = corpus(0L)
+    val v2 = v1.unionByName(corpus(1000L)) // GROWING corpus: v2 ⊇ v1 (except-rule case)
+    val v3 = corpus(2000L)
+    val probes = texts.take(8).zipWithIndex
+      .map { case (t, i) => (9000L + i, t) }.toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-text-refresh").toString
+    probes.write.mode("overwrite").parquet(dir)
+
+    def routedAgainst(index: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val stream = spark.readStream.schema(probes.schema).parquet(dir)
+      val name = s"text_refresh_${System.nanoTime()}"
+      val q = StreamOps.streamingNearDupCandidates(stream, "doc_id", "text", index, 16, 2)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        spark.table(name).collect().map(_.getLong(1)).toSet
+      } finally q.stop()
+    }
+
+    val idx1 = TextDedup.minhashBandIndex(v1, "doc_id", "text", 16, 2)
+    idx1.count()
+    val n1 = graft.queries.cachedIndexCount
+    val got1 = routedAgainst(idx1)
+    assert(got1.nonEmpty && got1.forall(id => id >= 0L && id < 1000L),
+           s"cycle 1 must route against corpus v1 only: $got1")
+
+    // v1 -> v2 (growth): the fresh index's plan CONTAINS v1, so the
+    // except rule is what keeps it alive through the old release
+    val idx2 = StreamOps.refreshMinhashIndex(v1, v2, "doc_id", "text", 16, 2)
+    assert(graft.queries.cachedIndexCount == n1,
+           "refresh must retire exactly the old corpus's index entries")
+    assert(idx1.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+           "the old band index must be retired")
+    val got2 = routedAgainst(idx2)
+    assert(got2.exists(_ >= 1000L) && got2.exists(_ < 1000L),
+           s"cycle 2 must route against old AND delta docs of v2: $got2")
+
+    // v2 -> v3: flat across arbitrarily many cycles
+    val idx3 = StreamOps.refreshMinhashIndex(v2, v3, "doc_id", "text", 16, 2)
+    assert(graft.queries.cachedIndexCount == n1,
+           "cache count must stay flat across refresh cycles")
+    val got3 = routedAgainst(idx3)
+    assert(got3.nonEmpty && got3.forall(_ >= 2000L),
+           s"cycle 3 must route against corpus v3 only: $got3")
+    graft.queries.releaseIndexes(v3)
+  }
+
+  test("text index refresh: simhash routing follows the fresh index across versions") {
+    import graft.pipeline.TextDedup
+    val vocab = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+    val rnd = new scala.util.Random(47)
+    val texts = (0 until 20).map(_ =>
+      Seq.fill(10)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    def corpus(idBase: Long) =
+      texts.zipWithIndex.map { case (t, i) => (idBase + i, t) }.toDF("doc_id", "text")
+    val v1 = corpus(0L)
+    val v2 = v1.unionByName(corpus(1000L))
+    val probes = texts.take(6).zipWithIndex
+      .map { case (t, i) => (9000L + i, t) }.toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-simhash-refresh").toString
+    probes.write.mode("overwrite").parquet(dir)
+
+    def routedAgainst(index: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val stream = spark.readStream.schema(probes.schema).parquet(dir)
+      val name = s"sh_refresh_${System.nanoTime()}"
+      val q = StreamOps.streamingSimhashCandidates(stream, "doc_id", "text", index)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        spark.table(name).collect().map(_.getLong(1)).toSet
+      } finally q.stop()
+    }
+
+    val idx1 = TextDedup.simhash64BandIndex(v1, "doc_id", "text")
+    idx1.count()
+    val n1 = graft.queries.cachedIndexCount
+    val got1 = routedAgainst(idx1)
+    // probes replay corpus texts exactly → hamming-0 matches guaranteed
+    assert(got1.nonEmpty && got1.forall(id => id >= 0L && id < 1000L),
+           s"cycle 1 must route against corpus v1 only: $got1")
+
+    val idx2 = StreamOps.refreshSimhashIndex(v1, v2, "doc_id", "text")
+    assert(graft.queries.cachedIndexCount == n1,
+           "simhash refresh must keep the cache count flat")
+    assert(idx1.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+           "the old simhash band index must be retired")
+    val got2 = routedAgainst(idx2)
+    assert(got2.exists(_ >= 1000L) && got2.exists(_ < 1000L),
+           s"cycle 2 must route against old AND delta docs of v2: $got2")
+    graft.queries.releaseIndexes(v2)
+  }
+
   test("streaming sq8 ANN routing matches its batch application (asymmetric scoring)") {
     import graft.pipeline.Similarity
     val rnd = new scala.util.Random(37)
