@@ -242,6 +242,54 @@ object ScaleProbe {
               f"serialized in $serS%.2f s (ships per executor); " +
               f"frame-path plan literal: ${coarseBytes / 1024.0}%.1f KB coarse only")
     }
+
+    // DRIVER-FREE pipeline at this decade: corpus → trained frames →
+    // served index with NO k-sized driver object anywhere (seeded
+    // k-means coarse, per-group distributed Lloyd, frame-join
+    // assignment). The timer covers the whole build + full-corpus
+    // assignment; driver memory stays O(√k) by construction, so the
+    // row that matters is that this completes at decades where the
+    // literal quantizer would be a multi-GB plan object.
+    val kAuto = Similarity.ivfCellCount(nVecs, hierarchical = true)
+    val (framesA, idxA) = Similarity.ivfIndexAuto(vecs, nprobe = 1, coarseProbe = 2)
+    println(s"auto-index rows: ${time(s"ivfIndexAuto (driver-free, k=$kAuto)")(
+      idxA.count())} (fine cells: ${framesA.fine.count()}, " +
+      s"coarse literal: ${framesA.coarse.size})")
+    spark.stop()
+  }
+}
+
+/** Standalone decade probe for the DRIVER-FREE index build: corpus →
+  * [[graft.pipeline.Similarity.ivfIndexAuto]] at sizes where the rest
+  * of ScaleProbe's ANN suite would dominate the wall-clock. Usage:
+  * runMain graft.ScaleProbeAuto [nVecs] [k0] — k0 = 0 uses the 2-level
+  * growth rule; pass the tree rule's n^(3/4) (≈ 70k at 2.5M vecs) to
+  * exercise the regime the distributed trainer exists for. */
+object ScaleProbeAuto {
+  def main(args: Array[String]): Unit = {
+    val nVecs = args.headOption.map(_.toInt).getOrElse(2500000)
+    val k0 = args.drop(1).headOption.map(_.toInt).getOrElse(0)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dim = 16
+    val vecs = spark.range(nVecs.toLong).select(
+      col("id").as("vec_id"),
+      array((0 until dim).map(j =>
+        (pmod(hash(col("id") * 131 + j), lit(1000)).cast("double") / 500.0 - 1.0)): _*).as("v"))
+      .cache()
+    vecs.count()
+    val k = if (k0 > 0) k0 else Similarity.ivfCellCount(nVecs, hierarchical = true)
+    val t0 = System.nanoTime()
+    val (frames, idx) = Similarity.ivfIndexAuto(vecs, k0 = k, nprobe = 1, coarseProbe = 2)
+    val rows = idx.count()
+    println(f"ivfIndexAuto n=$nVecs k=$k: ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+            s"$rows rows indexed, ${frames.fine.count()} fine cells, " +
+            s"${frames.coarse.size} coarse (driver-held) centers")
     spark.stop()
   }
 }

@@ -89,6 +89,95 @@ object Similarity extends org.apache.spark.internal.Logging {
     joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Train PQ codebooks ([[graft.plans.PqOps]]): per subspace, seeded
+    * Spark ML k-means over the corpus' sub-vector slices. The result
+    * is ksub·dim doubles (~128 KB at dim 64 / ksub 256) — plan-literal
+    * and driver safe at ANY corpus size, which is what makes PQ the
+    * rung past SQ8: the training is data-adaptive but the artifact
+    * stays tiny. `m` must tile the dimension exactly. */
+  def trainPqCodebooks(emb: DataFrame, m: Int, ksub: Int,
+                       seed: Long = 42L): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && ksub >= 1 && ksub <= 256, s"pq m=$m ksub=$ksub")
+    val dim = emb.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide the dimension $dim")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      val sub = emb.select(slice(col("v"), s * dsub + 1, dsub).as("v"))
+      trainCentroids(sub, ksub, seed + s).map(_._2)
+    }
+  }
+
+  /** PQ-compressed exact-scan top-k — [[sq8TopK]]'s shape over `m`-byte
+    * product-quantization codes (~64× smaller than float64 at dim 64 /
+    * m 8 vs SQ8's 6.4×). Scoring is the symmetric table form
+    * ([[graft.plans.PqDot]]); `nrm` is the reconstruction's norm so
+    * cosines are internally consistent, and the float column is gone
+    * from the index after encode. `codebooks` come from
+    * [[trainPqCodebooks]] (production) or a fixed sample (the q89
+    * oracle replays the fixed-codebook form in SQL). */
+  def pqTopK(emb: DataFrame, queryPred: Column, k: Int,
+             codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val cbLit = typedLit(codebooks)
+    val enc = graft.queries.cacheOnce(
+      emb.select(col("vec_id"),
+                 call_function("pq_encode", col("v"), cbLit).as("pqc"))
+        .withColumn("nrm", sqrt(call_function("pq_dot", col("pqc"), col("pqc"), cbLit))))
+    val q = enc.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("pqc").as("qpq"), col("nrm").as("qn"))
+    val joined = broadcast(q).crossJoin(enc.select(col("vec_id"), col("pqc"), col("nrm")))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              round(call_function("pq_dot", col("qpq"), col("pqc"), cbLit) /
+                    (col("qn") * col("nrm")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** PQ-compressed IVF index — [[ivfIndexSq8]] with the codes swapped
+    * for PQ: cell assignment still runs on the exact floats (partition
+    * quality unchanged), the cache holds (m-byte code, cells, norm). */
+  def ivfIndexPq(emb: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                 codebooks: Seq[Seq[Seq[Double]]], nprobe: Int = 1,
+                 coarseProbe: Int = 0, topProbe: Int = 0): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    require(centroids.nonEmpty, "ivfIndexPq needs at least one centroid")
+    val cbLit = typedLit(codebooks)
+    val probeCells = probeCellsFor(centroids, nprobe, coarseProbe, topProbe)
+    graft.queries.cacheOnce(withNorm(emb).select(
+      col("vec_id"), call_function("pq_encode", col("v"), cbLit).as("pqc"),
+      element_at(probeCells, 1).as("cell"),
+      probeCells.as("cells"))
+      .withColumn("nrm", sqrt(call_function("pq_dot", col("pqc"), col("pqc"), cbLit))))
+  }
+
+  /** [[ivfTopK]] over the PQ-compressed index (IVF-PQ — the FAISS
+    * IVFPQ composition): identical candidate generation to the float
+    * and SQ8 forms (same cells, assigned on exact floats), scores from
+    * the symmetric code tables. Recall-vs-float parity on clustered
+    * data and the ~64× memory ratio are test-pinned. */
+  def ivfTopKPq(emb: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                codebooks: Seq[Seq[Seq[Double]]], k: Int, nprobe: Int = 1,
+                coarseProbe: Int = 0, topProbe: Int = 0): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val cbLit = typedLit(codebooks)
+    val celled = ivfIndexPq(emb, centroids, codebooks, nprobe, coarseProbe, topProbe)
+    val a = celled.select(
+        col("vec_id").as("query_id"), col("pqc").as("qpq"), col("nrm").as("qn"),
+        explode(col("cells")).as("cell"))
+    val b = celled.select(col("vec_id").as("neighbor_id"), col("pqc"), col("nrm"),
+                          col("cell"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+              round(call_function("pq_dot", col("qpq"), col("pqc"), cbLit) /
+                    (col("qn") * col("nrm")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Sign-pattern LSH bucket id from the given projection vectors. */
   def bucketOf(v: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>

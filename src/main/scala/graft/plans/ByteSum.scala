@@ -163,7 +163,10 @@ object GraftFunctions {
     "simhash128" -> (exprs => Simhash128(exprs.head)),
     "sq8_encode" -> (exprs => Sq8Encode(exprs.head)),
     "sq8_dot" -> (exprs => Sq8Dot(exprs.head, exprs(1))),
-    "sq8_dot_asym" -> (exprs => Sq8DotAsym(exprs.head, exprs(1))))
+    "sq8_dot_asym" -> (exprs => Sq8DotAsym(exprs.head, exprs(1))),
+    "pq_encode" -> (exprs => PqOps.encodeFromArgs(exprs)),
+    "pq_dot" -> (exprs => PqOps.dotFromArgs(exprs)),
+    "pq_dot_asym" -> (exprs => PqOps.dotAsymFromArgs(exprs)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -269,6 +272,21 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
          classOf[Sq8DotAsym].getName, "sq8_dot_asym"),
        (exprs: Seq[Expression]) => Sq8DotAsym(exprs.head, exprs(1))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("pq_encode"),
+       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+         classOf[PqEncode].getName, "pq_encode"),
+       (exprs: Seq[Expression]) => PqOps.encodeFromArgs(exprs)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("pq_dot"),
+       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+         classOf[PqDot].getName, "pq_dot"),
+       (exprs: Seq[Expression]) => PqOps.dotFromArgs(exprs)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("pq_dot_asym"),
+       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+         classOf[PqDotAsym].getName, "pq_dot_asym"),
+       (exprs: Seq[Expression]) => PqOps.dotAsymFromArgs(exprs)))
     ext.injectOptimizerRule(_ => FrameLimitRule)
   }
 }

@@ -377,6 +377,77 @@ object EmbeddingQueries {
       |SELECT query_id, neighbor_id, cos, rn FROM ranked WHERE rn <= 5""".stripMargin
   }
 
+  /** q89 — PQ-compressed exact-scan top-5 (q79's shape over PRODUCT
+    * quantization): m = 4 subspaces of 16 dims, FIXED codebooks = the
+    * sub-slices of corpus vectors 0-15 (deterministic, like q65's
+    * sample centroids — k-means training is not DuckDB-expressible,
+    * but encode/score/rank plumbing is identical for any codebook
+    * source). The oracle replays the whole path in SQL: per-subspace
+    * argmin by sequential-fold squared L2 (ties to the lowest codebook
+    * index), then the SYMMETRIC table score — per-subspace centroid
+    * dots summed IN SUBSPACE ORDER (`list_sum(list(d ORDER BY m))`),
+    * the exact float grouping of [[graft.plans.PqDot]] — then q59's
+    * round/rank discipline. Hash-matching pins the trained-codebook
+    * production form's arithmetic end to end. */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val base = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val cb = (0 until 4).map(sp => base.map(_.slice(sp * 16, sp * 16 + 16)))
+    Similarity.pqTopK(e, col("vec_id") < 5, 5, cb)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+              col("rn").cast("long").as("rn"))
+  }
+
+  private val q89Sql = {
+    // sub-vector slice s (0-based) of a 64-dim list, 16 dims each
+    def sliceOf(v: String): String = s"$v[(sp.s * 16 + 1):(sp.s * 16 + 16)]"
+    val l2 = "list_sum(list_transform(generate_series(1, 16), " +
+             "i -> (sv[i] - cv[i]) * (sv[i] - cv[i])))"
+    val dot16 = "list_sum(list_transform(generate_series(1, 16), i -> a.cv[i] * b.cv[i]))"
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sp AS (SELECT unnest(generate_series(0, 3)) AS s),
+      |cbk AS MATERIALIZED (
+      |  SELECT sp.s, e0.vec_id AS j, ${sliceOf("e0.v")} AS cv
+      |  FROM e0 CROSS JOIN sp WHERE e0.vec_id < 16),
+      |dists AS (
+      |  SELECT x.vec_id, x.s, x.j, $l2 AS d FROM (
+      |    SELECT e0.vec_id, sp.s, c.j, ${sliceOf("e0.v")} AS sv, c.cv
+      |    FROM e0 CROSS JOIN sp JOIN cbk c ON c.s = sp.s) x),
+      |enc AS MATERIALIZED (
+      |  SELECT vec_id, s, j FROM (
+      |    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s
+      |                                            ORDER BY d, j) AS rn
+      |    FROM dists) y WHERE rn = 1),
+      |-- chosen centroid per (vec, subspace); norms and pair scores sum
+      |-- per-subspace dots IN SUBSPACE ORDER (PqDot's float grouping)
+      |chosen AS MATERIALIZED (
+      |  SELECT e.vec_id, e.s, c.cv FROM enc e JOIN cbk c ON c.s = e.s AND c.j = e.j),
+      |nrm AS MATERIALIZED (
+      |  SELECT a.vec_id, sqrt(list_sum(list(d ORDER BY s))) AS nrm FROM (
+      |    SELECT a.vec_id, a.s AS s, $dot16 AS d
+      |    FROM chosen a JOIN chosen b ON a.vec_id = b.vec_id AND a.s = b.s) a
+      |  GROUP BY a.vec_id),
+      |pairdots AS (
+      |  SELECT query_id, neighbor_id, list_sum(list(d ORDER BY s)) AS dt FROM (
+      |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.s AS s, $dot16 AS d
+      |    FROM chosen a JOIN chosen b ON a.s = b.s
+      |    WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id) x
+      |  GROUP BY query_id, neighbor_id),
+      |pairs AS (
+      |  SELECT p.query_id, p.neighbor_id,
+      |         round(p.dt / (qa.nrm * nb.nrm), 4) AS cos
+      |  FROM pairdots p
+      |  JOIN nrm qa ON qa.vec_id = p.query_id
+      |  JOIN nrm nb ON nb.vec_id = p.neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cos DESC, neighbor_id) AS rn
+      |  FROM pairs)
+      |SELECT query_id, neighbor_id, cos, rn FROM ranked WHERE rn <= 5""".stripMargin
+  }
+
   /** q86-q88 — the FRAME-BACKED (de-literalized) serving path under
     * the UNCHANGED q65/q70/q74 oracles: same centroids, same descent
     * semantics, but fine-cell assignment runs as the routed frame JOIN
@@ -425,6 +496,7 @@ object EmbeddingQueries {
     QueryDef("q74_ivf_tree_ann", q74, Some(q74Sql)),
     QueryDef("q86_ivf_ann_frames", q86, Some(q65Sql)),
     QueryDef("q87_ivf_hier_frames", q87, Some(q70Sql)),
-    QueryDef("q88_ivf_tree_frames", q88, Some(q74Sql))
+    QueryDef("q88_ivf_tree_frames", q88, Some(q74Sql)),
+    QueryDef("q89_pq_topk", q89, Some(q89Sql))
   )
 }

@@ -948,6 +948,98 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"sq8 recall@3 is $recall vs exact")
   }
 
+  test("pq encode/score: asym is bit-exact vs reconstruction, sym matches its grouping") {
+    graft.plans.GraftFunctions.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(40)
+    // fixed codebooks: sub-slices of the first 16 vectors (m=4, dsub=16)
+    val base = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val cb = (0 until 4).map(s => base.map(_.slice(s * 16, s * 16 + 16)))
+    val cbLit = typedLit(cb)
+    val rows = e.select(col("v"),
+        call_function("pq_encode", col("v"), cbLit).as("pqc"))
+      .select(col("v"), col("pqc"),
+        call_function("pq_dot", col("pqc"), col("pqc"), cbLit).as("sym"),
+        call_function("pq_dot_asym", col("v"), col("pqc"), cbLit).as("asym"))
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val v = r.getSeq[Double](0)
+      val codes = r.getAs[Array[Byte]](1).map(_ & 0xff)
+      assert(codes.length == 4, "one byte per subspace")
+      // brute-force the encode rule: nearest sub-centroid by L2, tie low
+      val wantCodes = (0 until 4).map { s =>
+        val sub = v.slice(s * 16, s * 16 + 16)
+        cb(s).zipWithIndex.minBy { case (c, j) =>
+          (sub.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, j) }._2
+      }
+      assert(codes.toSeq == wantCodes, s"encode diverges: ${codes.toSeq} vs $wantCodes")
+      // asym: ONE continuous accumulator over the reconstruction —
+      // must be BIT-identical to the manual in-order fold
+      var asymWant = 0.0
+      (0 until 4).foreach { s =>
+        val c = cb(s)(codes(s))
+        (0 until 16).foreach(d => asymWant += v(s * 16 + d) * c(d))
+      }
+      assert(r.getDouble(3) == asymWant, s"asym ${r.getDouble(3)} != $asymWant")
+      // sym: per-subspace partials summed in subspace order
+      var symWant = 0.0
+      (0 until 4).foreach { s =>
+        val c = cb(s)(codes(s))
+        var part = 0.0
+        (0 until 16).foreach(d => part += c(d) * c(d))
+        symWant += part
+      }
+      assert(r.getDouble(2) == symWant, s"sym ${r.getDouble(2)} != $symWant")
+    }
+  }
+
+  test("pq fails loudly on dimension mismatch and oversized codebooks") {
+    intercept[IllegalArgumentException] {
+      graft.plans.PqOps.Codebooks(Array.fill(2)(Array.fill(300)(Array(0.0))))
+    }
+    graft.plans.GraftFunctions.register(spark)
+    val cb = Seq(Seq(Seq(1.0, 0.0)), Seq(Seq(0.0, 1.0))) // expects dim 4
+    val bad = Seq((0L, Seq(1.0, 0.0))).toDF("vec_id", "v")
+    val e = intercept[Exception] {
+      bad.select(call_function("pq_encode", col("v"), typedLit(cb))).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("codebooks expect"), msgs(e).take(300))
+  }
+
+  test("ivf-pq: float-free m-byte index, recall near the float index on clustered data") {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+    val data = (0 until 320).map { i =>
+      (i.toLong, centers(i % 16).map(_ + rnd.nextGaussian() * 0.15))
+    }.toDF("vec_id", "v")
+    val cents = Similarity.trainCentroids(data, k = 16)
+    val cb = Similarity.trainPqCodebooks(data, m = 8, ksub = 16)
+    val idx = Similarity.ivfIndexPq(data, cents, cb, nprobe = 2)
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, BinaryType}
+    assert(!idx.schema.fields.exists(f => f.dataType == ArrayType(DoubleType, false) ||
+                                          f.dataType == ArrayType(DoubleType, true)),
+           s"pq index must not carry the float column: ${idx.schema.simpleString}")
+    assert(idx.schema("pqc").dataType == BinaryType)
+    // memory ratio: m bytes of codes vs dim float64s — the codebook is
+    // shared (ksub·dim doubles, amortized over the corpus), so the
+    // per-vector ratio is dim·8 / m = 64× here
+    val codeBytes = idx.select(length(col("pqc"))).head().getInt(0)
+    assert(codeBytes == 8, s"expected m=8 code bytes, got $codeBytes")
+    assert(64 * 8 / codeBytes >= 32, "per-vector compression below the PQ point")
+    val truth = exactTop3(data)
+    val got = Similarity.ivfTopKPq(data, cents, cb, 3, nprobe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    // 8 bytes/vector is far lossier than SQ8's 64 — the bar reflects
+    // rank fidelity on clustered data, not near-exactness
+    assert(recall >= 0.8, s"ivf-pq recall@3 is $recall")
+  }
+
   test("ivfProbeConfig holds recall >= 0.9 at every quantizer depth from one fraction") {
     // the probed-corpus-fraction invariant: one fraction (1/8), three
     // depths — the returned knobs must hit the same recall bar the
