@@ -529,8 +529,9 @@ object TextQueries {
           .filter(trim(col("text")) =!= ""), "text")
       .select(col("doc_id"), col("simhash").cast("long").as("simhash"))
 
-  /** Shared simhash CTEs → `sh(doc_id, simhash)` (q58 and q76). */
-  private val simhashCtes = {
+  /** Shared simhash CTEs → `sh(doc_id, simhash)` (q58, q76, q92 over
+    * the multibyte union via `src`). */
+  private def simhashCtesFrom(src: String): String = {
     val votes = (0 until 16).map { j =>
       s"sum((instr('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) % 2 * 2 - 1) AS v$j"
     }.mkString(",\n  ")
@@ -538,13 +539,14 @@ object TextQueries {
       .mkString(" + ")
     s"""tok AS (
       |  SELECT doc_id, md5(t) AS h FROM (
-      |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents) x
+      |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM $src) x
       |  WHERE t <> ''),
       |v AS (SELECT doc_id,
       |  $votes
       |FROM tok GROUP BY 1),
       |sh AS (SELECT doc_id, $bits AS simhash FROM v)""".stripMargin
   }
+  private val simhashCtes = simhashCtesFrom("documents")
 
   private val q58Sql =
     s"""WITH $simhashCtes
@@ -562,7 +564,9 @@ object TextQueries {
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
               col("chunk_start"), col("chunk_len"), col("chunk_hash"))
 
-  private val q72Sql = {
+  /** The q72 oracle parameterized over its source relation (q90 reuses
+    * it over the multibyte union; `extraCte` prepends that union). */
+  private def cdcSqlFrom(src: String, extraCte: String = ""): String = {
     val M = graft.plans.RollingHash.Mod
     // 257^(15-j) mod M for window position j = 0..15 (oldest byte first)
     val pows = (0 until 16).map(j =>
@@ -570,7 +574,8 @@ object TextQueries {
     val powList = pows.mkString("[", ", ", "]")
     val st = "CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END"
     val ln = "ends[k] - CASE WHEN k = 1 THEN 0 ELSE ends[k-1] END"
-    s"""WITH d AS (SELECT doc_id, text AS s FROM documents WHERE length(text) > 0),
+    val pre = if (extraCte.isEmpty) "" else extraCte + ",\n"
+    s"""WITH ${pre}d AS (SELECT doc_id, text AS s FROM $src WHERE length(text) > 0),
       |pos AS (SELECT doc_id, s, unnest(generate_series(16, length(s))) AS i FROM d),
       |h AS (
       |  SELECT doc_id, i,
@@ -594,6 +599,8 @@ object TextQueries {
       |  md5(substr(s, $st, $ln)) AS chunk_hash
       |FROM ch""".stripMargin
   }
+
+  private val q72Sql = cdcSqlFrom("documents")
 
   /** q73 — chunk-level dedup resolution over the q72 table: one
     * hash-groupBy on chunk content (q54's single-shuffle shape at
@@ -757,6 +764,117 @@ object TextQueries {
       |       ELSE 'test' END AS split
       |FROM p""".stripMargin
 
+  /** MULTIBYTE parity corpus: the driver's documents table UNIONED
+    * with four crafted non-ASCII rows — CJK, combining accents,
+    * astral-plane emoji/math letters (surrogate pairs in the JVM), and
+    * a mixed row with English stopwords — injected identically on both
+    * sides (Spark union / SQL `UNION ALL VALUES`), so the q90-q92
+    * oracles check the text operators on data where code points ≠
+    * bytes ≠ UTF-16 units. This is the data-level pin for the r7 CDC
+    * code-point fix: the ASCII driver corpus exercises that code only
+    * by construction; these rows make a byte/char confusion a HASH
+    * MISMATCH. Texts are long enough (≥ ~150 code points) that CDC
+    * cuts land INSIDE multibyte runs. Escapes keep the source ASCII;
+    * the strings interpolate into the oracle SQL as UTF-8. */
+  private val mbRows: Seq[(Long, String)] = {
+    // per-repeat counters break the rolling hash's periodicity so CDC
+    // cuts land INSIDE the multibyte runs (a purely repeated text can
+    // miss the boundary mask for its whole length); accents stay in
+    // DECOMPOSED form (e + U+0301) so combining marks are their own
+    // code points
+    val cjk = (1 to 14).map(i => s"\u6c49\u5b57\u6587\u672c\u6d4b\u8bd5\u6570\u636e\u8d28\u91cf\u5f88\u91cd\u8981\u7b2c${i}\u6b21").mkString(" ")
+    val accents = (1 to 8).map(i => s"cafe\u0301 de\u0301ja\u0300 vu nai\u0308ve fac\u0327ade entre\u0301e ${i * 37}!").mkString(" ")
+    val astral = (1 to 7).map(i => s"emoji \ud83c\udf84 rocket \ud83d\ude80\ud83d\ude80 math \ud835\udc9c\ud835\udc9e no$i").mkString(" ")
+    val mixed = ("the \u6c49\u5b57 and the cafe\u0301 of \ud83c\udf84 is a test " * 6).trim
+    Seq((900001L, cjk), (900002L, accents), (900003L, astral), (900004L, mixed))
+  }
+
+  private def mbDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(mbRows.toDF("doc_id", "text"))
+  }
+
+  private val mbSrcCte = {
+    val values = mbRows.map { case (id, txt) =>
+      s"(CAST($id AS BIGINT), '$txt')"
+    }.mkString(", ")
+    s"""mbdocs AS (SELECT doc_id, text FROM documents
+       |           UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text))""".stripMargin
+  }
+
+  /** q90 — CDC chunking over the multibyte union: rolling hash over
+    * CODE-POINT values, spans sliced by `substring` in the same unit
+    * (the exact surface the r7 fix repaired). */
+  private def q90(s: SparkSession, dir: String): DataFrame =
+    TextDedup.cdcChunks(mbDocs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+              col("chunk_start"), col("chunk_len"), col("chunk_hash"))
+
+  private val q90Sql = cdcSqlFrom("mbdocs", mbSrcCte)
+
+  /** q91 — token stats + fingerprint + language ID over the multibyte
+    * union: code-point `length`, space arithmetic, md5 over UTF-8
+    * bytes, and stopword occurrence scoring must all agree on
+    * non-ASCII text (all pure projections; one row per doc). */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val mb = mbDocs(s, dir)
+    TextAnalysis.tokenStats(mb, "doc_id", "text")
+      .join(TextAnalysis.fingerprint(mb, "doc_id", "text"), Seq("doc_id"))
+      .join(TextAnalysis.languageId(mb, "doc_id", "text"), Seq("doc_id"))
+  }
+
+  private val q91Sql = {
+    val sels = langWords.map { case (lang, ws) =>
+      ws.map(occSql).mkString("CAST((", " + ", s") AS BIGINT) AS s_$lang")
+    }.mkString(",\n  ")
+    val maxExpr = langWords.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
+    val caseExpr = langWords.map { case (lang, _) =>
+      s"WHEN s_$lang >= $maxExpr AND s_$lang > 0 THEN '$lang'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH $mbSrcCte,
+      |sc AS (SELECT doc_id,
+      |  length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS n_tokens,
+      |  length(text) AS text_len,
+      |  md5(trim(text)) AS fingerprint,
+      |  substr(md5(trim(text)), 1, 8) AS fp_prefix,
+      |  $sels
+      |FROM mbdocs)
+      |SELECT doc_id, n_tokens, text_len, fingerprint, fp_prefix,
+      |       s_en, s_es, s_de, s_fr, $caseExpr AS lang_pred FROM sc""".stripMargin
+  }
+
+  /** q92 — BPE-style pre-token counts + 16-bit SimHash over the
+    * multibyte union: ASCII regex classes must count each non-ASCII
+    * CODE POINT (not byte, not UTF-16 unit) once in the punct class in
+    * both engines, and the tokenize→md5→vote sketch must agree on CJK/
+    * emoji tokens (md5 runs over UTF-8 bytes either way). */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    def n(pat: String) =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+    val mb = mbDocs(s, dir)
+    val counts = mb.select(
+      col("doc_id"),
+      n("[A-Za-z]+").as("n_word_toks"),
+      n("[0-9]+").as("n_num_toks"),
+      n("[^A-Za-z0-9 ]").as("n_punct_toks"))
+    val sh = TextDedup.withRowSimhash16(
+        mb.filter(trim(col("text")) =!= ""), "text")
+      .select(col("doc_id"), col("simhash").cast("long").as("simhash"))
+    counts.join(sh, Seq("doc_id"))
+  }
+
+  private val q92Sql =
+    s"""WITH $mbSrcCte,
+      |${simhashCtesFrom("mbdocs")},
+      |counts AS (SELECT doc_id,
+      |  len(regexp_extract_all(text, '[A-Za-z]+')) AS n_word_toks,
+      |  len(regexp_extract_all(text, '[0-9]+')) AS n_num_toks,
+      |  len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct_toks
+      |FROM mbdocs)
+      |SELECT c.doc_id, c.n_word_toks, c.n_num_toks, c.n_punct_toks, sh.simhash
+      |FROM counts c JOIN sh USING (doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q50_token_stats", q50, Some(q50Sql)),
     QueryDef("q51_quality_score", q51, Some(q51Sql)),
@@ -781,6 +899,9 @@ object TextQueries {
     QueryDef("q82_curate_corpus", q82, Some(q82Sql)),
     QueryDef("q83_contamination", q83, Some(q83Sql)),
     QueryDef("q84_repetition", q84, Some(q84Sql)),
-    QueryDef("q85_simhash128_neardup", q85, Some(q85Sql))
+    QueryDef("q85_simhash128_neardup", q85, Some(q85Sql)),
+    QueryDef("q90_multibyte_cdc", q90, Some(q90Sql)),
+    QueryDef("q91_multibyte_textstats", q91, Some(q91Sql)),
+    QueryDef("q92_multibyte_pretokens", q92, Some(q92Sql))
   )
 }
