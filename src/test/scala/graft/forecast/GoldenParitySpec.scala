@@ -30,6 +30,25 @@ import scala.jdk.CollectionConverters._
   * columns, and the multiplicative terms — constant zero by construction
   * on both sides (no multiplicative seasonality in the consumed surface)
   * — are asserted to be exactly 0.0 on every row.
+  *
+  * DISTANCE TO PROPHET'S OWN MAP (round 8): the residual risk this spec
+  * cannot close is that both implementations share the repo's DOCUMENTED
+  * prior divergences (ridge on the changepoint deltas instead of
+  * Prophet's Laplace, ~flat (k, m), unit-sigma normal equations).
+  * `tools/prophet_map.py` now measures that distance directly: it
+  * implements Prophet's actual linear-growth log posterior (Laplace
+  * deltas, N(0,5) on k/m, jointly-estimated sigma weighting the
+  * likelihood) with a pure-numpy L-BFGS over the SAME design matrix, on
+  * the same fixtures. Measured (converged, |g| < 1e-3): yhat agreement
+  * within 2.1-7.5% of series scale on electricity_demand HISTORY
+  * (13.3-18.3% on the 65-point example fixture), diverging to 20-96% at
+  * the far extrapolation horizon (= history length) — i.e. the prior
+  * divergence is immaterial where data constrains the fit and dominates
+  * exactly where extrapolation leans on the changepoint prior, which at
+  * the fixtures' ChangePointPriorScale = 0.8 is nearly flat for Prophet
+  * (free deltas) but a ~1.56-lambda ridge here. That asymmetry is the
+  * known, intended cost of the documented divergence; re-run the script
+  * to regenerate the numbers.
   */
 class GoldenParitySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
