@@ -152,17 +152,10 @@ object Similarity extends org.apache.spark.internal.Logging {
       .withColumn("nrm", sqrt(call_function("pq_dot", col("pqc"), col("pqc"), cbLit))))
   }
 
-  /** [[ivfTopK]] over the PQ-compressed index (IVF-PQ — the FAISS
-    * IVFPQ composition): identical candidate generation to the float
-    * and SQ8 forms (same cells, assigned on exact floats), scores from
-    * the symmetric code tables. Recall-vs-float parity on clustered
-    * data and the ~64× memory ratio are test-pinned. */
-  def ivfTopKPq(emb: DataFrame, centroids: Seq[(Int, Seq[Double])],
-                codebooks: Seq[Seq[Seq[Double]]], k: Int, nprobe: Int = 1,
-                coarseProbe: Int = 0, topProbe: Int = 0): DataFrame = {
-    graft.plans.GraftFunctions.register(emb.sparkSession)
-    val cbLit = typedLit(codebooks)
-    val celled = ivfIndexPq(emb, centroids, codebooks, nprobe, coarseProbe, topProbe)
+  /** Shared PQ search tail (probe explode → home-cell hash join →
+    * symmetric-table score → per-query rank) — one definition for the
+    * literal and frame index paths, mirroring [[searchTopK]]. */
+  private def searchTopKPq(celled: DataFrame, cbLit: Column, k: Int): DataFrame = {
     val a = celled.select(
         col("vec_id").as("query_id"), col("pqc").as("qpq"), col("nrm").as("qn"),
         explode(col("cells")).as("cell"))
@@ -176,6 +169,43 @@ object Similarity extends org.apache.spark.internal.Logging {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** [[ivfTopK]] over the PQ-compressed index (IVF-PQ — the FAISS
+    * IVFPQ composition): identical candidate generation to the float
+    * and SQ8 forms (same cells, assigned on exact floats), scores from
+    * the symmetric code tables. Recall-vs-float parity on clustered
+    * data and the ~64× memory ratio are test-pinned. */
+  def ivfTopKPq(emb: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                codebooks: Seq[Seq[Seq[Double]]], k: Int, nprobe: Int = 1,
+                coarseProbe: Int = 0, topProbe: Int = 0): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    searchTopKPq(ivfIndexPq(emb, centroids, codebooks, nprobe, coarseProbe,
+                            topProbe), typedLit(codebooks), k)
+  }
+
+  /** SQ8 re-rank tail shared by the refine compositions: score the
+    * (query_id, neighbor_id [, extra]) shortlist with 1-byte-per-dim
+    * SQ8 codes and keep the top `k` per query. The refine joins are
+    * shortlist-sized, not candidate-sized, and floats are never
+    * touched after encode. */
+  private def sq8RefineTail(emb: DataFrame, short: DataFrame, k: Int,
+                            extraCols: Seq[String] = Nil): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val enc = graft.queries.cacheOnce(
+      emb.select(col("vec_id"), call_function("sq8_encode", col("v")).as("q8"))
+        .withColumn("nrm", sqrt(call_function("sq8_dot", col("q8"), col("q8")))))
+    val keep = (Seq("query_id", "neighbor_id") ++ extraCols).map(col)
+    val scored = short
+      .join(enc.select(col("vec_id").as("query_id"), col("q8").as("qq8"),
+                       col("nrm").as("qn")), Seq("query_id"))
+      .join(enc.select(col("vec_id").as("neighbor_id"), col("q8"), col("nrm")),
+            Seq("neighbor_id"))
+      .select(keep :+ round(call_function("sq8_dot", col("qq8"), col("q8")) /
+                            (col("qn") * col("nrm")), 4).as("cos"): _*)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
   /** PQ shortlist + SQ8 REFINE — the FAISS refinement pattern
@@ -195,24 +225,25 @@ object Similarity extends org.apache.spark.internal.Logging {
                       nprobe: Int = 1, coarseProbe: Int = 0,
                       topProbe: Int = 0): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
-    graft.plans.GraftFunctions.register(emb.sparkSession)
     val short = ivfTopKPq(emb, centroids, codebooks, shortlist,
                           nprobe, coarseProbe, topProbe)
       .select(col("query_id"), col("neighbor_id"), col("cell"))
-    val enc = graft.queries.cacheOnce(
-      emb.select(col("vec_id"), call_function("sq8_encode", col("v")).as("q8"))
-        .withColumn("nrm", sqrt(call_function("sq8_dot", col("q8"), col("q8")))))
-    val scored = short
-      .join(enc.select(col("vec_id").as("query_id"), col("q8").as("qq8"),
-                       col("nrm").as("qn")), Seq("query_id"))
-      .join(enc.select(col("vec_id").as("neighbor_id"), col("q8"), col("nrm")),
-            Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("cell"),
-              round(call_function("sq8_dot", col("qq8"), col("q8")) /
-                    (col("qn") * col("nrm")), 4).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    sq8RefineTail(emb, short, k, Seq("cell"))
+  }
+
+  /** Exact-scan PQ shortlist + SQ8 refine (the FAISS Flat+Refine
+    * composition, quantizer-free): [[pqTopK]]'s full scan generates the
+    * shortlist, SQ8 re-ranks it. This is the refine form whose ENTIRE
+    * path is SQL-expressible with fixed codebooks — the q93 oracle
+    * replays PQ encode → symmetric score → shortlist rank → SQ8
+    * encode/reconstruct → re-score → final rank in one DuckDB
+    * statement, pinning the composition's arithmetic end to end. */
+  def pqTopKRefine(emb: DataFrame, queryPred: Column, k: Int, shortlist: Int,
+                   codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
+    val short = pqTopK(emb, queryPred, shortlist, codebooks)
+      .select(col("query_id"), col("neighbor_id"))
+    sq8RefineTail(emb, short, k)
   }
 
   /** Sign-pattern LSH bucket id from the given projection vectors. */
@@ -863,6 +894,47 @@ object Similarity extends org.apache.spark.internal.Logging {
   def ivfTopKJoinSq8(emb: DataFrame, frames: IvfFrames, k: Int, nprobe: Int = 1,
                      coarseProbe: Int = 1, topProbe: Int = 1): DataFrame =
     searchTopKSq8(ivfIndexJoinSq8(emb, frames, nprobe, coarseProbe, topProbe), k)
+
+  /** PQ-compressed frame-backed index — the deepest-compression rung
+    * composed with the past-the-literal-ceiling assignment path. The
+    * codebook literal is O(ksub·dim) doubles (≤ 256·dim regardless of
+    * corpus size or cell count k), so unlike the centroid literal it
+    * never grows with the index — safe in the plan at any scale. */
+  def ivfIndexJoinPq(emb: DataFrame, frames: IvfFrames,
+                     codebooks: Seq[Seq[Seq[Double]]], nprobe: Int = 1,
+                     coarseProbe: Int = 1, topProbe: Int = 1): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val cbLit = typedLit(codebooks)
+    val cells = ivfCellsJoinFrame(emb, frames, nprobe, coarseProbe, topProbe)
+    graft.queries.cacheOnce(
+      emb.select(col("vec_id"), call_function("pq_encode", col("v"), cbLit).as("pqc"))
+        .join(cells, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("pqc"),
+                element_at(col("cells"), 1).as("cell"), col("cells"))
+        .withColumn("nrm", sqrt(call_function("pq_dot", col("pqc"), col("pqc"), cbLit))))
+  }
+
+  /** [[ivfTopKPq]] over the frame-backed PQ index (parity test-pinned
+    * against the literal IVF-PQ path). */
+  def ivfTopKJoinPq(emb: DataFrame, frames: IvfFrames,
+                    codebooks: Seq[Seq[Seq[Double]]], k: Int, nprobe: Int = 1,
+                    coarseProbe: Int = 1, topProbe: Int = 1): DataFrame =
+    searchTopKPq(ivfIndexJoinPq(emb, frames, codebooks, nprobe, coarseProbe,
+                                topProbe), typedLit(codebooks), k)
+
+  /** [[ivfTopKPqRefine]] over the frame-backed PQ index: the full
+    * 100 TB serving stack in one call — assignment past the literal
+    * ceiling, m-byte candidate scoring, SQ8 re-rank of the shortlist. */
+  def ivfTopKJoinPqRefine(emb: DataFrame, frames: IvfFrames,
+                          codebooks: Seq[Seq[Seq[Double]]], k: Int,
+                          shortlist: Int, nprobe: Int = 1, coarseProbe: Int = 1,
+                          topProbe: Int = 1): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
+    val short = ivfTopKJoinPq(emb, frames, codebooks, shortlist, nprobe,
+                              coarseProbe, topProbe)
+      .select(col("query_id"), col("neighbor_id"), col("cell"))
+    sq8RefineTail(emb, short, k, Seq("cell"))
+  }
 
   /** Deterministic local Lloyd over a (small) in-memory vector set —
     * the per-group trainer of [[buildIvfFramesDistributed]]. Same

@@ -448,6 +448,91 @@ object EmbeddingQueries {
       |SELECT query_id, neighbor_id, cos, rn FROM ranked WHERE rn <= 5""".stripMargin
   }
 
+  /** q93 — PQ shortlist + SQ8 refine (exact-scan Flat+Refine): q89's
+    * fixed-codebook PQ chain generates a top-10 shortlist per query,
+    * q79's SQ8 quantization re-scores exactly those pairs, and the
+    * final rank keeps 5. The oracle replays BOTH compressions and the
+    * composition glue in one statement — PQ encode → symmetric-table
+    * score → shortlist rank, then SQ8 range/code/reconstruct →
+    * re-score → final rank — so a hash match pins the entire refine
+    * path's arithmetic, not just its output shape. */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val base = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val cb = (0 until 4).map(sp => base.map(_.slice(sp * 16, sp * 16 + 16)))
+    Similarity.pqTopKRefine(e, col("vec_id") < 5, 5, 10, cb)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+              col("rn").cast("long").as("rn"))
+  }
+
+  private val q93Sql = {
+    def sliceOf(v: String): String = s"$v[(sp.s * 16 + 1):(sp.s * 16 + 16)]"
+    val l2 = "list_sum(list_transform(generate_series(1, 16), " +
+             "i -> (sv[i] - cv[i]) * (sv[i] - cv[i])))"
+    val dot16 = "list_sum(list_transform(generate_series(1, 16), i -> a.cv[i] * b.cv[i]))"
+    val recon =
+      """list_transform(v, x -> CASE WHEN scale = 0 THEN mn
+        |    ELSE mn + LEAST(255, GREATEST(0, floor((x - mn) / scale + 0.5))) * scale
+        |    END)""".stripMargin
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sp AS (SELECT unnest(generate_series(0, 3)) AS s),
+      |cbk AS MATERIALIZED (
+      |  SELECT sp.s, e0.vec_id AS j, ${sliceOf("e0.v")} AS cv
+      |  FROM e0 CROSS JOIN sp WHERE e0.vec_id < 16),
+      |dists AS (
+      |  SELECT x.vec_id, x.s, x.j, $l2 AS d FROM (
+      |    SELECT e0.vec_id, sp.s, c.j, ${sliceOf("e0.v")} AS sv, c.cv
+      |    FROM e0 CROSS JOIN sp JOIN cbk c ON c.s = sp.s) x),
+      |enc AS MATERIALIZED (
+      |  SELECT vec_id, s, j FROM (
+      |    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s
+      |                                            ORDER BY d, j) AS rn
+      |    FROM dists) y WHERE rn = 1),
+      |chosen AS MATERIALIZED (
+      |  SELECT e.vec_id, e.s, c.cv FROM enc e JOIN cbk c ON c.s = e.s AND c.j = e.j),
+      |pqnrm AS MATERIALIZED (
+      |  SELECT a.vec_id, sqrt(list_sum(list(d ORDER BY s))) AS nrm FROM (
+      |    SELECT a.vec_id, a.s AS s, $dot16 AS d
+      |    FROM chosen a JOIN chosen b ON a.vec_id = b.vec_id AND a.s = b.s) a
+      |  GROUP BY a.vec_id),
+      |pairdots AS (
+      |  SELECT query_id, neighbor_id, list_sum(list(d ORDER BY s)) AS dt FROM (
+      |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.s AS s, $dot16 AS d
+      |    FROM chosen a JOIN chosen b ON a.s = b.s
+      |    WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id) x
+      |  GROUP BY query_id, neighbor_id),
+      |pqpairs AS (
+      |  SELECT p.query_id, p.neighbor_id,
+      |         round(p.dt / (qa.nrm * nb.nrm), 4) AS cos
+      |  FROM pairdots p
+      |  JOIN pqnrm qa ON qa.vec_id = p.query_id
+      |  JOIN pqnrm nb ON nb.vec_id = p.neighbor_id),
+      |short AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |           row_number() OVER (PARTITION BY query_id
+      |                              ORDER BY cos DESC, neighbor_id) AS rn
+      |    FROM pqpairs) z WHERE rn <= 10),
+      |-- SQ8 refine leg: q79's reconstruction over exactly the shortlist
+      |srng AS (
+      |  SELECT vec_id, v, list_aggregate(v, 'min') AS mn,
+      |         (list_aggregate(v, 'max') - list_aggregate(v, 'min')) / 255 AS scale
+      |  FROM e0),
+      |se AS (SELECT vec_id, $recon AS v FROM srng),
+      |rpairs AS (
+      |  SELECT sh.query_id, sh.neighbor_id, ${cosSql("qa.v", "nb.v")} AS cos
+      |  FROM short sh
+      |  JOIN se qa ON qa.vec_id = sh.query_id
+      |  JOIN se nb ON nb.vec_id = sh.neighbor_id),
+      |rranked AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cos DESC, neighbor_id) AS rn
+      |  FROM rpairs)
+      |SELECT query_id, neighbor_id, cos, rn FROM rranked WHERE rn <= 5""".stripMargin
+  }
+
   /** q86-q88 — the FRAME-BACKED (de-literalized) serving path under
     * the UNCHANGED q65/q70/q74 oracles: same centroids, same descent
     * semantics, but fine-cell assignment runs as the routed frame JOIN
@@ -497,6 +582,7 @@ object EmbeddingQueries {
     QueryDef("q86_ivf_ann_frames", q86, Some(q65Sql)),
     QueryDef("q87_ivf_hier_frames", q87, Some(q70Sql)),
     QueryDef("q88_ivf_tree_frames", q88, Some(q74Sql)),
-    QueryDef("q89_pq_topk", q89, Some(q89Sql))
+    QueryDef("q89_pq_topk", q89, Some(q89Sql)),
+    QueryDef("q93_pq_refine", q93, Some(q93Sql))
   )
 }

@@ -1067,6 +1067,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(perQuery == Set(3), s"per-query result sizes $perQuery")
   }
 
+  test("pqTopKRefine: exact-scan PQ shortlist + SQ8 re-rank recovers recall") {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+    val data = (0 until 320).map { i =>
+      (i.toLong, centers(i % 16).map(_ + rnd.nextGaussian() * 0.15))
+    }.toDF("vec_id", "v")
+    val cb = Similarity.trainPqCodebooks(data, m = 8, ksub = 128)
+    val truth = exactTop3(data)
+    val got = Similarity.pqTopKRefine(data, lit(true), 3, 10, cb)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    assert(recall >= 0.9, s"exact-scan pq refine recall@3 is $recall")
+  }
+
+  test("ivfTopKJoinPq: frame-backed PQ equals the literal IVF-PQ path") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < 32).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    val base = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val cb = (0 until 4).map(sp => base.map(_.slice(sp * 16, sp * 16 + 16)))
+    val frames = Similarity.framesOf(spark, Similarity.buildCoarseIndex(cents))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+                 r.getAs[Long]("cell"), r.getAs[Double]("cos"),
+                 r.getAs[Int]("rn"))).toSet
+    val want = asSet(Similarity.ivfTopKPq(e, cents, cb, 3, nprobe = 2,
+                                          coarseProbe = 2))
+    val got = asSet(Similarity.ivfTopKJoinPq(e, frames, cb, 3, nprobe = 2,
+                                             coarseProbe = 2))
+    assert(got == want, "frame-backed PQ top-k diverges from the literal IVF-PQ path")
+    // the frame+PQ+refine stack returns k rows per query and stays
+    // inside the candidate cells' pair universe
+    val refined = Similarity.ivfTopKJoinPqRefine(e, frames, cb, 3, 10,
+                                                 nprobe = 2, coarseProbe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val shortPairs = asSet(Similarity.ivfTopKJoinPq(e, frames, cb, 10, nprobe = 2,
+                                                    coarseProbe = 2))
+      .map(t => (t._1, t._2))
+    assert(refined.subsetOf(shortPairs), "refine left its own shortlist")
+    assert(refined.groupBy(_._1).forall(_._2.size == 3))
+  }
+
   test("ivfTopKJoinSq8: frame-backed SQ8 equals the literal SQ8 path") {
     // the memory rung and the past-the-literal-ceiling rung COMPOSE:
     // same cells (assigned on exact floats via the frame join), same
