@@ -3,13 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** Dev utility: Verify for a SINGLE query — dump its parquet result and
-  * (if present) its oracle SQL so `tools/selfcheck.py` can check one
-  * query without re-running the whole registry.
-  * Usage: runMain graft.VerifyOne <queryName> <sfDir> <outDir> */
+/** Dev utility: Verify for a SUBSET of queries — dump each parquet
+  * result and (when present) the oracle SQL so `tools/selfcheck.py` can
+  * check them without re-running the whole registry.
+  * Usage: runMain graft.VerifyOne <name>[,<name>…] <sfDir> <outDir> */
 object VerifyOne {
   def main(args: Array[String]): Unit = {
-    val Array(name, sfDir, outDir) = args
+    val Array(namesArg, sfDir, outDir) = args
+    val names = namesArg.split(',').toSeq
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -18,8 +19,10 @@ object VerifyOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries(name)(spark, sfDir).coalesce(1).write.mode("overwrite")
-      .parquet(s"$outDir/$name")
+    names.foreach { name =>
+      SparkEntry.queries(name)(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+    }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -29,8 +32,8 @@ object VerifyOne {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.get(name)
-      .map(sql => s"{${q(name)}: ${q(sql)}}").getOrElse("{}")
+    val json = names.flatMap(n => SparkEntry.oracleSql.get(n).map(sql => s"${q(n)}: ${q(sql)}"))
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

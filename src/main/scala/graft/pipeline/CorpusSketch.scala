@@ -1,0 +1,234 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Sketch-based corpus statistics: fixed-size, mergeable summaries for the
+  * questions a 100 TB curation run asks constantly — "how many distinct
+  * pages per domain?", "what are the hottest tokens?", "what does the
+  * length distribution look like?" — without paying the exact answer's
+  * shuffle.
+  *
+  * Why sketches and not the exact operators Spark already has:
+  *   - `count(DISTINCT x)` shuffles every distinct VALUE; HyperLogLog
+  *     ([[hllSketch]]) shuffles at most 2^p = 1024 (group, bucket, rho)
+  *     rows per group regardless of cardinality, and two corpora's
+  *     register frames merge by `max` — the partial-aggregate shape Spark's
+  *     map-side combine already exploits.
+  *   - exact global token counts shuffle the full vocabulary; a count-min
+  *     matrix ([[cmsCounters]]) is d·w integers TOTAL (fixed at build
+  *     time), mergeable by `+`, and answers point queries with a
+  *     one-sided error bound (never under-counts, over-counts by at most
+  *     εN with ε = e/w at probability 1 − (1/e)^d).
+  *   - Spark's exact `percentile` collects a per-group map of every
+  *     distinct value on a single reducer; a fixed-bin histogram
+  *     ([[histogramQuantiles]]) is bounded by the value range / binWidth,
+  *     mergeable by `+`, and its quantile estimate is off by at most one
+  *     bin width.
+  *
+  * Every number emitted here is either an exact integer (register
+  * digests, counter cells, bin ranks) or a double produced by the same
+  * IEEE expression order on both engines, so the driver's DuckDB oracles
+  * replay the full algorithms hash-exactly (the house rule established by
+  * q79/q89: make the sketch arithmetic itself checkable, not just the
+  * row counts).
+  *
+  * Reference behavior note: the reference engine (see SURVEY §2) exposes
+  * exact aggregation only; this module is part of the beyond-reference
+  * training-data tier the brief asks for.
+  */
+object CorpusSketch {
+
+  /** 60-bit deterministic hash: first 15 hex chars of md5(salt || value)
+    * as an unsigned value in a signed long. 15 chars (not 16) keeps the
+    * value positive on both engines; the same parse is SQL-expressible
+    * (DuckDB replays it digit-by-digit with a 4-bit shift per hex char —
+    * `pow(16, 14)` exceeds 2^53 so the oracle must shift, not multiply). */
+  def h60(c: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), c)), 1, 15), 16, 10).cast("long")
+
+  /** 32-bit variant (8 hex chars) for modulo bucketing, matching the
+    * deterministic-split idiom ([[TextAnalysis.deterministicSplit]]). */
+  def h32(c: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), c)), 1, 8), 16, 10).cast("long")
+
+  // ---------------------------------------------------------------- HLL
+
+  /** HyperLogLog register frame: (group, bucket, rho) with
+    * bucket = top p bits of the 60-bit hash, rho = 1 + leading zeros of
+    * the remaining q = 60 − p bits (q + 1 when they are all zero).
+    * `groupBy(bucket).max(rho)` IS the sketch — at most 2^p rows per
+    * group survive the shuffle however many values went in, and the
+    * registers of a union of corpora are the element-wise max of their
+    * register frames ([[hllMerge]]).
+    *
+    * rho is computed from `length(bin(rem))` — exact integer string
+    * arithmetic, identical in Spark and DuckDB (both print minimal-width
+    * binary) — never from floating log2, whose ulp error at power-of-two
+    * boundaries would flip a register. */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
+                   p: Int = 10, salt: String = "hll"): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p outside [4,16]")
+    val q = 60 - p
+    val h = h60(col(valueCol), salt)
+    val rem = h.bitwiseAND(lit((1L << q) - 1))
+    df.select(col(groupCol),
+              shiftright(h, q).as("bucket"),
+              when(rem === 0, lit(q + 1))
+                .otherwise(lit(q + 1) - length(bin(rem))).as("rho"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max("rho").as("rho"))
+  }
+
+  /** Merge two register frames over the same (group, bucket) space:
+    * element-wise max. Distributivity of max is the whole mergeability
+    * story — sketch each shard where it lives, union the (tiny) register
+    * frames, re-max. */
+  def hllMerge(a: DataFrame, b: DataFrame, groupCol: String): DataFrame =
+    a.unionByName(b).groupBy(col(groupCol), col("bucket"))
+      .agg(max("rho").as("rho"))
+
+  /** Cardinality estimate per group from a register frame.
+    *
+    * Emits the exact-integer digest of the registers next to the
+    * estimate: `v_empty` (registers never touched) and `sum_scaled`
+    * (Σ 2^(q+1−rho) over all m registers, empty ones contributing
+    * 2^(q+1) — the HLL harmonic denominator scaled by 2^(q+1) so it is
+    * an exact BIGINT). The estimate itself is the standard
+    * α_m·m²/Z with the linear-counting small-range correction
+    * m·ln(m/V) when the raw estimate ≤ 2.5m and V > 0; no large-range
+    * correction is needed at a 60-bit hash. Both engines compute the
+    * double with the same literal expression order, and `round(.., 2)`
+    * absorbs any last-ulp `ln` divergence. */
+  def hllEstimate(registers: DataFrame, groupCol: String, p: Int = 10): DataFrame = {
+    val q = 60 - p
+    val m = 1L << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)   // m >= 128 constant
+    val scale = math.pow(2.0, q + 1)          // 2^(q+1), exact power of two
+    val agg = registers.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("occupied"),
+           sum(pow(lit(2.0), lit(q + 1) - col("rho")).cast("long")).as("occ_scaled"))
+      .withColumn("v_empty", lit(m) - col("occupied"))
+      .withColumn("sum_scaled",
+                  col("occ_scaled") + col("v_empty") * lit(scale).cast("long"))
+    val estRaw = lit(alpha) * lit(m.toDouble * m.toDouble) * lit(scale) / col("sum_scaled")
+    agg.withColumn("est",
+        round(when(estRaw <= lit(2.5 * m) && col("v_empty") > 0,
+                   lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty")))
+                .otherwise(estRaw), 2))
+      .select(col(groupCol), col("v_empty"), col("sum_scaled"), col("est"))
+  }
+
+  /** One-call sketch: values → per-group (v_empty, sum_scaled, est). */
+  def hllSketch(df: DataFrame, groupCol: String, valueCol: String,
+                p: Int = 10, salt: String = "hll"): DataFrame =
+    hllEstimate(hllRegisters(df, groupCol, valueCol, p, salt), groupCol, p)
+
+  // ---------------------------------------------------------- count-min
+
+  /** Count-min counter matrix over a value column: d independent hash
+    * rows of w buckets, cell (j, b) = how many input rows hashed to b
+    * under salt j. At most d·w rows exist regardless of vocabulary size
+    * — the shuffle is bounded at build time, map-side partial sums do
+    * almost all the work, and two corpora's matrices merge by adding
+    * cells. */
+  def cmsCounters(df: DataFrame, valueCol: String,
+                  d: Int = 4, w: Int = 1024, salt: String = "cms"): DataFrame = {
+    require(d >= 1 && w >= 2)
+    val cells = (0 until d).map { j =>
+      struct(lit(j).as("j"), (h32(col(valueCol), s"$salt$j:") % w).as("bucket"))
+    }
+    df.select(explode(array(cells: _*)).as("cell"))
+      .groupBy(col("cell.j").as("j"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point estimates for a set of candidate values: min over the d rows
+    * of the counters each candidate hashes into. Never under-counts;
+    * over-counts only by colliding mass. `candidates` must carry
+    * `valueCol`; the counter matrix is small enough to broadcast, so the
+    * estimate join never shuffles the candidate side. */
+  def cmsEstimate(candidates: DataFrame, counters: DataFrame, valueCol: String,
+                  d: Int = 4, w: Int = 1024, salt: String = "cms"): DataFrame = {
+    val cells = (0 until d).map { j =>
+      struct(lit(j).as("j"), (h32(col(valueCol), s"$salt$j:") % w).as("bucket"))
+    }
+    candidates
+      .withColumn("cell", explode(array(cells: _*)))
+      .select(col("*"), col("cell.j").as("j"), col("cell.bucket").as("bucket"))
+      .drop("cell")
+      .join(broadcast(counters), Seq("j", "bucket"))
+      .groupBy(candidates.columns.toIndexedSeq.map(col): _*)
+      .agg(min("c").as("cms_c"))
+  }
+
+  /** Heavy hitters with the sketch's answer next to the exact one: the
+    * exact top-k tokens (deterministic order: count desc, token asc) and
+    * their count-min estimates. The exact pass exists to make the sketch
+    * CHECKABLE (the oracle hash-compares both); production reads the
+    * counter matrix alone against an externally supplied candidate set
+    * (the whole point is not to shuffle the vocabulary). */
+  def cmsHeavyHitters(df: DataFrame, valueCol: String,
+                      d: Int = 4, w: Int = 1024, k: Int = 20,
+                      salt: String = "cms"): DataFrame = {
+    val counters = cmsCounters(df, valueCol, d, w, salt)
+    val exact = df.groupBy(col(valueCol)).agg(count(lit(1)).as("exact_c"))
+      .orderBy(col("exact_c").desc, col(valueCol).asc)
+      .limit(k)
+    cmsEstimate(exact, counters, valueCol, d, w, salt)
+  }
+
+  // ------------------------------------------------- stratified sampling
+
+  /** Deterministic per-stratum sampling: keep a row iff
+    * h32(salt || stratum || '|' || key) mod 1e6 < ppm(stratum).
+    * Zero shuffle (a pure filter), reproducible across runs and engines,
+    * and growth-stable: a row's keep/drop never changes when other rows
+    * arrive — the property that lets a 100 TB corpus be re-sampled
+    * incrementally. This is the per-stratum generalization of
+    * [[TextAnalysis.deterministicSplit]]: the use case is rebalancing a
+    * skewed corpus (e.g. downsample the dominant language) with exact,
+    * auditable rates rather than `sample()`'s seed-and-pray. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                       ppm: Map[String, Long], defaultPpm: Long,
+                       salt: String = "strat"): DataFrame = {
+    require((ppm.values ++ Seq(defaultPpm)).forall(v => v >= 0 && v <= 1000000L),
+            "rates are parts-per-million in [0, 1e6]")
+    val point = h32(concat(col(stratumCol), lit("|"), col(keyCol)), salt) % 1000000L
+    val rate = ppm.foldRight(lit(defaultPpm): Column) {
+      case ((s, v), acc) => when(col(stratumCol) === s, lit(v)).otherwise(acc)
+    }
+    df.filter(point < rate)
+  }
+
+  // ------------------------------------------------- histogram quantiles
+
+  /** Fixed-bin histogram quantiles per group, long format:
+    * (group, q_pct, n, est) where est is the LOWER EDGE of the first bin
+    * whose cumulative count reaches rank = ceil(q·n/100) — computed with
+    * pure integer arithmetic ((n·q + 99) div 100), so the oracle replay
+    * is exact. Error vs the true q-quantile is bounded by binWidth.
+    * Values must be non-negative (integer div truncates toward zero;
+    * DuckDB's // floors — identical only on non-negatives, which is what
+    * a length/size column is). */
+  def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                         binWidth: Long, qPcts: Seq[Int]): DataFrame = {
+    require(binWidth > 0 && qPcts.nonEmpty && qPcts.forall(v => v > 0 && v <= 100))
+    val bins = df
+      .select(col(groupCol), expr(s"CAST($valueCol AS BIGINT) div $binWidth").as("bin"))
+      .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(groupCol).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    val cum = bins
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+    cum
+      .withColumn("q_pct", explode(array(qPcts.map(v => lit(v)): _*)))
+      .withColumn("rank", expr("(n * q_pct + 99) div 100"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col(groupCol), col("q_pct"), col("n"))
+      .agg((min("bin") * binWidth).as("est"))
+  }
+}

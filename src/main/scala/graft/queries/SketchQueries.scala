@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.pipeline.CorpusSketch
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch-statistics family ([[graft.pipeline.CorpusSketch]]): the
+  * fixed-size mergeable summaries a 100 TB curation run uses instead of
+  * exact distinct/vocabulary/percentile shuffles. Each oracle replays the
+  * FULL sketch algorithm in DuckDB — hash construction, register max,
+  * counter min, integer CDF ranks — so the compare checks the sketch
+  * arithmetic itself, not just row counts. The exact answers ride along
+  * in the same result precisely so the driver can see sketch-vs-truth.
+  *
+  * Oracle hash parsing: `pow(16, j)` is exact in a double only to
+  * `16^13`, so the 15-hex-char 60-bit parse SHIFTS (`<< 4(15-j)`)
+  * instead of multiplying; the 8-char 32-bit parse could use either and
+  * shifts for symmetry. */
+object SketchQueries {
+
+  /** DuckDB replay of [[CorpusSketch.h60]]/[[CorpusSketch.h32]]: hex
+    * digits of md5 folded with 4-bit shifts (exact integer arithmetic). */
+  private def hexSql(mdExpr: String, chars: Int): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, $chars),
+      |  j -> (CAST(instr('0123456789abcdef', substr($mdExpr, j, 1)) - 1 AS BIGINT)
+      |        << (4 * ($chars - j))))) AS BIGINT)""".stripMargin
+
+  /** q94 — HyperLogLog distinct texts per source (p=10, m=1024
+    * registers, 60-bit hash), next to the exact distinct count. The
+    * oracle recomputes every register (bucket = top 10 hash bits,
+    * rho = 1 + leading zeros of the low 50 via `length(bin(..))`), the
+    * exact integer harmonic denominator `sum_scaled`, and the corrected
+    * estimate with the identical IEEE expression order. At sf0.01 every
+    * source sits in linear-counting range (n ≪ m) — the correction
+    * branch is what runs, and it lands within ~2% of truth, which the
+    * spec asserts; the raw branch is exercised by the spec's 50k-distinct
+    * synthetic corpus. */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val exact = docs.groupBy(col("source"))
+      .agg(countDistinct(col("text")).as("n_exact"))
+    exact.join(CorpusSketch.hllSketch(docs, "source", "text"), Seq("source"))
+      .select(col("source"), col("n_exact"), col("v_empty"),
+              col("sum_scaled"), col("est"))
+  }
+
+  private val q94Sql = {
+    val h = hexSql("md5('hll' || text)", 15)
+    s"""WITH h AS (SELECT source, text, $h AS h FROM documents),
+      |b AS (SELECT source, text, h >> 50 AS bucket,
+      |             h & ((1::BIGINT << 50) - 1) AS rem FROM h),
+      |r AS (SELECT source, bucket,
+      |             MAX(CASE WHEN rem = 0 THEN 51
+      |                      ELSE 51 - length(bin(rem)) END) AS rho
+      |      FROM b GROUP BY 1, 2),
+      |a AS (SELECT source, COUNT(*) AS occupied,
+      |             SUM(1::BIGINT << (51 - rho)) AS occ_scaled
+      |      FROM r GROUP BY 1),
+      |sc AS (SELECT source,
+      |              CAST(1024 - occupied AS BIGINT) AS v_empty,
+      |              CAST(occ_scaled + (1024 - occupied) * (1::BIGINT << 51)
+      |                   AS BIGINT) AS sum_scaled
+      |       FROM a),
+      |e AS (SELECT source, v_empty, sum_scaled,
+      |             0.7213 / (1.0 + 1.079 / 1024) * 1048576.0
+      |               * 2251799813685248.0 / sum_scaled AS est_raw
+      |      FROM sc),
+      |x AS (SELECT source, COUNT(DISTINCT text) AS n_exact
+      |      FROM documents GROUP BY 1)
+      |SELECT x.source, CAST(x.n_exact AS BIGINT) AS n_exact, e.v_empty,
+      |       e.sum_scaled,
+      |       round(CASE WHEN est_raw <= 2560.0 AND v_empty > 0
+      |                  THEN 1024.0 * ln(1024.0 / v_empty)
+      |                  ELSE est_raw END, 2) AS est
+      |FROM x JOIN e USING (source)""".stripMargin
+  }
+
+  /** q95 — count-min heavy hitters over the whitespace token stream
+    * (d=4 rows × w=1024 buckets, exact top-20 candidates): every number
+    * is an integer, so the compare is exact — including the sketch's
+    * one-sided error (cms_c ≥ exact_c always, which the spec asserts as
+    * a property). */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(explode(split(trim(col("text")), " ")).as("token"))
+    CorpusSketch.cmsHeavyHitters(tok, "token")
+  }
+
+  private val q95Sql = {
+    val hTok = hexSql("md5('cms' || j || ':' || token)", 8)
+    s"""WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS token
+      |             FROM documents),
+      |js AS (SELECT unnest(generate_series(0, 3)) AS j),
+      |cells AS (SELECT j, $hTok % 1024 AS bucket FROM tok, js),
+      |cnt AS (SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      |        FROM cells GROUP BY 1, 2),
+      |ex AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_c
+      |       FROM tok GROUP BY 1),
+      |top AS (SELECT token, exact_c FROM ex
+      |        ORDER BY exact_c DESC, token LIMIT 20),
+      |tb AS (SELECT token, exact_c, j, $hTok % 1024 AS bucket
+      |       FROM top, js)
+      |SELECT tb.token, tb.exact_c, CAST(MIN(c.c) AS BIGINT) AS cms_c
+      |FROM tb JOIN cnt c USING (j, bucket)
+      |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** q96 — deterministic stratified sampling: downsample the dominant
+    * language (en → 12%), boost zh to 80%, 60% elsewhere, keyed on
+    * h32(lang|doc_id) mod 1e6 — a pure filter, no shuffle, and the SAME
+    * rows keep/drop on both engines (the checksum column proves the
+    * exact membership, not just the counts). */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val kept = CorpusSketch.stratifiedSample(
+      docs, "lang", "doc_id", Map("en" -> 120000L, "zh" -> 800000L), 600000L)
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      .join(kept.groupBy(col("lang"))
+              .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum")),
+            Seq("lang"), "left")
+      .na.fill(0L, Seq("n_kept", "kept_id_sum"))
+  }
+
+  private val q96Sql = {
+    val h = hexSql("md5('strat' || lang || '|' || doc_id)", 8)
+    s"""WITH p AS (SELECT lang, doc_id, $h % 1000000 AS point FROM documents),
+      |k AS (SELECT lang, doc_id FROM p
+      |      WHERE point < CASE lang WHEN 'en' THEN 120000
+      |                              WHEN 'zh' THEN 800000
+      |                              ELSE 600000 END),
+      |tt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total
+      |       FROM documents GROUP BY 1),
+      |kk AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |              CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+      |       FROM k GROUP BY 1)
+      |SELECT tt.lang, tt.n_total,
+      |       CAST(COALESCE(kk.n_kept, 0) AS BIGINT) AS n_kept,
+      |       CAST(COALESCE(kk.kept_id_sum, 0) AS BIGINT) AS kept_id_sum
+      |FROM tt LEFT JOIN kk USING (lang)""".stripMargin
+  }
+
+  /** q97 — histogram quantiles of document length per language
+    * (binWidth 64, p50/p90/p99): integer bin counts → windowed CDF →
+    * integer ceil-rank, estimate = lower edge of the covering bin. The
+    * spec asserts |est − exact percentile| ≤ binWidth; the oracle
+    * asserts the binned arithmetic itself. */
+  private def q97(s: SparkSession, dir: String): DataFrame =
+    CorpusSketch.histogramQuantiles(t(s, dir, "documents"),
+                                    "lang", "n_chars", 64L, Seq(50, 90, 99))
+
+  private val q97Sql =
+    """WITH b AS (SELECT lang, n_chars // 64 AS bin,
+      |                  CAST(COUNT(*) AS BIGINT) AS c
+      |           FROM documents GROUP BY 1, 2),
+      |w AS (SELECT lang, bin, c,
+      |        SUM(c) OVER (PARTITION BY lang ORDER BY bin
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        SUM(c) OVER (PARTITION BY lang) AS n
+      |      FROM b),
+      |qq AS (SELECT unnest([50, 90, 99]) AS q_pct),
+      |f AS (SELECT lang, q_pct, CAST(n AS BIGINT) AS n, bin, cum,
+      |             (n * q_pct + 99) // 100 AS rank
+      |      FROM w, qq)
+      |SELECT lang, q_pct, n, CAST(MIN(bin) * 64 AS BIGINT) AS est
+      |FROM f WHERE cum >= rank GROUP BY 1, 2, 3""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q94_hll_distinct", q94, Some(q94Sql)),
+    QueryDef("q95_cms_heavy_hitters", q95, Some(q95Sql)),
+    QueryDef("q96_stratified_sample", q96, Some(q96Sql)),
+    QueryDef("q97_histogram_quantiles", q97, Some(q97Sql))
+  )
+}

@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sketch-statistics invariants on real Spark plans:
+  *  - HLL: error bound at raw-estimate scale (n ≫ m), near-exactness in
+  *    linear-counting range (n ≪ m), and mergeability (sketch of a union
+  *    ≡ max-merge of the shards' sketches — exact frame equality, not a
+  *    tolerance);
+  *  - count-min: one-sided error (never under-counts) plus the εN upper
+  *    bound with margin, and counter-matrix size fixed at d·w;
+  *  - stratified sampling: determinism, growth-stability (a row's verdict
+  *    is independent of every other row), and rate concentration;
+  *  - histogram quantiles: |estimate − exact percentile| ≤ binWidth at
+  *    every requested q.
+  */
+class CorpusSketchSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("hll: raw-range accuracy within 4 standard errors at n=50k, m=1024") {
+    // 50_000 distinct values in one group: n >> 2.5m so the RAW branch runs.
+    val df = spark.range(50000).select(lit("g").as("g"),
+                                       concat(lit("v"), col("id")).as("v"))
+    val est = CorpusSketch.hllSketch(df, "g", "v")
+      .select("est").as[Double].head()
+    // standard error 1.04/sqrt(1024) ≈ 3.25%; allow 4σ = 13%
+    assert(math.abs(est - 50000.0) / 50000.0 < 0.13,
+           s"hll est $est too far from 50000")
+  }
+
+  test("hll: linear-counting range within 2% at n=100") {
+    val df = spark.range(100).select(lit("g").as("g"),
+                                     concat(lit("x"), col("id")).as("v"))
+    val est = CorpusSketch.hllSketch(df, "g", "v")
+      .select("est").as[Double].head()
+    assert(math.abs(est - 100.0) / 100.0 < 0.02, s"linear-count est $est")
+  }
+
+  test("hll: merge of shard registers equals whole-corpus registers exactly") {
+    val all = spark.range(5000).select(lit("g").as("g"),
+                                       concat(lit("m"), col("id")).as("v"))
+    val lo = all.filter(col("v") < "m25")   // lexicographic split — uneven, fine
+    val hi = all.filter(col("v") >= "m25")
+    val merged = CorpusSketch.hllMerge(
+      CorpusSketch.hllRegisters(lo, "g", "v"),
+      CorpusSketch.hllRegisters(hi, "g", "v"), "g")
+    val whole = CorpusSketch.hllRegisters(all, "g", "v")
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+           "merged registers differ from whole-corpus registers")
+  }
+
+  test("hll: duplicate values do not move the registers") {
+    val once = spark.range(1000).select(lit("g").as("g"),
+                                        concat(lit("d"), col("id")).as("v"))
+    val thrice = once.unionAll(once).unionAll(once)
+    val a = CorpusSketch.hllRegisters(once, "g", "v")
+    val b = CorpusSketch.hllRegisters(thrice, "g", "v")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("cms: never under-counts, over-counts within 2eN/w, matrix bounded by d*w") {
+    // zipfian-ish: token t_i appears (200 - i) times for i in 0..99
+    val rows = (0 until 100).flatMap(i => Seq.fill(200 - i)(s"t$i"))
+    val df = rows.toDF("v")
+    val d = 4; val w = 256
+    val counters = CorpusSketch.cmsCounters(df, "v", d, w)
+    assert(counters.count() <= d.toLong * w, "counter matrix exceeds d*w")
+    val exact = df.groupBy("v").agg(count(lit(1)).as("exact_c"))
+    val est = CorpusSketch.cmsEstimate(exact, counters, "v", d, w)
+      .select("exact_c", "cms_c").as[(Long, Long)].collect()
+    val n = rows.size.toLong
+    assert(est.forall { case (e, c) => c >= e }, "cms under-counted")
+    val bound = 2.0 * math.E * n / w
+    assert(est.forall { case (e, c) => c - e <= bound },
+           s"cms over-count beyond 2eN/w = $bound")
+  }
+
+  test("cms: merged shard counters equal whole-corpus counters") {
+    val rows = (0 until 50).flatMap(i => Seq.fill(i + 1)(s"w$i"))
+    val df = rows.toDF("v")
+    val (lo, hi) = (df.filter(length(col("v")) === 2),
+                    df.filter(length(col("v")) =!= 2))
+    val merged = CorpusSketch.cmsCounters(lo, "v")
+      .unionByName(CorpusSketch.cmsCounters(hi, "v"))
+      .groupBy("j", "bucket").agg(sum("c").as("c"))
+    val whole = CorpusSketch.cmsCounters(df, "v")
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+
+  test("stratified sample: deterministic, growth-stable, rate-concentrated") {
+    val df = spark.range(20000).select(
+      when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b")
+        .otherwise("c").as("s"),
+      col("id"))
+    val ppm = Map("a" -> 250000L, "b" -> 750000L)
+    val kept = CorpusSketch.stratifiedSample(df, "s", "id", ppm, 500000L)
+    val again = CorpusSketch.stratifiedSample(df, "s", "id", ppm, 500000L)
+    assert(kept.exceptAll(again).isEmpty, "sampling not deterministic")
+    // growth-stability: sampling HALF the corpus keeps exactly the
+    // intersection — no row's verdict depends on the others
+    val half = df.filter(col("id") < 10000)
+    val keptHalf = CorpusSketch.stratifiedSample(half, "s", "id", ppm, 500000L)
+    assert(keptHalf.exceptAll(kept.filter(col("id") < 10000)).isEmpty,
+           "row verdict changed when corpus shrank")
+    val rates = kept.groupBy("s").agg(count(lit(1)).as("k"))
+      .join(df.groupBy("s").agg(count(lit(1)).as("n")), "s")
+      .select(col("s"), col("k") / col("n"))
+      .as[(String, Double)].collect().toMap
+    // ~6667 rows/stratum: 4σ of a Bernoulli rate ≈ 4·sqrt(p(1−p)/n) < 0.025
+    assert(math.abs(rates("a") - 0.25) < 0.025, s"rate a ${rates("a")}")
+    assert(math.abs(rates("b") - 0.75) < 0.025, s"rate b ${rates("b")}")
+    assert(math.abs(rates("c") - 0.50) < 0.025, s"rate c ${rates("c")}")
+  }
+
+  test("histogram quantiles: within one binWidth of the exact percentile") {
+    // two groups with different shapes: uniform 0..999 and squares
+    val df = spark.range(1000).select(lit("u").as("g"), col("id").as("x"))
+      .unionAll(spark.range(1000).select(lit("q").as("g"),
+                                         (col("id") * col("id") / 1000).as("x")))
+    val binW = 50L
+    val qs = Seq(50, 90, 99)
+    val hist = CorpusSketch.histogramQuantiles(df, "g", "x", binW, qs)
+      .select("g", "q_pct", "est").as[(String, Int, Long)].collect()
+      .map { case (g, q, e) => (g, q) -> e }.toMap
+    val exact = df.groupBy("g")
+      .agg(expr("percentile(x, array(0.50, 0.90, 0.99))").as("p"))
+      .select(col("g"), col("p")).as[(String, Seq[Double])].collect()
+      .flatMap { case (g, ps) => qs.zip(ps).map { case (q, p) => (g, q) -> p } }
+      .toMap
+    for (((g, q), e) <- hist) {
+      val p = exact((g, q))
+      assert(math.abs(e - p) <= binW,
+             s"group $g q$q: hist $e vs exact $p beyond binWidth $binW")
+    }
+    assert(hist.size == 6, s"expected 2 groups x 3 quantiles, got ${hist.size}")
+  }
+}
