@@ -34,6 +34,14 @@ import org.apache.spark.sql.expressions.Window
   * q79/q89: make the sketch arithmetic itself checkable, not just the
   * row counts).
   *
+  * Streaming posture: [[hllRegisters]] and [[cmsCounters]] are a
+  * stateless projection plus a bounded groupBy, so the same calls run
+  * unchanged on a `readStream` frame in complete/update mode — the
+  * streaming STATE is the sketch itself (2^p registers per group / d·w
+  * cells, fixed forever), where a streaming `COUNT(DISTINCT)` would
+  * grow state with cardinality. Estimates are a batch read of the sink
+  * table (StreamOpsSpec pins stream ≡ batch for both).
+  *
   * Reference behavior note: the reference engine (see SURVEY §2) exposes
   * exact aggregation only; this module is part of the beyond-reference
   * training-data tier the brief asks for.
@@ -200,6 +208,33 @@ object CorpusSketch {
       case ((s, v), acc) => when(col(stratumCol) === s, lit(v)).otherwise(acc)
     }
     df.filter(point < rate)
+  }
+
+  /** Deterministic EXACT-SIZE sample: the k rows per stratum with the
+    * smallest hash point (same point function as [[stratifiedSample]],
+    * so the k-sample is a refinement of the fraction sample: top-k rows
+    * all satisfy `point < t` whenever ≥ k rows do). Content-keyed like
+    * everything here: membership survives reruns, engines, and corpus
+    * growth only changes ranks below the new rows' points.
+    *
+    * Scale shape: the window sort ranks each stratum — a full sort of
+    * the corpus when unfiltered. `prefilterPpm` bounds it: filtering
+    * `point < t` FIRST is a pure projection that keeps exactly a PREFIX
+    * of the (point, key) order, so the top-k of the survivors equals
+    * the top-k of the stratum whenever the stratum keeps ≥ k survivors
+    * — pick t with margin (E[survivors] ≈ n·t/1e6 ≥ 4k) and the window
+    * sorts ~t/1e6 of the data instead of all of it. Ties on point
+    * (1e6 buckets) break by key; keys must be unique per stratum. */
+  def stratumTopK(df: DataFrame, stratumCol: String, keyCol: String, k: Int,
+                  prefilterPpm: Option[Long] = None,
+                  salt: String = "strat"): DataFrame = {
+    require(k >= 1)
+    val point = h32(concat(col(stratumCol), lit("|"), col(keyCol)), salt) % 1000000L
+    val base = df.withColumn("point", point)
+    val pre = prefilterPpm.map(t => base.filter(col("point") < t)).getOrElse(base)
+    val w = Window.partitionBy(stratumCol).orderBy(col("point"), col(keyCol))
+    pre.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 
   // ------------------------------------------------- histogram quantiles

@@ -235,4 +235,31 @@ object TextAnalysis {
     }
     df.withColumn("split_point", point).withColumn("split", assigned)
   }
+
+  /** Leakage-safe split: assign the train/val/test bucket by duplicate
+    * CLUSTER, not by document — every member of a near-dup component
+    * lands in the SAME split, so a paraphrase of a training document
+    * can never sit in the test set ([[deterministicSplit]] keyed on
+    * doc_id gives each near-duplicate an independent coin flip, which
+    * at web-corpus dup rates leaks a few percent of test into train).
+    * Composition: [[TextDedup.dedupCorpus]]'s components (exact-md5 ∪
+    * confirmed near-dup edges, transitively closed) → the SAME
+    * content-hash split arithmetic keyed on the cluster id. Keeping
+    * duplicates is the point — use this when renditions stay in the
+    * corpus (dedup-then-split already covers the drop case via
+    * [[curateCorpus]]).
+    *
+    * Scale shape: dedupCorpus's documented posture (keyed band joins +
+    * label propagation) plus one pure projection — the split itself
+    * adds no shuffle. Output: (doc_id, cluster, split). */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+                       buckets: Seq[(String, Int)] = Seq(("train", 90), ("val", 5), ("test", 5)),
+                       salt: String = "split", maxDocFrac: Double = 0.1,
+                       minJaccard: Double = 0.5): DataFrame = {
+    val dd = TextDedup.dedupCorpus(docs, idCol, textCol,
+                                   maxDocFrac = maxDocFrac, minJaccard = minJaccard)
+      .select(col("doc_id"), col("cluster"))
+    deterministicSplit(dd, "cluster", buckets, salt)
+      .select(col("doc_id"), col("cluster"), col("split"))
+  }
 }

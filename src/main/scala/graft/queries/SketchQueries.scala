@@ -165,10 +165,32 @@ object SketchQueries {
       |SELECT lang, q_pct, n, CAST(MIN(bin) * 64 AS BIGINT) AS est
       |FROM f WHERE cum >= rank GROUP BY 1, 2, 3""".stripMargin
 
+  /** q98 — deterministic exact-size sample: the 10 smallest-hash docs
+    * per language, through the 50% prefilter scale path (the window
+    * sorts half the corpus, provably without changing the answer while
+    * every stratum keeps ≥ 10 survivors — which the spec asserts
+    * against the unfiltered form). Every emitted value is an integer. */
+  private def q98(s: SparkSession, dir: String): DataFrame =
+    CorpusSketch.stratumTopK(t(s, dir, "documents"), "lang", "doc_id", 10,
+                             prefilterPpm = Some(500000L))
+      .select(col("lang"), col("doc_id"), col("point"), col("rank"))
+
+  private val q98Sql = {
+    val h = hexSql("md5('strat' || lang || '|' || doc_id)", 8)
+    s"""WITH p AS (SELECT lang, doc_id, $h % 1000000 AS point FROM documents),
+      |f AS (SELECT * FROM p WHERE point < 500000),
+      |r AS (SELECT lang, doc_id, point,
+      |        CAST(row_number() OVER (PARTITION BY lang
+      |                                ORDER BY point, doc_id) AS BIGINT) AS rank
+      |      FROM f)
+      |SELECT lang, doc_id, point, rank FROM r WHERE rank <= 10""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q94_hll_distinct", q94, Some(q94Sql)),
     QueryDef("q95_cms_heavy_hitters", q95, Some(q95Sql)),
     QueryDef("q96_stratified_sample", q96, Some(q96Sql)),
-    QueryDef("q97_histogram_quantiles", q97, Some(q97Sql))
+    QueryDef("q97_histogram_quantiles", q97, Some(q97Sql)),
+    QueryDef("q98_stratum_topk", q98, Some(q98Sql))
   )
 }

@@ -319,6 +319,47 @@ object TextQueries {
       |SELECT cl.doc_id, cl.cluster, cl.is_keeper, sz.n_cluster
       |FROM cl JOIN sz USING (cluster)""".stripMargin
 
+  /** q99 — leakage-safe split ([[TextAnalysis.leakageSafeSplit]]): the
+    * train/val/test bucket assigned by duplicate CLUSTER so near-dup
+    * renditions can never straddle splits. The oracle is q80's full
+    * closure (near-dup chain + exact star edges + components) composed
+    * with q75's split arithmetic keyed on the CLUSTER id — the
+    * straddle-impossibility is checkable in the result itself (every
+    * cluster maps to exactly one split). */
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextAnalysis.leakageSafeSplit(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q99Sql =
+    s"""WITH RECURSIVE $nearDupCtes,
+      |ex AS (SELECT md5(text) AS h, doc_id FROM documents),
+      |exk AS (SELECT h, min(doc_id) AS da, count(*) AS nh FROM ex GROUP BY 1),
+      |exedges AS (
+      |  SELECT k.da AS src, e.doc_id AS dst FROM exk k JOIN ex e USING (h)
+      |  WHERE k.nh > 1 AND k.da < e.doc_id),
+      |edges AS (SELECT da AS src, db AS dst FROM dup
+      |          UNION SELECT db AS src, da AS dst FROM dup
+      |          UNION SELECT src, dst FROM exedges
+      |          UNION SELECT dst AS src, src AS dst FROM exedges),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r),
+      |cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+      |sph AS (SELECT DISTINCT cluster, md5('split' || cluster) AS m FROM cl),
+      |spp AS (
+      |  SELECT cluster,
+      |         CAST(list_sum(list_transform(generate_series(1, 8),
+      |           j -> CAST(instr('0123456789abcdef', substr(m, j, 1)) - 1 AS BIGINT)
+      |                * CAST(pow(16, 8 - j) AS BIGINT))) AS BIGINT) % 100 AS split_point
+      |  FROM sph),
+      |sp AS (SELECT cluster,
+      |         CASE WHEN split_point < 90 THEN 'train'
+      |              WHEN split_point < 95 THEN 'val'
+      |              ELSE 'test' END AS split
+      |       FROM spp)
+      |SELECT cl.doc_id, cl.cluster, sp.split
+      |FROM cl JOIN sp USING (cluster)""".stripMargin
+
   /** q81 — BM25 lexical top-20 for a fixed query ("hash join filter" —
     * three mid-frequency corpus terms): the retrieval scorer over the
     * documents table. Per-(doc, term) contributions are integer-micro
@@ -902,6 +943,7 @@ object TextQueries {
     QueryDef("q85_simhash128_neardup", q85, Some(q85Sql)),
     QueryDef("q90_multibyte_cdc", q90, Some(q90Sql)),
     QueryDef("q91_multibyte_textstats", q91, Some(q91Sql)),
-    QueryDef("q92_multibyte_pretokens", q92, Some(q92Sql))
+    QueryDef("q92_multibyte_pretokens", q92, Some(q92Sql)),
+    QueryDef("q99_leakage_safe_split", q99, Some(q99Sql))
   )
 }

@@ -116,6 +116,23 @@ class CorpusSketchSpec extends AnyFunSuite {
     assert(math.abs(rates("c") - 0.50) < 0.025, s"rate c ${rates("c")}")
   }
 
+  test("stratumTopK: exact k per stratum; prefilter provably changes nothing; refines the fraction sample") {
+    val df = spark.range(5000).select(
+      when(col("id") % 2 === 0, "x").otherwise("y").as("s"), col("id"))
+    val k = 25
+    val full = CorpusSketch.stratumTopK(df, "s", "id", k)
+    val pre = CorpusSketch.stratumTopK(df, "s", "id", k, Some(100000L))
+    // E[survivors] = 250 per stratum >> k, so the prefilter is invisible
+    assert(full.exceptAll(pre).isEmpty && pre.exceptAll(full).isEmpty,
+           "prefiltered top-k differs from unfiltered")
+    val sizes = full.groupBy("s").agg(count(lit(1))).as[(String, Long)].collect().toMap
+    assert(sizes == Map("x" -> k.toLong, "y" -> k.toLong))
+    // refinement: every top-k row is inside the same-threshold fraction sample
+    val frac = CorpusSketch.stratifiedSample(df, "s", "id", Map.empty, 100000L)
+    assert(pre.select("s", "id").exceptAll(frac.select("s", "id")
+             .join(pre.select("s", "id"), Seq("s", "id"))).isEmpty)
+  }
+
   test("histogram quantiles: within one binWidth of the exact percentile") {
     // two groups with different shapes: uniform 0..999 and squares
     val df = spark.range(1000).select(lit("u").as("g"), col("id").as("x"))

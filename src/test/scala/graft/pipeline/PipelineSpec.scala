@@ -360,6 +360,30 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("leakageSafeSplit: near-dup renditions never straddle splits; doc-keyed split can") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog tonight"), // near dup of 1
+      (4L, "completely different words appear in this text here"),
+      (5L, "hi"), (6L, "hi"), (7L, "hello")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.leakageSafeSplit(corpus, "doc_id", "text",
+                                            maxDocFrac = 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.size == 7)
+    // the whole {1,2,3} component shares one split; so does {5,6}
+    assert(out(1L)._2 == out(2L)._2 && out(2L)._2 == out(3L)._2)
+    assert(out(5L)._2 == out(6L)._2)
+    // split is a pure function of the cluster id: equal clusters, equal splits
+    assert(out.values.groupBy(_._1).forall(_._2.map(_._2).toSet.size == 1))
+    // and the split values agree with deterministicSplit keyed on the cluster
+    val want = TextAnalysis.deterministicSplit(
+        out.values.map(_._1).toSeq.distinct.toDF("cluster"), "cluster")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.values.forall { case (c, s) => want(c) == s })
+  }
+
   test("repetitionStats separates looping text from diverse text") {
     import graft.pipeline.TextAnalysis
     val corpus = Seq(

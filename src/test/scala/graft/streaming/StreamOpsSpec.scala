@@ -642,4 +642,38 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(got == expected)
     } finally q.stop()
   }
+
+  test("sketch state is stream-ready: HLL registers and CMS counters equal batch in complete mode") {
+    // The sketch aggregations are a stateless projection + a bounded
+    // groupBy (max over 2^p registers / count over d·w cells), so the
+    // SAME CorpusSketch calls run on a readStream frame: the streaming
+    // state is the sketch itself — fixed-size forever, unlike a
+    // streaming COUNT(DISTINCT) whose state grows with cardinality.
+    import graft.pipeline.CorpusSketch
+    val rows = (0 until 2000).map(i => (if (i % 2 == 0) "a" else "b", s"v${i % 700}"))
+    val batch = rows.toDF("g", "v")
+    val dir = Files.createTempDirectory("graft-stream-sketch").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+
+    val wantRegs = CorpusSketch.hllRegisters(batch, "g", "v")
+      .collect().map(_.toString).toSet
+    val qr = CorpusSketch.hllRegisters(stream, "g", "v")
+      .writeStream.outputMode("complete").format("memory").queryName("hll_regs").start()
+    val wantCms = CorpusSketch.cmsCounters(batch, "v")
+      .collect().map(_.toString).toSet
+    val qc = CorpusSketch.cmsCounters(stream, "v")
+      .writeStream.outputMode("complete").format("memory").queryName("cms_cnt").start()
+    try {
+      qr.processAllAvailable(); qc.processAllAvailable()
+      assert(spark.table("hll_regs").collect().map(_.toString).toSet == wantRegs)
+      assert(spark.table("cms_cnt").collect().map(_.toString).toSet == wantCms)
+      // and the estimate is a BATCH read of the sink table — the
+      // serving pattern: registers live in the sink, estimates on demand
+      // each group sees the evens / odds of i % 700 → 350 distinct values
+      val est = CorpusSketch.hllEstimate(spark.table("hll_regs"), "g")
+        .select("est").as[Double].collect()
+      assert(est.length == 2 && est.forall(e => math.abs(e - 350.0) / 350.0 < 0.15))
+    } finally { qr.stop(); qc.stop() }
+  }
 }
