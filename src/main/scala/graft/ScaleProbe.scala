@@ -73,6 +73,26 @@ object ScaleProbe {
     println(s"cdc distinct chunks: ${time("cdc chunk+dedup")(
       TextDedup.chunkDedup(TextDedup.cdcChunks(docs, "doc_id", "text")).count())}")
 
+    // sketch statistics — the FIXED-STATE lesson: the HLL register
+    // frame is ≤ 1024 rows and the CMS counter matrix exactly d·w =
+    // 4096 cells at EVERY decade (map-side partials do the work; the
+    // shuffle is constant-size), while the exact answers shuffle every
+    // distinct value / vocabulary word. Expect sketch times ~flat vs
+    // the growing exact-distinct cost, and the estimate within ~4% —
+    // the 1.04/√1024 standard error doesn't depend on n either.
+    import graft.pipeline.CorpusSketch
+    val hllRows = time("hll sketch (m=1024)")(
+      CorpusSketch.hllSketch(docs.select(lit("all").as("g"), col("text")),
+                             "g", "text").collect())
+    val exactDistinct = time("exact count(distinct text)")(
+      docs.select("text").distinct().count())
+    println(f"hll est=${hllRows.head.getAs[Double]("est")}%.0f vs exact=$exactDistinct " +
+            f"(err ${math.abs(hllRows.head.getAs[Double]("est") - exactDistinct) * 100.0 / exactDistinct}%.1f%%)")
+    val cmsCells = time("cms counters (4x1024)")(
+      CorpusSketch.cmsCounters(
+        docs.select(explode(split(col("text"), " ")).as("v")), "v").count())
+    println(s"cms cells: $cmsCells (bounded by 4096 at any vocabulary)")
+
     // SimHash near-dup — the WIDTH lesson: candidate volume of the band
     // self-join at 16-bit vs 64-bit sketches (occupancy math, O(n) to
     // compute — the 16-bit join itself is n²/32-per-band and must never

@@ -1079,4 +1079,85 @@ object Similarity extends org.apache.spark.internal.Logging {
               round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos"))
       .filter(col("cos") >= minCos)
   }
+
+  // ---------------------------------------------- random projection (JL)
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Deterministic ±1 Johnson-Lindenstrauss matrix: entry (j, i) is the
+    * parity of the md5-derived hash of `salt|j|i` — the SAME
+    * construction any engine can replay (the q100/q101 oracles rebuild
+    * it in SQL), so the projection itself is hash-checkable, unlike a
+    * seeded RNG whose stream is engine-private. ±1 entries (Achlioptas)
+    * carry the JL guarantee with the cheapest possible row dot. */
+  def jlMatrix(outDim: Int, inDim: Int, salt: String = "jl"): Seq[Seq[Double]] =
+    (0 until outDim).map { j =>
+      (0 until inDim).map { i =>
+        val h = java.lang.Long.parseLong(md5Hex(s"$salt|$j|$i").substring(0, 8), 16)
+        if (h % 2 == 0) 1.0 else -1.0
+      }
+    }
+
+  /** Project `v` (inDim) to `vp` (outDim): one native dot per output
+    * dimension against a matrix-row literal — a pure codegen'd
+    * projection, zero shuffle, O(outDim·inDim) per row. The matrix
+    * literal is outDim·inDim doubles regardless of corpus size (the
+    * de-literalization rule is about O(corpus) payloads, not O(1)
+    * configs — same status as the PQ codebooks). Unscaled: the JL
+    * 1/√outDim factor cancels in cosine, which is the only consumer. */
+  def jlProject(emb: DataFrame, inDim: Int, outDim: Int,
+                salt: String = "jl"): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val m = jlMatrix(outDim, inDim, salt)
+    emb.withColumn("vp", array(m.map(row => dot(col("v"), typedLit(row))): _*))
+  }
+
+  /** Reduced-dimension ANN: shortlist by cosine over the PROJECTED
+    * vectors (outDim/inDim of the scan arithmetic and index bytes —
+    * dim 64 → 16 reads 4× less and multiplies 4× less per pair), then
+    * re-rank the shortlist on the full vectors. Distance preservation
+    * is probabilistic (JL ε ~ √(ln n / outDim)), so the shortlist must
+    * over-fetch: `shortlist` ≥ 2-4× k recovers what the projection
+    * blurs (recall is test-pinned on the real embeddings; q101
+    * hash-checks the whole project→shortlist→refine path in SQL).
+    * Composes with the rest of the family: the projection is just a
+    * column — IVF/LSH/SQ8 index the reduced vectors the same way they
+    * index raw ones. */
+  def jlTopKRefine(emb: DataFrame, queryPred: Column, k: Int, shortlist: Int,
+                   inDim: Int, outDim: Int, salt: String = "jl"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    // the projected frame is the reduced-dimension INDEX — one pass,
+    // shared by both join sides and across calls
+    val proj = graft.queries.cacheOnce(
+      jlProject(emb, inDim, outDim, salt)
+        .select(col("vec_id"), col("vp"), sqrt(dot(col("vp"), col("vp"))).as("pn")))
+    val q = proj.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("vp").as("qp"), col("pn").as("qn"))
+    val pcos = broadcast(q).crossJoin(proj)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              // oracle float discipline: rank on a rounded score (q59's
+              // rule) so a last-ulp engine divergence can't flip ranks
+              round(dot(col("qp"), col("vp")) / (col("qn") * col("pn")), 6).as("pcos"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id"))
+    val short = pcos.withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact tail on the full vectors — only shortlist·|Q| rows touch them
+    val full = withNorm(emb).select(col("vec_id"), col("v"), col("nrm"))
+    val scored = short
+      .join(full.select(col("vec_id").as("query_id"), col("v").as("qv"),
+                        col("nrm").as("qn")), Seq("query_id"))
+      .join(full.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+            Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
 }

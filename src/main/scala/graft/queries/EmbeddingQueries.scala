@@ -571,6 +571,80 @@ object EmbeddingQueries {
               col("rn").cast("long").as("rn"))
   }
 
+  /** Oracle replay of the deterministic ±1 JL matrix entry (j, i):
+    * parity of the first 8 md5 hex chars of `jl|j|i` — the exact
+    * [[Similarity.jlMatrix]] construction. */
+  private val jlEntrySql =
+    """CASE WHEN CAST(list_sum(list_transform(generate_series(1, 8),
+      |  h -> CAST(instr('0123456789abcdef', substr(md5('jl|' || j || '|' || i), h, 1)) - 1 AS BIGINT)
+      |       * CAST(pow(16, 8 - h) AS BIGINT))) AS BIGINT) % 2 = 0
+      |THEN 1.0 ELSE -1.0 END""".stripMargin
+
+  /** Shared oracle CTEs: the JL matrix as 16 ordered 64-entry rows, and
+    * every vector's projection as an ordered 16-list (same sequential
+    * fold as the native dot — q59's list_sum discipline). */
+  private val jlCtes =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |r AS (SELECT j.j, i.i, $jlEntrySql AS rr
+      |      FROM (SELECT unnest(generate_series(0, 15)) AS j) j,
+      |           (SELECT unnest(generate_series(0, 63)) AS i) i),
+      |rrow AS (SELECT j, list(rr ORDER BY i) AS rl FROM r GROUP BY j),
+      |pj AS (SELECT e.vec_id, rrow.j,
+      |         list_sum(list_transform(generate_series(1, 64),
+      |                                 x -> e.v[x] * rrow.rl[x])) AS vp
+      |       FROM e, rrow),
+      |pl AS (SELECT vec_id, list(vp ORDER BY j) AS vp FROM pj GROUP BY vec_id)""".stripMargin
+
+  /** q100 — JL random projection parity: every vector's 16 projected
+    * coordinates, long format. The oracle REBUILDS the ±1 matrix from
+    * md5 parities and refolds each projection in the same sequential
+    * order — the reduction itself is hash-checked before any search
+    * uses it. */
+  private def q100(s: SparkSession, dir: String): DataFrame =
+    Similarity.jlProject(emb(s, dir), 64, 16)
+      .select(col("vec_id"), posexplode(col("vp")).as(Seq("j", "vp")))
+      .select(col("vec_id"), col("j").cast("long").as("j"),
+              round(col("vp"), 4).as("vp"))
+
+  private val q100Sql =
+    s"""WITH $jlCtes
+      |SELECT vec_id, CAST(j AS BIGINT) AS j, round(vp, 4) AS vp FROM pj""".stripMargin
+
+  /** q101 — reduced-dimension ANN, the whole serving path: shortlist 20
+    * by projected cosine (4× less arithmetic and index per pair), exact
+    * re-rank to top-5 on the full vectors. One DuckDB statement replays
+    * matrix → projection → projected-cosine shortlist → exact refine;
+    * the spec additionally pins recall vs the q59 exact scan. */
+  private def q101(s: SparkSession, dir: String): DataFrame =
+    Similarity.jlTopKRefine(emb(s, dir), col("vec_id") < 5, 5, 20, 64, 16)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+              col("rn").cast("long").as("rn"))
+
+  private val q101Sql =
+    s"""WITH $jlCtes,
+      |pn AS (SELECT vec_id, vp,
+      |         sqrt(list_sum(list_transform(generate_series(1, 16),
+      |                                      x -> vp[x] * vp[x]))) AS pn
+      |       FROM pl),
+      |pc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |         round(list_sum(list_transform(generate_series(1, 16),
+      |                                       x -> a.vp[x] * b.vp[x]))
+      |               / (a.pn * b.pn), 6) AS pcos
+      |       FROM pn a JOIN pn b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+      |short AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |           row_number() OVER (PARTITION BY query_id
+      |                              ORDER BY pcos DESC, neighbor_id) AS srn
+      |    FROM pc) x WHERE srn <= 20),
+      |sc AS (SELECT s.query_id, s.neighbor_id,
+      |         ${cosSql("qa.v", "qb.v")} AS cos
+      |       FROM short s JOIN e qa ON qa.vec_id = s.query_id
+      |                    JOIN e qb ON qb.vec_id = s.neighbor_id)
+      |SELECT query_id, neighbor_id, cos,
+      |       CAST(row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+      |FROM sc QUALIFY rn <= 5""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q59_cosine_topk", q59, Some(q59Sql)),
     QueryDef("q79_sq8_topk", q79, Some(q79Sql)),
@@ -583,6 +657,8 @@ object EmbeddingQueries {
     QueryDef("q87_ivf_hier_frames", q87, Some(q70Sql)),
     QueryDef("q88_ivf_tree_frames", q88, Some(q74Sql)),
     QueryDef("q89_pq_topk", q89, Some(q89Sql)),
-    QueryDef("q93_pq_refine", q93, Some(q93Sql))
+    QueryDef("q93_pq_refine", q93, Some(q93Sql)),
+    QueryDef("q100_jl_project", q100, Some(q100Sql)),
+    QueryDef("q101_jl_topk_refine", q101, Some(q101Sql))
   )
 }
