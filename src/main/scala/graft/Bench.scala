@@ -76,7 +76,13 @@ object Bench {
     val excluded =
       if (sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")) Set.empty[String]
       else Set("q76_simhash_neardup")
+    // SPARK_GRAFT_BENCH_ONLY=q78_dup_clusters_pj,q82_curate_corpus
+    // restricts the suite to a comma-separated subset — a dev loop for
+    // timing one query's optimization without paying the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = (SparkEntry.queries.keySet -- excluded).toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val timesByQuery = scala.collection.mutable.Map.empty[String, List[Double]]
     for (pass <- 1 to reps; name <- names) {
       val fn = SparkEntry.queries(name)

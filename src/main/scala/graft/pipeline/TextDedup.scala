@@ -347,10 +347,73 @@ object TextDedup {
     * converges in ~9 rounds (test-pinned, labels identical). At
     * typical dup diameters (2-4) the extra join costs more than it
     * saves, which is why plain propagation stays the default and
-    * `maxRounds` guards the assumption. */
+    * `maxRounds` guards the assumption.
+    *
+    * `broadcastEdgeMax` is the ADAPTIVE small-graph path — the same
+    * engineering judgment as Spark's autoBroadcastJoinThreshold: the
+    * confirmed-duplicate edge set is pair-count-sized (bounded by dup
+    * density, NOT corpus size — a 100 TB corpus at web dup rates still
+    * yields an edge list orders of magnitude smaller than the corpus),
+    * so when it fits comfortably on the driver the right plan is
+    * path-compressed union-find there and ONE broadcast join back,
+    * not O(diameter) keyed shuffle rounds each costing a driver-
+    * synchronized job. One `limit(max+1).collect()` probes size and
+    * fetches the edges in a single job; exactly max+1 rows means
+    * "over threshold" and the distributed loop runs instead. Labels
+    * are identical on both paths by the definition of connected
+    * components (min doc id per component) — parity is test-pinned.
+    * Pass 0 to force the distributed loop (q66/q78 do, as the
+    * oracle-parity forms of each propagation flavor).
+    *
+    * Precondition (both paths, same reason): edge endpoints ⊆ docs —
+    * the distributed loop never labels a non-doc vertex, and the
+    * union-find path must not let one become a cluster min. Every
+    * in-repo caller derives `pairs` from `docs`. */
   def dupClusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 50,
                   onRound: (Int, Long, Double) => Unit = null,
-                  pointerJump: Boolean = false): DataFrame = {
+                  pointerJump: Boolean = false,
+                  broadcastEdgeMax: Long = 1L << 20): DataFrame = {
+    require(broadcastEdgeMax <= Int.MaxValue - 1, "broadcastEdgeMax must fit an Int limit")
+    if (broadcastEdgeMax > 0) {
+      val probe = pairs.select(col("da").cast("long"), col("db").cast("long"))
+        .limit(broadcastEdgeMax.toInt + 1).collect()
+      if (probe.length <= broadcastEdgeMax) {
+        // driver union-find: path-compressed find, link roots, then one
+        // pass assigning each component its min member as the label
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          if (!parent.containsKey(x)) { parent.put(x, x); return x }
+          while (parent.get(x) != x) {
+            parent.put(x, parent.get(parent.get(x))); x = parent.get(x)
+          }
+          x
+        }
+        probe.foreach { r =>
+          val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        val minOfRoot = new java.util.HashMap[Long, Long]()
+        parent.keySet().forEach { v =>
+          val r = find(v)
+          val cur = minOfRoot.getOrDefault(r, Long.MaxValue)
+          if (v < cur) minOfRoot.put(r, v)
+        }
+        val labels = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        parent.keySet().forEach { v => labels += ((v, minOfRoot.get(find(v)))) }
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val labelDf =
+          if (labels.isEmpty) Seq.empty[(Long, Long)].toDF("doc_id", "cluster")
+          else labels.toSeq.toDF("doc_id", "cluster")
+        return docs.select(col("doc_id"))
+          .join(broadcast(labelDf), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+                  coalesce(col("cluster"), col("doc_id")).as("cluster"))
+          .withColumn("is_keeper", (col("doc_id") === col("cluster")).cast("long"))
+      }
+      // fall through: edge set over threshold — distributed propagation
+    }
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
       .distinct().cache()
@@ -441,7 +504,8 @@ object TextDedup {
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
                   nHashes: Int = 16, bandSize: Int = 2, maxDocFrac: Double = 0.1,
                   minAgree: Int = 4, minJaccard: Double = 0.5,
-                  pointerJump: Boolean = false): DataFrame = {
+                  pointerJump: Boolean = false,
+                  broadcastEdgeMax: Long = 1L << 20): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
     val hashed = base.select(col("doc_id"), md5(col("__t")).as("h"))
     val keepers = hashed.groupBy("h")
@@ -463,7 +527,8 @@ object TextDedup {
     // reuse it; release via graft.queries.releaseIndexes(docs))
     val pairs = graft.queries.cacheOnce(near.unionByName(exactEdges).distinct())
     val clusters = dupClusters(base.select(col("doc_id")), pairs,
-                               pointerJump = pointerJump)
+                               pointerJump = pointerJump,
+                               broadcastEdgeMax = broadcastEdgeMax)
     val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("n_cluster"))
     clusters.join(sizes, Seq("cluster"))
       .select(col("doc_id"), col("cluster"), col("is_keeper"), col("n_cluster"))

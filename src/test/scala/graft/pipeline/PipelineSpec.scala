@@ -268,11 +268,11 @@ class TextDedupSpec extends AnyFunSuite {
     val ids = (1L to 12L).map(Tuple1(_)).toDF("doc_id")
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("da", "db")
     val e = intercept[IllegalStateException] {
-      TextDedup.dupClusters(ids, chain, maxRounds = 3)
+      TextDedup.dupClusters(ids, chain, maxRounds = 3, broadcastEdgeMax = 0)
     }
     assert(e.getMessage.contains("did not converge"))
     // and with enough rounds the same chain resolves to one cluster
-    val ok = TextDedup.dupClusters(ids, chain).collect()
+    val ok = TextDedup.dupClusters(ids, chain, broadcastEdgeMax = 0).collect()
     assert(ok.forall(_.getLong(1) == 1L))
   }
 
@@ -283,11 +283,12 @@ class TextDedupSpec extends AnyFunSuite {
     val ids = (1L to 101L).map(Tuple1(_)).toDF("doc_id")
     val chain = (1L until 101L).map(i => (i, i + 1)).toDF("da", "db")
     intercept[IllegalStateException] {
-      TextDedup.dupClusters(ids, chain) // plain form exhausts maxRounds
+      // plain DISTRIBUTED form exhausts maxRounds
+      TextDedup.dupClusters(ids, chain, broadcastEdgeMax = 0)
     }
     var rounds = 0
     val jumped = TextDedup.dupClusters(ids, chain, pointerJump = true,
-        onRound = (r, _, _) => rounds = r)
+        onRound = (r, _, _) => rounds = r, broadcastEdgeMax = 0)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(rounds <= 10, s"pointer jumping took $rounds rounds for diameter 100")
     assert(jumped.keySet == (1L to 101L).toSet)
@@ -296,11 +297,43 @@ class TextDedupSpec extends AnyFunSuite {
     // and on a multi-component graph the labels equal the plain form's
     val ids2 = (1L to 7L).map(Tuple1(_)).toDF("doc_id")
     val pairs2 = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("da", "db")
-    val plain = TextDedup.dupClusters(ids2, pairs2).collect()
+    val plain = TextDedup.dupClusters(ids2, pairs2, broadcastEdgeMax = 0).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val pj = TextDedup.dupClusters(ids2, pairs2, pointerJump = true).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pj = TextDedup.dupClusters(ids2, pairs2, pointerJump = true,
+        broadcastEdgeMax = 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(pj == plain, "pointer jumping must not change the resolved labels")
+  }
+
+  test("broadcast union-find path: labels identical to the distributed loop") {
+    // a graph exercising every shape at once: a deep chain (1-10), a
+    // star (20 ← 21..25), a triangle with a redundant edge (30,31,32),
+    // reversed/duplicate edge rows, and singletons (40, 41)
+    val ids = ((1L to 10L) ++ (20L to 25L) ++ (30L to 32L) ++ Seq(40L, 41L))
+      .map(Tuple1(_)).toDF("doc_id")
+    val edges = ((1L until 10L).map(i => (i, i + 1)) ++
+      (21L to 25L).map(i => (20L, i)) ++
+      Seq((30L, 31L), (31L, 32L), (32L, 30L), (31L, 30L), (32L, 31L)))
+      .toDF("da", "db")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val dist = asMap(TextDedup.dupClusters(ids, edges, broadcastEdgeMax = 0))
+    val bc = asMap(TextDedup.dupClusters(ids, edges)) // default: broadcast path
+    assert(bc == dist, "broadcast union-find must reproduce the distributed labels")
+    // output schema parity (name order and types feed the same oracles)
+    val dDf = TextDedup.dupClusters(ids, edges, broadcastEdgeMax = 0)
+    val bDf = TextDedup.dupClusters(ids, edges)
+    assert(bDf.schema.map(f => (f.name, f.dataType)) ==
+           dDf.schema.map(f => (f.name, f.dataType)))
+    // a threshold SMALLER than the edge count falls through to the
+    // distributed loop and still converges to the same labels
+    val viaFallthrough = asMap(TextDedup.dupClusters(ids, edges, broadcastEdgeMax = 3))
+    assert(viaFallthrough == dist)
+    // empty edge set: every doc is its own keeper on both paths
+    val none = Seq.empty[(Long, Long)].toDF("da", "db")
+    val soloBc = asMap(TextDedup.dupClusters(ids, none))
+    assert(soloBc.forall { case (id, (cl, k)) => cl == id && k == 1L })
+    assert(soloBc == asMap(TextDedup.dupClusters(ids, none, broadcastEdgeMax = 0)))
   }
 
   test("dedupCorpus: exact + near + transitive dedup in one verdict, short docs covered") {
