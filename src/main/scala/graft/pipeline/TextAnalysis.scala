@@ -262,4 +262,150 @@ object TextAnalysis {
     deterministicSplit(dd, "cluster", buckets, salt)
       .select(col("doc_id"), col("cluster"), col("split"))
   }
+
+  /** PII patterns for [[redactPii]]: (name, regex, placeholder). The
+    * default set covers the redaction every public-corpus release runs
+    * (emails, IPv4 addresses, international-format phone numbers).
+    * Patterns are deliberately RE2-safe — no backreferences or
+    * lookaround — so the SAME pattern string runs identically under
+    * Java regex (Spark), RE2 (DuckDB/Go tooling), and PCRE: a corpus
+    * redacted here hash-matches one redacted by a downstream audit
+    * tool. Extend per deployment (SSNs, IBANs, keys) by passing a
+    * larger list. */
+  val defaultPiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+\\d{7,15}", "<PHONE>"))
+
+  /** PII REDACTION — the scrub step between a crawled corpus and a
+    * training run. Applies `patterns` SEQUENTIALLY: each pattern's
+    * match count is taken on the text as the PREVIOUS redactions left
+    * it, then its matches are replaced by the placeholder — so counts
+    * and the final text tell one consistent story (an IPv4-looking
+    * string inside an already-redacted email host is never counted
+    * twice). Pure codegen'd projection (regexp_count/regexp_replace):
+    * zero shuffle, streaming-safe, linear scan at any corpus size.
+    * Output: (id, n_<name> per pattern, n_pii total, redacted). */
+  def redactPii(df: DataFrame, idCol: String, textCol: String,
+                patterns: Seq[(String, String, String)] = defaultPiiPatterns): DataFrame = {
+    require(patterns.nonEmpty, "need at least one PII pattern")
+    val (counts, redacted) =
+      patterns.foldLeft((Vector.empty[(String, Column)], col(textCol))) {
+        case ((cs, text), (name, pat, repl)) =>
+          (cs :+ (name -> regexp_count(text, lit(pat)).cast("long")),
+           regexp_replace(text, pat, repl))
+      }
+    df.select((col(idCol) +:
+      counts.map { case (name, c) => c.as(s"n_$name") }) ++ Seq(
+      counts.map(_._2).reduce(_ + _).as("n_pii"),
+      redacted.as("redacted")): _*)
+  }
+
+  /** The portable deterministic hash point shared by the sampling /
+    * split family: first 8 hex chars of md5(salt || key) read as an
+    * integer, mod `mod`. Content-derived (reproducible across runs,
+    * engines, partitionings, corpus growth), salt-decorrelated from
+    * every other md5-keyed decision. */
+  private def hashPoint(key: Column, salt: String, mod: Long): Column =
+    pmod(conv(substring(md5(concat(lit(salt), key)), 1, 8), 16, 10)
+           .cast("long"), lit(mod))
+
+  /** DOMAIN-MIXTURE RESAMPLING — the "data mixing" step of a training
+    * run: given a target corpus size, sample each group (source
+    * domain, language, …) at a rate proportional to n_g^alpha
+    * (temperature sampling — alpha = 1 keeps the natural mixture,
+    * alpha = 0 equalizes groups, the usual 0.3-0.7 range upweights
+    * small domains without drowning large ones; the multilingual-LM
+    * papers' standard recipe). Deterministic end to end: the
+    * per-group rate is exact-integer arithmetic (weights in millionths
+    * from ONE sqrt each — no order-dependent float sums), and the
+    * keep decision is the md5 hash-point, so the sample is
+    * reproducible and growth-stable like every split here.
+    *
+    * Scale shape: one tiny groupBy(count) → broadcast of the
+    * group-rate table back onto the corpus scan → pure projection
+    * filter. No data-sized shuffle.
+    *
+    * Output: every input id with (group, n_group, target_n, rate_e6,
+    * sampled) — the decision ledger, filterable to the sample. */
+  def temperatureResample(df: DataFrame, idCol: String, groupCol: String,
+                          targetTotal: Long, alpha: Double = 0.5,
+                          salt: String = "mix"): DataFrame = {
+    require(targetTotal > 0, "targetTotal must be positive")
+    // alpha = 0.5 (the default) goes through sqrt, not pow: IEEE sqrt is
+    // exactly rounded in every engine while pow(x, 0.5) is only
+    // 1-ulp-accurate, so sqrt keeps the millionths weights bit-identical
+    // under any oracle (the q103 SQL mirrors with sqrt)
+    val wExpr =
+      if (alpha == 0.5) sqrt(col("n_group").cast("double"))
+      else pow(col("n_group").cast("double"), lit(alpha))
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_group"))
+      .withColumn("w_e6", round(wExpr * 1e6).cast("long"))
+    val sumW = counts.agg(sum(col("w_e6")).as("sum_w"))
+    val rates = counts.crossJoin(broadcast(sumW))
+      .withColumn("target_n",
+        round(lit(targetTotal) * col("w_e6") * 1.0 / col("sum_w")).cast("long"))
+      .withColumn("rate_e6",
+        least(lit(1000000L),
+              round(col("target_n") * 1e6 / col("n_group")).cast("long")))
+      .select(col(groupCol), col("n_group"), col("target_n"), col("rate_e6"))
+    df.select(col(idCol), col(groupCol))
+      .join(broadcast(rates), Seq(groupCol))
+      .withColumn("sampled",
+        (hashPoint(col(idCol), salt, 1000000L) < col("rate_e6")).cast("long"))
+      .select(col(idCol), col(groupCol), col("n_group"), col("target_n"),
+              col("rate_e6"), col("sampled"))
+  }
+
+  /** LENGTH-BUCKETED SEQUENCE PACKING — the batch-shaping step between
+    * a curated corpus and a training run: concatenating documents into
+    * fixed-length context windows wastes no padding, and packing
+    * same-length-bucket documents together keeps the assignment a pure
+    * window computation instead of a sequential first-fit scan (the
+    * bucketed variant of the packing every LM data loader performs).
+    * Each document is assigned the power-of-two bucket covering its
+    * token count (clipped to [minBucket, maxBucket] — longer docs are
+    * truncated to maxBucket tokens by the downstream loader, the
+    * standard contract); a bucket-`b` pack holds floor(contextLen/b)
+    * documents.
+    *
+    * Scale: row_number over (bucket) alone would route a billion-doc
+    * corpus through ~6 reducers, so packs are built per (bucket,
+    * shard) with an md5-derived shard key — `nShards` × bucket-count
+    * independent window partitions, each pack still 100% within one
+    * bucket. The shard key is content-derived, so the packing is
+    * deterministic and engine-portable like every assignment here.
+    *
+    * Output: (id, n_tokens, bucket, pack_id, slot) — pack_id encodes
+    * (bucket, shard, seq) so it is globally unique without
+    * coordination. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    contextLen: Int = 2048, minBucket: Int = 16,
+                    maxBucket: Int = 512, nShards: Int = 32,
+                    salt: String = "pack"): DataFrame = {
+    require(contextLen >= maxBucket && maxBucket >= minBucket && minBucket >= 1,
+            "need contextLen >= maxBucket >= minBucket >= 1")
+    require(Integer.bitCount(minBucket) == 1 && Integer.bitCount(maxBucket) == 1,
+            "buckets are powers of two")
+    val buckets = Iterator.iterate(minBucket)(_ * 2)
+      .takeWhile(_ <= maxBucket).toSeq
+    val nTok = tokenCount(col(textCol)).cast("long")
+    val bucket = buckets.init.foldRight(lit(buckets.last.toLong): Column) {
+      (b, acc) => when(col("n_tokens") <= b, lit(b.toLong)).otherwise(acc)
+    }
+    val shard = hashPoint(col(idCol), salt, nShards.toLong)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"), col("shard")).orderBy(col(idCol))
+    val rn = row_number().over(w).cast("long")
+    val perPack = floor(lit(contextLen.toLong) / col("bucket")).cast("long")
+    df.select(col(idCol), nTok.as("n_tokens"))
+      .withColumn("bucket", bucket)
+      .withColumn("shard", shard)
+      .withColumn("rn", rn)
+      .withColumn("pack_id",
+        col("bucket") * 1000000000L + col("shard") * 1000000L +
+          floor((col("rn") - 1) / perPack).cast("long"))
+      .withColumn("slot", pmod(col("rn") - 1, perPack))
+      .select(col(idCol), col("n_tokens"), col("bucket"), col("pack_id"), col("slot"))
+  }
 }

@@ -820,6 +820,103 @@ object TextDedup {
       .head().getDouble(0).toLong
   }
 
+  /** DUPLICATED-SPAN STATISTICS — the span-level view of corpus-internal
+    * duplication (the published span-dedup result: removing repeated
+    * long spans, not just whole near-dup documents, measurably improves
+    * the trained model — whole-doc Jaccard misses a boilerplate
+    * paragraph pasted into thousands of otherwise-distinct pages). Per
+    * document: its distinct word `n`-gram count, how many of those
+    * grams also occur in ANOTHER document, their ratio, and a flag at
+    * `flagFrac` — the audit signal a span-removal pass keys on.
+    * Docs shorter than `n` words emit nothing (no grams — the shingle
+    * table's row contract).
+    *
+    * Scale shape: one gram explode (map-side), one groupBy(gram) for
+    * document frequency, one keyed join back, one groupBy(doc) — all
+    * keyed shuffles on high-cardinality keys; the df-1 test needs no
+    * global structure. The gram table is the big intermediate and it
+    * is touched exactly twice. */
+  def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 8, flagFrac: Double = 0.5): DataFrame = {
+    val grams = ngramShingles(df, idCol, textCol, n)
+    val dfreq = grams.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+    grams.join(dfreq, Seq("bg"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_span_frac",
+        round(col("n_dup_grams") * 1.0 / col("n_grams"), 6))
+      .withColumn("span_flagged",
+        (col("dup_span_frac") >= flagFrac).cast("long"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+              col("dup_span_frac"), col("span_flagged"))
+  }
+
+  /** INCREMENTAL DEDUP — the ingest-time check a growing corpus runs on
+    * every new batch: is this document an exact copy, a near-duplicate,
+    * or genuinely new relative to the EXISTING corpus? One row per new
+    * document with the verdict and the matched existing doc
+    * (deterministically the smallest id among matches; exact match
+    * wins over near). New-vs-new duplication is deliberately NOT
+    * judged here — the batch joins the corpus first, and the next full
+    * [[dedupCorpus]] pass resolves intra-batch clusters (ingest
+    * gating and corpus-wide resolution are different jobs).
+    *
+    * Index semantics: the frequent-shingle prune threshold counts
+    * EXISTING documents only — the stored index's vocabulary, which
+    * is what production incremental ingest has (the new batch must not
+    * shift the signature space between batches). Both sides' pruned
+    * shingles share that one exclude set, so signatures stay mutually
+    * comparable; exact Jaccard uses full shingle sets as everywhere.
+    *
+    * Scale shape: the existing side's signatures/bands are the
+    * already-materialized corpus index (cacheOnce in the registry;
+    * parquet in production) — the incremental cost is the NEW batch's
+    * shingle scan plus band-keyed joins sized by the batch, never a
+    * rescan-and-shuffle of the whole corpus. */
+  def incrementalDedup(docs: DataFrame, idCol: String, textCol: String,
+                       isNew: Column,
+                       nHashes: Int = 16, bandSize: Int = 2,
+                       maxDocFrac: Double = 0.1, minAgree: Int = 4,
+                       minJaccard: Double = 0.5): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+                           isNew.cast("boolean").as("__new"))
+    val newIds = base.filter(col("__new")).select(col("doc_id"))
+    // exact: md5 against the existing side, smallest matching id wins
+    val hashed = base.select(col("doc_id"), md5(col("__t")).as("h"), col("__new"))
+    val exact = hashed.filter(col("__new")).select(col("doc_id"), col("h"))
+      .join(hashed.filter(!col("__new"))
+              .groupBy("h").agg(min(col("doc_id")).as("exact_match")), Seq("h"))
+      .select(col("doc_id"), col("exact_match"))
+    // near: one shingle scan; prune by the EXISTING side's frequent set
+    val sh = bigramShingles(base, "doc_id", "__t")
+    val flags = base.select(col("doc_id").as("id"), col("__new"))
+    val shFlagged = sh.join(flags, Seq("id"))
+    val nExisting = base.filter(!col("__new")).count()
+    val freq = shFlagged.filter(!col("__new")).groupBy(col("bg"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > nExisting * maxDocFrac)
+      .select(col("bg"))
+    val pruned = sh.join(broadcast(freq), Seq("bg"), "left_anti")
+    val sig = minhashSignature(pruned, nHashes)
+    val bands = lshBands(sig, nHashes, bandSize).join(flags, Seq("id"))
+    val cand = bands.filter(col("__new")).select(col("id").as("da"), col("band"))
+      .join(bands.filter(!col("__new")).select(col("id").as("db"), col("band")),
+            Seq("band"))
+      .select(col("da"), col("db")).distinct()
+    val near = jaccard(sh, filterBySignatureAgreement(cand, sig, nHashes, minAgree))
+      .filter(col("jaccard") >= minJaccard)
+      .groupBy(col("da").as("doc_id")).agg(min(col("db")).as("near_match"))
+    newIds
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              when(col("exact_match").isNotNull, lit("exact"))
+                .when(col("near_match").isNotNull, lit("near"))
+                .otherwise(lit("unique")).as("verdict"),
+              coalesce(col("exact_match"), col("near_match")).as("match_id"))
+  }
+
   /** Padded-text substring occurrence count via `replace` + length
     * arithmetic — identical non-overlapping left-to-right scan semantics
     * in every engine. Exposed for quality/langid scoring. */

@@ -934,6 +934,198 @@ object TextQueries {
       |SELECT c.doc_id, c.n_word_toks, c.n_num_toks, c.n_punct_toks, sh.simhash
       |FROM counts c JOIN sh USING (doc_id)""".stripMargin
 
+  /** Oracle mirror of [[TextAnalysis.hashPoint]]'s md5 arithmetic: the
+    * first 8 hex chars of md5(salt || key) as a BIGINT, mod `mod` —
+    * the q75/q99 split arithmetic generalized to any salt/modulus. */
+  private def hashPointSql(keyExpr: String, salt: String, mod: Long): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, 8),
+      |           j -> CAST(instr('0123456789abcdef',
+      |                           substr(md5('$salt' || $keyExpr), j, 1)) - 1 AS BIGINT)
+      |                * CAST(pow(16, 8 - j) AS BIGINT))) AS BIGINT) % $mod""".stripMargin
+
+  /** q102 — PII redaction ([[TextAnalysis.redactPii]]): emails, IPv4
+    * addresses and international phone numbers counted and replaced
+    * SEQUENTIALLY (each pattern sees the previous redactions' output).
+    * The driver corpus carries no PII, so every third document gets a
+    * deterministic doc_id-derived email + phone + IP appended — the
+    * SAME expression on both sides — exercising both the match and
+    * no-match branches. The oracle SQL is GENERATED from the same
+    * pattern list the Spark side applies (RE2-safe patterns, so the
+    * regex dialects agree), including the redacted text itself — a
+    * replacement-semantics divergence is a hash mismatch. */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val withPii = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+               lit("@example.com or +1555"),
+               lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+               lit(" at 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+               lit("."), pmod(col("doc_id"), lit(100)).cast("string"), lit(".7")))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.redactPii(withPii, "doc_id", "text")
+  }
+
+  private val q102Sql = {
+    val piiText =
+      """CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' ||
+        | CAST(doc_id AS VARCHAR) || '@example.com or +1555' ||
+        | lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.' ||
+        | CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ||
+        | '.7' ELSE text END""".stripMargin.replace("\n", "")
+    val pats = TextAnalysis.defaultPiiPatterns
+    val stages = pats.zipWithIndex.map { case ((name, pat, repl), i) =>
+      s"""s${i + 1} AS (SELECT doc_id,
+        |  len(regexp_extract_all(t$i, '$pat')) AS n_$name,
+        |  regexp_replace(t$i, '$pat', '$repl', 'g') AS t${i + 1}""".stripMargin +
+        (if (i == 0) "" else s",\n  ${pats.take(i).map(p => s"n_${p._1}").mkString(", ")}") +
+        s"\nFROM s$i)"
+    }.mkString(",\n")
+    val names = pats.map(p => s"n_${p._1}")
+    s"""WITH s0 AS (SELECT doc_id, $piiText AS t0 FROM documents),
+      |$stages
+      |SELECT doc_id, ${names.mkString(", ")},
+      |       ${names.mkString(" + ")} AS n_pii, t${pats.size} AS redacted
+      |FROM s${pats.size}""".stripMargin
+  }
+
+  /** q103 — domain-mixture resampling
+    * ([[TextAnalysis.temperatureResample]]): sample each `source` at a
+    * rate ∝ n^0.5 toward a 200-doc target — temperature-flattened
+    * domain mixing with exact-integer rate arithmetic (weights in
+    * millionths from one sqrt each; no order-dependent float sums) and
+    * the md5 hash-point keep decision, so the ledger hash-matches. */
+  private def q103(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.temperatureResample(t(s, dir, "documents"), "doc_id", "source",
+                                     targetTotal = 200, alpha = 0.5)
+
+  private val q103Sql =
+    s"""WITH cnt AS (SELECT source, count(*) AS n_group FROM documents GROUP BY 1),
+      |w AS (SELECT source, n_group,
+      |        CAST(round(sqrt(CAST(n_group AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_e6
+      |      FROM cnt),
+      |sw AS (SELECT sum(w_e6) AS sum_w FROM w),
+      |r AS (SELECT source, n_group,
+      |        CAST(round(200 * w_e6 * 1.0 / sum_w) AS BIGINT) AS target_n
+      |      FROM w CROSS JOIN sw),
+      |r2 AS (SELECT source, n_group, target_n,
+      |        least(1000000, CAST(round(target_n * 1000000.0 / n_group) AS BIGINT))
+      |          AS rate_e6 FROM r),
+      |p AS (SELECT doc_id, source,
+      |        ${hashPointSql("CAST(doc_id AS VARCHAR)", "mix", 1000000L)} AS point
+      |      FROM documents)
+      |SELECT p.doc_id, p.source, r2.n_group, r2.target_n, r2.rate_e6,
+      |       CAST(CASE WHEN p.point < r2.rate_e6 THEN 1 ELSE 0 END AS BIGINT) AS sampled
+      |FROM p JOIN r2 USING (source)""".stripMargin
+
+  /** q104 — length-bucketed sequence packing
+    * ([[TextAnalysis.packSequences]]): power-of-two token buckets
+    * [16..512], 2048-token context windows, 32 md5-derived shards per
+    * bucket (the skew guard), pack/slot assignment by per-(bucket,
+    * shard) row_number. Pure window arithmetic — the oracle replays
+    * it exactly. */
+  private def q104(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q104Sql =
+    s"""WITH nt AS (SELECT doc_id,
+      |    length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS n_tokens
+      |  FROM documents),
+      |b AS (SELECT doc_id, n_tokens,
+      |    CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+      |         WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+      |         WHEN n_tokens <= 256 THEN 256 ELSE 512 END AS bucket
+      |  FROM nt),
+      |sh AS (SELECT doc_id,
+      |    ${hashPointSql("CAST(doc_id AS VARCHAR)", "pack", 32L)} AS shard
+      |  FROM documents),
+      |w AS (SELECT b.doc_id, n_tokens, bucket, shard,
+      |    row_number() OVER (PARTITION BY bucket, shard ORDER BY b.doc_id) AS rn
+      |  FROM b JOIN sh ON sh.doc_id = b.doc_id)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(bucket AS BIGINT) * 1000000000 + CAST(shard AS BIGINT) * 1000000
+      |       + CAST((rn - 1) // (2048 // bucket) AS BIGINT) AS pack_id,
+      |  CAST((rn - 1) % (2048 // bucket) AS BIGINT) AS slot
+      |FROM w""".stripMargin
+
+  /** q105 — duplicated-span statistics
+    * ([[TextDedup.duplicatedSpanStats]]): per document, the share of
+    * its distinct 8-grams that occur in another document — the
+    * span-level duplication signal whole-doc Jaccard misses. Integer
+    * counts + one rounded division; flag at the rounded value. */
+  private def q105(s: SparkSession, dir: String): DataFrame =
+    TextDedup.duplicatedSpanStats(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q105Sql = {
+    val gram8 = (0 until 8).map(k => s"l[i + $k]").mkString(" || '_' || ")
+    s"""WITH lw AS (SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
+      |cg AS (SELECT DISTINCT doc_id, bg FROM (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 7),
+      |                        i -> $gram8)) AS bg
+      |  FROM lw WHERE len(l) >= 8) x),
+      |dfq AS (SELECT bg, count(*) AS df FROM cg GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+      |  round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+      |    AS dup_span_frac,
+      |  CAST(CASE WHEN round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1.0
+      |                        / count(*), 6) >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS span_flagged
+      |FROM cg JOIN dfq USING (bg) GROUP BY doc_id""".stripMargin
+  }
+
+  /** q106 — incremental dedup ([[TextDedup.incrementalDedup]]): docs
+    * with doc_id % 5 = 0 play the NEW batch, the rest the existing
+    * corpus; each new doc gets exact/near/unique + the smallest
+    * matching existing doc. The frequent-shingle prune threshold
+    * counts EXISTING docs only (stored-index semantics — the batch
+    * must not shift the signature space); the oracle recomputes the
+    * whole asymmetric chain. */
+  private def q106(s: SparkSession, dir: String): DataFrame =
+    TextDedup.incrementalDedup(t(s, dir, "documents"), "doc_id", "text",
+                               pmod(col("doc_id"), lit(5)) === 0)
+
+  private val q106Sql =
+    s"""WITH $shinglesCte,
+      |nd AS (SELECT count(*) AS n FROM documents WHERE doc_id % 5 <> 0),
+      |freq AS (SELECT bg FROM big CROSS JOIN nd
+      |         WHERE doc_id % 5 <> 0
+      |         GROUP BY bg, n HAVING count(*) > n * $maxDocFrac),
+      |bigp AS (SELECT doc_id, bg FROM big
+      |         WHERE bg NOT IN (SELECT bg FROM freq)),
+      |mh AS (SELECT doc_id,
+      |         $mhCols
+      |       FROM bigp GROUP BY 1),
+      |bands AS ($bandSelects),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |         FROM bands a JOIN bands b ON a.band = b.band
+      |         WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+      |candf AS (SELECT c.da, c.db FROM cand c
+      |          JOIN mh ma ON ma.doc_id = c.da
+      |          JOIN mh mb ON mb.doc_id = c.db
+      |          WHERE ($agreeSql) >= $minAgree),
+      |n AS (SELECT doc_id, count(*) AS n FROM big GROUP BY 1),
+      |inter AS (SELECT c.da, c.db, count(*) AS i
+      |          FROM candf c JOIN big x ON x.doc_id = c.da
+      |                       JOIN big y ON y.doc_id = c.db AND y.bg = x.bg
+      |          GROUP BY 1, 2),
+      |near AS (SELECT inter.da AS doc_id, min(inter.db) AS near_match
+      |         FROM inter JOIN n na ON na.doc_id = inter.da
+      |                    JOIN n nb ON nb.doc_id = inter.db
+      |         WHERE i * 1.0 / (na.n + nb.n - i) >= 0.5 GROUP BY 1),
+      |ex AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |exm AS (SELECT e.doc_id, min(x.doc_id) AS exact_match
+      |        FROM ex e JOIN ex x ON x.h = e.h AND x.doc_id % 5 <> 0
+      |        WHERE e.doc_id % 5 = 0 GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CASE WHEN exm.exact_match IS NOT NULL THEN 'exact'
+      |       WHEN near.near_match IS NOT NULL THEN 'near'
+      |       ELSE 'unique' END AS verdict,
+      |  coalesce(exm.exact_match, near.near_match) AS match_id
+      |FROM documents d LEFT JOIN exm USING (doc_id) LEFT JOIN near USING (doc_id)
+      |WHERE d.doc_id % 5 = 0""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q50_token_stats", q50, Some(q50Sql)),
     QueryDef("q51_quality_score", q51, Some(q51Sql)),
@@ -962,6 +1154,11 @@ object TextQueries {
     QueryDef("q90_multibyte_cdc", q90, Some(q90Sql)),
     QueryDef("q91_multibyte_textstats", q91, Some(q91Sql)),
     QueryDef("q92_multibyte_pretokens", q92, Some(q92Sql)),
-    QueryDef("q99_leakage_safe_split", q99, Some(q99Sql))
+    QueryDef("q99_leakage_safe_split", q99, Some(q99Sql)),
+    QueryDef("q102_pii_redaction", q102, Some(q102Sql)),
+    QueryDef("q103_mixture_resample", q103, Some(q103Sql)),
+    QueryDef("q104_sequence_packing", q104, Some(q104Sql)),
+    QueryDef("q105_span_dedup", q105, Some(q105Sql)),
+    QueryDef("q106_incremental_dedup", q106, Some(q106Sql))
   )
 }

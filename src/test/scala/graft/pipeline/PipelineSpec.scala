@@ -534,6 +534,116 @@ class TextDedupSpec extends AnyFunSuite {
     assert(batchP.keySet.forall(id => byRowP(id) == batchP(id)),
            "pruned signatures diverge")
   }
+
+  test("redactPii: sequential counts + replacement, non-PII text untouched") {
+    import graft.pipeline.TextAnalysis
+    val rows = Seq(
+      (1L, "mail a@b.com and c.d@e.org plus ip 10.0.0.1 call +12345678 done"),
+      (2L, "no personal data in this row at all"),
+      (3L, "server at 192.168.255.3 only")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(rows, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    assert(out(1L)._1 == 2L && out(1L)._2 == 1L && out(1L)._3 == 1L && out(1L)._4 == 4L)
+    assert(out(1L)._5 ==
+      "mail <EMAIL> and <EMAIL> plus ip <IP> call <PHONE> done")
+    assert(out(2L) == ((0L, 0L, 0L, 0L, "no personal data in this row at all")))
+    assert(out(3L)._2 == 1L && out(3L)._5 == "server at <IP> only")
+  }
+
+  test("temperatureResample: alpha flattens the mixture, ledger is deterministic") {
+    import graft.pipeline.TextAnalysis
+    // two domains, 10:1 skew
+    val rows = ((1L to 200L).map(i => (i, "big")) ++ (201L to 220L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    def rates(alpha: Double) =
+      TextAnalysis.temperatureResample(rows, "doc_id", "source", 100L, alpha)
+        .select("source", "n_group", "target_n", "rate_e6").distinct()
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // alpha = 1: natural mixture — targets proportional to counts
+    val nat = rates(1.0)
+    assert(nat("big")._2 == 91L && nat("small")._2 == 9L, s"natural: $nat")
+    // alpha = 0: equal targets per group
+    val flat = rates(0.0)
+    assert(flat("big")._2 == flat("small")._2, s"flat: $flat")
+    // alpha = 0.5: in between, and the small domain's RATE exceeds the big one's
+    val mid = rates(0.5)
+    assert(mid("small")._3 > mid("big")._3, s"temperature upweights small: $mid")
+    // deterministic: same inputs, same sampled set, and it honors rate_e6 = 1e6 → all kept
+    val all = TextAnalysis.temperatureResample(rows, "doc_id", "source", 220L, 1.0)
+    assert(all.filter(col("rate_e6") === 1000000L && col("sampled") === 1L).count() >=
+           all.filter(col("rate_e6") === 1000000L).count())
+    val s1 = TextAnalysis.temperatureResample(rows, "doc_id", "source", 100L, 0.5)
+      .filter(col("sampled") === 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = TextAnalysis.temperatureResample(rows, "doc_id", "source", 100L, 0.5)
+      .filter(col("sampled") === 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "hash-point sampling must be reproducible")
+  }
+
+  test("packSequences: packs are bucket-pure, slots dense, capacity respected") {
+    import graft.pipeline.TextAnalysis
+    val rows = (1L to 300L).map { i =>
+      (i, Seq.fill((i % 97 + 3).toInt)("w").mkString(" "))  // 3..99 tokens
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(rows, "doc_id", "text",
+        contextLen = 256, minBucket = 16, maxBucket = 128, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 300)
+    // bucket covers the token count (no doc exceeds maxBucket here)
+    assert(out.forall { case (_, n, b, _, _) => n <= b && Seq(16L, 32L, 64L, 128L).contains(b) })
+    val byPack = out.groupBy(_._4)
+    byPack.foreach { case (pack, docs) =>
+      val buckets = docs.map(_._3).toSet
+      assert(buckets.size == 1, s"pack $pack mixes buckets $buckets")
+      val k = 256 / buckets.head
+      val slots = docs.map(_._5).sorted.toSeq
+      assert(slots == (0L until docs.length.toLong).toSeq,
+             s"pack $pack slots not dense: $slots")
+      assert(docs.length <= k, s"pack $pack exceeds capacity $k")
+    }
+    // capacity is hit: at least one pack of the smallest bucket is full
+    assert(byPack.exists { case (_, docs) => docs.head._3 == 16L && docs.length == 16 })
+  }
+
+  test("duplicatedSpanStats: shared 8-gram spans counted, unique text clean") {
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel" // 8 words
+    val corpus = Seq(
+      (1L, s"$span one two three four five six seven"),   // shares the span with 2
+      (2L, s"nine ten $span eleven twelve"),
+      (3L, "totally different words with no overlap at all whatsoever"),
+      (4L, "short doc")                                   // < 8 words: no row
+    ).toDF("doc_id", "text")
+    val out = TextDedup.duplicatedSpanStats(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(!out.contains(4L), "sub-n docs emit nothing")
+    // each of docs 1/2 contains exactly ONE copy of the shared 8-gram
+    assert(out(1L)._2 == 1L && out(2L)._2 == 1L, s"shared span: $out")
+    assert(out(3L)._2 == 0L && out(3L)._4 == 0L, "unique doc must be clean")
+    assert(out(1L)._1 == 8L, s"15 words -> 8 distinct 8-grams: ${out(1L)}")
+  }
+
+  test("incrementalDedup: exact/near/unique verdicts against the existing corpus only") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "an entirely different document about spark internals here"),
+      (3L, "hello world tiny doc"))
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),     // exact dup of 1
+      (11L, "the quick brown fox jumps over the lazy dog tonight ok"),// near dup of 1
+      (12L, "fresh unseen content with brand new words entirely"),
+      (13L, "fresh unseen content with brand new words entirely"))    // exact dup of 12 — but 12 is NEW
+    val docs = (existing ++ batch).toDF("doc_id", "text")
+    val out = TextDedup.incrementalDedup(docs, "doc_id", "text",
+        col("doc_id") >= 10L, maxDocFrac = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 13L), "one verdict per NEW doc")
+    assert(out(10L) == (("exact", 1L)), s"exact: ${out(10L)}")
+    assert(out(11L) == (("near", 1L)), s"near: ${out(11L)}")
+    // new-vs-new duplication is NOT judged here (next full dedupCorpus pass does)
+    assert(out(12L) == (("unique", -1L)) && out(13L) == (("unique", -1L)), s"$out")
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
