@@ -68,6 +68,36 @@ object ScaleProbe {
     // real per-round algorithmic cost
     println(s"diag: candidate pairs = ${pairs.count()}, confirmed edges = ${dup.count()}")
 
+    // connected-components strategy crossover: broadcast union-find vs
+    // the distributed loop at synthetic edge-list decades. Graph shape
+    // is the adversarial one for propagation (diameter-4 chains — 4+
+    // rounds) over 2x the edge count in vertices; both paths must
+    // agree on the non-keeper count at every decade. The decades put
+    // the default 1M-edge threshold's two sides on the record: below
+    // it the union-find path is a near-constant-cost single job;
+    // forcing the loop shows the O(rounds) driver-sync price it
+    // replaces. (Vertex frame = spark.range; edge frame = shifted
+    // ranges; nothing here depends on the near-dup pipeline above.)
+    for (nEdges <- Seq(10000L, 100000L, 1000000L)) {
+      val verts = spark.range(nEdges + nEdges / 4)
+        .select(col("id").as("doc_id")).cache()
+      // chains of length 5 vertices / 4 edges: edge (i, i+1) unless i
+      // ends a chain (i % 5 == 4)
+      val chainEdges = spark.range(nEdges + nEdges / 4 - 1)
+        .filter(col("id") % 5 =!= 4)
+        .select(col("id").as("da"), (col("id") + 1).as("db")).cache()
+      verts.count(); val ne = chainEdges.count()
+      val ufNk = time(f"cc union-find   ($ne%8d edges)")(
+        TextDedup.dupClusters(verts, chainEdges)
+          .filter(col("is_keeper") === 0).count())
+      val loopNk = time(f"cc distributed  ($ne%8d edges)")(
+        TextDedup.dupClusters(verts, chainEdges, broadcastEdgeMax = 0)
+          .filter(col("is_keeper") === 0).count())
+      assert(ufNk == loopNk, s"path divergence at $ne edges: $ufNk vs $loopNk")
+      println(f"    non-keepers agree: $ufNk%d")
+      verts.unpersist(); chainEdges.unpersist()
+    }
+
     // content-defined chunking + chunk-level dedup: a zero-shuffle scan
     // plus ONE hash-groupBy — expect linear in corpus bytes
     println(s"cdc distinct chunks: ${time("cdc chunk+dedup")(

@@ -357,6 +357,31 @@ object TextAnalysis {
               col("rate_e6"), col("sampled"))
   }
 
+  /** CORPUS VOCABULARY — the token-frequency table a tokenizer-training
+    * or vocabulary-pruning pass starts from: the top-K whitespace
+    * tokens by total occurrence count, with document frequency
+    * alongside (the occ/df pair separates burst tokens — high count,
+    * few docs — from genuinely common ones). Deterministic rank with
+    * (count DESC, token ASC) tie-break so the table is reproducible.
+    *
+    * Scale shape: one explode (map-side) + one groupBy(token) with
+    * partial aggregation — the token key is high-cardinality, so the
+    * shuffle is well-spread — then TakeOrdered top-K; the rank window
+    * runs over K rows post-limit, never the corpus. */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+                 topK: Int = 100): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val toks = df.select(col(idCol).as("id"),
+                         explode(split(trim(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occ").desc, col("tok"))
+    toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("tok")).limit(topK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** LENGTH-BUCKETED SEQUENCE PACKING — the batch-shaping step between
     * a curated corpus and a training run: concatenating documents into
     * fixed-length context windows wastes no padding, and packing

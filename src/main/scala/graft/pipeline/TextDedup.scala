@@ -492,8 +492,11 @@ object TextDedup {
     * hash shared by m docs contributes m−1 edges, not m²/2.
     *
     * Scale shape: the parts' documented postures unchanged — keyed
-    * band/Jaccard joins, one md5 groupBy, label-propagation rounds
-    * (`pointerJump` escalates deep chains). Output: (doc_id, cluster,
+    * band/Jaccard joins, one md5 groupBy, then cluster resolution via
+    * [[dupClusters]]'s ADAPTIVE strategy (driver union-find + one
+    * broadcast join while the edge set fits `broadcastEdgeMax`,
+    * label-propagation rounds beyond it; `pointerJump` escalates deep
+    * chains on the distributed path). Output: (doc_id, cluster,
     * is_keeper, n_cluster).
     *
     * `maxDocFrac` presumes a corpus with more than 1/maxDocFrac
@@ -879,32 +882,88 @@ object TextDedup {
                        nHashes: Int = 16, bandSize: Int = 2,
                        maxDocFrac: Double = 0.1, minAgree: Int = 4,
                        minJaccard: Double = 0.5): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
-                           isNew.cast("boolean").as("__new"))
-    val newIds = base.filter(col("__new")).select(col("doc_id"))
-    // exact: md5 against the existing side, smallest matching id wins
-    val hashed = base.select(col("doc_id"), md5(col("__t")).as("h"), col("__new"))
-    val exact = hashed.filter(col("__new")).select(col("doc_id"), col("h"))
-      .join(hashed.filter(!col("__new"))
-              .groupBy("h").agg(min(col("doc_id")).as("exact_match")), Seq("h"))
-      .select(col("doc_id"), col("exact_match"))
-    // near: one shingle scan; prune by the EXISTING side's frequent set
+    val flagged = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+                              isNew.cast("boolean").as("__new"))
+    val index = buildIncrementalIndex(flagged.filter(!col("__new")), "doc_id", "__t",
+                                      nHashes, bandSize, maxDocFrac)
+    incrementalDedupAgainst(flagged.filter(col("__new")), "doc_id", "__t",
+                            index, minAgree, minJaccard)
+  }
+
+  /** The EXISTING-corpus side of incremental dedup, materialized once:
+    * exact-hash keepers (h UNIQUE → smallest owning doc), the
+    * frequent-shingle exclude set (df threshold over `nExisting` —
+    * this index's vocabulary, frozen so later batches cannot shift the
+    * signature space), pruned-signature frame, band index, and the
+    * full shingle table (the exact-Jaccard side). In production these
+    * live as parquet next to the corpus and every ingest batch probes
+    * them; the query registry cacheOnce-materializes them per
+    * (session, corpus). */
+  final case class IncrementalIndex(nExisting: Long, freq: DataFrame,
+                                    shingles: DataFrame, counts: DataFrame,
+                                    sig: DataFrame, bands: DataFrame,
+                                    exactHashes: DataFrame,
+                                    nHashes: Int, bandSize: Int)
+
+  def buildIncrementalIndex(existing: DataFrame, idCol: String, textCol: String,
+                            nHashes: Int = 16, bandSize: Int = 2,
+                            maxDocFrac: Double = 0.1): IncrementalIndex = {
+    val base = existing.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    val n = base.count()
     val sh = bigramShingles(base, "doc_id", "__t")
-    val flags = base.select(col("doc_id").as("id"), col("__new"))
-    val shFlagged = sh.join(flags, Seq("id"))
-    val nExisting = base.filter(!col("__new")).count()
-    val freq = shFlagged.filter(!col("__new")).groupBy(col("bg"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > nExisting * maxDocFrac)
-      .select(col("bg"))
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val freq = sh.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > n * maxDocFrac).select(col("bg"))
     val pruned = sh.join(broadcast(freq), Seq("bg"), "left_anti")
     val sig = minhashSignature(pruned, nHashes)
-    val bands = lshBands(sig, nHashes, bandSize).join(flags, Seq("id"))
-    val cand = bands.filter(col("__new")).select(col("id").as("da"), col("band"))
-      .join(bands.filter(!col("__new")).select(col("id").as("db"), col("band")),
-            Seq("band"))
+    val bands = lshBands(sig, nHashes, bandSize)
+    val hashes = base.select(col("doc_id"), md5(col("__t")).as("h"))
+      .groupBy("h").agg(min(col("doc_id")).as("exact_match"))
+    IncrementalIndex(n, freq, sh, counts, sig, bands, hashes, nHashes, bandSize)
+  }
+
+  /** Probe a NEW batch against a prebuilt [[IncrementalIndex]] — the
+    * per-ingest cost is BATCH-sized by construction: the batch's own
+    * shingle/signature projections plus band- and id-keyed joins into
+    * the index frames; the existing corpus is never rescanned. Same
+    * verdict semantics as [[incrementalDedup]] (which is now a thin
+    * build-then-probe wrapper — values identical by construction). */
+  def incrementalDedupAgainst(newDocs: DataFrame, idCol: String, textCol: String,
+                              index: IncrementalIndex, minAgree: Int = 4,
+                              minJaccard: Double = 0.5): DataFrame = {
+    val base = newDocs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    val newIds = base.select(col("doc_id"))
+    val exact = base.select(col("doc_id"), md5(col("__t")).as("h"))
+      .join(index.exactHashes, Seq("h"))
+      .select(col("doc_id"), col("exact_match"))
+    val shNew = bigramShingles(base, "doc_id", "__t")
+    val prunedNew = shNew.join(broadcast(index.freq), Seq("bg"), "left_anti")
+    val sigNew = minhashSignature(prunedNew, index.nHashes)
+    val bandsNew = lshBands(sigNew, index.nHashes, index.bandSize)
+    val cand = bandsNew.select(col("id").as("da"), col("band"))
+      .join(index.bands.select(col("id").as("db"), col("band")), Seq("band"))
       .select(col("da"), col("db")).distinct()
-    val near = jaccard(sh, filterBySignatureAgreement(cand, sig, nHashes, minAgree))
+    val hs = (0 until index.nHashes).map(i => s"h$i")
+    val sa = sigNew.select(col("id").as("da") +: hs.map(h => col(h).as(s"a_$h")): _*)
+    val sb = index.sig.select(col("id").as("db") +: hs.map(h => col(h).as(s"b_$h")): _*)
+    val agreement = hs.map(h => when(col(s"a_$h") === col(s"b_$h"), 1).otherwise(0))
+      .reduce(_ + _)
+    val candf = cand.join(sa, Seq("da")).join(sb, Seq("db"))
+      .filter(agreement >= minAgree).select("da", "db")
+    // exact Jaccard with the batch/index split made explicit: the NEW
+    // side's shingle counts are batch-sized, the EXISTING side's come
+    // precomputed from the index — [[jaccard]] over the union frame
+    // would re-aggregate the whole corpus per ingest batch. Same
+    // rounded-value filter as everywhere in the suite.
+    val nNew = shNew.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = candf.join(shNew.select(col("id").as("da"), col("bg")), Seq("da"))
+      .join(index.shingles.select(col("id").as("db"), col("bg")), Seq("db", "bg"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+    val near = inter
+      .join(nNew.select(col("id").as("da"), col("n").as("na")), Seq("da"))
+      .join(index.counts.select(col("id").as("db"), col("n").as("nb")), Seq("db"))
+      .select(col("da"), col("db"),
+              round(col("i") * 1.0 / (col("na") + col("nb") - col("i")), 6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .groupBy(col("da").as("doc_id")).agg(min(col("db")).as("near_match"))
     newIds

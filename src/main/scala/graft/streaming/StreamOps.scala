@@ -148,6 +148,74 @@ object StreamOps {
       .select("stream_id", "corpus_id", "band")
   }
 
+  /** Streaming EXACT-DUP gate — the ingest-time first check of
+    * [[graft.pipeline.TextDedup.incrementalDedup]] in streaming form:
+    * each arriving document md5-probes the corpus exact-hash index
+    * (one row per distinct content hash → the smallest owning doc id,
+    * i.e. `dedupCorpus`'s keeper convention). STATELESS: a pure
+    * projection plus one stream-static left join against a unique key,
+    * so exactly ONE verdict row per arriving doc, no watermark, no
+    * state store. Docs that pass ('new') continue to the near-dup
+    * candidate route ([[streamingNearDupCandidates]] /
+    * [[streamingNearDupConfirmedEst]]); the next batch
+    * `dedupCorpus` pass remains the transitive-closure authority.
+    *
+    * `exactIndex` contract: (h, doc_id) with h UNIQUE — build it with
+    * `corpus.groupBy(md5(text)).agg(min(id))`, materialized like every
+    * other static index here. */
+  def streamingExactDupGate(stream: DataFrame, idCol: String, textCol: String,
+                            exactIndex: DataFrame): DataFrame =
+    stream.select(col(idCol).as("stream_id"), md5(col(textCol)).as("h"))
+      .join(exactIndex.select(col("h"), col("doc_id").as("exact_match")),
+            Seq("h"), "left")
+      .select(col("stream_id"), col("exact_match"),
+              when(col("exact_match").isNotNull, lit("exact"))
+                .otherwise(lit("new")).as("verdict"))
+
+  /** Streaming near-dup detection with a STATELESS confirm — the
+    * minhash analogue of [[streamingSimhashCandidates]]'s
+    * popcount-on-the-pair-row trick: after the band-key route, the
+    * stream row still carries its full signature and the corpus
+    * signature frame joins by id, so the n-of-16 agreement count — the
+    * unbiased minhash ESTIMATE of Jaccard — is a projection on the
+    * pair row. Pairs at `minAgree` (default 8/16 ≈ J 0.5) emit as
+    * ESTIMATE-confirmed near-dups with the estimate attached; this is
+    * deliberately the estimate, not the exact Jaccard (the exact
+    * confirm needs both shingle SETS — an aggregation, hence state;
+    * ingest gating accepts the estimate and the periodic batch
+    * [[graft.pipeline.TextDedup.incrementalDedup]] is the exact
+    * authority). A pair sharing several bands emits once per shared
+    * band (distinct needs state; consumers that care dedup downstream).
+    *
+    * 100 TB posture: per-row signature (no shuffle), one band-keyed
+    * join, one id-keyed join against the corpus-partitioned signature
+    * frame — each micro-batch's cost is batch-sized, never
+    * corpus-sized. `exclude` must be the index's frequent-shingle
+    * set, as everywhere. */
+  def streamingNearDupConfirmedEst(stream: DataFrame, idCol: String, textCol: String,
+                                   corpusBands: DataFrame, corpusSig: DataFrame,
+                                   nHashes: Int, bandSize: Int,
+                                   exclude: Seq[String] = Nil,
+                                   minAgree: Int = 8): DataFrame = {
+    import graft.pipeline.TextDedup
+    val signed = TextDedup.withRowMinhashSignature(stream, textCol, nHashes, exclude)
+    val hs = (0 until nHashes).map(i => s"h$i")
+    val routed = signed.select(
+        col(idCol).as("stream_id") +:
+        hs.map(h => col(h).as(s"sa_$h")) :+
+        explode(TextDedup.bandHashArray(nHashes, bandSize)).as("band"): _*)
+      .join(corpusBands.select(col("id").as("corpus_id"), col("band")), Seq("band"))
+      .filter(col("stream_id") =!= col("corpus_id"))
+      .join(corpusSig.select(col("id").as("corpus_id") +:
+              hs.map(h => col(h).as(s"sb_$h")): _*), Seq("corpus_id"))
+    val agree = hs.map(h =>
+      when(col(s"sa_$h") === col(s"sb_$h"), 1).otherwise(0)).reduce(_ + _)
+    routed.withColumn("n_agree", agree.cast("long"))
+      .filter(col("n_agree") >= minAgree)
+      .select(col("stream_id"), col("corpus_id"), col("band"), col("n_agree"),
+              round(col("n_agree") * 1.0 / nHashes, 6).as("est_jaccard"))
+  }
+
   /** Streaming SimHash NEAR-DUP detection against a static corpus band
     * index ([[graft.pipeline.TextDedup.simhash64Bands]]) — the
     * production-width (64-bit) sketch completes the streaming dedup

@@ -188,6 +188,27 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("resample broadcasts the rate table; packing windows are sharded, PII is zero-shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // q102: pure projection — the ingest posture
+    val pii = SparkEntry.queries("q102_pii_redaction")(spark, dir).queryExecution.sparkPlan
+    assert(pii.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+           s"PII redaction must not shuffle:\n$pii")
+    // q103: the per-group rate table must reach the corpus scan as a
+    // broadcast — a shuffle join here would shuffle the corpus to join
+    // a ~20-row frame
+    val mix = SparkEntry.queries("q103_mixture_resample")(spark, dir).queryExecution.sparkPlan
+    assert(mix.toString.contains("BroadcastHashJoin"),
+           s"rate table must broadcast onto the scan:\n$mix")
+    // q104: every window partitions by (bucket, shard) — a global or
+    // bucket-only window would funnel the corpus through ~6 reducers
+    import org.apache.spark.sql.execution.window.WindowExec
+    val pack = SparkEntry.queries("q104_sequence_packing")(spark, dir).queryExecution.sparkPlan
+    val wins = pack.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.size == 2),
+           s"packing windows must partition by (bucket, shard):\n$pack")
+  }
+
   test("LSH near-dup pair generation joins on the band key") {
     val df: DataFrame = SparkEntry.queries("q56_lsh_near_dup")(spark, dir)
     // sparkPlan, not executedPlan: AQE's wrapper node hides its subtree

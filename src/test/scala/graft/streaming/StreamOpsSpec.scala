@@ -157,6 +157,69 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest gate: exact verdicts + estimate-confirmed near-dups match batch incrementalDedup") {
+    import graft.pipeline.TextDedup
+    // existing corpus with a planted exact-dup target and a near-dup
+    // target; the stream is the NEW batch of incrementalDedup's test
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "an entirely different document about spark internals here"),
+      (3L, "hello world tiny doc")).toDF("doc_id", "text")
+    val batchDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),      // exact of 1
+      (11L, "the quick brown fox jumps over the lazy dog tonight ok"), // near of 1
+      (12L, "fresh unseen content with brand new words entirely")).toDF("doc_id", "text")
+    // static indexes, built once like production ingest
+    val exactIndex = existing.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val sig = TextDedup.minhashSignature(
+      TextDedup.bigramShingles(existing, "doc_id", "text"), 16)
+    val bands = TextDedup.lshBands(sig, 16, 2)
+
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.streamingExactDupGate(df, "doc_id", "text", exactIndex)
+    def near(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.streamingNearDupConfirmedEst(df, "doc_id", "text", bands, sig, 16, 2)
+
+    // batch semantics of the same ops
+    val expectGate = gate(batchDocs).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(expectGate(10L) == (("exact", 1L)) && expectGate(11L)._1 == "new" &&
+           expectGate(12L)._1 == "new", s"gate batch semantics: $expectGate")
+    val expectNear = near(batchDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet  // (stream_id, corpus_id)
+    assert(expectNear.contains((11L, 1L)), s"near estimate must confirm (11,1): $expectNear")
+    assert(!expectNear.exists(_._1 == 12L), "unique doc must not be confirmed")
+    // agreement estimate at minAgree=8 tracks the batch EXACT confirm
+    // for the planted pair (J = 9/11 >> 0.5)
+    val batchVerdicts = TextDedup.incrementalDedup(
+        existing.unionByName(batchDocs), "doc_id", "text",
+        col("doc_id") >= 10L, maxDocFrac = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batchVerdicts(10L) == "exact" && batchVerdicts(11L) == "near" &&
+           batchVerdicts(12L) == "unique")
+
+    // streamed: same rows per doc as the batch application of each op
+    val dir = Files.createTempDirectory("graft-stream-gate").toString
+    batchDocs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(dir)
+    val qg = gate(stream).writeStream.outputMode("append")
+      .format("memory").queryName("ingest_gate").start()
+    val qn = near(stream).writeStream.outputMode("append")
+      .format("memory").queryName("ingest_near").start()
+    try {
+      qg.processAllAvailable(); qn.processAllAvailable()
+      val gotGate = spark.table("ingest_gate").collect()
+        .map(r => r.getLong(0) -> (r.getString(2), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(gotGate == expectGate, "streamed gate != batch gate")
+      assert(spark.table("ingest_gate").count() == batchDocs.count(),
+             "exactly one stateless verdict row per arriving doc")
+      val gotNear = spark.table("ingest_near").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotNear == expectNear, "streamed near estimate != batch")
+    } finally { qg.stop(); qn.stop() }
+  }
+
   test("streaming ANN routing matches batch candidates; ranking them reproduces ivfTopK") {
     import graft.pipeline.Similarity
     val rnd = new scala.util.Random(31)
