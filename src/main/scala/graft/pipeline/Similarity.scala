@@ -1160,4 +1160,62 @@ object Similarity extends org.apache.spark.internal.Logging {
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
+
+  /** SEMANTIC DEDUP — the published cluster-then-pairwise recipe
+    * (SemDeDup: partition the embedding space with a k-means-style
+    * quantizer, confirm near-duplicates ONLY within each cluster, keep
+    * one representative per duplicate component). The whole-corpus
+    * pairwise join is O(n²); bucketing by quantizer cell bounds it at
+    * O(Σ n_c²) — with balanced cells that is n²/k, the same candidate-
+    * volume arithmetic as the LSH band joins, but driven by the DATA's
+    * own geometry, so semantically-close renditions land in one cell
+    * even when their token overlap is nil (the case MinHash/SimHash
+    * cannot see).
+    *
+    * Plumbing: one quantizer pass over the corpus ([[ivfCellOf]] —
+    * round-4 cosine, ties to the lowest centroid id, the exact q65
+    * cell semantics), a cell-keyed self-join confirming round-6 cosine
+    * ≥ `tau`, then [[TextDedup.dupClusters]]' adaptive resolution
+    * (driver union-find + one broadcast join while the confirmed edge
+    * set is small — its size is bounded by dup density, not corpus
+    * size — keyed label-propagation rounds past `broadcastEdgeMax`).
+    * Transitive chains collapse to one component exactly as in the
+    * text family; `cell` boundaries do NOT split components because
+    * edges, not cells, define connectivity.
+    *
+    * Caveat (inherent to the method, worth stating): a duplicate pair
+    * STRADDLING two cells is invisible — the published mitigation is
+    * higher `nprobe` assignment or overlapping clusters; callers
+    * trading recall for cost pick the centroid count accordingly.
+    *
+    * Output: every vector with (cell, cluster, is_keeper, n_cluster) —
+    * the same verdict-ledger contract as [[TextDedup.dedupCorpus]]. */
+  def semanticDedup(emb: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                    tau: Double): DataFrame = {
+    require(centroids.nonEmpty, "semanticDedup needs centroids")
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val celled = withNorm(emb)
+      .withColumn("cell", ivfCellOf(col("v"), col("nrm"), centroids))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val a = celled.select(col("vec_id").as("da"), col("v").as("va"),
+                          col("nrm").as("na"), col("cell"))
+    val b = celled.select(col("vec_id").as("db"), col("v").as("vb"),
+                          col("nrm").as("nb"), col("cell"))
+    // round-6 BEFORE the threshold (the family's float discipline): the
+    // keep/drop decision is then engine-stable at the boundary
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+              round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+      .filter(col("cos") >= lit(tau))
+      .select(col("da"), col("db"))
+    val labels = graft.pipeline.TextDedup.dupClusters(
+      emb.select(col("vec_id").as("doc_id")), pairs)
+    val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("n_cluster"))
+    labels
+      .join(celled.select(col("vec_id").as("doc_id"), col("cell")), Seq("doc_id"))
+      .join(sizes, Seq("cluster"))
+      .select(col("doc_id").as("vec_id"), col("cell"), col("cluster"),
+              col("is_keeper"), col("n_cluster"))
+  }
 }

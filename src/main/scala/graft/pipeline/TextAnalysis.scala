@@ -433,4 +433,148 @@ object TextAnalysis {
       .withColumn("slot", pmod(col("rn") - 1, perPack))
       .select(col(idCol), col("n_tokens"), col("bucket"), col("pack_id"), col("slot"))
   }
+
+  /** QUALITY-RULE LEDGER — the published corpus-filter rulebooks
+    * (Gopher §A1.1, C4) as individually-auditable PER-RULE verdicts
+    * rather than one composite score ([[qualityScore]] stays the
+    * scalar rung; production curation wants to know WHICH rule fired —
+    * the rulebooks are tuned by inspecting per-rule kill rates). Four
+    * rule axes, each a 0/1 column plus the evidence it judged:
+    *   - word count inside [minWords, maxWords] (Gopher's 50..100k,
+    *     scaled to the corpus at hand);
+    *   - mean word length inside [minAvgLen, maxAvgLen] (Gopher's
+    *     3..10 — kills code/garbage tokenizations);
+    *   - ≥ minStopHits stopword OCCURRENCES (Gopher requires ≥ 2 of a
+    *     small English stop set — kills keyword-stuffing and non-text);
+    *   - the single most frequent token's share of all token
+    *     occurrences ≤ maxTopFrac (the repetition axis's cheapest
+    *     form — kills degenerate loops [[repetitionStats]] measures in
+    *     full).
+    * `q_keep` is the conjunction. All evidence is integer counts with
+    * round-6 ratios, and each rule compares the ROUNDED value (the
+    * family's float discipline), so the ledger hash-matches its SQL
+    * replay. One explode + two keyed aggregations — the
+    * [[repetitionStats]] scale shape; documents with no tokens emit
+    * nothing (no evidence row — same contract as the shingle table). */
+  def qualityRules(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 25, maxWords: Int = 90,
+                   minAvgLen: Double = 3.9, maxAvgLen: Double = 5.1,
+                   minStopHits: Int = 2, maxTopFrac: Double = 0.25,
+                   stopwords: Seq[String] = stopwordsEn): DataFrame = {
+    require(minWords <= maxWords && minAvgLen <= maxAvgLen,
+            "rule bounds must be ordered")
+    val toks = df.select(col(idCol), explode(split(trim(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val per = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("c")).as("n_tokens"),
+        sum(length(col("tok")) * col("c")).as("n_tok_chars"),
+        max(col("c")).as("top_tok"),
+        sum(when(col("tok").isin(stopwords: _*), col("c")).otherwise(0L))
+          .as("stop_hits"))
+    val avgLen = round(col("n_tok_chars") * 1.0 / col("n_tokens"), 6)
+    val topFrac = round(col("top_tok") * 1.0 / col("n_tokens"), 6)
+    per.select(
+        col(idCol), col("n_tokens"), avgLen.as("avg_token_len"),
+        col("stop_hits"), topFrac.as("top_tok_frac"),
+        (col("n_tokens") >= minWords && col("n_tokens") <= maxWords)
+          .cast("long").as("r_words"),
+        (avgLen >= minAvgLen && avgLen <= maxAvgLen).cast("long").as("r_avg_len"),
+        (col("stop_hits") >= minStopHits).cast("long").as("r_stop"),
+        (topFrac <= maxTopFrac).cast("long").as("r_top_frac"))
+      .withColumn("q_keep",
+        (col("r_words") * col("r_avg_len") * col("r_stop") * col("r_top_frac"))
+          .cast("long"))
+  }
+
+  /** TF-IDF RETRIEVAL — the vector-space complement of [[bm25TopK]]
+    * (BM25 is the probabilistic ranking; cosine-over-tf·idf is the
+    * classical one, and the pair is the standard lexical-retrieval
+    * baseline set). Smooth idf = ln((N+1)/(df+1)) + 1 (never
+    * negative, defined at df = 0), document vectors L2-normalized over
+    * ALL their terms — so verbose documents don't win on length, the
+    * property BM25 gets from its dl/avgdl term.
+    *
+    * Float discipline (the reason this is hash-checkable): idf is
+    * rounded ONCE to integer millis; per-term weights (tf · idf_e3),
+    * squared norms, and query·doc dot products are then EXACT INTEGER
+    * arithmetic in any engine — order-independent sums — and the only
+    * float operation is the final cosine division, rounded to 6.
+    *
+    * Scale shape, same as BM25: the full-vocabulary weight/norm pass
+    * is one explode + keyed aggregations over (doc, term); the query
+    * side is a term-list broadcast; scoring touches only documents
+    * containing a query term (the inverted-index sparsity), and top-k
+    * is TakeOrdered over per-doc scores, never a global sort. */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+                query: Seq[String], k: Int): DataFrame = {
+    require(query.nonEmpty && k >= 1, "tfidfTopK needs query terms and k >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol).as("doc_id"),
+                         explode(split(trim(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = graft.queries.cacheOnce(
+      toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = tf.select("doc_id").distinct().agg(count(lit(1)).as("n_docs"))
+    val idfE3 =
+      round((log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0) * 1e3)
+        .cast("long").as("idf_e3")
+    val weights = tf.join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("tok"), (col("tf") * idfE3).as("w"))
+    val norms = weights.groupBy("doc_id").agg(sum(col("w") * col("w")).as("norm2_d"))
+    // query terms with tf = 1 each; absent terms still weigh in the
+    // query norm (df = 0 → the smooth idf's ceiling), matching the
+    // vector-space definition
+    val qterms = query.distinct.toDF("tok")
+      .join(broadcast(dfreq), Seq("tok"), "left")
+      .na.fill(0L, Seq("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"), idfE3.as("wq"))
+    val qnorm = qterms.agg(sum(col("wq") * col("wq")).as("norm2_q"))
+    val dots = weights.join(broadcast(qterms), Seq("tok"))
+      .groupBy("doc_id").agg(sum(col("w") * col("wq")).as("dot"))
+    val scored = dots.join(norms, Seq("doc_id")).crossJoin(broadcast(qnorm))
+      .select(col("doc_id"),
+              round(col("dot") / (sqrt(col("norm2_d")) * sqrt(col("norm2_q"))), 6)
+                .as("score"))
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** DETERMINISTIC SHUFFLE-AND-SHARD — the training-data EXPORT
+    * ordering: a reproducible global permutation of the corpus plus
+    * its physical shard layout. Training runs need the corpus in a
+    * fixed pseudorandom order (data order is part of the training
+    * recipe — resuming, ablating, or re-exporting must reproduce the
+    * exact sequence), and writers need a balanced shard assignment.
+    * Both come from the one content-independent md5 hash-point
+    * family: `shard` = hash(salt|id) mod nShards (balanced in
+    * expectation, growth-stable — an appended document never moves an
+    * existing one), `sort_key` = md5(salt|id) (the permutation),
+    * `pos` = rank within the shard, and `global_pos` interleaves
+    * shards round-robin so the concatenation-by-global_pos IS the
+    * shard-striped read order a multi-worker loader sees.
+    *
+    * Scale shape: a pure projection plus ONE window ranked per shard —
+    * the window partitions by shard (nShards concurrent sorts of n/s
+    * rows each), never a single global sort; at the writer this maps
+    * to `repartition(shard)` + `sortWithinPartitions(sort_key)`, the
+    * canonical Spark export plan. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int = 8,
+                    salt: String = "shuffle"): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val key = md5(concat(lit(salt + "|"), col(idCol).cast("string")))
+    val shard = pmod(conv(substring(key, 1, 8), 16, 10).cast("long"),
+                     lit(nShards.toLong))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("sort_key"), col(idCol))
+    df.select(col(idCol), key.as("sort_key"), shard.as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .withColumn("global_pos", col("pos") * nShards + col("shard"))
+  }
 }

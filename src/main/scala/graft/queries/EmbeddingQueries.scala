@@ -645,8 +645,59 @@ object EmbeddingQueries {
       |                               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
       |FROM sc QUALIFY rn <= 5""".stripMargin
 
+  /** q108 — semantic dedup ([[Similarity.semanticDedup]]): SemDeDup's
+    * cluster-then-pairwise recipe under a full hash oracle. Cells are
+    * q65's flat quantizer (first 16 corpus vectors as centroids,
+    * round-4 cosine, ties to the lower id); within-cell pairs confirm
+    * at round-6 cosine ≥ 0.35 (the corpus's 99th within-cell
+    * percentile ≈ 0.344, max 0.49 — both branches live); components
+    * resolve transitively and every vector returns with its
+    * (cell, cluster, is_keeper, n_cluster) verdict. The oracle replays
+    * assignment, confirmation, and the recursive closure. */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    Similarity.semanticDedup(e, cents, 0.35)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+              col("cluster"), col("is_keeper"), col("n_cluster"))
+  }
+
+  private val q108Sql =
+    s"""WITH RECURSIVE
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 16),
+      |scored AS (
+      |  SELECT e.vec_id, e.v, p.pid, ${cosSql("e.v", "p.pv")} AS cs
+      |  FROM e CROSS JOIN p),
+      |cells AS (
+      |  SELECT vec_id, v, pid AS cell FROM (
+      |    SELECT vec_id, v, pid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, pid) AS arn
+      |    FROM scored) x WHERE arn = 1),
+      |dup AS (
+      |  SELECT a.vec_id AS da, b.vec_id AS db
+      |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE round(${dotSql("a.v", "b.v")} /
+      |              (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})),
+      |              6) >= 0.35),
+      |edges AS (SELECT da AS src, db AS dst FROM dup
+      |          UNION SELECT db AS src, da AS dst FROM dup),
+      |reach AS (
+      |  SELECT vec_id AS id, vec_id AS r FROM e
+      |  UNION
+      |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r),
+      |cl AS (
+      |  SELECT id AS vec_id, min(r) AS cluster,
+      |         CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+      |  FROM reach GROUP BY id),
+      |sz AS (SELECT cluster, count(*) AS n_cluster FROM cl GROUP BY 1)
+      |SELECT cl.vec_id, cells.cell, cl.cluster, cl.is_keeper, sz.n_cluster
+      |FROM cl JOIN cells ON cells.vec_id = cl.vec_id JOIN sz USING (cluster)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q59_cosine_topk", q59, Some(q59Sql)),
+    QueryDef("q108_semantic_dedup", q108, Some(q108Sql)),
     QueryDef("q79_sq8_topk", q79, Some(q79Sql)),
     QueryDef("q60_lsh_ann", q60, Some(q60Sql)),
     QueryDef("q64_embedding_neardup", q64, Some(q64Sql)),

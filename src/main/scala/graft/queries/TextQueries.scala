@@ -1105,6 +1105,110 @@ object TextQueries {
       idx
     })
 
+  /** q109 — quality-rule ledger ([[TextAnalysis.qualityRules]]): the
+    * Gopher/C4 rulebook as per-rule 0/1 verdicts (word-count window,
+    * mean-word-length window, stopword floor, top-token dominance
+    * ceiling) with the evidence columns each rule judged. Thresholds
+    * sit inside the corpus's measured ranges (n_tokens 10-99 /
+    * 10th-90th pct ≈ 21-88; avg len 3.7-5.3; stop hits 0-14 median 3;
+    * top share 0.07-0.5 median 0.21), so every rule fires BOTH ways.
+    * Integer evidence + round-6 ratios compared at the rounded value —
+    * the oracle replays the ledger exactly. */
+  private def q109(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityRules(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q109Sql = {
+    val stop = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents) x
+      |  WHERE t <> ''),
+      |pt AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2),
+      |per AS (SELECT doc_id, sum(c) AS n_tokens, sum(length(t) * c) AS n_tok_chars,
+      |               max(c) AS top_tok,
+      |               sum(CASE WHEN t IN ($stop) THEN c ELSE 0 END) AS stop_hits
+      |        FROM pt GROUP BY 1),
+      |ev AS (SELECT doc_id, n_tokens,
+      |              round(n_tok_chars * 1.0 / n_tokens, 6) AS avg_token_len,
+      |              stop_hits,
+      |              round(top_tok * 1.0 / n_tokens, 6) AS top_tok_frac
+      |       FROM per),
+      |r AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, avg_token_len,
+      |             CAST(stop_hits AS BIGINT) AS stop_hits, top_tok_frac,
+      |             CAST(CASE WHEN n_tokens >= 25 AND n_tokens <= 90
+      |                  THEN 1 ELSE 0 END AS BIGINT) AS r_words,
+      |             CAST(CASE WHEN avg_token_len >= 3.9 AND avg_token_len <= 5.1
+      |                  THEN 1 ELSE 0 END AS BIGINT) AS r_avg_len,
+      |             CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+      |             CAST(CASE WHEN top_tok_frac <= 0.25 THEN 1 ELSE 0 END AS BIGINT)
+      |               AS r_top_frac
+      |      FROM ev)
+      |SELECT doc_id, n_tokens, avg_token_len, stop_hits, top_tok_frac,
+      |       r_words, r_avg_len, r_stop, r_top_frac,
+      |       r_words * r_avg_len * r_stop * r_top_frac AS q_keep
+      |FROM r""".stripMargin
+  }
+
+  /** q110 — TF-IDF retrieval ([[TextAnalysis.tfidfTopK]]): cosine over
+    * smooth-idf term vectors, the vector-space sibling of q81's BM25.
+    * Query mixes one RARE term ('dup', df ≈ 5% of docs — the idf
+    * discriminator) with two near-ubiquitous ones; idf is integer
+    * millis, weights/norms/dots exact integer sums, one round-6
+    * division at the end — hash-exact like q81. */
+  private def q110(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopK(t(s, dir, "documents"), "doc_id", "text",
+                           Seq("dup", "merge", "vector"), 20)
+
+  private val q110Sql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents) x
+      |  WHERE t <> ''),
+      |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+      |w AS (SELECT tf.doc_id, tf.t,
+      |             tf.tf * CAST(round((ln((st.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0)
+      |                                * 1000.0) AS BIGINT) AS w
+      |      FROM tf JOIN dfq USING (t) CROSS JOIN st),
+      |nrm AS (SELECT doc_id, sum(w * w) AS norm2_d FROM w GROUP BY 1),
+      |qt AS (SELECT q.t,
+      |              CAST(round((ln((st.n_docs + 1.0) / (COALESCE(dfq.df, 0) + 1.0)) + 1.0)
+      |                         * 1000.0) AS BIGINT) AS wq
+      |       FROM (VALUES ('dup'), ('merge'), ('vector')) AS q(t)
+      |       LEFT JOIN dfq USING (t) CROSS JOIN st),
+      |qn AS (SELECT sum(wq * wq) AS norm2_q FROM qt),
+      |d AS (SELECT w.doc_id, sum(w.w * qt.wq) AS dot
+      |      FROM w JOIN qt USING (t) GROUP BY 1),
+      |sc AS (SELECT d.doc_id,
+      |              round(d.dot / (sqrt(nrm.norm2_d) * sqrt(qn.norm2_q)), 6) AS score
+      |       FROM d JOIN nrm USING (doc_id) CROSS JOIN qn)
+      |SELECT doc_id, score,
+      |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** q111 — deterministic shuffle-and-shard
+    * ([[TextAnalysis.shuffleShards]]): the reproducible global
+    * training-order permutation (md5 sort key), balanced shard
+    * assignment, per-shard rank and the round-robin interleaved global
+    * position. Pure hash arithmetic + one per-shard window — the
+    * oracle replays every column. */
+  private def q111(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.shuffleShards(t(s, dir, "documents"), "doc_id")
+
+  private val q111Sql =
+    s"""WITH h AS (
+      |  SELECT doc_id, md5('shuffle|' || CAST(doc_id AS VARCHAR)) AS sort_key,
+      |         ${hashPointSql("CAST(doc_id AS VARCHAR)", "shuffle|", 8L)} AS shard
+      |  FROM documents),
+      |p AS (SELECT doc_id, sort_key, shard,
+      |             CAST(row_number() OVER (PARTITION BY shard
+      |                                     ORDER BY sort_key, doc_id) AS BIGINT) - 1
+      |               AS pos
+      |      FROM h)
+      |SELECT doc_id, sort_key, shard, pos, pos * 8 + shard AS global_pos
+      |FROM p""".stripMargin
+
   private def q106(s: SparkSession, dir: String): DataFrame =
     TextDedup.incrementalDedupAgainst(
       t(s, dir, "documents").filter(pmod(col("doc_id"), lit(5)) === 0),
@@ -1200,6 +1304,9 @@ object TextQueries {
     QueryDef("q104_sequence_packing", q104, Some(q104Sql)),
     QueryDef("q105_span_dedup", q105, Some(q105Sql)),
     QueryDef("q106_incremental_dedup", q106, Some(q106Sql)),
-    QueryDef("q107_vocabulary", q107, Some(q107Sql))
+    QueryDef("q107_vocabulary", q107, Some(q107Sql)),
+    QueryDef("q109_quality_rules", q109, Some(q109Sql)),
+    QueryDef("q110_tfidf_topk", q110, Some(q110Sql)),
+    QueryDef("q111_shuffle_shards", q111, Some(q111Sql))
   )
 }

@@ -644,6 +644,76 @@ class TextDedupSpec extends AnyFunSuite {
     // new-vs-new duplication is NOT judged here (next full dedupCorpus pass does)
     assert(out(12L) == (("unique", -1L)) && out(13L) == (("unique", -1L)), s"$out")
   }
+
+  test("qualityRules: each rule fires on exactly its designed violation") {
+    import graft.pipeline.TextAnalysis
+    val rows = Seq(
+      (1L, "the cat sat on a mat and then the dog sat too"),  // passes all
+      (2L, "the tiny one"),                                   // too few words
+      (3L, "the extraordinarily incomprehensible multisyllabic " +
+           "hippopotamus confabulation extravaganza misunderstanding"), // avg len high
+      (4L, "red green blue cyan teal pink gray black white brown"),     // no stopwords
+      (5L, "the spam spam spam spam spam spam spam spam spam")          // top-token dominant
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityRules(rows, "doc_id", "text",
+        minWords = 5, maxWords = 20, minAvgLen = 2.0, maxAvgLen = 6.0,
+        minStopHits = 1, maxTopFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def rules(id: Long) = (out(id).getAs[Long]("r_words"), out(id).getAs[Long]("r_avg_len"),
+                           out(id).getAs[Long]("r_stop"), out(id).getAs[Long]("r_top_frac"),
+                           out(id).getAs[Long]("q_keep"))
+    assert(rules(1L) == ((1L, 1L, 1L, 1L, 1L)), s"doc 1 clean: ${rules(1L)}")
+    assert(rules(2L)._1 == 0L && rules(2L)._5 == 0L, s"word floor: ${rules(2L)}")
+    assert(rules(3L)._2 == 0L, s"avg-len ceiling: ${rules(3L)}")
+    assert(rules(4L)._3 == 0L, s"stopword floor: ${rules(4L)}")
+    assert(rules(5L)._4 == 0L, s"dominance ceiling: ${rules(5L)}")
+    // evidence is consistent: n_tokens counts words, top_tok_frac in (0, 1]
+    assert(out(1L).getAs[Long]("n_tokens") == 12L)
+    val f = out(5L).getAs[Double]("top_tok_frac")
+    assert(f > 0.5 && f <= 1.0, s"spam dominance measured: $f")
+  }
+
+  test("tfidfTopK: rare term outweighs ubiquitous one, scores in (0, 1], deterministic") {
+    import graft.pipeline.TextAnalysis
+    val rows = Seq(
+      (1L, "apple banana cherry zebra"),        // the one doc with the rare term
+      (2L, "apple apple apple apple banana"),   // common-term stuffing
+      (3L, "apple banana cherry fig"),
+      (4L, "apple cherry fig grape")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(rows, "doc_id", "text", Seq("zebra", "apple"), 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.length == 3, "k respected")
+    assert(out.head._1 == 1L, s"rare-term doc must rank first: ${out.toSeq}")
+    assert(out.forall { case (_, s, _) => s > 0.0 && s <= 1.0 }, s"cosine range: ${out.toSeq}")
+    assert(out.map(_._3).toSeq == Seq(1L, 2L, 3L), "dense ranks")
+    val again = TextAnalysis.tfidfTopK(rows, "doc_id", "text", Seq("zebra", "apple"), 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(again.toSeq == out.toSeq, "integer-weight scoring is reproducible")
+  }
+
+  test("shuffleShards: dense per-shard ranks, injective interleaved order, growth-stable shards") {
+    import graft.pipeline.TextAnalysis
+    val rows = (1L to 200L).toDF("doc_id")
+    val out = TextAnalysis.shuffleShards(rows, "doc_id", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 200)
+    // per-shard positions are dense from 0
+    out.groupBy(_._2).foreach { case (shard, docs) =>
+      assert(docs.map(_._3).sorted.toSeq == (0L until docs.length.toLong).toSeq,
+             s"shard $shard ranks not dense")
+    }
+    // the interleaving is injective and round-robin-consistent
+    assert(out.map(_._4).distinct.length == 200, "global_pos must be unique")
+    assert(out.forall { case (_, s, p, g) => g == p * 4 + s })
+    // every shard is populated (hash balance at n/s = 50)
+    assert(out.map(_._2).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // appending documents never moves an existing document's shard
+    val grown = TextAnalysis.shuffleShards((1L to 300L).toDF("doc_id"), "doc_id", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out.forall { case (id, s, _, _) => grown(id) == s },
+           "content-hash shards are growth-stable")
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
@@ -1437,6 +1507,30 @@ class SimilaritySpec extends AnyFunSuite {
     val n0 = out.filter(_.getAs[Long]("query_id") == 0L).map(_.getAs[Long]("neighbor_id"))
     assert(n0.contains(1L) && n0.contains(2L)) // same hemisphere
     assert(!n0.contains(3L) && !n0.contains(4L)) // different buckets
+  }
+
+  test("semanticDedup: transitive chains collapse, cross-cell strangers stay singletons") {
+    // x-axis family: a chain where ends are NOT pairwise similar at tau
+    // (cos(v10,v12) ≈ 0.92 < 0.95) but adjacent links are (≈ 0.98) —
+    // transitivity must still fuse all three. y-axis: one lone vector.
+    def rot(theta: Double) = Seq(math.cos(theta), math.sin(theta), 0.0)
+    val e = Seq(
+      10L -> rot(0.0), 11L -> rot(0.2), 12L -> rot(0.4),  // chain in cell 0
+      20L -> Seq(0.7, 0.72, 0.0),                          // cell 0/1 border, unique
+      30L -> Seq(0.0, 1.0, 0.0)                            // cell 1, unique
+    ).map { case (id, v) => (id, v) }.toDF("vec_id", "v")
+    val cents = Seq(0 -> Seq(1.0, 0.0, 0.0), 1 -> Seq(0.0, 1.0, 0.0))
+    val out = Similarity.semanticDedup(e, cents, 0.95)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("is_keeper"), r.getAs[Long]("n_cluster")))
+      .toMap
+    assert(out.size == 5, "every vector gets a verdict row")
+    assert(out(10L) == ((10L, 1L, 3L)), s"chain keeper: ${out(10L)}")
+    assert(out(11L) == ((10L, 0L, 3L)) && out(12L) == ((10L, 0L, 3L)),
+           s"transitive fuse: $out")
+    assert(out(20L) == ((20L, 1L, 1L)) && out(30L) == ((30L, 1L, 1L)),
+           s"dissimilar vectors stay singleton keepers: $out")
   }
 }
 
