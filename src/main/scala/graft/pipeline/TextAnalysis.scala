@@ -577,4 +577,46 @@ object TextAnalysis {
       .withColumn("pos", row_number().over(w).cast("long") - 1)
       .withColumn("global_pos", col("pos") * nShards + col("shard"))
   }
+
+  /** LM-SURPRISAL QUALITY FILTER — the perplexity axis of the
+    * published filter stacks (CCNet-style: score each document by a
+    * language model's perplexity and drop the tails; both very HIGH
+    * perplexity — garbage, wrong-language, non-text — and anomalously
+    * LOW — boilerplate — are kill signals). This is the self-trained
+    * unigram rung: token probabilities come from the corpus's own
+    * unigram counts, so the operator needs no external model artifact
+    * (a production stack swaps in a reference-corpus LM by joining a
+    * different (token, surprisal) table — the pipeline shape is
+    * identical, which is the point of building it this way).
+    *
+    * Float discipline: each token's surprisal −ln(c/T) is rounded ONCE
+    * to integer milli-nats; per-document totals are exact integer sums,
+    * the mean is one round-6 division, and the perplexity column is
+    * exp of that mean (round-6) — so the flag compares rounded values
+    * and the whole ledger replays in SQL.
+    *
+    * Scale shape: one token explode feeding (a) the vocabulary count
+    * aggregation — bounded by vocabulary size, not corpus size — and
+    * (b) a broadcast-joined re-scan scoring each occurrence; then one
+    * per-document aggregation. No corpus-sized shuffle beyond the
+    * per-doc groupBy every quality op pays. */
+  def lmSurprisal(df: DataFrame, idCol: String, textCol: String,
+                  maxAvgNatsE3: Double = 3410.0): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+                         explode(split(trim(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("tt"))
+    val surprisal = counts.crossJoin(broadcast(total))
+      .select(col("tok"),
+              round(log(col("tt") * 1.0 / col("c")) * 1e3).cast("long").as("s_e3"))
+    val avg = round(col("s_sum") * 1.0 / col("n_tokens"), 6)
+    toks.join(broadcast(surprisal), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s_e3")).as("s_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("s_sum").as("surprisal_e3"),
+              avg.as("avg_surprisal_e3"),
+              round(exp(avg / 1e3), 6).as("perplexity"),
+              (avg > lit(maxAvgNatsE3)).cast("long").as("ppl_flagged"))
+  }
 }

@@ -1209,6 +1209,34 @@ object TextQueries {
       |SELECT doc_id, sort_key, shard, pos, pos * 8 + shard AS global_pos
       |FROM p""".stripMargin
 
+  /** q112 — LM-surprisal quality filter ([[TextAnalysis.lmSurprisal]]):
+    * the perplexity axis, self-trained unigram LM. The 3.41-nat flag
+    * threshold sits between the corpus median (≈ 3.401) and max
+    * (≈ 3.699) mean surprisal, so both branches fire. Milli-nat
+    * integer surprisals, integer sums, round-6 mean — the oracle
+    * replays training AND scoring. */
+  private def q112(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmSurprisal(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q112Sql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents) x
+      |  WHERE t <> ''),
+      |ct AS (SELECT t, count(*) AS c FROM toks GROUP BY 1),
+      |tot AS (SELECT sum(c) AS tt FROM ct),
+      |s AS (SELECT t, CAST(round(ln(tt * 1.0 / c) * 1000.0) AS BIGINT) AS s_e3
+      |      FROM ct CROSS JOIN tot),
+      |per AS (SELECT doc_id, count(*) AS n_tokens, sum(s_e3) AS s_sum
+      |        FROM toks JOIN s USING (t) GROUP BY 1)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(s_sum AS BIGINT) AS surprisal_e3,
+      |       round(s_sum * 1.0 / n_tokens, 6) AS avg_surprisal_e3,
+      |       round(exp(round(s_sum * 1.0 / n_tokens, 6) / 1000.0), 6) AS perplexity,
+      |       CAST(CASE WHEN round(s_sum * 1.0 / n_tokens, 6) > 3410.0
+      |            THEN 1 ELSE 0 END AS BIGINT) AS ppl_flagged
+      |FROM per""".stripMargin
+
   private def q106(s: SparkSession, dir: String): DataFrame =
     TextDedup.incrementalDedupAgainst(
       t(s, dir, "documents").filter(pmod(col("doc_id"), lit(5)) === 0),
@@ -1307,6 +1335,7 @@ object TextQueries {
     QueryDef("q107_vocabulary", q107, Some(q107Sql)),
     QueryDef("q109_quality_rules", q109, Some(q109Sql)),
     QueryDef("q110_tfidf_topk", q110, Some(q110Sql)),
-    QueryDef("q111_shuffle_shards", q111, Some(q111Sql))
+    QueryDef("q111_shuffle_shards", q111, Some(q111Sql)),
+    QueryDef("q112_lm_surprisal", q112, Some(q112Sql))
   )
 }

@@ -320,6 +320,45 @@ object StreamOps {
                 .as("cos"))
   }
 
+  /** Streaming SEMANTIC-DUP detection — the embedding analogue of
+    * [[streamingSimhashCandidates]]: route each arriving vector to its
+    * quantizer probe cells (pure per-row `ivf_assign` projection, no
+    * state), match the static celled corpus index by home cell, and
+    * CONFIRM on the pair row itself with the round-6 cosine ≥ `tau` —
+    * the same threshold discipline as
+    * [[graft.pipeline.Similarity.semanticDedup]], whose batch pairs at
+    * nprobe = 1 this op reproduces exactly (parity test-pinned; at
+    * nprobe > 1 the stream side probes MORE cells, so its matches are
+    * a superset — the recall knob the batch op's straddle caveat
+    * prescribes). Like every gate here the confirm is stateless, so
+    * verdicts emit straight from the micro-batch: one row per
+    * (arrival, corpus near-dup) with the evidence attached; arrivals
+    * matching nothing emit nothing and continue as unique. The
+    * periodic batch [[graft.pipeline.Similarity.semanticDedup]] pass
+    * remains the transitive-closure authority, exactly as
+    * [[streamingNearDupConfirmedEst]] defers to `incrementalDedup`.
+    *
+    * 100 TB posture: per-row assignment, one cell-keyed stream-static
+    * join against the corpus-partitioned index — micro-batch cost is
+    * batch-sized; the corpus is never rescanned. */
+  def streamingSemanticDupConfirmed(stream: DataFrame, corpusIndex: DataFrame,
+                                    centroids: Seq[(Int, Seq[Double])],
+                                    tau: Double, nprobe: Int = 1): DataFrame = {
+    import graft.pipeline.Similarity
+    graft.plans.GraftFunctions.register(stream.sparkSession)
+    val nrm = sqrt(Similarity.dot(col("v"), col("v")))
+    stream.select(col("vec_id").as("stream_id"), col("v").as("qv"), nrm.as("qn"),
+                  explode(Similarity.ivfCellsOf(col("v"), nrm, centroids, nprobe))
+                    .as("cell"))
+      .join(corpusIndex.select(col("vec_id").as("corpus_id"), col("v"),
+                               col("nrm"), col("cell")), Seq("cell"))
+      .filter(col("stream_id") =!= col("corpus_id"))
+      .withColumn("cos",
+        round(Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+      .filter(col("cos") >= lit(tau))
+      .select(col("stream_id"), col("corpus_id"), col("cell"), col("cos"))
+  }
+
   /** Rebuild-and-swap for the static corpus index under a long-lived
     * routing service: a real ingest pipeline's corpus GROWS, and the
     * stream-static joins above bind a SNAPSHOT index — without a

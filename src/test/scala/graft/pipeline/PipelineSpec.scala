@@ -714,6 +714,24 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.forall { case (id, s, _, _) => grown(id) == s },
            "content-hash shards are growth-stable")
   }
+
+  test("lmSurprisal: rare-token docs score higher and flag; exact milli-nat ledger") {
+    import graft.pipeline.TextAnalysis
+    // corpus LM: T = 8 occurrences, c(a) = 7, c(b) = 1
+    // s(a) = round(ln(8/7)*1000) = 134, s(b) = round(ln(8)*1000) = 2079
+    val rows = Seq((1L, "a a a a"), (2L, "a a a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmSurprisal(rows, "doc_id", "text", maxAvgNatsE3 = 500.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5))).toMap
+    assert(out(1L)._1 == 4L && out(1L)._2 == 4 * 134L, s"common doc ledger: ${out(1L)}")
+    assert(out(2L)._2 == 3 * 134L + 2079L, s"rare-token doc ledger: ${out(2L)}")
+    assert(out(1L)._3 == 134.0 && out(2L)._3 == 620.25, s"means: $out")
+    assert(out(2L)._3 > out(1L)._3, "rare token raises mean surprisal")
+    assert(out(1L)._5 == 0L && out(2L)._5 == 1L, s"flag at 500 milli-nats: $out")
+    // perplexity = exp(mean nats), round-6
+    assert(math.abs(out(1L)._4 - math.exp(0.134)) < 1e-6, s"ppl: ${out(1L)._4}")
+    assert(math.abs(out(2L)._4 - math.exp(0.62025)) < 1e-6, s"ppl: ${out(2L)._4}")
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {

@@ -259,6 +259,56 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(ranked == batchTopK, "ranked streamed candidates != batch ivfTopK")
   }
 
+  test("streaming semantic-dup gate: batch parity, verdicts consistent with semanticDedup") {
+    import graft.pipeline.Similarity
+    val rnd = new scala.util.Random(47)
+    val centers = Seq.fill(4)(Seq.fill(16)(rnd.nextGaussian()))
+    // corpus: clustered vectors; stream: near-copies of corpus vectors 0-4
+    // (tiny perturbation -> cos ~ 1) plus fresh unique vectors
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, centers(i % 4).map(_ + rnd.nextGaussian() * 0.2))
+    }.toDF("vec_id", "v")
+    val corpusRows = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val arrivals = (0 until 5).map { i =>
+      (100L + i, corpusRows(i.toLong).map(_ * 1.001))          // near-dups of 0-4
+    } ++ (5 until 10).map { i => (100L + i, Seq.fill(16)(rnd.nextGaussian())) }
+    val arrivalsDf = arrivals.toDF("vec_id", "v")
+    val cents = corpus.filter(col("vec_id") < 4).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    val index = Similarity.ivfIndex(corpus, cents, nprobe = 1)
+
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.streamingSemanticDupConfirmed(df, index, cents, tau = 0.98)
+    val expected = gate(arrivalsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    // every planted near-copy is confirmed against its original
+    (0 until 5).foreach { i =>
+      assert(expected.exists { case (s, c, _) => s == 100L + i && c == i.toLong },
+             s"planted near-dup ${100 + i} must confirm against $i")
+    }
+
+    val dir = Files.createTempDirectory("graft-stream-sem").toString
+    arrivalsDf.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(arrivalsDf.schema).parquet(dir)
+    val q = gate(stream).writeStream.outputMode("append")
+      .format("memory").queryName("sem_gate").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sem_gate").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+      assert(got == expected, "streamed semantic verdicts != batch")
+    } finally q.stop()
+
+    // consistency with the batch authority: every confirmed (arrival,
+    // corpus) pair shares a cluster in semanticDedup over corpus+arrivals
+    val clusters = Similarity.semanticDedup(corpus.unionByName(arrivalsDf), cents, 0.98)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    expected.foreach { case (s, c, _) =>
+      assert(clusters(s) == clusters(c),
+             s"gate pair ($s, $c) must share a semanticDedup cluster")
+    }
+  }
+
   test("streaming frame-routed ANN: superset of batch frame candidates, rank reproduces ivfTopKJoin") {
     import graft.pipeline.Similarity
     val rnd = new scala.util.Random(31)
