@@ -578,6 +578,73 @@ object TextAnalysis {
       .withColumn("global_pos", col("pos") * nShards + col("shard"))
   }
 
+  /** TOKEN-ID ENCODING — the APPLY step of the tokenizer story
+    * ([[vocabulary]] is the train step): map each document to its
+    * array of integer token ids in document order, the exact frame a
+    * training-data export writes. Ids are the vocabulary RANK (1 =
+    * most frequent — the frequency-sorted id convention tokenizers
+    * use); tokens outside the top-K vocabulary encode as `oovId`
+    * (default 0, the reserved UNK slot). Output: (id, ids:
+    * array<long>, n_tokens, n_oov) — the OOV count is the coverage
+    * diagnostic vocabulary sizing is tuned by.
+    *
+    * Determinism: document order is pinned by position (posexplode →
+    * array_sort on the position key — collect_list alone is
+    * partition-order-dependent, which would break the hash oracle);
+    * the vocabulary side is the already-deterministic rank frame.
+    *
+    * Scale shape: one posexplode + one BROADCAST join against the
+    * vocabulary (vocab is top-K-bounded, never corpus-sized) + one
+    * per-document aggregation. The id arrays never shuffle except
+    * grouped by their own document. */
+  def encodeTokens(df: DataFrame, idCol: String, textCol: String,
+                   vocab: DataFrame, oovId: Long = 0L): DataFrame = {
+    val toks = df.select(col(idCol),
+        posexplode(split(trim(col(textCol)), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    toks.join(broadcast(vocab.select(col("tok"), col("rank"))), Seq("tok"), "left")
+      .select(col(idCol), col("pos"), coalesce(col("rank"), lit(oovId)).as("tid"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum((col("tid") === oovId).cast("long")).as("n_oov"),
+           expr("transform(array_sort(collect_list(struct(pos, tid))), s -> s.tid)")
+             .as("ids"))
+      .select(col(idCol), col("ids"), col("n_tokens"), col("n_oov"))
+  }
+
+  /** CORPUS REPORT — the dataset-card numbers as ONE single-row frame:
+    * corpus size (documents, token occurrences, vocabulary), the
+    * exact-duplicate footprint (documents sharing a content hash),
+    * and the filter kill counts ([[qualityRules]] rejects,
+    * [[lmSurprisal]] flags). This is the porcelain summary a curation
+    * run publishes next to its output — every number is an integer
+    * count (no float aggregation anywhere), so the report hash-matches
+    * its SQL replay, and each column is the headline of the family
+    * that computes it in full.
+    *
+    * Scale shape: each statistic is one aggregation pass of its
+    * already-documented cost; the single-row frames combine by
+    * broadcast cross join (seven scalar rows — no data-sized join). */
+  def corpusReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+                         explode(split(trim(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val base = df.agg(count(lit(1)).as("n_docs"))
+    val tok = toks.agg(count(lit(1)).as("n_tokens"),
+                       countDistinct(col("tok")).as("vocab_size"))
+    val dup = df.select(md5(col(textCol)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("nh"))
+      .agg(coalesce(sum(when(col("nh") > 1, col("nh")).otherwise(0L)), lit(0L))
+             .as("n_exact_dup_docs"))
+    val qual = qualityRules(df, idCol, textCol)
+      .agg(coalesce(sum(when(col("q_keep") === 0, 1L).otherwise(0L)), lit(0L))
+             .as("n_quality_drop"))
+    val ppl = lmSurprisal(df, idCol, textCol)
+      .agg(coalesce(sum(col("ppl_flagged")), lit(0L)).as("n_ppl_flagged"))
+    base.crossJoin(broadcast(tok)).crossJoin(broadcast(dup))
+      .crossJoin(broadcast(qual)).crossJoin(broadcast(ppl))
+  }
+
   /** LM-SURPRISAL QUALITY FILTER — the perplexity axis of the
     * published filter stacks (CCNet-style: score each document by a
     * language model's perplexity and drop the tails; both very HIGH

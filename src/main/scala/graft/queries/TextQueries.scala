@@ -1237,6 +1237,73 @@ object TextQueries {
       |            THEN 1 ELSE 0 END AS BIGINT) AS ppl_flagged
       |FROM per""".stripMargin
 
+  /** q113 — token-id encoding ([[TextAnalysis.encodeTokens]]): the
+    * tokenizer APPLY step — each document as its frequency-ranked
+    * id array, trained by q107's vocabulary at top-30 so the corpus's
+    * 31st token ('dup') exercises the OOV slot (26 occurrences encode
+    * as 0). Position-pinned array order; the oracle replays the
+    * vocabulary AND the encoding. */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // the id ARRAY is the operator's contract (unit-pinned); the driver
+    // compare needs scalar columns, so the query row-izes it exactly
+    // like q100 row-izes the JL projection
+    TextAnalysis.encodeTokens(docs, "doc_id", "text",
+                              TextAnalysis.vocabulary(docs, "doc_id", "text", topK = 30))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+              posexplode(col("ids")).as(Seq("pos", "tid")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tid"),
+              col("n_tokens"), col("n_oov"))
+  }
+
+  private val q113Sql =
+    """WITH lw AS (SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
+      |pt AS (SELECT doc_id, u.i AS pos, l[u.i] AS tok
+      |       FROM lw, LATERAL unnest(generate_series(1, len(l))) AS u(i)
+      |       WHERE l[u.i] <> ''),
+      |tf AS (SELECT tok, count(*) AS n_occ FROM pt GROUP BY 1),
+      |vocab AS (SELECT tok,
+      |            CAST(row_number() OVER (ORDER BY n_occ DESC, tok) AS BIGINT) AS rank
+      |          FROM tf ORDER BY n_occ DESC, tok LIMIT 30),
+      |enc AS (SELECT pt.doc_id, pt.pos, COALESCE(v.rank, 0) AS tid
+      |        FROM pt LEFT JOIN vocab v USING (tok)),
+      |dense AS (SELECT doc_id,
+      |            CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) - 1
+      |              AS pos, tid
+      |          FROM enc),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |               CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      |        FROM dense GROUP BY 1)
+      |SELECT d.doc_id, d.pos, d.tid, a.n_tokens, a.n_oov
+      |FROM dense d JOIN agg a USING (doc_id)""".stripMargin
+
+  /** q114 — corpus report ([[TextAnalysis.corpusReport]]): the
+    * dataset-card single row — document/token/vocabulary counts, the
+    * exact-duplicate footprint, and the quality/perplexity kill
+    * counts, every column an integer composed from its family's full
+    * computation. */
+  private def q114(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusReport(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q114Sql = {
+    val qualityDrop =
+      s"(SELECT count(*) FROM (${q109Sql.replace("\n", " ")}) q WHERE q.q_keep = 0)"
+    val pplFlag =
+      s"(SELECT count(*) FROM (${q112Sql.replace("\n", " ")}) p WHERE p.ppl_flagged = 1)"
+    s"""WITH toks AS (
+      |  SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents) x
+      |  WHERE t <> ''),
+      |dup AS (SELECT COALESCE(sum(CASE WHEN nh > 1 THEN nh ELSE 0 END), 0) AS n
+      |        FROM (SELECT md5(text) AS h, count(*) AS nh FROM documents GROUP BY 1) g)
+      |SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+      |       CAST((SELECT count(*) FROM toks) AS BIGINT) AS n_tokens,
+      |       CAST((SELECT count(DISTINCT t) FROM toks) AS BIGINT) AS vocab_size,
+      |       CAST((SELECT n FROM dup) AS BIGINT) AS n_exact_dup_docs,
+      |       CAST($qualityDrop AS BIGINT) AS n_quality_drop,
+      |       CAST($pplFlag AS BIGINT) AS n_ppl_flagged""".stripMargin
+  }
+
   private def q106(s: SparkSession, dir: String): DataFrame =
     TextDedup.incrementalDedupAgainst(
       t(s, dir, "documents").filter(pmod(col("doc_id"), lit(5)) === 0),
@@ -1336,6 +1403,8 @@ object TextQueries {
     QueryDef("q109_quality_rules", q109, Some(q109Sql)),
     QueryDef("q110_tfidf_topk", q110, Some(q110Sql)),
     QueryDef("q111_shuffle_shards", q111, Some(q111Sql)),
-    QueryDef("q112_lm_surprisal", q112, Some(q112Sql))
+    QueryDef("q112_lm_surprisal", q112, Some(q112Sql)),
+    QueryDef("q113_encode_tokens", q113, Some(q113Sql)),
+    QueryDef("q114_corpus_report", q114, Some(q114Sql))
   )
 }

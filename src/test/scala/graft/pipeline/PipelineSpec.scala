@@ -732,6 +732,37 @@ class TextDedupSpec extends AnyFunSuite {
     assert(math.abs(out(1L)._4 - math.exp(0.134)) < 1e-6, s"ppl: ${out(1L)._4}")
     assert(math.abs(out(2L)._4 - math.exp(0.62025)) < 1e-6, s"ppl: ${out(2L)._4}")
   }
+
+  test("encodeTokens: frequency-ranked ids in document order, OOV hits the reserved slot") {
+    import graft.pipeline.TextAnalysis
+    // occurrences: b=4, a=3, c=2, z=1 -> ranks b=1, a=2, c=3; topK=3 makes z OOV
+    val rows = Seq((1L, "a b c b"), (2L, "b a z b c a")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabulary(rows, "doc_id", "text", topK = 3)
+    val out = TextAnalysis.encodeTokens(rows, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1).toSeq, r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((Seq(2L, 1L, 3L, 1L), 4L, 0L)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((Seq(1L, 2L, 0L, 1L, 3L, 2L), 6L, 1L)),
+           s"doc 2 keeps order and encodes z as UNK: ${out(2L)}")
+  }
+
+  test("corpusReport: dataset-card counts are exact on a constructed corpus") {
+    import graft.pipeline.TextAnalysis
+    val rows = Seq(
+      (1L, "the cat sat on a mat and then the dog sat too"),
+      (2L, "the cat sat on a mat and then the dog sat too"),  // exact dup of 1
+      (3L, "the tiny one")                                    // quality-dropped (word floor)
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.corpusReport(rows, "doc_id", "text").collect()
+    assert(r.length == 1, "one report row")
+    val row = r.head
+    assert(row.getAs[Long]("n_docs") == 3L)
+    assert(row.getAs[Long]("n_tokens") == 12L + 12L + 3L)
+    // vocab: docs 1/2 share 10 distinct words; doc 3 adds tiny, one ('the' shared)
+    assert(row.getAs[Long]("vocab_size") == 12L, s"vocab: $row")
+    assert(row.getAs[Long]("n_exact_dup_docs") == 2L, "both copies count")
+    assert(row.getAs[Long]("n_quality_drop") >= 1L, "short doc fails the rulebook")
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
