@@ -293,6 +293,19 @@ object ScaleProbe {
               f"frame-path plan literal: ${coarseBytes / 1024.0}%.1f KB coarse only")
     }
 
+    // SEMANTIC DEDUP end-to-end at this decade (SemDeDup shape): the
+    // √n-cell quantizer bounds the within-cell pairwise join at
+    // O(n²/cells) = O(n^1.5) — the same candidate-volume arithmetic
+    // the IVF search pays, so expect this row to track the flat-ivf
+    // row; cluster resolution rides the adaptive union-find (confirmed
+    // pairs on isotropic data are sparse). The tau is deliberately
+    // high: hash-derived vectors are near-isotropic, so the probe
+    // measures the JOIN cost honestly (few pairs survive the confirm),
+    // not a degenerate all-pairs cluster.
+    println(s"semantic-dedup rows: ${time(s"semanticDedup ($nCells cells, tau 0.9)")(
+      Similarity.semanticDedup(vecs, cents, 0.9).filter(col("is_keeper") === 0).count())
+      } non-keepers")
+
     // DRIVER-FREE pipeline at this decade: corpus → trained frames →
     // served index with NO k-sized driver object anywhere (seeded
     // k-means coarse, per-group distributed Lloyd, frame-join
