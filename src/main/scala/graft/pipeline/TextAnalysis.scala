@@ -521,10 +521,16 @@ object TextAnalysis {
     val idfE3 =
       round((log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0) * 1e3)
         .cast("long").as("idf_e3")
-    val weights = tf.join(broadcast(dfreq), Seq("tok"))
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("tok"), (col("tf") * idfE3).as("w"))
-    val norms = weights.groupBy("doc_id").agg(sum(col("w") * col("w")).as("norm2_d"))
+    // weights and norms are QUERY-INDEPENDENT corpus artifacts (every
+    // term's idf weight / every doc's vector norm) — memoized like the
+    // bm25 doc-length index so repeated queries over one corpus pay
+    // the full-vocabulary pass once, not per query
+    val weights = graft.queries.cacheOnce(
+      tf.join(broadcast(dfreq), Seq("tok"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("tok"), (col("tf") * idfE3).as("w")))
+    val norms = graft.queries.cacheOnce(
+      weights.groupBy("doc_id").agg(sum(col("w") * col("w")).as("norm2_d")))
     // query terms with tf = 1 each; absent terms still weigh in the
     // query norm (df = 0 → the smooth idf's ceiling), matching the
     // vector-space definition
@@ -643,6 +649,71 @@ object TextAnalysis {
       .agg(coalesce(sum(col("ppl_flagged")), lit(0L)).as("n_ppl_flagged"))
     base.crossJoin(broadcast(tok)).crossJoin(broadcast(dup))
       .crossJoin(broadcast(qual)).crossJoin(broadcast(ppl))
+  }
+
+  /** DSIR IMPORTANCE WEIGHTS — distribution-matching data selection
+    * (the published hashed-n-gram importance-resampling recipe): score
+    * every document by how much more likely its features are under a
+    * TARGET distribution than under the raw corpus, log w(d) =
+    * Σ_features n_f(d)·(ln p_target(f) − ln p_raw(f)), with features =
+    * word bigrams hashed into `nBuckets` buckets (the hashing IS the
+    * method — it makes the two n-gram LMs fixed-size regardless of
+    * vocabulary) and add-one smoothing over buckets on both sides.
+    * Selecting raw documents with high w reshapes the corpus toward
+    * the target domain — the standard pretraining-mixture targeting
+    * step; `targetPred` marks the in-domain exemplar documents (must
+    * match at least one document, else the target LM is undefined).
+    *
+    * Float discipline: each bucket's two log-probs are rounded ONCE to
+    * integer milli-nats; the per-bucket difference and per-document
+    * sums are exact integer arithmetic, so the ledger hash-matches its
+    * SQL replay. `dsir_selected` = (log w > 0): more target-like than
+    * raw-like — the natural threshold; callers resample at their own
+    * quantile from the ledger.
+    *
+    * Scale shape: one gram explode feeding (a) two bucket-keyed counts
+    * bounded by `nBuckets` — the two LMs never exceed sketch size —
+    * and (b) a broadcast-scored re-scan (the score table is nBuckets
+    * rows); then one per-document aggregation. The gram frame is
+    * cacheOnce'd: both count passes and the scoring pass read one
+    * materialization. Docs with < 2 words emit nothing (no bigrams —
+    * the shingle-table row contract). */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, nBuckets: Int = 1024,
+                  salt: String = "dsir"): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be >= 2")
+    val grams = df.select(col(idCol).as("doc_id"),
+        targetPred.cast("long").as("is_target"),
+        split(trim(col(textCol)), " ").as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("doc_id"), col("is_target"),
+        explode(transform(sequence(lit(1), size(col("l")) - 1),
+          i => concat(element_at(col("l"), i), lit("_"),
+                      element_at(col("l"), i + 1)))).as("g"))
+    val fb = graft.queries.cacheOnce(
+      grams.select(col("doc_id"), col("is_target"),
+                   hashPoint(col("g"), salt, nBuckets.toLong).as("b")))
+    val tc = fb.filter(col("is_target") === 1)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val rc = fb.filter(col("is_target") === 0)
+      .groupBy("b").agg(count(lit(1)).as("cr"))
+    val tt = tc.agg(sum(col("ct")).as("st"))
+    val rt = rc.agg(sum(col("cr")).as("sr"))
+    val scored = fb.select(col("b")).distinct()
+      .join(broadcast(tc), Seq("b"), "left")
+      .join(broadcast(rc), Seq("b"), "left")
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(rt))
+      .select(col("b"),
+        (round(log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("st") + nBuckets)) * 1e3)
+           .cast("long") -
+         round(log((coalesce(col("cr"), lit(0L)) + 1.0) / (col("sr") + nBuckets)) * 1e3)
+           .cast("long")).as("d_e3"))
+    fb.join(broadcast(scored), Seq("b"))
+      .groupBy("doc_id")
+      .agg(max(col("is_target")).as("is_target"),
+           count(lit(1)).as("n_feats"),
+           sum(col("d_e3")).as("logw_e3"))
+      .withColumn("dsir_selected", (col("logw_e3") > 0).cast("long"))
   }
 
   /** LM-SURPRISAL QUALITY FILTER — the perplexity axis of the

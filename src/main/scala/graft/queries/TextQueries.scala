@@ -1304,6 +1304,48 @@ object TextQueries {
       |       CAST($pplFlag AS BIGINT) AS n_ppl_flagged""".stripMargin
   }
 
+  /** q115 — DSIR importance weights ([[TextAnalysis.dsirWeights]]):
+    * hashed-bigram importance resampling with the English documents as
+    * the target domain. On this corpus the weights discriminate hard —
+    * ~82% of target-language docs score log w > 0 vs ~14% of the rest
+    * (measured) — so both selection branches fire on both sides. The
+    * oracle replays hashing, both smoothed LMs, and the integer
+    * ledger. */
+  private def q115(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+                             col("lang") === "en")
+
+  private val q115Sql = {
+    val b = 1024
+    s"""WITH lw AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS l
+      |            FROM documents),
+      |gr AS (SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(l) - 1),
+      |                i -> l[i] || '_' || l[i+1])) AS g
+      |       FROM lw WHERE len(l) >= 2),
+      |fb AS (SELECT doc_id, CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+      |              AS is_target,
+      |              ${hashPointSql("g", "dsir", 1024L)} AS b
+      |       FROM gr),
+      |tc AS (SELECT b, count(*) AS ct FROM fb WHERE is_target = 1 GROUP BY 1),
+      |rc AS (SELECT b, count(*) AS cr FROM fb WHERE is_target = 0 GROUP BY 1),
+      |tt AS (SELECT sum(ct) AS st FROM tc),
+      |rt AS (SELECT sum(cr) AS sr FROM rc),
+      |sc AS (SELECT bs.b,
+      |         CAST(round(ln((COALESCE(tc.ct, 0) + 1.0) / (tt.st + $b)) * 1000.0)
+      |              AS BIGINT)
+      |       - CAST(round(ln((COALESCE(rc.cr, 0) + 1.0) / (rt.sr + $b)) * 1000.0)
+      |              AS BIGINT) AS d_e3
+      |       FROM (SELECT DISTINCT b FROM fb) bs
+      |       LEFT JOIN tc ON tc.b = bs.b LEFT JOIN rc ON rc.b = bs.b
+      |       CROSS JOIN tt CROSS JOIN rt)
+      |SELECT fb.doc_id, max(fb.is_target) AS is_target,
+      |       CAST(count(*) AS BIGINT) AS n_feats,
+      |       CAST(sum(sc.d_e3) AS BIGINT) AS logw_e3,
+      |       CAST(CASE WHEN sum(sc.d_e3) > 0 THEN 1 ELSE 0 END AS BIGINT)
+      |         AS dsir_selected
+      |FROM fb JOIN sc USING (b) GROUP BY fb.doc_id""".stripMargin
+  }
+
   private def q106(s: SparkSession, dir: String): DataFrame =
     TextDedup.incrementalDedupAgainst(
       t(s, dir, "documents").filter(pmod(col("doc_id"), lit(5)) === 0),
@@ -1405,6 +1447,7 @@ object TextQueries {
     QueryDef("q111_shuffle_shards", q111, Some(q111Sql)),
     QueryDef("q112_lm_surprisal", q112, Some(q112Sql)),
     QueryDef("q113_encode_tokens", q113, Some(q113Sql)),
-    QueryDef("q114_corpus_report", q114, Some(q114Sql))
+    QueryDef("q114_corpus_report", q114, Some(q114Sql)),
+    QueryDef("q115_dsir_weights", q115, Some(q115Sql))
   )
 }

@@ -733,6 +733,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(math.abs(out(2L)._4 - math.exp(0.62025)) < 1e-6, s"ppl: ${out(2L)._4}")
   }
 
+  test("dsirWeights: target-like raw docs score positive, off-domain negative") {
+    import graft.pipeline.TextAnalysis
+    val rows = Seq(
+      (1L, "alpha beta alpha beta alpha beta"),   // target exemplar
+      (2L, "alpha beta gamma alpha beta"),        // target exemplar
+      (10L, "alpha beta alpha beta gamma"),       // raw, target-like
+      (11L, "delta epsilon zeta delta epsilon"),  // raw, off-domain
+      (12L, "solo")                               // one word: no bigrams, no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dsirWeights(rows, "doc_id", "text", col("doc_id") <= 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == Set(1L, 2L, 10L, 11L), "sub-bigram docs emit nothing")
+    assert(out(1L)._1 == 1L && out(10L)._1 == 0L, "is_target ledger column")
+    assert(out(10L)._2 == 4L, s"n_feats counts bigram occurrences: ${out(10L)}")
+    assert(out(10L)._3 > 0L && out(10L)._4 == 1L,
+           s"target-like raw doc selected: ${out(10L)}")
+    assert(out(11L)._3 < 0L && out(11L)._4 == 0L,
+           s"off-domain raw doc rejected: ${out(11L)}")
+    // importance ordering: the pure-exemplar doc outscores the mixed one
+    assert(out(1L)._3 > out(11L)._3)
+  }
+
   test("encodeTokens: frequency-ranked ids in document order, OOV hits the reserved slot") {
     import graft.pipeline.TextAnalysis
     // occurrences: b=4, a=3, c=2, z=1 -> ranks b=1, a=2, c=3; topK=3 makes z OOV
