@@ -651,6 +651,28 @@ object TextAnalysis {
       .crossJoin(broadcast(qual)).crossJoin(broadcast(ppl))
   }
 
+  /** SHARDED EXPORT SINK — the writer-side realization of
+    * [[shuffleShards]]' plan ("repartition by shard, sort within
+    * partitions by the permutation key"): writes the full document
+    * payload to `outDir/shard=N/` with rows physically ordered by the
+    * md5 sort key, so a training loader streaming each shard file
+    * start-to-end reads exactly the reproducible global order —
+    * no loader-side sort, no order metadata. One hash-partitioned
+    * exchange (each shard lands as one writer task) + per-partition
+    * sort; no global sort, no driver materialization. Returns the
+    * keyed frame it wrote (ledger reuse: the caller can publish it
+    * next to the data). */
+  def writeShards(df: DataFrame, idCol: String, outDir: String,
+                  nShards: Int = 8, salt: String = "shuffle"): DataFrame = {
+    val keyed = df.join(shuffleShards(df.select(col(idCol)), idCol, nShards, salt),
+                        Seq(idCol))
+    keyed
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("sort_key"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    keyed
+  }
+
   /** DSIR IMPORTANCE WEIGHTS — distribution-matching data selection
     * (the published hashed-n-gram importance-resampling recipe): score
     * every document by how much more likely its features are under a

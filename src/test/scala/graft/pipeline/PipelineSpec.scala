@@ -733,6 +733,30 @@ class TextDedupSpec extends AnyFunSuite {
     assert(math.abs(out(2L)._4 - math.exp(0.62025)) < 1e-6, s"ppl: ${out(2L)._4}")
   }
 
+  test("writeShards: shard-partitioned files replay the reproducible order on plain readback") {
+    import graft.pipeline.TextAnalysis
+    val rows = (1L to 120L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val ledger = TextAnalysis.writeShards(rows, "doc_id", dir, nShards = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+                           r.getAs[Long]("pos"))).toSeq
+    // one directory per shard, payload + order both survive the round-trip
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 120 && back.columns.toSet
+             .contains("text"), "payload written")
+    for (s <- 0L to 3L) {
+      val files = new java.io.File(s"$dir/shard=$s").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $s should be one writer task's file")
+      // plain file-order readback == the ledger's pos order: the loader
+      // needs no sort and no metadata
+      val got = spark.read.parquet(files.head.getPath)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val want = ledger.filter(_._2 == s).sortBy(_._3).map(_._1)
+      assert(got == want, s"shard $s order must replay the permutation")
+    }
+  }
+
   test("dsirWeights: target-like raw docs score positive, off-domain negative") {
     import graft.pipeline.TextAnalysis
     val rows = Seq(
