@@ -209,6 +209,31 @@ class PlanShapeSpec extends AnyFunSuite {
            s"packing windows must partition by (bucket, shard):\n$pack")
   }
 
+  test("curation-family shapes: bounded tables broadcast, shard windows partition") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // q115: the nBuckets-row score table must reach the gram scan as a
+    // broadcast — a shuffle join here would shuffle the corpus grams to
+    // meet a ≤1024-row frame
+    val dsir = SparkEntry.queries("q115_dsir_weights")(spark, dir).queryExecution.sparkPlan
+    assert(dsir.toString.contains("BroadcastHashJoin"),
+           s"DSIR score table must broadcast onto the gram scan:\n$dsir")
+    // q113: the top-K vocabulary joins the token scan as a broadcast
+    val enc = SparkEntry.queries("q113_encode_tokens")(spark, dir).queryExecution.sparkPlan
+    assert(enc.toString.contains("BroadcastHashJoin"),
+           s"vocabulary must broadcast onto the token scan:\n$enc")
+    // q111: the ONLY window partitions by shard — a global window would
+    // funnel the whole export through one reducer
+    val sh = SparkEntry.queries("q111_shuffle_shards")(spark, dir).queryExecution.sparkPlan
+    val wins = sh.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+           s"shuffle-shard ranking must be a per-shard window:\n$sh")
+    // q112: the vocabulary-bounded surprisal table broadcasts back onto
+    // the token scan (the swap-in-a-reference-LM production shape)
+    val lm = SparkEntry.queries("q112_lm_surprisal")(spark, dir).queryExecution.sparkPlan
+    assert(lm.toString.contains("BroadcastHashJoin"),
+           s"surprisal table must broadcast onto the token scan:\n$lm")
+  }
+
   test("LSH near-dup pair generation joins on the band key") {
     val df: DataFrame = SparkEntry.queries("q56_lsh_near_dup")(spark, dir)
     // sparkPlan, not executedPlan: AQE's wrapper node hides its subtree
