@@ -266,4 +266,51 @@ object CorpusSketch {
       .groupBy(col(groupCol), col("q_pct"), col("n"))
       .agg((min("bin") * binWidth).as("est"))
   }
+
+  // ------------------------------------------------------- bloom filter
+
+  /** BLOOM FILTER — the sketch family's MEMBERSHIP member (HLL answers
+    * "how many distinct", CMS "how often", Bloom "have we seen THIS"):
+    * the O(1)-memory seen-set every ingest gate consults before paying
+    * for exact index probes. The filter is a frame of SET BIT
+    * positions — at most `mBits` rows however many keys went in, and
+    * the filter of a union of corpora is the DISTINCT UNION of their
+    * bit frames (mergeable like the other sketches). k bit positions
+    * per key from the salted-md5 hash-point family
+    * (`h32(key, "salt|j|") mod m`), so any engine replays the exact
+    * bits. Standard guarantees: NO false negatives ever (an inserted
+    * key's bits are all set by construction); false positives at rate
+    * ≈ (1 − e^(−kn/m))^k — size m for the corpus (bits-per-key ≈ 10
+    * gives ~1% at k = 3). */
+  def bloomBits(df: DataFrame, keyCol: String, mBits: Int = 4096, k: Int = 3,
+                salt: String = "bloom"): DataFrame = {
+    require(mBits >= 2 && k >= 1, "need mBits >= 2 and k >= 1")
+    val hs = (0 until k).map(j =>
+      pmod(h32(col(keyCol), s"$salt|$j|"), lit(mBits.toLong)))
+    df.select(explode(array(hs: _*)).as("b")).distinct()
+  }
+
+  /** Probe keys against a built filter: every input row returns with
+    * its hit count and `maybe_seen` = 1 iff ALL k positions are set
+    * (duplicate positions from intra-key hash collisions count
+    * per-hash on both the set and unset branches, so the conjunction
+    * is exact). Stateless — k pure projections + one broadcast join
+    * against the ≤ mBits-row bit frame + one per-key aggregation —
+    * so the same call routes a STREAM against a static filter, the
+    * ingest-gate composition ([[graft.pipeline.TextDedup
+    * .incrementalDedup]] stays the exact authority behind it; the
+    * bloom answer is "definitely new" or "maybe seen", never
+    * "definitely seen"). */
+  def bloomProbe(df: DataFrame, idCol: String, keyCol: String,
+                 bits: DataFrame, mBits: Int = 4096, k: Int = 3,
+                 salt: String = "bloom"): DataFrame = {
+    require(mBits >= 2 && k >= 1, "need mBits >= 2 and k >= 1")
+    val hs = (0 until k).map(j =>
+      pmod(h32(col(keyCol), s"$salt|$j|"), lit(mBits.toLong)))
+    df.select(col(idCol), explode(array(hs: _*)).as("b"))
+      .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("b"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("maybe_seen", (col("n_hits") === k).cast("long"))
+  }
 }

@@ -186,11 +186,54 @@ object SketchQueries {
       |SELECT lang, doc_id, point, rank FROM r WHERE rank <= 10""".stripMargin
   }
 
+  /** q116 — Bloom-filter seen-set ([[CorpusSketch.bloomBits]] /
+    * [[CorpusSketch.bloomProbe]]): the membership sketch probed by the
+    * q106 ingest split (existing corpus = doc_id % 5 ≠ 0 builds the
+    * filter; the batch probes it). Every tenth batch doc REUSES an
+    * existing doc's text (the planted true positive — no-false-negative
+    * branch), the rest are fresh (the definitely-new branch, with the
+    * filter's ~m/k-load FP rate riding along). The oracle replays the
+    * exact bits: 3 salted-md5 hash points per key mod 4096, distinct
+    * set-bit frame, per-key hit conjunction. */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val existing = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val bits = CorpusSketch.bloomBits(existing, "text")
+    val borrow = docs.select(col("doc_id").as("src_id"), col("text").as("src_text"))
+    val probe = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .join(borrow, col("src_id") === col("doc_id") + 1, "left")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) === 0 && col("src_text").isNotNull,
+             col("src_text")).otherwise(col("text")).as("text"))
+    CorpusSketch.bloomProbe(probe, "doc_id", "text", bits)
+  }
+
+  private val q116Sql = {
+    val bit =
+      s"${hexSql("md5('bloom|' || CAST(jj.j AS VARCHAR) || '|' || text)", 8)} % 4096"
+    s"""WITH jz AS (SELECT unnest(generate_series(0, 2)) AS j),
+      |bits AS (SELECT DISTINCT $bit AS b
+      |         FROM documents, jz jj WHERE doc_id % 5 <> 0),
+      |pr AS (SELECT b.doc_id,
+      |         CASE WHEN b.doc_id % 10 = 0 AND e.text IS NOT NULL
+      |              THEN e.text ELSE b.text END AS text
+      |       FROM documents b LEFT JOIN documents e ON e.doc_id = b.doc_id + 1
+      |       WHERE b.doc_id % 5 = 0),
+      |pb AS (SELECT doc_id, $bit AS bit FROM pr, jz jj),
+      |hits AS (SELECT pb.doc_id,
+      |           sum(CASE WHEN bits.b IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+      |         FROM pb LEFT JOIN bits ON bits.b = pb.bit GROUP BY 1)
+      |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+      |       CAST(CASE WHEN n_hits = 3 THEN 1 ELSE 0 END AS BIGINT) AS maybe_seen
+      |FROM hits""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q94_hll_distinct", q94, Some(q94Sql)),
     QueryDef("q95_cms_heavy_hitters", q95, Some(q95Sql)),
     QueryDef("q96_stratified_sample", q96, Some(q96Sql)),
     QueryDef("q97_histogram_quantiles", q97, Some(q97Sql)),
-    QueryDef("q98_stratum_topk", q98, Some(q98Sql))
+    QueryDef("q98_stratum_topk", q98, Some(q98Sql)),
+    QueryDef("q116_bloom_seen", q116, Some(q116Sql))
   )
 }

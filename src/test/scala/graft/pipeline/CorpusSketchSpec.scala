@@ -155,4 +155,31 @@ class CorpusSketchSpec extends AnyFunSuite {
     }
     assert(hist.size == 6, s"expected 2 groups x 3 quantiles, got ${hist.size}")
   }
+
+  test("bloom: zero false negatives, FP rate within theory, bit-frame merge is union") {
+    import spark.implicits._
+    val inserted = (1 to 300).map(i => s"key-$i").toDF("k")
+    val bits = CorpusSketch.bloomBits(inserted, "k", mBits = 4096, k = 3)
+    val nBits = bits.count()
+    assert(nBits <= 900 && nBits <= 4096, s"at most k*n distinct bits: $nBits")
+    // no false negatives EVER: every inserted key probes maybe_seen
+    val self = CorpusSketch.bloomProbe(
+        inserted.withColumn("id", monotonically_increasing_id()), "id", "k", bits)
+      .agg(sum(col("maybe_seen"))).head().getLong(0)
+    assert(self == 300L, s"inserted keys must all probe seen: $self")
+    // fresh keys: FP rate ~ (1 - e^(-kn/m))^k ≈ 0.9% here; allow 5%
+    val fresh = (1 to 1000).map(i => s"other-$i").toDF("k")
+      .withColumn("id", monotonically_increasing_id())
+    val fp = CorpusSketch.bloomProbe(fresh, "id", "k", bits)
+      .agg(sum(col("maybe_seen"))).head().getLong(0)
+    assert(fp <= 50L, s"false-positive rate blew past 5%: $fp/1000")
+    // mergeability: filter of the union == distinct union of the filters
+    val more = (301 to 400).map(i => s"key-$i").toDF("k")
+    val merged = bits.unionByName(CorpusSketch.bloomBits(more, "k", mBits = 4096, k = 3))
+      .distinct()
+    val whole = CorpusSketch.bloomBits(inserted.unionByName(more), "k",
+                                       mBits = 4096, k = 3)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+           "union-of-filters must equal filter-of-union")
+  }
 }
