@@ -294,9 +294,11 @@ object CorpusSketch {
     * its hit count and `maybe_seen` = 1 iff ALL k positions are set
     * (duplicate positions from intra-key hash collisions count
     * per-hash on both the set and unset branches, so the conjunction
-    * is exact). Stateless — k pure projections + one broadcast join
-    * against the ≤ mBits-row bit frame + one per-key aggregation —
-    * so the same call routes a STREAM against a static filter, the
+    * is exact). GENUINELY stateless — k hash projections + k broadcast
+    * left joins against the ≤ mBits-row bit frame, NO aggregation
+    * (an explode + per-key groupBy would be a streaming aggregation,
+    * unsupported in append mode) — so the same call routes a STREAM
+    * against a static filter (batch parity test-pinned), the
     * ingest-gate composition ([[graft.pipeline.TextDedup
     * .incrementalDedup]] stays the exact authority behind it; the
     * bloom answer is "definitely new" or "maybe seen", never
@@ -305,12 +307,19 @@ object CorpusSketch {
                  bits: DataFrame, mBits: Int = 4096, k: Int = 3,
                  salt: String = "bloom"): DataFrame = {
     require(mBits >= 2 && k >= 1, "need mBits >= 2 and k >= 1")
-    val hs = (0 until k).map(j =>
-      pmod(h32(col(keyCol), s"$salt|$j|"), lit(mBits.toLong)))
-    df.select(col(idCol), explode(array(hs: _*)).as("b"))
-      .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("b"), "left")
-      .groupBy(col(idCol))
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    val withBits = (0 until k).foldLeft(df.select(col(idCol), col(keyCol))) {
+      (acc, j) =>
+        acc.withColumn(s"__b$j", pmod(h32(col(keyCol), s"$salt|$j|"),
+                                      lit(mBits.toLong)))
+    }
+    val joined = (0 until k).foldLeft(withBits) { (acc, j) =>
+      acc.join(broadcast(bits.select(col("b").as(s"__b$j"),
+                                     lit(1L).as(s"__hit$j"))),
+               Seq(s"__b$j"), "left")
+    }
+    joined.select(col(idCol),
+        (0 until k).map(j => coalesce(col(s"__hit$j"), lit(0L)))
+          .reduce(_ + _).as("n_hits"))
       .withColumn("maybe_seen", (col("n_hits") === k).cast("long"))
   }
 }

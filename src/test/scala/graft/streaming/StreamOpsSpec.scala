@@ -157,6 +157,40 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bloom pre-filter gates a stream: batch parity, planted copies seen, one row per arrival") {
+    import graft.pipeline.CorpusSketch
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "an entirely different document about spark internals here"),
+      (3L, "hello world tiny doc")).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // copy of 1
+      (11L, "fresh unseen content with brand new words entirely"),
+      (12L, "hello world tiny doc")).toDF("doc_id", "text")       // copy of 3
+    val bits = CorpusSketch.bloomBits(existing, "text").cache()
+    bits.count()
+    def probe(df: org.apache.spark.sql.DataFrame) =
+      CorpusSketch.bloomProbe(df, "doc_id", "text", bits)
+    val expected = probe(arrivals).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(expected(10L) == 1L && expected(12L) == 1L,
+           s"planted copies must probe seen (no false negatives): $expected")
+
+    val dir = Files.createTempDirectory("graft-stream-bloom").toString
+    arrivals.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(arrivals.schema).parquet(dir)
+    val q = probe(stream).writeStream.outputMode("append")
+      .format("memory").queryName("bloom_gate").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("bloom_gate").collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == expected, "streamed bloom verdicts != batch")
+      assert(spark.table("bloom_gate").count() == arrivals.count(),
+             "exactly one stateless verdict row per arriving doc")
+    } finally q.stop()
+  }
+
   test("streaming ingest gate: exact verdicts + estimate-confirmed near-dups match batch incrementalDedup") {
     import graft.pipeline.TextDedup
     // existing corpus with a planted exact-dup target and a near-dup
