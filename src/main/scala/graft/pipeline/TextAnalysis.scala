@@ -651,6 +651,39 @@ object TextAnalysis {
       .crossJoin(broadcast(qual)).crossJoin(broadcast(ppl))
   }
 
+  /** PACK MATERIALIZATION — the last link of the export chain
+    * ([[vocabulary]] trains, [[encodeTokens]] applies,
+    * [[packSequences]] assigns, THIS flattens): the actual training
+    * rows, one per real token, keyed (pack_id, pos, tid) with
+    * pos = slot · bucket + position-in-document — each document
+    * occupies the half-open token range [slot·b, slot·b + n_tokens)
+    * of its pack and the remainder of each slot is implicit padding
+    * (emitting pad rows would multiply the frame by the padding ratio
+    * for information the consumer reconstructs from the contract).
+    * Grouping the result by pack_id and sorting by pos IS the batch
+    * tensor a loader assembles.
+    *
+    * Scale shape: the [[encodeTokens]] and [[packSequences]] passes
+    * as documented, one id-keyed join between them, then a pure
+    * projection explode — no new shuffle class. */
+  def materializePacks(df: DataFrame, idCol: String, textCol: String,
+                       vocab: DataFrame, contextLen: Int = 2048,
+                       minBucket: Int = 16, maxBucket: Int = 512,
+                       nShards: Int = 32, salt: String = "pack",
+                       oovId: Long = 0L): DataFrame = {
+    val enc = encodeTokens(df, idCol, textCol, vocab, oovId)
+      .select(col(idCol), col("ids"))
+    val packs = packSequences(df, idCol, textCol, contextLen,
+                              minBucket, maxBucket, nShards, salt)
+      .select(col(idCol), col("bucket"), col("pack_id"), col("slot"))
+    enc.join(packs, Seq(idCol))
+      .select(col(idCol).as("doc_id"), col("pack_id"),
+              (col("slot") * col("bucket")).as("base"),
+              posexplode(col("ids")).as(Seq("tok_pos", "tid")))
+      .select(col("pack_id"), (col("base") + col("tok_pos")).as("pos"),
+              col("tid"), col("doc_id"))
+  }
+
   /** SHARDED EXPORT SINK — the writer-side realization of
     * [[shuffleShards]]' plan ("repartition by shard, sort within
     * partitions by the permutation key"): writes the full document

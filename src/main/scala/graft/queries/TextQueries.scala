@@ -1346,6 +1346,54 @@ object TextQueries {
       |FROM fb JOIN sc USING (b) GROUP BY fb.doc_id""".stripMargin
   }
 
+  /** q117 — pack materialization ([[TextAnalysis.materializePacks]]):
+    * the flattened training rows — q113's token ids placed at q104's
+    * pack coordinates (pos = slot·bucket + in-doc position, padding
+    * implicit). The oracle composes both replays and the position
+    * arithmetic; a mismatch anywhere in tokenize→encode→pack→flatten
+    * is a hash mismatch here. */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.materializePacks(docs, "doc_id", "text",
+                                  TextAnalysis.vocabulary(docs, "doc_id", "text", topK = 30))
+  }
+
+  private val q117Sql =
+    s"""WITH lw AS (SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
+      |pt AS (SELECT doc_id, u.i AS pos, l[u.i] AS tok
+      |       FROM lw, LATERAL unnest(generate_series(1, len(l))) AS u(i)
+      |       WHERE l[u.i] <> ''),
+      |tf AS (SELECT tok, count(*) AS n_occ FROM pt GROUP BY 1),
+      |vocab AS (SELECT tok,
+      |            CAST(row_number() OVER (ORDER BY n_occ DESC, tok) AS BIGINT) AS rank
+      |          FROM tf ORDER BY n_occ DESC, tok LIMIT 30),
+      |dense AS (SELECT doc_id,
+      |            CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) - 1
+      |              AS tok_pos,
+      |            COALESCE(v.rank, 0) AS tid
+      |          FROM pt LEFT JOIN vocab v USING (tok)),
+      |nt AS (SELECT doc_id,
+      |    length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS n_tokens
+      |  FROM documents),
+      |b AS (SELECT doc_id, n_tokens,
+      |    CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+      |         WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+      |         WHEN n_tokens <= 256 THEN 256 ELSE 512 END AS bucket
+      |  FROM nt),
+      |sh AS (SELECT doc_id,
+      |    ${hashPointSql("CAST(doc_id AS VARCHAR)", "pack", 32L)} AS shard
+      |  FROM documents),
+      |w AS (SELECT b.doc_id, bucket, shard,
+      |    row_number() OVER (PARTITION BY bucket, shard ORDER BY b.doc_id) AS rn
+      |  FROM b JOIN sh ON sh.doc_id = b.doc_id),
+      |pk AS (SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+      |    CAST(bucket AS BIGINT) * 1000000000 + CAST(shard AS BIGINT) * 1000000
+      |         + CAST((rn - 1) // (2048 // bucket) AS BIGINT) AS pack_id,
+      |    CAST((rn - 1) % (2048 // bucket) AS BIGINT) AS slot
+      |  FROM w)
+      |SELECT pk.pack_id, pk.slot * pk.bucket + d.tok_pos AS pos, d.tid, d.doc_id
+      |FROM dense d JOIN pk USING (doc_id)""".stripMargin
+
   private def q106(s: SparkSession, dir: String): DataFrame =
     TextDedup.incrementalDedupAgainst(
       t(s, dir, "documents").filter(pmod(col("doc_id"), lit(5)) === 0),
@@ -1448,6 +1496,7 @@ object TextQueries {
     QueryDef("q112_lm_surprisal", q112, Some(q112Sql)),
     QueryDef("q113_encode_tokens", q113, Some(q113Sql)),
     QueryDef("q114_corpus_report", q114, Some(q114Sql)),
-    QueryDef("q115_dsir_weights", q115, Some(q115Sql))
+    QueryDef("q115_dsir_weights", q115, Some(q115Sql)),
+    QueryDef("q117_materialize_packs", q117, Some(q117Sql))
   )
 }

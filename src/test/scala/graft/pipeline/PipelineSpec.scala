@@ -757,6 +757,32 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("materializePacks: contiguous slot ranges, unique positions, ids preserved") {
+    import graft.pipeline.TextAnalysis
+    val rows = (1L to 10L).map { i =>
+      (i, Seq.tabulate((i % 6 + 3).toInt)(j => s"w${(i + j) % 7}").mkString(" "))
+    }.toDF("doc_id", "text")  // 3..8 tokens per doc
+    val vocab = TextAnalysis.vocabulary(rows, "doc_id", "text", topK = 5)
+    val out = TextAnalysis.materializePacks(rows, "doc_id", "text", vocab,
+        contextLen = 32, minBucket = 8, maxBucket = 8, nShards = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every (pack, pos) cell is written at most once
+    assert(out.map(t => (t._1, t._2)).distinct.length == out.length,
+           "pack positions must not collide")
+    // each doc's tokens are contiguous from its slot base (slot*8)
+    val enc = TextAnalysis.encodeTokens(rows, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    out.groupBy(_._4).foreach { case (doc, cells) =>
+      val sorted = cells.sortBy(_._2)
+      val base = sorted.head._2
+      assert(base % 8 == 0, s"doc $doc base $base must sit on a slot boundary")
+      assert(sorted.map(_._2).toSeq == (base until base + sorted.length).toSeq,
+             s"doc $doc tokens must be contiguous")
+      assert(sorted.map(_._3).toSeq == enc(doc), s"doc $doc ids must survive flattening")
+    }
+    assert(out.map(_._4).distinct.length == 10, "all docs materialized")
+  }
+
   test("dsirWeights: target-like raw docs score positive, off-domain negative") {
     import graft.pipeline.TextAnalysis
     val rows = Seq(
