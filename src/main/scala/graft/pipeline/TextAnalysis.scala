@@ -524,18 +524,25 @@ object TextAnalysis {
     // weights and norms are QUERY-INDEPENDENT corpus artifacts (every
     // term's idf weight / every doc's vector norm) — memoized like the
     // bm25 doc-length index so repeated queries over one corpus pay
-    // the full-vocabulary pass once, not per query
+    // the full-vocabulary pass once, not per query. The dfreq join is
+    // deliberately UNHINTED: dfreq is one row per distinct corpus term
+    // (unbounded in corpus size), so a forced broadcast OOMs at web
+    // scale; the shuffled keyed join on `tok` is the correct plan, and
+    // AQE still broadcasts small vocabularies on its own.
     val weights = graft.queries.cacheOnce(
-      tf.join(broadcast(dfreq), Seq("tok"))
+      tf.join(dfreq, Seq("tok"))
         .crossJoin(broadcast(stats))
         .select(col("doc_id"), col("tok"), (col("tf") * idfE3).as("w")))
     val norms = graft.queries.cacheOnce(
       weights.groupBy("doc_id").agg(sum(col("w") * col("w")).as("norm2_d")))
     // query terms with tf = 1 each; absent terms still weigh in the
     // query norm (df = 0 → the smooth idf's ceiling), matching the
-    // vector-space definition
+    // vector-space definition. Only the QUERY-term slice of dfreq is
+    // broadcast (|query| rows) — the BM25 discipline — never the
+    // full-vocabulary table.
+    val dfreqQ = dfreq.filter(col("tok").isin(query.distinct: _*))
     val qterms = query.distinct.toDF("tok")
-      .join(broadcast(dfreq), Seq("tok"), "left")
+      .join(broadcast(dfreqQ), Seq("tok"), "left")
       .na.fill(0L, Seq("df"))
       .crossJoin(broadcast(stats))
       .select(col("tok"), idfE3.as("wq"))
@@ -621,8 +628,11 @@ object TextAnalysis {
   /** CORPUS REPORT — the dataset-card numbers as ONE single-row frame:
     * corpus size (documents, token occurrences, vocabulary), the
     * exact-duplicate footprint (documents sharing a content hash),
-    * and the filter kill counts ([[qualityRules]] rejects,
-    * [[lmSurprisal]] flags). This is the porcelain summary a curation
+    * and the filter kill counts ([[qualityRules]] rejects — including
+    * token-less documents, which emit no evidence row but count as
+    * drops via a doc-universe left join — and [[lmSurprisal]] flags,
+    * which by the same row contract cover evidence-bearing docs only).
+    * This is the porcelain summary a curation
     * run publishes next to its output — every number is an integer
     * count (no float aggregation anywhere), so the report hash-matches
     * its SQL replay, and each column is the headline of the family
@@ -642,8 +652,16 @@ object TextAnalysis {
       .groupBy("h").agg(count(lit(1)).as("nh"))
       .agg(coalesce(sum(when(col("nh") > 1, col("nh")).otherwise(0L)), lit(0L))
              .as("n_exact_dup_docs"))
-    val qual = qualityRules(df, idCol, textCol)
-      .agg(coalesce(sum(when(col("q_keep") === 0, 1L).otherwise(0L)), lit(0L))
+    // the doc UNIVERSE is left-joined onto qualityRules' emitters:
+    // token-less documents (which emit no evidence row but definitionally
+    // fail the word-count floor) count as drops too — without the join
+    // the kill count is inconsistent with n_docs
+    val qual = df.select(col(idCol).as("id"))
+      .join(qualityRules(df, idCol, textCol)
+              .select(col(idCol).as("id"), col("q_keep")),
+            Seq("id"), "left")
+      .agg(coalesce(sum(when(coalesce(col("q_keep"), lit(0L)) === 0, 1L)
+                          .otherwise(0L)), lit(0L))
              .as("n_quality_drop"))
     val ppl = lmSurprisal(df, idCol, textCol)
       .agg(coalesce(sum(col("ppl_flagged")), lit(0L)).as("n_ppl_flagged"))
@@ -656,12 +674,17 @@ object TextAnalysis {
     * [[packSequences]] assigns, THIS flattens): the actual training
     * rows, one per real token, keyed (pack_id, pos, tid) with
     * pos = slot · bucket + position-in-document — each document
-    * occupies the half-open token range [slot·b, slot·b + n_tokens)
-    * of its pack and the remainder of each slot is implicit padding
+    * occupies the half-open token range [slot·b, slot·b + min(n_tokens,
+    * b)) of its pack and the remainder of each slot is implicit padding
     * (emitting pad rows would multiply the frame by the padding ratio
     * for information the consumer reconstructs from the contract).
-    * Grouping the result by pack_id and sorting by pos IS the batch
-    * tensor a loader assembles.
+    * Documents longer than their clipped bucket (n_tokens > maxBucket)
+    * are TRUNCATED to the bucket length here — [[packSequences]]'
+    * "downstream loader truncates" contract is discharged by THIS
+    * operator, the loader-facing flatten: without the slice, a long
+    * doc would write positions past its slot range, colliding with the
+    * next slot's rows. Grouping the result by pack_id and sorting by
+    * pos IS the batch tensor a loader assembles.
     *
     * Scale shape: the [[encodeTokens]] and [[packSequences]] passes
     * as documented, one id-keyed join between them, then a pure
@@ -679,7 +702,8 @@ object TextAnalysis {
     enc.join(packs, Seq(idCol))
       .select(col(idCol).as("doc_id"), col("pack_id"),
               (col("slot") * col("bucket")).as("base"),
-              posexplode(col("ids")).as(Seq("tok_pos", "tid")))
+              posexplode(slice(col("ids"), lit(1), col("bucket").cast("int")))
+                .as(Seq("tok_pos", "tid")))
       .select(col("pack_id"), (col("base") + col("tok_pos")).as("pos"),
               col("tid"), col("doc_id"))
   }
@@ -701,7 +725,11 @@ object TextAnalysis {
                         Seq(idCol))
     keyed
       .repartition(nShards, col("shard"))
-      .sortWithinPartitions(col("sort_key"), col(idCol))
+      // leading `shard` satisfies the V1 writer's required ordering by
+      // the dynamic-partition column, so Spark inserts NO extra sort of
+      // its own — the within-shard sort_key order is guaranteed by THIS
+      // sort, not by an implementation detail of the writer's
+      .sortWithinPartitions(col("shard"), col("sort_key"), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
     keyed
   }
@@ -748,6 +776,14 @@ object TextAnalysis {
     val fb = graft.queries.cacheOnce(
       grams.select(col("doc_id"), col("is_target"),
                    hashPoint(col("g"), salt, nBuckets.toLong).as("b")))
+    // both LMs must be trainable: an empty target (or raw) side would
+    // make sum(ct)/sum(cr) NULL and silently null the whole ledger —
+    // fail loudly instead (one tiny limit-1 probe each against the
+    // already-cached gram frame)
+    require(fb.filter(col("is_target") === 1).limit(1).count() > 0,
+      "dsirWeights: targetPred matches no document with >= 2 words — target LM undefined")
+    require(fb.filter(col("is_target") === 0).limit(1).count() > 0,
+      "dsirWeights: no non-target document with >= 2 words — raw LM undefined")
     val tc = fb.filter(col("is_target") === 1)
       .groupBy("b").agg(count(lit(1)).as("ct"))
     val rc = fb.filter(col("is_target") === 0)
@@ -789,10 +825,12 @@ object TextAnalysis {
     * and the whole ledger replays in SQL.
     *
     * Scale shape: one token explode feeding (a) the vocabulary count
-    * aggregation — bounded by vocabulary size, not corpus size — and
-    * (b) a broadcast-joined re-scan scoring each occurrence; then one
-    * per-document aggregation. No corpus-sized shuffle beyond the
-    * per-doc groupBy every quality op pays. */
+    * aggregation and (b) a SHUFFLED keyed-join re-scan scoring each
+    * occurrence; then one per-document aggregation. The (token,
+    * surprisal) table is one row per distinct corpus token — unbounded
+    * in corpus size — so the join is deliberately unhinted (AQE
+    * broadcasts small vocabularies on its own; web-scale ones shuffle
+    * on the well-spread `tok` key). */
   def lmSurprisal(df: DataFrame, idCol: String, textCol: String,
                   maxAvgNatsE3: Double = 3410.0): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
@@ -804,7 +842,12 @@ object TextAnalysis {
       .select(col("tok"),
               round(log(col("tt") * 1.0 / col("c")) * 1e3).cast("long").as("s_e3"))
     val avg = round(col("s_sum") * 1.0 / col("n_tokens"), 6)
-    toks.join(broadcast(surprisal), Seq("tok"))
+    // deliberately UNHINTED: the surprisal table is one row per distinct
+    // corpus token — unbounded in corpus size (a web corpus has 1e8+
+    // distinct whitespace tokens), so forcing a broadcast here OOMs at
+    // exactly the scale this op serves. A shuffled keyed join on `tok`
+    // is the correct plan; AQE still broadcasts small vocabularies.
+    toks.join(surprisal, Seq("tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("s_e3")).as("s_sum"))
       .select(col("doc_id"), col("n_tokens"), col("s_sum").as("surprisal_e3"),

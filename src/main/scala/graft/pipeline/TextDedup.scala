@@ -838,10 +838,12 @@ object TextDedup {
     * document frequency, one keyed join back, one groupBy(doc) — all
     * keyed shuffles on high-cardinality keys; the df-1 test needs no
     * global structure. The gram table is the big intermediate and it
-    * is touched exactly twice. */
+    * feeds two subtrees (the df groupBy and the join back), so it is
+    * memoized under the standard cacheOnce contract — one explode
+    * materialization instead of two full scans. */
   def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 8, flagFrac: Double = 0.5): DataFrame = {
-    val grams = ngramShingles(df, idCol, textCol, n)
+    val grams = graft.queries.cacheOnce(ngramShingles(df, idCol, textCol, n))
     val dfreq = grams.groupBy(col("bg")).agg(count(lit(1)).as("df"))
     grams.join(dfreq, Seq("bg"))
       .groupBy(col("id").as("doc_id"))

@@ -1287,7 +1287,9 @@ object TextQueries {
 
   private val q114Sql = {
     val qualityDrop =
-      s"(SELECT count(*) FROM (${q109Sql.replace("\n", " ")}) q WHERE q.q_keep = 0)"
+      s"""(SELECT count(*) FROM documents d
+         | LEFT JOIN (${q109Sql.replace("\n", " ")}) q ON q.doc_id = d.doc_id
+         | WHERE COALESCE(q.q_keep, 0) = 0)""".stripMargin.replace("\n", " ")
     val pplFlag =
       s"(SELECT count(*) FROM (${q112Sql.replace("\n", " ")}) p WHERE p.ppl_flagged = 1)"
     s"""WITH toks AS (
@@ -1392,7 +1394,8 @@ object TextQueries {
       |    CAST((rn - 1) % (2048 // bucket) AS BIGINT) AS slot
       |  FROM w)
       |SELECT pk.pack_id, pk.slot * pk.bucket + d.tok_pos AS pos, d.tid, d.doc_id
-      |FROM dense d JOIN pk USING (doc_id)""".stripMargin
+      |FROM dense d JOIN pk USING (doc_id)
+      |WHERE d.tok_pos < pk.bucket""".stripMargin
 
   private def q106(s: SparkSession, dir: String): DataFrame =
     TextDedup.incrementalDedupAgainst(

@@ -836,6 +836,66 @@ class TextDedupSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_exact_dup_docs") == 2L, "both copies count")
     assert(row.getAs[Long]("n_quality_drop") >= 1L, "short doc fails the rulebook")
   }
+
+  test("corpusReport: token-less documents count as quality drops") {
+    import graft.pipeline.TextAnalysis
+    val rows = Seq(
+      (1L, "the cat sat on a mat and then the dog sat too " +
+           "because the day is a good day and the mat is soft"),  // passes rulebook
+      (2L, ""),                                                   // zero tokens
+      (3L, "   ")                                                 // whitespace only
+    ).toDF("doc_id", "text")
+    val row = TextAnalysis.corpusReport(rows, "doc_id", "text").collect().head
+    assert(row.getAs[Long]("n_docs") == 3L)
+    // qualityRules emits no evidence row for docs 2/3, but the report's
+    // doc-universe left join still counts them as drops: n_quality_drop
+    // covers every doc that is not a verified keeper
+    assert(row.getAs[Long]("n_quality_drop") == 3L,
+           s"token-less docs must land in the kill count: $row")
+  }
+
+  test("materializePacks: docs longer than maxBucket are truncated to their slot") {
+    import graft.pipeline.TextAnalysis
+    // doc 1 has 12 tokens but maxBucket = 8: only its first 8 ids may
+    // materialize, confined to [base, base+8) — no spill into slot 2's range
+    val rows = Seq(
+      (1L, (1 to 12).map(j => s"w${j % 5}").mkString(" ")),
+      (2L, "w0 w1 w2"),
+      (3L, "w1 w2 w3 w4")
+    ).toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabulary(rows, "doc_id", "text", topK = 5)
+    val out = TextAnalysis.materializePacks(rows, "doc_id", "text", vocab,
+        contextLen = 32, minBucket = 8, maxBucket = 8, nShards = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(t => (t._1, t._2)).distinct.length == out.length,
+           "no (pack, pos) collisions even with an over-long doc")
+    val longDoc = out.filter(_._4 == 1L).sortBy(_._2)
+    assert(longDoc.length == 8, s"over-long doc truncated to its bucket: ${longDoc.length}")
+    val base = longDoc.head._2
+    assert(longDoc.map(_._2).toSeq == (base until base + 8).toSeq,
+           "truncated tokens stay inside the slot range")
+    val enc = TextAnalysis.encodeTokens(rows, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(longDoc.map(_._3).toSeq == enc(1L).take(8),
+           "the materialized ids are the PREFIX of the encoding")
+    assert(out.filter(_._4 == 2L).length == 3, "short docs still fully materialized")
+  }
+
+  test("dsirWeights: an empty target or raw side fails loudly, not as a null ledger") {
+    import graft.pipeline.TextAnalysis
+    val rows = Seq(
+      (1L, "alpha beta alpha beta"),
+      (2L, "gamma delta gamma delta")
+    ).toDF("doc_id", "text")
+    val noTarget = intercept[IllegalArgumentException] {
+      TextAnalysis.dsirWeights(rows, "doc_id", "text", lit(false)).collect()
+    }
+    assert(noTarget.getMessage.contains("target LM undefined"))
+    val noRaw = intercept[IllegalArgumentException] {
+      TextAnalysis.dsirWeights(rows, "doc_id", "text", lit(true)).collect()
+    }
+    assert(noRaw.getMessage.contains("raw LM undefined"))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
