@@ -78,7 +78,13 @@ object ScaleProbe {
     // forcing the loop shows the O(rounds) driver-sync price it
     // replaces. (Vertex frame = spark.range; edge frame = shifted
     // ranges; nothing here depends on the near-dup pipeline above.)
-    for (nEdges <- Seq(10000L, 100000L, 1000000L)) {
+    // the 4M decade sits PAST the default 1M threshold: the r11 sweep
+    // pins the crossover the default encodes by timing both paths on
+    // either side of it (below 1M the single-job union-find wins on
+    // job-scheduling grounds alone; the default is a driver-MEMORY
+    // bound — 4M edges ≈ 64 MB collected — so the probe reports where
+    // wall-clock crosses, with the memory bound stated alongside)
+    for (nEdges <- Seq(10000L, 100000L, 1000000L, 4000000L)) {
       val verts = spark.range(nEdges + nEdges / 4)
         .select(col("id").as("doc_id")).cache()
       // chains of length 5 vertices / 4 edges: edge (i, i+1) unless i
@@ -96,6 +102,39 @@ object ScaleProbe {
       assert(ufNk == loopNk, s"path divergence at $ne edges: $ufNk vs $loopNk")
       println(f"    non-keepers agree: $ufNk%d")
       verts.unpersist(); chainEdges.unpersist()
+    }
+
+    // UNHINTED VOCABULARY JOINS (r11): lmSurprisal / tfidfTopK score
+    // against a table sized by the corpus's DISTINCT-token count —
+    // unbounded at web scale, so the r10 forced-broadcast hints were
+    // scale bugs. This sweep grows the distinct-token count a decade
+    // (same corpus size) and checks (a) wall-clock stays ~flat — the
+    // shuffled tok-keyed join costs the same regardless of vocabulary
+    // skew — and (b) the executed plan carries NO broadcast of the
+    // vocabulary-sized side once it exceeds the auto-broadcast
+    // threshold (AQE may still broadcast SMALL vocabularies — that is
+    // the point of dropping the hint rather than banning the strategy).
+    // Driver memory is flat by construction: nothing vocabulary-sized
+    // is collected or pinned to the plan.
+    {
+      import graft.pipeline.TextAnalysis
+      for (vDec <- Seq(vocab, vocab * 10)) {
+        val d2 = spark.range(nDocs.toLong).select(
+          col("id").as("doc_id"),
+          concat_ws(" ", (0 until 40).map(j =>
+            concat(lit("w"), pmod(hash(col("id") * 53 + j), lit(vDec)))): _*).as("text"))
+        val surp = TextAnalysis.lmSurprisal(d2, "doc_id", "text")
+        time(f"lmSurprisal (vocab<=$vDec%8d)")(surp.count())
+        val plan = surp.queryExecution.executedPlan.toString
+        val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
+        val nSmj = ("SortMergeJoin".r.findAllIn(plan).length
+                    + "ShuffledHashJoin".r.findAllIn(plan).length)
+        println(s"    plan joins: broadcast=$nBhj shuffled=$nSmj " +
+                "(vocab side unhinted; AQE chooses)")
+        val tk = TextAnalysis.tfidfTopK(d2, "doc_id", "text",
+                                        Seq("w1", "w2", "w3"), 10)
+        time(f"tfidfTopK   (vocab<=$vDec%8d)")(tk.count())
+      }
     }
 
     // content-defined chunking + chunk-level dedup: a zero-shuffle scan
@@ -305,6 +344,23 @@ object ScaleProbe {
     println(s"semantic-dedup rows: ${time(s"semanticDedup ($nCells cells, tau 0.9)")(
       Similarity.semanticDedup(vecs, cents, 0.9).filter(col("is_keeper") === 0).count())
       } non-keepers")
+
+    // SEMANTIC DEDUP PAST THE LITERAL CEILING (r11): the frame-backed
+    // form at ≥ 10^4 cells — the k ∝ n regime SemDeDup actually runs
+    // at (k here would be a ~10 MB plan literal on the deprecated
+    // path; the frame path's plan holds only the √k coarse literal).
+    // nprobe = 2 adds the straddle mitigation; candidate volume is the
+    // explicit nprobe²·n²/k — with k = 10⁴ over these n the join is
+    // SMALLER than the √n-cell literal row above, which is the point:
+    // growing cells with the corpus is what keeps SemDeDup linear-ish.
+    val sdK = math.max(10000, Similarity.ivfCellCount(nVecs, hierarchical = true))
+    val sdFrames = Similarity.buildIvfFramesDistributed(vecs, sdK)
+    println(s"semantic-dedup-frames rows: ${
+      time(s"semanticDedupFrames (k=$sdK, nprobe 2, tau 0.9)")(
+        Similarity.semanticDedupFrames(vecs, sdFrames, 0.9, nprobe = 2,
+                                       coarseProbe = 2)
+          .filter(col("is_keeper") === 0).count())} non-keepers " +
+      s"(fine cells: ${sdFrames.fine.count()})")
 
     // DRIVER-FREE pipeline at this decade: corpus → trained frames →
     // served index with NO k-sized driver object anywhere (seeded

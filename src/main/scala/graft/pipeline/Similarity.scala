@@ -1185,8 +1185,11 @@ object Similarity extends org.apache.spark.internal.Logging {
     *
     * Caveat (inherent to the method, worth stating): a duplicate pair
     * STRADDLING two cells is invisible — the published mitigation is
-    * higher `nprobe` assignment or overlapping clusters; callers
-    * trading recall for cost pick the centroid count accordingly.
+    * higher `nprobe` assignment or overlapping clusters;
+    * [[semanticDedupFrames]] implements it (nprobe ≥ 2) AND lifts the
+    * centroid literal into a frame, so it is the form to use both past
+    * the plan-literal ceiling and when straddle recall matters. This
+    * literal variant stays as the small-k/oracle-parity rung.
     *
     * Output: every vector with (cell, cluster, is_keeper, n_cluster) —
     * the same verdict-ledger contract as [[TextDedup.dedupCorpus]]. */
@@ -1209,6 +1212,63 @@ object Similarity extends org.apache.spark.internal.Logging {
               round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
       .filter(col("cos") >= lit(tau))
       .select(col("da"), col("db"))
+    val labels = graft.pipeline.TextDedup.dupClusters(
+      emb.select(col("vec_id").as("doc_id")), pairs)
+    val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("n_cluster"))
+    labels
+      .join(celled.select(col("vec_id").as("doc_id"), col("cell")), Seq("doc_id"))
+      .join(sizes, Seq("cluster"))
+      .select(col("doc_id").as("vec_id"), col("cell"), col("cluster"),
+              col("is_keeper"), col("n_cluster"))
+  }
+
+  /** [[semanticDedup]] PAST THE LITERAL CEILING, with the straddle
+    * mitigation built in — the production form of SemDeDup here:
+    *
+    *  - cell assignment goes through the FRAME-backed quantizer
+    *    ([[ivfIndexJoin]]) instead of folding k centroids into an
+    *    expression literal, so k can grow ∝ n (the SemDeDup regime —
+    *    cells ≈ √n keeps the within-cell join at O(n^1.5)) without a
+    *    multi-GB plan object; the frame path's descent is parity-pinned
+    *    to the literal's (round-4 cosine, ties to the lowest cid);
+    *  - MULTI-PROBE candidate generation: each vector is assigned to
+    *    its best `nprobe` cells, and a pair is compared when it meets
+    *    in ANY probed cell. With nprobe = 1 this is exactly
+    *    [[semanticDedup]]'s single-cell recipe (test-pinned parity);
+    *    nprobe = 2 is the standard mitigation for the method's
+    *    boundary blind spot — a near-dup pair STRADDLING two cells is
+    *    never compared by the single-cell pass, but the second-best
+    *    probe catches any pair whose members rank each other's home
+    *    cell within their top-2 (the nprobe knob the ANN family
+    *    already exposes, applied to dedup candidates).
+    *
+    * Connectivity stays edge-defined: probed cells only GENERATE
+    * candidates; components are the transitive closure of confirmed
+    * (round-6 cosine ≥ tau) pairs, so cell boundaries never split a
+    * cluster. Candidate volume is nprobe²·n²/k expected (each side
+    * explodes nprobe cells) with duplicates collapsed before
+    * resolution — the cost knob is explicit, not hidden.
+    *
+    * Output contract identical to [[semanticDedup]]: (vec_id, cell =
+    * HOME cell, cluster, is_keeper, n_cluster). */
+  def semanticDedupFrames(emb: DataFrame, frames: IvfFrames, tau: Double,
+                          nprobe: Int = 1, coarseProbe: Int = 1,
+                          topProbe: Int = 1): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val celled = ivfIndexJoin(emb, frames, nprobe, coarseProbe, topProbe)
+    val a = celled.select(col("vec_id").as("da"), col("v").as("va"),
+                          col("nrm").as("na"), explode(col("cells")).as("pc"))
+    val b = celled.select(col("vec_id").as("db"), col("v").as("vb"),
+                          col("nrm").as("nb"), explode(col("cells")).as("pc"))
+    // a pair meeting in several probed cells scores identically each
+    // time (pure function of the vectors), so the distinct collapses
+    // duplicate edges before cluster resolution
+    val pairs = a.join(b, Seq("pc"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+              round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+      .filter(col("cos") >= lit(tau))
+      .select(col("da"), col("db")).distinct()
     val labels = graft.pipeline.TextDedup.dupClusters(
       emb.select(col("vec_id").as("doc_id")), pairs)
     val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("n_cluster"))

@@ -407,14 +407,28 @@ object TextAnalysis {
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     contextLen: Int = 2048, minBucket: Int = 16,
                     maxBucket: Int = 512, nShards: Int = 32,
-                    salt: String = "pack"): DataFrame = {
+                    salt: String = "pack"): DataFrame =
+    packAssign(df.select(col(idCol), tokenCount(col(textCol)).cast("long")
+                 .as("n_tokens")),
+               idCol, contextLen, minBucket, maxBucket, nShards, salt)
+
+  /** The pack-assignment core, keyed on a PRE-COMPUTED (id, n_tokens)
+    * frame — the unit that makes the packing reusable across token
+    * definitions: [[packSequences]] feeds whitespace counts,
+    * [[Bpe.materializePacksBpe]] feeds SUBWORD counts, and any future
+    * tokenizer feeds its own. Assignment arithmetic (power-of-two
+    * buckets, md5 shard key, per-(bucket, shard) windows, encoded
+    * pack_id) is byte-identical to what packSequences always did. */
+  private[pipeline] def packAssign(counts: DataFrame, idCol: String,
+                                   contextLen: Int, minBucket: Int,
+                                   maxBucket: Int, nShards: Int,
+                                   salt: String): DataFrame = {
     require(contextLen >= maxBucket && maxBucket >= minBucket && minBucket >= 1,
             "need contextLen >= maxBucket >= minBucket >= 1")
     require(Integer.bitCount(minBucket) == 1 && Integer.bitCount(maxBucket) == 1,
             "buckets are powers of two")
     val buckets = Iterator.iterate(minBucket)(_ * 2)
       .takeWhile(_ <= maxBucket).toSeq
-    val nTok = tokenCount(col(textCol)).cast("long")
     val bucket = buckets.init.foldRight(lit(buckets.last.toLong): Column) {
       (b, acc) => when(col("n_tokens") <= b, lit(b.toLong)).otherwise(acc)
     }
@@ -423,7 +437,7 @@ object TextAnalysis {
       .partitionBy(col("bucket"), col("shard")).orderBy(col(idCol))
     val rn = row_number().over(w).cast("long")
     val perPack = floor(lit(contextLen.toLong) / col("bucket")).cast("long")
-    df.select(col(idCol), nTok.as("n_tokens"))
+    counts.select(col(idCol), col("n_tokens"))
       .withColumn("bucket", bucket)
       .withColumn("shard", shard)
       .withColumn("rn", rn)

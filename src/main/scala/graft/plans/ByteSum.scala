@@ -166,7 +166,8 @@ object GraftFunctions {
     "sq8_dot_asym" -> (exprs => Sq8DotAsym(exprs.head, exprs(1))),
     "pq_encode" -> (exprs => PqOps.encodeFromArgs(exprs)),
     "pq_dot" -> (exprs => PqOps.dotFromArgs(exprs)),
-    "pq_dot_asym" -> (exprs => PqOps.dotAsymFromArgs(exprs)))
+    "pq_dot_asym" -> (exprs => PqOps.dotAsymFromArgs(exprs)),
+    "bpe_encode" -> (exprs => BpeOps.fromArgs(exprs)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -645,20 +645,26 @@ object EmbeddingQueries {
       |                               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
       |FROM sc QUALIFY rn <= 5""".stripMargin
 
-  /** q108 — semantic dedup ([[Similarity.semanticDedup]]): SemDeDup's
-    * cluster-then-pairwise recipe under a full hash oracle. Cells are
-    * q65's flat quantizer (first 16 corpus vectors as centroids,
-    * round-4 cosine, ties to the lower id); within-cell pairs confirm
-    * at round-6 cosine ≥ 0.35 (the corpus's 99th within-cell
-    * percentile ≈ 0.344, max 0.49 — both branches live); components
-    * resolve transitively and every vector returns with its
-    * (cell, cluster, is_keeper, n_cluster) verdict. The oracle replays
-    * assignment, confirmation, and the recursive closure. */
+  /** q108 — semantic dedup ([[Similarity.semanticDedupFrames]]):
+    * SemDeDup's cluster-then-pairwise recipe, served through the
+    * FRAME-backed quantizer with multi-probe candidate generation,
+    * under a full hash oracle. Cells are q65's flat quantizer (first
+    * 16 corpus vectors as centroids, round-4 cosine, ties to the lower
+    * id) assigned via the frame join; each vector probes its best TWO
+    * cells and a pair is compared when it meets in any probed cell
+    * (the straddle mitigation); confirmation is round-6 cosine ≥ 0.35
+    * (the corpus's 99th within-cell percentile ≈ 0.344, max 0.49 —
+    * both branches live); components resolve transitively and every
+    * vector returns with its HOME cell in the (cell, cluster,
+    * is_keeper, n_cluster) verdict. The oracle replays top-2
+    * assignment, the probed-cell meet, confirmation, and the recursive
+    * closure. */
   private def q108(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val cents = e.filter(col("vec_id") < 16).orderBy("vec_id")
       .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
-    Similarity.semanticDedup(e, cents, 0.35)
+    Similarity.semanticDedupFrames(e, Similarity.framesFlat(s, cents), 0.35,
+                                   nprobe = 2)
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
               col("cluster"), col("is_keeper"), col("n_cluster"))
   }
@@ -670,14 +676,15 @@ object EmbeddingQueries {
       |scored AS (
       |  SELECT e.vec_id, e.v, p.pid, ${cosSql("e.v", "p.pv")} AS cs
       |  FROM e CROSS JOIN p),
-      |cells AS (
-      |  SELECT vec_id, v, pid AS cell FROM (
-      |    SELECT vec_id, v, pid,
-      |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, pid) AS arn
-      |    FROM scored) x WHERE arn = 1),
+      |ranked AS (
+      |  SELECT vec_id, v, pid,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, pid) AS arn
+      |  FROM scored),
+      |cells AS (SELECT vec_id, v, pid AS cell FROM ranked WHERE arn = 1),
+      |probed AS (SELECT vec_id, v, pid AS pc FROM ranked WHERE arn <= 2),
       |dup AS (
-      |  SELECT a.vec_id AS da, b.vec_id AS db
-      |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+      |  FROM probed a JOIN probed b ON a.pc = b.pc AND a.vec_id < b.vec_id
       |  WHERE round(${dotSql("a.v", "b.v")} /
       |              (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})),
       |              6) >= 0.35),

@@ -1714,6 +1714,57 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(20L) == ((20L, 1L, 1L)) && out(30L) == ((30L, 1L, 1L)),
            s"dissimilar vectors stay singleton keepers: $out")
   }
+
+  test("semanticDedupFrames nprobe=1 is verdict-identical to the literal path") {
+    def rot(theta: Double) = Seq(math.cos(theta), math.sin(theta), 0.0)
+    val e = Seq(
+      10L -> rot(0.0), 11L -> rot(0.2), 12L -> rot(0.4),
+      20L -> Seq(0.7, 0.72, 0.0),
+      30L -> Seq(0.0, 1.0, 0.0)
+    ).toDF("vec_id", "v")
+    val cents = Seq(0 -> Seq(1.0, 0.0, 0.0), 1 -> Seq(0.0, 1.0, 0.0))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell", "cluster", "is_keeper", "n_cluster")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                             r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val lit0 = canon(Similarity.semanticDedup(e, cents, 0.95)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+              col("cluster"), col("is_keeper"), col("n_cluster")))
+    val frm = canon(Similarity.semanticDedupFrames(
+        e, Similarity.framesFlat(spark, cents), 0.95, nprobe = 1)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+              col("cluster"), col("is_keeper"), col("n_cluster")))
+    assert(frm == lit0, s"frame path must replay the literal verdicts:\n$frm\nvs\n$lit0")
+  }
+
+  test("semanticDedupFrames nprobe=2 catches the straddling pair the single-cell pass misses") {
+    // centroids at 0°, 45°, 90° in the xy-plane; the planted near-dup
+    // pair sits at 22°/23° — EITHER side of the 22.5° cell boundary
+    // (cos(v1,v2) = cos(1°) ≈ 0.999848 ≥ tau), so their home cells
+    // differ and the single-probe pass never compares them, while each
+    // vector's top-2 probed cells are {0, 1} and the pair meets there
+    def rot(deg: Double) =
+      Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)), 0.0)
+    val e = Seq(1L -> rot(22.0), 2L -> rot(23.0), 9L -> rot(88.0))
+      .toDF("vec_id", "v")
+    val cents = Seq(0 -> rot(0.0), 1 -> rot(45.0), 2 -> rot(90.0))
+    def verdicts(nprobe: Int) = Similarity.semanticDedupFrames(
+        e, Similarity.framesFlat(spark, cents), 0.999, nprobe = nprobe)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cell"), r.getAs[Long]("cluster"),
+         r.getAs[Long]("is_keeper"), r.getAs[Long]("n_cluster"))).toMap
+    val single = verdicts(1)
+    assert(single(1L)._1 == 0L && single(2L)._1 == 1L,
+           s"the pair must straddle two home cells: $single")
+    assert(single(1L)._4 == 1L && single(2L)._4 == 1L,
+           s"single-probe provably misses the straddling pair: $single")
+    val multi = verdicts(2)
+    assert(multi(1L)._2 == multi(2L)._2 && multi(1L)._4 == 2L,
+           s"multi-probe must fuse the straddling pair: $multi")
+    assert(multi(1L)._1 == 0L && multi(2L)._1 == 1L,
+           "ledger still reports each vector's HOME cell")
+    assert(multi(9L)._4 == 1L, "distant vector stays a singleton keeper")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
