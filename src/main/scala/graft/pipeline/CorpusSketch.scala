@@ -305,9 +305,16 @@ object CorpusSketch {
     * "definitely seen"). */
   def bloomProbe(df: DataFrame, idCol: String, keyCol: String,
                  bits: DataFrame, mBits: Int = 4096, k: Int = 3,
-                 salt: String = "bloom"): DataFrame = {
+                 salt: String = "bloom",
+                 passthrough: Seq[String] = Nil): DataFrame = {
     require(mBits >= 2 && k >= 1, "need mBits >= 2 and k >= 1")
-    val withBits = (0 until k).foldLeft(df.select(col(idCol), col(keyCol))) {
+    val keep = col(idCol) +: passthrough.map(col)
+    // the key column may itself be passed through (the ingest gate
+    // forwards the text it probed) — don't select it twice
+    val base =
+      if (passthrough.contains(keyCol)) df.select(keep: _*)
+      else df.select(keep :+ col(keyCol): _*)
+    val withBits = (0 until k).foldLeft(base) {
       (acc, j) =>
         acc.withColumn(s"__b$j", pmod(h32(col(keyCol), s"$salt|$j|"),
                                       lit(mBits.toLong)))
@@ -317,9 +324,9 @@ object CorpusSketch {
                                      lit(1L).as(s"__hit$j"))),
                Seq(s"__b$j"), "left")
     }
-    joined.select(col(idCol),
+    joined.select(keep :+
         (0 until k).map(j => coalesce(col(s"__hit$j"), lit(0L)))
-          .reduce(_ + _).as("n_hits"))
+          .reduce(_ + _).as("n_hits"): _*)
       .withColumn("maybe_seen", (col("n_hits") === k).cast("long"))
   }
 }

@@ -460,6 +460,147 @@ object StreamOps {
                     (col("qn") * col("nrm")), 4).as("cos"))
   }
 
+  // ------------------------------------------- composed ingest gate
+
+  /** The composed ingest gate's STATIC artifacts, built once per corpus
+    * snapshot and swapped blue/green as the corpus grows: the bloom
+    * seen-set (≤ mBits rows — a broadcast-sized pre-gate), the
+    * exact-hash index (one row per distinct content hash), and the
+    * minhash signature/band index for the near-dup estimate, plus the
+    * frequent-shingle exclude list the signatures were pruned with
+    * (stream-side signatures MUST prune identically or band hashes
+    * diverge — the invariant every routing op here documents). All
+    * frames are cacheOnce'd and materialized by [[buildIngestGate]];
+    * `corpus` is kept as the EVICTION KEY for the blue/green swap. */
+  case class IngestGateIndex(corpus: DataFrame, bloom: DataFrame,
+                             exactIndex: DataFrame, bands: DataFrame,
+                             sig: DataFrame, exclude: Seq[String],
+                             mBits: Int, kHashes: Int,
+                             nHashes: Int, bandSize: Int,
+                             maxDocFrac: Double)
+
+  /** Build (and MATERIALIZE) the gate's static side over a corpus
+    * snapshot. The exclude list is the corpus's frequent shingles
+    * (> maxDocFrac of docs) — bounded by 1/maxDocFrac-ish under any
+    * Zipfian corpus, so the driver-side collect is config-sized. */
+  def buildIngestGate(corpus: DataFrame, idCol: String, textCol: String,
+                      mBits: Int = 4096, kHashes: Int = 3,
+                      nHashes: Int = 16, bandSize: Int = 2,
+                      maxDocFrac: Double = 0.1): IngestGateIndex = {
+    import graft.pipeline.{CorpusSketch, TextDedup}
+    import graft.queries.cacheOnce
+    val sh = TextDedup.bigramShingles(corpus, idCol, textCol)
+    // EXACTLY pruneFrequentShingles' threshold arithmetic (doc count =
+    // distinct shingle-bearing docs, not corpus rows), so the collected
+    // exclude list and the pruned signature frame name the same set
+    val nDocs = sh.agg(countDistinct(col("id"))).head.getLong(0)
+    val exclude = sh.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > nDocs * maxDocFrac)
+      .select(col("bg")).collect().map(_.getString(0)).toSeq
+    val bloom = cacheOnce(CorpusSketch.bloomBits(corpus, textCol, mBits, kHashes))
+    val exact = cacheOnce(corpus.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("doc_id")))
+    val sig = cacheOnce(TextDedup.minhashSignature(
+      TextDedup.pruneFrequentShingles(sh, maxDocFrac), nHashes))
+    val bands = cacheOnce(TextDedup.lshBands(sig, nHashes, bandSize))
+    Seq(bloom, exact, sig, bands).foreach(_.count())
+    IngestGateIndex(corpus, bloom, exact, bands, sig, exclude,
+                    mBits, kHashes, nHashes, bandSize, maxDocFrac)
+  }
+
+  /** The two verdict streams [[streamingIngestGate]] emits — both
+    * stateless, both one streaming query each:
+    *  - `gate`: exactly ONE row per arriving doc — (stream_id, n_hits,
+    *    maybe_seen, exact_match, verdict ∈ 'exact' | 'new'); and
+    *  - `nearDup`: estimate-confirmed near-dup EVIDENCE rows for
+    *    non-exact arrivals — (stream_id, corpus_id, band, n_agree,
+    *    est_jaccard), multiple rows per pair possible (one per shared
+    *    band; per-doc aggregation is a streaming aggregation — the
+    *    consumer's foreachBatch or the periodic batch
+    *    [[graft.pipeline.TextDedup.incrementalDedup]] resolves it,
+    *    exactly as every routing op here defers). */
+  case class IngestGateStreams(gate: DataFrame, nearDup: DataFrame)
+
+  /** THE COMPOSED STREAMING INGEST GATE — bloom pre-gate → exact-hash
+    * probe → near-dup estimate, as one documented pipeline over the
+    * [[IngestGateIndex]] artifacts (the porcelain over
+    * [[streamingExactDupGate]] / [[streamingNearDupConfirmedEst]] /
+    * [[graft.pipeline.CorpusSketch.bloomProbe]]):
+    *
+    *  1. every arriving doc probes the BLOOM seen-set (k hash
+    *     projections + broadcast joins against the ≤ mBits-row bit
+    *     frame). No false negatives: a bloom-negative doc is
+    *     DEFINITELY unseen content, so it verdicts 'new' WITHOUT ever
+    *     touching the corpus-sized exact index — the pre-gate is what
+    *     keeps the exact probe (dups + false positives)-sized rather
+    *     than batch-sized at web scale, where most arrivals are new;
+    *  2. only bloom-POSITIVE docs md5-probe the exact-hash index
+    *     (stream-static left join on a unique key) — 'exact' with the
+    *     keeper id, or 'new' (the bloom false positive, at rate
+    *     ≈ (1−e^(−kn/m))^k);
+    *  3. NON-exact docs run the band route + n-of-16 agreement
+    *     estimate against the stored signatures — the stateless
+    *     streaming form of [[graft.pipeline.TextDedup
+    *     .incrementalDedupAgainst]]'s near probe.
+    *
+    * Everything is projections + stream-static joins + a self-union of
+    * two branches of the same source: no watermark, no state store, so
+    * verdicts emit straight from each micro-batch and batch ≡ stream
+    * (StreamOpsSpec pins the parity AND the blue/green cycling).
+    * Corpus growth: swap the artifacts with [[refreshIngestGate]] on
+    * batch boundaries. */
+  def streamingIngestGate(stream: DataFrame, idCol: String, textCol: String,
+                          g: IngestGateIndex, minAgree: Int = 8): IngestGateStreams = {
+    import graft.pipeline.CorpusSketch
+    val pre = CorpusSketch.bloomProbe(stream, idCol, textCol, g.bloom,
+                                      g.mBits, g.kHashes,
+                                      passthrough = Seq(textCol))
+    // bloom-negative: definitely-new, exact index never consulted
+    val neg = pre.filter(col("maybe_seen") === 0)
+      .select(col(idCol).as("stream_id"), col(textCol),
+              col("n_hits"), col("maybe_seen"),
+              lit(null).cast("long").as("exact_match"),
+              lit("new").as("verdict"))
+    // bloom-positive: the exact probe, batch-sized by the pre-gate
+    val pos = pre.filter(col("maybe_seen") === 1)
+      .select(col(idCol).as("stream_id"), col(textCol),
+              col("n_hits"), col("maybe_seen"), md5(col(textCol)).as("h"))
+      .join(g.exactIndex.select(col("h"), col("doc_id").as("exact_match")),
+            Seq("h"), "left")
+      .select(col("stream_id"), col(textCol), col("n_hits"), col("maybe_seen"),
+              col("exact_match"),
+              when(col("exact_match").isNotNull, lit("exact"))
+                .otherwise(lit("new")).as("verdict"))
+    val gate = neg.unionByName(pos)
+    // near-dup estimate over NON-exact arrivals only (an exact copy
+    // needs no near evidence; its verdict already carries the keeper)
+    val nearDup = streamingNearDupConfirmedEst(
+      gate.filter(col("exact_match").isNull)
+        .select(col("stream_id").as(idCol), col(textCol)),
+      idCol, textCol, g.bands, g.sig, g.nHashes, g.bandSize,
+      exclude = g.exclude, minAgree = minAgree)
+    IngestGateStreams(gate.drop(textCol), nearDup)
+  }
+
+  /** Blue/green swap of the gate's static side as the corpus grows —
+    * the [[refreshAnnIndex]] contract applied to the WHOLE composed
+    * gate: build + materialize the fresh artifacts first, then retire
+    * every cacheOnce entry derived from the old corpus (eviction keyed
+    * by the source frame; `except` protects the fresh frames when
+    * newCorpus = old ∪ delta — the motivating case), then start the
+    * new verdict queries against the returned index and stop the old
+    * ones. `cachedIndexCount` stays O(live corpora) across arbitrarily
+    * many cycles (test-pinned). */
+  def refreshIngestGate(old: IngestGateIndex, newCorpus: DataFrame,
+                        idCol: String, textCol: String): IngestGateIndex = {
+    val fresh = buildIngestGate(newCorpus, idCol, textCol,
+                                old.mBits, old.kHashes,
+                                old.nHashes, old.bandSize, old.maxDocFrac)
+    graft.queries.releaseIndexes(old.corpus,
+      except = Seq(fresh.bloom, fresh.exactIndex, fresh.sig, fresh.bands))
+    fresh
+  }
+
   /** Running per-series statistics updated as events arrive (A2 date
     * bounds + A5 count + running sum as arbitrary custom state) — the
     * `flatMapGroupsWithState` form of the batch diagnostics inputs.

@@ -823,4 +823,95 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(est.length == 2 && est.forall(e => math.abs(e - 350.0) / 350.0 < 0.15))
     } finally { qr.stop(); qc.stop() }
   }
+
+  test("composed ingest gate: bloom pre-gates the exact probe, verdicts follow the swapped index") {
+    val corpusA = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "an entirely different document about spark internals here"),
+      (3L, "hello world tiny doc sits here")).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),      // exact of 1
+      (11L, "the quick brown fox jumps over the lazy dog tonight ok"), // near of 1
+      (12L, "fresh unseen content with brand new words entirely"),     // new (vs A)
+      (13L, "another genuinely novel piece of writing right here")     // new always
+    ).toDF("doc_id", "text")
+
+    val before = graft.queries.cachedIndexCount
+    // maxDocFrac = 1.0: on a 3-doc corpus the default 0.1 prune would
+    // mark EVERY shingle frequent (df > 0.3 means df >= 1) and blind
+    // the near-dup signatures — same reason incrementalDedup's test
+    // passes 1.0
+    var gate = StreamOps.buildIngestGate(corpusA, "doc_id", "text",
+                                         maxDocFrac = 1.0)
+
+    def verdicts(g: StreamOps.IngestGateIndex) = {
+      val out = StreamOps.streamingIngestGate(arrivals, "doc_id", "text", g)
+      val gv = out.gate.collect().map(r =>
+        r.getAs[Long]("stream_id") ->
+          (r.getAs[String]("verdict"),
+           if (r.isNullAt(r.fieldIndex("exact_match"))) -1L
+           else r.getAs[Long]("exact_match"),
+           r.getAs[Long]("maybe_seen"))).toMap
+      val nv = out.nearDup.collect()
+        .map(r => (r.getAs[Long]("stream_id"), r.getAs[Long]("corpus_id"))).toSet
+      (gv, nv)
+    }
+
+    // cycle 1: gate over corpus A
+    val (g1, n1) = verdicts(gate)
+    assert(g1(10L)._1 == "exact" && g1(10L)._2 == 1L, s"exact copy gated: $g1")
+    assert(g1(12L)._1 == "new" && g1(13L)._1 == "new", s"novel docs pass: $g1")
+    // bloom keeps the exact probe batch-sized: definitely-new docs are
+    // bloom-NEGATIVE, so they never consult the exact index (no false
+    // negatives makes the skip sound); the planted copy is positive
+    assert(g1(10L)._3 == 1L, "copy must be bloom-positive")
+    assert(g1(13L)._3 == 0L, s"novel doc should be bloom-negative (pre-gated): $g1")
+    assert(n1.contains((11L, 1L)), s"near-dup estimate confirmed: $n1")
+    assert(!n1.exists(_._1 == 10L), "exact arrivals carry no near evidence")
+
+    // the same pipeline runs AS A STREAM (stateless by construction)
+    val dir = Files.createTempDirectory("graft-ingest-gate").toString
+    arrivals.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(arrivals.schema).parquet(dir)
+    val out = StreamOps.streamingIngestGate(stream, "doc_id", "text", gate)
+    val qg = out.gate.writeStream.outputMode("append")
+      .format("memory").queryName("cg_gate").start()
+    val qn = out.nearDup.writeStream.outputMode("append")
+      .format("memory").queryName("cg_near").start()
+    try {
+      qg.processAllAvailable(); qn.processAllAvailable()
+      val sg = spark.table("cg_gate").collect().map(r =>
+        r.getAs[Long]("stream_id") -> r.getAs[String]("verdict")).toMap
+      assert(sg == g1.view.mapValues(_._1).toMap, "streamed gate != batch gate")
+      assert(spark.table("cg_gate").count() == arrivals.count(),
+             "one verdict row per arrival")
+      val sn = spark.table("cg_near").collect()
+        .map(r => (r.getAs[Long]("stream_id"), r.getAs[Long]("corpus_id"))).toSet
+      assert(sn == n1, "streamed near evidence != batch")
+    } finally { qg.stop(); qn.stop() }
+
+    // cycle 2: the corpus GROWS by exactly doc 12's content (the
+    // motivating newCorpus = old ∪ delta case); after the blue/green
+    // swap, the previously-'new' arrival gates as an exact dup
+    val corpusB = corpusA.unionByName(
+      Seq((4L, "fresh unseen content with brand new words entirely"))
+        .toDF("doc_id", "text"))
+    gate = StreamOps.refreshIngestGate(gate, corpusB, "doc_id", "text")
+    val (g2, _) = verdicts(gate)
+    assert(g2(10L)._1 == "exact" && g2(10L)._2 == 1L, "old verdicts stable")
+    assert(g2(12L)._1 == "exact" && g2(12L)._2 == 4L,
+           s"verdicts must follow the swapped index: $g2")
+    assert(g2(13L)._1 == "new", "still-novel doc still passes")
+
+    // cycle 3: grow again; cache population stays O(live corpora)
+    val corpusC = corpusB.unionByName(
+      Seq((5L, "another genuinely novel piece of writing right here"))
+        .toDF("doc_id", "text"))
+    gate = StreamOps.refreshIngestGate(gate, corpusC, "doc_id", "text")
+    val (g3, _) = verdicts(gate)
+    assert(g3(13L)._1 == "exact" && g3(13L)._2 == 5L, "cycle-3 verdict follows")
+    assert(graft.queries.cachedIndexCount <= before + 4,
+           s"retired gate artifacts must be evicted each swap: " +
+           s"${graft.queries.cachedIndexCount} vs baseline $before")
+  }
 }
