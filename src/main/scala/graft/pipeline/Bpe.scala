@@ -129,10 +129,14 @@ object Bpe {
   }
 
   /** The merge table alone — (rank, left_sym, right_sym, merged, cnt),
-    * rank 1 = first-learned. */
+    * rank 1 = first-learned. Releases the training-state frame the
+    * caller is discarding (it is checkpoint-persisted). */
   def bpeTrain(df: DataFrame, idCol: String, textCol: String,
-               nMerges: Int, minPairFreq: Long = 2L): DataFrame =
-    bpeTrainState(df, idCol, textCol, nMerges, minPairFreq).merges
+               nMerges: Int, minPairFreq: Long = 2L): DataFrame = {
+    val trained = bpeTrainState(df, idCol, textCol, nMerges, minPairFreq)
+    trained.wordSegs.unpersist()
+    trained.merges
+  }
 
   /** Collect a merge frame to the rank-ordered rule list the native
     * apply expression embeds (nMerges rows — config-sized, the
