@@ -869,4 +869,100 @@ object TextAnalysis {
               round(exp(avg / 1e3), 6).as("perplexity"),
               (avg > lit(maxAvgNatsE3)).cast("long").as("ppl_flagged"))
   }
+
+  /** KNESER-NEY BIGRAM PERPLEXITY — the CCNet-style quality axis one
+    * model order up from [[lmSurprisal]]'s unigram: an interpolated
+    * Kneser-Ney bigram LM (absolute discount D = 3/4) self-trained on
+    * the corpus, scoring each document by its mean bigram surprisal.
+    * Repetitive/templated text strings the SAME bigrams together and
+    * scores low; token-salad (plausible unigrams, improbable pairs)
+    * scores high — the separation the unigram model cannot see.
+    *
+    *   P(w2|w1) = max(c(w1,w2)-D,0)/c(w1) + D·N1+(w1,·)/c(w1) · Pcont(w2)
+    *   Pcont(w2) = N1+(·,w2)/B,  B = distinct bigram types
+    *
+    * With D = 3/4 the probability is the exact integer rational
+    * ((4c-3)·B + 3·N1f·N1b) / (4·c1·B) — every count is a BIGINT
+    * groupBy, so both engines feed ONE `ln` the same exact integers
+    * and the milli-nat rounding (the q112 determinism contract) pins
+    * the hash. Scoring the training corpus itself means every scored
+    * bigram has c ≥ 1 — no zero branch. Docs with < 2 tokens carry no
+    * bigrams and emit nothing (the shingle-table row contract).
+    *
+    * Scale shape: bigram explode map-side; c/c1/N1b/B are keyed
+    * groupBys over bigram-vocabulary-sized frames; the score join back
+    * onto the doc bigram stream is deliberately UNHINTED (bigram vocab
+    * is unbounded in corpus size — the lmSurprisal broadcast lesson);
+    * only the 1-row B total is broadcast. The bigram stream feeds two
+    * subtrees (counting and scoring) → memoized under the cacheOnce
+    * contract. */
+  def knPerplexity(df: DataFrame, idCol: String, textCol: String,
+                   maxAvgKnE3: Double = 3420.0): DataFrame = {
+    val bg = graft.queries.cacheOnce(
+      df.select(col(idCol).as("doc_id"), split(trim(col(textCol)), " ").as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(col("doc_id"),
+                explode(transform(sequence(lit(1), size(col("l")) - 1),
+                  i => struct(element_at(col("l"), i).as("w1"),
+                              element_at(col("l"), i + 1).as("w2")))).as("g"))
+        .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2")))
+    val c = graft.queries.cacheOnce(
+      bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c")))
+    val c1 = c.groupBy(col("w1")).agg(sum(col("c")).as("c1"),
+                                      count(lit(1)).as("n1f"))
+    val n1b = c.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val btot = c.agg(count(lit(1)).as("b"))
+    val score = c.join(c1, Seq("w1")).join(n1b, Seq("w2"))
+      .crossJoin(broadcast(btot))
+      .select(col("w1"), col("w2"),
+        round(log((lit(4.0) * col("c1") * col("b")) /
+                  ((lit(4) * col("c") - lit(3)) * col("b") +
+                   lit(3) * col("n1f") * col("n1b"))) * 1e3)
+          .cast("long").as("s_e3"))
+    val avg = round(col("s_sum") * 1.0 / col("n_bigrams"), 6)
+    bg.join(score, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s_e3")).as("s_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+              col("s_sum").as("kn_surprisal_e3"),
+              avg.as("avg_kn_e3"),
+              round(exp(avg / 1e3), 6).as("kn_perplexity"),
+              (avg > lit(maxAvgKnE3)).cast("long").as("kn_flagged"))
+  }
+
+  /** SLIDING-WINDOW CHUNKER — the retrieval-prep transform (RAG
+    * indexing, long-document embedding): each document split into
+    * overlapping token windows of `window` tokens every `stride`
+    * tokens (overlap = window − stride). Chunk count is
+    * 1 + ⌈(n − window)/stride⌉ for n > window else 1 — chunks jointly
+    * cover every token, the last chunk is the only short one, and no
+    * chunk is a pure suffix of its predecessor. One row per chunk:
+    * (doc_id, chunk_id, begin_pos, chunk_text, n_chunk_tokens) with
+    * begin_pos 1-based — the consumer can slice the original text
+    * back out.
+    *
+    * Scale shape: a pure per-document projection + explode — ZERO
+    * shuffles, fully map-side at any corpus size, and stateless, so
+    * the same call works unchanged under Structured Streaming (the
+    * family contract at the top of this file). */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     window: Int = 32, stride: Int = 24): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+            s"need 1 <= stride <= window, got window=$window stride=$stride")
+    df.select(col(idCol).as("doc_id"), split(trim(col(textCol)), " ").as("l"))
+      .withColumn("n", size(col("l")).cast("long"))
+      // integer `div` keeps the count exact at any document length —
+      // double division could round a near-integer ratio the wrong way
+      .withColumn("n_chunks",
+        expr(s"1L + CASE WHEN n > $window THEN (n - $window + ${stride - 1}) div $stride ELSE 0L END"))
+      .select(col("doc_id"), col("l"), col("n"),
+              explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+              (lit(1L) + col("chunk_id") * stride).as("begin_pos"),
+              concat_ws(" ", slice(col("l"),
+                (lit(1) + col("chunk_id") * stride).cast("int"), lit(window)))
+                .as("chunk_text"),
+              least(lit(window.toLong),
+                    col("n") - col("chunk_id") * stride).as("n_chunk_tokens"))
+  }
 }

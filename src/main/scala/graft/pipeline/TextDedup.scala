@@ -857,6 +857,70 @@ object TextDedup {
               col("dup_span_frac"), col("span_flagged"))
   }
 
+  /** DUPLICATED-SPAN REMOVAL — the repair twin of
+    * [[duplicatedSpanStats]] (which only AUDITS): rewrite every
+    * document with the cross-document duplicated spans cut out, the
+    * exact-substring dedup pass of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") at word-token
+    * granularity. A token is removed iff some word `n`-gram covering
+    * its position also occurs in ANOTHER document (document frequency
+    * > 1 over distinct per-doc grams — same df the audit keys on);
+    * surviving tokens re-join in order. One row per input document:
+    * (doc_id, clean_text, n_kept, n_removed) — a fully-duplicated
+    * document cleans to the empty string with n_kept = 0 rather than
+    * disappearing (the caller decides drop-vs-keep; this op is the
+    * rewrite, not the gate). Docs shorter than `n` words carry no
+    * grams, so they pass through unchanged.
+    *
+    * Scale shape: gram explode is map-side; df groupBy, dup join-back,
+    * and the (doc, pos) coverage distinct are keyed shuffles on
+    * high-cardinality keys; the coverage explode is bounded by n ×
+    * duplicated-gram occurrences (duplication-sized, not corpus-
+    * sized). The final groupBy(doc) collects one doc's tokens into an
+    * array — bounded by document length, the same per-doc bound
+    * encodeTokens already carries. The positioned gram table feeds two
+    * subtrees (df groupBy and coverage join) → memoized under the
+    * standard cacheOnce contract. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 8): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+    val base = df.select(col(idCol).as("id"), split(trim(col(textCol)), " ").as("l"))
+    val tok = base
+      .select(col("id"), posexplode(col("l")).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).as("pos"), col("tok"))
+    // positioned grams (start kept — coverage needs it; the audit op's
+    // ngramShingles is distinct-set-semantics and can't serve here)
+    val grams = graft.queries.cacheOnce(
+      base.filter(size(col("l")) >= n)
+        .select(col("id"),
+                explode(transform(sequence(lit(1), size(col("l")) - (n - 1)),
+                  i => struct(i.as("start"),
+                    concat_ws("_", (0 until n).map(k =>
+                      element_at(col("l"), i + k)): _*).as("bg"))))
+                  .as("g"))
+        .select(col("id"), col("g.start").as("start"), col("g.bg").as("bg")))
+    val dup = grams.select(col("id"), col("bg")).distinct()
+      .groupBy(col("bg")).agg(count(lit(1)).as("dfq"))
+      .filter(col("dfq") > 1).select(col("bg"))
+    val cover = grams.join(dup, Seq("bg"))
+      .select(col("id"),
+              explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    tok.join(cover, Seq("id", "pos"), "left")
+      .groupBy(col("id"))
+      .agg(
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("hit").isNull,
+              struct(col("pos"), col("tok"))))),
+            s => s.getField("tok"))).as("clean_text"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+      .select(col("id").as("doc_id"), col("clean_text"),
+              col("n_kept"), col("n_removed"))
+  }
+
   /** INCREMENTAL DEDUP — the ingest-time check a growing corpus runs on
     * every new batch: is this document an exact copy, a near-duplicate,
     * or genuinely new relative to the EXISTING corpus? One row per new

@@ -1621,6 +1621,101 @@ object TextQueries {
       |FROM ids i JOIN pk USING (doc_id)
       |WHERE i.pos < pk.bucket""".stripMargin
 
+  /** q121 — duplicated-span removal ([[TextDedup.removeDuplicatedSpans]]):
+    * Lee-et-al-style exact-substring dedup as a REWRITE — every doc
+    * with its cross-document duplicated 8-gram spans cut out. The
+    * oracle replays gram construction, the df>1 cut, position
+    * coverage, and the ordered re-join; fully-duplicated docs clean to
+    * '' (n_kept = 0) so both the removal and pass-through branches are
+    * exercised (47 of 500 docs lose spans at sf0.01). */
+  private def q121(s: SparkSession, dir: String): DataFrame =
+    TextDedup.removeDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q121Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
+      |tok AS (
+      |  SELECT doc_id, i AS pos, l[i] AS tok
+      |  FROM toks, LATERAL unnest(range(1, len(l)+1)) AS t(i)),
+      |g AS (
+      |  SELECT doc_id, i AS start, array_to_string(l[i:i+7], '_') AS bg
+      |  FROM toks, LATERAL unnest(range(1, len(l)-6)) AS t(i)
+      |  WHERE len(l) >= 8),
+      |dup AS (
+      |  SELECT bg FROM (SELECT DISTINCT doc_id, bg FROM g) GROUP BY bg
+      |  HAVING count(*) > 1),
+      |cov AS (
+      |  SELECT DISTINCT g.doc_id, p
+      |  FROM g JOIN dup USING (bg), LATERAL unnest(range(g.start, g.start+8)) AS t(p))
+      |SELECT tok.doc_id,
+      |       coalesce(array_to_string(list(tok.tok ORDER BY tok.pos)
+      |                FILTER (WHERE cov.p IS NULL), ' '), '') AS clean_text,
+      |       CAST(count(*) FILTER (WHERE cov.p IS NULL) AS BIGINT) AS n_kept,
+      |       CAST(count(*) FILTER (WHERE cov.p IS NOT NULL) AS BIGINT) AS n_removed
+      |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.p
+      |GROUP BY 1""".stripMargin
+
+  /** q122 — Kneser-Ney bigram perplexity ([[TextAnalysis
+    * .knPerplexity]]): the CCNet quality filter one model order above
+    * q112. D = 3/4 makes every probability the exact integer rational
+    * ((4c−3)B + 3·N1f·N1b)/(4·c1·B), so the oracle feeds ONE `ln` the
+    * same integers and the milli-nat rounding pins the hash. The
+    * 3420 flag threshold sits between the corpus median (≈3386) and
+    * max (≈3662) mean surprisal — both branches fire. */
+  private def q122(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.knPerplexity(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q122Sql =
+    """WITH toksk AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
+      |bg AS (
+      |  SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+      |  FROM toksk, LATERAL unnest(range(1, len(l))) AS t(i)
+      |  WHERE len(l) >= 2),
+      |c AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, sum(c) AS c1, count(*) AS n1f FROM c GROUP BY 1),
+      |n1b AS (SELECT w2, count(*) AS n1b FROM c GROUP BY 1),
+      |btot AS (SELECT count(*) AS b FROM c),
+      |s AS (
+      |  SELECT c.w1, c.w2,
+      |         CAST(round(ln((4.0 * c1.c1 * btot.b) /
+      |                       ((4 * c.c - 3) * btot.b + 3 * c1.n1f * n1b.n1b)) * 1000.0)
+      |              AS BIGINT) AS s_e3
+      |  FROM c JOIN c1 USING (w1) JOIN n1b USING (w2) CROSS JOIN btot),
+      |per AS (
+      |  SELECT bg.doc_id, count(*) AS n_bigrams, sum(s.s_e3) AS s_sum
+      |  FROM bg JOIN s ON bg.w1 = s.w1 AND bg.w2 = s.w2 GROUP BY 1)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |       CAST(s_sum AS BIGINT) AS kn_surprisal_e3,
+      |       round(s_sum * 1.0 / n_bigrams, 6) AS avg_kn_e3,
+      |       round(exp(round(s_sum * 1.0 / n_bigrams, 6) / 1000.0), 6) AS kn_perplexity,
+      |       CAST(CASE WHEN round(s_sum * 1.0 / n_bigrams, 6) > 3420.0
+      |            THEN 1 ELSE 0 END AS BIGINT) AS kn_flagged
+      |FROM per""".stripMargin
+
+  /** q123 — sliding-window chunker ([[TextAnalysis.chunkDocuments]]):
+    * retrieval-prep windows of 32 tokens every 24 (overlap 8). The
+    * oracle replays the chunk-count formula, window slicing, and the
+    * short-last-chunk clip; ~100-token docs yield up to 4 chunks so
+    * the multi-chunk and single-chunk branches both fire. */
+  private def q123(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocuments(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q123Sql =
+    """WITH toksc AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS l,
+      |         len(string_split(trim(text), ' ')) AS n
+      |  FROM documents),
+      |nc AS (
+      |  SELECT doc_id, l, n,
+      |         1 + CASE WHEN n > 32 THEN (n - 32 + 23) // 24 ELSE 0 END AS n_chunks
+      |  FROM toksc)
+      |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+      |       CAST(1 + k * 24 AS BIGINT) AS begin_pos,
+      |       array_to_string(l[1 + k*24 : 1 + k*24 + 31], ' ') AS chunk_text,
+      |       CAST(least(32, n - k*24) AS BIGINT) AS n_chunk_tokens
+      |FROM nc, LATERAL unnest(range(0, n_chunks)) AS t(k)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q50_token_stats", q50, Some(q50Sql)),
     QueryDef("q51_quality_score", q51, Some(q51Sql)),
@@ -1666,6 +1761,9 @@ object TextQueries {
     QueryDef("q117_materialize_packs", q117, Some(q117Sql)),
     QueryDef("q118_bpe_merges", q118, Some(q118Sql)),
     QueryDef("q119_bpe_segment", q119, Some(q119Sql)),
-    QueryDef("q120_bpe_packs", q120, Some(q120Sql))
+    QueryDef("q120_bpe_packs", q120, Some(q120Sql)),
+    QueryDef("q121_span_removal", q121, Some(q121Sql)),
+    QueryDef("q122_kn_perplexity", q122, Some(q122Sql)),
+    QueryDef("q123_chunk_windows", q123, Some(q123Sql))
   )
 }

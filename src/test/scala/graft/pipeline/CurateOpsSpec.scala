@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 curation additions: duplicated-span removal (the rewrite
+  * twin of the span audit), Kneser-Ney bigram perplexity, and the
+  * sliding-window chunker. */
+class CurateOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- removeDuplicatedSpans -------------------------------------------
+
+  test("span removal cuts exactly the cross-document duplicated n-gram coverage") {
+    // docs 1 and 2 share an 8-token prefix; their suffixes differ.
+    val shared = "a b c d e f g h"
+    val docs = Seq(
+      (1L, s"$shared one two three"),
+      (2L, s"$shared four five six"),
+      (3L, "totally different words that never repeat anywhere at all")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // only the shared 8-gram "a b c d e f g h" has df > 1: it covers
+    // positions 1-8 of docs 1 and 2; the unique continuation grams
+    // (e.g. "b c d e f g h one") occur once each and remove nothing.
+    assert(out(1L) == (("one two three", 3L, 8L)))
+    assert(out(2L) == (("four five six", 3L, 8L)))
+    assert(out(3L) == (("totally different words that never repeat anywhere at all", 9L, 0L)))
+  }
+
+  test("fully-duplicated documents clean to the empty string, not a missing row") {
+    val text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val out = TextDedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L), "every input doc must emit a row")
+    assert(out(1L) == (("", 0L, 10L)) && out(2L) == (("", 0L, 10L)))
+  }
+
+  test("docs shorter than n pass through unchanged (no grams, no coverage)") {
+    val docs = Seq((1L, "short doc"), (2L, "short doc")).toDF("doc_id", "text")
+    val out = TextDedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "short doc", 2L -> "short doc"))
+  }
+
+  test("overlapping duplicated grams merge their coverage (no double-count)") {
+    // a 9-token shared run carries two overlapping duplicated 8-grams
+    // covering positions 1-9 as a SET, so exactly 9 tokens go.
+    val run = "a b c d e f g h i"
+    val docs = Seq((1L, s"$run tailone"), (2L, s"$run tailtwo")).toDF("doc_id", "text")
+    val out = TextDedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("tailone", 1L, 9L)))
+    assert(out(2L) == (("tailtwo", 1L, 9L)))
+  }
+
+  // ---- knPerplexity ----------------------------------------------------
+
+  test("KN bigram scores match a by-hand model on a 3-doc corpus") {
+    val docs = Seq(
+      (1L, "x y x y"),   // bigrams: (x,y) (y,x) (x,y)
+      (2L, "x y z"),     // bigrams: (x,y) (y,z)
+      (3L, "z")          // < 2 tokens -> no row
+    ).toDF("doc_id", "text")
+    // counts: c(x,y)=3 c(y,x)=1 c(y,z)=1; c1(x)=3,n1f(x)=1; c1(y)=2,n1f(y)=2
+    // n1b(y)=1 n1b(x)=1 n1b(z)=1; B=3
+    def sE3(c: Long, c1: Long, n1f: Long, n1b: Long, b: Long): Long =
+      math.round(math.log((4.0 * c1 * b) /
+        ((4 * c - 3) * b + 3.0 * n1f * n1b)) * 1000.0)
+    val sXY = sE3(3, 3, 1, 1, 3)  // p = (9*3+3)/(36) = 30/36
+    val sYX = sE3(1, 2, 2, 1, 3)  // p = (1*3+6)/(24) = 9/24
+    val sYZ = sE3(1, 2, 2, 1, 3)
+    val out = TextAnalysis.knPerplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(1L, 2L), "sub-bigram docs emit nothing")
+    assert(out(1L) == ((3L, 2 * sXY + sYX)))
+    assert(out(2L) == ((2L, sXY + sYZ)))
+  }
+
+  test("KN separates templated repetition from token-salad at equal unigram mix") {
+    // both docs use the same unigram bag; doc 1 repeats one bigram
+    // pattern, doc 2 scrambles pairings. The bigram model must rank
+    // doc 2 (unseen-pair-heavy) above doc 1.
+    val docs = Seq(
+      (1L, "a b a b a b a b a b a b"),
+      (2L, "a a b b a b b a a b a b")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.knPerplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(out(2L) > out(1L),
+           s"scrambled doc must carry higher KN perplexity: $out")
+  }
+
+  // ---- chunkDocuments --------------------------------------------------
+
+  test("chunker tiles with the contracted overlap; last chunk short; no suffix-only chunk") {
+    val toks = (1 to 80).map(i => s"t$i")
+    val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, "doc_id", "text", window = 32, stride = 24)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+    // n=80: 1 + ceil(48/24) = 3 chunks at 1, 25, 49
+    assert(out.map(x => (x._1, x._2, x._4)).toSeq ==
+           Seq((0L, 1L, 32L), (1L, 25L, 32L), (2L, 49L, 32L)))
+    assert(out(0)._3 == toks.slice(0, 32).mkString(" "))
+    assert(out(2)._3 == toks.slice(48, 80).mkString(" "))
+  }
+
+  test("chunker emits one whole-doc chunk for docs at or under the window") {
+    val docs = Seq((1L, "a b c"), (2L, (1 to 32).map("w" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, "doc_id", "text", window = 32, stride = 24)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4))))
+    assert(out.toMap == Map(1L -> ((0L, 1L, 3L)), 2L -> ((0L, 1L, 32L))))
+    assert(out.length == 2)
+  }
+
+  test("chunker boundary: n = window + 1 yields exactly one extra short chunk") {
+    val toks = (1 to 33).map("w" + _)
+    val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, "doc_id", "text", window = 32, stride = 24)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4))).sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 1L, 32L), (1L, 25L, 9L)))
+  }
+}
