@@ -1,0 +1,165 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DISTILLED TEXT CLASSIFIER — the fastText-shaped quality/domain
+  * filter every modern curation pipeline trains (FineWeb-Edu, DCLM:
+  * label a seed set, distill into a cheap linear model, score the
+  * whole corpus): logistic regression over hashed bag-of-words
+  * features, trained by full-batch gradient descent INSIDE Spark.
+  *
+  * Features (the fastText recipe): `dim` hashed buckets holding
+  * TERM FREQUENCY (count/doc-length — content signal, length-
+  * invariant) plus one structural slot holding the capped token count
+  * (length signal — the axis quality gates actually key on). All
+  * features live in micro-units ≤ 1e6, so every direction has
+  * comparable curvature and one global learning rate (η = 4)
+  * converges.
+  *
+  * Determinism contract (the q112/q118 oracle discipline, applied to
+  * training): weights and features live on an integer micro-grid
+  * (millionths, BIGINT), so each iteration's feature sums are EXACT
+  * integer arithmetic; the floating steps — per-(doc, iter) one
+  * margin descale + one sigmoid, per-(bucket, iter) one η·G/N — are
+  * each a single fixed-shape IEEE expression over exact integers,
+  * immediately re-rounded to the grid. Both engines therefore walk
+  * the same integer state, and the DuckDB oracle replays training
+  * bit-for-bit by unrolling the iterations as CTEs
+  * (TextQueries.clfCtes).
+  *
+  * Update rule (mean logistic loss, learning rate η = 4):
+  *   S_d  = Σ_h w_h·f_{d,h}               (exact, 1e12-scale integer)
+  *   m_d  = round(S_d/1e6) + b;  p_d = σ(m_d/1e6)
+  *   r_d  = round((p_d − y_d)·1e6)
+  *   G_h  = Σ_d r_d·f_{d,h};  w_h ← w_h − round(η·G_h/(N·1e6))
+  *   G_b  = Σ_d r_d;          b   ← b   − round(η·G_b/N)
+  *
+  * Scale shape: the feature frame is one map-side explode + two keyed
+  * groupBys; each iteration is ONE broadcast join of the (dim+1)-row
+  * weight table (bounded by a HYPERPARAMETER, not the corpus — the
+  * legitimate broadcast the lmSurprisal lesson forbids for
+  * vocabulary-sized tables) + one groupBy(doc) + one groupBy(h) whose
+  * map-side partial aggregation ships ≤ dim+1 rows per partition. The
+  * driver holds only the (dim+1)-entry weight vector between
+  * iterations (the k-means-centroid precedent, Similarity.scala).
+  * Scoring is a stateless projection chain over the same broadcast —
+  * streaming-safe like every per-document transform here. */
+object Classifier {
+
+  /** Learned model: micro-unit weights for the `dim` tf buckets plus
+    * the length slot at index `dim`, and the bias. Bounded by a
+    * hyperparameter, never corpus-sized. */
+  final case class HashedLogistic(weightsE6: Array[Long], biasE6: Long,
+                                  dim: Int) {
+    require(weightsE6.length == dim + 1,
+            s"need $dim tf weights + 1 length weight, got ${weightsE6.length}")
+  }
+
+  /** Cap for the length feature: token counts saturate here, keeping
+    * the feature ≤ 1e6 micro-units like every tf bucket. */
+  val lenCap = 256
+
+  /** The split family's md5 hash-point (TextAnalysis q75/q99
+    * arithmetic, salt-decorrelated): first 8 hex chars of
+    * md5(salt || token) as a long, mod `dim`. */
+  private def hashPoint(key: Column, salt: String, mod: Long): Column =
+    pmod(conv(substring(md5(concat(lit(salt), key)), 1, 8), 16, 10)
+           .cast("long"), lit(mod))
+
+  /** Micro-unit feature rows: (doc_id, h, f) — tf buckets
+    * round(c·1e6/n) for h < dim, the capped-length slot
+    * round(min(n,cap)·1e6/cap) at h = dim. Token-less docs emit no
+    * rows and score at the bare bias. */
+  def tfFeatures(df: DataFrame, idCol: String, textCol: String,
+                 dim: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+                         explode(split(trim(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = toks
+      .select(col("doc_id"), hashPoint(col("tok"), "clf", dim).as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+    val nTok = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    counts.join(nTok, Seq("doc_id"))
+      .select(col("doc_id"), col("h"),
+              round(col("c") * 1e6 / col("n")).cast("long").as("f"))
+      .unionAll(nTok.select(col("doc_id"), lit(dim.toLong).as("h"),
+        round(least(col("n"), lit(lenCap.toLong)) * 1e6 / lenCap)
+          .cast("long").as("f")))
+  }
+
+  private def sigmoid(mE6: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(-(mE6 / 1e6)))
+
+  /** (doc_id, y?, m_e6) margins for a weight frame + bias over the
+    * full doc universe (feature-less docs keep the bare bias). */
+  private def margins(universe: DataFrame, feat: DataFrame, wDf: DataFrame,
+                      bE6: Long): DataFrame =
+    universe
+      .join(feat.join(wDf, Seq("h"))
+              .groupBy(col("doc_id"))
+              .agg(sum(col("w_e6") * col("f")).as("s")),
+            Seq("doc_id"), "left")
+      .withColumn("m_e6",
+        round(coalesce(col("s"), lit(0L)) / 1e6).cast("long") + bE6)
+      .drop("s")
+
+  private def weightFrame(df: DataFrame, w: Array[Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    broadcast(w.toSeq.zipWithIndex.map { case (we6, h) => (h.toLong, we6) }
+      .toDF("h", "w_e6"))
+  }
+
+  /** Train by `iters` full-batch GD steps from w = 0. `label` must
+    * evaluate to 0/1 over `df`'s rows. η is fixed at 4 (a power of
+    * two — exact double scaling); with micro-grid features the
+    * schedule-free rate is stable in every direction. */
+  def trainHashedLogistic(df: DataFrame, idCol: String, textCol: String,
+                          label: Column, dim: Int = 64,
+                          iters: Int = 16): HashedLogistic = {
+    require(dim >= 2 && iters >= 1, s"need dim >= 2, iters >= 1")
+    val feat = graft.queries.cacheOnce(tfFeatures(df, idCol, textCol, dim))
+    val lab = graft.queries.cacheOnce(
+      df.select(col(idCol).as("doc_id"), label.cast("long").as("y")))
+    val n = lab.count()
+    require(n > 0, "classifier needs a non-empty corpus")
+    var w = Array.fill[Long](dim + 1)(0L)
+    var b = 0L
+    for (_ <- 1 to iters) {
+      val resid = margins(lab, feat, weightFrame(df, w), b)
+        .select(col("doc_id"),
+          round((sigmoid(col("m_e6")) - col("y")) * 1e6).cast("long").as("r_e6"))
+      // bucket gradients: dim+1 rows after map-side partial aggregation
+      val grads = feat.join(resid, Seq("doc_id"))
+        .groupBy(col("h")).agg(sum(col("r_e6") * col("f")).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gBias = resid.agg(sum(col("r_e6"))).head().getLong(0)
+      w = w.zipWithIndex.map { case (we6, h) =>
+        we6 - math.round(4.0 * grads.getOrElse(h.toLong, 0L) / (n * 1e6)) }
+      b = b - math.round(4.0 * gBias / n)
+    }
+    HashedLogistic(w, b, dim)
+  }
+
+  /** Score every document under a trained model: the per-doc ledger
+    * (doc_id, label, margin_e6, p, pred). Stateless given the model —
+    * a broadcast join + projection, streaming-safe. */
+  def scoreHashedLogistic(df: DataFrame, idCol: String, textCol: String,
+                          label: Column, model: HashedLogistic): DataFrame =
+    margins(df.select(col(idCol).as("doc_id"), label.cast("long").as("label")),
+            tfFeatures(df, idCol, textCol, model.dim),
+            weightFrame(df, model.weightsE6), model.biasE6)
+      .select(col("doc_id"), col("label"),
+              col("m_e6").as("margin_e6"),
+              round(sigmoid(col("m_e6")), 6).as("p"),
+              (col("m_e6") > 0).cast("long").as("pred"))
+
+  /** Train-then-score porcelain: the corpus scored by the classifier
+    * distilled from its own labels. */
+  def distillClassifier(df: DataFrame, idCol: String, textCol: String,
+                        label: Column, dim: Int = 64,
+                        iters: Int = 16): DataFrame =
+    scoreHashedLogistic(df, idCol, textCol, label,
+      trainHashedLogistic(df, idCol, textCol, label, dim, iters))
+}

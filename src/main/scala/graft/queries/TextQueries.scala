@@ -1621,6 +1621,110 @@ object TextQueries {
       |FROM ids i JOIN pk USING (doc_id)
       |WHERE i.pos < pk.bucket""".stripMargin
 
+  // q124 — the distilled classifier ([[graft.pipeline.Classifier]]):
+  // hashed-bag-of-words logistic regression trained by full-batch GD
+  // on the integer micro-grid. The oracle UNROLLS the gradient-descent
+  // loop (the q118 technique applied to training): per iteration one
+  // margin join, one sigmoid/residual rounding, one bucket-gradient
+  // groupBy, one weight update — identical integers both engines.
+
+  private val clfDim = 64
+  private val clfIters = 16
+
+  /** Trained weights are a per-(session, dir) corpus artifact — the
+    * bpeMemo contract, so q124 and repeated bench passes pay the
+    * 16-iteration training loop once. Stores the (dim+1)-entry model
+    * (hyperparameter-sized, never corpus-sized). */
+  private val clfMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.pipeline.Classifier.HashedLogistic]
+  private def clfModel(s: SparkSession, dir: String): graft.pipeline.Classifier.HashedLogistic =
+    clfMemo.getOrElseUpdate((s, dir), {
+      clfMemo.keys.filter(_._1 eq s).filter(_._2 != dir).foreach(clfMemo.remove)
+      graft.pipeline.Classifier.trainHashedLogistic(
+        t(s, dir, "documents"), "doc_id", "text",
+        (col("n_chars") >= 300).cast("long"), clfDim, clfIters)
+    })
+
+  /** One margin CTE: previous iteration's weights applied to every
+    * document (feature-less docs keep the bare bias via the left
+    * join + COALESCE — exactly the Spark plan's shape). */
+  private def clfMarginCte(t: Int, prev: Int): String =
+    s"""m$t AS (SELECT clab.doc_id, clab.y,
+      |    CAST(round(COALESCE(fw.s, 0) / 1000000.0) AS BIGINT) + b$prev.b_e6 AS m_e6
+      |  FROM clab CROSS JOIN b$prev
+      |  LEFT JOIN (SELECT cfeat.doc_id, sum(w.w_e6 * cfeat.f) AS s
+      |             FROM cfeat JOIN w$prev w USING (h) GROUP BY 1) fw
+      |  USING (doc_id))""".stripMargin
+
+  /** Unrolled GD: per iteration t — margin m{t}, rounded residual
+    * r{t}, bucket/bias gradients g{t}/gb{t}, updated weights w{t}/
+    * b{t}. Iteration 1 starts from the all-zero model (margin ≡ 0). */
+  private def clfCtes(iters: Int): String = {
+    val head =
+      s"""ctoks AS (SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents) x
+        |  WHERE t <> ''),
+        |ccnt AS (SELECT doc_id, count(*) AS n FROM ctoks GROUP BY 1),
+        |craw AS (SELECT doc_id, ${hashPointSql("t", "clf", clfDim.toLong)} AS h,
+        |                count(*) AS c FROM ctoks GROUP BY 1, 2),
+        |cfeat AS MATERIALIZED (
+        |  SELECT craw.doc_id, h, CAST(round(c * 1000000.0 / n) AS BIGINT) AS f
+        |  FROM craw JOIN ccnt USING (doc_id)
+        |  UNION ALL
+        |  SELECT doc_id, CAST($clfDim AS BIGINT) AS h,
+        |         CAST(round(least(n, 256) * 1000000.0 / 256) AS BIGINT) AS f
+        |  FROM ccnt),
+        |clab AS MATERIALIZED (SELECT doc_id, CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y FROM documents),
+        |cn AS MATERIALIZED (SELECT count(*) AS n FROM clab)""".stripMargin
+    val blocks = (1 to iters).map { i =>
+      val m =
+        if (i == 1) "m1 AS (SELECT doc_id, y, CAST(0 AS BIGINT) AS m_e6 FROM clab)"
+        else clfMarginCte(i, i - 1)
+      val w =
+        if (i == 1)
+          "SELECT h, CAST(0 AS BIGINT) - CAST(round(4.0 * g / (n * 1000000.0)) AS BIGINT) AS w_e6 FROM g1 CROSS JOIN cn"
+        else
+          s"SELECT g.h, w.w_e6 - CAST(round(4.0 * g.g / (cn.n * 1000000.0)) AS BIGINT) AS w_e6 " +
+            s"FROM g$i g JOIN w${i - 1} w USING (h) CROSS JOIN cn"
+      val b =
+        if (i == 1)
+          "SELECT CAST(0 AS BIGINT) - CAST(round(4.0 * g / n) AS BIGINT) AS b_e6 FROM gb1 CROSS JOIN cn"
+        else
+          s"SELECT b.b_e6 - CAST(round(4.0 * gb.g / cn.n) AS BIGINT) AS b_e6 " +
+            s"FROM gb$i gb CROSS JOIN b${i - 1} b CROSS JOIN cn"
+      s"""$m,
+        |r$i AS MATERIALIZED (SELECT doc_id, CAST(round((1.0/(1.0+exp(-(m_e6/1000000.0))) - y)*1000000.0) AS BIGINT) AS r_e6 FROM m$i),
+        |g$i AS (SELECT h, sum(r_e6 * f) AS g FROM cfeat JOIN r$i USING (doc_id) GROUP BY 1),
+        |gb$i AS (SELECT sum(r_e6) AS g FROM r$i),
+        |w$i AS MATERIALIZED ($w),
+        |b$i AS MATERIALIZED ($b)""".stripMargin
+    }
+    (head +: blocks).mkString(",\n")
+  }
+
+  /** q124 — distilled classifier scoring ([[graft.pipeline.Classifier
+    * .distillClassifier]]): the corpus scored by the logistic model
+    * distilled from its own length-quality gate (n_chars >= 300 — the
+    * corpus median, a balanced LEARNABLE target: token-count features
+    * linearly encode document length, so the model genuinely separates
+    * rather than memorizing an arbitrary tag). The oracle replays all
+    * 16 GD iterations AND the final scoring pass — margins hash-exact
+    * because training never leaves the integer micro-grid. */
+  private def q124(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Classifier.scoreHashedLogistic(
+      t(s, dir, "documents"), "doc_id", "text",
+      (col("n_chars") >= 300).cast("long"), clfModel(s, dir))
+
+  private val q124Sql = {
+    val T = clfIters
+    s"""WITH ${clfCtes(T)},
+      |${clfMarginCte(T + 1, T)}
+      |SELECT doc_id, CAST(y AS BIGINT) AS label, CAST(m_e6 AS BIGINT) AS margin_e6,
+      |       round(1.0/(1.0+exp(-(m_e6/1000000.0))), 6) AS p,
+      |       CAST(CASE WHEN m_e6 > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+      |FROM m${T + 1}""".stripMargin
+  }
+
   /** q121 — duplicated-span removal ([[TextDedup.removeDuplicatedSpans]]):
     * Lee-et-al-style exact-substring dedup as a REWRITE — every doc
     * with its cross-document duplicated 8-gram spans cut out. The
@@ -1764,6 +1868,7 @@ object TextQueries {
     QueryDef("q120_bpe_packs", q120, Some(q120Sql)),
     QueryDef("q121_span_removal", q121, Some(q121Sql)),
     QueryDef("q122_kn_perplexity", q122, Some(q122Sql)),
-    QueryDef("q123_chunk_windows", q123, Some(q123Sql))
+    QueryDef("q123_chunk_windows", q123, Some(q123Sql)),
+    QueryDef("q124_distill_classifier", q124, Some(q124Sql))
   )
 }
