@@ -876,18 +876,21 @@ object TextDedup {
     * and the (doc, pos) coverage distinct are keyed shuffles on
     * high-cardinality keys; the coverage explode is bounded by n ×
     * duplicated-gram occurrences (duplication-sized, not corpus-
-    * sized). The final groupBy(doc) collects one doc's tokens into an
-    * array — bounded by document length, the same per-doc bound
-    * encodeTokens already carries. The positioned gram table feeds two
-    * subtrees (df groupBy and coverage join) → memoized under the
-    * standard cacheOnce contract. */
+    * sized). Only AFFECTED documents (those owning at least one
+    * duplicated gram — duplication-rate-sized, not corpus-sized) pay
+    * the token-level explode / anti-coverage / re-join path; every
+    * other document short-circuits through a pure projection
+    * (array_join of its own token array), so the token-granularity
+    * shuffle volume scales with how much duplication exists, not with
+    * how much corpus exists. The rebuild groupBy collects one doc's
+    * tokens into an array — bounded by document length, the same
+    * per-doc bound encodeTokens already carries. The positioned gram
+    * table feeds two subtrees (df groupBy and coverage join) →
+    * memoized under the standard cacheOnce contract. */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                             n: Int = 8): DataFrame = {
     require(n >= 2, s"n-gram order must be >= 2, got $n")
     val base = df.select(col(idCol).as("id"), split(trim(col(textCol)), " ").as("l"))
-    val tok = base
-      .select(col("id"), posexplode(col("l")).as(Seq("p0", "tok")))
-      .select(col("id"), (col("p0") + 1).as("pos"), col("tok"))
     // positioned grams (start kept — coverage needs it; the audit op's
     // ngramShingles is distinct-set-semantics and can't serve here)
     val grams = graft.queries.cacheOnce(
@@ -902,12 +905,17 @@ object TextDedup {
     val dup = grams.select(col("id"), col("bg")).distinct()
       .groupBy(col("bg")).agg(count(lit(1)).as("dfq"))
       .filter(col("dfq") > 1).select(col("bg"))
-    val cover = grams.join(dup, Seq("bg"))
-      .select(col("id"),
-              explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
-      .distinct()
-      .withColumn("hit", lit(1))
-    tok.join(cover, Seq("id", "pos"), "left")
+    val cover = graft.queries.cacheOnce(
+      grams.join(dup, Seq("bg"))
+        .select(col("id"),
+                explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+        .distinct())
+    val affected = cover.select(col("id")).distinct()
+    val tok = base.join(affected, Seq("id"))
+      .select(col("id"), posexplode(col("l")).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).as("pos"), col("tok"))
+    val rebuilt = tok
+      .join(cover.withColumn("hit", lit(1)), Seq("id", "pos"), "left")
       .groupBy(col("id"))
       .agg(
         concat_ws(" ",
@@ -917,6 +925,11 @@ object TextDedup {
             s => s.getField("tok"))).as("clean_text"),
         sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+    val untouched = base.join(affected, Seq("id"), "left_anti")
+      .select(col("id"), array_join(col("l"), " ").as("clean_text"),
+              size(col("l")).cast("long").as("n_kept"),
+              lit(0L).as("n_removed"))
+    rebuilt.unionByName(untouched)
       .select(col("id").as("doc_id"), col("clean_text"),
               col("n_kept"), col("n_removed"))
   }
