@@ -43,8 +43,11 @@ import org.apache.spark.sql.functions._
   * map-side partial aggregation ships ≤ dim+1 rows per partition. The
   * driver holds only the (dim+1)-entry weight vector between
   * iterations (the k-means-centroid precedent, Similarity.scala).
-  * Scoring is a stateless projection chain over the same broadcast —
-  * streaming-safe like every per-document transform here. */
+  * Scoring has two forms: the batch ledger (feature frame + bounded
+  * broadcast + one keyed shuffle) and the inline serving path
+  * ([[Classifier.scoreHashedLogisticInline]]) — the same margins as
+  * ONE pure per-row expression, zero shuffles, append-mode
+  * streaming-safe. */
 object Classifier {
 
   /** Learned model: micro-unit weights for the `dim` tf buckets plus
@@ -143,8 +146,9 @@ object Classifier {
   }
 
   /** Score every document under a trained model: the per-doc ledger
-    * (doc_id, label, margin_e6, p, pred). Stateless given the model —
-    * a broadcast join + projection, streaming-safe. */
+    * (doc_id, label, margin_e6, p, pred). The batch form — feature
+    * frame + bounded broadcast join + per-doc aggregation (one keyed
+    * shuffle). For streams, use [[scoreHashedLogisticInline]]. */
   def scoreHashedLogistic(df: DataFrame, idCol: String, textCol: String,
                           label: Column, model: HashedLogistic): DataFrame =
     margins(df.select(col(idCol).as("doc_id"), label.cast("long").as("label")),
@@ -154,6 +158,49 @@ object Classifier {
               col("m_e6").as("margin_e6"),
               round(sigmoid(col("m_e6")), 6).as("p"),
               (col("m_e6") > 0).cast("long").as("pred"))
+
+  /** SERVING-PATH scoring: the identical ledger computed as ONE pure
+    * per-row expression — the whole margin (bucket counts, per-bucket
+    * tf rounding, weight dot-product, length slot) folds into
+    * higher-order array functions over the document's own tokens, with
+    * the (dim+1)-entry weight vector as an expression literal (bounded
+    * by a hyperparameter — the legitimate literal, unlike the
+    * deprecated corpus-sized centroid literals). ZERO shuffles, no
+    * join, no aggregation: scoring 100 TB is a map over the corpus,
+    * and the same call runs unchanged under Structured Streaming in
+    * append mode (the batch form's per-doc groupBy would demand
+    * complete/update mode — this is the streaming-safe twin, parity
+    * test-pinned). Cost is O(distinct-tokens × tokens) per document
+    * from the count-by-filter inner loop — the per-doc bound every
+    * array op here already carries. */
+  def scoreHashedLogisticInline(df: DataFrame, idCol: String, textCol: String,
+                                label: Column,
+                                model: HashedLogistic): DataFrame = {
+    val wArr = array(model.weightsE6.map(lit(_)): _*)
+    val hs = transform(
+      filter(split(trim(col(textCol)), " "), t => t =!= ""),
+      t => pmod(conv(substring(md5(concat(lit("clf"), t)), 1, 8), 16, 10)
+                  .cast("long"), lit(model.dim.toLong)))
+    val scored = df
+      .withColumn("__hs", hs)
+      .withColumn("__n", size(col("__hs")))
+      .withColumn("__s",
+        aggregate(array_distinct(col("__hs")), lit(0L),
+          (acc, h) => acc +
+            element_at(wArr, (h + 1).cast("int")) *
+            round(size(filter(col("__hs"), x => x === h)) * 1e6 / col("__n"))
+              .cast("long")) +
+        when(col("__n") > 0,
+          lit(model.weightsE6(model.dim)) *
+          round(least(col("__n").cast("long"), lit(lenCap.toLong)) * 1e6 / lenCap)
+            .cast("long")).otherwise(lit(0L)))
+      .withColumn("m_e6",
+        round(col("__s") / 1e6).cast("long") + model.biasE6)
+    scored.select(col(idCol).as("doc_id"), label.cast("long").as("label"),
+                  col("m_e6").as("margin_e6"),
+                  round(sigmoid(col("m_e6")), 6).as("p"),
+                  (col("m_e6") > 0).cast("long").as("pred"))
+  }
 
   /** Train-then-score porcelain: the corpus scored by the classifier
     * distilled from its own labels. */

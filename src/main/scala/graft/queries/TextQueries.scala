@@ -1707,11 +1707,13 @@ object TextQueries {
     * distilled from its own length-quality gate (n_chars >= 300 — the
     * corpus median, a balanced LEARNABLE target: token-count features
     * linearly encode document length, so the model genuinely separates
-    * rather than memorizing an arbitrary tag). The oracle replays all
+    * rather than memorizing an arbitrary tag). Scoring rides the
+    * zero-shuffle INLINE serving path (batch-path parity is spec-
+    * pinned, so the oracle covers both). The oracle replays all
     * 16 GD iterations AND the final scoring pass — margins hash-exact
     * because training never leaves the integer micro-grid. */
   private def q124(s: SparkSession, dir: String): DataFrame =
-    graft.pipeline.Classifier.scoreHashedLogistic(
+    graft.pipeline.Classifier.scoreHashedLogisticInline(
       t(s, dir, "documents"), "doc_id", "text",
       (col("n_chars") >= 300).cast("long"), clfModel(s, dir))
 

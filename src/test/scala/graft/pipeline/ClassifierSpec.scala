@@ -78,6 +78,23 @@ class ClassifierSpec extends AnyFunSuite {
     assert(m1.weightsE6.toSeq == m2.weightsE6.toSeq && m1.biasE6 == m2.biasE6)
   }
 
+  test("inline serving-path scoring is row-for-row identical to the batch ledger") {
+    val docs = Seq(
+      (1L, "a b c d e f g", 1L),
+      (2L, "a a a a b", 0L),                  // repeated tokens: tf rounding
+      (3L, "", 1L),                           // feature-less: bare bias
+      (4L, "solo", 0L),                       // single token: tf = 1e6
+      (5L, Seq.fill(300)("w").mkString(" "), 1L) // past the length cap
+    ).toDF("doc_id", "text", "y")
+    val model = Classifier.trainHashedLogistic(docs, "doc_id", "text", col("y"),
+                                               dim = 16, iters = 3)
+    val batch = Classifier.scoreHashedLogistic(docs, "doc_id", "text", col("y"), model)
+      .collect().map(_.toString).toSet
+    val inline = Classifier.scoreHashedLogisticInline(docs, "doc_id", "text", col("y"), model)
+      .collect().map(_.toString).toSet
+    assert(inline == batch, "inline margins must equal the join-path margins")
+  }
+
   test("feature-less documents score at the bare bias and still emit a row") {
     val docs = Seq((1L, "word word word", 1L), (2L, "", 0L)).toDF("doc_id", "text", "y")
     val model = Classifier.trainHashedLogistic(docs, "doc_id", "text", col("y"),

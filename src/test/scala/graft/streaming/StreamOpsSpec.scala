@@ -74,6 +74,38 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chunker and inline classifier scoring run unchanged on a stream (batch parity)") {
+    // both are pure per-row projections (explode / higher-order array
+    // math, no state) — the append-mode streaming posture of the
+    // q123/q124 serving paths
+    import graft.pipeline.{Classifier, TextAnalysis}
+    val docs = Seq(
+      (1L, (1 to 80).map("t" + _).mkString(" ")),
+      (2L, "short doc here"),
+      (3L, "")).toDF("doc_id", "text")
+    val model = Classifier.trainHashedLogistic(
+      docs, "doc_id", "text", (col("doc_id") === 1L).cast("long"),
+      dim = 16, iters = 2)
+    val dir = Files.createTempDirectory("graft-stream-curate").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+      "chunk" -> (df => TextAnalysis.chunkDocuments(df, "doc_id", "text")),
+      "score" -> (df => Classifier.scoreHashedLogisticInline(
+                    df, "doc_id", "text", lit(0L), model)))
+    for ((name, op) <- cases) {
+      val expected = op(docs).collect().map(_.toString).toSet
+      val q = op(stream).writeStream.outputMode("append")
+        .format("memory").queryName(s"curate_parity_$name").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table(s"curate_parity_$name").collect().map(_.toString).toSet
+        assert(got == expected, s"$name: stream != batch")
+      } finally q.stop()
+    }
+  }
+
   test("month grain has no fixed window duration") {
     intercept[IllegalArgumentException] { StreamOps.windowDuration("M") }
   }
