@@ -137,6 +137,59 @@ object ScaleProbe {
       }
     }
 
+    // CURATION OPS (r11): the three claims the new operators make.
+    // (a) span REMOVAL cost tracks the DUPLICATION RATE, not the
+    //     corpus: the affected-doc short-circuit sends untouched docs
+    //     through a pure projection, so quadrupling the dup rate at a
+    //     fixed corpus should move the cost while the corpus-sized
+    //     part stays put.
+    // (b) KN bigram perplexity joins its (corpus-unbounded) bigram
+    //     vocabulary UNHINTED — wall-clock ~flat across a vocab
+    //     decade, no broadcast of the big side (the lmSurprisal
+    //     lesson, one model order up).
+    // (c) classifier training touches the corpus O(iters) times but
+    //     ships only (dim+1)-row gradient frames and holds one
+    //     (dim+1)-entry vector on the driver — per-iteration cost
+    //     linear in corpus, state constant.
+    {
+      import graft.pipeline.{Classifier, TextAnalysis}
+      for (dupPct <- Seq(5, 20)) {
+        val dd = spark.range(nDocs.toLong).select(
+          col("id").as("doc_id"),
+          concat_ws(" ", (0 until 40).map(j =>
+            concat(lit("w"), pmod(hash(when(col("id") % (100 / dupPct) === 0,
+              col("id") - 1).otherwise(col("id")) * 37 + j), lit(vocab)))): _*)
+            .as("text"))
+        val out = TextDedup.removeDuplicatedSpans(dd, "doc_id", "text")
+        val removed = time(f"span removal (dup=$dupPct%2d%%)")(
+          out.agg(sum(when(col("n_removed") > 0, 1L).otherwise(0L))).head().getLong(0))
+        println(s"    affected docs: $removed")
+        graft.queries.releaseIndexes(dd)
+      }
+      for (vDec <- Seq(vocab, vocab * 10)) {
+        val d2 = spark.range(nDocs.toLong).select(
+          col("id").as("doc_id"),
+          concat_ws(" ", (0 until 40).map(j =>
+            concat(lit("w"), pmod(hash(col("id") * 71 + j), lit(vDec)))): _*).as("text"))
+        val kn = TextAnalysis.knPerplexity(d2, "doc_id", "text")
+        time(f"knPerplexity (vocab<=$vDec%8d)")(kn.count())
+        val plan = kn.queryExecution.executedPlan.toString
+        println(s"    plan joins: broadcast=${"BroadcastHashJoin".r.findAllIn(plan).length} " +
+                s"shuffled=${"SortMergeJoin".r.findAllIn(plan).length +
+                             "ShuffledHashJoin".r.findAllIn(plan).length} " +
+                "(bigram side unhinted; AQE chooses)")
+        graft.queries.releaseIndexes(d2)
+      }
+      val t0 = System.nanoTime()
+      val model = Classifier.trainHashedLogistic(
+        docs, "doc_id", "text", (col("doc_id") % 2 === 0).cast("long"),
+        dim = 64, iters = 4)
+      val perIter = (System.nanoTime() - t0) / 1e9 / 4
+      println(f"classifier train: ${perIter}%.2f s/iteration " +
+              f"(driver state = ${model.weightsE6.length + 1} longs at any corpus size)")
+      graft.queries.releaseIndexes(docs)
+    }
+
     // content-defined chunking + chunk-level dedup: a zero-shuffle scan
     // plus ONE hash-groupBy — expect linear in corpus bytes
     println(s"cdc distinct chunks: ${time("cdc chunk+dedup")(
