@@ -930,6 +930,81 @@ object TextAnalysis {
               (avg > lit(maxAvgKnE3)).cast("long").as("kn_flagged"))
   }
 
+  /** TOKEN-BUDGET SELECTION — "assemble the best B tokens": rank every
+    * document by [[qualityScore]] (ties broken by id — fully
+    * deterministic) and keep the greedy prefix whose cumulative token
+    * count stays within the budget. One row per document — the
+    * decision ledger (rank, running total, keep flag), filterable to
+    * the mix; the prefix rule is the contract (the first over-budget
+    * document and everything ranked below it is out, even if some
+    * smaller later doc would still fit — budget selection, not
+    * bin-packing).
+    *
+    * Scale shape: a global rank + running sum is inherently a total
+    * order, but the corpus never sees a single-partition window. The
+    * round-6 score is an exact micro-unit integer, so the prefix
+    * decomposes two-phase: per-SCORE token/doc totals (keyed groupBy),
+    * ONE ordered window over the distinct-score frame (score-grid-
+    * sized — bounded by the round-6 lattice, not the corpus), then a
+    * keyed window partitioned BY score for the within-score ordering.
+    * Every corpus-sized operation is a keyed shuffle. */
+  def selectUnderBudget(df: DataFrame, idCol: String, textCol: String,
+                        budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, "budget must be non-negative")
+    val scored = qualityScore(df, idCol, textCol)
+      .select(col(idCol).as("doc_id"), col("n_tokens"), col("quality_score"),
+              round(col("quality_score") * 1e6).cast("long").as("s_e6"))
+    val perScore = scored.groupBy(col("s_e6"))
+      .agg(sum(col("n_tokens")).as("tok_s"), count(lit(1)).as("docs_s"))
+    val wScore = org.apache.spark.sql.expressions.Window.orderBy(col("s_e6").desc)
+    val prefix = perScore.select(col("s_e6"),
+      (sum(col("tok_s")).over(wScore) - col("tok_s")).as("tok_before"),
+      (sum(col("docs_s")).over(wScore) - col("docs_s")).as("docs_before"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s_e6")).orderBy(col("doc_id"))
+    scored.join(prefix, Seq("s_e6"))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+              (col("docs_before") + row_number().over(wIn)).as("sel_rank"),
+              (col("tok_before") + sum(col("n_tokens")).over(wIn)).as("cum_tokens"))
+      .withColumn("selected", (col("cum_tokens") <= budgetTokens).cast("long"))
+  }
+
+  /** PACK CURRICULUM — difficulty-order the training packs: each
+    * [[packSequences]] pack scored by the mean per-token LM surprisal
+    * ([[lmSurprisal]]) of its member documents, then placed in a
+    * fixed-width difficulty BAND (`bandE3` milli-nats wide) — the
+    * easy→hard schedule curriculum training consumes band by band.
+    * Banding by absolute surprisal rather than global rank is
+    * deliberate: the band is a pure projection of the pack's own
+    * score (zero global windows — rank would force a total order over
+    * the pack frame), it is stable as the corpus grows (a pack's band
+    * never changes because other packs arrived), and the within-band
+    * export order is the sharded-sink contract ([[writeShards]]).
+    * One row per pack: members, token mass, exact surprisal sum,
+    * round-6 mean, band.
+    *
+    * Scale shape: pack assignment (per-(bucket, shard) windows) +
+    * per-doc surprisal (keyed joins) + one groupBy(pack) + a
+    * projection. All keyed; nothing corpus-global. */
+  def packCurriculum(df: DataFrame, idCol: String, textCol: String,
+                     contextLen: Int = 2048, bandE3: Long = 250L): DataFrame = {
+    require(bandE3 >= 1, "band width must be positive")
+    val packs = packSequences(df, idCol, textCol, contextLen = contextLen)
+      .select(col(idCol).as("doc_id"), col("pack_id"), col("bucket"))
+    val surp = lmSurprisal(df, idCol, textCol)
+      .select(col("doc_id"), col("n_tokens"), col("surprisal_e3"))
+    packs.join(surp, Seq("doc_id"))
+      .groupBy(col("pack_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("n_tokens"),
+           sum(col("surprisal_e3")).as("sum_surprisal_e3"))
+      .withColumn("difficulty_e3",
+        round(col("sum_surprisal_e3") * 1.0 / col("n_tokens"), 6))
+      .withColumn("band", floor(col("difficulty_e3") / bandE3).cast("long"))
+      .select(col("pack_id"), col("bucket"), col("n_docs"), col("n_tokens"),
+              col("sum_surprisal_e3"), col("difficulty_e3"), col("band"))
+  }
+
   /** SLIDING-WINDOW CHUNKER — the retrieval-prep transform (RAG
     * indexing, long-document embedding): each document split into
     * overlapping token windows of `window` tokens every `stride`

@@ -1822,6 +1822,50 @@ object TextQueries {
       |       CAST(least(32, n - k*24) AS BIGINT) AS n_chunk_tokens
       |FROM nc, LATERAL unnest(range(0, n_chunks)) AS t(k)""".stripMargin
 
+  /** q125 — token-budget selection ([[TextAnalysis.selectUnderBudget]]):
+    * the "assemble the best B tokens" ledger — greedy quality-ranked
+    * prefix under a 15k-token budget (cuts mid-corpus at every SF, so
+    * both keep branches fire). The Spark side computes the global
+    * prefix two-phase (distinct-score window + keyed within-score
+    * window); the oracle states the same total order directly. */
+  private def q125(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.selectUnderBudget(t(s, dir, "documents"), "doc_id", "text",
+                                   budgetTokens = 15000L)
+
+  private val q125Sql =
+    s"""WITH qb AS ($q51Sql),
+      |selb AS (SELECT doc_id, n_tokens, quality_score,
+      |    row_number() OVER (ORDER BY quality_score DESC, doc_id) AS sel_rank,
+      |    sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+      |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM qb)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score,
+      |  CAST(sel_rank AS BIGINT) AS sel_rank,
+      |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+      |  CAST(CASE WHEN cum_tokens <= 15000 THEN 1 ELSE 0 END AS BIGINT) AS selected
+      |FROM selb""".stripMargin
+
+  /** q126 — pack curriculum ([[TextAnalysis.packCurriculum]]): q104's
+    * packs scored by their members' mean per-token LM surprisal
+    * (q112's model), banded into 250-milli-nat difficulty bands — the
+    * easy→hard schedule, rank-free by design (band is a projection of
+    * the pack's own score; no global window over the pack frame). */
+  private def q126(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packCurriculum(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q126Sql =
+    s"""WITH pk AS ($q104Sql),
+      |sp AS ($q112Sql)
+      |SELECT pk.pack_id, pk.bucket,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(sp.n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(sum(sp.surprisal_e3) AS BIGINT) AS sum_surprisal_e3,
+      |  round(sum(sp.surprisal_e3) * 1.0 / sum(sp.n_tokens), 6) AS difficulty_e3,
+      |  CAST(floor(round(sum(sp.surprisal_e3) * 1.0 / sum(sp.n_tokens), 6) / 250)
+      |       AS BIGINT) AS band
+      |FROM pk JOIN sp USING (doc_id)
+      |GROUP BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q50_token_stats", q50, Some(q50Sql)),
     QueryDef("q51_quality_score", q51, Some(q51Sql)),
@@ -1871,6 +1915,8 @@ object TextQueries {
     QueryDef("q121_span_removal", q121, Some(q121Sql)),
     QueryDef("q122_kn_perplexity", q122, Some(q122Sql)),
     QueryDef("q123_chunk_windows", q123, Some(q123Sql)),
-    QueryDef("q124_distill_classifier", q124, Some(q124Sql))
+    QueryDef("q124_distill_classifier", q124, Some(q124Sql)),
+    QueryDef("q125_token_budget", q125, Some(q125Sql)),
+    QueryDef("q126_pack_curriculum", q126, Some(q126Sql))
   )
 }

@@ -97,6 +97,67 @@ class CurateOpsSpec extends AnyFunSuite {
            s"scrambled doc must carry higher KN perplexity: $out")
   }
 
+  // ---- selectUnderBudget ----------------------------------------------
+
+  test("budget selection keeps the greedy quality prefix, exact rank and cumsum") {
+    // quality_score = stop_ratio/2 + avg_token_len/20: doc 1 (all
+    // stopwords) ranks first, doc 3 (long words) next, doc 2 last.
+    val docs = Seq(
+      (1L, "the a and of is"),
+      (2L, "zz yy xx"),
+      (3L, "marvelous extraordinary considerations")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.selectUnderBudget(docs, "doc_id", "text", budgetTokens = 8L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out(1L) == ((1L, 5L, 1L)), s"doc 1 first, 5 tokens, kept: $out")
+    assert(out(3L) == ((2L, 8L, 1L)), s"doc 3 second, cum 8, kept: $out")
+    assert(out(2L) == ((3L, 11L, 0L)), s"doc 2 last, over budget: $out")
+  }
+
+  test("budget prefix is the contract: a later smaller doc does not sneak in") {
+    // rank order by quality; the 10-token doc overflows the budget and
+    // the lower-ranked 1-token doc must NOT be selected even though it
+    // would fit.
+    val docs = Seq(
+      (1L, "the the the the the the the the the the"), // 10 stopword tokens, top score
+      (2L, "the a and of is the a and of is"),         // 10 tokens, same-ish high score
+      (3L, "zz")                                       // 1 token, lowest score
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.selectUnderBudget(docs, "doc_id", "text", budgetTokens = 12L)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(5)))
+    val sel = out.filter(_._3 == 1L).map(_._1).toSet
+    val ranks = out.map(t => t._1 -> t._2).toMap
+    assert(ranks(3L) == 3L, "lowest-score doc ranks last")
+    assert(!sel.contains(3L), "prefix semantics: the small late doc stays out")
+    assert(sel.size == 1, s"only the top doc fits 12 tokens: $out")
+  }
+
+  // ---- packCurriculum --------------------------------------------------
+
+  test("pack curriculum aggregates exact surprisal mass per pack and bands it") {
+    val docs = Seq(
+      (1L, "aa aa aa aa"),          // common tokens -> low surprisal
+      (2L, "aa aa aa bb"),
+      (3L, "qq ww ee rr")           // singletons -> high surprisal
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.packCurriculum(docs, "doc_id", "text")
+    val rows = out.collect()
+    // per-pack token mass equals the member docs' token counts
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == 12L)
+    // difficulty = sum_e3 / tokens, band = floor(difficulty/250)
+    rows.foreach { r =>
+      val d = r.getAs[Double]("difficulty_e3")
+      assert(math.abs(d - r.getAs[Long]("sum_surprisal_e3").toDouble /
+                          r.getAs[Long]("n_tokens")) < 1e-3)
+      assert(r.getAs[Long]("band") == math.floor(d / 250).toLong)
+    }
+    // the independent lmSurprisal ledger reproduces each pack's sums
+    val perDoc = TextAnalysis.lmSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows.map(_.getAs[Long]("sum_surprisal_e3")).sum == perDoc.values.sum)
+  }
+
   // ---- chunkDocuments --------------------------------------------------
 
   test("chunker tiles with the contracted overlap; last chunk short; no suffix-only chunk") {
