@@ -101,6 +101,35 @@ object Multimodal {
               col("img.mean_b").as("mean_b"))
   }
 
+  /** IMAGE PERCEPTUAL DEDUP — the dedup family crossed into the image
+    * modality: cluster images by average-hash
+    * ([[graft.plans.ImageAhash]] — decode, integer-luminance threshold
+    * against the image mean, bit per pixel), the perceptual
+    * fingerprint that survives uniform brightness shifts and
+    * re-encoding, where byte-level md5 sees distinct files. One row
+    * per DECODABLE image: (doc_id, ahash, cluster_id = min doc id
+    * sharing the hash, n_cluster, is_keeper) — the exact-dedup ledger
+    * shape (q54) keyed on the perceptual hash instead of the content
+    * hash. Undecodable payloads are skipped, not fabricated
+    * (the decode family's contract).
+    *
+    * Scale shape: hashing is a native expression inside whole-stage
+    * codegen (pure map over the corpus); clustering is ONE keyed
+    * groupBy(ahash) + a keyed join back — the q54 plan. At production
+    * image sizes a resize-to-8×8 stage precedes the hash (the aHash
+    * recipe); the 4×4 synthetic path is the oracle-verified core. */
+  def imagePerceptualDedup(media: DataFrame): DataFrame = {
+    GraftFunctions.register(media.sparkSession)
+    val hashed = media
+      .select(col("doc_id"), call_function("image_ahash", col("media")).as("ahash"))
+      .filter(col("ahash").isNotNull)
+    val clusters = hashed.groupBy(col("ahash"))
+      .agg(min(col("doc_id")).as("cluster_id"), count(lit(1)).as("n_cluster"))
+    hashed.join(clusters, Seq("ahash"))
+      .select(col("doc_id"), col("ahash"), col("cluster_id"), col("n_cluster"),
+              (col("doc_id") === col("cluster_id")).cast("long").as("is_keeper"))
+  }
+
   /** Synthesize a REAL audio table: one 16-bit PCM mono WAV per input
     * row ([[graft.plans.GenWav]]), sample t of clip `id` carrying
     * `((id·31 + t·7919) mod 2048) − 1024` — genuine codec bytes

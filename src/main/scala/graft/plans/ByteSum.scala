@@ -153,6 +153,7 @@ object GraftFunctions {
     "gen_bmp" -> (exprs => GenBmp(exprs.head,
       intLit(exprs(1), "gen_bmp width"), intLit(exprs(2), "gen_bmp height"))),
     "decode_image" -> (exprs => DecodeImage(exprs.head)),
+    "image_ahash" -> (exprs => ImageAhash(exprs.head)),
     "gen_wav" -> (exprs => GenWav(exprs.head,
       intLit(exprs(1), "gen_wav samples"), intLit(exprs(2), "gen_wav rate"))),
     "decode_audio" -> (exprs => DecodeAudio(exprs.head)),

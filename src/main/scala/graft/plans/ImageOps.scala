@@ -168,3 +168,76 @@ object DecodeImage {
     new GenericInternalRow(Array[Any](w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
   }
 }
+
+/** Average-hash (aHash) perceptual fingerprint: decode the payload,
+  * threshold each pixel's integer luminance (r+g+b) against the image
+  * mean, pack the bits into a long (bit i = x + y·width, decoded
+  * orientation). The integer-only compare `lum·n > total` avoids the
+  * division a float mean would need, so a SQL oracle replays the hash
+  * exactly from the pixel formula. Null for undecodable payloads and
+  * for images with more than 63 pixels (the hash must fit a signed
+  * long — production-size images are first resized to the 8×8 aHash
+  * grid by a resize stage, out of scope for the 4×4 synthetic path
+  * verified here). */
+case class ImageAhash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"image_ahash requires BINARY input, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_ahash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ImageAhash.ahash(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("ahash")
+      s"""
+      java.lang.Long $boxed = graft.plans.ImageAhash.ahash($c);
+      ${ev.isNull} = ($boxed == null);
+      ${ev.value} = ${ev.isNull} ? -1L : $boxed.longValue();
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ImageAhash =
+    copy(child = newChild)
+}
+
+object ImageAhash {
+  /** Static helper invoked from generated code. */
+  def ahash(bytes: Array[Byte]): java.lang.Long = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w.toLong * h > 63) return null
+    val n = w * h
+    val lums = new Array[Long](n)
+    var tot = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val l = (((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) + (rgb & 0xff)).toLong
+        lums(y * w + x) = l
+        tot += l
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < n) {
+      if (lums(i) * n > tot) bits |= 1L << i
+      i += 1
+    }
+    java.lang.Long.valueOf(bits)
+  }
+}

@@ -111,10 +111,51 @@ object MultimodalQueries {
       |       AS BIGINT) AS zero_cross
       |FROM w GROUP BY doc_id""".stripMargin
 
+  /** q127 — image perceptual dedup ([[Multimodal.imagePerceptualDedup]]):
+    * the q54 exact-dedup ledger keyed on the average-hash perceptual
+    * fingerprint of REAL decoded BMP pixels. The oracle replays the
+    * whole chain arithmetically: the bottom-up BMP storage means the
+    * decoder's image row y holds the generator's storage row 3−y, the
+    * luminance threshold is the division-free integer compare
+    * lum·16 > total, and the hash packs bit x + 4y — so DuckDB
+    * predicts every 16-bit hash, cluster, and keeper flag exactly. */
+  private def q127(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imagePerceptualDedup(
+      Multimodal.imageTable(t(s, dir, "documents"), "doc_id"))
+
+  private val q127Sql =
+    """WITH px AS (
+      |  SELECT d.doc_id, g.x, g.y,
+      |         ((d.doc_id * 31 + 7 * g.x + 13 * (3 - g.y)) % 256 + 256) % 256 AS b
+      |  FROM documents d
+      |  CROSS JOIN (
+      |    SELECT xs.x, ys.y
+      |    FROM (SELECT unnest(generate_series(0, 3)) AS x) xs,
+      |         (SELECT unnest(generate_series(0, 3)) AS y) ys) g),
+      |lum AS (
+      |  SELECT doc_id, x, y,
+      |         ((b + 170) % 256) + ((b + 85) % 256) + b AS l
+      |  FROM px),
+      |tot AS (SELECT doc_id, sum(l) AS t FROM lum GROUP BY 1),
+      |hs AS (
+      |  SELECT lum.doc_id,
+      |         CAST(sum(CASE WHEN l * 16 > t
+      |                  THEN CAST(1 AS BIGINT) << (y * 4 + x) ELSE 0 END)
+      |              AS BIGINT) AS ahash
+      |  FROM lum JOIN tot USING (doc_id) GROUP BY 1),
+      |cl AS (SELECT ahash, min(doc_id) AS cluster_id, count(*) AS n_cluster
+      |       FROM hs GROUP BY 1)
+      |SELECT hs.doc_id, hs.ahash, cl.cluster_id,
+      |       CAST(cl.n_cluster AS BIGINT) AS n_cluster,
+      |       CAST(CASE WHEN hs.doc_id = cl.cluster_id THEN 1 ELSE 0 END AS BIGINT)
+      |         AS is_keeper
+      |FROM hs JOIN cl USING (ahash)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q61_media_meta", q61, Some(q61Sql)),
     QueryDef("q62_frame_features", q62, Some(q62Sql)),
     QueryDef("q63_image_decode", q63, Some(q63Sql)),
-    QueryDef("q71_audio_decode", q71, Some(q71Sql))
+    QueryDef("q71_audio_decode", q71, Some(q71Sql)),
+    QueryDef("q127_image_phash_dedup", q127, Some(q127Sql))
   )
 }

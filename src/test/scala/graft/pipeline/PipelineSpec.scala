@@ -2015,6 +2015,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.head.isNullAt(0), "garbage bytes should decode to null")
   }
 
+  test("image_ahash: by-hand bit replay; perceptual dedup clusters identical pixels") {
+    graft.plans.GraftFunctions.register(spark)
+    // ids i and i+256 render IDENTICAL pixels (id·31 mod 256 wraps), so
+    // they must share an ahash and cluster with keeper = the smaller id
+    val ids = Seq(1L, 257L, 2L).toDF("doc_id")
+    val out = Multimodal.imagePerceptualDedup(Multimodal.imageTable(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set(1L, 257L, 2L), "every decodable image emits a row")
+    assert(out(1L)._1 == out(257L)._1, "identical pixels -> identical ahash")
+    assert(out(1L)._2 == 1L && out(257L)._2 == 1L, "cluster keeper = min id")
+    assert(out(1L)._3 == 2L && out(1L)._4 == 1L && out(257L)._4 == 0L)
+    // by-hand replay: decoded image row y holds generator storage row 3-y
+    // (bottom-up BMP), luminance threshold is the integer compare
+    for (id <- Seq(1L, 2L)) {
+      val lums = for { y <- 0 until 4; x <- 0 until 4 } yield {
+        val b = java.lang.Math.floorMod(id * 31 + 7 * x + 13 * (3 - y), 256L).toInt
+        (b + ((b + 85) % 256) + ((b + 170) % 256)).toLong
+      }
+      val tot = lums.sum
+      val want = lums.zipWithIndex
+        .collect { case (l, i) if l * 16 > tot => 1L << i }.sum
+      assert(out(id)._1 == want, s"ahash mismatch for id=$id")
+    }
+    // garbage bytes are skipped, not fabricated
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
+    assert(Multimodal.imagePerceptualDedup(junk).count() == 0)
+  }
+
   test("gen_wav emits genuine codec bytes: javax.sound.sampled decodes them directly") {
     // the synthesized payload must be a REAL WAV, not wav-shaped bytes —
     // prove it by decoding on the driver with the JDK API alone
