@@ -116,8 +116,9 @@ object Multimodal {
     * Scale shape: hashing is a native expression inside whole-stage
     * codegen (pure map over the corpus); clustering is ONE keyed
     * groupBy(ahash) + a keyed join back — the q54 plan. At production
-    * image sizes a resize-to-8×8 stage precedes the hash (the aHash
-    * recipe); the 4×4 synthetic path is the oracle-verified core. */
+    * image sizes [[resizeImages]] precedes the hash (the aHash
+    * recipe — q128 verifies the chain); the 4×4 synthetic path is the
+    * oracle-verified core. */
   def imagePerceptualDedup(media: DataFrame): DataFrame = {
     GraftFunctions.register(media.sparkSession)
     val hashed = media
@@ -128,6 +129,25 @@ object Multimodal {
     hashed.join(clusters, Seq("ahash"))
       .select(col("doc_id"), col("ahash"), col("cluster_id"), col("n_cluster"),
               (col("doc_id") === col("cluster_id")).cast("long").as("is_keeper"))
+  }
+
+  /** IMAGE RESIZE — box-filter downsample as a media→media transform
+    * ([[graft.plans.ImageResize]]): integer per-channel box means,
+    * re-encoded as BMP bytes so the result feeds [[decodeImage]] /
+    * [[imagePerceptualDedup]] unchanged (resize-then-hash is the aHash
+    * recipe for production-size images). Pure map-side native
+    * expression; undecodable or would-be-upscaled payloads null out
+    * and downstream decode stages skip them. */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    GraftFunctions.register(media.sparkSession)
+    val resized = call_function("image_resize", col("media"), lit(w), lit(h))
+    media.select(
+      col("doc_id"),
+      resized.as("media"),
+      struct(
+        col("meta.mime").as("mime"),
+        length(resized).cast("long").as("n_bytes"),
+        col("meta.n_frames").as("n_frames")).as("meta"))
   }
 
   /** Synthesize a REAL audio table: one 16-bit PCM mono WAV per input

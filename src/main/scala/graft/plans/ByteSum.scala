@@ -154,6 +154,8 @@ object GraftFunctions {
       intLit(exprs(1), "gen_bmp width"), intLit(exprs(2), "gen_bmp height"))),
     "decode_image" -> (exprs => DecodeImage(exprs.head)),
     "image_ahash" -> (exprs => ImageAhash(exprs.head)),
+    "image_resize" -> (exprs => ImageResize(exprs.head,
+      intLit(exprs(1), "image_resize width"), intLit(exprs(2), "image_resize height"))),
     "gen_wav" -> (exprs => GenWav(exprs.head,
       intLit(exprs(1), "gen_wav samples"), intLit(exprs(2), "gen_wav rate"))),
     "decode_audio" -> (exprs => DecodeAudio(exprs.head)),

@@ -176,9 +176,8 @@ object DecodeImage {
   * division a float mean would need, so a SQL oracle replays the hash
   * exactly from the pixel formula. Null for undecodable payloads and
   * for images with more than 63 pixels (the hash must fit a signed
-  * long — production-size images are first resized to the 8×8 aHash
-  * grid by a resize stage, out of scope for the 4×4 synthetic path
-  * verified here). */
+  * long — production-size images first pass [[ImageResize]] down to
+  * the aHash grid; q128 verifies that chain end to end). */
 case class ImageAhash(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -239,5 +238,127 @@ object ImageAhash {
       i += 1
     }
     java.lang.Long.valueOf(bits)
+  }
+}
+
+/** Box-filter image downsample: decode the payload, partition the
+  * input grid into per-output-pixel boxes, take the INTEGER mean of
+  * each channel (sum div count — exact, division-free-rounding, so a
+  * SQL oracle replays every output pixel), and re-encode as a 24-bit
+  * BMP so the result composes with [[DecodeImage]] and [[ImageAhash]]
+  * (the resize-then-ahash chain production perceptual dedup runs on
+  * full-size images). Downscale only: null for undecodable payloads
+  * and when either output dimension exceeds the input. */
+case class ImageResize(child: Expression, outW: Int, outH: Int)
+    extends UnaryExpression {
+  require(outW >= 1 && outH >= 1 && outW * outH <= (1 << 20),
+          s"image_resize dimensions out of range: ${outW}x$outH")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"image_resize requires BINARY input, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_resize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ImageResize.resize(input.asInstanceOf[Array[Byte]], outW, outH)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.ImageResize.resize($c, $outW, $outH);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): ImageResize =
+    copy(child = newChild)
+}
+
+object ImageResize {
+  /** Static helper invoked from generated code. Output box for pixel
+    * (ox, oy) covers input columns [ox·inW/outW, (ox+1)·inW/outW) and
+    * rows likewise — the exact integer partition, every input pixel in
+    * exactly one box. */
+  def resize(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val inW = img.getWidth
+    val inH = img.getHeight
+    if (inW < outW || inH < outH) return null
+    val rgb = new Array[Int](outW * outH)
+    var oy = 0
+    while (oy < outH) {
+      val y0 = oy * inH / outH
+      val y1 = (oy + 1) * inH / outH
+      var ox = 0
+      while (ox < outW) {
+        val x0 = ox * inW / outW
+        val x1 = (ox + 1) * inW / outW
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.getRGB(x, y)
+            sr += (p >>> 16) & 0xff
+            sg += (p >>> 8) & 0xff
+            sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (y1 - y0).toLong * (x1 - x0)
+        rgb(oy * outW + ox) =
+          (((sr / n).toInt & 0xff) << 16) | (((sg / n).toInt & 0xff) << 8) |
+            ((sb / n).toInt & 0xff)
+        ox += 1
+      }
+      oy += 1
+    }
+    writeBmp(outW, outH, rgb)
+  }
+
+  /** Minimal 24bpp BMP writer for arbitrary pixels (the GenBmp header
+    * layout); rows stored bottom-up, so storage row s carries image
+    * row h−1−s and a round-trip through the decoder is orientation-
+    * exact. */
+  def writeBmp(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    val rowSize = (w * 3 + 3) & ~3
+    val dataSize = rowSize * h
+    val out = new Array[Byte](54 + dataSize)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte
+      out(off + 1) = (v >>> 8).toByte
+      out(off + 2) = (v >>> 16).toByte
+      out(off + 3) = (v >>> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, 54 + dataSize)
+    le32(10, 54)
+    le32(14, 40)
+    le32(18, w)
+    le32(22, h)
+    out(26) = 1
+    out(28) = 24
+    le32(34, dataSize)
+    var s = 0
+    while (s < h) {
+      val imgRow = h - 1 - s
+      val base = 54 + s * rowSize
+      var x = 0
+      while (x < w) {
+        val p = rgb(imgRow * w + x)
+        out(base + x * 3) = (p & 0xff).toByte
+        out(base + x * 3 + 1) = ((p >>> 8) & 0xff).toByte
+        out(base + x * 3 + 2) = ((p >>> 16) & 0xff).toByte
+        x += 1
+      }
+      s += 1
+    }
+    out
   }
 }

@@ -151,11 +151,63 @@ object MultimodalQueries {
       |         AS is_keeper
       |FROM hs JOIN cl USING (ahash)""".stripMargin
 
+  /** q128 — the resize→decode→hash chain ([[Multimodal.resizeImages]]):
+    * 4×4 BMPs box-downsampled to 2×2 by the native `image_resize`
+    * (integer per-channel box means, re-encoded as BMP), then decoded
+    * AND perceptually hashed in one projection. The oracle predicts
+    * every resized pixel ((Σ channel) // 4 over each 2×2 box of the
+    * orientation-corrected input formula), the channel means, and the
+    * 4-bit ahash — the full media→media→stats chain, arithmetic end
+    * to end. */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val rs = Multimodal.resizeImages(
+      Multimodal.imageTable(t(s, dir, "documents"), "doc_id"), 2, 2)
+    rs.select(col("doc_id"), col("meta.mime").as("mime"),
+              call_function("decode_image", col("media")).as("img"),
+              call_function("image_ahash", col("media")).as("ahash_small"))
+      .select(col("doc_id"), col("mime"),
+              col("img.width").as("width"), col("img.height").as("height"),
+              col("img.mean_r").as("mean_r"), col("img.mean_g").as("mean_g"),
+              col("img.mean_b").as("mean_b"), col("ahash_small"))
+  }
+
+  private val q128Sql =
+    """WITH pxi AS (
+      |  SELECT d.doc_id, g.x, g.y,
+      |         ((d.doc_id * 31 + 7 * g.x + 13 * (3 - g.y)) % 256 + 256) % 256 AS b
+      |  FROM documents d
+      |  CROSS JOIN (
+      |    SELECT xs.x, ys.y
+      |    FROM (SELECT unnest(generate_series(0, 3)) AS x) xs,
+      |         (SELECT unnest(generate_series(0, 3)) AS y) ys) g),
+      |chn AS (
+      |  SELECT doc_id, x, y, b, (b + 85) % 256 AS gg, (b + 170) % 256 AS r
+      |  FROM pxi),
+      |bx AS (
+      |  SELECT doc_id, x // 2 AS ox, y // 2 AS oy,
+      |         sum(r) // 4 AS r2, sum(gg) // 4 AS g2, sum(b) // 4 AS b2
+      |  FROM chn GROUP BY 1, 2, 3),
+      |tt AS (SELECT doc_id, sum(r2 + g2 + b2) AS t FROM bx GROUP BY 1),
+      |hs AS (
+      |  SELECT bx.doc_id,
+      |         CAST(sum(CASE WHEN (r2 + g2 + b2) * 4 > t
+      |                  THEN CAST(1 AS BIGINT) << (oy * 2 + ox) ELSE 0 END)
+      |              AS BIGINT) AS ahash_small
+      |  FROM bx JOIN tt USING (doc_id) GROUP BY 1),
+      |mn AS (
+      |  SELECT doc_id, avg(r2) AS mean_r, avg(g2) AS mean_g, avg(b2) AS mean_b
+      |  FROM bx GROUP BY 1)
+      |SELECT mn.doc_id, 'image/bmp' AS mime,
+      |       CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+      |       mn.mean_r, mn.mean_g, mn.mean_b, hs.ahash_small
+      |FROM mn JOIN hs USING (doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q61_media_meta", q61, Some(q61Sql)),
     QueryDef("q62_frame_features", q62, Some(q62Sql)),
     QueryDef("q63_image_decode", q63, Some(q63Sql)),
     QueryDef("q71_audio_decode", q71, Some(q71Sql)),
-    QueryDef("q127_image_phash_dedup", q127, Some(q127Sql))
+    QueryDef("q127_image_phash_dedup", q127, Some(q127Sql)),
+    QueryDef("q128_image_resize_chain", q128, Some(q128Sql))
   )
 }

@@ -2044,6 +2044,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.imagePerceptualDedup(junk).count() == 0)
   }
 
+  test("image_resize: integer box means, orientation-exact round-trip, upscale nulls") {
+    graft.plans.GraftFunctions.register(spark)
+    val ids = Seq(5L, 42L).toDF("doc_id")
+    val rs = Multimodal.resizeImages(Multimodal.imageTable(ids, "doc_id"), 2, 2)
+    val got = Multimodal.decodeImage(rs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    for (id <- Seq(5L, 42L)) {
+      // image-oriented input pixels (decoder flips the bottom-up BMP)
+      def bAt(x: Int, yImg: Int): Int =
+        java.lang.Math.floorMod(id * 31 + 7 * x + 13 * (3 - yImg), 256L).toInt
+      val boxes = for { oy <- 0 until 2; ox <- 0 until 2 } yield {
+        val ps = for { dy <- 0 until 2; dx <- 0 until 2 }
+          yield bAt(ox * 2 + dx, oy * 2 + dy)
+        (ps.map(v => (v + 170) % 256).sum / 4,
+         ps.map(v => (v + 85) % 256).sum / 4,
+         ps.sum / 4)
+      }
+      val (w, h, mr, mg, mb) = got(id)
+      assert(w == 2 && h == 2)
+      assert(mr == boxes.map(_._1).sum / 4.0, s"mean_r id=$id")
+      assert(mg == boxes.map(_._2).sum / 4.0, s"mean_g id=$id")
+      assert(mb == boxes.map(_._3).sum / 4.0, s"mean_b id=$id")
+    }
+    // downscale-only: resizing 4x4 up to 8x8 nulls out and decode skips
+    val up = Multimodal.resizeImages(Multimodal.imageTable(ids, "doc_id"), 8, 8)
+    assert(up.filter(col("media").isNotNull).count() == 0)
+  }
+
   test("gen_wav emits genuine codec bytes: javax.sound.sampled decodes them directly") {
     // the synthesized payload must be a REAL WAV, not wav-shaped bytes —
     // prove it by decoding on the driver with the JDK API alone
