@@ -150,6 +150,27 @@ object Multimodal {
         col("meta.n_frames").as("n_frames")).as("meta"))
   }
 
+  /** AUDIO PERCEPTUAL DEDUP — the ledger's third modality: cluster
+    * clips by the energy-contour fingerprint
+    * ([[graft.plans.AudioEnergyFp]] — per-frame integer energy, delta
+    * signs packed into a long), which survives volume scaling and
+    * re-encoding where byte-level md5 sees distinct files. Same
+    * (doc_id, fp, cluster_id, n_cluster, is_keeper) shape as
+    * [[imagePerceptualDedup]]; same q54 plan: native-expression map +
+    * one keyed groupBy + a keyed join back. */
+  def audioPerceptualDedup(media: DataFrame, frameSamples: Int = 16): DataFrame = {
+    GraftFunctions.register(media.sparkSession)
+    val hashed = media
+      .select(col("doc_id"),
+              call_function("audio_energy_fp", col("media"), lit(frameSamples)).as("fp"))
+      .filter(col("fp").isNotNull)
+    val clusters = hashed.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("cluster_id"), count(lit(1)).as("n_cluster"))
+    hashed.join(clusters, Seq("fp"))
+      .select(col("doc_id"), col("fp"), col("cluster_id"), col("n_cluster"),
+              (col("doc_id") === col("cluster_id")).cast("long").as("is_keeper"))
+  }
+
   /** Synthesize a REAL audio table: one 16-bit PCM mono WAV per input
     * row ([[graft.plans.GenWav]]), sample t of clip `id` carrying
     * `((id·31 + t·7919) mod 2048) − 1024` — genuine codec bytes

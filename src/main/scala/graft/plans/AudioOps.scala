@@ -193,3 +193,87 @@ object DecodeAudio {
     finally in.close()
   }
 }
+
+/** Energy-contour audio fingerprint: decode the PCM payload, take the
+  * integer ENERGY (Σ v²) of consecutive `frameSamples`-sample frames
+  * over the interleaved stream, and pack the frame-to-frame energy
+  * DELTA SIGNS into a long (bit k set iff E_{k+1} > E_k) — the
+  * landmark-free core of the published audio-fingerprint recipes
+  * (energy-difference sign bits survive volume scaling and re-encoding
+  * where byte hashes see distinct files; a strict > keeps the compare
+  * division-free and integer-exact, so a SQL oracle replays every bit
+  * from the sample formula). The tail partial frame is dropped; null
+  * for undecodable payloads and for clips whose contour exceeds 63
+  * delta bits (the hash must fit a signed long — longer clips are
+  * fingerprinted per-window upstream). */
+case class AudioEnergyFp(child: Expression, frameSamples: Int)
+    extends UnaryExpression {
+  require(frameSamples >= 1, "frameSamples must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"audio_energy_fp requires BINARY input, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_energy_fp"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AudioEnergyFp.fp(input.asInstanceOf[Array[Byte]], frameSamples)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("afp")
+      s"""
+      java.lang.Long $boxed = graft.plans.AudioEnergyFp.fp($c, $frameSamples);
+      ${ev.isNull} = ($boxed == null);
+      ${ev.value} = ${ev.isNull} ? -1L : $boxed.longValue();
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): AudioEnergyFp =
+    copy(child = newChild)
+}
+
+object AudioEnergyFp {
+  /** Static helper invoked from generated code (same PCM prelude as
+    * [[DecodeAudio.decode]]). */
+  def fp(bytes: Array[Byte], frameSamples: Int): java.lang.Long = {
+    val in =
+      try AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => return null }
+    try {
+      val f = in.getFormat
+      val bits = f.getSampleSizeInBits
+      if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+          (bits != 8 && bits != 16)) return null
+      val data = in.readAllBytes()
+      val bytesPer = bits / 8
+      val n = data.length / bytesPer
+      val nFrames = n / frameSamples
+      if (nFrames < 2 || nFrames - 1 > 63) return null
+      val energy = new Array[Long](nFrames)
+      var i = 0
+      while (i < nFrames * frameSamples) {
+        val v =
+          if (bits == 8) data(i).toInt
+          else {
+            val off = i * 2
+            if (f.isBigEndian) (data(off) << 8) | (data(off + 1) & 0xff)
+            else (data(off + 1) << 8) | (data(off) & 0xff)
+          }
+        energy(i / frameSamples) += v.toLong * v
+        i += 1
+      }
+      var bitsOut = 0L
+      var k = 0
+      while (k < nFrames - 1) {
+        if (energy(k + 1) > energy(k)) bitsOut |= 1L << k
+        k += 1
+      }
+      java.lang.Long.valueOf(bitsOut)
+    } catch { case _: Exception => null }
+    finally in.close()
+  }
+}

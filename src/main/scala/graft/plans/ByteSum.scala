@@ -159,6 +159,8 @@ object GraftFunctions {
     "gen_wav" -> (exprs => GenWav(exprs.head,
       intLit(exprs(1), "gen_wav samples"), intLit(exprs(2), "gen_wav rate"))),
     "decode_audio" -> (exprs => DecodeAudio(exprs.head)),
+    "audio_energy_fp" -> (exprs => AudioEnergyFp(exprs.head,
+      intLit(exprs(1), "audio_energy_fp frame samples"))),
     "minhash_sig" -> (exprs => MinhashSig.fromArgs(exprs)),
     "cdc_chunks" -> (exprs => CdcChunks.fromArgs(exprs)),
     "simhash16" -> (exprs => Simhash16(exprs.head)),

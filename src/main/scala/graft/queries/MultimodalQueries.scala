@@ -202,12 +202,49 @@ object MultimodalQueries {
       |       mn.mean_r, mn.mean_g, mn.mean_b, hs.ahash_small
       |FROM mn JOIN hs USING (doc_id)""".stripMargin
 
+  /** q129 — audio perceptual dedup ([[Multimodal.audioPerceptualDedup]]):
+    * the exact-dedup ledger keyed on the energy-contour fingerprint of
+    * REAL decoded PCM — 16-sample frames over the 256-sample clips
+    * give 16 integer energies and 15 delta-sign bits, every one
+    * predicted by the oracle from the q71 sample formula. */
+  private def q129(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioPerceptualDedup(
+      Multimodal.audioTable(t(s, dir, "documents"), "doc_id"))
+
+  private val q129Sql =
+    """WITH smp AS (
+      |  SELECT d.doc_id, g.t, g.t // 16 AS frame,
+      |         ((d.doc_id * 31 + g.t * 7919) % 2048 + 2048) % 2048 - 1024 AS v
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS t) g),
+      |en AS (
+      |  SELECT doc_id, frame, sum(v * v) AS e
+      |  FROM smp GROUP BY 1, 2),
+      |dl AS (
+      |  SELECT doc_id, frame,
+      |         lead(e) OVER (PARTITION BY doc_id ORDER BY frame) AS nxt, e
+      |  FROM en),
+      |fps AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN nxt > e
+      |                  THEN CAST(1 AS BIGINT) << frame ELSE 0 END)
+      |              AS BIGINT) AS fp
+      |  FROM dl WHERE nxt IS NOT NULL GROUP BY 1),
+      |cl AS (SELECT fp, min(doc_id) AS cluster_id, count(*) AS n_cluster
+      |       FROM fps GROUP BY 1)
+      |SELECT fps.doc_id, fps.fp, cl.cluster_id,
+      |       CAST(cl.n_cluster AS BIGINT) AS n_cluster,
+      |       CAST(CASE WHEN fps.doc_id = cl.cluster_id THEN 1 ELSE 0 END AS BIGINT)
+      |         AS is_keeper
+      |FROM fps JOIN cl USING (fp)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q61_media_meta", q61, Some(q61Sql)),
     QueryDef("q62_frame_features", q62, Some(q62Sql)),
     QueryDef("q63_image_decode", q63, Some(q63Sql)),
     QueryDef("q71_audio_decode", q71, Some(q71Sql)),
     QueryDef("q127_image_phash_dedup", q127, Some(q127Sql)),
-    QueryDef("q128_image_resize_chain", q128, Some(q128Sql))
+    QueryDef("q128_image_resize_chain", q128, Some(q128Sql)),
+    QueryDef("q129_audio_fp_dedup", q129, Some(q129Sql))
   )
 }

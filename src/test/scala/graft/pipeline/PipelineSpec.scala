@@ -2073,6 +2073,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(up.filter(col("media").isNotNull).count() == 0)
   }
 
+  test("audio_energy_fp: by-hand delta-sign replay; dedup clusters identical contours") {
+    graft.plans.GraftFunctions.register(spark)
+    val ids = Seq(3L, 7L).toDF("doc_id")
+    val out = Multimodal.audioPerceptualDedup(Multimodal.audioTable(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- Seq(3L, 7L)) {
+      val samples = (0 until 256).map(t =>
+        (java.lang.Math.floorMod(id * 31 + t * 7919L, 2048L) - 1024L))
+      val energies = samples.grouped(16).map(_.map(v => v * v).sum).toSeq
+      val want = energies.sliding(2).zipWithIndex
+        .collect { case (Seq(a, b), k) if b > a => 1L << k }.sum
+      assert(out(id) == want, s"fingerprint mismatch for id=$id")
+    }
+    // volume scaling preserves the contour: halving every sample (a
+    // quieter copy of the same clip) keeps all delta signs
+    val bytes = graft.plans.GenWav.wav(3L, 256, 8000)
+    val fpFull = graft.plans.AudioEnergyFp.fp(bytes, 16)
+    // synthesize the half-volume clip through the same WAV writer path
+    val half = {
+      val data = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes)).readAllBytes()
+      val out2 = bytes.clone()
+      var i = 0
+      while (i < data.length / 2) {
+        val v = (((data(i * 2 + 1) << 8) | (data(i * 2) & 0xff)).toShort / 2).toShort
+        out2(44 + i * 2) = (v & 0xff).toByte
+        out2(44 + i * 2 + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      out2
+    }
+    assert(graft.plans.AudioEnergyFp.fp(half, 16) == fpFull,
+           "half-volume copy must keep the energy contour")
+    // garbage bytes skipped
+    val junk = Seq((9L, Array[Byte](0, 1, 2))).toDF("doc_id", "media")
+    assert(Multimodal.audioPerceptualDedup(junk).count() == 0)
+  }
+
   test("gen_wav emits genuine codec bytes: javax.sound.sampled decodes them directly") {
     // the synthesized payload must be a REAL WAV, not wav-shaped bytes —
     // prove it by decoding on the driver with the JDK API alone
