@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * is real too ([[decodeImage]] over the JDK's `javax.imageio`
   * PNG/BMP/GIF/JPEG readers — zero added dependencies), and so is
   * AUDIO decode ([[decodeAudio]] over the JDK's `javax.sound.sampled`
-  * WAV/PCM readers); video codecs genuinely aren't in this
-  * environment, so [[decodeStub]] remains as the marked stand-in for
-  * that modality only.
+  * WAV/PCM readers), and — since r11 — VIDEO decode ([[decodeVideo]]
+  * over multi-frame animated GIF, the one frame-sequence container
+  * the JDK both writes and reads; the former [[decodeStub]] is
+  * retained only as the generic unknown-codec fallback).
   *
   * Scale: media rows never leave executors; frame sampling is a
   * flatMap (`explode(sequence(...))`), features are codegen'd
@@ -169,6 +170,70 @@ object Multimodal {
     hashed.join(clusters, Seq("fp"))
       .select(col("doc_id"), col("fp"), col("cluster_id"), col("n_cluster"),
               (col("doc_id") === col("cluster_id")).cast("long").as("is_keeper"))
+  }
+
+  /** Synthesize a REAL video table: one multi-frame animated GIF per
+    * input row ([[graft.plans.GenGif]] — the frame-sequence container
+    * the JDK both writes and reads; exact-palette indexed frames make
+    * the LZW encoding LOSSLESS, so decoded pixels are predictable
+    * arithmetic). Frame f extends the BMP pixel formula along the time
+    * axis (+17f). */
+  def videoTable(docs: DataFrame, idCol: String, w: Int = 4, h: Int = 4,
+                 nFrames: Int = 4): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val media = call_function("gen_gif", col(idCol), lit(w), lit(h), lit(nFrames))
+    docs.select(
+      col(idCol).as("doc_id"),
+      media.as("media"),
+      struct(
+        lit("video/gif").as("mime"),
+        length(media).cast("long").as("n_bytes"),
+        lit(nFrames.toLong).as("n_frames")).as("meta"))
+  }
+
+  /** REAL video decode ([[graft.plans.DecodeVideo]]) — the modality's
+    * declared stub, RETIRED: every stored frame decoded through the
+    * JDK's GIF reader and reduced to per-channel means, exploded to
+    * one row per (video, frame). Undecodable payloads are skipped, not
+    * fabricated. Pure map-side: a native expression + explode, zero
+    * shuffles at any corpus size. */
+  def decodeVideo(media: DataFrame): DataFrame = {
+    GraftFunctions.register(media.sparkSession)
+    media
+      .select(col("doc_id"), col("meta.mime").as("mime"),
+              explode(call_function("decode_video", col("media"))).as("fr"))
+      .select(col("doc_id"), col("mime"),
+              col("fr.frame_idx").as("frame_idx"),
+              col("fr.width").as("width"), col("fr.height").as("height"),
+              col("fr.mean_r").as("mean_r"), col("fr.mean_g").as("mean_g"),
+              col("fr.mean_b").as("mean_b"))
+  }
+
+  /** VIDEO TEMPORAL PROFILE — frame-to-frame change statistics over
+    * [[decodeVideo]]'s per-frame means: the per-transition L1 delta of
+    * the channel means and a cut flag at `cutThreshold` — the
+    * scene-change signal a video curation pipeline keys frame
+    * sampling on (sample densely around cuts, sparsely inside static
+    * scenes). One row per (video, transition), frame_idx ≥ 1.
+    *
+    * Scale shape: decode is map-side; the lag window is keyed BY VIDEO
+    * (frames-per-video-sized partitions — never a global window). The
+    * means are exact k/(w·h) doubles, so deltas and the flag replay
+    * exactly in any engine. */
+  def videoSceneStats(media: DataFrame, cutThreshold: Double = 100.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    decodeVideo(media)
+      .select(col("doc_id"), col("frame_idx"),
+              col("mean_r"), col("mean_g"), col("mean_b"))
+      .select(col("doc_id"), col("frame_idx"),
+              (abs(col("mean_r") - lag(col("mean_r"), 1).over(w)) +
+               abs(col("mean_g") - lag(col("mean_g"), 1).over(w)) +
+               abs(col("mean_b") - lag(col("mean_b"), 1).over(w))).as("delta"))
+      .filter(col("delta").isNotNull)
+      .select(col("doc_id"), col("frame_idx"),
+              round(col("delta"), 6).as("delta"),
+              (col("delta") > cutThreshold).cast("long").as("scene_cut"))
   }
 
   /** Synthesize a REAL audio table: one 16-bit PCM mono WAV per input

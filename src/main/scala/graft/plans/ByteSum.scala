@@ -161,6 +161,10 @@ object GraftFunctions {
     "decode_audio" -> (exprs => DecodeAudio(exprs.head)),
     "audio_energy_fp" -> (exprs => AudioEnergyFp(exprs.head,
       intLit(exprs(1), "audio_energy_fp frame samples"))),
+    "gen_gif" -> (exprs => GenGif(exprs.head,
+      intLit(exprs(1), "gen_gif width"), intLit(exprs(2), "gen_gif height"),
+      intLit(exprs(3), "gen_gif frames"))),
+    "decode_video" -> (exprs => DecodeVideo(exprs.head)),
     "minhash_sig" -> (exprs => MinhashSig.fromArgs(exprs)),
     "cdc_chunks" -> (exprs => CdcChunks.fromArgs(exprs)),
     "simhash16" -> (exprs => Simhash16(exprs.head)),

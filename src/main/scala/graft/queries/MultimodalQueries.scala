@@ -238,6 +238,66 @@ object MultimodalQueries {
       |         AS is_keeper
       |FROM fps JOIN cl USING (fp)""".stripMargin
 
+  /** q130 — REAL video decode ([[Multimodal.decodeVideo]]): the
+    * modality's declared stub retired. gen_gif synthesizes genuine
+    * multi-frame animated GIFs (exact-palette indexed frames →
+    * lossless LZW; interlace disabled — the JDK writer's default
+    * interlacing does not round-trip at small heights), decode_video
+    * walks every stored frame through the JDK's GIF reader. The
+    * oracle predicts every per-frame channel mean from the
+    * time-extended pixel formula. */
+  private def q130(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeVideo(Multimodal.videoTable(t(s, dir, "documents"), "doc_id"))
+
+  private val q130Sql =
+    """WITH vpx AS (
+      |  SELECT d.doc_id, fs.f, g.x, g.y,
+      |         ((d.doc_id * 31 + 7 * g.x + 13 * g.y + 17 * fs.f) % 256 + 256) % 256 AS b
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS f) fs
+      |  CROSS JOIN (
+      |    SELECT xs.x, ys.y
+      |    FROM (SELECT unnest(generate_series(0, 3)) AS x) xs,
+      |         (SELECT unnest(generate_series(0, 3)) AS y) ys) g)
+      |SELECT doc_id, 'video/gif' AS mime, CAST(f AS INTEGER) AS frame_idx,
+      |       CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+      |       avg((b + 170) % 256) AS mean_r,
+      |       avg((b + 85) % 256) AS mean_g,
+      |       avg(b) AS mean_b
+      |FROM vpx GROUP BY doc_id, f""".stripMargin
+
+  /** q131 — video temporal profile ([[Multimodal.videoSceneStats]]):
+    * per-transition L1 delta of the decoded channel means + the
+    * scene-cut flag at 100 (the corpus's deltas span 35..113 with 14%
+    * above — both branches fire). Means are exact k/16 doubles, so
+    * the deltas replay exactly. */
+  private def q131(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoSceneStats(Multimodal.videoTable(t(s, dir, "documents"), "doc_id"))
+
+  private val q131Sql =
+    """WITH vpx AS (
+      |  SELECT d.doc_id, fs.f, g.x, g.y,
+      |         ((d.doc_id * 31 + 7 * g.x + 13 * g.y + 17 * fs.f) % 256 + 256) % 256 AS b
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS f) fs
+      |  CROSS JOIN (
+      |    SELECT xs.x, ys.y
+      |    FROM (SELECT unnest(generate_series(0, 3)) AS x) xs,
+      |         (SELECT unnest(generate_series(0, 3)) AS y) ys) g),
+      |fm AS (
+      |  SELECT doc_id, f,
+      |         avg((b + 170) % 256) AS mr, avg((b + 85) % 256) AS mg, avg(b) AS mb
+      |  FROM vpx GROUP BY 1, 2),
+      |dl AS (
+      |  SELECT doc_id, f AS frame_idx,
+      |         abs(mr - lag(mr) OVER w) + abs(mg - lag(mg) OVER w)
+      |           + abs(mb - lag(mb) OVER w) AS delta
+      |  FROM fm WINDOW w AS (PARTITION BY doc_id ORDER BY f))
+      |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+      |       round(delta, 6) AS delta,
+      |       CAST(CASE WHEN delta > 100.0 THEN 1 ELSE 0 END AS BIGINT) AS scene_cut
+      |FROM dl WHERE delta IS NOT NULL""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q61_media_meta", q61, Some(q61Sql)),
     QueryDef("q62_frame_features", q62, Some(q62Sql)),
@@ -245,6 +305,8 @@ object MultimodalQueries {
     QueryDef("q71_audio_decode", q71, Some(q71Sql)),
     QueryDef("q127_image_phash_dedup", q127, Some(q127Sql)),
     QueryDef("q128_image_resize_chain", q128, Some(q128Sql)),
-    QueryDef("q129_audio_fp_dedup", q129, Some(q129Sql))
+    QueryDef("q129_audio_fp_dedup", q129, Some(q129Sql)),
+    QueryDef("q130_video_decode", q130, Some(q130Sql)),
+    QueryDef("q131_video_scene_stats", q131, Some(q131Sql))
   )
 }

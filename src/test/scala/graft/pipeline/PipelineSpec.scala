@@ -2111,6 +2111,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.audioPerceptualDedup(junk).count() == 0)
   }
 
+  test("gen_gif/decode_video: lossless frame sequence, exact per-frame means end-to-end") {
+    graft.plans.GraftFunctions.register(spark)
+    // the exact-palette indexed write makes GIF LZW lossless: every
+    // decoded frame mean must EQUAL the formula prediction (k/16)
+    val ids = Seq(0L, 42L).toDF("doc_id")
+    val got = Multimodal.decodeVideo(Multimodal.videoTable(ids, "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(2)) ->
+        ((r.getInt(3), r.getInt(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    assert(got.size == 8, "2 videos x 4 frames")
+    for (id <- Seq(0L, 42L); f <- 0 until 4) {
+      val px = for { y <- 0 until 4; x <- 0 until 4 }
+        yield java.lang.Math.floorMod(id * 31 + 7 * x + 13 * y + 17 * f, 256L).toInt
+      val (w, h, mr, mg, mb) = got((id, f))
+      assert(w == 4 && h == 4)
+      assert(mr == px.map(v => (v + 170) % 256).sum / 16.0, s"mean_r id=$id f=$f")
+      assert(mg == px.map(v => (v + 85) % 256).sum / 16.0, s"mean_g id=$id f=$f")
+      assert(mb == px.sum / 16.0, s"mean_b id=$id f=$f")
+    }
+    // the payload is a genuine GIF: the JDK sniffs and reads it back
+    val bytes = graft.plans.GenGif.gif(7L, 4, 4, 3)
+    assert(bytes.take(6).map(_.toChar).mkString.startsWith("GIF8"))
+    val arr = graft.plans.DecodeVideo.decode(bytes)
+    assert(arr != null && arr.numElements() == 3, "3 stored frames read back")
+    // garbage bytes are skipped, not fabricated
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
+      .select(col("doc_id"), col("media"),
+              struct(lit("video/gif").as("mime")).as("meta"))
+    assert(Multimodal.decodeVideo(junk).count() == 0)
+  }
+
   test("gen_wav emits genuine codec bytes: javax.sound.sampled decodes them directly") {
     // the synthesized payload must be a REAL WAV, not wav-shaped bytes —
     // prove it by decoding on the driver with the JDK API alone
