@@ -236,6 +236,37 @@ object Multimodal {
               (col("delta") > cutThreshold).cast("long").as("scene_cut"))
   }
 
+  /** VIDEO PERCEPTUAL DEDUP — the fourth modality of the ledger, and a
+    * pure COMPOSITION: the fingerprint is the luminance-contour delta
+    * signs over [[graft.plans.DecodeVideo]]'s frame array, computed
+    * entirely with higher-order array functions on the decode output
+    * (no new native code — the audio recipe applied to the frame
+    * axis). Frame luminance = mean_r + mean_g + mean_b (exact k/(w·h)
+    * doubles), bit k set iff lum(k+1) > lum(k); same
+    * (doc_id, fp, cluster_id, n_cluster, is_keeper) ledger, same q54
+    * plan. Videos with < 2 decodable frames (or undecodable bytes)
+    * are skipped. */
+  def videoPerceptualDedup(media: DataFrame): DataFrame = {
+    GraftFunctions.register(media.sparkSession)
+    val lum = transform(call_function("decode_video", col("media")), f =>
+      f.getField("mean_r") + f.getField("mean_g") + f.getField("mean_b"))
+    val hashed = media
+      .select(col("doc_id"), lum.as("lum"))
+      .filter(size(col("lum")) >= 2)
+      .select(col("doc_id"),
+        aggregate(sequence(lit(1), size(col("lum")) - 1), lit(0L),
+          (acc, k) => acc + when(element_at(col("lum"), k + 1) >
+                                 element_at(col("lum"), k),
+                                 call_function("shiftleft", lit(1L),
+                                               (k - 1).cast("int")))
+                            .otherwise(lit(0L))).as("fp"))
+    val clusters = hashed.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("cluster_id"), count(lit(1)).as("n_cluster"))
+    hashed.join(clusters, Seq("fp"))
+      .select(col("doc_id"), col("fp"), col("cluster_id"), col("n_cluster"),
+              (col("doc_id") === col("cluster_id")).cast("long").as("is_keeper"))
+  }
+
   /** Synthesize a REAL audio table: one 16-bit PCM mono WAV per input
     * row ([[graft.plans.GenWav]]), sample t of clip `id` carrying
     * `((id·31 + t·7919) mod 2048) − 1024` — genuine codec bytes

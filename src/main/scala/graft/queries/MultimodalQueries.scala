@@ -298,6 +298,45 @@ object MultimodalQueries {
       |       CAST(CASE WHEN delta > 100.0 THEN 1 ELSE 0 END AS BIGINT) AS scene_cut
       |FROM dl WHERE delta IS NOT NULL""".stripMargin
 
+  /** q132 — video perceptual dedup ([[Multimodal.videoPerceptualDedup]]):
+    * the ledger's fourth modality, fingerprint = luminance-contour
+    * delta signs over the decoded frame array — a pure higher-order-
+    * array composition on decode_video's output. Oracle replays frame
+    * luminances (exact k/16 sums) and the lead-compare bits. */
+  private def q132(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoPerceptualDedup(
+      Multimodal.videoTable(t(s, dir, "documents"), "doc_id"))
+
+  private val q132Sql =
+    """WITH vpx AS (
+      |  SELECT d.doc_id, fs.f, g.x, g.y,
+      |         ((d.doc_id * 31 + 7 * g.x + 13 * g.y + 17 * fs.f) % 256 + 256) % 256 AS b
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS f) fs
+      |  CROSS JOIN (
+      |    SELECT xs.x, ys.y
+      |    FROM (SELECT unnest(generate_series(0, 3)) AS x) xs,
+      |         (SELECT unnest(generate_series(0, 3)) AS y) ys) g),
+      |fl AS (
+      |  SELECT doc_id, f,
+      |         avg((b + 170) % 256) + avg((b + 85) % 256) + avg(b) AS lum
+      |  FROM vpx GROUP BY 1, 2),
+      |dv AS (
+      |  SELECT doc_id, f, lead(lum) OVER w AS nxt, lum
+      |  FROM fl WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+      |vfps AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN nxt > lum
+      |                  THEN CAST(1 AS BIGINT) << f ELSE 0 END) AS BIGINT) AS fp
+      |  FROM dv WHERE nxt IS NOT NULL GROUP BY 1),
+      |vcl AS (SELECT fp, min(doc_id) AS cluster_id, count(*) AS n_cluster
+      |        FROM vfps GROUP BY 1)
+      |SELECT vfps.doc_id, vfps.fp, vcl.cluster_id,
+      |       CAST(vcl.n_cluster AS BIGINT) AS n_cluster,
+      |       CAST(CASE WHEN vfps.doc_id = vcl.cluster_id THEN 1 ELSE 0 END AS BIGINT)
+      |         AS is_keeper
+      |FROM vfps JOIN vcl USING (fp)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q61_media_meta", q61, Some(q61Sql)),
     QueryDef("q62_frame_features", q62, Some(q62Sql)),
@@ -307,6 +346,7 @@ object MultimodalQueries {
     QueryDef("q128_image_resize_chain", q128, Some(q128Sql)),
     QueryDef("q129_audio_fp_dedup", q129, Some(q129Sql)),
     QueryDef("q130_video_decode", q130, Some(q130Sql)),
-    QueryDef("q131_video_scene_stats", q131, Some(q131Sql))
+    QueryDef("q131_video_scene_stats", q131, Some(q131Sql)),
+    QueryDef("q132_video_fp_dedup", q132, Some(q132Sql))
   )
 }

@@ -2141,6 +2141,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeVideo(junk).count() == 0)
   }
 
+  test("video perceptual dedup: luminance-contour bits match a by-hand replay") {
+    graft.plans.GraftFunctions.register(spark)
+    val ids = Seq(11L, 12L).toDF("doc_id")
+    val out = Multimodal.videoPerceptualDedup(Multimodal.videoTable(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- Seq(11L, 12L)) {
+      val lums = (0 until 4).map { f =>
+        val px = for { y <- 0 until 4; x <- 0 until 4 }
+          yield java.lang.Math.floorMod(id * 31 + 7 * x + 13 * y + 17 * f, 256L).toInt
+        px.map(v => (v + 170) % 256).sum / 16.0 +
+          px.map(v => (v + 85) % 256).sum / 16.0 + px.sum / 16.0
+      }
+      val want = (0 until 3).collect { case k if lums(k + 1) > lums(k) => 1L << k }.sum
+      assert(out(id) == want, s"video fp mismatch for id=$id")
+    }
+  }
+
   test("gen_wav emits genuine codec bytes: javax.sound.sampled decodes them directly") {
     // the synthesized payload must be a REAL WAV, not wav-shaped bytes —
     // prove it by decoding on the driver with the JDK API alone
