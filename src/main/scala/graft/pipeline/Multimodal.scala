@@ -122,9 +122,12 @@ object Multimodal {
     * oracle-verified core. */
   def imagePerceptualDedup(media: DataFrame): DataFrame = {
     GraftFunctions.register(media.sparkSession)
-    val hashed = media
+    // memoized: the hashed frame feeds two subtrees (cluster groupBy +
+    // join back), and without the barrier projection-collapse would
+    // re-inline the decode into every reference (cacheOnce contract)
+    val hashed = graft.queries.cacheOnce(media
       .select(col("doc_id"), call_function("image_ahash", col("media")).as("ahash"))
-      .filter(col("ahash").isNotNull)
+      .filter(col("ahash").isNotNull))
     val clusters = hashed.groupBy(col("ahash"))
       .agg(min(col("doc_id")).as("cluster_id"), count(lit(1)).as("n_cluster"))
     hashed.join(clusters, Seq("ahash"))
@@ -161,10 +164,10 @@ object Multimodal {
     * one keyed groupBy + a keyed join back. */
   def audioPerceptualDedup(media: DataFrame, frameSamples: Int = 16): DataFrame = {
     GraftFunctions.register(media.sparkSession)
-    val hashed = media
+    val hashed = graft.queries.cacheOnce(media
       .select(col("doc_id"),
               call_function("audio_energy_fp", col("media"), lit(frameSamples)).as("fp"))
-      .filter(col("fp").isNotNull)
+      .filter(col("fp").isNotNull))
     val clusters = hashed.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("cluster_id"), count(lit(1)).as("n_cluster"))
     hashed.join(clusters, Seq("fp"))
@@ -250,7 +253,7 @@ object Multimodal {
     GraftFunctions.register(media.sparkSession)
     val lum = transform(call_function("decode_video", col("media")), f =>
       f.getField("mean_r") + f.getField("mean_g") + f.getField("mean_b"))
-    val hashed = media
+    val hashed = graft.queries.cacheOnce(media
       .select(col("doc_id"), lum.as("lum"))
       .filter(size(col("lum")) >= 2)
       .select(col("doc_id"),
@@ -259,7 +262,7 @@ object Multimodal {
                                  element_at(col("lum"), k),
                                  call_function("shiftleft", lit(1L),
                                                (k - 1).cast("int")))
-                            .otherwise(lit(0L))).as("fp"))
+                            .otherwise(lit(0L))).as("fp")))
     val clusters = hashed.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("cluster_id"), count(lit(1)).as("n_cluster"))
     hashed.join(clusters, Seq("fp"))

@@ -5,11 +5,11 @@ import graft.pipeline.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal binary-column plumbing over the documents table (text
-  * bytes stand in for media payloads; the decode step is stubbed, the
-  * Spark machinery is real). Oracles exploit ASCII payloads: byte sums
-  * equal codepoint sums, so DuckDB can verify the native byte_sum
-  * expression exactly. */
+/** Multimodal queries over the documents table: byte-frame plumbing
+  * (text bytes as payloads, ASCII byte sums = codepoint sums) plus
+  * REAL codec loops — BMP/WAV/animated-GIF bytes synthesized
+  * distributively, decoded through the JDK registries, every stat
+  * predicted arithmetically by the oracles (q63/q71/q127-q132). */
 object MultimodalQueries {
 
   /** q61 — media metadata: binary length + frame accounting. */
