@@ -249,20 +249,28 @@ object Multimodal {
     * (doc_id, fp, cluster_id, n_cluster, is_keeper) ledger, same q54
     * plan. Videos with < 2 decodable frames (or undecodable bytes)
     * are skipped. */
+  /** The video fingerprint as ONE column expression: luminance-contour
+    * delta signs over decode_video's frame array (null for undecodable
+    * payloads or < 2 frames). Shared by [[videoPerceptualDedup]] and
+    * the streaming gate — being a pure per-row expression is exactly
+    * what makes the gate append-mode streaming-safe. */
+  def videoContourFpCol(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val lum = transform(call_function("decode_video", media), f =>
+      f.getField("mean_r") + f.getField("mean_g") + f.getField("mean_b"))
+    when(size(lum) >= 2,
+      aggregate(sequence(lit(1), size(lum) - 1), lit(0L),
+        (acc, k) => acc + when(element_at(lum, k + 1) > element_at(lum, k),
+                               call_function("shiftleft", lit(1L),
+                                             (k - 1).cast("int")))
+                          .otherwise(lit(0L))))
+      .otherwise(lit(null).cast("long"))
+  }
+
   def videoPerceptualDedup(media: DataFrame): DataFrame = {
     GraftFunctions.register(media.sparkSession)
-    val lum = transform(call_function("decode_video", col("media")), f =>
-      f.getField("mean_r") + f.getField("mean_g") + f.getField("mean_b"))
     val hashed = graft.queries.cacheOnce(media
-      .select(col("doc_id"), lum.as("lum"))
-      .filter(size(col("lum")) >= 2)
-      .select(col("doc_id"),
-        aggregate(sequence(lit(1), size(col("lum")) - 1), lit(0L),
-          (acc, k) => acc + when(element_at(col("lum"), k + 1) >
-                                 element_at(col("lum"), k),
-                                 call_function("shiftleft", lit(1L),
-                                               (k - 1).cast("int")))
-                            .otherwise(lit(0L))).as("fp")))
+      .select(col("doc_id"), videoContourFpCol(col("media")).as("fp"))
+      .filter(col("fp").isNotNull))
     val clusters = hashed.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("cluster_id"), count(lit(1)).as("n_cluster"))
     hashed.join(clusters, Seq("fp"))

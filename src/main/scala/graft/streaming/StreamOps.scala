@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.ts.{Aggregations, TimeOps}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming forms of the batch time-series core (the
@@ -171,6 +171,43 @@ object StreamOps {
       .select(col("stream_id"), col("exact_match"),
               when(col("exact_match").isNotNull, lit("exact"))
                 .otherwise(lit("new")).as("verdict"))
+
+  /** STREAMING PERCEPTUAL-DUP GATE — the ingest gate crossed into
+    * media: an arriving image/audio/video is fingerprinted by its
+    * modality's perceptual hash (`fpOf` — a PURE per-row column
+    * expression: `image_ahash`, `audio_energy_fp`, or
+    * [[graft.pipeline.Multimodal.videoContourFpCol]]) and probed
+    * against the stored cluster index. One verdict row per arrival:
+    * 'perceptual_dup' with the matched cluster keeper, 'new', or
+    * 'undecodable' (a gate must SAY it could not judge — silently
+    * dropping garbage rows would pass them). STATELESS: projection +
+    * one stream-static left join on a unique fingerprint key; no
+    * watermark, no state store — each micro-batch costs batch-sized
+    * work against the corpus-partitioned index.
+    *
+    * `index` contract: (fp, cluster_id) with fp UNIQUE — exactly the
+    * distinct (fp → keeper) pairs of the modality's batch ledger
+    * (imagePerceptualDedup / audioPerceptualDedup /
+    * videoPerceptualDedup output), materialized like every static
+    * index here; refresh by blue/green swap as usual. */
+  def streamingPerceptualGate(stream: DataFrame, idCol: String, mediaCol: String,
+                              fpOf: Column => Column,
+                              index: DataFrame): DataFrame =
+    stream.select(col(idCol).as("stream_id"), fpOf(col(mediaCol)).as("fp"))
+      .join(index.select(col("fp"), col("cluster_id").as("dup_of")),
+            Seq("fp"), "left")
+      .select(col("stream_id"), col("fp"), col("dup_of"),
+              when(col("fp").isNull, lit("undecodable"))
+                .when(col("dup_of").isNotNull, lit("perceptual_dup"))
+                .otherwise(lit("new")).as("verdict"))
+
+  /** The (fp, cluster_id) index behind [[streamingPerceptualGate]],
+    * from any modality's batch perceptual-dedup ledger (one unique fp
+    * per cluster by construction — keepers carry their own fp). */
+  def buildPerceptualIndex(ledger: DataFrame, fpCol: String): DataFrame =
+    graft.queries.cacheOnce(
+      ledger.filter(col("is_keeper") === 1L)
+        .select(col(fpCol).as("fp"), col("cluster_id")))
 
   /** Streaming near-dup detection with a STATELESS confirm — the
     * minhash analogue of [[streamingSimhashCandidates]]'s

@@ -106,6 +106,47 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming perceptual gate: dup/new/undecodable verdicts, batch parity") {
+    import graft.pipeline.Multimodal
+    graft.plans.GraftFunctions.register(spark)
+    // corpus = images 1..3; ledger → (fp, keeper) index
+    val corpus = Multimodal.imageTable(Seq(1L, 2L, 3L).toDF("doc_id"), "doc_id")
+    val ledger = Multimodal.imagePerceptualDedup(corpus)
+    val index = StreamOps.buildPerceptualIndex(ledger, "ahash")
+    val corpusHashes = ledger.collect().map(_.getLong(1)).toSet
+    // pick an id whose hash the corpus does NOT contain (exists: the
+    // 4x4 ahash space carries ~16 values over these gradients)
+    val newId = (4L to 600L).find { cand =>
+      val h = graft.plans.ImageAhash.ahash(graft.plans.GenBmp.bmp(cand, 4, 4))
+      h != null && !corpusHashes.contains(h.longValue())
+    }.get
+    // arrivals: id 257 renders id 1's exact pixels (perceptual dup),
+    // newId carries an unseen hash, id -1 carries garbage bytes
+    val arrivals = Multimodal.imageTable(Seq(257L, newId).toDF("doc_id"), "doc_id")
+      .select(col("doc_id"), col("media"))
+      .unionByName(Seq((-1L, Array[Byte](9, 9, 9))).toDF("doc_id", "media"))
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.streamingPerceptualGate(df, "doc_id", "media",
+        m => call_function("image_ahash", m), index)
+    val batch = gate(arrivals).collect()
+      .map(r => r.getLong(0) -> ((r.getString(3), Option(r.get(2))))).toMap
+    assert(batch(257L)._1 == "perceptual_dup" && batch(257L)._2.contains(1L),
+           s"257 must gate as a dup of keeper 1: $batch")
+    assert(batch(newId)._1 == "new" && batch(-1L)._1 == "undecodable")
+    // stream parity: the same call over a readStream source
+    val dir = Files.createTempDirectory("graft-stream-media").toString
+    arrivals.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(arrivals.schema).parquet(dir)
+    val q = gate(stream).writeStream.outputMode("append")
+      .format("memory").queryName("perc_gate").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("perc_gate").collect()
+        .map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(got == batch.map { case (k, v) => k -> v._1 })
+    } finally q.stop()
+  }
+
   test("month grain has no fixed window duration") {
     intercept[IllegalArgumentException] { StreamOps.windowDuration("M") }
   }
