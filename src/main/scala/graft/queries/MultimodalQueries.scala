@@ -337,6 +337,39 @@ object MultimodalQueries {
       |         AS is_keeper
       |FROM vfps JOIN vcl USING (fp)""".stripMargin
 
+  /** q133 — multimodal sample manifest: one row per document joining
+    * the text stats with every modality's perceptual fingerprint
+    * (image ahash, audio energy contour, video luminance contour) —
+    * the export manifest a multimodal training pair loader consumes,
+    * and the cross-modal dedup key set (drop a sample when ANY
+    * modality is a perceptual dup). Pure composition of the
+    * oracle-replayable chains; three keyed joins on doc_id. */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val text = graft.pipeline.TextAnalysis.tokenStats(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"))
+    val img = Multimodal.imagePerceptualDedup(
+      Multimodal.imageTable(docs, "doc_id")).select(col("doc_id"), col("ahash"))
+    val aud = Multimodal.audioPerceptualDedup(
+      Multimodal.audioTable(docs, "doc_id")).select(col("doc_id"), col("fp").as("audio_fp"))
+    val vid = Multimodal.videoPerceptualDedup(
+      Multimodal.videoTable(docs, "doc_id")).select(col("doc_id"), col("fp").as("video_fp"))
+    text.join(img, Seq("doc_id")).join(aud, Seq("doc_id")).join(vid, Seq("doc_id"))
+  }
+
+  private val q133Sql = {
+    def inner(sql: String, keep: String): String =
+      s"SELECT doc_id, $keep FROM (${sql.replace("\n", " ")}) x"
+    s"""SELECT t.doc_id,
+      |  CAST(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+      |       AS BIGINT) AS n_tokens,
+      |  i.ahash, a.fp AS audio_fp, v.fp AS video_fp
+      |FROM documents t
+      |JOIN (${inner(q127Sql, "ahash")}) i USING (doc_id)
+      |JOIN (${inner(q129Sql, "fp")}) a USING (doc_id)
+      |JOIN (${inner(q132Sql, "fp")}) v USING (doc_id)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q61_media_meta", q61, Some(q61Sql)),
     QueryDef("q62_frame_features", q62, Some(q62Sql)),
@@ -347,6 +380,7 @@ object MultimodalQueries {
     QueryDef("q129_audio_fp_dedup", q129, Some(q129Sql)),
     QueryDef("q130_video_decode", q130, Some(q130Sql)),
     QueryDef("q131_video_scene_stats", q131, Some(q131Sql)),
-    QueryDef("q132_video_fp_dedup", q132, Some(q132Sql))
+    QueryDef("q132_video_fp_dedup", q132, Some(q132Sql)),
+    QueryDef("q133_multimodal_manifest", q133, Some(q133Sql))
   )
 }
