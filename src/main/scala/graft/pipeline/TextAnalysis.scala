@@ -930,6 +930,32 @@ object TextAnalysis {
               (avg > lit(maxAvgKnE3)).cast("long").as("kn_flagged"))
   }
 
+  /** TEXT NORMALIZATION — the pass a curation pipeline runs BEFORE any
+    * hashing or dedup: Unicode NFC canonical composition (the native
+    * [[graft.plans.TextNfc]] expression — decomposed accents,
+    * mixed-form crawls of the same glyphs otherwise hash as DISTINCT
+    * text and every md5-keyed operator downstream fractures), then
+    * trim + ASCII-space collapse. One row per document:
+    * (doc_id, norm_text, n_cp — code points after, changed — whether
+    * normalization touched the text at all; the audit column a
+    * migration run watches).
+    *
+    * Scale shape: a pure per-row projection inside whole-stage codegen
+    * (native expression + regexp) — ZERO shuffles, streaming-safe like
+    * the rest of the stateless family. NFC is a Unicode-specified
+    * function, so the DuckDB oracle (`nfc_normalize`) is exact even on
+    * CJK / combining-mark / astral-plane text (q134 runs the multibyte
+    * union). */
+  def normalizeDocs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val norm = regexp_replace(trim(call_function("text_nfc", col(textCol))),
+                              " +", " ")
+    df.select(col(idCol).as("doc_id"),
+              norm.as("norm_text"),
+              length(norm).cast("long").as("n_cp"),
+              (norm =!= col(textCol)).cast("long").as("changed"))
+  }
+
   /** TOKEN-BUDGET SELECTION — "assemble the best B tokens": rank every
     * document by [[qualityScore]] (ties broken by id — fully
     * deterministic) and keep the greedy prefix whose cumulative token

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 
 /** Native Catalyst expression: unsigned byte sum of a binary column.
   *
@@ -41,6 +41,40 @@ object ByteSum {
     while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
     s
   }
+}
+
+/** Native Catalyst expression: Unicode NFC canonical composition of a
+  * string column (`java.text.Normalizer`) — the normalization pass a
+  * curation pipeline runs before any hashing/dedup (decomposed
+  * accents, compatibility variants of the same glyph, and mixed-form
+  * crawls otherwise hash as DISTINCT text). A real expression with
+  * `doGenCode`, so normalization stays inside whole-stage codegen;
+  * NFC is a Unicode-specified function, which is what makes the
+  * DuckDB oracle (`nfc_normalize`) exact. */
+case class TextNfc(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"text_nfc requires STRING input, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "text_nfc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+        java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), " +
+        "java.text.Normalizer.Form.NFC))")
+
+  override protected def withNewChildInternal(newChild: Expression): TextNfc =
+    copy(child = newChild)
 }
 
 /** Native Catalyst expression: polynomial rolling hash of a binary
@@ -148,6 +182,7 @@ object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "byte_sum" -> (exprs => ByteSum(exprs.head)),
     "rolling_hash" -> (exprs => RollingHash(exprs.head)),
+    "text_nfc" -> (exprs => TextNfc(exprs.head)),
     "vec_dot" -> (exprs => VecDot(exprs.head, exprs(1))),
     "ivf_assign" -> (exprs => IvfAssign.fromArgs(exprs)),
     "gen_bmp" -> (exprs => GenBmp(exprs.head,

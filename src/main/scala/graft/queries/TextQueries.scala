@@ -1866,6 +1866,24 @@ object TextQueries {
       |FROM pk JOIN sp USING (doc_id)
       |GROUP BY 1, 2""".stripMargin
 
+  /** q134 — Unicode NFC normalization ([[TextAnalysis.normalizeDocs]])
+    * over the multibyte union: the decomposed-accent fixture rows
+    * (e + U+0301 etc.) COMPOSE — code-point counts shrink and
+    * `changed` fires — while CJK, astral-plane, and the ASCII corpus
+    * pass through untouched. NFC is Unicode-specified, so
+    * `nfc_normalize` replays it exactly. */
+  private def q134(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.normalizeDocs(mbDocs(s, dir), "doc_id", "text")
+
+  private val q134Sql =
+    s"""WITH $mbSrcCte,
+      |nrm AS (SELECT doc_id, text,
+      |          regexp_replace(trim(nfc_normalize(text)), ' +', ' ', 'g') AS n
+      |        FROM mbdocs)
+      |SELECT doc_id, n AS norm_text, CAST(length(n) AS BIGINT) AS n_cp,
+      |       CAST(CASE WHEN n <> text THEN 1 ELSE 0 END AS BIGINT) AS changed
+      |FROM nrm""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q50_token_stats", q50, Some(q50Sql)),
     QueryDef("q51_quality_score", q51, Some(q51Sql)),
@@ -1917,6 +1935,7 @@ object TextQueries {
     QueryDef("q123_chunk_windows", q123, Some(q123Sql)),
     QueryDef("q124_distill_classifier", q124, Some(q124Sql)),
     QueryDef("q125_token_budget", q125, Some(q125Sql)),
-    QueryDef("q126_pack_curriculum", q126, Some(q126Sql))
+    QueryDef("q126_pack_curriculum", q126, Some(q126Sql)),
+    QueryDef("q134_nfc_normalize", q134, Some(q134Sql))
   )
 }

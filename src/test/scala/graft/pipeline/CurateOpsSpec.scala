@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.SparkTestSession
+import org.apache.spark.sql.functions.{col, md5}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-11 curation additions: duplicated-span removal (the rewrite
@@ -156,6 +157,32 @@ class CurateOpsSpec extends AnyFunSuite {
     val perDoc = TextAnalysis.lmSurprisal(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(rows.map(_.getAs[Long]("sum_surprisal_e3")).sum == perDoc.values.sum)
+  }
+
+  // ---- normalizeDocs ---------------------------------------------------
+
+  test("NFC normalization composes decomposed accents and collapses spaces") {
+    val nfc = "caf\u00e9 du monde"                  // precomposed, collapsed
+    val docs = Seq(
+      (1L, "cafe\u0301 du  monde"),                 // combining acute + double space
+      (2L, nfc),                                    // already NFC
+      (3L, "\u6c49\u5b57 unchanged"),               // CJK: NFC identity
+      (4L, "  padded  ")                            // trim + collapse only
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.normalizeDocs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((nfc, 13L, 1L)),
+           s"decomposed input must compose AND collapse: ${out(1L)}")
+    assert(out(2L) == ((nfc, 13L, 0L)), "already-NFC: untouched")
+    assert(out(3L) == (("\u6c49\u5b57 unchanged", 12L, 0L)))
+    assert(out(4L) == (("padded", 6L, 1L)))
+    // the normalized twins now share an md5 fingerprint — the reason
+    // this pass runs before any hash-keyed dedup
+    val fps = TextAnalysis.normalizeDocs(docs, "doc_id", "text")
+      .select(col("doc_id"), md5(col("norm_text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L), "composed twins must share the content hash")
   }
 
   // ---- chunkDocuments --------------------------------------------------
