@@ -212,6 +212,38 @@ object Multimodal {
               col("fr.mean_b").as("mean_b"))
   }
 
+  /** AUDIO ACTIVITY SEGMENTATION — energy-gated VAD (the
+    * silence-trimming primitive audio curation runs before training):
+    * per-frame integer energies ([[graft.plans.AudioFrameEnergy]]),
+    * frames above `threshold` grouped into contiguous ACTIVE segments
+    * by gaps-and-islands. One row per active segment:
+    * (doc_id, seg_idx, start_frame, end_frame, n_frames, e_sum) —
+    * integer-exact end to end, so the oracle replays every segment.
+    *
+    * Scale shape: decode + explode is map-side; the islands windows
+    * are keyed BY CLIP (frames-per-clip-sized — never global); one
+    * keyed groupBy. */
+  def audioActivitySegments(media: DataFrame, frameSamples: Int = 16,
+                            threshold: Long = 5600000L): DataFrame = {
+    GraftFunctions.register(media.sparkSession)
+    val en = media.select(col("doc_id"),
+      posexplode(call_function("audio_frame_energy", col("media"), lit(frameSamples)))
+        .as(Seq("frame", "e")))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame"))
+    val segs = en.filter(col("e") > threshold)
+      .withColumn("grp", col("frame") - row_number().over(w1))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("frame")).as("start_frame"), max(col("frame")).as("end_frame"),
+           count(lit(1)).as("n_frames"), sum(col("e")).as("e_sum"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("start_frame"))
+    segs.select(col("doc_id"), row_number().over(w2).cast("long").as("seg_idx"),
+                col("start_frame").cast("long").as("start_frame"),
+                col("end_frame").cast("long").as("end_frame"),
+                col("n_frames"), col("e_sum"))
+  }
+
   /** VIDEO TEMPORAL PROFILE — frame-to-frame change statistics over
     * [[decodeVideo]]'s per-frame means: the per-transition L1 delta of
     * the channel means and a cut flag at `cutThreshold` — the

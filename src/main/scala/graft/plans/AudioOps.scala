@@ -278,3 +278,76 @@ object AudioEnergyFp {
     finally in.close()
   }
 }
+
+/** Per-frame integer energies of a PCM clip as an array — the raw
+  * series behind both the contour fingerprint ([[AudioEnergyFp]]) and
+  * activity segmentation (energy-gated VAD): Σ v² over consecutive
+  * `frameSamples`-sample frames, tail partial frame dropped, null for
+  * undecodable payloads. Integer-exact, so a SQL oracle replays every
+  * element. */
+case class AudioFrameEnergy(child: Expression, frameSamples: Int)
+    extends UnaryExpression {
+  require(frameSamples >= 1, "frameSamples must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"audio_frame_energy requires BINARY input, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_frame_energy"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AudioFrameEnergy.energies(input.asInstanceOf[Array[Byte]], frameSamples)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.AudioFrameEnergy.energies($c, $frameSamples);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): AudioFrameEnergy =
+    copy(child = newChild)
+}
+
+object AudioFrameEnergy {
+  /** Static helper invoked from generated code (the PCM prelude of
+    * [[DecodeAudio.decode]]). */
+  def energies(bytes: Array[Byte],
+               frameSamples: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val in =
+      try AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => return null }
+    try {
+      val f = in.getFormat
+      val bits = f.getSampleSizeInBits
+      if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+          (bits != 8 && bits != 16)) return null
+      val data = in.readAllBytes()
+      val bytesPer = bits / 8
+      val n = data.length / bytesPer
+      val nFrames = n / frameSamples
+      if (nFrames < 1) return null
+      val energy = new Array[Any](nFrames)
+      java.util.Arrays.fill(energy.asInstanceOf[Array[AnyRef]], java.lang.Long.valueOf(0L))
+      var i = 0
+      val acc = new Array[Long](nFrames)
+      while (i < nFrames * frameSamples) {
+        val v =
+          if (bits == 8) data(i).toInt
+          else {
+            val off = i * 2
+            if (f.isBigEndian) (data(off) << 8) | (data(off + 1) & 0xff)
+            else (data(off + 1) << 8) | (data(off) & 0xff)
+          }
+        acc(i / frameSamples) += v.toLong * v
+        i += 1
+      }
+      var k = 0
+      while (k < nFrames) { energy(k) = acc(k); k += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(energy)
+    } catch { case _: Exception => null }
+    finally in.close()
+  }
+}

@@ -196,6 +196,8 @@ object GraftFunctions {
     "decode_audio" -> (exprs => DecodeAudio(exprs.head)),
     "audio_energy_fp" -> (exprs => AudioEnergyFp(exprs.head,
       intLit(exprs(1), "audio_energy_fp frame samples"))),
+    "audio_frame_energy" -> (exprs => AudioFrameEnergy(exprs.head,
+      intLit(exprs(1), "audio_frame_energy frame samples"))),
     "gen_gif" -> (exprs => GenGif(exprs.head,
       intLit(exprs(1), "gen_gif width"), intLit(exprs(2), "gen_gif height"),
       intLit(exprs(3), "gen_gif frames"))),

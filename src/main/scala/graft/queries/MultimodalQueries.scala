@@ -370,6 +370,39 @@ object MultimodalQueries {
       |JOIN (${inner(q132Sql, "fp")}) v USING (doc_id)""".stripMargin
   }
 
+  /** q135 — audio activity segmentation
+    * ([[Multimodal.audioActivitySegments]]): energy-gated VAD over the
+    * decoded clips — ~42% of frames clear the 5.6M threshold, so every
+    * clip yields a non-trivial active/inactive partition. The oracle
+    * replays frame energies and the gaps-and-islands grouping. */
+  private def q135(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioActivitySegments(
+      Multimodal.audioTable(t(s, dir, "documents"), "doc_id"))
+
+  private val q135Sql =
+    """WITH smp AS (
+      |  SELECT d.doc_id, g.t, g.t // 16 AS frame,
+      |         ((d.doc_id * 31 + g.t * 7919) % 2048 + 2048) % 2048 - 1024 AS v
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS t) g),
+      |fen AS (SELECT doc_id, frame, sum(v * v) AS e FROM smp GROUP BY 1, 2),
+      |act AS (
+      |  SELECT doc_id, frame, e,
+      |         frame - row_number() OVER (PARTITION BY doc_id ORDER BY frame) AS grp
+      |  FROM fen WHERE e > 5600000),
+      |seg AS (
+      |  SELECT doc_id, grp, min(frame) AS start_frame, max(frame) AS end_frame,
+      |         count(*) AS n_frames, sum(e) AS e_sum
+      |  FROM act GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame) AS BIGINT)
+      |    AS seg_idx,
+      |  CAST(start_frame AS BIGINT) AS start_frame,
+      |  CAST(end_frame AS BIGINT) AS end_frame,
+      |  CAST(n_frames AS BIGINT) AS n_frames,
+      |  CAST(e_sum AS BIGINT) AS e_sum
+      |FROM seg""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q61_media_meta", q61, Some(q61Sql)),
     QueryDef("q62_frame_features", q62, Some(q62Sql)),
@@ -381,6 +414,7 @@ object MultimodalQueries {
     QueryDef("q130_video_decode", q130, Some(q130Sql)),
     QueryDef("q131_video_scene_stats", q131, Some(q131Sql)),
     QueryDef("q132_video_fp_dedup", q132, Some(q132Sql)),
-    QueryDef("q133_multimodal_manifest", q133, Some(q133Sql))
+    QueryDef("q133_multimodal_manifest", q133, Some(q133Sql)),
+    QueryDef("q135_audio_vad", q135, Some(q135Sql))
   )
 }

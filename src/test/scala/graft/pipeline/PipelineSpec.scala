@@ -2158,6 +2158,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audio VAD: segments match a by-hand gaps-and-islands replay") {
+    graft.plans.GraftFunctions.register(spark)
+    val ids = Seq(3L, 8L).toDF("doc_id")
+    val out = Multimodal.audioActivitySegments(Multimodal.audioTable(ids, "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getLong(4), r.getLong(5)))
+      .groupBy(_._1)
+    for (id <- Seq(3L, 8L)) {
+      val v = (0 until 256).map(t =>
+        java.lang.Math.floorMod(id * 31 + t * 7919L, 2048L) - 1024L)
+      val e = v.grouped(16).map(_.map(x => x * x).sum).toSeq
+      val active = e.zipWithIndex.filter(_._1 > 5600000L).map(_._2)
+      // islands: consecutive active frames group into segments
+      val want = active.foldLeft(List.empty[List[Int]]) {
+        case (acc, f) if acc.nonEmpty && acc.head.head == f - 1 =>
+          (f :: acc.head) :: acc.tail
+        case (acc, f) => List(f) :: acc
+      }.reverse.map(_.reverse)
+      val got = out(id).sortBy(_._2)
+      assert(got.length == want.length, s"segment count id=$id: $got vs $want")
+      got.zip(want).zipWithIndex.foreach { case (((_, idx, s0, s1, n, es), seg), i) =>
+        assert(idx == i + 1 && s0 == seg.head && s1 == seg.last && n == seg.length)
+        assert(es == seg.map(e(_)).sum)
+      }
+    }
+  }
+
   test("gen_wav emits genuine codec bytes: javax.sound.sampled decodes them directly") {
     // the synthesized payload must be a REAL WAV, not wav-shaped bytes —
     // prove it by decoding on the driver with the JDK API alone
