@@ -94,6 +94,15 @@ object Classifier {
   private def sigmoid(mE6: Column): Column =
     lit(1.0) / (lit(1.0) + exp(-(mE6 / 1e6)))
 
+  /** Half-away-from-zero rounding — the convention BOTH SQL engines
+    * use (`round(-2.5) = -3` in Spark SQL and DuckDB), unlike Scala's
+    * `math.round` which rounds negative .5 ties toward +∞. The
+    * driver-side weight update must match the oracle's replayed
+    * `round()` exactly or a negative gradient hitting an exact tie
+    * trains diverging weights. */
+  private[pipeline] def roundHalfAway(x: Double): Long =
+    math.signum(x).toLong * math.round(math.abs(x))
+
   /** (doc_id, y?, m_e6) margins for a weight frame + bias over the
     * full doc universe (feature-less docs keep the bare bias). */
   private def margins(universe: DataFrame, feat: DataFrame, wDf: DataFrame,
@@ -139,8 +148,8 @@ object Classifier {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val gBias = resid.agg(sum(col("r_e6"))).head().getLong(0)
       w = w.zipWithIndex.map { case (we6, h) =>
-        we6 - math.round(4.0 * grads.getOrElse(h.toLong, 0L) / (n * 1e6)) }
-      b = b - math.round(4.0 * gBias / n)
+        we6 - roundHalfAway(4.0 * grads.getOrElse(h.toLong, 0L) / (n * 1e6)) }
+      b = b - roundHalfAway(4.0 * gBias / n)
     }
     HashedLogistic(w, b, dim)
   }

@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   * AUDIO decode ([[decodeAudio]] over the JDK's `javax.sound.sampled`
   * WAV/PCM readers), and — since r11 — VIDEO decode ([[decodeVideo]]
   * over multi-frame animated GIF, the one frame-sequence container
-  * the JDK both writes and reads; the former [[decodeStub]] is
-  * retained only as the generic unknown-codec fallback).
+  * the JDK both writes and reads — the former byte-statistics stub is
+  * deleted; no modality is stubbed).
   *
   * Scale: media rows never leave executors; frame sampling is a
   * flatMap (`explode(sequence(...))`), features are codegen'd
@@ -289,7 +289,12 @@ object Multimodal {
   def videoContourFpCol(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val lum = transform(call_function("decode_video", media), f =>
       f.getField("mean_r") + f.getField("mean_g") + f.getField("mean_b"))
-    when(size(lum) >= 2,
+    // bit budget: ≤ 65 frames ⇒ ≤ 64 transitions ⇒ bits 0..63. Beyond
+    // that shiftleft wraps its shift amount mod 64 and distinct long
+    // videos would alias onto the low bits (false dedup drops) — the
+    // audio AudioEnergyFp contract mirrored onto the frame axis.
+    // Longer videos should fingerprint per fixed-length window.
+    when(size(lum).between(2, 65),
       aggregate(sequence(lit(1), size(lum) - 1), lit(0L),
         (acc, k) => acc + when(element_at(lum, k + 1) > element_at(lum, k),
                                call_function("shiftleft", lit(1L),
@@ -348,17 +353,4 @@ object Multimodal {
               col("au.zero_cross").as("zero_cross"))
   }
 
-  /** STUB decoder for the one modality whose codecs are genuinely
-    * absent in this environment (video): emits a deterministic fake
-    * "feature vector" derived from byte statistics, with the schema and
-    * batch shape a real decoder would return. Image decode
-    * ([[decodeImage]]) and audio decode ([[decodeAudio]]) are NOT
-    * stubbed. */
-  def decodeStub(media: DataFrame, dim: Int = 8): DataFrame = {
-    GraftFunctions.register(media.sparkSession)
-    val feats = transform(sequence(lit(0), lit(dim - 1)),
-      i => (call_function("byte_sum", col("media")) * (i + 1) % 997).cast("double") / 997.0)
-    media.select(col("doc_id"), feats.as("features"),
-                 col("meta.mime").as("mime"))
-  }
 }

@@ -13,9 +13,9 @@ import org.apache.spark.sql.types._
   * honest-decode promotion [[ImageOps]] gave images: `javax.sound
   * .sampled` ships in the JDK (WAV/RIFF PCM parsing, zero added
   * dependencies), so the audio half of the multimodal decode no longer
-  * needs a stub either. Only video remains stubbed ([[graft.pipeline
-  * .Multimodal.decodeStub]]) — since r11 the GIF frame-sequence path
- * ([[graft.plans.DecodeVideo]]) covers video for real.
+  * needs a stub either; since r11 the GIF frame-sequence path
+  * ([[graft.plans.DecodeVideo]]) covers video for real, so NO modality
+  * is stubbed.
   *
   * [[GenWav]] synthesizes a genuine 16-bit PCM mono WAV per row, sample
   * t of clip `id` carrying the deterministic value

@@ -153,10 +153,15 @@ object DecodeVideo {
     val iis =
       try ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
       catch { case _: Exception => return null }
-    val readers = ImageIO.getImageReaders(iis)
-    if (!readers.hasNext) return null
-    val reader = readers.next()
+    // reader sniffing happens INSIDE the try: the undecodable-bytes
+    // path (common input under the gate contract) must still reach the
+    // finally that closes iis — an early return here leaked one
+    // MemoryCacheImageInputStream per garbage row
+    var reader: javax.imageio.ImageReader = null
     try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      reader = readers.next()
       reader.setInput(iis, false, true)
       val n = reader.getNumImages(true)
       if (n < 1) return null
@@ -186,6 +191,6 @@ object DecodeVideo {
       }
       new GenericArrayData(out)
     } catch { case _: Exception => null }
-    finally { reader.dispose(); iis.close() }
+    finally { if (reader != null) reader.dispose(); iis.close() }
   }
 }

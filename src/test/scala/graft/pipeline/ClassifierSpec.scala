@@ -104,4 +104,16 @@ class ClassifierSpec extends AnyFunSuite {
     assert(out.keySet == Set(1L, 2L))
     assert(out(2L) == model.biasE6, "empty doc's margin is exactly the bias")
   }
+
+  test("weight updates round half away from zero like both SQL engines") {
+    // Scala math.round(-2.5) = -2, but round(-2.5) = -3 in Spark SQL
+    // and DuckDB; the GD update must use the SQL convention or a
+    // negative-gradient tie diverges from the q124 oracle replay
+    assert(Classifier.roundHalfAway(2.5) == 3L)
+    assert(Classifier.roundHalfAway(-2.5) == -3L)
+    assert(Classifier.roundHalfAway(-2.4) == -2L)
+    assert(Classifier.roundHalfAway(2.4) == 2L)
+    assert(Classifier.roundHalfAway(0.0) == 0L)
+    assert(Classifier.roundHalfAway(-0.5) == -1L)
+  }
 }

@@ -1967,15 +1967,6 @@ class MultimodalSpec extends AnyFunSuite {
     assert(agg(2L)._1 == 200L && agg(2L)._2 == 200L * 'a'.toLong)
   }
 
-  test("decode stub is deterministic with fixed schema") {
-    val a = Multimodal.decodeStub(Multimodal.mediaTable(docs, "doc_id", "text"))
-      .collect().map(_.toString).sorted
-    val b = Multimodal.decodeStub(Multimodal.mediaTable(docs, "doc_id", "text"))
-      .collect().map(_.toString).sorted
-    assert(a.sameElements(b))
-    assert(a.nonEmpty)
-  }
-
   test("gen_bmp emits genuine codec bytes: javax.imageio decodes them directly") {
     // the synthesized payload must be a REAL image, not image-shaped
     // bytes — prove it by decoding on the driver with the JDK API alone
@@ -2156,6 +2147,21 @@ class MultimodalSpec extends AnyFunSuite {
       val want = (0 until 3).collect { case k if lums(k + 1) > lums(k) => 1L << k }.sum
       assert(out(id) == want, s"video fp mismatch for id=$id")
     }
+  }
+
+  test("video fp bit budget: > 65 frames fingerprints to null, 65 does not") {
+    // shiftleft wraps shift amounts mod 64 — beyond 64 transitions the
+    // contour must return null (the audio contract mirrored), never a
+    // silently-aliased value that false-clusters distinct long videos
+    graft.plans.GraftFunctions.register(spark)
+    val fpOf = (n: Int) => {
+      val ids = Seq(21L).toDF("doc_id")
+      Multimodal.videoTable(ids, "doc_id", nFrames = n)
+        .select(Multimodal.videoContourFpCol(col("media")).as("fp"))
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).head
+    }
+    assert(fpOf(65).isDefined, "65 frames = 64 transitions: inside the budget")
+    assert(fpOf(66).isEmpty, "66 frames would need bit 64: must be null")
   }
 
   test("audio VAD: segments match a by-hand gaps-and-islands replay") {
