@@ -77,30 +77,48 @@ object Bpe {
       .select(col("w"), col("freq"), col("pos2").as("pos"), col("sym"))
   }
 
+  /** Distinct-word frequency table of a whitespace-tokenized corpus —
+    * the vocabulary-bounded working set every trainer variant starts
+    * from. */
+  private def wordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(trim(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** Initial symbol table: one row per (w, freq, pos, sym) with
+    * symbols = code points (`regexp_extract_all(w, '.')` — the same
+    * unit in Java and RE2 regexes). */
+  private def codepointSyms(words: DataFrame): DataFrame =
+    words.select(col("w"), col("freq"),
+      posexplode(regexp_extract_all(col("w"), lit("."), lit(0)))
+        .as(Seq("pos", "sym")))
+
   /** Learn up to `nMerges` merge rules. Each iteration: pair counts
     * (frequency-weighted, over distinct words), deterministic argmax
     * (count DESC, left ASC, right ASC), merge applied relationally.
     * Stops early when no pair reaches `minPairFreq` (merging a
     * singleton pair buys nothing). Only the 1-row argmax ever reaches
     * the driver per iteration; the symbol table is re-persisted each
-    * round so lineage stays O(1). */
+    * round so lineage stays O(1).
+    *
+    * This is the SEQUENTIAL trainer — one full distributed pass per
+    * merge rule, the textbook recursion and the q118 oracle form. At a
+    * production 32k-merge vocabulary, prefer [[bpeTrainBatched]]: same
+    * statistics, same determinism, but it learns a pairwise-disjoint
+    * BATCH of rules per pass, collapsing the job count by the batch
+    * size (its batchSize = 1 case reproduces this trainer exactly —
+    * spec-pinned). */
   def bpeTrainState(df: DataFrame, idCol: String, textCol: String,
                     nMerges: Int, minPairFreq: Long = 2L): BpeTrained = {
     require(nMerges >= 1 && nMerges <= 100000, s"nMerges out of range: $nMerges")
     require(minPairFreq >= 1, s"minPairFreq must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    val words = df.select(explode(split(trim(col(textCol)), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     // localCheckpoint (not persist): each merge pass references its
     // input from THREE subtrees, so the logical plan would grow ~5×
     // per iteration — exponential by nMerges — unless the lineage is
     // truncated every round (the dupClusters loop's established fix)
-    var syms = words.select(col("w"), col("freq"),
-        posexplode(regexp_extract_all(col("w"), lit("."), lit(0)))
-          .as(Seq("pos", "sym")))
-      .localCheckpoint()
+    var syms = codepointSyms(wordTable(df, textCol)).localCheckpoint()
     val wWin = Window.partitionBy(col("w")).orderBy(col("pos"))
     val rules = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
@@ -134,6 +152,190 @@ object Bpe {
   def bpeTrain(df: DataFrame, idCol: String, textCol: String,
                nMerges: Int, minPairFreq: Long = 2L): DataFrame = {
     val trained = bpeTrainState(df, idCol, textCol, nMerges, minPairFreq)
+    trained.wordSegs.unpersist()
+    trained.merges
+  }
+
+  // ------------------------------------------------------- batched
+
+  /** One SIMULTANEOUS merge pass of a pairwise-symbol-disjoint rule
+    * set. Disjointness is what makes simultaneous application
+    * well-defined and order-independent: a merge replaces two adjacent
+    * symbols with one, so it can neither create nor destroy an
+    * adjacency of symbols it doesn't contain, and candidates of two
+    * distinct disjoint rules can never claim the same position (a
+    * position holds ONE symbol). Consecutive candidate positions
+    * therefore still only arise within a single l = r rule, so the
+    * gaps-and-islands greedy from [[mergePass]] carries over verbatim —
+    * the only change is the merged symbol comes from concat(sym, nxt)
+    * instead of a single rule literal. */
+  private[pipeline] def mergePassMulti(syms: DataFrame,
+                                       rules: Seq[(String, String)]): DataFrame = {
+    val spark = syms.sparkSession
+    import spark.implicits._
+    val wWin = Window.partitionBy(col("w")).orderBy(col("pos"))
+    val d = syms.withColumn("nxt", lead(col("sym"), 1).over(wWin))
+    val ruleDf = broadcast(rules.toDF("l", "r"))
+    val cand = d.join(ruleDf, col("sym") === col("l") && col("nxt") === col("r"))
+      .select(col("w"), col("pos"))
+    val sel = cand
+      .withColumn("grp", col("pos") - row_number().over(wWin))
+      .withColumn("rs", min(col("pos")).over(Window.partitionBy(col("w"), col("grp"))))
+      .filter(pmod(col("pos") - col("rs"), lit(2)) === 0)
+      .select(col("w"), col("pos"))
+    d.join(sel.withColumn("is_sel", lit(true)), Seq("w", "pos"), "left")
+      .join(sel.select(col("w"), (col("pos") + 1).as("pos"), lit(true).as("is_abs")),
+            Seq("w", "pos"), "left")
+      .filter(col("is_abs").isNull)
+      .select(col("w"), col("freq"), col("pos"),
+              when(col("is_sel").isNotNull, concat(col("sym"), col("nxt")))
+                .otherwise(col("sym")).as("sym"))
+      .withColumn("pos2", row_number().over(wWin) - 1)
+      .select(col("w"), col("freq"), col("pos2").as("pos"), col("sym"))
+  }
+
+  /** LOCALLY-MAXIMAL pair selection — the batching rule that makes BPE
+    * training parallel in the merge dimension. A pair is selected iff
+    * it ranks FIRST under (cnt DESC, l ASC, r ASC) within the
+    * candidate group of EVERY symbol it contains, i.e. it strictly
+    * beats every pair sharing a symbol under the total order.
+    * Consequences, each load-bearing:
+    *   - selected pairs are pairwise symbol-disjoint (two overlapping
+    *     pairs can't both rank first in the shared symbol's group), so
+    *     [[mergePassMulti]] may apply them simultaneously;
+    *   - the global argmax is always selected (it beats everything it
+    *     overlaps), so every pass makes progress and batchSize = 1
+    *     degenerates to the sequential trainer exactly;
+    *   - the overlap relation is decomposed per symbol (explode +
+    *     window rank + groupBy) — keyed shuffles only, never a
+    *     pair×pair theta-join.
+    * Returns up to `batchSize` rows (l, r, cnt) ranked
+    * (cnt DESC, l, r). */
+  private[pipeline] def localMaxPairs(pairs: DataFrame, batchSize: Int): DataFrame = {
+    val sWin = Window.partitionBy(col("s"))
+      .orderBy(col("cnt").desc, col("l"), col("r"))
+    pairs
+      .select(col("l"), col("r"), col("cnt"),
+              explode(array_distinct(array(col("l"), col("r")))).as("s"))
+      .withColumn("rk", row_number().over(sWin))
+      .groupBy(col("l"), col("r"), col("cnt"))
+      .agg(max(col("rk")).as("mrk"))
+      .filter(col("mrk") === 1)
+      .orderBy(col("cnt").desc, col("l"), col("r"))
+      .limit(batchSize)
+  }
+
+  /** BATCHED BPE training over an arbitrary initial symbol table —
+    * the production-scale trainer (VERDICT r11 finding #1: one Spark
+    * job per merge rule is infeasible at a 32k-merge vocabulary; this
+    * runs `nPasses` passes learning up to `batchSize` disjoint rules
+    * each, so the job count is vocab/batchSize instead of vocab).
+    * Exactly `nPasses` passes run unless the corpus runs dry (no pair
+    * ≥ `minPairFreq` — then nothing remains for later passes either),
+    * so a fixed-pass SQL unroll replays it deterministically (q136's
+    * oracle). Per pass only the ≤ batchSize selected rules reach the
+    * driver. Ranks number rules (pass ASC, cnt DESC, l, r) —
+    * continuous across passes. */
+  private def trainBatchedFrom(syms0: DataFrame, nPasses: Int, batchSize: Int,
+                               minPairFreq: Long): BpeTrained = {
+    require(nPasses >= 1 && nPasses <= 100000, s"nPasses out of range: $nPasses")
+    require(batchSize >= 1 && batchSize <= 100000, s"batchSize out of range: $batchSize")
+    require(minPairFreq >= 1, s"minPairFreq must be >= 1")
+    val spark = syms0.sparkSession
+    import spark.implicits._
+    var syms = syms0.localCheckpoint()
+    val wWin = Window.partitionBy(col("w")).orderBy(col("pos"))
+    val rules = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var dry = false
+    var p = 1
+    while (p <= nPasses && !dry) {
+      val batch = localMaxPairs(
+        syms.withColumn("nxt", lead(col("sym"), 1).over(wWin))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("sym"), col("nxt")).agg(sum(col("freq")).as("cnt"))
+          .filter(col("cnt") >= minPairFreq)
+          .select(col("sym").as("l"), col("nxt").as("r"), col("cnt")),
+        batchSize).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (batch.isEmpty) dry = true
+      else {
+        batch.foreach { case (l, r, cnt) =>
+          rules += ((rules.size + 1L, l, r, l + r, cnt)) }
+        val next = mergePassMulti(syms, batch.map(t => (t._1, t._2)).toSeq)
+          .localCheckpoint()
+        syms.unpersist()
+        syms = next
+      }
+      p += 1
+    }
+    BpeTrained(
+      rules.toSeq.toDF("rank", "left_sym", "right_sym", "merged", "cnt"),
+      syms)
+  }
+
+  /** Batched trainer on the whitespace-word / code-point symbol
+    * universe — [[bpeTrainState]]'s statistics at 1/batchSize the job
+    * count. */
+  def bpeTrainBatchedState(df: DataFrame, idCol: String, textCol: String,
+                           nPasses: Int, batchSize: Int,
+                           minPairFreq: Long = 2L): BpeTrained =
+    trainBatchedFrom(codepointSyms(wordTable(df, textCol)),
+                     nPasses, batchSize, minPairFreq)
+
+  /** Merge table of the batched trainer (releases the training
+    * state). */
+  def bpeTrainBatched(df: DataFrame, idCol: String, textCol: String,
+                      nPasses: Int, batchSize: Int,
+                      minPairFreq: Long = 2L): DataFrame = {
+    val trained = bpeTrainBatchedState(df, idCol, textCol, nPasses,
+                                       batchSize, minPairFreq)
+    trained.wordSegs.unpersist()
+    trained.merges
+  }
+
+  // ---------------------------------------------------- byte-level
+
+  /** Engine-portable GPT-2-style pretokenizer (simplified — no
+    * lookahead, so a run of spaces keeps ALL its spaces in one token
+    * rather than donating the last one to the following word): letter
+    * runs, digit runs, and punctuation runs each with an optional
+    * leading space, then residual space runs. Leftmost-first
+    * alternation behaves identically in Java regex (Spark) and RE2
+    * (DuckDB). */
+  val pretokenRegex = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  /** Byte-level word table: pretokenize, then key each token by the
+    * UPPERCASE HEX of its UTF-8 bytes — the engine-portable byte
+    * representation (DuckDB: `upper(hex(encode(w)))`), in which every
+    * SYMBOL is a hex string of whole bytes and merges concatenate hex.
+    * This closes the vocabulary over arbitrary bytes: unseen unicode
+    * decomposes into byte symbols instead of collapsing to UNK — the
+    * reason production tokenizers (GPT-2/LLaMA family) are byte-level. */
+  private def byteWordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(regexp_extract_all(col(textCol),
+                lit(pretokenRegex), lit(0))).as("wtxt"))
+      .filter(col("wtxt") =!= "")
+      .groupBy(col("wtxt")).agg(count(lit(1)).as("freq"))
+      .select(upper(hex(encode(col("wtxt"), "UTF-8"))).as("w"), col("freq"))
+
+  /** Initial byte symbols: consecutive hex pairs of the word key
+    * (regexp '..' walks left-to-right non-overlapping — one symbol per
+    * byte). */
+  private def hexByteSyms(words: DataFrame): DataFrame =
+    words.select(col("w"), col("freq"),
+      posexplode(regexp_extract_all(col("w"), lit(".."), lit(0)))
+        .as(Seq("pos", "sym")))
+
+  /** BYTE-LEVEL batched BPE training: [[pretokenRegex]] words, hex
+    * byte symbols, locally-maximal batches. Symbols in the returned
+    * merge table are hex byte strings (decode for display with
+    * `unhex`). */
+  def bpeTrainBytes(df: DataFrame, idCol: String, textCol: String,
+                    nPasses: Int, batchSize: Int,
+                    minPairFreq: Long = 2L): DataFrame = {
+    val trained = trainBatchedFrom(hexByteSyms(byteWordTable(df, textCol)),
+                                   nPasses, batchSize, minPairFreq)
     trained.wordSegs.unpersist()
     trained.merges
   }

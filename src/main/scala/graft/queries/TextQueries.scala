@@ -1621,6 +1621,121 @@ object TextQueries {
       |FROM ids i JOIN pk USING (doc_id)
       |WHERE i.pos < pk.bucket""".stripMargin
 
+  // ---------------------------------------------------- batched BPE
+
+  /** Unrolled CTEs for the BATCHED trainer ([[graft.pipeline.Bpe
+    * .bpeTrainBatched]]): per pass k the same relational steps the
+    * Scala runs — pair counts bp{k} (≥ minPairFreq), locally-maximal
+    * selection bsel{k} (per-symbol window rank, a pair survives iff it
+    * ranks first in EVERY symbol group it belongs to, capped at
+    * batchSize by (cnt DESC, l, r)), simultaneous candidate positions
+    * bc{k} over the WHOLE batch, gaps-and-islands greedy bisl{k}, and
+    * the merged+renumbered table bs{k} (merged symbol = sym || nxt —
+    * no per-rule literal needed). `head` supplies bs0 (code-point or
+    * hex-byte symbols). */
+  private def bpeBatchCtes(head: String, nPasses: Int, batchSize: Int,
+                           minPairFreq: Long): String = {
+    val iters = (1 to nPasses).map { k =>
+      s"""bd$k AS MATERIALIZED (SELECT w, freq, pos, sym,
+        |           lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+        |         FROM bs${k - 1}),
+        |bp$k AS MATERIALIZED (SELECT sym AS l, nxt AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        |         FROM bd$k WHERE nxt IS NOT NULL
+        |         GROUP BY 1, 2 HAVING sum(freq) >= $minPairFreq),
+        |bsel$k AS MATERIALIZED (SELECT l, r, cnt,
+        |           CAST(row_number() OVER (ORDER BY cnt DESC, l, r) AS BIGINT) AS brank
+        |         FROM (SELECT l, r, cnt FROM (
+        |                 SELECT l, r, cnt,
+        |                        row_number() OVER (PARTITION BY s ORDER BY cnt DESC, l, r) AS rk
+        |                 FROM (SELECT l, r, cnt, u.s
+        |                       FROM bp$k, LATERAL unnest(list_distinct([l, r])) AS u(s)) e) g
+        |               GROUP BY l, r, cnt HAVING max(rk) = 1) x
+        |         ORDER BY cnt DESC, l, r LIMIT $batchSize),
+        |bc$k AS MATERIALIZED (SELECT d.w, d.pos FROM bd$k d JOIN bsel$k m
+        |           ON d.sym = m.l AND d.nxt = m.r),
+        |bisl$k AS MATERIALIZED (SELECT w, pos FROM (
+        |    SELECT w, pos, min(pos) OVER (PARTITION BY w, grp) AS rs
+        |    FROM (SELECT w, pos,
+        |            pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp
+        |          FROM bc$k) g) h
+        |  WHERE (pos - rs) % 2 = 0),
+        |bs$k AS MATERIALIZED (SELECT w, freq,
+        |           row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos, sym
+        |         FROM (
+        |           SELECT d.w, d.freq, d.pos,
+        |                  CASE WHEN sel.pos IS NOT NULL THEN d.sym || d.nxt
+        |                       ELSE d.sym END AS sym
+        |           FROM bd$k d
+        |           LEFT JOIN bisl$k sel ON sel.w = d.w AND sel.pos = d.pos
+        |           LEFT JOIN bisl$k ab ON ab.w = d.w AND ab.pos + 1 = d.pos
+        |           WHERE ab.pos IS NULL) z)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
+  private def bpeBatchFinal(nPasses: Int): String = {
+    val union = (1 to nPasses)
+      .map(k => s"SELECT $k AS pass, l, r, cnt, brank FROM bsel$k")
+      .mkString("\nUNION ALL ")
+    s"""SELECT CAST(row_number() OVER (ORDER BY pass, brank) AS BIGINT) AS rank,
+      |       l AS left_sym, r AS right_sym, l || r AS merged, cnt
+      |FROM ($union)""".stripMargin
+  }
+
+  private val bpeBatchPasses = 4
+  private val bpeBatchSize = 4
+
+  /** q136 — BATCHED BPE training ([[graft.pipeline.Bpe
+    * .bpeTrainBatched]], the r11 verdict's production-scale fix): each
+    * pass learns up to `batchSize` PAIRWISE-SYMBOL-DISJOINT rules (the
+    * locally-maximal selection — a pair survives iff it beats every
+    * pair sharing a symbol under (cnt DESC, l, r)) and merges them in
+    * ONE simultaneous relational pass, so a 32k-merge vocabulary costs
+    * vocab/batchSize Spark jobs instead of vocab. The oracle unrolls
+    * all passes, selection rule included. */
+  private def q136(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Bpe.bpeTrainBatched(t(s, dir, "documents"), "doc_id", "text",
+                                       nPasses = bpeBatchPasses,
+                                       batchSize = bpeBatchSize)
+
+  private val q136Sql = {
+    val head =
+      """bbw AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents) x
+        |  WHERE w <> '' GROUP BY 1),
+        |bs0 AS MATERIALIZED (SELECT w, freq, u.i - 1 AS pos,
+        |         list_extract(regexp_extract_all(w, '.'), u.i) AS sym
+        |       FROM bbw, LATERAL unnest(
+        |         generate_series(1, len(regexp_extract_all(w, '.')))) AS u(i))""".stripMargin
+    s"WITH ${bpeBatchCtes(head, bpeBatchPasses, bpeBatchSize, 2L)}\n${bpeBatchFinal(bpeBatchPasses)}"
+  }
+
+  /** q137 — BYTE-LEVEL batched BPE training ([[graft.pipeline.Bpe
+    * .bpeTrainBytes]]): GPT-2-style pretokenizer (letter/digit/punct
+    * runs with optional leading space — identical leftmost-first
+    * semantics in Java regex and RE2), symbols = UPPERCASE HEX of
+    * UTF-8 bytes (`upper(hex(encode(w)))` on both engines), so the
+    * vocabulary is closed over arbitrary bytes and multibyte unicode
+    * decomposes into byte symbols instead of UNK. Same batched
+    * machinery and oracle unroll as q136, byte head. */
+  private def q137(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Bpe.bpeTrainBytes(t(s, dir, "documents"), "doc_id", "text",
+                                     nPasses = bpeBatchPasses,
+                                     batchSize = bpeBatchSize)
+
+  private val q137Sql = {
+    val head =
+      s"""bbw AS MATERIALIZED (SELECT upper(hex(encode(wtxt))) AS w, count(*) AS freq
+        |  FROM (SELECT unnest(regexp_extract_all(text,
+        |          '${graft.pipeline.Bpe.pretokenRegex}')) AS wtxt
+        |        FROM documents) x
+        |  WHERE wtxt <> '' GROUP BY 1),
+        |bs0 AS MATERIALIZED (SELECT w, freq, u.i - 1 AS pos,
+        |         substr(w, 2 * u.i - 1, 2) AS sym
+        |       FROM bbw, LATERAL unnest(generate_series(1, len(w) // 2)) AS u(i))""".stripMargin
+    s"WITH ${bpeBatchCtes(head, bpeBatchPasses, bpeBatchSize, 2L)}\n${bpeBatchFinal(bpeBatchPasses)}"
+  }
+
   // q124 — the distilled classifier ([[graft.pipeline.Classifier]]):
   // hashed-bag-of-words logistic regression trained by full-batch GD
   // on the integer micro-grid. The oracle UNROLLS the gradient-descent
@@ -1936,6 +2051,8 @@ object TextQueries {
     QueryDef("q124_distill_classifier", q124, Some(q124Sql)),
     QueryDef("q125_token_budget", q125, Some(q125Sql)),
     QueryDef("q126_pack_curriculum", q126, Some(q126Sql)),
-    QueryDef("q134_nfc_normalize", q134, Some(q134Sql))
+    QueryDef("q134_nfc_normalize", q134, Some(q134Sql)),
+    QueryDef("q136_bpe_batched", q136, Some(q136Sql)),
+    QueryDef("q137_bpe_bytes", q137, Some(q137Sql))
   )
 }

@@ -122,4 +122,71 @@ class BpeSpec extends AnyFunSuite {
              s"doc $doc contiguous from a slot boundary")
     }
   }
+
+  test("batched trainer with batchSize = 1 reproduces the sequential trainer") {
+    // the degenerate case pins the batching rule to the textbook
+    // recursion: a batch of one is always the global argmax
+    val seq4 = Bpe.bpeTrain(classic, "doc_id", "text", 4)
+      .orderBy("rank").collect().map(_.toString).toSeq
+    val bat4 = Bpe.bpeTrainBatched(classic, "doc_id", "text",
+                                   nPasses = 4, batchSize = 1)
+      .orderBy("rank").collect().map(_.toString).toSeq
+    assert(bat4 == seq4, s"batchSize=1 must equal sequential:\n$bat4\nvs\n$seq4")
+  }
+
+  test("one batched pass selects exactly the locally-maximal disjoint pairs") {
+    // hand-computed over the classic corpus's pair table: es(9) beats
+    // everything sharing e or s; lo(7) beats ow(7) on the l<o tie and
+    // owns l outright; every other pair loses its symbol group to one
+    // of those or to a non-selected dominator (st loses s to es, we
+    // loses e to es, id loses d to de which itself loses e to es)
+    val m = Bpe.bpeTrainBatched(classic, "doc_id", "text",
+                                nPasses = 1, batchSize = 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(m.toSeq == Seq((1L, "e", "s", 9L), (2L, "l", "o", 7L)),
+           s"locally-maximal batch: ${m.toSeq}")
+    // and the selected rules are pairwise symbol-disjoint by construction
+    val symsets = m.map(t => Set(t._2, t._3))
+    for (i <- symsets.indices; j <- symsets.indices if i < j)
+      assert(symsets(i).intersect(symsets(j)).isEmpty, "batch not disjoint")
+  }
+
+  test("batched passes converge to the sequential rule SET on the classic corpus") {
+    // order differs across batches (a batch commits lower-count rules
+    // before the next pass's recount) but the learned vocabulary of a
+    // saturated run must coincide
+    val seqSet = Bpe.bpeTrain(classic, "doc_id", "text", 8)
+      .collect().map(_.getAs[String]("merged")).toSet
+    val batSet = Bpe.bpeTrainBatched(classic, "doc_id", "text",
+                                     nPasses = 8, batchSize = 4)
+      .collect().map(_.getAs[String]("merged")).toSet
+    assert(seqSet.subsetOf(batSet) || batSet.subsetOf(seqSet) || seqSet == batSet,
+           s"divergent vocabularies:\nseq $seqSet\nbat $batSet")
+  }
+
+  test("byte-level trainer: hex byte symbols, pretokenized words, space prefix") {
+    // "aa aa aa" pretokenizes to "aa", " aa", " aa" → hex words
+    // 6161 (freq 1) and 206161 (freq 2); byte-pair (61,61) counts 3,
+    // (20,61) counts 2 but loses symbol 61 to the maximum, so pass 1
+    // learns only 6161; pass 2 then fuses the space prefix
+    val df = Seq((1L, "aa aa aa")).toDF("doc_id", "text")
+    val m = Bpe.bpeTrainBytes(df, "doc_id", "text", nPasses = 2, batchSize = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(m.toSeq == Seq(
+      (1L, "61", "61", "6161", 3L),
+      (2L, "20", "6161", "206161", 2L)), s"byte merges: ${m.toSeq}")
+  }
+
+  test("byte-level trainer decomposes multibyte UTF-8 into byte symbols") {
+    // "éé" is C3A9 C3A9 — the most frequent byte pair inside the token
+    // is (C3,A9) with one count per é; the learned merge is a byte
+    // sequence no codepoint tokenizer could produce
+    val df = Seq((1L, "éé éé")).toDF("doc_id", "text")
+    val m = Bpe.bpeTrainBytes(df, "doc_id", "text", nPasses = 1, batchSize = 1,
+                              minPairFreq = 1L)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(m.toSeq == Seq(("C3", "A9", 4L)), s"utf-8 byte merge: ${m.toSeq}")
+  }
 }
