@@ -315,6 +315,72 @@ object Multimodal {
               (col("doc_id") === col("cluster_id")).cast("long").as("is_keeper"))
   }
 
+  /** NEAR-duplicate perceptual ledger over an arbitrary hashed
+    * (doc_id, fp) frame — the point of a perceptual hash is the
+    * Hamming NEIGHBORHOOD, not exact equality (r11 verdict gap #3: the
+    * four exact ledgers cluster on fp equality; a re-encoded image one
+    * luminance bit off escaped them). Pipeline: banded-Hamming
+    * candidate pairs ([[TextDedup.fingerprintNearDupPairs]] — perfect
+    * recall by pigeonhole, hash join never cross join) → connected
+    * components ([[TextDedup.dupClusters]] — adaptive driver
+    * union-find / distributed min-label propagation) → the familiar
+    * (doc_id, fp, cluster_id, n_cluster, is_keeper) ledger, now with
+    * cluster_id = min doc id REACHABLE within Hamming ≤ maxHamming
+    * steps, not merely equal-fp. `widthBits` is the fingerprint's
+    * significant bit count (image aHash 16, default audio contour 15,
+    * an n-frame video contour n−1). */
+  def perceptualNearDedup(hashed: DataFrame, widthBits: Int,
+                          maxHamming: Int = 2): DataFrame = {
+    val fps = graft.queries.cacheOnce(hashed.select(col("doc_id"), col("fp")))
+    val pairs = TextDedup.fingerprintNearDupPairs(fps, "doc_id", "fp",
+                                                  widthBits, maxHamming)
+    val clusters = TextDedup.dupClusters(fps.select(col("doc_id")), pairs)
+      .select(col("doc_id"), col("cluster").as("cluster_id"))
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_cluster"))
+    fps.join(clusters, Seq("doc_id")).join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("fp"), col("cluster_id"), col("n_cluster"),
+              (col("doc_id") === col("cluster_id")).cast("long").as("is_keeper"))
+  }
+
+  /** Image near-dedup: [[perceptualNearDedup]] over the 16-bit aHash
+    * (4×4 synthetic core; production images go through
+    * [[resizeImages]] first, exactly as [[imagePerceptualDedup]]). */
+  def imageNearDedup(media: DataFrame, maxHamming: Int = 2): DataFrame = {
+    GraftFunctions.register(media.sparkSession)
+    perceptualNearDedup(
+      media.select(col("doc_id"),
+                   call_function("image_ahash", col("media")).as("fp"))
+        .filter(col("fp").isNotNull),
+      widthBits = 16, maxHamming = maxHamming)
+  }
+
+  /** Audio near-dedup: [[perceptualNearDedup]] over the energy-contour
+    * fingerprint (nFrames − 1 delta-sign bits). */
+  def audioNearDedup(media: DataFrame, frameSamples: Int = 16,
+                     widthBits: Int = 15, maxHamming: Int = 2): DataFrame = {
+    GraftFunctions.register(media.sparkSession)
+    perceptualNearDedup(
+      media.select(col("doc_id"),
+                   call_function("audio_energy_fp", col("media"),
+                                 lit(frameSamples)).as("fp"))
+        .filter(col("fp").isNotNull),
+      widthBits = widthBits, maxHamming = maxHamming)
+  }
+
+  /** Video near-dedup: [[perceptualNearDedup]] over the
+    * luminance-contour fingerprint ([[videoContourFpCol]], n − 1 bits
+    * for n-frame videos — callers pass the frame budget they encoded
+    * at). */
+  def videoNearDedup(media: DataFrame, widthBits: Int,
+                     maxHamming: Int = 2): DataFrame = {
+    GraftFunctions.register(media.sparkSession)
+    perceptualNearDedup(
+      media.select(col("doc_id"), videoContourFpCol(col("media")).as("fp"))
+        .filter(col("fp").isNotNull),
+      widthBits = widthBits, maxHamming = maxHamming)
+  }
+
   /** Synthesize a REAL audio table: one 16-bit PCM mono WAV per input
     * row ([[graft.plans.GenWav]]), sample t of clip `id` carrying
     * `((id·31 + t·7919) mod 2048) − 1024` — genuine codec bytes

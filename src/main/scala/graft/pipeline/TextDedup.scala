@@ -694,6 +694,31 @@ object TextDedup {
     * as the ORACLE form (its fingerprint is q58's, hash-pinned in
     * DuckDB); the production operator is [[simhashNearDupPairs64]],
     * whose 16-bit band keys give 65,536 buckets per band. */
+  /** Banded-Hamming near-duplicate pairs over an ARBITRARY integer
+    * fingerprint frame — the pigeonhole machinery ([[bandSplit]] +
+    * band equi-join + exact popcount) opened to fingerprints the text
+    * tier didn't make: the multimodal perceptual hashes (image aHash,
+    * audio energy contour, video luminance contour). `width` is the
+    * fingerprint's significant bit count (bits ≥ width must be 0 in
+    * every fp — they'd land in the top band and are harmless, but a
+    * width that UNDERSTATES real bits would exclude them from banding
+    * and break perfect recall). Returns (da, db, hamming), da < db,
+    * hamming ≤ maxHamming — with PERFECT recall: d differing bits dirty
+    * at most d of the d+1 bands, so every near pair shares a band
+    * exactly. Same hash-join-never-cross-join scale shape as the
+    * simhash family; candidate volume is O(Σ bucket²) over band
+    * buckets, governed by the band-key width (width/(maxHamming+1)
+    * bits). */
+  def fingerprintNearDupPairs(fps: DataFrame, idCol: String, fpCol: String,
+                              width: Int, maxHamming: Int): DataFrame = {
+    require(width >= 2 && width <= 64, s"width out of range: $width")
+    require(maxHamming >= 0 && maxHamming < width,
+            s"maxHamming out of range for width $width: $maxHamming")
+    bandedHammingPairs(
+      fps.select(col(idCol).as("id"), col(fpCol).as("simhash")),
+      width, maxHamming)
+  }
+
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15, s"maxHamming out of range: $maxHamming")

@@ -337,6 +337,141 @@ object MultimodalQueries {
       |         AS is_keeper
       |FROM vfps JOIN vcl USING (fp)""".stripMargin
 
+  // ------------------------------------------- perceptual NEAR-dedup
+  // q138-q140 — the Hamming-neighborhood upgrade of the exact
+  // perceptual ledgers (r11 verdict gap #3): candidates from
+  // pigeonhole banding (perfect recall), exact popcount confirm,
+  // connected components over the near graph. The oracles compute the
+  // SEMANTIC result — ALL pairs within Hamming ≤ h via a direct join,
+  // then a recursive transitive closure — so they also prove the
+  // banded path's perfect-recall claim: a single dropped candidate
+  // would split a component and break the hash.
+
+  /** Shared oracle tail: near edges at Hamming ≤ `h` over `hs(doc_id,
+    * fp)`, min-label closure, cluster sizes, the ledger projection. */
+  private def nearLedgerSql(hsCte: String, h: Int): String =
+    s"""$hsCte,
+      |np AS (SELECT a.doc_id AS da, b.doc_id AS db
+      |       FROM hs a JOIN hs b
+      |         ON a.doc_id < b.doc_id
+      |        AND bit_count(xor(a.fp, b.fp)) <= $h),
+      |edges AS (SELECT da AS src, db AS dst FROM np
+      |          UNION SELECT db AS src, da AS dst FROM np),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM hs
+      |  UNION
+      |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r),
+      |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+      |sz AS (SELECT cluster_id, count(*) AS n_cluster FROM lab GROUP BY 1)
+      |SELECT hs.doc_id, hs.fp, lab.cluster_id,
+      |       CAST(sz.n_cluster AS BIGINT) AS n_cluster,
+      |       CAST(CASE WHEN hs.doc_id = lab.cluster_id THEN 1 ELSE 0 END AS BIGINT)
+      |         AS is_keeper
+      |FROM hs JOIN lab USING (doc_id) JOIN sz USING (cluster_id)""".stripMargin
+
+  /** q138 — image NEAR-dedup ([[Multimodal.imageNearDedup]]): the
+    * aHash ledger with cluster_id = min doc reachable within
+    * Hamming ≤ 2 — what perceptual hashing is FOR (a brightness-shifted
+    * or re-encoded image lands bits away, not bytes away). Banded
+    * candidates + popcount confirm + connected components on the Spark
+    * side; the oracle takes the direct all-pairs Hamming definition,
+    * so equality also certifies the banding's perfect recall. */
+  private def q138(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageNearDedup(
+      Multimodal.imageTable(t(s, dir, "documents"), "doc_id"))
+
+  private val q138Sql = {
+    val hs =
+      """WITH RECURSIVE px AS (
+        |  SELECT d.doc_id, g.x, g.y,
+        |         ((d.doc_id * 31 + 7 * g.x + 13 * (3 - g.y)) % 256 + 256) % 256 AS b
+        |  FROM documents d
+        |  CROSS JOIN (
+        |    SELECT xs.x, ys.y
+        |    FROM (SELECT unnest(generate_series(0, 3)) AS x) xs,
+        |         (SELECT unnest(generate_series(0, 3)) AS y) ys) g),
+        |lum AS (
+        |  SELECT doc_id, x, y,
+        |         ((b + 170) % 256) + ((b + 85) % 256) + b AS l
+        |  FROM px),
+        |tot AS (SELECT doc_id, sum(l) AS t FROM lum GROUP BY 1),
+        |hs AS (
+        |  SELECT lum.doc_id,
+        |         CAST(sum(CASE WHEN l * 16 > t
+        |                  THEN CAST(1 AS BIGINT) << (y * 4 + x) ELSE 0 END)
+        |              AS BIGINT) AS fp
+        |  FROM lum JOIN tot USING (doc_id) GROUP BY 1)""".stripMargin
+    nearLedgerSql(hs, 2)
+  }
+
+  /** q139 — audio NEAR-dedup ([[Multimodal.audioNearDedup]]): the
+    * energy-contour ledger under Hamming ≤ 2 (a clip re-encoded with
+    * one frame's energy ordering flipped is the same recording; exact
+    * equality called it distinct). Same banded/closure split as
+    * q138. */
+  private def q139(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioNearDedup(
+      Multimodal.audioTable(t(s, dir, "documents"), "doc_id"))
+
+  private val q139Sql = {
+    val hs =
+      """WITH RECURSIVE smp AS (
+        |  SELECT d.doc_id, g.t, g.t // 16 AS frame,
+        |         ((d.doc_id * 31 + g.t * 7919) % 2048 + 2048) % 2048 - 1024 AS v
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS t) g),
+        |en AS (
+        |  SELECT doc_id, frame, sum(v * v) AS e
+        |  FROM smp GROUP BY 1, 2),
+        |dl AS (
+        |  SELECT doc_id, frame,
+        |         lead(e) OVER (PARTITION BY doc_id ORDER BY frame) AS nxt, e
+        |  FROM en),
+        |hs AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN nxt > e
+        |                  THEN CAST(1 AS BIGINT) << frame ELSE 0 END)
+        |              AS BIGINT) AS fp
+        |  FROM dl WHERE nxt IS NOT NULL GROUP BY 1)""".stripMargin
+    nearLedgerSql(hs, 2)
+  }
+
+  /** q140 — video NEAR-dedup ([[Multimodal.videoNearDedup]]) on
+    * 17-frame GIFs (16 contour bits — a fingerprint wide enough that
+    * the neighborhood is non-trivial): luminance-contour fingerprints,
+    * Hamming ≤ 2, connected components. Also exercises the decode
+    * path at 4× the q130 frame depth. */
+  private def q140(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoNearDedup(
+      Multimodal.videoTable(t(s, dir, "documents"), "doc_id", nFrames = 17),
+      widthBits = 16)
+
+  private val q140Sql = {
+    val hs =
+      """WITH RECURSIVE vpx AS (
+        |  SELECT d.doc_id, fs.f, g.x, g.y,
+        |         ((d.doc_id * 31 + 7 * g.x + 13 * g.y + 17 * fs.f) % 256 + 256) % 256 AS b
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS f) fs
+        |  CROSS JOIN (
+        |    SELECT xs.x, ys.y
+        |    FROM (SELECT unnest(generate_series(0, 3)) AS x) xs,
+        |         (SELECT unnest(generate_series(0, 3)) AS y) ys) g),
+        |fl AS (
+        |  SELECT doc_id, f,
+        |         avg((b + 170) % 256) + avg((b + 85) % 256) + avg(b) AS lum
+        |  FROM vpx GROUP BY 1, 2),
+        |dv AS (
+        |  SELECT doc_id, f, lead(lum) OVER w AS nxt, lum
+        |  FROM fl WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+        |hs AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN nxt > lum
+        |                  THEN CAST(1 AS BIGINT) << f ELSE 0 END) AS BIGINT) AS fp
+        |  FROM dv WHERE nxt IS NOT NULL GROUP BY 1)""".stripMargin
+    nearLedgerSql(hs, 2)
+  }
+
   /** q133 — multimodal sample manifest: one row per document joining
     * the text stats with every modality's perceptual fingerprint
     * (image ahash, audio energy contour, video luminance contour) —
@@ -415,6 +550,9 @@ object MultimodalQueries {
     QueryDef("q131_video_scene_stats", q131, Some(q131Sql)),
     QueryDef("q132_video_fp_dedup", q132, Some(q132Sql)),
     QueryDef("q133_multimodal_manifest", q133, Some(q133Sql)),
-    QueryDef("q135_audio_vad", q135, Some(q135Sql))
+    QueryDef("q135_audio_vad", q135, Some(q135Sql)),
+    QueryDef("q138_image_near_dedup", q138, Some(q138Sql)),
+    QueryDef("q139_audio_near_dedup", q139, Some(q139Sql)),
+    QueryDef("q140_video_near_dedup", q140, Some(q140Sql))
   )
 }

@@ -2164,6 +2164,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fpOf(66).isEmpty, "66 frames would need bit 64: must be null")
   }
 
+  test("perceptual near-dedup: transitive Hamming chains cluster, strangers stay apart") {
+    // 1-2-3 form a Hamming-1 chain (1 and 3 are 2 apart — only
+    // transitivity links them); 10 is far from everything
+    val fps = Seq((1L, 0L), (2L, 1L), (3L, 3L), (10L, 0xF0L))
+      .toDF("doc_id", "fp")
+    val out = Multimodal.perceptualNearDedup(fps, widthBits = 8, maxHamming = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out(1L) == ((1L, 3L, 1L)) && out(2L) == ((1L, 3L, 0L)) &&
+           out(3L) == ((1L, 3L, 0L)), s"chain must fuse transitively: $out")
+    assert(out(10L) == ((10L, 1L, 1L)), s"far fp stays a singleton: $out")
+  }
+
+  test("near-dedup at maxHamming = 0 degenerates to the exact perceptual ledger") {
+    graft.plans.GraftFunctions.register(spark)
+    val media = Multimodal.imageTable((1L to 40L).toDF("doc_id"), "doc_id")
+    val exact = Multimodal.imagePerceptualDedup(media)
+      .select(col("doc_id"), col("ahash").as("fp"), col("cluster_id"),
+              col("n_cluster"), col("is_keeper"))
+      .collect().map(_.toString).sorted.toSeq
+    val near = Multimodal.imageNearDedup(media, maxHamming = 0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(near == exact, "h = 0 must reproduce exact-fp clustering")
+  }
+
+  test("fingerprintNearDupPairs: banded candidates have perfect recall vs brute force") {
+    // 64-bit fingerprints spread across band boundaries; every pair
+    // within Hamming 3 must surface through some shared band
+    val fps = Seq(
+      (1L, 0x0000000000000000L), (2L, 0x8000000000000001L), // H2 via top+bottom bits
+      (3L, 0x0000000000000007L),                            // H3 from 1, H4 from 2
+      (4L, 0x00000000000F0000L), (5L, 0x00000000000F0001L)  // H1 pair mid-word
+    ).toDF("id", "fp")
+    val got = TextDedup.fingerprintNearDupPairs(fps, "id", "fp", 64, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val raw = fps.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (a, fa) <- raw; (b, fb) <- raw if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got == want, s"banded $got vs brute $want")
+  }
+
   test("audio VAD: segments match a by-hand gaps-and-islands replay") {
     graft.plans.GraftFunctions.register(spark)
     val ids = Seq(3L, 8L).toDF("doc_id")
