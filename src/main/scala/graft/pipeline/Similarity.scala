@@ -1222,6 +1222,44 @@ object Similarity extends org.apache.spark.internal.Logging {
               col("is_keeper"), col("n_cluster"))
   }
 
+  // ------------------------------------- engine-produced embeddings
+
+  /** ENGINE-PRODUCED document embeddings — the corpus→vector operator
+    * that closes text→embedding→semantic-dedup as one in-engine chain
+    * (r11 verdict gap #4: the ANN/semantic tier consumed externally-
+    * supplied vectors only). Built from proven parts: hashed-TF
+    * micro-grid features ([[graft.pipeline.Classifier.tfFeatures]] —
+    * `dim` tf buckets plus the capped-length slot, every value an
+    * INTEGER count of micro-units) densified per document, then the
+    * deterministic ±1 JL projection ([[jlProject]], salt-isolated) to
+    * `outDim`. Integer features × ±1 entries ⇒ every output coordinate
+    * is an exact integer sum, so the embedding replays bit-for-bit in
+    * any engine (q141) before a single IEEE division happens
+    * downstream (cosines keep the family's round-6 discipline).
+    *
+    * Output: (doc_id, v), v: array<double> of length `outDim` — the
+    * shape every consumer in this family takes ([[cosineTopK]], IVF,
+    * LSH, [[semanticDedupFrames]]). Token-less documents emit no row
+    * (no features — the tfFeatures contract). Scale shape: one keyed
+    * groupBy(doc) to densify (map-side partial agg on (doc, bucket)
+    * first); the projection is a pure codegen'd map with a
+    * config-sized outDim·(dim+1) matrix literal; nothing here is
+    * corpus-sized off the executors. */
+  def embedDocs(df: DataFrame, idCol: String, textCol: String,
+                dim: Int = 64, outDim: Int = 16,
+                salt: String = "emb"): DataFrame = {
+    require(dim >= 1 && outDim >= 1, s"dims must be positive: $dim, $outDim")
+    val feat = graft.pipeline.Classifier.tfFeatures(df, idCol, textCol, dim)
+    val dense = feat.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("h"), col("f")))).as("m"))
+      .select(col("doc_id"),
+              transform(sequence(lit(0L), lit(dim.toLong)),
+                        i => coalesce(element_at(col("m"), i), lit(0L))
+                          .cast("double")).as("v"))
+    jlProject(dense, dim + 1, outDim, salt)
+      .select(col("doc_id"), col("vp").as("v"))
+  }
+
   /** [[semanticDedup]] PAST THE LITERAL CEILING, with the straddle
     * mitigation built in — the production form of SemDeDup here:
     *

@@ -937,7 +937,7 @@ object TextQueries {
   /** Oracle mirror of [[TextAnalysis.hashPoint]]'s md5 arithmetic: the
     * first 8 hex chars of md5(salt || key) as a BIGINT, mod `mod` —
     * the q75/q99 split arithmetic generalized to any salt/modulus. */
-  private def hashPointSql(keyExpr: String, salt: String, mod: Long): String =
+  private[queries] def hashPointSql(keyExpr: String, salt: String, mod: Long): String =
     s"""CAST(list_sum(list_transform(generate_series(1, 8),
       |           j -> CAST(instr('0123456789abcdef',
       |                           substr(md5('$salt' || $keyExpr), j, 1)) - 1 AS BIGINT)

@@ -1765,6 +1765,25 @@ class SimilaritySpec extends AnyFunSuite {
            "ledger still reports each vector's HOME cell")
     assert(multi(9L)._4 == 1L, "distant vector stays a singleton keeper")
   }
+
+  test("embedDocs: integer-exact, text-keyed, token-less docs emit no row") {
+    val docs = Seq((1L, "a b a"), (2L, "a b a"), (3L, "z z q w v u t y"),
+                   (4L, "   ")).toDF("doc_id", "text")
+    val out = Similarity.embedDocs(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "token-less doc 4 must emit no row")
+    assert(out(1L).size == 16)
+    assert(out.values.flatten.forall(v => v == math.rint(v)),
+           "micro-grid tf × ±1 matrix must give exact integer coordinates")
+    assert(out(1L) == out(2L), "identical text embeds identically")
+    assert(out(1L) != out(3L), "different text diverges")
+    // and the output feeds the ANN family unchanged
+    val e = Similarity.embedDocs(docs, "doc_id", "text")
+      .select(col("doc_id").as("vec_id"), col("v"))
+    val nn = Similarity.cosineTopK(e, col("vec_id") === 1L, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(nn == Seq((1L, 2L)), s"doc 2 is doc 1's exact nearest neighbor: $nn")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
