@@ -397,6 +397,24 @@ object Bpe {
              .as("ids"))
       .select(col(idCol), col("ids"), col("n_tokens"), col("n_oov"))
 
+  /** Token-id DECODING — the inverse of [[bpeEncodeIds]]: each id array
+    * back to its symbol strings (OOV ids → `oovSym`) concatenated in
+    * position order. The vocabulary rides as an id→symbol MAP literal
+    * (top-K-bounded — hyperparameter-sized, the same class of literal
+    * as the rule arrays), so decode is a ZERO-shuffle pure projection
+    * and runs unchanged under Structured Streaming. Round-tripping a
+    * document whose ids carry no OOV reproduces its text exactly up to
+    * the whitespace the word tokenizer consumed (BPE symbols partition
+    * each word's codepoints — concatenation restores the word stream). */
+  def bpeDecode(df: DataFrame, idCol: String, idsCol: String,
+                vocab: Seq[(Long, String)], oovSym: String = "<unk>"): DataFrame = {
+    require(vocab.nonEmpty, "bpeDecode needs a vocabulary")
+    val m = map(vocab.flatMap { case (r, sym) => Seq(lit(r), lit(sym)) }: _*)
+    df.select(col(idCol),
+      concat_ws("", transform(col(idsCol),
+        t => coalesce(element_at(m, t), lit(oovSym)))).as("text_rt"))
+  }
+
   /** The export chain on SUBWORD ids — [[TextAnalysis.materializePacks]]
     * with the learned tokenizer in place of whitespace ranks: segment →
     * encode → pack (buckets keyed by SUBWORD counts, via the shared

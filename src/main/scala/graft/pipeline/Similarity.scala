@@ -1260,6 +1260,97 @@ object Similarity extends org.apache.spark.internal.Logging {
       .select(col("doc_id"), col("vp").as("v"))
   }
 
+  // ------------------------------------------------------- k-means
+
+  /** Oracle-replayable distributed k-means (Lloyd) over INTEGER-grid
+    * vectors — the clustering step of a curation pipeline (SemDeDup's
+    * cluster stage, topic balancing, prototype mining). Published
+    * recipe, engine-portable determinism with NO RNG anywhere:
+    *
+    *  - init: the k vectors with the LOWEST vec_id, cid = 0..k-1 in
+    *    that order;
+    *  - assign: nearest centroid by round-4 cosine, ties to the lowest
+    *    cid — the exact [[ivfCellOf]] quantizer contract, so
+    *    assignment is the same native codegen'd zero-shuffle
+    *    projection the ANN family serves;
+    *  - update: per-coordinate mean, computed as an exact integer sum
+    *    (inputs are integer-valued doubles — [[embedDocs]]'s grid — so
+    *    float addition is associative-exact at any partitioning while
+    *    |Σ| < 2^53), then SQL-convention rounded (half away from zero)
+    *    back onto the integer grid: centroids STAY integer vectors and
+    *    every iteration replays bit-for-bit in DuckDB;
+    *  - empty cells keep their previous centroid (the standard Lloyd
+    *    degeneracy rule, and the one a left-join replay takes).
+    *
+    * Scale shape: per iteration one pure-projection assignment pass
+    * plus one keyed (cell, coord) aggregation (map-side partials)
+    * whose output is k·dim longs — driver state is
+    * hyperparameter-sized (the [[graft.pipeline.Classifier]] GD
+    * contract), never corpus-sized. For callers that don't need the
+    * oracle replay, [[trainCentroids]] is the Spark-ML path. */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0: got $k, $iters")
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col("vec_id"), col("v"))
+    var cents: Seq[(Int, Seq[Double])] = e.orderBy(col("vec_id")).limit(k)
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](r.fieldIndex("v")).toSeq }
+    require(cents.size == k, s"kmeansCentroids needs >= $k vectors, got ${cents.size}")
+    for (_ <- 1 to iters) {
+      val celled = withNorm(e)
+        .withColumn("cell", ivfCellOf(col("v"), col("nrm"), cents))
+      val upd = celled
+        .select(col("cell"), posexplode(col("v")).as(Seq("j", "x")))
+        .groupBy(col("cell"), col("j"))
+        .agg(round(sum(col("x")) / count(lit(1))).as("c"))
+        .collect()
+        .groupBy(_.getAs[Long]("cell"))
+        .map { case (c, rows) =>
+          c.toInt -> rows.sortBy(_.getAs[Int]("j")).map(_.getAs[Double]("c")).toSeq }
+      cents = cents.map { case (cid, cv) => cid -> upd.getOrElse(cid, cv) }
+    }
+    cents
+  }
+
+  /** Final-assignment ledger for a centroid set: every vector with its
+    * cell (the [[ivfCellOf]] contract — round-4 cosine, ties to the
+    * lowest cid), the round-4 cosine to that centroid, and the cell's
+    * population. Pure-projection assign + one k-row broadcast join for
+    * the centroid vector + one keyed count. */
+  def kmeansAssign(emb: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    require(cents.nonEmpty, "kmeansAssign needs centroids")
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cf = broadcast(cents.map { case (cid, cv) => (cid.toLong, cv) }
+      .toDF("cell", "cv"))
+    val celled = withNorm(emb.select(col("vec_id"), col("v")))
+      .withColumn("cell", ivfCellOf(col("v"), col("nrm"), cents))
+    val sizes = celled.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+    celled.join(cf, Seq("cell"))
+      .withColumn("cos",
+        round(dot(col("v"), col("cv")) / (col("nrm") * sqrt(dot(col("cv"), col("cv")))), 4))
+      .join(sizes, Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("cos"), col("n_cell"))
+  }
+
+  /** Cluster-balanced sampling: the m most PROTOTYPICAL vectors per
+    * k-means cell (highest round-4 cosine to the cell centroid, ties
+    * to the lower vec_id) — the standard topic-balanced subset
+    * selection over a clustered corpus (every cluster contributes at
+    * most m, so no topic dominates the sample). One window per cell
+    * partition on top of [[kmeansAssign]]; cells spread the corpus, so
+    * no single reducer sees more than a cell. */
+  def clusterBalancedSample(emb: DataFrame, cents: Seq[(Int, Seq[Double])],
+                            m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    kmeansAssign(emb, cents)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= m)
+  }
+
   /** [[semanticDedup]] PAST THE LITERAL CEILING, with the straddle
     * mitigation built in — the production form of SemDeDup here:
     *

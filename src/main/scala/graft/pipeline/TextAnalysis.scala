@@ -169,6 +169,67 @@ object TextAnalysis {
     top.withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** HYBRID retrieval — the RAG serving recipe: a BM25 lexical pool
+    * ([[bm25TopK]]) and a dense-cosine semantic pool over the
+    * engine-produced embeddings ([[graft.pipeline.Similarity
+    * .embedDocs]] — the query string rides through the SAME
+    * hashed-TF × ±1-JL pipeline as the corpus, so there is no
+    * out-of-band encoder), fused by Reciprocal Rank Fusion
+    * (score = Σ 1/(rrfK + rank), rrfK = 60 — the published constant):
+    * documents found by either modality rank by combined evidence,
+    * and a document missing from one pool simply contributes nothing
+    * for it. Output: (doc_id, rrf_e6, rank, bm25_rank, cos_rank) —
+    * pool ranks kept for auditability (null = not in that pool).
+    *
+    * Determinism: each RRF term is an exact-input double division and
+    * the fused score is micro-scaled before ranking, so order is
+    * engine-portable like every score here. Scale shape: the BM25
+    * side is q81's documented cost; the dense side is a zero-shuffle
+    * embedding projection + a ONE-row broadcast (the query vector) +
+    * a distributed top-`pool` (TakeOrdered — no global sort); the
+    * fusion joins two pool-sized frames (≤ 2·pool rows — driver-free,
+    * trivially broadcast). Passing a precomputed `vecs` frame
+    * ((doc_id, v) — e.g. the corpus's cached embedding index) skips
+    * re-deriving embeddings per query, the served-workload path. */
+  def hybridTopK(df: DataFrame, idCol: String, textCol: String,
+                 query: Seq[String], k: Int, pool: Int = 20, rrfK: Int = 60,
+                 vecs: Option[DataFrame] = None): DataFrame = {
+    require(query.nonEmpty && k >= 1 && pool >= k,
+            s"hybridTopK needs query terms and pool >= k >= 1: k=$k pool=$pool")
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val sparse = bm25TopK(df, idCol, textCol, query, pool)
+      .select(col("doc_id"), col("rank").as("bm25_rank"))
+    val qv = Similarity.embedDocs(
+        Seq((0L, query.mkString(" "))).toDF("qid", "qtext"), "qid", "qtext")
+      .select(col("v").as("qv"))
+    val docVec = vecs.getOrElse(Similarity.embedDocs(df, idCol, textCol))
+      .select(col("doc_id"), col("v"))
+    val dense = docVec.crossJoin(broadcast(qv))
+      .select(col("doc_id"),
+        round(Similarity.dot(col("v"), col("qv")) /
+              (sqrt(Similarity.dot(col("v"), col("v"))) *
+               sqrt(Similarity.dot(col("qv"), col("qv")))), 6).as("cs"))
+      .orderBy(col("cs").desc, col("doc_id")).limit(pool)
+      .withColumn("cos_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cs").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("cos_rank"))
+    val fused = sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round((coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("bm25_rank")), lit(0.0)) +
+               coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("cos_rank")), lit(0.0)))
+              * 1e6).cast("long").as("rrf_e6"),
+        col("bm25_rank"), col("cos_rank"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_e6").desc, col("doc_id"))
+    fused.orderBy(col("rrf_e6").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .select(col("doc_id"), col("rrf_e6"), col("rank"),
+              col("bm25_rank"), col("cos_rank"))
+  }
+
   /** The FULL curation verdict — one call from raw documents to the
     * per-document decision a training-data build executes, in the
     * standard pipeline order:

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication + text-analysis operators for training-data pipelines.
@@ -535,6 +536,27 @@ object TextDedup {
     val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("n_cluster"))
     clusters.join(sizes, Seq("cluster"))
       .select(col("doc_id"), col("cluster"), col("is_keeper"), col("n_cluster"))
+  }
+
+  /** Quality-aware KEEPER selection — "keep the best copy, not the
+    * first copy": re-picks each duplicate cluster's keeper as the
+    * member with the HIGHEST score (ties → lowest doc_id), the rule
+    * real curation runs use (keep the longest / highest-quality
+    * rendition) in place of [[dupClusters]]' min-id convention.
+    * `verdict` is any (doc_id, cluster, is_keeper, n_cluster) ledger
+    * ([[dedupCorpus]], [[graft.pipeline.Similarity.semanticDedupFrames]]);
+    * `scores` is (doc_id, score). Docs missing a score rank last
+    * (NULLS LAST), so a partial score frame can never steal a
+    * keepership from a scored member. One keyed left join + one window
+    * per cluster partition — clusters spread the corpus, so no reducer
+    * sees more than a cluster. */
+  def keeperByScore(verdict: DataFrame, scores: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("score").desc_nulls_last, col("doc_id"))
+    verdict.join(scores, Seq("doc_id"), "left")
+      .withColumn("is_keeper", (row_number().over(w) === 1).cast("long"))
+      .select(col("doc_id"), col("cluster"), col("is_keeper"),
+              col("n_cluster"), col("score"))
   }
 
   /** 16-bit SimHash from token frequencies: bit j of a token is the

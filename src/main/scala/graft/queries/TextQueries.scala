@@ -337,6 +337,46 @@ object TextQueries {
       |SELECT cl.doc_id, cl.cluster, cl.is_keeper, sz.n_cluster
       |FROM cl JOIN sz USING (cluster)""".stripMargin
 
+  /** q147 — quality-aware keeper selection ([[graft.pipeline.TextDedup
+    * .keeperByScore]]): q80's duplicate clusters with each cluster's
+    * keepership re-picked as the HIGHEST-quality member (q51's
+    * composite score, ties → lowest doc_id) — "keep the best copy, not
+    * the first copy". The oracle composes q80's full closure with
+    * q51's score and one per-cluster window. */
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val verdict = graft.pipeline.TextDedup.dedupCorpus(docs, "doc_id", "text")
+    val scores = graft.pipeline.TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality_score").as("score"))
+    graft.pipeline.TextDedup.keeperByScore(verdict, scores)
+  }
+
+  private val q147Sql =
+    s"""WITH RECURSIVE $nearDupCtes,
+      |ex AS (SELECT md5(text) AS h, doc_id FROM documents),
+      |exk AS (SELECT h, min(doc_id) AS da, count(*) AS nh FROM ex GROUP BY 1),
+      |exedges AS (
+      |  SELECT k.da AS src, e.doc_id AS dst FROM exk k JOIN ex e USING (h)
+      |  WHERE k.nh > 1 AND k.da < e.doc_id),
+      |edges AS (SELECT da AS src, db AS dst FROM dup
+      |          UNION SELECT db AS src, da AS dst FROM dup
+      |          UNION SELECT src, dst FROM exedges
+      |          UNION SELECT dst AS src, src AS dst FROM exedges),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r),
+      |cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+      |sz AS (SELECT cluster, count(*) AS n_cluster FROM cl GROUP BY 1),
+      |qs AS (SELECT doc_id, quality_score FROM ($q51Sql) q51)
+      |SELECT cl.doc_id, cl.cluster,
+      |       CAST(CASE WHEN row_number() OVER (
+      |              PARTITION BY cl.cluster
+      |              ORDER BY qs.quality_score DESC NULLS LAST, cl.doc_id) = 1
+      |            THEN 1 ELSE 0 END AS BIGINT) AS is_keeper,
+      |       sz.n_cluster, qs.quality_score AS score
+      |FROM cl JOIN sz USING (cluster) LEFT JOIN qs USING (doc_id)""".stripMargin
+
   /** q99 — leakage-safe split ([[TextAnalysis.leakageSafeSplit]]): the
     * train/val/test bucket assigned by duplicate CLUSTER so near-dup
     * renditions can never straddle splits. The oracle is q80's full
@@ -1621,6 +1661,56 @@ object TextQueries {
       |FROM ids i JOIN pk USING (doc_id)
       |WHERE i.pos < pk.bucket""".stripMargin
 
+  /** q145 — tokenizer ROUND-TRIP ([[graft.pipeline.Bpe.bpeDecode]]):
+    * segment → encode to subword ids (top-30 vocab, OOV → 0) → DECODE
+    * back (id→symbol map literal, OOV → '<unk>') and compare with the
+    * original text modulo the whitespace the word tokenizer consumed.
+    * Per document: token/OOV counts, the `ok` lossless-round-trip
+    * verdict (1 exactly when no OOV corrupted the stream — both
+    * branches live at this vocab size), and the md5 of the decoded
+    * string (pins the decoded BYTES, not just the verdict). The oracle
+    * replays train → segment → rank → encode → decode → compare in one
+    * statement. */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val rules = bpeRules(s, dir)
+    val vocab = graft.pipeline.Bpe.bpeVocabulary(docs, "doc_id", "text", rules,
+                                                 topK = 30)
+    val enc = cacheOnce(
+      graft.pipeline.Bpe.bpeEncodeIds(docs, "doc_id", "text", rules, vocab))
+    val vp = vocab.select(col("rank"), col("sym")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    graft.pipeline.Bpe.bpeDecode(enc, "doc_id", "ids", vp)
+      .join(enc.select(col("doc_id"), col("n_tokens"), col("n_oov")), Seq("doc_id"))
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+              (col("text_rt") === translate(col("text"), " ", ""))
+                .cast("long").as("ok"),
+              md5(col("text_rt")).as("rt_md5"))
+  }
+
+  private val q145Sql =
+    s"""WITH ${bpeTrainCtes(bpeN)},
+      |${bpeStreamCtes(bpeN)},
+      |svoc AS (SELECT sym, count(*) AS n_occ FROM enc GROUP BY 1),
+      |vrank AS (SELECT sym,
+      |            CAST(row_number() OVER (ORDER BY n_occ DESC, sym) AS BIGINT) AS rank
+      |          FROM svoc ORDER BY n_occ DESC, sym LIMIT 30),
+      |ids AS (SELECT e.doc_id, e.pos, COALESCE(v.rank, 0) AS tid
+      |        FROM enc e LEFT JOIN vrank v USING (sym)),
+      |dec AS (SELECT i.doc_id,
+      |          string_agg(CASE WHEN i.tid = 0 THEN '<unk>' ELSE vr.sym END,
+      |                     '' ORDER BY i.pos) AS text_rt
+      |        FROM ids i LEFT JOIN vrank vr ON vr.rank = i.tid GROUP BY 1),
+      |nt AS (SELECT doc_id, count(*) AS n_tokens,
+      |         CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      |       FROM ids GROUP BY 1)
+      |SELECT d.doc_id, nt.n_tokens, nt.n_oov,
+      |       CAST(CASE WHEN dec.text_rt = replace(d.text, ' ', '')
+      |            THEN 1 ELSE 0 END AS BIGINT) AS ok,
+      |       md5(dec.text_rt) AS rt_md5
+      |FROM dec JOIN nt USING (doc_id) JOIN documents d USING (doc_id)""".stripMargin
+
   // ---------------------------------------------------- batched BPE
 
   /** Unrolled CTEs for the BATCHED trainer ([[graft.pipeline.Bpe
@@ -2019,6 +2109,7 @@ object TextQueries {
     QueryDef("q77_simhash64_neardup", q77, Some(q77Sql)),
     QueryDef("q78_dup_clusters_pj", q78, Some(q66Sql)),
     QueryDef("q80_dedup_corpus", q80, Some(q80Sql)),
+    QueryDef("q147_keeper_by_quality", q147, Some(q147Sql)),
     QueryDef("q81_bm25_topk", q81, Some(q81Sql)),
     QueryDef("q82_curate_corpus", q82, Some(q82Sql)),
     QueryDef("q83_contamination", q83, Some(q83Sql)),
@@ -2045,6 +2136,7 @@ object TextQueries {
     QueryDef("q118_bpe_merges", q118, Some(q118Sql)),
     QueryDef("q119_bpe_segment", q119, Some(q119Sql)),
     QueryDef("q120_bpe_packs", q120, Some(q120Sql)),
+    QueryDef("q145_bpe_roundtrip", q145, Some(q145Sql)),
     QueryDef("q121_span_removal", q121, Some(q121Sql)),
     QueryDef("q122_kn_perplexity", q122, Some(q122Sql)),
     QueryDef("q123_chunk_windows", q123, Some(q123Sql)),

@@ -189,4 +189,28 @@ class BpeSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
     assert(m.toSeq == Seq(("C3", "A9", 4L)), s"utf-8 byte merge: ${m.toSeq}")
   }
+
+  test("bpeDecode: full-vocab round-trip is lossless; OOV ids surface as the marker") {
+    val rules = Bpe.rulesOf(Bpe.bpeTrain(classic, "doc_id", "text", 4))
+    val fullVocab = Bpe.bpeVocabulary(classic, "doc_id", "text", rules, topK = 100)
+    val enc = Bpe.bpeEncodeIds(classic, "doc_id", "text", rules, fullVocab)
+    val vp = fullVocab.select(col("rank"), col("sym")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val rt = Bpe.bpeDecode(enc, "doc_id", "ids", vp)
+      .join(classic, Seq("doc_id"))
+      .select(col("doc_id"), col("text_rt"),
+              translate(col("text"), " ", "").as("orig"))
+      .collect()
+    assert(rt.nonEmpty && rt.forall(r => r.getString(1) == r.getString(2)),
+           s"no-OOV decode must reproduce the space-stripped text: ${rt.toSeq}")
+    // a 1-symbol vocabulary forces OOV everywhere except that symbol
+    val tiny = Bpe.bpeVocabulary(classic, "doc_id", "text", rules, topK = 1)
+    val tinyPairs = tiny.select(col("rank"), col("sym")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val encT = Bpe.bpeEncodeIds(classic, "doc_id", "text", rules, tiny)
+    val decT = Bpe.bpeDecode(encT, "doc_id", "ids", tinyPairs)
+      .collect().map(_.getString(1))
+    assert(decT.forall(_.contains("<unk>")),
+           s"OOV ids must decode to the marker: ${decT.toSeq}")
+  }
 }

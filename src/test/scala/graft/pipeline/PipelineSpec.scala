@@ -483,6 +483,59 @@ class TextDedupSpec extends AnyFunSuite {
     assert(byRank == byRank.sorted.reverse && byRank.forall(_ > 0L))
   }
 
+  test("keeperByScore: best copy wins, ties break low, unscored docs never steal") {
+    val verdict = Seq(
+      (1L, 1L, 1L, 3L), (2L, 1L, 0L, 3L), (3L, 1L, 0L, 3L), // cluster of 3
+      (4L, 4L, 1L, 1L),                                      // singleton
+      (5L, 5L, 1L, 2L), (6L, 5L, 0L, 2L)                     // tie cluster
+    ).toDF("doc_id", "cluster", "is_keeper", "n_cluster")
+    val scores = Seq(
+      (1L, 0.1), (2L, 0.9), (3L, 0.5), (5L, 0.7), (6L, 0.7) // doc 4 unscored
+    ).toDF("doc_id", "score")
+    val out = TextDedup.keeperByScore(verdict, scores).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 0L,   // 2 outranks min-id 1
+                      4L -> 1L,                        // singleton keeps itself
+                      5L -> 1L, 6L -> 0L),             // score tie → lower id
+           s"quality keeper: $out")
+  }
+
+  test("hybridTopK: RRF fuses lexical and semantic evidence; pool ranks audit") {
+    import graft.pipeline.TextAnalysis
+    val corpus = Seq(
+      (1L, "spark shuffle spark shuffle spark"),   // lexical hit only
+      (2L, "spark shuffle join window group agg"), // lexical + some overlap
+      (3L, "join join join join join join"),       // no query terms, distinct text
+      (4L, "rare spark"),                          // strongest lexical
+      (5L, "window group agg sort")                // no query terms
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.hybridTopK(corpus, "doc_id", "text",
+                                      Seq("spark", "rare"), k = 5)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+         Option(r.get(3)).map(_.asInstanceOf[Long]),
+         Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    // every doc embeds, so the dense pool covers all 5; lexical covers 1/2/4
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out(3L)._3.isEmpty && out(5L)._3.isEmpty,
+           s"docs without query terms carry no bm25 rank: $out")
+    assert(Seq(1L, 2L, 4L).forall(out(_)._3.nonEmpty))
+    assert(out.values.forall(_._4.nonEmpty), "dense pool covers the corpus")
+    // two-pool membership must dominate single-pool membership here:
+    // the worst two-pool score 1/80+1/80 = 0.025 beats the best
+    // possible single-pool score 1/61
+    val (two, one) = out.values.partition(v => v._3.nonEmpty && v._4.nonEmpty)
+    assert(two.map(_._2).max < one.map(_._2).min,
+           s"both-pool docs must outrank dense-only docs: $out")
+    // rrf_e6 is consistent with rank order and reproducible arithmetic
+    val byRank = out.values.toSeq.sortBy(_._2)
+    assert(byRank.map(_._1) == byRank.map(_._1).sorted.reverse)
+    val top = byRank.head
+    assert(top._1 == math.round((1.0 / (60 + top._3.get) + 1.0 / (60 + top._4.get)) * 1e6),
+           s"rrf_e6 replays the published formula: $top")
+  }
+
   test("wordOccurrences counts word-boundary hits") {
     val got = docs.filter($"doc_id" === 1)
       .select(TextDedup.wordOccurrences($"text", "the").as("n"))
@@ -1783,6 +1836,51 @@ class SimilaritySpec extends AnyFunSuite {
     val nn = Similarity.cosineTopK(e, col("vec_id") === 1L, 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(nn == Seq((1L, 2L)), s"doc 2 is doc 1's exact nearest neighbor: $nn")
+  }
+
+  test("kmeansCentroids: by-hand Lloyd replay — integer-grid means, stable fixpoint") {
+    val e = Seq(
+      (0L, Seq(10.0, 0.0)), (1L, Seq(0.0, 10.0)), (2L, Seq(8.0, 1.0)),
+      (3L, Seq(1.0, 9.0)), (4L, Seq(9.0, 2.0))
+    ).toDF("vec_id", "v")
+    // init c0=(10,0), c1=(0,10); iter1 assigns {0,2,4}/{1,3} by cosine →
+    // c0 = round(mean((10,0),(8,1),(9,2))) = (9,1),
+    // c1 = round(mean((0,10),(1,9))) = round((0.5,9.5)) = (1,10) — the
+    // half-away-from-zero grid round; iter2 re-assigns identically, so
+    // the centroids are a fixpoint.
+    val cents = Similarity.kmeansCentroids(e, 2, 2)
+    assert(cents == Seq(0 -> Seq(9.0, 1.0), 1 -> Seq(1.0, 10.0)),
+           s"hand-computed Lloyd fixpoint: $cents")
+    val asg = Similarity.kmeansAssign(e, cents).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(asg.view.mapValues(_._1).toMap ==
+             Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 1L -> 1L, 3L -> 1L))
+    assert(asg(0L)._3 == 3L && asg(1L)._3 == 2L, "n_cell reports cell population")
+    assert(asg(2L)._2 == 0.9999, s"round-4 cosine to assigned centroid: ${asg(2L)}")
+  }
+
+  test("kmeansCentroids: an emptied cell keeps its previous centroid") {
+    // both centroids start colinear → every vector round-4-ties to both
+    // and the tie rule sends all to cell 0; cell 1 must keep (20,0).
+    val e = Seq((0L, Seq(10.0, 0.0)), (1L, Seq(20.0, 0.0))).toDF("vec_id", "v")
+    val cents = Similarity.kmeansCentroids(e, 2, 1)
+    assert(cents == Seq(0 -> Seq(15.0, 0.0), 1 -> Seq(20.0, 0.0)),
+           s"cell0 = mean of all, cell1 = unchanged init: $cents")
+  }
+
+  test("clusterBalancedSample: per-cell cap, prototypical-first order") {
+    val e = Seq(
+      (0L, Seq(10.0, 0.0)), (1L, Seq(0.0, 10.0)), (2L, Seq(8.0, 1.0)),
+      (3L, Seq(1.0, 9.0)), (4L, Seq(9.0, 2.0))
+    ).toDF("vec_id", "v")
+    val cents = Similarity.kmeansCentroids(e, 2, 2)
+    val top1 = Similarity.clusterBalancedSample(e, cents, 1).collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toMap
+    assert(top1 == Map(0L -> 2L, 1L -> 3L),
+           s"highest round-4 cosine per cell wins: $top1")
+    val all = Similarity.clusterBalancedSample(e, cents, 2).collect()
+    assert(all.length == 4 && all.forall(_.getLong(4) <= 2L),
+           "m = 2 caps every cell at two rows")
   }
 }
 
