@@ -427,6 +427,50 @@ object ScaleProbe {
     println(s"auto-index rows: ${time(s"ivfIndexAuto (driver-free, k=$kAuto)")(
       idxA.count())} (fine cells: ${framesA.fine.count()}, " +
       s"coarse literal: ${framesA.coarse.size})")
+
+    // PERCEPTUAL NEAR-DEDUP over the DISTINCT-fingerprint graph (r12):
+    // perceptual hashes collide BY DESIGN, so the asset-level banded
+    // join squares every popular fingerprint's copy count (measured
+    // 15-18 s per modality at just 5k assets before the rewrite). The
+    // shipped plan bands/joins/clusters distinct fps — ≤ min(n,
+    // 2^width) graph nodes no matter the corpus — and expands to
+    // assets by one keyed join + min-doc aggregation, so this row must
+    // stay ~linear in n at ANY copy ratio. The synthetic universe is
+    // 4096 fp values on a 16-bit width: n/4096 copies each, the
+    // heavy-collision regime that melted the doc-level form.
+    {
+      val fps = spark.range(nDocs.toLong).select(
+        col("id").as("doc_id"),
+        pmod(hash(col("id") * 97), lit(4096)).cast("long").as("fp")).cache()
+      fps.count()
+      println(s"near-dedup assets: ${
+        time(f"perceptual near-dedup (n=$nDocs%d, |fp|<=4096, h=2)")(
+          graft.pipeline.Multimodal.perceptualNearDedup(fps, widthBits = 16,
+                                                        maxHamming = 2)
+            .filter(col("is_keeper") === 0).count())} non-keepers " +
+        s"(distinct fps: ${fps.select(col("fp")).distinct().count()})")
+      fps.unpersist()
+    }
+
+    // ORACLE-REPLAYABLE K-MEANS at this decade (r12): integer-grid
+    // Lloyd — per iteration one zero-shuffle native assignment pass +
+    // one keyed (cell, coord) aggregation whose output is k·dim longs;
+    // driver state stays hyperparameter-sized, so the decade cost must
+    // track the assignment scan ~linearly in n.
+    {
+      val kmVecs = spark.range(nVecs.toLong).select(
+        col("id").as("vec_id"),
+        array((0 until 16).map(j =>
+          (pmod(hash(col("id") * 31 + j), lit(2001)) - 1000)
+            .cast("double")): _*).as("v")).cache()
+      kmVecs.count()
+      val kmC = time(s"kmeansCentroids (k=64, 2 iters, n=$nVecs)")(
+        Similarity.kmeansCentroids(kmVecs, 64, 2))
+      println(s"    driver state: ${kmC.size} centroids x ${kmC.head._2.size} coords")
+      println(s"    assigned rows: ${time("kmeansAssign full pass")(
+        Similarity.kmeansAssign(kmVecs, kmC).count())}")
+      kmVecs.unpersist()
+    }
     spark.stop()
   }
 }

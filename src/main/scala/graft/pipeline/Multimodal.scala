@@ -332,13 +332,34 @@ object Multimodal {
   def perceptualNearDedup(hashed: DataFrame, widthBits: Int,
                           maxHamming: Int = 2): DataFrame = {
     val fps = graft.queries.cacheOnce(hashed.select(col("doc_id"), col("fp")))
-    val pairs = TextDedup.fingerprintNearDupPairs(fps, "doc_id", "fp",
-                                                  widthBits, maxHamming)
-    val clusters = TextDedup.dupClusters(fps.select(col("doc_id")), pairs)
-      .select(col("doc_id"), col("cluster").as("cluster_id"))
-    val sizes = clusters.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("n_cluster"))
-    fps.join(clusters, Seq("doc_id")).join(sizes, Seq("cluster_id"))
+    // Band, join, and cluster the DISTINCT-fingerprint graph, not the
+    // asset graph: perceptual hashes collide heavily by design (that is
+    // their point), so doc-level banding puts every copy of a popular
+    // fingerprint in the same band bucket and the candidate join
+    // squares the copy count — measured 15-18 s per modality at sf0.1
+    // vs 0.3 s for the exact ledger, and quadratically worse as the
+    // corpus grows. The distinct-fp frame is bounded by min(n,
+    // 2^widthBits) rows — for the ≤16-bit perceptual hashes the ENTIRE
+    // near-dup graph is hash-space-sized no matter the corpus — and
+    // doc-level connectivity equals fp-level connectivity expanded
+    // (equal fps are Hamming-0 neighbors, so every doc path maps to an
+    // fp path and back). The fp value itself serves as the graph node
+    // id; min-fp cluster labels then lift to min-doc-id cluster ids by
+    // one keyed aggregation over the assets.
+    val distinctFp = graft.queries.cacheOnce(fps.select(col("fp")).distinct())
+    val pairs = TextDedup.fingerprintNearDupPairs(
+      distinctFp.select(col("fp").as("fpid"), col("fp")), "fpid", "fp",
+      widthBits, maxHamming)
+    val fpClusters = TextDedup.dupClusters(
+        distinctFp.select(col("fp").as("doc_id")), pairs)
+      .select(col("doc_id").as("fp"), col("cluster").as("fpc"))
+    // fp → component join is distinct-fp-sized (unhinted — AQE
+    // broadcasts when it fits); per component the cluster id is the
+    // min member doc and the size its population
+    val withFpc = fps.join(fpClusters, Seq("fp"))
+    val perCluster = withFpc.groupBy(col("fpc"))
+      .agg(min(col("doc_id")).as("cluster_id"), count(lit(1)).as("n_cluster"))
+    withFpc.join(perCluster, Seq("fpc"))
       .select(col("doc_id"), col("fp"), col("cluster_id"), col("n_cluster"),
               (col("doc_id") === col("cluster_id")).cast("long").as("is_keeper"))
   }

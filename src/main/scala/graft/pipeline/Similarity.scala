@@ -1351,6 +1351,49 @@ object Similarity extends org.apache.spark.internal.Logging {
       .filter(col("rn") <= m)
   }
 
+  /** SERVING-PATH assignment: (vec_id, cell, cos) as ONE pure per-row
+    * projection — the [[kmeansAssign]] verdict minus the corpus-level
+    * `n_cell` count, with the centroid vector resolved from a k-row
+    * expression literal instead of a join. ZERO shuffles, no
+    * aggregation: assigning a 100 TB stream of vectors to trained
+    * clusters is a map over the stream, and the same call runs
+    * unchanged under Structured Streaming in append mode (the batch
+    * form's population count would demand complete/update mode —
+    * parity test-pinned, the [[graft.pipeline.Classifier
+    * .scoreHashedLogisticInline]] contract applied to clustering). */
+  def kmeansAssignInline(emb: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    require(cents.nonEmpty, "kmeansAssignInline needs centroids")
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val byCid = cents.sortBy(_._1)
+    val cidArr = typedLit(byCid.map(_._1.toLong))
+    val cvArr = typedLit(byCid.map(_._2))
+    val cell = ivfCellOf(col("v"), col("nrm"), cents)
+    val cv = element_at(cvArr, (array_position(cidArr, cell)).cast("int"))
+    emb.select(col("vec_id"), col("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("cell", cell)
+      .withColumn("cos",
+        round(dot(col("v"), cv) / (col("nrm") * sqrt(dot(cv, cv))), 4))
+      .select(col("vec_id"), col("cell"), col("cos"))
+  }
+
+  /** Cluster OUTLIER mining — [[clusterBalancedSample]]'s inverse
+    * order: the m vectors FARTHEST from their own centroid per cell
+    * (lowest round-4 cosine, ties to the lower vec_id) — the curation
+    * review queue: within-cluster outliers are where mislabeled,
+    * boilerplate, and junk documents concentrate after an unsupervised
+    * clustering, and where active-learning picks its hard examples.
+    * Same plan shape: one window per cell partition. */
+  def clusterOutliers(emb: DataFrame, cents: Seq[(Int, Seq[Double])],
+                      m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("cos").asc, col("vec_id"))
+    kmeansAssign(emb, cents)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= m)
+  }
+
   /** [[semanticDedup]] PAST THE LITERAL CEILING, with the straddle
     * mitigation built in — the production form of SemDeDup here:
     *

@@ -581,6 +581,43 @@ object TextAnalysis {
     * side is a term-list broadcast; scoring touches only documents
     * containing a query term (the inverted-index sparsity), and top-k
     * is TakeOrdered over per-doc scores, never a global sort. */
+  /** CLUSTER KEYWORD LABELING — class-based TF-IDF (the BERTopic
+    * recipe): for each cluster of `assign` ((doc_id, cell) — e.g.
+    * [[graft.pipeline.Similarity.kmeansAssign]]'s ledger), the `topM`
+    * terms ranked by ctf · ln(n_clusters / cluster_df), where ctf is
+    * the term's occurrence count inside the cluster and cluster_df the
+    * number of clusters containing it — terms present in every cluster
+    * score exactly 0 (ln 1), so labels are the terms that SEPARATE a
+    * cluster, which is what makes an unsupervised clustering auditable.
+    * Score is micro-scaled from integer inputs (both engines feed ln
+    * the identical rational), ties → term ASC.
+    *
+    * Scale shape: one token explode + keyed join onto the assignment,
+    * one (cell, tok) groupBy (map-side partials), a cluster-df frame
+    * joined UNHINTED (vocabulary-sized — never broadcast, the
+    * lmSurprisal lesson), a 1-row cluster-count broadcast, and one
+    * window per cell partition. Nothing corpus-sized leaves the
+    * executors. */
+  def clusterKeywords(df: DataFrame, idCol: String, textCol: String,
+                      assign: DataFrame, topM: Int = 5): DataFrame = {
+    require(topM >= 1, s"topM must be >= 1, got $topM")
+    val toks = df.select(col(idCol).as("doc_id"),
+                         explode(split(trim(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val ct = toks.join(assign.select(col("doc_id"), col("cell")), Seq("doc_id"))
+      .groupBy(col("cell"), col("tok")).agg(count(lit(1)).as("ctf"))
+    val ncl = assign.agg(countDistinct(col("cell")).as("ncl"))
+    val dfc = ct.groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
+    val scored = ct.join(dfc, Seq("tok")).crossJoin(broadcast(ncl))
+      .select(col("cell"), col("tok"),
+        round(col("ctf") * log(col("ncl") * lit(1.0) / col("dfc")) * lit(1e6))
+          .cast("long").as("score_e6"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+      .orderBy(col("score_e6").desc, col("tok"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topM)
+  }
+
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
                 query: Seq[String], k: Int): DataFrame = {
     require(query.nonEmpty && k >= 1, "tfidfTopK needs query terms and k >= 1")

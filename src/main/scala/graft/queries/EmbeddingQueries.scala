@@ -919,6 +919,54 @@ object EmbeddingQueries {
       |                                 ORDER BY cos DESC, doc_id) AS BIGINT) AS rn
       |  FROM kaf) x WHERE rn <= $kmM""".stripMargin
 
+  /** q149 — cluster outlier mining ([[Similarity.clusterOutliers]]):
+    * q144's inverse order — the 5 documents FARTHEST from their own
+    * centroid per cluster (lowest round-4 cosine, ties low), the
+    * review queue where junk and mislabeled documents concentrate.
+    * Oracle: the replayed assignment with an ascending window. */
+  private def q149(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterOutliers(docVecs(s, dir), kmCents(s, dir), kmM)
+      .select(col("vec_id").as("doc_id"), col("cell"), col("cos"), col("rn"))
+
+  private val q149Sql =
+    s"""WITH $embCtes,
+      |${kmFinalCtes(kmK, kmIters)}
+      |SELECT doc_id, cell, cos, rn FROM (
+      |  SELECT doc_id, cell, cos,
+      |         CAST(row_number() OVER (PARTITION BY cell
+      |                                 ORDER BY cos ASC, doc_id) AS BIGINT) AS rn
+      |  FROM kaf) x WHERE rn <= $kmM""".stripMargin
+
+  /** q148 — cluster keyword labeling ([[graft.pipeline.TextAnalysis
+    * .clusterKeywords]]): the top-5 class-TF-IDF terms per q143
+    * k-means cluster (ctf · ln(n_clusters / cluster_df), micro-scaled,
+    * ties → term) — the auditability layer over the unsupervised
+    * clustering: a human reads WHAT each cluster is before sampling
+    * from it. The oracle composes the full k-means replay with the
+    * c-TF-IDF arithmetic. */
+  private def q148(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextAnalysis.clusterKeywords(
+        t(s, dir, "documents"), "doc_id", "text",
+        Similarity.kmeansAssign(docVecs(s, dir), kmCents(s, dir))
+          .select(col("vec_id").as("doc_id"), col("cell")))
+      .select(col("cell"), col("tok"), col("score_e6"), col("rn"))
+
+  private val q148Sql =
+    s"""WITH $embCtes,
+      |${kmFinalCtes(kmK, kmIters)},
+      |ct AS (SELECT kaf.cell, e.t AS tok, count(*) AS ctf
+      |       FROM etoks e JOIN kaf ON kaf.doc_id = e.doc_id GROUP BY 1, 2),
+      |ncl AS (SELECT count(DISTINCT cell) AS ncl FROM kaf),
+      |dfc AS (SELECT tok, count(*) AS dfc FROM ct GROUP BY 1),
+      |ksc AS (SELECT ct.cell, ct.tok,
+      |          CAST(round(ct.ctf * ln(ncl.ncl * 1.0 / dfc.dfc) * 1000000.0) AS BIGINT) AS score_e6
+      |        FROM ct JOIN dfc USING (tok) CROSS JOIN ncl)
+      |SELECT cell, tok, score_e6, rn FROM (
+      |  SELECT cell, tok, score_e6,
+      |         CAST(row_number() OVER (PARTITION BY cell
+      |                                 ORDER BY score_e6 DESC, tok) AS BIGINT) AS rn
+      |  FROM ksc) x WHERE rn <= 5""".stripMargin
+
   // ------------------------------------------- hybrid retrieval (RRF)
 
   /** q146 — hybrid BM25 ⊕ dense retrieval fused by Reciprocal Rank
@@ -994,6 +1042,8 @@ object EmbeddingQueries {
     QueryDef("q143_kmeans_clusters", q143, Some(q143Sql)),
     QueryDef("q144_cluster_sample", q144, Some(q144Sql)),
     QueryDef("q146_hybrid_rrf", q146, Some(q146Sql)),
+    QueryDef("q148_cluster_keywords", q148, Some(q148Sql)),
+    QueryDef("q149_cluster_outliers", q149, Some(q149Sql)),
     QueryDef("q79_sq8_topk", q79, Some(q79Sql)),
     QueryDef("q60_lsh_ann", q60, Some(q60Sql)),
     QueryDef("q64_embedding_neardup", q64, Some(q64Sql)),

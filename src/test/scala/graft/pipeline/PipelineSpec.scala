@@ -483,6 +483,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(byRank == byRank.sorted.reverse && byRank.forall(_ > 0L))
   }
 
+  test("clusterKeywords: separating terms rank, ubiquitous terms score exactly zero") {
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "spark spark shuffle common"),
+      (2L, "spark join common"),
+      (3L, "pandas pandas frame common"),
+      (4L, "pandas index common")
+    ).toDF("doc_id", "text")
+    val assign = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
+      .toDF("doc_id", "cell")
+    val out = TextAnalysis.clusterKeywords(docs, "doc_id", "text", assign, topM = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byCell = out.groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+    // ctf(spark, c0) = 3, df = 1 cluster → score 3·ln2; shuffle/join 1·ln2;
+    // 'common' appears in both clusters → ln(2/2) = 0, never a label
+    assert(byCell(0L) == Seq("spark", "join") && byCell(1L) == Seq("pandas", "frame"),
+           s"separating terms must label: $byCell")
+    assert(!out.exists(_._2 == "common"), s"ubiquitous term cannot outrank: ${out.toSeq}")
+    val spark0 = out.find(t => t._1 == 0L && t._2 == "spark").get
+    assert(spark0._3 == math.round(3 * math.log(2.0) * 1e6),
+           s"score replays ctf · ln(K/df) · 1e6: $spark0")
+  }
+
   test("keeperByScore: best copy wins, ties break low, unscored docs never steal") {
     val verdict = Seq(
       (1L, 1L, 1L, 3L), (2L, 1L, 0L, 3L), (3L, 1L, 0L, 3L), // cluster of 3
@@ -1881,6 +1904,11 @@ class SimilaritySpec extends AnyFunSuite {
     val all = Similarity.clusterBalancedSample(e, cents, 2).collect()
     assert(all.length == 4 && all.forall(_.getLong(4) <= 2L),
            "m = 2 caps every cell at two rows")
+    // the outlier twin inverts the order: farthest-from-centroid first
+    val out1 = Similarity.clusterOutliers(e, cents, 1).collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toMap
+    assert(out1 == Map(0L -> 0L, 1L -> 1L),
+           s"lowest round-4 cosine per cell leads the review queue: $out1")
   }
 }
 

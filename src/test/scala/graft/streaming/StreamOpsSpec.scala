@@ -106,6 +106,61 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeDecode runs unchanged on a stream of id arrays (batch parity)") {
+    // decode is a pure map-literal projection over (id, ids) — the
+    // detokenization side of a serving path consumes token streams,
+    // not documents, so the parity is pinned on the ID frame itself
+    import graft.pipeline.Bpe
+    val docs = Seq((1L, "low low lower newest"), (2L, "widest newest low"))
+      .toDF("doc_id", "text")
+    val rules = Bpe.rulesOf(Bpe.bpeTrain(docs, "doc_id", "text", 3))
+    val vocab = Bpe.bpeVocabulary(docs, "doc_id", "text", rules, topK = 5)
+    val vp = vocab.select(col("rank"), col("sym")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val enc = Bpe.bpeEncodeIds(docs, "doc_id", "text", rules, vocab)
+      .select(col("doc_id"), col("ids"))
+    val dir = Files.createTempDirectory("graft-stream-bpedec").toString
+    enc.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(enc.schema).parquet(dir)
+    val expected = Bpe.bpeDecode(enc, "doc_id", "ids", vp)
+      .collect().map(_.toString).toSet
+    val q = Bpe.bpeDecode(stream, "doc_id", "ids", vp)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bpedec_parity").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("bpedec_parity").collect().map(_.toString).toSet
+      assert(got == expected && got.nonEmpty, "stream != batch for bpeDecode")
+    } finally q.stop()
+  }
+
+  test("kmeansAssignInline streams vectors to trained clusters (batch parity)") {
+    import graft.pipeline.Similarity
+    val vecs = Seq(
+      (0L, Seq(10.0, 0.0)), (1L, Seq(0.0, 10.0)), (2L, Seq(8.0, 1.0)),
+      (3L, Seq(1.0, 9.0)), (4L, Seq(9.0, 2.0))
+    ).toDF("vec_id", "v")
+    val cents = Similarity.kmeansCentroids(vecs, 2, 2)
+    // inline matches the batch ledger on its shared columns
+    val batch = Similarity.kmeansAssign(vecs, cents)
+      .select(col("vec_id"), col("cell"), col("cos"))
+      .collect().map(_.toString).toSet
+    val inline = Similarity.kmeansAssignInline(vecs, cents)
+      .collect().map(_.toString).toSet
+    assert(inline == batch, "inline != batch kmeans assignment")
+    val dir = Files.createTempDirectory("graft-stream-kmeans").toString
+    vecs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(vecs.schema).parquet(dir)
+    val q = Similarity.kmeansAssignInline(stream, cents)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("kmeans_parity").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("kmeans_parity").collect().map(_.toString).toSet
+      assert(got == batch && got.nonEmpty, "stream != batch for kmeansAssignInline")
+    } finally q.stop()
+  }
+
   test("streaming perceptual gate: dup/new/undecodable verdicts, batch parity") {
     import graft.pipeline.Multimodal
     graft.plans.GraftFunctions.register(spark)
