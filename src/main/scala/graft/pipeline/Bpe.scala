@@ -331,14 +331,46 @@ object Bpe {
     * byte symbols, locally-maximal batches. Symbols in the returned
     * merge table are hex byte strings (decode for display with
     * `unhex`). */
+  /** Byte-level batched trainer WITH its final word-segmentation
+    * state (the training-state≡segmentation identity's byte half —
+    * spec-pinned against the native apply). */
+  def bpeTrainBytesState(df: DataFrame, idCol: String, textCol: String,
+                         nPasses: Int, batchSize: Int,
+                         minPairFreq: Long = 2L): BpeTrained =
+    trainBatchedFrom(hexByteSyms(byteWordTable(df, textCol)),
+                     nPasses, batchSize, minPairFreq)
+
   def bpeTrainBytes(df: DataFrame, idCol: String, textCol: String,
                     nPasses: Int, batchSize: Int,
                     minPairFreq: Long = 2L): DataFrame = {
-    val trained = trainBatchedFrom(hexByteSyms(byteWordTable(df, textCol)),
-                                   nPasses, batchSize, minPairFreq)
+    val trained = bpeTrainBytesState(df, idCol, textCol, nPasses, batchSize,
+                                     minPairFreq)
     trained.wordSegs.unpersist()
     trained.merges
   }
+
+  /** BYTE-LEVEL segmentation — the apply side of [[bpeTrainBytes]]:
+    * the native `bpe_encode_bytes` projection (zero shuffle,
+    * streaming-safe). (id, syms) with `syms` UPPERCASE-HEX byte
+    * symbols in document order; spaces ride inside pretokens (the
+    * GPT-2 contract), so `unhex(concat(syms))` reproduces the document
+    * BYTE FOR BYTE — the lossless property that motivates byte-level
+    * tokenizers. */
+  def bpeSegmentBytes(df: DataFrame, idCol: String, textCol: String,
+                      rules: Seq[(String, String)]): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+      call_function("bpe_encode_bytes", col(textCol),
+        typedLit(rules.map(_._1)), typedLit(rules.map(_._2))).as("syms"))
+  }
+
+  /** Row-ized byte-level segmentation: (id, pos, sym), pos 0-based in
+    * document order. */
+  def bpeSegmentRowsBytes(df: DataFrame, idCol: String, textCol: String,
+                          rules: Seq[(String, String)]): DataFrame =
+    bpeSegmentBytes(df, idCol, textCol, rules)
+      .select(col(idCol), posexplode(col("syms")).as(Seq("pos", "sym")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("sym"))
 
   /** Collect a merge frame to the rank-ordered rule list the native
     * apply expression embeds (nMerges rows — config-sized, the

@@ -66,6 +66,37 @@ case class BpeEncode(child: Expression, table: BpeOps.MergeTable)
     copy(child = newChild)
 }
 
+/** BYTE-LEVEL sibling of [[BpeEncode]] — the apply side of
+  * [[graft.pipeline.Bpe.bpeTrainBytes]]: GPT-2-style pretokenizer
+  * (spaces ride inside pretokens, nothing is dropped), UPPERCASE-HEX
+  * UTF-8 byte symbols, same lowest-rank merge loop. Vocabulary closed
+  * over arbitrary bytes: ANY input — unseen unicode included —
+  * decomposes to byte symbols, never UNK. SQL:
+  * `bpe_encode_bytes(text, lefts, rights)` → array<string> of hex
+  * symbols in document order. */
+case class BpeEncodeBytes(child: Expression, table: BpeOps.MergeTable)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode_bytes requires STRING input, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode_bytes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeOps.encodeDocBytes(input.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("bpeTable", table, classOf[BpeOps.MergeTable].getName)
+    defineCodeGen(ctx, ev, in => s"graft.plans.BpeOps.encodeDocBytes($in, $t)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeBytes =
+    copy(child = newChild)
+}
+
 object BpeOps {
 
   /** Resolved merge table: rules in rank order (rank = list position,
@@ -116,23 +147,80 @@ object BpeOps {
     enc
   }
 
+  /** GPT-2-style pretokenizer pattern — MUST stay textually identical
+    * to [[graft.pipeline.Bpe.pretokenRegex]] (leftmost-first
+    * alternation, same semantics in Java regex and RE2). */
+  private val Pretoken =
+    java.util.regex.Pattern.compile(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +")
+
+  /** Static helper invoked from generated code: BYTE-LEVEL document
+    * encode — pretokenize with [[Pretoken]], hex-byte symbols per
+    * pretoken, flattened in document order. Spaces are carried INSIDE
+    * pretokens (the " ?..." alternatives), so unlike the whitespace
+    * family nothing is skipped: decode reproduces the text byte for
+    * byte. */
+  def encodeDocBytes(text: UTF8String, table: MergeTable): ArrayData = {
+    val s = text.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val m = Pretoken.matcher(s)
+    while (m.find()) {
+      val w = m.group()
+      if (w.nonEmpty) out ++= encodeWordBytesMemo(w, table)
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  private def encodeWordBytesMemo(word: String, table: MergeTable): Array[UTF8String] = {
+    val memo = table.memo
+    val hit = memo.get(word)
+    if (hit != null) return hit
+    val enc = encodeWordBytes(word, table).map(UTF8String.fromString)
+    if (memo.size >= MemoCap) memo.clear()
+    memo.put(word, enc)
+    enc
+  }
+
   /** Canonical per-word BPE: code-point symbols, then repeatedly merge
     * every left-to-right non-overlapping occurrence of the PRESENT
     * pair with the lowest rank. */
   private[plans] def encodeWord(word: String, table: MergeTable): Array[String] = {
     // code-point split (the unit of `.` in both Java and RE2 regexes —
     // the training side splits with regexp_extract_all(w, '.'))
-    var syms = {
-      val b = scala.collection.mutable.ArrayBuffer.empty[String]
-      var si = 0
-      while (si < word.length) {
-        val cp = word.codePointAt(si)
-        val w = Character.charCount(cp)
-        b += word.substring(si, si + w)
-        si += w
-      }
-      b
+    val b = scala.collection.mutable.ArrayBuffer.empty[String]
+    var si = 0
+    while (si < word.length) {
+      val cp = word.codePointAt(si)
+      val w = Character.charCount(cp)
+      b += word.substring(si, si + w)
+      si += w
     }
+    mergeLoop(b, table)
+  }
+
+  private val HexDigits = "0123456789ABCDEF".toCharArray
+
+  /** Byte-level per-word BPE: UPPERCASE-HEX byte symbols (the
+    * [[graft.pipeline.Bpe.bpeTrainBytes]] universe — one 2-hex-char
+    * symbol per UTF-8 byte, merges concatenate hex), same lowest-rank
+    * merge loop. */
+  private[plans] def encodeWordBytes(word: String, table: MergeTable): Array[String] = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = new scala.collection.mutable.ArrayBuffer[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      b += new String(Array(HexDigits(v >> 4), HexDigits(v & 0xf)))
+      i += 1
+    }
+    mergeLoop(b, table)
+  }
+
+  /** The shared lowest-rank-repeat merge loop over an initial symbol
+    * buffer (code points or hex bytes — the loop is
+    * alphabet-agnostic). */
+  private def mergeLoop(syms0: scala.collection.mutable.ArrayBuffer[String],
+                        table: MergeTable): Array[String] = {
+    var syms = syms0
     val ranks = table.ranks
     var done = syms.length < 2
     while (!done) {
@@ -163,23 +251,30 @@ object BpeOps {
     syms.toArray
   }
 
-  /** Builder for the function registry: collapses the two foldable
-    * symbol-array literals into a [[MergeTable]] at analysis time. */
-  def fromArgs(exprs: Seq[Expression]): BpeEncode = {
-    require(exprs.length == 3, s"bpe_encode takes (text, lefts, rights), got ${exprs.length}")
+  private def tableFromArgs(exprs: Seq[Expression], name: String): MergeTable = {
+    require(exprs.length == 3, s"$name takes (text, lefts, rights), got ${exprs.length}")
     def strings(e: Expression, what: String): Seq[String] = {
-      require(e.foldable, s"bpe_encode $what must be a literal array")
+      require(e.foldable, s"$name $what must be a literal array")
       e.eval() match {
         case a: ArrayData => a.toObjectArray(StringType)
           .map(_.asInstanceOf[UTF8String].toString).toSeq
         case other => throw new IllegalArgumentException(
-          s"bpe_encode $what: expected array literal, got $other")
+          s"$name $what: expected array literal, got $other")
       }
     }
     val lefts = strings(exprs(1), "lefts")
     val rights = strings(exprs(2), "rights")
     require(lefts.length == rights.length,
-            s"bpe_encode rule arrays must align (${lefts.length} vs ${rights.length})")
-    BpeEncode(exprs.head, MergeTable(lefts.zip(rights)))
+            s"$name rule arrays must align (${lefts.length} vs ${rights.length})")
+    MergeTable(lefts.zip(rights))
   }
+
+  /** Builder for the function registry: collapses the two foldable
+    * symbol-array literals into a [[MergeTable]] at analysis time. */
+  def fromArgs(exprs: Seq[Expression]): BpeEncode =
+    BpeEncode(exprs.head, tableFromArgs(exprs, "bpe_encode"))
+
+  /** Byte-level builder ([[BpeEncodeBytes]]). */
+  def fromArgsBytes(exprs: Seq[Expression]): BpeEncodeBytes =
+    BpeEncodeBytes(exprs.head, tableFromArgs(exprs, "bpe_encode_bytes"))
 }

@@ -213,7 +213,8 @@ object GraftFunctions {
     "pq_encode" -> (exprs => PqOps.encodeFromArgs(exprs)),
     "pq_dot" -> (exprs => PqOps.dotFromArgs(exprs)),
     "pq_dot_asym" -> (exprs => PqOps.dotAsymFromArgs(exprs)),
-    "bpe_encode" -> (exprs => BpeOps.fromArgs(exprs)))
+    "bpe_encode" -> (exprs => BpeOps.fromArgs(exprs)),
+    "bpe_encode_bytes" -> (exprs => BpeOps.fromArgsBytes(exprs)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -190,6 +190,46 @@ class BpeSpec extends AnyFunSuite {
     assert(m.toSeq == Seq(("C3", "A9", 4L)), s"utf-8 byte merge: ${m.toSeq}")
   }
 
+  test("byte-level apply: native bpe_encode_bytes segments by hand; byte-lossless round-trip") {
+    val df = Seq((1L, "aa aa aa")).toDF("doc_id", "text")
+    val rules = Bpe.rulesOf(
+      Bpe.bpeTrainBytes(df, "doc_id", "text", nPasses = 2, batchSize = 4))
+    // pretokens "aa", " aa", " aa" → hex 6161 / 20 61 61; rule 1 fuses
+    // 61+61, rule 2 fuses the space prefix (the trainer test's merges)
+    val syms = Bpe.bpeSegmentBytes(df, "doc_id", "text", rules)
+      .select(col("syms")).head().getSeq[String](0)
+    assert(syms == Seq("6161", "206161", "206161"), s"byte segmentation: $syms")
+    // spaces ride INSIDE pretokens, so unhex(concat(syms)) == text —
+    // byte-lossless on arbitrary unicode, and unseen bytes decompose
+    // to byte symbols instead of UNK
+    val uni = Seq((1L, "éé  naïve café!"), (2L, "aa aa aa"), (3L, "添añ😀"))
+      .toDF("doc_id", "text")
+    val rt = Bpe.bpeSegmentBytes(uni, "doc_id", "text", rules)
+      .select(col("doc_id"),
+              decode(unhex(concat_ws("", col("syms"))), "UTF-8").as("rt"))
+      .join(uni, Seq("doc_id")).collect()
+    assert(rt.nonEmpty && rt.forall(r =>
+             r.getAs[String]("rt") == r.getAs[String]("text")),
+           s"byte round-trip must be lossless: ${rt.toSeq}")
+  }
+
+  test("byte-level apply equals the batched training state on every corpus word") {
+    val st = Bpe.bpeTrainBytesState(classic, "doc_id", "text",
+                                    nPasses = 3, batchSize = 4)
+    val rules = Bpe.rulesOf(st.merges)
+    val words = st.wordSegs.select(col("w")).distinct()
+      .select(col("w"), decode(unhex(col("w")), "UTF-8").as("wtxt"))
+    val native = Bpe.bpeSegmentRowsBytes(words, "w", "wtxt", rules)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val state = st.wordSegs.select(col("w"), col("pos"), col("sym"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getAs[Number]("pos").longValue(), r.getString(2)))
+      .toSet
+    assert(native == state,
+           s"native byte apply must replay the training state:\n native=$native\n state=$state")
+    st.wordSegs.unpersist()
+  }
+
   test("bpeDecode: full-vocab round-trip is lossless; OOV ids surface as the marker") {
     val rules = Bpe.rulesOf(Bpe.bpeTrain(classic, "doc_id", "text", 4))
     val fullVocab = Bpe.bpeVocabulary(classic, "doc_id", "text", rules, topK = 100)
