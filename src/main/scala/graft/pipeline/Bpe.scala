@@ -402,9 +402,18 @@ object Bpe {
     * ASC rank — [[TextAnalysis.vocabulary]]'s contract over subword
     * rows). */
   def bpeVocabulary(df: DataFrame, idCol: String, textCol: String,
-                    rules: Seq[(String, String)], topK: Int = 100): DataFrame = {
+                    rules: Seq[(String, String)], topK: Int = 100): DataFrame =
+    vocabularyOfRows(bpeSegmentRows(df, idCol, textCol, rules), idCol, topK)
+
+  /** Byte-universe twin of [[bpeVocabulary]]: top-K HEX byte-symbols
+    * of the [[bpeSegmentRowsBytes]] stream. */
+  def bpeVocabularyBytes(df: DataFrame, idCol: String, textCol: String,
+                         rules: Seq[(String, String)], topK: Int = 100): DataFrame =
+    vocabularyOfRows(bpeSegmentRowsBytes(df, idCol, textCol, rules), idCol, topK)
+
+  private def vocabularyOfRows(rows: DataFrame, idCol: String,
+                               topK: Int): DataFrame = {
     require(topK >= 1, "topK must be positive")
-    val rows = bpeSegmentRows(df, idCol, textCol, rules)
     val w = Window.orderBy(col("n_occ").desc, col("sym"))
     rows.groupBy(col("sym"))
       .agg(count(lit(1)).as("n_occ"), countDistinct(col(idCol)).as("n_docs"))
@@ -419,7 +428,21 @@ object Bpe {
   def bpeEncodeIds(df: DataFrame, idCol: String, textCol: String,
                    rules: Seq[(String, String)], vocab: DataFrame,
                    oovId: Long = 0L): DataFrame =
-    bpeSegmentRows(df, idCol, textCol, rules)
+    encodeIdsOfRows(bpeSegmentRows(df, idCol, textCol, rules), idCol, vocab, oovId)
+
+  /** Byte-universe twin of [[bpeEncodeIds]]: id arrays over the
+    * [[bpeSegmentRowsBytes]] stream — with a byte vocabulary the id
+    * sequence is byte-LOSSLESS when no OOV fires (decode restores the
+    * document exactly, whitespace included — q151's contract). */
+  def bpeEncodeIdsBytes(df: DataFrame, idCol: String, textCol: String,
+                        rules: Seq[(String, String)], vocab: DataFrame,
+                        oovId: Long = 0L): DataFrame =
+    encodeIdsOfRows(bpeSegmentRowsBytes(df, idCol, textCol, rules), idCol,
+                    vocab, oovId)
+
+  private def encodeIdsOfRows(rows: DataFrame, idCol: String, vocab: DataFrame,
+                              oovId: Long): DataFrame =
+    rows
       .join(broadcast(vocab.select(col("sym"), col("rank"))), Seq("sym"), "left")
       .select(col(idCol), col("pos"), coalesce(col("rank"), lit(oovId)).as("tid"))
       .groupBy(col(idCol))

@@ -1900,6 +1900,82 @@ object TextQueries {
       |FROM bflat""".stripMargin
   }
 
+  /** q151 — BYTE-LOSSLESS tokenizer round-trip: the full byte chain
+    * segment → rank → encode → DECODE, with `ok` comparing the decoded
+    * hex stream against the document's OWN hex — EXACT equality, text
+    * and whitespace included (q145's round-trip is modulo tokenizer
+    * whitespace; the byte chain has no such loss — THE property
+    * byte-level tokenizers exist for). OOV ids decode to 'EFBFBD'
+    * (U+FFFD replacement char), corrupting exactly the OOV documents.
+    * One statement replays train → segment → rank → encode → decode →
+    * byte-compare. The vocab size sits inside the corpus's measured
+    * coverage range (36/39 post-merge symbols at sf0.001/sf0.01; 35
+    * leaves 85/21 documents fully covered and the rest OOV-corrupted —
+    * both branches live at BOTH driver scales). */
+  private val byteVocabK = 35
+
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val rules = byteRules(s, dir)
+    val vocab = graft.pipeline.Bpe.bpeVocabularyBytes(docs, "doc_id", "text",
+                                                      rules, topK = byteVocabK)
+    val enc = cacheOnce(
+      graft.pipeline.Bpe.bpeEncodeIdsBytes(docs, "doc_id", "text", rules, vocab))
+    val vp = vocab.select(col("rank"), col("sym")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    graft.pipeline.Bpe.bpeDecode(enc, "doc_id", "ids", vp, oovSym = "EFBFBD")
+      .join(enc.select(col("doc_id"), col("n_tokens"), col("n_oov")), Seq("doc_id"))
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+              (col("text_rt") === hex(encode(col("text"), "UTF-8")))
+                .cast("long").as("ok"),
+              md5(col("text_rt")).as("rt_md5"))
+  }
+
+  private val q151Sql = {
+    val head =
+      s"""bbw AS MATERIALIZED (SELECT upper(hex(encode(wtxt))) AS w, count(*) AS freq
+        |  FROM (SELECT unnest(regexp_extract_all(text,
+        |          '${graft.pipeline.Bpe.pretokenRegex}')) AS wtxt
+        |        FROM documents) x
+        |  WHERE wtxt <> '' GROUP BY 1),
+        |bs0 AS MATERIALIZED (SELECT w, freq, u.i - 1 AS pos,
+        |         substr(w, 2 * u.i - 1, 2) AS sym
+        |       FROM bbw, LATERAL unnest(generate_series(1, len(w) // 2)) AS u(i))""".stripMargin
+    s"""WITH ${bpeBatchCtes(head, bpeBatchPasses, bpeBatchSize, 2L)},
+      |bocc AS MATERIALIZED (
+      |  SELECT doc_id, u.i AS wpos, upper(hex(encode(l[u.i]))) AS w
+      |  FROM (SELECT doc_id, regexp_extract_all(text,
+      |          '${graft.pipeline.Bpe.pretokenRegex}') AS l FROM documents) t,
+      |  LATERAL unnest(generate_series(1, len(l))) AS u(i)
+      |  WHERE l[u.i] <> ''),
+      |bflat AS MATERIALIZED (SELECT o.doc_id, o.wpos, s.pos AS spos, s.sym
+      |         FROM bocc o JOIN bs$bpeBatchPasses s ON s.w = o.w),
+      |benc AS MATERIALIZED (SELECT doc_id,
+      |         CAST(row_number() OVER (PARTITION BY doc_id
+      |                                 ORDER BY wpos, spos) AS BIGINT) - 1 AS pos,
+      |         sym
+      |       FROM bflat),
+      |bsvoc AS (SELECT sym, count(*) AS n_occ FROM benc GROUP BY 1),
+      |bvrank AS (SELECT sym,
+      |             CAST(row_number() OVER (ORDER BY n_occ DESC, sym) AS BIGINT) AS rank
+      |           FROM bsvoc ORDER BY n_occ DESC, sym LIMIT $byteVocabK),
+      |bids AS (SELECT b.doc_id, b.pos, COALESCE(v.rank, 0) AS tid
+      |         FROM benc b LEFT JOIN bvrank v USING (sym)),
+      |bdec AS (SELECT i.doc_id,
+      |           string_agg(CASE WHEN i.tid = 0 THEN 'EFBFBD' ELSE vr.sym END,
+      |                      '' ORDER BY i.pos) AS hexcat
+      |         FROM bids i LEFT JOIN bvrank vr ON vr.rank = i.tid GROUP BY 1),
+      |bnt AS (SELECT doc_id, count(*) AS n_tokens,
+      |          CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      |        FROM bids GROUP BY 1)
+      |SELECT d.doc_id, bnt.n_tokens, bnt.n_oov,
+      |       CAST(CASE WHEN bdec.hexcat = upper(hex(encode(d.text)))
+      |            THEN 1 ELSE 0 END AS BIGINT) AS ok,
+      |       md5(bdec.hexcat) AS rt_md5
+      |FROM bdec JOIN bnt USING (doc_id) JOIN documents d USING (doc_id)""".stripMargin
+  }
+
   // q124 — the distilled classifier ([[graft.pipeline.Classifier]]):
   // hashed-bag-of-words logistic regression trained by full-batch GD
   // on the integer micro-grid. The oracle UNROLLS the gradient-descent
@@ -2212,6 +2288,7 @@ object TextQueries {
     QueryDef("q120_bpe_packs", q120, Some(q120Sql)),
     QueryDef("q145_bpe_roundtrip", q145, Some(q145Sql)),
     QueryDef("q150_bpe_bytes_segment", q150, Some(q150Sql)),
+    QueryDef("q151_bpe_bytes_roundtrip", q151, Some(q151Sql)),
     QueryDef("q121_span_removal", q121, Some(q121Sql)),
     QueryDef("q122_kn_perplexity", q122, Some(q122Sql)),
     QueryDef("q123_chunk_windows", q123, Some(q123Sql)),

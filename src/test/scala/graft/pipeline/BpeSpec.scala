@@ -230,6 +230,24 @@ class BpeSpec extends AnyFunSuite {
     st.wordSegs.unpersist()
   }
 
+  test("byte-level ids round-trip EXACTLY — whitespace included — at full vocab") {
+    val docs = Seq((1L, "low  loweré newest"), (2L, " widest  low! 42 "))
+      .toDF("doc_id", "text")
+    val rules = Bpe.rulesOf(
+      Bpe.bpeTrainBytes(docs, "doc_id", "text", nPasses = 2, batchSize = 4,
+                        minPairFreq = 1L))
+    val vocab = Bpe.bpeVocabularyBytes(docs, "doc_id", "text", rules, topK = 10000)
+    val enc = Bpe.bpeEncodeIdsBytes(docs, "doc_id", "text", rules, vocab)
+    val vp = vocab.select(col("rank"), col("sym")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val rt = Bpe.bpeDecode(enc, "doc_id", "ids", vp, oovSym = "EFBFBD")
+      .join(docs, Seq("doc_id"))
+      .select(col("text_rt"), hex(encode(col("text"), "UTF-8")).as("want"))
+      .collect()
+    assert(rt.length == 2 && rt.forall(r => r.getString(0) == r.getString(1)),
+           s"byte ids must round-trip the raw text exactly: ${rt.toSeq}")
+  }
+
   test("bpeDecode: full-vocab round-trip is lossless; OOV ids surface as the marker") {
     val rules = Bpe.rulesOf(Bpe.bpeTrain(classic, "doc_id", "text", 4))
     val fullVocab = Bpe.bpeVocabulary(classic, "doc_id", "text", rules, topK = 100)
