@@ -1260,6 +1260,37 @@ object Similarity extends org.apache.spark.internal.Logging {
       .select(col("doc_id"), col("vp").as("v"))
   }
 
+  /** SEMANTIC decontamination — the paraphrase-robust twin of the
+    * n-gram contamination gate ([[graft.pipeline.TextDedup
+    * .contaminatedDocs]] catches verbatim leakage; a reworded
+    * benchmark item shares no 8-gram but still lands nearby in
+    * embedding space). For every corpus vector: its highest round-6
+    * cosine against the EVAL set (`evalPred` rows), the eval item
+    * attaining it (ties → lowest eval id), and the ≥ tau flag.
+    * Corpus docs come back whole — the audit ledger, not just the
+    * flagged subset.
+    *
+    * Scale shape: the eval side is benchmark-sized (thousands, not
+    * corpus-sized) — the legitimate broadcast — so the scored join is
+    * a zero-shuffle map over the corpus; the per-doc argmax is one
+    * keyed window. Nothing corpus-sized moves. */
+  def semanticContamination(emb: DataFrame, evalPred: Column,
+                            tau: Double): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val normed = withNorm(emb.select(col("vec_id"), col("v")))
+    val ev = normed.filter(evalPred)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"), col("nrm").as("en"))
+    val scored = normed.filter(!evalPred)
+      .crossJoin(broadcast(ev))
+      .select(col("vec_id"), col("eval_id"),
+              round(dot(col("v"), col("ev")) / (col("nrm") * col("en")), 6).as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("eval_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("eval_id"), col("cos"),
+              (col("cos") >= lit(tau)).cast("long").as("contaminated"))
+  }
+
   // ------------------------------------------------------- k-means
 
   /** Oracle-replayable distributed k-means (Lloyd) over INTEGER-grid

@@ -967,6 +967,35 @@ object EmbeddingQueries {
       |                                 ORDER BY score_e6 DESC, tok) AS BIGINT) AS rn
       |  FROM ksc) x WHERE rn <= 5""".stripMargin
 
+  /** q152 — SEMANTIC decontamination ([[Similarity
+    * .semanticContamination]]): every non-eval document's highest
+    * round-6 cosine against the eval slice (doc_id % 50 = 0 — the
+    * held-out benchmark stand-in), the eval item attaining it, and
+    * the ≥ 0.97 flag (measured max-cos distribution: 7/6 docs flag at
+    * sf0.001/sf0.01 — both branches live). The paraphrase-robust twin
+    * of q83's n-gram gate; eval side broadcast (benchmark-sized), the
+    * scored join a zero-shuffle map. */
+  private val contamTau = 0.97
+
+  private def q152(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticContamination(docVecs(s, dir),
+                                     col("vec_id") % 50 === 0, contamTau)
+      .select(col("vec_id").as("doc_id"), col("eval_id"), col("cos"),
+              col("contaminated"))
+
+  private val q152Sql =
+    s"""WITH $embCtes,
+      |sev AS (SELECT doc_id AS eval_id, v AS ev FROM epl WHERE doc_id % 50 = 0),
+      |scc AS (SELECT epl.doc_id, sev.eval_id,
+      |          ${cosNSql("epl.v", "sev.ev", 16, 6)} AS cos
+      |        FROM epl CROSS JOIN sev WHERE epl.doc_id % 50 <> 0)
+      |SELECT doc_id, eval_id, cos,
+      |       CAST(CASE WHEN cos >= $contamTau THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+      |FROM (SELECT scc.*, row_number() OVER (PARTITION BY doc_id
+      |                                       ORDER BY cos DESC, eval_id) AS rn
+      |      FROM scc) x
+      |WHERE rn = 1""".stripMargin
+
   // ------------------------------------------- hybrid retrieval (RRF)
 
   /** q146 — hybrid BM25 ⊕ dense retrieval fused by Reciprocal Rank
@@ -1044,6 +1073,7 @@ object EmbeddingQueries {
     QueryDef("q146_hybrid_rrf", q146, Some(q146Sql)),
     QueryDef("q148_cluster_keywords", q148, Some(q148Sql)),
     QueryDef("q149_cluster_outliers", q149, Some(q149Sql)),
+    QueryDef("q152_semantic_contamination", q152, Some(q152Sql)),
     QueryDef("q79_sq8_topk", q79, Some(q79Sql)),
     QueryDef("q60_lsh_ann", q60, Some(q60Sql)),
     QueryDef("q64_embedding_neardup", q64, Some(q64Sql)),

@@ -1861,6 +1861,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nn == Seq((1L, 2L)), s"doc 2 is doc 1's exact nearest neighbor: $nn")
   }
 
+  test("semanticContamination: paraphrase-near corpus docs flag, eval side excluded") {
+    val e = Seq(
+      (0L, Seq(10.0, 0.0)),   // eval item A
+      (50L, Seq(0.0, 10.0)),  // eval item B
+      (1L, Seq(10.0, 1.0)),   // near A → contaminated
+      (2L, Seq(1.0, 10.0)),   // near B → contaminated
+      (3L, Seq(7.0, 7.0))     // equidistant, below tau
+    ).toDF("vec_id", "v")
+    val out = Similarity.semanticContamination(e, col("vec_id") % 50 === 0, 0.97)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "eval rows never appear as corpus rows")
+    assert(out(1L)._1 == 0L && out(1L)._3 == 1L, s"doc 1 flags against eval 0: $out")
+    assert(out(2L)._1 == 50L && out(2L)._3 == 1L, s"doc 2 flags against eval 50: $out")
+    assert(out(3L)._3 == 0L && out(3L)._1 == 0L,
+           s"below-tau doc stays clean, cos tie → lowest eval id: $out")
+  }
+
   test("kmeansCentroids: by-hand Lloyd replay — integer-grid means, stable fixpoint") {
     val e = Seq(
       (0L, Seq(10.0, 0.0)), (1L, Seq(0.0, 10.0)), (2L, Seq(8.0, 1.0)),
