@@ -372,6 +372,38 @@ object Bpe {
       .select(col(idCol), posexplode(col("syms")).as(Seq("pos", "sym")))
       .select(col(idCol), col("pos").cast("long").as("pos"), col("sym"))
 
+  /** TOKENIZER FERTILITY diagnostics — the metric a tokenizer is
+    * CHOSEN by: per document, the sizes of the three token streams
+    * this engine can produce (whitespace words, learned code-point
+    * subwords, byte-level subwords) against the document's byte
+    * length, plus the two micro-scaled ratios practitioners compare —
+    * subwords-per-word (BPE fertility; lower = the learned vocabulary
+    * compresses words better) and bytes-per-byte-symbol (byte-chain
+    * compression; higher = each symbol covers more raw bytes).
+    * Token-less / empty documents carry null ratios rather than
+    * vanishing. One pure per-row projection over the two native
+    * encode expressions — zero shuffles, streaming-safe. */
+  def tokenizerFertility(df: DataFrame, idCol: String, textCol: String,
+                         cpRules: Seq[(String, String)],
+                         byteRules: Seq[(String, String)]): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val nWs = size(filter(split(trim(col(textCol)), " "), t => t =!= ""))
+    val nBpe = size(call_function("bpe_encode", col(textCol),
+      typedLit(cpRules.map(_._1)), typedLit(cpRules.map(_._2))))
+    val nByte = size(call_function("bpe_encode_bytes", col(textCol),
+      typedLit(byteRules.map(_._1)), typedLit(byteRules.map(_._2))))
+    val nBytes = octet_length(col(textCol))
+    df.select(col(idCol),
+      nBytes.cast("long").as("n_bytes"),
+      nWs.cast("long").as("n_ws"),
+      nBpe.cast("long").as("n_bpe"),
+      nByte.cast("long").as("n_byte_syms"),
+      when(nWs > 0, round(nBpe * lit(1e6) / nWs).cast("long"))
+        .as("bpe_per_word_e6"),
+      when(nByte > 0, round(nBytes * lit(1e6) / nByte).cast("long"))
+        .as("bytes_per_sym_e6"))
+  }
+
   /** Collect a merge frame to the rank-ordered rule list the native
     * apply expression embeds (nMerges rows — config-sized, the
     * tokenizer's vocab budget). */

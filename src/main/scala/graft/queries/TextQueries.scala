@@ -1900,6 +1900,62 @@ object TextQueries {
       |FROM bflat""".stripMargin
   }
 
+  /** q153 — TOKENIZER FERTILITY ([[graft.pipeline.Bpe
+    * .tokenizerFertility]]): the metric tokenizers are chosen by —
+    * per document the whitespace / learned-subword / byte-subword
+    * stream sizes against byte length, plus subwords-per-word and
+    * bytes-per-byte-symbol (micro-scaled; null for token-less docs).
+    * ONE statement replays BOTH trainers (the q118 code-point unroll
+    * and the q137 batched byte unroll — their CTE namespaces are
+    * disjoint) and derives every count and ratio. */
+  private def q153(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Bpe.tokenizerFertility(t(s, dir, "documents"), "doc_id",
+                                          "text", bpeRules(s, dir),
+                                          byteRules(s, dir))
+
+  private val q153Sql = {
+    val head =
+      s"""bbw AS MATERIALIZED (SELECT upper(hex(encode(wtxt))) AS w, count(*) AS freq
+        |  FROM (SELECT unnest(regexp_extract_all(text,
+        |          '${graft.pipeline.Bpe.pretokenRegex}')) AS wtxt
+        |        FROM documents) x
+        |  WHERE wtxt <> '' GROUP BY 1),
+        |bs0 AS MATERIALIZED (SELECT w, freq, u.i - 1 AS pos,
+        |         substr(w, 2 * u.i - 1, 2) AS sym
+        |       FROM bbw, LATERAL unnest(generate_series(1, len(w) // 2)) AS u(i))""".stripMargin
+    s"""WITH ${bpeTrainCtes(bpeN)},
+      |${bpeStreamCtes(bpeN)},
+      |${bpeBatchCtes(head, bpeBatchPasses, bpeBatchSize, 2L)},
+      |bocc AS MATERIALIZED (
+      |  SELECT doc_id, u.i AS wpos, upper(hex(encode(l[u.i]))) AS w
+      |  FROM (SELECT doc_id, regexp_extract_all(text,
+      |          '${graft.pipeline.Bpe.pretokenRegex}') AS l FROM documents) t,
+      |  LATERAL unnest(generate_series(1, len(l))) AS u(i)
+      |  WHERE l[u.i] <> ''),
+      |bflat AS MATERIALIZED (SELECT o.doc_id, o.wpos, s.pos AS spos, s.sym
+      |         FROM bocc o JOIN bs$bpeBatchPasses s ON s.w = o.w),
+      |fws AS (SELECT doc_id, count(*) AS n_ws FROM (
+      |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents) x
+      |  WHERE t <> '' GROUP BY 1),
+      |fbpe AS (SELECT doc_id, count(*) AS n_bpe FROM enc GROUP BY 1),
+      |fbyte AS (SELECT doc_id, count(*) AS n_byte_syms FROM bflat GROUP BY 1)
+      |SELECT d.doc_id,
+      |       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+      |       CAST(coalesce(fws.n_ws, 0) AS BIGINT) AS n_ws,
+      |       CAST(coalesce(fbpe.n_bpe, 0) AS BIGINT) AS n_bpe,
+      |       CAST(coalesce(fbyte.n_byte_syms, 0) AS BIGINT) AS n_byte_syms,
+      |       CASE WHEN coalesce(fws.n_ws, 0) > 0
+      |            THEN CAST(round(coalesce(fbpe.n_bpe, 0) * 1000000.0 / fws.n_ws) AS BIGINT)
+      |            END AS bpe_per_word_e6,
+      |       CASE WHEN coalesce(fbyte.n_byte_syms, 0) > 0
+      |            THEN CAST(round(octet_length(encode(d.text)) * 1000000.0
+      |                            / fbyte.n_byte_syms) AS BIGINT)
+      |            END AS bytes_per_sym_e6
+      |FROM documents d
+      |LEFT JOIN fws USING (doc_id) LEFT JOIN fbpe USING (doc_id)
+      |LEFT JOIN fbyte USING (doc_id)""".stripMargin
+  }
+
   /** q151 — BYTE-LOSSLESS tokenizer round-trip: the full byte chain
     * segment → rank → encode → DECODE, with `ok` comparing the decoded
     * hex stream against the document's OWN hex — EXACT equality, text
@@ -2289,6 +2345,7 @@ object TextQueries {
     QueryDef("q145_bpe_roundtrip", q145, Some(q145Sql)),
     QueryDef("q150_bpe_bytes_segment", q150, Some(q150Sql)),
     QueryDef("q151_bpe_bytes_roundtrip", q151, Some(q151Sql)),
+    QueryDef("q153_tokenizer_fertility", q153, Some(q153Sql)),
     QueryDef("q121_span_removal", q121, Some(q121Sql)),
     QueryDef("q122_kn_perplexity", q122, Some(q122Sql)),
     QueryDef("q123_chunk_windows", q123, Some(q123Sql)),

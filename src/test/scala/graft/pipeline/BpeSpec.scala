@@ -248,6 +248,23 @@ class BpeSpec extends AnyFunSuite {
            s"byte ids must round-trip the raw text exactly: ${rt.toSeq}")
   }
 
+  test("tokenizerFertility: counts line up across streams; empty docs keep null ratios") {
+    val docs = Seq((1L, "low low"), (2L, "")).toDF("doc_id", "text")
+    val cp = Seq(("l", "o"))          // lo w | lo w
+    val by = Seq.empty[(String, String)] // no merges: one symbol per byte
+    val out = Bpe.tokenizerFertility(docs, "doc_id", "text", cp, by)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert((d1.getLong(1), d1.getLong(2), d1.getLong(3), d1.getLong(4)) ==
+             ((7L, 2L, 4L, 7L)), s"counts: $d1")
+    assert(d1.getLong(5) == 2000000L && d1.getLong(6) == 1000000L,
+           s"fertility ratios: $d1")
+    val d2 = out(2L)
+    assert((d2.getLong(1), d2.getLong(2), d2.getLong(3), d2.getLong(4)) ==
+             ((0L, 0L, 0L, 0L)) && d2.isNullAt(5) && d2.isNullAt(6),
+           s"empty doc: zero counts, null ratios: $d2")
+  }
+
   test("bpeDecode: full-vocab round-trip is lossless; OOV ids surface as the marker") {
     val rules = Bpe.rulesOf(Bpe.bpeTrain(classic, "doc_id", "text", 4))
     val fullVocab = Bpe.bpeVocabulary(classic, "doc_id", "text", rules, topK = 100)
