@@ -996,6 +996,40 @@ object EmbeddingQueries {
       |      FROM scc) x
       |WHERE rn = 1""".stripMargin
 
+  /** q154 — TOPIC-balanced mixture resampling: q103's temperature
+    * recipe ([[graft.pipeline.TextAnalysis.temperatureResample]],
+    * α = 0.5) with the k-means CLUSTER as the domain — the
+    * cluster-balanced mixture step (upweight small topics, damp
+    * dominant ones) run on topics the engine DISCOVERED rather than a
+    * metadata column. Pure composition: the q143 assignment is the
+    * group frame; rates and hash-point keeps replay exactly. */
+  private def q154(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextAnalysis.temperatureResample(
+      Similarity.kmeansAssign(docVecs(s, dir), kmCents(s, dir))
+        .select(col("vec_id").as("doc_id"), col("cell")),
+      "doc_id", "cell", targetTotal = 200)
+
+  private val q154Sql =
+    s"""WITH $embCtes,
+      |${kmFinalCtes(kmK, kmIters)},
+      |tcnt AS (SELECT cell, count(*) AS n_group FROM kaf GROUP BY 1),
+      |tw AS (SELECT cell, n_group,
+      |         CAST(round(sqrt(CAST(n_group AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_e6
+      |       FROM tcnt),
+      |tsw AS (SELECT sum(w_e6) AS sum_w FROM tw),
+      |tr AS (SELECT cell, n_group,
+      |         CAST(round(200 * w_e6 * 1.0 / sum_w) AS BIGINT) AS target_n
+      |       FROM tw CROSS JOIN tsw),
+      |tr2 AS (SELECT cell, n_group, target_n,
+      |         least(1000000, CAST(round(target_n * 1000000.0 / n_group) AS BIGINT))
+      |           AS rate_e6 FROM tr),
+      |tp AS (SELECT doc_id, cell,
+      |         ${TextQueries.hashPointSql("CAST(doc_id AS VARCHAR)", "mix", 1000000L)} AS point
+      |       FROM kaf)
+      |SELECT tp.doc_id, tp.cell, tr2.n_group, tr2.target_n, tr2.rate_e6,
+      |       CAST(CASE WHEN tp.point < tr2.rate_e6 THEN 1 ELSE 0 END AS BIGINT) AS sampled
+      |FROM tp JOIN tr2 USING (cell)""".stripMargin
+
   // ------------------------------------------- hybrid retrieval (RRF)
 
   /** q146 — hybrid BM25 ⊕ dense retrieval fused by Reciprocal Rank
@@ -1074,6 +1108,7 @@ object EmbeddingQueries {
     QueryDef("q148_cluster_keywords", q148, Some(q148Sql)),
     QueryDef("q149_cluster_outliers", q149, Some(q149Sql)),
     QueryDef("q152_semantic_contamination", q152, Some(q152Sql)),
+    QueryDef("q154_topic_resample", q154, Some(q154Sql)),
     QueryDef("q79_sq8_topk", q79, Some(q79Sql)),
     QueryDef("q60_lsh_ann", q60, Some(q60Sql)),
     QueryDef("q64_embedding_neardup", q64, Some(q64Sql)),
