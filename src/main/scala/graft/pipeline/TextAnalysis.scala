@@ -271,6 +271,72 @@ object TextAnalysis {
               (col("q_ok") && col("is_keeper") === 1).cast("long").as("keep"))
   }
 
+  /** The FULL-STACK curation verdict — [[curateCorpus]] with the
+    * SEMANTIC stage integrated, the four-stage pipeline a modern
+    * training-data build actually runs:
+    *  1. quality gate (cheap projection — junk never reaches the
+    *     expensive stages);
+    *  2. exact + near-duplicate resolution over the survivors
+    *     ([[TextDedup.dedupCorpus]]);
+    *  3. SEMANTIC dedup over the near-dup KEEPERS ([[Similarity
+    *     .embedDocs]] → frame-backed multi-probe SemDeDup): paraphrase
+    *     renditions that share too few shingles for MinHash but land
+    *     together in embedding space — the stage ordering matters,
+    *     since near-dup keepers are the only docs worth embedding;
+    *  4. deterministic split for the final keepers.
+    * EVERY document returns with its verdict: quality stats, near-dup
+    * cluster/keeper, semantic cluster/keeper (null if it never reached
+    * that stage), split (null unless kept), `keep` ∈ {0,1} and
+    * `drop_reason` ∈ ('quality' | 'duplicate' | 'semantic_dup' |
+    * null). With `minTokens` ≥ 1 every near-dup keeper has tokens and
+    * therefore an embedding; the keep rule still tolerates a missing
+    * semantic row (vacuously kept) so a minTokens = 0 caller cannot
+    * silently lose token-less docs.
+    *
+    * Scale shape: each stage's documented cost over a monotonically
+    * SHRINKING frame; the only driver state is the `semCents`-row
+    * centroid seed (hyperparameter-sized, the q142 convention). */
+  def curateCorpusSemantic(docs: DataFrame, idCol: String, textCol: String,
+                           minTokens: Int = 10, minQuality: Double = 0.0,
+                           maxDocFrac: Double = 0.1, minJaccard: Double = 0.5,
+                           semTau: Double = 0.98, semCents: Int = 16,
+                           nprobe: Int = 2): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    val gated = qualityScore(base, "doc_id", "__t")
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .withColumn("q_ok",
+        col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
+    val passDocs = base.join(gated.filter(col("q_ok")).select("doc_id"), Seq("doc_id"))
+    val dd = TextDedup.dedupCorpus(passDocs, "doc_id", "__t",
+                                   maxDocFrac = maxDocFrac, minJaccard = minJaccard)
+      .select(col("doc_id"), col("cluster"), col("is_keeper"))
+    val kdocs = base.join(dd.filter(col("is_keeper") === 1).select("doc_id"),
+                          Seq("doc_id"))
+    val e = graft.queries.cacheOnce(
+      Similarity.embedDocs(kdocs, "doc_id", "__t")
+        .select(col("doc_id").as("vec_id"), col("v")))
+    val cents = e.orderBy("vec_id").limit(semCents).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    require(cents.nonEmpty, "curateCorpusSemantic: no quality-passing keepers to embed")
+    val sem = Similarity.semanticDedupFrames(
+        e, Similarity.framesFlat(docs.sparkSession, cents), semTau, nprobe = nprobe)
+      .select(col("vec_id").as("doc_id"), col("cluster").as("sem_cluster"),
+              col("is_keeper").as("sem_keeper"))
+    val sp = deterministicSplit(sem.filter(col("sem_keeper") === 1).select("doc_id"),
+                                "doc_id")
+      .select(col("doc_id"), col("split"))
+    gated.join(dd, Seq("doc_id"), "left").join(sem, Seq("doc_id"), "left")
+      .join(sp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+              col("cluster"), col("is_keeper"),
+              col("sem_cluster"), col("sem_keeper"), col("split"),
+              when(!col("q_ok"), lit("quality"))
+                .when(col("is_keeper") === 0, lit("duplicate"))
+                .when(col("sem_keeper") === 0, lit("semantic_dup")).as("drop_reason"),
+              (col("q_ok") && col("is_keeper") === 1 &&
+               coalesce(col("sem_keeper"), lit(1L)) === 1).cast("long").as("keep"))
+  }
+
   /** Deterministic train/validation/test split — the dataset-sharding
     * op every training pipeline needs. The split key is content-derived
     * (first 8 hex chars of md5(salt || key) read as an integer, mod the

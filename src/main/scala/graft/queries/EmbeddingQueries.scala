@@ -712,7 +712,7 @@ object EmbeddingQueries {
     * ±1 JL matrix (16×65), and every document's projection `epj` /
     * dense list `epl`. All integer-exact: features are integers, matrix
     * entries ±1, so `ev` replays bit-for-bit. */
-  private val embCtes = {
+  private[queries] val embCtes = {
     val hp = TextQueries.hashPointSql("t", "clf", 64L)
     s"""etoks AS (SELECT doc_id, t FROM (
       |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents) x
@@ -738,10 +738,10 @@ object EmbeddingQueries {
       |  FROM epj GROUP BY 1)""".stripMargin
   }
 
-  private def dotNSql(a: String, b: String, n: Int): String =
+  private[queries] def dotNSql(a: String, b: String, n: Int): String =
     s"list_sum(list_transform(generate_series(1, $n), x2 -> $a[x2] * $b[x2]))"
 
-  private def cosNSql(av: String, bv: String, n: Int, places: Int): String =
+  private[queries] def cosNSql(av: String, bv: String, n: Int, places: Int): String =
     s"round(${dotNSql(av, bv, n)} / " +
       s"(sqrt(${dotNSql(av, av, n)}) * sqrt(${dotNSql(bv, bv, n)})), $places)"
 

@@ -516,6 +516,109 @@ object TextQueries {
       |FROM qual q LEFT JOIN cl USING (doc_id) LEFT JOIN sp USING (doc_id)""".stripMargin
   }
 
+  /** q155 — the FULL-STACK curation verdict ([[graft.pipeline
+    * .TextAnalysis.curateCorpusSemantic]]): q82's quality → dedup →
+    * split chain with the SEMANTIC stage integrated between dedup and
+    * split — embeddings built ONLY for near-dup keepers, frame-backed
+    * multi-probe SemDeDup at round-6 cosine ≥ 0.98 (the measured q142
+    * threshold), and the split re-keyed to the semantic survivors.
+    * Four drop reasons, every document in the ledger. The oracle
+    * composes q82's closure, the embedding CTEs REBASED onto the kept
+    * docs (one mechanical FROM rename), the q142 SemDeDup closure,
+    * and the split fold — the whole four-stage build in ONE
+    * statement. */
+  private def q155(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextAnalysis.curateCorpusSemantic(
+      t(s, dir, "documents"), "doc_id", "text",
+      minTokens = 15, minQuality = 0.24, semTau = 0.98)
+
+  private val q155Sql = {
+    val minTokens = 15; val minQuality = 0.24; val semTau = 0.98
+    val nearDupQ = nearDupCtes.replace("FROM documents", "FROM docs_q")
+    val embQ = EmbeddingQueries.embCtes
+      .replace("FROM documents", "FROM kept")
+      .replace("etoks", "ketoks").replace("ecnt", "kecnt")
+      .replace("eraw", "keraw").replace("efeat", "kefeat")
+      .replace("er AS MATERIALIZED", "ker AS MATERIALIZED")
+      .replace("JOIN er r", "JOIN ker r")
+      .replace("epj", "kepj").replace("epl", "kepl")
+    s"""WITH RECURSIVE qual AS (
+      |  SELECT doc_id, n_tokens, quality_score,
+      |         (n_tokens >= $minTokens AND quality_score >= $minQuality) AS q_ok
+      |  FROM ($q51Sql) q51),
+      |docs_q AS (
+      |  SELECT d.doc_id, d.text FROM documents d JOIN qual USING (doc_id)
+      |  WHERE qual.q_ok),
+      |$nearDupQ,
+      |ex AS (SELECT md5(text) AS h, doc_id FROM docs_q),
+      |exk AS (SELECT h, min(doc_id) AS da, count(*) AS nh FROM ex GROUP BY 1),
+      |exedges AS (
+      |  SELECT k.da AS src, e.doc_id AS dst FROM exk k JOIN ex e USING (h)
+      |  WHERE k.nh > 1 AND k.da < e.doc_id),
+      |edges AS (SELECT da AS src, db AS dst FROM dup
+      |          UNION SELECT db AS src, da AS dst FROM dup
+      |          UNION SELECT src, dst FROM exedges
+      |          UNION SELECT dst AS src, src AS dst FROM exedges),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM docs_q
+      |  UNION
+      |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r),
+      |cl AS (
+      |  SELECT id AS doc_id, min(r) AS cluster,
+      |         CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+      |  FROM reach GROUP BY id),
+      |kept AS (SELECT d.doc_id, d.text FROM docs_q d JOIN cl USING (doc_id)
+      |         WHERE cl.is_keeper = 1),
+      |$embQ,
+      |kep AS (SELECT doc_id AS pid, v AS pv FROM kepl ORDER BY pid LIMIT 16),
+      |kscored AS (
+      |  SELECT kepl.doc_id, kepl.v, kep.pid,
+      |         ${EmbeddingQueries.cosNSql("kepl.v", "kep.pv", 16, 4)} AS cs
+      |  FROM kepl CROSS JOIN kep),
+      |kranked AS (
+      |  SELECT doc_id, v, pid,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY cs DESC, pid) AS arn
+      |  FROM kscored),
+      |kprobed AS (SELECT doc_id, v, pid AS pc FROM kranked WHERE arn <= 2),
+      |kdup AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM kprobed a JOIN kprobed b ON a.pc = b.pc AND a.doc_id < b.doc_id
+      |  WHERE ${EmbeddingQueries.cosNSql("a.v", "b.v", 16, 6)} >= $semTau),
+      |kedges AS (SELECT da AS src, db AS dst FROM kdup
+      |           UNION SELECT db AS src, da AS dst FROM kdup),
+      |kreach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM kepl
+      |  UNION
+      |  SELECT kreach.id, kedges.dst FROM kreach JOIN kedges ON kedges.src = kreach.r),
+      |scl AS (
+      |  SELECT id AS doc_id, min(r) AS sem_cluster,
+      |         CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS BIGINT) AS sem_keeper
+      |  FROM kreach GROUP BY id),
+      |sph AS (SELECT doc_id, md5('split' || CAST(doc_id AS VARCHAR)) AS m
+      |        FROM scl WHERE sem_keeper = 1),
+      |spp AS (
+      |  SELECT doc_id,
+      |         CAST(list_sum(list_transform(generate_series(1, 8),
+      |           j -> CAST(instr('0123456789abcdef', substr(m, j, 1)) - 1 AS BIGINT)
+      |                * CAST(pow(16, 8 - j) AS BIGINT))) AS BIGINT) % 100 AS split_point
+      |  FROM sph),
+      |sp AS (SELECT doc_id,
+      |         CASE WHEN split_point < 90 THEN 'train'
+      |              WHEN split_point < 95 THEN 'val'
+      |              ELSE 'test' END AS split
+      |       FROM spp)
+      |SELECT q.doc_id, q.n_tokens, q.quality_score,
+      |       cl.cluster, cl.is_keeper, scl.sem_cluster, scl.sem_keeper, sp.split,
+      |       CASE WHEN NOT q.q_ok THEN 'quality'
+      |            WHEN cl.is_keeper = 0 THEN 'duplicate'
+      |            WHEN scl.sem_keeper = 0 THEN 'semantic_dup' END AS drop_reason,
+      |       CAST(CASE WHEN q.q_ok AND cl.is_keeper = 1
+      |                      AND coalesce(scl.sem_keeper, 1) = 1
+      |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM qual q LEFT JOIN cl USING (doc_id) LEFT JOIN scl USING (doc_id)
+      |LEFT JOIN sp USING (doc_id)""".stripMargin
+  }
+
   /** q83 — decontamination ([[TextDedup.contaminatedDocs]]): corpus
     * docs sharing ≥ 1 distinct 8-gram with a benchmark set (docs 0-4
     * standing in as the benchmark — every returned pair is a verbatim
@@ -2316,6 +2419,7 @@ object TextQueries {
     QueryDef("q78_dup_clusters_pj", q78, Some(q66Sql)),
     QueryDef("q80_dedup_corpus", q80, Some(q80Sql)),
     QueryDef("q147_keeper_by_quality", q147, Some(q147Sql)),
+    QueryDef("q155_curate_semantic", q155, Some(q155Sql)),
     QueryDef("q81_bm25_topk", q81, Some(q81Sql)),
     QueryDef("q82_curate_corpus", q82, Some(q82Sql)),
     QueryDef("q83_contamination", q83, Some(q83Sql)),

@@ -506,6 +506,30 @@ class TextDedupSpec extends AnyFunSuite {
            s"score replays ctf · ln(K/df) · 1e6: $spark0")
   }
 
+  test("curateCorpusSemantic: four-reason verdict; reordered paraphrase caught by the semantic stage only") {
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (3L, "tiny"),                                           // quality-dropped
+      (4L, "one two three four five six seven eight nine"),
+      (5L, "nine eight seven six five four three two one"),   // same bag, reordered:
+                                                              // shingles disjoint, embedding identical
+      (6L, "completely different vocabulary occupies this final document here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.curateCorpusSemantic(docs, "doc_id", "text",
+                                                minTokens = 3, semTau = 0.98)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(8)).map(_.toString), r.getLong(9))).toMap
+    assert(out(3L)._1.contains("quality"), s"doc 3 drops on quality: $out")
+    assert(out(2L)._1.contains("duplicate") && out(1L)._2 == 1L,
+           s"exact dup resolves in the near-dup stage: $out")
+    assert(out(5L)._1.contains("semantic_dup") && out(4L)._2 == 1L,
+           s"the reordered paraphrase must fall to the SEMANTIC stage: $out")
+    assert(out(6L)._1.isEmpty && out(6L)._2 == 1L, s"distinct doc keeps: $out")
+    assert(out.values.count(_._2 == 1L) == 3, s"keepers: 1, 4, 6: $out")
+  }
+
   test("keeperByScore: best copy wins, ties break low, unscored docs never steal") {
     val verdict = Seq(
       (1L, 1L, 1L, 3L), (2L, 1L, 0L, 3L), (3L, 1L, 0L, 3L), // cluster of 3
