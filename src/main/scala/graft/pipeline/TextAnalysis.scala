@@ -230,6 +230,29 @@ object TextAnalysis {
               col("bm25_rank"), col("cos_rank"))
   }
 
+  /** DIVERSIFIED retrieval — collapse a ranked result list by
+    * duplicate CLUSTER so a query never serves two renditions of the
+    * same underlying document (the search-result dedup every
+    * retrieval stack applies): per cluster the best-ranked member
+    * survives, survivors re-rank densely by their original order.
+    * `ranked` is any frame with (doc_id, rank) — [[bm25TopK]],
+    * [[hybridTopK]]; `clusters` maps doc_id → cluster ([[TextDedup
+    * .dedupCorpus]]'s ledger). Docs absent from the cluster frame
+    * count as their own singleton cluster (left join + coalesce), so
+    * a partial ledger can only under-collapse, never drop a result.
+    * Result-page-sized windows — driver-free, trivially cheap. */
+  def diversifyByCluster(ranked: DataFrame, clusters: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("rank"))
+    val w2 = org.apache.spark.sql.expressions.Window.orderBy(col("rank"))
+    ranked
+      .join(clusters.select(col("doc_id"), col("cluster")), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("crn", row_number().over(w)).filter(col("crn") === 1)
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .drop("crn")
+  }
+
   /** The FULL curation verdict — one call from raw documents to the
     * per-document decision a training-data build executes, in the
     * standard pipeline order:

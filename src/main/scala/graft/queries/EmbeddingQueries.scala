@@ -1049,13 +1049,18 @@ object EmbeddingQueries {
       .select(col("doc_id"), col("rrf_e6"), col("rank"),
               col("bm25_rank"), col("cos_rank"))
 
-  private val q146Sql = {
+  /** Full hybrid-RRF oracle statement for an arbitrary term list —
+    * q146 instantiates it with the fixed q81 terms; q156 with a
+    * dup-cluster-hitting query. */
+  private def hybridSqlFor(terms: Seq[String], k: Int = 10): String = {
     val k1 = 1.2; val b = 0.75
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val qstr = terms.mkString(" ")
     s"""WITH $embCtes,
       |hdl AS (SELECT doc_id, count(*) AS dl FROM etoks GROUP BY 1),
       |hst AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM hdl),
       |htf AS (SELECT doc_id, t, count(*) AS tf FROM etoks
-      |        WHERE t IN ('hash', 'join', 'filter') GROUP BY 1, 2),
+      |        WHERE t IN ($inList) GROUP BY 1, 2),
       |hdf AS (SELECT t, count(*) AS df FROM htf GROUP BY 1),
       |hc AS (
       |  SELECT htf.doc_id,
@@ -1067,7 +1072,7 @@ object EmbeddingQueries {
       |spool AS (SELECT doc_id,
       |            CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS bm25_rank
       |          FROM hsc ORDER BY score_e6 DESC, doc_id LIMIT 20),
-      |qtoks AS (SELECT unnest(string_split('hash join filter', ' ')) AS t),
+      |qtoks AS (SELECT unnest(string_split('$qstr', ' ')) AS t),
       |qn AS (SELECT count(*) AS n FROM qtoks),
       |qfeat AS (
       |  SELECT x.h, CAST(round(x.c * 1000000.0 / qn.n) AS BIGINT) AS f
@@ -1094,8 +1099,45 @@ object EmbeddingQueries {
       |SELECT doc_id, rrf_e6,
       |       CAST(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS BIGINT) AS rank,
       |       bm25_rank, cos_rank
-      |FROM fused ORDER BY rrf_e6 DESC, doc_id LIMIT 10""".stripMargin
+      |FROM fused ORDER BY rrf_e6 DESC, doc_id LIMIT $k""".stripMargin
   }
+
+  private val q146Sql = hybridSqlFor(Seq("hash", "join", "filter"))
+
+  /** q156 — DIVERSIFIED hybrid retrieval ([[graft.pipeline
+    * .TextAnalysis.diversifyByCluster]]): q146's fused result page
+    * collapsed by q80's duplicate clusters — one rendition per
+    * underlying document, survivors re-ranked densely. The oracle
+    * nests both full statements as derived CTEs and adds the two
+    * windows. */
+  /** q156's query terms, chosen from the measured page composition:
+    * under ('order','filter') the fused top-20 at sf0.01 contains
+    * THREE same-semantic-cluster groups (the q142 ledger), so the
+    * collapse branch is live in the checked artifact, not just in the
+    * spec. */
+  private val divTerms = Seq("order", "filter")
+
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val ranked = graft.pipeline.TextAnalysis.hybridTopK(
+      t(s, dir, "documents"), "doc_id", "text", divTerms, k = 20, pool = 20,
+      vecs = Some(docVecs(s, dir).select(col("vec_id").as("doc_id"), col("v"))))
+    val clusters = q142(s, dir).select(col("doc_id"), col("cluster"))
+    graft.pipeline.TextAnalysis.diversifyByCluster(ranked, clusters)
+      .select(col("doc_id"), col("cluster"), col("rrf_e6"), col("rank"))
+  }
+
+  private val q156Sql =
+    s"""WITH h AS (${hybridSqlFor(divTerms, k = 20)}),
+      |c AS (SELECT doc_id, cluster FROM (${q142Sql}) q142v)
+      |SELECT doc_id, cluster, rrf_e6,
+      |       CAST(row_number() OVER (ORDER BY base_rank) AS BIGINT) AS rank
+      |FROM (
+      |  SELECT h.doc_id, coalesce(c.cluster, h.doc_id) AS cluster,
+      |         h.rrf_e6, h.rank AS base_rank,
+      |         row_number() OVER (PARTITION BY coalesce(c.cluster, h.doc_id)
+      |                            ORDER BY h.rank) AS crn
+      |  FROM h LEFT JOIN c USING (doc_id)) x
+      |WHERE crn = 1""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q59_cosine_topk", q59, Some(q59Sql)),
@@ -1109,6 +1151,7 @@ object EmbeddingQueries {
     QueryDef("q149_cluster_outliers", q149, Some(q149Sql)),
     QueryDef("q152_semantic_contamination", q152, Some(q152Sql)),
     QueryDef("q154_topic_resample", q154, Some(q154Sql)),
+    QueryDef("q156_diversified_topk", q156, Some(q156Sql)),
     QueryDef("q79_sq8_topk", q79, Some(q79Sql)),
     QueryDef("q60_lsh_ann", q60, Some(q60Sql)),
     QueryDef("q64_embedding_neardup", q64, Some(q64Sql)),

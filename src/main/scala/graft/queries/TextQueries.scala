@@ -314,7 +314,7 @@ object TextQueries {
   private def q80(s: SparkSession, dir: String): DataFrame =
     TextDedup.dedupCorpus(t(s, dir, "documents"), "doc_id", "text")
 
-  private val q80Sql =
+  private[queries] val q80Sql =
     s"""WITH RECURSIVE $nearDupCtes,
       |ex AS (SELECT md5(text) AS h, doc_id FROM documents),
       |exk AS (SELECT h, min(doc_id) AS da, count(*) AS nh FROM ex GROUP BY 1),

@@ -530,6 +530,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.values.count(_._2 == 1L) == 3, s"keepers: 1, 4, 6: $out")
   }
 
+  test("diversifyByCluster: one rendition per cluster, dense re-rank, partial ledger safe") {
+    import graft.pipeline.TextAnalysis
+    val ranked = Seq((10L, 900L, 1L), (20L, 800L, 2L), (30L, 700L, 3L), (40L, 600L, 4L))
+      .toDF("doc_id", "rrf_e6", "rank")
+    val clusters = Seq((10L, 10L), (30L, 10L), (40L, 40L)) // 20 missing from ledger
+      .toDF("doc_id", "cluster")
+    val out = TextAnalysis.diversifyByCluster(ranked, clusters)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("cluster"), r.getAs[Long]("rank")))
+      .sortBy(_._3).toSeq
+    // 30 collapses into 10's cluster; 20 survives as its own singleton
+    assert(out == Seq((10L, 10L, 1L), (20L, 20L, 2L), (40L, 40L, 3L)),
+           s"diversified page: $out")
+  }
+
   test("keeperByScore: best copy wins, ties break low, unscored docs never steal") {
     val verdict = Seq(
       (1L, 1L, 1L, 3L), (2L, 1L, 0L, 3L), (3L, 1L, 0L, 3L), // cluster of 3
