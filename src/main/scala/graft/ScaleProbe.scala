@@ -415,6 +415,27 @@ object ScaleProbe {
           .filter(col("is_keeper") === 0).count())} non-keepers " +
       s"(fine cells: ${sdFrames.fine.count()})")
 
+    // MULTI-PROBE CANDIDATE VOLUME (r12): put the documented
+    // nprobe²·n²/k cost model and the straddle-recall gain on the
+    // record at this decade. The candidate count is the pre-confirm
+    // meet-in-any-probed-cell pair volume (the exact join
+    // semanticDedupFrames runs, counted before the cosine filter);
+    // the non-keeper counts show nprobe=2 finding ≥ the pairs
+    // nprobe=1 finds (recall is monotone in nprobe — boundary pairs
+    // fuse, nothing un-fuses).
+    for (np <- Seq(1, 2)) {
+      val celledP = Similarity.ivfIndexJoin(vecs, sdFrames, np, 2, 1)
+      val ap = celledP.select(col("vec_id").as("da"), explode(col("cells")).as("pc"))
+      val bp = celledP.select(col("vec_id").as("db"), explode(col("cells")).as("pc"))
+      val cand = time(f"  multi-probe candidates (nprobe=$np)")(
+        ap.join(bp, Seq("pc")).filter(col("da") < col("db")).count())
+      val nk = Similarity.semanticDedupFrames(vecs, sdFrames, 0.9, nprobe = np,
+                                              coarseProbe = 2)
+        .filter(col("is_keeper") === 0).count()
+      println(f"  nprobe=$np: candidates=$cand%,d (model ~ ${
+        np.toLong * np * nVecs.toLong * nVecs / (2L * sdK)}%,d) non-keepers=$nk")
+    }
+
     // DRIVER-FREE pipeline at this decade: corpus → trained frames →
     // served index with NO k-sized driver object anywhere (seeded
     // k-means coarse, per-group distributed Lloyd, frame-join

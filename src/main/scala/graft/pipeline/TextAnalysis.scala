@@ -1160,7 +1160,12 @@ object TextAnalysis {
     * ONE ordered window over the distinct-score frame (score-grid-
     * sized — bounded by the round-6 lattice, not the corpus), then a
     * keyed window partitioned BY score for the within-score ordering.
-    * Every corpus-sized operation is a keyed shuffle. */
+    * Every corpus-sized operation is a keyed shuffle.
+    *
+    * BATCH-ONLY (see the `StreamOps` family header): the greedy
+    * prefix is a global order — any newly-arrived higher-scored doc
+    * can evict the tail, so no watermark finalizes a decision. Run
+    * periodically over the corpus snapshot. */
   def selectUnderBudget(df: DataFrame, idCol: String, textCol: String,
                         budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 0, "budget must be non-negative")
@@ -1198,7 +1203,12 @@ object TextAnalysis {
     *
     * Scale shape: pack assignment (per-(bucket, shard) windows) +
     * per-doc surprisal (keyed joins) + one groupBy(pack) + a
-    * projection. All keyed; nothing corpus-global. */
+    * projection. All keyed; nothing corpus-global.
+    *
+    * BATCH-ONLY (see the `StreamOps` family header): pack membership
+    * is positional within a closed corpus snapshot — arrivals shift
+    * positions — though the BAND rule itself is a pure projection of
+    * a pack's score and would stream if packs came from upstream. */
   def packCurriculum(df: DataFrame, idCol: String, textCol: String,
                      contextLen: Int = 2048, bandE3: Long = 250L): DataFrame = {
     require(bandE3 >= 1, "band width must be positive")

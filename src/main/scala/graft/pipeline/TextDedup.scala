@@ -1102,6 +1102,104 @@ object TextDedup {
               coalesce(col("exact_match"), col("near_match")).as("match_id"))
   }
 
+  /** DUPLICATED-LINE REMOVAL — the CCNet/RefinedWeb boilerplate pass:
+    * lines repeated across ≥ `minDocFrequency` DISTINCT documents
+    * (navigation menus, cookie banners, footers, copypasta) are
+    * deleted from every document; lines below the threshold survive
+    * untouched, in their original order. This is the line-granularity
+    * rung of the dedup ladder — coarser than [[removeDuplicatedSpans]]
+    * (token spans) and finer than document dedup — and it is the one
+    * real crawls need FIRST, because boilerplate inflates every
+    * downstream similarity.
+    *
+    * Semantics: a "line" is a `sep`-delimited segment; the doc
+    * frequency is counted over DISTINCT (doc, line) — a line repeated
+    * WITHIN one document counts once (self-repetition is the
+    * repetition op's axis, not cross-doc boilerplate). Whitespace-only lines are
+    * structure, never removed. Output is one row per document:
+    * (doc_id, clean_text, n_lines, n_removed, changed) — the full
+    * ledger, untouched docs included.
+    *
+    * Scale shape: one explode (map-side), one groupBy(line) for the
+    * doc-frequency (keyed shuffle — UNHINTED: the distinct-line table
+    * is corpus-sized at web scale, never a broadcast), one keyed join
+    * back, one groupBy(doc_id) reassembly. Nothing corpus-global, no
+    * windows; reassembly order is the collected (pos, line) sort, so
+    * partitioning never reorders lines. */
+  def removeDuplicateLines(df: DataFrame, idCol: String, textCol: String,
+                           minDocFrequency: Int = 3,
+                           sep: String = "\n"): DataFrame = {
+    require(minDocFrequency >= 2, "a line must repeat across >= 2 docs to be boilerplate")
+    val lines = df.select(
+      col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF("doc_id", "pos", "line")
+    val dfreq = lines.select(col("doc_id"), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("line_df"))
+    val judged = lines.join(dfreq, Seq("line"))
+      .withColumn("is_dup",
+        col("line_df") >= lit(minDocFrequency) && trim(col("line")) =!= "")
+    judged.groupBy(col("doc_id")).agg(
+      array_join(
+        transform(array_sort(collect_list(when(!col("is_dup"),
+          struct(col("pos"), col("line"))))), x => x("line")),
+        sep).as("clean_text"),
+      count(lit(1)).as("n_lines"),
+      sum(col("is_dup").cast("long")).as("n_removed"))
+      .withColumn("changed", col("n_removed") > 0)
+      .select(col("doc_id"), col("clean_text"), col("n_lines"),
+              col("n_removed"), col("changed"))
+  }
+
+  /** CONTAINMENT near-dup pairs — the asymmetric twin of [[jaccard]]:
+    * C(A→B) = |S(A) ∩ S(B)| / |S(A)| over distinct word `n`-gram
+    * shingles. Resemblance (Jaccard) dedup is blind to a short
+    * document quoted INSIDE a long one (the wire story embedded in a
+    * full page): the union in Jaccard's denominator drowns the match,
+    * while containment's |S(A)| denominator flags it at 1.0. Output is
+    * every DIRECTED pair with containment ≥ `tau`: (contained,
+    * container, containment, n_contained, n_container) — exact dups
+    * appear in both directions, true containments only one way.
+    *
+    * Candidate generation is an inverted-index self-join on shingles
+    * with an ABSOLUTE doc-frequency cap: a gram present in more than
+    * `maxDf` documents is shared VOCABULARY, not evidence of copying,
+    * and is dropped from candidate generation (the stop-shingle
+    * bound). That caps the per-gram pair volume at maxDf², making the
+    * join Σ_g min(df_g, maxDf)² — linear-ish in the gram table — where
+    * the uncapped self-join is Σ df² (quadratic in the hottest gram).
+    * The recall contract is explicit: a pair sharing ONLY capped grams
+    * is missed, which at n ≥ 3 means the overlap was common phrases.
+    * The confirm pass computes containment over the FULL (uncapped)
+    * shingle sets of surviving candidates, so reported values are
+    * exact. All keyed shuffles; the df table joins UNHINTED. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       tau: Double = 0.8, n: Int = 3,
+                       maxDf: Int = 64): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val sh = ngramShingles(df, idCol, textCol, n) // (id, bg) distinct
+    val dfreq = sh.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+    val rare = sh.join(dfreq.filter(col("df") <= maxDf), Seq("bg"))
+      .select(col("id"), col("bg"))
+    val cand = rare.select(col("id").as("da"), col("bg"))
+      .join(rare.select(col("id").as("db"), col("bg")), Seq("bg"))
+      .filter(col("da") =!= col("db"))
+      .select(col("da"), col("db")).distinct()
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("id").as("da"), col("bg")), Seq("da"))
+      .join(sh.select(col("id").as("db"), col("bg")), Seq("db", "bg"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.select(col("id").as("da"), col("n_sh").as("n_contained")), Seq("da"))
+      .join(counts.select(col("id").as("db"), col("n_sh").as("n_container")), Seq("db"))
+      .withColumn("containment", round(col("i") * 1.0 / col("n_contained"), 6))
+      .filter(col("containment") >= lit(tau))
+      .select(col("da").as("contained"), col("db").as("container"),
+              col("containment"), col("n_contained"), col("n_container"))
+  }
+
   /** Padded-text substring occurrence count via `replace` + length
     * arithmetic — identical non-overlapping left-to-right scan semantics
     * in every engine. Exposed for quality/langid scoring. */

@@ -377,6 +377,82 @@ object TextQueries {
       |       sz.n_cluster, qs.quality_score AS score
       |FROM cl JOIN sz USING (cluster) LEFT JOIN qs USING (doc_id)""".stripMargin
 
+  /** q157 — duplicated-LINE removal ([[TextDedup.removeDuplicateLines]]):
+    * the CCNet/RefinedWeb boilerplate pass. The driver corpus carries
+    * no newlines, so the query derives a deterministic line structure
+    * first (6 words per line — the same derived-input pattern the
+    * multimodal queries use for generated media), then removes every
+    * line shared by ≥ 3 distinct documents. The oracle replays the
+    * lineification AND the removal; at sf0.01 the corpus drops 28
+    * boilerplate lines across its planted duplicate families while
+    * 4.4k content lines survive — both branches live. */
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ws = split(trim(col("text")), " ")
+    val lined = docs.select(
+      col("doc_id"),
+      array_join(
+        transform(sequence(lit(0L), floor((size(ws) - 1) / lit(6))),
+          i => array_join(slice(ws, (i * 6 + 1).cast("int"), lit(6)), " ")),
+        "\n").as("text"))
+    TextDedup.removeDuplicateLines(lined, "doc_id", "text", minDocFrequency = 3)
+  }
+
+  private val q157Sql =
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+      |ix AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w),
+      |lines0 AS (
+      |  SELECT doc_id, (i - 1) // 6 AS pos, string_agg(ws[i], ' ' ORDER BY i) AS line
+      |  FROM ix GROUP BY doc_id, (i - 1) // 6),
+      |dfq AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM lines0 GROUP BY line),
+      |j AS (
+      |  SELECT l.doc_id, l.pos, l.line,
+      |         (d.line_df >= 3 AND trim(l.line) <> '') AS is_dup
+      |  FROM lines0 l JOIN dfq d USING (line))
+      |SELECT doc_id,
+      |       coalesce(string_agg(CASE WHEN NOT is_dup THEN line END,
+      |                           chr(10) ORDER BY pos), '') AS clean_text,
+      |       count(*) AS n_lines,
+      |       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |       (sum(CASE WHEN is_dup THEN 1 ELSE 0 END) > 0) AS changed
+      |FROM j GROUP BY doc_id""".stripMargin
+
+  /** q158 — containment dedup ([[TextDedup.containmentPairs]]): the
+    * asymmetric axis resemblance dedup is blind to — a document quoted
+    * INSIDE a longer one. Directed pairs at shingle containment ≥ 0.8
+    * over word trigrams, candidates from the df-capped (≤ 64)
+    * inverted-index join, containment confirmed on FULL shingle sets.
+    * The oracle replays cap, candidates, and confirm exactly; at
+    * sf0.01 the corpus yields 50 directed pairs of 23k candidates, 25
+    * of them PARTIAL (containment < 1.0) — the regime Jaccard misses. */
+  private def q158(s: SparkSession, dir: String): DataFrame =
+    TextDedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+                               tau = 0.8, n = 3, maxDf = 64)
+
+  private val q158Sql =
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, ws[i] || '_' || ws[i+1] || '_' || ws[i+2] AS bg
+      |  FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+      |  WHERE len(ws) >= 3),
+      |dfq AS (SELECT bg, count(DISTINCT doc_id) AS d FROM g GROUP BY bg),
+      |rare AS (SELECT g.doc_id, g.bg FROM g JOIN dfq USING (bg) WHERE dfq.d <= 64),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM rare a JOIN rare b USING (bg) WHERE a.doc_id <> b.doc_id),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id),
+      |i AS (
+      |  SELECT c.da, c.db, count(*) AS i
+      |  FROM cand c
+      |  JOIN g ga ON ga.doc_id = c.da
+      |  JOIN g gb ON gb.doc_id = c.db AND gb.bg = ga.bg
+      |  GROUP BY c.da, c.db)
+      |SELECT i.da AS contained, i.db AS container,
+      |       round(i.i * 1.0 / ca.n_sh, 6) AS containment,
+      |       ca.n_sh AS n_contained, cb.n_sh AS n_container
+      |FROM i JOIN cnt ca ON ca.doc_id = i.da JOIN cnt cb ON cb.doc_id = i.db
+      |WHERE round(i.i * 1.0 / ca.n_sh, 6) >= 0.8""".stripMargin
+
   /** q99 — leakage-safe split ([[TextAnalysis.leakageSafeSplit]]): the
     * train/val/test bucket assigned by duplicate CLUSTER so near-dup
     * renditions can never straddle splits. The oracle is q80's full
@@ -2458,6 +2534,8 @@ object TextQueries {
     QueryDef("q126_pack_curriculum", q126, Some(q126Sql)),
     QueryDef("q134_nfc_normalize", q134, Some(q134Sql)),
     QueryDef("q136_bpe_batched", q136, Some(q136Sql)),
-    QueryDef("q137_bpe_bytes", q137, Some(q137Sql))
+    QueryDef("q137_bpe_bytes", q137, Some(q137Sql)),
+    QueryDef("q157_line_dedup", q157, Some(q157Sql)),
+    QueryDef("q158_containment_dedup", q158, Some(q158Sql))
   )
 }

@@ -16,6 +16,21 @@ import org.apache.spark.sql.functions._
   * can't be a `window()` — but the month START is a deterministic
   * event-time function, so month grain groups directly on
   * `date_trunc('month', ds)` with the watermark on the derived column.
+  *
+  * BATCH-ONLY curation ops (the explicit contract): two pipeline
+  * operators have no streaming form BY SEMANTICS, not by omission.
+  * `TextAnalysis.selectUnderBudget` is a global greedy prefix over a
+  * total quality order — the keep/cut decision for every document can
+  * change when any higher-scored document arrives, so no watermark
+  * ever finalizes it; run it as a periodic batch job over the
+  * accumulated corpus (the incrementalDedup pattern).
+  * `TextAnalysis.packCurriculum` aggregates over packs whose
+  * membership `packSequences` assigns by per-(bucket, shard) position
+  * — positions shift as documents arrive, so packs are a property of
+  * a CLOSED corpus snapshot. Everything else in the curation tier
+  * that is per-row (quality/langid/PII/fingerprints/band assignment/
+  * classifier scoring/k-means assignment) streams via the inline
+  * forms in this file.
   */
 object StreamOps {
 

@@ -216,4 +216,96 @@ class CurateOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4))).sortBy(_._1)
     assert(out.toSeq == Seq((0L, 1L, 32L), (1L, 25L, 9L)))
   }
+
+  // ---- removeDuplicateLines (CCNet-style boilerplate pass) -------------
+
+  test("line dedup removes exactly the lines shared by >= minDf docs, order kept") {
+    val boiler = "accept our cookies"
+    val docs = Seq(
+      (1L, s"alpha one\n$boiler\nalpha two"),
+      (2L, s"beta one\n$boiler\nbeta two"),
+      (3L, s"$boiler\ngamma only line"),
+      (4L, "delta stands alone\ndelta second line")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.removeDuplicateLines(docs, "doc_id", "text", minDocFrequency = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) == (("alpha one\nalpha two", 3L, 1L, true)))
+    assert(out(2L) == (("beta one\nbeta two", 3L, 1L, true)))
+    assert(out(3L) == (("gamma only line", 2L, 1L, true)))
+    assert(out(4L) == (("delta stands alone\ndelta second line", 2L, 0L, false)))
+  }
+
+  test("line dedup: within-doc repetition counts once; blank lines never removed") {
+    // "spam" repeats 3x inside doc 1 but exists in only 2 DISTINCT docs,
+    // so at minDf = 3 it survives; the blank line appears in all 3 docs
+    // and still survives (structure, not content).
+    val docs = Seq(
+      (1L, "spam\nspam\nspam\n\nkeep a"),
+      (2L, "spam\n\nkeep b"),
+      (3L, "other\n\nkeep c")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.removeDuplicateLines(docs, "doc_id", "text", minDocFrequency = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(out(1L) == (("spam\nspam\nspam\n\nkeep a", 0L)))
+    assert(out(2L) == (("spam\n\nkeep b", 0L)))
+    assert(out(3L) == (("other\n\nkeep c", 0L)))
+  }
+
+  test("line dedup: a doc that is ALL boilerplate keeps its row with empty text") {
+    val docs = Seq(
+      (1L, "same line"), (2L, "same line"), (3L, "same line"),
+      (4L, "unique content here")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.removeDuplicateLines(docs, "doc_id", "text", minDocFrequency = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size == 4)
+    assert(out(1L) == (("", 1L, 1L)))
+    assert(out(4L) == (("unique content here", 1L, 0L)))
+  }
+
+  // ---- containmentPairs (asymmetric quoted-inside dedup) ---------------
+
+  test("containment flags a short doc quoted inside a long one; jaccard would not") {
+    // doc 1 = 10 words, fully embedded in doc 2 (30 words). Trigram
+    // containment(1 -> 2) = 1.0 while Jaccard is far below any dedup
+    // threshold — the case this operator exists for.
+    val quoted = (1 to 10).map("q" + _).mkString(" ")
+    val filler = (1 to 20).map("f" + _).mkString(" ")
+    val docs = Seq(
+      (1L, quoted),
+      (2L, s"$filler $quoted"),
+      (3L, (1 to 15).map("z" + _).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextDedup.containmentPairs(docs, "doc_id", "text", tau = 0.8, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+    // the reverse direction (2 contained in 1) must NOT appear: doc 2
+    // has 28 trigrams, only 8 shared.
+  }
+
+  test("containment: exact duplicates appear in BOTH directions at 1.0") {
+    val text = (1 to 12).map("w" + _).mkString(" ")
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val out = TextDedup.containmentPairs(docs, "doc_id", "text", tau = 0.8, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L, 1.0), (2L, 1L, 1.0)))
+  }
+
+  test("containment df cap: pairs sharing only capped grams are not candidates") {
+    // every doc shares the same 3 words (one trigram) — with maxDf = 2
+    // that gram is capped, so no candidates survive even though the
+    // intersection is nonempty.
+    val docs = Seq(
+      (1L, "shared tri gram plus alpha beta"),
+      (2L, "shared tri gram plus gamma delta"),
+      (3L, "shared tri gram plus epsilon zeta")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.containmentPairs(docs, "doc_id", "text",
+                                         tau = 0.1, n = 3, maxDf = 2)
+    // "shared tri gram", "tri gram plus" have df = 3 > 2 (capped);
+    // the "gram plus X" trigrams are unique per doc. No candidates.
+    assert(out.count() == 0)
+  }
 }
