@@ -107,19 +107,36 @@ object Bench {
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    // capture-proofing: the stdout line is one very long JSON object and
-    // a fixed-size tail capture truncated BENCH_r06's headline total
-    // mid-line; the file copy is the canonical round-over-round record.
-    // The println runs FIRST and the write is guarded: a read-only or
-    // unexpected cwd must not throw away a completed benchmark run
-    // (SPARK_GRAFT_BENCH_OUT overrides the output path).
-    println(json)
+    // capture-proofing: the driver records only the LAST 2000 chars of
+    // stdout, and at 140+ registered queries the full per-query map is
+    // ~7 KB — BENCH_r11's tail capture cut the line's head off and its
+    // `parsed` field came back null. The FULL json goes to the file
+    // (canonical round-over-round record, committed in-repo); stdout
+    // gets a compact line guaranteed to fit the tail window: headline
+    // total + failures + as many per-query entries as a 1700-byte
+    // budget allows, SLOWEST FIRST (the regression-relevant tail),
+    // values rounded to ms. `queries_omitted` names the truncation —
+    // no silent cap.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch {
       case e: Exception =>
         System.err.println(s"BENCH: could not write $outPath: $e (stdout line is canonical)")
     }
+    val bySlowest = results.sortBy { case (_, v) => -v }
+      .map { case (k, v) => s"\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
+    val budget = 1700
+    val fixedHead = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"n_queries":${results.size},"full":"$outPath","queries_omitted":000,"queries":{"""
+    var used = fixedHead.length + 2
+    val kept = bySlowest.takeWhile { e =>
+      val fits = used + e.length + 1 <= budget
+      if (fits) used += e.length + 1
+      fits
+    }
+    val compact = fixedHead.replace("\"queries_omitted\":000",
+      s"\"queries_omitted\":${results.size - kept.size}") +
+      kept.mkString(",") + "}}"
+    println(compact)
     spark.stop()
   }
 }

@@ -480,7 +480,17 @@ object TextAnalysis {
     * sampled) — the decision ledger, filterable to the sample. */
   def temperatureResample(df: DataFrame, idCol: String, groupCol: String,
                           targetTotal: Long, alpha: Double = 0.5,
-                          salt: String = "mix"): DataFrame = {
+                          salt: String = "mix"): DataFrame =
+    mixtureGate(df, mixtureRates(df, groupCol, targetTotal, alpha),
+                idCol, groupCol, salt)
+
+  /** The per-group rate table [[temperatureResample]] decides with —
+    * exposed so a STREAMING ingest path can apply the same mixture
+    * policy per-row against a static snapshot of these rates
+    * ([[graft.streaming.StreamOps.streamingMixtureGate]]). Group-count
+    * sized (bounded: domains/languages, not documents). */
+  def mixtureRates(df: DataFrame, groupCol: String, targetTotal: Long,
+                   alpha: Double = 0.5): DataFrame = {
     require(targetTotal > 0, "targetTotal must be positive")
     // alpha = 0.5 (the default) goes through sqrt, not pow: IEEE sqrt is
     // exactly rounded in every engine while pow(x, 0.5) is only
@@ -492,20 +502,27 @@ object TextAnalysis {
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_group"))
       .withColumn("w_e6", round(wExpr * 1e6).cast("long"))
     val sumW = counts.agg(sum(col("w_e6")).as("sum_w"))
-    val rates = counts.crossJoin(broadcast(sumW))
+    counts.crossJoin(broadcast(sumW))
       .withColumn("target_n",
         round(lit(targetTotal) * col("w_e6") * 1.0 / col("sum_w")).cast("long"))
       .withColumn("rate_e6",
         least(lit(1000000L),
               round(col("target_n") * 1e6 / col("n_group")).cast("long")))
       .select(col(groupCol), col("n_group"), col("target_n"), col("rate_e6"))
-    df.select(col(idCol), col(groupCol))
+  }
+
+  /** The keep/drop decision side of [[temperatureResample]]: pure
+    * per-row projection + one broadcast join against the rate table, so
+    * it applies unchanged to a batch frame or a streaming ingest (no
+    * state, no shuffle on the row side). */
+  def mixtureGate(rows: DataFrame, rates: DataFrame, idCol: String,
+                  groupCol: String, salt: String = "mix"): DataFrame =
+    rows.select(col(idCol), col(groupCol))
       .join(broadcast(rates), Seq(groupCol))
       .withColumn("sampled",
         (hashPoint(col(idCol), salt, 1000000L) < col("rate_e6")).cast("long"))
       .select(col(idCol), col(groupCol), col("n_group"), col("target_n"),
               col("rate_e6"), col("sampled"))
-  }
 
   /** CORPUS VOCABULARY — the token-frequency table a tokenizer-training
     * or vocabulary-pruning pass starts from: the top-K whitespace
@@ -962,9 +979,12 @@ object TextAnalysis {
     * cacheOnce'd: both count passes and the scoring pass read one
     * materialization. Docs with < 2 words emit nothing (no bigrams —
     * the shingle-table row contract). */
-  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
-                  targetPred: Column, nBuckets: Int = 1024,
-                  salt: String = "dsir"): DataFrame = {
+  /** The hashed-bigram feature frame both DSIR forms share: one row per
+    * (doc, gram occurrence) with its bucket. Cached once per
+    * (df, config); fails loudly when either LM side is empty. */
+  private def dsirFeatureBuckets(df: DataFrame, idCol: String, textCol: String,
+                                 targetPred: Column, nBuckets: Int,
+                                 salt: String): DataFrame = {
     require(nBuckets >= 2, "nBuckets must be >= 2")
     val grams = df.select(col(idCol).as("doc_id"),
         targetPred.cast("long").as("is_target"),
@@ -985,13 +1005,23 @@ object TextAnalysis {
       "dsirWeights: targetPred matches no document with >= 2 words — target LM undefined")
     require(fb.filter(col("is_target") === 0).limit(1).count() > 0,
       "dsirWeights: no non-target document with >= 2 words — raw LM undefined")
+    fb
+  }
+
+  /** Per-bucket smoothed log-likelihood-ratio scores. `buckets` picks
+    * the domain: the observed buckets (the [[dsirWeights]] join side)
+    * or the FULL [0, nBuckets) range (the serving table — a stream doc
+    * may hash a gram to a bucket no corpus gram hit, whose score is the
+    * same formula at ct = cr = 0). */
+  private def dsirScored(fb: DataFrame, buckets: DataFrame,
+                         nBuckets: Int): DataFrame = {
     val tc = fb.filter(col("is_target") === 1)
       .groupBy("b").agg(count(lit(1)).as("ct"))
     val rc = fb.filter(col("is_target") === 0)
       .groupBy("b").agg(count(lit(1)).as("cr"))
     val tt = tc.agg(sum(col("ct")).as("st"))
     val rt = rc.agg(sum(col("cr")).as("sr"))
-    val scored = fb.select(col("b")).distinct()
+    buckets
       .join(broadcast(tc), Seq("b"), "left")
       .join(broadcast(rc), Seq("b"), "left")
       .crossJoin(broadcast(tt)).crossJoin(broadcast(rt))
@@ -1000,11 +1030,140 @@ object TextAnalysis {
            .cast("long") -
          round(log((coalesce(col("cr"), lit(0L)) + 1.0) / (col("sr") + nBuckets)) * 1e3)
            .cast("long")).as("d_e3"))
+  }
+
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, nBuckets: Int = 1024,
+                  salt: String = "dsir"): DataFrame = {
+    val fb = dsirFeatureBuckets(df, idCol, textCol, targetPred, nBuckets, salt)
+    val scored = dsirScored(fb, fb.select(col("b")).distinct(), nBuckets)
     fb.join(broadcast(scored), Seq("b"))
       .groupBy("doc_id")
       .agg(max(col("is_target")).as("is_target"),
            count(lit(1)).as("n_feats"),
            sum(col("d_e3")).as("logw_e3"))
+      .withColumn("dsir_selected", (col("logw_e3") > 0).cast("long"))
+  }
+
+  /** PER-SOURCE QUOTA CAP — the C4-style hard cap on any one domain's
+    * share of the corpus: keep at most `maxPerGroup` documents per
+    * group, best-first by [[qualityScore]] (ties on doc id). Where
+    * [[temperatureResample]] reshapes the MIXTURE by hash-sampling at
+    * group rates, this bounds the TAIL — one hot domain (the crawl's
+    * boilerplate mill) cannot own the dataset no matter how large it
+    * crawls.
+    *
+    * Skew design: a mega-domain would make the naive per-group
+    * row_number window sort millions of rows in one task. The cap only
+    * needs each group's top q, and top-q is invariant under sharding —
+    * every true global top-q row has local rank ≤ q in ANY shard it
+    * lands in. So phase 1 ranks within (group, shard) — `salts`-way,
+    * arbitrary deterministic sharding — and keeps local top-q; phase 2
+    * re-ranks the ≤ salts·q survivors per group. The result equals the
+    * single-window form (the oracle computes THAT form), but the big
+    * sort never happens; per-task volume is bounded by the group's
+    * shard slice in phase 1 and salts·q rows in phase 2. Returns only
+    * the kept rows with their final rank (the capped corpus — the
+    * dropped side is the anti-join). */
+  def sourceQuotaCap(df: DataFrame, idCol: String, textCol: String,
+                     groupCol: String, maxPerGroup: Int,
+                     salts: Int = 16): DataFrame = {
+    require(maxPerGroup > 0, "maxPerGroup must be positive")
+    require(salts > 0, "salts must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.select(col(idCol), col(groupCol))
+      .join(qualityScore(df, idCol, textCol)
+              .select(col(idCol), col("quality_score")), Seq(idCol))
+    // shard key: any deterministic function of the row works (the final
+    // top-q is sharding-invariant), so Spark's native hash is fine here
+    // even though it is not oracle-replayable — the oracle never sees it
+    val local = Window.partitionBy(col(groupCol), pmod(hash(col(idCol)), lit(salts)))
+      .orderBy(col("quality_score").desc, col(idCol))
+    val global = Window.partitionBy(col(groupCol))
+      .orderBy(col("quality_score").desc, col(idCol))
+    scored
+      .withColumn("rk_local", row_number().over(local))
+      .filter(col("rk_local") <= maxPerGroup)
+      .withColumn("q_rank", row_number().over(global).cast("long"))
+      .filter(col("q_rank") <= maxPerGroup)
+      .select(col(idCol), col(groupCol), col("quality_score"), col("q_rank"))
+  }
+
+  /** DSIR RESAMPLING — the sampling step the published recipe actually
+    * trains on (Xie et al.: draw k documents WITHOUT replacement with
+    * probability ∝ importance weight, via the Gumbel-top-k trick:
+    * key = log w + Gumbel noise, keep the k largest keys). Closes the
+    * [[dsirWeights]] chain: weights alone are a diagnostic; this emits
+    * the training subset.
+    *
+    * Determinism: the Gumbel draw is content-derived — u from the
+    * md5 [[hashPoint]] in millionths (+0.5 to stay inside (0,1)),
+    * g = −ln(−ln u) quantized to thousandths exactly as the weight
+    * side already quantizes its log-likelihoods (the q115 precedent:
+    * round(ln·1e3) agrees across engines), so key_e3 = logw_e3 + g_e3
+    * is an integer and the k-th-key tie breaks on doc_id.
+    *
+    * Scale: the only addition over dsirWeights is one pure projection
+    * and a global top-k — `orderBy(...).limit(k)` plans as
+    * TakeOrderedAndProject (per-partition heap + driver merge of k
+    * rows), NOT a single-partition sort; k is config-sized. */
+  def dsirResample(df: DataFrame, idCol: String, textCol: String,
+                   targetPred: Column, k: Int, nBuckets: Int = 1024,
+                   salt: String = "dsir"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = dsirWeights(df, idCol, textCol, targetPred, nBuckets, salt)
+    val u = (hashPoint(col("doc_id"), salt + "-gum", 1000000L).cast("double")
+               + lit(0.5)) / lit(1000000.0)
+    w.withColumn("g_e3", round(-log(-log(u)) * 1e3).cast("long"))
+      .withColumn("key_e3", col("logw_e3") + col("g_e3"))
+      .orderBy(col("key_e3").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("is_target"), col("logw_e3"), col("g_e3"),
+              col("key_e3"))
+  }
+
+  /** The trained DSIR model as a servable table: d_e3 for EVERY bucket
+    * in [0, nBuckets) — observed buckets score exactly as in
+    * [[dsirWeights]], unobserved ones get the same smoothed formula at
+    * ct = cr = 0 (what a never-seen gram must score). nBuckets rows —
+    * config-sized; collect it for [[dsirScoreServe]]. */
+  def dsirBucketScores(df: DataFrame, idCol: String, textCol: String,
+                       targetPred: Column, nBuckets: Int = 1024,
+                       salt: String = "dsir"): DataFrame = {
+    val fb = dsirFeatureBuckets(df, idCol, textCol, targetPred, nBuckets, salt)
+    val all = fb.sparkSession.range(nBuckets).select(col("id").as("b"))
+    dsirScored(fb, all, nBuckets)
+  }
+
+  /** INGESTION-TIME DSIR scoring — the per-row serving form of
+    * [[dsirWeights]]: the whole gram→bucket→score→sum pipeline as one
+    * projection against the trained score table carried as a literal
+    * (nBuckets longs — config-sized, like the classifier's inline
+    * weights). No explode, no groupBy, no state: applies unchanged to
+    * a batch frame or a streaming ingest, and on the training corpus
+    * itself it reproduces dsirWeights' (n_feats, logw_e3,
+    * dsir_selected) exactly (spec-pinned).
+    *
+    * The aggregate/transform HOFs are CodegenFallback (the r2 lesson)
+    * — acceptable here because serving is per-arriving-row work, not a
+    * corpus-wide scan; the batch path stays on [[dsirWeights]]. */
+  def dsirScoreServe(rows: DataFrame, idCol: String, textCol: String,
+                     bucketScores: Seq[Long],
+                     salt: String = "dsir"): DataFrame = {
+    val n = bucketScores.size
+    require(n >= 2, "bucketScores must cover >= 2 buckets")
+    val scoresLit = typedlit(bucketScores)
+    rows.select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), " ").as("l"))
+      .filter(size(col("l")) >= 2)
+      .withColumn("g", transform(sequence(lit(1), size(col("l")) - 1),
+        i => concat(element_at(col("l"), i), lit("_"),
+                    element_at(col("l"), i + 1))))
+      .select(col("doc_id"),
+        size(col("g")).cast("long").as("n_feats"),
+        aggregate(col("g"), lit(0L), (acc, g) =>
+          acc + element_at(scoresLit,
+            (hashPoint(g, salt, n.toLong) + lit(1)).cast("int"))).as("logw_e3"))
       .withColumn("dsir_selected", (col("logw_e3") > 0).cast("long"))
   }
 

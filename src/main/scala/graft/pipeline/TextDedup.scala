@@ -156,6 +156,60 @@ object TextDedup {
   def lshBands(signature: DataFrame, nHashes: Int, bandSize: Int): DataFrame =
     signature.select(col("id"), explode(bandHashArray(nHashes, bandSize)).as("band"))
 
+  /** Band-plan auto-tuner: pick (bands, rowsPerBand) for an `nPerms`-hash
+    * MinHash-LSH index from the target Jaccard threshold, by minimizing
+    * the S-curve's error mass. For a (b, r) plan the candidate
+    * probability at similarity J is P(J) = 1 − (1 − J^r)^b; the tuner
+    * scores every divisor pair b·r = nPerms by its false-positive mass
+    * (∫₀ᵗ P) and false-negative mass (∫ₜ¹ (1−P)) on a uniform J grid and
+    * returns the full decision table with the argmin flagged —
+    * `objective = fp_mass + fnWeight·fn_mass` (recall-first tuning sets
+    * fnWeight > 1; the r3 banding lesson — recall is the contract,
+    * candidate volume is the price — made explicit and searchable).
+    *
+    * Every quantity is EXACT INTEGER arithmetic in millionths: powers
+    * come from the recurrence x_i = (x_{i−1}·J_µ) div 10⁶ (long
+    * multiply + integer div, no float pow anywhere), masses are integer
+    * sums of grid values, so the DuckDB oracle replays the whole
+    * optimization bit-for-bit with two recursive CTEs. Config-sized
+    * throughout (divisor-count × gridSteps rows); the tie-break is
+    * deterministic (min objective, then min bands). */
+  def lshBandPlan(spark: org.apache.spark.sql.SparkSession, nPerms: Int,
+                  thresholdMicro: Long, fnWeight: Long = 1L,
+                  gridSteps: Int = 100): DataFrame = {
+    require(nPerms > 0, "nPerms must be positive")
+    require(gridSteps > 1 && 1000000L % gridSteps == 0,
+      "gridSteps must divide 1e6 so grid points are exact millionths")
+    require(thresholdMicro > 0 && thresholdMicro < 1000000L,
+      "thresholdMicro must be inside (0, 1e6)")
+    import spark.implicits._
+    val step = 1000000L / gridSteps
+    val cand = (1 to nPerms).filter(nPerms % _ == 0).map(b => (b, nPerms / b))
+      .toDF("bands", "rows_per_band")
+    val curve = cand
+      .withColumn("j_micro",
+        explode(expr(s"sequence(${step}L, ${1000000L - step}L, ${step}L)")))
+      .withColumn("x", expr(
+        "aggregate(sequence(1, rows_per_band), 1000000L, (acc, i) -> (acc * j_micro) DIV 1000000)"))
+      .withColumn("y", lit(1000000L) - col("x"))
+      .withColumn("p_micro", lit(1000000L) - expr(
+        "aggregate(sequence(1, bands), 1000000L, (acc, i) -> (acc * y) DIV 1000000)"))
+    val areas = curve.groupBy("bands", "rows_per_band")
+      .agg(sum(when(col("j_micro") < thresholdMicro, col("p_micro"))
+             .otherwise(0L)).as("fp_mass"),
+           sum(when(col("j_micro") >= thresholdMicro, lit(1000000L) - col("p_micro"))
+             .otherwise(0L)).as("fn_mass"))
+      .withColumn("objective", col("fp_mass") + lit(fnWeight) * col("fn_mass"))
+    val best = areas.agg(min(struct(col("objective"), col("bands"))).as("m"))
+      .select(col("m.objective").as("best_obj"), col("m.bands").as("best_bands"))
+    areas.crossJoin(broadcast(best))
+      .withColumn("is_chosen",
+        (col("objective") === col("best_obj") &&
+         col("bands") === col("best_bands")).cast("long"))
+      .select("bands", "rows_per_band", "fp_mass", "fn_mass", "objective",
+              "is_chosen")
+  }
+
   /** Per-ROW minhash signature: the same `h0..h{n-1}` values as
     * [[minhashSignature]], computed on a single document row with NO
     * shuffle — the ingestion-time form of the signature (a streaming

@@ -111,6 +111,24 @@ object TextQueries {
       |FROM documents""".stripMargin
   }
 
+  /** q161 — per-source quota cap ([[TextAnalysis.sourceQuotaCap]]):
+    * C4-style hard bound on any one domain's corpus share — keep the
+    * best 10 docs per source by quality score. The distributed form is
+    * the two-phase sharded top-q (no mega-domain single-task sort);
+    * the oracle computes the equivalent single-window rank, so the
+    * phase decomposition's exactness is hash-checked, not assumed. */
+  private def q161(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceQuotaCap(t(s, dir, "documents"), "doc_id", "text",
+                                "source", maxPerGroup = 10)
+
+  private val q161Sql =
+    s"""WITH s AS ($q51Sql),
+      |r AS (SELECT d.doc_id, d.source, s.quality_score,
+      |        CAST(row_number() OVER (PARTITION BY d.source
+      |               ORDER BY s.quality_score DESC, d.doc_id) AS BIGINT) AS q_rank
+      |      FROM documents d JOIN s ON s.doc_id = d.doc_id)
+      |SELECT doc_id, source, quality_score, q_rank FROM r WHERE q_rank <= 10""".stripMargin
+
   private val langWords: Seq[(String, Seq[String])] = TextAnalysis.defaultLangWords
 
   /** q52 — n-gram/stopword language ID heuristic: per-language evidence
@@ -452,6 +470,57 @@ object TextQueries {
       |       ca.n_sh AS n_contained, cb.n_sh AS n_container
       |FROM i JOIN cnt ca ON ca.doc_id = i.da JOIN cnt cb ON cb.doc_id = i.db
       |WHERE round(i.i * 1.0 / ca.n_sh, 6) >= 0.8""".stripMargin
+
+  /** q159 — LSH band-plan auto-tuner ([[TextDedup.lshBandPlan]]): the
+    * (bands, rows) decision the whole near-dup tier hangs on, made
+    * searchable. Every divisor split of a 64-hash signature is scored
+    * by its S-curve error mass around the J = 0.5 contract
+    * (recall-first: fnWeight = 3), in EXACT millionths integer
+    * arithmetic — powers by repeated (x·Jµ) div 10⁶, masses as integer
+    * grid sums — so the oracle replays the full optimization with two
+    * recursive CTEs and the argmin flag hash-matches. The winner on
+    * this config is (16, 4), whose S-curve midpoint (1/16)^(1/4) IS
+    * 0.5 — the tuner rediscovers the textbook plan instead of having
+    * it hand-picked. Config-sized end to end (7 plans × 99 grid
+    * points); no corpus input. */
+  private def q159(s: SparkSession, dir: String): DataFrame =
+    TextDedup.lshBandPlan(s, nPerms = 64, thresholdMicro = 500000L,
+                          fnWeight = 3L, gridSteps = 100)
+
+  private val q159Sql =
+    """WITH RECURSIVE
+      |cand AS (SELECT b AS bands, 64 // b AS rows_per_band
+      |         FROM generate_series(1, 64) t(b) WHERE 64 % b = 0),
+      |grid AS (SELECT bands, rows_per_band, CAST(j * 10000 AS BIGINT) AS j_micro
+      |         FROM cand CROSS JOIN generate_series(1, 99) g(j)),
+      |px AS (
+      |  SELECT bands, rows_per_band, j_micro, 0 AS i, CAST(1000000 AS BIGINT) AS x
+      |  FROM grid
+      |  UNION ALL
+      |  SELECT bands, rows_per_band, j_micro, i + 1, (x * j_micro) // 1000000
+      |  FROM px WHERE i < rows_per_band),
+      |xf AS (SELECT bands, rows_per_band, j_micro, 1000000 - x AS y
+      |       FROM px WHERE i = rows_per_band),
+      |pz AS (
+      |  SELECT bands, rows_per_band, j_micro, y, 0 AS i, CAST(1000000 AS BIGINT) AS z
+      |  FROM xf
+      |  UNION ALL
+      |  SELECT bands, rows_per_band, j_micro, y, i + 1, (z * y) // 1000000
+      |  FROM pz WHERE i < bands),
+      |zf AS (SELECT bands, rows_per_band, j_micro, 1000000 - z AS p_micro
+      |       FROM pz WHERE i = bands),
+      |areas AS (SELECT bands, rows_per_band,
+      |    CAST(sum(CASE WHEN j_micro < 500000 THEN p_micro ELSE 0 END) AS BIGINT) AS fp_mass,
+      |    CAST(sum(CASE WHEN j_micro >= 500000 THEN 1000000 - p_micro ELSE 0 END) AS BIGINT) AS fn_mass
+      |  FROM zf GROUP BY 1, 2),
+      |obj AS (SELECT bands, rows_per_band, fp_mass, fn_mass,
+      |               fp_mass + 3 * fn_mass AS objective FROM areas),
+      |best AS (SELECT objective AS best_obj, bands AS best_bands
+      |         FROM obj ORDER BY objective, bands LIMIT 1)
+      |SELECT o.bands, o.rows_per_band, o.fp_mass, o.fn_mass, o.objective,
+      |       CAST(CASE WHEN o.objective = b.best_obj AND o.bands = b.best_bands
+      |            THEN 1 ELSE 0 END AS BIGINT) AS is_chosen
+      |FROM obj o CROSS JOIN best b""".stripMargin
 
   /** q99 — leakage-safe split ([[TextAnalysis.leakageSafeSplit]]): the
     * train/val/test bucket assigned by duplicate CLUSTER so near-dup
@@ -1536,9 +1605,11 @@ object TextQueries {
     TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
                              col("lang") === "en")
 
-  private val q115Sql = {
+  /** Shared CTE chain replaying [[graft.pipeline.TextAnalysis.dsirWeights]]
+    * (the q115 body, factored so q160's resample can compose on top). */
+  private val dsirCtes = {
     val b = 1024
-    s"""WITH lw AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS l
+    s"""lw AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS l
       |            FROM documents),
       |gr AS (SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(l) - 1),
       |                i -> l[i] || '_' || l[i+1])) AS g
@@ -1558,14 +1629,39 @@ object TextQueries {
       |              AS BIGINT) AS d_e3
       |       FROM (SELECT DISTINCT b FROM fb) bs
       |       LEFT JOIN tc ON tc.b = bs.b LEFT JOIN rc ON rc.b = bs.b
-      |       CROSS JOIN tt CROSS JOIN rt)
-      |SELECT fb.doc_id, max(fb.is_target) AS is_target,
+      |       CROSS JOIN tt CROSS JOIN rt),
+      |wdoc AS (SELECT fb.doc_id, max(fb.is_target) AS is_target,
       |       CAST(count(*) AS BIGINT) AS n_feats,
       |       CAST(sum(sc.d_e3) AS BIGINT) AS logw_e3,
       |       CAST(CASE WHEN sum(sc.d_e3) > 0 THEN 1 ELSE 0 END AS BIGINT)
       |         AS dsir_selected
-      |FROM fb JOIN sc USING (b) GROUP BY fb.doc_id""".stripMargin
+      |FROM fb JOIN sc USING (b) GROUP BY fb.doc_id)""".stripMargin
   }
+
+  private val q115Sql =
+    s"""WITH $dsirCtes
+      |SELECT doc_id, is_target, n_feats, logw_e3, dsir_selected FROM wdoc""".stripMargin
+
+  /** q160 — DSIR resampling ([[TextAnalysis.dsirResample]]): the
+    * sampling step the published recipe trains on — Gumbel-top-k over
+    * the q115 importance weights (key = logw + content-derived Gumbel
+    * noise, keep the 150 largest keys; ∝-weight sampling WITHOUT
+    * replacement). Closes the weights→subset chain. The oracle
+    * composes the full q115 replay with the same md5-point Gumbel
+    * draw and the deterministic (key, doc_id) top-k; global top-k
+    * plans as TakeOrderedAndProject, not a single-partition sort. */
+  private def q160(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirResample(t(s, dir, "documents"), "doc_id", "text",
+                              col("lang") === "en", k = 150)
+
+  private val q160Sql =
+    s"""WITH $dsirCtes,
+      |gk AS (SELECT doc_id, is_target, logw_e3,
+      |         CAST(round(-ln(-ln((${hashPointSql("doc_id", "dsir-gum", 1000000L)}
+      |                              + 0.5) / 1000000.0)) * 1000.0) AS BIGINT) AS g_e3
+      |       FROM wdoc)
+      |SELECT doc_id, is_target, logw_e3, g_e3, logw_e3 + g_e3 AS key_e3
+      |FROM gk ORDER BY key_e3 DESC, doc_id LIMIT 150""".stripMargin
 
   /** q117 — pack materialization ([[TextAnalysis.materializePacks]]):
     * the flattened training rows — q113's token ids placed at q104's
@@ -2518,6 +2614,7 @@ object TextQueries {
     QueryDef("q113_encode_tokens", q113, Some(q113Sql)),
     QueryDef("q114_corpus_report", q114, Some(q114Sql)),
     QueryDef("q115_dsir_weights", q115, Some(q115Sql)),
+    QueryDef("q160_dsir_resample", q160, Some(q160Sql)),
     QueryDef("q117_materialize_packs", q117, Some(q117Sql)),
     QueryDef("q118_bpe_merges", q118, Some(q118Sql)),
     QueryDef("q119_bpe_segment", q119, Some(q119Sql)),
@@ -2536,6 +2633,8 @@ object TextQueries {
     QueryDef("q136_bpe_batched", q136, Some(q136Sql)),
     QueryDef("q137_bpe_bytes", q137, Some(q137Sql)),
     QueryDef("q157_line_dedup", q157, Some(q157Sql)),
-    QueryDef("q158_containment_dedup", q158, Some(q158Sql))
+    QueryDef("q158_containment_dedup", q158, Some(q158Sql)),
+    QueryDef("q159_lsh_band_plan", q159, Some(q159Sql)),
+    QueryDef("q161_source_quota_cap", q161, Some(q161Sql))
   )
 }

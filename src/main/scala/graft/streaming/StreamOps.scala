@@ -658,6 +658,33 @@ object StreamOps {
     * `flatMapGroupsWithState` form of the batch diagnostics inputs.
     * Emits one updated row per series per micro-batch. */
   case class SeriesState(n: Long, sum: Double, minTs: Long, maxTs: Long)
+  /** Streaming mixture gate: the [[graft.pipeline.TextAnalysis
+    * .temperatureResample]] keep/drop policy applied to an ingest
+    * stream. `rates` is a STATIC snapshot of the per-group rate table
+    * ([[graft.pipeline.TextAnalysis.mixtureRates]] over the corpus the
+    * policy was tuned on — group-count sized); each arriving row joins
+    * it broadcast (stream-static) and decides on its own md5 hash
+    * point. No state, no shuffle on the stream side; batch ≡ stream by
+    * construction (same expressions — spec-pinned), refresh the rate
+    * snapshot blue/green like the other static-index gates. */
+  def streamingMixtureGate(stream: DataFrame, rates: DataFrame, idCol: String,
+                           groupCol: String, salt: String = "mix"): DataFrame =
+    graft.pipeline.TextAnalysis.mixtureGate(stream, rates, idCol, groupCol, salt)
+
+  /** Streaming DSIR gate: importance scoring at ingestion — the
+    * trained bucket-score table travels as a config-sized literal and
+    * each arriving document scores as ONE projection
+    * ([[graft.pipeline.TextAnalysis.dsirScoreServe]]): gram → bucket →
+    * score-sum, no explode/groupBy/state. On the training corpus it
+    * reproduces dsirWeights exactly (spec-pinned); unseen-gram buckets
+    * carry the ct=cr=0 smoothed score, so arbitrary new text scores
+    * without nulls. */
+  def streamingDsirGate(stream: DataFrame, idCol: String, textCol: String,
+                        bucketScores: Seq[Long],
+                        salt: String = "dsir"): DataFrame =
+    graft.pipeline.TextAnalysis.dsirScoreServe(stream, idCol, textCol,
+                                               bucketScores, salt)
+
   case class SeriesUpdate(series: String, n: Long, sum: Double,
                           min_ts: java.sql.Timestamp, max_ts: java.sql.Timestamp)
 

@@ -106,6 +106,53 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture and DSIR gates stream arriving docs against static policy tables (batch parity)") {
+    // both gates are pure per-row decisions against config-sized static
+    // state (a per-group rate table / the trained bucket-score literal)
+    // — the streaming posture of the q103/q115 sampling tier
+    import graft.pipeline.TextAnalysis
+    val docs = (0 until 60).map { i =>
+      val src = if (i % 5 < 3) "big" else s"small${i % 2}"
+      (i.toLong, src, s"alpha the beta of doc $i", if (i % 3 == 0) "en" else "fr")
+    }.toDF("doc_id", "source", "text", "lang")
+    val rates = TextAnalysis.mixtureRates(docs, "source", targetTotal = 20)
+    val bucketScores = TextAnalysis.dsirBucketScores(
+        docs, "doc_id", "text", col("lang") === "en", nBuckets = 128)
+      .collect().map(r => r.getAs[Long]("b") -> r.getAs[Long]("d_e3")).toMap
+    val table = (0L until 128L).map(bucketScores)
+
+    val dir = Files.createTempDirectory("graft-stream-sample").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+      "mixture" -> (df => StreamOps.streamingMixtureGate(df, rates, "doc_id", "source")),
+      "dsir" -> (df => StreamOps.streamingDsirGate(df, "doc_id", "text", table)))
+    for ((name, op) <- cases) {
+      val expected = op(docs).collect().map(_.toString).toSet
+      val q = op(stream).writeStream.outputMode("append")
+        .format("memory").queryName(s"sample_gate_$name").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table(s"sample_gate_$name").collect().map(_.toString).toSet
+        assert(got == expected, s"$name: stream != batch")
+      } finally q.stop()
+    }
+    // the batch op the mixture gate must agree with, end to end
+    val viaGate = StreamOps.streamingMixtureGate(docs, rates, "doc_id", "source")
+      .collect().map(_.toString).toSet
+    val viaBatch = TextAnalysis.temperatureResample(docs, "doc_id", "source", 20)
+      .collect().map(_.toString).toSet
+    assert(viaGate == viaBatch)
+    // DSIR gate ≡ batch dsirWeights on the training corpus (columns it shares)
+    val servedSel = StreamOps.streamingDsirGate(docs, "doc_id", "text", table)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("logw_e3")).toMap
+    val batchSel = TextAnalysis.dsirWeights(docs, "doc_id", "text",
+        col("lang") === "en", nBuckets = 128)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("logw_e3")).toMap
+    assert(servedSel == batchSel)
+  }
+
   test("bpeDecode runs unchanged on a stream of id arrays (batch parity)") {
     // decode is a pure map-literal projection over (id, ids) — the
     // detokenization side of a serving path consumes token streams,
