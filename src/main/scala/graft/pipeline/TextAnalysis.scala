@@ -1276,6 +1276,51 @@ object TextAnalysis {
               (avg > lit(maxAvgKnE3)).cast("long").as("kn_flagged"))
   }
 
+  /** CCNet PERPLEXITY BUCKETS — the published head/middle/tail split:
+    * within each language, rank documents by LM score (clean text
+    * scores low) and cut the ranking into `nBuckets` equal slices;
+    * CCNet trains on the head and drops or down-weights the tail. The
+    * LM is the repo's own Kneser-Ney bigram model ([[knPerplexity]]),
+    * the ranking key its avg surprisal (e3-rounded — deterministic),
+    * ties on doc id; bucket = ((rank−1)·nBuckets) div n_lang — the
+    * explicit formula, not ntile, so both engines agree on the group
+    * edges by construction.
+    *
+    * Scale design: a language is corpus-sized, so the per-lang rank
+    * does NOT run as one window. The q125 score-grid decomposition
+    * applies: cell = ⌊avg_kn_e3⌋ (surprisal-range-bounded, a few
+    * thousand distinct values), rank = prefix(count of cells below,
+    * a broadcast-sized cumulative table) + row_number within the
+    * fine-grained (lang, cell) partition. The oracle computes the
+    * single-window form — the decomposition's exactness is
+    * hash-checked, not assumed. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        langCol: String, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val pd = knPerplexity(df, idCol, textCol)
+      .select(col("doc_id"), col("avg_kn_e3"))
+      .join(df.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
+            Seq("doc_id"))
+      .withColumn("cell", floor(col("avg_kn_e3")).cast("long"))
+    val wCell = Window.partitionBy(col("lang")).orderBy(col("cell"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = pd.groupBy("lang", "cell").agg(count(lit(1)).as("nc"))
+      .withColumn("before", coalesce(sum(col("nc")).over(wCell), lit(0L)))
+      .select("lang", "cell", "before")
+    val nLang = pd.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val wIn = Window.partitionBy(col("lang"), col("cell"))
+      .orderBy(col("avg_kn_e3"), col("doc_id"))
+    pd.withColumn("rk_in", row_number().over(wIn).cast("long"))
+      .join(broadcast(prefix), Seq("lang", "cell"))
+      .join(broadcast(nLang), Seq("lang"))
+      .withColumn("ppl_rank", col("before") + col("rk_in"))
+      .withColumn("ppl_bucket",
+        expr(s"((ppl_rank - 1) * $nBuckets) DIV n_lang"))
+      .select(col("doc_id"), col("lang"), col("avg_kn_e3"), col("ppl_rank"),
+              col("n_lang"), col("ppl_bucket"))
+  }
+
   /** TEXT NORMALIZATION — the pass a curation pipeline runs BEFORE any
     * hashing or dedup: Unicode NFC canonical composition (the native
     * [[graft.plans.TextNfc]] expression — decomposed accents,

@@ -156,6 +156,49 @@ object TextDedup {
   def lshBands(signature: DataFrame, nHashes: Int, bandSize: Int): DataFrame =
     signature.select(col("id"), explode(bandHashArray(nHashes, bandSize)).as("band"))
 
+  /** The CCNet dedup-key character fold: lowercase Latin accents → base
+    * letters. Applied AFTER lower(), so only lowercase forms appear;
+    * `translate` is per-code-point in both Spark and DuckDB, so the
+    * fold is oracle-exact by construction. */
+  val accentFoldSrc = "áàâäãåéèêëíìîïóòôöõúùûüçñýÿšž"
+  val accentFoldDst = "aaaaaaeeeeiiiiooooouuuucnyysz"
+
+  /** CCNet dedup-key normalization: the published pre-hash fold
+    * (lowercase, accent fold, digits → 0, whitespace collapse) that
+    * makes exact dedup catch trivially-reformatted copies — the
+    * mirrored page that only differs in case, diacritics dropped in
+    * transit, serial numbers / timestamps. (CCNet also strips
+    * punctuation; that step is regex-dialect-sensitive across engines
+    * and is deliberately excluded from the hash key.) */
+  def dedupKeyNorm(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        translate(lower(trim(text)), accentFoldSrc, accentFoldDst),
+        "[0-9]", "0"),
+      " +", " ")
+
+  /** Exact dedup on the NORMALIZED key: one ledger row per doc with its
+    * normalized-group stats and — the point of the op — whether RAW
+    * exact dedup (q54's md5-of-text) would have caught it too.
+    * `raw_dup = 0, n_variants > 1` is precisely the mass this op adds
+    * over [[q54]]-style dedup. Scale shape: two keyed groupBys + two
+    * broadcast-free keyed joins on hash keys — no widths beyond q54's. */
+  def normalizedExactDedup(df: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val keyed = df.select(col(idCol).as("doc_id"),
+      md5(dedupKeyNorm(col(textCol))).as("nkey"),
+      md5(col(textCol)).as("rawkey"))
+    val nGroups = keyed.groupBy("nkey")
+      .agg(min(col("doc_id")).as("canonical_id"),
+           count(lit(1)).as("n_variants"))
+    val rawGroups = keyed.groupBy("rawkey").agg(count(lit(1)).as("n_raw"))
+    keyed.join(nGroups, Seq("nkey")).join(rawGroups, Seq("rawkey"))
+      .select(col("doc_id"), col("nkey"), col("canonical_id"),
+              col("n_variants"),
+              (col("doc_id") === col("canonical_id")).cast("long").as("is_keeper"),
+              (col("n_raw") >= 2).cast("long").as("raw_dup"))
+  }
+
   /** Band-plan auto-tuner: pick (bands, rowsPerBand) for an `nPerms`-hash
     * MinHash-LSH index from the target Jaccard threshold, by minimizing
     * the S-curve's error mass. For a (b, r) plan the candidate

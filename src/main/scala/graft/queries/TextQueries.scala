@@ -1150,6 +1150,47 @@ object TextQueries {
        |           UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text))""".stripMargin
   }
 
+  /** q162 — CCNet-normalized exact dedup
+    * ([[TextDedup.normalizedExactDedup]]): exact dedup on the published
+    * pre-hash fold (lowercase + accent fold + digits→0 + whitespace
+    * collapse). The corpus is ASCII and variant-free, so every 9th doc
+    * gets a planted twin — one `translate` injecting accents, case
+    * flips, and shifted digits (the SAME expression on both sides, the
+    * q102 pattern) — whose RAW md5 differs but whose normalized key
+    * must fuse. The ledger's `raw_dup = 0 ∧ n_variants > 1` rows are
+    * exactly the recall this op adds over q54's raw exact dedup. */
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val variants = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+              translate(col("text"), "aebcd0123456789",
+                        "áéBCD5678901234").as("text"))
+    TextDedup.normalizedExactDedup(docs.unionByName(variants), "doc_id", "text")
+  }
+
+  private val q162Sql =
+    s"""WITH u AS (SELECT doc_id, text FROM documents
+      |           UNION ALL
+      |           SELECT doc_id + 200000,
+      |                  translate(text, 'aebcd0123456789', 'áéBCD5678901234')
+      |           FROM documents WHERE doc_id % 9 = 0),
+      |k AS (SELECT doc_id,
+      |        md5(regexp_replace(regexp_replace(
+      |              translate(lower(trim(text)),
+      |                        '${TextDedup.accentFoldSrc}',
+      |                        '${TextDedup.accentFoldDst}'),
+      |              '[0-9]', '0', 'g'), ' +', ' ', 'g')) AS nkey,
+      |        md5(text) AS rawkey
+      |      FROM u),
+      |ng AS (SELECT nkey, min(doc_id) AS canonical_id, count(*) AS n_variants
+      |       FROM k GROUP BY 1),
+      |rg AS (SELECT rawkey, count(*) AS n_raw FROM k GROUP BY 1)
+      |SELECT k.doc_id, k.nkey, ng.canonical_id, ng.n_variants,
+      |       CAST(CASE WHEN k.doc_id = ng.canonical_id THEN 1 ELSE 0 END AS BIGINT)
+      |         AS is_keeper,
+      |       CAST(CASE WHEN rg.n_raw >= 2 THEN 1 ELSE 0 END AS BIGINT) AS raw_dup
+      |FROM k JOIN ng USING (nkey) JOIN rg USING (rawkey)""".stripMargin
+
   /** q90 — CDC chunking over the multibyte union: rolling hash over
     * CODE-POINT values, spans sliced by `substring` in the same unit
     * (the exact surface the r7 fix repaired). */
@@ -2457,8 +2498,11 @@ object TextQueries {
   private def q122(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.knPerplexity(t(s, dir, "documents"), "doc_id", "text")
 
-  private val q122Sql =
-    """WITH toksk AS (
+  /** Shared CTE chain replaying the Kneser-Ney bigram model through the
+    * per-doc surprisal sums (the q122 body, factored so q163's
+    * perplexity bucketing can compose on top). */
+  private val knCtes =
+    """toksk AS (
       |  SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
       |bg AS (
       |  SELECT doc_id, l[i] AS w1, l[i+1] AS w2
@@ -2476,7 +2520,10 @@ object TextQueries {
       |  FROM c JOIN c1 USING (w1) JOIN n1b USING (w2) CROSS JOIN btot),
       |per AS (
       |  SELECT bg.doc_id, count(*) AS n_bigrams, sum(s.s_e3) AS s_sum
-      |  FROM bg JOIN s ON bg.w1 = s.w1 AND bg.w2 = s.w2 GROUP BY 1)
+      |  FROM bg JOIN s ON bg.w1 = s.w1 AND bg.w2 = s.w2 GROUP BY 1)""".stripMargin
+
+  private val q122Sql =
+    s"""WITH $knCtes
       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
       |       CAST(s_sum AS BIGINT) AS kn_surprisal_e3,
       |       round(s_sum * 1.0 / n_bigrams, 6) AS avg_kn_e3,
@@ -2484,6 +2531,32 @@ object TextQueries {
       |       CAST(CASE WHEN round(s_sum * 1.0 / n_bigrams, 6) > 3420.0
       |            THEN 1 ELSE 0 END AS BIGINT) AS kn_flagged
       |FROM per""".stripMargin
+
+  /** q163 — CCNet perplexity buckets
+    * ([[TextAnalysis.perplexityBuckets]]): the published head/middle/
+    * tail corpus split — per-language LM-score ranking (the repo's own
+    * KN bigram model) cut into thirds by the explicit
+    * ((rank−1)·3) div n formula. The distributed form ranks via the
+    * score-grid decomposition (no language-sized window partition);
+    * the oracle computes the equivalent single-window rank over the
+    * full q122 replay, hash-checking the decomposition. */
+  private def q163(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.perplexityBuckets(t(s, dir, "documents"), "doc_id", "text",
+                                   "lang")
+
+  private val q163Sql =
+    s"""WITH $knCtes,
+      |pdl AS (SELECT per.doc_id, d.lang,
+      |               round(per.s_sum * 1.0 / per.n_bigrams, 6) AS avg_kn_e3
+      |        FROM per JOIN documents d ON d.doc_id = per.doc_id),
+      |r AS (SELECT doc_id, lang, avg_kn_e3,
+      |        CAST(row_number() OVER (PARTITION BY lang
+      |               ORDER BY avg_kn_e3, doc_id) AS BIGINT) AS ppl_rank,
+      |        CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+      |      FROM pdl)
+      |SELECT doc_id, lang, avg_kn_e3, ppl_rank, n_lang,
+      |       CAST(((ppl_rank - 1) * 3) // n_lang AS BIGINT) AS ppl_bucket
+      |FROM r""".stripMargin
 
   /** q123 — sliding-window chunker ([[TextAnalysis.chunkDocuments]]):
     * retrieval-prep windows of 32 tokens every 24 (overlap 8). The
@@ -2635,6 +2708,8 @@ object TextQueries {
     QueryDef("q157_line_dedup", q157, Some(q157Sql)),
     QueryDef("q158_containment_dedup", q158, Some(q158Sql)),
     QueryDef("q159_lsh_band_plan", q159, Some(q159Sql)),
-    QueryDef("q161_source_quota_cap", q161, Some(q161Sql))
+    QueryDef("q161_source_quota_cap", q161, Some(q161Sql)),
+    QueryDef("q162_normalized_dedup", q162, Some(q162Sql)),
+    QueryDef("q163_perplexity_buckets", q163, Some(q163Sql))
   )
 }
