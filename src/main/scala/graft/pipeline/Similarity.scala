@@ -1481,4 +1481,54 @@ object Similarity extends org.apache.spark.internal.Logging {
       .select(col("doc_id").as("vec_id"), col("cell"), col("cluster"),
               col("is_keeper"), col("n_cluster"))
   }
+
+  /** CONTRASTIVE PAIR MINING — the training-data product an embedding
+    * model is fine-tuned on: one (anchor, positive, hard-negative)
+    * triplet per anchor, where the positive is the anchor's
+    * closest same-cluster neighbor and the hard negative its closest
+    * DIFFERENT-cluster neighbor (the "looks similar but isn't a
+    * duplicate" example contrastive losses need). Clusters are the
+    * [[semanticDedupFrames]] verdict at `tau`; both argmaxes range over
+    * the SAME probed-cell candidate structure (nprobe²·n²/k volume, the
+    * documented SemDeDup bound — never all pairs), so mining costs one
+    * more window over candidates the dedup pass already generates.
+    *
+    * Anchors with no same-cluster candidate (singletons) emit no row —
+    * a triplet without a positive trains nothing; a positive without a
+    * hard negative keeps the row with null negative (the consumer may
+    * in-batch-sample instead). Determinism: cosines round to 6, ranks
+    * tie on partner id; duplicate candidate rows from multi-cell meets
+    * cannot change an argmax (same key), so no distinct is paid. */
+  def contrastivePairs(emb: DataFrame, frames: IvfFrames, tau: Double,
+                       nprobe: Int = 1, coarseProbe: Int = 1,
+                       topProbe: Int = 1): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val celled = ivfIndexJoin(emb, frames, nprobe, coarseProbe, topProbe)
+    val a = celled.select(col("vec_id").as("da"), col("v").as("va"),
+                          col("nrm").as("na"), explode(col("cells")).as("pc"))
+    val b = celled.select(col("vec_id").as("db"), col("v").as("vb"),
+                          col("nrm").as("nb"), explode(col("cells")).as("pc"))
+    val cand = a.join(b, Seq("pc"))
+      .filter(col("da") =!= col("db"))
+      .select(col("da"), col("db"),
+              round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cs"))
+    val edges = cand.filter(col("da") < col("db") && col("cs") >= lit(tau))
+      .select(col("da"), col("db")).distinct()
+    val labels = graft.pipeline.TextDedup.dupClusters(
+        emb.select(col("vec_id").as("doc_id")), edges)
+      .select(col("doc_id"), col("cluster"))
+    val lab = cand
+      .join(labels.select(col("doc_id").as("da"), col("cluster").as("ca")), Seq("da"))
+      .join(labels.select(col("doc_id").as("db"), col("cluster").as("cb")), Seq("db"))
+    val wa = Window.partitionBy(col("da")).orderBy(col("cs").desc, col("db"))
+    val pos = lab.filter(col("ca") === col("cb"))
+      .withColumn("rn", row_number().over(wa)).filter(col("rn") === 1)
+      .select(col("da").as("anchor_id"), col("db").as("pos_id"),
+              col("cs").as("pos_cos"))
+    val neg = lab.filter(col("ca") =!= col("cb"))
+      .withColumn("rn", row_number().over(wa)).filter(col("rn") === 1)
+      .select(col("da").as("anchor_id"), col("db").as("neg_id"),
+              col("cs").as("neg_cos"))
+    pos.join(neg, Seq("anchor_id"), "left")
+  }
 }

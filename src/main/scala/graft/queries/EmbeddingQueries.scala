@@ -671,9 +671,13 @@ object EmbeddingQueries {
               col("cluster"), col("is_keeper"), col("n_cluster"))
   }
 
-  private val q108Sql =
-    s"""WITH RECURSIVE
-      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** Shared CTE chain replaying [[Similarity.semanticDedupFrames]] at
+    * the q108 config (16 literal centroids, nprobe = 2, tau = 0.35):
+    * probed-cell assignment, confirmed edges, recursive closure,
+    * cluster sizes. Factored so q164's contrastive mining composes on
+    * the same structure. */
+  private val semCtes =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 16),
       |scored AS (
       |  SELECT e.vec_id, e.v, p.pid, ${cosSql("e.v", "p.pv")} AS cs
@@ -700,9 +704,53 @@ object EmbeddingQueries {
       |  SELECT id AS vec_id, min(r) AS cluster,
       |         CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
       |  FROM reach GROUP BY id),
-      |sz AS (SELECT cluster, count(*) AS n_cluster FROM cl GROUP BY 1)
+      |sz AS (SELECT cluster, count(*) AS n_cluster FROM cl GROUP BY 1)""".stripMargin
+
+  private val q108Sql =
+    s"""WITH RECURSIVE
+      |$semCtes
       |SELECT cl.vec_id, cells.cell, cl.cluster, cl.is_keeper, sz.n_cluster
       |FROM cl JOIN cells ON cells.vec_id = cl.vec_id JOIN sz USING (cluster)""".stripMargin
+
+  /** q164 — contrastive pair mining ([[Similarity.contrastivePairs]]):
+    * the (anchor, positive, hard-negative) triplets an embedding model
+    * fine-tunes on, mined from the q108 semantic-dedup structure —
+    * positive = closest same-cluster neighbor, hard negative = closest
+    * DIFFERENT-cluster neighbor, both argmaxes over the probed-cell
+    * candidates the dedup pass already generates (never all pairs).
+    * The oracle composes the full q108 replay with the two ranked
+    * selections; singleton anchors emit nothing, a missing hard
+    * negative stays null. */
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    Similarity.contrastivePairs(e, Similarity.framesFlat(s, cents), 0.35,
+                                nprobe = 2)
+  }
+
+  private val q164Sql =
+    s"""WITH RECURSIVE
+      |$semCtes,
+      |cand AS (
+      |  SELECT a.vec_id AS da, b.vec_id AS db,
+      |         round(${dotSql("a.v", "b.v")} /
+      |               (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})),
+      |               6) AS cs
+      |  FROM probed a JOIN probed b ON a.pc = b.pc AND a.vec_id <> b.vec_id),
+      |labp AS (SELECT c.da, c.db, c.cs, la.cluster AS ca, lb.cluster AS cb
+      |         FROM cand c JOIN cl la ON la.vec_id = c.da
+      |                     JOIN cl lb ON lb.vec_id = c.db),
+      |posr AS (SELECT da, db, cs,
+      |           row_number() OVER (PARTITION BY da ORDER BY cs DESC, db) AS rn
+      |         FROM labp WHERE ca = cb),
+      |negr AS (SELECT da, db, cs,
+      |           row_number() OVER (PARTITION BY da ORDER BY cs DESC, db) AS rn
+      |         FROM labp WHERE ca <> cb)
+      |SELECT p.da AS anchor_id, p.db AS pos_id, p.cs AS pos_cos,
+      |       n.db AS neg_id, n.cs AS neg_cos
+      |FROM posr p LEFT JOIN negr n ON n.da = p.da AND n.rn = 1
+      |WHERE p.rn = 1""".stripMargin
 
   // ------------------------------------ engine-produced embeddings
 
@@ -1142,6 +1190,7 @@ object EmbeddingQueries {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q59_cosine_topk", q59, Some(q59Sql)),
     QueryDef("q108_semantic_dedup", q108, Some(q108Sql)),
+    QueryDef("q164_contrastive_pairs", q164, Some(q164Sql)),
     QueryDef("q141_embed_docs", q141, Some(q141Sql)),
     QueryDef("q142_text_semantic_dedup", q142, Some(q142Sql)),
     QueryDef("q143_kmeans_clusters", q143, Some(q143Sql)),
