@@ -530,3 +530,73 @@ object ScaleProbeAuto {
     spark.stop()
   }
 }
+
+/** Standalone decade probe for the r12 sampling/selection tier:
+  *  - [[graft.pipeline.TextAnalysis.sourceQuotaCap]] on a DELIBERATELY
+  *    skewed corpus (one domain owns 90% of documents): the two-phase
+  *    sharded top-q vs the naive single-window rank — the probe that
+  *    shows why the mega-domain window partition must not exist;
+  *  - [[graft.pipeline.TextAnalysis.perplexityBuckets]]' score-grid
+  *    rank vs its single-window form under one corpus-sized language;
+  *  - [[graft.pipeline.TextAnalysis.dsirScoreServe]] per-row serving
+  *    cost across the decade (expected ~linear rows/s, no shuffle).
+  * Usage: runMain graft.ScaleProbeSampling [nDocs]
+  */
+object ScaleProbeSampling {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(200000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.pipeline.TextAnalysis
+    import org.apache.spark.sql.expressions.Window
+
+    def time[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"$label%-40s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // 90% of docs in domain d0; 30-word texts over a scaling vocabulary
+    val vocab = math.max(2000, nDocs / 25)
+    val docs = spark.range(nDocs.toLong).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(10)) < 9, lit("d0"))
+        .otherwise(concat(lit("d"), pmod(col("id"), lit(97)))).as("source"),
+      lit("en").as("lang"),
+      concat_ws(" ", (0 until 30).map(j =>
+        concat(lit("w"), pmod(hash(col("id") * 37 + j), lit(vocab)))): _*).as("text"))
+      .cache()
+    time("docs materialize")(docs.count())
+
+    val capped = time(s"sourceQuotaCap two-phase (q=100, skew 90%)")(
+      TextAnalysis.sourceQuotaCap(docs, "doc_id", "text", "source", 100).count())
+    println(s"  kept rows: $capped")
+    time("sourceQuotaCap NAIVE single-window") {
+      val scored = docs.select(col("doc_id"), col("source"))
+        .join(TextAnalysis.qualityScore(docs, "doc_id", "text")
+                .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 100).count()
+    }
+
+    time("perplexityBuckets grid rank (1 lang = whole corpus)")(
+      TextAnalysis.perplexityBuckets(docs, "doc_id", "text", "lang").count())
+
+    val scores = TextAnalysis.dsirBucketScores(docs.limit(20000), "doc_id",
+        "text", pmod(col("doc_id"), lit(2)) === 0)
+      .collect().map(r => r.getAs[Long]("b") -> r.getAs[Long]("d_e3")).toMap
+    val table = (0L until 1024L).map(b => scores.getOrElse(b, 0L))
+    time("dsirScoreServe per-row serving, full corpus")(
+      TextAnalysis.dsirScoreServe(docs, "doc_id", "text", table).count())
+
+    spark.stop()
+  }
+}
