@@ -104,10 +104,98 @@ object SessionQueries {
       |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
       |FROM events GROUP BY 1""".stripMargin
 
+  /** q165 — interval (range) join ([[graft.joins.RangeJoin.rangeJoin]]):
+    * attribute every event to each same-user 2-hour window anchored at
+    * every 50th event — `ts BETWEEN start AND end` matching that Spark
+    * would otherwise plan as BroadcastNestedLoopJoin, decomposed into
+    * the bucketized (user, overlap-bucket) hash equi-join + residual
+    * filter. One aggregate row per window; the oracle computes the
+    * naive BETWEEN join (DuckDB's IEJoin handles it at oracle scale),
+    * so the decomposition's exactness is hash-checked. */
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").cast("long").as("sec"))
+    val windows = ev.filter(pmod(col("event_id"), lit(50)) === 0)
+      .select(col("event_id").as("window_id"), col("user_id"),
+              col("sec").as("start_sec"), (col("sec") + 7200L).as("end_sec"))
+    graft.joins.RangeJoin.rangeJoin(
+        ev, windows, "sec", "start_sec", "end_sec",
+        keyCols = Seq("user_id"), bucketWidth = 3600L)
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n_events"),
+           min(col("sec")).as("min_sec"), max(col("sec")).as("max_sec"))
+  }
+
+  private val q165Sql =
+    """WITH ev AS (SELECT event_id, user_id,
+      |              epoch_ns(ts) // 1000000000 AS sec FROM events),
+      |iv AS (SELECT event_id AS window_id, user_id,
+      |              sec AS start_sec, sec + 7200 AS end_sec
+      |       FROM ev WHERE event_id % 50 = 0)
+      |SELECT iv.window_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       min(ev.sec) AS min_sec, max(ev.sec) AS max_sec
+      |FROM iv JOIN ev ON ev.user_id = iv.user_id
+      |                AND ev.sec BETWEEN iv.start_sec AND iv.end_sec
+      |GROUP BY 1""".stripMargin
+
+  /** q166 — ordered funnel ([[graft.ts.EventAnalytics.funnel]]):
+    * view → click → purchase within 7 days of first touch, per-user
+    * earliest-qualifying-event semantics (stage k must be AT OR AFTER
+    * stage k−1 and inside the window from stage 1). (#stages − 1)
+    * keyed joins, no window partitions; the oracle replays the CTE
+    * chain with identical BETWEEN bounds. */
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts").cast("timestamp").cast("long").as("sec"))
+    graft.ts.EventAnalytics.funnel(ev, "user_id", "event_type", "sec",
+      Seq("view", "click", "purchase"), windowSec = 604800L)
+  }
+
+  private val q166Sql =
+    """WITH ev AS (SELECT user_id, event_type AS et,
+      |              epoch_ns(ts) // 1000000000 AS sec FROM events),
+      |s1 AS (SELECT user_id, min(sec) AS t1_sec FROM ev
+      |       WHERE et = 'view' GROUP BY 1),
+      |s2 AS (SELECT ev.user_id, min(ev.sec) AS t2_sec
+      |       FROM ev JOIN s1 USING (user_id)
+      |       WHERE ev.et = 'click' AND ev.sec >= s1.t1_sec
+      |         AND ev.sec <= s1.t1_sec + 604800
+      |       GROUP BY 1),
+      |s3 AS (SELECT ev.user_id, min(ev.sec) AS t3_sec
+      |       FROM ev JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+      |       WHERE ev.et = 'purchase' AND ev.sec >= s2.t2_sec
+      |         AND ev.sec <= s1.t1_sec + 604800
+      |       GROUP BY 1)
+      |SELECT s1.user_id, s1.t1_sec, s2.t2_sec, s3.t3_sec,
+      |       CAST(1 + CASE WHEN s2.t2_sec IS NOT NULL THEN 1 ELSE 0 END
+      |              + CASE WHEN s3.t3_sec IS NOT NULL THEN 1 ELSE 0 END
+      |            AS BIGINT) AS depth
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin
+
+  /** q167 — cohort retention ([[graft.ts.EventAnalytics
+    * .cohortRetention]]): users grouped by first active week, counted
+    * in every later active week — the retention matrix in long form.
+    * Monday-aligned week buckets (the q03 grain parity), two keyed
+    * aggregates + one keyed join. */
+  private def q167(s: SparkSession, dir: String): DataFrame =
+    graft.ts.EventAnalytics.cohortRetention(t(s, dir, "events"), "user_id", "ts")
+
+  private val q167Sql =
+    """WITH act AS (SELECT DISTINCT user_id,
+      |               CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+      |coh AS (SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY 1)
+      |SELECT coh.cohort_wk,
+      |       CAST((act.wk - coh.cohort_wk) // 7 AS BIGINT) AS offset_weeks,
+      |       CAST(count(*) AS BIGINT) AS n_users
+      |FROM act JOIN coh USING (user_id) GROUP BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q23_sessionize", q23, Some(q23Sql)),
     QueryDef("q24_rollup_revenue", q24, Some(q24Sql)),
     QueryDef("q25_json_extract", q25, Some(q25Sql)),
-    QueryDef("q26_pivot_daily_counts", q26, Some(q26Sql))
+    QueryDef("q26_pivot_daily_counts", q26, Some(q26Sql)),
+    QueryDef("q165_range_join", q165, Some(q165Sql)),
+    QueryDef("q166_funnel", q166, Some(q166Sql)),
+    QueryDef("q167_cohort_retention", q167, Some(q167Sql))
   )
 }

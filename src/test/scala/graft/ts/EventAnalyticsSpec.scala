@@ -1,0 +1,64 @@
+package graft.ts
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[EventAnalytics.funnel]] and [[EventAnalytics.cohortRetention]] on
+  * hand-computable fixtures. */
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("funnel: ordering and window constraints decide each user's depth") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1 completes all three in order within the window
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      // u2: click BEFORE the first view — not a qualifying stage 2
+      (2L, "click", 50L), (2L, "view", 100L),
+      // u3: purchase before click — depth stops at 2
+      (3L, "view", 100L), (3L, "purchase", 150L), (3L, "click", 200L),
+      // u4: click outside the window from first touch
+      (4L, "view", 100L), (4L, "click", 100L + 700L),
+      // u5: no view at all — absent from the ledger
+      (5L, "click", 10L), (5L, "purchase", 20L),
+      // u6: equal timestamps qualify (>= is inclusive)
+      (6L, "view", 100L), (6L, "click", 100L), (6L, "purchase", 100L))
+      .toDF("user_id", "event_type", "sec")
+    val got = EventAnalytics.funnel(ev, "user_id", "event_type", "sec",
+        Seq("view", "click", "purchase"), windowSec = 500L)
+      .collect().map { r =>
+        r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("depth"),
+            if (r.isNullAt(r.fieldIndex("t2_sec"))) -1L else r.getAs[Long]("t2_sec"),
+            if (r.isNullAt(r.fieldIndex("t3_sec"))) -1L else r.getAs[Long]("t3_sec")))
+      }.toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 6L))
+    assert(got(1L) == ((3L, 200L, 300L)))
+    assert(got(2L) == ((1L, -1L, -1L)))
+    assert(got(3L) == ((2L, 200L, -1L)))
+    assert(got(4L) == ((1L, -1L, -1L)))
+    assert(got(6L) == ((3L, 100L, 100L)))
+  }
+
+  test("cohort retention: offsets count from each user's first active week") {
+    import spark.implicits._
+    def ts(day: String) = java.sql.Timestamp.valueOf(s"$day 12:00:00")
+    val ev = Seq(
+      // u1 active in weeks of Mon 2024-01-01 and Mon 2024-01-15 (offset 2)
+      (1L, ts("2024-01-02")), (1L, ts("2024-01-16")),
+      // u2 active only in week of 2024-01-08
+      (2L, ts("2024-01-08")),
+      // u3 active in consecutive weeks of 2024-01-01 and 2024-01-08
+      (3L, ts("2024-01-03")), (3L, ts("2024-01-10")), (3L, ts("2024-01-11")))
+      .toDF("user_id", "ts")
+    val got = EventAnalytics.cohortRetention(ev, "user_id", "ts")
+      .collect().map(r => (r.getAs[java.sql.Date]("cohort_wk").toString,
+                           r.getAs[Long]("offset_weeks")) ->
+                          r.getAs[Long]("n_users")).toMap
+    assert(got == Map(
+      ("2024-01-01", 0L) -> 2L, // u1 + u3 in their cohort week
+      ("2024-01-01", 1L) -> 1L, // u3 the next week
+      ("2024-01-01", 2L) -> 1L, // u1 two weeks later
+      ("2024-01-08", 0L) -> 1L)) // u2
+  }
+}
