@@ -1269,28 +1269,61 @@ object TextDedup {
     * is missed, which at n ≥ 3 means the overlap was common phrases.
     * The confirm pass computes containment over the FULL (uncapped)
     * shingle sets of surviving candidates, so reported values are
-    * exact. All keyed shuffles; the df table joins UNHINTED. */
+    * exact. All keyed shuffles; the df table joins UNHINTED.
+    *
+    * The inverted-index join yields the shared-RARE-gram count per
+    * directed pair for free (groupBy-count instead of distinct), and
+    * that count prunes before the expensive full-set confirm: with
+    * cap_X = |capped grams of X| = n_sh_X − n_rare_X, the true
+    * intersection obeys i ≤ i_rare + min(cap_A, cap_B) and
+    * i ≤ min(n_sh_A, n_sh_B), so any pair whose bound falls below
+    * tau·n_sh_A provably fails the final filter and never enters the
+    * confirm join. At sf0.1 that prunes 2.26M candidate pairs to a few
+    * hundred survivors, collapsing the confirm from Σ_pairs |S(A)|
+    * (tens of millions of rows) to the survivor set — measured 16.8 s
+    * → 6.5 s warm. The bound carries a 1e-6 slack so 6-decimal
+    * rounding at the final filter can never disagree with the prune.
+    * (A branch that skips confirm when cap_min = 0 — where i_rare is
+    * already exact — measured SLOWER: the union's two consumers of the
+    * survivor frame re-ran candidate generation / fought over the
+    * cache; one always-confirm pass over the tiny survivor set wins.) */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        tau: Double = 0.8, n: Int = 3,
                        maxDf: Int = 64): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
-    val sh = ngramShingles(df, idCol, textCol, n) // (id, bg) distinct
+    // (id, bg) distinct — read by 5 downstream subtrees (df table,
+    // rare side ×2, per-doc counts, confirm ×2): memoize the explode.
+    val sh = graft.queries.cacheOnce(ngramShingles(df, idCol, textCol, n))
     val dfreq = sh.groupBy(col("bg")).agg(count(lit(1)).as("df"))
     val rare = sh.join(dfreq.filter(col("df") <= maxDf), Seq("bg"))
       .select(col("id"), col("bg"))
-    val cand = rare.select(col("id").as("da"), col("bg"))
+    // shared-rare-gram count per directed candidate pair: the same
+    // shuffle the old .distinct() paid, but the count feeds the bound.
+    val candRare = rare.select(col("id").as("da"), col("bg"))
       .join(rare.select(col("id").as("db"), col("bg")), Seq("bg"))
       .filter(col("da") =!= col("db"))
-      .select(col("da"), col("db")).distinct()
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i_rare"))
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val inter = cand
+    val rareCounts = rare.groupBy(col("id")).agg(count(lit(1)).as("n_rare"))
+    val docStats = counts.join(rareCounts, Seq("id"), "left")
+      .select(col("id"), col("n_sh"),
+              (col("n_sh") - coalesce(col("n_rare"), lit(0L))).as("n_capped"))
+    val bounded = candRare
+      .join(docStats.select(col("id").as("da"), col("n_sh").as("n_contained"),
+                            col("n_capped").as("cap_a")), Seq("da"))
+      .join(docStats.select(col("id").as("db"), col("n_sh").as("n_container"),
+                            col("n_capped").as("cap_b")), Seq("db"))
+      .filter(least(col("i_rare") + least(col("cap_a"), col("cap_b")),
+                    least(col("n_contained"), col("n_container")))
+                >= (lit(tau) - lit(1e-6)) * col("n_contained"))
+      .select(col("da"), col("db"), col("n_contained"), col("n_container"))
+    val inter = bounded
       .join(sh.select(col("id").as("da"), col("bg")), Seq("da"))
       .join(sh.select(col("id").as("db"), col("bg")), Seq("db", "bg"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+      .groupBy(col("da"), col("db"), col("n_contained"), col("n_container"))
+      .agg(count(lit(1)).as("i"))
     inter
-      .join(counts.select(col("id").as("da"), col("n_sh").as("n_contained")), Seq("da"))
-      .join(counts.select(col("id").as("db"), col("n_sh").as("n_container")), Seq("db"))
       .withColumn("containment", round(col("i") * 1.0 / col("n_contained"), 6))
       .filter(col("containment") >= lit(tau))
       .select(col("da").as("contained"), col("db").as("container"),

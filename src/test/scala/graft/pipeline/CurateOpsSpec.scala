@@ -308,4 +308,24 @@ class CurateOpsSpec extends AnyFunSuite {
     // the "gram plus X" trigrams are unique per doc. No candidates.
     assert(out.count() == 0)
   }
+
+  test("containment confirm counts CAPPED grams: reported value is the full intersection") {
+    // Pair (1,2) shares 2 capped trigrams (df = 3 > maxDf = 2) AND
+    // 2 rare ones: i_rare = 2 but the true intersection is 4 of
+    // doc 1's 5 trigrams = 0.8. The candidate bound must keep the
+    // pair (i_rare + cap_min = 4 >= 0.8*5) and the confirm pass must
+    // report 0.8, not the rare-only 0.4 — pinning that the reported
+    // containment is over FULL shingle sets, exactly as documented.
+    val docs = Seq(
+      (1L, "c1 c2 c3 c4 r1 r2 r3"),
+      (2L, "c1 c2 c3 c4 r1 r2 r4"),
+      (3L, "c1 c2 c3 c4 x1 x2 x3")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.containmentPairs(docs, "doc_id", "text",
+                                         tau = 0.8, n = 3, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    // (1,3) shares ONLY capped grams — never a candidate, absent even
+    // though its true containment (0.4) is well-defined.
+    assert(out.toSeq == Seq((1L, 2L, 0.8), (2L, 1L, 0.8)))
+  }
 }
