@@ -1467,4 +1467,112 @@ object TextAnalysis {
               least(lit(window.toLong),
                     col("n") - col("chunk_id") * stride).as("n_chunk_tokens"))
   }
+
+  /** SOURCE-DIVERGENCE REPORT — KL(P_source ‖ Q_corpus) over unigram
+    * term frequencies: the drift monitor a mixture pipeline runs per
+    * ingest cycle ("which source stopped looking like the corpus").
+    * A source whose KL jumps has changed character — a crawl gone
+    * boilerplate, a domain hijacked, an encoding regression — and
+    * this surfaces it BEFORE the mixture weights (q103/q115) train on
+    * it. P uses term frequency (with multiplicity), Q the corpus-wide
+    * distribution; every token of a source exists in the corpus, so
+    * the ratio is never 0/0 and KL is finite by construction.
+    *
+    * Determinism: each token's contribution
+    * (c_st/n_s)·ln(c_st·N/(n_s·c_t)) is quantized to millionths
+    * PER ROW (one double expression, round e6 — the integer
+    * micro-grid idiom), so kl_e6 is an exact integer sum both engines
+    * reproduce bit-for-bit.
+    *
+    * Scale shape: token explode → (source, token) count — the same
+    * keyed shuffle tokenStats pays; the corpus-wide token table is
+    * vocabulary-sized and joins UNHINTED (the lmSurprisal lesson);
+    * per-source totals are group-count-sized and broadcast. Output is
+    * one row per source. */
+  def sourceDivergence(df: DataFrame, textCol: String,
+                       groupCol: String): DataFrame = {
+    val toks = df.select(col(groupCol).as("source"),
+                         explode(split(trim(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val st = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_st"))
+    val tot = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"),
+                                           count(lit(1)).as("n_types"))
+    val nAll = ns.agg(sum(col("n_s")).as("n_all"))
+    st.join(tot, Seq("tok"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(nAll))
+      .withColumn("term_e6",
+        round((col("c_st") * 1.0 / col("n_s")) *
+              log((col("c_st") * 1.0 * col("n_all")) /
+                  (col("n_s") * 1.0 * col("c_t")))
+              * 1e6).cast("long"))
+      .groupBy(col("source"))
+      .agg(first(col("n_s")).as("n_tokens"),
+           first(col("n_types")).as("n_types"),
+           sum(col("term_e6")).as("kl_e6"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("kl_e6"))
+  }
+
+  /** ZIPF FIT — OLS of ln(frequency) on ln(rank) over the corpus
+    * unigram table: the one-number corpus-health check (natural text
+    * slopes ≈ −1; template/boilerplate floods flatten the head,
+    * synthetic or deduped-to-death corpora steepen the tail). Returns
+    * a single row (n_types, n_tokens, slope, intercept, r2).
+    *
+    * Rank runs RANK-DECOMPOSED, the q163 grid idiom transposed to
+    * frequencies: distinct frequency VALUES (O(√Σc) of them by
+    * Zipf's own law — the decade probe measures it) carry a broadcast
+    * prefix of higher-frequency type counts, and a window partitioned
+    * by exact frequency orders ties by token — no vocabulary-sized
+    * single-partition sort anywhere.
+    *
+    * Determinism: x = ln(rank), y = ln(freq) quantized to thousandths
+    * per row; the five OLS sums are then exact integer aggregates
+    * (overflow-safe: |x_e3|,|y_e3| < 5·10⁴ up to 10¹⁸-token corpora,
+    * so Σx² ≤ n·2.5·10⁹ stays inside int64 through billion-TYPE
+    * vocabularies), and slope/intercept/r² are closed-form double
+    * expressions over those integers — the cross products promote to
+    * double BEFORE multiplying (n·Σxy overflows int64 where the
+    * identical IEEE double product is exact-input deterministic in
+    * both engines), round 6. */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = df.select(explode(split(trim(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val wPre = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = freq.groupBy(col("c")).agg(count(lit(1)).as("nc"))
+      .withColumn("before", coalesce(sum(col("nc")).over(wPre), lit(0L)))
+      .select(col("c"), col("before"))
+    val wIn = Window.partitionBy(col("c")).orderBy(col("tok"))
+    val ranked = freq
+      .withColumn("rk_in", row_number().over(wIn).cast("long"))
+      .join(broadcast(prefix), Seq("c"))
+      .withColumn("r", col("before") + col("rk_in"))
+      .withColumn("x", round(log(col("r").cast("double")) * 1e3).cast("long"))
+      .withColumn("y", round(log(col("c").cast("double")) * 1e3).cast("long"))
+    ranked.agg(
+        count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("cov",
+        col("n_types") * 1.0 * col("sxy") - col("sx") * 1.0 * col("sy"))
+      .withColumn("varx",
+        col("n_types") * 1.0 * col("sxx") - col("sx") * 1.0 * col("sx"))
+      .withColumn("vary",
+        col("n_types") * 1.0 * col("syy") - col("sy") * 1.0 * col("sy"))
+      .withColumn("slope", round(col("cov") / col("varx"), 6))
+      .withColumn("intercept", round(
+        (col("sy") * 1.0 / col("n_types") -
+         col("slope") * col("sx") / col("n_types")) / 1e3, 6))
+      .withColumn("r2",
+        round(col("cov") * col("cov") / (col("varx") * col("vary")), 6))
+      .select(col("n_types"), col("n_tokens"), col("slope"),
+              col("intercept"), col("r2"))
+  }
 }

@@ -1330,6 +1330,44 @@ object TextDedup {
               col("containment"), col("n_contained"), col("n_container"))
   }
 
+  /** SOURCE-OVERLAP MATRIX — pairwise word-`n`-gram containment and
+    * Jaccard between corpus SOURCES (or any grouping column): the
+    * mirror-detection audit a mixture pipeline runs before weighting
+    * sources independently — two feeds syndicating the same wire
+    * content look like independent diversity to the mixture sampler
+    * while actually double-counting one distribution. One directed row
+    * per ordered source pair that shares at least one shingle:
+    * (source_a, source_b, n_a, n_b, i, containment = i/n_a, jaccard),
+    * exact over each source's DISTINCT shingle set.
+    *
+    * Scale shape: this is a GROUP-level operator — the inverted-index
+    * self-join carries df ≤ #sources per shingle, so its volume is
+    * Σ_g df_g² ≤ #sources · |gram table| and the output #sources²
+    * rows; meant for the 10s–1000s of sources a real mixture has
+    * (doc-level pairs belong to [[containmentPairs]], which bound-
+    * prunes). Gram and count tables join UNHINTED (vocabulary-sized);
+    * the per-source count table is group-count-sized and broadcast. */
+  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
+    val sg = ngramShingles(df, groupCol, textCol, n)
+      .select(col("id").as("src"), col("bg")).distinct()
+    val counts = sg.groupBy(col("src")).agg(count(lit(1)).as("n_sh"))
+    val inter = sg.select(col("src").as("source_a"), col("bg"))
+      .join(sg.select(col("src").as("source_b"), col("bg")), Seq("bg"))
+      .filter(col("source_a") =!= col("source_b"))
+      .groupBy(col("source_a"), col("source_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(counts.select(col("src").as("source_a"),
+                                    col("n_sh").as("n_a"))), Seq("source_a"))
+      .join(broadcast(counts.select(col("src").as("source_b"),
+                                    col("n_sh").as("n_b"))), Seq("source_b"))
+      .withColumn("containment", round(col("i") * 1.0 / col("n_a"), 6))
+      .withColumn("jaccard",
+        round(col("i") * 1.0 / (col("n_a") + col("n_b") - col("i")), 6))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+              col("i"), col("containment"), col("jaccard"))
+  }
+
   /** Padded-text substring occurrence count via `replace` + length
     * arithmetic — identical non-overlapping left-to-right scan semantics
     * in every engine. Exposed for quality/langid scoring. */

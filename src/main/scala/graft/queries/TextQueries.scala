@@ -2558,6 +2558,103 @@ object TextQueries {
       |       CAST(((ppl_rank - 1) * 3) // n_lang AS BIGINT) AS ppl_bucket
       |FROM r""".stripMargin
 
+  /** q168 — source-divergence report ([[TextAnalysis.sourceDivergence]]):
+    * KL(P_source ‖ Q_corpus) over unigram term frequencies — the
+    * per-ingest drift monitor for mixture sources. Per-token
+    * contributions quantized to millionths per row (integer
+    * micro-grid), so kl_e6 is an exact integer sum the oracle
+    * reproduces bit-for-bit. 20 rows, one per source. */
+  private def q168(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceDivergence(t(s, dir, "documents"), "text", "source")
+
+  private val q168Sql =
+    """WITH tk AS (
+      |  SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+      |  FROM documents),
+      |tk2 AS (SELECT source, tok FROM tk WHERE tok <> ''),
+      |st AS (SELECT source, tok, count(*) AS c_st FROM tk2 GROUP BY 1, 2),
+      |tot AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+      |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s,
+      |              count(*) AS n_types FROM st GROUP BY 1),
+      |na AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_all FROM ns)
+      |SELECT st.source, ns.n_s AS n_tokens, ns.n_types,
+      |       CAST(sum(CAST(round((st.c_st * 1.0 / ns.n_s) *
+      |              ln((st.c_st * 1.0 * na.n_all) / (ns.n_s * 1.0 * tot.c_t))
+      |              * 1e6) AS BIGINT)) AS BIGINT) AS kl_e6
+      |FROM st
+      |JOIN tot USING (tok) JOIN ns USING (source) CROSS JOIN na
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** q169 — Zipf fit ([[TextAnalysis.zipfFit]]): OLS of ln(freq) on
+    * ln(rank) over the corpus unigram table, rank grid-decomposed over
+    * distinct frequency values (no vocabulary-sized window). The
+    * oracle computes the single-window rank and the same
+    * e3-quantized integer sums — the decomposition is hash-checked;
+    * slope lands near the Zipfian −1 on this corpus. */
+  private def q169(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfFit(t(s, dir, "documents"), "text")
+
+  private val q169Sql =
+    """WITH tk AS (
+      |  SELECT t.tok FROM (
+      |    SELECT unnest(string_split(trim(text), ' ')) AS tok
+      |    FROM documents) t
+      |  WHERE t.tok <> ''),
+      |freq AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+      |r AS (SELECT c,
+      |        CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS r
+      |      FROM freq),
+      |xy AS (SELECT c,
+      |         CAST(round(ln(r * 1.0) * 1e3) AS BIGINT) AS x,
+      |         CAST(round(ln(c * 1.0) * 1e3) AS BIGINT) AS y
+      |       FROM r),
+      |s AS (SELECT count(*) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |             CAST(sum(x * x) AS BIGINT) AS sxx,
+      |             CAST(sum(x * y) AS BIGINT) AS sxy,
+      |             CAST(sum(y * y) AS BIGINT) AS syy
+      |      FROM xy),
+      |s2 AS (SELECT *,
+      |         n_types * 1.0 * sxy - sx * 1.0 * sy AS cov,
+      |         n_types * 1.0 * sxx - sx * 1.0 * sx AS varx,
+      |         n_types * 1.0 * syy - sy * 1.0 * sy AS vary
+      |       FROM s),
+      |s3 AS (SELECT *, round(cov / varx, 6) AS slope FROM s2)
+      |SELECT n_types, n_tokens, slope,
+      |       round((sy * 1.0 / n_types - slope * sx / n_types) / 1e3, 6)
+      |         AS intercept,
+      |       round(cov * cov / (varx * vary), 6) AS r2
+      |FROM s3""".stripMargin
+
+  /** q170 — source-overlap matrix ([[TextDedup.sourceOverlap]]):
+    * pairwise trigram containment + Jaccard between the corpus's 20
+    * sources — the mirror-detection audit run before mixture
+    * weighting. Exact over distinct per-source shingle sets; the
+    * oracle replays shingling, the group-level inverted-index join,
+    * and both ratios. */
+  private def q170(s: SparkSession, dir: String): DataFrame =
+    TextDedup.sourceOverlap(t(s, dir, "documents"), "source", "text")
+
+  private val q170Sql =
+    """WITH w AS (SELECT source, string_split(trim(text), ' ') AS ws
+      |           FROM documents),
+      |sg AS (
+      |  SELECT DISTINCT source,
+      |         ws[i] || '_' || ws[i+1] || '_' || ws[i+2] AS bg
+      |  FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+      |  WHERE len(ws) >= 3),
+      |cnt AS (SELECT source, count(*) AS n_sh FROM sg GROUP BY 1),
+      |i AS (SELECT a.source AS source_a, b.source AS source_b,
+      |             count(*) AS i
+      |      FROM sg a JOIN sg b USING (bg)
+      |      WHERE a.source <> b.source GROUP BY 1, 2)
+      |SELECT i.source_a, i.source_b, ca.n_sh AS n_a, cb.n_sh AS n_b, i.i,
+      |       round(i.i * 1.0 / ca.n_sh, 6) AS containment,
+      |       round(i.i * 1.0 / (ca.n_sh + cb.n_sh - i.i), 6) AS jaccard
+      |FROM i
+      |JOIN cnt ca ON ca.source = i.source_a
+      |JOIN cnt cb ON cb.source = i.source_b""".stripMargin
+
   /** q123 — sliding-window chunker ([[TextAnalysis.chunkDocuments]]):
     * retrieval-prep windows of 32 tokens every 24 (overlap 8). The
     * oracle replays the chunk-count formula, window slicing, and the
@@ -2710,6 +2807,9 @@ object TextQueries {
     QueryDef("q159_lsh_band_plan", q159, Some(q159Sql)),
     QueryDef("q161_source_quota_cap", q161, Some(q161Sql)),
     QueryDef("q162_normalized_dedup", q162, Some(q162Sql)),
-    QueryDef("q163_perplexity_buckets", q163, Some(q163Sql))
+    QueryDef("q163_perplexity_buckets", q163, Some(q163Sql)),
+    QueryDef("q168_source_divergence", q168, Some(q168Sql)),
+    QueryDef("q169_zipf_fit", q169, Some(q169Sql)),
+    QueryDef("q170_source_overlap", q170, Some(q170Sql))
   )
 }
