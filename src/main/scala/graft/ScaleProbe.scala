@@ -600,3 +600,88 @@ object ScaleProbeSampling {
     spark.stop()
   }
 }
+
+/** Dev utility: decade probe for the round-12 containment-dedup bound
+  * prune and the Zipf grid-rank decomposition.
+  * Synthesizes nDocs 40-word docs over a corpus-scaled vocabulary with
+  * every 20th doc a 12-word PREFIX of its predecessor (true containment
+  * 1.0 — the regime the operator exists for), then reports the stage
+  * volumes the COVERAGE claims cite: inverted-index candidate pairs,
+  * bound-prune survivors, final pairs, wall time — plus the distinct
+  * frequency-value count backing zipfFit's O(√Σc) grid claim.
+  * Usage: runMain graft.ScaleProbeContainment [nDocs] */
+object ScaleProbeContainment {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(50000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"$label%-44s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    val vocab = math.max(2000, nDocs / 25)
+    println(s"config: nDocs=$nDocs vocab=$vocab")
+    def word(idExpr: org.apache.spark.sql.Column, j: Int) =
+      concat(lit("w"), pmod(hash(idExpr * 37 + j), lit(vocab)))
+    val docs = spark.range(nDocs.toLong).select(
+      col("id").as("doc_id"),
+      when(col("id") % 20 === 0 && col("id") > 0,
+        concat_ws(" ", (0 until 12).map(j => word(col("id") - 1, j)): _*))
+      .otherwise(
+        concat_ws(" ", (0 until 40).map(j => word(col("id"), j)): _*))
+      .as("text")).cache()
+    time("docs materialize")(docs.count())
+
+    // end-to-end operator timing (the registry path)
+    val out = time("containmentPairs end-to-end")(
+      TextDedup.containmentPairs(docs, "doc_id", "text",
+                                 tau = 0.8, n = 3, maxDf = 64).count())
+    println(s"  final directed pairs: $out")
+
+    // stage volumes, mirroring the operator's internals
+    val sh = graft.queries.cacheOnce(
+      TextDedup.ngramShingles(docs, "doc_id", "text", 3))
+    val dfreq = sh.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+    val rare = sh.join(dfreq.filter(col("df") <= 64), Seq("bg"))
+      .select(col("id"), col("bg"))
+    val candRare = rare.select(col("id").as("da"), col("bg"))
+      .join(rare.select(col("id").as("db"), col("bg")), Seq("bg"))
+      .filter(col("da") =!= col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i_rare"))
+    val nCand = time("candidate pairs (inverted index)")(candRare.count())
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val rareCounts = rare.groupBy(col("id")).agg(count(lit(1)).as("n_rare"))
+    val docStats = counts.join(rareCounts, Seq("id"), "left")
+      .select(col("id"), col("n_sh"),
+              (col("n_sh") - coalesce(col("n_rare"), lit(0L))).as("n_capped"))
+    val nBounded = time("bound-prune survivors")(candRare
+      .join(docStats.select(col("id").as("da"), col("n_sh").as("n_contained"),
+                            col("n_capped").as("cap_a")), Seq("da"))
+      .join(docStats.select(col("id").as("db"), col("n_sh").as("n_container"),
+                            col("n_capped").as("cap_b")), Seq("db"))
+      .filter(least(col("i_rare") + least(col("cap_a"), col("cap_b")),
+                    least(col("n_contained"), col("n_container")))
+                >= lit(0.8 - 1e-6) * col("n_contained"))
+      .count())
+    println(s"  candidates=$nCand survivors=$nBounded " +
+      f"(${100.0 * nBounded / math.max(1, nCand)}%.3f%% reach confirm)")
+
+    // Zipf grid claim: distinct frequency VALUES vs vocabulary size
+    val freq = docs.select(explode(split(trim(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "").groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nTypes = freq.count()
+    val nFreqVals = freq.select(col("c")).distinct().count()
+    println(s"  zipf grid: n_types=$nTypes distinct_freq_values=$nFreqVals")
+
+    spark.stop()
+  }
+}
