@@ -1531,4 +1531,86 @@ object Similarity extends org.apache.spark.internal.Logging {
               col("cs").as("neg_cos"))
     pos.join(neg, Seq("anchor_id"), "left")
   }
+
+  /** RETRIEVAL-QUALITY SCORECARD — grade an approximate top-k result
+    * against exact ground truth, per query: the ANN index-tuning
+    * feedback loop (the standard eval triple recall@k / MRR / NDCG@k).
+    *
+    * Inputs are two ranked frames of (query_id, neighbor_id, rn); rows
+    * with rn > k are ignored on both sides. Relevance is binary =
+    * membership in the TRUE top-k, and the ideal DCG comes from the
+    * truth ranks themselves (Σ 1/log2(trn+1)) so short truth lists
+    * (corpus smaller than k) normalize correctly; recall likewise
+    * divides by the actual truth-list length. MRR is the reciprocal of
+    * the approximate rank at which the TRUE NEAREST neighbor appears
+    * (0 when missed). All three are fractions of ≤k-term sums —
+    * round(...,6) for cross-engine hashing.
+    *
+    * Scale shape: one inner join + two groupBys, all keyed on
+    * query_id (well-spread); nothing corpus-sized is collected —
+    * evaluating 10⁶ held-out queries against a 100 TB index is the
+    * same plan. The expensive half of an eval (producing `truth`) is
+    * the caller's brute-force pass over a SAMPLE of queries; this op
+    * only prices the comparison. */
+  def rankEval(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val t = truth.filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rn").as("trn"))
+    val a = approx.filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rn").as("arn"))
+    val ideal = t.groupBy(col("query_id")).agg(
+      count(lit(1)).as("n_truth"),
+      sum(lit(1.0) / log2(col("trn") + 1)).as("idcg"))
+    val hits = t.join(a, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(
+        count(lit(1)).as("n_hit"),
+        sum(lit(1.0) / log2(col("arn") + 1)).as("dcg"),
+        min(when(col("trn") === 1, col("arn"))).as("rank1"))
+    ideal.join(hits, Seq("query_id"), "left").select(
+      col("query_id"),
+      round(coalesce(col("n_hit"), lit(0L)) / col("n_truth"), 6).as("recall_k"),
+      round(coalesce(lit(1.0) / col("rank1"), lit(0.0)), 6).as("mrr"),
+      round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6).as("ndcg"))
+  }
+
+  /** IVF INDEX HEALTH — per-cell diagnostics over a flat quantizer:
+    * population, load ratio against the uniform ideal (n_vecs·k/N — a
+    * ratio ≫ 1 marks a hot cell that dominates probe cost; 0 marks a
+    * dead cell wasting a centroid), and mean cosine distortion to the
+    * home centroid (1 − the round-4 assignment cosine — the
+    * quantization error that governs recall). This is the measurement
+    * that drives the retrain/re-balance decision behind the √n cell
+    * growth rule: distortion creeping up says k lags corpus growth,
+    * skewed load says the centroids no longer tile the data.
+    *
+    * Empty cells are kept (left join from the centroid list) with
+    * n_vecs = 0 and null distortion. One assignment pass (the same
+    * native descent the serving path uses, so the diagnostics grade
+    * the index as served) + one groupBy(cell) bounded by k + a
+    * broadcast of the k-sized centroid list; N arrives as a 1-row
+    * broadcast cross join. */
+  def ivfCellStats(emb: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val idx = ivfIndex(emb, centroids)
+    val cents = broadcast(
+      centroids.map { case (cid, cv) => (cid.toLong, cv) }
+        .toDF("cell", "cv")
+        .withColumn("cnrm", sqrt(dot(col("cv"), col("cv")))))
+    val st = idx.join(cents, Seq("cell"))
+      .select(col("cell"),
+        (lit(1.0) - round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 4)).as("dist"))
+      .groupBy(col("cell")).agg(
+        count(lit(1)).as("nv"),
+        round(avg(col("dist")), 6).as("mean_distortion"))
+    val tot = idx.agg(count(lit(1)).as("n_total"))
+    cents.select(col("cell")).crossJoin(broadcast(tot))
+      .join(st, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("nv"), lit(0L)).as("n_vecs"),
+        round(coalesce(col("nv"), lit(0L)) * lit(centroids.size) / col("n_total"), 6)
+          .as("load_ratio"),
+        col("mean_distortion"))
+  }
 }

@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus snapshot bookkeeping (beyond-reference tier; no counterpart
+  * in /root/reference — its pipeline reads one static frame per
+  * request). A curation pipeline re-runs over a LIVING corpus: crawls
+  * refresh, takedowns land, cleaning rules change. The operators here
+  * answer "what changed between snapshot A and snapshot B" — the input
+  * to incremental re-processing (only `added`/`changed` docs need
+  * re-scoring/re-embedding; `removed` docs need tombstones in every
+  * derived index) and to the audit trail a dataset release ships.
+  */
+object Snapshot {
+
+  /** CONTENT-ADDRESSED SNAPSHOT DIFF — classify every doc id across
+    * two snapshots as added / removed / changed / unchanged by
+    * comparing md5 digests of the payload column.
+    *
+    * Digests are computed map-side BEFORE the join, so the full-outer
+    * join shuffles (id, 32-char hex) pairs, never documents — diffing
+    * two 100 TB snapshots moves O(ids), and the join keys on the
+    * well-spread doc id. md5 rather than a cheaper 64-bit hash because
+    * the digest doubles as the release manifest's content address
+    * (collision-free for bookkeeping purposes, and both engines agree
+    * on its hex form byte-for-byte).
+    *
+    * Output: (doc_id, status, digest) — digest is the NEW side's when
+    * present (the surviving content), else the removed old one; the
+    * downstream incremental pass filters `status IN ('added',
+    * 'changed')`, the tombstone pass `status = 'removed'`. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String, payloadCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("doc_id"),
+                           md5(col(payloadCol).cast("binary")).as("old_digest"))
+    val n = newSnap.select(col(idCol).as("doc_id"),
+                           md5(col(payloadCol).cast("binary")).as("new_digest"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_digest").isNull, lit("added"))
+          .when(col("new_digest").isNull, lit("removed"))
+          .when(col("old_digest") =!= col("new_digest"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        coalesce(col("new_digest"), col("old_digest")).as("digest"))
+  }
+}

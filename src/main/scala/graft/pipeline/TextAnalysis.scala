@@ -1391,6 +1391,53 @@ object TextAnalysis {
       .withColumn("selected", (col("cum_tokens") <= budgetTokens).cast("long"))
   }
 
+  /** LENGTH-BUCKETED BATCHING diagnostics — split the corpus into
+    * `nBuckets` equal-count length buckets (the ntile rule: bucket =
+    * (rank0 · B) div N + 1 over the (n_tokens, doc_id) total order)
+    * and report each bucket's padded-batch geometry: row count, max
+    * length (the pad target) and the padding-waste ratio
+    * 1 − Σlen/(n·max). This is the knob an inference/training
+    * scheduler turns — more buckets → less waste, more batch
+    * fragmentation — and the report says where the knee is.
+    *
+    * The global length rank is NOT a corpus-sized window: it
+    * decomposes over the distinct-length grid exactly like
+    * [[selectUnderBudget]]'s score rank — one grid-sized prefix window
+    * (distinct lengths ≪ corpus; bounded by the longest doc) plus a
+    * keyed within-length row_number by doc id. N arrives as a 1-row
+    * broadcast. Bucket arithmetic is exact integer division, so the
+    * assignment is reproducible in any engine. */
+  def paddingBuckets(df: DataFrame, idCol: String, textCol: String,
+                     nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be positive")
+    val lens = df.select(col(idCol).as("doc_id"),
+                         tokenCount(col(textCol)).cast("long").as("len"))
+    val perLen = lens.groupBy(col("len")).agg(count(lit(1)).as("docs_l"))
+    val wLen = org.apache.spark.sql.expressions.Window.orderBy(col("len"))
+    val prefix = perLen.select(col("len"),
+      (sum(col("docs_l")).over(wLen) - col("docs_l")).as("docs_before"))
+    val tot = perLen.agg(sum(col("docs_l")).as("n_total"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("len")).orderBy(col("doc_id"))
+    // exact integer division a div N as (a - a mod N) / N: the
+    // numerator is an exact multiple, so the double divide is exact
+    // at any corpus size (no floor-at-the-ulp edge to analyze)
+    val a = ((col("docs_before") + row_number().over(wIn) - 1) * nBuckets)
+      .cast("long")
+    lens.join(prefix, Seq("len")).crossJoin(broadcast(tot))
+      .select(col("len"),
+        (((a - pmod(a, col("n_total"))) / col("n_total")).cast("long") + 1)
+          .as("bucket"))
+      .groupBy(col("bucket")).agg(
+        count(lit(1)).as("n_docs"),
+        max(col("len")).as("max_len"),
+        sum(col("len")).as("sum_len"))
+      .select(col("bucket"), col("n_docs"), col("max_len"),
+        when(col("max_len") === 0, lit(0.0))
+          .otherwise(round(lit(1.0) - col("sum_len") / (col("n_docs") * col("max_len")), 6))
+          .as("waste_ratio"))
+  }
+
   /** PACK CURRICULUM — difficulty-order the training packs: each
     * [[packSequences]] pack scored by the mean per-token LM surprisal
     * ([[lmSurprisal]]) of its member documents, then placed in a

@@ -117,7 +117,9 @@ object EmbeddingQueries {
               col("rn").cast("long").as("rn"))
   }
 
-  private val q65Sql =
+  /** The q65 flat-IVF statement at arbitrary k (q171's approx side
+    * reuses it at k = 5). */
+  private def ivfFlatSql(k: Int): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 32),
       |scored AS (
@@ -138,7 +140,9 @@ object EmbeddingQueries {
       |         row_number() OVER (PARTITION BY query_id
       |                            ORDER BY cos DESC, neighbor_id) AS rn
       |  FROM pairs)
-      |SELECT query_id, neighbor_id, cell, cos, rn FROM ranked WHERE rn <= 3""".stripMargin
+      |SELECT query_id, neighbor_id, cell, cos, rn FROM ranked WHERE rn <= $k""".stripMargin
+
+  private val q65Sql = ivfFlatSql(3)
 
   /** Full-precision cosine with buildCoarseIndex's guard — the Lloyd
     * rounds compare UNROUNDED cosines (only the descent rounds to 4). */
@@ -1187,7 +1191,80 @@ object EmbeddingQueries {
       |  FROM h LEFT JOIN c USING (doc_id)) x
       |WHERE crn = 1""".stripMargin
 
+  /** q171 — RETRIEVAL EVAL ([[Similarity.rankEval]]): the q65 flat-IVF
+    * index (32 cells, nprobe=2) graded at k=5 against q59's exact
+    * brute-force truth for queries 0-4 — recall@5 / MRR / NDCG@5 per
+    * query, the scorecard an index-tuning loop reads. The oracle nests
+    * BOTH retrieval statements (q59 verbatim; q65's statement at k=5)
+    * and replays the metric algebra, so the approximate index, the
+    * ground truth, and the grading are all hash-checked together. */
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = e.filter(col("vec_id") < 32).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    Similarity.rankEval(
+      Similarity.cosineTopK(e, col("vec_id") < 5, 5),
+      Similarity.ivfTopK(e, cents, 5, nprobe = 2), 5)
+  }
+
+  private val q171Sql =
+    s"""WITH tr AS (SELECT query_id, neighbor_id, rn AS trn FROM (${q59Sql}) t59
+      |            WHERE rn <= 5),
+      |ap AS (SELECT query_id, neighbor_id, rn AS arn FROM (${ivfFlatSql(5)}) a65
+      |       WHERE rn <= 5),
+      |ideal AS (
+      |  SELECT query_id, count(*) AS n_truth,
+      |         sum(1.0 / log2(trn + 1)) AS idcg
+      |  FROM tr GROUP BY query_id),
+      |hits AS (
+      |  SELECT tr.query_id, count(*) AS n_hit,
+      |         sum(1.0 / log2(ap.arn + 1)) AS dcg,
+      |         min(CASE WHEN tr.trn = 1 THEN ap.arn END) AS rank1
+      |  FROM tr JOIN ap USING (query_id, neighbor_id)
+      |  GROUP BY tr.query_id)
+      |SELECT i.query_id,
+      |       round(coalesce(h.n_hit, 0) / i.n_truth, 6) AS recall_k,
+      |       round(coalesce(1.0 / h.rank1, 0.0), 6) AS mrr,
+      |       round(coalesce(h.dcg, 0.0) / i.idcg, 6) AS ndcg
+      |FROM ideal i LEFT JOIN hits h USING (query_id)""".stripMargin
+
+  /** q172 — IVF INDEX HEALTH ([[Similarity.ivfCellStats]]): per-cell
+    * population, load ratio vs the uniform ideal, and mean round-4
+    * cosine distortion to the home centroid, over q65's 32-cell
+    * quantizer — the rebalance/retrain signal behind the √n growth
+    * rule. Empty cells kept with n_vecs = 0. The oracle replays the
+    * native descent's home-cell assignment (cos desc, cell asc — the
+    * q65-validated tie rule) and the same aggregate algebra. */
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = e.filter(col("vec_id") < 32).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    Similarity.ivfCellStats(e, cents)
+  }
+
+  private val q172Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 32),
+      |scored AS (
+      |  SELECT e.vec_id, p.pid, ${cosSql("e.v", "p.pv")} AS cs
+      |  FROM e CROSS JOIN p),
+      |home AS (
+      |  SELECT vec_id, pid AS cell, cs FROM (
+      |    SELECT vec_id, pid, cs,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, pid) AS arn
+      |    FROM scored) x WHERE arn = 1),
+      |tot AS (SELECT count(*) AS n_total FROM e),
+      |st AS (
+      |  SELECT cell, count(*) AS nv, round(avg(1 - cs), 6) AS mean_distortion
+      |  FROM home GROUP BY cell)
+      |SELECT p.pid AS cell, coalesce(st.nv, 0) AS n_vecs,
+      |       round(coalesce(st.nv, 0) * 32 / tot.n_total, 6) AS load_ratio,
+      |       st.mean_distortion
+      |FROM p CROSS JOIN tot LEFT JOIN st ON st.cell = p.pid""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q171_rank_eval", q171, Some(q171Sql)),
+    QueryDef("q172_ivf_cell_stats", q172, Some(q172Sql)),
     QueryDef("q59_cosine_topk", q59, Some(q59Sql)),
     QueryDef("q108_semantic_dedup", q108, Some(q108Sql)),
     QueryDef("q164_contrastive_pairs", q164, Some(q164Sql)),

@@ -2740,7 +2740,78 @@ object TextQueries {
       |       CAST(CASE WHEN n <> text THEN 1 ELSE 0 END AS BIGINT) AS changed
       |FROM nrm""".stripMargin
 
+  /** q173 — SNAPSHOT DIFF ([[graft.pipeline.Snapshot.snapshotDiff]]):
+    * v1 = the documents table; v2 = a deterministically mutated second
+    * snapshot (every doc_id % 17 == 3 removed, every % 13 == 5 revised,
+    * every % 29 == 0 re-crawled under a new id) — all four ledger
+    * branches live. The oracle builds the SAME v2 in SQL and replays
+    * the digest compare; md5 hex agrees byte-for-byte across engines,
+    * so the content addresses themselves are hash-checked, not just
+    * the statuses. */
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    val v1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val v2 = v1.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 5, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(v1.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+                concat(col("text"), lit(" (new)")).as("text")))
+    graft.pipeline.Snapshot.snapshotDiff(v1, v2, "doc_id", "text")
+  }
+
+  private val q173Sql =
+    """WITH v1 AS (SELECT doc_id, text FROM documents),
+      |v2 AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 13 = 5 THEN text || ' [rev2]' ELSE text END AS text
+      |  FROM v1 WHERE doc_id % 17 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' (new)' AS text
+      |  FROM v1 WHERE doc_id % 29 = 0),
+      |o AS (SELECT doc_id, md5(text) AS old_digest FROM v1),
+      |n AS (SELECT doc_id, md5(text) AS new_digest FROM v2),
+      |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |             o.old_digest, n.new_digest
+      |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      |SELECT doc_id,
+      |       CASE WHEN old_digest IS NULL THEN 'added'
+      |            WHEN new_digest IS NULL THEN 'removed'
+      |            WHEN old_digest <> new_digest THEN 'changed'
+      |            ELSE 'unchanged' END AS status,
+      |       coalesce(new_digest, old_digest) AS digest
+      |FROM j""".stripMargin
+
+  /** q174 — PADDING-WASTE REPORT ([[TextAnalysis.paddingBuckets]]):
+    * the documents table split into 8 equal-count length buckets; per
+    * bucket the padded-batch geometry (count, pad target, waste
+    * ratio). The oracle computes the same ntile rule with a single
+    * naive rank window — pinning the grid-decomposed distributed rank
+    * to the textbook definition. */
+  private def q174(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextAnalysis.paddingBuckets(
+      t(s, dir, "documents"), "doc_id", "text", 8)
+
+  private val q174Sql =
+    """WITH lens AS (
+      |  SELECT doc_id,
+      |         length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS len
+      |  FROM documents),
+      |tot AS (SELECT count(*) AS n_total FROM lens),
+      |r AS (SELECT len,
+      |             row_number() OVER (ORDER BY len, doc_id) - 1 AS rank0
+      |      FROM lens),
+      |b AS (SELECT len, (rank0 * 8) // n_total + 1 AS bucket
+      |      FROM r CROSS JOIN tot)
+      |SELECT bucket, count(*) AS n_docs, max(len) AS max_len,
+      |       CASE WHEN max(len) = 0 THEN 0.0
+      |            ELSE round(1.0 - sum(len) / (count(*) * max(len)), 6) END
+      |         AS waste_ratio
+      |FROM b GROUP BY bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q173_snapshot_diff", q173, Some(q173Sql)),
+    QueryDef("q174_padding_buckets", q174, Some(q174Sql)),
     QueryDef("q50_token_stats", q50, Some(q50Sql)),
     QueryDef("q51_quality_score", q51, Some(q51Sql)),
     QueryDef("q52_language_id", q52, Some(q52Sql)),

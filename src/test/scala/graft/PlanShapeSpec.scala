@@ -74,7 +74,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // q59 is the exact-ANN baseline: its broadcast side is the QUERY set
     // (queryPred-bounded by contract, a handful of vectors), scanned from
     // the embeddings table — small by construction, not by aggregation.
-    val exempt = Set("q59_cosine_topk")
+    // q171 embeds that same baseline as rankEval's ground-truth side
+    // (eval always runs over a bounded query sample — producing truth is
+    // a brute-force pass, so an unbounded query set is impossible by
+    // construction, not just by hint).
+    val exempt = Set("q59_cosine_topk", "q171_rank_eval")
     for (q <- SparkEntry.all if q.oracle.isDefined && !exempt(q.name)) {
       val hit = forcedBroadcastTables(q.name).intersect(facts)
       assert(hit.isEmpty, s"${q.name} force-broadcasts fact table(s): $hit")

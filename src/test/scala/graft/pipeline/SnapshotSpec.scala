@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 corpus-lifecycle additions: the content-addressed snapshot
+  * diff and the padding-waste bucket report. */
+class SnapshotSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- snapshotDiff ----------------------------------------------------
+
+  test("diff classifies added / removed / changed / unchanged") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "body")
+    val v2 = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "body")
+    val out = Snapshot.snapshotDiff(v1, v2, "id", "body").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+                      3L -> "changed", 4L -> "added"))
+  }
+
+  test("digest is the md5 hex of the surviving payload") {
+    val v1 = Seq((1L, "gone"), (2L, "same")).toDF("id", "body")
+    val v2 = Seq((2L, "same"), (3L, "fresh")).toDF("id", "body")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = Snapshot.snapshotDiff(v1, v2, "id", "body").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == md5hex("gone"))   // removed: the old content address
+    assert(out(2L) == md5hex("same"))
+    assert(out(3L) == md5hex("fresh"))
+  }
+
+  test("identical snapshots diff to all-unchanged") {
+    val v = Seq((1L, "x"), (2L, "y")).toDF("id", "body")
+    val st = Snapshot.snapshotDiff(v, v, "id", "body")
+      .select("status").distinct().collect().map(_.getString(0))
+    assert(st.toSeq == Seq("unchanged"))
+  }
+
+  // ---- paddingBuckets --------------------------------------------------
+
+  test("hand case: 4 docs, 2 buckets") {
+    val docs = Seq((1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.paddingBuckets(docs, "doc_id", "text", 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // bucket 1: lens {1,2}, pad to 2, waste 1 - 3/4; bucket 2: {3,4} pad 4, waste 1 - 7/8
+    assert(out(1L) == ((2L, 2L, 0.25)))
+    assert(out(2L) == ((2L, 4L, 0.125)))
+  }
+
+  test("grid-decomposed rank matches the naive single-window ntile rule") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val n = 37
+    val docs = (1 to n).map(i => (i.toLong, Seq.fill(i % 7 + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val b = 5
+    val out = TextAnalysis.paddingBuckets(docs, "doc_id", "text", b)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = docs
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("len"))
+      .withColumn("r0", row_number().over(Window.orderBy(col("len"), col("doc_id"))) - 1)
+      .withColumn("bucket", ((col("r0") * b) - pmod(col("r0") * b, lit(n.toLong))) / n + 1)
+      .groupBy("bucket").count()
+      .collect().map(r => r.getDouble(0).toLong -> r.getLong(1)).toMap
+    assert(out == naive)
+    assert(out.values.sum == n)
+    // equal-count property: bucket sizes differ by at most 1
+    assert(out.values.max - out.values.min <= 1)
+  }
+
+  test("more buckets never increase total padded waste") {
+    val docs = (1 to 64).map(i => (i.toLong, Seq.fill((i * 13) % 31 + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    def totalPad(nb: Int): Long =
+      TextAnalysis.paddingBuckets(docs, "doc_id", "text", nb)
+        .select((org.apache.spark.sql.functions.col("n_docs") *
+                 org.apache.spark.sql.functions.col("max_len")).as("padded"))
+        .collect().map(_.getLong(0)).sum
+    assert(totalPad(1) >= totalPad(4))
+    assert(totalPad(4) >= totalPad(16))
+  }
+}
