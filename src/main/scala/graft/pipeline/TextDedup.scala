@@ -1368,6 +1368,40 @@ object TextDedup {
               col("i"), col("containment"), col("jaccard"))
   }
 
+  /** TAINT PROPAGATION over duplicate clusters — the complement of
+    * [[keeperByScore]]: keeper selection keeps the BEST copy of a
+    * family; this flags the WHOLE family when any member trips a
+    * per-document gate (quality rules, PII, contamination). The
+    * rationale is the standard curation one: near-duplicates are
+    * renditions of one underlying document, so a spam/leaked verdict
+    * on one rendition is evidence against all of them — a variant that
+    * dodged the gate by the mutation that made it a near-dup (padding,
+    * boilerplate swap) should not survive its flagged sibling.
+    *
+    * `verdict` is a [[dedupCorpus]]-shaped frame (doc_id, cluster);
+    * `flags` carries (doc_id, flagged) — docs absent from `flags`
+    * count as clean. Output keeps every doc with its own flag, the
+    * cluster-level OR, and the cluster's flagged count (the audit
+    * trail: n_flagged vs n distinguishes "one bad copy" from "all bad").
+    *
+    * Scale shape: one left join on doc id, one groupBy(cluster)
+    * bounded by cluster count, one keyed join back — all on
+    * well-spread keys; composes with the incremental/streaming dedup
+    * forms because the per-cluster OR is re-aggregable. */
+  def propagateFlags(verdict: DataFrame, flags: DataFrame): DataFrame = {
+    val v = verdict.select(col("doc_id"), col("cluster"))
+    val f = flags.select(col("doc_id"), col("flagged").cast("long").as("own_flag"))
+    val j = v.join(f, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster"),
+              coalesce(col("own_flag"), lit(0L)).as("own_flag"))
+    val cl = j.groupBy(col("cluster")).agg(
+      sum(col("own_flag")).as("n_flagged"),
+      max(col("own_flag")).as("cluster_flagged"))
+    j.join(cl, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("own_flag"),
+              col("cluster_flagged"), col("n_flagged"))
+  }
+
   /** Padded-text substring occurrence count via `replace` + length
     * arithmetic — identical non-overlapping left-to-right scan semantics
     * in every engine. Exposed for quality/langid scoring. */

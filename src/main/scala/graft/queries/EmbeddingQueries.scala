@@ -1262,8 +1262,42 @@ object EmbeddingQueries {
       |       st.mean_distortion
       |FROM p CROSS JOIN tot LEFT JOIN st ON st.cell = p.pid""".stripMargin
 
+  /** q176 — INCREMENTAL EMBEDDING REFRESH ([[graft.pipeline.Snapshot
+    * .incrementalRefresh]] over [[Similarity.embedDocs]]): q173's
+    * snapshot diff drives the update — unchanged docs carry their v1
+    * vectors forward, added/changed docs re-embed, removed docs drop.
+    * The oracle computes the FULL rebuild over v2 directly (q141's
+    * CTEs rebased onto the mutated snapshot), so the hash check IS the
+    * refresh ≡ rebuild invariant: the incremental path must reproduce
+    * recomputing everything, bit for bit, while touching only the
+    * ~15% changed fraction. */
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    val v1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val v2 = v1.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 5, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(v1.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+                concat(col("text"), lit(" (new)")).as("text")))
+    val oldVecs = Similarity.embedDocs(v1, "doc_id", "text")
+    val diff = graft.pipeline.Snapshot.snapshotDiff(v1, v2, "doc_id", "text")
+    graft.pipeline.Snapshot.incrementalRefresh(diff, oldVecs, v2)(
+        w => Similarity.embedDocs(w, "doc_id", "text"))
+      .select(col("doc_id"), posexplode(col("v")).as(Seq("j", "ev")))
+      .select(col("doc_id"), col("j").cast("long").as("j"),
+              col("ev").cast("long").as("ev"))
+  }
+
+  private val q176Sql =
+    s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+      |${TextQueries.snapshotV2Cte},
+      |${embCtes.replace("FROM documents", "FROM v2")}
+      |SELECT doc_id, CAST(j AS BIGINT) AS j, ev FROM epj""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q171_rank_eval", q171, Some(q171Sql)),
+    QueryDef("q176_incremental_embed", q176, Some(q176Sql)),
     QueryDef("q172_ivf_cell_stats", q172, Some(q172Sql)),
     QueryDef("q59_cosine_topk", q59, Some(q59Sql)),
     QueryDef("q108_semantic_dedup", q108, Some(q108Sql)),

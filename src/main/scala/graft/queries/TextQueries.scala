@@ -2760,15 +2760,23 @@ object TextQueries {
     graft.pipeline.Snapshot.snapshotDiff(v1, v2, "doc_id", "text")
   }
 
-  private val q173Sql =
-    """WITH v1 AS (SELECT doc_id, text FROM documents),
-      |v2 AS (
+  /** The q173/q176 synthetic second snapshot, shared by both oracles
+    * (removals, revisions, and re-crawled new ids from the v1 CTE).
+    * A def, not a val: EmbeddingQueries interpolates it during ITS
+    * object init, which the cross-object reference cycle can reach
+    * before this object's vals are assigned. */
+  private[queries] def snapshotV2Cte =
+    """v2 AS (
       |  SELECT doc_id,
       |         CASE WHEN doc_id % 13 = 5 THEN text || ' [rev2]' ELSE text END AS text
       |  FROM v1 WHERE doc_id % 17 <> 3
       |  UNION ALL
       |  SELECT doc_id + 1000000 AS doc_id, text || ' (new)' AS text
-      |  FROM v1 WHERE doc_id % 29 = 0),
+      |  FROM v1 WHERE doc_id % 29 = 0)""".stripMargin
+
+  private val q173Sql =
+    s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+      |$snapshotV2Cte,
       |o AS (SELECT doc_id, md5(text) AS old_digest FROM v1),
       |n AS (SELECT doc_id, md5(text) AS new_digest FROM v2),
       |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
@@ -2809,8 +2817,36 @@ object TextQueries {
       |         AS waste_ratio
       |FROM b GROUP BY bucket""".stripMargin
 
+  /** q175 — TAINT PROPAGATION ([[graft.pipeline.TextDedup
+    * .propagateFlags]]): q80's duplicate clusters × q109's quality
+    * gate — any member failing the gate flags its whole near-dup
+    * family ("the spam variant condemns its siblings"), with the
+    * per-cluster flagged count as the audit trail. The oracle nests
+    * BOTH full statements (the recursive closure and the rule table)
+    * and replays the cluster OR. */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val verdict = graft.pipeline.TextDedup.dedupCorpus(docs, "doc_id", "text")
+    val flags = graft.pipeline.TextAnalysis.qualityRules(docs, "doc_id", "text")
+      .select(col("doc_id"), (lit(1L) - col("q_keep")).as("flagged"))
+    graft.pipeline.TextDedup.propagateFlags(verdict, flags)
+  }
+
+  private val q175Sql =
+    s"""WITH v AS (SELECT doc_id, cluster FROM (${q80Sql}) q80v),
+      |f AS (SELECT doc_id, 1 - q_keep AS own_flag0 FROM (${q109Sql}) q109v),
+      |j AS (SELECT v.doc_id, v.cluster,
+      |             CAST(coalesce(f.own_flag0, 0) AS BIGINT) AS own_flag
+      |      FROM v LEFT JOIN f ON f.doc_id = v.doc_id),
+      |cl AS (SELECT cluster, CAST(sum(own_flag) AS BIGINT) AS n_flagged,
+      |              max(own_flag) AS cluster_flagged
+      |       FROM j GROUP BY 1)
+      |SELECT j.doc_id, j.cluster, j.own_flag, cl.cluster_flagged, cl.n_flagged
+      |FROM j JOIN cl USING (cluster)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q173_snapshot_diff", q173, Some(q173Sql)),
+    QueryDef("q175_taint_propagation", q175, Some(q175Sql)),
     QueryDef("q174_padding_buckets", q174, Some(q174Sql)),
     QueryDef("q50_token_stats", q50, Some(q50Sql)),
     QueryDef("q51_quality_score", q51, Some(q51Sql)),
