@@ -76,6 +76,46 @@ object TextAnalysis {
     df0.withColumn("lang_pred", pred)
   }
 
+  /** UNICODE SCRIPT PROFILE — per-document code-point census over the
+    * script classes a multilingual curation pass routes on (the
+    * CCNet/RedPajama-style script filter, and the encoding-damage
+    * detector: a high `n_other` share on a feed that used to be clean
+    * is mojibake arriving). Classes: Latin letters, CJK unified
+    * ideographs, combining marks (decomposed accents — a high
+    * marks-to-letters ratio flags NFC-unnormalized feeds for [[
+    * normalizeDocs]]), supplementary-plane code points (emoji/math),
+    * digits, plain spaces, and the remainder. `script` is the
+    * dominant writing system (latin / cjk / other, ties in that
+    * order; 'und' for empty text).
+    *
+    * Counting is length arithmetic over class-stripping
+    * `regexp_replace` — code-POINT semantics in both engines (Spark
+    * `length` counts code points, astral chars included), so the
+    * census is hash-checkable. Pure per-row projection: zero
+    * shuffles, streaming-safe, whole-stage codegen with compiled-once
+    * regex literals. */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(pat: String) = (length(t) - length(regexp_replace(t, lit(pat), lit(""))))
+    val nChars = length(t).cast("long")
+    val latin  = cnt("[A-Za-z]").cast("long")
+    val cjk    = cnt("[\\x{4e00}-\\x{9fff}]").cast("long")
+    val marks  = cnt("[\\x{0300}-\\x{036f}]").cast("long")
+    val astral = cnt("[\\x{10000}-\\x{10ffff}]").cast("long")
+    val digit  = cnt("[0-9]").cast("long")
+    val space  = cnt("[ ]").cast("long")
+    val other  = nChars - latin - cjk - marks - astral - digit - space
+    val script = when(nChars === 0, lit("und"))
+      .when(latin >= cjk && latin >= other && latin > 0, lit("latin"))
+      .when(cjk >= other && cjk > 0, lit("cjk"))
+      .when(other > 0, lit("other"))
+      .otherwise(lit("und"))
+    df.select(col(idCol).as("doc_id"), nChars.as("n_chars"),
+              latin.as("n_latin"), cjk.as("n_cjk"), marks.as("n_marks"),
+              astral.as("n_astral"), digit.as("n_digit"), space.as("n_space"),
+              other.as("n_other"), script.as("script"))
+  }
+
   /** q53 projection: md5 content fingerprint + 8-hex prefix. */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

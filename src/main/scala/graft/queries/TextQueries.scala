@@ -2844,9 +2844,45 @@ object TextQueries {
       |SELECT j.doc_id, j.cluster, j.own_flag, cl.cluster_flagged, cl.n_flagged
       |FROM j JOIN cl USING (cluster)""".stripMargin
 
+  /** q177 — UNICODE SCRIPT PROFILE ([[TextAnalysis.scriptProfile]])
+    * over the q91 multibyte union, so every census class is live: the
+    * ASCII corpus (latin), the CJK fixture, decomposed accents
+    * (combining marks), and astral emoji/math. Both engines count
+    * code points via class-stripping regexp_replace (DuckDB needs the
+    * explicit 'g' flag — Spark replaces globally by default), so the
+    * census and the dominant-script CASE are hash-checked. */
+  private def q177(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.scriptProfile(mbDocs(s, dir), "doc_id", "text")
+
+  private val q177Sql = {
+    def c(pat: String) =
+      s"CAST(length(text) - length(regexp_replace(text, '$pat', '', 'g')) AS BIGINT)"
+    val other = "(n_chars - n_latin - n_cjk - n_marks - n_astral - n_digit - n_space)"
+    s"""WITH $mbSrcCte,
+      |prof AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+      |         ${c("[A-Za-z]")} AS n_latin,
+      |         ${c("[\\x{4e00}-\\x{9fff}]")} AS n_cjk,
+      |         ${c("[\\x{0300}-\\x{036f}]")} AS n_marks,
+      |         ${c("[\\x{10000}-\\x{10ffff}]")} AS n_astral,
+      |         ${c("[0-9]")} AS n_digit,
+      |         ${c("[ ]")} AS n_space
+      |  FROM mbdocs)
+      |SELECT doc_id, n_chars, n_latin, n_cjk, n_marks, n_astral, n_digit,
+      |       n_space, $other AS n_other,
+      |       CASE WHEN n_chars = 0 THEN 'und'
+      |            WHEN n_latin >= n_cjk AND n_latin >= $other AND n_latin > 0
+      |              THEN 'latin'
+      |            WHEN n_cjk >= $other AND n_cjk > 0 THEN 'cjk'
+      |            WHEN $other > 0 THEN 'other'
+      |            ELSE 'und' END AS script
+      |FROM prof""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q173_snapshot_diff", q173, Some(q173Sql)),
     QueryDef("q175_taint_propagation", q175, Some(q175Sql)),
+    QueryDef("q177_script_profile", q177, Some(q177Sql)),
     QueryDef("q174_padding_buckets", q174, Some(q174Sql)),
     QueryDef("q50_token_stats", q50, Some(q50Sql)),
     QueryDef("q51_quality_score", q51, Some(q51Sql)),

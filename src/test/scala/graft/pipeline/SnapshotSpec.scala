@@ -40,6 +40,37 @@ class SnapshotSpec extends AnyFunSuite {
     assert(st.toSeq == Seq("unchanged"))
   }
 
+  // ---- scriptProfile ---------------------------------------------------
+
+  test("script census counts code points per class, astral chars as ONE") {
+    val docs = Seq(
+      (1L, "ab 12"),                       // latin 2, digit 2, space 1
+      (2L, "\u6c49\u5b57"),                // cjk 2
+      (3L, "e\u0301e\u0301"),              // latin 2 + 2 combining marks
+      (4L, "\ud83c\udf84"),                // one astral code point
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def row(id: Long) = {
+      val r = out(id)
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+       r.getLong(6), r.getLong(7), r.getLong(8), r.getString(9))
+    }
+    assert(row(1L) == ((5L, 2L, 0L, 0L, 0L, 2L, 1L, 0L, "latin")))
+    assert(row(2L) == ((2L, 0L, 2L, 0L, 0L, 0L, 0L, 0L, "cjk")))
+    assert(row(3L) == ((4L, 2L, 0L, 2L, 0L, 0L, 0L, 0L, "latin")))
+    assert(row(4L) == ((1L, 0L, 0L, 0L, 1L, 0L, 0L, 0L, "und")))
+    assert(row(5L) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, "und")))
+  }
+
+  test("mojibake arrives as n_other; dominance falls to 'other'") {
+    val docs = Seq((1L, "\ufffd\ufffd\ufffd a")).toDF("doc_id", "text")
+    val r = TextAnalysis.scriptProfile(docs, "doc_id", "text").collect().head
+    assert(r.getLong(8) == 3L)           // three replacement chars
+    assert(r.getString(9) == "other")
+  }
+
   // ---- propagateFlags (the cluster-taint consumer of the diff's
   // re-audit work list lives here with the other lifecycle ops) ---------
 
