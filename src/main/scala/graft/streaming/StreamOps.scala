@@ -685,6 +685,18 @@ object StreamOps {
     graft.pipeline.TextAnalysis.dsirScoreServe(stream, idCol, textCol,
                                                bucketScores, salt)
 
+  /** Streaming script gate: the Unicode code-point census
+    * ([[graft.pipeline.TextAnalysis.scriptProfile]]) at ingestion — a
+    * pure per-row projection (compiled-once regex literals, no state,
+    * no shuffle), so batch ≡ stream by construction (spec-pinned).
+    * This is the live mojibake alarm: a feed whose `n_other` share
+    * jumps mid-stream is an upstream encoding regression caught at
+    * the gate, before a single damaged document reaches the corpus;
+    * `script` routes multilingual arrivals to per-script pipelines. */
+  def streamingScriptGate(stream: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    graft.pipeline.TextAnalysis.scriptProfile(stream, idCol, textCol)
+
   case class SeriesUpdate(series: String, n: Long, sum: Double,
                           min_ts: java.sql.Timestamp, max_ts: java.sql.Timestamp)
 

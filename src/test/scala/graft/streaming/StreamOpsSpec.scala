@@ -127,7 +127,8 @@ class StreamOpsSpec extends AnyFunSuite {
 
     val cases: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
       "mixture" -> (df => StreamOps.streamingMixtureGate(df, rates, "doc_id", "source")),
-      "dsir" -> (df => StreamOps.streamingDsirGate(df, "doc_id", "text", table)))
+      "dsir" -> (df => StreamOps.streamingDsirGate(df, "doc_id", "text", table)),
+      "script" -> (df => StreamOps.streamingScriptGate(df, "doc_id", "text")))
     for ((name, op) <- cases) {
       val expected = op(docs).collect().map(_.toString).toSet
       val q = op(stream).writeStream.outputMode("append")
