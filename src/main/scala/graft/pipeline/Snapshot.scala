@@ -76,4 +76,33 @@ object Snapshot {
     val fresh = rebuild(newCorpus.join(work, Seq("doc_id"), "left_semi"))
     carried.unionByName(fresh)
   }
+
+  /** CROSS-SNAPSHOT NOVELTY — how much genuinely NEW content a crawl
+    * delta brings: per arriving document, the fraction of its distinct
+    * word n-grams absent from the reference corpus's gram set. The
+    * continual-pretraining admission signal — a "new" feed whose docs
+    * score near 0 is re-syndication of what the model already trained
+    * on (pay dedup cost, gain nothing), while novelty spikes mark
+    * content drift worth a mixture-weight revisit. Complements
+    * [[snapshotDiff]]: the diff says WHICH docs are new bytes, this
+    * says whether the bytes are new INFORMATION.
+    *
+    * Scale shape: the reference gram set is corpus-sized and joins
+    * UNHINTED on the well-spread gram key (the lmSurprisal lesson — a
+    * forced broadcast of a 100 TB corpus vocabulary is an OOM); the
+    * arriving side is delta-sized. One distinct per side, one keyed
+    * left join, one per-doc aggregate. Docs with < n words emit no
+    * row (the shingle-table contract shared with the dedup family). */
+  def noveltyVsCorpus(newDocs: DataFrame, refDocs: DataFrame,
+                      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val ref = graft.pipeline.TextDedup.ngramShingles(refDocs, idCol, textCol, n)
+      .select(col("bg")).distinct().withColumn("seen", lit(1L))
+    graft.pipeline.TextDedup.ngramShingles(newDocs, idCol, textCol, n)
+      .join(ref, Seq("bg"), "left")
+      .groupBy(col("id").as("doc_id")).agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+              round(lit(1.0) - col("n_seen") / col("n_grams"), 6).as("novelty"))
+  }
 }

@@ -1273,13 +1273,7 @@ object EmbeddingQueries {
     * ~15% changed fraction. */
   private def q176(s: SparkSession, dir: String): DataFrame = {
     val v1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val v2 = v1.filter(col("doc_id") % 17 =!= 3)
-      .select(col("doc_id"),
-        when(col("doc_id") % 13 === 5, concat(col("text"), lit(" [rev2]")))
-          .otherwise(col("text")).as("text"))
-      .unionAll(v1.filter(col("doc_id") % 29 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-                concat(col("text"), lit(" (new)")).as("text")))
+    val v2 = TextQueries.snapshotV2(v1)
     val oldVecs = Similarity.embedDocs(v1, "doc_id", "text")
     val diff = graft.pipeline.Snapshot.snapshotDiff(v1, v2, "doc_id", "text")
     graft.pipeline.Snapshot.incrementalRefresh(diff, oldVecs, v2)(

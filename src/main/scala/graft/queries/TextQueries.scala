@@ -2748,16 +2748,20 @@ object TextQueries {
     * the digest compare; md5 hex agrees byte-for-byte across engines,
     * so the content addresses themselves are hash-checked, not just
     * the statuses. */
-  private def q173(s: SparkSession, dir: String): DataFrame = {
-    val v1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val v2 = v1.filter(col("doc_id") % 17 =!= 3)
+  /** The Spark-side twin of [[snapshotV2Cte]], shared by q173/q176/q178. */
+  private[queries] def snapshotV2(v1: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    v1.filter(col("doc_id") % 17 =!= 3)
       .select(col("doc_id"),
         when(col("doc_id") % 13 === 5, concat(col("text"), lit(" [rev2]")))
           .otherwise(col("text")).as("text"))
       .unionAll(v1.filter(col("doc_id") % 29 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
                 concat(col("text"), lit(" (new)")).as("text")))
-    graft.pipeline.Snapshot.snapshotDiff(v1, v2, "doc_id", "text")
+
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    val v1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    graft.pipeline.Snapshot.snapshotDiff(v1, snapshotV2(v1), "doc_id", "text")
   }
 
   /** The q173/q176 synthetic second snapshot, shared by both oracles
@@ -2879,10 +2883,54 @@ object TextQueries {
       |FROM prof""".stripMargin
   }
 
+  /** q178 — CROSS-SNAPSHOT NOVELTY ([[graft.pipeline.Snapshot
+    * .noveltyVsCorpus]]): the q173 delta's added/changed docs scored
+    * for distinct-trigram novelty against the v1 corpus — "are the new
+    * bytes new INFORMATION". Changed docs (a ' [rev2]' suffix on known
+    * text) score near 0, re-crawled clones slightly higher (their
+    * ' (new)' boundary grams), so the metric visibly separates
+    * revision from genuine novelty even on the synthetic delta. The
+    * oracle derives the same work list from digest compares and
+    * replays both gram tables with the q158 trigram CTE idiom. */
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    val v1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val v2 = snapshotV2(v1)
+    val diff = graft.pipeline.Snapshot.snapshotDiff(v1, v2, "doc_id", "text")
+    val fresh = v2.join(diff.filter(col("status").isin("added", "changed"))
+      .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    graft.pipeline.Snapshot.noveltyVsCorpus(fresh, v1, "doc_id", "text")
+  }
+
+  private val q178Sql =
+    s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+      |$snapshotV2Cte,
+      |o AS (SELECT doc_id, md5(text) AS h1 FROM v1),
+      |nn AS (SELECT doc_id, md5(text) AS h2 FROM v2),
+      |work AS (
+      |  SELECT nn.doc_id FROM nn LEFT JOIN o USING (doc_id)
+      |  WHERE o.h1 IS NULL OR o.h1 <> nn.h2),
+      |nd AS (SELECT v2.doc_id, v2.text FROM v2 JOIN work USING (doc_id)),
+      |refw AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM v1),
+      |refg AS (SELECT DISTINCT ws[i] || '_' || ws[i+1] || '_' || ws[i+2] AS bg
+      |         FROM refw, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+      |         WHERE len(ws) >= 3),
+      |nw AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM nd),
+      |ng AS (SELECT DISTINCT doc_id, ws[i] || '_' || ws[i+1] || '_' || ws[i+2] AS bg
+      |       FROM nw, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+      |       WHERE len(ws) >= 3),
+      |per AS (SELECT ng.doc_id, count(*) AS n_grams,
+      |               sum(CASE WHEN refg.bg IS NOT NULL THEN 1 ELSE 0 END) AS n_seen
+      |        FROM ng LEFT JOIN refg ON refg.bg = ng.bg GROUP BY 1)
+      |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+      |       CAST(n_seen AS BIGINT) AS n_seen,
+      |       round(1.0 - n_seen * 1.0 / n_grams, 6) AS novelty
+      |FROM per""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q173_snapshot_diff", q173, Some(q173Sql)),
     QueryDef("q175_taint_propagation", q175, Some(q175Sql)),
     QueryDef("q177_script_profile", q177, Some(q177Sql)),
+    QueryDef("q178_snapshot_novelty", q178, Some(q178Sql)),
     QueryDef("q174_padding_buckets", q174, Some(q174Sql)),
     QueryDef("q50_token_stats", q50, Some(q50Sql)),
     QueryDef("q51_quality_score", q51, Some(q51Sql)),

@@ -185,7 +185,8 @@ class PlanShapeSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     for (q <- Seq("q61_media_meta", "q62_frame_features",
                   "q63_image_decode", "q71_audio_decode", "q72_cdc_chunks",
-                  "q55_minhash_signature", "q58_simhash", "q75_dataset_split")) {
+                  "q55_minhash_signature", "q58_simhash", "q75_dataset_split",
+                  "q177_script_profile")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
       val n = plan.collect { case e: ShuffleExchangeExec => e }.size
       assert(n == 0, s"$q plans $n shuffles (expected 0):\n$plan")

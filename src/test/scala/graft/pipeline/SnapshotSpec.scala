@@ -119,6 +119,32 @@ class SnapshotSpec extends AnyFunSuite {
     assert(rebuilt == Seq(3L, 4L))
   }
 
+  // ---- noveltyVsCorpus -------------------------------------------------
+
+  test("novelty: verbatim re-syndication scores 0, unseen content 1, suffix revision between") {
+    val ref = Seq((1L, "the quick brown fox jumps"),
+                  (2L, "pack my box with jugs")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps"),          // verbatim copy
+      (11L, "entirely different words here now"),  // all-new trigrams
+      (12L, "the quick brown fox jumps again")     // 1 novel of 4 trigrams
+    ).toDF("doc_id", "text")
+    val out = Snapshot.noveltyVsCorpus(fresh, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+                                            r.getDouble(3)))).toMap
+    assert(out(10L) == ((3L, 3L, 0.0)))
+    assert(out(11L) == ((3L, 0L, 1.0)))
+    assert(out(12L) == ((4L, 3L, 0.25)))
+  }
+
+  test("novelty counts DISTINCT grams (repetition cannot inflate it)") {
+    val ref = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val fresh = Seq((10L, "x y z x y z x y z")).toDF("doc_id", "text")
+    val r = Snapshot.noveltyVsCorpus(fresh, ref, "doc_id", "text").collect().head
+    // 9 words -> 7 positional trigrams but only 3 distinct cyclic forms
+    assert(r.getLong(1) == 3L && r.getDouble(3) == 1.0)
+  }
+
   // ---- paddingBuckets --------------------------------------------------
 
   test("hand case: 4 docs, 2 buckets") {
