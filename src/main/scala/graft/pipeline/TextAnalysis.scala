@@ -1431,6 +1431,48 @@ object TextAnalysis {
       .withColumn("selected", (col("cum_tokens") <= budgetTokens).cast("long"))
   }
 
+  /** PER-SOURCE QUALITY CALIBRATION — make quality scores comparable
+    * ACROSS sources by replacing each score with its percentile within
+    * its own source. Raw scores are source-biased (a feed of short
+    * listicles and one of long essays occupy different score bands for
+    * reasons that are style, not quality), so a single global
+    * threshold over-prunes one feed and under-prunes another; the
+    * per-source percent-rank is the standard calibration before any
+    * cross-source selection ([[selectUnderBudget]], [[
+    * sourceQuotaCap]]'s keep rule, mixture reweighting).
+    *
+    * pct_rank follows the SQL percent_rank definition —
+    * (rank − 1)/(n − 1) with rank() tie semantics, single-doc sources
+    * at 0 — but is computed WITHOUT a source-sized window: scores are
+    * e6-quantized and the rank of a doc is simply the count of
+    * strictly-lower quantized scores in its source (ties share it),
+    * which the (source, s_e6) GRID provides — a grid-sized window per
+    * source plus one keyed join, the [[selectUnderBudget]]
+    * decomposition one key deeper. A 10⁹-doc mega-source never sorts
+    * in one task. */
+  def calibrateQuality(df: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String): DataFrame = {
+    val scored = df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+                           col(textCol).as("__t"))
+    val base = qualityScore(scored, "doc_id", "__t")
+      .select(col("doc_id"), round(col("quality_score") * 1e6).cast("long").as("s_e6"))
+      .join(scored.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val grid = base.groupBy(col("source"), col("s_e6"))
+      .agg(count(lit(1)).as("docs_s"))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("s_e6"))
+    val prefix = grid.select(col("source"), col("s_e6"),
+      (sum(col("docs_s")).over(wSrc) - col("docs_s")).as("below"),
+      sum(col("docs_s")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source")))
+        .as("n_source"))
+    base.join(prefix, Seq("source", "s_e6"))
+      .select(col("doc_id"), col("source"), col("s_e6"),
+        when(col("n_source") === 1, lit(0.0))
+          .otherwise(round(col("below") / (col("n_source") - 1), 6))
+          .as("pct_rank"))
+  }
+
   /** LENGTH-BUCKETED BATCHING diagnostics — split the corpus into
     * `nBuckets` equal-count length buckets (the ntile rule: bucket =
     * (rank0 · B) div N + 1 over the (n_tokens, doc_id) total order)

@@ -2926,11 +2926,35 @@ object TextQueries {
       |       round(1.0 - n_seen * 1.0 / n_grams, 6) AS novelty
       |FROM per""".stripMargin
 
+  /** q179 — PER-SOURCE QUALITY CALIBRATION ([[TextAnalysis
+    * .calibrateQuality]]): every document's quality score replaced by
+    * its percentile WITHIN its source (SQL percent_rank semantics,
+    * ties shared) — the cross-source comparability step before any
+    * global threshold. The oracle computes the textbook
+    * `percent_rank() OVER (PARTITION BY source ORDER BY ...)` while
+    * the engine runs the grid-decomposed rank (no source-sized window
+    * partition), so the decomposition is hash-pinned to the standard
+    * definition — the q161/q174 pattern one key deeper. */
+  private def q179(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.calibrateQuality(t(s, dir, "documents"), "doc_id", "text",
+                                  "source")
+
+  private val q179Sql =
+    s"""WITH sc AS (SELECT doc_id, quality_score FROM ($q51Sql) q51v),
+      |b AS (SELECT d.doc_id, d.source,
+      |             CAST(round(sc.quality_score * 1000000) AS BIGINT) AS s_e6
+      |      FROM documents d JOIN sc ON sc.doc_id = d.doc_id)
+      |SELECT doc_id, source, s_e6,
+      |       round(percent_rank() OVER (PARTITION BY source ORDER BY s_e6), 6)
+      |         AS pct_rank
+      |FROM b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q173_snapshot_diff", q173, Some(q173Sql)),
     QueryDef("q175_taint_propagation", q175, Some(q175Sql)),
     QueryDef("q177_script_profile", q177, Some(q177Sql)),
     QueryDef("q178_snapshot_novelty", q178, Some(q178Sql)),
+    QueryDef("q179_quality_calibration", q179, Some(q179Sql)),
     QueryDef("q174_padding_buckets", q174, Some(q174Sql)),
     QueryDef("q50_token_stats", q50, Some(q50Sql)),
     QueryDef("q51_quality_score", q51, Some(q51Sql)),

@@ -119,6 +119,31 @@ class SnapshotSpec extends AnyFunSuite {
     assert(rebuilt == Seq(3L, 4L))
   }
 
+  // ---- calibrateQuality ------------------------------------------------
+
+  test("calibration matches naive percent_rank; ties share; singleton source is 0") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = ((1 to 19).map { i =>
+      val words = Seq.fill(i % 5 + 2)(if (i % 3 == 0) "the" else s"w$i")
+      (i.toLong, s"src${i % 3}", words.mkString(" "))
+    } :+ ((100L, "solo", "only doc of its source"))).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.calibrateQuality(docs, "doc_id", "text", "source")
+    val got = out.collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val naive = out.withColumn("pr",
+        round(percent_rank().over(
+          Window.partitionBy(col("source")).orderBy(col("s_e6"))), 6))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("pr")).toMap
+    assert(got == naive)
+    assert(got(100L) == 0.0)
+    // duplicate text => identical score => identical percentile
+    val dup = Seq((1L, "a", "same words here"), (2L, "a", "same words here"),
+                  (3L, "a", "the the the")).toDF("doc_id", "source", "text")
+    val d = TextAnalysis.calibrateQuality(dup, "doc_id", "text", "source")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(d(1L) == d(2L))
+  }
+
   // ---- noveltyVsCorpus -------------------------------------------------
 
   test("novelty: verbatim re-syndication scores 0, unseen content 1, suffix revision between") {
