@@ -290,6 +290,22 @@ object CorpusSketch {
     df.select(explode(array(hs: _*)).as("b")).distinct()
   }
 
+  /** Pack a [[bloomBits]] frame into the word array a zero-shuffle
+    * serving probe embeds as a plan literal: mBits/64 longs (2^18 bits
+    * = 4 KB) REGARDLESS of how many keys built the filter — the whole
+    * point of serving membership from a sketch instead of the index.
+    * The collect is bounded by mBits, not the corpus. */
+  def packBloomBits(bits: DataFrame, mBits: Int): Seq[Long] = {
+    require(mBits >= 64 && mBits % 64 == 0,
+            "mBits must be a positive multiple of 64")
+    val words = new Array[Long](mBits / 64)
+    bits.select(col("b")).collect().foreach { r =>
+      val b = r.getLong(0)
+      words((b / 64).toInt) |= (1L << (b % 64).toInt)
+    }
+    words.toSeq
+  }
+
   /** Probe keys against a built filter: every input row returns with
     * its hit count and `maybe_seen` = 1 iff ALL k positions are set
     * (duplicate positions from intra-key hash collisions count

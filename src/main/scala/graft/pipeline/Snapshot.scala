@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus snapshot bookkeeping (beyond-reference tier; no counterpart
@@ -104,5 +104,45 @@ object Snapshot {
         sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
       .select(col("doc_id"), col("n_grams"), col("n_seen"),
               round(lit(1.0) - col("n_seen") / col("n_grams"), 6).as("novelty"))
+  }
+
+  /** SERVING-PATH NOVELTY — [[noveltyVsCorpus]] as ONE per-row
+    * projection against a gram BLOOM FILTER packed into a plan literal
+    * ([[graft.pipeline.CorpusSketch.packBloomBits]]): each arriving
+    * document's word n-grams probe the bitmask in an `aggregate` fold,
+    * no explode, no groupBy, no join — the shape that streams in
+    * append mode and prices a 100 TB corpus's gram set at mBits/8
+    * bytes of task binary (the dsirScoreServe posture, membership
+    * instead of scores).
+    *
+    * Two DOCUMENTED approximations vs the exact batch op: (1) bloom
+    * false positives mark unseen grams as seen, so `novelty_est` is a
+    * one-sided UNDER-estimate (never over — no false negatives);
+    * (2) grams are counted per OCCURRENCE, not distinct (a projection
+    * cannot dedup) — occurrence-weighted novelty, the admission-gate
+    * reading. Both collapse at head-room mBits (spec-pinned equal to
+    * the exact op on disjoint-gram corpora). */
+  def noveltyServe(rows: DataFrame, idCol: String, textCol: String,
+                   mask: Seq[Long], mBits: Int, k: Int = 3, n: Int = 3,
+                   salt: String = "bloom"): DataFrame = {
+    require(mask.size * 64 == mBits, s"mask must hold exactly $mBits bits")
+    require(k >= 1 && n >= 2, "need k >= 1 hash probes and n >= 2 gram order")
+    val maskLit = typedlit(mask)
+    def seen(g: Column): Column = (0 until k).map { j =>
+      val b = pmod(CorpusSketch.h32(g, s"$salt|$j|"), lit(mBits.toLong))
+      // b/64 is exact in doubles (power-of-two divisor); element_at is 1-based
+      call_function("shiftright",
+          element_at(maskLit, (b / 64).cast("int") + 1),
+          pmod(b, lit(64L)).cast("int"))
+        .bitwiseAND(lit(1L))
+    }.reduce(_ * _)
+    rows.select(col(idCol).as("doc_id"), split(trim(col(textCol)), " ").as("l"))
+      .filter(size(col("l")) >= n)
+      .withColumn("g", transform(sequence(lit(1), size(col("l")) - (n - 1)),
+        i => concat_ws("_", (0 until n).map(o => element_at(col("l"), i + o)): _*)))
+      .select(col("doc_id"), size(col("g")).cast("long").as("n_grams"),
+        aggregate(col("g"), lit(0L), (acc, g) => acc + seen(g)).as("n_seen_est"))
+      .withColumn("novelty_est",
+        round(lit(1.0) - col("n_seen_est") / col("n_grams"), 6))
   }
 }

@@ -2949,12 +2949,78 @@ object TextQueries {
       |         AS pct_rank
       |FROM b""".stripMargin
 
+  /** q180 — SERVING-PATH NOVELTY GATE ([[graft.pipeline.Snapshot
+    * .noveltyServe]]): q178's work list re-scored through the
+    * zero-shuffle bloom projection (2^16-bit gram filter over v1,
+    * k=3) instead of the exact gram join — the streaming form's plan,
+    * hash-checked: the oracle replays the bloom BIT ARITHMETIC (every
+    * set bit, every probe, the all-k conjunction) and the
+    * occurrence-weighted fold, so the sketch path itself sits under
+    * the oracle, false positives included. */
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    val v1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val v2 = snapshotV2(v1)
+    val diff = graft.pipeline.Snapshot.snapshotDiff(v1, v2, "doc_id", "text")
+    val fresh = v2.join(diff.filter(col("status").isin("added", "changed"))
+      .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val mBits = 1 << 16
+    val bits = graft.pipeline.CorpusSketch.bloomBits(
+      TextDedup.ngramShingles(v1, "doc_id", "text", 3).select(col("bg")),
+      "bg", mBits, 3)
+    val mask = graft.pipeline.CorpusSketch.packBloomBits(bits, mBits)
+    graft.pipeline.Snapshot.noveltyServe(fresh, "doc_id", "text", mask, mBits)
+  }
+
+  /** DuckDB replay of [[graft.pipeline.CorpusSketch.h32]] (8 hex chars
+    * of md5 folded with 4-bit shifts — the SketchQueries helper,
+    * local copy for the gram-bloom oracle). */
+  private def h32Sql(mdExpr: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, 8),
+      |  hj -> (CAST(instr('0123456789abcdef', substr($mdExpr, hj, 1)) - 1 AS BIGINT)
+      |        << (4 * (8 - hj))))) AS BIGINT)""".stripMargin
+
+  private val q180Sql = {
+    def bit(key: String) = s"${h32Sql(s"md5('bloom|' || jj.j || '|' || $key)")} % 65536"
+    s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+      |$snapshotV2Cte,
+      |o AS (SELECT doc_id, md5(text) AS h1 FROM v1),
+      |nn AS (SELECT doc_id, md5(text) AS h2 FROM v2),
+      |work AS (
+      |  SELECT nn.doc_id FROM nn LEFT JOIN o USING (doc_id)
+      |  WHERE o.h1 IS NULL OR o.h1 <> nn.h2),
+      |nd AS (SELECT v2.doc_id, v2.text FROM v2 JOIN work USING (doc_id)),
+      |jz AS (SELECT unnest(generate_series(0, 2)) AS j),
+      |refw AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM v1),
+      |refg AS (SELECT DISTINCT doc_id, ws[i] || '_' || ws[i+1] || '_' || ws[i+2] AS bg
+      |         FROM refw, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+      |         WHERE len(ws) >= 3),
+      |bits AS (SELECT DISTINCT ${bit("bg")} AS b FROM refg, jz jj),
+      |nw AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM nd),
+      |ngp AS (SELECT doc_id, ws[i] || '_' || ws[i+1] || '_' || ws[i+2] AS bg
+      |        FROM nw, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+      |        WHERE len(ws) >= 3),
+      |ngc AS (SELECT doc_id, bg, count(*) AS c FROM ngp GROUP BY 1, 2),
+      |pb AS (SELECT doc_id, bg, c, jj.j AS j, ${bit("bg")} AS bit
+      |       FROM ngc, jz jj),
+      |g3 AS (SELECT doc_id, bg, c,
+      |              sum(CASE WHEN bits.b IS NOT NULL THEN 1 ELSE 0 END) AS h
+      |       FROM pb LEFT JOIN bits ON bits.b = pb.bit GROUP BY 1, 2, 3),
+      |per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+      |               CAST(sum(CASE WHEN h = 3 THEN c ELSE 0 END) AS BIGINT)
+      |                 AS n_seen_est
+      |        FROM g3 GROUP BY 1)
+      |SELECT doc_id, n_grams, n_seen_est,
+      |       round(1.0 - n_seen_est * 1.0 / n_grams, 6) AS novelty_est
+      |FROM per""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q173_snapshot_diff", q173, Some(q173Sql)),
     QueryDef("q175_taint_propagation", q175, Some(q175Sql)),
     QueryDef("q177_script_profile", q177, Some(q177Sql)),
     QueryDef("q178_snapshot_novelty", q178, Some(q178Sql)),
     QueryDef("q179_quality_calibration", q179, Some(q179Sql)),
+    QueryDef("q180_novelty_gate", q180, Some(q180Sql)),
     QueryDef("q174_padding_buckets", q174, Some(q174Sql)),
     QueryDef("q50_token_stats", q50, Some(q50Sql)),
     QueryDef("q51_quality_score", q51, Some(q51Sql)),

@@ -685,6 +685,22 @@ object StreamOps {
     graft.pipeline.TextAnalysis.dsirScoreServe(stream, idCol, textCol,
                                                bucketScores, salt)
 
+  /** Streaming novelty gate: [[graft.pipeline.Snapshot.noveltyServe]]
+    * at ingestion — each arriving doc's occurrence-weighted gram
+    * novelty against the corpus gram bloom (a plan-literal bitmask, so
+    * no state and no stream-side shuffle; batch ≡ stream by
+    * construction). The admission dial for continual pretraining:
+    * route near-zero-novelty arrivals straight to the dedup ledger,
+    * escalate high-novelty ones to the full quality stack. The mask
+    * refreshes blue/green with the other static-index gates (bloom
+    * bit frames are mergeable — union-distinct — so the delta's grams
+    * fold into the next mask without a corpus rescan). */
+  def streamingNoveltyGate(stream: DataFrame, idCol: String, textCol: String,
+                           mask: Seq[Long], mBits: Int, k: Int = 3,
+                           n: Int = 3, salt: String = "bloom"): DataFrame =
+    graft.pipeline.Snapshot.noveltyServe(stream, idCol, textCol, mask, mBits,
+                                         k, n, salt)
+
   /** Streaming script gate: the Unicode code-point census
     * ([[graft.pipeline.TextAnalysis.scriptProfile]]) at ingestion — a
     * pure per-row projection (compiled-once regex literals, no state,

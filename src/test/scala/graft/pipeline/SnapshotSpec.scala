@@ -170,6 +170,54 @@ class SnapshotSpec extends AnyFunSuite {
     assert(r.getLong(1) == 3L && r.getDouble(3) == 1.0)
   }
 
+  // ---- noveltyServe (the bloom serving path) ---------------------------
+
+  test("bloom novelty: no false negatives, equals exact at head-room mBits") {
+    import graft.pipeline.CorpusSketch
+    val ref = Seq((1L, "the quick brown fox jumps"),
+                  (2L, "pack my box with jugs")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps"),          // all grams known
+      (11L, "entirely different words here now"),  // all grams novel
+      (12L, "the quick brown fox jumps again")
+    ).toDF("doc_id", "text")
+    val mBits = 1 << 16 // FP prob ~ (6 grams * 3 bits / 65536)^3 ~ 0
+    val mask = CorpusSketch.packBloomBits(
+      CorpusSketch.bloomBits(
+        TextDedup.ngramShingles(ref, "doc_id", "text", 3)
+          .select(org.apache.spark.sql.functions.col("bg")), "bg", mBits, 3),
+      mBits)
+    val est = Snapshot.noveltyServe(fresh, "doc_id", "text", mask, mBits)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // these docs have all-distinct grams, so occurrence == distinct
+    // weighting and (with ~zero FP) the gate equals the exact op
+    assert(est(10L) == 0.0)   // no false negatives, ever
+    assert(est(11L) == 1.0)
+    assert(est(12L) == 0.25)
+  }
+
+  test("bloom novelty under-estimates, never over (FP-heavy tiny mask)") {
+    import graft.pipeline.CorpusSketch
+    val ref = (1 to 30).map(i => (i.toLong, s"r$i s$i t$i u$i v$i"))
+      .toDF("doc_id", "text")
+    val fresh = (1 to 20).map(i => (100L + i, s"n$i o$i p$i q$i"))
+      .toDF("doc_id", "text")
+    val mBits = 64 // saturated filter: heavy false positives by design
+    val mask = CorpusSketch.packBloomBits(
+      CorpusSketch.bloomBits(
+        TextDedup.ngramShingles(ref, "doc_id", "text", 3)
+          .select(org.apache.spark.sql.functions.col("bg")), "bg", mBits, 3),
+      mBits)
+    val est = Snapshot.noveltyServe(fresh, "doc_id", "text", mask, mBits)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val exact = Snapshot.noveltyVsCorpus(fresh, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // all-distinct grams per doc => weighting identical; bloom can only
+    // LOWER the score (FPs mark novel grams as seen)
+    assert(est.keySet == exact.keySet)
+    assert(est.forall { case (id, e) => e <= exact(id) + 1e-9 })
+  }
+
   // ---- paddingBuckets --------------------------------------------------
 
   test("hand case: 4 docs, 2 buckets") {
