@@ -125,10 +125,18 @@ class StreamOpsSpec extends AnyFunSuite {
     docs.write.mode("overwrite").parquet(dir)
     val stream = spark.readStream.schema(docs.schema).parquet(dir)
 
+    val mBits = 1 << 12
+    val noveltyMask = graft.pipeline.CorpusSketch.packBloomBits(
+      graft.pipeline.CorpusSketch.bloomBits(
+        graft.pipeline.TextDedup.ngramShingles(docs, "doc_id", "text", 3)
+          .select(col("bg")), "bg", mBits, 3),
+      mBits)
     val cases: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
       "mixture" -> (df => StreamOps.streamingMixtureGate(df, rates, "doc_id", "source")),
       "dsir" -> (df => StreamOps.streamingDsirGate(df, "doc_id", "text", table)),
-      "script" -> (df => StreamOps.streamingScriptGate(df, "doc_id", "text")))
+      "script" -> (df => StreamOps.streamingScriptGate(df, "doc_id", "text")),
+      "novelty" -> (df => StreamOps.streamingNoveltyGate(df, "doc_id", "text",
+                                                         noveltyMask, mBits)))
     for ((name, op) <- cases) {
       val expected = op(docs).collect().map(_.toString).toSet
       val q = op(stream).writeStream.outputMode("append")
