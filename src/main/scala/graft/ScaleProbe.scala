@@ -685,3 +685,66 @@ object ScaleProbeContainment {
     spark.stop()
   }
 }
+
+/** Decade probe for the winnowing clone tier: fingerprint density, the
+  * stop-fingerprint df cutoff's effect on candidate volume, and the
+  * edit-confirm survivor funnel — measured at two corpus sizes to
+  * separate linear stages from super-linear ones. */
+object ScaleProbeWinnow {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(20000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"$label%-44s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    val vocab = math.max(2000, nDocs / 25)
+    println(s"config: nDocs=$nDocs vocab=$vocab")
+    def word(idExpr: org.apache.spark.sql.Column, j: Int) =
+      concat(lit("w"), pmod(hash(idExpr * 37 + j), lit(vocab)))
+    // every 20th doc clones its predecessor with a one-word edit —
+    // the planted near-dup population the clone tier must find
+    val docs = spark.range(nDocs.toLong).select(
+      col("id").as("doc_id"),
+      when(col("id") % 20 === 0 && col("id") > 0,
+        concat_ws(" ", (0 until 39).map(j => word(col("id") - 1, j)) :+
+                       lit("edited"): _*))
+      .otherwise(
+        concat_ws(" ", (0 until 40).map(j => word(col("id"), j)): _*))
+      .as("text")).cache()
+    time("docs materialize")(docs.count())
+
+    val fps = graft.queries.cacheOnce(
+      TextDedup.winnowFingerprints(docs, "doc_id", "text"))
+    val nFps = time("winnow fingerprints (k=8, w=16)")(fps.count())
+    println(f"  fps/doc = ${nFps.toDouble / nDocs}%.1f " +
+      f"(density ${nFps.toDouble / nDocs / 233}%.3f of grams; theory 2/(w+1)=0.118)")
+
+    val dfreq = fps.select(col("doc_id"), col("fp_hash")).distinct()
+      .groupBy(col("fp_hash")).agg(count(lit(1)).as("df"))
+    for (cap <- Seq(4, 20, 1 << 30)) {
+      val kept = dfreq.filter(col("df") <= cap)
+      val candVol = kept.agg(sum(col("df") * (col("df") - 1) / 2)).first().getLong(0)
+      println(s"  df<=$cap: hashes kept=${kept.count()} candidate pair volume=$candVol")
+    }
+
+    val pairs = time("winnowClonePairs end-to-end (df<=20)")(
+      TextDedup.winnowClonePairs(docs, "doc_id", "text").count())
+    val confirmed = time("editConfirmedClones end-to-end")(
+      TextDedup.editConfirmedClones(docs, "doc_id", "text").count())
+    println(s"  candidate pairs=$pairs edit-confirmed=$confirmed " +
+      s"(planted=${nDocs / 20 - 1})")
+
+    spark.stop()
+  }
+}

@@ -1704,4 +1704,74 @@ object TextAnalysis {
       .select(col("n_types"), col("n_tokens"), col("slope"),
               col("intercept"), col("r2"))
   }
+
+  /** Character-distribution quality stats ([[graft.plans.CharStats]]):
+    * per-doc (n_chars, n_distinct, entropy_e6) plus the normalized
+    * entropy ratio entropy / ln(n_distinct) (micro-rounded; 0 when the
+    * alphabet is a single character). The quality-filter family's
+    * RANDOMNESS axis — catches binary blobs / key dumps (ratio → 1)
+    * and char floods (ratio → 0) that the word-level rules miss. Pure
+    * zero-shuffle projection, one codegen'd pass per row,
+    * streaming-safe; the micro-grid contract makes entropy_e6 an
+    * exact integer the oracle re-sums from grouped characters. */
+  /** PMI collocation mining — the phrase table multiword-tokenizer and
+    * vocabulary curation passes rank by: for every adjacent word pair
+    * with joint count ≥ `minCount`, pointwise mutual information
+    * `ln((c_ab/N_bi) / ((c_a/N_uni)(c_b/N_uni)))` as a single-expression
+    * e6 integer per pair (no float crosses an aggregation boundary —
+    * counts aggregate exactly, the log happens once per output row).
+    * High-PMI pairs are collocations ("san francisco"); frequent
+    * low-PMI pairs are syntax. Output: (w1, w2, c_ab, c_a, c_b,
+    * pmi_e6).
+    *
+    * Scale shape: one bigram explode + keyed groupBy; the two unigram
+    * attach joins run UNHINTED on the word key (vocabulary is
+    * corpus-unbounded — the lmSurprisal rule); `minCount` prunes the
+    * heavy tail before the joins. */
+  def collocations(df: DataFrame, textCol: String,
+                   minCount: Int = 5): DataFrame = {
+    val words = df.withColumn("l", split(trim(col(textCol)), " "))
+      .filter(size(col("l")) >= 1)
+    val uni = words
+      .select(explode(col("l")).as("w")).filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val nUni = uni.agg(sum(col("c_w")).as("n_uni"))
+    val bi = words.filter(size(col("l")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("l")) - 1),
+        i => struct(element_at(col("l"), i).as("w1"),
+                    element_at(col("l"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val nBi = words.filter(size(col("l")) >= 2)
+      .select((size(col("l")) - 1).cast("long").as("k"))
+      .agg(sum(col("k")).as("n_bi"))
+    bi.join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(nBi)).crossJoin(broadcast(nUni))
+      .select(col("w1"), col("w2"),
+              col("c_ab").cast("long").as("c_ab"),
+              col("c_a").cast("long").as("c_a"),
+              col("c_b").cast("long").as("c_b"),
+              round(log((col("c_ab") * 1.0 / col("n_bi")) /
+                        ((col("c_a") * 1.0 / col("n_uni")) *
+                         (col("c_b") * 1.0 / col("n_uni")))) * 1e6)
+                .cast("long").as("pmi_e6"))
+  }
+
+  def charStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("doc_id"),
+              call_function("char_stats", col(textCol)).as("cs"))
+      .select(col("doc_id"), col("cs.n_chars").as("n_chars"),
+              col("cs.n_distinct").as("n_distinct"),
+              col("cs.entropy_e6").as("entropy_e6"))
+      .withColumn("entropy_ratio",
+        when(col("n_distinct") <= 1, lit(0.0))
+          // least(·, 1): per-char micro-rounding can tip a uniform
+          // alphabet a few micros past the ln(n_distinct) ceiling
+          .otherwise(least(round(col("entropy_e6") / 1e6 /
+                           log(col("n_distinct").cast("double")), 6), lit(1.0))))
+  }
 }

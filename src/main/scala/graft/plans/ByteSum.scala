@@ -214,7 +214,9 @@ object GraftFunctions {
     "pq_dot" -> (exprs => PqOps.dotFromArgs(exprs)),
     "pq_dot_asym" -> (exprs => PqOps.dotAsymFromArgs(exprs)),
     "bpe_encode" -> (exprs => BpeOps.fromArgs(exprs)),
-    "bpe_encode_bytes" -> (exprs => BpeOps.fromArgsBytes(exprs)))
+    "bpe_encode_bytes" -> (exprs => BpeOps.fromArgsBytes(exprs)),
+    "winnow_fps" -> (exprs => WinnowFps.fromArgs(exprs)),
+    "char_stats" -> (exprs => CharStats.fromArgs(exprs)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -189,7 +189,36 @@ object SessionQueries {
       |       CAST(count(*) AS BIGINT) AS n_users
       |FROM act JOIN coh USING (user_id) GROUP BY 1, 2""".stripMargin
 
+  /** q185 — event-type transition matrix
+    * ([[graft.ts.EventAnalytics.transitionMatrix]]): first-order
+    * Markov step counts + per-from-type probabilities over each
+    * user's (second, event_id)-ordered stream. The oracle replays
+    * the lead window on the identical total order, both aggregates,
+    * and the micro-rounded normalize. */
+  private def q185(s: SparkSession, dir: String): DataFrame =
+    graft.ts.EventAnalytics.transitionMatrix(
+      t(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
+
+  private val q185Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |         CAST(date_trunc('second', ts) AS TIMESTAMP) AS sec, event_id
+      |  FROM events),
+      |st AS (
+      |  SELECT user_id, event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY sec, event_id) AS to_type
+      |  FROM e),
+      |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM st WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |m AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+      |      FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n, m.n_from,
+      |       round(c.n * 1.0 / m.n_from, 6) AS p
+      |FROM c JOIN m USING (from_type)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q185_event_transitions", q185, Some(q185Sql)),
     QueryDef("q23_sessionize", q23, Some(q23Sql)),
     QueryDef("q24_rollup_revenue", q24, Some(q24Sql)),
     QueryDef("q25_json_extract", q25, Some(q25Sql)),

@@ -3014,7 +3014,155 @@ object TextQueries {
       |FROM per""".stripMargin
   }
 
+  /** q181 — winnowed document fingerprints
+    * ([[TextDedup.winnowFingerprints]], Schleimer et al. 2003 / MOSS):
+    * the full selected-fingerprint table at k=8, w=16 — positions and
+    * gram hashes. The oracle recomputes every position's 8-gram
+    * polynomial hash POSITIONALLY (exact BIGINT arithmetic, the q72
+    * idiom), then replays the window minimum over the encoded
+    * `h·2³¹ + (2³¹−1−pos)` key — "min hash, rightmost tie" as pure
+    * integer order — and dedupes selections. */
+  private def q181(s: SparkSession, dir: String): DataFrame =
+    TextDedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text")
+
+  private val winnowSqlCte: String = {
+    val M = graft.plans.RollingHash.Mod
+    // 257^(7-j) mod M for gram position j = 0..7 (oldest char first)
+    val pows = (0 until 8).map(j =>
+      (0 until (7 - j)).foldLeft(1L)((h, _) => h * graft.plans.RollingHash.Base % M))
+    val powList = pows.mkString("[", ", ", "]")
+    s"""d AS (SELECT doc_id, text AS s FROM documents WHERE length(text) >= 8),
+      |g AS (SELECT doc_id, s, unnest(generate_series(1, length(s) - 7)) AS p
+      |      FROM d),
+      |h AS (
+      |  SELECT doc_id, p,
+      |         list_sum(list_transform(generate_series(0, 7),
+      |           j -> CAST(ascii(substr(s, CAST(p + j AS BIGINT), 1)) AS BIGINT)
+      |                * $powList[j + 1]))
+      |           % $M AS h
+      |  FROM g),
+      |gc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM h GROUP BY 1),
+      |enc AS (SELECT doc_id, p, h * 2147483648 + (2147483647 - p) AS e FROM h),
+      |wm AS (SELECT doc_id, p,
+      |         min(e) OVER (PARTITION BY doc_id ORDER BY p
+      |                      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS me
+      |       FROM enc),
+      |sel AS (SELECT DISTINCT wm.doc_id, me FROM wm JOIN gc USING (doc_id)
+      |        WHERE wm.p <= greatest(1, gc.ng - 15))""".stripMargin
+  }
+
+  private val q181Sql =
+    s"""WITH $winnowSqlCte
+      |SELECT doc_id,
+      |       CAST(2147483647 - (me % 2147483648) AS INTEGER) AS fp_pos,
+      |       me // 2147483648 AS fp_hash
+      |FROM sel""".stripMargin
+
+  /** q182 — winnowing clone pairs ([[TextDedup.winnowClonePairs]]):
+    * MOSS over the corpus — documents sharing ≥ 2 winnowed
+    * fingerprints rarer than df ≤ 20 (the stop-fingerprint cap that
+    * keeps the inverted-index join linear), with shared counts and the
+    * containment-style overlap fraction. The oracle replays the q181
+    * fingerprint table, the df cutoff, the hash-grouped pair join, and
+    * both per-doc fingerprint totals. */
+  private def q182(s: SparkSession, dir: String): DataFrame =
+    TextDedup.winnowClonePairs(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q182Sql =
+    s"""WITH $winnowSqlCte,
+      |fp AS (SELECT doc_id,
+      |              me // 2147483648 AS fp_hash
+      |       FROM sel),
+      |fps AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+      |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fps GROUP BY 1),
+      |dfreq AS (SELECT fp_hash FROM fps GROUP BY fp_hash HAVING count(*) <= 20),
+      |idx AS (SELECT f.doc_id, f.fp_hash FROM fps f JOIN dfreq USING (fp_hash)),
+      |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |              CAST(count(*) AS BIGINT) AS shared
+      |       FROM idx a JOIN idx b ON a.fp_hash = b.fp_hash
+      |                            AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT doc_a, doc_b, shared, pa.n_fp AS n_fp_a, pb.n_fp AS n_fp_b,
+      |       round(shared * 1.0 / least(pa.n_fp, pb.n_fp), 6) AS overlap
+      |FROM pr JOIN pd pa ON pa.doc_id = pr.doc_a
+      |        JOIN pd pb ON pb.doc_id = pr.doc_b""".stripMargin
+
+  /** q183 — character-distribution stats ([[TextAnalysis.charStats]]):
+    * per-doc code-point entropy as an exact e6 integer (per-character
+    * micro-terms summed inside one native expression — the q168 grid
+    * idiom collapsed to a zero-shuffle projection), plus the
+    * normalized ratio against the ln(n_distinct) ceiling. The oracle
+    * groups characters with `string_split(s, '')` and re-sums the
+    * identical rounded terms. */
+  private def q183(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charStats(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q183Sql =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+      |            FROM documents WHERE length(text) > 0),
+      |cc AS (SELECT doc_id, ch, count(*) AS c FROM tk GROUP BY 1, 2),
+      |nn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+      |              CAST(count(*) AS BIGINT) AS n_distinct
+      |       FROM cc GROUP BY 1),
+      |terms AS (SELECT cc.doc_id,
+      |                 CAST(round((c * 1.0 / n_chars) * ln(n_chars * 1.0 / c)
+      |                            * 1e6) AS BIGINT) AS t
+      |          FROM cc JOIN nn USING (doc_id)),
+      |e AS (SELECT doc_id, CAST(sum(t) AS BIGINT) AS entropy_e6
+      |      FROM terms GROUP BY 1),
+      |base AS (SELECT doc_id FROM documents)
+      |SELECT b.doc_id,
+      |       coalesce(nn.n_chars, 0) AS n_chars,
+      |       coalesce(nn.n_distinct, 0) AS n_distinct,
+      |       coalesce(e.entropy_e6, 0) AS entropy_e6,
+      |       CASE WHEN coalesce(nn.n_distinct, 0) <= 1 THEN 0.0
+      |            ELSE least(round(e.entropy_e6 / 1e6
+      |                             / ln(nn.n_distinct * 1.0), 6), 1.0)
+      |       END AS entropy_ratio
+      |FROM base b LEFT JOIN nn ON nn.doc_id = b.doc_id
+      |            LEFT JOIN e ON e.doc_id = b.doc_id""".stripMargin
+
+  /** q184 — edit-distance-confirmed clones
+    * ([[TextDedup.editConfirmedClones]]): the q182 winnow candidates
+    * verified with true Levenshtein distance (both engines' built-in,
+    * same DP), keeping pairs at normalized edit similarity ≥ 0.4.
+    * The length-gap prefilter and the confirm threshold are replayed
+    * identically by the oracle. */
+  private def q184(s: SparkSession, dir: String): DataFrame =
+    TextDedup.editConfirmedClones(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q184Sql =
+    s"""WITH $winnowSqlCte,
+      |fp AS (SELECT doc_id, me // 2147483648 AS fp_hash FROM sel),
+      |fps AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+      |dfreq AS (SELECT fp_hash FROM fps GROUP BY fp_hash HAVING count(*) <= 20),
+      |idx AS (SELECT f.doc_id, f.fp_hash FROM fps f JOIN dfreq USING (fp_hash)),
+      |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |              CAST(count(*) AS BIGINT) AS shared
+      |       FROM idx a JOIN idx b ON a.fp_hash = b.fp_hash
+      |                            AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |tx AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+      |       FROM documents),
+      |jj AS (SELECT pr.doc_a, pr.doc_b, pr.shared,
+      |              ta.len AS len_a, tb.len AS len_b,
+      |              ta.text AS sa, tb.text AS sb
+      |       FROM pr JOIN tx ta ON ta.doc_id = pr.doc_a
+      |               JOIN tx tb ON tb.doc_id = pr.doc_b
+      |       WHERE abs(ta.len - tb.len) <= 0.6 * greatest(ta.len, tb.len)),
+      |lv AS (SELECT doc_a, doc_b, shared, len_a, len_b,
+      |              CAST(levenshtein(sa, sb) AS BIGINT) AS lev,
+      |              round(1.0 - levenshtein(sa, sb) * 1.0
+      |                    / greatest(len_a, len_b), 6) AS edit_sim
+      |       FROM jj)
+      |SELECT doc_a, doc_b, shared, len_a, len_b, lev, edit_sim
+      |FROM lv WHERE edit_sim >= 0.4""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q181_winnow_fps", q181, Some(q181Sql)),
+    QueryDef("q182_winnow_clones", q182, Some(q182Sql)),
+    QueryDef("q183_char_stats", q183, Some(q183Sql)),
+    QueryDef("q184_edit_confirm", q184, Some(q184Sql)),
     QueryDef("q173_snapshot_diff", q173, Some(q173Sql)),
     QueryDef("q175_taint_propagation", q175, Some(q175Sql)),
     QueryDef("q177_script_profile", q177, Some(q177Sql)),

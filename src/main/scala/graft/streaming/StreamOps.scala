@@ -713,6 +713,17 @@ object StreamOps {
                           textCol: String): DataFrame =
     graft.pipeline.TextAnalysis.scriptProfile(stream, idCol, textCol)
 
+  /** Streaming char-entropy gate: the character-distribution stats
+    * ([[graft.pipeline.TextAnalysis.charStats]]) at ingestion —
+    * one stateless native-expression projection per row (no state,
+    * no shuffle), so batch ≡ stream by construction (spec-pinned).
+    * The live randomness alarm: a feed whose entropy_ratio drifts
+    * toward 1 is leaking binary/key-dump payloads, toward 0 a
+    * char-flood generator — both caught per-document at the gate. */
+  def streamingCharGate(stream: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    graft.pipeline.TextAnalysis.charStats(stream, idCol, textCol)
+
   case class SeriesUpdate(series: String, n: Long, sum: Double,
                           min_ts: java.sql.Timestamp, max_ts: java.sql.Timestamp)
 

@@ -67,4 +67,128 @@ object EventAnalytics {
       .groupBy("cohort_wk", "offset_weeks")
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** First-order event-type transition matrix: within each user's
+    * ordered event stream, count every consecutive (from_type →
+    * to_type) step, then normalize per from-row — the Markov behavior
+    * model product analytics builds next-action predictions and
+    * anomaly baselines on. Output: (from_type, to_type, n,
+    * n_from, p) with p = n / n_from micro-rounded.
+    *
+    * Ordering contract: (second-truncated timestamp, event id) — a
+    * TOTAL order both engines agree on (raw nanos never surface: Spark
+    * reads micros, DuckDB keeps nanos — the q23 rule; event id breaks
+    * same-second ties deterministically).
+    *
+    * Scale shape: the lead window is keyed BY USER (no global sort —
+    * per-user streams are the short dimension), then one (from, to)
+    * groupBy bounded by |type-alphabet|²; the normalize join ships
+    * only the type-alphabet-sized margin table, broadcast. */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("eid"))
+    val steps = events.select(col(userCol).as("user_id"),
+        col(typeCol).as("from_type"),
+        date_trunc("second", col(tsCol)).as("sec"), col(idCol).as("eid"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = steps.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val margins = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    counts.join(broadcast(margins), Seq("from_type"))
+      .select(col("from_type"), col("to_type"),
+              col("n").cast("long").as("n"),
+              col("n_from").cast("long").as("n_from"),
+              round(col("n") / col("n_from"), 6).as("p"))
+  }
+
+  /** Exact NTILE over (value, id) — SQL `ntile(n)` semantics (first
+    * `total mod n` buckets take the extra row), computed WITHOUT a
+    * total-order window over the frame: `((rank−1)·n) div total` where
+    * rank decomposes into a prefix over the distinct-VALUE grid plus a
+    * row_number keyed by value (the q174/q179 decomposition). Window
+    * partitions are value-grid-sized and per-value groups — a 10⁹-user
+    * metric never sorts in one task. Adds `bucket` (1-based). */
+  private def exactNtile(df: DataFrame, valCol: String, idCol: String,
+                         n: Int): DataFrame = {
+    val perVal = df.groupBy(col(valCol)).agg(count(lit(1)).as("cnt_v"))
+    val wVal = org.apache.spark.sql.expressions.Window.orderBy(col(valCol))
+    val prefix = perVal.select(col(valCol),
+      (sum(col("cnt_v")).over(wVal) - col("cnt_v")).as("before_v"))
+    val tot = perVal.agg(sum(col("cnt_v")).as("n_total"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(valCol)).orderBy(col(idCol))
+    val a = ((col("before_v") + row_number().over(wIn) - 1) * n).cast("long")
+    df.join(broadcast(prefix), Seq(valCol)).crossJoin(broadcast(tot))
+      .withColumn("bucket",
+        ((a - pmod(a, col("n_total"))) / col("n_total")).cast("long") + 1)
+      .drop("before_v", "n_total")
+  }
+
+  /** RFM segmentation — the classic user-value model: per user,
+    * Recency (days since last event, against the corpus's own max
+    * timestamp so the result is input-determined), Frequency (event
+    * count) and Monetary (exact cents), each scored 1-5 by exact
+    * quintile (most recent / most frequent / highest spend = 5, SQL
+    * ntile tie-and-remainder semantics, ties broken by user id), plus
+    * the composite `segment` = 100·R + 10·F + M.
+    *
+    * Scale shape: one keyed per-user aggregate; three grid-decomposed
+    * ntiles (see [[exactNtile]] — value-grid windows only); the
+    * corpus max timestamp is a 1-row broadcast. */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+                  valueCol: String): DataFrame = {
+    val e = events.select(col(userCol).as("user_id"),
+      unix_timestamp(date_trunc("second", col(tsCol))).as("sec"),
+      graft.queries.cents(col(valueCol)).as("v"))
+    val u = e.groupBy(col("user_id")).agg(
+      max(col("sec")).as("last_sec"),
+      count(lit(1)).cast("long").as("freq"),
+      sum(col("v")).cast("long").as("mon_c"))
+    val ref = u.agg(max(col("last_sec")).as("ref_sec"))
+    val base = u.crossJoin(broadcast(ref))
+      .withColumn("recency_days",
+        ((col("ref_sec") - col("last_sec")) -
+         pmod(col("ref_sec") - col("last_sec"), lit(86400L))) / 86400L)
+      .withColumn("recency_days", col("recency_days").cast("long"))
+      .select(col("user_id"), col("recency_days"), col("freq"), col("mon_c"))
+    val withR = exactNtile(base, "recency_days", "user_id", 5)
+      .withColumn("r", (lit(6L) - col("bucket")).cast("long")).drop("bucket")
+    val withF = exactNtile(withR, "freq", "user_id", 5)
+      .withColumn("f", col("bucket").cast("long")).drop("bucket")
+    val withM = exactNtile(withF, "mon_c", "user_id", 5)
+      .withColumn("m", col("bucket").cast("long")).drop("bucket")
+    withM.select(col("user_id"), col("recency_days"), col("freq"),
+                 col("mon_c"), col("r"), col("f"), col("m"),
+                 (col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
+  }
+
+  /** Decay-weighted trending event types: each event contributes
+    * `round(2^(−age_days/halfLife)·1e6)` micros (age against the
+    * corpus max second), summed exactly per type — the leaderboard
+    * freshness model (recent activity dominates, old volume decays
+    * geometrically) on the integer micro-grid, so the float exp never
+    * crosses an aggregation boundary. Output per type: raw count,
+    * decayed score, and dense rank by score (ties by type name) —
+    * the rank window is type-alphabet-sized, not event-sized. */
+  def decayedTrending(events: DataFrame, typeCol: String, tsCol: String,
+                      halfLifeDays: Double): DataFrame = {
+    require(halfLifeDays > 0, "halfLifeDays must be positive")
+    val e = events.select(col(typeCol).as("event_type"),
+      unix_timestamp(date_trunc("second", col(tsCol))).as("sec"))
+    val ref = e.agg(max(col("sec")).as("ref_sec"))
+    val scored = e.crossJoin(broadcast(ref))
+      .withColumn("w_e6",
+        round(pow(lit(2.0), -((col("ref_sec") - col("sec")) / 86400.0)
+                              / halfLifeDays) * 1e6).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+           sum(col("w_e6")).cast("long").as("score_e6"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_e6").desc, col("event_type"))
+    scored.withColumn("trend_rank", row_number().over(wRank).cast("long"))
+  }
 }

@@ -135,6 +135,7 @@ class StreamOpsSpec extends AnyFunSuite {
       "mixture" -> (df => StreamOps.streamingMixtureGate(df, rates, "doc_id", "source")),
       "dsir" -> (df => StreamOps.streamingDsirGate(df, "doc_id", "text", table)),
       "script" -> (df => StreamOps.streamingScriptGate(df, "doc_id", "text")),
+      "charstats" -> (df => StreamOps.streamingCharGate(df, "doc_id", "text")),
       "novelty" -> (df => StreamOps.streamingNoveltyGate(df, "doc_id", "text",
                                                          noveltyMask, mBits)))
     for ((name, op) <- cases) {

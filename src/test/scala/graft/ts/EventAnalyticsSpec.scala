@@ -61,4 +61,29 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("2024-01-01", 2L) -> 1L, // u1 two weeks later
       ("2024-01-08", 0L) -> 1L)) // u2
   }
+
+  test("transition matrix: per-user ordered steps, probabilities sum to 1") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val ev = Seq(
+      // u1: a -> b -> a -> c ; u2: b -> b (same second, ordered by id)
+      (1L, "a", ts("2024-01-01"), 1L), (1L, "b", ts("2024-01-02"), 2L),
+      (1L, "a", ts("2024-01-03"), 3L), (1L, "c", ts("2024-01-04"), 4L),
+      (2L, "b", ts("2024-01-01"), 5L), (2L, "b", ts("2024-01-01"), 6L),
+      // u3: single event -> contributes no step
+      (3L, "a", ts("2024-01-01"), 7L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = EventAnalytics.transitionMatrix(ev, "user_id", "event_type",
+                                              "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+                          (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == Map(
+      ("a", "b") -> (1L, 2L, 0.5), ("a", "c") -> (1L, 2L, 0.5),
+      ("b", "a") -> (1L, 2L, 0.5), ("b", "b") -> (1L, 2L, 0.5)))
+    // per-from probabilities sum to 1
+    got.keys.map(_._1).toSeq.distinct.foreach { f =>
+      val s = got.collect { case ((`f`, _), (_, _, p)) => p }.sum
+      assert(math.abs(s - 1.0) < 1e-9, s"from=$f sum=$s")
+    }
+  }
 }
