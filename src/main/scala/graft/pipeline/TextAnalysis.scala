@@ -1736,17 +1736,17 @@ object TextAnalysis {
       .select(explode(col("l")).as("w")).filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
     val nUni = uni.agg(sum(col("c_w")).as("n_uni"))
-    val bi = words.filter(size(col("l")) >= 2)
+    // cacheOnce: the n_bi normalizer AND the thresholded table both read
+    // the bigram counts — one explode+groupBy, not two
+    val biAll = graft.queries.cacheOnce(words.filter(size(col("l")) >= 2)
       .select(explode(transform(sequence(lit(1), size(col("l")) - 1),
         i => struct(element_at(col("l"), i).as("w1"),
                     element_at(col("l"), i + 1).as("w2")))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .filter(col("w1") =!= "" && col("w2") =!= "")
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
-      .filter(col("c_ab") >= minCount)
-    val nBi = words.filter(size(col("l")) >= 2)
-      .select((size(col("l")) - 1).cast("long").as("k"))
-      .agg(sum(col("k")).as("n_bi"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab")))
+    val nBi = biAll.agg(sum(col("c_ab")).as("n_bi"))
+    val bi = biAll.filter(col("c_ab") >= minCount)
     bi.join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), Seq("w2"))
       .crossJoin(broadcast(nBi)).crossJoin(broadcast(nUni))

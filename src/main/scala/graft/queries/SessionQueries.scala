@@ -217,8 +217,79 @@ object SessionQueries {
       |       round(c.n * 1.0 / m.n_from, 6) AS p
       |FROM c JOIN m USING (from_type)""".stripMargin
 
+  /** q186 — RFM segmentation
+    * ([[graft.ts.EventAnalytics.rfmSegments]]): per-user recency /
+    * frequency / monetary quintile scores + composite segment. The
+    * oracle computes single-window ranks over (metric, user_id) and
+    * the same even-spread `(rank0·5) div total + 1` bucket rule (the
+    * q174 convention — deliberately not SQL ntile's front-loaded
+    * remainder), pinning the grid decomposition to the naive form. */
+  private def q186(s: SparkSession, dir: String): DataFrame =
+    graft.ts.EventAnalytics.rfmSegments(
+      t(s, dir, "events"), "user_id", "ts", "value")
+
+  private val q186Sql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS sec,
+      |         CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |u AS (SELECT user_id, CAST(epoch(max(sec)) AS BIGINT) AS last_sec,
+      |             CAST(count(*) AS BIGINT) AS freq,
+      |             CAST(sum(v) AS BIGINT) AS mon_c
+      |      FROM e GROUP BY 1),
+      |refc AS (SELECT max(last_sec) AS ref_sec FROM u),
+      |b AS (SELECT user_id,
+      |             CAST((refc.ref_sec - u.last_sec) // 86400 AS BIGINT)
+      |               AS recency_days,
+      |             freq, mon_c
+      |      FROM u CROSS JOIN refc),
+      |tot AS (SELECT count(*) AS n_total FROM b),
+      |rk AS (SELECT user_id, recency_days, freq, mon_c,
+      |         row_number() OVER (ORDER BY recency_days, user_id) - 1 AS r0,
+      |         row_number() OVER (ORDER BY freq, user_id) - 1 AS f0,
+      |         row_number() OVER (ORDER BY mon_c, user_id) - 1 AS m0
+      |       FROM b),
+      |sc AS (SELECT user_id, recency_days, freq, mon_c,
+      |         CAST(6 - ((r0 * 5) // n_total + 1) AS BIGINT) AS r,
+      |         CAST((f0 * 5) // n_total + 1 AS BIGINT) AS f,
+      |         CAST((m0 * 5) // n_total + 1 AS BIGINT) AS m
+      |       FROM rk CROSS JOIN tot)
+      |SELECT user_id, recency_days, freq, mon_c, r, f, m,
+      |       r * 100 + f * 10 + m AS segment
+      |FROM sc""".stripMargin
+
+  /** q187 — decay-weighted trending
+    * ([[graft.ts.EventAnalytics.decayedTrending]], half-life 7 days):
+    * per-type exact counts + e6 micro-grid decayed scores + rank.
+    * The oracle replays the per-event decay weight (single pow
+    * expression, rounded before the sum) and the alphabet-sized rank
+    * window. */
+  private def q187(s: SparkSession, dir: String): DataFrame =
+    graft.ts.EventAnalytics.decayedTrending(
+      t(s, dir, "events"), "event_type", "ts", halfLifeDays = 7.0)
+
+  private val q187Sql =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |refc AS (SELECT max(sec) AS ref_sec FROM e),
+      |sc AS (SELECT event_type,
+      |         CAST(round(pow(2.0, -((refc.ref_sec - sec) / 86400.0) / 7.0)
+      |                    * 1e6) AS BIGINT) AS w_e6
+      |       FROM e CROSS JOIN refc),
+      |ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |              CAST(sum(w_e6) AS BIGINT) AS score_e6
+      |       FROM sc GROUP BY 1)
+      |SELECT event_type, n_events, score_e6,
+      |       CAST(row_number() OVER (ORDER BY score_e6 DESC, event_type)
+      |            AS BIGINT) AS trend_rank
+      |FROM ag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q185_event_transitions", q185, Some(q185Sql)),
+    QueryDef("q186_rfm_segments", q186, Some(q186Sql)),
+    QueryDef("q187_decayed_trending", q187, Some(q187Sql)),
     QueryDef("q23_sessionize", q23, Some(q23Sql)),
     QueryDef("q24_rollup_revenue", q24, Some(q24Sql)),
     QueryDef("q25_json_extract", q25, Some(q25Sql)),

@@ -3158,11 +3158,43 @@ object TextQueries {
       |SELECT doc_a, doc_b, shared, len_a, len_b, lev, edit_sim
       |FROM lv WHERE edit_sim >= 0.4""".stripMargin
 
+  /** q188 — PMI collocations ([[TextAnalysis.collocations]]): every
+    * adjacent word pair with joint count ≥ 5 scored by pointwise
+    * mutual information on the e6 grid (single log expression per
+    * output row — counts aggregate exactly). The oracle replays
+    * tokenization, both count tables, the shared-normalizer
+    * definition (n_bi = kept-bigram occurrences pre-threshold), and
+    * the quantized PMI. */
+  private def q188(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocations(t(s, dir, "documents"), "text")
+
+  private val q188Sql =
+    """WITH tk AS (SELECT string_split(trim(text), ' ') AS l FROM documents),
+      |pr AS (SELECT l[i] AS w1, l[i + 1] AS w2
+      |       FROM tk, unnest(generate_series(1, len(l) - 1)) AS t(i)
+      |       WHERE len(l) >= 2),
+      |pr2 AS (SELECT w1, w2 FROM pr WHERE w1 <> '' AND w2 <> ''),
+      |bi_all AS (SELECT w1, w2, count(*) AS c_ab FROM pr2 GROUP BY 1, 2),
+      |nbi AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bi FROM bi_all),
+      |tok AS (SELECT unnest(l) AS w FROM tk),
+      |uni AS (SELECT w, count(*) AS c_w FROM tok WHERE w <> '' GROUP BY 1),
+      |nuni AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_uni FROM uni),
+      |bi AS (SELECT * FROM bi_all WHERE c_ab >= 5)
+      |SELECT b.w1, b.w2, CAST(b.c_ab AS BIGINT) AS c_ab,
+      |       CAST(ua.c_w AS BIGINT) AS c_a, CAST(ub.c_w AS BIGINT) AS c_b,
+      |       CAST(round(ln((b.c_ab * 1.0 / n_bi) /
+      |                     ((ua.c_w * 1.0 / n_uni) * (ub.c_w * 1.0 / n_uni)))
+      |                  * 1e6) AS BIGINT) AS pmi_e6
+      |FROM bi b JOIN uni ua ON ua.w = b.w1
+      |          JOIN uni ub ON ub.w = b.w2
+      |CROSS JOIN nbi CROSS JOIN nuni""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q181_winnow_fps", q181, Some(q181Sql)),
     QueryDef("q182_winnow_clones", q182, Some(q182Sql)),
     QueryDef("q183_char_stats", q183, Some(q183Sql)),
     QueryDef("q184_edit_confirm", q184, Some(q184Sql)),
+    QueryDef("q188_collocations", q188, Some(q188Sql)),
     QueryDef("q173_snapshot_diff", q173, Some(q173Sql)),
     QueryDef("q175_taint_propagation", q175, Some(q175Sql)),
     QueryDef("q177_script_profile", q177, Some(q177Sql)),

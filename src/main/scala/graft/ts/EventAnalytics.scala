@@ -105,13 +105,16 @@ object EventAnalytics {
               round(col("n") / col("n_from"), 6).as("p"))
   }
 
-  /** Exact NTILE over (value, id) — SQL `ntile(n)` semantics (first
-    * `total mod n` buckets take the extra row), computed WITHOUT a
-    * total-order window over the frame: `((rank−1)·n) div total` where
-    * rank decomposes into a prefix over the distinct-VALUE grid plus a
-    * row_number keyed by value (the q174/q179 decomposition). Window
-    * partitions are value-grid-sized and per-value groups — a 10⁹-user
-    * metric never sorts in one task. Adds `bucket` (1-based). */
+  /** Exact equal-count bucketing over (value, id):
+    * `((rank−1)·n) div total + 1` — the EVEN-SPREAD rule (remainder
+    * rows interleave across buckets; sizes differ by ≤ 1). This is
+    * deliberately NOT SQL `ntile`, which front-loads all remainder
+    * rows into the first buckets — the even-spread rule is the q174
+    * convention and what the rank decomposition computes exactly:
+    * rank = a prefix over the distinct-VALUE grid + a row_number
+    * keyed by value, so window partitions are value-grid-sized and
+    * per-value groups — a 10⁹-user metric never sorts in one task.
+    * Adds `bucket` (1-based). */
   private def exactNtile(df: DataFrame, valCol: String, idCol: String,
                          n: Int): DataFrame = {
     val perVal = df.groupBy(col(valCol)).agg(count(lit(1)).as("cnt_v"))
@@ -132,9 +135,10 @@ object EventAnalytics {
     * Recency (days since last event, against the corpus's own max
     * timestamp so the result is input-determined), Frequency (event
     * count) and Monetary (exact cents), each scored 1-5 by exact
-    * quintile (most recent / most frequent / highest spend = 5, SQL
-    * ntile tie-and-remainder semantics, ties broken by user id), plus
-    * the composite `segment` = 100·R + 10·F + M.
+    * equal-count quintile (most recent / most frequent / highest
+    * spend = 5; even-spread remainder rule, ties broken by user id —
+    * see [[exactNtile]]), plus the composite
+    * `segment` = 100·R + 10·F + M.
     *
     * Scale shape: one keyed per-user aggregate; three grid-decomposed
     * ntiles (see [[exactNtile]] — value-grid windows only); the

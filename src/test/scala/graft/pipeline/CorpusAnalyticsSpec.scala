@@ -99,4 +99,26 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(out(("A", "B")) == 2L) // p_q_r, q_r_s — not 4
   }
+
+  test("collocations: counts exact, PMI separates phrase from syntax") {
+    // "san francisco" always co-occurs; "the" pairs with everything
+    val docs = Seq.tabulate(6)(i =>
+      (i.toLong, s"the w$i visited san francisco near the w${i + 10}"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, "text", minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // 6 docs x 7 bigrams = 42 bigram occurrences, 48 unigram tokens
+    val (cab, ca, cb, pmi) = out(("san", "francisco"))
+    assert(cab == 6L && ca == 6L && cb == 6L)
+    // exact replay of the single-expression PMI quantization
+    val expected = math.round(math.log((6.0 / 42.0) /
+      ((6.0 / 48.0) * (6.0 / 48.0))) * 1e6)
+    assert(pmi == expected)
+    // "near the" (6 occurrences, but "the" has 12 unigram hits) scores
+    // strictly lower than the tight phrase
+    assert(out(("near", "the"))._4 < pmi)
+    // nothing below the count threshold leaks through
+    assert(out.keys.forall { case (w1, _) => w1 != "w0" })
+  }
 }

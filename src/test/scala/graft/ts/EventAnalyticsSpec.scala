@@ -86,4 +86,52 @@ class EventAnalyticsSpec extends AnyFunSuite {
       assert(math.abs(s - 1.0) < 1e-9, s"from=$f sum=$s")
     }
   }
+
+  test("rfm: exact quintiles match SQL ntile, composite segment composes") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val ev = (1 to 300).map { i =>
+      val u = 1L + rnd.nextInt(37)
+      (u, java.sql.Timestamp.valueOf(f"2024-01-${1 + rnd.nextInt(28)}%02d " +
+         f"${rnd.nextInt(24)}%02d:00:00"), rnd.nextInt(500) / 10.0)
+    }.toDF("user_id", "ts", "value")
+    val got = EventAnalytics.rfmSegments(ev, "user_id", "ts", "value")
+    val rows = got.collect()
+    // definitional check: each score equals the naive single-window
+    // even-spread rule ((rank0·5) div total + 1) — the q174 convention
+    def bucketOf(c: String) =
+      (((row_number().over(Window.orderBy(col(c), col("user_id"))) - 1) * 5)
+        .cast("long") / lit(rows.length)).cast("long") + 1
+    val expect = got.select(col("user_id"), col("recency_days"), col("freq"),
+        col("mon_c"))
+      .withColumn("r", (lit(6) - bucketOf("recency_days")).cast("long"))
+      .withColumn("f", bucketOf("freq").cast("long"))
+      .withColumn("m", bucketOf("mon_c").cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      assert((r.getLong(4), r.getLong(5), r.getLong(6)) == expect(u), s"user $u")
+      assert(r.getLong(7) == r.getLong(4) * 100 + r.getLong(5) * 10 + r.getLong(6))
+    }
+    // scores span the full 1..5 range on 37 users
+    assert(rows.map(_.getLong(5)).distinct.sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("decayed trending: fresh beats stale at equal volume; weights exact") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // "fresh": 2 events at the reference instant; "stale": 2 events 7d old
+      ("fresh", ts("2024-01-08 00:00:00")), ("fresh", ts("2024-01-08 00:00:00")),
+      ("stale", ts("2024-01-01 00:00:00")), ("stale", ts("2024-01-01 00:00:00")))
+      .toDF("event_type", "ts")
+    val got = EventAnalytics.decayedTrending(ev, "event_type", "ts", 7.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got("fresh") == (2L, 2000000L, 1L)) // weight 1.0 each
+    assert(got("stale") == (2L, 1000000L, 2L)) // one half-life -> 0.5 each
+  }
 }
