@@ -734,14 +734,18 @@ object ScaleProbeWinnow {
       .groupBy(col("fp_hash")).agg(count(lit(1)).as("df"))
     for (cap <- Seq(4, 20, 1 << 30)) {
       val kept = dfreq.filter(col("df") <= cap)
-      val candVol = kept.agg(sum(col("df") * (col("df") - 1) / 2)).first().getLong(0)
+      val candVol =
+        kept.agg(sum((col("df") * (col("df") - 1)).cast("long"))).first().getLong(0) / 2
       println(s"  df<=$cap: hashes kept=${kept.count()} candidate pair volume=$candVol")
     }
 
     val pairs = time("winnowClonePairs end-to-end (df<=20)")(
       TextDedup.winnowClonePairs(docs, "doc_id", "text").count())
-    val confirmed = time("editConfirmedClones end-to-end")(
-      TextDedup.editConfirmedClones(docs, "doc_id", "text").count())
+    // minSim 0.8: this corpus's shared vocabulary makes unrelated docs
+    // ~0.5 char-similar, so the default 0.4 would confirm everything —
+    // the tight threshold shows the verifier separating planted clones
+    val confirmed = time("editConfirmedClones end-to-end (minSim=0.8)")(
+      TextDedup.editConfirmedClones(docs, "doc_id", "text", minSim = 0.8).count())
     println(s"  candidate pairs=$pairs edit-confirmed=$confirmed " +
       s"(planted=${nDocs / 20 - 1})")
 
