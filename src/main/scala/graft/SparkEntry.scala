@@ -16,7 +16,7 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     CoreQueries.defs ++ JoinQueries.defs ++ SessionQueries.defs ++ DiagQueries.defs ++
       ForecastQueries.defs ++ TextQueries.defs ++ EmbeddingQueries.defs ++
-      MultimodalQueries.defs ++ SketchQueries.defs
+      MultimodalQueries.defs ++ SketchQueries.defs ++ GraphQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full §3.1 analyze pipeline (SURVEY §7.3): covariate forecast →

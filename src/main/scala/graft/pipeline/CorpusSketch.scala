@@ -237,6 +237,42 @@ object CorpusSketch {
       .filter(col("rank") <= k)
   }
 
+  /** Sequential Poisson sampling (Ohlsson 1998): a deterministic
+    * WEIGHTED exact-size sample — the k rows per stratum with the
+    * smallest priority u/w, where u is the content-keyed hash point
+    * and w the row's weight (importance ∝ w, e.g. document length or
+    * a quality score: a row with twice the weight is ~twice as likely
+    * to make the sample). Priorities stay on an exact integer grid —
+    * `((point+1) · 1e9) div w` — so ordering is engine-identical;
+    * ties (grid collisions) break by key. Weights must be positive
+    * and ≤ ~9e9 (grid headroom: (1e6 · 1e9) stays far under 2^63).
+    *
+    * Same scale posture as [[stratumTopK]]: a per-stratum rank
+    * window; `prefilterE3` keeps only rows with priority below a
+    * threshold (per-mille of the max-priority grid 1e9·1e6) before
+    * ranking — a pure projection prefix of the priority order, exact
+    * whenever ≥ k rows survive per stratum. */
+  def seqPoissonSample(df: DataFrame, stratumCol: String, keyCol: String,
+                       weightCol: String, k: Int,
+                       prefilterE3: Option[Long] = None,
+                       salt: String = "seqpois"): DataFrame = {
+    require(k >= 1)
+    val point = h32(concat(col(stratumCol), lit("|"), col(keyCol)), salt) % 1000000L
+    val base = df
+      .filter(col(weightCol) > 0)
+      .withColumn("point", point)
+      .withColumn("priority",
+        expr(s"((point + 1) * 1000000000) div CAST($weightCol AS BIGINT)"))
+      .drop("point")
+    // threshold per-mille of the 1e6·1e9 max-priority grid, exact longs
+    val pre = prefilterE3
+      .map(t => base.filter(col("priority") < lit(t * 1000000000000L)))
+      .getOrElse(base)
+    val w = Window.partitionBy(stratumCol).orderBy(col("priority"), col(keyCol))
+    pre.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   // ------------------------------------------------- histogram quantiles
 
   /** Fixed-bin histogram quantiles per group, long format:

@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph centrality + dimensional-history operators: PageRank over a
+  * co-occurrence graph, SCD Type-2 history build, and the salted
+  * skew-join — warehouse-tier machinery the curation pipeline leans
+  * on (link-authority quality priors, attribute validity intervals,
+  * hot-key joins).
+  */
+object GraphQueries {
+
+  /** q192 — PageRank ([[graft.graphs.PageRank.pageRank]], 5 power
+    * iterations, d = 0.85 on the e6 integer grid) over the part
+    * co-purchase graph ([[graft.graphs.PageRank.coOccurrenceEdges]]
+    * of order→part membership — basket-sized groups, so the keyed
+    * self-join is |basket|²-bounded per order). The oracle unrolls
+    * all five iterations as CTEs over the identical integer update
+    * rule, so every rank hash-matches bit-for-bit. */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    val membership = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+    val edges = graft.graphs.PageRank.coOccurrenceEdges(membership, "g", "item")
+    graft.graphs.PageRank.pageRank(edges, "src", "dst", iters = 5)
+  }
+
+  private val q192Sql = {
+    val iters = (1 to 5).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+        |         CAST(sum(r${i - 1}.rank_e6 // deg.outdeg) AS BIGINT) AS in_share
+        |       FROM e JOIN r${i - 1} ON r${i - 1}.node = e.src
+        |              JOIN deg ON deg.node = e.src
+        |       GROUP BY 1),
+        |r$i AS (SELECT n.node,
+        |          CAST(150000 + (85 * COALESCE(c$i.in_share, 0)) // 100
+        |               AS BIGINT) AS rank_e6
+        |        FROM nodes n LEFT JOIN c$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+      |           FROM lineitem),
+      |e AS (SELECT DISTINCT a.item AS src, b.item AS dst
+      |      FROM m a JOIN m b ON a.g = b.g AND a.item <> b.item),
+      |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+      |        FROM e GROUP BY 1),
+      |nodes AS (SELECT DISTINCT src AS node FROM e
+      |          UNION SELECT DISTINCT dst FROM e),
+      |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_e6 FROM nodes),
+      |$iters
+      |SELECT r5.node, r5.rank_e6, deg.outdeg
+      |FROM r5 JOIN deg USING (node)""".stripMargin
+  }
+
+  /** q193 — SCD Type-2 history ([[graft.ts.Scd.scd2]]): each
+    * customer's order-priority change stream collapsed to
+    * effective-dated versions (half-open [valid_from, valid_to),
+    * open-ended current row, 1-based version counter). Total order
+    * inside a day by o_orderkey. The oracle replays the lag-filter
+    * and the lead/row_number window on the identical order. */
+  private def q193(s: SparkSession, dir: String): DataFrame =
+    graft.ts.Scd.scd2(
+      t(s, dir, "orders").select(col("o_custkey"),
+        dayBucket(col("o_orderdate")).as("d"),
+        col("o_orderpriority"), col("o_orderkey")),
+      "o_custkey", "d", "o_orderpriority", "o_orderkey")
+
+  private val q193Sql =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+      |         o_orderpriority, o_orderkey
+      |  FROM orders),
+      |marked AS (
+      |  SELECT *, lag(o_orderpriority) OVER (PARTITION BY o_custkey
+      |            ORDER BY d, o_orderkey) AS prev_attr
+      |  FROM o),
+      |kept AS (SELECT * FROM marked
+      |         WHERE prev_attr IS NULL OR prev_attr <> o_orderpriority)
+      |SELECT o_custkey, o_orderpriority, d AS valid_from,
+      |       lead(d) OVER w AS valid_to,
+      |       CAST(row_number() OVER w AS BIGINT) AS version,
+      |       CAST(CASE WHEN lead(d) OVER w IS NULL THEN 1 ELSE 0 END
+      |            AS BIGINT) AS is_current
+      |FROM kept
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)""".stripMargin
+
+  /** q195 — salted skew join ([[graft.joins.SaltedJoin
+    * .saltedEquiJoin]]): events ⋈ per-type dim on the 5-value (i.e.
+    * maximally hot) event_type key, spread 8 ways by event_id salt —
+    * each hot key's rows land in 8 tasks instead of 1. The oracle is
+    * the PLAIN join + aggregate: salting must be result-invisible,
+    * and the hash compare proves it row-exactly. */
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), cents(col("value")).as("v"))
+    val dim = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_type"))
+    graft.joins.SaltedJoin.saltedEquiJoin(ev, dim, Seq("event_type"),
+        saltSrc = "event_id", salts = 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_c"),
+           max(col("n_type")).as("n_type"))
+  }
+
+  private val q195Sql =
+    """WITH ev AS (SELECT event_id, event_type,
+      |              CAST(round(value*100) AS BIGINT) AS v FROM events),
+      |dim AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_type
+      |        FROM ev GROUP BY 1)
+      |SELECT ev.event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(ev.v) AS BIGINT) AS sum_c, max(dim.n_type) AS n_type
+      |FROM ev JOIN dim USING (event_type) GROUP BY 1""".stripMargin
+
+  /** q197 — pairwise association rules ([[graft.graphs.Assoc
+    * .pairRules]]): support / confidence / lift for part pairs
+    * co-purchased in ≥ 2 orders, exact e6-grid statistics with the
+    * overflow-safe lift factoring. The oracle recomputes every
+    * margin and the identical integer-div expression order. */
+  private def q197(s: SparkSession, dir: String): DataFrame =
+    graft.graphs.Assoc.pairRules(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", minSupport = 2L)
+
+  private val q197Sql =
+    """WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+      |           FROM lineitem),
+      |nb AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n_baskets FROM m),
+      |sup AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+      |        FROM m GROUP BY 1),
+      |pr AS (SELECT a.item AS item_a, b.item AS item_b,
+      |              CAST(count(*) AS BIGINT) AS n_ab
+      |       FROM m a JOIN m b ON a.g = b.g AND a.item < b.item
+      |       GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT pr.item_a, pr.item_b, pr.n_ab,
+      |       sa.n_item AS n_a, sb.n_item AS n_b, nb.n_baskets,
+      |       pr.n_ab * 1000000 // sa.n_item AS conf_ab_e6,
+      |       pr.n_ab * 1000000 // sb.n_item AS conf_ba_e6,
+      |       (pr.n_ab * 1000000 // sa.n_item) * nb.n_baskets // sb.n_item
+      |         AS lift_e6
+      |FROM pr JOIN sup sa ON sa.item = pr.item_a
+      |        JOIN sup sb ON sb.item = pr.item_b
+      |        CROSS JOIN nb""".stripMargin
+
+  /** q198 — column profiling ([[graft.pipeline.TableProfile
+    * .profile]]): per-column row/null/exact-distinct counts over the
+    * orders table in long format — the trust-the-drop report. The
+    * oracle is the naive per-column UNION ALL. */
+  private def q198(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TableProfile.profile(t(s, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))
+
+  private val q198Sql =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority").map { c =>
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q192_pagerank", q192, Some(q192Sql)),
+    QueryDef("q197_assoc_rules", q197, Some(q197Sql)),
+    QueryDef("q198_profile", q198, Some(q198Sql)),
+    QueryDef("q193_scd2_history", q193, Some(q193Sql)),
+    QueryDef("q195_salted_join", q195, Some(q195Sql))
+  )
+}

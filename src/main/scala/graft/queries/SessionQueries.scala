@@ -286,7 +286,173 @@ object SessionQueries {
       |            AS BIGINT) AS trend_rank
       |FROM ag""".stripMargin
 
+  /** q189 — calendar gap-fill + linear interpolation
+    * ([[graft.ts.SeriesOps.gapFill]]): per-type daily revenue with
+    * deterministic holes punched (every 7th day-of-month dropped) so
+    * both fill branches fire, regridded to the full per-series
+    * calendar and linearly interpolated on the exact cents grid. The
+    * oracle replays the grid (`generate_series`), the four
+    * IGNORE-NULLS anchor windows, and the single-round interpolation
+    * expression. */
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(dayofmonth(col("ts")) % 7 =!= 0)
+      .groupBy(col("event_type"), dayBucket(col("ts")).as("d"))
+      .agg(sum(cents(col("value"))).as("v_c"))
+    graft.ts.SeriesOps.gapFill(daily, "event_type", "d", "v_c")
+  }
+
+  private val q189Sql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+      |         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v_c
+      |  FROM events WHERE date_part('day', ts) % 7 <> 0 GROUP BY 1, 2),
+      |spans AS (SELECT event_type, min(d) AS d0, max(d) AS d1
+      |          FROM daily GROUP BY 1),
+      |grid AS (SELECT event_type,
+      |           CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+      |         FROM spans),
+      |j AS (SELECT g.event_type, g.d, daily.v_c AS obs_c
+      |      FROM grid g LEFT JOIN daily
+      |        ON daily.event_type = g.event_type AND daily.d = g.d),
+      |a AS (SELECT event_type, d, obs_c,
+      |        last_value(obs_c IGNORE NULLS) OVER w AS prev_c,
+      |        last_value(CASE WHEN obs_c IS NOT NULL THEN d END IGNORE NULLS)
+      |          OVER w AS prev_d,
+      |        first_value(obs_c IGNORE NULLS) OVER w2 AS next_c,
+      |        first_value(CASE WHEN obs_c IS NOT NULL THEN d END IGNORE NULLS)
+      |          OVER w2 AS next_d
+      |      FROM j WINDOW
+      |        w AS (PARTITION BY event_type ORDER BY d ROWS UNBOUNDED PRECEDING),
+      |        w2 AS (PARTITION BY event_type ORDER BY d
+      |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_type, d, obs_c,
+      |  CAST(CASE WHEN obs_c IS NOT NULL THEN obs_c
+      |            WHEN prev_c IS NULL THEN next_c
+      |            WHEN next_c IS NULL THEN prev_c
+      |            ELSE CAST(round(prev_c + (next_c - prev_c) * (d - prev_d)
+      |                            * 1.0 / (next_d - prev_d)) AS BIGINT)
+      |       END AS BIGINT) AS filled_c,
+      |  CAST(CASE WHEN obs_c IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+      |FROM a""".stripMargin
+
+  /** q190 — CUSUM change-point location
+    * ([[graft.ts.SeriesOps.cusumChangepoint]]): per-type daily event
+    * counts, deviations kept exact by n_days-scaling, earliest-argmax
+    * |cusum| day per series. The oracle replays the running-sum and
+    * rank windows on the identical integer statistic. */
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), dayBucket(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.ts.SeriesOps.cusumChangepoint(daily, "event_type", "d", "cnt")
+  }
+
+  private val q190Sql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |              CAST(sum(cnt) AS BIGINT) AS total_n
+      |       FROM daily GROUP BY 1),
+      |cu AS (SELECT daily.event_type, daily.d, st.n_days, st.total_n,
+      |         sum(daily.cnt * st.n_days - st.total_n)
+      |           OVER (PARTITION BY daily.event_type ORDER BY daily.d
+      |                 ROWS UNBOUNDED PRECEDING) AS cusum
+      |       FROM daily JOIN st USING (event_type)),
+      |pk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |                 ORDER BY abs(cusum) DESC, d) AS rk FROM cu)
+      |SELECT event_type, d AS change_d,
+      |       CAST(abs(cusum) AS BIGINT) AS max_abs_cusum, n_days, total_n
+      |FROM pk WHERE rk = 1""".stripMargin
+
+  /** q191 — robust seasonal-profile outliers
+    * ([[graft.ts.SeriesOps.seasonalOutliers]]): per (type, ISO
+    * weekday, hour) cell, exact lower median + MAD of the cents
+    * value and the count beyond 5·MAD. The oracle replays both
+    * median passes on the identical (value, event_id) total order. */
+  private def q191(s: SparkSession, dir: String): DataFrame =
+    graft.ts.SeriesOps.seasonalOutliers(
+      t(s, dir, "events").select(col("event_type"), col("ts"),
+        cents(col("value")).as("v"), col("event_id")),
+      "event_type", "ts", "v", "event_id", k = 5)
+
+  private val q191Sql =
+    """WITH c AS (
+      |  SELECT event_type AS key,
+      |         CAST(date_part('isodow', ts) AS BIGINT) AS isodow,
+      |         CAST(date_part('hour', ts) AS BIGINT) AS hour,
+      |         CAST(round(value*100) AS BIGINT) AS v, event_id AS eid
+      |  FROM events),
+      |m1 AS (
+      |  SELECT key, isodow, hour, v AS med_c FROM (
+      |    SELECT key, isodow, hour, v,
+      |           row_number() OVER (PARTITION BY key, isodow, hour
+      |                              ORDER BY v, eid) AS rn,
+      |           count(*) OVER (PARTITION BY key, isodow, hour) AS cnt
+      |    FROM c) WHERE rn = (cnt + 1) // 2),
+      |d AS (
+      |  SELECT c.key, c.isodow, c.hour, c.v, c.eid, m1.med_c,
+      |         abs(c.v - m1.med_c) AS dev
+      |  FROM c JOIN m1 USING (key, isodow, hour)),
+      |m2 AS (
+      |  SELECT key, isodow, hour, dev AS mad_c FROM (
+      |    SELECT key, isodow, hour, dev,
+      |           row_number() OVER (PARTITION BY key, isodow, hour
+      |                              ORDER BY dev, eid) AS rn,
+      |           count(*) OVER (PARTITION BY key, isodow, hour) AS cnt
+      |    FROM d) WHERE rn = (cnt + 1) // 2)
+      |SELECT d.key AS event_type, d.isodow, d.hour,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       max(d.med_c) AS med_c, max(m2.mad_c) AS mad_c,
+      |       CAST(sum(CASE WHEN d.dev > 5 * m2.mad_c THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_outliers
+      |FROM d JOIN m2 USING (key, isodow, hour)
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** q196 — interval coalescing ([[graft.ts.SeriesOps
+    * .mergeIntervals]]): every event opens a 30-minute activity
+    * interval; overlapping-or-touching intervals per user merge into
+    * maximal busy periods (the interval-union twin of q23's
+    * session_window, built from explicit ranges instead of
+    * gap-to-next semantics). The oracle replays the running-max /
+    * flag / cumsum windows on the identical total order. */
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp").cast("long").as("start_sec"))
+      .withColumn("end_sec", col("start_sec") + 1800L)
+    graft.ts.SeriesOps.mergeIntervals(iv, "user_id", "start_sec", "end_sec",
+      "event_id")
+  }
+
+  private val q196Sql =
+    """WITH iv AS (
+      |  SELECT user_id, event_id,
+      |         epoch_ns(ts) // 1000000000 AS start_sec,
+      |         epoch_ns(ts) // 1000000000 + 1800 AS end_sec
+      |  FROM events),
+      |fl AS (SELECT user_id, event_id, start_sec, end_sec,
+      |         max(end_sec) OVER (PARTITION BY user_id
+      |           ORDER BY start_sec, end_sec, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      |       FROM iv),
+      |fg AS (SELECT *, CASE WHEN pme IS NULL OR start_sec > pme
+      |                      THEN 1 ELSE 0 END AS nf FROM fl),
+      |ci AS (SELECT *, sum(nf) OVER (PARTITION BY user_id
+      |          ORDER BY start_sec, end_sec, event_id
+      |          ROWS UNBOUNDED PRECEDING) AS island FROM fg)
+      |SELECT user_id, min(start_sec) AS island_start,
+      |       max(end_sec) AS island_end,
+      |       CAST(count(*) AS BIGINT) AS n_intervals
+      |FROM ci GROUP BY user_id, island""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q196_interval_merge", q196, Some(q196Sql)),
+    QueryDef("q189_gap_fill", q189, Some(q189Sql)),
+    QueryDef("q190_cusum_changepoint", q190, Some(q190Sql)),
+    QueryDef("q191_seasonal_outliers", q191, Some(q191Sql)),
     QueryDef("q185_event_transitions", q185, Some(q185Sql)),
     QueryDef("q186_rfm_segments", q186, Some(q186Sql)),
     QueryDef("q187_decayed_trending", q187, Some(q187Sql)),

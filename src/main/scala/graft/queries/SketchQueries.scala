@@ -228,7 +228,34 @@ object SketchQueries {
       |FROM hits""".stripMargin
   }
 
+  /** q194 — sequential Poisson weighted sampling
+    * ([[graft.pipeline.CorpusSketch.seqPoissonSample]], Ohlsson
+    * 1998): 25 documents per language, inclusion probability ∝
+    * n_chars, priority = ((point+1)·1e9) div weight on the exact
+    * integer grid. The oracle recomputes the hash point, the
+    * priority, and the per-stratum rank window on the identical
+    * (priority, doc_id) order — exact-membership check, not a
+    * statistics-only one. */
+  private def q194(s: SparkSession, dir: String): DataFrame =
+    CorpusSketch.seqPoissonSample(
+      t(s, dir, "documents").select(col("lang"), col("doc_id"), col("n_chars")),
+      "lang", "doc_id", "n_chars", k = 25)
+
+  private val q194Sql = {
+    val h = hexSql("md5('seqpois' || lang || '|' || doc_id)", 8)
+    s"""WITH p AS (SELECT lang, doc_id, n_chars,
+      |             ((($h % 1000000) + 1) * 1000000000) // n_chars AS priority
+      |           FROM documents WHERE n_chars > 0),
+      |r AS (SELECT lang, doc_id, n_chars, priority,
+      |        CAST(row_number() OVER (PARTITION BY lang
+      |             ORDER BY priority, doc_id) AS BIGINT) AS rank
+      |      FROM p)
+      |SELECT lang, doc_id, n_chars, priority, rank
+      |FROM r WHERE rank <= 25""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q194_weighted_sample", q194, Some(q194Sql)),
     QueryDef("q94_hll_distinct", q94, Some(q94Sql)),
     QueryDef("q95_cms_heavy_hitters", q95, Some(q95Sql)),
     QueryDef("q96_stratified_sample", q96, Some(q96Sql)),

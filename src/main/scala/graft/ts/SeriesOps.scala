@@ -1,0 +1,186 @@
+package graft.ts
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-series time-series repair and diagnostics: calendar gap-fill
+  * with linear interpolation, CUSUM change-point location, and robust
+  * seasonal-profile outlier detection — the preprocessing a forecast
+  * or monitoring pipeline runs between raw events and a model fit
+  * (the reference's pandas notebooks assume a complete, clean daily
+  * grid; these operators are what MAKE the grid complete and clean).
+  *
+  * Scale shape, shared by all three: every window is partitioned by
+  * the SERIES key (or the seasonal cell), never global — the parallel
+  * axis is series count, the sequential axis is one series' length,
+  * which is calendar-bounded (a decade of days is ~3.7k rows per
+  * partition). Grids are generated per-series with `sequence` (no
+  * driver loop), aggregates are keyed, and nothing is collected.
+  *
+  * Determinism: values ride the exact cents grid ([[graft.queries
+  * .cents]]); interpolation is a single double round over exact
+  * integer inputs (identical IEEE in Spark and DuckDB); medians are
+  * EXACT lower medians over a (value, id) total order, not
+  * percentile approximations — every output hash-stable.
+  */
+object SeriesOps {
+
+  /** Calendar gap-fill + linear interpolation. Input: one row per
+    * (series, day) OBSERVATION with an exact-integer value `vCol`
+    * (gaps simply absent). Output: one row per (series, day) on the
+    * full per-series [min-day, max-day] grid:
+    *   - `obs_c`    the observed value (null on gap days)
+    *   - `filled_c` observed where present; linearly interpolated
+    *                between the nearest observed neighbours
+    *                (`round(prev + (next-prev)*off/span)`); clamped
+    *                to the nearest anchor at the series edges (no
+    *                extrapolation)
+    *   - `is_gap`   1 when the day was absent from the input
+    *
+    * The grid is generated per-series via `sequence(d0, d1)` —
+    * series length rows, no driver loop; anchors come from two
+    * keyed `last/first IGNORE NULLS` running windows (one forward,
+    * one reverse), each partitioned by series. */
+  def gapFill(daily: DataFrame, keyCol: String, dateCol: String,
+              vCol: String): DataFrame = {
+    val spans = daily.groupBy(col(keyCol))
+      .agg(min(col(dateCol)).as("d0"), max(col(dateCol)).as("d1"))
+    val grid = spans.select(col(keyCol),
+      explode(sequence(col("d0"), col("d1"))).as(dateCol))
+    val joined = grid.join(
+      daily.select(col(keyCol), col(dateCol), col(vCol).as("obs_c")),
+      Seq(keyCol, dateCol), "left")
+    val fwd = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwd = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val anchored = joined
+      .withColumn("prev_c", last(col("obs_c"), ignoreNulls = true).over(fwd))
+      .withColumn("prev_d",
+        last(when(col("obs_c").isNotNull, col(dateCol)), ignoreNulls = true).over(fwd))
+      .withColumn("next_c", first(col("obs_c"), ignoreNulls = true).over(bwd))
+      .withColumn("next_d",
+        first(when(col("obs_c").isNotNull, col(dateCol)), ignoreNulls = true).over(bwd))
+    // single-expression IEEE interpolation over exact ints: both
+    // engines compute round(prev + (next-prev) * off / span) on
+    // identical doubles (inputs < 2^53) -> identical longs
+    val interp = round(col("prev_c") +
+      (col("next_c") - col("prev_c")) *
+        datediff(col(dateCol), col("prev_d")) /
+        datediff(col("next_d"), col("prev_d"))).cast("long")
+    anchored.select(col(keyCol), col(dateCol),
+      col("obs_c").cast("long").as("obs_c"),
+      when(col("obs_c").isNotNull, col("obs_c"))
+        .when(col("prev_c").isNull, col("next_c"))
+        .when(col("next_c").isNull, col("prev_c"))
+        .otherwise(interp).cast("long").as("filled_c"),
+      when(col("obs_c").isNull, 1L).otherwise(0L).as("is_gap"))
+  }
+
+  /** CUSUM change-point location per series. For a per-day count
+    * series, the cumulative sum of deviations from the series mean
+    * peaks (in absolute value) at the most likely single change
+    * point (Page 1954's CUSUM statistic, offline form). Deviations
+    * are kept EXACT by scaling with the day count instead of
+    * dividing: dev_k = n_days·c_k − total (so cusum is an integer
+    * and the argmax is grid-free). Output: one row per series —
+    * (series, change_d, max_abs_cusum, n_days, total_n) with
+    * change_d the EARLIEST day attaining the max |cusum|.
+    *
+    * Shape: one keyed aggregate, one keyed running-sum window, one
+    * keyed rank window — all partitioned by series. */
+  def cusumChangepoint(daily: DataFrame, keyCol: String, dateCol: String,
+                       cntCol: String): DataFrame = {
+    val stats = daily.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"), sum(col(cntCol)).as("total_n"))
+    val run = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cusum = daily.join(stats, Seq(keyCol))
+      .withColumn("dev", col(cntCol) * col("n_days") - col("total_n"))
+      .withColumn("cusum", sum(col("dev")).over(run))
+    val pick = Window.partitionBy(col(keyCol))
+      .orderBy(abs(col("cusum")).desc, col(dateCol))
+    cusum.withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col(keyCol), col(dateCol).as("change_d"),
+        abs(col("cusum")).cast("long").as("max_abs_cusum"),
+        col("n_days").cast("long").as("n_days"),
+        col("total_n").cast("long").as("total_n"))
+  }
+
+  /** Interval coalescing (gaps-and-islands on ranges): merge every
+    * overlapping-or-touching [start, end] interval per key into its
+    * maximal union interval. A new island starts where `start`
+    * strictly exceeds the running max of all PREVIOUS ends (touching
+    * intervals — start == previous end — therefore merge). Output:
+    * (key, island_start, island_end, n_intervals).
+    *
+    * The island boundary rule is order-robust within equal starts
+    * (an interval sharing its start with an overlapping predecessor
+    * can never open an island), but the windows still order by the
+    * (start, end, id) total order so the flag/cumsum replay is
+    * engine-identical. Windows are keyed — per-key interval count is
+    * the sequential dimension, key count the parallel axis. */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+                     endCol: String, idCol: String): DataFrame = {
+    val order = Seq(col(startCol), col(endCol), col(idCol))
+    val prevMax = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("prev_max_end", max(col(endCol)).over(prevMax))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull ||
+             col(startCol) > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(run))
+      .groupBy(col(keyCol), col("island"))
+      .agg(min(col(startCol)).as("island_start"),
+           max(col(endCol)).as("island_end"),
+           count(lit(1)).as("n_intervals"))
+      .drop("island")
+  }
+
+  /** Robust seasonal-profile outliers: for each seasonal cell
+    * (series key × ISO weekday × hour), the EXACT lower median and
+    * MAD of the exact-integer value, and the count of observations
+    * beyond `k`·MAD of the median. With MAD = 0 (over half the cell
+    * identical) any deviation flags — deliberate: on a constant
+    * profile every departure IS anomalous, and the rule stays
+    * integer-exact. Output: (key, isodow, hour, n, med_c, mad_c,
+    * n_outliers).
+    *
+    * Medians are exact lower medians (element (n+1) div 2 in the
+    * (value, id) total order) — not `percentile_approx` — computed
+    * with a per-cell rank window + filter + join; two passes (value
+    * median, then deviation median). Cells are the parallel axis
+    * (|keys|·7·24 partitions), so no global sort at any size. */
+  def seasonalOutliers(events: DataFrame, keyCol: String, tsCol: String,
+                       vCol: String, idCol: String, k: Int = 5): DataFrame = {
+    val cells = events.select(col(keyCol).as("key"),
+      (weekday(col(tsCol)) + 1).cast("long").as("isodow"),
+      hour(col(tsCol)).cast("long").as("hour"),
+      col(vCol).as("v"), col(idCol).as("eid"))
+    def lowerMedian(df: DataFrame, valName: String, outName: String): DataFrame = {
+      val part = Window.partitionBy(col("key"), col("isodow"), col("hour"))
+      val w = part.orderBy(col(valName), col("eid"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("key"), col("isodow"), col("hour"),
+                col(valName).as(outName))
+    }
+    val med = lowerMedian(cells, "v", "med_c")
+    val withMed = cells.join(med, Seq("key", "isodow", "hour"))
+      .withColumn("dev", abs(col("v") - col("med_c")))
+    val mad = lowerMedian(withMed, "dev", "mad_c")
+    withMed.join(mad, Seq("key", "isodow", "hour"))
+      .groupBy(col("key"), col("isodow"), col("hour"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med_c")).as("med_c"),
+        max(col("mad_c")).as("mad_c"),
+        sum(when(col("dev") > lit(k) * col("mad_c"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumnRenamed("key", keyCol)
+  }
+}

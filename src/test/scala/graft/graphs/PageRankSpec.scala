@@ -1,0 +1,45 @@
+package graft.graphs
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[PageRank]] — exact integer update rule on hand-computable
+  * graphs, mass conservation, and the co-occurrence edge builder. */
+class PageRankSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("two-node symmetric graph: ranks stay at the fixed point") {
+    import spark.implicits._
+    // a<->b, outdeg 1 each: r' = 150000 + 85*1000000 div 100 = 1000000
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val got = PageRank.pageRank(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1000000L, "b" -> 1000000L))
+  }
+
+  test("star graph: hub accumulates, leaves equalize; exact grid values") {
+    import spark.implicits._
+    // hub h <-> leaves x,y,z (symmetrized): deg(h)=3, deg(leaf)=1
+    val edges = Seq("x", "y", "z").flatMap(l => Seq(("h", l), (l, "h")))
+      .toDF("src", "dst")
+    val got = PageRank.pageRank(edges, "src", "dst", iters = 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // leaves receive hub's share 1000000 div 3 = 333333:
+    //   150000 + 85*333333 div 100 = 150000 + 283333 = 433333
+    // hub receives 3 leaf shares of 1000000: 150000 + 85*3000000 div 100
+    assert(got("h") == ((2700000L, 3L)))
+    assert(got("x") == ((433333L, 1L)))
+    assert(got("y") == ((433333L, 1L)))
+    assert(got("z") == ((433333L, 1L)))
+  }
+
+  test("coOccurrenceEdges: distinct ordered pairs within groups, deduped") {
+    import spark.implicits._
+    val m = Seq((1L, "a"), (1L, "b"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (2L, "c"), (3L, "z")).toDF("g", "item")
+    val got = PageRank.coOccurrenceEdges(m, "g", "item")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+      ("b", "c"), ("c", "b")))
+  }
+}

@@ -133,6 +133,29 @@ class CorpusSketchSpec extends AnyFunSuite {
              .join(pre.select("s", "id"), Seq("s", "id"))).isEmpty)
   }
 
+  test("seqPoissonSample: exact k, deterministic, weight-biased, prefilter-invariant") {
+    val df = spark.range(8000).select(
+      when(col("id") % 2 === 0, "x").otherwise("y").as("s"), col("id"),
+      // weights 1..4000: heavier rows should be overrepresented
+      (col("id") / 2 + 1).cast("long").as("w"))
+    val k = 50
+    val a = CorpusSketch.seqPoissonSample(df, "s", "id", "w", k)
+    val b = CorpusSketch.seqPoissonSample(df, "s", "id", "w", k)
+    assert(a.exceptAll(b).isEmpty, "weighted sampling not deterministic")
+    val sizes = a.groupBy("s").agg(count(lit(1))).as[(String, Long)].collect().toMap
+    assert(sizes == Map("x" -> k.toLong, "y" -> k.toLong))
+    // weight bias: mean sampled weight well above the population mean
+    // (~2000); sequential Poisson with w~U(1,4000) concentrates around
+    // E[w²]/E[w] ≈ 2667
+    val meanW = a.agg(avg(col("w"))).as[Double].collect().head
+    assert(meanW > 2200, s"sample mean weight $meanW not weight-biased")
+    // prefilter keeps the result exact while bounding the ranked set:
+    // priorities ~ Uniform(0, 1e15)/w; survivors at 200‰ >> 2k rows
+    val pre = CorpusSketch.seqPoissonSample(df, "s", "id", "w", k, Some(200L))
+    assert(a.exceptAll(pre).isEmpty && pre.exceptAll(a).isEmpty,
+           "prefiltered weighted sample differs")
+  }
+
   test("histogram quantiles: within one binWidth of the exact percentile") {
     // two groups with different shapes: uniform 0..999 and squares
     val df = spark.range(1000).select(lit("u").as("g"), col("id").as("x"))
