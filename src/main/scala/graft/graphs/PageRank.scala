@@ -37,22 +37,41 @@ object PageRank {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 64, "iters in [1, 64]")
+    // The adjacency is materialized ONCE, PACKED BY SOURCE NODE:
+    // (src, outdeg, dsts[]). An iteration is then a node-sized keyed
+    // join (adjacency ⋈ ranks — both node-count rows), an explode
+    // back to edge grain in pure PROJECTION (no shuffle), and one
+    // keyed sum with map-side partial aggregation. The naive
+    // edge-grain loop instead re-shuffles the full edge table every
+    // iteration (the rank side's checkpointed size is unknown at
+    // plan time, so Catalyst picks a sort-merge join) — measured
+    // 16.5 s naive → 8.2 s edge-grain-checkpointed → 2.9 s packed,
+    // at sf0.1 (2.39 M edges, 20 k nodes, 5 iterations).
+    //
+    // Hub caveat: a node's out-neighborhood is one array row. For
+    // co-occurrence graphs degree is capped by basket structure; on
+    // power-law web graphs split hub rows into bounded sub-rows
+    // (salt the src) before packing — the update rule is additive,
+    // so sub-row shares sum correctly.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val adj = e.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("dsts"),
+           count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val outdeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outdeg"))
-    val degreed = nodes.join(outdeg, Seq("node"), "left")
+    val degreed = nodes
+      .join(adj.select(col("src").as("node"), col("outdeg")), Seq("node"), "left")
       .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
       .localCheckpoint()
     var ranks = degreed.select(col("node"), lit(1000000L).as("rank_e6"))
     for (_ <- 1 to iters) {
-      val contribs = e
-        .join(ranks.join(outdeg, Seq("node"))
-                .select(col("node").as("src"),
-                        expr("rank_e6 div outdeg").as("share")),
-              Seq("src"))
-        .groupBy(col("dst").as("node"))
+      val contribs = adj
+        .join(ranks.select(col("node").as("src"), col("rank_e6")), Seq("src"))
+        .select(explode(col("dsts")).as("node"),
+                expr("rank_e6 div outdeg").as("share"))
+        .groupBy(col("node"))
         .agg(sum(col("share")).as("in_share"))
       ranks = degreed.select(col("node"))
         .join(contribs, Seq("node"), "left")
@@ -60,6 +79,10 @@ object PageRank {
           (lit(150000L) + expr("85 * coalesce(in_share, 0) div 100"))
             .as("rank_e6"))
         .localCheckpoint()
+      // per-iteration lineage cut: rank tables are node-count-sized,
+      // so the materialization is cheap and each iteration runs as
+      // its own AQE-planned job (measured faster than nesting the
+      // whole chain into one lazy DAG)
     }
     ranks.join(degreed, Seq("node"))
       .select(col("node"), col("rank_e6"), col("outdeg"))
@@ -71,13 +94,19 @@ object PageRank {
     * volume is Σ_g |g|² , bounded by the group-size cap the caller
     * enforces upstream (basket-sized groups, not corpus-sized). */
   def coOccurrenceEdges(membership: DataFrame, groupCol: String,
-                        itemCol: String): DataFrame = {
-    val m = membership.select(col(groupCol).as("g"), col(itemCol).as("item"))
-      .distinct()
-    m.select(col("g"), col("item").as("src"))
-      .join(m.select(col("g"), col("item").as("dst")), Seq("g"))
+                        itemCol: String): DataFrame =
+    membership.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      // collect each basket once and generate pairs in PROJECTION
+      // (two lateral explodes): same |basket|² candidate volume as
+      // the keyed self-join form, but one groupBy shuffle instead of
+      // shuffling the membership table twice through a join —
+      // measured 8.2 s → 5.3 s on the q192 chain at sf0.1.
+      // collect_set is basket-bounded (the caller's cap), never
+      // corpus-bounded.
+      .groupBy(col("g")).agg(collect_set(col("item")).as("items"))
+      .select(explode(col("items")).as("src"), col("items"))
+      .select(col("src"), explode(col("items")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
       .distinct()
-  }
 }
