@@ -128,6 +128,43 @@ object CorpusSketch {
       .select(col(groupCol), col("v_empty"), col("sum_scaled"), col("est"))
   }
 
+  /** Rolling distinct-over-time — THE mergeability payoff: exact
+    * rolling distincts need every raw value re-scanned per window
+    * position (no distributive decomposition exists), but HLL
+    * registers merge by max, so a trailing window is one register
+    * frame + a per-bucket running-max window. Cost is
+    * days × m register rows total, independent of corpus size; the
+    * window partitions by BUCKET (m = 2^p partitions) over the day
+    * axis.
+    *
+    * Shape: per-day registers → dense (day × bucket) grid (so a
+    * bucket seen only on day d still serves days d..d+w−1) → max
+    * over the trailing RANGE frame → [[hllEstimate]] per day.
+    * Output: (dayCol, v_empty, sum_scaled, est) — est ≈ distinct
+    * values in the trailing `windowDays` ending that day. */
+  def hllRollingDistinct(df: DataFrame, dayCol: String, valueCol: String,
+                         windowDays: Int, p: Int = 10,
+                         salt: String = "hll"): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val m = 1L << p
+    val withDi = df.withColumn("di",
+      datediff(col(dayCol), to_date(lit("1970-01-01"))).cast("long"))
+    val regs = hllRegisters(withDi, "di", valueCol, p, salt)
+    val days = withDi.select(col("di")).distinct()
+    val grid = days.select(col("di"),
+      explode(sequence(lit(0L), lit(m - 1))).as("bucket"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("di"))
+      .rangeBetween(-(windowDays - 1).toLong, 0)
+    val rolled = grid.join(regs, Seq("di", "bucket"), "left")
+      .withColumn("roll_rho", max(col("rho")).over(w))
+      .filter(col("roll_rho").isNotNull)
+      .select(col("di"), col("bucket"), col("roll_rho").as("rho"))
+    hllEstimate(rolled, "di", p)
+      .withColumn(dayCol,
+        date_add(to_date(lit("1970-01-01")), col("di").cast("int")))
+      .select(col(dayCol), col("v_empty"), col("sum_scaled"), col("est"))
+  }
+
   /** One-call sketch: values → per-group (v_empty, sum_scaled, est). */
   def hllSketch(df: DataFrame, groupCol: String, valueCol: String,
                 p: Int = 10, salt: String = "hll"): DataFrame =

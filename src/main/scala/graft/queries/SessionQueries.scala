@@ -448,7 +448,65 @@ object SessionQueries {
       |       CAST(count(*) AS BIGINT) AS n_intervals
       |FROM ci GROUP BY user_id, island""".stripMargin
 
+  private def dailyRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"), dayBucket(col("ts")).as("d"))
+      .agg(sum(cents(col("value"))).as("v_c"))
+
+  private val dailyRevenueSql =
+    """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+      |         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v_c
+      |  FROM events GROUP BY 1, 2""".stripMargin
+
+  /** q199 — truncated-EWMA smoothing ([[graft.ts.SeriesOps
+    * .ewmaSmooth]], α = 0.8, 8 taps): per-type daily revenue
+    * smoothed with driver-computed e6 weights; the oracle embeds the
+    * IDENTICAL weight literals ([[graft.ts.SeriesOps.ewmaWeights]])
+    * in an unrolled lag chain. */
+  private def q199(s: SparkSession, dir: String): DataFrame =
+    graft.ts.SeriesOps.ewmaSmooth(dailyRevenue(s, dir),
+      "event_type", "d", "v_c", alpha = 0.8, taps = 8)
+
+  private val q199Sql = {
+    val ws = graft.ts.SeriesOps.ewmaWeights(0.8, 8)
+    def tap(k: Int) = s"lag(v_c, $k) OVER w"
+    val num = ws.zipWithIndex.map { case (wk, k) =>
+      s"CASE WHEN ${tap(k)} IS NOT NULL THEN $wk * ${tap(k)} ELSE 0 END"
+    }.mkString("\n      + ")
+    val den = ws.zipWithIndex.map { case (wk, k) =>
+      s"CASE WHEN ${tap(k)} IS NOT NULL THEN $wk ELSE 0 END"
+    }.mkString("\n      + ")
+    s"""WITH daily AS (
+      |  $dailyRevenueSql)
+      |SELECT event_type, d, v_c,
+      |  ($num)
+      |  // ($den) AS smooth_c
+      |FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)""".stripMargin
+  }
+
+  /** q201 — trailing 30-day rolling aggregates ([[graft.ts.SeriesOps
+    * .rollingDaily]]): RANGE frame over the integer day index (gaps
+    * genuinely shrink the window), exact integer sum/count and the
+    * meanFromCents-derived average. */
+  private def q201(s: SparkSession, dir: String): DataFrame =
+    graft.ts.SeriesOps.rollingDaily(dailyRevenue(s, dir),
+      "event_type", "d", "v_c", windowDays = 30)
+
+  private val q201Sql =
+    s"""WITH daily AS (
+      |  $dailyRevenueSql),
+      |r AS (SELECT event_type, d, v_c,
+      |        CAST(d - DATE '1970-01-01' AS BIGINT) AS di FROM daily)
+      |SELECT event_type, d, v_c,
+      |  CAST(sum(v_c) OVER w AS BIGINT) AS roll_sum_c,
+      |  CAST(count(*) OVER w AS BIGINT) AS roll_n,
+      |  round(sum(v_c) OVER w / 100.0 / count(*) OVER w, 6) AS roll_avg
+      |FROM r WINDOW w AS (PARTITION BY event_type ORDER BY di
+      |                    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q199_ewma_smooth", q199, Some(q199Sql)),
+    QueryDef("q201_rolling_30d", q201, Some(q201Sql)),
     QueryDef("q196_interval_merge", q196, Some(q196Sql)),
     QueryDef("q189_gap_fill", q189, Some(q189Sql)),
     QueryDef("q190_cusum_changepoint", q190, Some(q190Sql)),

@@ -254,8 +254,84 @@ object SketchQueries {
       |FROM r WHERE rank <= 25""".stripMargin
   }
 
+  /** q200 — table checksum ([[CorpusSketch.h60]] + `bit_xor`): per
+    * language, row count, character total, and the order-independent
+    * 60-bit XOR digest of every document hash — the replication-audit
+    * primitive (two copies of a partition disagree ⇒ digests differ;
+    * XOR distributes perfectly over partials, so the check costs one
+    * map-side-combined aggregate at any scale). */
+  private def q200(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), col("n_chars"),
+              CorpusSketch.h60(col("text"), "ck").as("h"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+           expr("bit_xor(h)").as("xor60"))
+
+  private val q200Sql = {
+    val h = hexSql("md5('ck' || text)", 15)
+    s"""WITH h AS (SELECT lang, n_chars, $h AS h FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(bit_xor(h) AS BIGINT) AS xor60
+      |FROM h GROUP BY 1""".stripMargin
+  }
+
+  /** q202 — HLL rolling distinct users over a trailing 7-day window
+    * ([[CorpusSketch.hllRollingDistinct]]): the mergeability payoff —
+    * per-day registers + a per-bucket running max replace any
+    * re-scan of raw values per window position. The oracle replays
+    * registers, the dense day×bucket grid, the RANGE-frame max, and
+    * the q94 estimate chain. */
+  private def q202(s: SparkSession, dir: String): DataFrame =
+    CorpusSketch.hllRollingDistinct(
+      t(s, dir, "events").select(dayBucket(col("ts")).as("d"), col("user_id")),
+      "d", "user_id", windowDays = 7)
+
+  private val q202Sql = {
+    val h = hexSql("md5('hll' || user_id)", 15)
+    s"""WITH h AS (SELECT CAST(date_trunc('day', ts) AS DATE)
+      |                   - DATE '1970-01-01' AS di,
+      |                   $h AS h FROM events),
+      |b AS (SELECT di, h >> 50 AS bucket,
+      |             h & ((1::BIGINT << 50) - 1) AS rem FROM h),
+      |r AS (SELECT di, bucket,
+      |             MAX(CASE WHEN rem = 0 THEN 51
+      |                      ELSE 51 - length(bin(rem)) END) AS rho
+      |      FROM b GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT di FROM h),
+      |grid AS (SELECT di, CAST(unnest(generate_series(0, 1023)) AS BIGINT)
+      |                    AS bucket FROM days),
+      |g2 AS (SELECT grid.di, grid.bucket, r.rho
+      |       FROM grid LEFT JOIN r USING (di, bucket)),
+      |rolled AS (SELECT di, bucket,
+      |             max(rho) OVER (PARTITION BY bucket ORDER BY di
+      |               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rho
+      |           FROM g2),
+      |f AS (SELECT di, bucket, rho FROM rolled WHERE rho IS NOT NULL),
+      |a AS (SELECT di, COUNT(*) AS occupied,
+      |             SUM(1::BIGINT << (51 - rho)) AS occ_scaled
+      |      FROM f GROUP BY 1),
+      |sc AS (SELECT di, CAST(1024 - occupied AS BIGINT) AS v_empty,
+      |              CAST(occ_scaled + (1024 - occupied) * (1::BIGINT << 51)
+      |                   AS BIGINT) AS sum_scaled
+      |       FROM a),
+      |e AS (SELECT di, v_empty, sum_scaled,
+      |             0.7213 / (1.0 + 1.079 / 1024) * 1048576.0
+      |               * 2251799813685248.0 / sum_scaled AS est_raw
+      |      FROM sc)
+      |SELECT CAST(DATE '1970-01-01' + CAST(di AS INTEGER) AS DATE) AS d,
+      |       v_empty, sum_scaled,
+      |       round(CASE WHEN est_raw <= 2560.0 AND v_empty > 0
+      |                  THEN 1024.0 * ln(1024.0 / v_empty)
+      |                  ELSE est_raw END, 2) AS est
+      |FROM e""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q194_weighted_sample", q194, Some(q194Sql)),
+    QueryDef("q200_table_checksum", q200, Some(q200Sql)),
+    QueryDef("q202_hll_rolling", q202, Some(q202Sql)),
     QueryDef("q94_hll_distinct", q94, Some(q94Sql)),
     QueryDef("q95_cms_heavy_hitters", q95, Some(q95Sql)),
     QueryDef("q96_stratified_sample", q96, Some(q96Sql)),

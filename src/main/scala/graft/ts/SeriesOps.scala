@@ -109,6 +109,65 @@ object SeriesOps {
         col("total_n").cast("long").as("total_n"))
   }
 
+  /** Truncated-EWMA smoothing (finite-impulse form): smooth_t =
+    * (Σ_k w_k·x_{t−k}) div (Σ_k w_k) over the last `taps`
+    * observations, w_k = round(1e6·alpha^k). The closed form keeps
+    * every step integer-exact (the [[graft.ts.EventAnalytics
+    * .decayedTrending]] per-term-quantize idiom): the float power
+    * never crosses an aggregation boundary — weights are
+    * driver-computed literals, embedded identically in the SQL
+    * oracle. Early rows renormalize over the terms that exist (the
+    * standard adjusted-EWMA start). Truncation error vs the infinite
+    * EWMA is alpha^taps (≈ 1.7% of tail mass at 0.8^8).
+    *
+    * Lag semantics are OBSERVATION steps, not calendar steps — run
+    * [[gapFill]] first when the series has holes. The lag window is
+    * keyed by series; `taps` bounds the expression width (64 cap
+    * keeps codegen happy). */
+  def ewmaSmooth(daily: DataFrame, keyCol: String, dateCol: String,
+                 vCol: String, alpha: Double = 0.8, taps: Int = 8): DataFrame = {
+    require(taps >= 1 && taps <= 64, "taps in [1, 64]")
+    require(alpha > 0 && alpha < 1, "alpha in (0, 1)")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+    val terms = ewmaWeights(alpha, taps).zipWithIndex.map { case (wk, k) =>
+      val lagged = lag(col(vCol), k).over(w)
+      (when(lagged.isNotNull, lit(wk) * lagged).otherwise(lit(0L)),
+       when(lagged.isNotNull, lit(wk)).otherwise(lit(0L)))
+    }
+    daily
+      .withColumn("num", terms.map(_._1).reduce(_ + _))
+      .withColumn("den", terms.map(_._2).reduce(_ + _))
+      .select(col(keyCol), col(dateCol), col(vCol),
+              expr("num div den").as("smooth_c"))
+  }
+
+  /** The e6-grid EWMA tap weights — exposed so the oracle embeds the
+    * IDENTICAL literals the Spark plan uses. */
+  def ewmaWeights(alpha: Double, taps: Int): Seq[Long] =
+    (0 until taps).map(k => math.round(1e6 * math.pow(alpha, k)))
+
+  /** Trailing-`windowDays` rolling aggregates on a daily series — a
+    * RANGE frame over the integer day index, so missing calendar
+    * days genuinely shrink the window (ROWS frames silently stretch
+    * across gaps). Output adds (roll_sum_c, roll_n, roll_avg) with
+    * roll_avg derived once from the exact integers (the
+    * [[graft.queries.meanFromCents]] discipline). Keyed window;
+    * series count is the parallel axis. */
+  def rollingDaily(daily: DataFrame, keyCol: String, dateCol: String,
+                   vCol: String, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("di"))
+      .rangeBetween(-(windowDays - 1).toLong, 0)
+    daily
+      .withColumn("di",
+        datediff(col(dateCol), to_date(lit("1970-01-01"))).cast("long"))
+      .withColumn("roll_sum_c", sum(col(vCol)).over(w))
+      .withColumn("roll_n", count(lit(1)).over(w).cast("long"))
+      .select(col(keyCol), col(dateCol), col(vCol),
+        col("roll_sum_c"), col("roll_n"),
+        round(col("roll_sum_c") / 100.0 / col("roll_n"), 6).as("roll_avg"))
+  }
+
   /** Interval coalescing (gaps-and-islands on ranges): merge every
     * overlapping-or-touching [start, end] interval per key into its
     * maximal union interval. A new island starts where `start`

@@ -133,6 +133,20 @@ class CorpusSketchSpec extends AnyFunSuite {
              .join(pre.select("s", "id"), Seq("s", "id"))).isEmpty)
   }
 
+  test("hllRollingDistinct: trailing window unions registers, old days age out") {
+    import java.sql.Date
+    // three days of DISJOINT 100-user cohorts; window 2 days:
+    // day1 ~ 100, day2 ~ 200, day3 ~ 200 (day1 aged out)
+    val rows = for (day <- 1 to 3; u <- 1 to 100)
+      yield (Date.valueOf(f"2024-01-0$day"), (day * 1000 + u).toLong)
+    val df = spark.createDataFrame(rows).toDF("d", "user_id")
+    val got = CorpusSketch.hllRollingDistinct(df, "d", "user_id", windowDays = 2)
+      .collect().map(r => r.getDate(0).toString -> r.getDouble(3)).toMap
+    assert(math.abs(got("2024-01-01") - 100) < 10, s"day1 ${got("2024-01-01")}")
+    assert(math.abs(got("2024-01-02") - 200) < 15, s"day2 ${got("2024-01-02")}")
+    assert(math.abs(got("2024-01-03") - 200) < 15, s"day3 ${got("2024-01-03")}")
+  }
+
   test("seqPoissonSample: exact k, deterministic, weight-biased, prefilter-invariant") {
     val df = spark.range(8000).select(
       when(col("id") % 2 === 0, "x").otherwise("y").as("s"), col("id"),

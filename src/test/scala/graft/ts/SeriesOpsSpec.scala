@@ -71,6 +71,39 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(r.head.getLong(3) == 4L && r.head.getLong(4) == 12L)
   }
 
+  test("ewmaSmooth: exact integer weighting with early-row renormalize") {
+    import spark.implicits._
+    // alpha 0.5, taps 2 -> weights [1000000, 500000]
+    val daily = Seq(
+      ("s", d("2024-01-01"), 100L),
+      ("s", d("2024-01-02"), 200L),
+      ("s", d("2024-01-03"), 300L))
+      .toDF("k", "dd", "v")
+    val got = SeriesOps.ewmaSmooth(daily, "k", "dd", "v", alpha = 0.5, taps = 2)
+      .collect().map(r => r.getDate(1).toString -> r.getLong(3)).toMap
+    assert(got == Map(
+      "2024-01-01" -> 100L, // first row: only its own tap
+      "2024-01-02" -> 166L, // (1e6*200 + 5e5*100) div 1.5e6
+      "2024-01-03" -> 266L)) // (1e6*300 + 5e5*200) div 1.5e6
+  }
+
+  test("rollingDaily: RANGE frame shrinks across calendar gaps") {
+    import spark.implicits._
+    val daily = Seq(
+      ("s", d("2024-01-01"), 1000L),
+      ("s", d("2024-01-02"), 2000L),
+      ("s", d("2024-01-10"), 5000L)) // 8-day gap: window must NOT stretch
+      .toDF("k", "dd", "v")
+    val got = SeriesOps.rollingDaily(daily, "k", "dd", "v", windowDays = 3)
+      .collect()
+      .map(r => r.getDate(1).toString -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == Map(
+      "2024-01-01" -> ((1000L, 1L)),
+      "2024-01-02" -> ((3000L, 2L)),
+      "2024-01-10" -> ((5000L, 1L))))
+  }
+
   test("mergeIntervals: overlap and touch merge, gaps split, counts exact") {
     import spark.implicits._
     val iv = Seq(
