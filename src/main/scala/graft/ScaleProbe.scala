@@ -752,3 +752,68 @@ object ScaleProbeWinnow {
     spark.stop()
   }
 }
+
+/** Dev utility: decade probe for the round-12 graph tier.
+  * Synthesizes a co-occurrence-shaped directed graph (constant average
+  * degree, so edges scale with nodes — the regime where per-iteration
+  * cost must track EDGES, not nodes²) and reports:
+  *  - [[graft.graphs.PageRank.pageRank]] wall time per iteration at two
+  *    node decades (packed-adjacency form: node-sized join + explode
+  *    projection + keyed sum per iteration);
+  *  - teleport-mass conservation (Σ rank ≈ n·1e6 — the integer-grid
+  *    invariant truncation can only leak DOWN from);
+  *  - [[graft.pipeline.CorpusSketch.hllRollingDistinct]] at two corpus
+  *    decades under constant days: register rows stay days×1024 while
+  *    the scan grows — the window/estimate stage must stay flat.
+  * Usage: runMain graft.ScaleProbeGraph [nodes] [avgDeg] [rows]
+  */
+object ScaleProbeGraph {
+  def main(args: Array[String]): Unit = {
+    val nodes0 = args.headOption.map(_.toInt).getOrElse(20000)
+    val avgDeg = args.drop(1).headOption.map(_.toInt).getOrElse(60)
+    val rows0 = args.drop(2).headOption.map(_.toInt).getOrElse(500000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"$label%-44s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    for (n <- Seq(nodes0, nodes0 * 10)) {
+      // deterministic pseudo-random edges: avgDeg per source node
+      val edges = spark.range(n.toLong * avgDeg).select(
+        (col("id") % n).as("src"),
+        pmod(hash(col("id") * 2654435761L), lit(n)).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val ne = edges.count()
+      val t0 = System.nanoTime()
+      val ranks = graft.graphs.PageRank.pageRank(edges, "src", "dst", 5)
+      val agg = ranks.agg(count(lit(1)), sum(col("rank_e6"))).first()
+      val total = (System.nanoTime() - t0) / 1e9
+      val (nn, mass) = (agg.getLong(0), agg.getLong(1))
+      println(f"pagerank n=$n%,d edges=$ne%,d: $total%.2f s total, " +
+        f"${total / 5}%.2f s/iteration, mass=${mass / 1e6}%.0f vs n=$nn%,d " +
+        f"(leak ${100.0 * (nn * 1000000L - mass) / (nn * 1000000.0)}%.2f%%)")
+    }
+
+    for (rows <- Seq(rows0, rows0 * 10)) {
+      val days = 30
+      val ev = spark.range(rows.toLong).select(
+        date_add(to_date(lit("2024-01-01")), (col("id") % days).cast("int")).as("d"),
+        pmod(hash(col("id") * 31L), lit(rows / 10)).cast("long").as("user_id"))
+      time(f"hllRollingDistinct rows=$rows%,d days=$days w=7")(
+        graft.pipeline.CorpusSketch
+          .hllRollingDistinct(ev, "d", "user_id", windowDays = 7).count())
+    }
+
+    spark.stop()
+  }
+}
