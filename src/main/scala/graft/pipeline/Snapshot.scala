@@ -122,6 +122,43 @@ object Snapshot {
     * cannot dedup) — occurrence-weighted novelty, the admission-gate
     * reading. Both collapse at head-room mBits (spec-pinned equal to
     * the exact op on disjoint-gram corpora). */
+  /** Merkle-style bucket digests: hash-partition the corpus into
+    * `nBuckets` by id, digest each bucket as an order-independent
+    * 60-bit XOR over h60(id | text) plus a row count. Two replicas'
+    * digest frames are nBuckets rows EACH — comparing 100 TB copies
+    * moves O(nBuckets), and a differing bucket narrows the re-scan
+    * to n/nBuckets rows (recurse with a finer bucket count inside
+    * suspects for log-depth localization). */
+  def merkleBuckets(df: DataFrame, idCol: String, textCol: String,
+                    nBuckets: Int, salt: String = "mk"): DataFrame = {
+    require(nBuckets >= 2, "nBuckets >= 2")
+    df.select(
+        pmod(CorpusSketch.h60(col(idCol).cast("string"), salt + "b"),
+             lit(nBuckets.toLong)).as("bucket"),
+        CorpusSketch.h60(concat(col(idCol), lit("|"), col(textCol)), salt)
+          .as("h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("digest"))
+  }
+
+  /** The audit: buckets whose (count, digest) disagree between two
+    * snapshots — absent buckets read as (0, 0). Output: (bucket,
+    * n_a, n_b, digest_a, digest_b), differing rows only. */
+  def merkleDiff(a: DataFrame, b: DataFrame, idCol: String, textCol: String,
+                 nBuckets: Int, salt: String = "mk"): DataFrame = {
+    val da = merkleBuckets(a, idCol, textCol, nBuckets, salt)
+      .select(col("bucket"), col("n").as("n_a"), col("digest").as("digest_a"))
+    val db = merkleBuckets(b, idCol, textCol, nBuckets, salt)
+      .select(col("bucket"), col("n").as("n_b"), col("digest").as("digest_b"))
+    da.join(db, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("digest_a"), lit(0L)).as("digest_a"),
+        coalesce(col("digest_b"), lit(0L)).as("digest_b"))
+      .filter(col("n_a") =!= col("n_b") || col("digest_a") =!= col("digest_b"))
+  }
+
   def noveltyServe(rows: DataFrame, idCol: String, textCol: String,
                    mask: Seq[Long], mBits: Int, k: Int = 3, n: Int = 3,
                    salt: String = "bloom"): DataFrame = {

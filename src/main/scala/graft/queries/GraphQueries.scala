@@ -65,8 +65,10 @@ object GraphQueries {
         col("o_orderpriority"), col("o_orderkey")),
       "o_custkey", "d", "o_orderpriority", "o_orderkey")
 
-  private val q193Sql =
-    """WITH o AS (
+  /** The SCD2 build as reusable CTEs (q193 emits it; q204 joins
+    * through it). */
+  private val scdCtes =
+    """o AS (
       |  SELECT o_custkey, CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
       |         o_orderpriority, o_orderkey
       |  FROM orders),
@@ -75,14 +77,17 @@ object GraphQueries {
       |            ORDER BY d, o_orderkey) AS prev_attr
       |  FROM o),
       |kept AS (SELECT * FROM marked
-      |         WHERE prev_attr IS NULL OR prev_attr <> o_orderpriority)
-      |SELECT o_custkey, o_orderpriority, d AS valid_from,
-      |       lead(d) OVER w AS valid_to,
-      |       CAST(row_number() OVER w AS BIGINT) AS version,
-      |       CAST(CASE WHEN lead(d) OVER w IS NULL THEN 1 ELSE 0 END
-      |            AS BIGINT) AS is_current
-      |FROM kept
-      |WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)""".stripMargin
+      |         WHERE prev_attr IS NULL OR prev_attr <> o_orderpriority),
+      |scd AS (
+      |  SELECT o_custkey, o_orderpriority, d AS valid_from,
+      |         lead(d) OVER w AS valid_to,
+      |         CAST(row_number() OVER w AS BIGINT) AS version,
+      |         CAST(CASE WHEN lead(d) OVER w IS NULL THEN 1 ELSE 0 END
+      |              AS BIGINT) AS is_current
+      |  FROM kept
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey))""".stripMargin
+
+  private val q193Sql = s"WITH $scdCtes\nSELECT * FROM scd"
 
   /** q195 — salted skew join ([[graft.joins.SaltedJoin
     * .saltedEquiJoin]]): events ⋈ per-type dim on the 5-value (i.e.
@@ -158,10 +163,91 @@ object GraphQueries {
         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** q203 — HITS hubs and authorities ([[graft.graphs.Hits.hits]],
+    * 2 iterations) over the bipartite supplier → part supply graph
+    * (distinct lineitem edges): hub suppliers point at
+    * widely-supplied parts, authority parts are supplied by strong
+    * hubs. The oracle unrolls both iterations — four half-steps,
+    * each a keyed sum + max-normalize — with identical integer
+    * arithmetic. */
+  private def q203(s: SparkSession, dir: String): DataFrame =
+    graft.graphs.Hits.hits(
+      t(s, dir, "lineitem").select(col("l_suppkey"), col("l_partkey")),
+      "l_suppkey", "l_partkey", iters = 2)
+
+  private val q203Sql = {
+    val steps = (1 to 2).map { i =>
+      val hp = if (i == 1) "h0" else s"h${i - 1}"
+      s"""ar$i AS (SELECT e.dst AS node, CAST(sum($hp.h) AS BIGINT) AS raw
+        |        FROM e JOIN $hp ON $hp.node = e.src GROUP BY 1),
+        |am$i AS (SELECT max(raw) AS mx FROM ar$i),
+        |a$i AS (SELECT node, raw * 1000000 // mx AS a
+        |        FROM ar$i CROSS JOIN am$i),
+        |hr$i AS (SELECT e.src AS node, CAST(sum(a$i.a) AS BIGINT) AS raw
+        |        FROM e JOIN a$i ON a$i.node = e.dst GROUP BY 1),
+        |hm$i AS (SELECT max(raw) AS mx FROM hr$i),
+        |h$i AS (SELECT node, raw * 1000000 // mx AS h
+        |        FROM hr$i CROSS JOIN hm$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst
+      |           FROM lineitem),
+      |h0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS h
+      |       FROM e),
+      |$steps
+      |SELECT 'hub' AS kind, node, h AS score_e6 FROM h2
+      |UNION ALL
+      |SELECT 'authority' AS kind, node, a AS score_e6 FROM a2""".stripMargin
+  }
+
+  /** q204 — point-in-time (SCD2) lookup: every lineitem enriched
+    * with the customer's order-priority version ACTIVE AT ITS SHIP
+    * DATE — the effective-dated dimension join every Kimball
+    * warehouse runs. Plan: a keyed equi-join on the entity key with
+    * the half-open interval as residual filter (per-entity version
+    * chains are short — the interval predicate never becomes a
+    * nested-loop join). Ship ≥ order date ≥ first valid_from, so
+    * exactly one version matches per row. */
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    val scd = graft.ts.Scd.scd2(
+      t(s, dir, "orders").select(col("o_custkey"),
+        dayBucket(col("o_orderdate")).as("d"),
+        col("o_orderpriority"), col("o_orderkey")),
+      "o_custkey", "d", "o_orderpriority", "o_orderkey")
+      .select(col("o_custkey").as("ck"),
+        col("o_orderpriority").as("active_priority"),
+        col("valid_from"), col("valid_to"), col("version"))
+    val fact = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        dayBucket(col("l_shipdate")).as("ship_d"))
+      .join(t(s, dir, "orders")
+              .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+            Seq("l_orderkey"))
+    fact.join(scd,
+        fact("o_custkey") === scd("ck") &&
+        col("ship_d") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ship_d") < col("valid_to")))
+      .select(col("o_custkey"), col("l_orderkey"), col("l_linenumber"),
+        col("ship_d"), col("active_priority"), col("version"))
+  }
+
+  private val q204Sql =
+    s"""WITH $scdCtes,
+      |fact AS (SELECT l.l_orderkey, l.l_linenumber,
+      |                CAST(date_trunc('day', l.l_shipdate) AS DATE) AS ship_d,
+      |                od.o_custkey
+      |         FROM lineitem l JOIN orders od ON od.o_orderkey = l.l_orderkey)
+      |SELECT f.o_custkey, f.l_orderkey, f.l_linenumber, f.ship_d,
+      |       s.o_orderpriority AS active_priority, s.version
+      |FROM fact f JOIN scd s ON s.o_custkey = f.o_custkey
+      |  AND f.ship_d >= s.valid_from
+      |  AND (s.valid_to IS NULL OR f.ship_d < s.valid_to)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q192_pagerank", q192, Some(q192Sql)),
     QueryDef("q197_assoc_rules", q197, Some(q197Sql)),
     QueryDef("q198_profile", q198, Some(q198Sql)),
+    QueryDef("q203_hits", q203, Some(q203Sql)),
+    QueryDef("q204_scd2_lookup", q204, Some(q204Sql)),
     QueryDef("q193_scd2_history", q193, Some(q193Sql)),
     QueryDef("q195_salted_join", q195, Some(q195Sql))
   )

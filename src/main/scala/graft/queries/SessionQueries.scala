@@ -504,7 +504,54 @@ object SessionQueries {
       |FROM r WINDOW w AS (PARTITION BY event_type ORDER BY di
       |                    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** q205 — per-series OLS linear trend ([[graft.ts.SeriesOps
+    * .linearTrend]]): slope / intercept / r² of each type's daily
+    * event-count series, single-expression doubles over exact
+    * integer sums (x re-based to the series start by a keyed min
+    * window). The oracle mirrors every expression — including which
+    * products stay long and which go double — verbatim. */
+  private def q205(s: SparkSession, dir: String): DataFrame =
+    graft.ts.SeriesOps.linearTrend(
+      t(s, dir, "events")
+        .groupBy(col("event_type"), dayBucket(col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt")),
+      "event_type", "d", "cnt")
+
+  private val q205Sql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |x AS (SELECT event_type, cnt,
+      |        CAST(d - DATE '1970-01-01' AS BIGINT)
+      |          - min(CAST(d - DATE '1970-01-01' AS BIGINT))
+      |            OVER (PARTITION BY event_type) AS x
+      |      FROM daily),
+      |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(x) AS BIGINT) AS sx,
+      |             CAST(sum(cnt) AS BIGINT) AS sy,
+      |             CAST(sum(x*cnt) AS BIGINT) AS sxy,
+      |             CAST(sum(x*x) AS BIGINT) AS sxx,
+      |             CAST(sum(cnt*cnt) AS BIGINT) AS syy
+      |      FROM x GROUP BY 1)
+      |SELECT event_type, n AS n_days,
+      |  CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+      |       ELSE CAST(round((n*sxy - sx*sy) * 1000000.0
+      |                       / (n*sxx - sx*sx)) AS BIGINT) END AS slope_e6,
+      |  CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+      |       ELSE CAST(round((sy*sxx - sx*sxy) * 1000000.0
+      |                       / (n*sxx - sx*sx)) AS BIGINT) END AS intercept_e6,
+      |  CASE WHEN n*sxx - sx*sx = 0
+      |         OR CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy = 0 THEN NULL
+      |       ELSE CAST(round(CAST(n*sxy - sx*sy AS DOUBLE) * (n*sxy - sx*sy)
+      |                 * 1000000.0
+      |                 / (CAST(n*sxx - sx*sx AS DOUBLE)
+      |                    * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)))
+      |            AS BIGINT) END AS r2_e6
+      |FROM g""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q205_series_trend", q205, Some(q205Sql)),
     QueryDef("q199_ewma_smooth", q199, Some(q199Sql)),
     QueryDef("q201_rolling_30d", q201, Some(q201Sql)),
     QueryDef("q196_interval_merge", q196, Some(q196Sql)),

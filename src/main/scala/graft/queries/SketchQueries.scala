@@ -328,10 +328,44 @@ object SketchQueries {
       |FROM e""".stripMargin
   }
 
+  /** q206 — Merkle bucket audit ([[graft.pipeline.Snapshot
+    * .merkleDiff]], 8192 buckets): which hash-partitions of the
+    * corpus differ between v1 and the q173 mutated snapshot —
+    * comparing two 100 TB replicas moves O(buckets) digest rows and
+    * localizes re-scans to n/buckets rows per suspect. The oracle
+    * recomputes both digest frames (order-independent bit_xor of
+    * h60(id|text)) and the full-outer differ. */
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    val v1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    graft.pipeline.Snapshot.merkleDiff(v1, TextQueries.snapshotV2(v1),
+      "doc_id", "text", nBuckets = 8192)
+  }
+
+  private val q206Sql = {
+    val hb = hexSql("md5('mkb' || doc_id)", 15)
+    val hh = hexSql("md5('mk' || doc_id || '|' || text)", 15)
+    def side(src: String, suffix: String) =
+      s"""SELECT $hb % 8192 AS bucket, CAST(count(*) AS BIGINT) AS n_$suffix,
+        |       CAST(bit_xor($hh) AS BIGINT) AS digest_$suffix
+        |FROM $src GROUP BY 1""".stripMargin
+    s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+      |${TextQueries.snapshotV2Cte},
+      |da AS (${side("v1", "a")}),
+      |db AS (${side("v2", "b")})
+      |SELECT COALESCE(da.bucket, db.bucket) AS bucket,
+      |       COALESCE(da.n_a, 0) AS n_a, COALESCE(db.n_b, 0) AS n_b,
+      |       COALESCE(da.digest_a, 0) AS digest_a,
+      |       COALESCE(db.digest_b, 0) AS digest_b
+      |FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+      |WHERE COALESCE(da.n_a, 0) <> COALESCE(db.n_b, 0)
+      |   OR COALESCE(da.digest_a, 0) <> COALESCE(db.digest_b, 0)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q194_weighted_sample", q194, Some(q194Sql)),
     QueryDef("q200_table_checksum", q200, Some(q200Sql)),
     QueryDef("q202_hll_rolling", q202, Some(q202Sql)),
+    QueryDef("q206_merkle_diff", q206, Some(q206Sql)),
     QueryDef("q94_hll_distinct", q94, Some(q94Sql)),
     QueryDef("q95_cms_heavy_hitters", q95, Some(q95Sql)),
     QueryDef("q96_stratified_sample", q96, Some(q96Sql)),

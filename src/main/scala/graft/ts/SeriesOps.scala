@@ -109,6 +109,46 @@ object SeriesOps {
         col("total_n").cast("long").as("total_n"))
   }
 
+  /** Per-series OLS linear trend from closed-form sums: slope,
+    * intercept, and r² on the e6 grid, each derived in ONE double
+    * expression from exact integer sums (the engine never iterates —
+    * one keyed aggregate after a keyed min-window re-bases x to the
+    * series start, keeping Σx bounded by series LENGTH, not epoch
+    * magnitude). Slope/intercept denominators are exact longs (vx is
+    * calendar-bounded: ≤ days³); the variance-of-y product is
+    * computed in doubles (y is corpus-scaled and n·Σy² overflows
+    * long first). Degenerate series (single day / zero x-variance)
+    * emit null slope/intercept/r²; constant-y series emit r² null
+    * (0/0). Output: (key, n_days, slope_e6 per day, intercept_e6 at
+    * the series' first day, r2_e6). */
+  def linearTrend(daily: DataFrame, keyCol: String, dateCol: String,
+                  vCol: String): DataFrame = {
+    val part = Window.partitionBy(col(keyCol))
+    val g = daily
+      .withColumn("di",
+        datediff(col(dateCol), to_date(lit("1970-01-01"))).cast("long"))
+      .withColumn("x", col("di") - min(col("di")).over(part))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col(vCol)).as("sy"),
+        sum(col("x") * col(vCol)).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col(vCol) * col(vCol)).as("syy"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val vyD = col("n").cast("double") * col("syy") -
+      col("sy").cast("double") * col("sy")
+    g.select(col(keyCol), col("n").as("n_days"),
+      when(vx === 0, lit(null))
+        .otherwise(round(cov * 1000000.0 / vx)).cast("long").as("slope_e6"),
+      when(vx === 0, lit(null))
+        .otherwise(round((col("sy") * col("sxx") - col("sx") * col("sxy"))
+          * 1000000.0 / vx)).cast("long").as("intercept_e6"),
+      when(vx === 0 || vyD === 0.0, lit(null))
+        .otherwise(round(cov.cast("double") * cov * 1000000.0 /
+          (vx.cast("double") * vyD))).cast("long").as("r2_e6"))
+  }
+
   /** Truncated-EWMA smoothing (finite-impulse form): smooth_t =
     * (Σ_k w_k·x_{t−k}) div (Σ_k w_k) over the last `taps`
     * observations, w_k = round(1e6·alpha^k). The closed form keeps

@@ -42,6 +42,24 @@ class SnapshotSpec extends AnyFunSuite {
 
   // ---- scriptProfile ---------------------------------------------------
 
+  test("merkle: identical replicas diff to zero buckets; one edit flags exactly its bucket") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val v1 = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    assert(Snapshot.merkleDiff(v1, v1, "doc_id", "text", 64).count() == 0)
+    // change ONE document's text: exactly that document's bucket differs,
+    // with equal counts and unequal digests
+    val v2 = v1.withColumn("text",
+      when(col("doc_id") === 123L, lit("tampered")).otherwise(col("text")))
+    val d = Snapshot.merkleDiff(v1, v2, "doc_id", "text", 64).collect()
+    assert(d.length == 1)
+    assert(d.head.getLong(1) == d.head.getLong(2)) // counts equal
+    assert(d.head.getLong(3) != d.head.getLong(4)) // digests differ
+    // drop one document: its bucket differs with count off by one
+    val v3 = v1.filter(col("doc_id") =!= 77L)
+    val d3 = Snapshot.merkleDiff(v1, v3, "doc_id", "text", 64).collect()
+    assert(d3.length == 1 && d3.head.getLong(1) == d3.head.getLong(2) + 1)
+  }
+
   test("script census counts code points per class, astral chars as ONE") {
     val docs = Seq(
       (1L, "ab 12"),                       // latin 2, digit 2, space 1

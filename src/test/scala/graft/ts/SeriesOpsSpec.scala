@@ -71,6 +71,27 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(r.head.getLong(3) == 4L && r.head.getLong(4) == 12L)
   }
 
+  test("linearTrend: exact line recovers slope/intercept with r2 = 1e6") {
+    import spark.implicits._
+    // series a: y = 10 + 3x on days 0..4 (perfect fit)
+    // series b: constant y (r2 null: zero y-variance)
+    // series c: single day (all null: zero x-variance)
+    val daily =
+      (0 to 4).map(i => ("a", d(s"2024-01-0${i + 1}"), 10L + 3L * i)) ++
+      (0 to 2).map(i => ("b", d(s"2024-02-0${i + 1}"), 7L)) ++
+      Seq(("c", d("2024-03-01"), 42L))
+    val got = SeriesOps.linearTrend(daily.toDF("k", "dd", "v"), "k", "dd", "v")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))))
+      .toMap
+    assert(got("a") == ((5L, 3000000L, 10000000L, 1000000L)))
+    assert(got("b") == ((3L, 0L, 7000000L, -1L)))
+    assert(got("c") == ((1L, -1L, -1L, -1L)))
+  }
+
   test("ewmaSmooth: exact integer weighting with early-row renormalize") {
     import spark.implicits._
     // alpha 0.5, taps 2 -> weights [1000000, 500000]
