@@ -89,19 +89,19 @@ object GraphQueries {
 
   private val q193Sql = s"WITH $scdCtes\nSELECT * FROM scd"
 
-  /** q195 — salted skew join ([[graft.joins.SaltedJoin
-    * .saltedEquiJoin]]): events ⋈ per-type dim on the 5-value (i.e.
-    * maximally hot) event_type key, spread 8 ways by event_id salt —
-    * each hot key's rows land in 8 tasks instead of 1. The oracle is
-    * the PLAIN join + aggregate: salting must be result-invisible,
-    * and the hash compare proves it row-exactly. */
+  /** q195 — salted skew join ([[graft.scale.ScaleOps.saltedJoin]]
+    * with a deterministic event_id-derived salt): events ⋈ per-type
+    * dim on the 5-value (i.e. maximally hot) event_type key, spread
+    * 8 ways — each hot key's rows land in 8 tasks instead of 1. The
+    * oracle is the PLAIN join + aggregate: salting must be
+    * result-invisible, and the hash compare proves it row-exactly. */
   private def q195(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .select(col("event_id"), col("event_type"), cents(col("value")).as("v"))
     val dim = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_type"))
-    graft.joins.SaltedJoin.saltedEquiJoin(ev, dim, Seq("event_type"),
-        saltSrc = "event_id", salts = 8)
+    graft.scale.ScaleOps.saltedJoin(ev, dim, "event_type", salts = 8,
+        saltSrc = Some("event_id"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_c"),
            max(col("n_type")).as("n_type"))

@@ -29,10 +29,18 @@ object ScaleOps {
     * plain join (verified by spec); AQE's skew-join handles moderate
     * skew automatically, this is the explicit form for extreme keys. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
-                 joinType: String = "inner"): DataFrame = {
+                 joinType: String = "inner",
+                 saltSrc: Option[String] = None): DataFrame = {
     require(salts > 0)
-    val saltedFact = fact.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    // saltSrc: derive the salt from a well-spread fact COLUMN (an id)
+    // instead of monotonically_increasing_id — any choice is
+    // result-invisible, but a column-derived salt is deterministic
+    // across runs/retries (same row → same reducer), which keeps
+    // speculative-execution and plan-replay behavior reproducible
+    val saltCol = saltSrc
+      .map(c => pmod(col(c).cast("long"), lit(salts.toLong)).cast("int"))
+      .getOrElse(pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val saltedFact = fact.withColumn("__salt", saltCol)
     val repDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(repDim, Seq(key, "__salt"), joinType).drop("__salt")

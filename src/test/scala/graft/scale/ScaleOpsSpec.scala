@@ -41,6 +41,11 @@ class ScaleOpsSpec extends AnyFunSuite {
     val salted = ScaleOps.saltedJoin(facts, dims, "k", salts = 8).select("id", "label")
       .collect().map(_.toString).sorted
     assert(salted.sameElements(plain))
+    // deterministic column-derived salt: same result, reproducible spread
+    val saltedDet = ScaleOps.saltedJoin(facts, dims, "k", salts = 8,
+        saltSrc = Some("id")).select("id", "label")
+      .collect().map(_.toString).sorted
+    assert(saltedDet.sameElements(plain))
   }
 
   private def withConf(kv: (String, String))(body: => Unit): Unit = {
