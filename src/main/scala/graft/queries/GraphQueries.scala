@@ -242,12 +242,48 @@ object GraphQueries {
       |  AND f.ship_d >= s.valid_from
       |  AND (s.valid_to IS NULL OR f.ship_d < s.valid_to)""".stripMargin
 
+  /** q209 — join-key skew report ([[graft.scale.SkewReport
+    * .keySkew]]): exact key cardinality, hottest-key share, and Gini
+    * concentration for the two candidate join keys of the events
+    * fact — computed from the count-of-counts grid (≤ √(2n) rows, so
+    * the one ungrouped window never sorts anything corpus-sized).
+    * The oracle replays the grid, the grouped rank-sum Gini, and the
+    * identical double expression per column. */
+  private def q209(s: SparkSession, dir: String): DataFrame =
+    graft.scale.SkewReport.keySkew(t(s, dir, "events"),
+      Seq("user_id", "event_type"))
+
+  private val q209Sql =
+    Seq("user_id", "event_type").map { c =>
+      s"""SELECT '$c' AS col_name, n_rows, n_keys, max_c,
+        |  max_c * 1000000 // n_rows AS top1_share_e6,
+        |  CAST(round(1000000.0 * (2.0 * CAST(s AS DOUBLE)
+        |       / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE))
+        |       - CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE)))
+        |    AS BIGINT) AS gini_e6
+        |FROM (
+        |  SELECT CAST(sum(f) AS BIGINT) AS n_keys,
+        |         CAST(sum(cnt * f) AS BIGINT) AS n_rows,
+        |         CAST(sum(cnt * (f * fp + f * (f + 1) // 2)) AS BIGINT) AS s,
+        |         max(cnt) AS max_c
+        |  FROM (
+        |    SELECT cnt, f,
+        |           COALESCE(sum(f) OVER (ORDER BY cnt
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS fp
+        |    FROM (SELECT cnt, CAST(count(*) AS BIGINT) AS f
+        |          FROM (SELECT CAST($c AS VARCHAR) AS k,
+        |                       CAST(count(*) AS BIGINT) AS cnt
+        |                FROM events GROUP BY 1)
+        |          GROUP BY 1)))""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q192_pagerank", q192, Some(q192Sql)),
     QueryDef("q197_assoc_rules", q197, Some(q197Sql)),
     QueryDef("q198_profile", q198, Some(q198Sql)),
     QueryDef("q203_hits", q203, Some(q203Sql)),
     QueryDef("q204_scd2_lookup", q204, Some(q204Sql)),
+    QueryDef("q209_skew_report", q209, Some(q209Sql)),
     QueryDef("q193_scd2_history", q193, Some(q193Sql)),
     QueryDef("q195_salted_join", q195, Some(q195Sql))
   )

@@ -550,7 +550,78 @@ object SessionQueries {
       |            AS BIGINT) END AS r2_e6
       |FROM g""".stripMargin
 
+  /** q207 — last-touch attribution ([[graft.ts.EventAnalytics
+    * .lastTouchAttribution]]): every purchase attributed to the
+    * user's most recent view/click within 7 days, via the backward
+    * as-of join (keyed union + running-last window — no range
+    * explosion). The oracle uses DuckDB's native ASOF LEFT JOIN over
+    * touches pre-collapsed to one per (user, second) with the same
+    * max-(event_id) tie rule, proving the window-sort as-of ≡ ASOF. */
+  private def q207(s: SparkSession, dir: String): DataFrame =
+    graft.ts.EventAnalytics.lastTouchAttribution(
+      t(s, dir, "events"), "user_id", "event_type", "ts", "event_id",
+      touchTypes = Seq("view", "click"), convType = "purchase",
+      windowSec = 604800L)
+
+  private val q207Sql =
+    """WITH e AS (SELECT user_id, event_type AS et,
+      |             epoch_ns(ts) // 1000000000 AS sec, event_id AS eid
+      |           FROM events),
+      |t AS (SELECT user_id, sec, arg_max(et, eid) AS touch_type,
+      |             max(eid) AS touch_id
+      |      FROM e WHERE et IN ('view', 'click') GROUP BY 1, 2),
+      |p AS (SELECT user_id, sec, eid AS conv_id FROM e
+      |      WHERE et = 'purchase')
+      |SELECT p.user_id, p.sec AS conv_sec, p.conv_id,
+      |  CASE WHEN t.sec IS NOT NULL AND p.sec - t.sec <= 604800
+      |       THEN t.touch_type END AS touch_type,
+      |  CASE WHEN t.sec IS NOT NULL AND p.sec - t.sec <= 604800
+      |       THEN t.sec END AS touch_sec,
+      |  CASE WHEN t.sec IS NOT NULL AND p.sec - t.sec <= 604800
+      |       THEN p.sec - t.sec END AS age_sec
+      |FROM p ASOF LEFT JOIN t
+      |  ON p.user_id = t.user_id AND t.sec <= p.sec""".stripMargin
+
+  /** q208 — cross-series correlation matrix ([[graft.ts.SeriesOps
+    * .pairwiseCorr]]): Pearson between every pair of event types'
+    * daily count series, closed-form sums with the documented
+    * long→double split, sqrt IEEE-identical. */
+  private def q208(s: SparkSession, dir: String): DataFrame =
+    graft.ts.SeriesOps.pairwiseCorr(
+      t(s, dir, "events")
+        .groupBy(col("event_type"), dayBucket(col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt")),
+      "event_type", "d", "cnt")
+
+  private val q208Sql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |g AS (SELECT a.event_type AS key_a, b.event_type AS key_b,
+      |        CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(a.cnt) AS BIGINT) AS sa,
+      |        CAST(sum(b.cnt) AS BIGINT) AS sb,
+      |        CAST(sum(a.cnt * b.cnt) AS BIGINT) AS sab,
+      |        CAST(sum(a.cnt * a.cnt) AS BIGINT) AS saa,
+      |        CAST(sum(b.cnt * b.cnt) AS BIGINT) AS sbb
+      |      FROM daily a JOIN daily b
+      |        ON a.d = b.d AND a.event_type < b.event_type
+      |      GROUP BY 1, 2)
+      |SELECT key_a, key_b, n AS n_days,
+      |  CASE WHEN CAST(n AS DOUBLE)*saa - CAST(sa AS DOUBLE)*sa <= 0
+      |         OR CAST(n AS DOUBLE)*sbb - CAST(sb AS DOUBLE)*sb <= 0
+      |       THEN NULL
+      |       ELSE CAST(round((CAST(n AS DOUBLE)*sab - CAST(sa AS DOUBLE)*sb)
+      |              * 1000000.0
+      |              / sqrt((CAST(n AS DOUBLE)*saa - CAST(sa AS DOUBLE)*sa)
+      |                     * (CAST(n AS DOUBLE)*sbb - CAST(sb AS DOUBLE)*sb)))
+      |            AS BIGINT) END AS corr_e6
+      |FROM g""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q207_attribution", q207, Some(q207Sql)),
+    QueryDef("q208_series_corr", q208, Some(q208Sql)),
     QueryDef("q205_series_trend", q205, Some(q205Sql)),
     QueryDef("q199_ewma_smooth", q199, Some(q199Sql)),
     QueryDef("q201_rolling_30d", q201, Some(q201Sql)),

@@ -195,4 +195,46 @@ object EventAnalytics {
       .orderBy(col("score_e6").desc, col("event_type"))
     scored.withColumn("trend_rank", row_number().over(wRank).cast("long"))
   }
+
+  /** Last-touch attribution: each conversion event attributed to the
+    * user's most recent touch event (view/click/…) at or before it,
+    * provided the touch is within `windowSec` — the marketing-
+    * attribution twin of the funnel, built on the backward as-of
+    * join ([[graft.joins.AsOf.asOfJoin]]: keyed union + one running
+    * `last` window per user, no range-join explosion). Touches are
+    * pre-collapsed to one per (user, second) by max (event_id,
+    * type) — the deterministic tie rule both engines share (DuckDB
+    * ASOF would otherwise pick an arbitrary same-second row).
+    * Output: (user_id, conv_sec, conv_id, touch_type, touch_sec,
+    * age_sec) — the touch trio null when nothing qualifies in the
+    * window. */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+                           typeCol: String, tsCol: String, idCol: String,
+                           touchTypes: Seq[String], convType: String,
+                           windowSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+            "touch types must be non-empty and exclude the conversion type")
+    require(windowSec > 0, "windowSec must be positive")
+    val base = events.select(col(userCol).as("user_id"),
+      col(typeCol).as("et"),
+      col(tsCol).cast("timestamp").cast("long").as("sec"),
+      col(idCol).as("eid"))
+    val touches = base.filter(col("et").isInCollection(touchTypes))
+      .groupBy(col("user_id"), col("sec"))
+      .agg(max(struct(col("eid"), col("et"))).as("t"))
+      .select(col("user_id"), col("sec").as("ds"),
+        col("t.et").as("touch_type"), col("sec").as("touch_sec"),
+        col("t.eid").as("touch_id"))
+    val conv = base.filter(col("et") === convType)
+      .select(col("user_id"), col("sec").as("ds"), col("eid").as("conv_id"))
+    val j = graft.joins.AsOf.asOfJoin(conv, touches,
+      valueCols = Seq("touch_type", "touch_sec", "touch_id"),
+      seriesCols = Seq("user_id"))
+    val inWin = col("touch_sec").isNotNull &&
+      (col("ds") - col("touch_sec")) <= windowSec
+    j.select(col("user_id"), col("ds").as("conv_sec"), col("conv_id"),
+      when(inWin, col("touch_type")).as("touch_type"),
+      when(inWin, col("touch_sec")).as("touch_sec"),
+      when(inWin, col("ds") - col("touch_sec")).as("age_sec"))
+  }
 }

@@ -109,6 +109,42 @@ object SeriesOps {
         col("total_n").cast("long").as("total_n"))
   }
 
+  /** Pairwise Pearson correlation across series: every unordered
+    * series pair's correlation over their shared dates, from
+    * closed-form sums in ONE keyed join + one keyed aggregate. The
+    * date-keyed self-join generates |series|² rows per date —
+    * bounded by series COUNT (the short dimension), never by corpus
+    * size; for thousands of series, pre-select the pairs of
+    * interest. Products go to double before combining (n·Σv² is the
+    * first to overflow long — the [[linearTrend]] split); sqrt is
+    * IEEE-correctly-rounded, so the single-expression result is
+    * engine-identical. Pairs with zero variance on either side emit
+    * null. Output: (key_a, key_b, n_days, corr_e6). */
+  def pairwiseCorr(daily: DataFrame, keyCol: String, dateCol: String,
+                   vCol: String): DataFrame = {
+    val a = daily.select(col(dateCol).as("d"), col(keyCol).as("key_a"),
+      col(vCol).as("va"))
+    val b = daily.select(col(dateCol).as("d"), col(keyCol).as("key_b"),
+      col(vCol).as("vb"))
+    val g = a.join(b, Seq("d")).filter(col("key_a") < col("key_b"))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("va")).as("sa"), sum(col("vb")).as("sb"),
+        sum(col("va") * col("vb")).as("sab"),
+        sum(col("va") * col("va")).as("saa"),
+        sum(col("vb") * col("vb")).as("sbb"))
+    val vaD = col("n").cast("double") * col("saa") -
+      col("sa").cast("double") * col("sa")
+    val vbD = col("n").cast("double") * col("sbb") -
+      col("sb").cast("double") * col("sb")
+    val covD = col("n").cast("double") * col("sab") -
+      col("sa").cast("double") * col("sb")
+    g.select(col("key_a"), col("key_b"), col("n").as("n_days"),
+      when(vaD <= 0.0 || vbD <= 0.0, lit(null))
+        .otherwise(round(covD * 1000000.0 / sqrt(vaD * vbD)))
+        .cast("long").as("corr_e6"))
+  }
+
   /** Per-series OLS linear trend from closed-form sums: slope,
     * intercept, and r² on the e6 grid, each derived in ONE double
     * expression from exact integer sums (the engine never iterates —

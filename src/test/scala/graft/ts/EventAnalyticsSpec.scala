@@ -40,6 +40,38 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got(6L) == ((3L, 100L, 100L)))
   }
 
+  test("attribution: latest qualifying touch wins; window and ties are exact") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      // u1: view then click then purchase -> click attributed
+      (1L, "view", ts(100), 10L), (1L, "click", ts(200), 11L),
+      (1L, "purchase", ts(300), 12L),
+      // u2: touch at the SAME second as the purchase qualifies (ties inclusive)
+      (2L, "view", ts(300), 20L), (2L, "purchase", ts(300), 21L),
+      // u3: touch outside the 7-day window -> null trio
+      (3L, "view", ts(100), 30L), (3L, "purchase", ts(100 + 604801), 31L),
+      // u4: no touches at all -> null trio
+      (4L, "purchase", ts(500), 40L),
+      // u5: two same-second touches -> max event_id (the click) wins
+      (5L, "view", ts(100), 50L), (5L, "click", ts(100), 51L),
+      (5L, "purchase", ts(400), 52L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = EventAnalytics.lastTouchAttribution(ev, "user_id", "event_type",
+        "ts", "event_id", Seq("view", "click"), "purchase", 604800L)
+      .collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(3)) "-" else r.getString(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5))))
+      .toMap
+    assert(got(1L) == (("click", 200L, 100L)))
+    assert(got(2L) == (("view", 300L, 0L)))
+    assert(got(3L) == (("-", -1L, -1L)))
+    assert(got(4L) == (("-", -1L, -1L)))
+    assert(got(5L) == (("click", 100L, 300L)))
+  }
+
   test("cohort retention: offsets count from each user's first active week") {
     import spark.implicits._
     def ts(day: String) = java.sql.Timestamp.valueOf(s"$day 12:00:00")

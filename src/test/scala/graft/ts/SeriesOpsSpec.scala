@@ -71,6 +71,26 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(r.head.getLong(3) == 4L && r.head.getLong(4) == 12L)
   }
 
+  test("pairwiseCorr: perfect, inverse, and degenerate pairs") {
+    import spark.implicits._
+    // a and b perfectly correlated; a and c perfectly anti; z constant
+    val daily = (0 to 4).flatMap { i =>
+      Seq(("a", d(s"2024-01-0${i + 1}"), 10L + i),
+          ("b", d(s"2024-01-0${i + 1}"), 20L + 2 * i),
+          ("c", d(s"2024-01-0${i + 1}"), 30L - i),
+          ("z", d(s"2024-01-0${i + 1}"), 5L))
+    }.toDF("k", "dd", "v")
+    val got = SeriesOps.pairwiseCorr(daily, "k", "dd", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(got(("a", "b")) == Some(1000000L))
+    assert(got(("a", "c")) == Some(-1000000L))
+    assert(got(("a", "z")) == None)
+    assert(got.size == 6) // all unordered pairs of 4 series
+  }
+
   test("linearTrend: exact line recovers slope/intercept with r2 = 1e6") {
     import spark.implicits._
     // series a: y = 10 + 3x on days 0..4 (perfect fit)
