@@ -254,19 +254,17 @@ object SketchQueries {
       |FROM r WHERE rank <= 25""".stripMargin
   }
 
-  /** q200 — table checksum ([[CorpusSketch.h60]] + `bit_xor`): per
-    * language, row count, character total, and the order-independent
-    * 60-bit XOR digest of every document hash — the replication-audit
-    * primitive (two copies of a partition disagree ⇒ digests differ;
-    * XOR distributes perfectly over partials, so the check costs one
+  /** q200 — table checksum ([[graft.streaming.StreamOps
+    * .streamingChecksum]] on the static frame — the SAME function
+    * serves batch and stream): per language, row count, character
+    * total, and the order-independent 60-bit XOR digest of every
+    * document hash — the replication-audit primitive (two copies of
+    * a partition disagree ⇒ digests differ; XOR distributes
+    * perfectly over partials, so the check costs one
     * map-side-combined aggregate at any scale). */
   private def q200(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("lang"), col("n_chars"),
-              CorpusSketch.h60(col("text"), "ck").as("h"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
-           expr("bit_xor(h)").as("xor60"))
+    graft.streaming.StreamOps.streamingChecksum(
+      t(s, dir, "documents"), "lang", "text", "n_chars")
 
   private val q200Sql = {
     val h = hexSql("md5('ck' || text)", 15)

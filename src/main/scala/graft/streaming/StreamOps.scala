@@ -724,6 +724,24 @@ object StreamOps {
                         textCol: String): DataFrame =
     graft.pipeline.TextAnalysis.charStats(stream, idCol, textCol)
 
+  /** Streaming replication digest — the q200 table checksum
+    * maintained incrementally: XOR and SUM are commutative and
+    * associative, so the streaming aggregate's state is ONE row per
+    * group and after any prefix of the stream the table equals the
+    * batch digest of everything ingested so far (update/complete
+    * output). Batch callers use the same function on a static frame
+    * (q200 does) — parity by construction. For the bucket-level
+    * audit, [[graft.pipeline.Snapshot.merkleBuckets]] is the same
+    * aggregate shape keyed by hash bucket and streams identically. */
+  def streamingChecksum(stream: DataFrame, groupCol: String,
+                        textCol: String, weightCol: String): DataFrame =
+    stream
+      .select(col(groupCol), col(weightCol),
+        graft.pipeline.CorpusSketch.h60(col(textCol), "ck").as("h"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col(weightCol)).as("sum_chars"),
+           expr("bit_xor(h)").as("xor60"))
+
   case class SeriesUpdate(series: String, n: Long, sum: Double,
                           min_ts: java.sql.Timestamp, max_ts: java.sql.Timestamp)
 

@@ -1009,6 +1009,28 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally { qr.stop(); qc.stop() }
   }
 
+  test("streaming checksum digests equal batch after every prefix (complete mode)") {
+    // XOR/SUM/COUNT are commutative-associative, so the streaming
+    // aggregate's sink table IS the replication digest of everything
+    // ingested — the q200 audit maintained incrementally with one
+    // state row per group
+    val docs = (0 until 400)
+      .map(i => (s"g${i % 3}", s"payload $i", (i % 50).toLong))
+      .toDF("lang", "text", "n_chars")
+    val want = StreamOps.streamingChecksum(docs, "lang", "text", "n_chars")
+      .collect().map(_.toString).toSet
+    val dir = Files.createTempDirectory("graft-stream-ck").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = StreamOps.streamingChecksum(stream, "lang", "text", "n_chars")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("stream_ck").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("stream_ck").collect().map(_.toString).toSet == want)
+    } finally q.stop()
+  }
+
   test("composed ingest gate: bloom pre-gates the exact probe, verdicts follow the swapped index") {
     val corpusA = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
