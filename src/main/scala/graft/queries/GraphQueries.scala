@@ -277,7 +277,99 @@ object GraphQueries {
         |          GROUP BY 1)))""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** q211 — hierarchical revenue shares through the full dimension
+    * chain (region ← nation ← customer ← orders): per (region,
+    * nation) revenue, its share of the region, and of the grand
+    * total. Plan showcase: the three dim tables are BROADCAST (tiny
+    * and bounded — the legitimate broadcast case, vs the unbounded
+    * vocabularies the repo joins unhinted); the fact aggregates
+    * FIRST (map-side partials on o_custkey), so the joins ship
+    * customer-count rows, not order-count. Shares derive from exact
+    * cents with single-expression integer div. */
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+    val joined = perCust
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))),
+        Seq("o_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"),
+                col("n_regionkey"))), Seq("c_nationkey"))
+      .join(broadcast(t(s, dir, "region")
+        .select(col("r_regionkey").as("n_regionkey"), col("r_name"))),
+        Seq("n_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("rev_c")).as("rev_c"), count(lit(1)).as("n_cust"))
+    // (region, nation)-grain frame: both windows run over ≤ |nations|
+    // rows — dimension-bounded, never fact-sized
+    val wReg = org.apache.spark.sql.expressions.Window.partitionBy(col("r_name"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    joined
+      .withColumn("region_rev_c", sum(col("rev_c")).over(wReg))
+      .withColumn("total_rev_c", sum(col("rev_c")).over(wAll))
+      .select(col("r_name"), col("n_name"), col("rev_c"), col("n_cust"),
+        expr("rev_c * 1000000 div region_rev_c").as("share_of_region_e6"),
+        expr("rev_c * 1000000 div total_rev_c").as("share_of_total_e6"))
+  }
+
+  private val q211Sql =
+    """WITH pc AS (SELECT o_custkey,
+      |              CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+      |                   AS BIGINT) AS rev_c
+      |            FROM orders GROUP BY 1),
+      |g AS (SELECT r.r_name, nt.n_name,
+      |        CAST(sum(pc.rev_c) AS BIGINT) AS rev_c,
+      |        CAST(count(*) AS BIGINT) AS n_cust
+      |      FROM pc JOIN customer c ON c.c_custkey = pc.o_custkey
+      |              JOIN nation nt ON nt.n_nationkey = c.c_nationkey
+      |              JOIN region r ON r.r_regionkey = nt.n_regionkey
+      |      GROUP BY 1, 2)
+      |SELECT r_name, n_name, rev_c, n_cust,
+      |  rev_c * 1000000 // sum(rev_c) OVER (PARTITION BY r_name)
+      |    AS share_of_region_e6,
+      |  rev_c * 1000000 // sum(rev_c) OVER () AS share_of_total_e6
+      |FROM g""".stripMargin
+
+  /** q212 — anti/semi join reconciliation: customers with orders but
+    * ZERO purchases above 200k cents (anti join against the
+    * qualifying set), counted per market segment next to the segment
+    * total — the referential-integrity / audit query shape
+    * (LeftAnti plans as a broadcast/hash anti join, no row
+    * explosion). */
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val withOrders = cust.join(
+      t(s, dir, "orders").select(col("o_custkey").as("c_custkey")).distinct(),
+      Seq("c_custkey"), "left_semi")
+    val bigSpenders = t(s, dir, "orders")
+      .filter(cents(col("o_totalprice")) > 20000000L)
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    withOrders.join(bigSpenders, Seq("c_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_small_spenders"))
+      .join(cust.groupBy(col("c_mktsegment"))
+              .agg(count(lit(1)).as("n_segment")), Seq("c_mktsegment"))
+  }
+
+  private val q212Sql =
+    """WITH wo AS (SELECT c_custkey, c_mktsegment FROM customer
+      |            WHERE c_custkey IN (SELECT o_custkey FROM orders)),
+      |big AS (SELECT DISTINCT o_custkey FROM orders
+      |        WHERE CAST(round(o_totalprice*100) AS BIGINT) > 20000000),
+      |small AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT)
+      |            AS n_small_spenders
+      |          FROM wo WHERE c_custkey NOT IN (SELECT o_custkey FROM big)
+      |          GROUP BY 1),
+      |seg AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_segment
+      |        FROM customer GROUP BY 1)
+      |SELECT small.c_mktsegment, small.n_small_spenders, seg.n_segment
+      |FROM small JOIN seg USING (c_mktsegment)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q211_geo_rollup", q211, Some(q211Sql)),
+    QueryDef("q212_anti_join", q212, Some(q212Sql)),
     QueryDef("q192_pagerank", q192, Some(q192Sql)),
     QueryDef("q197_assoc_rules", q197, Some(q197Sql)),
     QueryDef("q198_profile", q198, Some(q198Sql)),

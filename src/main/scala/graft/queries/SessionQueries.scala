@@ -104,6 +104,135 @@ object SessionQueries {
       |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
       |FROM events GROUP BY 1""".stripMargin
 
+  /** q210 — cube aggregation (the q24 rollup's full-lattice twin):
+    * revenue and counts at EVERY subset of (returnflag, linestatus),
+    * with `grouping()` markers distinguishing real nulls from
+    * subtotal rows — one pass, Catalyst expands the lattice
+    * (4 grouping sets) with map-side partials per set. */
+  private def q210(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev_c"),
+           count(lit(1)).as("n"),
+           grouping(col("l_returnflag")).cast("long").as("g_flag"),
+           grouping(col("l_linestatus")).cast("long").as("g_status"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+              col("rev_c"), col("n"), col("g_flag"), col("g_status"))
+
+  private val q210Sql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+      |         AS rev_c,
+      |       count(*) AS n,
+      |       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+      |       CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  /** q213 — time-weighted average (TWAP): per event type, the mean
+    * value weighted by how long each observation "held" (the gap to
+    * the next same-type event) — the correct average for irregularly
+    * sampled state series, vs the naive mean that over-weights busy
+    * periods. Holding durations from one keyed lead window; the last
+    * observation carries zero weight (no forward extrapolation).
+    * Exact integers: Σ(dur·v_c) div Σdur. */
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("sec"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        col("ts").cast("timestamp").cast("long").as("sec"),
+        cents(col("value")).as("v_c"))
+      .withColumn("dur", lead(col("sec"), 1).over(w) - col("sec"))
+      .filter(col("dur").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_holds"), sum(col("dur")).as("total_dur"),
+           sum(col("dur") * col("v_c")).as("wsum_c"))
+      .select(col("event_type"), col("n_holds"), col("total_dur"),
+        expr("wsum_c div total_dur").as("twap_c"))
+  }
+
+  private val q213Sql =
+    """WITH e AS (SELECT event_type, event_id,
+      |             epoch_ns(ts) // 1000000000 AS sec,
+      |             CAST(round(value*100) AS BIGINT) AS v_c
+      |           FROM events),
+      |d AS (SELECT event_type,
+      |        lead(sec) OVER (PARTITION BY event_type
+      |                        ORDER BY sec, event_id) - sec AS dur,
+      |        v_c
+      |      FROM e)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_holds,
+      |       CAST(sum(dur) AS BIGINT) AS total_dur,
+      |       CAST(sum(dur * v_c) AS BIGINT) // CAST(sum(dur) AS BIGINT)
+      |         AS twap_c
+      |FROM d WHERE dur IS NOT NULL GROUP BY 1""".stripMargin
+
+  /** q214 — A/B experiment analysis: users deterministically split
+    * into two arms (user_id parity — in production, the h32 hash
+    * split of q75), per-arm conversion = did the user purchase;
+    * pooled two-proportion z statistic on the e6 grid from one
+    * double expression (the classic experiment readout). Per-user
+    * collapse is one keyed aggregate; arms are a 2-row frame. */
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    // conversion = a heavy purchaser (≥ 13 purchases, the corpus
+    // median) — "made any purchase" saturates at 100% on this data,
+    // which degenerates the pooled variance to zero (and the guard
+    // below nulls z); a median split keeps both outcomes live
+    val users = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+                  >= 13L, 1L).otherwise(0L).as("converted"))
+      .withColumn("arm", pmod(col("user_id"), lit(2L)))
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    val a = arms.filter(col("arm") === 0)
+      .select(col("n").as("n_a"), col("conv").as("conv_a"))
+    val b = arms.filter(col("arm") === 1)
+      .select(col("n").as("n_b"), col("conv").as("conv_b"))
+    val p1 = col("conv_a").cast("double") / col("n_a")
+    val p2 = col("conv_b").cast("double") / col("n_b")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val z = (p1 - p2) /
+      sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    a.crossJoin(b).select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(p1 * 1000000.0).cast("long").as("rate_a_e6"),
+      round(p2 * 1000000.0).cast("long").as("rate_b_e6"),
+      when(pp === 0.0 || pp === 1.0, lit(null))
+        .otherwise(round(z * 1000000.0)).cast("long").as("z_e6"))
+  }
+
+  private val q214Sql =
+    """WITH u AS (SELECT user_id,
+      |             CASE WHEN sum(CASE WHEN event_type = 'purchase'
+      |                               THEN 1 ELSE 0 END) >= 13
+      |                  THEN 1 ELSE 0 END AS converted
+      |           FROM events GROUP BY 1),
+      |arms AS (SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n,
+      |                CAST(sum(converted) AS BIGINT) AS conv
+      |         FROM u GROUP BY 1),
+      |a AS (SELECT n AS n_a, conv AS conv_a FROM arms WHERE arm = 0),
+      |b AS (SELECT n AS n_b, conv AS conv_b FROM arms WHERE arm = 1)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  CAST(round(CAST(conv_a AS DOUBLE) / n_a * 1000000.0) AS BIGINT)
+      |    AS rate_a_e6,
+      |  CAST(round(CAST(conv_b AS DOUBLE) / n_b * 1000000.0) AS BIGINT)
+      |    AS rate_b_e6,
+      |  CASE WHEN CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) = 0.0
+      |         OR CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) = 1.0
+      |       THEN NULL
+      |       ELSE CAST(round((CAST(conv_a AS DOUBLE) / n_a
+      |              - CAST(conv_b AS DOUBLE) / n_b)
+      |         / sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)
+      |                * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+      |                * (1.0 / n_a + 1.0 / n_b)) * 1000000.0) AS BIGINT)
+      |  END AS z_e6
+      |FROM a CROSS JOIN b""".stripMargin
+
   /** q165 — interval (range) join ([[graft.joins.RangeJoin.rangeJoin]]):
     * attribute every event to each same-user 2-hour window anchored at
     * every 50th event — `ts BETWEEN start AND end` matching that Spark
@@ -620,6 +749,9 @@ object SessionQueries {
       |FROM g""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q210_cube_revenue", q210, Some(q210Sql)),
+    QueryDef("q213_twap", q213, Some(q213Sql)),
+    QueryDef("q214_ab_test", q214, Some(q214Sql)),
     QueryDef("q207_attribution", q207, Some(q207Sql)),
     QueryDef("q208_series_corr", q208, Some(q208Sql)),
     QueryDef("q205_series_trend", q205, Some(q205Sql)),

@@ -31,6 +31,17 @@ import org.apache.spark.sql.functions._
   * that is per-row (quality/langid/PII/fingerprints/band assignment/
   * classifier scoring/k-means assignment) streams via the inline
   * forms in this file.
+  *
+  * The round-12 series-repair tier is batch-analytic by the same
+  * token: `SeriesOps.gapFill` / `ewmaSmooth` / `cusumChangepoint` /
+  * `linearTrend` / `pairwiseCorr` read BOTH temporal directions of a
+  * closed series (backward anchors, lag taps, and argmax over the
+  * whole span), so they run as batch passes over the accumulated
+  * grid; the streaming-native counterparts for live monitoring are
+  * [[streamingSlidingAgg]] (rolling windows) and [[runningBounds]]
+  * (prefix state). Digest/audit aggregates (q200 checksum, Merkle
+  * buckets) ARE streaming-safe — commutative-associative state, one
+  * row per group ([[streamingChecksum]]).
   */
 object StreamOps {
 
