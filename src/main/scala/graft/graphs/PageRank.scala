@@ -88,6 +88,34 @@ object PageRank {
       .select(col("node"), col("rank_e6"), col("outdeg"))
   }
 
+  /** Multi-source BFS distances: hop distance from a seed set,
+    * iterative frontier expansion — per round ONE keyed join
+    * (edges ⋈ current frontier), a distinct, and an anti-join
+    * against the settled set; every intermediate is node-sized, the
+    * edge list is checkpointed once (the [[pageRank]] lesson).
+    * Unreached nodes are absent (no sentinel rows). The classic
+    * "blast radius" / taint-reach query over any relationship
+    * graph. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, seedCol: String,
+                   maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 64, "maxDepth in [1, 64]")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    for (d <- 1 to maxDepth) {
+      val frontier = dist.filter(col("dist") === (d - 1).toLong)
+        .select(col("node").as("src"))
+      val next = e.join(frontier, Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(d.toLong))
+      dist = dist.unionByName(next).localCheckpoint()
+    }
+    dist
+  }
+
   /** Undirected co-occurrence edges from (group, item) membership:
     * every ordered pair of DISTINCT items sharing a group, deduped
     * across groups. The self-join is keyed by group — candidate

@@ -367,6 +367,44 @@ object GraphQueries {
       |SELECT small.c_mktsegment, small.n_small_spenders, seg.n_segment
       |FROM small JOIN seg USING (c_mktsegment)""".stripMargin
 
+  /** q215 — multi-source BFS ([[graft.graphs.PageRank
+    * .bfsDistances]], 3 hops): hop distance from every 500th part
+    * over the co-purchase graph — the blast-radius query (which
+    * items are within k association hops of a recalled SKU). The
+    * oracle unrolls the three frontiers with NOT-IN settlement. */
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    val membership = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+    val edges = graft.graphs.PageRank.coOccurrenceEdges(membership, "g", "item")
+    val seeds = membership.select(col("item")).distinct()
+      .filter(col("item") % 500 === 0)
+    graft.graphs.PageRank.bfsDistances(edges, "src", "dst", seeds, "item",
+      maxDepth = 3)
+  }
+
+  private val q215Sql =
+    """WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+      |           FROM lineitem),
+      |e AS (SELECT DISTINCT a.item AS src, b.item AS dst
+      |      FROM m a JOIN m b ON a.g = b.g AND a.item <> b.item),
+      |d0 AS (SELECT DISTINCT item AS node FROM m WHERE item % 500 = 0),
+      |f1 AS (SELECT DISTINCT e.dst AS node FROM e
+      |       JOIN d0 ON e.src = d0.node
+      |       WHERE e.dst NOT IN (SELECT node FROM d0)),
+      |f2 AS (SELECT DISTINCT e.dst AS node FROM e
+      |       JOIN f1 ON e.src = f1.node
+      |       WHERE e.dst NOT IN (SELECT node FROM d0
+      |                           UNION SELECT node FROM f1)),
+      |f3 AS (SELECT DISTINCT e.dst AS node FROM e
+      |       JOIN f2 ON e.src = f2.node
+      |       WHERE e.dst NOT IN (SELECT node FROM d0
+      |                           UNION SELECT node FROM f1
+      |                           UNION SELECT node FROM f2))
+      |SELECT node, CAST(0 AS BIGINT) AS dist FROM d0
+      |UNION ALL SELECT node, CAST(1 AS BIGINT) FROM f1
+      |UNION ALL SELECT node, CAST(2 AS BIGINT) FROM f2
+      |UNION ALL SELECT node, CAST(3 AS BIGINT) FROM f3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q211_geo_rollup", q211, Some(q211Sql)),
     QueryDef("q212_anti_join", q212, Some(q212Sql)),
@@ -376,6 +414,7 @@ object GraphQueries {
     QueryDef("q203_hits", q203, Some(q203Sql)),
     QueryDef("q204_scd2_lookup", q204, Some(q204Sql)),
     QueryDef("q209_skew_report", q209, Some(q209Sql)),
+    QueryDef("q215_bfs_distance", q215, Some(q215Sql)),
     QueryDef("q193_scd2_history", q193, Some(q193Sql)),
     QueryDef("q195_salted_join", q195, Some(q195Sql))
   )

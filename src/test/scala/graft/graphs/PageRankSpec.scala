@@ -33,6 +33,18 @@ class PageRankSpec extends AnyFunSuite {
     assert(got("z") == ((433333L, 1L)))
   }
 
+  test("bfsDistances: shortest hop count wins, settled nodes never relabel") {
+    import spark.implicits._
+    // path a->b->c->d plus shortcut a->c: c must be dist 1 (shortcut),
+    // d dist 2; isolated seed z stays at 0; e unreachable -> absent
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"),
+      ("x", "e")).toDF("src", "dst")
+    val seeds = Seq("a", "z").toDF("item")
+    val got = PageRank.bfsDistances(edges, "src", "dst", seeds, "item", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 0L, "z" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L))
+  }
+
   test("coOccurrenceEdges: distinct ordered pairs within groups, deduped") {
     import spark.implicits._
     val m = Seq((1L, "a"), (1L, "b"), (1L, "b"), (2L, "a"), (2L, "b"),
