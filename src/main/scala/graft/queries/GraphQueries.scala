@@ -333,7 +333,7 @@ object GraphQueries {
       |FROM g""".stripMargin
 
   /** q212 — anti/semi join reconciliation: customers with orders but
-    * ZERO purchases above 200k cents (anti join against the
+    * ZERO orders above 350k cents (anti join against the
     * qualifying set), counted per market segment next to the segment
     * total — the referential-integrity / audit query shape
     * (LeftAnti plans as a broadcast/hash anti join, no row
@@ -344,7 +344,7 @@ object GraphQueries {
       t(s, dir, "orders").select(col("o_custkey").as("c_custkey")).distinct(),
       Seq("c_custkey"), "left_semi")
     val bigSpenders = t(s, dir, "orders")
-      .filter(cents(col("o_totalprice")) > 20000000L)
+      .filter(cents(col("o_totalprice")) > 35000000L)
       .select(col("o_custkey").as("c_custkey")).distinct()
     withOrders.join(bigSpenders, Seq("c_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
@@ -357,7 +357,7 @@ object GraphQueries {
     """WITH wo AS (SELECT c_custkey, c_mktsegment FROM customer
       |            WHERE c_custkey IN (SELECT o_custkey FROM orders)),
       |big AS (SELECT DISTINCT o_custkey FROM orders
-      |        WHERE CAST(round(o_totalprice*100) AS BIGINT) > 20000000),
+      |        WHERE CAST(round(o_totalprice*100) AS BIGINT) > 35000000),
       |small AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT)
       |            AS n_small_spenders
       |          FROM wo WHERE c_custkey NOT IN (SELECT o_custkey FROM big)
