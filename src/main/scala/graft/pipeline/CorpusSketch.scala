@@ -310,6 +310,36 @@ object CorpusSketch {
       .filter(col("rank") <= k)
   }
 
+  /** EXACT per-group percentiles via the value-grid decomposition:
+    * group → distinct (value, count) grid → cumulative counts over
+    * the grid → value at rank ceil(q·n/100) (integer arithmetic,
+    * (n·q + 99) div 100 — the q97 rank rule without the binning
+    * error). The window sorts GRID rows (distinct values per group),
+    * never corpus rows — for a length-like column that is thousands
+    * of rows at any corpus size; [[histogramQuantiles]] remains the
+    * knob when even the distinct-value grid is too wide. Output:
+    * (group, q_pct, n, exact) — long format, one row per requested
+    * percentile. */
+  def exactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+                       qPcts: Seq[Int]): DataFrame = {
+    require(qPcts.nonEmpty && qPcts.forall(v => v > 0 && v <= 100))
+    val grid = df
+      .select(col(groupCol), col(valueCol).cast("long").as("v"))
+      .groupBy(col(groupCol), col("v")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(groupCol).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    val cum = grid
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    cum
+      .withColumn("q_pct", explode(array(qPcts.map(q => lit(q.toLong)): _*)))
+      .filter(col("cum") - col("c") < expr("(n * q_pct + 99) div 100") &&
+              expr("(n * q_pct + 99) div 100") <= col("cum"))
+      .select(col(groupCol), col("q_pct"), col("n").cast("long").as("n"),
+        col("v").as("exact"))
+  }
+
   // ------------------------------------------------- histogram quantiles
 
   /** Fixed-bin histogram quantiles per group, long format:

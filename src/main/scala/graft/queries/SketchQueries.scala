@@ -359,7 +359,59 @@ object SketchQueries {
       |   OR COALESCE(da.digest_a, 0) <> COALESCE(db.digest_b, 0)""".stripMargin
   }
 
+  /** q216 — EXACT per-group percentiles ([[CorpusSketch
+    * .exactPercentiles]]): p50/p90/p99 of document length per
+    * language via the value-grid decomposition — the exact twin of
+    * q97's binned estimates (the window sorts distinct VALUES, not
+    * documents). The oracle replays the grid, the cumulative
+    * windows, and the ceil-rank cover filter. */
+  private def q216(s: SparkSession, dir: String): DataFrame =
+    CorpusSketch.exactPercentiles(t(s, dir, "documents"),
+      "lang", "n_chars", Seq(50, 90, 99))
+
+  private val q216Sql =
+    """WITH g AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+      |                  CAST(count(*) AS BIGINT) AS c
+      |           FROM documents GROUP BY 1, 2),
+      |w AS (SELECT lang, v, c,
+      |        sum(c) OVER (PARTITION BY lang ORDER BY v
+      |                     ROWS UNBOUNDED PRECEDING) AS cum,
+      |        sum(c) OVER (PARTITION BY lang) AS n
+      |      FROM g),
+      |x AS (SELECT lang, v, c, cum, n,
+      |             unnest([CAST(50 AS BIGINT), CAST(90 AS BIGINT),
+      |                     CAST(99 AS BIGINT)]) AS q_pct
+      |      FROM w)
+      |SELECT lang, q_pct, CAST(n AS BIGINT) AS n, v AS exact
+      |FROM x
+      |WHERE cum - c < (n * q_pct + 99) // 100
+      |  AND (n * q_pct + 99) // 100 <= cum""".stripMargin
+
+  /** q217 — deterministic per-group mode: the most frequent document
+    * length per language, ties broken toward the LARGER value by the
+    * lexicographic struct max (one keyed grid aggregate + one
+    * struct-max — no window at all). */
+  private def q217(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"), col("n_chars").cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(max(struct(col("c"), col("v"))).as("m"))
+      .select(col("lang"), col("m.v").as("mode_v"), col("m.c").as("mode_n"))
+
+  private val q217Sql =
+    """WITH g AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+      |                  CAST(count(*) AS BIGINT) AS c
+      |           FROM documents GROUP BY 1, 2),
+      |r AS (SELECT lang, v, c,
+      |             row_number() OVER (PARTITION BY lang
+      |                                ORDER BY c DESC, v DESC) AS rk
+      |      FROM g)
+      |SELECT lang, v AS mode_v, c AS mode_n FROM r WHERE rk = 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q216_exact_percentiles", q216, Some(q216Sql)),
+    QueryDef("q217_mode_per_group", q217, Some(q217Sql)),
     QueryDef("q194_weighted_sample", q194, Some(q194Sql)),
     QueryDef("q200_table_checksum", q200, Some(q200Sql)),
     QueryDef("q202_hll_rolling", q202, Some(q202Sql)),

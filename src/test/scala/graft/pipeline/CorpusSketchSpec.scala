@@ -133,6 +133,20 @@ class CorpusSketchSpec extends AnyFunSuite {
              .join(pre.select("s", "id"), Seq("s", "id"))).isEmpty)
   }
 
+  test("exactPercentiles: grid ranks equal sorted-order percentiles exactly") {
+    import spark.implicits._
+    // group u: values 1..100 (each once): p50 = 50, p90 = 90, p99 = 99
+    // group d: value 7 x10 (all percentiles = 7)
+    val df = ((1 to 100).map(i => ("u", i.toLong)) ++
+      Seq.fill(10)(("d", 7L))).toDF("g", "x")
+    val got = CorpusSketch.exactPercentiles(df, "g", "x", Seq(50, 90, 99))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got == Map(
+      ("u", 50L) -> 50L, ("u", 90L) -> 90L, ("u", 99L) -> 99L,
+      ("d", 50L) -> 7L, ("d", 90L) -> 7L, ("d", 99L) -> 7L))
+  }
+
   test("hllRollingDistinct: trailing window unions registers, old days age out") {
     import java.sql.Date
     // three days of DISJOINT 100-user cohorts; window 2 days:
