@@ -34,19 +34,28 @@ object Hits {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 32, "iters in [1, 32]")
+    // Packed adjacency in BOTH directions (the [[PageRank.pageRank]]
+    // lesson — same hub caveat): each half-step joins a node-sized
+    // score table against a node-sized packed row and explodes in
+    // projection, instead of re-shuffling the edge table per step.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint()
-    var hubs = e.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(1000000L).as("h"))
+    val adjF = e.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("dsts")).localCheckpoint()
+    val adjR = e.groupBy(col("dst"))
+      .agg(collect_list(col("src")).as("srcs")).localCheckpoint()
+    var hubs = adjF.select(col("src").as("node"), lit(1000000L).as("h"))
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
-      val aRaw = e
+      val aRaw = adjF
         .join(hubs.select(col("node").as("src"), col("h")), Seq("src"))
-        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("raw"))
+        .select(explode(col("dsts")).as("node"), col("h"))
+        .groupBy(col("node")).agg(sum(col("h")).as("raw"))
       auths = normalize(aRaw, "a").localCheckpoint()
-      val hRaw = e
+      val hRaw = adjR
         .join(auths.select(col("node").as("dst"), col("a")), Seq("dst"))
-        .groupBy(col("src").as("node")).agg(sum(col("a")).as("raw"))
+        .select(explode(col("srcs")).as("node"), col("a"))
+        .groupBy(col("node")).agg(sum(col("a")).as("raw"))
       hubs = normalize(hRaw, "h").localCheckpoint()
     }
     hubs.select(lit("hub").as("kind"), col("node"), col("h").as("score_e6"))

@@ -340,6 +340,40 @@ object CorpusSketch {
         col("v").as("exact"))
   }
 
+  /** WEIGHTED lower median per group over the value grid — the
+    * volume-aware center a pricing or mixture audit wants ("the
+    * median DOLLAR was spent at price X", not "the median ORDER LINE
+    * had price X"). Definition: the smallest value v whose cumulative
+    * weight (ordered by value) reaches half the total —
+    * 2·cum ≥ tot on exact longs, the weighted analogue of
+    * [[exactPercentiles]]' rank rule; with unit weights it reduces to
+    * the classic lower median. Output: (group, n_rows, tot_w,
+    * wmedian).
+    *
+    * Scale shape: identical to [[exactPercentiles]] — one keyed grid
+    * aggregate, two grid-sized keyed windows, a cover filter. The
+    * window never sees corpus rows, only the distinct-value grid. */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String): DataFrame = {
+    val grid = df
+      .select(col(groupCol), col(valueCol).cast("long").as("v"),
+              col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .groupBy(col(groupCol), col("v"))
+      .agg(sum(col("w")).as("wg"), count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(groupCol).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    grid
+      .withColumn("cum", sum(col("wg")).over(wCum))
+      .withColumn("tot", sum(col("wg")).over(wAll))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .filter(col("cum") * 2 >= col("tot") &&
+              (col("cum") - col("wg")) * 2 < col("tot"))
+      .select(col(groupCol), col("n").as("n_rows"), col("tot").as("tot_w"),
+              col("v").as("wmedian"))
+  }
+
   // ------------------------------------------------- histogram quantiles
 
   /** Fixed-bin histogram quantiles per group, long format:

@@ -405,7 +405,59 @@ object GraphQueries {
       |UNION ALL SELECT node, CAST(2 AS BIGINT) FROM f2
       |UNION ALL SELECT node, CAST(3 AS BIGINT) FROM f3""".stripMargin
 
+  /** q219 — triangle census ([[graft.graphs.Triangles
+    * .nodeTriangles]]) of the SUPPORT-THRESHOLDED co-purchase graph
+    * (pairs co-ordered ≥ 2 times — the support cut that separates
+    * signal edges from one-off basket noise): per-node triangle
+    * count and local clustering coefficient via degree orientation.
+    * The oracle replays thresholding, (deg, id) orientation, the
+    * wedge join, and closure. */
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+      .distinct()
+    val edges = m.groupBy(col("g")).agg(collect_set(col("item")).as("items"))
+      .select(explode(col("items")).as("src"), col("items"))
+      .select(col("src"), explode(col("items")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cc"))
+      .filter(col("cc") >= 2)
+    graft.graphs.Triangles.nodeTriangles(edges, "src", "dst")
+  }
+
+  private val q219Sql =
+    """WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+      |           FROM lineitem),
+      |e0 AS (SELECT a.item AS src, b.item AS dst, count(*) AS cc
+      |       FROM m a JOIN m b ON a.g = b.g AND a.item <> b.item
+      |       GROUP BY 1, 2),
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM e0 WHERE cc >= 2),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+      |        FROM (SELECT a AS node FROM und
+      |              UNION ALL SELECT b AS node FROM und)
+      |        GROUP BY 1),
+      |o AS (SELECT CASE WHEN (x.deg, u.a) < (y.deg, u.b) THEN u.a ELSE u.b END AS u,
+      |             CASE WHEN (x.deg, u.a) < (y.deg, u.b) THEN u.b ELSE u.a END AS v,
+      |             CASE WHEN (x.deg, u.a) < (y.deg, u.b) THEN y.deg ELSE x.deg END AS dv
+      |      FROM und u JOIN deg x ON x.node = u.a JOIN deg y ON y.node = u.b),
+      |tri AS (SELECT w1.u, w1.v, w2.v AS w
+      |        FROM o w1 JOIN o w2
+      |          ON w1.u = w2.u AND (w1.dv, w1.v) < (w2.dv, w2.v)
+      |        JOIN o e ON e.u = w1.v AND e.v = w2.v),
+      |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+      |       FROM (SELECT u AS node FROM tri
+      |             UNION ALL SELECT v AS node FROM tri
+      |             UNION ALL SELECT w AS node FROM tri)
+      |       GROUP BY 1)
+      |SELECT deg.node, deg.deg, COALESCE(pn.n_tri, 0) AS n_tri,
+      |       2 * COALESCE(pn.n_tri, 0) * 1000000 // (deg.deg * (deg.deg - 1))
+      |         AS lcc_e6
+      |FROM deg LEFT JOIN pn USING (node)
+      |WHERE deg.deg >= 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q219_triangles", q219, Some(q219Sql)),
     QueryDef("q211_geo_rollup", q211, Some(q211Sql)),
     QueryDef("q212_anti_join", q212, Some(q212Sql)),
     QueryDef("q192_pagerank", q192, Some(q192Sql)),

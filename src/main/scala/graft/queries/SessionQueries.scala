@@ -748,7 +748,66 @@ object SessionQueries {
       |            AS BIGINT) END AS corr_e6
       |FROM g""".stripMargin
 
+  /** q220 — 2-D skyline ([[graft.stats.Skyline.skyline2d]]): per
+    * brand, the price/size Pareto frontier of its parts
+    * (cheapest-yet-largest — no other part of the same brand is both
+    * ≤ price and ≥ size with one strict). Grid running-max
+    * decomposition, no pairwise join; the oracle replays grid,
+    * running max, and cover join. */
+  private def q220(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Skyline.skyline2d(
+      t(s, dir, "part").select(col("p_brand"), col("p_partkey"),
+        cents(col("p_retailprice")).as("price_c"), col("p_size")),
+      "p_brand", "p_partkey", "price_c", "p_size")
+
+  private val q220Sql =
+    """WITH r AS (SELECT p_brand, p_partkey,
+      |                  CAST(round(p_retailprice*100) AS BIGINT) AS x,
+      |                  CAST(p_size AS BIGINT) AS y FROM part),
+      |grid AS (SELECT p_brand, x, max(y) AS ymax FROM r GROUP BY 1, 2),
+      |f AS (SELECT p_brand, x, ymax,
+      |        max(ymax) OVER (PARTITION BY p_brand ORDER BY x
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+      |      FROM grid)
+      |SELECT r.p_brand, r.p_partkey, r.x, r.y
+      |FROM r JOIN f ON f.p_brand = r.p_brand AND f.x = r.x AND r.y = f.ymax
+      |WHERE f.m1 IS NULL OR f.m1 < f.ymax""".stripMargin
+
+  /** q221 — rolling-origin seasonal-naive backtest ([[graft.ts
+    * .SeriesOps.seasonalNaiveBacktest]], season 7, 8 origins,
+    * horizons 1–7): per (event_type, horizon) MAE and sMAPE of the
+    * week-ago-naive yardstick on daily revenue — the oracle-checkable
+    * half of forecast evaluation (the structural fitter's backtests
+    * are golden-pinned). The oracle replays the origin grid, both
+    * alignment joins, and the exact metric arithmetic. */
+  private def q221(s: SparkSession, dir: String): DataFrame =
+    graft.ts.SeriesOps.seasonalNaiveBacktest(dailyRevenue(s, dir),
+      "event_type", "d", "v_c", season = 7, nOrigins = 8, horizons = 1 to 7)
+
+  private val q221Sql =
+    s"""WITH daily AS (
+      |  $dailyRevenueSql),
+      |mx AS (SELECT event_type, max(d) AS dmax FROM daily GROUP BY 1),
+      |org AS (SELECT event_type, dmax - CAST(7 + j AS INTEGER) AS o
+      |        FROM mx, unnest(generate_series(0, 7)) AS t(j)),
+      |grid AS (SELECT event_type, o, h, o + CAST(h AS INTEGER) AS target_d,
+      |                o + CAST(h - 7 AS INTEGER) AS base_d
+      |         FROM org, unnest(generate_series(1, 7)) AS s(h)),
+      |p AS (SELECT g.event_type, CAST(g.h AS BIGINT) AS h,
+      |             a.v_c AS y_c, b.v_c AS p_c
+      |      FROM grid g
+      |      JOIN daily a ON a.event_type = g.event_type AND a.d = g.target_d
+      |      JOIN daily b ON b.event_type = g.event_type AND b.d = g.base_d)
+      |SELECT event_type, h, CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(round(avg(abs(y_c - p_c))) AS BIGINT) AS mae_c,
+      |       round(avg(CASE WHEN abs(y_c) + abs(p_c) = 0 THEN 0.0
+      |                 ELSE 2.0*abs(y_c - p_c)/(abs(y_c) + abs(p_c)) END), 6)
+      |         AS smape
+      |FROM p GROUP BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q220_skyline", q220, Some(q220Sql)),
+    QueryDef("q221_backtest", q221, Some(q221Sql)),
     QueryDef("q210_cube_revenue", q210, Some(q210Sql)),
     QueryDef("q213_twap", q213, Some(q213Sql)),
     QueryDef("q214_ab_test", q214, Some(q214Sql)),

@@ -409,8 +409,41 @@ object SketchQueries {
       |      FROM g)
       |SELECT lang, v AS mode_v, c AS mode_n FROM r WHERE rk = 1""".stripMargin
 
+  /** q222 — weighted median ([[CorpusSketch.weightedMedian]]): per
+    * return flag, the QUANTITY-weighted lower median of lineitem
+    * extended price in cents — "the median unit shipped cost X",
+    * the volume-aware center unit-weighted medians misstate. Value-
+    * grid decomposition (the q216 discipline with weights); the
+    * oracle replays grid, cumulative weights, and the 2·cum ≥ tot
+    * cover rule. */
+  private def q222(s: SparkSession, dir: String): DataFrame =
+    CorpusSketch.weightedMedian(
+      t(s, dir, "lineitem").select(col("l_returnflag"),
+        graft.queries.cents(col("l_extendedprice")).as("v_c"),
+        col("l_quantity").cast("long").as("w")),
+      "l_returnflag", "v_c", "w")
+
+  private val q222Sql =
+    """WITH r AS (SELECT l_returnflag,
+      |                  CAST(round(l_extendedprice*100) AS BIGINT) AS v,
+      |                  CAST(l_quantity AS BIGINT) AS w
+      |           FROM lineitem WHERE CAST(l_quantity AS BIGINT) > 0),
+      |g AS (SELECT l_returnflag, v, CAST(sum(w) AS BIGINT) AS wg,
+      |             CAST(count(*) AS BIGINT) AS c
+      |      FROM r GROUP BY 1, 2),
+      |wdw AS (SELECT l_returnflag, v, wg, c,
+      |         sum(wg) OVER (PARTITION BY l_returnflag ORDER BY v
+      |                       ROWS UNBOUNDED PRECEDING) AS cum,
+      |         sum(wg) OVER (PARTITION BY l_returnflag) AS tot,
+      |         sum(c) OVER (PARTITION BY l_returnflag) AS n
+      |        FROM g)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |       CAST(tot AS BIGINT) AS tot_w, v AS wmedian
+      |FROM wdw WHERE cum*2 >= tot AND (cum - wg)*2 < tot""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q216_exact_percentiles", q216, Some(q216Sql)),
+    QueryDef("q222_weighted_median", q222, Some(q222Sql)),
     QueryDef("q217_mode_per_group", q217, Some(q217Sql)),
     QueryDef("q194_weighted_sample", q194, Some(q194Sql)),
     QueryDef("q200_table_checksum", q200, Some(q200Sql)),

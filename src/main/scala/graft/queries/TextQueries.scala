@@ -3189,6 +3189,48 @@ object TextQueries {
       |          JOIN uni ub ON ub.w = b.w2
       |CROSS JOIN nbi CROSS JOIN nuni""".stripMargin
 
+  /** q218 — EXACT-threshold Jaccard join ([[TextDedup
+    * .jaccardJoinExact]]): every undirected pair at trigram Jaccard
+    * ≥ 0.8, recall GUARANTEED by prefix filtering (rarest-first
+    * (df, gram) order, L = s − ceil(0.8·s) + 1 prefixes, symmetric
+    * size filter) — the audit-grade complement to the LSH tier's
+    * probabilistic recall. The oracle replays prefix selection,
+    * candidate join, and full-set confirm. */
+  private def q218(s: SparkSession, dir: String): DataFrame =
+    TextDedup.jaccardJoinExact(t(s, dir, "documents"), "doc_id", "text",
+                               tau = 0.8, n = 3)
+
+  private val q218Sql =
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, ws[i] || '_' || ws[i+1] || '_' || ws[i+2] AS bg
+      |  FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+      |  WHERE len(ws) >= 3),
+      |dfq AS (SELECT bg, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY bg),
+      |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM g GROUP BY doc_id),
+      |p AS (SELECT g.doc_id, g.bg, cnt.n_sh,
+      |        row_number() OVER (PARTITION BY g.doc_id
+      |                           ORDER BY dfq.df, g.bg) AS rn
+      |      FROM g JOIN dfq USING (bg) JOIN cnt USING (doc_id)),
+      |pre AS (SELECT doc_id, bg, n_sh FROM p
+      |        WHERE rn <= n_sh - (n_sh * 800000 + 999999) // 1000000 + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+      |         a.n_sh AS n_a, b.n_sh AS n_b
+      |  FROM pre a JOIN pre b USING (bg)
+      |  WHERE a.doc_id < b.doc_id
+      |    AND a.n_sh * 800000 <= b.n_sh * 1000000
+      |    AND b.n_sh * 800000 <= a.n_sh * 1000000),
+      |ix AS (
+      |  SELECT c.da, c.db, c.n_a, c.n_b, CAST(count(*) AS BIGINT) AS i
+      |  FROM cand c
+      |  JOIN g ga ON ga.doc_id = c.da
+      |  JOIN g gb ON gb.doc_id = c.db AND gb.bg = ga.bg
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT da AS doc_a, db AS doc_b, n_a, n_b, i,
+      |       round(i * 1.0 / (n_a + n_b - i), 6) AS jaccard
+      |FROM ix WHERE round(i * 1.0 / (n_a + n_b - i), 6) >= 0.8""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q181_winnow_fps", q181, Some(q181Sql)),
     QueryDef("q182_winnow_clones", q182, Some(q182Sql)),
@@ -3271,6 +3313,8 @@ object TextQueries {
     QueryDef("q163_perplexity_buckets", q163, Some(q163Sql)),
     QueryDef("q168_source_divergence", q168, Some(q168Sql)),
     QueryDef("q169_zipf_fit", q169, Some(q169Sql)),
-    QueryDef("q170_source_overlap", q170, Some(q170Sql))
+    QueryDef("q170_source_overlap", q170, Some(q170Sql)),
+    QueryDef("q218_jaccard_join", q218, Some(q218Sql))
   )
+
 }

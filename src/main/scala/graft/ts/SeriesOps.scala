@@ -318,4 +318,71 @@ object SeriesOps {
           .as("n_outliers"))
       .withColumnRenamed("key", keyCol)
   }
+
+  /** ROLLING-ORIGIN BACKTEST of the seasonal-naive forecaster — the
+    * evaluation harness every production forecast deployment runs
+    * BEFORE trusting a model: slide the forecast origin backwards
+    * through history, forecast `horizons` days ahead from each
+    * origin with the season-lag baseline ŷ(o+h) = y(o+h−season), and
+    * score per horizon. Seasonal-naive is the canonical yardstick
+    * (a model that can't beat it shouldn't ship — the M-competitions'
+    * standing rule), and because it is a pure lag it is exactly
+    * SQL-replayable where the structural fitter is not — this is the
+    * oracle-checkable half of the forecast-evaluation story (the
+    * fitter's own backtests live in the golden specs).
+    *
+    * Per (key, horizon): n_pairs (origins where both the target and
+    * the lagged base exist in the series), mae_c = round'd mean
+    * absolute error in cents, and smape = round(mean of
+    * 2|e|/(|y|+|ŷ|), 6) with the 0/0 term defined as 0 (both sides
+    * zero = perfect). All inputs ride the exact cents grid, so the
+    * doubles are IEEE-identical across engines.
+    *
+    * Scale shape: the origin×horizon grid is generated PER KEY in
+    * projection (`sequence` + explode — `nOrigins`·H rows per key,
+    * hyperparameter-sized), then two keyed joins against the daily
+    * series on (key, date) and one keyed aggregate. No window at
+    * all, nothing global; series count is the parallel axis.
+    *
+    * @param horizons forecast lead times to score, each ≤ `season`
+    *                 (longer leads need the recursive seasonal chain,
+    *                 whose error compounding belongs to the model
+    *                 tier, not the yardstick) */
+  def seasonalNaiveBacktest(daily: DataFrame, keyCol: String,
+                            dateCol: String, vCol: String,
+                            season: Int = 7, nOrigins: Int = 8,
+                            horizons: Seq[Int] = 1 to 7): DataFrame = {
+    require(season >= 1, s"season must be >= 1, got $season")
+    require(nOrigins >= 1 && nOrigins <= 1024,
+            s"nOrigins in [1, 1024], got $nOrigins")
+    require(horizons.nonEmpty && horizons.forall(h => h >= 1 && h <= season),
+            s"horizons must be in [1, season], got $horizons")
+    val hMax = horizons.max
+    val d = daily.select(col(keyCol).as("key"), col(dateCol).as("d"),
+                         col(vCol).as("v"))
+    // newest origin leaves every (origin + h) target inside history
+    val origins = d.groupBy(col("key")).agg(max(col("d")).as("dmax"))
+      .select(col("key"), col("dmax"),
+        explode(sequence(lit(0), lit(nOrigins - 1))).as("j"))
+      .select(col("key"), date_add(col("dmax"), -lit(hMax) - col("j")).as("o"))
+    val grid = origins
+      .select(col("key"), col("o"),
+        explode(typedLit(horizons.map(_.toLong))).as("h"))
+      .select(col("key"), col("h"),
+        date_add(col("o"), col("h").cast("int")).as("target_d"),
+        date_add(col("o"), (col("h") - season).cast("int")).as("base_d"))
+    grid
+      .join(d.select(col("key"), col("d").as("target_d"), col("v").as("y_c")),
+            Seq("key", "target_d"))
+      .join(d.select(col("key"), col("d").as("base_d"), col("v").as("p_c")),
+            Seq("key", "base_d"))
+      .withColumn("e", abs(col("y_c") - col("p_c")))
+      .withColumn("t", when(abs(col("y_c")) + abs(col("p_c")) === 0, lit(0.0))
+        .otherwise(lit(2.0) * col("e") / (abs(col("y_c")) + abs(col("p_c")))))
+      .groupBy(col("key"), col("h"))
+      .agg(count(lit(1)).as("n_pairs"),
+           round(avg(col("e"))).cast("long").as("mae_c"),
+           round(avg(col("t")), 6).as("smape"))
+      .withColumnRenamed("key", keyCol)
+  }
 }

@@ -233,4 +233,25 @@ class CorpusSketchSpec extends AnyFunSuite {
     assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
            "union-of-filters must equal filter-of-union")
   }
+
+  test("weightedMedian: weighted lower median, unit-weight reduction, group independence") {
+    import spark.implicits._
+    // group g1: values 1(w1), 2(w1), 100(w3): tot=5, half reached at 100
+    // group g2: unit weights over 1..5 -> classic lower median 3
+    // group g3: even total, tie at boundary -> smallest v with 2cum>=tot
+    val df = Seq(
+      ("g1", 1L, 1L), ("g1", 2L, 1L), ("g1", 100L, 3L),
+      ("g2", 1L, 1L), ("g2", 2L, 1L), ("g2", 3L, 1L), ("g2", 4L, 1L),
+      ("g2", 5L, 1L),
+      ("g3", 10L, 2L), ("g3", 20L, 2L),
+      ("g4", 7L, 5L), ("g4", 9L, 0L)) // zero weights drop
+      .toDF("g", "v", "w")
+    val got = CorpusSketch.weightedMedian(df, "g", "v", "w")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("g1") == ((3L, 5L, 100L)))
+    assert(got("g2") == ((5L, 5L, 3L)))
+    assert(got("g3") == ((2L, 4L, 10L)))
+    assert(got("g4") == ((1L, 5L, 7L)))
+  }
 }

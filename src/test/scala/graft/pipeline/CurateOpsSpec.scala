@@ -328,4 +328,55 @@ class CurateOpsSpec extends AnyFunSuite {
     // though its true containment (0.4) is well-defined.
     assert(out.toSeq == Seq((1L, 2L, 0.8), (2L, 1L, 0.8)))
   }
+
+  // ---- jaccardJoinExact (prefix-filtered exact-threshold join) ---------
+
+  test("jaccardJoinExact: finds exactly the pairs >= tau, with exact J") {
+    import spark.implicits._
+    val a = (1 to 12).map(i => s"w$i").mkString(" ")          // 10 trigrams
+    val b = (1 to 11).map(i => s"w$i").mkString(" ") + " zz"  // 9 shared + 1
+    val c = (50 to 62).map(i => s"w$i").mkString(" ")         // disjoint
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val got = TextDedup.jaccardJoinExact(docs, "doc_id", "text",
+        tau = 0.5, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // J(a,b): |A|=10, |B|=10, shared trigrams w1..w9 window = 9
+    //   ... b's trigrams: w1_w2_w3..w9_w10_w11 (9 of a's) + w10_w11_zz
+    //   i = 9, union = 11 -> J = 0.818182
+    assert(got.keySet == Set((1L, 2L)))
+    val (na, nb, i, j) = got((1L, 2L))
+    assert(na == 10L && nb == 10L && i == 9L)
+    assert(math.abs(j - 9.0 / 11) < 1e-6)
+  }
+
+  test("jaccardJoinExact: recall is exact — agrees with brute force on a dup-planted corpus") {
+    import spark.implicits._
+    val base = Seq("alpha bravo charlie delta echo foxtrot golf hotel",
+                   "india juliet kilo lima mike november oscar papa",
+                   "quebec romeo sierra tango uniform victor whiskey xray")
+    // plant near-dups: drop or swap one word
+    val rows = base.zipWithIndex.flatMap { case (t, i) =>
+      val ws = t.split(" ")
+      Seq((i * 10L, t),
+          (i * 10L + 1, ws.init.mkString(" ")),
+          (i * 10L + 2, t))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val tau = 0.6
+    val got = TextDedup.jaccardJoinExact(docs, "doc_id", "text", tau, n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over distinct bigram sets
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(2).map(_.mkString("_")).toSet
+    val brute = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      sa = grams(ta); sb = grams(tb)
+      i = (sa & sb).size
+      j = BigDecimal(i.toDouble / (sa.size + sb.size - i))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= tau
+    } yield (ia, ib)).toSet
+    assert(got == brute && brute.nonEmpty)
+  }
 }

@@ -187,4 +187,34 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(got((1L, 10L)) == ((4L, 10L, 0L, 1L)))
     assert(got((2L, 11L)) == ((5L, 3L, 1L, 0L)))
   }
+
+  test("seasonalNaiveBacktest: exact alignment, metrics, and gap drops") {
+    import spark.implicits._
+    def d(s0: String) = java.sql.Date.valueOf(s0)
+    // one series, 22 consecutive days 2024-01-01..22, v = day-of-month
+    // cents; then a second series with a hole at one target date
+    val rows =
+      (1 to 22).map(i => ("a", d(f"2024-01-$i%02d"), i * 100L)) ++
+      (1 to 22).filter(_ != 21).map(i => ("b", d(f"2024-01-$i%02d"), 500L))
+    val daily = rows.toDF("k", "dt", "v_c")
+    val got = SeriesOps.seasonalNaiveBacktest(daily, "k", "dt", "v_c",
+        season = 7, nOrigins = 2, horizons = Seq(1, 2))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // series a: dmax = 22, origins o = 22-2-0=20 and 19.
+    //   h=1 targets 21,20 with bases 14,13: |e| = 700 both
+    //   h=2 targets 22,21 with bases 15,14: |e| = 700 both
+    // smape term per pair: 2*700/(2100+1400)=0.4 (h1,o20),
+    //   2*700/(2000+1300)=0.424242, mean rounds to 0.412121
+    assert(got(("a", 1L))._1 == 2L)
+    assert(got(("a", 1L))._2 == 700L)
+    assert(math.abs(got(("a", 1L))._3 -
+      ((2.0 * 700 / 3500) + (2.0 * 700 / 3300)) / 2).abs < 2e-6)
+    // series b: constant 500 -> error 0, but the missing day 21 drops
+    // one (origin, h) pair on each horizon touching it
+    assert(got(("b", 1L)) == ((1L, 0L, 0.0)))
+    assert(got(("b", 2L)) == ((1L, 0L, 0.0)))
+  }
 }
