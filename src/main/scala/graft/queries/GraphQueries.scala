@@ -456,7 +456,66 @@ object GraphQueries {
       |FROM deg LEFT JOIN pn USING (node)
       |WHERE deg.deg >= 2""".stripMargin
 
+  /** q223 — k-core peeling ([[graft.graphs.KCore.kCore]], k = 3,
+    * 4 fixed rounds) of the support-thresholded co-purchase graph
+    * (q219's edge cut): every node labeled with the round it was
+    * peeled in, its degree at deletion time, and the core flag — the
+    * density backbone extraction. The oracle unrolls all four
+    * deletion rounds (degree-among-survivors → threshold →
+    * edge restriction) as CTEs. */
+  private def q223(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+      .distinct()
+    val edges = m.groupBy(col("g")).agg(collect_set(col("item")).as("items"))
+      .select(explode(col("items")).as("src"), col("items"))
+      .select(col("src"), explode(col("items")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cc"))
+      .filter(col("cc") >= 2)
+    graft.graphs.KCore.kCore(edges, "src", "dst", k = 3, peels = 4)
+  }
+
+  private val q223Sql = {
+    val k = 3
+    val peels = 4
+    val rounds = (1 to peels).map { i =>
+      val ed = s"ed${i - 1}"
+      val extra = if (i == 1) "" else
+        s"""s${i - 1} AS (SELECT node FROM d${i - 1} WHERE deg >= $k),
+          |ed${i - 1} AS (SELECT u, v FROM ed${i - 2}
+          |        WHERE u IN (SELECT node FROM s${i - 1})
+          |          AND v IN (SELECT node FROM s${i - 1})),
+          |""".stripMargin
+      s"""${extra}d$i AS (SELECT n.node, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS deg
+        |      FROM (SELECT ${if (i == 1) "node FROM n0"
+                             else s"node FROM s${i - 1}"}) n
+        |      LEFT JOIN (SELECT u AS node, CAST(count(*) AS BIGINT) AS cnt
+        |                 FROM $ed GROUP BY 1) c USING (node))""".stripMargin
+    }.mkString(",\n")
+    val outs = (1 to peels).map { i =>
+      s"""SELECT node, CAST($i AS BIGINT) AS round_out, deg AS last_deg,
+        |       CAST(0 AS BIGINT) AS in_core FROM d$i WHERE deg < $k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+      |           FROM lineitem),
+      |e0 AS (SELECT a.item AS src, b.item AS dst, count(*) AS cc
+      |       FROM m a JOIN m b ON a.g = b.g AND a.item <> b.item
+      |       GROUP BY 1, 2),
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM e0 WHERE cc >= 2),
+      |ed0 AS (SELECT a AS u, b AS v FROM und
+      |        UNION ALL SELECT b AS u, a AS v FROM und),
+      |n0 AS (SELECT DISTINCT u AS node FROM ed0),
+      |$rounds
+      |$outs
+      |UNION ALL
+      |SELECT node, CAST(${peels + 1} AS BIGINT) AS round_out, deg AS last_deg,
+      |       CAST(1 AS BIGINT) AS in_core FROM d$peels WHERE deg >= $k""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q223_kcore", q223, Some(q223Sql)),
     QueryDef("q219_triangles", q219, Some(q219Sql)),
     QueryDef("q211_geo_rollup", q211, Some(q211Sql)),
     QueryDef("q212_anti_join", q212, Some(q212Sql)),

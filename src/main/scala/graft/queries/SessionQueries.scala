@@ -805,7 +805,35 @@ object SessionQueries {
       |         AS smape
       |FROM p GROUP BY 1, 2""".stripMargin
 
+  /** q224 — EXACT trailing-7-day distinct users per event type
+    * ([[graft.ts.SeriesOps.slidingDistinct]]): the gaps-and-islands
+    * decomposition (per-user covering intervals → ±1 deltas →
+    * calendar cum-sum) whose cost is linear in presence rows, vs the
+    * naive w-way window self-join. The oracle IS the naive form — a
+    * range-join COUNT(DISTINCT) per window end — so the hash match
+    * proves the decomposition result-invisible (the q195 salted-join
+    * convention). Exact twin of q202's HLL estimate. */
+  private def q224(s: SparkSession, dir: String): DataFrame =
+    graft.ts.SeriesOps.slidingDistinct(
+      t(s, dir, "events").select(col("event_type"),
+        dayBucket(col("ts")).as("d"), col("user_id")),
+      "event_type", "d", "user_id", windowDays = 7)
+
+  private val q224Sql =
+    """WITH p AS (SELECT DISTINCT event_type AS k,
+      |             CAST(date_trunc('day', ts) AS DATE) AS d, user_id AS u
+      |           FROM events),
+      |spans AS (SELECT k, min(d) AS d0, max(d) AS d1 FROM p GROUP BY 1),
+      |grid AS (SELECT k, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |                CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+      |         FROM spans)
+      |SELECT g.k AS event_type, g.d, CAST(count(DISTINCT p.u) AS BIGINT)
+      |         AS uniq_7d
+      |FROM grid g LEFT JOIN p ON p.k = g.k AND p.d BETWEEN g.d - 6 AND g.d
+      |GROUP BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q224_sliding_distinct", q224, Some(q224Sql)),
     QueryDef("q220_skyline", q220, Some(q220Sql)),
     QueryDef("q221_backtest", q221, Some(q221Sql)),
     QueryDef("q210_cube_revenue", q210, Some(q210Sql)),

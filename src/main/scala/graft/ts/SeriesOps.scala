@@ -276,6 +276,71 @@ object SeriesOps {
       .drop("island")
   }
 
+  /** EXACT sliding-window distinct count — distinct `userCol` values
+    * per `keyCol` over the trailing `windowDays`-day window ending at
+    * every calendar day of the series span. The naive form (window
+    * self-join, COUNT(DISTINCT) per window-end) re-shuffles every
+    * presence row `windowDays` times and keeps a distinct-set per
+    * window; this decomposition is linear in presence rows:
+    *
+    *  1. presence  — distinct (key, user, day)          [one shuffle]
+    *  2. islands   — per (key, user), merge the covering intervals
+    *                 [day, day+w−1] with the gaps-and-islands window
+    *                 (a user contributes to window-end d iff some
+    *                 presence day lies in [d−w+1, d], i.e. iff d is
+    *                 inside one of their merged islands)
+    *  3. deltas    — +1 at island start, −1 at island end + 1,
+    *                 summed per (key, day)              [tiny table]
+    *  4. cum-sum   — over the per-key calendar grid (sequence(), no
+    *                 driver loop), keyed window ordered by day
+    *
+    * Every window is keyed — per (key, user) in step 2 (user-history
+    * sized), per key in step 4 (calendar-bounded) — so no global sort
+    * and no per-window distinct state at any scale. The count is
+    * EXACT (vs the mergeable-sketch estimate of `hllRolling`), and
+    * the decomposition is result-invisible: the oracle computes the
+    * naive range-join COUNT(DISTINCT) and the driver hash-compares.
+    *
+    * Output: (key, day, uniq) for every day in the per-key
+    * [min(day), max(day)] span (0 on days whose whole trailing window
+    * is empty). */
+  def slidingDistinct(presence: DataFrame, keyCol: String, dateCol: String,
+                      userCol: String, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays >= 1")
+    val pad = (windowDays - 1).toLong
+    val p = presence
+      .select(col(keyCol).as("k"), col(dateCol).as("d"), col(userCol).as("u"))
+      .distinct()
+      .withColumn("di", datediff(col("d"), to_date(lit("1970-01-01"))).cast("long"))
+    val prev = Window.partitionBy(col("k"), col("u")).orderBy(col("di"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy(col("k"), col("u")).orderBy(col("di"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = p
+      .withColumn("prev_max_end", max(col("di") + pad).over(prev))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull ||
+             col("di") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(run))
+      .groupBy(col("k"), col("u"), col("island"))
+      .agg(min(col("di")).as("s"), (max(col("di")) + pad).as("e"))
+    val deltas = islands
+      .select(col("k"), col("s").as("di"), lit(1L).as("delta"))
+      .unionAll(islands.select(col("k"), (col("e") + 1L).as("di"),
+                               lit(-1L).as("delta")))
+      .groupBy(col("k"), col("di")).agg(sum(col("delta")).as("delta"))
+    val grid = p.groupBy(col("k"))
+      .agg(min(col("di")).as("d0"), max(col("di")).as("d1"))
+      .select(col("k"), explode(sequence(col("d0"), col("d1"))).as("di"))
+    val cum = Window.partitionBy(col("k")).orderBy(col("di"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(deltas, Seq("k", "di"), "left")
+      .withColumn("uniq", sum(coalesce(col("delta"), lit(0L))).over(cum))
+      .select(col("k").as(keyCol),
+        date_add(to_date(lit("1970-01-01")), col("di").cast("int")).as(dateCol),
+        col("uniq").as(s"uniq_${windowDays}d"))
+  }
+
   /** Robust seasonal-profile outliers: for each seasonal cell
     * (series key × ISO weekday × hour), the EXACT lower median and
     * MAD of the exact-integer value, and the count of observations

@@ -217,4 +217,36 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(got(("b", 1L)) == ((1L, 0L, 0.0)))
     assert(got(("b", 2L)) == ((1L, 0L, 0.0)))
   }
+
+  test("slidingDistinct: islands merge, gaps expire users, grid complete") {
+    import spark.implicits._
+    // key x, window 3: u1 on days 1 and 2 (one island covering 1-4),
+    // u2 on day 1 only (covers 1-3), u3 on day 5 only (covers 5-7;
+    // grid clamps at max day 5). Day 4: u1 still in-window (day 2
+    // presence), u2 expired (day-1 presence left the 3-day window).
+    val p = Seq(
+      ("x", d("2024-01-01"), "u1"), ("x", d("2024-01-02"), "u1"),
+      ("x", d("2024-01-01"), "u2"), ("x", d("2024-01-01"), "u2"),
+      ("x", d("2024-01-05"), "u3"))
+      .toDF("k", "dd", "u")
+    val got = SeriesOps.slidingDistinct(p, "k", "dd", "u", windowDays = 3)
+      .collect().map(r => r.getDate(1).toString -> r.getLong(2)).toMap
+    assert(got == Map(
+      "2024-01-01" -> 2L, // u1, u2
+      "2024-01-02" -> 2L,
+      "2024-01-03" -> 2L, // u2's day-1 presence still covers day 3
+      "2024-01-04" -> 1L, // u1 only (day-2 presence)
+      "2024-01-05" -> 1L)) // u3; u1's window expired
+  }
+
+  test("slidingDistinct: windowDays=1 degenerates to per-day distinct") {
+    import spark.implicits._
+    val p = Seq(("x", d("2024-03-01"), "a"), ("x", d("2024-03-01"), "b"),
+                ("x", d("2024-03-03"), "a"))
+      .toDF("k", "dd", "u")
+    val got = SeriesOps.slidingDistinct(p, "k", "dd", "u", windowDays = 1)
+      .collect().map(r => r.getDate(1).toString -> r.getLong(2)).toMap
+    assert(got == Map("2024-03-01" -> 2L, "2024-03-02" -> 0L,
+                      "2024-03-03" -> 1L))
+  }
 }
