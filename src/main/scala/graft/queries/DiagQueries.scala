@@ -214,7 +214,164 @@ object DiagQueries {
       |SELECT event_type, 2 AS lag,
       |  round((r2 - (r1/r0)*r1) / (r0 - (r1/r0)*r1), 6) AS pacf FROM r""".stripMargin
 
+  /** q225 — two-sample Kolmogorov–Smirnov drift test
+    * ([[graft.stats.Hypothesis.ksTest]]): per event type, does the
+    * cents-value DISTRIBUTION differ between the two q214 experiment
+    * arms (user-id parity)? D rides the exact integer numerator
+    * |cum_a·n_b − cum_b·n_a| over the pooled value grid, so the
+    * argmax (and its earliest-value location) is float-free; only
+    * the final D is a rounded double. Complements q214's z-test:
+    * KS sees shape changes the mean never moves. */
+  private def q225(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Hypothesis.ksTest(
+      t(s, dir, "events").select(col("event_type"),
+        pmod(col("user_id"), lit(2L)).as("arm"), cents(col("value")).as("v")),
+      "event_type", "arm", "v")
+
+  private val q225Sql =
+    """WITH o AS (SELECT event_type AS grp, user_id % 2 AS arm,
+      |             CAST(round(value*100) AS BIGINT) AS v FROM events),
+      |g AS (SELECT grp, v,
+      |        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |      FROM o GROUP BY 1, 2),
+      |tot AS (SELECT grp, CAST(sum(ca) AS BIGINT) AS n_a,
+      |               CAST(sum(cb) AS BIGINT) AS n_b FROM g GROUP BY 1),
+      |d AS (SELECT g.grp, v, n_a, n_b,
+      |        abs(CAST(sum(ca) OVER (PARTITION BY g.grp ORDER BY v
+      |              ROWS UNBOUNDED PRECEDING) AS BIGINT) * n_b
+      |          - CAST(sum(cb) OVER (PARTITION BY g.grp ORDER BY v
+      |              ROWS UNBOUNDED PRECEDING) AS BIGINT) * n_a) AS dnum
+      |      FROM g JOIN tot ON tot.grp = g.grp),
+      |mx AS (SELECT grp, max(dnum) AS dmax FROM d GROUP BY 1)
+      |SELECT d.grp AS event_type, n_a, n_b,
+      |  CAST(round(CAST(dmax AS DOUBLE) / (n_a * n_b) * 1000000.0) AS BIGINT)
+      |    AS d_e6,
+      |  min(v) AS d_at
+      |FROM d JOIN mx ON mx.grp = d.grp AND d.dnum = mx.dmax
+      |GROUP BY d.grp, n_a, n_b, dmax""".stripMargin
+
+  /** q226 — Mann–Whitney rank-sum test
+    * ([[graft.stats.Hypothesis.mannWhitneyU]]) on the same arms as
+    * q225: the non-parametric mean-shift readout for heavy-tailed
+    * metrics. Doubled midranks keep the rank sum and the statistic
+    * exact longs (u2_a = 2·U_a); the tie-corrected normal z is the
+    * one rounded double. */
+  private def q226(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Hypothesis.mannWhitneyU(
+      t(s, dir, "events").select(col("event_type"),
+        pmod(col("user_id"), lit(2L)).as("arm"), cents(col("value")).as("v")),
+      "event_type", "arm", "v")
+
+  private val q226Sql =
+    """WITH o AS (SELECT event_type AS grp, user_id % 2 AS arm,
+      |             CAST(round(value*100) AS BIGINT) AS v FROM events),
+      |g AS (SELECT grp, v,
+      |        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+      |        CAST(count(*) AS BIGINT) AS c
+      |      FROM o GROUP BY 1, 2),
+      |r AS (SELECT grp, v, ca, cb, c,
+      |        CAST(coalesce(sum(c) OVER (PARTITION BY grp ORDER BY v
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS BIGINT) AS cumprev
+      |      FROM g),
+      |a AS (SELECT grp, CAST(sum(ca) AS BIGINT) AS n_a,
+      |        CAST(sum(cb) AS BIGINT) AS n_b,
+      |        CAST(sum(ca * (2*cumprev + c + 1)) AS BIGINT) AS r2_a,
+      |        CAST(sum(c*c*c - c) AS BIGINT) AS tiesum
+      |      FROM r GROUP BY 1),
+      |b AS (SELECT grp, n_a, n_b, r2_a - n_a*(n_a + 1) AS u2_a, tiesum,
+      |        n_a + n_b AS n FROM a),
+      |c2 AS (SELECT grp, n_a, n_b, u2_a,
+      |         CAST(n_a AS DOUBLE) * n_b / 12.0 *
+      |           (CAST(n + 1 AS DOUBLE)
+      |            - CAST(tiesum AS DOUBLE) / (n * (n - 1))) AS varu
+      |       FROM b)
+      |SELECT grp AS event_type, n_a, n_b, u2_a,
+      |  CASE WHEN varu <= 0.0 THEN NULL
+      |       ELSE CAST(round(CAST(u2_a - n_a*n_b AS DOUBLE) / 2.0
+      |              / sqrt(varu) * 1000000.0) AS BIGINT) END AS z_e6
+      |FROM c2""".stripMargin
+
+  /** q230 — Benford first-digit audit per order priority: observed
+    * first-significant-digit counts of the cents price vs the Benford
+    * expectation p_d = log10(1+1/d) (anomaly screening for fabricated
+    * or capped amounts). The digit comes from the decimal STRING head
+    * (log10-free — exact in both engines at every power of ten); the
+    * Benford probabilities are pinned as double literals shared with
+    * the oracle; per-digit χ² terms are e6-rounded BEFORE the group
+    * sum so chi2_e6 is an exact long sum (float-sum order never
+    * enters the hash). Zero-observed digits stay in via the 9-digit
+    * grid — their (0−np)²/np term is part of the statistic. */
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    val v = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("grp"), cents(col("o_totalprice")).as("v"))
+      .filter(col("v") > 0L)
+      .withColumn("digit", substring(col("v").cast("string"), 1, 1).cast("long"))
+    val obs = v.groupBy(col("grp"), col("digit")).agg(count(lit(1)).as("obs"))
+    val n = v.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val p = when(col("digit") === 1L, 0.3010299956639812)
+      .when(col("digit") === 2L, 0.17609125905568124)
+      .when(col("digit") === 3L, 0.12493873660829992)
+      .when(col("digit") === 4L, 0.09691001300805642)
+      .when(col("digit") === 5L, 0.07918124604762482)
+      .when(col("digit") === 6L, 0.06694678963061322)
+      .when(col("digit") === 7L, 0.05799194697768673)
+      .when(col("digit") === 8L, 0.05115252244738129)
+      .otherwise(0.04575749056067514)
+    val terms = n
+      .crossJoin(n.sparkSession.range(1, 10).select(col("id").as("digit")))
+      .join(obs, Seq("grp", "digit"), "left")
+      .select(col("grp"), col("digit"), col("n"),
+              coalesce(col("obs"), lit(0L)).as("obs"))
+      .withColumn("e", col("n").cast("double") * p)
+      .withColumn("exp_e6", round(col("e") * 1000000.0).cast("long"))
+      .withColumn("term_e6",
+        round((col("obs").cast("double") - col("e"))
+          * (col("obs").cast("double") - col("e")) / col("e")
+          * 1000000.0).cast("long"))
+    val chi2 = terms.groupBy(col("grp")).agg(sum(col("term_e6")).as("chi2_e6"))
+    terms.join(chi2, Seq("grp"))
+      .select(col("grp").as("priority"), col("digit"), col("n"), col("obs"),
+              col("exp_e6"), col("term_e6"), col("chi2_e6"))
+  }
+
+  private val q230Sql =
+    """WITH v AS (SELECT o_orderpriority AS grp,
+      |             CAST(substr(CAST(CAST(round(o_totalprice*100) AS BIGINT)
+      |               AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |           FROM orders WHERE CAST(round(o_totalprice*100) AS BIGINT) > 0),
+      |obs AS (SELECT grp, digit, CAST(count(*) AS BIGINT) AS obs
+      |        FROM v GROUP BY 1, 2),
+      |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+      |grid AS (SELECT grp, n, CAST(unnest(generate_series(1, 9)) AS BIGINT)
+      |           AS digit FROM n),
+      |terms AS (SELECT grp, digit, n, CAST(coalesce(obs, 0) AS BIGINT) AS obs,
+      |            CAST(n AS DOUBLE) * (CASE digit
+      |              WHEN 1 THEN 0.3010299956639812
+      |              WHEN 2 THEN 0.17609125905568124
+      |              WHEN 3 THEN 0.12493873660829992
+      |              WHEN 4 THEN 0.09691001300805642
+      |              WHEN 5 THEN 0.07918124604762482
+      |              WHEN 6 THEN 0.06694678963061322
+      |              WHEN 7 THEN 0.05799194697768673
+      |              WHEN 8 THEN 0.05115252244738129
+      |              ELSE 0.04575749056067514 END) AS e
+      |          FROM grid LEFT JOIN obs USING (grp, digit)),
+      |t2 AS (SELECT grp, digit, n, obs,
+      |         CAST(round(e * 1000000.0) AS BIGINT) AS exp_e6,
+      |         CAST(round((CAST(obs AS DOUBLE) - e) * (CAST(obs AS DOUBLE) - e)
+      |           / e * 1000000.0) AS BIGINT) AS term_e6
+      |       FROM terms)
+      |SELECT grp AS priority, digit, n, obs, exp_e6, term_e6,
+      |  CAST(sum(term_e6) OVER (PARTITION BY grp) AS BIGINT) AS chi2_e6
+      |FROM t2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q225_ks_test", q225, Some(q225Sql)),
+    QueryDef("q226_mann_whitney", q226, Some(q226Sql)),
+    QueryDef("q230_benford_audit", q230, Some(q230Sql)),
     QueryDef("q16_floor_ceiling", q16, Some(q16Sql)),
     QueryDef("q17_detrend_ols", q17, Some(q17Sql)),
     QueryDef("q18_quantiles", q18, Some(q18Sql)),

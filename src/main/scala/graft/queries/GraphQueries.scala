@@ -514,8 +514,115 @@ object GraphQueries {
       |       CAST(1 AS BIGINT) AS in_core FROM d$peels WHERE deg >= $k""".stripMargin
   }
 
+  /** q227 — Newman modularity of the brand partition
+    * ([[graft.graphs.Modularity.modularityByCommunity]]) over the
+    * support-thresholded co-purchase graph: does p_brand behave as a
+    * community structure (edges concentrate within brands), or is
+    * co-purchase brand-agnostic? Per-brand contributions ride the
+    * exact common-denominator form q_num = 4·m·e_c − d_c², so only
+    * the final ratio is a rounded double. The scoring half of
+    * community detection — attribute partitions, LPA labels, and
+    * dedup clusters all score through the same operator. */
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+      .distinct()
+    val edges = m.groupBy(col("g")).agg(collect_set(col("item")).as("items"))
+      .select(explode(col("items")).as("src"), col("items"))
+      .select(col("src"), explode(col("items")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cc"))
+      .filter(col("cc") >= 2)
+    val comm = t(s, dir, "part")
+      .select(col("p_partkey").as("node"), col("p_brand").as("brand"))
+    graft.graphs.Modularity.modularityByCommunity(
+      edges, "src", "dst", comm, "node", "brand")
+  }
+
+  private val q227Sql =
+    """WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+      |           FROM lineitem),
+      |e0 AS (SELECT a.item AS src, b.item AS dst, count(*) AS cc
+      |       FROM m a JOIN m b ON a.g = b.g AND a.item <> b.item
+      |       GROUP BY 1, 2),
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM e0 WHERE cc >= 2),
+      |j AS (SELECT a, b, pa.p_brand AS ca, pb.p_brand AS cb
+      |      FROM und JOIN part pa ON pa.p_partkey = a
+      |                JOIN part pb ON pb.p_partkey = b),
+      |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM j),
+      |deg AS (SELECT node, c, CAST(count(*) AS BIGINT) AS deg
+      |        FROM (SELECT a AS node, ca AS c FROM j
+      |              UNION ALL SELECT b AS node, cb AS c FROM j) u
+      |        GROUP BY 1, 2),
+      |dc AS (SELECT c, CAST(count(*) AS BIGINT) AS n_nodes,
+      |              CAST(sum(deg) AS BIGINT) AS d_c FROM deg GROUP BY 1),
+      |ec AS (SELECT ca AS c, CAST(count(*) AS BIGINT) AS e_c
+      |       FROM j WHERE ca = cb GROUP BY 1)
+      |SELECT dc.c AS brand, n_nodes, d_c,
+      |  CAST(coalesce(e_c, 0) AS BIGINT) AS e_c,
+      |  4*m*CAST(coalesce(e_c, 0) AS BIGINT) - d_c*d_c AS q_num,
+      |  CAST(round(CAST(4*m*CAST(coalesce(e_c, 0) AS BIGINT) - d_c*d_c
+      |    AS DOUBLE) / (4.0 * m * m) * 1000000.0) AS BIGINT) AS q_e6
+      |FROM dc LEFT JOIN ec ON ec.c = dc.c CROSS JOIN mm""".stripMargin
+
+  /** q229 — item-item cosine similarity top-k (the neighborhood model
+    * of item-based collaborative filtering): cos(i,j) =
+    * |baskets(i)∩baskets(j)| / √(|baskets(i)|·|baskets(j)|) over
+    * co-purchase counts, top-5 neighbors per item ranked on the
+    * e6-rounded score (integer-deterministic ranking — the double
+    * never orders anything) with item-id ties. Support threshold
+    * cc ≥ 2 bounds the candidate pairs exactly as q219/q223; the
+    * top-k window is keyed per source item and candidate-list sized. */
+  private def q229(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+      .distinct()
+    val ni = m.groupBy(col("item")).agg(count(lit(1)).as("ni"))
+    val pairs = m.groupBy(col("g")).agg(collect_set(col("item")).as("items"))
+      .select(explode(col("items")).as("src"), col("items"))
+      .select(col("src"), explode(col("items")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cc"))
+      .filter(col("cc") >= 2)
+    val scored = pairs
+      .join(ni.select(col("item").as("src"), col("ni").as("n_src")), Seq("src"))
+      .join(ni.select(col("item").as("dst"), col("ni").as("n_dst")), Seq("dst"))
+      .withColumn("cos_e6",
+        round(col("cc").cast("double")
+          / sqrt((col("n_src") * col("n_dst")).cast("double"))
+          * 1000000.0).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cos_e6").desc, col("dst"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5L)
+      .select(col("src"), col("dst"), col("cc"), col("cos_e6"), col("rk"))
+  }
+
+  private val q229Sql =
+    """WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+      |           FROM lineitem),
+      |ni AS (SELECT item, CAST(count(*) AS BIGINT) AS ni FROM m GROUP BY 1),
+      |p AS (SELECT a.item AS src, b.item AS dst,
+      |        CAST(count(*) AS BIGINT) AS cc
+      |      FROM m a JOIN m b ON a.g = b.g AND a.item <> b.item
+      |      GROUP BY 1, 2),
+      |s AS (SELECT src, dst, cc,
+      |        CAST(round(CAST(cc AS DOUBLE)
+      |          / sqrt(CAST(ns.ni * nd.ni AS DOUBLE)) * 1000000.0)
+      |          AS BIGINT) AS cos_e6
+      |      FROM p JOIN ni ns ON ns.item = src JOIN ni nd ON nd.item = dst
+      |      WHERE cc >= 2),
+      |r AS (SELECT src, dst, cc, cos_e6,
+      |        CAST(row_number() OVER (PARTITION BY src
+      |          ORDER BY cos_e6 DESC, dst) AS BIGINT) AS rk
+      |      FROM s)
+      |SELECT src, dst, cc, cos_e6, rk FROM r WHERE rk <= 5""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q223_kcore", q223, Some(q223Sql)),
+    QueryDef("q227_modularity", q227, Some(q227Sql)),
+    QueryDef("q229_item_cosine_topk", q229, Some(q229Sql)),
     QueryDef("q219_triangles", q219, Some(q219Sql)),
     QueryDef("q211_geo_rollup", q211, Some(q211Sql)),
     QueryDef("q212_anti_join", q212, Some(q212Sql)),

@@ -832,8 +832,49 @@ object SessionQueries {
       |FROM grid g LEFT JOIN p ON p.k = g.k AND p.d BETWEEN g.d - 6 AND g.d
       |GROUP BY 1, 2""".stripMargin
 
+  /** q228 — revenue concentration per market segment
+    * ([[graft.stats.Concentration.gini]]): Gini coefficient and
+    * top-decile Lorenz share of per-customer lifetime spend — the
+    * "how dependent is this segment on its whales" audit (the same
+    * statistic a corpus-mix designer runs on per-source token
+    * counts). The Gini numerator Σ(2i−n−1)·x is one exact long per
+    * segment; windows are segment-keyed and member-count sized. */
+  private def q228(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("x"))
+    val seg = t(s, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("segment"))
+    graft.stats.Concentration.gini(rev.join(seg, Seq("o_custkey")),
+      "segment", "x")
+  }
+
+  private val q228Sql =
+    """WITH rev AS (SELECT o_custkey,
+      |               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+      |                 AS BIGINT) AS x
+      |             FROM orders GROUP BY 1),
+      |j AS (SELECT c.c_mktsegment AS grp, x
+      |      FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey),
+      |r AS (SELECT grp, x,
+      |        CAST(row_number() OVER (PARTITION BY grp ORDER BY x)
+      |          AS BIGINT) AS i,
+      |        CAST(row_number() OVER (PARTITION BY grp ORDER BY x DESC)
+      |          AS BIGINT) AS rd
+      |      FROM j),
+      |nt AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |              CAST(sum(x) AS BIGINT) AS total FROM j GROUP BY 1)
+      |SELECT r.grp AS segment, n, total,
+      |  CAST(round(CAST(sum((2*i - n - 1) * x) AS DOUBLE) / (n * total)
+      |    * 1000000.0) AS BIGINT) AS gini_e6,
+      |  CAST(round(CAST(sum(CASE WHEN rd * 10 <= n + 9 THEN x ELSE 0 END)
+      |    AS DOUBLE) / total * 1000000.0) AS BIGINT) AS top_decile_share_e6
+      |FROM r JOIN nt ON nt.grp = r.grp
+      |GROUP BY r.grp, n, total""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q224_sliding_distinct", q224, Some(q224Sql)),
+    QueryDef("q228_gini", q228, Some(q228Sql)),
     QueryDef("q220_skyline", q220, Some(q220Sql)),
     QueryDef("q221_backtest", q221, Some(q221Sql)),
     QueryDef("q210_cube_revenue", q210, Some(q210Sql)),

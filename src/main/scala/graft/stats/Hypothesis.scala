@@ -1,0 +1,104 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-sample hypothesis tests over grouped observations — the
+  * drift-detection / experiment-readout statistics that complement
+  * the parametric z-test (q214): the Kolmogorov–Smirnov distance
+  * compares whole DISTRIBUTIONS (any shift in shape, not just the
+  * mean), and the Mann–Whitney rank-sum test is the non-parametric
+  * mean-shift test that survives the heavy-tailed metrics (revenue,
+  * latency) where the z-test's normality assumption is fiction.
+  *
+  * Both ride the repo's value-grid discipline
+  * ([[graft.pipeline.CorpusSketch.exactPercentiles]]): every window
+  * runs over the per-group DISTINCT-value grid, never corpus rows,
+  * so the sort is bounded by the value domain; arms are folded into
+  * grid columns by one keyed aggregate. Statistics are exact-integer
+  * to the last step (cumulative counts, rank sums, tie terms are all
+  * longs), with one deterministic double expression at the end — so
+  * a SQL oracle replays them bit-for-bit. */
+object Hypothesis {
+
+  /** Two-sample Kolmogorov–Smirnov per group: D = max over the pooled
+    * value grid of |F_a(v) − F_b(v)|, computed as the exact integer
+    * max of |cum_a·n_b − cum_b·n_a| (scale-free numerator — no
+    * per-row division, no float drift in the argmax).
+    *
+    * @param obs   (group, arm, value) rows; arm must be 0 or 1;
+    *              value must already be an exact integer grid (cents)
+    * @return one row per group: (group, n_a, n_b, d_e6, d_at) where
+    *         d_e6 is the e6-rounded KS distance and d_at the SMALLEST
+    *         grid value achieving it */
+  def ksTest(obs: DataFrame, groupCol: String, armCol: String,
+             valueCol: String): DataFrame = {
+    val g = obs
+      .select(col(groupCol).as("grp"), col(armCol).cast("long").as("arm"),
+              col(valueCol).cast("long").as("v"))
+      .groupBy(col("grp"), col("v"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("ca"),
+           sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("cb"))
+    val tot = g.groupBy(col("grp"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .join(tot, Seq("grp"))
+      .withColumn("dnum", abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")))
+    // exact integer argmax with earliest-value ties: max_by on the
+    // (dnum, −v) struct — the q217 deterministic-mode comparator
+    cum.groupBy(col("grp"))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+           max(col("dnum")).as("dmax"),
+           max_by(col("v"), struct(col("dnum"), -col("v"))).as("d_at"))
+      .select(col("grp").as(groupCol), col("n_a"), col("n_b"),
+        round(col("dmax").cast("double") / (col("n_a") * col("n_b"))
+          * 1000000.0).cast("long").as("d_e6"),
+        col("d_at"))
+  }
+
+  /** Mann–Whitney U (rank-sum with midranks) per group, arm 0 as the
+    * reference arm. Midranks over the pooled grid are kept exact by
+    * doubling: 2·midrank(v) = 2·cum_<v + count(v) + 1 is always an
+    * integer, so the doubled rank sum `r2_a = Σ ca·(2·midrank)` and
+    * doubled statistic `u2_a = r2_a − n_a(n_a+1)` are exact longs.
+    * The normal approximation uses the standard tie correction
+    * (Σ(t³−t) over grid cells): z = (U − n_a·n_b/2) / σ with
+    * σ² = n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1))); null when the
+    * variance degenerates (all values tied).
+    *
+    * @return one row per group: (group, n_a, n_b, u2_a, z_e6) */
+  def mannWhitneyU(obs: DataFrame, groupCol: String, armCol: String,
+                   valueCol: String): DataFrame = {
+    val g = obs
+      .select(col(groupCol).as("grp"), col(armCol).cast("long").as("arm"),
+              col(valueCol).cast("long").as("v"))
+      .groupBy(col("grp"), col("v"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("ca"),
+           sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("cb"))
+      .withColumn("c", col("ca") + col("cb"))
+    val wPrev = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g
+      .withColumn("cumprev", coalesce(sum(col("c")).over(wPrev), lit(0L)))
+      .withColumn("r2", lit(2L) * col("cumprev") + col("c") + 1L)
+    val agg = ranked.groupBy(col("grp"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+           sum(col("ca") * col("r2")).as("r2_a"),
+           sum(col("c") * col("c") * col("c") - col("c")).as("tiesum"))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("u2_a", col("r2_a") - col("n_a") * (col("n_a") + 1L))
+    val varU = col("n_a").cast("double") * col("n_b") / 12.0 *
+      ((col("n") + 1L).cast("double") -
+       col("tiesum").cast("double") / (col("n") * (col("n") - 1L)))
+    val z = (col("u2_a") - col("n_a") * col("n_b")).cast("double") / 2.0 /
+      sqrt(varU)
+    agg.select(col("grp").as(groupCol), col("n_a"), col("n_b"), col("u2_a"),
+      when(varU <= 0.0, lit(null))
+        .otherwise(round(z * 1000000.0)).cast("long").as("z_e6"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.stats
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Hypothesis.ksTest]] / [[Hypothesis.mannWhitneyU]] against
+  * hand-computed statistics on tiny arms. */
+class HypothesisSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def obs(rows: Seq[(String, Long, Long)]) = {
+    import spark.implicits._
+    rows.toDF("grp", "arm", "v")
+  }
+
+  test("ksTest: identical samples give D = 0") {
+    val df = obs(Seq(("g", 0L, 1L), ("g", 0L, 2L), ("g", 0L, 3L),
+                     ("g", 1L, 1L), ("g", 1L, 2L), ("g", 1L, 3L)))
+    val r = Hypothesis.ksTest(df, "grp", "arm", "v").collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(3) == 0L) // d_e6
+  }
+
+  test("ksTest: disjoint samples give D = 1 located at arm-a's max") {
+    // arm 0: {1,2}; arm 1: {10,20} — F_a jumps to 1 by v=2 while
+    // F_b is still 0, so D = 1 at v = 2 (the earliest max location)
+    val df = obs(Seq(("g", 0L, 1L), ("g", 0L, 2L),
+                     ("g", 1L, 10L), ("g", 1L, 20L)))
+    val r = Hypothesis.ksTest(df, "grp", "arm", "v").collect()(0)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L) // n_a, n_b
+    assert(r.getLong(3) == 1000000L)                 // d_e6
+    assert(r.getLong(4) == 2L)                       // d_at
+  }
+
+  test("ksTest: hand case D = 1/2 with earliest-value argmax tie") {
+    // arm 0: {1,2}; arm 1: {2,3}. Grid cdfs (×2): v=1 → (1,0) d=2;
+    // v=2 → (2,1) d=2; v=3 → (2,2) d=0. D = 2/(2·2) = 0.5 at v=1.
+    val df = obs(Seq(("g", 0L, 1L), ("g", 0L, 2L),
+                     ("g", 1L, 2L), ("g", 1L, 3L)))
+    val r = Hypothesis.ksTest(df, "grp", "arm", "v").collect()(0)
+    assert(r.getLong(3) == 500000L)
+    assert(r.getLong(4) == 1L)
+  }
+
+  test("mannWhitneyU: no ties, complete separation — U = n_a·n_b") {
+    // arm 0: {3,4}, arm 1: {1,2} — every a beats every b: U_a = 4,
+    // u2_a = 8. Ranks of arm a = {3,4}, R_a = 7, 2R = 14,
+    // u2 = 14 − 2·3 = 8. z = (8−4)/2 / sqrt(2·2/12·(5−0)) ≈ 1.549.
+    val df = obs(Seq(("g", 0L, 3L), ("g", 0L, 4L),
+                     ("g", 1L, 1L), ("g", 1L, 2L)))
+    val r = Hypothesis.mannWhitneyU(df, "grp", "arm", "v").collect()(0)
+    assert(r.getLong(3) == 8L) // u2_a = 2U
+    val z = 4.0 / 2.0 / math.sqrt(2.0 * 2.0 / 12.0 * 5.0)
+    assert(r.getLong(4) == math.round(z * 1000000.0))
+  }
+
+  test("mannWhitneyU: ties take midranks and the tie correction") {
+    // arm 0: {1,2}, arm 1: {2,3}. Midranks: 1→1, 2→2.5, 3→4.
+    // R_a = 3.5, 2R = 7, u2 = 7 − 6 = 1 (U_a = 0.5).
+    // tiesum = 2³−2 = 6; n=4: var = 4/12·(5 − 6/12) = 1.5;
+    // z = (1 − 4)/2 / sqrt(1.5).
+    val df = obs(Seq(("g", 0L, 1L), ("g", 0L, 2L),
+                     ("g", 1L, 2L), ("g", 1L, 3L)))
+    val r = Hypothesis.mannWhitneyU(df, "grp", "arm", "v").collect()(0)
+    assert(r.getLong(3) == 1L)
+    val z = (1.0 - 4.0) / 2.0 / math.sqrt(2.0 * 2.0 / 12.0 * (5.0 - 6.0 / 12.0))
+    assert(r.getLong(4) == math.round(z * 1000000.0))
+  }
+
+  test("mannWhitneyU: all values tied — degenerate variance nulls z") {
+    val df = obs(Seq(("g", 0L, 7L), ("g", 0L, 7L),
+                     ("g", 1L, 7L), ("g", 1L, 7L)))
+    val r = Hypothesis.mannWhitneyU(df, "grp", "arm", "v").collect()(0)
+    assert(r.isNullAt(4))
+  }
+}
