@@ -122,6 +122,57 @@ object PageRank {
     dist
   }
 
+  /** Personalized PageRank: the random walk restarts at a SEED SET
+    * instead of uniformly — the "related to these items" relevance
+    * score (recsys similar-items, fraud seed expansion, taint
+    * relevance ranking). Same packed-adjacency iteration shape as
+    * [[pageRank]] (node-sized keyed join + projection explode +
+    * keyed sum per iteration); the only change is the restart
+    * vector: 1e6 div |S| on each seed present in the graph, 0
+    * elsewhere, with r₀ = restart and
+    * r_{k+1} = (15·restart) div 100 + (85·Σ in-shares) div 100 on
+    * the exact e6 integer grid (integer div truncation is part of
+    * the contract — the oracle replays it). The seed count joins in
+    * as a 1-row frame (never collected). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 64, "iters in [1, 64]")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val adj = e.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("dsts"), count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val seedNodes = seeds.select(col(seedCol).as("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi")
+    val nSeeds = seedNodes.agg(count(lit(1)).as("n_seeds"))
+    val restart = nodes
+      .join(seedNodes.withColumn("is_seed", lit(1L)), Seq("node"), "left")
+      .crossJoin(nSeeds)
+      .select(col("node"),
+        when(col("is_seed").isNotNull, expr("1000000 div n_seeds"))
+          .otherwise(lit(0L)).as("restart_e6"))
+      .localCheckpoint()
+    var ranks = restart.select(col("node"), col("restart_e6").as("rank_e6"))
+    for (_ <- 1 to iters) {
+      val contribs = adj
+        .join(ranks.select(col("node").as("src"), col("rank_e6")), Seq("src"))
+        .select(explode(col("dsts")).as("node"),
+                expr("rank_e6 div outdeg").as("share"))
+        .groupBy(col("node"))
+        .agg(sum(col("share")).as("in_share"))
+      ranks = restart
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (expr("(15 * restart_e6) div 100") +
+           expr("85 * coalesce(in_share, 0) div 100")).as("rank_e6"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** Undirected co-occurrence edges from (group, item) membership:
     * every ordered pair of DISTINCT items sharing a group, deduped
     * across groups. The self-join is keyed by group — candidate

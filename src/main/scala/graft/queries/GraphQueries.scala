@@ -619,10 +619,65 @@ object GraphQueries {
       |      FROM s)
       |SELECT src, dst, cc, cos_e6, rk FROM r WHERE rk <= 5""".stripMargin
 
+  /** q233 — personalized PageRank
+    * ([[graft.graphs.PageRank.personalizedPageRank]], 3 iterations):
+    * relevance of every part to the Brand#11 seed set over the q192
+    * co-purchase graph — the "similar items" / seed-expansion walk.
+    * Restart mass 1e6 div |seeds∩graph| concentrates on seeds; the
+    * oracle unrolls all three iterations over the identical integer
+    * update rule (15%·restart + 85%·in-shares, div truncation
+    * included). */
+  private def q233(s: SparkSession, dir: String): DataFrame = {
+    val membership = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+    val edges = graft.graphs.PageRank.coOccurrenceEdges(membership, "g", "item")
+    val seeds = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#11")
+      .select(col("p_partkey").as("node"))
+    graft.graphs.PageRank.personalizedPageRank(
+      edges, "src", "dst", seeds, "node", iters = 3)
+  }
+
+  private val q233Sql = {
+    val iters = (1 to 3).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+        |         CAST(sum(r${i - 1}.rank_e6 // deg.outdeg) AS BIGINT)
+        |           AS in_share
+        |       FROM e JOIN r${i - 1} ON r${i - 1}.node = e.src
+        |              JOIN deg ON deg.node = e.src
+        |       GROUP BY 1),
+        |r$i AS (SELECT rs.node,
+        |          CAST((15 * restart_e6) // 100
+        |               + (85 * COALESCE(c$i.in_share, 0)) // 100
+        |               AS BIGINT) AS rank_e6
+        |        FROM rs LEFT JOIN c$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+      |           FROM lineitem),
+      |e AS (SELECT DISTINCT a.item AS src, b.item AS dst
+      |      FROM m a JOIN m b ON a.g = b.g AND a.item <> b.item),
+      |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+      |        FROM e GROUP BY 1),
+      |nodes AS (SELECT DISTINCT src AS node FROM e
+      |          UNION SELECT DISTINCT dst FROM e),
+      |sd AS (SELECT DISTINCT p_partkey AS node FROM part
+      |       WHERE p_brand = 'Brand#11'),
+      |sg AS (SELECT s.node FROM sd s JOIN nodes n ON n.node = s.node),
+      |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_seeds FROM sg),
+      |rs AS (SELECT n.node,
+      |         CAST(CASE WHEN sg.node IS NOT NULL THEN 1000000 // n_seeds
+      |              ELSE 0 END AS BIGINT) AS restart_e6
+      |       FROM nodes n LEFT JOIN sg ON sg.node = n.node CROSS JOIN ns),
+      |r0 AS (SELECT node, restart_e6 AS rank_e6 FROM rs),
+      |$iters
+      |SELECT node, rank_e6 FROM r3""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q223_kcore", q223, Some(q223Sql)),
     QueryDef("q227_modularity", q227, Some(q227Sql)),
     QueryDef("q229_item_cosine_topk", q229, Some(q229Sql)),
+    QueryDef("q233_ppr", q233, Some(q233Sql)),
     QueryDef("q219_triangles", q219, Some(q219Sql)),
     QueryDef("q211_geo_rollup", q211, Some(q211Sql)),
     QueryDef("q212_anti_join", q212, Some(q212Sql)),

@@ -872,9 +872,79 @@ object SessionQueries {
       |FROM r JOIN nt ON nt.grp = r.grp
       |GROUP BY r.grp, n, total""".stripMargin
 
+  /** q231 — ABC / Pareto classification
+    * ([[graft.stats.Concentration.abcClasses]]): per brand, every
+    * part labeled A (inside the top 70% of cumulative revenue),
+    * B (70–90%], or C — the inventory-weight labeling (and, run on
+    * per-source token counts, the corpus-mix version of the same
+    * question q228 answers as a single Gini number). Exact integer
+    * threshold compares (cum·100 ≤ total·pct); brand-keyed
+    * member-sized windows. */
+  private def q231(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"), col("l_partkey").as("partkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev_c"))
+    graft.stats.Concentration.abcClasses(rev, "brand", "partkey", "rev_c")
+  }
+
+  private val q231Sql =
+    """WITH rev AS (SELECT p.p_brand AS brand, l_partkey AS partkey,
+      |               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+      |                 AS BIGINT) AS rev_c
+      |             FROM lineitem JOIN part p ON p.p_partkey = l_partkey
+      |             GROUP BY 1, 2),
+      |c AS (SELECT brand, partkey, rev_c,
+      |        CAST(sum(rev_c) OVER (PARTITION BY brand
+      |          ORDER BY rev_c DESC, partkey
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |        CAST(sum(rev_c) OVER (PARTITION BY brand) AS BIGINT) AS total
+      |      FROM rev)
+      |SELECT brand, partkey, rev_c, cum,
+      |  CASE WHEN cum * 100 <= total * 70 THEN 'A'
+      |       WHEN cum * 100 <= total * 90 THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      |FROM c""".stripMargin
+
+  /** q232 — CDC latest-wins materialization
+    * ([[graft.ts.Scd.applyCdc]]): the event stream read as a
+    * replication log per user — 'error' rows are delete tombstones,
+    * everything else upserts the profile value — collapsed to live
+    * table state by ONE keyed max_by aggregate (no window at all);
+    * users whose LATEST op is the tombstone drop out, a delete
+    * followed by a re-insert survives. Total order inside a key =
+    * (second-truncated ts, event_id) — second truncation keeps the
+    * ordering engine-identical (Spark micros vs DuckDB nanos), the
+    * unique id breaks the remaining ties. */
+  private def q232(s: SparkSession, dir: String): DataFrame =
+    graft.ts.Scd.applyCdc(
+      t(s, dir, "events").select(col("user_id"), toSecond(col("ts")).as("ds"),
+        col("event_id"), col("event_type").as("op"),
+        cents(col("value")).as("v_c")),
+      "user_id", "op", "error", Seq("ds", "event_id"), Seq("v_c"))
+
+  private val q232Sql =
+    """WITH c AS (SELECT user_id,
+      |             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ds,
+      |             event_id, event_type AS op,
+      |             CAST(round(value*100) AS BIGINT) AS v_c
+      |           FROM events),
+      |r AS (SELECT user_id, ds, event_id, op, v_c,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ds DESC, event_id DESC) AS rk,
+      |        CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+      |          AS n_changes
+      |      FROM c)
+      |SELECT user_id, ds AS last_ds, event_id AS last_event_id,
+      |       v_c AS last_v_c, n_changes
+      |FROM r WHERE rk = 1 AND op <> 'error'""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q224_sliding_distinct", q224, Some(q224Sql)),
     QueryDef("q228_gini", q228, Some(q228Sql)),
+    QueryDef("q231_abc_classes", q231, Some(q231Sql)),
+    QueryDef("q232_cdc_apply", q232, Some(q232Sql)),
     QueryDef("q220_skyline", q220, Some(q220Sql)),
     QueryDef("q221_backtest", q221, Some(q221Sql)),
     QueryDef("q210_cube_revenue", q210, Some(q210Sql)),

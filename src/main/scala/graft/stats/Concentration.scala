@@ -55,4 +55,33 @@ object Concentration {
         .otherwise(round(col("top_c").cast("double") / col("total")
           * 1000000.0)).cast("long").as("top_decile_share_e6"))
   }
+
+  /** ABC (Pareto) classification per group: members sorted by
+    * descending value; class A while the running cumulative share is
+    * ≤ aPct% of the group total, B while ≤ bPct%, C after — the
+    * inventory-management / corpus-mix "which items carry the
+    * weight" labeling. Thresholds compare in exact integers
+    * (cum·100 ≤ total·pct — no percentage doubles), ties order by
+    * id so same-valued members classify deterministically. The
+    * window is group-keyed and member-count sized.
+    *
+    * @return (group, id, value, cum, abc_class) for every member */
+  def abcClasses(values: DataFrame, groupCol: String, idCol: String,
+                 valueCol: String, aPct: Int = 70, bPct: Int = 90): DataFrame = {
+    require(0 < aPct && aPct < bPct && bPct < 100, "0 < aPct < bPct < 100")
+    val rows = values.select(col(groupCol).as("grp"), col(idCol).as("rid"),
+                             col(valueCol).cast("long").as("x"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("x").desc, col("rid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nt = rows.groupBy(col("grp")).agg(sum(col("x")).as("total"))
+    rows
+      .withColumn("cum", sum(col("x")).over(w))
+      .join(nt, Seq("grp"))
+      .select(col("grp").as(groupCol), col("rid").as(idCol),
+        col("x").as(valueCol), col("cum"),
+        when(col("cum") * 100L <= col("total") * aPct.toLong, "A")
+          .when(col("cum") * 100L <= col("total") * bPct.toLong, "B")
+          .otherwise("C").as("abc_class"))
+  }
 }

@@ -44,4 +44,35 @@ object Scd {
         col("version"),
         when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
   }
+
+  /** CDC materialization, latest-wins: collapse a change stream
+    * (upserts + delete tombstones) to the live table state — the
+    * Type-1 complement of [[scd2]], and the batch form of every
+    * replication-apply job. Per key ONE keyed `max_by` aggregate on
+    * the (ordCols…) total order — no window, no per-key sort beyond
+    * the aggregate's own partial/final combine — then keys whose
+    * LATEST op is the tombstone drop out (a delete followed by a
+    * re-insert correctly survives).
+    *
+    * @param ordCols  columns forming a TOTAL order within a key
+    *                 (e.g. second-truncated time + unique id);
+    *                 ties would make the winner engine-dependent
+    * @param payloadCols carried value columns
+    * @return (key, last_<ord…>, last_<payload…>, n_changes) for
+    *         every live key */
+  def applyCdc(changes: DataFrame, keyCol: String, opCol: String,
+               deleteOp: String, ordCols: Seq[String],
+               payloadCols: Seq[String]): DataFrame = {
+    val carried = (opCol +: (ordCols ++ payloadCols)).distinct
+    val latest = changes
+      .groupBy(col(keyCol))
+      .agg(max_by(struct(carried.map(col): _*),
+                  struct(ordCols.map(col): _*)).as("last"),
+           count(lit(1)).as("n_changes"))
+      .filter(col(s"last.$opCol") =!= deleteOp)
+    latest.select(
+      col(keyCol) +:
+      (ordCols ++ payloadCols).map(c => col(s"last.$c").as(s"last_$c")) :+
+      col("n_changes"): _*)
+  }
 }

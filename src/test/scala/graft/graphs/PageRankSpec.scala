@@ -54,4 +54,41 @@ class PageRankSpec extends AnyFunSuite {
     assert(got == Set(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
       ("b", "c"), ("c", "b")))
   }
+
+  test("personalizedPageRank: single seed, exact 3-iteration values") {
+    import spark.implicits._
+    // a<->b, seed {a}: r0 = (1e6, 0).
+    //   r1: a = 15e6 div 100 = 150000;      b = 85e6 div 100 = 850000
+    //   r2: a = 150000 + 85·850000 div 100 = 872500; b = 127500
+    //   r3: a = 150000 + 85·127500 div 100 = 258375; b = 741625
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val got = PageRank.personalizedPageRank(edges, "src", "dst",
+        seeds, "node", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 258375L, "b" -> 741625L))
+  }
+
+  test("personalizedPageRank: seeds outside the graph don't dilute mass") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    // "z" is absent from the graph: |seeds ∩ nodes| = 1, so restart
+    // mass is identical to the single-seed case
+    val seeds = Seq("a", "z").toDF("node")
+    val got = PageRank.personalizedPageRank(edges, "src", "dst",
+        seeds, "node", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 258375L, "b" -> 741625L))
+  }
+
+  test("personalizedPageRank: symmetric seed set sits at the fixed point") {
+    import spark.implicits._
+    // both nodes seeded at 500000 each: r' = 75000 + 425000 = 500000
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val seeds = Seq("a", "b").toDF("node")
+    val got = PageRank.personalizedPageRank(edges, "src", "dst",
+        seeds, "node", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 500000L, "b" -> 500000L))
+  }
 }

@@ -38,4 +38,27 @@ class ConcentrationSpec extends AnyFunSuite {
     assert(got("a")._3 == 0L)
     assert(got("b")._3 == 500000L)
   }
+
+  test("abcClasses: exact integer thresholds, descending cumulative") {
+    import spark.implicits._
+    // total 100: cum 50 (A, 5000 ≤ 7000), 80 (B, 8000 ≤ 9000),
+    // 95 (C), 100 (C)
+    val df = Seq(("g", 1L, 50L), ("g", 2L, 30L), ("g", 3L, 15L),
+                 ("g", 4L, 5L)).toDF("grp", "id", "x")
+    val got = Concentration.abcClasses(df, "grp", "id", "x")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got == Map(1L -> ((50L, "A")), 2L -> ((80L, "B")),
+                      3L -> ((95L, "C")), 4L -> ((100L, "C"))))
+  }
+
+  test("abcClasses: value ties order by id deterministically") {
+    import spark.implicits._
+    // two equal 50s, total 100: first by id is cum 50 → A, second is
+    // cum 100 → C regardless of physical row order
+    val df = Seq(("g", 9L, 50L), ("g", 3L, 50L)).toDF("grp", "id", "x")
+    val got = Concentration.abcClasses(df, "grp", "id", "x")
+      .collect().map(r => r.getLong(1) -> r.getString(4)).toMap
+    assert(got == Map(3L -> "A", 9L -> "C"))
+  }
 }
