@@ -817,3 +817,70 @@ object ScaleProbeGraph {
     spark.stop()
   }
 }
+
+/** Decade probe for the round-12 stats/graph additions: k-core
+  * peeling (cost should track the SHRINKING edge list, not rounds ×
+  * original edges), exact sliding-window distinct (cost linear in
+  * presence rows — the whole point of the gaps-and-islands
+  * decomposition vs the w-way window self-join), and the KS test
+  * (cost tracks the value GRID, so a bounded value domain keeps the
+  * corpus decade near-flat in the window stage).
+  * Usage: runMain graft.ScaleProbeStats [nodes] [rows] */
+object ScaleProbeStats {
+  def main(args: Array[String]): Unit = {
+    val nodes0 = args.headOption.map(_.toInt).getOrElse(20000)
+    val rows0 = args.drop(1).headOption.map(_.toInt).getOrElse(500000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"$label%-52s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    for (n <- Seq(nodes0, nodes0 * 10)) {
+      val avgDeg = 60
+      val edges = spark.range(n.toLong * avgDeg).select(
+        (col("id") % n).as("src"),
+        pmod(hash(col("id") * 2654435761L), lit(n)).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val ne = edges.count()
+      time(f"kCore k=32 peels=4 n=$n%,d edges=$ne%,d")(
+        graft.graphs.KCore.kCore(edges, "src", "dst", k = 32, peels = 4)
+          .count())
+    }
+
+    for (rows <- Seq(rows0, rows0 * 10)) {
+      val days = 120
+      val ev = spark.range(rows.toLong).select(
+        (col("id") % 5L).as("k"),
+        date_add(to_date(lit("2024-01-01")),
+          pmod(hash(col("id") * 7L), lit(days)).cast("int")).as("d"),
+        pmod(hash(col("id") * 31L), lit(rows / 50)).cast("long").as("u"))
+      time(f"slidingDistinct rows=$rows%,d days=$days w=7")(
+        graft.ts.SeriesOps.slidingDistinct(ev, "k", "d", "u", windowDays = 7)
+          .count())
+    }
+
+    for (rows <- Seq(rows0, rows0 * 10)) {
+      // bounded value domain (10k grid cells per group): the corpus
+      // decade should pay only the first keyed aggregate, the grid
+      // windows stay constant-size
+      val obs = spark.range(rows.toLong).select(
+        (col("id") % 5L).as("grp"),
+        (col("id") % 2L).as("arm"),
+        pmod(hash(col("id") * 13L), lit(10000)).cast("long").as("v"))
+      time(f"ksTest rows=$rows%,d grid=10k groups=5")(
+        graft.stats.Hypothesis.ksTest(obs, "grp", "arm", "v").count())
+    }
+
+    spark.stop()
+  }
+}
