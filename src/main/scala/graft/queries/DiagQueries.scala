@@ -368,7 +368,64 @@ object DiagQueries {
       |  CAST(sum(term_e6) OVER (PARTITION BY grp) AS BIGINT) AS chi2_e6
       |FROM t2""".stripMargin
 
+  /** q235 — chi-square test of independence on the segment × nation
+    * contingency table: are market segment and nation independent
+    * attributes of the customer base? Expected counts ride exact
+    * integer marginals (e = row·col/n as ONE double division);
+    * per-cell χ² terms are e6-rounded BEFORE the total (the q230
+    * long-sum discipline — no float-sum order in the hash);
+    * zero-observed cells stay in via the marginal-product grid.
+    * Everything is keyed aggregates over an attribute-sized grid
+    * (5×25 cells) — corpus rows are touched exactly once. */
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"))
+    val obs = c.groupBy(col("seg"), col("nat")).agg(count(lit(1)).as("obs"))
+    val rowt = c.groupBy(col("seg")).agg(count(lit(1)).as("row_n"))
+    val colt = c.groupBy(col("nat")).agg(count(lit(1)).as("col_n"))
+    val n = c.agg(count(lit(1)).as("n"))
+    val terms = rowt.crossJoin(colt).crossJoin(n)
+      .join(obs, Seq("seg", "nat"), "left")
+      .select(col("seg"), col("nat"), col("row_n"), col("col_n"), col("n"),
+              coalesce(col("obs"), lit(0L)).as("obs"))
+      .withColumn("e", (col("row_n") * col("col_n")).cast("double") / col("n"))
+      .withColumn("exp_e6", round(col("e") * 1000000.0).cast("long"))
+      .withColumn("term_e6",
+        round((col("obs").cast("double") - col("e"))
+          * (col("obs").cast("double") - col("e")) / col("e")
+          * 1000000.0).cast("long"))
+    val chi2 = terms.agg(sum(col("term_e6")).as("chi2_e6"))
+    terms.crossJoin(chi2)
+      .select(col("seg"), col("nat"), col("obs"), col("row_n"), col("col_n"),
+              col("exp_e6"), col("term_e6"), col("chi2_e6"))
+  }
+
+  private val q235Sql =
+    """WITH c AS (SELECT c_mktsegment AS seg, c_nationkey AS nat
+      |           FROM customer),
+      |obs AS (SELECT seg, nat, CAST(count(*) AS BIGINT) AS obs
+      |        FROM c GROUP BY 1, 2),
+      |rowt AS (SELECT seg, CAST(count(*) AS BIGINT) AS row_n
+      |         FROM c GROUP BY 1),
+      |colt AS (SELECT nat, CAST(count(*) AS BIGINT) AS col_n
+      |         FROM c GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+      |terms AS (SELECT seg, nat, row_n, col_n, n,
+      |            CAST(coalesce(obs, 0) AS BIGINT) AS obs,
+      |            CAST(row_n * col_n AS DOUBLE) / n AS e
+      |          FROM rowt CROSS JOIN colt CROSS JOIN nn
+      |          LEFT JOIN obs USING (seg, nat)),
+      |t2 AS (SELECT seg, nat, obs, row_n, col_n,
+      |         CAST(round(e * 1000000.0) AS BIGINT) AS exp_e6,
+      |         CAST(round((CAST(obs AS DOUBLE) - e) * (CAST(obs AS DOUBLE) - e)
+      |           / e * 1000000.0) AS BIGINT) AS term_e6
+      |       FROM terms),
+      |chi AS (SELECT CAST(sum(term_e6) AS BIGINT) AS chi2_e6 FROM t2)
+      |SELECT seg, nat, obs, row_n, col_n, exp_e6, term_e6, chi2_e6
+      |FROM t2 CROSS JOIN chi""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q235_chi2_independence", q235, Some(q235Sql)),
     QueryDef("q225_ks_test", q225, Some(q225Sql)),
     QueryDef("q226_mann_whitney", q226, Some(q226Sql)),
     QueryDef("q230_benford_audit", q230, Some(q230Sql)),

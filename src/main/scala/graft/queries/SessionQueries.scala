@@ -940,11 +940,79 @@ object SessionQueries {
       |       v_c AS last_v_c, n_changes
       |FROM r WHERE rk = 1 AND op <> 'error'""".stripMargin
 
+  /** q234 — stationary distribution of the q185 behavior chain:
+    * 4 power iterations of the WEIGHTED walk r′(v) = Σ_u r(u)·n(u,v)
+    * div n_from(u) on the e6 grid, from the uniform start 1e6 div
+    * |states| — "where does user behavior settle" (the long-run
+    * event-type mix). Transitions are restricted to in-state targets
+    * so mass stays closed up to div truncation; every iteration is
+    * one state-keyed join + keyed sum (the [[graft.graphs.PageRank]]
+    * shape, teleport-free and count-weighted). The oracle unrolls
+    * all four iterations over the identical integer rule. */
+  private def q234(s: SparkSession, dir: String): DataFrame = {
+    val tm = graft.ts.EventAnalytics.transitionMatrix(
+        t(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"))
+    val states = tm.select(col("from_type").as("state")).distinct()
+    val tmIn = tm.join(states.select(col("state").as("to_type")),
+                       Seq("to_type"), "left_semi")
+    val ns = states.agg(count(lit(1)).as("n_states"))
+    var r = states.crossJoin(ns)
+      .select(col("state"), expr("1000000 div n_states").as("rank_e6"))
+    for (_ <- 1 to 4) {
+      val contribs = tmIn
+        .join(r.select(col("state").as("from_type"), col("rank_e6")),
+              Seq("from_type"))
+        .select(col("to_type").as("state"),
+                expr("(rank_e6 * n) div n_from").as("share"))
+        .groupBy(col("state")).agg(sum(col("share")).as("in_share"))
+      r = states.join(contribs, Seq("state"), "left")
+        .select(col("state"), coalesce(col("in_share"), lit(0L)).as("rank_e6"))
+    }
+    r.select(col("state"), col("rank_e6").as("stat_e6"))
+  }
+
+  private val q234Sql = {
+    val iters = (1 to 4).map { i =>
+      s"""c$i AS (SELECT t.to_type AS state,
+        |         CAST(sum((r${i - 1}.rank_e6 * t.n) // t.n_from) AS BIGINT)
+        |           AS in_share
+        |       FROM t JOIN r${i - 1} ON r${i - 1}.state = t.from_type
+        |       GROUP BY 1),
+        |r$i AS (SELECT s.state, CAST(COALESCE(c$i.in_share, 0) AS BIGINT)
+        |          AS rank_e6
+        |        FROM states s LEFT JOIN c$i USING (state))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+      |  SELECT user_id, event_type,
+      |         CAST(date_trunc('second', ts) AS TIMESTAMP) AS sec, event_id
+      |  FROM events),
+      |st AS (
+      |  SELECT user_id, event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY sec, event_id) AS to_type
+      |  FROM e),
+      |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM st WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |m AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+      |      FROM c GROUP BY 1),
+      |states AS (SELECT DISTINCT from_type AS state FROM c),
+      |t AS (SELECT c.from_type, c.to_type, c.n, m.n_from
+      |      FROM c JOIN m ON m.from_type = c.from_type
+      |      WHERE c.to_type IN (SELECT state FROM states)),
+      |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_states FROM states),
+      |r0 AS (SELECT state, CAST(1000000 // n_states AS BIGINT) AS rank_e6
+      |       FROM states CROSS JOIN ns),
+      |$iters
+      |SELECT state, rank_e6 AS stat_e6 FROM r4""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q224_sliding_distinct", q224, Some(q224Sql)),
     QueryDef("q228_gini", q228, Some(q228Sql)),
     QueryDef("q231_abc_classes", q231, Some(q231Sql)),
     QueryDef("q232_cdc_apply", q232, Some(q232Sql)),
+    QueryDef("q234_markov_stationary", q234, Some(q234Sql)),
     QueryDef("q220_skyline", q220, Some(q220Sql)),
     QueryDef("q221_backtest", q221, Some(q221Sql)),
     QueryDef("q210_cube_revenue", q210, Some(q210Sql)),

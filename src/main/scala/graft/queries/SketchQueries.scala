@@ -387,6 +387,58 @@ object SketchQueries {
       |WHERE cum - c < (n * q_pct + 99) // 100
       |  AND (n * q_pct + 99) // 100 <= cum""".stripMargin
 
+  /** q236 — winsorized mean per event type: cents values clipped to
+    * the exact p05/p95 grid percentiles ([[CorpusSketch
+    * .exactPercentiles]] — the q216 cover rule), then the robust
+    * mean on exact integers (sum of clipped longs, div count) — the
+    * outlier-proof center a metrics pipeline reports instead of the
+    * raw mean. Clipping is a pure projection after one
+    * attribute-sized percentile join; nothing beyond q216's
+    * grid-sized windows sorts anything. */
+  private def q236(s: SparkSession, dir: String): DataFrame = {
+    val vals = t(s, dir, "events")
+      .select(col("event_type"), cents(col("value")).as("v"))
+    val pcts = CorpusSketch.exactPercentiles(vals, "event_type", "v",
+        Seq(5, 95))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("q_pct") === 5L, col("exact"))).as("p05"),
+           max(when(col("q_pct") === 95L, col("exact"))).as("p95"))
+    vals.join(pcts, Seq("event_type"))
+      .select(col("event_type"), col("p05"), col("p95"),
+              greatest(col("p05"), least(col("p95"), col("v"))).as("w"))
+      .groupBy(col("event_type"), col("p05"), col("p95"))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("wsum_c"))
+      .select(col("event_type"), col("n"), col("p05"), col("p95"),
+              col("wsum_c"), expr("wsum_c div n").as("wmean_c"))
+  }
+
+  private val q236Sql =
+    """WITH vals AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v
+      |              FROM events),
+      |g AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+      |      FROM vals GROUP BY 1, 2),
+      |w AS (SELECT event_type, v, c,
+      |        sum(c) OVER (PARTITION BY event_type ORDER BY v
+      |                     ROWS UNBOUNDED PRECEDING) AS cum,
+      |        sum(c) OVER (PARTITION BY event_type) AS n
+      |      FROM g),
+      |x AS (SELECT event_type, v, c, cum, n,
+      |             unnest([CAST(5 AS BIGINT), CAST(95 AS BIGINT)]) AS q_pct
+      |      FROM w),
+      |pct AS (SELECT event_type,
+      |          max(CASE WHEN q_pct = 5 THEN v END) AS p05,
+      |          max(CASE WHEN q_pct = 95 THEN v END) AS p95
+      |        FROM x
+      |        WHERE cum - c < (n * q_pct + 99) // 100
+      |          AND (n * q_pct + 99) // 100 <= cum
+      |        GROUP BY 1)
+      |SELECT vals.event_type, CAST(count(*) AS BIGINT) AS n, p05, p95,
+      |       CAST(sum(greatest(p05, least(p95, v))) AS BIGINT) AS wsum_c,
+      |       CAST(sum(greatest(p05, least(p95, v))) AS BIGINT)
+      |         // CAST(count(*) AS BIGINT) AS wmean_c
+      |FROM vals JOIN pct ON pct.event_type = vals.event_type
+      |GROUP BY 1, p05, p95""".stripMargin
+
   /** q217 — deterministic per-group mode: the most frequent document
     * length per language, ties broken toward the LARGER value by the
     * lexicographic struct max (one keyed grid aggregate + one
@@ -443,6 +495,7 @@ object SketchQueries {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q216_exact_percentiles", q216, Some(q216Sql)),
+    QueryDef("q236_winsorized_mean", q236, Some(q236Sql)),
     QueryDef("q222_weighted_median", q222, Some(q222Sql)),
     QueryDef("q217_mode_per_group", q217, Some(q217Sql)),
     QueryDef("q194_weighted_sample", q194, Some(q194Sql)),
