@@ -439,6 +439,44 @@ object SketchQueries {
       |FROM vals JOIN pct ON pct.event_type = vals.event_type
       |GROUP BY 1, p05, p95""".stripMargin
 
+  /** q237 — cross-source quantile normalization
+    * ([[graft.stats.Normalize.quantileNormalize]]): every source's
+    * document-length distribution mapped onto the POOLED corpus
+    * distribution by exact integer percentile matching (ceil-rank
+    * r of n_g → pooled ceil-rank (r·n_tot+n_g−1) div n_g) — the
+    * batch-effect remover that makes per-source scores comparable
+    * before a corpus-mix cut. The rank→value lookup is the
+    * bucketized cover-interval range join (q165's machinery), never
+    * a nested loop; the oracle computes the same lookup as a naive
+    * inequality join, hash-pinning the decomposition. */
+  private def q237(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Normalize.quantileNormalize(
+      t(s, dir, "documents").select(col("source"), col("n_chars")),
+      "source", "n_chars")
+
+  private val q237Sql =
+    """WITH r AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v
+      |           FROM documents),
+      |sg AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+      |       FROM r GROUP BY 1, 2),
+      |ng AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_g FROM sg GROUP BY 1),
+      |src AS (SELECT sg.grp, v, c,
+      |          CAST(sum(c) OVER (PARTITION BY sg.grp ORDER BY v
+      |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, n_g
+      |        FROM sg JOIN ng ON ng.grp = sg.grp),
+      |pg AS (SELECT v, CAST(count(*) AS BIGINT) AS c_all FROM r GROUP BY 1),
+      |nt AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_tot FROM pg),
+      |pool AS (SELECT v AS norm_v,
+      |           CAST(sum(c_all) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |             - c_all + 1 AS BIGINT) AS lo,
+      |           CAST(sum(c_all) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |             AS BIGINT) AS hi
+      |         FROM pg),
+      |pts AS (SELECT grp, v, c, (cum * n_tot + n_g - 1) // n_g AS tr
+      |        FROM src CROSS JOIN nt)
+      |SELECT pts.grp AS source, pts.v AS n_chars, c AS n, norm_v
+      |FROM pts JOIN pool ON pool.lo <= pts.tr AND pts.tr <= pool.hi""".stripMargin
+
   /** q217 — deterministic per-group mode: the most frequent document
     * length per language, ties broken toward the LARGER value by the
     * lexicographic struct max (one keyed grid aggregate + one
@@ -496,6 +534,7 @@ object SketchQueries {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q216_exact_percentiles", q216, Some(q216Sql)),
     QueryDef("q236_winsorized_mean", q236, Some(q236Sql)),
+    QueryDef("q237_quantile_normalize", q237, Some(q237Sql)),
     QueryDef("q222_weighted_median", q222, Some(q222Sql)),
     QueryDef("q217_mode_per_group", q217, Some(q217Sql)),
     QueryDef("q194_weighted_sample", q194, Some(q194Sql)),

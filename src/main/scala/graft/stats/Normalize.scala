@@ -1,0 +1,60 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Quantile normalization across groups — map every group's value
+  * distribution onto the POOLED distribution by percentile matching,
+  * so groups become comparable without trusting their raw scales
+  * (cross-source quality scores before a corpus-mix cut, lab-batch
+  * effect removal, cross-language length scores). A group value with
+  * within-group ceil-rank r of n_g maps to the pooled value at
+  * ceil-rank (r·n_tot + n_g − 1) div n_g — exact integers end to
+  * end, no percentile doubles anywhere.
+  *
+  * Plan shape: both CDFs ride the repo's value-grid discipline
+  * (windows over DISTINCT values — group-keyed for sources, one
+  * grid-sized pass for the pool), and the rank→pooled-value lookup
+  * is the cover-interval range join decomposed through
+  * [[graft.joins.RangeJoin.rangeJoin]]'s bucketized equi-join (the
+  * pooled cover intervals PARTITION [1, n_tot], so exploded bucket
+  * volume is n_tot/bucketWidth + grid size — never a nested-loop
+  * join). Identity on a single group by construction (r·n+n−1 div n
+  * = r exactly). */
+object Normalize {
+
+  /** @param bucketWidth rank-space bucket for the cover join; any
+    *                    positive value is correct, ~1024 keeps the
+    *                    interval explode cheap at every n_tot
+    * @return one row per (group, distinct value): (group, value,
+    *         count, norm_value) */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        bucketWidth: Long = 1024L): DataFrame = {
+    val rows = df.select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+    val srcGrid = rows.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+    val wSrc = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nG = srcGrid.groupBy(col("grp")).agg(sum(col("c")).as("n_g"))
+    val src = srcGrid
+      .withColumn("cum", sum(col("c")).over(wSrc))
+      .join(nG, Seq("grp"))
+    val poolGrid = rows.groupBy(col("v")).agg(count(lit(1)).as("c_all"))
+    val wPool = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nTot = poolGrid.agg(sum(col("c_all")).as("n_tot"))
+    val pool = poolGrid
+      .withColumn("cum_all", sum(col("c_all")).over(wPool))
+      .select(col("v").as("norm_v"),
+              (col("cum_all") - col("c_all") + 1L).as("lo"),
+              col("cum_all").as("hi"))
+    val pts = src.crossJoin(nTot)
+      .withColumn("tr",
+        expr("(cum * n_tot + n_g - 1) div n_g"))
+      .select(col("grp"), col("v"), col("c"), col("tr"))
+    graft.joins.RangeJoin.rangeJoin(pts, pool, "tr", "lo", "hi",
+        keyCols = Seq.empty, bucketWidth = bucketWidth)
+      .select(col("grp").as(groupCol), col("v").as(valueCol),
+              col("c").as("n"), col("norm_v"))
+  }
+}
