@@ -1007,7 +1007,194 @@ object SessionQueries {
       |SELECT state, rank_e6 AS stat_e6 FROM r4""".stripMargin
   }
 
+  /** q238 — event debounce: repeated (user, type) events inside a
+    * 5-minute inactivity gap collapse to one island (the telemetry
+    * duplicate-click / retry-storm cleanup), keeping the island
+    * head, the collapse count, and the island span. Pure
+    * gaps-and-islands per (user, type) — one keyed lag window + one
+    * keyed aggregate, epoch-second grid so boundary decisions are
+    * engine-identical. */
+  private def q238(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("sec"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts").cast("timestamp").cast("long").as("sec"))
+      .withColumn("prev_sec", lag(col("sec"), 1).over(w))
+      .withColumn("new_island",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") >= 300L, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("sec"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                       org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("user_id"), col("event_type"), col("island"))
+      .agg(min(col("sec")).as("head_sec"),
+           min_by(col("event_id"), struct(col("sec"), col("event_id")))
+             .as("head_event_id"),
+           count(lit(1)).as("n_collapsed"),
+           (max(col("sec")) - min(col("sec"))).as("span_sec"))
+      .select(col("user_id"), col("event_type"), col("head_sec"),
+              col("head_event_id"), col("n_collapsed"), col("span_sec"))
+  }
+
+  private val q238Sql =
+    """WITH e AS (SELECT user_id, event_type, event_id,
+      |             epoch_ns(ts) // 1000000000 AS sec FROM events),
+      |f AS (SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+      |                       OR sec - lag(sec) OVER w >= 300
+      |                     THEN 1 ELSE 0 END AS new_island
+      |      FROM e WINDOW w AS (PARTITION BY user_id, event_type
+      |                          ORDER BY sec, event_id)),
+      |i AS (SELECT *, sum(new_island) OVER (PARTITION BY user_id, event_type
+      |        ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS island
+      |      FROM f),
+      |h AS (SELECT *, first_value(event_id) OVER (
+      |        PARTITION BY user_id, event_type, island
+      |        ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS head_id
+      |      FROM i)
+      |SELECT user_id, event_type,
+      |  CAST(min(sec) AS BIGINT) AS head_sec,
+      |  CAST(min(head_id) AS BIGINT) AS head_event_id,
+      |  CAST(count(*) AS BIGINT) AS n_collapsed,
+      |  CAST(max(sec) - min(sec) AS BIGINT) AS span_sec
+      |FROM h GROUP BY user_id, event_type, island""".stripMargin
+
+  /** q239 — market-share shift report: per segment, revenue share of
+    * the early half (orders before 1998-06-01) vs the late half, and
+    * the exact share delta — the period-over-period mix question
+    * every warehouse asks. Two keyed aggregates + two 1-row totals;
+    * shares on the e6 grid from exact cents. */
+  private def q239(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+              when(col("o_orderdate") < lit("1998-06-01").cast("date"), 1L)
+                .otherwise(2L).as("period"),
+              cents(col("o_totalprice")).as("v"))
+    val per = o.groupBy(col("segment"))
+      .agg(sum(when(col("period") === 1L, col("v")).otherwise(0L)).as("rev1_c"),
+           sum(when(col("period") === 2L, col("v")).otherwise(0L)).as("rev2_c"))
+    val tot = per.agg(sum(col("rev1_c")).as("tot1_c"),
+                      sum(col("rev2_c")).as("tot2_c"))
+    per.crossJoin(tot)
+      .select(col("segment"), col("rev1_c"), col("rev2_c"),
+        round(col("rev1_c").cast("double") / col("tot1_c") * 1000000.0)
+          .cast("long").as("share1_e6"),
+        round(col("rev2_c").cast("double") / col("tot2_c") * 1000000.0)
+          .cast("long").as("share2_e6"))
+      .withColumn("delta_e6", col("share2_e6") - col("share1_e6"))
+  }
+
+  private val q239Sql =
+    """WITH o AS (SELECT c.c_mktsegment AS segment,
+      |             CASE WHEN o_orderdate < DATE '1998-06-01' THEN 1
+      |                  ELSE 2 END AS period,
+      |             CAST(round(o_totalprice*100) AS BIGINT) AS v
+      |           FROM orders JOIN customer c ON c.c_custkey = o_custkey),
+      |per AS (SELECT segment,
+      |          CAST(sum(CASE WHEN period = 1 THEN v ELSE 0 END) AS BIGINT)
+      |            AS rev1_c,
+      |          CAST(sum(CASE WHEN period = 2 THEN v ELSE 0 END) AS BIGINT)
+      |            AS rev2_c
+      |        FROM o GROUP BY 1),
+      |tot AS (SELECT CAST(sum(rev1_c) AS BIGINT) AS tot1_c,
+      |               CAST(sum(rev2_c) AS BIGINT) AS tot2_c FROM per)
+      |SELECT segment, rev1_c, rev2_c,
+      |  CAST(round(CAST(rev1_c AS DOUBLE) / tot1_c * 1000000.0) AS BIGINT)
+      |    AS share1_e6,
+      |  CAST(round(CAST(rev2_c AS DOUBLE) / tot2_c * 1000000.0) AS BIGINT)
+      |    AS share2_e6,
+      |  CAST(round(CAST(rev2_c AS DOUBLE) / tot2_c * 1000000.0) AS BIGINT)
+      |    - CAST(round(CAST(rev1_c AS DOUBLE) / tot1_c * 1000000.0) AS BIGINT)
+      |    AS delta_e6
+      |FROM per CROSS JOIN tot""".stripMargin
+
+  /** q240 — CUPED variance-reduced experiment readout: per-user
+    * pre-period (Jan 1–15) spend as the covariate X, post-period
+    * (Jan 16–30) spend as the metric Y, arms by user parity (q214's
+    * split); θ = cov(X,Y)/var(X) from POOLED exact integer moments,
+    * adjusted per-arm mean = (ΣY_a − θ·(ΣX_a − n_a·X̄))/n_a — the
+    * standard pre-experiment-data adjustment (Deng et al. 2013)
+    * that tightens the q214 z-test. Moments are whole-currency longs
+    * (cents would overflow Σxy·n at scale); θ and the means are
+    * single double expressions replayed verbatim by the oracle. */
+  private def q240(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("date")
+    val u = t(s, dir, "events")
+      .select(col("user_id"), dayBucket(col("ts")).as("d"),
+              round(col("value")).cast("long").as("v"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("d") < cut, col("v")).otherwise(0L)).as("x"),
+           sum(when(col("d") >= cut, col("v")).otherwise(0L)).as("y"))
+      .withColumn("arm", pmod(col("user_id"), lit(2L)))
+    val pooled = u.agg(count(lit(1)).as("nn"), sum(col("x")).as("sx"),
+                       sum(col("y")).as("sy"),
+                       sum(col("x") * col("y")).as("sxy"),
+                       sum(col("x") * col("x")).as("sxx"))
+    val arms = u.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx_a"),
+           sum(col("y")).as("sy_a"))
+    val theta =
+      (col("nn").cast("double") * col("sxy")
+        - col("sx").cast("double") * col("sy")) /
+      (col("nn").cast("double") * col("sxx")
+        - col("sx").cast("double") * col("sx"))
+    arms.crossJoin(pooled)
+      .withColumn("theta", theta)
+      .select(col("arm"), col("n"), col("sx_a"), col("sy_a"),
+        round(col("theta") * 1000000.0).cast("long").as("theta_e6"),
+        round(col("sy_a").cast("double") / col("n") * 1000000.0)
+          .cast("long").as("raw_mean_e6"),
+        round((col("sy_a").cast("double")
+            - col("theta") * (col("sx_a").cast("double")
+              - col("n").cast("double") * col("sx") / col("nn")))
+          / col("n") * 1000000.0).cast("long").as("adj_mean_e6"))
+  }
+
+  private val q240Sql =
+    """WITH u AS (SELECT user_id,
+      |  CAST(sum(CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+      |                     < DATE '2024-01-16'
+      |                THEN CAST(round(value) AS BIGINT) ELSE 0 END)
+      |    AS BIGINT) AS x,
+      |  CAST(sum(CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+      |                     >= DATE '2024-01-16'
+      |                THEN CAST(round(value) AS BIGINT) ELSE 0 END)
+      |    AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |ua AS (SELECT user_id, x, y, user_id % 2 AS arm FROM u),
+      |pooled AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+      |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |             CAST(sum(x * y) AS BIGINT) AS sxy,
+      |             CAST(sum(x * x) AS BIGINT) AS sxx
+      |           FROM ua),
+      |arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+      |           CAST(sum(x) AS BIGINT) AS sx_a, CAST(sum(y) AS BIGINT) AS sy_a
+      |         FROM ua GROUP BY 1),
+      |th AS (SELECT arm, n, sx_a, sy_a, nn, sx,
+      |         (CAST(nn AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |           / (CAST(nn AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |           AS theta
+      |       FROM arms CROSS JOIN pooled)
+      |SELECT arm, n, sx_a, sy_a,
+      |  CAST(round(theta * 1000000.0) AS BIGINT) AS theta_e6,
+      |  CAST(round(CAST(sy_a AS DOUBLE) / n * 1000000.0) AS BIGINT)
+      |    AS raw_mean_e6,
+      |  CAST(round((CAST(sy_a AS DOUBLE)
+      |      - theta * (CAST(sx_a AS DOUBLE)
+      |        - CAST(n AS DOUBLE) * sx / nn))
+      |    / n * 1000000.0) AS BIGINT) AS adj_mean_e6
+      |FROM th""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q238_debounce", q238, Some(q238Sql)),
+    QueryDef("q239_share_shift", q239, Some(q239Sql)),
+    QueryDef("q240_cuped", q240, Some(q240Sql)),
     QueryDef("q224_sliding_distinct", q224, Some(q224Sql)),
     QueryDef("q228_gini", q228, Some(q228Sql)),
     QueryDef("q231_abc_classes", q231, Some(q231Sql)),
