@@ -673,11 +673,56 @@ object GraphQueries {
       |SELECT node, rank_e6 FROM r3""".stripMargin
   }
 
+  /** q241 — connected components
+    * ([[graft.graphs.Components.connectedComponents]], 4 min-label
+    * rounds) of the support-thresholded co-purchase graph (q219's
+    * cc ≥ 2 cut): every part labeled with the smallest part id
+    * reachable within 4 label-hops — the standalone graph-tier twin
+    * of the dedup tier's union-find clustering. The oracle unrolls
+    * every propagation round (union with neighbor labels → keyed
+    * min) as CTEs. */
+  private def q241(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+      .distinct()
+    val edges = m.groupBy(col("g")).agg(collect_set(col("item")).as("items"))
+      .select(explode(col("items")).as("src"), col("items"))
+      .select(col("src"), explode(col("items")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cc"))
+      .filter(col("cc") >= 2)
+    graft.graphs.Components.connectedComponents(edges, "src", "dst", rounds = 4)
+  }
+
+  private val q241Sql = {
+    val rounds = (1 to 4).map { i =>
+      s"""l$i AS (SELECT node, CAST(min(component) AS BIGINT) AS component
+        |       FROM (SELECT node, component FROM l${i - 1}
+        |             UNION ALL
+        |             SELECT ed.v AS node, l${i - 1}.component
+        |             FROM ed JOIN l${i - 1} ON l${i - 1}.node = ed.u) u$i
+        |       GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+      |           FROM lineitem),
+      |e0 AS (SELECT a.item AS src, b.item AS dst, count(*) AS cc
+      |       FROM m a JOIN m b ON a.g = b.g AND a.item <> b.item
+      |       GROUP BY 1, 2),
+      |ek AS (SELECT src, dst FROM e0 WHERE cc >= 2),
+      |ed AS (SELECT DISTINCT u, v FROM (
+      |         SELECT src AS u, dst AS v FROM ek
+      |         UNION ALL SELECT dst AS u, src AS v FROM ek) b),
+      |l0 AS (SELECT DISTINCT u AS node, u AS component FROM ed),
+      |$rounds
+      |SELECT node, component FROM l4""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q223_kcore", q223, Some(q223Sql)),
     QueryDef("q227_modularity", q227, Some(q227Sql)),
     QueryDef("q229_item_cosine_topk", q229, Some(q229Sql)),
     QueryDef("q233_ppr", q233, Some(q233Sql)),
+    QueryDef("q241_connected_components", q241, Some(q241Sql)),
     QueryDef("q219_triangles", q219, Some(q219Sql)),
     QueryDef("q211_geo_rollup", q211, Some(q211Sql)),
     QueryDef("q212_anti_join", q212, Some(q212Sql)),
