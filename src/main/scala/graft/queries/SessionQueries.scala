@@ -805,6 +805,46 @@ object SessionQueries {
       |         AS smape
       |FROM p GROUP BY 1, 2""".stripMargin
 
+  /** q242 — split-conformal interval calibration
+    * ([[graft.ts.SeriesOps.conformalWidth]], 90%): per (event type,
+    * horizon), the width covering 90% of future absolute errors of
+    * the q221 seasonal-naive backtest under exchangeability — the
+    * k = ⌈(n+1)·0.9⌉-th smallest residual via the exact grid cover
+    * rule (residual rows are never sorted; the window sees the
+    * residual-value grid per (key, h)). The calibration layer every
+    * point forecaster needs before shipping intervals. */
+  private def q242(s: SparkSession, dir: String): DataFrame =
+    graft.ts.SeriesOps.conformalWidth(dailyRevenue(s, dir),
+      "event_type", "d", "v_c", season = 7, nOrigins = 8,
+      horizons = 1 to 7, covPct = 90)
+
+  private val q242Sql =
+    s"""WITH daily AS (
+      |  $dailyRevenueSql),
+      |mx AS (SELECT event_type, max(d) AS dmax FROM daily GROUP BY 1),
+      |org AS (SELECT event_type, dmax - CAST(7 + j AS INTEGER) AS o
+      |        FROM mx, unnest(generate_series(0, 7)) AS t(j)),
+      |grid AS (SELECT event_type, o, h, o + CAST(h AS INTEGER) AS target_d,
+      |                o + CAST(h - 7 AS INTEGER) AS base_d
+      |         FROM org, unnest(generate_series(1, 7)) AS s(h)),
+      |p AS (SELECT g.event_type, CAST(g.h AS BIGINT) AS h,
+      |             abs(a.v_c - b.v_c) AS e
+      |      FROM grid g
+      |      JOIN daily a ON a.event_type = g.event_type AND a.d = g.target_d
+      |      JOIN daily b ON b.event_type = g.event_type AND b.d = g.base_d),
+      |gr AS (SELECT event_type, h, e, CAST(count(*) AS BIGINT) AS c
+      |       FROM p GROUP BY 1, 2, 3),
+      |w AS (SELECT event_type, h, e, c,
+      |        sum(c) OVER (PARTITION BY event_type, h ORDER BY e
+      |                     ROWS UNBOUNDED PRECEDING) AS cum,
+      |        sum(c) OVER (PARTITION BY event_type, h) AS n_pairs
+      |      FROM gr),
+      |k AS (SELECT *, least(((n_pairs + 1) * 90 + 99) // 100, n_pairs) AS k
+      |      FROM w)
+      |SELECT event_type, h, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |       CAST(k AS BIGINT) AS k, e AS width_c
+      |FROM k WHERE cum - c < k AND k <= cum""".stripMargin
+
   /** q224 — EXACT trailing-7-day distinct users per event type
     * ([[graft.ts.SeriesOps.slidingDistinct]]): the gaps-and-islands
     * decomposition (per-user covering intervals → ±1 deltas →
@@ -1193,6 +1233,7 @@ object SessionQueries {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q238_debounce", q238, Some(q238Sql)),
+    QueryDef("q242_conformal_width", q242, Some(q242Sql)),
     QueryDef("q239_share_shift", q239, Some(q239Sql)),
     QueryDef("q240_cuped", q240, Some(q240Sql)),
     QueryDef("q224_sliding_distinct", q224, Some(q224Sql)),

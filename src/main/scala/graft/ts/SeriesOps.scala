@@ -422,6 +422,29 @@ object SeriesOps {
             s"nOrigins in [1, 1024], got $nOrigins")
     require(horizons.nonEmpty && horizons.forall(h => h >= 1 && h <= season),
             s"horizons must be in [1, season], got $horizons")
+    backtestResiduals(daily, keyCol, dateCol, vCol, season, nOrigins, horizons)
+      .withColumn("t", when(abs(col("y_c")) + abs(col("p_c")) === 0, lit(0.0))
+        .otherwise(lit(2.0) * col("e") / (abs(col("y_c")) + abs(col("p_c")))))
+      .groupBy(col("key"), col("h"))
+      .agg(count(lit(1)).as("n_pairs"),
+           round(avg(col("e"))).cast("long").as("mae_c"),
+           round(avg(col("t")), 6).as("smape"))
+      .withColumnRenamed("key", keyCol)
+  }
+
+  /** The rolling-origin residual grid shared by
+    * [[seasonalNaiveBacktest]] and [[conformalWidth]]: per (key,
+    * origin, horizon), the seasonal-naive prediction p_c aligned with
+    * the realized y_c and the absolute residual e — two keyed
+    * alignment joins over a projection-built origin grid. */
+  private def backtestResiduals(daily: DataFrame, keyCol: String,
+                                dateCol: String, vCol: String, season: Int,
+                                nOrigins: Int, horizons: Seq[Int]): DataFrame = {
+    require(season >= 1, s"season must be >= 1, got $season")
+    require(nOrigins >= 1 && nOrigins <= 1024,
+            s"nOrigins in [1, 1024], got $nOrigins")
+    require(horizons.nonEmpty && horizons.forall(h => h >= 1 && h <= season),
+            s"horizons must be in [1, season], got $horizons")
     val hMax = horizons.max
     val d = daily.select(col(keyCol).as("key"), col(dateCol).as("d"),
                          col(vCol).as("v"))
@@ -442,12 +465,38 @@ object SeriesOps {
       .join(d.select(col("key"), col("d").as("base_d"), col("v").as("p_c")),
             Seq("key", "base_d"))
       .withColumn("e", abs(col("y_c") - col("p_c")))
-      .withColumn("t", when(abs(col("y_c")) + abs(col("p_c")) === 0, lit(0.0))
-        .otherwise(lit(2.0) * col("e") / (abs(col("y_c")) + abs(col("p_c")))))
-      .groupBy(col("key"), col("h"))
-      .agg(count(lit(1)).as("n_pairs"),
-           round(avg(col("e"))).cast("long").as("mae_c"),
-           round(avg(col("t")), 6).as("smape"))
-      .withColumnRenamed("key", keyCol)
+  }
+
+  /** Split-conformal interval calibration on the rolling-origin
+    * residuals: per (key, horizon), the width that covers covPct% of
+    * future absolute errors under exchangeability — the k-th smallest
+    * |residual| with k = ⌈(n+1)·covPct/100⌉ clamped to n (the
+    * standard finite-sample-valid conformal rank; Vovk et al., and
+    * the calibration layer every point forecaster needs before
+    * shipping intervals). Rank selection rides the value-grid cover
+    * rule (the exactPercentiles discipline): one keyed residual-grid
+    * aggregate + one grid-sized keyed window — residual ROWS are
+    * never sorted.
+    *
+    * @return (key, h, n_pairs, k, width_c) */
+  def conformalWidth(daily: DataFrame, keyCol: String, dateCol: String,
+                     vCol: String, season: Int = 7, nOrigins: Int = 8,
+                     horizons: Seq[Int] = 1 to 7, covPct: Int = 90): DataFrame = {
+    require(covPct >= 1 && covPct <= 99, s"covPct in [1, 99], got $covPct")
+    val res = backtestResiduals(daily, keyCol, dateCol, vCol, season,
+                                nOrigins, horizons)
+    val g = res.groupBy(col("key"), col("h"), col("e"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("key"), col("h")).orderBy(col("e"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("key"), col("h"))
+    g.withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_pairs", sum(col("c")).over(wAll))
+      .withColumn("k",
+        least(expr("((n_pairs + 1) * " + covPct + " + 99) div 100"),
+              col("n_pairs")))
+      .filter(col("cum") - col("c") < col("k") && col("k") <= col("cum"))
+      .select(col("key").as(keyCol), col("h"), col("n_pairs"), col("k"),
+              col("e").as("width_c"))
   }
 }

@@ -239,6 +239,29 @@ class SeriesOpsSpec extends AnyFunSuite {
       "2024-01-05" -> 1L)) // u3; u1's window expired
   }
 
+  test("conformalWidth: k-th smallest residual via the grid cover rule") {
+    import spark.implicits._
+    // one series, season 1, horizon {1}, 4 origins: values chosen so
+    // the 4 residuals |y − prev| are 10, 20, 30, 40. covPct 50:
+    // k = ceil(5·0.5) = 3 → width = 30. covPct 90: k = ceil(4.5) = 5
+    // clamped to n = 4 → width = 40.
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+                   "2024-01-05")
+    val vals = Seq(0L, 10L, 30L, 60L, 100L) // deltas 10,20,30,40
+    val df = days.zip(vals).map { case (dd, v) => ("s", d(dd), v) }
+      .toDF("k", "dd", "v")
+    val w50 = SeriesOps.conformalWidth(df, "k", "dd", "v", season = 1,
+        nOrigins = 4, horizons = Seq(1), covPct = 50)
+      .collect()
+    assert(w50.length == 1)
+    assert(w50(0).getLong(2) == 4L && w50(0).getLong(3) == 3L &&
+           w50(0).getLong(4) == 30L)
+    val w90 = SeriesOps.conformalWidth(df, "k", "dd", "v", season = 1,
+        nOrigins = 4, horizons = Seq(1), covPct = 90)
+      .collect()
+    assert(w90(0).getLong(3) == 4L && w90(0).getLong(4) == 40L)
+  }
+
   test("slidingDistinct: windowDays=1 degenerates to per-day distinct") {
     import spark.implicits._
     val p = Seq(("x", d("2024-03-01"), "a"), ("x", d("2024-03-01"), "b"),
