@@ -845,6 +845,75 @@ object SessionQueries {
       |       CAST(k AS BIGINT) AS k, e AS width_c
       |FROM k WHERE cum - c < k AND k <= cum""".stripMargin
 
+  /** q243 — Theil–Sen robust trend ([[graft.ts.SeriesOps.theilSen]]):
+    * per event type, the lower-median pairwise slope of daily revenue
+    * — the outlier-proof complement of q205's OLS trend (one spike
+    * day drags OLS; the slope median ignores it). Pair join keyed per
+    * series (30-day histories → ≤435 pairs/key); median on the
+    * slope-value grid. */
+  private def q243(s: SparkSession, dir: String): DataFrame =
+    graft.ts.SeriesOps.theilSen(
+      dailyRevenue(s, dir).select(col("event_type"),
+        datediff(col("d"), lit("1970-01-01").cast("date")).as("x"),
+        col("v_c").as("y")),
+      "event_type", "x", "y")
+
+  private val q243Sql =
+    s"""WITH daily AS (
+      |  $dailyRevenueSql),
+      |dd AS (SELECT event_type, CAST(d - DATE '1970-01-01' AS BIGINT) AS x,
+      |              v_c AS y
+      |       FROM daily),
+      |p AS (SELECT a.event_type,
+      |        CAST(round(CAST(b.y - a.y AS DOUBLE) / (b.x - a.x)
+      |          * 1000000.0) AS BIGINT) AS s
+      |      FROM dd a JOIN dd b ON a.event_type = b.event_type
+      |                         AND a.x < b.x),
+      |g AS (SELECT event_type, s, CAST(count(*) AS BIGINT) AS c
+      |      FROM p GROUP BY 1, 2),
+      |w AS (SELECT event_type, s, c,
+      |        sum(c) OVER (PARTITION BY event_type ORDER BY s
+      |                     ROWS UNBOUNDED PRECEDING) AS cum,
+      |        sum(c) OVER (PARTITION BY event_type) AS n_pairs
+      |      FROM g),
+      |np AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_points
+      |       FROM dd GROUP BY 1)
+      |SELECT w.event_type, n_points, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |       s AS slope_e6
+      |FROM w JOIN np ON np.event_type = w.event_type
+      |WHERE cum * 2 >= n_pairs AND (cum - c) * 2 < n_pairs""".stripMargin
+
+  /** q244 — k-anonymity audit (k = 5) over the quasi-identifier
+    * tuple (nation, market segment, account-balance bucket): every
+    * equivalence class with its size and the at-risk flag
+    * (size < k means those customers are re-identifiable within the
+    * released attributes) — the privacy-release twin of the q102 PII
+    * redaction tier. One keyed aggregate; the QI bucketing is a pure
+    * projection. */
+  private def q244(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+              cents(col("c_acctbal")).as("bc"))
+      // FLOOR division (acctbal is negative for some customers, and
+      // both Spark `div` and DuckDB `//` truncate toward zero, which
+      // would merge (-1000, 1000) into one bucket — the RangeJoin
+      // pmod correction makes this side a floor, and the oracle
+      // floors explicitly)
+      .select(col("nat"), col("seg"),
+              expr("(bc - pmod(bc, 100000L)) div 100000L").as("bal_bucket"))
+      .groupBy(col("nat"), col("seg"), col("bal_bucket"))
+      .agg(count(lit(1)).as("class_size"))
+      .select(col("nat"), col("seg"), col("bal_bucket"), col("class_size"),
+              when(col("class_size") < 5L, 1L).otherwise(0L).as("at_risk"))
+
+  private val q244Sql =
+    """SELECT c_nationkey AS nat, c_mktsegment AS seg,
+      |  CAST(floor(CAST(round(c_acctbal*100) AS BIGINT) / 100000.0)
+      |    AS BIGINT) AS bal_bucket,
+      |  CAST(count(*) AS BIGINT) AS class_size,
+      |  CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+      |FROM customer GROUP BY 1, 2, 3""".stripMargin
+
   /** q224 — EXACT trailing-7-day distinct users per event type
     * ([[graft.ts.SeriesOps.slidingDistinct]]): the gaps-and-islands
     * decomposition (per-user covering intervals → ±1 deltas →
@@ -1234,6 +1303,8 @@ object SessionQueries {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q238_debounce", q238, Some(q238Sql)),
     QueryDef("q242_conformal_width", q242, Some(q242Sql)),
+    QueryDef("q243_theil_sen", q243, Some(q243Sql)),
+    QueryDef("q244_k_anonymity", q244, Some(q244Sql)),
     QueryDef("q239_share_shift", q239, Some(q239Sql)),
     QueryDef("q240_cuped", q240, Some(q240Sql)),
     QueryDef("q224_sliding_distinct", q224, Some(q224Sql)),

@@ -467,6 +467,47 @@ object SeriesOps {
       .withColumn("e", abs(col("y_c") - col("p_c")))
   }
 
+  /** Theil–Sen robust trend per series: the LOWER MEDIAN of all
+    * pairwise slopes (y_j − y_i)/(x_j − x_i), i < j — the slope
+    * estimator with a 29% breakdown point that shrugs off the
+    * outliers that drag OLS (the robust twin of
+    * [[linearTrend]]/q205). Slopes land on the e6 micro grid (one
+    * deterministic double division + round per pair), and the median
+    * rides the value-grid cover rule (2·cum ≥ n on exact longs), so
+    * an oracle replays pair generation, slope rounding, and the
+    * median bit-for-bit.
+    *
+    * Scale shape: the pair join is keyed per series and |series|²/2
+    * bounded — the per-key history cap is the caller's contract
+    * (daily grains: 365 points → 66k pairs per key, map-side only).
+    * The median window sees the per-key DISTINCT-slope grid.
+    *
+    * @param df (key, x, y) rows, x strictly increasing within a key
+    *           (duplicate x would divide by zero — pre-aggregate)
+    * @return (key, n_points, n_pairs, slope_e6) */
+  def theilSen(df: DataFrame, keyCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val d = df.select(col(keyCol).as("key"), col(xCol).cast("long").as("x"),
+                      col(yCol).cast("long").as("y"))
+    val pairs = d.as("a").join(d.as("b"),
+        col("a.key") === col("b.key") && col("a.x") < col("b.x"))
+      .select(col("a.key").as("key"),
+        round((col("b.y") - col("a.y")).cast("double")
+          / (col("b.x") - col("a.x")) * 1000000.0).cast("long").as("s"))
+    val g = pairs.groupBy(col("key"), col("s")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("key")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("key"))
+    val nPts = d.groupBy(col("key")).agg(count(lit(1)).as("n_points"))
+    g.withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_pairs", sum(col("c")).over(wAll))
+      .filter(col("cum") * 2L >= col("n_pairs") &&
+              (col("cum") - col("c")) * 2L < col("n_pairs"))
+      .join(nPts, Seq("key"))
+      .select(col("key").as(keyCol), col("n_points"), col("n_pairs"),
+              col("s").as("slope_e6"))
+  }
+
   /** Split-conformal interval calibration on the rolling-origin
     * residuals: per (key, horizon), the width that covers covPct% of
     * future absolute errors under exchangeability — the k-th smallest

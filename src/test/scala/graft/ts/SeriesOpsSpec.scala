@@ -262,6 +262,22 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(w90(0).getLong(3) == 4L && w90(0).getLong(4) == 40L)
   }
 
+  test("theilSen: exact line recovered; one wild outlier is ignored") {
+    import spark.implicits._
+    // clean line y = 10x with y(3) blown to 1000: the 10 pairwise
+    // slopes sort to [-960, -475, 10×6, 495, 980] — lower median 10
+    val df = Seq(("s", 1L, 10L), ("s", 2L, 20L), ("s", 3L, 1000L),
+                 ("s", 4L, 40L), ("s", 5L, 50L),
+                 ("t", 1L, 7L), ("t", 2L, 14L), ("t", 3L, 21L))
+      .toDF("k", "x", "y")
+    val got = SeriesOps.theilSen(df, "k", "x", "y")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("s") == ((5L, 10L, 10000000L)))
+    assert(got("t") == ((3L, 3L, 7000000L)))
+  }
+
   test("slidingDistinct: windowDays=1 degenerates to per-day distinct") {
     import spark.implicits._
     val p = Seq(("x", d("2024-03-01"), "a"), ("x", d("2024-03-01"), "b"),
