@@ -424,8 +424,115 @@ object DiagQueries {
       |SELECT seg, nat, obs, row_n, col_n, exp_e6, term_e6, chi2_e6
       |FROM t2 CROSS JOIN chi""".stripMargin
 
+  /** q245 — population stability index (the ML-monitoring drift
+    * number): reference-arm decile bins (arm 0's exact grid
+    * percentiles, q216 cover rule — duplicate edges from heavy ties
+    * are kept verbatim, both engines replay them identically), both
+    * arms binned by counting edges below each grid value (a 9-row
+    * per-group edge join — no range join), +1 Laplace smoothing so
+    * empty bins stay defined, per-bin terms (p−q)·ln(p/q) e6-rounded
+    * BEFORE the long total (the q168/q230 discipline). PSI < 0.1 is
+    * the conventional "no shift" band. Complements q225: KS is the
+    * max pointwise gap, PSI the binned mass-transfer summary. */
+  private def q245(s: SparkSession, dir: String): DataFrame = {
+    val obs = t(s, dir, "events")
+      .select(col("event_type").as("grp"), pmod(col("user_id"), lit(2L)).as("arm"),
+              cents(col("value")).as("v"))
+    val edges = graft.pipeline.CorpusSketch.exactPercentiles(
+        obs.filter(col("arm") === 0L), "grp", "v",
+        Seq(10, 20, 30, 40, 50, 60, 70, 80, 90))
+      .select(col("grp"), col("exact").as("e"))
+    val grid = obs.groupBy(col("grp"), col("v"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("ca"),
+           sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("cb"))
+    val binned = grid.join(edges, Seq("grp"))
+      .groupBy(col("grp"), col("v"))
+      .agg(first(col("ca")).as("ca"), first(col("cb")).as("cb"),
+           sum(when(col("e") < col("v"), 1L).otherwise(0L)).as("bin"))
+    val counts = binned.groupBy(col("grp"), col("bin"))
+      .agg(sum(col("ca")).as("na_bin"), sum(col("cb")).as("nb_bin"))
+    val tot = obs.groupBy(col("grp"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("na"),
+           sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("nb"))
+    val p = (col("na_bin") + 1L).cast("double") / (col("na") + 10L)
+    val q = (col("nb_bin") + 1L).cast("double") / (col("nb") + 10L)
+    val terms = tot
+      .crossJoin(tot.sparkSession.range(0, 10).select(col("id").as("bin")))
+      .join(counts, Seq("grp", "bin"), "left")
+      .select(col("grp"), col("bin"), col("na"), col("nb"),
+              coalesce(col("na_bin"), lit(0L)).as("na_bin"),
+              coalesce(col("nb_bin"), lit(0L)).as("nb_bin"))
+      .withColumn("term_e6",
+        round((p - q) *
+          log(((col("na_bin") + 1L) * 1.0 * (col("nb") + 10L)) /
+              ((col("nb_bin") + 1L) * 1.0 * (col("na") + 10L)))
+          * 1000000.0).cast("long"))
+    val psi = terms.groupBy(col("grp")).agg(sum(col("term_e6")).as("psi_e6"))
+    terms.join(psi, Seq("grp"))
+      .select(col("grp").as("event_type"), col("bin"), col("na_bin"),
+              col("nb_bin"), col("term_e6"), col("psi_e6"))
+  }
+
+  private val q245Sql =
+    """WITH o AS (SELECT event_type AS grp, user_id % 2 AS arm,
+      |             CAST(round(value*100) AS BIGINT) AS v FROM events),
+      |rg AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+      |       FROM o WHERE arm = 0 GROUP BY 1, 2),
+      |rw AS (SELECT grp, v, c,
+      |         sum(c) OVER (PARTITION BY grp ORDER BY v
+      |                      ROWS UNBOUNDED PRECEDING) AS cum,
+      |         sum(c) OVER (PARTITION BY grp) AS n
+      |       FROM rg),
+      |rx AS (SELECT grp, v, c, cum, n,
+      |              unnest([CAST(10 AS BIGINT), CAST(20 AS BIGINT),
+      |                      CAST(30 AS BIGINT), CAST(40 AS BIGINT),
+      |                      CAST(50 AS BIGINT), CAST(60 AS BIGINT),
+      |                      CAST(70 AS BIGINT), CAST(80 AS BIGINT),
+      |                      CAST(90 AS BIGINT)]) AS q_pct
+      |       FROM rw),
+      |edges AS (SELECT grp, v AS e FROM rx
+      |          WHERE cum - c < (n * q_pct + 99) // 100
+      |            AND (n * q_pct + 99) // 100 <= cum),
+      |grid AS (SELECT grp, v,
+      |           CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |             AS ca,
+      |           CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |             AS cb
+      |         FROM o GROUP BY 1, 2),
+      |binned AS (SELECT g.grp, g.v, max(ca) AS ca, max(cb) AS cb,
+      |             CAST(sum(CASE WHEN edges.e < g.v THEN 1 ELSE 0 END)
+      |               AS BIGINT) AS bin
+      |           FROM grid g JOIN edges ON edges.grp = g.grp
+      |           GROUP BY g.grp, g.v),
+      |counts AS (SELECT grp, bin, CAST(sum(ca) AS BIGINT) AS na_bin,
+      |                  CAST(sum(cb) AS BIGINT) AS nb_bin
+      |           FROM binned GROUP BY 1, 2),
+      |tot AS (SELECT grp,
+      |          CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |            AS na,
+      |          CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |            AS nb
+      |        FROM o GROUP BY 1),
+      |bins AS (SELECT grp, na, nb, CAST(unnest(generate_series(0, 9))
+      |           AS BIGINT) AS bin FROM tot),
+      |terms AS (SELECT b.grp, b.bin, b.na, b.nb,
+      |            CAST(coalesce(na_bin, 0) AS BIGINT) AS na_bin,
+      |            CAST(coalesce(nb_bin, 0) AS BIGINT) AS nb_bin
+      |          FROM bins b LEFT JOIN counts USING (grp, bin)),
+      |t2 AS (SELECT grp, bin, na_bin, nb_bin,
+      |         CAST(round((CAST(na_bin + 1 AS DOUBLE) / (na + 10)
+      |             - CAST(nb_bin + 1 AS DOUBLE) / (nb + 10))
+      |           * ln(((na_bin + 1) * 1.0 * (nb + 10))
+      |               / ((nb_bin + 1) * 1.0 * (na + 10)))
+      |           * 1000000.0) AS BIGINT) AS term_e6
+      |       FROM terms)
+      |SELECT grp AS event_type, bin, na_bin, nb_bin, term_e6,
+      |  CAST(sum(term_e6) OVER (PARTITION BY grp) AS BIGINT) AS psi_e6
+      |FROM t2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q235_chi2_independence", q235, Some(q235Sql)),
+    QueryDef("q245_psi_drift", q245, Some(q245Sql)),
     QueryDef("q225_ks_test", q225, Some(q225Sql)),
     QueryDef("q226_mann_whitney", q226, Some(q226Sql)),
     QueryDef("q230_benford_audit", q230, Some(q230Sql)),
