@@ -424,6 +424,51 @@ object DiagQueries {
       |SELECT seg, nat, obs, row_n, col_n, exp_e6, term_e6, chi2_e6
       |FROM t2 CROSS JOIN chi""".stripMargin
 
+  /** q246 — mutual information of the q235 contingency table: the
+    * information-theoretic strength of the segment↔nation
+    * association (χ² says "dependent or not", MI says "how many nats
+    * of one attribute the other reveals" — the feature-selection
+    * number). Per-cell terms p_ij·ln(p_ij·n / (row·col)) e6-rounded
+    * before the long total (the q168 discipline); zero-observed
+    * cells contribute 0 by the p·ln p convention and drop via the
+    * inner-join grid. */
+  private def q246(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"))
+    val obs = c.groupBy(col("seg"), col("nat")).agg(count(lit(1)).as("obs"))
+    val rowt = c.groupBy(col("seg")).agg(count(lit(1)).as("row_n"))
+    val colt = c.groupBy(col("nat")).agg(count(lit(1)).as("col_n"))
+    val n = c.agg(count(lit(1)).as("n"))
+    val terms = obs.join(rowt, Seq("seg")).join(colt, Seq("nat")).crossJoin(n)
+      .withColumn("term_e6",
+        round((col("obs").cast("double") / col("n")) *
+          log((col("obs") * 1.0 * col("n")) /
+              (col("row_n") * 1.0 * col("col_n")))
+          * 1000000.0).cast("long"))
+    val mi = terms.agg(sum(col("term_e6")).as("mi_e6"))
+    terms.crossJoin(mi)
+      .select(col("seg"), col("nat"), col("obs"), col("term_e6"), col("mi_e6"))
+  }
+
+  private val q246Sql =
+    """WITH c AS (SELECT c_mktsegment AS seg, c_nationkey AS nat
+      |           FROM customer),
+      |obs AS (SELECT seg, nat, CAST(count(*) AS BIGINT) AS obs
+      |        FROM c GROUP BY 1, 2),
+      |rowt AS (SELECT seg, CAST(count(*) AS BIGINT) AS row_n
+      |         FROM c GROUP BY 1),
+      |colt AS (SELECT nat, CAST(count(*) AS BIGINT) AS col_n
+      |         FROM c GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+      |terms AS (SELECT seg, nat, obs,
+      |            CAST(round((CAST(obs AS DOUBLE) / n) *
+      |              ln((obs * 1.0 * n) / (row_n * 1.0 * col_n))
+      |              * 1000000.0) AS BIGINT) AS term_e6
+      |          FROM obs JOIN rowt USING (seg) JOIN colt USING (nat)
+      |          CROSS JOIN nn),
+      |mi AS (SELECT CAST(sum(term_e6) AS BIGINT) AS mi_e6 FROM terms)
+      |SELECT seg, nat, obs, term_e6, mi_e6 FROM terms CROSS JOIN mi""".stripMargin
+
   /** q245 — population stability index (the ML-monitoring drift
     * number): reference-arm decile bins (arm 0's exact grid
     * percentiles, q216 cover rule — duplicate edges from heavy ties
@@ -533,6 +578,7 @@ object DiagQueries {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q235_chi2_independence", q235, Some(q235Sql)),
     QueryDef("q245_psi_drift", q245, Some(q245Sql)),
+    QueryDef("q246_mutual_information", q246, Some(q246Sql)),
     QueryDef("q225_ks_test", q225, Some(q225Sql)),
     QueryDef("q226_mann_whitney", q226, Some(q226Sql)),
     QueryDef("q230_benford_audit", q230, Some(q230Sql)),

@@ -914,6 +914,120 @@ object SessionQueries {
       |  CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
       |FROM customer GROUP BY 1, 2, 3""".stripMargin
 
+  /** q247 — first-touch sequential rules: for every ordered
+    * event-type pair (a, b), how many users did a AT ALL, and how
+    * many reached b within 24h of their FIRST a (first(b) after
+    * first(a), gap ≤ 86400 s) — the adoption-funnel question q185's
+    * adjacent transitions can't answer (transitions see consecutive
+    * steps; this sees eventual conversion with a deadline). Per-user
+    * first-occurrence table is one keyed aggregate; the pair join is
+    * keyed BY USER and ≤ |types|² rows per user. */
+  private def q247(s: SparkSession, dir: String): DataFrame = {
+    val firsts = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+              col("ts").cast("timestamp").cast("long").as("sec"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("sec")).as("first_sec"))
+    val a = firsts.select(col("user_id"), col("event_type").as("a"),
+                          col("first_sec").as("ta"))
+    val b = firsts.select(col("user_id"), col("event_type").as("b"),
+                          col("first_sec").as("tb"))
+    a.join(b, Seq("user_id"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_a"),
+           sum(when(col("tb") > col("ta") &&
+                    col("tb") - col("ta") <= 86400L, 1L).otherwise(0L))
+             .as("n_conv"))
+      .select(col("a"), col("b"), col("n_a"), col("n_conv"),
+        round(col("n_conv").cast("double") / col("n_a") * 1000000.0)
+          .cast("long").as("conf_e6"))
+  }
+
+  private val q247Sql =
+    """WITH f AS (SELECT user_id, event_type,
+      |             CAST(min(epoch_ns(ts) // 1000000000) AS BIGINT)
+      |               AS first_sec
+      |           FROM events GROUP BY 1, 2)
+      |SELECT a.event_type AS a, b.event_type AS b,
+      |  CAST(count(*) AS BIGINT) AS n_a,
+      |  CAST(sum(CASE WHEN b.first_sec > a.first_sec
+      |                 AND b.first_sec - a.first_sec <= 86400
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_conv,
+      |  CAST(round(CAST(sum(CASE WHEN b.first_sec > a.first_sec
+      |                 AND b.first_sec - a.first_sec <= 86400
+      |                THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+      |    * 1000000.0) AS BIGINT) AS conf_e6
+      |FROM f a JOIN f b ON a.user_id = b.user_id
+      |                 AND a.event_type <> b.event_type
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q248 — top consecutive event-type trigrams across sessionized
+    * streams: the dominant 3-step behavior paths (the "common
+    * journeys" report). Two keyed lead windows extract consecutive
+    * triples inside each user's 30-minute session (q23's gap rule —
+    * triples never cross a session boundary), one keyed count, top
+    * 20 on (count DESC, path) — alphabet-bounded rank. */
+  private def q248(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("sec"), col("event_id"))
+    val sess = sessionized(s, dir)
+    val triples = sess
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("event_type").as("s1"), col("t2").as("s2"),
+               col("t3").as("s3"))
+      .agg(count(lit(1)).as("n"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+    triples.withColumn("rk", row_number().over(rk).cast("long"))
+      .filter(col("rk") <= 20L)
+  }
+
+  /** Sessionized event stream (user, sid, sec, event_id, event_type)
+    * with the q23 30-minute gap rule, shared by q248. */
+  private def sessionized(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts").cast("timestamp").cast("long").as("sec"))
+      .withColumn("new_session",
+        when(lag(col("sec"), 1).over(w).isNull ||
+             col("sec") - lag(col("sec"), 1).over(w) >= 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_session")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                       org.apache.spark.sql.expressions.Window.currentRow)))
+  }
+
+  private val q248Sql =
+    """WITH e AS (SELECT user_id, event_type, event_id,
+      |             epoch_ns(ts) // 1000000000 AS sec FROM events),
+      |f AS (SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+      |                       OR sec - lag(sec) OVER w >= 1800
+      |                     THEN 1 ELSE 0 END AS new_session
+      |      FROM e WINDOW w AS (PARTITION BY user_id
+      |                          ORDER BY sec, event_id)),
+      |i AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+      |        ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM f),
+      |tr AS (SELECT event_type AS s1,
+      |         lead(event_type, 1) OVER w2 AS s2,
+      |         lead(event_type, 2) OVER w2 AS s3
+      |       FROM i WINDOW w2 AS (PARTITION BY user_id, sid
+      |                            ORDER BY sec, event_id)),
+      |c AS (SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+      |      FROM tr WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+      |      GROUP BY 1, 2, 3),
+      |r AS (SELECT *, CAST(row_number() OVER (
+      |        ORDER BY n DESC, s1, s2, s3) AS BIGINT) AS rk FROM c)
+      |SELECT s1, s2, s3, n, rk FROM r WHERE rk <= 20""".stripMargin
+
   /** q224 — EXACT trailing-7-day distinct users per event type
     * ([[graft.ts.SeriesOps.slidingDistinct]]): the gaps-and-islands
     * decomposition (per-user covering intervals → ±1 deltas →
@@ -1305,6 +1419,8 @@ object SessionQueries {
     QueryDef("q242_conformal_width", q242, Some(q242Sql)),
     QueryDef("q243_theil_sen", q243, Some(q243Sql)),
     QueryDef("q244_k_anonymity", q244, Some(q244Sql)),
+    QueryDef("q247_seq_rules", q247, Some(q247Sql)),
+    QueryDef("q248_path_trigrams", q248, Some(q248Sql)),
     QueryDef("q239_share_shift", q239, Some(q239Sql)),
     QueryDef("q240_cuped", q240, Some(q240Sql)),
     QueryDef("q224_sliding_distinct", q224, Some(q224Sql)),
