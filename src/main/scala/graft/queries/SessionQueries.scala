@@ -1028,6 +1028,83 @@ object SessionQueries {
       |        ORDER BY n DESC, s1, s2, s3) AS BIGINT) AS rk FROM c)
       |SELECT s1, s2, s3, n, rk FROM r WHERE rk <= 20""".stripMargin
 
+  /** q249 — data-quality contract report: the release-gate audit a
+    * warehouse runs before publishing a snapshot — referential
+    * integrity (orphaned fact keys, both hops), domain rules
+    * (positive amounts, bounded discounts), and cross-column
+    * temporal sanity (ship date not before order date) — one row per
+    * rule with checked/violation counts and the e6 rate. Each rule
+    * is one keyed anti-join or predicate aggregate; the report is a
+    * rule-count-sized union. */
+  private def q249(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    def rule(name: String, checked: DataFrame, violations: DataFrame) = {
+      val n = checked.agg(count(lit(1)).as("n_checked"))
+      val v = violations.agg(count(lit(1)).as("n_violations"))
+      n.crossJoin(v).select(lit(name).as("rule"), col("n_checked"),
+        col("n_violations"),
+        round(col("n_violations").cast("double") / col("n_checked")
+          * 1000000.0).cast("long").as("viol_rate_e6"))
+    }
+    val orphanLi = li.join(o.select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey"), "left_anti")
+    val orphanO = o.join(cust.select(col("c_custkey")),
+      col("o_custkey") === col("c_custkey"), "left_anti")
+    val shipJoin = li.join(o.select(col("o_orderkey"), col("o_orderdate")),
+      col("l_orderkey") === col("o_orderkey"))
+    rule("li_orderkey_fk", li, orphanLi)
+      .unionByName(rule("o_custkey_fk", o, orphanO))
+      .unionByName(rule("price_positive", li,
+        li.filter(cents(col("l_extendedprice")) <= 0L)))
+      .unionByName(rule("discount_domain", li,
+        li.filter(cents(col("l_discount")) < 0L ||
+                  cents(col("l_discount")) > 10L)))
+      .unionByName(rule("ship_after_order", shipJoin,
+        shipJoin.filter(col("l_shipdate") < col("o_orderdate"))))
+      .unionByName(rule("totalprice_positive", o,
+        o.filter(cents(col("o_totalprice")) <= 0L)))
+  }
+
+  private val q249Sql = {
+    def r(name: String, nSql: String, vSql: String) =
+      s"""SELECT '$name' AS rule,
+        |  CAST(($nSql) AS BIGINT) AS n_checked,
+        |  CAST(($vSql) AS BIGINT) AS n_violations,
+        |  CAST(round(CAST(($vSql) AS DOUBLE) / ($nSql) * 1000000.0)
+        |    AS BIGINT) AS viol_rate_e6""".stripMargin
+    Seq(
+      r("li_orderkey_fk",
+        "SELECT count(*) FROM lineitem",
+        """SELECT count(*) FROM lineitem
+          | WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""".stripMargin),
+      r("o_custkey_fk",
+        "SELECT count(*) FROM orders",
+        """SELECT count(*) FROM orders
+          | WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)""".stripMargin),
+      r("price_positive",
+        "SELECT count(*) FROM lineitem",
+        """SELECT count(*) FROM lineitem
+          | WHERE CAST(round(l_extendedprice*100) AS BIGINT) <= 0""".stripMargin),
+      r("discount_domain",
+        "SELECT count(*) FROM lineitem",
+        """SELECT count(*) FROM lineitem
+          | WHERE CAST(round(l_discount*100) AS BIGINT) < 0
+          |    OR CAST(round(l_discount*100) AS BIGINT) > 10""".stripMargin),
+      r("ship_after_order",
+        """SELECT count(*) FROM lineitem
+          | JOIN orders ON o_orderkey = l_orderkey""".stripMargin,
+        """SELECT count(*) FROM lineitem
+          | JOIN orders ON o_orderkey = l_orderkey
+          | WHERE l_shipdate < o_orderdate""".stripMargin),
+      r("totalprice_positive",
+        "SELECT count(*) FROM orders",
+        """SELECT count(*) FROM orders
+          | WHERE CAST(round(o_totalprice*100) AS BIGINT) <= 0""".stripMargin)
+    ).mkString("\nUNION ALL\n")
+  }
+
   /** q224 — EXACT trailing-7-day distinct users per event type
     * ([[graft.ts.SeriesOps.slidingDistinct]]): the gaps-and-islands
     * decomposition (per-user covering intervals → ±1 deltas →
@@ -1421,6 +1498,7 @@ object SessionQueries {
     QueryDef("q244_k_anonymity", q244, Some(q244Sql)),
     QueryDef("q247_seq_rules", q247, Some(q247Sql)),
     QueryDef("q248_path_trigrams", q248, Some(q248Sql)),
+    QueryDef("q249_dq_contract", q249, Some(q249Sql)),
     QueryDef("q239_share_shift", q239, Some(q239Sql)),
     QueryDef("q240_cuped", q240, Some(q240Sql)),
     QueryDef("q224_sliding_distinct", q224, Some(q224Sql)),
