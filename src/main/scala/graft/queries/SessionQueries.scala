@@ -1105,6 +1105,71 @@ object SessionQueries {
     ).mkString("\nUNION ALL\n")
   }
 
+  /** q250 — robust trend-break detection
+    * ([[graft.ts.SeriesOps.robustLineOutliers]]): per event type,
+    * fit the Theil–Sen line with a median intercept and flag days
+    * whose residual exceeds 3×MAD — both the line and the spread
+    * shrug off the very outliers being hunted (the fully robust
+    * upgrade of q205's OLS + q191's seasonal MAD). Exact e6
+    * integers end to end; the oracle replays pairwise slopes and
+    * both grid medians. */
+  private def q250(s: SparkSession, dir: String): DataFrame =
+    graft.ts.SeriesOps.robustLineOutliers(
+      dailyRevenue(s, dir).select(col("event_type"),
+        datediff(col("d"), lit("1970-01-01").cast("date")).as("x"),
+        col("v_c").as("y")),
+      "event_type", "x", "y")
+
+  private val q250Sql =
+    s"""WITH daily AS (
+      |  $dailyRevenueSql),
+      |dd AS (SELECT event_type AS key,
+      |              CAST(d - DATE '1970-01-01' AS BIGINT) AS x0, v_c AS y
+      |       FROM daily),
+      |bs AS (SELECT key, min(x0) AS xmin FROM dd GROUP BY 1),
+      |d2 AS (SELECT dd.key, x0, x0 - xmin AS x, y
+      |       FROM dd JOIN bs ON bs.key = dd.key),
+      |p AS (SELECT a.key,
+      |        CAST(round(CAST(b.y - a.y AS DOUBLE) / (b.x - a.x)
+      |          * 1000000.0) AS BIGINT) AS s
+      |      FROM d2 a JOIN d2 b ON a.key = b.key AND a.x < b.x),
+      |g AS (SELECT key, s, CAST(count(*) AS BIGINT) AS c
+      |      FROM p GROUP BY 1, 2),
+      |w AS (SELECT key, s, c,
+      |        sum(c) OVER (PARTITION BY key ORDER BY s
+      |                     ROWS UNBOUNDED PRECEDING) AS cum,
+      |        sum(c) OVER (PARTITION BY key) AS n
+      |      FROM g),
+      |sl AS (SELECT key, s AS slope_e6 FROM w
+      |       WHERE cum * 2 >= n AND (cum - c) * 2 < n),
+      |r0 AS (SELECT d2.key, x0, y, y * 1000000 - slope_e6 * x AS r0
+      |       FROM d2 JOIN sl ON sl.key = d2.key),
+      |g2 AS (SELECT key, r0, CAST(count(*) AS BIGINT) AS c
+      |       FROM r0 GROUP BY 1, 2),
+      |w2 AS (SELECT key, r0, c,
+      |         sum(c) OVER (PARTITION BY key ORDER BY r0
+      |                      ROWS UNBOUNDED PRECEDING) AS cum,
+      |         sum(c) OVER (PARTITION BY key) AS n
+      |       FROM g2),
+      |ic AS (SELECT key, r0 AS intercept_e6 FROM w2
+      |       WHERE cum * 2 >= n AND (cum - c) * 2 < n),
+      |rr AS (SELECT r0.key, x0, y, r0.r0 - intercept_e6 AS res_e6
+      |       FROM r0 JOIN ic ON ic.key = r0.key),
+      |g3 AS (SELECT key, abs(res_e6) AS ares, CAST(count(*) AS BIGINT) AS c
+      |       FROM rr GROUP BY 1, 2),
+      |w3 AS (SELECT key, ares, c,
+      |         sum(c) OVER (PARTITION BY key ORDER BY ares
+      |                      ROWS UNBOUNDED PRECEDING) AS cum,
+      |         sum(c) OVER (PARTITION BY key) AS n
+      |       FROM g3),
+      |md AS (SELECT key, ares AS mad_e6 FROM w3
+      |       WHERE cum * 2 >= n AND (cum - c) * 2 < n)
+      |SELECT rr.key AS event_type, CAST(x0 AS BIGINT) AS x, y,
+      |  CAST(res_e6 AS BIGINT) AS res_e6, CAST(mad_e6 AS BIGINT) AS mad_e6,
+      |  CAST(CASE WHEN abs(res_e6) > 3 * mad_e6 THEN 1 ELSE 0 END
+      |    AS BIGINT) AS is_outlier
+      |FROM rr JOIN md ON md.key = rr.key""".stripMargin
+
   /** q224 — EXACT trailing-7-day distinct users per event type
     * ([[graft.ts.SeriesOps.slidingDistinct]]): the gaps-and-islands
     * decomposition (per-user covering intervals → ±1 deltas →
@@ -1499,6 +1564,7 @@ object SessionQueries {
     QueryDef("q247_seq_rules", q247, Some(q247Sql)),
     QueryDef("q248_path_trigrams", q248, Some(q248Sql)),
     QueryDef("q249_dq_contract", q249, Some(q249Sql)),
+    QueryDef("q250_robust_outliers", q250, Some(q250Sql)),
     QueryDef("q239_share_shift", q239, Some(q239Sql)),
     QueryDef("q240_cuped", q240, Some(q240Sql)),
     QueryDef("q224_sliding_distinct", q224, Some(q224Sql)),

@@ -508,6 +508,53 @@ object SeriesOps {
               col("s").as("slope_e6"))
   }
 
+  /** Robust line-fit outliers: fit the [[theilSen]] line with a
+    * MEDIAN intercept, then flag points whose residual exceeds
+    * 3×MAD — the fully robust "which days broke trend" detector
+    * (both the line and the spread estimate shrug off the outliers
+    * being hunted; OLS+σ is dragged by them). Exact integers end to
+    * end: x is rebased to days-since-series-start (bounds
+    * slope_e6·x), residuals live on the e6 grid, the intercept is
+    * the lower median of y·1e6 − slope_e6·x (which centers the
+    * median residual at ≤ 0 by construction), and MAD is the lower
+    * median of |residual| — both medians ride the 2·cum ≥ n grid
+    * cover rule per key. Degenerate spread (MAD = 0, e.g. a perfect
+    * line) flags any nonzero residual.
+    *
+    * @return (key, x, y, res_e6, mad_e6, is_outlier) */
+  def robustLineOutliers(df: DataFrame, keyCol: String, xCol: String,
+                         yCol: String): DataFrame = {
+    val d0 = df.select(col(keyCol).as("key"), col(xCol).cast("long").as("x0"),
+                       col(yCol).cast("long").as("y"))
+    val base = d0.groupBy(col("key")).agg(min(col("x0")).as("xmin"))
+    val d = d0.join(base, Seq("key"))
+      .select(col("key"), (col("x0") - col("xmin")).as("x"), col("y"),
+              col("x0"))
+    val slope = theilSen(d, "key", "x", "y")
+      .select(col("key"), col("slope_e6"))
+    val res0 = d.join(slope, Seq("key"))
+      .withColumn("r0", col("y") * 1000000L - col("slope_e6") * col("x"))
+    def lowerMedian(in: DataFrame, vCol: String, out: String): DataFrame = {
+      val g = in.groupBy(col("key"), col(vCol)).agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("key")).orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("key"))
+      g.withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .filter(col("cum") * 2L >= col("n") &&
+                (col("cum") - col("c")) * 2L < col("n"))
+        .select(col("key"), col(vCol).as(out))
+    }
+    val withIc = res0.join(lowerMedian(res0, "r0", "intercept_e6"), Seq("key"))
+      .withColumn("res_e6", col("r0") - col("intercept_e6"))
+      .withColumn("ares", abs(col("res_e6")))
+    withIc.join(lowerMedian(withIc, "ares", "mad_e6"), Seq("key"))
+      .select(col("key").as(keyCol), col("x0").as(xCol), col("y").as(yCol),
+        col("res_e6"), col("mad_e6"),
+        when(abs(col("res_e6")) > lit(3L) * col("mad_e6"), 1L)
+          .otherwise(0L).as("is_outlier"))
+  }
+
   /** Split-conformal interval calibration on the rolling-origin
     * residuals: per (key, horizon), the width that covers covPct% of
     * future absolute errors under exchangeability — the k-th smallest

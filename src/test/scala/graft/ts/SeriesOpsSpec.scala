@@ -278,6 +278,22 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(got("t") == ((3L, 3L, 7000000L)))
   }
 
+  test("robustLineOutliers: only the planted spike flags; MAD=0 degenerate") {
+    import spark.implicits._
+    // perfect line y = 10·x0 except x0=3 blown to 1000: slope 10e6,
+    // median intercept 10e6 (rebased x), residuals [0,0,970e6,0,0],
+    // MAD = 0 → any nonzero residual flags, zeros don't
+    val df = Seq(("s", 1L, 10L), ("s", 2L, 20L), ("s", 3L, 1000L),
+                 ("s", 4L, 40L), ("s", 5L, 50L)).toDF("k", "x", "y")
+    val got = SeriesOps.robustLineOutliers(df, "k", "x", "y")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(5))))
+      .toMap
+    assert(got(3L) == ((970000000L, 1L)))
+    Seq(1L, 2L, 4L, 5L).foreach { x =>
+      assert(got(x) == ((0L, 0L)), s"x=$x")
+    }
+  }
+
   test("slidingDistinct: windowDays=1 degenerates to per-day distinct") {
     import spark.implicits._
     val p = Seq(("x", d("2024-03-01"), "a"), ("x", d("2024-03-01"), "b"),
