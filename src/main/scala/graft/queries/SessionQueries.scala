@@ -1170,6 +1170,55 @@ object SessionQueries {
       |    AS BIGINT) AS is_outlier
       |FROM rr JOIN md ON md.key = rr.key""".stripMargin
 
+  /** q251 — conversion-latency percentiles: per experiment arm
+    * (q214's user-parity split), the exact p50/p90 of seconds from a
+    * user's FIRST view to their FIRST purchase (converters only,
+    * purchase strictly after view) — the "how fast does the funnel
+    * move" readout that pairs with q247's conversion rates. Firsts
+    * are one keyed aggregate; percentiles ride the q216 grid cover
+    * rule on the latency-value grid. */
+  private def q251(s: SparkSession, dir: String): DataFrame = {
+    val firsts = t(s, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view",
+             col("ts").cast("timestamp").cast("long"))).as("tv"),
+           min(when(col("event_type") === "purchase",
+             col("ts").cast("timestamp").cast("long"))).as("tp"))
+      .filter(col("tv").isNotNull && col("tp").isNotNull &&
+              col("tp") > col("tv"))
+      .select(pmod(col("user_id"), lit(2L)).as("arm"),
+              (col("tp") - col("tv")).as("lat"))
+    graft.pipeline.CorpusSketch.exactPercentiles(firsts, "arm", "lat",
+      Seq(50, 90))
+  }
+
+  private val q251Sql =
+    """WITH f AS (SELECT user_id,
+      |             min(CASE WHEN event_type = 'view'
+      |                      THEN epoch_ns(ts) // 1000000000 END) AS tv,
+      |             min(CASE WHEN event_type = 'purchase'
+      |                      THEN epoch_ns(ts) // 1000000000 END) AS tp
+      |           FROM events
+      |           WHERE event_type IN ('view', 'purchase')
+      |           GROUP BY 1),
+      |lat AS (SELECT user_id % 2 AS arm, CAST(tp - tv AS BIGINT) AS v
+      |        FROM f WHERE tv IS NOT NULL AND tp IS NOT NULL AND tp > tv),
+      |g AS (SELECT arm, v, CAST(count(*) AS BIGINT) AS c
+      |      FROM lat GROUP BY 1, 2),
+      |w AS (SELECT arm, v, c,
+      |        sum(c) OVER (PARTITION BY arm ORDER BY v
+      |                     ROWS UNBOUNDED PRECEDING) AS cum,
+      |        sum(c) OVER (PARTITION BY arm) AS n
+      |      FROM g),
+      |x AS (SELECT arm, v, c, cum, n,
+      |             unnest([CAST(50 AS BIGINT), CAST(90 AS BIGINT)]) AS q_pct
+      |      FROM w)
+      |SELECT arm, q_pct, CAST(n AS BIGINT) AS n, v AS exact
+      |FROM x
+      |WHERE cum - c < (n * q_pct + 99) // 100
+      |  AND (n * q_pct + 99) // 100 <= cum""".stripMargin
+
   /** q224 — EXACT trailing-7-day distinct users per event type
     * ([[graft.ts.SeriesOps.slidingDistinct]]): the gaps-and-islands
     * decomposition (per-user covering intervals → ±1 deltas →
@@ -1565,6 +1614,7 @@ object SessionQueries {
     QueryDef("q248_path_trigrams", q248, Some(q248Sql)),
     QueryDef("q249_dq_contract", q249, Some(q249Sql)),
     QueryDef("q250_robust_outliers", q250, Some(q250Sql)),
+    QueryDef("q251_conversion_latency", q251, Some(q251Sql)),
     QueryDef("q239_share_shift", q239, Some(q239Sql)),
     QueryDef("q240_cuped", q240, Some(q240Sql)),
     QueryDef("q224_sliding_distinct", q224, Some(q224Sql)),
