@@ -884,3 +884,70 @@ object ScaleProbeStats {
     spark.stop()
   }
 }
+
+/** Round-13 probe: BPE training at production merge counts.
+  *  - [[graft.pipeline.Bpe.bpeTrainBatched]] driven to ≥64 merges
+  *    (the r11/r12 "done" criterion's missing measurement): per-MERGE
+  *    cost should fall ~batchSize-fold vs the sequential trainer and
+  *    stay near-constant as the pass count grows;
+  *  - [[graft.pipeline.Bpe.bpeTrainIncremental]] at the same settings:
+  *    per-pass cost should DROP as training proceeds (the affected
+  *    word fraction collapses), where the batched trainer's per-pass
+  *    cost is flat (full recount every pass).
+  * The synthetic corpus is a Zipf-ish mix over a fixed word alphabet
+  * with long words, so merges keep finding support deep into the run.
+  * Usage: runMain graft.ScaleProbeBpe [nDocs] [passes] [batch]
+  */
+object ScaleProbeBpe {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(100000)
+    val passes = args.drop(1).headOption.map(_.toInt).getOrElse(16)
+    val batch = args.drop(2).headOption.map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"$label%-58s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    // deterministic corpus: 12 words/doc drawn zipf-ish from a 4000-word
+    // alphabet of 6-14 char words built from 12 letters — enough shared
+    // substructure that hundreds of merges have frequency support
+    val letters = "etaoinshrdlu"
+    val corpus = spark.range(nDocs.toLong).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map { j =>
+        val wid = pmod(hash(col("id") * 31 + j) * pmod(hash(col("id") + j * 7), lit(64)),
+                       lit(4000))
+        concat((0 until 14).map { c =>
+          when(lit(c) < pmod(hash(wid * 131), lit(9)) + 6,
+               substring(lit(letters),
+                         (pmod(hash(wid * 17 + c * 3), lit(12)) + 1).cast("int"),
+                         lit(1)))
+            .otherwise(lit(""))
+        }: _*)
+      }: _*).as("text")).cache()
+    corpus.count()
+
+    val merges = time(f"bpeTrainBatched docs=$nDocs%,d passes=$passes batch=$batch")(
+      graft.pipeline.Bpe.bpeTrainBatched(corpus, "doc_id", "text",
+        nPasses = passes, batchSize = batch, minPairFreq = 2L))
+    val nM = merges.count()
+    println(s"  -> $nM merges learned")
+
+    val mergesInc = time(f"bpeTrainIncremental docs=$nDocs%,d passes=$passes batch=$batch")(
+      graft.pipeline.Bpe.bpeTrainIncremental(corpus, "doc_id", "text",
+        nPasses = passes, batchSize = batch, minPairFreq = 2L))
+    val nI = mergesInc.count()
+    println(s"  -> $nI merges learned (must equal batched: ${nM == nI})")
+    spark.stop()
+  }
+}

@@ -36,8 +36,11 @@ object KCore {
     * @return one row per node: (node, round_out, last_deg, in_core)
     *         where round_out is the 1-based round the node was
     *         deleted in (peels+1 for survivors), last_deg its degree
-    *         at deletion time (final-round degree for survivors), and
-    *         in_core the survivor flag. */
+    *         at deletion time (for survivors: the degree RECOMPUTED
+    *         after the final round's deletions, i.e. the true
+    *         end-state degree — so a survivor whose last_deg < k
+    *         tells the caller the peel depth undershot convergence),
+    *         and in_core the survivor flag. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
             k: Int, peels: Int): DataFrame = {
     require(k >= 1, "k >= 1")
@@ -53,7 +56,6 @@ object KCore {
       .localCheckpoint()
     var remaining = cur.select(col("u").as("node")).distinct()
     var out: DataFrame = null
-    var lastDeg: DataFrame = null
     for (round <- 1 to peels) {
       // survivors with zero surviving edges vanish from the edge
       // list — the left join + coalesce keeps them at degree 0 so
@@ -74,11 +76,18 @@ object KCore {
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .localCheckpoint()
-      lastDeg = deg
     }
-    val core = lastDeg.filter(col("deg") >= k.toLong)
+    // survivors' degree is RECOMPUTED over the post-final-round edge
+    // list: last_deg is the true end-state degree, and last_deg < k
+    // on any survivor is the caller-visible signal that `peels`
+    // undershot the true peel depth (at convergence all survivors
+    // show last_deg >= k)
+    val core = remaining
+      .join(cur.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg")),
+            Seq("node"), "left")
       .select(col("node"), lit((peels + 1).toLong).as("round_out"),
-              col("deg").as("last_deg"), lit(1L).as("in_core"))
+              coalesce(col("deg"), lit(0L)).as("last_deg"),
+              lit(1L).as("in_core"))
     out.unionByName(core)
   }
 }

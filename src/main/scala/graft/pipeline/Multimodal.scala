@@ -402,6 +402,100 @@ object Multimodal {
       widthBits = widthBits, maxHamming = maxHamming)
   }
 
+  /** PER-WINDOW luminance-contour fingerprints — the long-video path
+    * the single-fp bit budget excludes (videos beyond 65 frames have
+    * > 64 transitions, and [[videoContourFpCol]] correctly nulls them
+    * rather than alias bits mod 64 — but nulling silently EXEMPTED
+    * every long video from perceptual dedup, r12 verdict gap #2).
+    * Frames split into fixed-length index-aligned windows of
+    * `windowFrames` frames; each window with ≥ 2 frames fingerprints
+    * its own delta-sign contour (≤ windowFrames − 1 ≤ 64 bits — back
+    * inside the budget at ANY video length). One row per
+    * (doc_id, win_idx, fp); trailing sub-2-frame windows and
+    * undecodable payloads are skipped, not fabricated.
+    *
+    * Scale shape: decode + posexplode is map-side; the delta window is
+    * keyed by (video, window) — partitions of ≤ windowFrames rows —
+    * and one keyed groupBy folds the bits. */
+  def videoWindowFps(media: DataFrame, windowFrames: Int = 33): DataFrame = {
+    require(windowFrames >= 3 && windowFrames <= 65,
+            s"windowFrames out of range: $windowFrames")
+    GraftFunctions.register(media.sparkSession)
+    val lum = transform(call_function("decode_video", col("media")), f =>
+      f.getField("mean_r") + f.getField("mean_g") + f.getField("mean_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("win_idx")).orderBy(col("fidx"))
+    media.select(col("doc_id"), posexplode(lum).as(Seq("fidx", "l")))
+      .withColumn("win_idx", floor(col("fidx") / windowFrames).cast("long"))
+      .withColumn("nxt", lead(col("l"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("doc_id"), col("win_idx"))
+      .agg(sum(when(col("nxt") > col("l"),
+                    call_function("shiftleft", lit(1L),
+                                  pmod(col("fidx"), lit(windowFrames))
+                                    .cast("int")))
+               .otherwise(lit(0L))).as("fp"))
+  }
+
+  /** Long-video NEAR-dedup: two videos are near-duplicates iff ANY
+    * index-aligned window pair agrees within Hamming ≤ `maxHamming`
+    * (or shares a fingerprint exactly), connected components close the
+    * relation transitively. Windows are fixed-length and
+    * index-matched, so this catches re-encodes / quality variants of
+    * arbitrarily long videos; a temporally CROPPED copy shifts the
+    * window grid and is out of scope (documented contract — offset
+    * robustness needs overlapping windows, a recall/cost knob this
+    * operator deliberately doesn't spend).
+    *
+    * Plan: per-window fps ([[videoWindowFps]]) → representative per
+    * DISTINCT (win_idx, fp) (the r12 popular-fingerprint lesson:
+    * banding the asset graph squares copy counts; the rep graph is
+    * bounded by the distinct window-fingerprint population) →
+    * banded-Hamming candidates over the reps
+    * ([[TextDedup.fingerprintNearDupPairs]], perfect recall by
+    * pigeonhole) filtered to SAME win_idx (bands mix window indexes —
+    * extra candidates, zero recall loss) → video-level edges (near
+    * pairs + member↔rep equality spokes) → components
+    * ([[TextDedup.dupClusters]]) → ledger
+    * (doc_id, n_windows, cluster_id, n_cluster, is_keeper).
+    * Node ids pack (doc_id, win_idx) into one long (win_idx < 2²⁰ —
+    * 34-year videos at a frame/s — leaving 43 bits of doc-id space;
+    * callers with wider ids remap before packing). */
+  def videoNearDedupWindows(media: DataFrame, windowFrames: Int = 33,
+                            maxHamming: Int = 2): DataFrame = {
+    val pack = 1L << 20
+    val wfps = graft.queries.cacheOnce(videoWindowFps(media, windowFrames))
+    val packed = wfps.select(col("doc_id"), col("win_idx"), col("fp"),
+      (col("doc_id") * pack + col("win_idx")).as("nid"))
+    val reps = graft.queries.cacheOnce(
+      packed.groupBy(col("win_idx"), col("fp")).agg(min(col("nid")).as("nid")))
+    val rawPairs = TextDedup.fingerprintNearDupPairs(
+      reps.select(col("nid").as("id"), col("fp")), "id", "fp",
+      width = windowFrames - 1, maxHamming = maxHamming)
+    val nearEdges = rawPairs
+      .filter(pmod(col("da"), lit(pack)) === pmod(col("db"), lit(pack)))
+      .select(expr(s"da div $pack").as("x"), expr(s"db div $pack").as("y"))
+    val eqEdges = packed
+      .join(reps.select(col("win_idx"), col("fp"), col("nid").as("rep_nid")),
+            Seq("win_idx", "fp"))
+      .filter(col("nid") =!= col("rep_nid"))
+      .select(expr(s"nid div $pack").as("x"), expr(s"rep_nid div $pack").as("y"))
+    val edges = nearEdges.unionByName(eqEdges)
+      .select(least(col("x"), col("y")).as("da"),
+              greatest(col("x"), col("y")).as("db"))
+      .filter(col("da") =!= col("db")).distinct()
+    val docs = wfps.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"))
+    val clusters = TextDedup.dupClusters(docs.select(col("doc_id")), edges)
+      .select(col("doc_id"), col("cluster").as("cluster_id"))
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_cluster"))
+    docs.join(clusters, Seq("doc_id")).join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("n_windows"), col("cluster_id"),
+              col("n_cluster"),
+              (col("doc_id") === col("cluster_id")).cast("long").as("is_keeper"))
+  }
+
   /** Synthesize a REAL audio table: one 16-bit PCM mono WAV per input
     * row ([[graft.plans.GenWav]]), sample t of clip `id` carrying
     * `((id·31 + t·7919) mod 2048) − 1024` — genuine codec bytes

@@ -335,9 +335,10 @@ object GraphQueries {
       |              JOIN region r ON r.r_regionkey = nt.n_regionkey
       |      GROUP BY 1, 2)
       |SELECT r_name, n_name, rev_c, n_cust,
-      |  rev_c * 1000000 // sum(rev_c) OVER (PARTITION BY r_name)
-      |    AS share_of_region_e6,
-      |  rev_c * 1000000 // sum(rev_c) OVER () AS share_of_total_e6
+      |  CAST(rev_c * 1000000 // sum(rev_c) OVER (PARTITION BY r_name)
+      |       AS BIGINT) AS share_of_region_e6,
+      |  CAST(rev_c * 1000000 // sum(rev_c) OVER () AS BIGINT)
+      |    AS share_of_total_e6
       |FROM g""".stripMargin
 
   /** q212 — anti/semi join reconciliation: customers with orders but
@@ -514,11 +515,19 @@ object GraphQueries {
       |ed0 AS (SELECT a AS u, b AS v FROM und
       |        UNION ALL SELECT b AS u, a AS v FROM und),
       |n0 AS (SELECT DISTINCT u AS node FROM ed0),
-      |$rounds
+      |$rounds,
+      |s$peels AS (SELECT node FROM d$peels WHERE deg >= $k),
+      |ed$peels AS (SELECT u, v FROM ed${peels - 1}
+      |        WHERE u IN (SELECT node FROM s$peels)
+      |          AND v IN (SELECT node FROM s$peels)),
+      |dfin AS (SELECT n.node, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS deg
+      |      FROM s$peels n
+      |      LEFT JOIN (SELECT u AS node, CAST(count(*) AS BIGINT) AS cnt
+      |                 FROM ed$peels GROUP BY 1) c USING (node))
       |$outs
       |UNION ALL
       |SELECT node, CAST(${peels + 1} AS BIGINT) AS round_out, deg AS last_deg,
-      |       CAST(1 AS BIGINT) AS in_core FROM d$peels WHERE deg >= $k""".stripMargin
+      |       CAST(1 AS BIGINT) AS in_core FROM dfin""".stripMargin
   }
 
   /** q227 — Newman modularity of the brand partition

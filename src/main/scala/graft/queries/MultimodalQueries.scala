@@ -538,6 +538,66 @@ object MultimodalQueries {
       |  CAST(e_sum AS BIGINT) AS e_sum
       |FROM seg""".stripMargin
 
+  /** q252 — LONG-video near-dedup ([[Multimodal.videoNearDedupWindows]])
+    * on 80-frame GIFs — videos the single-fingerprint bit budget
+    * excludes entirely (79 transitions > 64 bits; q140's path nulls
+    * them, r12 verdict gap #2). Five aligned 16-frame windows each
+    * fingerprint 15 contour bits; videos fuse when ANY window pair
+    * agrees within Hamming ≤ 2, closed transitively. The oracle takes
+    * the direct definition — per-window fps from the pixel formula,
+    * all-pairs same-window Hamming join, recursive closure — so
+    * equality also certifies the banded rep-graph path's perfect
+    * recall on the window axis. */
+  private def q252(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoNearDedupWindows(
+      Multimodal.videoTable(t(s, dir, "documents"), "doc_id", nFrames = 80),
+      windowFrames = 16, maxHamming = 2)
+
+  private val q252Sql =
+    """WITH RECURSIVE vpx AS (
+      |  SELECT d.doc_id, fs.f, g.x, g.y,
+      |         ((d.doc_id * 31 + 7 * g.x + 13 * g.y + 17 * fs.f) % 256 + 256) % 256 AS b
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 79)) AS f) fs
+      |  CROSS JOIN (
+      |    SELECT xs.x, ys.y
+      |    FROM (SELECT unnest(generate_series(0, 3)) AS x) xs,
+      |         (SELECT unnest(generate_series(0, 3)) AS y) ys) g),
+      |fl AS (
+      |  SELECT doc_id, f,
+      |         avg((b + 170) % 256) + avg((b + 85) % 256) + avg(b) AS lum
+      |  FROM vpx GROUP BY 1, 2),
+      |dv AS (
+      |  SELECT doc_id, f, f // 16 AS win, lead(lum) OVER w AS nxt, lum
+      |  FROM fl WINDOW w AS (PARTITION BY doc_id, f // 16 ORDER BY f)),
+      |hs AS (
+      |  SELECT doc_id, CAST(win AS BIGINT) AS win,
+      |         CAST(sum(CASE WHEN nxt > lum
+      |                  THEN CAST(1 AS BIGINT) << (f % 16) ELSE 0 END)
+      |              AS BIGINT) AS fp
+      |  FROM dv WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |np AS (SELECT a.doc_id AS da, b.doc_id AS db
+      |       FROM hs a JOIN hs b
+      |         ON a.win = b.win AND a.doc_id < b.doc_id
+      |        AND bit_count(xor(a.fp, b.fp)) <= 2),
+      |edges AS (SELECT DISTINCT da AS src, db AS dst FROM np
+      |          UNION SELECT DISTINCT db AS src, da AS dst FROM np),
+      |nodes AS (SELECT DISTINCT doc_id FROM hs),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM nodes
+      |  UNION
+      |  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r),
+      |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+      |sz AS (SELECT cluster_id, count(*) AS n_cluster FROM lab GROUP BY 1),
+      |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+      |       FROM hs GROUP BY 1)
+      |SELECT nodes.doc_id, nw.n_windows, lab.cluster_id,
+      |       CAST(sz.n_cluster AS BIGINT) AS n_cluster,
+      |       CAST(CASE WHEN nodes.doc_id = lab.cluster_id THEN 1 ELSE 0 END
+      |            AS BIGINT) AS is_keeper
+      |FROM nodes JOIN nw USING (doc_id) JOIN lab USING (doc_id)
+      |           JOIN sz USING (cluster_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q61_media_meta", q61, Some(q61Sql)),
     QueryDef("q62_frame_features", q62, Some(q62Sql)),
@@ -553,6 +613,7 @@ object MultimodalQueries {
     QueryDef("q135_audio_vad", q135, Some(q135Sql)),
     QueryDef("q138_image_near_dedup", q138, Some(q138Sql)),
     QueryDef("q139_audio_near_dedup", q139, Some(q139Sql)),
-    QueryDef("q140_video_near_dedup", q140, Some(q140Sql))
+    QueryDef("q140_video_near_dedup", q140, Some(q140Sql)),
+    QueryDef("q252_video_window_dedup", q252, Some(q252Sql))
   )
 }

@@ -3055,7 +3055,7 @@ object TextQueries {
     s"""WITH $winnowSqlCte
       |SELECT doc_id,
       |       CAST(2147483647 - (me % 2147483648) AS INTEGER) AS fp_pos,
-      |       me // 2147483648 AS fp_hash
+      |       CAST(me // 2147483648 AS BIGINT) AS fp_hash
       |FROM sel""".stripMargin
 
   /** q182 — winnowing clone pairs ([[TextDedup.winnowClonePairs]]):

@@ -1,0 +1,68 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed prefix sums over a distinct-value grid whose
+  * cardinality can approach the corpus row count (cents-valued
+  * monetary metrics, near-continuous scores). The naive form — one
+  * `Window.orderBy(value)` with no partition — is a single-task sort
+  * plus (when broadcast) a corpus-sized driver copy; at 10⁹ distinct
+  * values it is the job's scale killer.
+  *
+  * Two-level decomposition instead:
+  *   1. `repartitionByRange(value)` spreads the grid over the
+  *      configured shuffle partitions with ranges aligned to the
+  *      sort order (equal values co-located by the range
+  *      partitioner's contract);
+  *   2. a KEYED window (partition = physical range bucket) computes
+  *      the within-bucket running sum — each partition holds
+  *      ~|grid|/P rows, never the whole grid;
+  *   3. per-bucket totals (exactly P ≤ `spark.sql.shuffle.partitions`
+  *      rows — config-sized, the repo's accepted driver-state bound)
+  *      are collected, turned into exclusive bucket offsets in plain
+  *      Scala, and joined back as a P-row broadcast.
+  *
+  * The grid is `localCheckpoint`ed after the range exchange so the
+  * `spark_partition_id()` bucket labels are frozen — both the keyed
+  * window and the totals read the SAME materialized assignment
+  * (re-deriving it through two separate plans could re-sample range
+  * boundaries and disagree at bucket edges).
+  *
+  * Integer-exact: sums of longs end to end, no percentile doubles. */
+object GridPrefix {
+
+  /** Add running sums over `grid` ordered by `valCol`.
+    *
+    * @param grid one row per distinct value (typically the output of
+    *             `groupBy(value).count()`), `cntCol` a long weight
+    * @return the grid columns plus `cum` (inclusive prefix sum of
+    *         `cntCol` in `valCol` order) and `cum_before`
+    *         (exclusive). Row order is not defined. */
+  def prefixSums(grid: DataFrame, valCol: String, cntCol: String): DataFrame = {
+    val spark = grid.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = grid
+      .repartitionByRange(parts, col(valCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val wIn = Window.partitionBy(col("__pid")).orderBy(col(valCol))
+    val local = ranged.withColumn("__cum_in", sum(col(cntCol)).over(wIn))
+    // bucket totals: exactly one row per physical range bucket
+    val totals = ranged.groupBy(col("__pid"))
+      .agg(sum(col(cntCol)).cast("long").as("__ptot"))
+      .orderBy(col("__pid"))
+      .collect()
+    var acc = 0L
+    val offs = totals.map { r =>
+      val o = acc; acc += r.getLong(1); (r.getInt(0), o)
+    }.toSeq
+    import spark.implicits._
+    val offDf = offs.toDF("__pid", "__off")
+    local.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("cum", col("__cum_in") + col("__off"))
+      .withColumn("cum_before", col("cum") - col(cntCol))
+      .drop("__pid", "__cum_in", "__off")
+  }
+}

@@ -36,9 +36,11 @@ object ScaleOps {
     // instead of monotonically_increasing_id — any choice is
     // result-invisible, but a column-derived salt is deterministic
     // across runs/retries (same row → same reducer), which keeps
-    // speculative-execution and plan-replay behavior reproducible
+    // speculative-execution and plan-replay behavior reproducible.
+    // hash() (not a numeric cast) so non-numeric salt sources spread
+    // instead of casting to NULL and silently dropping fact rows.
     val saltCol = saltSrc
-      .map(c => pmod(col(c).cast("long"), lit(salts.toLong)).cast("int"))
+      .map(c => pmod(hash(col(c)), lit(salts)))
       .getOrElse(pmod(hash(monotonically_increasing_id()), lit(salts)))
     val saltedFact = fact.withColumn("__salt", saltCol)
     val repDim = dim.withColumn("__salt",

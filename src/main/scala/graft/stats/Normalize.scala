@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   * end, no percentile doubles anywhere.
   *
   * Plan shape: both CDFs ride the repo's value-grid discipline
-  * (windows over DISTINCT values — group-keyed for sources, one
-  * grid-sized pass for the pool), and the rank→pooled-value lookup
+  * (windows over DISTINCT values — group-keyed for sources; the
+  * POOLED grid, which for continuous metrics approaches corpus
+  * cardinality, goes through
+  * [[graft.scale.GridPrefix.prefixSums]]'s two-level distributed
+  * prefix instead of a single-task sort), and the rank→pooled-value
+  * lookup
   * is the cover-interval range join decomposed through
   * [[graft.joins.RangeJoin.rangeJoin]]'s bucketized equi-join (the
   * pooled cover intervals PARTITION [1, n_tot], so exploded bucket
@@ -40,14 +44,13 @@ object Normalize {
       .withColumn("cum", sum(col("c")).over(wSrc))
       .join(nG, Seq("grp"))
     val poolGrid = rows.groupBy(col("v")).agg(count(lit(1)).as("c_all"))
-    val wPool = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val nTot = poolGrid.agg(sum(col("c_all")).as("n_tot"))
-    val pool = poolGrid
-      .withColumn("cum_all", sum(col("c_all")).over(wPool))
+    val pool = graft.scale.GridPrefix.prefixSums(poolGrid, "v", "c_all")
       .select(col("v").as("norm_v"),
-              (col("cum_all") - col("c_all") + 1L).as("lo"),
-              col("cum_all").as("hi"))
+              (col("cum") - col("c_all") + 1L).as("lo"),
+              col("cum").as("hi"))
+    // total from the (checkpointed) grid's max running sum — NOT a
+    // second full-corpus pass
+    val nTot = pool.agg(max(col("hi")).as("n_tot"))
     val pts = src.crossJoin(nTot)
       .withColumn("tr",
         expr("(cum * n_tot + n_g - 1) div n_g"))

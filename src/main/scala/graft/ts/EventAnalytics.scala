@@ -112,20 +112,25 @@ object EventAnalytics {
     * rows into the first buckets — the even-spread rule is the q174
     * convention and what the rank decomposition computes exactly:
     * rank = a prefix over the distinct-VALUE grid + a row_number
-    * keyed by value, so window partitions are value-grid-sized and
-    * per-value groups — a 10⁹-user metric never sorts in one task.
-    * Adds `bucket` (1-based). */
+    * keyed by value. The grid prefix rides
+    * [[graft.scale.GridPrefix.prefixSums]]'s two-level decomposition
+    * (range-partitioned buckets + a P-row offset broadcast), because
+    * for near-continuous metrics (monetary cents) the "grid"
+    * approaches corpus cardinality — no single-task sort, and the
+    * grid→rows join is UNHINTED (AQE broadcasts it only when it
+    * really is small). Adds `bucket` (1-based). */
   private def exactNtile(df: DataFrame, valCol: String, idCol: String,
                          n: Int): DataFrame = {
     val perVal = df.groupBy(col(valCol)).agg(count(lit(1)).as("cnt_v"))
-    val wVal = org.apache.spark.sql.expressions.Window.orderBy(col(valCol))
-    val prefix = perVal.select(col(valCol),
-      (sum(col("cnt_v")).over(wVal) - col("cnt_v")).as("before_v"))
-    val tot = perVal.agg(sum(col("cnt_v")).as("n_total"))
+    val grid = graft.scale.GridPrefix.prefixSums(perVal, valCol, "cnt_v")
+    val prefix = grid.select(col(valCol), col("cum_before").as("before_v"))
+    // total from the (checkpointed) grid's max running sum — NOT a
+    // second full-corpus pass
+    val tot = grid.agg(max(col("cum")).as("n_total"))
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col(valCol)).orderBy(col(idCol))
     val a = ((col("before_v") + row_number().over(wIn) - 1) * n).cast("long")
-    df.join(broadcast(prefix), Seq(valCol)).crossJoin(broadcast(tot))
+    df.join(prefix, Seq(valCol)).crossJoin(broadcast(tot))
       .withColumn("bucket",
         ((a - pmod(a, col("n_total"))) / col("n_total")).cast("long") + 1)
       .drop("before_v", "n_total")
@@ -153,12 +158,15 @@ object EventAnalytics {
       count(lit(1)).cast("long").as("freq"),
       sum(col("v")).cast("long").as("mon_c"))
     val ref = u.agg(max(col("last_sec")).as("ref_sec"))
-    val base = u.crossJoin(broadcast(ref))
+    // cached: three chained exactNtile stages each run grid + join
+    // jobs over this frame — uncached, the per-user aggregate would
+    // re-execute for every stage
+    val base = graft.queries.cacheOnce(u.crossJoin(broadcast(ref))
       .withColumn("recency_days",
         ((col("ref_sec") - col("last_sec")) -
          pmod(col("ref_sec") - col("last_sec"), lit(86400L))) / 86400L)
       .withColumn("recency_days", col("recency_days").cast("long"))
-      .select(col("user_id"), col("recency_days"), col("freq"), col("mon_c"))
+      .select(col("user_id"), col("recency_days"), col("freq"), col("mon_c")))
     val withR = exactNtile(base, "recency_days", "user_id", 5)
       .withColumn("r", (lit(6L) - col("bucket")).cast("long")).drop("bucket")
     val withF = exactNtile(withR, "freq", "user_id", 5)

@@ -39,8 +39,10 @@ class KCoreSpec extends AnyFunSuite {
     val got = run(path, k = 2, peels = 2)
     assert(got("a")._1 == 1L && got("e")._1 == 1L)
     assert(got("b") == ((2L, 1L, 0L)) && got("d") == ((2L, 1L, 0L)))
-    // c survives the 2-round budget with last observed degree 2
-    assert(got("c") == ((3L, 2L, 1L)))
+    // c survives the 2-round budget, but its END-STATE degree
+    // (recomputed after round 2's deletions) is 0 < k — the
+    // caller-visible signal that peels=2 undershot convergence
+    assert(got("c") == ((3L, 0L, 1L)))
     // one more round finishes the cascade: c drops at degree 0
     val full = run(path, k = 2, peels = 3)
     assert(full("c") == ((3L, 0L, 0L)))

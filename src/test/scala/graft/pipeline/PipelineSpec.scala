@@ -2365,6 +2365,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fpOf(66).isEmpty, "66 frames would need bit 64: must be null")
   }
 
+  test("long videos: window fps replay by hand; a planted 80-frame dup pair the single-fp guard misses") {
+    graft.plans.GraftFunctions.register(spark)
+    // 80 frames = 79 transitions: the single-fp budget guard nulls the
+    // whole video, so the pre-r13 near-dedup is PROVABLY blind here
+    val ids = Seq(31L, 32L).toDF("doc_id")
+    val media = Multimodal.videoTable(ids, "doc_id", nFrames = 80)
+    assert(media.select(Multimodal.videoContourFpCol(col("media")).as("fp"))
+      .filter(col("fp").isNotNull).count() == 0,
+      "bit-budget guard must null 80-frame single fps")
+    // per-window fps: 5 aligned windows of 16 frames, bits by hand
+    val wf = Multimodal.videoWindowFps(media, windowFrames = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(wf.size == 10, "2 videos x 5 windows")
+    for (id <- Seq(31L, 32L); w <- 0 until 5) {
+      val lums = (0 until 80).map { f =>
+        val px = for { y <- 0 until 4; x <- 0 until 4 }
+          yield java.lang.Math.floorMod(id * 31 + 7 * x + 13 * y + 17 * f, 256L).toInt
+        px.map(v => (v + 170) % 256).sum / 16.0 +
+          px.map(v => (v + 85) % 256).sum / 16.0 + px.sum / 16.0
+      }
+      val want = (w * 16 until w * 16 + 15).collect {
+        case f if lums(f + 1) > lums(f) => 1L << (f % 16) }.sum
+      assert(wf((id, w.toLong)) == want, s"window fp id=$id w=$w")
+    }
+    // planted near pair: 101 and 102 carry the SAME 80-frame payload,
+    // 103 a different one — the window ledger must fuse the pair the
+    // null-guard hides
+    val planted = Seq((101L, 101L), (102L, 101L), (103L, 103L))
+      .toDF("doc_id", "seed")
+      .select(col("doc_id"),
+        call_function("gen_gif", col("seed"), lit(4), lit(4), lit(80))
+          .as("media"),
+        struct(lit("video/gif").as("mime")).as("meta"))
+    val blind = Multimodal.videoNearDedup(planted, widthBits = 64)
+    assert(blind.count() == 0, "single-fp path sees nothing at 80 frames")
+    val led = Multimodal.videoNearDedupWindows(planted, windowFrames = 16,
+                                               maxHamming = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(led(101L) == ((5L, 101L, 2L, 1L)), s"ledger: $led")
+    assert(led(102L) == ((5L, 101L, 2L, 0L)), s"ledger: $led")
+    assert(led(103L)._2 == 103L && led(103L)._3 == 1L,
+           s"distinct long video stays a singleton: $led")
+  }
+
   test("perceptual near-dedup: transitive Hamming chains cluster, strangers stay apart") {
     // 1-2-3 form a Hamming-1 chain (1 and 3 are 2 apart — only
     // transitivity links them); 10 is far from everything

@@ -48,6 +48,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(saltedDet.sameElements(plain))
   }
 
+  test("salted join with a NON-NUMERIC salt source drops no rows") {
+    // regression: casting a string column to long yields NULL salts,
+    // which silently dropped every fact row from the inner join
+    val facts = (1 to 500).map(i => (0L, s"name$i")).toDF("k", "nm")
+    val dims = Seq((0L, "d0")).toDF("k", "label")
+    val salted = ScaleOps.saltedJoin(facts, dims, "k", salts = 8,
+        saltSrc = Some("nm"))
+    assert(salted.count() == 500)
+    // and the salt genuinely spreads the skewed key across buckets
+    val spread = facts
+      .withColumn("s", pmod(hash(col("nm")), lit(8)))
+      .select("s").distinct().count()
+    assert(spread > 1)
+  }
+
   private def withConf(kv: (String, String))(body: => Unit): Unit = {
     val old = spark.conf.getOption(kv._1)
     spark.conf.set(kv._1, kv._2)

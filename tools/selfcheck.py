@@ -17,7 +17,19 @@ oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
 fail = 0
 for name, sql in sorted(oracle.items()):
     try:
-        want = con.sql(sql).df()
+        rel = con.sql(sql)
+        # dtype guard: a HUGEINT/UHUGEINT oracle column passes the
+        # value-level compare here but fails the driver's hash (it
+        # hashes raw DuckDB output, int128 != Spark's int64) — the
+        # exact class that bit q181/q211 in round 12. Catch it locally.
+        wide = [c for c, t in zip(rel.columns, rel.types)
+                if str(t).upper() in ("HUGEINT", "UHUGEINT")]
+        if wide:
+            print(f"FAIL {name}: oracle emits int128 column(s) {wide} — "
+                  f"wrap in CAST(... AS BIGINT)")
+            fail += 1
+            continue
+        want = rel.df()
     except Exception as e:
         print(f"FAIL {name}: oracle SQL error: {e}")
         fail += 1
