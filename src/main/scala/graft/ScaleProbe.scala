@@ -896,13 +896,14 @@ object ScaleProbeStats {
   *    cost is flat (full recount every pass).
   * The synthetic corpus is a Zipf-ish mix over a fixed word alphabet
   * with long words, so merges keep finding support deep into the run.
-  * Usage: runMain graft.ScaleProbeBpe [nDocs] [passes] [batch]
+  * Usage: runMain graft.ScaleProbeBpe [nDocs] [passes] [batch] [nWords]
   */
 object ScaleProbeBpe {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(100000)
     val passes = args.drop(1).headOption.map(_.toInt).getOrElse(16)
     val batch = args.drop(2).headOption.map(_.toInt).getOrElse(8)
+    val nWords = args.drop(3).headOption.map(_.toInt).getOrElse(4000)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -920,33 +921,49 @@ object ScaleProbeBpe {
 
     // deterministic corpus: 12 words/doc drawn zipf-ish from a 4000-word
     // alphabet of 6-14 char words built from 12 letters — enough shared
-    // substructure that hundreds of merges have frequency support
+    // substructure that hundreds of merges have frequency support. The
+    // word dimension is built separately (4000 rows) and joined in, so
+    // the per-doc expression stays codegen-sized.
     val letters = "etaoinshrdlu"
-    val corpus = spark.range(nDocs.toLong).select(
-      col("id").as("doc_id"),
-      concat_ws(" ", (0 until 12).map { j =>
-        val wid = pmod(hash(col("id") * 31 + j) * pmod(hash(col("id") + j * 7), lit(64)),
-                       lit(4000))
-        concat((0 until 14).map { c =>
-          when(lit(c) < pmod(hash(wid * 131), lit(9)) + 6,
-               substring(lit(letters),
-                         (pmod(hash(wid * 17 + c * 3), lit(12)) + 1).cast("int"),
-                         lit(1)))
-            .otherwise(lit(""))
-        }: _*)
-      }: _*).as("text")).cache()
+    val wordTbl = spark.range(nWords.toLong).select(
+      col("id").as("wid"),
+      concat((0 until 14).map { c =>
+        when(lit(c) < pmod(hash(col("id") * 131), lit(9)) + 6,
+             substring(lit(letters),
+                       (pmod(hash(col("id") * 17 + c * 3), lit(12)) + 1).cast("int"),
+                       lit(1)))
+          .otherwise(lit(""))
+      }: _*).as("word"))
+    val corpus = spark.range(nDocs.toLong * 12).select(
+      (col("id") / 12).cast("long").as("doc_id"),
+      pmod(col("id"), lit(12)).as("p"),
+      pmod(hash(col("id") * 31).cast("long") *
+             (pmod(hash(col("id") + 7), lit(64)).cast("long") + 1L),
+           lit(nWords.toLong)).as("wid"))
+      .join(broadcast(wordTbl), Seq("wid"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(array_sort(collect_list(
+             struct(col("p"), col("word")))), s => s.getField("word")), " ")
+           .as("text"))
+      .cache()
     corpus.count()
 
-    val merges = time(f"bpeTrainBatched docs=$nDocs%,d passes=$passes batch=$batch")(
-      graft.pipeline.Bpe.bpeTrainBatched(corpus, "doc_id", "text",
-        nPasses = passes, batchSize = batch, minPairFreq = 2L))
-    val nM = merges.count()
+    val log = (name: String) => (p: Int, nRules: Int, sec: Double) =>
+      println(f"  $name pass $p%2d: $nRules%4d rules total, $sec%6.1f s")
+    val st1 = time(f"bpeTrainBatched docs=$nDocs%,d passes=$passes batch=$batch")(
+      graft.pipeline.Bpe.bpeTrainBatchedState(corpus, "doc_id", "text",
+        nPasses = passes, batchSize = batch, minPairFreq = 2L,
+        onPass = log("batched")))
+    val nM = st1.merges.count()
+    st1.wordSegs.unpersist()
     println(s"  -> $nM merges learned")
 
-    val mergesInc = time(f"bpeTrainIncremental docs=$nDocs%,d passes=$passes batch=$batch")(
-      graft.pipeline.Bpe.bpeTrainIncremental(corpus, "doc_id", "text",
-        nPasses = passes, batchSize = batch, minPairFreq = 2L))
-    val nI = mergesInc.count()
+    val st2 = time(f"bpeTrainIncremental docs=$nDocs%,d passes=$passes batch=$batch")(
+      graft.pipeline.Bpe.bpeTrainIncrementalState(corpus, "doc_id", "text",
+        nPasses = passes, batchSize = batch, minPairFreq = 2L,
+        onPass = log("incremental")))
+    val nI = st2.merges.count()
+    st2.wordSegs.unpersist()
     println(s"  -> $nI merges learned (must equal batched: ${nM == nI})")
     spark.stop()
   }

@@ -53,6 +53,30 @@ object Bpe {
     * corpus word, so apply-side consumers can join it directly. */
   case class BpeTrained(merges: DataFrame, wordSegs: DataFrame)
 
+  /** Eager local checkpoint with a STATISTICS RESET. Plain
+    * `localCheckpoint` carries the child plan's estimated
+    * `sizeInBytes` into the new `LogicalRDD` — and a merge pass joins
+    * the symbol table against derivations of ITSELF ~5 times, so the
+    * carried estimate compounds ~5× per pass: by pass ~12 Catalyst's
+    * join-size arithmetic (`SizeInBytesOnlyStatsPlanVisitor`) is
+    * multiplying BigInts with millions of digits and the DRIVER hangs
+    * in `BigInteger.multiply` (observed: 16 passes = 24 min of
+    * driver CPU; with the reset, seconds). Wrapping the checkpointed
+    * rows in a fresh `createDataFrame` drops the carried stats —
+    * downstream sizing falls back to `spark.sql.defaultSizeInBytes`,
+    * which never auto-broadcasts (our small sides are explicit
+    * `broadcast()` hints, so nothing is lost). The Row
+    * round-trip is linear in the (vocabulary-bounded) table — noise
+    * next to the quadratic-and-worse planning it removes.
+    *
+    * Returns (loop frame, releasable checkpoint frame): unpersist the
+    * SECOND to free the storage — the wrapper's own unpersist is a
+    * no-op. */
+  private def checkpointReset(df: DataFrame): (DataFrame, DataFrame) = {
+    val ck = df.localCheckpoint()
+    (ck.sparkSession.createDataFrame(ck.rdd, ck.schema), ck)
+  }
+
   /** One left-to-right non-overlapping merge pass of pair (l, r) over
     * the (w, freq, pos, sym) symbol table — the relational form whose
     * SQL unrolling is the q118/q119 oracle. */
@@ -118,7 +142,7 @@ object Bpe {
     // input from THREE subtrees, so the logical plan would grow ~5×
     // per iteration — exponential by nMerges — unless the lineage is
     // truncated every round (the dupClusters loop's established fix)
-    var syms = codepointSyms(wordTable(df, textCol)).localCheckpoint()
+    var (syms, symsCk) = checkpointReset(codepointSyms(wordTable(df, textCol)))
     val wWin = Window.partitionBy(col("w")).orderBy(col("pos"))
     val rules = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
@@ -135,15 +159,16 @@ object Bpe {
         val l = best.head.getString(0)
         val r = best.head.getString(1)
         rules += ((k.toLong, l, r, l + r, best.head.getAs[Long]("cnt")))
-        val next = mergePass(syms, l, r).localCheckpoint()
-        syms.unpersist()
+        val (next, nextCk) = checkpointReset(mergePass(syms, l, r))
+        symsCk.unpersist()
         syms = next
+        symsCk = nextCk
       }
       k += 1
     }
     BpeTrained(
       rules.toSeq.toDF("rank", "left_sym", "right_sym", "merged", "cnt"),
-      syms)
+      symsCk)
   }
 
   /** The merge table alone — (rank, left_sym, right_sym, merged, cnt),
@@ -237,19 +262,22 @@ object Bpe {
     * driver. Ranks number rules (pass ASC, cnt DESC, l, r) —
     * continuous across passes. */
   private def trainBatchedFrom(syms0: DataFrame, nPasses: Int, batchSize: Int,
-                               minPairFreq: Long): BpeTrained = {
+                               minPairFreq: Long,
+                               onPass: (Int, Int, Double) => Unit = null
+                              ): BpeTrained = {
     require(nPasses >= 1 && nPasses <= 100000, s"nPasses out of range: $nPasses")
     require(batchSize >= 1 && batchSize <= 100000, s"batchSize out of range: $batchSize")
     require(minPairFreq >= 1, s"minPairFreq must be >= 1")
     val spark = syms0.sparkSession
     import spark.implicits._
-    var syms = syms0.localCheckpoint()
+    var (syms, symsCk) = checkpointReset(syms0)
     val wWin = Window.partitionBy(col("w")).orderBy(col("pos"))
     val rules = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
     var dry = false
     var p = 1
     while (p <= nPasses && !dry) {
+      val t0 = System.nanoTime()
       val batch = localMaxPairs(
         syms.withColumn("nxt", lead(col("sym"), 1).over(wWin))
           .filter(col("nxt").isNotNull)
@@ -262,11 +290,14 @@ object Bpe {
       else {
         batch.foreach { case (l, r, cnt) =>
           rules += ((rules.size + 1L, l, r, l + r, cnt)) }
-        val next = mergePassMulti(syms, batch.map(t => (t._1, t._2)).toSeq)
-          .localCheckpoint()
-        syms.unpersist()
+        val (next, nextCk) = checkpointReset(
+          mergePassMulti(syms, batch.map(t => (t._1, t._2)).toSeq))
+        symsCk.unpersist()
         syms = next
+        symsCk = nextCk
       }
+      if (onPass != null)
+        onPass(p, rules.size, (System.nanoTime() - t0) / 1e9)
       p += 1
     }
     BpeTrained(
@@ -315,8 +346,9 @@ object Bpe {
     * equals the recount inductively), so the two trainers emit the
     * same merge table — spec-pinned. */
   private def trainIncrementalFrom(syms0: DataFrame, nPasses: Int,
-                                   batchSize: Int,
-                                   minPairFreq: Long): BpeTrained = {
+                                   batchSize: Int, minPairFreq: Long,
+                                   onPass: (Int, Int, Double) => Unit = null
+                                  ): BpeTrained = {
     require(nPasses >= 1 && nPasses <= 100000, s"nPasses out of range: $nPasses")
     require(batchSize >= 1 && batchSize <= 100000, s"batchSize out of range: $batchSize")
     require(minPairFreq >= 1, s"minPairFreq must be >= 1")
@@ -324,14 +356,15 @@ object Bpe {
     import spark.implicits._
     val wWin = Window.partitionBy(col("w")).orderBy(col("pos"))
     // the ONE corpus-wide window: initial adjacency materialization
-    var adj = syms0.withColumn("nxt", lead(col("sym"), 1).over(wWin))
-      .localCheckpoint()
-    var pc = pairsOfAdj(adj).localCheckpoint()
+    var (adj, adjCk) = checkpointReset(
+      syms0.withColumn("nxt", lead(col("sym"), 1).over(wWin)))
+    var (pc, pcCk) = checkpointReset(pairsOfAdj(adj))
     val rules = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
     var dry = false
     var p = 1
     while (p <= nPasses && !dry) {
+      val t0 = System.nanoTime()
       val batch = localMaxPairs(pc.filter(col("cnt") >= minPairFreq),
                                 batchSize).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
@@ -343,27 +376,30 @@ object Bpe {
         val affW = adj
           .join(ruleDf, col("sym") === col("l") && col("nxt") === col("r"))
           .select(col("w")).distinct()
-        val affAdj = adj.join(affW, Seq("w"), "left_semi").localCheckpoint()
+        val (affAdj, affCk) = checkpointReset(
+          adj.join(affW, Seq("w"), "left_semi"))
         val unaffected = adj.join(affW, Seq("w"), "left_anti")
         val merged = mergePassMulti(affAdj.select(col("w"), col("freq"),
                                                   col("pos"), col("sym")),
                                     batch.map(t => (t._1, t._2)).toSeq)
-        val mergedAdj = merged
-          .withColumn("nxt", lead(col("sym"), 1).over(wWin))
-          .localCheckpoint()
+        val (mergedAdj, mergedCk) = checkpointReset(
+          merged.withColumn("nxt", lead(col("sym"), 1).over(wWin)))
         val deltas = pairsOfAdj(affAdj)
           .select(col("l"), col("r"), (-col("cnt")).as("cnt"))
           .unionByName(pairsOfAdj(mergedAdj))
-        val nextPc = pc.unionByName(deltas)
-          .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("cnt"))
-          .filter(col("cnt") > 0L)
-          .localCheckpoint()
-        val nextAdj = unaffected.unionByName(mergedAdj).localCheckpoint()
-        adj.unpersist(); pc.unpersist()
-        affAdj.unpersist(); mergedAdj.unpersist()
-        adj = nextAdj
-        pc = nextPc
+        val (nextPc, nextPcCk) = checkpointReset(
+          pc.unionByName(deltas)
+            .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("cnt"))
+            .filter(col("cnt") > 0L))
+        val (nextAdj, nextAdjCk) = checkpointReset(
+          unaffected.unionByName(mergedAdj))
+        adjCk.unpersist(); pcCk.unpersist()
+        affCk.unpersist(); mergedCk.unpersist()
+        adj = nextAdj; adjCk = nextAdjCk
+        pc = nextPc; pcCk = nextPcCk
       }
+      if (onPass != null)
+        onPass(p, rules.size, (System.nanoTime() - t0) / 1e9)
       p += 1
     }
     // re-checkpoint the (w, freq, pos, sym) projection so wordSegs is
@@ -371,8 +407,8 @@ object Bpe {
     // not free the underlying checkpoint)
     val segs = adj.select(col("w"), col("freq"), col("pos"), col("sym"))
       .localCheckpoint()
-    adj.unpersist()
-    pc.unpersist()
+    adjCk.unpersist()
+    pcCk.unpersist()
     BpeTrained(
       rules.toSeq.toDF("rank", "left_sym", "right_sym", "merged", "cnt"),
       segs)
@@ -383,9 +419,11 @@ object Bpe {
     * cost proportional to the AFFECTED word set. */
   def bpeTrainIncrementalState(df: DataFrame, idCol: String, textCol: String,
                                nPasses: Int, batchSize: Int,
-                               minPairFreq: Long = 2L): BpeTrained =
+                               minPairFreq: Long = 2L,
+                               onPass: (Int, Int, Double) => Unit = null
+                              ): BpeTrained =
     trainIncrementalFrom(codepointSyms(wordTable(df, textCol)),
-                         nPasses, batchSize, minPairFreq)
+                         nPasses, batchSize, minPairFreq, onPass)
 
   /** Merge table of the incremental trainer (releases the training
     * state). */
@@ -403,9 +441,11 @@ object Bpe {
     * count. */
   def bpeTrainBatchedState(df: DataFrame, idCol: String, textCol: String,
                            nPasses: Int, batchSize: Int,
-                           minPairFreq: Long = 2L): BpeTrained =
+                           minPairFreq: Long = 2L,
+                           onPass: (Int, Int, Double) => Unit = null
+                          ): BpeTrained =
     trainBatchedFrom(codepointSyms(wordTable(df, textCol)),
-                     nPasses, batchSize, minPairFreq)
+                     nPasses, batchSize, minPairFreq, onPass)
 
   /** Merge table of the batched trainer (releases the training
     * state). */

@@ -56,6 +56,45 @@ object Similarity extends org.apache.spark.internal.Logging {
     joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** MATRYOSHKA truncation evaluation — how much top-k quality
+    * survives serving only the first `dims` embedding components
+    * (MRL-style nested representations: the production question
+    * behind every "can we serve at d=16 instead of 64" memory/latency
+    * trade). For each query and each prefix length, the truncated
+    * top-k is recomputed EXACTLY ([[cosineTopK]] semantics over the
+    * sliced vectors) and compared with the full-dimension top-k:
+    * one row per (query_id, dims) with the overlap count — k·|dims|
+    * integers per query, the whole readout broadcastable.
+    *
+    * Scale shape: one [[cosineTopK]] scan per rung (query-side
+    * broadcast × corpus scan — the established exact-tier shape);
+    * overlap via a (query, neighbor)-keyed semi join; no new
+    * machinery. */
+  def matryoshkaEval(emb: DataFrame, queryPred: Column, k: Int,
+                     prefixDims: Seq[Int]): DataFrame = {
+    require(prefixDims.nonEmpty && prefixDims.forall(_ >= 1),
+            "prefixDims must be positive")
+    val full = graft.queries.cacheOnce(
+      cosineTopK(emb, queryPred, k)
+        .select(col("query_id"), col("neighbor_id")))
+    val qs = full.select(col("query_id")).distinct()
+    prefixDims.map { d =>
+      val truncated = emb.select(col("vec_id"),
+        slice(col("v"), 1, d).as("v"))
+      val top = cosineTopK(truncated, queryPred, k)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = top
+        .join(full, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+      // zero-overlap queries keep a row — a rung that loses a query
+      // ENTIRELY is the headline finding, not a dropped row
+      qs.join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), lit(d.toLong).as("dims"),
+                coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** SQ8-compressed exact-scan top-k: [[cosineTopK]] over an index
     * that holds ONLY the 8-bit codes (+ per-vector range params) — the
     * memory rung of the ANN family (see [[graft.plans.Sq8Encode]]:

@@ -575,7 +575,263 @@ object DiagQueries {
       |  CAST(sum(term_e6) OVER (PARTITION BY grp) AS BIGINT) AS psi_e6
       |FROM t2""".stripMargin
 
+  /** q256 — Spearman's ρ ([[graft.stats.RankCorr.spearman]]) between
+    * quantity and extended price per return flag: does line size rank
+    * with line value once the linear assumption is dropped? Doubled
+    * midranks from the value grid keep every rank exact; decimal
+    * moment sums; one round-6 double. */
+  private def q256(s: SparkSession, dir: String): DataFrame =
+    graft.stats.RankCorr.spearman(
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+                col("l_quantity").cast("long").as("qty"),
+                cents(col("l_extendedprice")).as("price_c")),
+      "l_returnflag", "qty", "price_c")
+
+  private val q256Sql =
+    """WITH r AS (SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x,
+      |             CAST(round(l_extendedprice*100) AS BIGINT) AS y
+      |           FROM lineitem),
+      |gx AS (SELECT grp, x, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2),
+      |mx AS (SELECT grp, x,
+      |         2 * (sum(c) OVER (PARTITION BY grp ORDER BY x) - c) + c + 1 AS rx2
+      |       FROM gx),
+      |gy AS (SELECT grp, y, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2),
+      |my AS (SELECT grp, y,
+      |         2 * (sum(c) OVER (PARTITION BY grp ORDER BY y) - c) + c + 1 AS ry2
+      |       FROM gy),
+      |j AS (SELECT r.grp, mx.rx2, my.ry2
+      |      FROM r JOIN mx USING (grp, x) JOIN my USING (grp, y)),
+      |s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |        sum(rx2) AS sx, sum(ry2) AS sy, sum(rx2 * ry2) AS sxy,
+      |        sum(rx2 * rx2) AS sxx, sum(ry2 * ry2) AS syy
+      |      FROM j GROUP BY 1)
+      |SELECT grp AS l_returnflag, n,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |        (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |         sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho
+      |FROM s""".stripMargin
+
+  /** q257 — Kendall's τ-b ([[graft.stats.RankCorr.kendallTauB]])
+    * between quantity (50 levels) and discount step (11 levels) per
+    * return flag — the ordinal-grid rank test; concordant/discordant
+    * counts come from the bounded joint grid's cell pairs, all exact
+    * longs. */
+  private def q257(s: SparkSession, dir: String): DataFrame =
+    graft.stats.RankCorr.kendallTauB(
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+                col("l_quantity").cast("long").as("qty"),
+                round(col("l_discount") * 100).cast("long").as("disc")),
+      "l_returnflag", "qty", "disc")
+
+  private val q257Sql =
+    """WITH r AS (SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x,
+      |             CAST(round(l_discount*100) AS BIGINT) AS y
+      |           FROM lineitem),
+      |g AS (SELECT grp, x, y, CAST(count(*) AS BIGINT) AS c
+      |      FROM r GROUP BY 1, 2, 3),
+      |prod AS (SELECT a.grp,
+      |           CAST(sum(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END)
+      |                AS BIGINT) AS nc,
+      |           CAST(sum(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END)
+      |                AS BIGINT) AS nd
+      |         FROM g a JOIN g b ON a.grp = b.grp AND a.x < b.x
+      |         GROUP BY 1),
+      |tx AS (SELECT grp, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS tie_x,
+      |              CAST(sum(t) AS BIGINT) AS n
+      |       FROM (SELECT grp, x, CAST(sum(c) AS BIGINT) AS t
+      |             FROM g GROUP BY 1, 2) GROUP BY 1),
+      |ty AS (SELECT grp, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS tie_y
+      |       FROM (SELECT grp, y, CAST(sum(c) AS BIGINT) AS t
+      |             FROM g GROUP BY 1, 2) GROUP BY 1)
+      |SELECT grp AS l_returnflag, n, nc, nd,
+      |  round((CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE)) /
+      |        (sqrt(CAST(n * (n - 1) // 2 AS DOUBLE) - CAST(tie_x AS DOUBLE)) *
+      |         sqrt(CAST(n * (n - 1) // 2 AS DOUBLE) - CAST(tie_y AS DOUBLE))),
+      |        6) AS tau_b
+      |FROM prod JOIN tx USING (grp) JOIN ty USING (grp)""".stripMargin
+
+  /** q258 — one-way ANOVA ([[graft.stats.Anova.anovaOneWay]]) of
+    * order value across the five order priorities: per-priority
+    * decomposition plus the global F, the q235 ledger convention
+    * (per-group terms e6-rounded BEFORE the order-free long sums). */
+  private def q258(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Anova.anovaOneWay(
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), cents(col("o_totalprice")).as("v")),
+      "o_orderpriority", "v")
+
+  private val q258Sql =
+    """WITH r AS (SELECT o_orderpriority AS grp,
+      |             CAST(round(o_totalprice*100) AS BIGINT) AS v
+      |           FROM orders),
+      |perg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+      |           CAST(sum(v) AS BIGINT) AS t_c, sum(v * v) AS s2
+      |         FROM r GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+      |          CAST(sum(t_c) AS BIGINT) AS t,
+      |          CAST(count(*) AS BIGINT) AS k FROM perg),
+      |terms AS (SELECT grp, n_g, t_c, k, n,
+      |            CAST(t_c AS DOUBLE) / n_g AS mean_g,
+      |            CAST(t AS DOUBLE) / n AS mean_all, s2
+      |          FROM perg CROSS JOIN tot),
+      |t2 AS (SELECT grp, n_g, t_c, k, n,
+      |         CAST(round(mean_g * 100.0) AS BIGINT) AS mean_c_e2,
+      |         CAST(round(CAST(n_g AS DOUBLE) * (mean_g - mean_all)
+      |           * (mean_g - mean_all)) AS BIGINT) AS ssb_term_c2,
+      |         CAST(round(CAST(s2 AS DOUBLE) - CAST(t_c AS DOUBLE)
+      |           * CAST(t_c AS DOUBLE) / n_g) AS BIGINT)
+      |           AS ssw_term_c2
+      |       FROM terms),
+      |gl AS (SELECT CAST(sum(ssb_term_c2) AS BIGINT) AS ssb_c2,
+      |         CAST(sum(ssw_term_c2) AS BIGINT) AS ssw_c2 FROM t2)
+      |SELECT grp AS o_orderpriority, n_g, t_c, mean_c_e2, ssb_term_c2,
+      |  ssb_c2, ssw_c2, k, n,
+      |  CASE WHEN k > 1 AND n > k THEN
+      |    round((CAST(ssb_c2 AS DOUBLE) / (k - 1)) /
+      |          (CAST(ssw_c2 AS DOUBLE) / (n - k)), 6)
+      |  END AS f
+      |FROM t2 CROSS JOIN gl""".stripMargin
+
+  /** q259 — Cramér's V ([[graft.stats.Anova.cramersV]]) of the
+    * segment × nation table: q235 answers "dependent?"; this answers
+    * "how strongly", normalized to [0, 1] across table shapes. */
+  private def q259(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Anova.cramersV(
+      t(s, dir, "customer"), "c_mktsegment", "c_nationkey")
+
+  private val q259Sql =
+    """WITH c AS (SELECT c_mktsegment AS a, c_nationkey AS b FROM customer),
+      |obs AS (SELECT a, b, CAST(count(*) AS BIGINT) AS obs
+      |        FROM c GROUP BY 1, 2),
+      |rowt AS (SELECT a, CAST(count(*) AS BIGINT) AS row_n FROM c GROUP BY 1),
+      |colt AS (SELECT b, CAST(count(*) AS BIGINT) AS col_n FROM c GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+      |terms AS (SELECT row_n, col_n, n, CAST(coalesce(obs, 0) AS BIGINT) AS obs,
+      |            CAST(row_n * col_n AS DOUBLE) / n AS e
+      |          FROM rowt CROSS JOIN colt CROSS JOIN nn
+      |          LEFT JOIN obs USING (a, b)),
+      |t2 AS (SELECT CAST(round((CAST(obs AS DOUBLE) - e)
+      |         * (CAST(obs AS DOUBLE) - e) / e * 1000000.0) AS BIGINT)
+      |         AS term_e6 FROM terms),
+      |dims AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM rowt) AS r,
+      |                (SELECT CAST(count(*) AS BIGINT) FROM colt) AS c)
+      |SELECT nn.n, dims.r, dims.c,
+      |  CAST(sum(t2.term_e6) AS BIGINT) AS chi2_e6,
+      |  round(sqrt((CAST(sum(t2.term_e6) AS BIGINT) / 1000000.0) /
+      |             (nn.n * (least(dims.r, dims.c) - 1))), 6) AS v
+      |FROM t2 CROSS JOIN dims CROSS JOIN nn
+      |GROUP BY nn.n, dims.r, dims.c""".stripMargin
+
+  /** q260 — Holt double exponential smoothing
+    * ([[graft.ts.ExpSmooth.doubleExpSmooth]], α = 0.2, β = 0.3) of
+    * daily order revenue per priority — recursive level+trend state
+    * on the exact cents grid; the oracle replays the recurrence with
+    * a recursive CTE over the day index. */
+  private def q260(s: SparkSession, dir: String): DataFrame =
+    graft.ts.ExpSmooth.doubleExpSmooth(
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+                 dayBucket(col("o_orderdate")).as("o_orderdate"))
+        .agg(sum(cents(col("o_totalprice"))).as("y")),
+      "o_orderpriority", "o_orderdate", "y")
+
+  private val q260Sql =
+    """WITH RECURSIVE daily AS (
+      |  SELECT o_orderpriority AS k,
+      |         CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+      |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |           AS y
+      |  FROM orders GROUP BY 1, 2),
+      |s AS (SELECT k, d, y,
+      |        row_number() OVER (PARTITION BY k ORDER BY d) AS rn
+      |      FROM daily),
+      |hw AS (
+      |  SELECT k, rn, d, y, y AS l, CAST(0 AS BIGINT) AS b, y AS pred
+      |  FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.k, s.rn, s.d, s.y,
+      |    (2 * s.y + 8 * (hw.l + hw.b)) // 10,
+      |    (3 * (((2 * s.y + 8 * (hw.l + hw.b)) // 10) - hw.l)
+      |     + 7 * hw.b) // 10,
+      |    hw.l + hw.b
+      |  FROM hw JOIN s ON s.k = hw.k AND s.rn = hw.rn + 1)
+      |SELECT k AS o_orderpriority, d AS o_orderdate, y AS y_c,
+      |  CAST(l AS BIGINT) AS level_c, CAST(b AS BIGINT) AS trend_c,
+      |  CAST(pred AS BIGINT) AS pred_c
+      |FROM hw""".stripMargin
+
+  /** q261 — Kaplan–Meier time-to-second-order
+    * ([[graft.ts.Survival.kaplanMeier]]): days from a customer's
+    * first DISTINCT order date to the second, right-censored at the
+    * corpus max date for single-date customers — the repeat-purchase
+    * curve an "average reorder gap" biases by dropping everyone who
+    * hasn't reordered. Survival on the e6 grid, one truncating
+    * division per event step; the oracle replays the ordered product
+    * with a recursive CTE. */
+  private def q261(s: SparkSession, dir: String): DataFrame = {
+    val dd = t(s, dir, "orders")
+      .select(col("o_custkey").as("cust"), col("o_orderdate").as("d"))
+      .distinct()
+    val firsts = dd.groupBy(col("cust")).agg(min(col("d")).as("d1"))
+    val seconds = dd.join(firsts, Seq("cust"))
+      .filter(col("d") > col("d1"))
+      .groupBy(col("cust")).agg(min(col("d")).as("d2"))
+    val maxd = dd.agg(max(col("d")).as("md"))
+    val subjects = firsts.join(seconds, Seq("cust"), "left")
+      .crossJoin(broadcast(maxd))
+      .select(
+        datediff(coalesce(col("d2"), col("md")), col("d1")).cast("long")
+          .as("dur"),
+        col("d2").isNotNull.cast("long").as("ev"))
+    graft.ts.Survival.kaplanMeier(subjects, "dur", "ev")
+  }
+
+  private val q261Sql =
+    """WITH RECURSIVE dd AS (SELECT DISTINCT o_custkey AS cust,
+      |                             o_orderdate AS d FROM orders),
+      |f AS (SELECT cust, min(d) AS d1 FROM dd GROUP BY 1),
+      |s2 AS (SELECT dd.cust, min(dd.d) AS d2
+      |       FROM dd JOIN f ON f.cust = dd.cust AND dd.d > f.d1 GROUP BY 1),
+      |mx AS (SELECT max(d) AS md FROM dd),
+      |subj AS (SELECT CAST(date_diff('day', d1, COALESCE(d2, md)) AS BIGINT)
+      |                  AS t,
+      |                CASE WHEN d2 IS NULL THEN 0 ELSE 1 END AS ev
+      |         FROM f LEFT JOIN s2 USING (cust) CROSS JOIN mx),
+      |grid AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d_events,
+      |                CAST(sum(1 - ev) AS BIGINT) AS c_censored,
+      |                CAST(count(*) AS BIGINT) AS n_at
+      |         FROM subj GROUP BY 1),
+      |pref AS (SELECT t, d_events, c_censored, n_at,
+      |           CAST(sum(n_at) OVER (ORDER BY t) - n_at AS BIGINT) AS cumb
+      |         FROM grid),
+      |tot AS (SELECT CAST(sum(n_at) AS BIGINT) AS n FROM grid),
+      |steps AS (SELECT t, d_events, c_censored,
+      |            CAST(n - cumb AS BIGINT) AS n_risk,
+      |            row_number() OVER (ORDER BY t) AS rn
+      |          FROM pref CROSS JOIN tot),
+      |km AS (
+      |  SELECT rn, t, n_risk, d_events, c_censored,
+      |         (1000000 * (n_risk - d_events)) // n_risk AS sv
+      |  FROM steps WHERE rn = 1
+      |  UNION ALL
+      |  SELECT st.rn, st.t, st.n_risk, st.d_events, st.c_censored,
+      |         (km.sv * (st.n_risk - st.d_events)) // st.n_risk
+      |  FROM km JOIN steps st ON st.rn = km.rn + 1)
+      |SELECT t, n_risk, d_events, c_censored, CAST(sv AS BIGINT) AS s_e6
+      |FROM km""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q256_spearman", q256, Some(q256Sql)),
+    QueryDef("q257_kendall_tau", q257, Some(q257Sql)),
+    QueryDef("q258_anova", q258, Some(q258Sql)),
+    QueryDef("q259_cramers_v", q259, Some(q259Sql)),
+    QueryDef("q260_holt_smooth", q260, Some(q260Sql)),
+    QueryDef("q261_kaplan_meier", q261, Some(q261Sql)),
     QueryDef("q235_chi2_independence", q235, Some(q235Sql)),
     QueryDef("q245_psi_drift", q245, Some(q245Sql)),
     QueryDef("q246_mutual_information", q246, Some(q246Sql)),

@@ -1289,7 +1289,52 @@ object EmbeddingQueries {
       |${embCtes.replace("FROM documents", "FROM v2")}
       |SELECT doc_id, CAST(j AS BIGINT) AS j, ev FROM epj""".stripMargin
 
+  /** q262 — Matryoshka truncation eval
+    * ([[Similarity.matryoshkaEval]]): top-5 overlap between the
+    * full-64-dim exact ranking and prefix-truncated rankings at
+    * d ∈ {8, 16, 32} for query vectors 0-7 — the serve-smaller
+    * memory/quality trade, measured exactly. The oracle recomputes
+    * each rung's brute-force ranking over sliced lists and counts the
+    * intersections (zero-overlap queries keep an explicit 0 row). */
+  private def q262(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Similarity.matryoshkaEval(
+      emb(s, dir), col("vec_id") < 8, k = 5, prefixDims = Seq(8, 16, 32))
+
+  private val q262Sql = {
+    def dotd(a: String, b: String, d: Int) =
+      s"list_sum(list_transform(generate_series(1, $d), i -> $a[i] * $b[i]))"
+    def cosd(av: String, bv: String, d: Int) =
+      s"round(${dotd(av, bv, d)} / (sqrt(${dotd(av, av, d)}) * sqrt(${dotd(bv, bv, d)})), 4)"
+    def topk(d: Int, name: String) =
+      s"""$name AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |           row_number() OVER (
+        |             PARTITION BY a.vec_id
+        |             ORDER BY ${cosd("a.v", "b.v", d)} DESC, b.vec_id) AS rn
+        |    FROM e a JOIN e b ON a.vec_id < 8 AND b.vec_id <> a.vec_id)
+        |  WHERE rn <= 5)""".stripMargin
+    val rungs = Seq(8, 16, 32).map { d =>
+      s"""SELECT q.query_id, CAST($d AS BIGINT) AS dims,
+        |  CAST(COALESCE((SELECT count(*) FROM top$d t
+        |                 JOIN full_t f ON f.query_id = t.query_id
+        |                              AND f.neighbor_id = t.neighbor_id
+        |                 WHERE t.query_id = q.query_id), 0) AS BIGINT)
+        |    AS n_overlap
+        |FROM qs q""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |${topk(64, "full_t")},
+      |${topk(8, "top8")},
+      |${topk(16, "top16")},
+      |${topk(32, "top32")},
+      |qs AS (SELECT DISTINCT query_id FROM full_t)
+      |$rungs""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q262_matryoshka_eval", q262, Some(q262Sql)),
     QueryDef("q171_rank_eval", q171, Some(q171Sql)),
     QueryDef("q176_incremental_embed", q176, Some(q176Sql)),
     QueryDef("q172_ivf_cell_stats", q172, Some(q172Sql)),

@@ -706,7 +706,119 @@ object GraphQueries {
       |SELECT node, component FROM l4""".stripMargin
   }
 
+  /** Shared SQL prelude for the support-thresholded co-purchase graph:
+    * edge cut (cc ≥ 2), undirected canonical pairs, both-ways
+    * directed rows, node set — the q219/q223 construction factored
+    * once for the r13 queries. */
+  private val coGraphCte =
+    """m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+      |      FROM lineitem),
+      |e0 AS (SELECT a.item AS src, b.item AS dst, count(*) AS cc
+      |       FROM m a JOIN m b ON a.g = b.g AND a.item <> b.item
+      |       GROUP BY 1, 2),
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM e0 WHERE cc >= 2),
+      |ed AS (SELECT a AS u, b AS v FROM und
+      |       UNION ALL SELECT b AS u, a AS v FROM und),
+      |n0 AS (SELECT DISTINCT u AS node FROM ed)""".stripMargin
+
+  /** q253 — synchronous label propagation
+    * ([[graft.graphs.LabelProp.labelPropagation]], 4 rounds,
+    * (count DESC, label ASC) argmax) over the support-thresholded
+    * co-purchase graph — the partition [[graft.graphs.Modularity]]
+    * scores (q227 scores the BRAND partition; this LEARNS one from
+    * structure alone). The oracle unrolls all four synchronous rounds
+    * as CTEs with a window-rank argmax. */
+  private def q253(s: SparkSession, dir: String): DataFrame =
+    graft.graphs.LabelProp.labelPropagation(
+      coPurchasePairs(s, dir), "src", "dst", rounds = 4)
+
+  private val q253Sql = {
+    val rounds = (1 to 4).map { i =>
+      s"""v$i AS (SELECT ed.v AS node, l.label, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM ed JOIN lab${i - 1} l ON l.node = ed.u GROUP BY 1, 2),
+        |p$i AS (SELECT node, label FROM (
+        |        SELECT node, label,
+        |               row_number() OVER (PARTITION BY node
+        |                                  ORDER BY cnt DESC, label ASC) AS rk
+        |        FROM v$i) WHERE rk = 1),
+        |lab$i AS (SELECT n0.node,
+        |            COALESCE(p$i.label, CAST(n0.node AS BIGINT)) AS label
+        |          FROM n0 LEFT JOIN p$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coGraphCte,
+      |lab0 AS (SELECT node, CAST(node AS BIGINT) AS label FROM n0),
+      |$rounds
+      |SELECT node, label FROM lab4""".stripMargin
+  }
+
+  /** q254 — resource-allocation link prediction
+    * ([[graft.graphs.LinkPredict.resourceAllocation]], cn ≥ 2) on the
+    * co-purchase graph: which part pairs SHOULD co-sell given their
+    * shared neighborhoods but never did — the candidate list a
+    * recommender ranks. RA weights are exact integer divisions, so
+    * the oracle replays the wedge join bit-for-bit. */
+  private def q254(s: SparkSession, dir: String): DataFrame =
+    graft.graphs.LinkPredict.resourceAllocation(
+      coPurchasePairs(s, dir), "src", "dst", minCommon = 2)
+
+  private val q254Sql =
+    s"""WITH $coGraphCte,
+      |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+      |        FROM ed GROUP BY 1),
+      |wz AS (SELECT ed.u AS z, ed.v AS n, deg.deg AS deg_z
+      |       FROM ed JOIN deg ON deg.node = ed.u),
+      |pairs AS (SELECT a.n AS pu, b.n AS pv,
+      |            CAST(count(*) AS BIGINT) AS cn,
+      |            CAST(sum(1000000 // a.deg_z) AS BIGINT) AS ra_e6
+      |          FROM wz a JOIN wz b ON a.z = b.z AND a.n < b.n
+      |          GROUP BY 1, 2
+      |          HAVING count(*) >= 2),
+      |open AS (SELECT * FROM pairs
+      |         WHERE NOT EXISTS (SELECT 1 FROM und
+      |                           WHERE und.a = pairs.pu AND und.b = pairs.pv))
+      |SELECT pu AS u, pv AS v, cn, ra_e6,
+      |       du.deg AS deg_u, dv.deg AS deg_v,
+      |       cn * 1000000 // (du.deg + dv.deg - cn) AS jaccard_e6
+      |FROM open JOIN deg du ON du.node = open.pu
+      |          JOIN deg dv ON dv.node = open.pv""".stripMargin
+
+  /** q255 — degree assortativity
+    * ([[graft.graphs.LinkPredict.degreeAssortativity]]) of the
+    * co-purchase graph: one number — do popular parts co-sell with
+    * popular parts? Moment sums exact longs; the Pearson ratio is one
+    * fixed double expression both engines evaluate identically. */
+  private def q255(s: SparkSession, dir: String): DataFrame =
+    graft.graphs.LinkPredict.degreeAssortativity(
+      coPurchasePairs(s, dir), "src", "dst")
+
+  private val q255Sql =
+    s"""WITH $coGraphCte,
+      |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+      |        FROM ed GROUP BY 1),
+      |j AS (SELECT du.deg AS du, dv.deg AS dv
+      |      FROM ed JOIN deg du ON du.node = ed.u
+      |              JOIN deg dv ON dv.node = ed.v),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+      |        CAST(sum(du) AS BIGINT) AS s_u, CAST(sum(dv) AS BIGINT) AS s_v,
+      |        CAST(sum(du * dv) AS BIGINT) AS s_uv,
+      |        CAST(sum(du * du) AS BIGINT) AS s_uu,
+      |        CAST(sum(dv * dv) AS BIGINT) AS s_vv
+      |      FROM j)
+      |SELECT m2,
+      |  round((CAST(m2 AS DOUBLE) * CAST(s_uv AS DOUBLE)
+      |         - CAST(s_u AS DOUBLE) * CAST(s_v AS DOUBLE)) /
+      |        (sqrt(CAST(m2 AS DOUBLE) * CAST(s_uu AS DOUBLE)
+      |              - CAST(s_u AS DOUBLE) * CAST(s_u AS DOUBLE)) *
+      |         sqrt(CAST(m2 AS DOUBLE) * CAST(s_vv AS DOUBLE)
+      |              - CAST(s_v AS DOUBLE) * CAST(s_v AS DOUBLE))), 6)
+      |    AS assortativity
+      |FROM s""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q253_label_propagation", q253, Some(q253Sql)),
+    QueryDef("q254_link_prediction", q254, Some(q254Sql)),
+    QueryDef("q255_assortativity", q255, Some(q255Sql)),
     QueryDef("q223_kcore", q223, Some(q223Sql)),
     QueryDef("q227_modularity", q227, Some(q227Sql)),
     QueryDef("q229_item_cosine_topk", q229, Some(q229Sql)),

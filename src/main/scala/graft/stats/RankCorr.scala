@@ -1,0 +1,109 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank correlations per group — the monotone-association tests an
+  * experiment readout runs when Pearson's linearity assumption is
+  * exactly what's in question (does spend rank with frequency? does
+  * quality score rank with human preference?).
+  *
+  * Both statistics ride the repo's value-grid discipline: ranks are
+  * never assigned per row by a global sort — they decompose into
+  * GRID-keyed prefix sums (doubled midranks stay exact integers, the
+  * [[Hypothesis.mannWhitneyU]] trick) joined back to rows by value,
+  * so every window is keyed by (group) over distinct values and every
+  * join is value-keyed. Only the final correlation is a rounded
+  * double computed in one fixed expression shape (deterministic IEEE
+  * ops — the oracle's identical tree matches bit-for-bit). */
+object RankCorr {
+
+  /** Spearman's ρ with ties (Pearson on midranks). Doubled midranks
+    * 2r(v) = 2·cum_<v + cnt(v) + 1 are exact longs per value-grid
+    * cell; the five moment sums over rows are exact longs (taken in
+    * DOUBLE only inside the final expression). One row per group:
+    * (group, n, rho). */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val rows = df.select(col(groupCol).as("grp"),
+                         col(xCol).cast("long").as("x"),
+                         col(yCol).cast("long").as("y"))
+    def midranks(vCol: String, out: String): DataFrame = {
+      val g = rows.groupBy(col("grp"), col(vCol).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum", sum(col("c")).over(w))
+        .select(col("grp"), col("v").as(vCol),
+                (lit(2L) * (col("cum") - col("c")) + col("c") + 1L).as(out))
+    }
+    val withR = rows
+      .join(midranks("x", "rx2"), Seq("grp", "x"))
+      .join(midranks("y", "ry2"), Seq("grp", "y"))
+    // moment sums in DECIMAL(38): rx2·ry2 ≤ (2n+1)², so 64-bit longs
+    // overflow beyond ~10⁶ rows per group — decimal keeps the sums
+    // exact at any group size (DuckDB's BIGINT product promotes to
+    // HUGEINT, the same exact arithmetic)
+    def dec(c: String) = col(c).cast("decimal(19,0)")
+    val s = withR.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec("rx2")).as("sx"), sum(dec("ry2")).as("sy"),
+           sum(dec("rx2") * dec("ry2")).as("sxy"),
+           sum(dec("rx2") * dec("rx2")).as("sxx"),
+           sum(dec("ry2") * dec("ry2")).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    s.select(col("grp").as(groupCol), col("n"),
+      round((d("n") * d("sxy") - d("sx") * d("sy")) /
+            (sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
+             sqrt(d("n") * d("syy") - d("sy") * d("sy"))), 6).as("rho"))
+  }
+
+  /** Kendall's τ-b over a BOUNDED joint value grid. Concordant /
+    * discordant / tie counts come from the joint (x, y) grid's cell
+    * self-join per group — cost |grid|², which is what bounds this
+    * operator: it is for ordinal / bucketed metrics (priority codes,
+    * quantity bands, discount steps), NOT for continuous values
+    * (bucket first — the [[graft.ts.EventAnalytics]] grid contract).
+    * All pair counts are exact longs (row pairs counted once, i < j
+    * by cell order); τ-b with the standard tie denominators is the
+    * single rounded double. One row per group:
+    * (group, n, nc, nd, tau_b). */
+  def kendallTauB(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val g = df.select(col(groupCol).as("grp"),
+                      col(xCol).cast("long").as("x"),
+                      col(yCol).cast("long").as("y"))
+      .groupBy(col("grp"), col("x"), col("y"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    // each unordered cell pair counted once via xa < xb; same-x pairs
+    // are ties on x and contribute to neither nc nor nd
+    val prod = g.select(col("grp"), col("x").as("xa"), col("y").as("ya"),
+                        col("c").as("ca"))
+      .join(g.select(col("grp"), col("x").as("xb"), col("y").as("yb"),
+                     col("c").as("cb")), Seq("grp"))
+      .filter(col("xa") < col("xb"))
+    val byGrp = prod.groupBy(col("grp")).agg(
+      sum(when(col("ya") < col("yb"), col("ca") * col("cb"))
+            .otherwise(0L)).as("nc"),
+      sum(when(col("ya") > col("yb"), col("ca") * col("cb"))
+            .otherwise(0L)).as("nd"))
+    val tx = g.groupBy(col("grp"), col("x"))
+      .agg(sum(col("c")).as("t"))
+      .groupBy(col("grp"))
+      .agg(sum(expr("t * (t - 1) div 2")).as("tie_x"),
+           sum(col("t")).as("n"))
+    val ty = g.groupBy(col("grp"), col("y"))
+      .agg(sum(col("c")).as("t"))
+      .groupBy(col("grp"))
+      .agg(sum(expr("t * (t - 1) div 2")).as("tie_y"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    byGrp.join(tx, Seq("grp")).join(ty, Seq("grp"))
+      .withColumn("n0", expr("n * (n - 1) div 2"))
+      .select(col("grp").as(groupCol), col("n"), col("nc"), col("nd"),
+        round((d(col("nc")) - d(col("nd"))) /
+              (sqrt(d(col("n0")) - d(col("tie_x"))) *
+               sqrt(d(col("n0")) - d(col("tie_y")))), 6).as("tau_b"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ts
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExpSmoothSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("doubleExpSmooth: hand-traced integer recurrence incl. negative trend") {
+    // alpha = 0.2, beta = 0.3 (2/10, 3/10); series 100, 200, 50
+    // t0: l=100 b=0 pred=100
+    // t1: pred=100; l=(2*200+8*100) div 10 = 120; b=(3*20+7*0) div 10 = 6
+    // t2: pred=126; l=(2*50+8*126) div 10 = 110; b=(3*(110-120)+7*6) div 10
+    //     = (-30+42) div 10 = 1
+    val df = Seq(("s", "2024-01-01", 100L), ("s", "2024-01-02", 200L),
+                 ("s", "2024-01-03", 50L))
+      .toDF("k", "ds", "y")
+      .select(org.apache.spark.sql.functions.col("k"),
+              org.apache.spark.sql.functions.to_date(
+                org.apache.spark.sql.functions.col("ds")).as("d"),
+              org.apache.spark.sql.functions.col("y"))
+    val got = ExpSmooth.doubleExpSmooth(df, "k", "d", "y")
+      .orderBy("d").collect()
+      .map(r => (r.getAs[Long]("y_c"), r.getAs[Long]("level_c"),
+                 r.getAs[Long]("trend_c"), r.getAs[Long]("pred_c"))).toSeq
+    assert(got == Seq((100L, 100L, 0L, 100L),
+                      (200L, 120L, 6L, 100L),
+                      (50L, 110L, 1L, 126L)), s"$got")
+  }
+
+  test("doubleExpSmooth: negative trend divisions truncate toward zero") {
+    // falling series exercises negative dividends: 1000, 100
+    // t1: l=(200+8000) div 10=820; b=(3*(820-1000)+0) div 10
+    //     = -540 div 10 = -54
+    val df = Seq(("s", java.sql.Date.valueOf("2024-01-01"), 1000L),
+                 ("s", java.sql.Date.valueOf("2024-01-02"), 100L),
+                 ("s", java.sql.Date.valueOf("2024-01-03"), 100L))
+      .toDF("k", "d", "y")
+    val got = ExpSmooth.doubleExpSmooth(df, "k", "d", "y")
+      .orderBy("d").collect()
+      .map(r => (r.getAs[Long]("level_c"), r.getAs[Long]("trend_c"),
+                 r.getAs[Long]("pred_c"))).toSeq
+    // t2: pred = 820-54 = 766; l=(200+8*766) div 10=632;
+    //     b=(3*(632-820)+7*(-54)) div 10 = (-564-378) div 10
+    //     = -942 div 10 = -94 (truncation toward zero)
+    assert(got == Seq((1000L, 0L, 1000L), (820L, -54L, 1000L),
+                      (632L, -94L, 766L)), s"$got")
+  }
+
+  test("doubleExpSmooth: independent series fold independently") {
+    val df = Seq(("a", java.sql.Date.valueOf("2024-01-01"), 10L),
+                 ("a", java.sql.Date.valueOf("2024-01-02"), 10L),
+                 ("b", java.sql.Date.valueOf("2024-01-01"), 99L))
+      .toDF("k", "d", "y")
+    val got = ExpSmooth.doubleExpSmooth(df, "k", "d", "y")
+      .collect().map(r => (r.getString(0), r.getAs[Long]("pred_c"))).toSet
+    assert(got == Set(("a", 10L), ("a", 10L), ("b", 99L)) ||
+           got.size == 2, s"$got")
+    assert(ExpSmooth.doubleExpSmooth(df, "k", "d", "y").count() == 3)
+  }
+}
