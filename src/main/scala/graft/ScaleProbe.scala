@@ -881,6 +881,21 @@ object ScaleProbeStats {
         graft.stats.Hypothesis.ksTest(obs, "grp", "arm", "v").count())
     }
 
+    // r13: the distributed grid prefix across a distinct-value decade —
+    // the path that replaced the single-task Window.orderBy in
+    // exactNtile / quantileNormalize / kaplanMeier. EVERY value
+    // distinct (the cents-valued-metric worst case the r12 verdict
+    // flagged); cost should track the grid ~linearly with no
+    // unpartitioned sort anywhere
+    for (nVals <- Seq(2000000L, 20000000L)) {
+      val grid = spark.range(nVals).select(
+        col("id").as("v"),
+        (pmod(hash(col("id")), lit(5)) + 1).cast("long").as("c"))
+      time(f"GridPrefix.prefixSums distinct-values=$nVals%,d")(
+        graft.scale.GridPrefix.prefixSums(grid, "v", "c")
+          .agg(max(col("cum"))).collect())
+    }
+
     spark.stop()
   }
 }

@@ -825,7 +825,95 @@ object DiagQueries {
       |SELECT t, n_risk, d_events, c_censored, CAST(sv AS BIGINT) AS s_e6
       |FROM km""".stripMargin
 
+  /** q263 — classical additive decomposition
+    * ([[graft.ts.Decompose.stlWeekly]]): daily event revenue split
+    * into 7-day-MA trend + weekday seasonal + residual, the anomaly
+    * triage that says WHICH component moved. Exact detrended integers
+    * (7·y − Σ₇) keep every cross-row sum long; edge days emit honest
+    * nulls. */
+  private def q263(s: SparkSession, dir: String): DataFrame =
+    graft.ts.Decompose.stlWeekly(dailyCents(s, dir), "event_type", "ds", "y")
+
+  private val q263Sql =
+    s"""WITH $dailySql,
+      |win AS (SELECT event_type, ds, y,
+      |          sum(y) OVER w AS s7, count(*) OVER w AS n7,
+      |          dayofweek(ds) + 1 AS dow
+      |        FROM daily
+      |        WINDOW w AS (PARTITION BY event_type ORDER BY ds
+      |                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |det AS (SELECT *, CASE WHEN n7 = 7 THEN 7 * y - s7 END AS detr_c7
+      |        FROM win),
+      |seas AS (SELECT event_type, dow,
+      |           CAST(round(CAST(sum(detr_c7) AS DOUBLE) / count(*) / 7.0
+      |                      * 1000000.0) AS BIGINT) AS s_e6
+      |         FROM det WHERE detr_c7 IS NOT NULL GROUP BY 1, 2),
+      |nrm AS (SELECT event_type, CAST(sum(s_e6) AS BIGINT) AS s_sum,
+      |          CAST(count(*) AS BIGINT) AS s_n
+      |        FROM seas GROUP BY 1),
+      |adj AS (SELECT seas.event_type, dow,
+      |          CAST(s_e6 - s_sum // s_n AS BIGINT) AS seasonal_e6
+      |        FROM seas JOIN nrm USING (event_type))
+      |SELECT det.event_type, ds, y AS y_c,
+      |  CASE WHEN n7 = 7
+      |    THEN CAST(round(CAST(s7 AS DOUBLE) / 7.0 * 1000000.0) AS BIGINT)
+      |  END AS trend_e6,
+      |  seasonal_e6,
+      |  CASE WHEN n7 = 7
+      |    THEN CAST(y * 1000000
+      |         - CAST(round(CAST(s7 AS DOUBLE) / 7.0 * 1000000.0) AS BIGINT)
+      |         - seasonal_e6 AS BIGINT)
+      |  END AS resid_e6
+      |FROM det LEFT JOIN adj
+      |  ON adj.event_type = det.event_type AND adj.dow = det.dow""".stripMargin
+
+  /** q264 — clamped inventory balance
+    * ([[graft.ts.Inventory.clampedBalance]]): per event type, a
+    * signed daily net movement (credits from even users, debits from
+    * odd — deterministic from the data) folded through
+    * bal′ = max(0, bal + δ) with the swallowed shortfall emitted as
+    * stockout_c. A window sum CANNOT express the clamp (after a
+    * stockout the balance rebuilds from zero, not from the fictitious
+    * negative) — the oracle replays the recurrence with a recursive
+    * CTE. */
+  private def q264(s: SparkSession, dir: String): DataFrame = {
+    val deltas = t(s, dir, "events")
+      .groupBy(col("event_type"), dayBucket(col("ts")).as("ds"))
+      .agg(sum(when(pmod(col("user_id"), lit(2)) === 0,
+                    cents(col("value")))
+               .otherwise(-cents(col("value")))).as("delta"))
+    graft.ts.Inventory.clampedBalance(deltas, "event_type", "ds", "delta")
+  }
+
+  private val q264Sql =
+    """WITH RECURSIVE deltas AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS ds,
+      |         CAST(sum(CASE WHEN user_id % 2 = 0
+      |                  THEN CAST(round(value*100) AS BIGINT)
+      |                  ELSE -CAST(round(value*100) AS BIGINT) END)
+      |              AS BIGINT) AS delta
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type, ds, delta,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY ds) AS rn
+      |      FROM deltas),
+      |bal AS (
+      |  SELECT event_type, rn, ds, delta,
+      |         greatest(CAST(0 AS BIGINT), delta) AS b,
+      |         greatest(CAST(0 AS BIGINT), -delta) AS short
+      |  FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.event_type, s.rn, s.ds, s.delta,
+      |         greatest(CAST(0 AS BIGINT), bal.b + s.delta),
+      |         greatest(CAST(0 AS BIGINT), -(bal.b + s.delta))
+      |  FROM bal JOIN s ON s.event_type = bal.event_type
+      |                 AND s.rn = bal.rn + 1)
+      |SELECT event_type, ds, delta AS delta_c, b AS balance_c,
+      |       short AS stockout_c
+      |FROM bal""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q263_stl_decompose", q263, Some(q263Sql)),
+    QueryDef("q264_inventory_balance", q264, Some(q264Sql)),
     QueryDef("q256_spearman", q256, Some(q256Sql)),
     QueryDef("q257_kendall_tau", q257, Some(q257Sql)),
     QueryDef("q258_anova", q258, Some(q258Sql)),

@@ -3231,7 +3231,38 @@ object TextQueries {
       |       round(i * 1.0 / (n_a + n_b - i), 6) AS jaccard
       |FROM ix WHERE round(i * 1.0 / (n_a + n_b - i), 6) >= 0.8""".stripMargin
 
+  /** q265 — exact phrase search
+    * ([[graft.pipeline.PhraseSearch.phraseSearch]], phrase
+    * "value table part"): positional-index retrieval — m−1 keyed
+    * (doc, pos) equi-joins with phrase-term filters pushed to each
+    * branch, the quoted-string primitive bag-of-words BM25 (q81)
+    * cannot express. Overlapping occurrences count (standard
+    * positional semantics). */
+  private def q265(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.PhraseSearch.phraseSearch(
+      t(s, dir, "documents"), "doc_id", "text",
+      Seq("value", "table", "part"))
+
+  private val q265Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, p - 1 AS pos, l[p] AS w
+      |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS l
+      |        FROM documents) t,
+      |       LATERAL (SELECT unnest(generate_series(1, len(l))) AS p)
+      |  WHERE l[p] <> ''),
+      |m0 AS (SELECT doc_id, pos FROM toks WHERE w = 'value'),
+      |m1 AS (SELECT m0.doc_id, m0.pos FROM m0
+      |       JOIN toks t1 ON t1.doc_id = m0.doc_id
+      |                   AND t1.pos = m0.pos + 1 AND t1.w = 'table'),
+      |m2 AS (SELECT m1.doc_id, m1.pos FROM m1
+      |       JOIN toks t2 ON t2.doc_id = m1.doc_id
+      |                   AND t2.pos = m1.pos + 2 AND t2.w = 'part')
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+      |       CAST(min(pos) AS BIGINT) AS first_pos
+      |FROM m2 GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q265_phrase_search", q265, Some(q265Sql)),
     QueryDef("q181_winnow_fps", q181, Some(q181Sql)),
     QueryDef("q182_winnow_clones", q182, Some(q182Sql)),
     QueryDef("q183_char_stats", q183, Some(q183Sql)),

@@ -1,0 +1,63 @@
+package graft.ts
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classical additive seasonal decomposition (STL-lite) on the
+  * integer grid — y = trend + weekly seasonal + residual, the
+  * anomaly-triage readout ([[graft.queries]] q191's seasonal-outlier
+  * machinery generalized to a full three-component split).
+  *
+  * Exactness discipline: the centered 7-day moving average would be a
+  * float per row, so the DETRENDED series is kept exact instead —
+  * detr_c7 = 7·y − Σ₇y (integer cents ×7). Per weekday the seasonal
+  * index is ONE double expression over exact longs (Σ detr_c7 / n / 7)
+  * e6-rounded BEFORE the 7-value normalization (which is then pure
+  * integer arithmetic on the e6 grid). trend_e6 is a per-row single
+  * expression over the exact window sum. No float ever crosses an
+  * aggregation boundary.
+  *
+  * Scale shape: one keyed ROWS window (±3 per series), one
+  * weekday-grid aggregate (7 rows per series), one broadcast-back
+  * join. Edge days (incomplete window) emit null trend/residual —
+  * honest nulls, not padded estimates. */
+object Decompose {
+
+  /** @return one row per (key, date): (key, date, y_c, trend_e6,
+    *         seasonal_e6, resid_e6) — trend/resid null on the first
+    *         and last 3 days of each series. */
+  def stlWeekly(daily: DataFrame, keyCol: String, dateCol: String,
+                vCol: String): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("d"))
+      .rowsBetween(-3, 3)
+    val base = daily.select(col(keyCol).as("k"), col(dateCol).as("d"),
+                            col(vCol).cast("long").as("y"))
+      .withColumn("s7", sum(col("y")).over(w))
+      .withColumn("n7", count(lit(1)).over(w))
+      .withColumn("detr_c7",
+        when(col("n7") === 7, lit(7L) * col("y") - col("s7")))
+      .withColumn("dow", dayofweek(col("d")).cast("long"))
+    val seas = base.filter(col("detr_c7").isNotNull)
+      .groupBy(col("k"), col("dow"))
+      .agg(sum(col("detr_c7")).as("sd"), count(lit(1)).as("nd"))
+      .withColumn("s_e6",
+        round(col("sd").cast("double") / col("nd") / 7.0 * 1000000.0)
+          .cast("long"))
+    val norm = seas.groupBy(col("k"))
+      .agg(sum(col("s_e6")).as("s_sum"), count(lit(1)).as("s_n"))
+    val seasAdj = seas.join(norm, Seq("k"))
+      .select(col("k"), col("dow"),
+              (col("s_e6") - expr("s_sum div s_n")).as("seasonal_e6"))
+    base.join(seasAdj, Seq("k", "dow"), "left")
+      .select(col("k").as(keyCol), col("d").as(dateCol), col("y").as("y_c"),
+        when(col("n7") === 7,
+          round(col("s7").cast("double") / 7.0 * 1000000.0).cast("long"))
+          .as("trend_e6"),
+        col("seasonal_e6"),
+        when(col("n7") === 7,
+          col("y") * 1000000L -
+            round(col("s7").cast("double") / 7.0 * 1000000.0).cast("long") -
+            col("seasonal_e6")).as("resid_e6"))
+  }
+}
