@@ -657,43 +657,47 @@ object DiagQueries {
 
   /** q258 — one-way ANOVA ([[graft.stats.Anova.anovaOneWay]]) of
     * order value across the five order priorities: per-priority
-    * decomposition plus the global F, the q235 ledger convention
-    * (per-group terms e6-rounded BEFORE the order-free long sums). */
+    * decomposition plus the global F, per-group terms integer-rounded
+    * BEFORE the order-free long sums (the q235 ledger convention).
+    * Values in WHOLE DOLLARS — the q240/CUPED whole-currency rule:
+    * cents² sums of squares overflow int64 at sf0.1 already (caught
+    * live in the r13 bench). */
   private def q258(s: SparkSession, dir: String): DataFrame =
     graft.stats.Anova.anovaOneWay(
       t(s, dir, "orders")
-        .select(col("o_orderpriority"), cents(col("o_totalprice")).as("v")),
+        .select(col("o_orderpriority"),
+                round(col("o_totalprice")).cast("long").as("v")),
       "o_orderpriority", "v")
 
   private val q258Sql =
     """WITH r AS (SELECT o_orderpriority AS grp,
-      |             CAST(round(o_totalprice*100) AS BIGINT) AS v
+      |             CAST(round(o_totalprice) AS BIGINT) AS v
       |           FROM orders),
       |perg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
-      |           CAST(sum(v) AS BIGINT) AS t_c, sum(v * v) AS s2
+      |           CAST(sum(v) AS BIGINT) AS t_sum, sum(v * v) AS s2
       |         FROM r GROUP BY 1),
       |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
-      |          CAST(sum(t_c) AS BIGINT) AS t,
+      |          CAST(sum(t_sum) AS BIGINT) AS t,
       |          CAST(count(*) AS BIGINT) AS k FROM perg),
-      |terms AS (SELECT grp, n_g, t_c, k, n,
-      |            CAST(t_c AS DOUBLE) / n_g AS mean_g,
+      |terms AS (SELECT grp, n_g, t_sum, k, n,
+      |            CAST(t_sum AS DOUBLE) / n_g AS mean_g,
       |            CAST(t AS DOUBLE) / n AS mean_all, s2
       |          FROM perg CROSS JOIN tot),
-      |t2 AS (SELECT grp, n_g, t_c, k, n,
-      |         CAST(round(mean_g * 100.0) AS BIGINT) AS mean_c_e2,
+      |t2 AS (SELECT grp, n_g, t_sum, k, n,
+      |         CAST(round(mean_g * 100.0) AS BIGINT) AS mean_e2,
       |         CAST(round(CAST(n_g AS DOUBLE) * (mean_g - mean_all)
-      |           * (mean_g - mean_all)) AS BIGINT) AS ssb_term_c2,
-      |         CAST(round(CAST(s2 AS DOUBLE) - CAST(t_c AS DOUBLE)
-      |           * CAST(t_c AS DOUBLE) / n_g) AS BIGINT)
-      |           AS ssw_term_c2
+      |           * (mean_g - mean_all)) AS BIGINT) AS ssb_term,
+      |         CAST(round(CAST(s2 AS DOUBLE) - CAST(t_sum AS DOUBLE)
+      |           * CAST(t_sum AS DOUBLE) / n_g) AS BIGINT)
+      |           AS ssw_term
       |       FROM terms),
-      |gl AS (SELECT CAST(sum(ssb_term_c2) AS BIGINT) AS ssb_c2,
-      |         CAST(sum(ssw_term_c2) AS BIGINT) AS ssw_c2 FROM t2)
-      |SELECT grp AS o_orderpriority, n_g, t_c, mean_c_e2, ssb_term_c2,
-      |  ssb_c2, ssw_c2, k, n,
+      |gl AS (SELECT CAST(sum(ssb_term) AS BIGINT) AS ssb,
+      |         CAST(sum(ssw_term) AS BIGINT) AS ssw FROM t2)
+      |SELECT grp AS o_orderpriority, n_g, t_sum, mean_e2, ssb_term,
+      |  ssb, ssw, k, n,
       |  CASE WHEN k > 1 AND n > k THEN
-      |    round((CAST(ssb_c2 AS DOUBLE) / (k - 1)) /
-      |          (CAST(ssw_c2 AS DOUBLE) / (n - k)), 6)
+      |    round((CAST(ssb AS DOUBLE) / (k - 1)) /
+      |          (CAST(ssw AS DOUBLE) / (n - k)), 6)
       |  END AS f
       |FROM t2 CROSS JOIN gl""".stripMargin
 

@@ -3261,7 +3261,108 @@ object TextQueries {
       |       CAST(min(pos) AS BIGINT) AS first_pos
       |FROM m2 GROUP BY 1""".stripMargin
 
+  /** q266 — unigram-LM tokenizer training
+    * ([[graft.pipeline.UnigramLm.trainViterbiEm]], 2 Viterbi-EM
+    * iterations, pieces ≤ 6 chars, words ≤ 12): SentencePiece's
+    * probabilistic family next to the BPE merges (q118/q136) — pieces
+    * carry milli-nat costs, words segment by maximum likelihood, and
+    * the M-step recounts winning pieces (singles floored, losing
+    * multi-char pieces prune out). The oracle unrolls BOTH EM
+    * iterations — costs, the position-indexed Viterbi DP with the
+    * (cost, split) tie rule, the backtrace, and the recount — as
+    * generated CTEs. */
+  private def q266(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.UnigramLm.unigramPieces(
+      t(s, dir, "documents"), "doc_id", "text",
+      maxPieceLen = 6, maxWordLen = 12, iters = 2)
+
+  private val q266Sql = {
+    val mp = 6
+    val ml = 12
+    val iters = 2
+    def dpChain(t: Int): String = {
+      val levels = (1 to ml).map { k =>
+        val prevs = (math.max(0, k - mp) until k)
+          .map(j => s"SELECT * FROM d${t}_$j").mkString(" UNION ALL ")
+        s"""d${t}_$k AS MATERIALIZED (
+          |  SELECT w, $k AS k, cost, j AS back FROM (
+          |    SELECT u.w, u.cost, u.j,
+          |           row_number() OVER (PARTITION BY u.w
+          |                              ORDER BY u.cost, u.j) AS rn
+          |    FROM (SELECT p.w, dj.cost + p.cost_e3 AS cost, p.i AS j
+          |          FROM pwc$t p JOIN ($prevs) dj
+          |            ON dj.w = p.w AND dj.k = p.i
+          |          WHERE p.k = $k) u) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val all = (1 to ml).map(k => s"SELECT * FROM d${t}_$k")
+        .mkString(" UNION ALL ")
+      s"""$levels,
+        |dall$t AS MATERIALIZED ($all)""".stripMargin
+    }
+    def backChain(t: Int): String = {
+      val steps = (1 to ml).map { s =>
+        if (s == 1)
+          s"""f${t}_1 AS MATERIALIZED (SELECT wl.w, d.back AS i, wl.len AS k
+            |  FROM wl JOIN dall$t d ON d.w = wl.w AND d.k = wl.len)"""
+            .stripMargin
+        else
+          s"""f${t}_$s AS MATERIALIZED (SELECT f.w, d.back AS i, f.i AS k
+            |  FROM f${t}_${s - 1} f JOIN dall$t d
+            |    ON d.w = f.w AND d.k = f.i
+            |  WHERE f.i > 0)""".stripMargin
+      }.mkString(",\n")
+      val all = (1 to ml).map(s => s"SELECT * FROM f${t}_$s")
+        .mkString(" UNION ALL ")
+      s"""$steps,
+        |seg$t AS MATERIALIZED ($all)""".stripMargin
+    }
+    def iteration(t: Int): String =
+      s"""tt$t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM c$t),
+        |cost$t AS (SELECT piece,
+        |    CAST(round(ln(CAST(tt AS DOUBLE) / cnt) * 1e3) AS BIGINT)
+        |      AS cost_e3
+        |  FROM c$t CROSS JOIN tt$t),
+        |pwc$t AS MATERIALIZED (SELECT pw.w, pw.i, pw.k, pw.piece, cost_e3
+        |  FROM pw JOIN cost$t USING (piece)),
+        |d${t}_0 AS MATERIALIZED (SELECT w, 0 AS k, CAST(0 AS BIGINT) AS cost, -1 AS back
+        |  FROM w0),
+        |${dpChain(t)},
+        |${backChain(t)},
+        |sc$t AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM seg$t JOIN pw USING (w, i, k) GROUP BY 1),
+        |c${t + 1} AS MATERIALIZED (
+        |  SELECT piece, cnt FROM sc$t
+        |  WHERE piece NOT IN (SELECT piece FROM sing)
+        |  UNION ALL
+        |  SELECT s.piece, greatest(coalesce(sc.cnt, 0), 1) AS cnt
+        |  FROM sing s LEFT JOIN sc$t sc USING (piece))""".stripMargin
+    s"""WITH w0 AS MATERIALIZED (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(string_split(trim(text), ' ')) AS w
+      |    FROM documents) x
+      |  WHERE w <> '' AND length(w) <= $ml GROUP BY 1),
+      |wl AS (SELECT w, length(w) AS len FROM w0),
+      |pw AS MATERIALIZED (
+      |  SELECT a.w, a.freq, a.i, b.k, substr(a.w, a.i + 1, b.k - a.i)
+      |           AS piece
+      |  FROM (SELECT w, freq,
+      |          unnest(generate_series(0, length(w) - 1)) AS i
+      |        FROM w0) a,
+      |  LATERAL (SELECT unnest(generate_series(a.i + 1,
+      |             least(length(a.w), a.i + $mp))) AS k) b),
+      |sing AS MATERIALIZED (SELECT DISTINCT piece FROM pw WHERE k - i = 1),
+      |c1 AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+      |       FROM pw GROUP BY 1),
+      |${(1 to iters).map(iteration).mkString(",\n")},
+      |ttf AS (SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM c${iters + 1})
+      |SELECT piece, cnt,
+      |  CAST(round(ln(CAST(tt AS DOUBLE) / cnt) * 1e3) AS BIGINT)
+      |    AS cost_e3
+      |FROM c${iters + 1} CROSS JOIN ttf""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q266_unigram_lm", q266, Some(q266Sql)),
     QueryDef("q265_phrase_search", q265, Some(q265Sql)),
     QueryDef("q181_winnow_fps", q181, Some(q181Sql)),
     QueryDef("q182_winnow_clones", q182, Some(q182Sql)),

@@ -17,20 +17,22 @@ import org.apache.spark.sql.functions._
   * identical tree hash-matches. */
 object Anova {
 
-  /** One-way ANOVA over integer (cents) values. Per group:
-    * (group, n_g, t_c, mean_c_e2, ssb_term_c2) with the global
-    * (ssb_c2, ssw_c2, k, n, f) broadcast onto every row — the q235
-    * output convention (the per-group decomposition IS the readout;
-    * F alone hides where the variance lives).
+  /** One-way ANOVA over integer values — callers pick the UNIT, and
+    * the unit is a scale decision: sums of squares grow ~n·σ², so a
+    * cents-valued metric overflows int64 SS around n·σ² ≈ 10¹⁹
+    * (caught live: cents² at sf0.1 already trips ANSI overflow —
+    * q258 feeds WHOLE DOLLARS, the q240/CUPED whole-currency
+    * convention). Per group: (group, n_g, t_sum, mean_e2, ssb_term)
+    * with the global (ssb, ssw, k, n, f) broadcast onto every row —
+    * the q235 output convention (the per-group decomposition IS the
+    * readout; F alone hides where the variance lives).
     *
     * SSB_g = n_g·(mean_g − mean)², SSW_g = S_g − T_g²/n_g — each one
-    * double expression rounded per group to INTEGER CENTS² (sum-of-
-    * squares magnitudes are ~n·σ² cents² ≈ 10¹⁴ already; an e6 grid
-    * on top would overflow int64 — 1-cents² granularity is ~14
-    * significant digits of the statistic), then summed as order-free
-    * longs. F = (SSB/(k−1)) / (SSW/(n−k)), null when degenerate
-    * (k < 2 or n ≤ k). Scale shape: one keyed pass over the rows,
-    * then group-alphabet-sized aggregates. */
+    * double expression rounded per group to the integer unit² grid
+    * (~9+ significant digits of the statistic at any feasible n),
+    * then summed as order-free longs. F = (SSB/(k−1)) / (SSW/(n−k)),
+    * null when degenerate (k < 2 or n ≤ k). Scale shape: one keyed
+    * pass over the rows, then group-alphabet-sized aggregates. */
   def anovaOneWay(df: DataFrame, groupCol: String,
                   valueCol: String): DataFrame = {
     val rows = df.select(col(groupCol).as("grp"),
@@ -40,32 +42,32 @@ object Anova {
     // sum(BIGINT) promotes to HUGEINT, the same exact arithmetic);
     // a double sum here would be float-order-dependent
     val perG = rows.groupBy(col("grp"))
-      .agg(count(lit(1)).as("n_g"), sum(col("v")).as("t_c"),
+      .agg(count(lit(1)).as("n_g"), sum(col("v")).as("t_sum"),
            sum(col("v").cast("decimal(19,0)") *
                col("v").cast("decimal(19,0)")).as("s2"))
-    val tot = perG.agg(sum(col("n_g")).as("n"), sum(col("t_c")).as("t"),
+    val tot = perG.agg(sum(col("n_g")).as("n"), sum(col("t_sum")).as("t"),
                        count(lit(1)).as("k"))
     val terms = perG.crossJoin(broadcast(tot))
-      .withColumn("mean_g", col("t_c").cast("double") / col("n_g"))
+      .withColumn("mean_g", col("t_sum").cast("double") / col("n_g"))
       .withColumn("mean_all", col("t").cast("double") / col("n"))
-      .withColumn("ssb_term_c2",
+      .withColumn("ssb_term",
         round(col("n_g").cast("double") *
               (col("mean_g") - col("mean_all")) *
               (col("mean_g") - col("mean_all"))).cast("long"))
-      .withColumn("ssw_term_c2",
-        round(col("s2").cast("double") - col("t_c").cast("double") *
-               col("t_c").cast("double") / col("n_g"))
+      .withColumn("ssw_term",
+        round(col("s2").cast("double") - col("t_sum").cast("double") *
+               col("t_sum").cast("double") / col("n_g"))
           .cast("long"))
-    val g = terms.agg(sum(col("ssb_term_c2")).as("ssb_c2"),
-                      sum(col("ssw_term_c2")).as("ssw_c2"))
+    val g = terms.agg(sum(col("ssb_term")).as("ssb"),
+                      sum(col("ssw_term")).as("ssw"))
     terms.crossJoin(broadcast(g))
-      .select(col("grp").as(groupCol), col("n_g"), col("t_c"),
-        round(col("mean_g") * 100.0).cast("long").as("mean_c_e2"),
-        col("ssb_term_c2"), col("ssb_c2"), col("ssw_c2"),
+      .select(col("grp").as(groupCol), col("n_g"), col("t_sum"),
+        round(col("mean_g") * 100.0).cast("long").as("mean_e2"),
+        col("ssb_term"), col("ssb"), col("ssw"),
         col("k"), col("n"),
         when(col("k") > 1L && col("n") > col("k"),
-          round((col("ssb_c2").cast("double") / (col("k") - 1)) /
-                (col("ssw_c2").cast("double") / (col("n") - col("k"))), 6))
+          round((col("ssb").cast("double") / (col("k") - 1)) /
+                (col("ssw").cast("double") / (col("n") - col("k"))), 6))
           .as("f"))
   }
 

@@ -16,12 +16,12 @@ class AnovaSpec extends AnyFunSuite {
     val rows = Anova.anovaOneWay(df, "g", "v").collect()
     assert(rows.length == 2)
     val r = rows.head
-    assert(r.getAs[Long]("ssb_c2") == 24L)
-    assert(r.getAs[Long]("ssw_c2") == 4L)
+    assert(r.getAs[Long]("ssb") == 24L)
+    assert(r.getAs[Long]("ssw") == 4L)
     assert(math.abs(r.getAs[Double]("f") - 24.0) < 1e-6)
     val byG = rows.map(x => x.getString(0) ->
-      ((x.getAs[Long]("n_g"), x.getAs[Long]("t_c"),
-        x.getAs[Long]("ssb_term_c2")))).toMap
+      ((x.getAs[Long]("n_g"), x.getAs[Long]("t_sum"),
+        x.getAs[Long]("ssb_term")))).toMap
     assert(byG("a") == ((3L, 6L, 12L)))
     assert(byG("b") == ((3L, 18L, 12L)))
   }
