@@ -33,6 +33,58 @@ import org.apache.spark.sql.functions._
   * Integer-exact: sums of longs end to end, no percentile doubles. */
 object GridPrefix {
 
+  /** GROUP-KEYED distributed prefix sums — the per-group twin of
+    * [[prefixSums]] for grids keyed by (group, value) where a SINGLE
+    * group's value grid can approach corpus cardinality (per-group
+    * cents CDFs: KS, Mann-Whitney midranks, Spearman ranks, per-group
+    * quantile matching). The naive `Window.partitionBy(group)
+    * .orderBy(value)` sorts each group in ONE task — fine for many
+    * small groups, a scale killer for few wide ones.
+    *
+    * Decomposition: `repartitionByRange(group, value)` splits every
+    * group across range buckets; the in-bucket window is keyed by
+    * (bucket, group); bucket totals form a (≤ P + G)-row table whose
+    * exclusive offsets come from a window KEYED BY GROUP over the
+    * bucket axis (≤ P rows per group — bounded by the partition
+    * count, never by data), joined back unhinted. NOTHING is
+    * collected and nothing is broadcast by hint, so the shape holds
+    * for any group count AND any per-group grid width
+    * simultaneously.
+    *
+    * @param cntCols one or more long weight columns; each `c` gains
+    *                `cum_c` (inclusive) and `cum_before_c`
+    *                (exclusive) running sums in (group, value)
+    *                order. */
+  def groupedPrefixSums(grid: DataFrame, grpCol: String, valCol: String,
+                        cntCols: Seq[String]): DataFrame = {
+    require(cntCols.nonEmpty, "cntCols must be non-empty")
+    val spark = grid.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = grid
+      .repartitionByRange(parts, col(grpCol), col(valCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val wIn = Window.partitionBy(col("__pid"), col(grpCol))
+      .orderBy(col(valCol))
+    val local = cntCols.foldLeft(ranged) { (df, c) =>
+      df.withColumn(s"__cin_$c", sum(col(c)).over(wIn))
+    }
+    val totAggs = cntCols.map(c => sum(col(c)).as(s"__t_$c"))
+    val totals = ranged.groupBy(col("__pid"), col(grpCol))
+      .agg(totAggs.head, totAggs.tail: _*)
+    val wOff = Window.partitionBy(col(grpCol)).orderBy(col("__pid"))
+    val offs = totals.select(
+      col("__pid") +: col(grpCol) +: cntCols.map(c =>
+        (sum(col(s"__t_$c")).over(wOff) - col(s"__t_$c")).as(s"__off_$c")): _*)
+    val joined = local.join(offs, Seq("__pid", grpCol))
+    val out = cntCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"cum_$c", col(s"__cin_$c") + col(s"__off_$c"))
+        .withColumn(s"cum_before_$c", col(s"cum_$c") - col(c))
+    }
+    out.drop("__pid" +: cntCols.flatMap(c =>
+      Seq(s"__cin_$c", s"__off_$c")): _*)
+  }
+
   /** Add running sums over `grid` ordered by `valCol`.
     *
     * @param grid one row per distinct value (typically the output of

@@ -1,7 +1,6 @@
 package graft.stats
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Two-sample hypothesis tests over grouped observations — the
@@ -42,11 +41,14 @@ object Hypothesis {
            sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("cb"))
     val tot = g.groupBy(col("grp"))
       .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
-    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = g
-      .withColumn("cuma", sum(col("ca")).over(w))
-      .withColumn("cumb", sum(col("cb")).over(w))
+    // per-group CDFs via the GROUPED distributed prefix: one group's
+    // value grid approaches corpus cardinality for cents metrics, so
+    // the per-group cumulative must not be a one-task sort
+    val cum = graft.scale.GridPrefix.groupedPrefixSums(g, "grp", "v",
+        Seq("ca", "cb"))
+      .withColumnRenamed("cum_ca", "cuma")
+      .withColumnRenamed("cum_cb", "cumb")
+      .drop("cum_before_ca", "cum_before_cb")
       .join(tot, Seq("grp"))
       .withColumn("dnum", abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")))
     // exact integer argmax with earliest-value ties: max_by on the
@@ -81,11 +83,11 @@ object Hypothesis {
       .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("ca"),
            sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("cb"))
       .withColumn("c", col("ca") + col("cb"))
-    val wPrev = Window.partitionBy(col("grp")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = g
-      .withColumn("cumprev", coalesce(sum(col("c")).over(wPrev), lit(0L)))
-      .withColumn("r2", lit(2L) * col("cumprev") + col("c") + 1L)
+    // doubled midranks over the grouped distributed prefix (same
+    // scale rationale as ksTest above)
+    val ranked = graft.scale.GridPrefix.groupedPrefixSums(g, "grp", "v",
+        Seq("c"))
+      .withColumn("r2", lit(2L) * col("cum_before_c") + col("c") + 1L)
     val agg = ranked.groupBy(col("grp"))
       .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
            sum(col("ca") * col("r2")).as("r2_a"),

@@ -1,7 +1,6 @@
 package graft.stats
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Quantile normalization across groups — map every group's value
@@ -14,12 +13,12 @@ import org.apache.spark.sql.functions._
   * end, no percentile doubles anywhere.
   *
   * Plan shape: both CDFs ride the repo's value-grid discipline
-  * (windows over DISTINCT values — group-keyed for sources; the
-  * POOLED grid, which for continuous metrics approaches corpus
-  * cardinality, goes through
-  * [[graft.scale.GridPrefix.prefixSums]]'s two-level distributed
-  * prefix instead of a single-task sort), and the rank→pooled-value
-  * lookup
+  * (windows over DISTINCT values, and BOTH prefixes are distributed:
+  * the pooled grid through
+  * [[graft.scale.GridPrefix.prefixSums]] and the per-source grids
+  * through [[graft.scale.GridPrefix.groupedPrefixSums]], so neither
+  * a wide pooled grid nor one wide source ever sorts in a single
+  * task), and the rank→pooled-value lookup
   * is the cover-interval range join decomposed through
   * [[graft.joins.RangeJoin.rangeJoin]]'s bucketized equi-join (the
   * pooled cover intervals PARTITION [1, n_tot], so exploded bucket
@@ -37,11 +36,14 @@ object Normalize {
                         bucketWidth: Long = 1024L): DataFrame = {
     val rows = df.select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
     val srcGrid = rows.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
-    val wSrc = Window.partitionBy(col("grp")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nG = srcGrid.groupBy(col("grp")).agg(sum(col("c")).as("n_g"))
-    val src = srcGrid
-      .withColumn("cum", sum(col("c")).over(wSrc))
+    // per-group CDF via the GROUPED distributed prefix — one source's
+    // value grid approaches corpus cardinality for cents metrics, so
+    // the within-group cumulative must not be a one-task sort
+    val src = graft.scale.GridPrefix.groupedPrefixSums(srcGrid, "grp", "v",
+        Seq("c"))
+      .withColumnRenamed("cum_c", "cum")
+      .drop("cum_before_c")
       .join(nG, Seq("grp"))
     val poolGrid = rows.groupBy(col("v")).agg(count(lit(1)).as("c_all"))
     val pool = graft.scale.GridPrefix.prefixSums(poolGrid, "v", "c_all")

@@ -29,14 +29,16 @@ object RankCorr {
     val rows = df.select(col(groupCol).as("grp"),
                          col(xCol).cast("long").as("x"),
                          col(yCol).cast("long").as("y"))
+    // doubled midranks via the GROUPED distributed prefix: a single
+    // group's value grid approaches corpus cardinality for
+    // cents-valued metrics, so the per-group window must not be one
+    // task (the exactNtile lesson, group-keyed)
     def midranks(vCol: String, out: String): DataFrame = {
       val g = rows.groupBy(col("grp"), col(vCol).as("v"))
         .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("grp")).orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      g.withColumn("cum", sum(col("c")).over(w))
+      graft.scale.GridPrefix.groupedPrefixSums(g, "grp", "v", Seq("c"))
         .select(col("grp"), col("v").as(vCol),
-                (lit(2L) * (col("cum") - col("c")) + col("c") + 1L).as(out))
+                (lit(2L) * col("cum_before_c") + col("c") + 1L).as(out))
     }
     val withR = rows
       .join(midranks("x", "rx2"), Seq("grp", "x"))

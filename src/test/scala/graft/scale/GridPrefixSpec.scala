@@ -60,4 +60,75 @@ class GridPrefixSpec extends AnyFunSuite {
     }
     assert(bad.isEmpty, s"unpartitioned window in:\n$inner")
   }
+
+  // ---- groupedPrefixSums ----
+
+  private def refGrouped(rows: Seq[(String, Long, Long)])
+      : Map[(String, Long), (Long, Long)] =
+    rows.groupBy(_._1).flatMap { case (g, vs) =>
+      var acc = 0L
+      vs.sortBy(_._2).map { case (_, v, c) =>
+        val before = acc; acc += c; (g, v) -> ((before + c, before))
+      }
+    }
+
+  private def checkGrouped(rows: Seq[(String, Long, Long)],
+                           cols: Seq[String] = Seq("c")): Unit = {
+    import spark.implicits._
+    val got = GridPrefix
+      .groupedPrefixSums(rows.toDF("g", "v", "c"), "g", "v", cols)
+      .select(col("g"), col("v"), col("cum_c"), col("cum_before_c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == refGrouped(rows))
+  }
+
+  test("grouped: matches per-group reference, small mixed groups") {
+    checkGrouped(Seq(("a", 5L, 2L), ("a", 1L, 3L), ("b", 9L, 1L),
+                     ("b", 3L, 4L), ("b", 5L, 2L), ("c", 7L, 7L)))
+  }
+
+  test("grouped: ONE group wider than the shuffle-partition count") {
+    // the scale case that motivates the grouped variant: a single
+    // group whose value grid spans many range buckets
+    val wide = (1L to 3000L).map(v => ("w", v * 13 % 3001, v % 4 + 1))
+    val narrow = Seq(("n", 1L, 5L), ("n", 2L, 5L))
+    checkGrouped(scala.util.Random.shuffle(wide ++ narrow))
+  }
+
+  test("grouped: many single-row groups") {
+    checkGrouped((1 to 200).map(i => (s"g$i", i.toLong, 2L)))
+  }
+
+  test("grouped: multiple weight columns in one pass") {
+    import spark.implicits._
+    val rows = Seq(("a", 1L, 2L, 10L), ("a", 3L, 5L, 20L),
+                   ("b", 2L, 1L, 30L), ("a", 2L, 7L, 40L))
+    val out = GridPrefix
+      .groupedPrefixSums(rows.toDF("g", "v", "ca", "cb"), "g", "v",
+        Seq("ca", "cb"))
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("v")) ->
+        ((r.getAs[Long]("cum_ca"), r.getAs[Long]("cum_cb")))).toMap
+    assert(out(("a", 1L)) == ((2L, 10L)))
+    assert(out(("a", 2L)) == ((9L, 50L)))
+    assert(out(("a", 3L)) == ((14L, 70L)))
+    assert(out(("b", 2L)) == ((1L, 30L)))
+  }
+
+  test("grouped: plan contains no unpartitioned WindowExec") {
+    import spark.implicits._
+    val grid = (1L to 2000L).map(v => ("g", v, 1L)).toDF("g", "v", "c")
+    val out = GridPrefix.groupedPrefixSums(grid, "g", "v", Seq("c"))
+    out.collect()
+    val inner = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bad = inner.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned window in:\n$inner")
+  }
 }
