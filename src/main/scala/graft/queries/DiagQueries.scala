@@ -915,7 +915,62 @@ object DiagQueries {
       |       short AS stockout_c
       |FROM bal""".stripMargin
 
+  /** q267 — Holt–Winters triple exponential smoothing
+    * ([[graft.ts.ExpSmooth.tripleExpSmooth]], α = 0.2, β = 0.1,
+    * γ = 0.3, weekly period m = 7) of daily order revenue per
+    * priority — q260's level+trend recursion plus an additive
+    * seasonal state array, so the weekly rhythm is absorbed by the
+    * seasonal indices instead of whipsawing the trend. The oracle
+    * replays the recursion with a recursive CTE whose state carries
+    * the length-7 seasonal LIST (indexed `list_transform` update —
+    * the same exact-long grid as the engine's fold). */
+  private def q267(s: SparkSession, dir: String): DataFrame =
+    graft.ts.ExpSmooth.tripleExpSmooth(
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+                 dayBucket(col("o_orderdate")).as("o_orderdate"))
+        .agg(sum(cents(col("o_totalprice"))).as("y")),
+      "o_orderpriority", "o_orderdate", "y")
+
+  private val q267Sql =
+    """WITH RECURSIVE daily AS (
+      |  SELECT o_orderpriority AS k,
+      |         CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+      |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |           AS y
+      |  FROM orders GROUP BY 1, 2),
+      |s AS (SELECT k, d, y,
+      |        row_number() OVER (PARTITION BY k ORDER BY d) AS rn
+      |      FROM daily),
+      |hw AS (
+      |  SELECT k, rn, d, y, y AS l, CAST(0 AS BIGINT) AS b,
+      |         [0,0,0,0,0,0,0]::BIGINT[] AS sv,
+      |         CAST(0 AS BIGINT) AS seas, y AS pred
+      |  FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.k, s.rn, s.d, s.y,
+      |    (2 * (s.y - hw.sv[(hw.rn % 7) + 1])
+      |     + 8 * (hw.l + hw.b)) // 10,
+      |    (1 * (((2 * (s.y - hw.sv[(hw.rn % 7) + 1])
+      |            + 8 * (hw.l + hw.b)) // 10) - hw.l)
+      |     + 9 * hw.b) // 10,
+      |    list_transform(hw.sv, (e, i) -> CASE WHEN i = (hw.rn % 7) + 1
+      |      THEN (3 * (s.y - ((2 * (s.y - hw.sv[(hw.rn % 7) + 1])
+      |                         + 8 * (hw.l + hw.b)) // 10))
+      |            + 7 * hw.sv[(hw.rn % 7) + 1]) // 10
+      |      ELSE e END),
+      |    (3 * (s.y - ((2 * (s.y - hw.sv[(hw.rn % 7) + 1])
+      |                  + 8 * (hw.l + hw.b)) // 10))
+      |     + 7 * hw.sv[(hw.rn % 7) + 1]) // 10,
+      |    hw.l + hw.b + hw.sv[(hw.rn % 7) + 1]
+      |  FROM hw JOIN s ON s.k = hw.k AND s.rn = hw.rn + 1)
+      |SELECT k AS o_orderpriority, d AS o_orderdate, y AS y_c,
+      |  CAST(l AS BIGINT) AS level_c, CAST(b AS BIGINT) AS trend_c,
+      |  CAST(seas AS BIGINT) AS seas_c, CAST(pred AS BIGINT) AS pred_c
+      |FROM hw""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q267_holt_winters", q267, Some(q267Sql)),
     QueryDef("q263_stl_decompose", q263, Some(q263Sql)),
     QueryDef("q264_inventory_balance", q264, Some(q264Sql)),
     QueryDef("q256_spearman", q256, Some(q256Sql)),

@@ -74,4 +74,79 @@ object ExpSmooth {
               col("r.y").as("y_c"), col("r.l").as("level_c"),
               col("r.b").as("trend_c"), col("r.pred").as("pred_c"))
   }
+
+  /** Holt–Winters triple exponential smoothing (level + trend +
+    * ADDITIVE seasonality, period `m`) on the integer cents grid —
+    * [[doubleExpSmooth]] plus a length-`m` seasonal state array
+    * carried through the same one-array-row-per-series fold, so the
+    * weekly retail rhythm stops polluting the trend estimate.
+    *
+    * Recurrence (α = aN/aD, β = bN/bD, γ = gN/gD; phase p = t mod m;
+    * init l₀ = y₀, b₀ = 0, s = m zeros, pred₀ = y₀):
+    *   pred_t = l + b + s[p]
+    *   l'     = (aN·(y_t − s[p]) + (aD − aN)·(l + b)) div aD
+    *   b'     = (bN·(l' − l) + (bD − bN)·b) div bD
+    *   s'[p]  = (gN·(y_t − l') + (gD − gN)·s[p]) div gD
+    * All-zero seasonal init keeps the first cycle identical to Holt
+    * (the seasonal estimate warms up over cycles — the standard
+    * tradeoff vs a first-cycle average init, chosen because it
+    * replays in exact long arithmetic with no seeding pass).
+    *
+    * Scale shape: identical to [[doubleExpSmooth]] — sequential per
+    * series over the bounded calendar grid, parallel across series;
+    * the seasonal array adds m longs to the fold state. */
+  def tripleExpSmooth(daily: DataFrame, keyCol: String, dateCol: String,
+                      vCol: String, m: Int = 7,
+                      aNum: Int = 2, aDen: Int = 10,
+                      bNum: Int = 1, bDen: Int = 10,
+                      gNum: Int = 3, gDen: Int = 10): DataFrame = {
+    require(m >= 2, "seasonal period must be >= 2")
+    require(aNum > 0 && aNum < aDen, "alpha in (0, 1)")
+    require(bNum > 0 && bNum < bDen, "beta in (0, 1)")
+    require(gNum > 0 && gNum < gDen, "gamma in (0, 1)")
+    val packed = daily
+      .select(col(keyCol).as("k"), col(dateCol).as("d"),
+              col(vCol).cast("long").as("y"))
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("d"), col("y")))).as("s"))
+    // phase index (0-based) and the three state updates, inlined at
+    // every use site (lambdas can't bind locals — the q260 pattern)
+    val sOld = s"element_at(acc.sv, CAST(acc.t % $m AS INT) + 1)"
+    val lp = s"(($aNum * (x.y - $sOld)) + ${aDen - aNum} * (acc.l + acc.b)) div $aDen"
+    val bp = s"($bNum * (($lp) - acc.l) + ${bDen - bNum} * acc.b) div $bDen"
+    val sp = s"($gNum * (x.y - ($lp)) + ${gDen - gNum} * $sOld) div $gDen"
+    val fold = s"""
+      |aggregate(
+      |  s,
+      |  named_struct(
+      |    'fst', 1, 't', CAST(0 AS BIGINT),
+      |    'l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+      |    'sv', array_repeat(CAST(0 AS BIGINT), $m),
+      |    'out', CAST(array() AS
+      |      ARRAY<STRUCT<d: DATE, y: BIGINT, l: BIGINT, b: BIGINT,
+      |                   seas: BIGINT, pred: BIGINT>>)),
+      |  (acc, x) -> CASE WHEN acc.fst = 1 THEN
+      |      named_struct('fst', 0, 't', CAST(1 AS BIGINT),
+      |        'l', x.y, 'b', CAST(0 AS BIGINT), 'sv', acc.sv,
+      |        'out', array(named_struct('d', x.d, 'y', x.y, 'l', x.y,
+      |          'b', CAST(0 AS BIGINT), 'seas', CAST(0 AS BIGINT),
+      |          'pred', x.y)))
+      |    ELSE
+      |      named_struct('fst', 0, 't', acc.t + 1,
+      |        'l', $lp,
+      |        'b', $bp,
+      |        'sv', transform(acc.sv, (e, i) ->
+      |          CASE WHEN i = CAST(acc.t % $m AS INT) THEN $sp ELSE e END),
+      |        'out', array_append(acc.out, named_struct(
+      |          'd', x.d, 'y', x.y, 'l', $lp, 'b', $bp, 'seas', $sp,
+      |          'pred', acc.l + acc.b + $sOld)))
+      |    END,
+      |  acc -> acc.out)""".stripMargin
+    packed
+      .select(col("k"), explode(expr(fold)).as("r"))
+      .select(col("k").as(keyCol), col("r.d").as(dateCol),
+              col("r.y").as("y_c"), col("r.l").as("level_c"),
+              col("r.b").as("trend_c"), col("r.seas").as("seas_c"),
+              col("r.pred").as("pred_c"))
+  }
 }

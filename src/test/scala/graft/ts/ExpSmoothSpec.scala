@@ -48,6 +48,42 @@ class ExpSmoothSpec extends AnyFunSuite {
                       (632L, -94L, 766L)), s"$got")
   }
 
+  test("tripleExpSmooth: hand-traced m=2 incl. negative seasonal") {
+    // alpha=0.2 beta=0.1 gamma=0.3, m=2; series 100, 200, 50, 300
+    // t0: l=100 b=0 sv=[0,0] seas=0 pred=100
+    // t1 (p=1): pred=100; l=(2*200+8*100) div 10=120;
+    //   b=(1*20+9*0) div 10=2; s[1]=(3*(200-120)+0) div 10=24
+    // t2 (p=0): pred=120+2+0=122; l=(2*50+8*122) div 10=107;
+    //   b=(1*(107-120)+9*2) div 10=0; s[0]=(3*(50-107)+0) div 10=-17
+    // t3 (p=1): pred=107+0+24=131; l=(2*(300-24)+8*107) div 10=140;
+    //   b=(1*33+0) div 10=3; s[1]=(3*160+7*24) div 10=64
+    val df = Seq(("s", java.sql.Date.valueOf("2024-01-01"), 100L),
+                 ("s", java.sql.Date.valueOf("2024-01-02"), 200L),
+                 ("s", java.sql.Date.valueOf("2024-01-03"), 50L),
+                 ("s", java.sql.Date.valueOf("2024-01-04"), 300L))
+      .toDF("k", "d", "y")
+    val got = ExpSmooth.tripleExpSmooth(df, "k", "d", "y", m = 2)
+      .orderBy("d").collect()
+      .map(r => (r.getAs[Long]("y_c"), r.getAs[Long]("level_c"),
+                 r.getAs[Long]("trend_c"), r.getAs[Long]("seas_c"),
+                 r.getAs[Long]("pred_c"))).toSeq
+    assert(got == Seq((100L, 100L, 0L, 0L, 100L),
+                      (200L, 120L, 2L, 24L, 100L),
+                      (50L, 107L, 0L, -17L, 122L),
+                      (300L, 140L, 3L, 64L, 131L)), s"$got")
+  }
+
+  test("tripleExpSmooth: constant series keeps pred exact, zero seasonals") {
+    val df = (1 to 10).map(i =>
+      ("s", java.sql.Date.valueOf(f"2024-01-$i%02d"), 500L))
+      .toDF("k", "d", "y")
+    val got = ExpSmooth.tripleExpSmooth(df, "k", "d", "y")
+      .collect()
+    assert(got.forall(r => r.getAs[Long]("pred_c") == 500L))
+    assert(got.forall(r => r.getAs[Long]("seas_c") == 0L))
+    assert(got.forall(r => r.getAs[Long]("trend_c") == 0L))
+  }
+
   test("doubleExpSmooth: independent series fold independently") {
     val df = Seq(("a", java.sql.Date.valueOf("2024-01-01"), 10L),
                  ("a", java.sql.Date.valueOf("2024-01-02"), 10L),
