@@ -969,8 +969,53 @@ object DiagQueries {
       |  CAST(seas AS BIGINT) AS seas_c, CAST(pred AS BIGINT) AS pred_c
       |FROM hw""".stripMargin
 
+  /** q268 — Croston intermittent-demand forecast
+    * ([[graft.ts.Intermittent.croston]], α = 0.2) of daily shipped
+    * quantity for a sparse part slice (partkey ≡ 1 mod 131 — each
+    * part ships a handful of days across the corpus years, the
+    * regime where plain SES decays to zero between demands). The
+    * oracle replays the two-state EWMA over demand events with a
+    * recursive CTE; gaps come from a keyed lag in both engines. */
+  private def q268(s: SparkSession, dir: String): DataFrame =
+    graft.ts.Intermittent.croston(
+      t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 131 === 1)
+        .groupBy(col("l_partkey"),
+                 dayBucket(col("l_shipdate")).as("l_shipdate"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("y")),
+      "l_partkey", "l_shipdate", "y")
+
+  private val q268Sql =
+    """WITH RECURSIVE ev0 AS (
+      |  SELECT l_partkey AS k,
+      |         CAST(date_trunc('day', l_shipdate) AS DATE) AS d,
+      |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS y
+      |  FROM lineitem WHERE l_partkey % 131 = 1
+      |  GROUP BY 1, 2),
+      |s AS (SELECT k, d, y,
+      |        row_number() OVER (PARTITION BY k ORDER BY d) AS rn,
+      |        CAST(coalesce(d - lag(d) OVER (PARTITION BY k ORDER BY d),
+      |                      1) AS BIGINT) AS g
+      |      FROM ev0 WHERE y > 0),
+      |cr AS (
+      |  SELECT k, rn, d, y, g, y AS z, g AS p,
+      |         (y * 1000000) // g AS rate
+      |  FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.k, s.rn, s.d, s.y, s.g,
+      |    (2 * s.y + 8 * cr.z) // 10,
+      |    (2 * s.g + 8 * cr.p) // 10,
+      |    (((2 * s.y + 8 * cr.z) // 10) * 1000000)
+      |      // ((2 * s.g + 8 * cr.p) // 10)
+      |  FROM cr JOIN s ON s.k = cr.k AND s.rn = cr.rn + 1)
+      |SELECT k AS l_partkey, d AS l_shipdate, y AS y_q, g AS gap_d,
+      |  CAST(z AS BIGINT) AS size_s, CAST(p AS BIGINT) AS interval_s,
+      |  CAST(rate AS BIGINT) AS rate_e6
+      |FROM cr""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q267_holt_winters", q267, Some(q267Sql)),
+    QueryDef("q268_croston", q268, Some(q268Sql)),
     QueryDef("q263_stl_decompose", q263, Some(q263Sql)),
     QueryDef("q264_inventory_balance", q264, Some(q264Sql)),
     QueryDef("q256_spearman", q256, Some(q256Sql)),
