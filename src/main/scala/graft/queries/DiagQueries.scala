@@ -1013,9 +1013,54 @@ object DiagQueries {
       |  CAST(rate AS BIGINT) AS rate_e6
       |FROM cr""".stripMargin
 
+  /** q269 — seasonal-naive forecast scorecard
+    * ([[graft.ts.ForecastEval.seasonalNaiveScorecard]], m = 7,
+    * holdout from 1997-01-01): MASE + sMAPE of the lag-7 baseline on
+    * daily order revenue per priority — the floor any forecast model
+    * must beat, staged in exact truncating longs so the oracle
+    * replays it. */
+  private def q269(s: SparkSession, dir: String): DataFrame =
+    graft.ts.ForecastEval.seasonalNaiveScorecard(
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+                 dayBucket(col("o_orderdate")).as("o_orderdate"))
+        .agg(sum(cents(col("o_totalprice"))).as("y")),
+      "o_orderpriority", "o_orderdate", "y", m = 7, cutoff = "1997-01-01")
+
+  private val q269Sql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS k,
+      |         CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+      |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |           AS y
+      |  FROM orders GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT k, d, y,
+      |         lag(y, 7) OVER (PARTITION BY k ORDER BY d) AS f
+      |  FROM daily),
+      |ae AS (SELECT k, d, y, f, abs(y - f) AS ae
+      |       FROM lagged WHERE f IS NOT NULL),
+      |train AS (SELECT k, CAST(sum(ae) AS BIGINT) AS s_t,
+      |                 CAST(count(*) AS BIGINT) AS n_train
+      |          FROM ae WHERE d < DATE '1997-01-01' GROUP BY k),
+      |hold AS (SELECT k, CAST(sum(ae) AS BIGINT) AS s_h,
+      |                CAST(count(*) AS BIGINT) AS n_hold,
+      |                CAST(sum(CASE WHEN abs(y) + abs(f) = 0 THEN 0
+      |                  ELSE (2000000 * ae) // (abs(y) + abs(f)) END)
+      |                  AS BIGINT) AS sm_sum
+      |         FROM ae WHERE d >= DATE '1997-01-01' GROUP BY k)
+      |SELECT train.k AS o_orderpriority, n_train, n_hold,
+      |  CAST(s_h // n_hold AS BIGINT) AS mae_hold_c,
+      |  CAST(CASE WHEN s_t = 0 THEN NULL
+      |    ELSE ((s_h * 1000000) // n_hold) * n_train // s_t END
+      |    AS BIGINT) AS mase_e6,
+      |  CAST(sm_sum // n_hold AS BIGINT) AS smape_e6
+      |FROM train JOIN hold ON train.k = hold.k""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q267_holt_winters", q267, Some(q267Sql)),
     QueryDef("q268_croston", q268, Some(q268Sql)),
+    QueryDef("q269_forecast_scorecard", q269, Some(q269Sql)),
     QueryDef("q263_stl_decompose", q263, Some(q263Sql)),
     QueryDef("q264_inventory_balance", q264, Some(q264Sql)),
     QueryDef("q256_spearman", q256, Some(q256Sql)),
