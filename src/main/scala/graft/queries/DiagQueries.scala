@@ -1057,10 +1057,70 @@ object DiagQueries {
       |  CAST(sm_sum // n_hold AS BIGINT) AS smape_e6
       |FROM train JOIN hold ON train.k = hold.k""".stripMargin
 
+  /** q270 — per-series feature vector
+    * ([[graft.ts.SeriesFeatures.extract]]): moments, extremes, lag-1
+    * autocorrelation, OLS slope, and mean-crossing count of daily
+    * order revenue per priority, in WHOLE currency units (Σy² must
+    * fit int64 at sf0.1 — the q258 convention). */
+  private def q270(s: SparkSession, dir: String): DataFrame =
+    graft.ts.SeriesFeatures.extract(
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+                 dayBucket(col("o_orderdate")).as("o_orderdate"))
+        .agg(sum(round(col("o_totalprice")).cast("long")).as("y")),
+      "o_orderpriority", "o_orderdate", "y")
+
+  private val q270Sql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS k,
+      |         CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+      |         CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+      |           AS y
+      |  FROM orders GROUP BY 1, 2),
+      |r0 AS (SELECT k, d, y,
+      |         CAST(row_number() OVER w AS BIGINT) AS t,
+      |         lead(y, 1) OVER w AS yn
+      |       FROM daily WINDOW w AS (PARTITION BY k ORDER BY d)),
+      |aggd AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+      |           CAST(sum(y) AS BIGINT) AS s,
+      |           CAST(sum(y*y) AS BIGINT) AS q,
+      |           min(y) AS min_v, max(y) AS max_v,
+      |           CAST(sum(y*yn) AS BIGINT) AS p,
+      |           CAST(sum(CASE WHEN yn IS NOT NULL THEN y END) AS BIGINT)
+      |             AS sh,
+      |           CAST(sum(yn) AS BIGINT) AS st,
+      |           CAST(sum(t) AS BIGINT) AS tt,
+      |           CAST(sum(t*t) AS BIGINT) AS t2,
+      |           CAST(sum(t*y) AS BIGINT) AS ty
+      |         FROM r0 GROUP BY k),
+      |cr AS (SELECT k, CAST(count(*) AS BIGINT) AS crossings FROM (
+      |         SELECT r0.k, r0.d,
+      |           CAST(r0.y * a.n > a.s AS INT) AS abv,
+      |           lag(CAST(r0.y * a.n > a.s AS INT)) OVER
+      |             (PARTITION BY r0.k ORDER BY r0.d) AS prv
+      |         FROM r0 JOIN aggd a ON r0.k = a.k) x
+      |       WHERE prv IS NOT NULL AND prv <> abv GROUP BY k)
+      |SELECT aggd.k AS o_orderpriority, n, min_v, max_v,
+      |  round(CAST(s AS DOUBLE) / n, 6) AS mean_v,
+      |  round(sqrt((q - CAST(s AS DOUBLE) * s / n) / n), 6) AS std_v,
+      |  CASE WHEN CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n <= 0.0
+      |    THEN NULL
+      |    ELSE round((p - (CAST(s AS DOUBLE) / n) * (sh + st)
+      |                + (n - 1) * (CAST(s AS DOUBLE) / n)
+      |                  * (CAST(s AS DOUBLE) / n))
+      |               / (q - CAST(s AS DOUBLE) * s / n), 6) END AS acf1,
+      |  CASE WHEN n <= 1 THEN NULL
+      |    ELSE round((CAST(n AS DOUBLE) * ty - CAST(tt AS DOUBLE) * s)
+      |               / (CAST(n AS DOUBLE) * t2
+      |                  - CAST(tt AS DOUBLE) * tt), 6) END AS slope,
+      |  CAST(coalesce(crossings, 0) AS BIGINT) AS crossings
+      |FROM aggd LEFT JOIN cr ON aggd.k = cr.k""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q267_holt_winters", q267, Some(q267Sql)),
     QueryDef("q268_croston", q268, Some(q268Sql)),
     QueryDef("q269_forecast_scorecard", q269, Some(q269Sql)),
+    QueryDef("q270_series_features", q270, Some(q270Sql)),
     QueryDef("q263_stl_decompose", q263, Some(q263Sql)),
     QueryDef("q264_inventory_balance", q264, Some(q264Sql)),
     QueryDef("q256_spearman", q256, Some(q256Sql)),
