@@ -531,7 +531,93 @@ object SketchQueries {
       |       CAST(tot AS BIGINT) AS tot_w, v AS wmedian
       |FROM wdw WHERE cum*2 >= tot AND (cum - wg)*2 < tot""".stripMargin
 
+  /** q271 — KMV distinct estimate ([[graft.pipeline.Kmv]], k = 256):
+    * the k-minimum-values sketch of each priority's customer base,
+    * next to the order-statistic estimate D̂ = (k−1)·2⁶⁰/h₍k₎. The
+    * oracle replays hash, rank and estimate; the engine's two-level
+    * min-k equals the oracle's single rank because hashes are
+    * distinct per set. */
+  private def q271(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Kmv.estimate(
+      graft.pipeline.Kmv.sketch(
+        t(s, dir, "orders"), "o_orderpriority", "o_custkey", k = 256),
+      k = 256)
+      .select(col("s").as("set_id"), col("n_sketch"), col("kth_h"),
+              col("est"))
+
+  private val q271Kth = hexSql("md5('kmv' || CAST(o_custkey AS VARCHAR))", 15)
+
+  private val q271Sql =
+    s"""WITH m AS (SELECT DISTINCT o_orderpriority AS s,
+      |             $q271Kth AS h
+      |           FROM orders),
+      |rk AS (SELECT s, h,
+      |         row_number() OVER (PARTITION BY s ORDER BY h) AS rk
+      |       FROM m),
+      |sk AS (SELECT s, h FROM rk WHERE rk <= 256)
+      |SELECT s AS set_id, CAST(count(*) AS BIGINT) AS n_sketch,
+      |  max(h) AS kth_h,
+      |  CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+      |    ELSE round(255.0 * 1152921504606846976.0 / max(h), 6) END
+      |    AS est
+      |FROM sk GROUP BY s""".stripMargin
+
+  /** q272 — KMV pairwise overlap ([[graft.pipeline.Kmv.pairOverlap]]):
+    * Jaccard and |A∩B| estimates between priority customer bases from
+    * the combined min-k sketch — the intersection HLL cannot
+    * estimate. */
+  private def q272(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Kmv.pairOverlap(
+      graft.pipeline.Kmv.sketch(
+        t(s, dir, "orders"), "o_orderpriority", "o_custkey", k = 256),
+      k = 256)
+
+  private val q272Sql =
+    s"""WITH m AS (SELECT DISTINCT o_orderpriority AS s,
+      |             $q271Kth AS h
+      |           FROM orders),
+      |rk AS (SELECT s, h,
+      |         row_number() OVER (PARTITION BY s ORDER BY h) AS rk
+      |       FROM m),
+      |sk AS (SELECT s, h FROM rk WHERE rk <= 256),
+      |pairs AS (SELECT a.s AS set_a, b.s AS set_b
+      |          FROM (SELECT DISTINCT s FROM sk) a,
+      |               (SELECT DISTINCT s FROM sk) b
+      |          WHERE a.s < b.s),
+      |comb AS (
+      |  SELECT set_a, set_b, h, max(in_a) AS in_a, max(in_b) AS in_b
+      |  FROM (
+      |    SELECT p.set_a, p.set_b, k1.h, CAST(1 AS BIGINT) AS in_a,
+      |           CAST(0 AS BIGINT) AS in_b
+      |    FROM pairs p JOIN sk k1 ON k1.s = p.set_a
+      |    UNION ALL
+      |    SELECT p.set_a, p.set_b, k2.h, CAST(0 AS BIGINT),
+      |           CAST(1 AS BIGINT)
+      |    FROM pairs p JOIN sk k2 ON k2.s = p.set_b) x
+      |  GROUP BY 1, 2, 3),
+      |top AS (SELECT * FROM (
+      |    SELECT set_a, set_b, h, in_a, in_b,
+      |      row_number() OVER (PARTITION BY set_a, set_b ORDER BY h)
+      |        AS rk
+      |    FROM comb) y WHERE rk <= 256),
+      |agg AS (SELECT set_a, set_b, CAST(count(*) AS BIGINT) AS k_used,
+      |          CAST(sum(in_a * in_b) AS BIGINT) AS matches,
+      |          max(h) AS kth_h
+      |        FROM top GROUP BY 1, 2)
+      |SELECT set_a, set_b, k_used, matches,
+      |  CAST((matches * 1000000) // k_used AS BIGINT) AS jaccard_e6,
+      |  CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+      |    ELSE round(255.0 * 1152921504606846976.0 / kth_h, 6) END
+      |    AS union_est,
+      |  round((CAST(matches AS DOUBLE) / k_used) *
+      |    (CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+      |      ELSE round(255.0 * 1152921504606846976.0 / kth_h, 6) END),
+      |    6) AS inter_est
+      |FROM agg""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q271_kmv_estimate", q271, Some(q271Sql)),
+    QueryDef("q272_kmv_overlap", q272, Some(q272Sql)),
     QueryDef("q216_exact_percentiles", q216, Some(q216Sql)),
     QueryDef("q236_winsorized_mean", q236, Some(q236Sql)),
     QueryDef("q237_quantile_normalize", q237, Some(q237Sql)),
