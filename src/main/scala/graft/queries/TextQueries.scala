@@ -3361,7 +3361,67 @@ object TextQueries {
       |FROM c${iters + 1} CROSS JOIN ttf""".stripMargin
   }
 
+  /** q273 — multinomial Naive Bayes language router
+    * ([[graft.pipeline.NaiveBayes.classify]]): train priors +
+    * Laplace-smoothed token likelihoods on even doc_ids, score odd
+    * doc_ids, argmax with label-ascending tie-break. Scores are
+    * exact long sums of micro-nat terms, so the oracle replays
+    * training AND scoring as plain SQL. */
+  private def q273(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.NaiveBayes.classify(
+      t(s, dir, "documents"), "doc_id", "text", "lang",
+      col("doc_id") % 2 === 0)
+
+  private val q273Sql =
+    """WITH docs AS (SELECT doc_id AS id, text AS txt, lang AS lbl,
+      |                doc_id % 2 = 0 AS tr FROM documents),
+      |toks AS (SELECT id, lbl, tr, t
+      |         FROM (SELECT id, lbl, tr,
+      |                 unnest(string_split(trim(txt), ' ')) AS t
+      |               FROM docs) x WHERE t <> ''),
+      |cnt AS (SELECT lbl, t, CAST(count(*) AS BIGINT) AS c
+      |        FROM toks WHERE tr GROUP BY 1, 2),
+      |tot AS (SELECT lbl, CAST(sum(c) AS BIGINT) AS tot
+      |        FROM cnt GROUP BY 1),
+      |vocab AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+      |          FROM toks WHERE tr),
+      |nd AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_l
+      |       FROM docs WHERE tr GROUP BY 1),
+      |na AS (SELECT CAST(count(*) AS BIGINT) AS n_all
+      |       FROM docs WHERE tr),
+      |priors AS (SELECT lbl AS cl,
+      |             CAST(round(ln(CAST(n_l AS DOUBLE) / n_all) * 1e6)
+      |               AS BIGINT) AS prior_e6
+      |           FROM nd CROSS JOIN na),
+      |llr AS (SELECT cnt.lbl AS cl, t,
+      |          CAST(round(ln(CAST(c + 1 AS DOUBLE) / (tot + v)) * 1e6)
+      |            AS BIGINT) AS llr_e6
+      |        FROM cnt JOIN tot ON cnt.lbl = tot.lbl CROSS JOIN vocab),
+      |defs AS (SELECT lbl AS cl,
+      |           CAST(round(ln(1.0 / (tot + v)) * 1e6) AS BIGINT)
+      |             AS def_e6
+      |         FROM tot CROSS JOIN vocab),
+      |tt AS (SELECT id, lbl AS true_lbl, t, CAST(count(*) AS BIGINT)
+      |         AS tc
+      |       FROM toks WHERE NOT tr GROUP BY 1, 2, 3),
+      |scores AS (
+      |  SELECT tt.id, tt.true_lbl, p.cl,
+      |    p.prior_e6 + CAST(sum(tt.tc * coalesce(l.llr_e6, d.def_e6))
+      |      AS BIGINT) AS score_e6
+      |  FROM tt CROSS JOIN priors p
+      |  LEFT JOIN llr l ON l.cl = p.cl AND l.t = tt.t
+      |  JOIN defs d ON d.cl = p.cl
+      |  GROUP BY tt.id, tt.true_lbl, p.cl, p.prior_e6),
+      |ranked AS (SELECT *, row_number() OVER
+      |    (PARTITION BY id ORDER BY score_e6 DESC, cl) AS rn
+      |  FROM scores)
+      |SELECT id AS doc_id, true_lbl AS lang, cl AS pred_label,
+      |  score_e6 AS best_e6,
+      |  CAST(true_lbl = cl AS BIGINT) AS correct
+      |FROM ranked WHERE rn = 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q273_naive_bayes", q273, Some(q273Sql)),
     QueryDef("q266_unigram_lm", q266, Some(q266Sql)),
     QueryDef("q265_phrase_search", q265, Some(q265Sql)),
     QueryDef("q181_winnow_fps", q181, Some(q181Sql)),
