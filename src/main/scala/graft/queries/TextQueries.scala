@@ -3420,8 +3420,69 @@ object TextQueries {
       |  CAST(true_lbl = cl AS BIGINT) AS correct
       |FROM ranked WHERE rn = 1""".stripMargin
 
+  /** q274 — histogram decision stump
+    * ([[graft.pipeline.Stump.bestSplits]]): best single Gini split of
+    * "is this document English?" over three integer features (chars,
+    * whitespace tokens, vowel count) — the LightGBM histogram-split
+    * primitive as one relational scan, cumulative class counts on
+    * the distributed per-feature grid prefix. */
+  private def q274(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stump.bestSplits(
+      t(s, dir, "documents").select(
+        length(col("text")).cast("long").as("n_chars"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[aeiou]", "")))
+          .cast("long").as("n_vowels"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y")),
+      Seq("n_chars", "n_tokens", "n_vowels"), "y")
+
+  private val q274Sql =
+    """WITH f AS (SELECT
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(length(text) -
+      |      length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+      |      AS n_vowels,
+      |    CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+      |      ELSE CAST(0 AS BIGINT) END AS y
+      |  FROM documents),
+      |m AS (SELECT 'n_chars' AS feature, n_chars AS v, y FROM f
+      |      UNION ALL SELECT 'n_tokens', n_tokens, y FROM f
+      |      UNION ALL SELECT 'n_vowels', n_vowels, y FROM f),
+      |g AS (SELECT feature, v, CAST(sum(y) AS BIGINT) AS pos,
+      |        CAST(sum(1 - y) AS BIGINT) AS neg
+      |      FROM m GROUP BY 1, 2),
+      |c AS (SELECT feature, v, pos, neg,
+      |        CAST(sum(pos) OVER w AS BIGINT) AS cum_pos,
+      |        CAST(sum(neg) OVER w AS BIGINT) AS cum_neg
+      |      FROM g WINDOW w AS (PARTITION BY feature ORDER BY v
+      |        ROWS UNBOUNDED PRECEDING)),
+      |t AS (SELECT feature, CAST(sum(pos) AS BIGINT) AS t_pos,
+      |        CAST(sum(neg) AS BIGINT) AS t_neg
+      |      FROM g GROUP BY 1),
+      |cand AS (SELECT c.feature, v,
+      |    cum_pos + cum_neg AS n_l,
+      |    t_pos + t_neg - cum_pos - cum_neg AS n_r,
+      |    CAST(round((
+      |      (CAST(cum_pos AS DOUBLE) * cum_pos
+      |       + CAST(cum_neg AS DOUBLE) * cum_neg) / (cum_pos + cum_neg)
+      |      + (CAST(t_pos - cum_pos AS DOUBLE) * (t_pos - cum_pos)
+      |         + CAST(t_neg - cum_neg AS DOUBLE) * (t_neg - cum_neg))
+      |        / (t_pos + t_neg - cum_pos - cum_neg)
+      |      ) * 1000000.0) AS BIGINT) AS score_e6
+      |  FROM c JOIN t ON c.feature = t.feature
+      |  WHERE t_pos + t_neg - cum_pos - cum_neg > 0),
+      |r AS (SELECT *, row_number() OVER
+      |    (PARTITION BY feature ORDER BY score_e6 DESC, v) AS rn
+      |  FROM cand)
+      |SELECT feature, v AS threshold, n_l AS n_left, n_r AS n_right,
+      |  score_e6
+      |FROM r WHERE rn = 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q273_naive_bayes", q273, Some(q273Sql)),
+    QueryDef("q274_gini_stump", q274, Some(q274Sql)),
     QueryDef("q266_unigram_lm", q266, Some(q266Sql)),
     QueryDef("q265_phrase_search", q265, Some(q265Sql)),
     QueryDef("q181_winnow_fps", q181, Some(q181Sql)),
