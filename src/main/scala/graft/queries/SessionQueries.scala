@@ -711,6 +711,56 @@ object SessionQueries {
       |FROM p ASOF LEFT JOIN t
       |  ON p.user_id = t.user_id AND t.sec <= p.sec""".stripMargin
 
+  /** q275 — multi-touch attribution
+    * ([[graft.ts.MultiTouch.multiTouchAttribution]]): linear,
+    * U-shaped, and time-decay credit per channel for every purchase's
+    * 7-day touch window. Linear/U-shape micro-shares sum to exactly
+    * 1e6 per conversion (largest-remainder rule on the touch rank);
+    * decay is one fixed-shape IEEE expression with a shared ln 2
+    * literal. Pairing rides the bucketized interval join. */
+  private def q275(s: SparkSession, dir: String): DataFrame =
+    graft.ts.MultiTouch.multiTouchAttribution(
+      t(s, dir, "events"), "user_id", "event_type", "ts", "event_id",
+      touchTypes = Seq("view", "click"), convType = "purchase",
+      windowSec = 604800L)
+
+  private val q275Sql =
+    """WITH e AS (SELECT user_id, event_type AS et,
+      |             epoch_ns(ts) // 1000000000 AS sec, event_id AS eid
+      |           FROM events),
+      |tch AS (SELECT user_id, et AS touch_type, sec AS t_sec,
+      |          eid AS touch_id
+      |        FROM e WHERE et IN ('view', 'click')),
+      |cv AS (SELECT user_id, eid AS conv_id, sec - 604800 AS w_start,
+      |         sec AS c_sec
+      |       FROM e WHERE et = 'purchase'),
+      |j AS (SELECT t.touch_type, t.t_sec, t.touch_id, c.conv_id,
+      |        c.c_sec
+      |      FROM tch t JOIN cv c ON t.user_id = c.user_id
+      |        AND t.t_sec >= c.w_start AND t.t_sec <= c.c_sec),
+      |r AS (SELECT *,
+      |        CAST(row_number() OVER (PARTITION BY conv_id
+      |          ORDER BY t_sec, touch_id) AS BIGINT) AS rk,
+      |        CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n
+      |      FROM j),
+      |cr AS (SELECT touch_type, conv_id,
+      |  (1000000 // n) + CASE WHEN rk <= 1000000 % n THEN 1 ELSE 0 END
+      |    AS linear_e6,
+      |  CASE WHEN n = 1 THEN 1000000 WHEN n = 2 THEN 500000
+      |       WHEN rk = 1 THEN 400000 WHEN rk = n THEN 400000
+      |       ELSE (200000 // (n - 2)) +
+      |         CASE WHEN rk - 1 <= 200000 % (n - 2) THEN 1 ELSE 0 END
+      |       END AS ushape_e6,
+      |  CAST(round(exp(-0.6931471805599453 * (c_sec - t_sec)
+      |    / 86400.0) * 1000000.0) AS BIGINT) AS decay_e6
+      |  FROM r)
+      |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+      |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+      |  CAST(sum(linear_e6) AS BIGINT) AS linear_e6,
+      |  CAST(sum(ushape_e6) AS BIGINT) AS ushape_e6,
+      |  CAST(sum(decay_e6) AS BIGINT) AS decay_e6
+      |FROM cr GROUP BY 1""".stripMargin
+
   /** q208 — cross-series correlation matrix ([[graft.ts.SeriesOps
     * .pairwiseCorr]]): Pearson between every pair of event types'
     * daily count series, closed-form sums with the documented
@@ -1628,6 +1678,7 @@ object SessionQueries {
     QueryDef("q213_twap", q213, Some(q213Sql)),
     QueryDef("q214_ab_test", q214, Some(q214Sql)),
     QueryDef("q207_attribution", q207, Some(q207Sql)),
+    QueryDef("q275_multi_touch", q275, Some(q275Sql)),
     QueryDef("q208_series_corr", q208, Some(q208Sql)),
     QueryDef("q205_series_trend", q205, Some(q205Sql)),
     QueryDef("q199_ewma_smooth", q199, Some(q199Sql)),
