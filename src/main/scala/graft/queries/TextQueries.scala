@@ -3480,9 +3480,38 @@ object TextQueries {
       |  score_e6
       |FROM r WHERE rn = 1""".stripMargin
 
+  /** q276 — fuzzy record linkage
+    * ([[graft.pipeline.EntityResolution.fuzzyNamePairs]]): near-
+    * duplicate part names via df-capped all-token blocking +
+    * Levenshtein ≤ 3 confirm, on the distinct-name grid with row
+    * counts as weights — the typo'd-vendor / re-keyed-SKU primitive
+    * without an n² join. */
+  private def q276(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.EntityResolution.fuzzyNamePairs(
+      t(s, dir, "part"), "p_name", maxLev = 3)
+
+  private val q276Sql =
+    """WITH names AS (SELECT p_name AS nm, CAST(count(*) AS BIGINT)
+      |    AS cnt FROM part GROUP BY 1),
+      |toks AS (SELECT DISTINCT nm, cnt, t FROM (
+      |    SELECT nm, cnt, unnest(string_split(trim(nm), ' ')) AS t
+      |    FROM names) x WHERE t <> ''),
+      |dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+      |        FROM toks GROUP BY 1
+      |        HAVING count(*) BETWEEN 2 AND 1000),
+      |blk AS (SELECT toks.t AS bk, nm, cnt
+      |        FROM toks JOIN dfq ON toks.t = dfq.t),
+      |cand AS (SELECT DISTINCT a.nm AS name_a, b.nm AS name_b,
+      |    a.cnt AS n_a, b.cnt AS n_b
+      |  FROM blk a JOIN blk b ON a.bk = b.bk AND a.nm < b.nm)
+      |SELECT name_a, name_b, n_a, n_b,
+      |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev
+      |FROM cand WHERE levenshtein(name_a, name_b) <= 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q273_naive_bayes", q273, Some(q273Sql)),
     QueryDef("q274_gini_stump", q274, Some(q274Sql)),
+    QueryDef("q276_fuzzy_linkage", q276, Some(q276Sql)),
     QueryDef("q266_unigram_lm", q266, Some(q266Sql)),
     QueryDef("q265_phrase_search", q265, Some(q265Sql)),
     QueryDef("q181_winnow_fps", q181, Some(q181Sql)),
