@@ -209,6 +209,75 @@ object TextAnalysis {
     top.withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** RM3 pseudo-relevance-feedback expansion — the classic two-pass
+    * retrieval upgrade (Lavrenko & Croft relevance models, the
+    * Lucene/Anserini RM3 default): run BM25, treat the top `fbDocs`
+    * as relevant, extract the `fbTerms` most characteristic terms of
+    * that feedback set, and rescore with the expanded query. Recall
+    * rises because documents matching the TOPIC (but not the literal
+    * terms) now score.
+    *
+    * Term weighting (exact-integer relevance model): tw(t) =
+    * Σ_{d∈FB} (tf_{t,d} · score_e6(d)) div dl_d — term frequency
+    * normalized by doc length, weighted by the doc's first-pass
+    * score, every step a truncating long op (order-free sum).
+    * Final score: original terms contribute at full weight,
+    * expansion terms at `lambdaE6`/1e6 (the uniform-weight RM3
+    * simplification) — cw = (c_e6 · w_e6) div 1e6 keeps it exact.
+    *
+    * Scale shape: pass 1 is [[bm25TopK]]'s documented cost; the
+    * feedback tf join touches only fbDocs documents' tokens; the
+    * expansion pick is a TakeOrdered over the feedback vocabulary;
+    * pass 2 semi-joins corpus tokens against a (|query| + fbTerms)-row
+    * term table — never the vocabulary. NOTHING is collected: the
+    * expanded term set stays a DataFrame end to end. */
+  def rm3TopK(df: DataFrame, idCol: String, textCol: String,
+              query: Seq[String], k: Int, fbDocs: Int = 10,
+              fbTerms: Int = 5, lambdaE6: Long = 400000L,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty && k >= 1 && fbDocs >= 1 && fbTerms >= 1,
+            "rm3TopK needs query terms, k/fbDocs/fbTerms >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pass1 = bm25TopK(df, idCol, textCol, query, fbDocs, k1, b)
+    val toks = df.select(col(idCol).as("doc_id"),
+                         explode(split(trim(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val dl = graft.queries.cacheOnce(
+      toks.groupBy("doc_id").agg(count(lit(1)).as("dl")))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val fbTf = toks
+      .join(pass1.select(col("doc_id"), col("score_e6")), Seq("doc_id"))
+      .groupBy(col("doc_id"), col("score_e6"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .join(dl, Seq("doc_id"))
+    val tw = fbTf
+      .withColumn("w", expr("(tf * score_e6) div dl"))
+      .groupBy(col("tok")).agg(sum(col("w")).as("tw"))
+      .filter(!col("tok").isin(query: _*))
+    val expansion = tw.orderBy(col("tw").desc, col("tok")).limit(fbTerms)
+      .select(col("tok"), lit(lambdaE6).as("w_e6"))
+    val terms = query.map(q => (q, 1000000L)).toDF("tok", "w_e6")
+      .unionByName(expansion)
+    val tf2 = toks.join(terms, Seq("tok"))
+      .groupBy(col("doc_id"), col("tok"), col("w_e6"))
+      .agg(count(lit(1)).as("tf"))
+    val df2 = tf2.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val contrib = tf2.join(broadcast(df2), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        expr(s"""(CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+          | * (tf * ${k1 + 1}) / (tf + $k1 * (${1.0 - b} + $b * dl / avgdl))
+          | * 1000000.0) AS BIGINT) * w_e6) div 1000000""".stripMargin)
+          .as("cw_e6"))
+    val scored = contrib.groupBy("doc_id").agg(sum(col("cw_e6")).as("score_e6"))
+    val top = scored.orderBy(col("score_e6").desc, col("doc_id")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_e6").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** HYBRID retrieval — the RAG serving recipe: a BM25 lexical pool
     * ([[bm25TopK]]) and a dense-cosine semantic pool over the
     * engine-produced embeddings ([[graft.pipeline.Similarity

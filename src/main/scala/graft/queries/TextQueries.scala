@@ -3508,10 +3508,75 @@ object TextQueries {
       |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev
       |FROM cand WHERE levenshtein(name_a, name_b) <= 3""".stripMargin
 
+  /** q277 — RM3 pseudo-relevance feedback
+    * ([[TextAnalysis.rm3TopK]]): q81's BM25 query expanded with the 5
+    * most characteristic terms of its top-10 feedback docs (exact
+    * integer relevance model), rescored with expansion terms at 0.4
+    * weight. The oracle replays both passes, the term-weight fold,
+    * and the expansion pick. */
+  private def q277(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rm3TopK(t(s, dir, "documents"), "doc_id", "text",
+                         Seq("hash", "join", "filter"), k = 20)
+
+  private val q277Sql = {
+    val k1 = 1.2; val b = 0.75
+    s"""WITH toks AS (
+      |  SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
+      |    FROM documents) x
+      |  WHERE t <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |tf1 AS (SELECT doc_id, t, count(*) AS tf FROM toks
+      |        WHERE t IN ('hash', 'join', 'filter') GROUP BY 1, 2),
+      |df1 AS (SELECT t, count(*) AS df FROM tf1 GROUP BY 1),
+      |c1 AS (
+      |  SELECT tf1.doc_id,
+      |         CAST(round(ln((st.n_docs - df1.df + 0.5) / (df1.df + 0.5) + 1.0)
+      |           * (tf1.tf * ${k1 + 1}) / (tf1.tf + $k1 * (${1.0 - b} + $b * dl.dl / st.avgdl))
+      |           * 1000000.0) AS BIGINT) AS c_e6
+      |  FROM tf1 JOIN df1 USING (t) JOIN dl USING (doc_id) CROSS JOIN st),
+      |p1 AS (SELECT doc_id, CAST(sum(c_e6) AS BIGINT) AS score_e6
+      |       FROM c1 GROUP BY 1
+      |       ORDER BY score_e6 DESC, doc_id LIMIT 10),
+      |fbtf AS (SELECT toks.doc_id, p1.score_e6, toks.t,
+      |           CAST(count(*) AS BIGINT) AS tf
+      |         FROM toks JOIN p1 ON toks.doc_id = p1.doc_id
+      |         GROUP BY 1, 2, 3),
+      |tw AS (SELECT t, CAST(sum((tf * score_e6) // dl.dl) AS BIGINT) AS tw
+      |       FROM fbtf JOIN dl ON fbtf.doc_id = dl.doc_id
+      |       WHERE t NOT IN ('hash', 'join', 'filter')
+      |       GROUP BY t),
+      |expn AS (SELECT t AS tok, CAST(400000 AS BIGINT) AS w_e6 FROM (
+      |    SELECT t, row_number() OVER (ORDER BY tw DESC, t) AS rn
+      |    FROM tw) y WHERE rn <= 5),
+      |terms AS (SELECT 'hash' AS tok, CAST(1000000 AS BIGINT) AS w_e6
+      |          UNION ALL SELECT 'join', 1000000
+      |          UNION ALL SELECT 'filter', 1000000
+      |          UNION ALL SELECT tok, w_e6 FROM expn),
+      |tf2 AS (SELECT doc_id, tok, w_e6, count(*) AS tf
+      |        FROM toks JOIN terms ON toks.t = terms.tok
+      |        GROUP BY 1, 2, 3),
+      |df2 AS (SELECT tok, count(*) AS df FROM tf2 GROUP BY 1),
+      |c2 AS (
+      |  SELECT tf2.doc_id,
+      |    (CAST(round(ln((st.n_docs - df2.df + 0.5) / (df2.df + 0.5) + 1.0)
+      |      * (tf2.tf * ${k1 + 1}) / (tf2.tf + $k1 * (${1.0 - b} + $b * dl.dl / st.avgdl))
+      |      * 1000000.0) AS BIGINT) * tf2.w_e6) // 1000000 AS cw_e6
+      |  FROM tf2 JOIN df2 USING (tok) JOIN dl USING (doc_id) CROSS JOIN st),
+      |sc2 AS (SELECT doc_id, CAST(sum(cw_e6) AS BIGINT) AS score_e6
+      |        FROM c2 GROUP BY 1)
+      |SELECT doc_id, score_e6,
+      |  CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT)
+      |    AS rank
+      |FROM sc2 ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q273_naive_bayes", q273, Some(q273Sql)),
     QueryDef("q274_gini_stump", q274, Some(q274Sql)),
     QueryDef("q276_fuzzy_linkage", q276, Some(q276Sql)),
+    QueryDef("q277_rm3_expansion", q277, Some(q277Sql)),
     QueryDef("q266_unigram_lm", q266, Some(q266Sql)),
     QueryDef("q265_phrase_search", q265, Some(q265Sql)),
     QueryDef("q181_winnow_fps", q181, Some(q181Sql)),
