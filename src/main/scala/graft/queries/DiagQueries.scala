@@ -1116,11 +1116,47 @@ object DiagQueries {
       |  CAST(coalesce(crossings, 0) AS BIGINT) AS crossings
       |FROM aggd LEFT JOIN cr ON aggd.k = cr.k""".stripMargin
 
+  /** q278 — two-feature OLS via Gram aggregation
+    * ([[graft.stats.Ridge.ridge2]], λ = 0): extended price regressed
+    * on quantity and discount points over all lineitems. One
+    * corpus aggregate reduces to nine exact long sums; Cramer's rule
+    * solves the 3×3 system in a formula string SHARED verbatim by
+    * engine and oracle, so the IEEE shape is identical by
+    * construction. */
+  private def q278(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Ridge.ridge2(
+      t(s, dir, "lineitem").select(
+        round(col("l_extendedprice")).cast("long").as("y"),
+        round(col("l_quantity")).cast("long").as("x1"),
+        round(col("l_discount") * 100).cast("long").as("x2")),
+      "y", "x1", "x2")
+
+  private val q278Sql = {
+    val f = graft.stats.Ridge.detFormulas(0L)
+    s"""WITH r AS (SELECT
+      |    CAST(round(l_extendedprice) AS BIGINT) AS y,
+      |    CAST(round(l_quantity) AS BIGINT) AS x1,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS x2
+      |  FROM lineitem),
+      |g AS (SELECT
+      |${graft.stats.Ridge.gramSql}
+      |FROM r)
+      |SELECT n,
+      |  CASE WHEN abs(${f("det")}) < 1e-9 THEN NULL
+      |    ELSE round(${f("det0")} / ${f("det")}, 6) END AS b0,
+      |  CASE WHEN abs(${f("det")}) < 1e-9 THEN NULL
+      |    ELSE round(${f("det1")} / ${f("det")}, 6) END AS b1,
+      |  CASE WHEN abs(${f("det")}) < 1e-9 THEN NULL
+      |    ELSE round(${f("det2")} / ${f("det")}, 6) END AS b2
+      |FROM g""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q267_holt_winters", q267, Some(q267Sql)),
     QueryDef("q268_croston", q268, Some(q268Sql)),
     QueryDef("q269_forecast_scorecard", q269, Some(q269Sql)),
     QueryDef("q270_series_features", q270, Some(q270Sql)),
+    QueryDef("q278_gram_ols", q278, Some(q278Sql)),
     QueryDef("q263_stl_decompose", q263, Some(q263Sql)),
     QueryDef("q264_inventory_balance", q264, Some(q264Sql)),
     QueryDef("q256_spearman", q256, Some(q256Sql)),
