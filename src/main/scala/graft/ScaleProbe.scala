@@ -896,6 +896,22 @@ object ScaleProbeStats {
           .agg(max(col("cum"))).collect())
     }
 
+    // r13: the GROUP-KEYED twin across a decade, with ONE group owning
+    // ~all distinct values (the wide-group worst case that a
+    // Window.partitionBy(group) would sort in a single task) plus many
+    // narrow groups riding along in the same pass
+    for (nVals <- Seq(2000000L, 20000000L)) {
+      val grid = spark.range(nVals).select(
+        when(col("id") % 100L === 0L,
+          concat(lit("narrow_"), (col("id") % 7L).cast("string")))
+          .otherwise(lit("wide")).as("g"),
+        col("id").as("v"),
+        (pmod(hash(col("id")), lit(5)) + 1).cast("long").as("c"))
+      time(f"GridPrefix.groupedPrefixSums wide-group vals=$nVals%,d")(
+        graft.scale.GridPrefix.groupedPrefixSums(grid, "g", "v", Seq("c"))
+          .agg(max(col("cum_c"))).collect())
+    }
+
     spark.stop()
   }
 }
