@@ -1151,7 +1151,61 @@ object DiagQueries {
       |FROM g""".stripMargin
   }
 
+  /** q279 — pairwise DTW distance ([[graft.ts.Dtw.dtwPairs]]):
+    * dynamic-time-warping between every pair of priorities' MONTHLY
+    * revenue series (whole currency, L1 local cost) — the
+    * shift-tolerant series similarity. Exact integer min-plus DP: the
+    * engine folds row-by-row inside one codegen'd expression; the
+    * oracle replays ANTI-DIAGONALLY with a recursive CTE (order-free
+    * algebra, identical longs). */
+  private def q279(s: SparkSession, dir: String): DataFrame =
+    graft.ts.Dtw.dtwPairs(
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+                 to_date(date_trunc("month", col("o_orderdate"))).as("mo"))
+        .agg(sum(round(col("o_totalprice")).cast("long")).as("y")),
+      "o_orderpriority", "mo", "y")
+
+  private val q279Sql =
+    """WITH RECURSIVE monthly AS (
+      |  SELECT o_orderpriority AS k,
+      |         CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+      |         CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+      |           AS y
+      |  FROM orders GROUP BY 1, 2),
+      |ser AS (SELECT k, list(y ORDER BY mo) AS v,
+      |          CAST(count(*) AS BIGINT) AS n
+      |        FROM monthly GROUP BY k),
+      |pairs AS (SELECT a.k AS ka, b.k AS kb, a.v AS va, b.v AS vb,
+      |            a.n AS n, b.n AS m
+      |          FROM ser a JOIN ser b ON a.k < b.k),
+      |rec AS (
+      |  SELECT ka, kb, va, vb, n, m, CAST(0 AS BIGINT) AS dg,
+      |    list_transform(generate_series(0, CAST(n AS INT)),
+      |      i -> CASE WHEN i = 0 THEN CAST(0 AS BIGINT)
+      |           ELSE CAST(4000000000000000 AS BIGINT) END) AS cur,
+      |    list_transform(generate_series(0, CAST(n AS INT)),
+      |      i -> CAST(4000000000000000 AS BIGINT)) AS prv
+      |  FROM pairs
+      |  UNION ALL
+      |  SELECT ka, kb, va, vb, n, m, dg + 1,
+      |    list_transform(generate_series(0, CAST(n AS INT)), i ->
+      |      CASE WHEN i = 0 THEN CAST(4000000000000000 AS BIGINT)
+      |           WHEN (dg + 1) - i < 1 OR (dg + 1) - i > m OR i > n
+      |             THEN CAST(4000000000000000 AS BIGINT)
+      |           ELSE abs(va[CAST(i AS INT)]
+      |                    - vb[CAST((dg + 1) - i AS INT)]) +
+      |                least(cur[CAST(i AS INT)], cur[CAST(i + 1 AS INT)],
+      |                      prv[CAST(i AS INT)])
+      |      END) AS cur,
+      |    cur AS prv
+      |  FROM rec WHERE dg < n + m)
+      |SELECT ka AS key_a, kb AS key_b, n AS n_a, m AS n_b,
+      |  cur[CAST(n + 1 AS INT)] AS dtw
+      |FROM rec WHERE dg = n + m""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q279_dtw_pairs", q279, Some(q279Sql)),
     QueryDef("q267_holt_winters", q267, Some(q267Sql)),
     QueryDef("q268_croston", q268, Some(q268Sql)),
     QueryDef("q269_forecast_scorecard", q269, Some(q269Sql)),
