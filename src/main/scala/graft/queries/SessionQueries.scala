@@ -318,6 +318,45 @@ object SessionQueries {
       |       CAST(count(*) AS BIGINT) AS n_users
       |FROM act JOIN coh USING (user_id) GROUP BY 1, 2""".stripMargin
 
+  /** q280 — cohort LTV ledger ([[graft.ts.EventAnalytics.cohortLtv]]):
+    * q167's retention matrix extended with purchase revenue — active
+    * share (exact micros) and cumulative revenue per cohort member,
+    * the division applied once to the running sum. */
+  private def q280(s: SparkSession, dir: String): DataFrame =
+    graft.ts.EventAnalytics.cohortLtv(
+      t(s, dir, "events"), "user_id", "ts", "event_type", "value",
+      convType = "purchase")
+
+  private val q280Sql =
+    """WITH act AS (SELECT DISTINCT user_id,
+      |               CAST(date_trunc('week', ts) AS DATE) AS wk
+      |             FROM events),
+      |coh AS (SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY 1),
+      |n0 AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS n0
+      |       FROM coh GROUP BY 1),
+      |ret AS (SELECT coh.cohort_wk,
+      |          CAST((act.wk - coh.cohort_wk) // 7 AS BIGINT)
+      |            AS offset_weeks,
+      |          CAST(count(*) AS BIGINT) AS n_active
+      |        FROM act JOIN coh USING (user_id) GROUP BY 1, 2),
+      |rev AS (SELECT coh.cohort_wk,
+      |          CAST((CAST(date_trunc('week', e.ts) AS DATE)
+      |                - coh.cohort_wk) // 7 AS BIGINT) AS offset_weeks,
+      |          CAST(sum(CAST(round(e.value * 100) AS BIGINT))
+      |            AS BIGINT) AS rev_c
+      |        FROM events e JOIN coh ON e.user_id = coh.user_id
+      |        WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+      |base AS (SELECT ret.cohort_wk, ret.offset_weeks, ret.n_active,
+      |           coalesce(rev.rev_c, 0) AS rev_c
+      |         FROM ret LEFT JOIN rev USING (cohort_wk, offset_weeks))
+      |SELECT base.cohort_wk, offset_weeks, n0.n0, n_active,
+      |  (n_active * 1000000) // n0.n0 AS retention_e6,
+      |  CAST(rev_c AS BIGINT) AS rev_c,
+      |  CAST(CAST(sum(rev_c) OVER (PARTITION BY base.cohort_wk
+      |    ORDER BY offset_weeks ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    // n0.n0 AS BIGINT) AS cum_ltv_c
+      |FROM base JOIN n0 ON base.cohort_wk = n0.cohort_wk""".stripMargin
+
   /** q185 — event-type transition matrix
     * ([[graft.ts.EventAnalytics.transitionMatrix]]): first-order
     * Markov step counts + per-from-type probabilities over each
@@ -1679,6 +1718,7 @@ object SessionQueries {
     QueryDef("q214_ab_test", q214, Some(q214Sql)),
     QueryDef("q207_attribution", q207, Some(q207Sql)),
     QueryDef("q275_multi_touch", q275, Some(q275Sql)),
+    QueryDef("q280_cohort_ltv", q280, Some(q280Sql)),
     QueryDef("q208_series_corr", q208, Some(q208Sql)),
     QueryDef("q205_series_trend", q205, Some(q205Sql)),
     QueryDef("q199_ewma_smooth", q199, Some(q199Sql)),

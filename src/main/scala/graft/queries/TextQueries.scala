@@ -3233,7 +3233,8 @@ object TextQueries {
 
   /** q265 — exact phrase search
     * ([[graft.pipeline.PhraseSearch.phraseSearch]], phrase
-    * "value table part"): positional-index retrieval — m−1 keyed
+    * "big order scan" — present at every test SF): positional-index
+    * retrieval — m−1 keyed
     * (doc, pos) equi-joins with phrase-term filters pushed to each
     * branch, the quoted-string primitive bag-of-words BM25 (q81)
     * cannot express. Overlapping occurrences count (standard
@@ -3241,7 +3242,7 @@ object TextQueries {
   private def q265(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.PhraseSearch.phraseSearch(
       t(s, dir, "documents"), "doc_id", "text",
-      Seq("value", "table", "part"))
+      Seq("big", "order", "scan"))
 
   private val q265Sql =
     """WITH toks AS (
@@ -3250,13 +3251,13 @@ object TextQueries {
       |        FROM documents) t,
       |       LATERAL (SELECT unnest(generate_series(1, len(l))) AS p)
       |  WHERE l[p] <> ''),
-      |m0 AS (SELECT doc_id, pos FROM toks WHERE w = 'value'),
+      |m0 AS (SELECT doc_id, pos FROM toks WHERE w = 'big'),
       |m1 AS (SELECT m0.doc_id, m0.pos FROM m0
       |       JOIN toks t1 ON t1.doc_id = m0.doc_id
-      |                   AND t1.pos = m0.pos + 1 AND t1.w = 'table'),
+      |                   AND t1.pos = m0.pos + 1 AND t1.w = 'order'),
       |m2 AS (SELECT m1.doc_id, m1.pos FROM m1
       |       JOIN toks t2 ON t2.doc_id = m1.doc_id
-      |                   AND t2.pos = m1.pos + 2 AND t2.w = 'part')
+      |                   AND t2.pos = m1.pos + 2 AND t2.w = 'scan')
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
       |       CAST(min(pos) AS BIGINT) AS first_pos
       |FROM m2 GROUP BY 1""".stripMargin
@@ -3572,11 +3573,54 @@ object TextQueries {
       |FROM sc2 ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** q281 — RAKE keyphrase extraction
+    * ([[graft.pipeline.Rake.rakePhrases]]): top-20 stopword-delimited
+    * keyphrases by deg/freq word scores on the exact e6 grid —
+    * phrase ids from a doc-keyed running stopword count, word stats
+    * one vocabulary aggregate. */
+  private def q281(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Rake.rakePhrases(
+      t(s, dir, "documents"), "doc_id", "text")
+
+  private val q281Sql =
+    """WITH toks AS (
+      |  SELECT doc_id AS id, p - 1 AS pos, l[p] AS tok,
+      |    CASE WHEN l[p] IN ('the', 'a', 'and', 'of', 'is')
+      |      THEN 1 ELSE 0 END AS is_stop
+      |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS l
+      |        FROM documents) t,
+      |       LATERAL (SELECT unnest(generate_series(1, len(l))) AS p)
+      |  WHERE l[p] <> ''),
+      |ph AS (SELECT id, pos, tok, is_stop,
+      |    CAST(sum(is_stop) OVER (PARTITION BY id ORDER BY pos
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pid
+      |  FROM toks),
+      |phr AS (SELECT * FROM ph WHERE is_stop = 0),
+      |plen AS (SELECT id, pid, CAST(count(*) AS BIGINT) AS plen,
+      |    string_agg(tok, ' ' ORDER BY pos) AS phrase
+      |  FROM phr GROUP BY 1, 2 HAVING count(*) <= 4),
+      |wo AS (SELECT phr.id, phr.pid, phr.tok, plen.plen
+      |       FROM phr JOIN plen USING (id, pid)),
+      |ws AS (SELECT tok,
+      |    (CAST(sum(plen) AS BIGINT) * 1000000)
+      |      // CAST(count(*) AS BIGINT) AS ws_e6
+      |  FROM wo GROUP BY 1),
+      |ps AS (SELECT wo.id, wo.pid,
+      |    CAST(sum(ws.ws_e6) AS BIGINT) AS score_e6
+      |  FROM wo JOIN ws USING (tok) GROUP BY 1, 2)
+      |SELECT plen.phrase, CAST(count(*) AS BIGINT) AS n_occ,
+      |  CAST(max(plen.plen) AS BIGINT) AS n_words,
+      |  CAST(max(ps.score_e6) AS BIGINT) AS score_e6
+      |FROM ps JOIN plen USING (id, pid)
+      |GROUP BY plen.phrase
+      |ORDER BY score_e6 DESC, phrase LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q273_naive_bayes", q273, Some(q273Sql)),
     QueryDef("q274_gini_stump", q274, Some(q274Sql)),
     QueryDef("q276_fuzzy_linkage", q276, Some(q276Sql)),
     QueryDef("q277_rm3_expansion", q277, Some(q277Sql)),
+    QueryDef("q281_rake_phrases", q281, Some(q281Sql)),
     QueryDef("q266_unigram_lm", q266, Some(q266Sql)),
     QueryDef("q265_phrase_search", q265, Some(q265Sql)),
     QueryDef("q181_winnow_fps", q181, Some(q181Sql)),

@@ -1,6 +1,7 @@
 package graft.ts
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-sequence analytics over the events stream: ordered-funnel
@@ -66,6 +67,53 @@ object EventAnalytics {
         (datediff(col("wk"), col("cohort_wk")) / 7).cast("long"))
       .groupBy("cohort_wk", "offset_weeks")
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Cohort LTV ledger — [[cohortRetention]] extended with MONEY: per
+    * (first-active-week cohort, week offset), the active-user count,
+    * the exact-micro retention share, the period's conversion revenue
+    * and the CUMULATIVE revenue per cohort member — the
+    * lifetime-value curve finance reads retention tables for.
+    * cum_ltv_c = (running Σ rev_c) div n0 stays exact by dividing the
+    * cumulative ONCE (never summing per-period quotients).
+    *
+    * Scale shape: two keyed aggregates + keyed joins as retention,
+    * plus one window KEYED BY COHORT over the week-offset axis —
+    * bounded by the calendar, never by users. */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+                typeCol: String, valueCol: String,
+                convType: String): DataFrame = {
+    val act = events.select(col(userCol).as("user_id"),
+        date_trunc("week", col(tsCol)).cast("date").as("wk"))
+      .distinct()
+    val coh = act.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    val n0 = coh.groupBy("cohort_wk").agg(count(lit(1)).as("n0"))
+    val ret = act.join(coh, Seq("user_id"))
+      .withColumn("offset_weeks",
+        (datediff(col("wk"), col("cohort_wk")) / 7).cast("long"))
+      .groupBy("cohort_wk", "offset_weeks")
+      .agg(count(lit(1)).as("n_active"))
+    val rev = events
+      .filter(col(typeCol) === convType)
+      .select(col(userCol).as("user_id"),
+              date_trunc("week", col(tsCol)).cast("date").as("wk"),
+              round(col(valueCol) * 100).cast("long").as("v_c"))
+      .join(coh, Seq("user_id"))
+      .withColumn("offset_weeks",
+        (datediff(col("wk"), col("cohort_wk")) / 7).cast("long"))
+      .groupBy("cohort_wk", "offset_weeks")
+      .agg(sum(col("v_c")).as("rev_c"))
+    val w = Window.partitionBy(col("cohort_wk")).orderBy(col("offset_weeks"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ret.join(rev, Seq("cohort_wk", "offset_weeks"), "left")
+      .withColumn("rev_c", coalesce(col("rev_c"), lit(0L)))
+      .join(n0, Seq("cohort_wk"))
+      .withColumn("cum_rev", sum(col("rev_c")).over(w))
+      .select(col("cohort_wk"), col("offset_weeks"), col("n0"),
+        col("n_active"),
+        expr("(n_active * 1000000) div n0").as("retention_e6"),
+        col("rev_c"),
+        expr("cum_rev div n0").as("cum_ltv_c"))
   }
 
   /** First-order event-type transition matrix: within each user's
