@@ -1333,7 +1333,46 @@ object EmbeddingQueries {
       |$rungs""".stripMargin
   }
 
+  /** q282 — simplified silhouette
+    * ([[graft.pipeline.ClusterEval.simplifiedSilhouette]]): cluster
+    * quality of the embeddings table's given labels — per point
+    * (b − a)/max(a, b) against integer-milli-grid centroids, exact
+    * squared distances, e6-rounded before the per-cluster mean. */
+  private def q282(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.ClusterEval.simplifiedSilhouette(
+      t(s, dir, "embeddings"), "vec_id", "label", "embedding")
+
+  private val q282Sql =
+    """WITH pts AS (
+      |  SELECT vec_id AS id, label AS lbl, gs.i AS i,
+      |    CAST(round(v[gs.i] * 1000) AS BIGINT) AS q
+      |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |        FROM embeddings) e,
+      |       LATERAL (SELECT unnest(generate_series(1, 64)) AS i) gs),
+      |cent AS (SELECT lbl AS cl, i,
+      |    CAST(sum(q) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+      |  FROM pts GROUP BY 1, 2),
+      |d2 AS (SELECT id, lbl, cl,
+      |    CAST(sum((q - c) * (q - c)) AS BIGINT) AS d2
+      |  FROM pts JOIN cent USING (i) GROUP BY 1, 2, 3),
+      |ab AS (SELECT id, lbl,
+      |    max(CASE WHEN cl = lbl THEN d2 END) AS a2,
+      |    min(CASE WHEN cl <> lbl THEN d2 END) AS b2
+      |  FROM d2 GROUP BY 1, 2),
+      |sil AS (SELECT id, lbl,
+      |    CASE WHEN greatest(a2, b2) = 0 THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(round((sqrt(b2) - sqrt(a2))
+      |        / greatest(sqrt(a2), sqrt(b2)) * 1000000.0) AS BIGINT)
+      |    END AS s_e6
+      |  FROM ab)
+      |SELECT lbl AS label, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(s_e6) AS BIGINT) // CAST(count(*) AS BIGINT)
+      |    AS mean_sil_e6,
+      |  min(s_e6) AS min_sil_e6, max(s_e6) AS max_sil_e6
+      |FROM sil GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q282_silhouette", q282, Some(q282Sql)),
     QueryDef("q262_matryoshka_eval", q262, Some(q262Sql)),
     QueryDef("q171_rank_eval", q171, Some(q171Sql)),
     QueryDef("q176_incremental_embed", q176, Some(q176Sql)),
