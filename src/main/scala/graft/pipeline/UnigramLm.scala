@@ -93,13 +93,21 @@ object UnigramLm {
                 Seq("w", "j"))
           .select(col("w"), (col("cj") + col("cost_e3")).as("cost"),
                   col("j"))
+        // checkpoint EACH level: dpk reads the cumulative dp, so a lazy
+        // union would make every level's plan contain the whole
+        // previous tree — 2^maxWordLen subtrees by the top, and
+        // Catalyst walks shared subtrees as a TREE (the driver burned
+        // 20+ min in TreeNode.exists at sf0.1 before this cut). With
+        // per-level cuts dp is a flat union of ≤ maxWordLen+1
+        // checkpointed leaves — linear planning, bounded rows.
         val dpk = cand.groupBy(col("w"))
           .agg(min(struct(col("cost"), col("j"))).as("m"))
           .select(col("w"), lit(k).as("k"),
                   col("m.cost").as("cost"), col("m.j").as("back"))
+          .localCheckpoint()
         dp = dp.unionByName(dpk)
       }
-      val dpCk = dp.localCheckpoint()
+      val dpCk = dp
       // backtrace from k = len(w): emit (w, i, k) of the winning pieces
       var frontier = words.select(col("w"), length(col("w")).as("k"))
       var seg: DataFrame = null
