@@ -815,7 +815,84 @@ object GraphQueries {
       |    AS assortativity
       |FROM s""".stripMargin
 
+  /** q283 — TextRank keywords: [[graft.graphs.PageRank.pageRank]]
+    * (5 iterations, e6 grid) over the word ADJACENCY graph — non-stop
+    * tokens adjacent in a document become undirected edges (stopwords
+    * removed before pairing, so content words bridge across them —
+    * the standard TextRank construction), top 20 words by rank. The
+    * oracle reuses q192's unrolled integer update rule on the word
+    * graph. */
+  private def q283(s: SparkSession, dir: String): DataFrame = {
+    val stop = graft.pipeline.TextAnalysis.stopwordsEn
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id").as("id"),
+              posexplode(split(trim(col("text")), " ")).as(Seq("p", "w")))
+      .filter(col("w") =!= "" && !col("w").isin(stop: _*))
+    // re-rank positions AFTER the stopword cut so adjacency bridges
+    // removed words; keyed by doc
+    val seq0 = toks.withColumn("r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("p"))))
+    val fwd = seq0.select(col("id"), col("r"), col("w"))
+      .join(seq0.select(col("id"), (col("r") - 1).as("r"),
+                        col("w").as("w2")), Seq("id", "r"))
+      .filter(col("w") =!= col("w2"))
+      .select(col("w").as("src"), col("w2").as("dst"))
+    val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val pr = graft.graphs.PageRank.pageRank(edges, "src", "dst", iters = 5)
+    pr.orderBy(col("rank_e6").desc, col("node")).limit(20)
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rank_e6").desc, col("node"))).cast("long"))
+  }
+
+  private val q283Sql = {
+    val iters = (1 to 5).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+        |         CAST(sum(r${i - 1}.rank_e6 // deg.outdeg) AS BIGINT) AS in_share
+        |       FROM e JOIN r${i - 1} ON r${i - 1}.node = e.src
+        |              JOIN deg ON deg.node = e.src
+        |       GROUP BY 1),
+        |r$i AS (SELECT n.node,
+        |          CAST(150000 + (85 * COALESCE(c$i.in_share, 0)) // 100
+        |               AS BIGINT) AS rank_e6
+        |        FROM nodes n LEFT JOIN c$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+      |  SELECT doc_id AS id, p - 1 AS p, l[p] AS w
+      |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS l
+      |        FROM documents) t,
+      |       LATERAL (SELECT unnest(generate_series(1, len(l))) AS p)
+      |  WHERE l[p] <> ''
+      |    AND l[p] NOT IN ('the', 'a', 'and', 'of', 'is')),
+      |sq AS (SELECT id, w,
+      |         row_number() OVER (PARTITION BY id ORDER BY p) AS r
+      |       FROM toks),
+      |fwd AS (SELECT a.w AS src, b.w AS dst
+      |        FROM sq a JOIN sq b ON a.id = b.id AND b.r = a.r + 1
+      |        WHERE a.w <> b.w),
+      |e AS (SELECT DISTINCT src, dst FROM (
+      |        SELECT src, dst FROM fwd
+      |        UNION ALL SELECT dst, src FROM fwd) u),
+      |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+      |        FROM e GROUP BY 1),
+      |nodes AS (SELECT DISTINCT src AS node FROM e
+      |          UNION SELECT DISTINCT dst FROM e),
+      |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_e6 FROM nodes),
+      |$iters,
+      |top AS (SELECT r5.node, r5.rank_e6, deg.outdeg
+      |        FROM r5 JOIN deg USING (node)
+      |        ORDER BY r5.rank_e6 DESC, r5.node LIMIT 20)
+      |SELECT node, rank_e6, outdeg,
+      |  CAST(row_number() OVER (ORDER BY rank_e6 DESC, node) AS BIGINT)
+      |    AS pos
+      |FROM top""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q283_textrank", q283, Some(q283Sql)),
     QueryDef("q253_label_propagation", q253, Some(q253Sql)),
     QueryDef("q254_link_prediction", q254, Some(q254Sql)),
     QueryDef("q255_assortativity", q255, Some(q255Sql)),
