@@ -49,7 +49,7 @@ object Kmv {
       .select(col("s"), col("h"), col("rk").cast("long").as("rk"))
   }
 
-  private val M = 1152921504606846976.0 // 2^60, the hash-space size
+  private[graft] val M = 1152921504606846976.0 // 2^60, the hash-space size
 
   /** Distinct-count estimate per set: D̂ = (k−1)·M/h₍k₎ when the
     * sketch is full, else the sketch size itself (it IS the set).

@@ -753,6 +753,49 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), sum(col(weightCol)).as("sum_chars"),
            expr("bit_xor(h)").as("xor60"))
 
+  /** Streaming KMV distinct sketch — [[graft.pipeline.Kmv]]'s min-k
+    * state maintained per set as events arrive: the state is AT MOST
+    * k longs per set FOREVER (min-k sketches are mergeable — new
+    * hashes fold in, only the k smallest survive), unlike a streaming
+    * COUNT(DISTINCT) whose state grows with cardinality. Emits the
+    * updated order-statistic estimate per set per micro-batch; after
+    * any stream prefix the emitted row equals [[graft.pipeline.Kmv
+    * .estimate]] over everything ingested so far (the batch≡stream
+    * contract, spec-pinned — the estimate rounds exactly like the
+    * batch side's round(·, 6)). */
+  case class KmvState(hs: Array[Long])
+  case class KmvUpdate(set_id: String, n_sketch: Long, kth_h: Long,
+                       est: Double)
+
+  def streamingKmvDistinct(stream: DataFrame, setCol: String,
+                           memberCol: String, k: Int,
+                           salt: String = "kmv")
+      : org.apache.spark.sql.Dataset[KmvUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(k >= 2, "k must be >= 2")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(setCol).cast("string"),
+        graft.pipeline.CorpusSketch.h60(col(memberCol).cast("string"), salt))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[KmvState]) =>
+          val prev = state.getOption.map(_.hs).getOrElse(Array.empty[Long])
+          val merged = (prev ++ rows.map(_._2)).distinct.sorted.take(k)
+          state.update(KmvState(merged))
+          val n = merged.length
+          val kth = merged.last
+          val est =
+            if (n < k) n.toDouble
+            else BigDecimal((k - 1).toDouble * graft.pipeline.Kmv.M / kth)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Iterator.single(KmvUpdate(key, n.toLong, kth, est))
+      }
+  }
+
   case class SeriesUpdate(series: String, n: Long, sum: Double,
                           min_ts: java.sql.Timestamp, max_ts: java.sql.Timestamp)
 
