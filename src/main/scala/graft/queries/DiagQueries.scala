@@ -1204,7 +1204,75 @@ object DiagQueries {
       |  cur[CAST(n + 1 AS INT)] AS dtw
       |FROM rec WHERE dg = n + m""".stripMargin
 
+  /** q284 — MoM/YoY growth ledger
+    * ([[graft.ts.GrowthLedger.momYoy]]): monthly revenue per priority
+    * with calendar-joined month-over-month and year-over-year shares
+    * in exact micros; missing base periods are honest nulls. */
+  private def q284(s: SparkSession, dir: String): DataFrame =
+    graft.ts.GrowthLedger.momYoy(
+      t(s, dir, "orders").select(col("o_orderpriority"),
+        col("o_orderdate"), cents(col("o_totalprice")).as("v_c")),
+      "o_orderpriority", "o_orderdate", "v_c")
+
+  private val q284Sql =
+    """WITH monthly AS (
+      |  SELECT o_orderpriority AS k,
+      |         CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+      |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+      |           AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT m.k AS o_orderpriority, m.mo, m.rev_c,
+      |  CAST(CASE WHEN pm.rev_c IS NULL OR pm.rev_c = 0 THEN NULL
+      |    ELSE ((m.rev_c - pm.rev_c) * 1000000) // abs(pm.rev_c) END
+      |    AS BIGINT) AS mom_e6,
+      |  CAST(CASE WHEN py.rev_c IS NULL OR py.rev_c = 0 THEN NULL
+      |    ELSE ((m.rev_c - py.rev_c) * 1000000) // abs(py.rev_c) END
+      |    AS BIGINT) AS yoy_e6
+      |FROM monthly m
+      |LEFT JOIN monthly pm ON pm.k = m.k
+      |  AND (pm.mo + INTERVAL 1 MONTH) = m.mo
+      |LEFT JOIN monthly py ON py.k = m.k
+      |  AND (py.mo + INTERVAL 12 MONTH) = m.mo""".stripMargin
+
+  /** q285 — new-vs-returning revenue split
+    * ([[graft.ts.GrowthLedger.newVsReturning]]): each month's order
+    * revenue split by whether the customer's first-ever order landed
+    * that month — acquisition vs retention, exact-micro new share. */
+  private def q285(s: SparkSession, dir: String): DataFrame =
+    graft.ts.GrowthLedger.newVsReturning(
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("v_c")),
+      "o_custkey", "o_orderdate", "v_c")
+
+  private val q285Sql =
+    """WITH rows0 AS (
+      |  SELECT o_custkey AS c,
+      |         CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+      |         CAST(round(o_totalprice*100) AS BIGINT) AS v
+      |  FROM orders),
+      |f AS (SELECT c, min(mo) AS mo0 FROM rows0 GROUP BY 1),
+      |j AS (SELECT rows0.c, mo, v,
+      |        CASE WHEN mo = mo0 THEN 1 ELSE 0 END AS is_new
+      |      FROM rows0 JOIN f ON rows0.c = f.c),
+      |g AS (SELECT mo,
+      |  CAST(sum(CASE WHEN is_new = 1 THEN v ELSE 0 END) AS BIGINT)
+      |    AS new_rev_c,
+      |  CAST(sum(CASE WHEN is_new = 0 THEN v ELSE 0 END) AS BIGINT)
+      |    AS ret_rev_c,
+      |  CAST(count(DISTINCT CASE WHEN is_new = 1 THEN c END) AS BIGINT)
+      |    AS new_custs,
+      |  CAST(count(DISTINCT CASE WHEN is_new = 0 THEN c END) AS BIGINT)
+      |    AS ret_custs
+      |FROM j GROUP BY 1)
+      |SELECT mo, new_rev_c, ret_rev_c, new_custs, ret_custs,
+      |  CAST(CASE WHEN new_rev_c + ret_rev_c = 0 THEN NULL
+      |    ELSE (new_rev_c * 1000000) // (new_rev_c + ret_rev_c) END
+      |    AS BIGINT) AS new_share_e6
+      |FROM g""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q284_growth_ledger", q284, Some(q284Sql)),
+    QueryDef("q285_new_vs_returning", q285, Some(q285Sql)),
     QueryDef("q279_dtw_pairs", q279, Some(q279Sql)),
     QueryDef("q267_holt_winters", q267, Some(q267Sql)),
     QueryDef("q268_croston", q268, Some(q268Sql)),
