@@ -41,4 +41,42 @@ object PhraseSearch {
       .agg(count(lit(1)).as("n_occurrences"),
            min(col("pos")).cast("long").as("first_pos"))
   }
+
+  /** PROXIMITY search (Lucene's "sloppy phrase" family): documents
+    * where ALL query terms co-occur inside a token window ≤ `slop`,
+    * in ANY order — the retrieval middle ground between exact phrases
+    * ([[phraseSearch]]) and the order-free bag-of-words BM25. Reports
+    * the tightest window per doc (the span a highlighter would show)
+    * and the number of qualifying term-position combinations.
+    *
+    * Scale shape: per term, position lists are term-frequency-sized
+    * (filters push to the token scan); the m-way doc-keyed join is
+    * Π tf_i per doc — the standard positional-index cost, bounded by
+    * the query terms' in-doc frequencies, never doc length. */
+  def proximitySearch(docs: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String], slop: Int): DataFrame = {
+    require(terms.size >= 2, "proximity needs at least two terms")
+    require(terms.distinct.size == terms.size, "terms must be distinct")
+    require(slop >= terms.size - 1, "slop cannot be below terms-1")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(trim(col(textCol)), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val first = toks.filter(col("w") === terms.head)
+      .select(col("doc_id"), col("pos").as("p0"))
+    val joined = terms.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (term, i)) =>
+        acc.join(toks.filter(col("w") === term)
+                   .select(col("doc_id"), col("pos").as(s"p$i")),
+                 Seq("doc_id"))
+    }
+    val ps = terms.indices.map(i => col(s"p$i"))
+    val span = greatest(ps: _*) - least(ps: _*)
+    joined
+      .withColumn("span", span.cast("long"))
+      .filter(col("span") <= slop.toLong)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+           min(col("span")).as("min_span"),
+           min(least(ps: _*)).cast("long").as("first_pos"))
+  }
 }

@@ -3573,6 +3573,36 @@ object TextQueries {
       |FROM sc2 ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** q286 — proximity search
+    * ([[graft.pipeline.PhraseSearch.proximitySearch]], terms
+    * {big, order, scan}, slop 6): all terms within a 6-token window
+    * in any order — the sloppy-phrase middle ground between q265's
+    * exact phrase and q81's bag-of-words. */
+  private def q286(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.PhraseSearch.proximitySearch(
+      t(s, dir, "documents"), "doc_id", "text",
+      Seq("big", "order", "scan"), slop = 6)
+
+  private val q286Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, p - 1 AS pos, l[p] AS w
+      |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS l
+      |        FROM documents) t,
+      |       LATERAL (SELECT unnest(generate_series(1, len(l))) AS p)
+      |  WHERE l[p] <> ''),
+      |w AS (
+      |  SELECT a.doc_id, a.pos AS p0, b.pos AS p1, c.pos AS p2,
+      |    CAST(greatest(a.pos, b.pos, c.pos)
+      |         - least(a.pos, b.pos, c.pos) AS BIGINT) AS span
+      |  FROM toks a
+      |  JOIN toks b ON b.doc_id = a.doc_id AND b.w = 'order'
+      |  JOIN toks c ON c.doc_id = a.doc_id AND c.w = 'scan'
+      |  WHERE a.w = 'big')
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+      |  min(span) AS min_span,
+      |  CAST(min(least(p0, p1, p2)) AS BIGINT) AS first_pos
+      |FROM w WHERE span <= 6 GROUP BY 1""".stripMargin
+
   /** q281 — RAKE keyphrase extraction
     * ([[graft.pipeline.Rake.rakePhrases]]): top-20 stopword-delimited
     * keyphrases by deg/freq word scores on the exact e6 grid —
@@ -3621,6 +3651,7 @@ object TextQueries {
     QueryDef("q276_fuzzy_linkage", q276, Some(q276Sql)),
     QueryDef("q277_rm3_expansion", q277, Some(q277Sql)),
     QueryDef("q281_rake_phrases", q281, Some(q281Sql)),
+    QueryDef("q286_proximity_search", q286, Some(q286Sql)),
     QueryDef("q266_unigram_lm", q266, Some(q266Sql)),
     QueryDef("q265_phrase_search", q265, Some(q265Sql)),
     QueryDef("q181_winnow_fps", q181, Some(q181Sql)),
