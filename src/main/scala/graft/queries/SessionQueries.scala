@@ -357,6 +357,63 @@ object SessionQueries {
       |    // n0.n0 AS BIGINT) AS cum_ltv_c
       |FROM base JOIN n0 ON base.cohort_wk = n0.cohort_wk""".stripMargin
 
+  /** q287 — funnel-conformance alignment
+    * ([[graft.ts.SeqAlign.alignToReference]]): each user-day's event
+    * sequence globally aligned (Needleman–Wunsch, match +2 /
+    * mismatch −1 / gap −1, exact max-plus longs) against the
+    * canonical signup→view→click→purchase path — insert/delete
+    * tolerant conformance the subsequence-only funnel can't score.
+    * The oracle replays the DP anti-diagonally (the q279 pattern,
+    * max-plus with real boundary rows). */
+  private def q287(s: SparkSession, dir: String): DataFrame =
+    graft.ts.SeqAlign.alignToReference(
+      t(s, dir, "events").select(col("user_id"),
+        dayBucket(col("ts")).as("d"), col("event_type"),
+        col("ts").cast("timestamp").cast("long").as("sec"),
+        col("event_id")),
+      "user_id", "d", "event_type", Seq("sec", "event_id"),
+      reference = Seq("signup", "view", "click", "purchase"))
+
+  private val q287Sql =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+      |         event_type AS et, epoch_ns(ts) // 1000000000 AS sec,
+      |         event_id
+      |  FROM events),
+      |ser AS (SELECT user_id, d,
+      |          list(et ORDER BY sec, event_id) AS va,
+      |          CAST(count(*) AS BIGINT) AS n
+      |        FROM ev GROUP BY 1, 2 HAVING count(*) <= 64),
+      |rec AS (
+      |  SELECT user_id, d, va, n, CAST(0 AS BIGINT) AS dg,
+      |    list_transform(generate_series(0, CAST(n AS INT)),
+      |      i -> CASE WHEN i = 0 THEN CAST(0 AS BIGINT)
+      |           ELSE CAST(-4000000000000000 AS BIGINT) END) AS cur,
+      |    list_transform(generate_series(0, CAST(n AS INT)),
+      |      i -> CAST(-4000000000000000 AS BIGINT)) AS prv
+      |  FROM ser
+      |  UNION ALL
+      |  SELECT user_id, d, va, n, dg + 1,
+      |    list_transform(generate_series(0, CAST(n AS INT)), i ->
+      |      CASE WHEN i > n OR (dg + 1) - i < 0 OR (dg + 1) - i > 4
+      |             THEN CAST(-4000000000000000 AS BIGINT)
+      |           WHEN i = 0 THEN CAST(-(dg + 1) AS BIGINT)
+      |           WHEN (dg + 1) - i = 0 THEN CAST(-i AS BIGINT)
+      |           ELSE greatest(
+      |             prv[CAST(i AS INT)] +
+      |               CASE WHEN va[CAST(i AS INT)] =
+      |                 (['signup','view','click','purchase'])
+      |                   [CAST((dg + 1) - i AS INT)]
+      |               THEN 2 ELSE -1 END,
+      |             cur[CAST(i AS INT)] - 1,
+      |             cur[CAST(i + 1 AS INT)] - 1)
+      |      END) AS cur,
+      |    cur AS prv
+      |  FROM rec WHERE dg < n + 4)
+      |SELECT user_id, d, n AS n_events,
+      |  cur[CAST(n + 1 AS INT)] AS score
+      |FROM rec WHERE dg = n + 4""".stripMargin
+
   /** q185 — event-type transition matrix
     * ([[graft.ts.EventAnalytics.transitionMatrix]]): first-order
     * Markov step counts + per-from-type probabilities over each
@@ -1719,6 +1776,7 @@ object SessionQueries {
     QueryDef("q207_attribution", q207, Some(q207Sql)),
     QueryDef("q275_multi_touch", q275, Some(q275Sql)),
     QueryDef("q280_cohort_ltv", q280, Some(q280Sql)),
+    QueryDef("q287_funnel_alignment", q287, Some(q287Sql)),
     QueryDef("q208_series_corr", q208, Some(q208Sql)),
     QueryDef("q205_series_trend", q205, Some(q205Sql)),
     QueryDef("q199_ewma_smooth", q199, Some(q199Sql)),
