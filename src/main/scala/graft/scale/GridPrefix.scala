@@ -56,27 +56,36 @@ object GridPrefix {
     *                (exclusive) running sums in (group, value)
     *                order. */
   def groupedPrefixSums(grid: DataFrame, grpCol: String, valCol: String,
-                        cntCols: Seq[String]): DataFrame = {
-    require(cntCols.nonEmpty, "cntCols must be non-empty")
+                        cntCols: Seq[String]): DataFrame =
+    groupedPrefixSums(grid, Seq(grpCol), valCol, cntCols)
+
+  /** Multi-column-group form — the group key is the COMPOSITE of
+    * `grpCols` (e.g. (metric-tag, group) when several independent
+    * value grids share one pass, the Spearman x/y fusion). */
+  def groupedPrefixSums(grid: DataFrame, grpCols: Seq[String],
+                        valCol: String, cntCols: Seq[String]): DataFrame = {
+    require(grpCols.nonEmpty && cntCols.nonEmpty,
+            "grpCols and cntCols must be non-empty")
     val spark = grid.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
+    val gcols = grpCols.map(col)
     val ranged = grid
-      .repartitionByRange(parts, col(grpCol), col(valCol))
+      .repartitionByRange(parts, gcols :+ col(valCol): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
-    val wIn = Window.partitionBy(col("__pid"), col(grpCol))
+    val wIn = Window.partitionBy(col("__pid") +: gcols: _*)
       .orderBy(col(valCol))
     val local = cntCols.foldLeft(ranged) { (df, c) =>
       df.withColumn(s"__cin_$c", sum(col(c)).over(wIn))
     }
     val totAggs = cntCols.map(c => sum(col(c)).as(s"__t_$c"))
-    val totals = ranged.groupBy(col("__pid"), col(grpCol))
+    val totals = ranged.groupBy(col("__pid") +: gcols: _*)
       .agg(totAggs.head, totAggs.tail: _*)
-    val wOff = Window.partitionBy(col(grpCol)).orderBy(col("__pid"))
+    val wOff = Window.partitionBy(gcols: _*).orderBy(col("__pid"))
     val offs = totals.select(
-      col("__pid") +: col(grpCol) +: cntCols.map(c =>
+      col("__pid") +: gcols ++: cntCols.map(c =>
         (sum(col(s"__t_$c")).over(wOff) - col(s"__t_$c")).as(s"__off_$c")): _*)
-    val joined = local.join(offs, Seq("__pid", grpCol))
+    val joined = local.join(offs, "__pid" +: grpCols)
     val out = cntCols.foldLeft(joined) { (df, c) =>
       df.withColumn(s"cum_$c", col(s"__cin_$c") + col(s"__off_$c"))
         .withColumn(s"cum_before_$c", col(s"cum_$c") - col(c))

@@ -32,17 +32,24 @@ object RankCorr {
     // doubled midranks via the GROUPED distributed prefix: a single
     // group's value grid approaches corpus cardinality for
     // cents-valued metrics, so the per-group window must not be one
-    // task (the exactNtile lesson, group-keyed)
-    def midranks(vCol: String, out: String): DataFrame = {
-      val g = rows.groupBy(col("grp"), col(vCol).as("v"))
-        .agg(count(lit(1)).as("c"))
-      graft.scale.GridPrefix.groupedPrefixSums(g, "grp", "v", Seq("c"))
-        .select(col("grp"), col("v").as(vCol),
-                (lit(2L) * col("cum_before_c") + col("c") + 1L).as(out))
-    }
+    // task (the exactNtile lesson, group-keyed). Both axes' grids are
+    // FUSED into one tagged pass — one checkpoint + one shuffle chain
+    // instead of two (measured ~1 s at sf0.1)
+    val tagged = rows
+      .select(col("grp"), lit(0).as("ax"), col("x").as("v"))
+      .unionByName(rows.select(col("grp"), lit(1).as("ax"),
+                               col("y").as("v")))
+      .groupBy(col("grp"), col("ax"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val pre = graft.scale.GridPrefix.groupedPrefixSums(
+        tagged, Seq("ax", "grp"), "v", Seq("c"))
+      .withColumn("r2", lit(2L) * col("cum_before_c") + col("c") + 1L)
+    def midranks(axis: Int, vCol: String, out: String): DataFrame =
+      pre.filter(col("ax") === axis)
+        .select(col("grp"), col("v").as(vCol), col("r2").as(out))
     val withR = rows
-      .join(midranks("x", "rx2"), Seq("grp", "x"))
-      .join(midranks("y", "ry2"), Seq("grp", "y"))
+      .join(midranks(0, "x", "rx2"), Seq("grp", "x"))
+      .join(midranks(1, "y", "ry2"), Seq("grp", "y"))
     // moment sums in DECIMAL(38): rx2·ry2 ≤ (2n+1)², so 64-bit longs
     // overflow beyond ~10⁶ rows per group — decimal keeps the sums
     // exact at any group size (DuckDB's BIGINT product promotes to
