@@ -1270,8 +1270,59 @@ object DiagQueries {
       |    AS BIGINT) AS new_share_e6
       |FROM g""".stripMargin
 
+  /** q288 — Holt–Winters 14-day forecast
+    * ([[graft.ts.ExpSmooth.tripleExpForecast]]): the out-of-sample
+    * projection from q267's final state — pred_h = l + h·b +
+    * s[(t+h−1) mod 7] in exact longs; the oracle reruns the q267
+    * recursion and projects from each series' LAST row. */
+  private def q288(s: SparkSession, dir: String): DataFrame =
+    graft.ts.ExpSmooth.tripleExpForecast(
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+                 dayBucket(col("o_orderdate")).as("o_orderdate"))
+        .agg(sum(cents(col("o_totalprice"))).as("y")),
+      "o_orderpriority", "o_orderdate", "y", horizon = 14)
+
+  private val q288Sql =
+    """WITH RECURSIVE daily AS (
+      |  SELECT o_orderpriority AS k,
+      |         CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+      |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |           AS y
+      |  FROM orders GROUP BY 1, 2),
+      |s AS (SELECT k, d, y,
+      |        row_number() OVER (PARTITION BY k ORDER BY d) AS rn
+      |      FROM daily),
+      |hw AS (
+      |  SELECT k, rn, d, y, y AS l, CAST(0 AS BIGINT) AS b,
+      |         [0,0,0,0,0,0,0]::BIGINT[] AS sv
+      |  FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.k, s.rn, s.d, s.y,
+      |    (2 * (s.y - hw.sv[(hw.rn % 7) + 1])
+      |     + 8 * (hw.l + hw.b)) // 10,
+      |    (1 * (((2 * (s.y - hw.sv[(hw.rn % 7) + 1])
+      |            + 8 * (hw.l + hw.b)) // 10) - hw.l)
+      |     + 9 * hw.b) // 10,
+      |    list_transform(hw.sv, (e, i) -> CASE WHEN i = (hw.rn % 7) + 1
+      |      THEN (3 * (s.y - ((2 * (s.y - hw.sv[(hw.rn % 7) + 1])
+      |                         + 8 * (hw.l + hw.b)) // 10))
+      |            + 7 * hw.sv[(hw.rn % 7) + 1]) // 10
+      |      ELSE e END)
+      |  FROM hw JOIN s ON s.k = hw.k AND s.rn = hw.rn + 1),
+      |fin AS (SELECT * FROM (
+      |    SELECT hw.*, row_number() OVER (PARTITION BY k
+      |      ORDER BY rn DESC) AS rr FROM hw) x WHERE rr = 1)
+      |SELECT k AS o_orderpriority,
+      |  fin.d + CAST(h AS INT) AS o_orderdate,
+      |  CAST(h AS BIGINT) AS h,
+      |  CAST(l + h * b + sv[CAST((rn + h - 1) % 7 AS INT) + 1]
+      |    AS BIGINT) AS pred_c
+      |FROM fin, LATERAL (SELECT unnest(generate_series(1, 14)) AS h)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q284_growth_ledger", q284, Some(q284Sql)),
+    QueryDef("q288_hw_forecast", q288, Some(q288Sql)),
     QueryDef("q285_new_vs_returning", q285, Some(q285Sql)),
     QueryDef("q279_dtw_pairs", q279, Some(q279Sql)),
     QueryDef("q267_holt_winters", q267, Some(q267Sql)),

@@ -149,4 +149,61 @@ object ExpSmooth {
               col("r.b").as("trend_c"), col("r.seas").as("seas_c"),
               col("r.pred").as("pred_c"))
   }
+
+  /** h-step-ahead Holt–Winters forecast — the FUTURE-GRID projection
+    * from [[tripleExpSmooth]]'s final state: pred_h = l + h·b +
+    * s[(t + h − 1) mod m], exact longs (the model's standard
+    * out-of-sample form). Same fold, but the finish keeps only the
+    * final (l, b, seasonal vector, step count, last date) per series,
+    * and the horizon explodes in projection. */
+  def tripleExpForecast(daily: DataFrame, keyCol: String, dateCol: String,
+                        vCol: String, horizon: Int, m: Int = 7,
+                        aNum: Int = 2, aDen: Int = 10,
+                        bNum: Int = 1, bDen: Int = 10,
+                        gNum: Int = 3, gDen: Int = 10): DataFrame = {
+    require(horizon >= 1, "horizon must be >= 1")
+    require(m >= 2, "seasonal period must be >= 2")
+    require(aNum > 0 && aNum < aDen, "alpha in (0, 1)")
+    require(bNum > 0 && bNum < bDen, "beta in (0, 1)")
+    require(gNum > 0 && gNum < gDen, "gamma in (0, 1)")
+    val packed = daily
+      .select(col(keyCol).as("k"), col(dateCol).as("d"),
+              col(vCol).cast("long").as("y"))
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("d"), col("y")))).as("s"))
+    val sOld = s"element_at(acc.sv, CAST(acc.t % $m AS INT) + 1)"
+    val lp = s"(($aNum * (x.y - $sOld)) + ${aDen - aNum} * (acc.l + acc.b)) div $aDen"
+    val bp = s"($bNum * (($lp) - acc.l) + ${bDen - bNum} * acc.b) div $bDen"
+    val sp = s"($gNum * (x.y - ($lp)) + ${gDen - gNum} * $sOld) div $gDen"
+    val fold = s"""
+      |aggregate(
+      |  s,
+      |  named_struct(
+      |    'fst', 1, 't', CAST(0 AS BIGINT),
+      |    'l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+      |    'sv', array_repeat(CAST(0 AS BIGINT), $m),
+      |    'd', CAST(NULL AS DATE)),
+      |  (acc, x) -> CASE WHEN acc.fst = 1 THEN
+      |      named_struct('fst', 0, 't', CAST(1 AS BIGINT),
+      |        'l', x.y, 'b', CAST(0 AS BIGINT), 'sv', acc.sv, 'd', x.d)
+      |    ELSE
+      |      named_struct('fst', 0, 't', acc.t + 1,
+      |        'l', $lp,
+      |        'b', $bp,
+      |        'sv', transform(acc.sv, (e, i) ->
+      |          CASE WHEN i = CAST(acc.t % $m AS INT) THEN $sp ELSE e END),
+      |        'd', x.d)
+      |    END,
+      |  acc -> acc)""".stripMargin
+    packed
+      .select(col("k"), expr(fold).as("st"))
+      .select(col("k"), col("st"),
+              explode(expr(s"sequence(1, $horizon)")).as("h"))
+      .select(col("k").as(keyCol),
+        expr("date_add(st.d, CAST(h AS INT))").as(dateCol),
+        col("h").cast("long").as("h"),
+        expr(s"""st.l + h * st.b +
+          | element_at(st.sv, CAST((st.t + h - 1) % $m AS INT) + 1)"""
+          .stripMargin).as("pred_c"))
+  }
 }

@@ -84,6 +84,26 @@ class ExpSmoothSpec extends AnyFunSuite {
     assert(got.forall(r => r.getAs[Long]("trend_c") == 0L))
   }
 
+  test("tripleExpForecast: projects the final state along the horizon") {
+    // m=2 trace from the smoother test: after 4 points the state is
+    // l=140 b=3 sv=[-17, 64] t=4
+    // h=1: phase (4+0)%2=0 -> 140+3-17=126
+    // h=2: phase 1 -> 140+6+64=210; h=3: 140+9-17=132
+    val df = Seq(("s", java.sql.Date.valueOf("2024-01-01"), 100L),
+                 ("s", java.sql.Date.valueOf("2024-01-02"), 200L),
+                 ("s", java.sql.Date.valueOf("2024-01-03"), 50L),
+                 ("s", java.sql.Date.valueOf("2024-01-04"), 300L))
+      .toDF("k", "d", "y")
+    val got = ExpSmooth.tripleExpForecast(df, "k", "d", "y",
+      horizon = 3, m = 2)
+      .orderBy("h").collect()
+      .map(r => (r.getAs[Long]("h"), r.getDate(1).toString,
+                 r.getAs[Long]("pred_c"))).toSeq
+    assert(got == Seq((1L, "2024-01-05", 126L),
+                      (2L, "2024-01-06", 210L),
+                      (3L, "2024-01-07", 132L)), s"$got")
+  }
+
   test("doubleExpSmooth: independent series fold independently") {
     val df = Seq(("a", java.sql.Date.valueOf("2024-01-01"), 10L),
                  ("a", java.sql.Date.valueOf("2024-01-02"), 10L),
