@@ -1320,9 +1320,39 @@ object DiagQueries {
       |    AS BIGINT) AS pred_c
       |FROM fin, LATERAL (SELECT unnest(generate_series(1, 14)) AS h)""".stripMargin
 
+  /** q289 — event-rate spike detection
+    * ([[graft.ts.RateSpike.rateSpikes]], 28-observation baseline,
+    * z ≥ 4): per (event type, day) Poisson-approx z against the
+    * trailing active-day mean — the "errors just jumped" monitor. */
+  private def q289(s: SparkSession, dir: String): DataFrame =
+    graft.ts.RateSpike.rateSpikes(
+      t(s, dir, "events"), "event_type", "ts")
+
+  private val q289Sql =
+    """WITH daily AS (
+      |  SELECT event_type AS s, CAST(date_trunc('day', ts) AS DATE) AS d,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT s, d, x,
+      |        CAST(coalesce(sum(x) OVER w, 0) AS BIGINT) AS base_sum,
+      |        CAST(count(x) OVER w AS BIGINT) AS base_n
+      |      FROM daily WINDOW w AS (PARTITION BY s ORDER BY d
+      |        ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING))
+      |SELECT s AS event_type, d, x, base_sum, base_n,
+      |  CAST(CASE WHEN base_n = 0 OR base_sum = 0 THEN NULL
+      |    ELSE round((x - CAST(base_sum AS DOUBLE) / base_n)
+      |         / sqrt(CAST(base_sum AS DOUBLE) / base_n) * 1000000.0)
+      |    END AS BIGINT) AS z_e6,
+      |  CAST(CASE WHEN base_n > 0 AND base_sum > 0
+      |    AND round((x - CAST(base_sum AS DOUBLE) / base_n)
+      |        / sqrt(CAST(base_sum AS DOUBLE) / base_n) * 1000000.0)
+      |        >= 4000000 THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+      |FROM b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q284_growth_ledger", q284, Some(q284Sql)),
     QueryDef("q288_hw_forecast", q288, Some(q288Sql)),
+    QueryDef("q289_rate_spikes", q289, Some(q289Sql)),
     QueryDef("q285_new_vs_returning", q285, Some(q285Sql)),
     QueryDef("q279_dtw_pairs", q279, Some(q279Sql)),
     QueryDef("q267_holt_winters", q267, Some(q267Sql)),
