@@ -1320,6 +1320,58 @@ object DiagQueries {
       |    AS BIGINT) AS pred_c
       |FROM fin, LATERAL (SELECT unnest(generate_series(1, 14)) AS h)""".stripMargin
 
+  /** q290 — Nelson–Aalen cumulative hazard
+    * ([[graft.ts.Survival.nelsonAalen]]): q261's time-to-second-order
+    * data through the ADDITIVE hazard estimator — per-step (d·1e6)
+    * div n_risk increments, cumulated by a distributed prefix sum
+    * (no recursion; the oracle is a plain running-sum window). */
+  private def q290(s: SparkSession, dir: String): DataFrame = {
+    val dd = t(s, dir, "orders")
+      .select(col("o_custkey").as("cust"), col("o_orderdate").as("d"))
+      .distinct()
+    val firsts = dd.groupBy(col("cust")).agg(min(col("d")).as("d1"))
+    val seconds = dd.join(firsts, Seq("cust"))
+      .filter(col("d") > col("d1"))
+      .groupBy(col("cust")).agg(min(col("d")).as("d2"))
+    val maxd = dd.agg(max(col("d")).as("md"))
+    val subjects = firsts.join(seconds, Seq("cust"), "left")
+      .crossJoin(broadcast(maxd))
+      .select(
+        datediff(coalesce(col("d2"), col("md")), col("d1")).cast("long")
+          .as("dur"),
+        col("d2").isNotNull.cast("long").as("ev"))
+    graft.ts.Survival.nelsonAalen(subjects, "dur", "ev")
+  }
+
+  private val q290Sql =
+    """WITH dd AS (SELECT DISTINCT o_custkey AS cust,
+      |              o_orderdate AS d FROM orders),
+      |f AS (SELECT cust, min(d) AS d1 FROM dd GROUP BY 1),
+      |s2 AS (SELECT dd.cust, min(dd.d) AS d2
+      |       FROM dd JOIN f ON f.cust = dd.cust AND dd.d > f.d1
+      |       GROUP BY 1),
+      |mx AS (SELECT max(d) AS md FROM dd),
+      |subj AS (SELECT CAST(date_diff('day', d1, COALESCE(d2, md))
+      |                  AS BIGINT) AS t,
+      |                CASE WHEN d2 IS NULL THEN 0 ELSE 1 END AS ev
+      |         FROM f LEFT JOIN s2 USING (cust) CROSS JOIN mx),
+      |grid AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d_events,
+      |                CAST(count(*) AS BIGINT) AS n_at
+      |         FROM subj GROUP BY 1),
+      |pref AS (SELECT t, d_events, n_at,
+      |           CAST(sum(n_at) OVER (ORDER BY t) - n_at AS BIGINT)
+      |             AS cumb
+      |         FROM grid),
+      |tot AS (SELECT CAST(sum(n_at) AS BIGINT) AS n FROM grid),
+      |steps AS (SELECT t, d_events,
+      |            CAST(n - cumb AS BIGINT) AS n_risk,
+      |            CAST((d_events * 1000000) // (n - cumb) AS BIGINT)
+      |              AS h_e6
+      |          FROM pref CROSS JOIN tot)
+      |SELECT t, n_risk, d_events, h_e6,
+      |  CAST(sum(h_e6) OVER (ORDER BY t) AS BIGINT) AS cum_h_e6
+      |FROM steps""".stripMargin
+
   /** q289 — event-rate spike detection
     * ([[graft.ts.RateSpike.rateSpikes]], 28-observation baseline,
     * z ≥ 4): per (event type, day) Poisson-approx z against the
@@ -1353,6 +1405,7 @@ object DiagQueries {
     QueryDef("q284_growth_ledger", q284, Some(q284Sql)),
     QueryDef("q288_hw_forecast", q288, Some(q288Sql)),
     QueryDef("q289_rate_spikes", q289, Some(q289Sql)),
+    QueryDef("q290_nelson_aalen", q290, Some(q290Sql)),
     QueryDef("q285_new_vs_returning", q285, Some(q285Sql)),
     QueryDef("q279_dtw_pairs", q279, Some(q279Sql)),
     QueryDef("q267_holt_winters", q267, Some(q267Sql)),

@@ -67,4 +67,32 @@ object Survival {
               col("r.c_censored").as("c_censored"),
               col("r.s_e6").as("s_e6"))
   }
+
+  /** Nelson–Aalen cumulative hazard — [[kaplanMeier]]'s additive
+    * sibling: H(t) = Σ_{tᵢ ≤ t} dᵢ/n_riskᵢ. Unlike the KM product it
+    * needs NO sequential fold: per-step increments are exact e6
+    * longs ((d·1e6) div n_risk) and the cumulative is a PREFIX SUM —
+    * so the whole curve rides [[graft.scale.GridPrefix.prefixSums]]
+    * twice (risk sets, then hazard accumulation) and stays fully
+    * distributed even on a corpus-wide duration grid.
+    * @return per distinct duration: (t, n_risk, d_events, h_e6,
+    *         cum_h_e6) */
+  def nelsonAalen(subjects: DataFrame, durCol: String,
+                  eventCol: String): DataFrame = {
+    val rows = subjects.select(col(durCol).cast("long").as("t"),
+                               col(eventCol).cast("long").as("ev"))
+    val grid = rows.groupBy(col("t"))
+      .agg(sum(col("ev")).as("d_events"), count(lit(1)).as("n_at"))
+    val pref = graft.scale.GridPrefix.prefixSums(grid, "t", "n_at")
+    val tot = pref.agg(max(col("cum")).as("n_total"))
+    val steps = pref.crossJoin(broadcast(tot))
+      .select(col("t"), col("d_events"),
+              (col("n_total") - col("cum_before")).as("n_risk"))
+      .withColumn("h_e6", expr("(d_events * 1000000) div n_risk"))
+    graft.scale.GridPrefix.prefixSums(
+        steps.select(col("t"), col("n_risk"), col("d_events"),
+                     col("h_e6")), "t", "h_e6")
+      .select(col("t"), col("n_risk"), col("d_events"), col("h_e6"),
+              col("cum").as("cum_h_e6"))
+  }
 }

@@ -35,4 +35,19 @@ class SurvivalSpec extends AnyFunSuite {
       .orderBy("t").collect().map(_.getLong(4)).toSeq
     assert(got == Seq(750000L, 500000L, 250000L, 0L), s"$got")
   }
+
+  test("nelsonAalen: hand-traced hazard steps and cumulative") {
+    // durations: 1(ev) 1(ev) 2(cens) 3(ev): steps
+    // t=1: n_risk=4 d=2 h=500000; t=2: n_risk=2 d=0 h=0
+    // t=3: n_risk=1 d=1 h=1000000; H: 500000, 500000, 1500000
+    val df = Seq((1L, 1L), (1L, 1L), (2L, 0L), (3L, 1L))
+      .toDF("dur", "ev")
+    val got = Survival.nelsonAalen(df, "dur", "ev")
+      .orderBy("t").collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[Long]("n_risk"),
+                 r.getAs[Long]("h_e6"), r.getAs[Long]("cum_h_e6"))).toSeq
+    assert(got == Seq((1L, 4L, 500000L, 500000L),
+                      (2L, 2L, 0L, 500000L),
+                      (3L, 1L, 1000000L, 1500000L)), s"$got")
+  }
 }
