@@ -1320,6 +1320,58 @@ object DiagQueries {
       |    AS BIGINT) AS pred_c
       |FROM fin, LATERAL (SELECT unnest(generate_series(1, 14)) AS h)""".stripMargin
 
+  /** q291 — pairwise Wasserstein-1 drift
+    * ([[graft.stats.Wasserstein.emd1dPairs]], 100-unit buckets):
+    * earth-mover distance between priorities' order-value
+    * distributions — unlike KS it weighs how FAR mass moved. Exact
+    * cross-multiplied integer cell terms summed in DECIMAL(38), one
+    * final rounded division. */
+  private def q291(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Wasserstein.emd1dPairs(
+      t(s, dir, "orders").select(col("o_orderpriority"),
+        round(col("o_totalprice")).cast("long").as("v")),
+      "o_orderpriority", "v", bucketWidth = 100L)
+
+  private val q291Sql =
+    """WITH r AS (SELECT o_orderpriority AS g,
+      |    (CAST(round(o_totalprice) AS BIGINT) // 100) * 100 AS vb
+      |  FROM orders),
+      |grid AS (SELECT g, vb, CAST(count(*) AS BIGINT) AS c
+      |         FROM r GROUP BY 1, 2),
+      |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n
+      |        FROM grid GROUP BY 1),
+      |pairs AS (SELECT a.g AS ka, b.g AS kb
+      |          FROM tot a, tot b WHERE a.g < b.g),
+      |merged AS (SELECT ka, kb, vb, CAST(sum(ca) AS BIGINT) AS ca,
+      |             CAST(sum(cb) AS BIGINT) AS cb FROM (
+      |    SELECT p.ka, p.kb, grid.vb, grid.c AS ca,
+      |           CAST(0 AS BIGINT) AS cb
+      |    FROM pairs p JOIN grid ON grid.g = p.ka
+      |    UNION ALL
+      |    SELECT p.ka, p.kb, grid.vb, CAST(0 AS BIGINT), grid.c
+      |    FROM pairs p JOIN grid ON grid.g = p.kb) x
+      |  GROUP BY 1, 2, 3),
+      |pre AS (SELECT ka, kb, vb,
+      |    CAST(sum(ca) OVER w AS BIGINT) AS cum_ca,
+      |    CAST(sum(cb) OVER w AS BIGINT) AS cum_cb
+      |  FROM merged WINDOW w AS (PARTITION BY ka, kb ORDER BY vb
+      |    ROWS UNBOUNDED PRECEDING)),
+      |j AS (SELECT pre.ka, pre.kb, pre.vb, cum_ca, cum_cb,
+      |        ta.n AS n_a, tb.n AS n_b,
+      |        lead(pre.vb) OVER (PARTITION BY pre.ka, pre.kb
+      |          ORDER BY pre.vb) - pre.vb AS dv
+      |      FROM pre JOIN tot ta ON ta.g = pre.ka
+      |                JOIN tot tb ON tb.g = pre.kb),
+      |t2 AS (SELECT ka, kb, n_a, n_b,
+      |         abs(cum_ca * n_b - cum_cb * n_a) * dv AS term
+      |       FROM j WHERE dv IS NOT NULL)
+      |SELECT ka AS key_a, kb AS key_b,
+      |  CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+      |  CAST(count(*) + 1 AS BIGINT) AS n_cells,
+      |  round(CAST(sum(term) AS DOUBLE) /
+      |        (CAST(max(n_a) AS DOUBLE) * max(n_b)), 6) AS emd
+      |FROM t2 GROUP BY 1, 2""".stripMargin
+
   /** q290 — Nelson–Aalen cumulative hazard
     * ([[graft.ts.Survival.nelsonAalen]]): q261's time-to-second-order
     * data through the ADDITIVE hazard estimator — per-step (d·1e6)
@@ -1406,6 +1458,7 @@ object DiagQueries {
     QueryDef("q288_hw_forecast", q288, Some(q288Sql)),
     QueryDef("q289_rate_spikes", q289, Some(q289Sql)),
     QueryDef("q290_nelson_aalen", q290, Some(q290Sql)),
+    QueryDef("q291_wasserstein", q291, Some(q291Sql)),
     QueryDef("q285_new_vs_returning", q285, Some(q285Sql)),
     QueryDef("q279_dtw_pairs", q279, Some(q279Sql)),
     QueryDef("q267_holt_winters", q267, Some(q267Sql)),
