@@ -615,7 +615,57 @@ object SketchQueries {
       |    6) AS inter_est
       |FROM agg""".stripMargin
 
+  /** q292 — Poisson-bootstrap mean CI
+    * ([[graft.stats.Bootstrap.bootstrapMeanCi]], B = 40, α = 0.05):
+    * per-priority mean order value with a bootstrap percentile
+    * interval — every row draws a DETERMINISTIC Poisson(1) weight per
+    * replicate from the md5 hash point through exact e6 CDF
+    * thresholds, so all 40 resamples run in one pass and replay in
+    * SQL. */
+  private def q292(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Bootstrap.bootstrapMeanCi(
+      t(s, dir, "orders").select(col("o_orderpriority"),
+        cents(col("o_totalprice")).as("x"), col("o_orderkey")),
+      "o_orderpriority", "x", "o_orderkey")
+
+  private val q292U = hexSql(
+    "md5('boot' || CAST(b AS VARCHAR) || '|' || CAST(id AS VARCHAR))", 8)
+
+  private val q292Sql = {
+    val wExpr = graft.stats.Bootstrap.poisCdfE6
+      .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH r AS (SELECT o_orderpriority AS g,
+      |    CAST(round(o_totalprice*100) AS BIGINT) AS x,
+      |    CAST(o_orderkey AS VARCHAR) AS id FROM orders),
+      |full0 AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |            CAST(sum(x) // count(*) AS BIGINT) AS mean_c
+      |          FROM r GROUP BY 1),
+      |z AS (SELECT g, x, bb.b,
+      |        ($q292U) % 1000000 AS u
+      |      FROM r, LATERAL (SELECT unnest(generate_series(1, 40))
+      |        AS b) bb),
+      |reps AS (SELECT g, b, CAST(sum(($wExpr) * x) AS BIGINT) AS sx,
+      |           CAST(sum($wExpr) AS BIGINT) AS sw
+      |         FROM z GROUP BY 1, 2 HAVING sum($wExpr) > 0),
+      |m AS (SELECT g, b, CAST(sx // sw AS BIGINT) AS m FROM reps),
+      |rk AS (SELECT g, m,
+      |         row_number() OVER (PARTITION BY g ORDER BY m) AS rk
+      |       FROM m),
+      |nr AS (SELECT g, CAST(count(*) AS BIGINT) AS b_reps
+      |       FROM m GROUP BY 1),
+      |bounds AS (SELECT rk.g, nr.b_reps,
+      |    CAST(max(CASE WHEN rk.rk = 3 THEN m END) AS BIGINT) AS lo_c,
+      |    CAST(max(CASE WHEN rk.rk = nr.b_reps - 2 THEN m END)
+      |      AS BIGINT) AS hi_c
+      |  FROM rk JOIN nr ON nr.g = rk.g GROUP BY 1, 2)
+      |SELECT f.g AS o_orderpriority, f.n, b.b_reps, f.mean_c,
+      |  b.lo_c, b.hi_c
+      |FROM full0 f JOIN bounds b ON b.g = f.g""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q292_bootstrap_ci", q292, Some(q292Sql)),
     QueryDef("q271_kmv_estimate", q271, Some(q271Sql)),
     QueryDef("q272_kmv_overlap", q272, Some(q272Sql)),
     QueryDef("q216_exact_percentiles", q216, Some(q216Sql)),
