@@ -1320,6 +1320,50 @@ object DiagQueries {
       |    AS BIGINT) AS pred_c
       |FROM fin, LATERAL (SELECT unnest(generate_series(1, 14)) AS h)""".stripMargin
 
+  /** q293 — STL strength indices
+    * ([[graft.ts.Decompose.strengths]]): trend and seasonality
+    * strength of q263's decomposition — the forecastability
+    * diagnostics F_T/F_S in [0, 1], DECIMAL(38) moment sums and one
+    * rounded variance ratio each. */
+  private def q293(s: SparkSession, dir: String): DataFrame =
+    graft.ts.Decompose.strengths(
+      graft.ts.Decompose.stlWeekly(dailyCents(s, dir),
+        "event_type", "ds", "y"),
+      "event_type")
+
+  private val q293Sql =
+    s"""WITH stl AS ($q263Sql),
+      |rows0 AS (SELECT event_type AS k, trend_e6 AS t, seasonal_e6 AS s,
+      |            resid_e6 AS r, trend_e6 + resid_e6 AS tr,
+      |            seasonal_e6 + resid_e6 AS sr
+      |          FROM stl
+      |          WHERE trend_e6 IS NOT NULL AND seasonal_e6 IS NOT NULL
+      |            AND resid_e6 IS NOT NULL),
+      |a AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+      |        sum(CAST(r AS HUGEINT)) AS r1,
+      |        sum(CAST(r AS HUGEINT) * r) AS r2,
+      |        sum(CAST(tr AS HUGEINT)) AS t1,
+      |        sum(CAST(tr AS HUGEINT) * tr) AS t2,
+      |        sum(CAST(sr AS HUGEINT)) AS s1,
+      |        sum(CAST(sr AS HUGEINT) * sr) AS s2
+      |      FROM rows0 GROUP BY 1)
+      |SELECT k AS event_type, n,
+      |  CASE WHEN (CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE)
+      |        * CAST(t1 AS DOUBLE) / n) / n <= 0.0 THEN NULL
+      |    ELSE round(greatest(0.0, 1.0 -
+      |      ((CAST(r2 AS DOUBLE) - CAST(r1 AS DOUBLE)
+      |        * CAST(r1 AS DOUBLE) / n) / n) /
+      |      ((CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE)
+      |        * CAST(t1 AS DOUBLE) / n) / n)), 6) END AS trend_strength,
+      |  CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+      |        * CAST(s1 AS DOUBLE) / n) / n <= 0.0 THEN NULL
+      |    ELSE round(greatest(0.0, 1.0 -
+      |      ((CAST(r2 AS DOUBLE) - CAST(r1 AS DOUBLE)
+      |        * CAST(r1 AS DOUBLE) / n) / n) /
+      |      ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+      |        * CAST(s1 AS DOUBLE) / n) / n)), 6) END AS seasonal_strength
+      |FROM a""".stripMargin
+
   /** q291 — pairwise Wasserstein-1 drift
     * ([[graft.stats.Wasserstein.emd1dPairs]], 100-unit buckets):
     * earth-mover distance between priorities' order-value
@@ -1459,6 +1503,7 @@ object DiagQueries {
     QueryDef("q289_rate_spikes", q289, Some(q289Sql)),
     QueryDef("q290_nelson_aalen", q290, Some(q290Sql)),
     QueryDef("q291_wasserstein", q291, Some(q291Sql)),
+    QueryDef("q293_stl_strengths", q293, Some(q293Sql)),
     QueryDef("q285_new_vs_returning", q285, Some(q285Sql)),
     QueryDef("q279_dtw_pairs", q279, Some(q279Sql)),
     QueryDef("q267_holt_winters", q267, Some(q267Sql)),

@@ -60,4 +60,39 @@ object Decompose {
             round(col("s7").cast("double") / 7.0 * 1000000.0).cast("long") -
             col("seasonal_e6")).as("resid_e6"))
   }
+
+  /** Trend / seasonality STRENGTH indices over an [[stlWeekly]]
+    * decomposition — the tsfeatures/M4 forecastability diagnostics:
+    * F_T = max(0, 1 − Var(R)/Var(T+R)), F_S = max(0, 1 −
+    * Var(R)/Var(S+R)) ∈ [0, 1] per series ("is there anything here
+    * for a model to learn?"). Moment sums are exact DECIMAL(38)
+    * (e6-component squares exceed int64; DuckDB's HUGEINT promotion
+    * is the same exact arithmetic), the variance ratios single
+    * rounded doubles; a degenerate Var(T+R)/Var(S+R) yields null. */
+  def strengths(stl: DataFrame, keyCol: String): DataFrame = {
+    val rows = stl.select(col(keyCol).as("k"),
+        col("trend_e6").as("t"), col("seasonal_e6").as("s"),
+        col("resid_e6").as("r"))
+      .filter(col("t").isNotNull && col("s").isNotNull &&
+              col("r").isNotNull)
+      .withColumn("tr", col("t") + col("r"))
+      .withColumn("sr", col("s") + col("r"))
+    def dc(c: String) = col(c).cast("decimal(38,0)")
+    val a = rows.groupBy(col("k")).agg(count(lit(1)).as("n"),
+      sum(dc("r")).as("r1"), sum(dc("r") * dc("r")).as("r2"),
+      sum(dc("tr")).as("t1"), sum(dc("tr") * dc("tr")).as("t2"),
+      sum(dc("sr")).as("s1"), sum(dc("sr") * dc("sr")).as("s2"))
+    def vr(q: String, s1: String) =
+      (col(q).cast("double") -
+       col(s1).cast("double") * col(s1).cast("double") / col("n")) / col("n")
+    a.select(col("k").as(keyCol), col("n"),
+      when(vr("t2", "t1") <= 0.0, lit(null))
+        .otherwise(round(greatest(lit(0.0),
+          lit(1.0) - vr("r2", "r1") / vr("t2", "t1")), 6))
+        .as("trend_strength"),
+      when(vr("s2", "s1") <= 0.0, lit(null))
+        .otherwise(round(greatest(lit(0.0),
+          lit(1.0) - vr("r2", "r1") / vr("s2", "s1")), 6))
+        .as("seasonal_strength"))
+  }
 }

@@ -70,4 +70,23 @@ class DecomposeInventorySpec extends AnyFunSuite {
         ((r.getAs[Long]("balance_c"), r.getAs[Long]("stockout_c")))).toMap
     assert(got("a") == ((0L, 5L)) && got("b") == ((7L, 0L)))
   }
+
+  test("strengths: pure weekly signal is all seasonality, a ramp is all trend") {
+    // weekly square wave, zero trend
+    val weekly = (1 to 28).map(i =>
+      ("w", d(f"2024-01-$i%02d"), if (i % 7 == 0) 700L else 70L))
+    // clean linear ramp, no seasonality
+    val ramp = (1 to 28).map(i => ("r", d(f"2024-01-$i%02d"), i * 100L))
+    val got = Decompose.strengths(
+      Decompose.stlWeekly((weekly ++ ramp).toDF("k", "dt", "y"),
+        "k", "dt", "y"), "k")
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.getAs[Any]("trend_strength")).map(_.asInstanceOf[Double]),
+          Option(r.getAs[Any]("seasonal_strength")).map(_.asInstanceOf[Double]))))
+      .toMap
+    val (wT, wS) = got("w")
+    assert(wS.exists(_ > 0.95), s"weekly seasonal strength: $wS")
+    val (rT, rS) = got("r")
+    assert(rT.exists(_ > 0.95), s"ramp trend strength: $rT")
+  }
 }
