@@ -796,6 +796,68 @@ object StreamOps {
       }
   }
 
+  /** Streaming rate-spike gate — [[graft.ts.RateSpike]]'s trailing-
+    * baseline z maintained live: per series the state is the last
+    * `maxDays` ACTIVE (day, count) pairs (config-bounded); each
+    * micro-batch folds its day-counts in and re-emits the z for every
+    * day it touched (Update mode — late events refine an already-
+    * emitted day, the documented lateness contract). With everything
+    * in one batch the emitted rows equal the batch
+    * [[graft.ts.RateSpike.rateSpikes]] (spec-pinned). */
+  case class SpikeState(days: Array[Long], counts: Array[Long])
+  case class SpikeUpdate(series: String, day_sec: Long, x: Long,
+                         base_sum: Long, base_n: Long,
+                         z_e6: Option[Long], is_spike: Long)
+
+  def streamingRateSpikes(stream: DataFrame, seriesCol: String,
+                          tsCol: String, baselineDays: Int = 28,
+                          thresholdE6: Long = 4000000L,
+                          maxDays: Int = 40)
+      : org.apache.spark.sql.Dataset[SpikeUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(maxDays > baselineDays, "maxDays must exceed baselineDays")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(seriesCol).cast("string"),
+        (col(tsCol).cast("timestamp").cast("long") / 86400L).cast("long")
+          * 86400L)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[SpikeState]) =>
+          val prev = state.getOption
+            .map(s => s.days.zip(s.counts).toMap).getOrElse(Map.empty)
+          val batch = rows.foldLeft(Map.empty[Long, Long]) {
+            case (m, (_, d)) => m.updated(d, m.getOrElse(d, 0L) + 1L)
+          }
+          val merged = (prev.keySet ++ batch.keySet).toSeq.sorted
+            .map(d => d -> (prev.getOrElse(d, 0L) + batch.getOrElse(d, 0L)))
+          val kept = merged.takeRight(maxDays)
+          state.update(SpikeState(kept.map(_._1).toArray,
+                                  kept.map(_._2).toArray))
+          val idx = kept.map(_._1).zipWithIndex.toMap
+          batch.keySet.toSeq.sorted.flatMap { d =>
+            idx.get(d).map { i =>
+              val base = kept.slice(math.max(0, i - baselineDays), i)
+              val bs = base.map(_._2).sum
+              val bn = base.size.toLong
+              val x = kept(i)._2
+              // HALF_UP like the batch side's round() — math.round
+              // floors negative halves and would diverge there
+              val z = if (bn == 0L || bs == 0L) None
+                else Some(BigDecimal(
+                  (x - bs.toDouble / bn) / math.sqrt(bs.toDouble / bn)
+                    * 1000000.0)
+                  .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+              SpikeUpdate(key, d, x, bs, bn, z,
+                if (z.exists(_ >= thresholdE6)) 1L else 0L)
+            }
+          }.iterator
+      }
+  }
+
   case class SeriesUpdate(series: String, n: Long, sum: Double,
                           min_ts: java.sql.Timestamp, max_ts: java.sql.Timestamp)
 
