@@ -1320,6 +1320,89 @@ object DiagQueries {
       |    AS BIGINT) AS pred_c
       |FROM fin, LATERAL (SELECT unnest(generate_series(1, 14)) AS h)""".stripMargin
 
+  /** q294 — log-rank survival test
+    * ([[graft.ts.Survival.logRank]]): do BUILDING-segment customers
+    * reorder on a different clock? q261's time-to-second-order
+    * durations split by segment, χ² = (Σ(O−E))²/ΣV with exact-integer
+    * expectations and e6-rounded hypergeometric variances. */
+  private def q294(s: SparkSession, dir: String): DataFrame = {
+    val dd = t(s, dir, "orders")
+      .select(col("o_custkey").as("cust"), col("o_orderdate").as("d"))
+      .distinct()
+    val firsts = dd.groupBy(col("cust")).agg(min(col("d")).as("d1"))
+    val seconds = dd.join(firsts, Seq("cust"))
+      .filter(col("d") > col("d1"))
+      .groupBy(col("cust")).agg(min(col("d")).as("d2"))
+    val maxd = dd.agg(max(col("d")).as("md"))
+    val arms = t(s, dir, "customer")
+      .select(col("c_custkey").as("cust"),
+              (col("c_mktsegment") === "BUILDING").cast("long").as("arm"))
+    val subjects = firsts.join(seconds, Seq("cust"), "left")
+      .crossJoin(broadcast(maxd))
+      .join(arms, Seq("cust"))
+      .select(
+        datediff(coalesce(col("d2"), col("md")), col("d1")).cast("long")
+          .as("dur"),
+        col("d2").isNotNull.cast("long").as("ev"), col("arm"))
+    graft.ts.Survival.logRank(subjects, "dur", "ev", "arm")
+  }
+
+  private val q294Sql =
+    """WITH dd AS (SELECT DISTINCT o_custkey AS cust,
+      |              o_orderdate AS d FROM orders),
+      |f AS (SELECT cust, min(d) AS d1 FROM dd GROUP BY 1),
+      |s2 AS (SELECT dd.cust, min(dd.d) AS d2
+      |       FROM dd JOIN f ON f.cust = dd.cust AND dd.d > f.d1
+      |       GROUP BY 1),
+      |mx AS (SELECT max(d) AS md FROM dd),
+      |subj AS (SELECT CAST(date_diff('day', d1, COALESCE(d2, md))
+      |                  AS BIGINT) AS t,
+      |                CASE WHEN d2 IS NULL THEN 0 ELSE 1 END AS ev,
+      |                CASE WHEN c.c_mktsegment = 'BUILDING'
+      |                  THEN 1 ELSE 0 END AS arm
+      |         FROM f LEFT JOIN s2 USING (cust) CROSS JOIN mx
+      |         JOIN customer c ON c.c_custkey = f.cust),
+      |grid AS (SELECT t,
+      |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS na1,
+      |    CAST(sum(CASE WHEN arm <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS na0,
+      |    CAST(sum(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT)
+      |      AS d1,
+      |    CAST(sum(CASE WHEN arm <> 1 THEN ev ELSE 0 END) AS BIGINT)
+      |      AS d0
+      |  FROM subj GROUP BY 1),
+      |pre AS (SELECT t, d1, d0,
+      |    CAST(sum(na1) OVER (ORDER BY t) - na1 AS BIGINT) AS cb1,
+      |    CAST(sum(na0) OVER (ORDER BY t) - na0 AS BIGINT) AS cb0
+      |  FROM grid),
+      |tot AS (SELECT CAST(sum(na1) AS BIGINT) AS nt1,
+      |               CAST(sum(na0) AS BIGINT) AS nt0 FROM grid),
+      |steps AS (SELECT d1, d0, nt1, nt0,
+      |    nt1 - cb1 AS n1, nt0 - cb0 AS n0,
+      |    nt1 - cb1 + nt0 - cb0 AS n, d1 + d0 AS d
+      |  FROM pre CROSS JOIN tot),
+      |terms AS (SELECT nt1, nt0, d1, d0,
+      |    d1 * 1000000 - ((d * n1 * 1000000) // n) AS oe_e6,
+      |    CAST(round(CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / n)
+      |      * (CAST(n0 AS DOUBLE) / n) * (n - d) / (n - 1)
+      |      * 1000000.0) AS BIGINT) AS v_e6
+      |  FROM steps WHERE d > 0 AND n > 1),
+      |agg AS (SELECT CAST(max(nt1) AS BIGINT) AS n_1,
+      |          CAST(max(nt0) AS BIGINT) AS n_2,
+      |          CAST(sum(d1) AS BIGINT) AS events_1,
+      |          CAST(sum(d0) AS BIGINT) AS events_2,
+      |          CAST(sum(oe_e6) AS BIGINT) AS sum_oe_e6,
+      |          CAST(sum(v_e6) AS BIGINT) AS sum_v_e6
+      |        FROM terms)
+      |SELECT n_1, n_2, events_1, events_2, sum_oe_e6, sum_v_e6,
+      |  CAST(CASE WHEN sum_v_e6 <= 0 THEN NULL
+      |    ELSE round((CAST(sum_oe_e6 AS DOUBLE) / 1000000.0)
+      |      * (CAST(sum_oe_e6 AS DOUBLE) / 1000000.0)
+      |      / (CAST(sum_v_e6 AS DOUBLE) / 1000000.0) * 1000000.0) END
+      |    AS BIGINT) AS chi2_e6
+      |FROM agg""".stripMargin
+
   /** q293 — STL strength indices
     * ([[graft.ts.Decompose.strengths]]): trend and seasonality
     * strength of q263's decomposition — the forecastability
@@ -1504,6 +1587,7 @@ object DiagQueries {
     QueryDef("q290_nelson_aalen", q290, Some(q290Sql)),
     QueryDef("q291_wasserstein", q291, Some(q291Sql)),
     QueryDef("q293_stl_strengths", q293, Some(q293Sql)),
+    QueryDef("q294_log_rank", q294, Some(q294Sql)),
     QueryDef("q285_new_vs_returning", q285, Some(q285Sql)),
     QueryDef("q279_dtw_pairs", q279, Some(q279Sql)),
     QueryDef("q267_holt_winters", q267, Some(q267Sql)),

@@ -77,6 +77,55 @@ object Survival {
     * distributed even on a corpus-wide duration grid.
     * @return per distinct duration: (t, n_risk, d_events, h_e6,
     *         cum_h_e6) */
+  /** Log-rank test — the standard two-arm survival comparison: at
+    * every event time, arm 1's observed events vs the expectation
+    * under the null that both arms share one hazard; χ² =
+    * (Σ(O−E))²/ΣV with the hypergeometric variance. Step terms are
+    * exact-or-e6-rounded longs (E₁ = (d·n₁·1e6) div n exact; V one
+    * fixed-shape double per step re-rounded to the grid), so the
+    * order-free sums replay in SQL. Risk sets ride the grouped grid
+    * prefix (single wide group — the distributed-grid shape).
+    * @return one row: (n_1, n_2, events_1, events_2, sum_oe_e6,
+    *         sum_v_e6, chi2_e6) */
+  def logRank(subjects: DataFrame, durCol: String, eventCol: String,
+              armCol: String): DataFrame = {
+    val rows = subjects.select(col(durCol).cast("long").as("t"),
+                               col(eventCol).cast("long").as("ev"),
+                               col(armCol).cast("long").as("arm"))
+    val grid = rows.groupBy(col("t"))
+      .agg(sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("na1"),
+           sum(when(col("arm") =!= 1L, 1L).otherwise(0L)).as("na0"),
+           sum(when(col("arm") === 1L, col("ev")).otherwise(0L)).as("d1"),
+           sum(when(col("arm") =!= 1L, col("ev")).otherwise(0L)).as("d0"))
+      .withColumn("g", lit(0))
+    val pre = graft.scale.GridPrefix.groupedPrefixSums(
+      grid, "g", "t", Seq("na1", "na0"))
+    val tot = pre.agg(max(col("cum_na1")).as("nt1"),
+                      max(col("cum_na0")).as("nt0"))
+    val steps = pre.crossJoin(broadcast(tot))
+      .withColumn("n1", col("nt1") - col("cum_before_na1"))
+      .withColumn("n0", col("nt0") - col("cum_before_na0"))
+      .withColumn("n", col("n1") + col("n0"))
+      .withColumn("d", col("d1") + col("d0"))
+      .filter(col("d") > 0L && col("n") > 1L)
+      .withColumn("e1_e6", expr("(d * n1 * 1000000) div n"))
+      .withColumn("oe_e6", col("d1") * 1000000L - col("e1_e6"))
+      .withColumn("v_e6", round(
+        col("d").cast("double") * (col("n1").cast("double") / col("n"))
+          * (col("n0").cast("double") / col("n"))
+          * (col("n") - col("d")) / (col("n") - 1L) * 1e6).cast("long"))
+    steps.agg(max(col("nt1")).as("n_1"), max(col("nt0")).as("n_2"),
+        sum(col("d1")).as("events_1"), sum(col("d0")).as("events_2"),
+        sum(col("oe_e6")).as("sum_oe_e6"), sum(col("v_e6")).as("sum_v_e6"))
+      .withColumn("chi2_e6",
+        when(col("sum_v_e6") <= 0L, lit(null))
+          .otherwise(round(
+            (col("sum_oe_e6").cast("double") / 1e6)
+              * (col("sum_oe_e6").cast("double") / 1e6)
+              / (col("sum_v_e6").cast("double") / 1e6) * 1e6))
+          .cast("long"))
+  }
+
   def nelsonAalen(subjects: DataFrame, durCol: String,
                   eventCol: String): DataFrame = {
     val rows = subjects.select(col(durCol).cast("long").as("t"),

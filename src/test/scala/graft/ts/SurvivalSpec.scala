@@ -50,4 +50,20 @@ class SurvivalSpec extends AnyFunSuite {
                       (2L, 2L, 0L, 500000L),
                       (3L, 1L, 1000000L, 1500000L)), s"$got")
   }
+
+  test("logRank: symmetric arms score zero, separated arms score big") {
+    val sym = Seq((1L, 1L, 1L), (1L, 1L, 0L), (3L, 1L, 1L), (3L, 1L, 0L))
+      .toDF("dur", "ev", "arm")
+    val r0 = Survival.logRank(sym, "dur", "ev", "arm").collect().head
+    assert(r0.getAs[Long]("sum_oe_e6") == 0L)
+    assert(r0.getAs[Long]("chi2_e6") == 0L)
+
+    val sep = (1 to 10).map(_ => (1L, 1L, 1L)) ++
+              (1 to 10).map(_ => (10L, 1L, 0L))
+    val r1 = Survival.logRank(sep.toDF("dur", "ev", "arm"),
+      "dur", "ev", "arm").collect().head
+    assert(r1.getAs[Long]("n_1") == 10L)
+    assert(r1.getAs[Long]("events_1") == 10L)
+    assert(r1.getAs[Long]("chi2_e6") > 10000000L, r1.toString)
+  }
 }
