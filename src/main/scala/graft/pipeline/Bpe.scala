@@ -300,9 +300,13 @@ object Bpe {
         onPass(p, rules.size, (System.nanoTime() - t0) / 1e9)
       p += 1
     }
+    // return the RELEASABLE checkpoint frame (not the stats-reset
+    // wrapper, whose unpersist is a no-op) so callers' wordSegs
+    // .unpersist() actually frees the final pass's localCheckpoint —
+    // mirrors bpeTrainState's return
     BpeTrained(
       rules.toSeq.toDF("rank", "left_sym", "right_sym", "merged", "cnt"),
-      syms)
+      symsCk)
   }
 
   // --------------------------------------------- incremental counts

@@ -1383,7 +1383,8 @@ object DiagQueries {
       |    nt1 - cb1 + nt0 - cb0 AS n, d1 + d0 AS d
       |  FROM pre CROSS JOIN tot),
       |terms AS (SELECT nt1, nt0, d1, d0,
-      |    d1 * 1000000 - ((d * n1 * 1000000) // n) AS oe_e6,
+      |    d1 * 1000000 - CAST((CAST(d AS HUGEINT) * n1 * 1000000) // n
+      |      AS BIGINT) AS oe_e6,
       |    CAST(round(CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / n)
       |      * (CAST(n0 AS DOUBLE) / n) * (n - d) / (n - 1)
       |      * 1000000.0) AS BIGINT) AS v_e6

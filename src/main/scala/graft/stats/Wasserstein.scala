@@ -62,8 +62,9 @@ object Wasserstein {
       .withColumn("dv", lead(col("vb"), 1).over(wp) - col("vb"))
       .filter(col("dv").isNotNull)
       .withColumn("term",
-        (abs(col("cum_ca") * col("n_b") - col("cum_cb") * col("n_a"))
-          * col("dv")).cast("decimal(38,0)"))
+        abs(col("cum_ca").cast("decimal(38,0)") * col("n_b") -
+            col("cum_cb").cast("decimal(38,0)") * col("n_a"))
+          * col("dv"))
     withTot.groupBy(col("ka").as("key_a"), col("kb").as("key_b"))
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
            (count(lit(1)) + 1L).as("n_cells"),

@@ -801,7 +801,10 @@ object StreamOps {
     * `maxDays` ACTIVE (day, count) pairs (config-bounded); each
     * micro-batch folds its day-counts in and re-emits the z for every
     * day it touched (Update mode — late events refine an already-
-    * emitted day, the documented lateness contract). With everything
+    * emitted day STILL INSIDE the state window; days evicted from the
+    * maxDays window are final and later events for them are ignored).
+    * Day bucketing is the session-timezone date_trunc('day'), the
+    * same truncation as the batch side. With everything
     * in one batch the emitted rows equal the batch
     * [[graft.ts.RateSpike.rateSpikes]] (spec-pinned). */
   case class SpikeState(days: Array[Long], counts: Array[Long])
@@ -819,9 +822,12 @@ object StreamOps {
     val spark = stream.sparkSession
     import spark.implicits._
     stream
+      // session-TZ day truncation, SAME bucketing as the batch
+      // RateSpike.rateSpikes (date_trunc 'day') — epoch-day division
+      // would silently break the batch≡stream parity whenever
+      // spark.sql.session.timeZone is not UTC
       .select(col(seriesCol).cast("string"),
-        (col(tsCol).cast("timestamp").cast("long") / 86400L).cast("long")
-          * 86400L)
+        date_trunc("day", col(tsCol).cast("timestamp")).cast("long"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
@@ -829,8 +835,18 @@ object StreamOps {
          state: GroupState[SpikeState]) =>
           val prev = state.getOption
             .map(s => s.days.zip(s.counts).toMap).getOrElse(Map.empty)
+          // days already EVICTED from the maxDays state window are
+          // FINAL: when the state is at capacity, events older than
+          // its oldest kept day are ignored outright (they could only
+          // re-enter with a from-zero count and a truncated baseline,
+          // which is not a refinement) — the lateness contract is
+          // "late events refine a day still inside the state window"
+          val floorDay =
+            if (prev.size >= maxDays) prev.keys.min else Long.MinValue
           val batch = rows.foldLeft(Map.empty[Long, Long]) {
-            case (m, (_, d)) => m.updated(d, m.getOrElse(d, 0L) + 1L)
+            case (m, (_, d)) =>
+              if (d < floorDay) m
+              else m.updated(d, m.getOrElse(d, 0L) + 1L)
           }
           val merged = (prev.keySet ++ batch.keySet).toSeq.sorted
             .map(d => d -> (prev.getOrElse(d, 0L) + batch.getOrElse(d, 0L)))

@@ -108,7 +108,12 @@ object Survival {
       .withColumn("n", col("n1") + col("n0"))
       .withColumn("d", col("d1") + col("d0"))
       .filter(col("d") > 0L && col("n") > 1L)
-      .withColumn("e1_e6", expr("(d * n1 * 1000000) div n"))
+      // decimal(38) product before the integer divide: d·n1·1e6
+      // exceeds int64 once risk sets reach ~1e6 with large per-time
+      // event counts — the long form would wrap silently (and the
+      // oracle mirrors with HUGEINT, so the selfcheck would not see it)
+      .withColumn("e1_e6",
+        expr("(CAST(d AS DECIMAL(38,0)) * n1 * 1000000) div n"))
       .withColumn("oe_e6", col("d1") * 1000000L - col("e1_e6"))
       .withColumn("v_e6", round(
         col("d").cast("double") * (col("n1").cast("double") / col("n"))
