@@ -24,14 +24,18 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the working set is the DISTINCT-WORD table (the
   * [[Bpe]] trick) and the piece table is bounded by
-  * Σ_w len(w)·maxPieceLen; the Viterbi DP unrolls by CHARACTER
-  * POSITION — `maxWordLen` keyed joins per EM iteration, each
-  * word-keyed and piece-cost-joined (shuffles keyed by word/piece
-  * only); the backtrace is the same loop run backward. Words longer
-  * than `maxWordLen` are excluded up front (the SentencePiece
+  * Σ_w len(w)·maxPieceLen; per EM iteration ONE join prices the
+  * occurrence table against the piece costs, then each word's whole
+  * Viterbi DP + backtrace folds INSIDE a single codegen'd `aggregate`
+  * expression over the word's own ≤ len·maxPieceLen (i, k, cost)
+  * tuples (the [[graft.ts.Dtw]] / [[graft.ts.SeqAlign]] in-row DP
+  * pattern — no per-level joins, no checkpoint barriers). Words
+  * longer than `maxWordLen` are excluded up front (the SentencePiece
   * max-piece-length contract applied at the word level), so the DP
   * depth is a CONFIG bound, not data-dependent. */
 object UnigramLm {
+
+  private val INF = 4000000000000000L
 
   /** Trained artifacts: final piece table (piece, cnt, cost_e3) and
     * the final Viterbi segmentation of every retained corpus word
@@ -79,46 +83,55 @@ object UnigramLm {
         .select(col("piece"),
           round(log(col("tt").cast("double") / col("cnt")) * 1e3)
             .cast("long").as("cost_e3"))
-      val pwc = pw.join(costs, Seq("piece"))
-        .select(col("w"), col("i"), col("k"), col("piece"), col("cost_e3"))
+      // one pricing join, then the word's WHOLE DP state rides one
+      // row: (w, len, [(i, k, cost)]) — the Dtw/SeqAlign in-row fold
+      // (the former per-level joined unroll needed a localCheckpoint
+      // per DP level to keep Catalyst from walking an exponential
+      // shared-subtree plan: ~24 materialization barriers per
+      // training run, all gone here)
+      val packed = pw.join(costs, Seq("piece"))
+        .groupBy(col("w"))
+        .agg(collect_list(
+          struct(col("i"), col("k"), col("cost_e3").as("c"))).as("arr"))
+        .withColumn("len", length(col("w")))
+      // forward: dp(k) = min over pieces (i, k]: dp(i) + cost, tie on
+      // smallest split i (array_min's lexicographic struct order =
+      // the old min(struct(cost, j)) rule); dp(0) = 0, unreachable =
+      // INF sentinel (every single char is always priced, so dp(len)
+      // is reachable — the guard keeps INF prefixes out of the min)
+      val dpExpr = s"""
+        |aggregate(
+        |  sequence(1, len),
+        |  array(named_struct('cost', CAST(0 AS BIGINT), 'back', -1)),
+        |  (st, kk) -> array_append(st,
+        |    coalesce(
+        |      array_min(transform(
+        |        filter(arr, x -> x.k = kk
+        |                     AND element_at(st, x.i + 1).cost < ${INF}L),
+        |        x -> named_struct(
+        |          'cost', element_at(st, x.i + 1).cost + x.c,
+        |          'back', x.i))),
+        |      named_struct('cost', CAST(${INF}L AS BIGINT), 'back', -1))),
+        |  st -> st)""".stripMargin
+      // backtrace: follow back pointers from k = len; each hop
+      // consumes >= 1 char so len steps always finish
+      val btExpr = s"""
+        |aggregate(
+        |  sequence(1, len),
+        |  named_struct('cur', len,
+        |    'segs', slice(array(named_struct('i', 0, 'k', 0)), 1, 0)),
+        |  (st, z) -> IF(st.cur <= 0, st,
+        |    named_struct(
+        |      'cur', element_at(dparr, st.cur + 1).back,
+        |      'segs', array_append(st.segs, named_struct(
+        |        'i', element_at(dparr, st.cur + 1).back,
+        |        'k', st.cur)))),
+        |  st -> st.segs)""".stripMargin
+      val segCk = packed
+        .select(col("w"), col("len"), expr(dpExpr).as("dparr"))
+        .select(col("w"), explode(expr(btExpr)).as("s"))
+        .select(col("w"), col("s.i").as("i"), col("s.k").as("k"))
         .localCheckpoint()
-      // Viterbi forward: dp(w, k) = min cost of segmenting w[0, k)
-      var dp = words.select(col("w"), lit(0).as("k"),
-                            lit(0L).as("cost"), lit(-1).as("back"))
-      for (k <- 1 to maxWordLen) {
-        val cand = dp
-          .select(col("w"), col("k").as("j"), col("cost").as("cj"))
-          .join(pwc.filter(col("k") === k)
-                  .select(col("w"), col("i").as("j"), col("cost_e3")),
-                Seq("w", "j"))
-          .select(col("w"), (col("cj") + col("cost_e3")).as("cost"),
-                  col("j"))
-        // checkpoint EACH level: dpk reads the cumulative dp, so a lazy
-        // union would make every level's plan contain the whole
-        // previous tree — 2^maxWordLen subtrees by the top, and
-        // Catalyst walks shared subtrees as a TREE (the driver burned
-        // 20+ min in TreeNode.exists at sf0.1 before this cut). With
-        // per-level cuts dp is a flat union of ≤ maxWordLen+1
-        // checkpointed leaves — linear planning, bounded rows.
-        val dpk = cand.groupBy(col("w"))
-          .agg(min(struct(col("cost"), col("j"))).as("m"))
-          .select(col("w"), lit(k).as("k"),
-                  col("m.cost").as("cost"), col("m.j").as("back"))
-          .localCheckpoint()
-        dp = dp.unionByName(dpk)
-      }
-      val dpCk = dp
-      // backtrace from k = len(w): emit (w, i, k) of the winning pieces
-      var frontier = words.select(col("w"), length(col("w")).as("k"))
-      var seg: DataFrame = null
-      for (_ <- 1 to maxWordLen) {
-        val step = frontier.join(dpCk, Seq("w", "k"))
-          .select(col("w"), col("back").as("i"), col("k"))
-        seg = if (seg == null) step else seg.unionByName(step)
-        frontier = step.filter(col("i") > 0)
-          .select(col("w"), col("i").as("k"))
-      }
-      val segCk = seg.localCheckpoint()
       lastSeg = segCk
       // M: recount from winning segmentations; single-char pieces are
       // floored at 1 so every word stays segmentable, multi-char
