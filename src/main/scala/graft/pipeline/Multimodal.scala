@@ -445,33 +445,84 @@ object Multimodal {
     * arbitrarily long videos; a temporally CROPPED copy shifts the
     * window grid and is out of scope (documented contract — offset
     * robustness needs overlapping windows, a recall/cost knob this
-    * operator deliberately doesn't spend).
+    * operator deliberately doesn't spend). Plan shape in
+    * [[windowNearDedupLedger]]. */
+  def videoNearDedupWindows(media: DataFrame, windowFrames: Int = 33,
+                            maxHamming: Int = 2): DataFrame =
+    windowNearDedupLedger(videoWindowFps(media, windowFrames),
+                          widthBits = windowFrames - 1, maxHamming)
+
+  /** PER-WINDOW energy-contour fingerprints — the long-AUDIO path the
+    * single-fp bit budget excludes ([[graft.plans.AudioEnergyFp]]
+    * correctly nulls clips with > 64 frames rather than alias bits
+    * mod 64 — but nulling silently EXEMPTED every long clip from
+    * perceptual dedup, the exact class [[videoWindowFps]] closed for
+    * video). Frames of `frameSamples` samples split into fixed-length
+    * index-aligned windows of `windowFrames` frames; each window with
+    * ≥ 2 frames fingerprints its own energy-delta sign contour
+    * (≤ windowFrames − 1 ≤ 64 bits at ANY clip length). One row per
+    * (doc_id, win_idx, fp); trailing sub-2-frame windows and
+    * undecodable payloads are skipped, not fabricated.
     *
-    * Plan: per-window fps ([[videoWindowFps]]) → representative per
-    * DISTINCT (win_idx, fp) (the r12 popular-fingerprint lesson:
-    * banding the asset graph squares copy counts; the rep graph is
-    * bounded by the distinct window-fingerprint population) →
+    * Scale shape: decode + posexplode is map-side; the delta window is
+    * keyed by (clip, window) — partitions of ≤ windowFrames rows —
+    * and one keyed groupBy folds the bits. */
+  def audioWindowFps(media: DataFrame, frameSamples: Int = 16,
+                     windowFrames: Int = 33): DataFrame = {
+    require(windowFrames >= 3 && windowFrames <= 65,
+            s"windowFrames out of range: $windowFrames")
+    GraftFunctions.register(media.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("win_idx")).orderBy(col("fidx"))
+    media.select(col("doc_id"),
+        posexplode(call_function("audio_frame_energy", col("media"),
+                                 lit(frameSamples))).as(Seq("fidx", "e")))
+      .withColumn("win_idx", floor(col("fidx") / windowFrames).cast("long"))
+      .withColumn("nxt", lead(col("e"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("doc_id"), col("win_idx"))
+      .agg(sum(when(col("nxt") > col("e"),
+                    call_function("shiftleft", lit(1L),
+                                  pmod(col("fidx"), lit(windowFrames))
+                                    .cast("int")))
+               .otherwise(lit(0L))).as("fp"))
+  }
+
+  /** Long-audio NEAR-dedup: [[audioWindowFps]] fed through the same
+    * any-window banded-Hamming agreement + transitive closure as
+    * [[videoNearDedupWindows]] (index-aligned windows — re-encodes /
+    * volume variants of arbitrarily long clips; a temporally cropped
+    * copy shifts the window grid, same documented contract). */
+  def audioNearDedupWindows(media: DataFrame, frameSamples: Int = 16,
+                            windowFrames: Int = 33,
+                            maxHamming: Int = 2): DataFrame =
+    windowNearDedupLedger(audioWindowFps(media, frameSamples, windowFrames),
+                          widthBits = windowFrames - 1, maxHamming)
+
+  /** Shared long-media window-dedup core over a (doc_id, win_idx, fp)
+    * frame — the q252 plan: representative per DISTINCT (win_idx, fp)
+    * (banding the asset graph would square copy counts; the rep graph
+    * is bounded by the distinct window-fingerprint population) →
     * banded-Hamming candidates over the reps
     * ([[TextDedup.fingerprintNearDupPairs]], perfect recall by
-    * pigeonhole) filtered to SAME win_idx (bands mix window indexes —
-    * extra candidates, zero recall loss) → video-level edges (near
+    * pigeonhole) filtered to SAME win_idx → media-level edges (near
     * pairs + member↔rep equality spokes) → components
     * ([[TextDedup.dupClusters]]) → ledger
     * (doc_id, n_windows, cluster_id, n_cluster, is_keeper).
-    * Node ids pack (doc_id, win_idx) into one long (win_idx < 2²⁰ —
-    * 34-year videos at a frame/s — leaving 43 bits of doc-id space;
-    * callers with wider ids remap before packing). */
-  def videoNearDedupWindows(media: DataFrame, windowFrames: Int = 33,
-                            maxHamming: Int = 2): DataFrame = {
+    * Node ids pack (doc_id, win_idx) into one long (win_idx < 2²⁰,
+    * leaving 43 bits of doc-id space; callers with wider ids remap
+    * before packing). */
+  private def windowNearDedupLedger(wfps0: DataFrame, widthBits: Int,
+                                    maxHamming: Int): DataFrame = {
     val pack = 1L << 20
-    val wfps = graft.queries.cacheOnce(videoWindowFps(media, windowFrames))
+    val wfps = graft.queries.cacheOnce(wfps0)
     val packed = wfps.select(col("doc_id"), col("win_idx"), col("fp"),
       (col("doc_id") * pack + col("win_idx")).as("nid"))
     val reps = graft.queries.cacheOnce(
       packed.groupBy(col("win_idx"), col("fp")).agg(min(col("nid")).as("nid")))
     val rawPairs = TextDedup.fingerprintNearDupPairs(
       reps.select(col("nid").as("id"), col("fp")), "id", "fp",
-      width = windowFrames - 1, maxHamming = maxHamming)
+      width = widthBits, maxHamming = maxHamming)
     val nearEdges = rawPairs
       .filter(pmod(col("da"), lit(pack)) === pmod(col("db"), lit(pack)))
       .select(expr(s"da div $pack").as("x"), expr(s"db div $pack").as("y"))

@@ -2410,6 +2410,58 @@ class MultimodalSpec extends AnyFunSuite {
            s"distinct long video stays a singleton: $led")
   }
 
+  test("long audio: window fps replay by hand; a planted 128-frame dup pair the single-fp guard misses") {
+    graft.plans.GraftFunctions.register(spark)
+    // 2048 samples = 128 energy frames = 127 transitions: the
+    // single-fp budget guard nulls the whole clip, so the pre-r14
+    // near-dedup is PROVABLY blind here (audio = the third modality
+    // of the q252 class)
+    val ids = Seq(41L, 42L).toDF("doc_id")
+    val media = Multimodal.audioTable(ids, "doc_id", nSamples = 2048)
+    assert(media.select(
+        call_function("audio_energy_fp", col("media"), lit(16)).as("fp"))
+      .filter(col("fp").isNotNull).count() == 0,
+      "bit-budget guard must null 128-frame single fps")
+    // per-window fps: 8 aligned windows of 16 frames, bits by hand
+    val wf = Multimodal.audioWindowFps(media, frameSamples = 16,
+                                       windowFrames = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(wf.size == 16, "2 clips x 8 windows")
+    for (id <- Seq(41L, 42L); w <- 0 until 8) {
+      val en = (0 until 128).map { f =>
+        (16 * f until 16 * f + 16).map { t =>
+          val v = java.lang.Math.floorMod(id * 31 + t.toLong * 7919, 2048L) - 1024L
+          v * v
+        }.sum
+      }
+      val want = (w * 16 until w * 16 + 15).collect {
+        case f if en(f + 1) > en(f) => 1L << (f % 16) }.sum
+      assert(wf((id, w.toLong)) == want, s"window fp id=$id w=$w")
+    }
+    // planted near pair: 201 and 202 carry the SAME 2048-sample
+    // payload; 203 carries seed 300, whose contour is >= 14 Hamming
+    // bits away in EVERY window (close seeds are genuinely near —
+    // the sample formula's phase shift 31·Δid barely moves the energy
+    // contour, e.g. seed 203 shares a window with 201 exactly) — the
+    // window ledger must fuse the pair the null-guard hides
+    val planted = Seq((201L, 201L), (202L, 201L), (203L, 300L))
+      .toDF("doc_id", "seed")
+      .select(col("doc_id"),
+        call_function("gen_wav", col("seed"), lit(2048), lit(8000))
+          .as("media"),
+        struct(lit("audio/wav").as("mime")).as("meta"))
+    val blind = Multimodal.audioNearDedup(planted, widthBits = 64)
+    assert(blind.count() == 0, "single-fp path sees nothing at 128 frames")
+    val led = Multimodal.audioNearDedupWindows(planted, frameSamples = 16,
+        windowFrames = 16, maxHamming = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(led(201L) == ((8L, 201L, 2L, 1L)), s"ledger: $led")
+    assert(led(202L) == ((8L, 201L, 2L, 0L)), s"ledger: $led")
+    assert(led(203L)._2 == 203L && led(203L)._3 == 1L,
+           s"distinct long clip stays a singleton: $led")
+  }
+
   test("perceptual near-dedup: transitive Hamming chains cluster, strangers stay apart") {
     // 1-2-3 form a Hamming-1 chain (1 and 3 are 2 apart — only
     // transitivity links them); 10 is far from everything
