@@ -65,17 +65,11 @@ object Bench {
     // the served-workload number; the build cost itself is what
     // ScaleProbe measures.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    // q76 is the deliberately-toy-width SimHash kept ONLY as the
-    // 16-bit oracle-parity form: its 16-bucket band join is O(n²/32)
-    // per band at ANY corpus size, so timing it in the default suite
-    // makes a known scale-killer the suite's second-costliest query at
-    // every future SF while saying nothing about the production plans
-    // (q77/q85 are the scale-safe widths, both timed). Verify still
-    // oracle-checks q76 at sf0.01 — only the default BENCH set drops
-    // it; SPARK_GRAFT_BENCH_FULL=1 restores the full registry.
-    val excluded =
-      if (sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")) Set.empty[String]
-      else Set("q76_simhash_neardup")
+    // No demoted queries: every registered query is timed (q76, the
+    // 16-bucket-band SimHash that was the one bench exclusion, was
+    // RETIRED in r14 — q77/q85 carry the operator at scale-safe
+    // widths).
+    val excluded = Set.empty[String]
     // SPARK_GRAFT_BENCH_ONLY=q78_dup_clusters_pj,q82_curate_corpus
     // restricts the suite to a comma-separated subset — a dev loop for
     // timing one query's optimization without paying the full suite

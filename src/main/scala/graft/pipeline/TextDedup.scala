@@ -799,20 +799,6 @@ object TextDedup {
       .select(col("da"), col("db"), col("hamming").cast("long").as("hamming"))
   }
 
-  /** SimHash near-duplicate pairs: Hamming distance ≤ `maxHamming` on
-    * the 16-bit fingerprint — the sketch-level dedup decision that
-    * completes the SimHash story (q58 computes the fingerprint; this
-    * USES it). Candidates from pigeonhole banding ([[bandSplit]]), an
-    * exact integer popcount confirms. Same hash-join-never-cross-join
-    * scale shape as MinHash LSH, but the whole pipeline is
-    * integer-exact — fingerprint, bands, distance — so the oracle
-    * reproduces it bit-for-bit with no float discipline needed.
-    *
-    * 16 bits / 4 bands ⇒ 4-bit band values: at corpus scale this
-    * 16-bucket-per-band join saturates (O(n²/16)). This width is kept
-    * as the ORACLE form (its fingerprint is q58's, hash-pinned in
-    * DuckDB); the production operator is [[simhashNearDupPairs64]],
-    * whose 16-bit band keys give 65,536 buckets per band. */
   /** Banded-Hamming near-duplicate pairs over an ARBITRARY integer
     * fingerprint frame — the pigeonhole machinery ([[bandSplit]] +
     * band equi-join + exact popcount) opened to fingerprints the text
@@ -838,18 +824,11 @@ object TextDedup {
       width, maxHamming)
   }
 
-  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 15, s"maxHamming out of range: $maxHamming")
-    // token-less docs are dropped (matching the batch simhash row set):
-    // they all sketch to 0 and would otherwise band-join into one giant
-    // false cluster
-    val sh = withRowSimhash16(
-      df.select(col(idCol).as("id"), col(textCol).as("__t"))
-        .filter(trim(col("__t")) =!= ""), "__t")
-      .select(col("id"), col("simhash"))
-    bandedHammingPairs(sh, 16, maxHamming)
-  }
+  // The 16-bit simhashNearDupPairs variant was RETIRED in r14: its
+  // 16-bucket band join was O(n²/16) at any corpus size. The 16-bit
+  // fingerprint itself remains (q58 / simhash16); near-dup pairing
+  // ships at the scale-safe widths below, and arbitrary-width banding
+  // via [[fingerprintNearDupPairs]].
 
   /** PRODUCTION-width SimHash near-dup pairs: Hamming ≤ `maxHamming`
     * on the 64-bit fingerprint. Identical operator structure to the

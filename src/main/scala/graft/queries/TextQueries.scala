@@ -876,7 +876,7 @@ object TextQueries {
           .filter(trim(col("text")) =!= ""), "text")
       .select(col("doc_id"), col("simhash").cast("long").as("simhash"))
 
-  /** Shared simhash CTEs → `sh(doc_id, simhash)` (q58, q76, q92 over
+  /** Shared simhash CTEs → `sh(doc_id, simhash)` (q58, q92 over
     * the multibyte union via `src`). */
   private def simhashCtesFrom(src: String): String = {
     val votes = (0 until 16).map { j =>
@@ -962,25 +962,13 @@ object TextQueries {
       |  count(DISTINCT doc_id) AS n_docs, min(chunk_len) AS chunk_len
       |FROM chunks GROUP BY 1""".stripMargin
 
-  /** q76 — SimHash near-dup pairs: Hamming ≤ 3 on the 16-bit sketch via
-    * pigeonhole banding (4 bands of 4 bits — a pair within distance 3
-    * must agree on ≥ 1 band, so the band equi-join has perfect recall)
-    * + exact popcount confirm. Integer-exact end to end. */
-  private def q76(s: SparkSession, dir: String): DataFrame =
-    TextDedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text")
-
-  private val q76Sql =
-    s"""WITH $simhashCtes,
-      |banded AS (
-      |  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 4)) & 15 AS bv
-      |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
-      |pairs AS (
-      |  SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db,
-      |         a.simhash AS sa, b2.simhash AS sb
-      |  FROM banded a JOIN banded b2
-      |    ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
-      |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-      |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
+  // q76 (16-bit SimHash near-dup pairs) RETIRED r14: its 16-bucket
+  // band join was O(n²/16) at any corpus size — the last scale-unsafe
+  // plan, demoted from bench since r11 while q77/q85 band the same
+  // decision at production widths (65,536 / 4.3B buckets per band).
+  // The 16-bit FINGERPRINT stays oracle-checked via q58; the banded
+  // machinery's brute-force-recall proof at width 16 lives on in
+  // PipelineSpec via fingerprintNearDupPairs.
 
   /** Shared 64-bit simhash CTEs → `sh64(doc_id, simhash)` (q77). Same
     * vote rule as `simhashCtes` extended to 64 lanes: lanes 0-31 vote
@@ -3681,7 +3669,6 @@ object TextQueries {
     QueryDef("q72_cdc_chunks", q72, Some(q72Sql)),
     QueryDef("q73_chunk_dedup", q73, Some(q73Sql)),
     QueryDef("q75_dataset_split", q75, Some(q75Sql)),
-    QueryDef("q76_simhash_neardup", q76, Some(q76Sql)),
     QueryDef("q77_simhash64_neardup", q77, Some(q77Sql)),
     QueryDef("q78_dup_clusters_pj", q78, Some(q66Sql)),
     QueryDef("q80_dedup_corpus", q80, Some(q80Sql)),

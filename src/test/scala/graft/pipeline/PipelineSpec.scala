@@ -94,7 +94,10 @@ class TextDedupSpec extends AnyFunSuite {
     assert(sh.values.forall(v => v >= 0 && v < 65536))
   }
 
-  test("simhashNearDupPairs equals brute-force Hamming filtering (pigeonhole recall is perfect)") {
+  test("banded width-16 pairs equal brute-force Hamming filtering (pigeonhole recall is perfect)") {
+    // the dedicated 16-bit pair operator is retired (16-bucket bands
+    // are O(n²/16) — q77/q85 are the production widths); the banding
+    // machinery's recall proof at width 16 rides the generic form
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy dog"),
@@ -103,7 +106,11 @@ class TextDedupSpec extends AnyFunSuite {
       (5L, "yet another unrelated document with its own vocabulary"),
       (6L, "   ")  // token-less: must not join anything
     ).toDF("doc_id", "text")
-    val got = TextDedup.simhashNearDupPairs(corpus, "doc_id", "text").collect()
+    val fps = TextDedup.withRowSimhash16(
+        corpus.filter(trim($"text") =!= ""), "text")
+      .select($"doc_id", $"simhash".cast("long").as("fp"))
+    val got = TextDedup.fingerprintNearDupPairs(fps, "doc_id", "fp", 16, 3)
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     // brute force over the same sketches
     val sh = TextDedup.simhash16(corpus, "doc_id", "text").collect()
@@ -212,7 +219,10 @@ class TextDedupSpec extends AnyFunSuite {
       (3L, "the quick brown fox jumps over the sleepy dog"),
       (4L, "completely different words appear in this text here")
     ).toDF("doc_id", "text")
-    val got = TextDedup.simhashNearDupPairs(corpus, "doc_id", "text", maxHamming = 9)
+    val fps = TextDedup.withRowSimhash16(
+        corpus.filter(trim($"text") =!= ""), "text")
+      .select($"doc_id", $"simhash".cast("long").as("fp"))
+    val got = TextDedup.fingerprintNearDupPairs(fps, "doc_id", "fp", 16, 9)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val sh = TextDedup.simhash16(corpus, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
