@@ -969,6 +969,71 @@ object DiagQueries {
       |  CAST(seas AS BIGINT) AS seas_c, CAST(pred AS BIGINT) AS pred_c
       |FROM hw""".stripMargin
 
+  /** q296 — SEEDED Holt–Winters
+    * ([[graft.ts.ExpSmooth.tripleExpSmoothSeeded]], same α/β/γ/m as
+    * q267): the textbook first-cycle initialization — seed level =
+    * first-week mean (truncating div), seed seasonal = first-week
+    * deviations, pred NULL during the seed week — closing q267's
+    * documented all-zero-init tradeoff (whose cycle 1 is just Holt).
+    * The oracle replays the seed aggregates and the same recursive
+    * CTE anchored at rn = 7 with the seeded state. */
+  private def q296(s: SparkSession, dir: String): DataFrame =
+    graft.ts.ExpSmooth.tripleExpSmoothSeeded(
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+                 dayBucket(col("o_orderdate")).as("o_orderdate"))
+        .agg(sum(cents(col("o_totalprice"))).as("y")),
+      "o_orderpriority", "o_orderdate", "y")
+
+  private val q296Sql =
+    """WITH RECURSIVE daily AS (
+      |  SELECT o_orderpriority AS k,
+      |         CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+      |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |           AS y
+      |  FROM orders GROUP BY 1, 2),
+      |s AS (SELECT k, d, y,
+      |        row_number() OVER (PARTITION BY k ORDER BY d) AS rn
+      |      FROM daily),
+      |sd AS (SELECT k, CAST(sum(y) // 7 AS BIGINT) AS lseed
+      |       FROM s WHERE rn <= 7 GROUP BY 1),
+      |sv0 AS (SELECT s.k, sd.lseed,
+      |          list(s.y - sd.lseed ORDER BY s.rn) AS sv
+      |        FROM s JOIN sd ON sd.k = s.k WHERE s.rn <= 7
+      |        GROUP BY s.k, sd.lseed),
+      |hw AS (
+      |  SELECT s.k, s.rn, s.d, s.y, sv0.lseed AS l,
+      |         CAST(0 AS BIGINT) AS b, sv0.sv AS sv,
+      |         CAST(NULL AS BIGINT) AS seas, CAST(NULL AS BIGINT) AS pred
+      |  FROM s JOIN sv0 ON sv0.k = s.k WHERE s.rn = 7
+      |  UNION ALL
+      |  SELECT s.k, s.rn, s.d, s.y,
+      |    (2 * (s.y - hw.sv[(hw.rn % 7) + 1])
+      |     + 8 * (hw.l + hw.b)) // 10,
+      |    (1 * (((2 * (s.y - hw.sv[(hw.rn % 7) + 1])
+      |            + 8 * (hw.l + hw.b)) // 10) - hw.l)
+      |     + 9 * hw.b) // 10,
+      |    list_transform(hw.sv, (e, i) -> CASE WHEN i = (hw.rn % 7) + 1
+      |      THEN (3 * (s.y - ((2 * (s.y - hw.sv[(hw.rn % 7) + 1])
+      |                         + 8 * (hw.l + hw.b)) // 10))
+      |            + 7 * hw.sv[(hw.rn % 7) + 1]) // 10
+      |      ELSE e END),
+      |    (3 * (s.y - ((2 * (s.y - hw.sv[(hw.rn % 7) + 1])
+      |                  + 8 * (hw.l + hw.b)) // 10))
+      |     + 7 * hw.sv[(hw.rn % 7) + 1]) // 10,
+      |    hw.l + hw.b + hw.sv[(hw.rn % 7) + 1]
+      |  FROM hw JOIN s ON s.k = hw.k AND s.rn = hw.rn + 1)
+      |SELECT s.k AS o_orderpriority, s.d AS o_orderdate, s.y AS y_c,
+      |  sd.lseed AS level_c, CAST(0 AS BIGINT) AS trend_c,
+      |  CAST(s.y - sd.lseed AS BIGINT) AS seas_c,
+      |  CAST(NULL AS BIGINT) AS pred_c
+      |FROM s JOIN sd ON sd.k = s.k WHERE s.rn <= 7
+      |UNION ALL
+      |SELECT k AS o_orderpriority, d AS o_orderdate, y AS y_c,
+      |  CAST(l AS BIGINT) AS level_c, CAST(b AS BIGINT) AS trend_c,
+      |  CAST(seas AS BIGINT) AS seas_c, CAST(pred AS BIGINT) AS pred_c
+      |FROM hw WHERE rn >= 8""".stripMargin
+
   /** q268 — Croston intermittent-demand forecast
     * ([[graft.ts.Intermittent.croston]], α = 0.2) of daily shipped
     * quantity for a sparse part slice (partkey ≡ 1 mod 131 — each
@@ -1592,6 +1657,7 @@ object DiagQueries {
     QueryDef("q285_new_vs_returning", q285, Some(q285Sql)),
     QueryDef("q279_dtw_pairs", q279, Some(q279Sql)),
     QueryDef("q267_holt_winters", q267, Some(q267Sql)),
+    QueryDef("q296_hw_seeded", q296, Some(q296Sql)),
     QueryDef("q268_croston", q268, Some(q268Sql)),
     QueryDef("q269_forecast_scorecard", q269, Some(q269Sql)),
     QueryDef("q270_series_features", q270, Some(q270Sql)),

@@ -874,6 +874,97 @@ object StreamOps {
       }
   }
 
+  /** Streaming Holt–Winters — the §2 signature pipeline's streaming
+    * form (T3 day bucket → A1 sum agg → smoothing state), maintained
+    * live per series via `flatMapGroupsWithState`: state is the HW
+    * recursion's (t, level, trend, m seasonal longs) PLUS one PENDING
+    * (day, sum) accumulator. A day FOLDS (and its row emits, exactly
+    * once) when a LATER day first arrives for the series — the
+    * day-grain analogue of watermark closing — so every emitted row
+    * equals the batch [[graft.ts.ExpSmooth.tripleExpSmooth]] row for
+    * that day after any stream prefix (spec-pinned parity over the
+    * CLOSED days; the still-open max day per series is the
+    * difference). Same exact-long arithmetic, same truncating
+    * division, same session-TZ date_trunc bucketing as batch.
+    *
+    * Lateness contract (the rate-spike gate's eviction-is-final rule,
+    * stricter here because the recursion is order-sensitive): events
+    * for a day OLDER than the series' pending day are ignored —
+    * day-grain disorder inside one micro-batch is absorbed by the
+    * per-batch day aggregation, but once a later day opens, earlier
+    * days are final. State is m + 6 longs per series, config-bounded
+    * forever. */
+  case class HwState(t: Long, l: Long, b: Long, sv: Array[Long],
+                     pendDay: Long, pendSum: Long)
+  case class HwUpdate(series: String, day_sec: Long, y_c: Long,
+                      level_c: Long, trend_c: Long, seas_c: Long,
+                      pred_c: Long)
+
+  def streamingHoltWinters(stream: DataFrame, seriesCol: String,
+                           tsCol: String, vCol: String, m: Int = 7,
+                           aNum: Int = 2, aDen: Int = 10,
+                           bNum: Int = 1, bDen: Int = 10,
+                           gNum: Int = 3, gDen: Int = 10)
+      : org.apache.spark.sql.Dataset[HwUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(m >= 2, "seasonal period must be >= 2")
+    require(aNum > 0 && aNum < aDen, "alpha in (0, 1)")
+    require(bNum > 0 && bNum < bDen, "beta in (0, 1)")
+    require(gNum > 0 && gNum < gDen, "gamma in (0, 1)")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val NONE = Long.MinValue
+    // fold ONE closed day into the HW state; returns the emitted row.
+    // Identical arithmetic to the batch fold (Java long division and
+    // Spark's `div` both truncate toward zero).
+    def foldDay(st: HwState, key: String, d: Long, y: Long)
+        : (HwState, HwUpdate) =
+      if (st.t == 0L)
+        (st.copy(t = 1L, l = y, b = 0L),
+         HwUpdate(key, d, y, y, 0L, 0L, y))
+      else {
+        val p = (st.t % m).toInt
+        val sOld = st.sv(p)
+        val pred = st.l + st.b + sOld
+        val lp = (aNum * (y - sOld) + (aDen - aNum) * (st.l + st.b)) / aDen
+        val bp = (bNum * (lp - st.l) + (bDen - bNum) * st.b) / bDen
+        val sp = (gNum * (y - lp) + (gDen - gNum) * sOld) / gDen
+        val sv2 = st.sv.clone(); sv2(p) = sp
+        (st.copy(t = st.t + 1, l = lp, b = bp, sv = sv2),
+         HwUpdate(key, d, y, lp, bp, sp, pred))
+      }
+    stream
+      .select(col(seriesCol).cast("string"),
+        date_trunc("day", col(tsCol).cast("timestamp")).cast("long"),
+        col(vCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[HwState]) =>
+          var st = state.getOption.getOrElse(
+            HwState(0L, 0L, 0L, Array.fill(m)(0L), NONE, 0L))
+          val days = rows.foldLeft(Map.empty[Long, Long]) {
+            case (acc, (_, d, v)) =>
+              acc.updated(d, acc.getOrElse(d, 0L) + v)
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[HwUpdate]
+          days.toSeq.sorted.foreach { case (d, s) =>
+            if (st.pendDay == NONE)
+              st = st.copy(pendDay = d, pendSum = s)
+            else if (d == st.pendDay)
+              st = st.copy(pendSum = st.pendSum + s)
+            else if (d > st.pendDay) {
+              val (st2, row) = foldDay(st, key, st.pendDay, st.pendSum)
+              out += row
+              st = st2.copy(pendDay = d, pendSum = s)
+            } // d < pendDay: closed days are final — ignored
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class SeriesUpdate(series: String, n: Long, sum: Double,
                           min_ts: java.sql.Timestamp, max_ts: java.sql.Timestamp)
 

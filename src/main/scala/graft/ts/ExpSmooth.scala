@@ -150,6 +150,84 @@ object ExpSmooth {
               col("r.pred").as("pred_c"))
   }
 
+  /** SEEDED Holt–Winters — [[tripleExpSmooth]] with the textbook
+    * first-cycle initialization instead of the all-zero seasonal
+    * start (whose first cycle is identical to Holt while the seasonal
+    * state warms up — the documented tradeoff this variant closes):
+    *   l_seed = (Σ_{i<m} y_i) div m        (truncating — exact long)
+    *   s_seed[p] = y_p − l_seed, b_seed = 0
+    * The first m observations ARE the seed cycle: they emit
+    * (level = l_seed, trend = 0, seas = their seed index,
+    * pred = NULL — no forecast exists while seeding), and the
+    * recursion runs the STANDARD update equations from observation
+    * m + 1 with phase t mod m aligned so element m reuses seed
+    * index 0. Series with fewer than m observations cannot average a
+    * complete first cycle and fall back to the zero-init recursion
+    * (documented; same rows as [[tripleExpSmooth]]).
+    *
+    * Same bounded-grid fold shape; the seed level/vector are
+    * per-series expressions over the first-cycle slice. */
+  def tripleExpSmoothSeeded(daily: DataFrame, keyCol: String,
+                            dateCol: String, vCol: String, m: Int = 7,
+                            aNum: Int = 2, aDen: Int = 10,
+                            bNum: Int = 1, bDen: Int = 10,
+                            gNum: Int = 3, gDen: Int = 10): DataFrame = {
+    require(m >= 2, "seasonal period must be >= 2")
+    require(aNum > 0 && aNum < aDen, "alpha in (0, 1)")
+    require(bNum > 0 && bNum < bDen, "beta in (0, 1)")
+    require(gNum > 0 && gNum < gDen, "gamma in (0, 1)")
+    val packed = daily
+      .select(col(keyCol).as("k"), col(dateCol).as("d"),
+              col(vCol).cast("long").as("y"))
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("d"), col("y")))).as("s"))
+    // short series: no complete first cycle to average — zero-init
+    val short = tripleExpSmooth(
+      daily.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+        .filter(col("n") < m).select(col(keyCol))
+        .join(daily, Seq(keyCol)),
+      keyCol, dateCol, vCol, m, aNum, aDen, bNum, bDen, gNum, gDen)
+    val seeded = packed.filter(size(col("s")) >= m)
+      .withColumn("lseed", expr(
+        s"aggregate(slice(s, 1, $m), CAST(0 AS BIGINT), (a, x) -> a + x.y) div $m"))
+    val sOld = s"element_at(acc.sv, CAST(acc.t % $m AS INT) + 1)"
+    val lp = s"(($aNum * (x.y - $sOld)) + ${aDen - aNum} * (acc.l + acc.b)) div $aDen"
+    val bp = s"($bNum * (($lp) - acc.l) + ${bDen - bNum} * acc.b) div $bDen"
+    val sp = s"($gNum * (x.y - ($lp)) + ${gDen - gNum} * $sOld) div $gDen"
+    val fold = s"""
+      |aggregate(
+      |  slice(s, $m + 1, size(s) - $m),
+      |  named_struct(
+      |    't', CAST($m AS BIGINT), 'l', lseed, 'b', CAST(0 AS BIGINT),
+      |    'sv', transform(slice(s, 1, $m), x -> x.y - lseed),
+      |    'out', CAST(array() AS
+      |      ARRAY<STRUCT<d: DATE, y: BIGINT, l: BIGINT, b: BIGINT,
+      |                   seas: BIGINT, pred: BIGINT>>)),
+      |  (acc, x) ->
+      |      named_struct('t', acc.t + 1,
+      |        'l', $lp,
+      |        'b', $bp,
+      |        'sv', transform(acc.sv, (e, i) ->
+      |          CASE WHEN i = CAST(acc.t % $m AS INT) THEN $sp ELSE e END),
+      |        'out', array_append(acc.out, named_struct(
+      |          'd', x.d, 'y', x.y, 'l', $lp, 'b', $bp, 'seas', $sp,
+      |          'pred', acc.l + acc.b + $sOld))),
+      |  acc -> acc.out)""".stripMargin
+    val seedRows = seeded
+      .select(col("k"), col("lseed"), explode(expr(s"slice(s, 1, $m)")).as("x"))
+      .select(col("k").as(keyCol), col("x.d").as(dateCol),
+              col("x.y").as("y_c"), col("lseed").as("level_c"),
+              lit(0L).as("trend_c"), (col("x.y") - col("lseed")).as("seas_c"),
+              lit(null).cast("long").as("pred_c"))
+    val recRows = seeded
+      .select(col("k"), explode(expr(fold)).as("r"))
+      .select(col("k").as(keyCol), col("r.d").as(dateCol),
+              col("r.y").as("y_c"), col("r.l").as("level_c"),
+              col("r.b").as("trend_c"), col("r.seas").as("seas_c"),
+              col("r.pred").as("pred_c"))
+    seedRows.unionByName(recRows).unionByName(short)
+  }
+
   /** h-step-ahead Holt–Winters forecast — the FUTURE-GRID projection
     * from [[tripleExpSmooth]]'s final state: pred_h = l + h·b +
     * s[(t + h − 1) mod m], exact longs (the model's standard

@@ -84,6 +84,59 @@ class ExpSmoothSpec extends AnyFunSuite {
     assert(got.forall(r => r.getAs[Long]("trend_c") == 0L))
   }
 
+  test("tripleExpSmoothSeeded: hand-traced m=2 textbook first-cycle init") {
+    // alpha=0.2 beta=0.1 gamma=0.3, m=2; series 100, 200, 50, 300
+    // seed: lseed=(100+200) div 2=150; sv=[-50, 50]; rows 1-2 emit
+    // (l=150, b=0, seas=y-150, pred=NULL)
+    // t2 (p=0): pred=150+0-50=100; l=(2*(50+50)+8*150) div 10=140;
+    //   b=(1*(140-150)+0) div 10=-1; s[0]=(3*(50-140)+7*(-50)) div 10=-62
+    // t3 (p=1): pred=140-1+50=189; l=(2*(300-50)+8*139) div 10=161;
+    //   b=(1*(161-140)+9*(-1)) div 10=1; s[1]=(3*139+7*50) div 10=76
+    val df = Seq(("s", java.sql.Date.valueOf("2024-01-01"), 100L),
+                 ("s", java.sql.Date.valueOf("2024-01-02"), 200L),
+                 ("s", java.sql.Date.valueOf("2024-01-03"), 50L),
+                 ("s", java.sql.Date.valueOf("2024-01-04"), 300L))
+      .toDF("k", "d", "y")
+    val got = ExpSmooth.tripleExpSmoothSeeded(df, "k", "d", "y", m = 2)
+      .orderBy("d").collect()
+      .map(r => (r.getAs[Long]("y_c"), r.getAs[Long]("level_c"),
+                 r.getAs[Long]("trend_c"), r.getAs[Long]("seas_c"),
+                 Option(r.getAs[Any]("pred_c")).map(_.asInstanceOf[Long]))).toSeq
+    assert(got == Seq((100L, 150L, 0L, -50L, None),
+                      (200L, 150L, 0L, 50L, None),
+                      (50L, 140L, -1L, -62L, Some(100L)),
+                      (300L, 161L, 1L, 76L, Some(189L))), s"$got")
+  }
+
+  test("tripleExpSmoothSeeded: pure seasonal signal predicts exactly from step m") {
+    // y alternates 100/200 (m=2): the seed absorbs the full rhythm,
+    // so every post-seed pred is exact and the state never moves —
+    // exactly what the all-zero init cannot do in cycle 1
+    val df = (1 to 8).map(i =>
+      ("s", java.sql.Date.valueOf(f"2024-01-$i%02d"),
+       if (i % 2 == 1) 100L else 200L))
+      .toDF("k", "d", "y")
+    val got = ExpSmooth.tripleExpSmoothSeeded(df, "k", "d", "y", m = 2)
+      .orderBy("d").collect()
+    val post = got.drop(2)
+    assert(post.forall(r => r.getAs[Long]("pred_c") == r.getAs[Long]("y_c")),
+      s"${post.map(r => (r.getAs[Long]("y_c"), r.getAs[Long]("pred_c"))).toSeq}")
+    assert(got.forall(r => r.getAs[Long]("level_c") == 150L))
+    assert(got.forall(r => r.getAs[Long]("trend_c") == 0L))
+  }
+
+  test("tripleExpSmoothSeeded: series shorter than m fall back to zero-init rows") {
+    val df = Seq(("s", java.sql.Date.valueOf("2024-01-01"), 100L),
+                 ("s", java.sql.Date.valueOf("2024-01-02"), 200L),
+                 ("s", java.sql.Date.valueOf("2024-01-03"), 50L))
+      .toDF("k", "d", "y")
+    val want = ExpSmooth.tripleExpSmooth(df, "k", "d", "y", m = 7)
+      .orderBy("d").collect().map(_.toString).toSeq
+    val got = ExpSmooth.tripleExpSmoothSeeded(df, "k", "d", "y", m = 7)
+      .orderBy("d").collect().map(_.toString).toSeq
+    assert(got == want, s"$got vs $want")
+  }
+
   test("tripleExpForecast: projects the final state along the horizon") {
     // m=2 trace from the smoother test: after 4 points the state is
     // l=140 b=3 sv=[-17, 64] t=4
