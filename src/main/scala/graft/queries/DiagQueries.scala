@@ -1034,6 +1034,83 @@ object DiagQueries {
       |  CAST(seas AS BIGINT) AS seas_c, CAST(pred AS BIGINT) AS pred_c
       |FROM hw WHERE rn >= 8""".stripMargin
 
+  /** q297 — Mann–Kendall trend test ([[graft.ts.TrendTest
+    * .mannKendall]]): is daily order revenue per priority trending at
+    * all, assuming nothing about linearity or error shape — S from
+    * all time-ordered pairs, the tie-corrected Var(S)·18 exact, z
+    * with continuity correction on the e6 grid. */
+  private def q297(s: SparkSession, dir: String): DataFrame =
+    graft.ts.TrendTest.mannKendall(
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+                 dayBucket(col("o_orderdate")).as("o_orderdate"))
+        .agg(sum(cents(col("o_totalprice"))).as("y")),
+      "o_orderpriority", "o_orderdate", "y")
+
+  private val q297Sql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS k,
+      |         CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+      |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |           AS y
+      |  FROM orders GROUP BY 1, 2),
+      |pr AS (SELECT a.k,
+      |         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+      |              ELSE 0 END AS sg
+      |       FROM daily a JOIN daily b ON a.k = b.k AND a.d < b.d),
+      |ss AS (SELECT k, CAST(sum(sg) AS BIGINT) AS s_stat FROM pr GROUP BY 1),
+      |nn AS (SELECT k, CAST(count(*) AS BIGINT) AS n_obs
+      |       FROM daily GROUP BY 1),
+      |ti AS (SELECT k, CAST(sum(t*(t-1)*(2*t+5)) AS BIGINT) AS tie18
+      |       FROM (SELECT k, y, count(*) AS t FROM daily GROUP BY 1, 2)
+      |       GROUP BY 1),
+      |vv AS (SELECT nn.k, n_obs, s_stat,
+      |         n_obs*(n_obs-1)*(2*n_obs+5) - tie18 AS var18
+      |       FROM nn JOIN ss ON ss.k = nn.k JOIN ti ON ti.k = nn.k)
+      |SELECT k AS o_orderpriority, n_obs, s_stat,
+      |  CAST(var18 AS BIGINT) AS var18,
+      |  CAST(CASE WHEN var18 <= 0 THEN NULL
+      |    ELSE round((s_stat - CASE WHEN s_stat > 0 THEN 1
+      |                              WHEN s_stat < 0 THEN -1 ELSE 0 END)
+      |      / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1000000.0) END
+      |    AS BIGINT) AS z_e6
+      |FROM vv""".stripMargin
+
+  /** q298 — Theil–Sen slope ([[graft.ts.TrendTest.theilSen]]): the
+    * robust trend estimate behind q297's test — lower median of the
+    * e6-truncated pairwise slopes, ranked via the grouped grid prefix
+    * (no per-key sort in one task). */
+  private def q298(s: SparkSession, dir: String): DataFrame =
+    graft.ts.TrendTest.theilSen(
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+                 dayBucket(col("o_orderdate")).as("o_orderdate"))
+        .agg(sum(cents(col("o_totalprice"))).as("y")),
+      "o_orderpriority", "o_orderdate", "y")
+
+  private val q298Sql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS k,
+      |         CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+      |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |           AS y
+      |  FROM orders GROUP BY 1, 2),
+      |sl AS (SELECT a.k,
+      |         CAST((CAST(b.y - a.y AS HUGEINT) * 1000000)
+      |              // date_diff('day', a.d, b.d) AS BIGINT) AS slope_e6
+      |       FROM daily a JOIN daily b ON a.k = b.k AND a.d < b.d),
+      |grid AS (SELECT k, slope_e6, count(*) AS c FROM sl GROUP BY 1, 2),
+      |cum AS (SELECT k, slope_e6,
+      |          sum(c) OVER (PARTITION BY k ORDER BY slope_e6) AS cum_c
+      |        FROM grid),
+      |mm AS (SELECT k, CAST(sum(c) AS BIGINT) AS n_pairs
+      |       FROM grid GROUP BY 1)
+      |SELECT cum.k AS o_orderpriority, mm.n_pairs,
+      |       CAST(min(slope_e6) AS BIGINT) AS slope_e6
+      |FROM cum JOIN mm ON mm.k = cum.k
+      |WHERE cum_c >= (n_pairs + 1) // 2
+      |GROUP BY cum.k, mm.n_pairs""".stripMargin
+
   /** q268 — Croston intermittent-demand forecast
     * ([[graft.ts.Intermittent.croston]], α = 0.2) of daily shipped
     * quantity for a sparse part slice (partkey ≡ 1 mod 131 — each
@@ -1658,6 +1735,8 @@ object DiagQueries {
     QueryDef("q279_dtw_pairs", q279, Some(q279Sql)),
     QueryDef("q267_holt_winters", q267, Some(q267Sql)),
     QueryDef("q296_hw_seeded", q296, Some(q296Sql)),
+    QueryDef("q297_mann_kendall", q297, Some(q297Sql)),
+    QueryDef("q298_theil_sen", q298, Some(q298Sql)),
     QueryDef("q268_croston", q268, Some(q268Sql)),
     QueryDef("q269_forecast_scorecard", q269, Some(q269Sql)),
     QueryDef("q270_series_features", q270, Some(q270Sql)),
