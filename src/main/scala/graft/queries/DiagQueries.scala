@@ -1723,7 +1723,117 @@ object DiagQueries {
       |        >= 4000000 THEN 1 ELSE 0 END AS BIGINT) AS is_spike
       |FROM b""".stripMargin
 
+  /** q301 — Yule–Walker AR(2) fit + one-step forecast
+    * ([[graft.ts.ArModel.yuleWalkerAr2]]) of daily order revenue per
+    * priority (whole currency — the q240 overflow discipline). The
+    * oracle replays the n-scaled deviation sums exactly (HUGEINT
+    * products) and the identical double tree for φ and the forecast. */
+  private def q301(s: SparkSession, dir: String): DataFrame =
+    graft.ts.ArModel.yuleWalkerAr2(
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+                 dayBucket(col("o_orderdate")).as("o_orderdate"))
+        .agg(sum(round(col("o_totalprice")).cast("long")).as("y")),
+      "o_orderpriority", "o_orderdate", "y")
+
+  private val q301Sql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS k,
+      |         CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+      |         CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+      |           AS y
+      |  FROM orders GROUP BY 1, 2),
+      |st AS (SELECT k, d, y,
+      |         CAST(row_number() OVER (PARTITION BY k ORDER BY d)
+      |              AS BIGINT) AS idx,
+      |         CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+      |         CAST(sum(y) OVER (PARTITION BY k) AS BIGINT) AS total
+      |       FROM daily),
+      |zz AS (SELECT *, n*y - total AS z FROM st),
+      |lg AS (SELECT *, lag(z, 1) OVER (PARTITION BY k ORDER BY d) AS z1,
+      |               lag(z, 2) OVER (PARTITION BY k ORDER BY d) AS z2
+      |       FROM zz),
+      |ag AS (SELECT k, n, total,
+      |         sum(CAST(z AS HUGEINT) * z) AS s0,
+      |         sum(CAST(z AS HUGEINT) * z1) AS s1,
+      |         sum(CAST(z AS HUGEINT) * z2) AS s2,
+      |         max(CASE WHEN idx = n THEN y END) AS yn,
+      |         max(CASE WHEN idx = n - 1 THEN y END) AS yn1
+      |       FROM lg GROUP BY 1, 2, 3),
+      |co AS (SELECT *,
+      |         CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE) AS r1,
+      |         CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE) AS r2,
+      |         CAST(total AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+      |         (n >= 4 AND s0 > 0 AND abs(s1) <> s0) AS ok
+      |       FROM ag),
+      |ph AS (SELECT *,
+      |         r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi1,
+      |         (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2
+      |       FROM co)
+      |SELECT k AS o_orderpriority, n AS n_obs,
+      |  CAST(CASE WHEN ok THEN round(phi1 * 1000000.0) END AS BIGINT)
+      |    AS phi1_e6,
+      |  CAST(CASE WHEN ok THEN round(phi2 * 1000000.0) END AS BIGINT)
+      |    AS phi2_e6,
+      |  CAST(CASE WHEN ok THEN round(mu + phi1 * (CAST(yn AS DOUBLE) - mu)
+      |    + phi2 * (CAST(yn1 AS DOUBLE) - mu)) END AS BIGINT) AS pred_v
+      |FROM ph""".stripMargin
+
+  /** q302 — Dickey–Fuller unit-root t-statistic
+    * ([[graft.ts.ArModel.dickeyFuller]]) of daily event revenue per
+    * event type: is the series mean-reverting (t ≪ 0) or a random
+    * walk (t ≈ 0)? The gate before pointing AR/trend machinery at a
+    * series at all. */
+  private def q302(s: SparkSession, dir: String): DataFrame =
+    graft.ts.ArModel.dickeyFuller(
+      t(s, dir, "events")
+        .groupBy(col("event_type"), dayBucket(col("ts")).as("d"))
+        .agg(sum(round(col("value")).cast("long")).as("y")),
+      "event_type", "d", "y")
+
+  private val q302Sql =
+    """WITH daily AS (
+      |  SELECT event_type AS k,
+      |         CAST(date_trunc('day', ts) AS DATE) AS d,
+      |         CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |lg AS (SELECT k, y,
+      |         lag(y, 1) OVER (PARTITION BY k ORDER BY d) AS x
+      |       FROM daily),
+      |p AS (SELECT k, x, y - x AS dy FROM lg WHERE x IS NOT NULL),
+      |ag AS (SELECT k, CAST(count(*) AS BIGINT) AS m,
+      |         CAST(sum(x) AS BIGINT) AS sx,
+      |         CAST(sum(dy) AS BIGINT) AS sy,
+      |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |         sum(CAST(x AS HUGEINT) * dy) AS sxy,
+      |         sum(CAST(dy AS HUGEINT) * dy) AS syy
+      |       FROM p GROUP BY 1),
+      |ce AS (SELECT *,
+      |         CAST(sxx AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      |             / CAST(m AS DOUBLE) AS sxxc,
+      |         CAST(sxy AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+      |             / CAST(m AS DOUBLE) AS sxyc,
+      |         CAST(syy AS DOUBLE)
+      |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+      |             / CAST(m AS DOUBLE) AS syyc,
+      |         (m >= 3 AND CAST(m AS HUGEINT) * sxx
+      |            <> CAST(sx AS HUGEINT) * sx) AS ok
+      |       FROM ag),
+      |be AS (SELECT *, sxyc / sxxc AS beta FROM ce)
+      |SELECT k AS event_type, m AS n_pairs,
+      |  CAST(CASE WHEN ok THEN round(beta * 1000000.0) END AS BIGINT)
+      |    AS beta_e6,
+      |  CAST(CASE WHEN ok AND (syyc - beta * sxyc) > 0.0
+      |    THEN round(beta / sqrt((syyc - beta * sxyc)
+      |    / (CAST(m AS DOUBLE) - 2.0) / sxxc) * 1000000.0) END AS BIGINT)
+      |    AS t_e6
+      |FROM be""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q301_ar2_forecast", q301, Some(q301Sql)),
+    QueryDef("q302_unit_root", q302, Some(q302Sql)),
     QueryDef("q284_growth_ledger", q284, Some(q284Sql)),
     QueryDef("q288_hw_forecast", q288, Some(q288Sql)),
     QueryDef("q289_rate_spikes", q289, Some(q289Sql)),

@@ -1751,7 +1751,111 @@ object SessionQueries {
       |    / n * 1000000.0) AS BIGINT) AS adj_mean_e6
       |FROM th""".stripMargin
 
+  /** q299 — market-basket association rules
+    * ([[graft.pipeline.AssocRules.associationRules]]): which part
+    * BRANDS co-occur in an order beyond chance — supports exact,
+    * confidence/lift integer-div micro-ratios, Apriori item prune
+    * before the basket-keyed pair join. The co-purchase GRAPH
+    * queries (q219/q227/q254) see edges; this scores directed RULES
+    * with the baseline-rate correction (lift) that a raw edge count
+    * can't give. */
+  private def q299(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.AssocRules.associationRules(
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"),
+              col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("bk"), col("p_brand").as("it")),
+      "bk", "it", minItemSupport = 100L, minPairSupport = 25L)
+
+  private val q299Sql =
+    """WITH b AS (
+      |  SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+      |nb AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
+      |ic AS (SELECT it, CAST(count(*) AS BIGINT) AS c_item
+      |       FROM b GROUP BY 1 HAVING count(*) >= 100),
+      |f AS (SELECT b.bk, b.it FROM b JOIN ic ON ic.it = b.it),
+      |pc AS (SELECT a.it AS ia, b2.it AS ib,
+      |              CAST(count(*) AS BIGINT) AS c_pair
+      |       FROM f a JOIN f b2 ON a.bk = b2.bk AND a.it < b2.it
+      |       GROUP BY 1, 2 HAVING count(*) >= 25),
+      |d AS (SELECT ia AS antecedent, ib AS consequent, c_pair FROM pc
+      |      UNION ALL
+      |      SELECT ib AS antecedent, ia AS consequent, c_pair FROM pc)
+      |SELECT d.antecedent, d.consequent, c_pair AS n_pair,
+      |  ia.c_item AS n_ante, ic2.c_item AS n_cons,
+      |  CAST(nb.n_baskets AS BIGINT) AS n_baskets,
+      |  c_pair * 1000000 // ia.c_item AS conf_e6,
+      |  CAST(CAST(c_pair AS HUGEINT) * nb.n_baskets * 1000000
+      |       // (CAST(ia.c_item AS HUGEINT) * ic2.c_item) AS BIGINT)
+      |    AS lift_e6
+      |FROM d JOIN ic ia ON ia.it = d.antecedent
+      |       JOIN ic ic2 ON ic2.it = d.consequent
+      |       CROSS JOIN nb""".stripMargin
+
+  /** q303 — exact Shapley-value attribution
+    * ([[graft.ts.ShapleyAttribution.shapley]]): journey = (user,
+    * calendar week), channels = the four non-purchase event types,
+    * conversion = a purchase that week. The game-theoretic credit
+    * next to q275's positional models — the oracle replays the
+    * coalition masks, the factorial weights, and the exact
+    * numerator/k! division. */
+  private def q303(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"),
+              col("event_type"))
+    graft.ts.ShapleyAttribution.shapley(
+      ev.filter(col("event_type") =!= "purchase"),
+      Seq("user_id", "wk"), "event_type",
+      ev.filter(col("event_type") === "purchase"),
+      Seq("view", "click", "signup", "error"))
+  }
+
+  private val q303Sql =
+    """WITH tm AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk,
+      |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+      |         WHEN 'signup' THEN 4 WHEN 'error' THEN 8 END AS bit
+      |  FROM events
+      |  WHERE event_type IN ('view', 'click', 'signup', 'error')),
+      |mk AS (SELECT user_id, wk, CAST(sum(DISTINCT bit) AS BIGINT) AS mask
+      |       FROM tm GROUP BY 1, 2),
+      |cvj AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+      |        FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT mk.mask,
+      |        CASE WHEN cvj.user_id IS NULL THEN 0 ELSE 1 END AS cv
+      |      FROM mk LEFT JOIN cvj
+      |        ON cvj.user_id = mk.user_id AND cvj.wk = mk.wk),
+      |coal AS (SELECT mask, CAST(count(*) AS BIGINT) AS n_j,
+      |                CAST(sum(cv) AS BIGINT) AS n_c
+      |         FROM j GROUP BY 1),
+      |vv AS (SELECT mask, n_j, n_c, n_c * 1000000 // n_j AS v_e6,
+      |         (mask // 1) % 2 + (mask // 2) % 2 + (mask // 4) % 2
+      |           + (mask // 8) % 2 AS pc
+      |       FROM coal),
+      |ch(name, bit) AS (VALUES ('view', 1), ('click', 2),
+      |                         ('signup', 4), ('error', 8)),
+      |wt(s, w) AS (VALUES (0, 6), (1, 2), (2, 2), (3, 6)),
+      |ex AS (SELECT ch.name, vv.n_j, vv.n_c, vv.v_e6,
+      |         CASE WHEN (mask // ch.bit) % 2 = 1 THEN 1 ELSE 0 END AS pres,
+      |         pc - CASE WHEN (mask // ch.bit) % 2 = 1 THEN 1 ELSE 0 END
+      |           AS s_excl
+      |       FROM vv CROSS JOIN ch),
+      |tr AS (SELECT name, n_j, n_c, pres,
+      |         CASE WHEN pres = 1 THEN CAST(w AS HUGEINT) * v_e6
+      |              ELSE -CAST(w AS HUGEINT) * v_e6 END AS term
+      |       FROM ex JOIN wt ON wt.s = ex.s_excl)
+      |SELECT name AS channel,
+      |  CAST(sum(CASE WHEN pres = 1 THEN n_j ELSE 0 END) AS BIGINT)
+      |    AS n_journeys,
+      |  CAST(sum(CASE WHEN pres = 1 THEN n_c ELSE 0 END) AS BIGINT)
+      |    AS n_convs,
+      |  CAST(sum(term) // 24 AS BIGINT) AS phi_e6
+      |FROM tr GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q299_assoc_rules", q299, Some(q299Sql)),
+    QueryDef("q303_shapley_attribution", q303, Some(q303Sql)),
     QueryDef("q238_debounce", q238, Some(q238Sql)),
     QueryDef("q242_conformal_width", q242, Some(q242Sql)),
     QueryDef("q243_theil_sen", q243, Some(q243Sql)),
