@@ -1831,7 +1831,51 @@ object DiagQueries {
       |    AS t_e6
       |FROM be""".stripMargin
 
+  /** q304 — fixed-period periodogram ([[graft.ts.Periodogram
+    * .periodogram]]) of daily event revenue per event type at
+    * candidate cycles 7/30/91 days: which seasonality actually
+    * exists before any seasonal model assumes one. The oracle embeds
+    * the identical e6 trig literals and replays the exact z-sums. */
+  private def q304(s: SparkSession, dir: String): DataFrame =
+    graft.ts.Periodogram.periodogram(
+      t(s, dir, "events")
+        .groupBy(col("event_type"), dayBucket(col("ts")).as("d"))
+        .agg(sum(round(col("value")).cast("long")).as("y")),
+      "event_type", "d", "y", Seq(7, 30, 91))
+
+  private val q304Sql =
+    s"""WITH daily AS (
+      |  SELECT event_type AS k,
+      |         CAST(date_trunc('day', ts) AS DATE) AS d,
+      |         CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |st AS (SELECT k, d, y,
+      |         CAST(d - DATE '1970-01-01' AS BIGINT) AS tt,
+      |         CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+      |         CAST(sum(y) OVER (PARTITION BY k) AS BIGINT) AS total
+      |       FROM daily),
+      |zz AS (SELECT k, n, tt, n*y - total AS z FROM st),
+      |tb(period, phase, cos_e6, sin_e6) AS (VALUES
+      |  ${graft.ts.Periodogram.phaseTableSql(Seq(7, 30, 91))}),
+      |ag AS (SELECT k, period, n,
+      |         sum(CAST(z AS HUGEINT) * cos_e6) AS az,
+      |         sum(CAST(z AS HUGEINT) * sin_e6) AS bz
+      |       FROM zz JOIN tb ON tb.phase = zz.tt % tb.period
+      |       GROUP BY 1, 2, 3),
+      |am AS (SELECT k, period, n,
+      |         CAST(round(sqrt(CAST(az AS DOUBLE) * CAST(az AS DOUBLE)
+      |             + CAST(bz AS DOUBLE) * CAST(bz AS DOUBLE))
+      |           / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+      |           / 1000000.0 * 2.0) AS BIGINT) AS amp_v
+      |       FROM ag)
+      |SELECT k AS event_type, CAST(period AS BIGINT) AS period,
+      |  n AS n_obs, amp_v,
+      |  CAST(CASE WHEN amp_v = max(amp_v) OVER (PARTITION BY k)
+      |       THEN 1 ELSE 0 END AS BIGINT) AS dominant
+      |FROM am""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q304_periodogram", q304, Some(q304Sql)),
     QueryDef("q301_ar2_forecast", q301, Some(q301Sql)),
     QueryDef("q302_unit_root", q302, Some(q302Sql)),
     QueryDef("q284_growth_ledger", q284, Some(q284Sql)),

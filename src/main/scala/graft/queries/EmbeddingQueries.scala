@@ -1371,7 +1371,62 @@ object EmbeddingQueries {
       |  min(s_e6) AS min_sil_e6, max(s_e6) AS max_sil_e6
       |FROM sil GROUP BY 1""".stripMargin
 
+  /** q300 — top principal component ([[graft.stats.Pca
+    * .topComponent]]) of the leading 8 embedding dims: the
+    * "are these vectors collapsed onto one direction" diagnostic.
+    * The oracle replays the exact e3 quantization, the centered
+    * integer Gram n·Σvv − ss, and all 10 power iterations on the
+    * e6 grid (HUGEINT throughout), then the same sign rule and
+    * Rayleigh share. */
+  private def q300(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Pca.topComponent(
+      t(s, dir, "embeddings").select(col("embedding")),
+      "embedding", dims = 8, iters = 10)
+
+  private val q300Sql: String = {
+    val iters = 10
+    val chain = (1 to iters).map { r =>
+      s"""w$r AS MATERIALIZED (SELECT gc.i, sum(gc.g * v${r - 1}.v) AS w
+         |       FROM gc JOIN v${r - 1} ON v${r - 1}.i = gc.j GROUP BY 1),
+         |m$r AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$r),
+         |v$r AS MATERIALIZED (SELECT i, CASE WHEN m = 0 THEN w
+         |                       ELSE w * 1000000 // m END AS v
+         |        FROM w$r CROSS JOIN m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT vec_id, CAST(i AS BIGINT) AS i,
+       |    CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000)
+       |         AS BIGINT) AS v
+       |  FROM embeddings CROSS JOIN generate_series(1, 8) AS t(i)),
+       |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+       |sv AS (SELECT i, CAST(sum(v) AS HUGEINT) AS s FROM ev GROUP BY 1),
+       |gr AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+       |         sum(CAST(a.v AS HUGEINT) * b.v) AS g
+       |       FROM ev a JOIN ev b USING (vec_id) GROUP BY 1, 2),
+       |gc AS MATERIALIZED (SELECT gr.i, gr.j, nn.n * gr.g - sa.s * sb.s AS g
+       |       FROM gr CROSS JOIN nn
+       |       JOIN sv sa ON sa.i = gr.i JOIN sv sb ON sb.i = gr.j),
+       |v0 AS MATERIALIZED (SELECT CAST(i AS BIGINT) AS i,
+       |              CAST(999999 + i AS HUGEINT) AS v
+       |       FROM generate_series(1, 8) AS t(i)),
+       |$chain,
+       |sg AS (SELECT CASE WHEN (SELECT v FROM v$iters
+       |                         ORDER BY abs(v) DESC, i ASC LIMIT 1) < 0
+       |              THEN -1 ELSE 1 END AS sg),
+       |vf AS (SELECT i, v * sg AS v FROM v$iters CROSS JOIN sg),
+       |ray AS (SELECT sum(a.v * gc.g * b.v) AS num
+       |        FROM gc JOIN vf a ON a.i = gc.i JOIN vf b ON b.i = gc.j),
+       |dn AS (SELECT sum(v * v) AS den FROM vf),
+       |tc AS (SELECT sum(g) AS t FROM gc WHERE i = j)
+       |SELECT CAST(vf.i - 1 AS BIGINT) AS dim_idx,
+       |  CAST(vf.v AS BIGINT) AS loading_e6,
+       |  CAST(CASE WHEN den = 0 OR t = 0 THEN 0
+       |            ELSE num * 1000000 // (den * t) END AS BIGINT) AS share_e6
+       |FROM vf CROSS JOIN ray CROSS JOIN dn CROSS JOIN tc""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q300_pca_top_component", q300, Some(q300Sql)),
     QueryDef("q282_silhouette", q282, Some(q282Sql)),
     QueryDef("q262_matryoshka_eval", q262, Some(q262Sql)),
     QueryDef("q171_rank_eval", q171, Some(q171Sql)),
