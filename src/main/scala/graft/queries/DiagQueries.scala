@@ -1874,8 +1874,66 @@ object DiagQueries {
       |       THEN 1 ELSE 0 END AS BIGINT) AS dominant
       |FROM am""".stripMargin
 
+  /** q305 — Welch's unequal-variance t-test
+    * ([[graft.stats.Hypothesis.welchT]]) of per-event value (cents)
+    * between the user-parity arms, per event type — the MEANS member
+    * of the two-sample family next to q214 (proportions), q225 (KS)
+    * and q226 (ranks). Exact integer/decimal moments; t and the
+    * Welch–Satterthwaite df replayed as identical double trees. */
+  private def q305(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Hypothesis.welchT(
+      t(s, dir, "events")
+        .select(col("event_type"), pmod(col("user_id"), lit(2L)).as("arm"),
+                cents(col("value")).as("v")),
+      "event_type", "arm", "v")
+
+  private val q305Sql =
+    """WITH o AS (
+      |  SELECT event_type AS k, user_id % 2 AS arm,
+      |         CAST(round(value*100) AS BIGINT) AS v
+      |  FROM events),
+      |ag AS (SELECT k,
+      |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_a,
+      |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_b,
+      |         CAST(sum(CASE WHEN arm = 0 THEN v ELSE 0 END) AS BIGINT)
+      |           AS s_a,
+      |         CAST(sum(CASE WHEN arm = 1 THEN v ELSE 0 END) AS BIGINT)
+      |           AS s_b,
+      |         sum(CASE WHEN arm = 0 THEN CAST(v AS HUGEINT) * v END)
+      |           AS q_a,
+      |         sum(CASE WHEN arm = 1 THEN CAST(v AS HUGEINT) * v END)
+      |           AS q_b
+      |       FROM o GROUP BY 1),
+      |va AS (SELECT *,
+      |         (CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE)
+      |            * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+      |           / (CAST(n_a AS DOUBLE) - 1.0) AS v_a,
+      |         (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE)
+      |            * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |           / (CAST(n_b AS DOUBLE) - 1.0) AS v_b
+      |       FROM ag),
+      |se AS (SELECT *, v_a / CAST(n_a AS DOUBLE) AS se_a,
+      |               v_b / CAST(n_b AS DOUBLE) AS se_b
+      |       FROM va),
+      |fin AS (SELECT *, se_a + se_b AS se2,
+      |          (n_a >= 2 AND n_b >= 2 AND se_a + se_b > 0.0) AS ok
+      |        FROM se)
+      |SELECT k AS event_type, n_a, n_b,
+      |  CAST(CASE WHEN ok THEN round(
+      |    (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |     - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / sqrt(se2)
+      |    * 1000000.0) END AS BIGINT) AS t_e6,
+      |  CAST(CASE WHEN ok THEN round(
+      |    se2 * se2 / (se_a * se_a / (CAST(n_a AS DOUBLE) - 1.0)
+      |      + se_b * se_b / (CAST(n_b AS DOUBLE) - 1.0))
+      |    * 1000000.0) END AS BIGINT) AS df_e6
+      |FROM fin""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q304_periodogram", q304, Some(q304Sql)),
+    QueryDef("q305_welch_t", q305, Some(q305Sql)),
     QueryDef("q301_ar2_forecast", q301, Some(q301Sql)),
     QueryDef("q302_unit_root", q302, Some(q302Sql)),
     QueryDef("q284_growth_ledger", q284, Some(q284Sql)),

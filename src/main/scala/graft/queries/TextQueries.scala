@@ -3633,7 +3633,100 @@ object TextQueries {
       |GROUP BY plen.phrase
       |ORDER BY score_e6 DESC, phrase LIMIT 20""".stripMargin
 
+  /** q306 — pairwise Jensen–Shannon divergence
+    * ([[graft.stats.Divergence.jensenShannon]]) between the
+    * per-source unigram distributions: the symmetric bounded drift
+    * matrix over feeds that PSI's baseline-vs-candidate shape can't
+    * express. Source pair grid is the 5-source contract; per-term
+    * contributions e6-rounded before the exact sum. */
+  private def q306(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Divergence.jensenShannon(
+      t(s, dir, "documents")
+        .select(col("source"),
+                explode(split(trim(col("text")), " ")).as("cat"))
+        .filter(col("cat") =!= "")
+        .groupBy(col("source"), col("cat"))
+        .agg(count(lit(1)).as("c")),
+      "source", "cat", "c")
+
+  private val q306Sql =
+    """WITH tk AS (
+      |  SELECT source, unnest(string_split(trim(text), ' ')) AS cat
+      |  FROM documents),
+      |ct AS (SELECT source AS k, cat, CAST(count(*) AS BIGINT) AS c
+      |       FROM tk WHERE cat <> '' GROUP BY 1, 2),
+      |tot AS (SELECT k, CAST(sum(c) AS BIGINT) AS n FROM ct GROUP BY 1),
+      |pr AS (SELECT a.k AS ka, a.n AS na, b.k AS kb, b.n AS nb
+      |       FROM tot a JOIN tot b ON a.k < b.k),
+      |sup AS (SELECT DISTINCT k, cat FROM ct),
+      |grid AS (SELECT DISTINCT ka, kb, na, nb, cat FROM (
+      |    SELECT pr.ka, pr.kb, pr.na, pr.nb, s.cat
+      |    FROM pr JOIN sup s ON s.k = pr.ka
+      |    UNION ALL
+      |    SELECT pr.ka, pr.kb, pr.na, pr.nb, s.cat
+      |    FROM pr JOIN sup s ON s.k = pr.kb)),
+      |j AS (SELECT g.ka, g.kb, g.na, g.nb, g.cat,
+      |        coalesce(ca.c, 0) AS c_a, coalesce(cb.c, 0) AS c_b
+      |      FROM grid g
+      |      LEFT JOIN ct ca ON ca.k = g.ka AND ca.cat = g.cat
+      |      LEFT JOIN ct cb ON cb.k = g.kb AND cb.cat = g.cat),
+      |tm AS (SELECT ka, kb,
+      |        CAST(round((
+      |          CASE WHEN c_a > 0 THEN
+      |            (CAST(c_a AS DOUBLE) / CAST(na AS DOUBLE))
+      |            * ln((CAST(c_a AS DOUBLE) / CAST(na AS DOUBLE))
+      |              / ((CAST(c_a AS DOUBLE) / CAST(na AS DOUBLE)
+      |                  + CAST(c_b AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))
+      |          ELSE 0.0 END / 2.0
+      |          + CASE WHEN c_b > 0 THEN
+      |            (CAST(c_b AS DOUBLE) / CAST(nb AS DOUBLE))
+      |            * ln((CAST(c_b AS DOUBLE) / CAST(nb AS DOUBLE))
+      |              / ((CAST(c_a AS DOUBLE) / CAST(na AS DOUBLE)
+      |                  + CAST(c_b AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))
+      |          ELSE 0.0 END / 2.0) * 1000000.0) AS BIGINT) AS term
+      |       FROM j)
+      |SELECT ka AS source_a, kb AS source_b,
+      |  CAST(count(*) AS BIGINT) AS n_terms,
+      |  CAST(sum(term) AS BIGINT) AS jsd_e6
+      |FROM tm GROUP BY 1, 2""".stripMargin
+
+  /** q307 — Cohen's κ ([[graft.stats.Agreement.cohenKappa]]) between
+    * the length gate (n_chars ≥ 300) and the English-language gate:
+    * do two curation verdicts agree beyond their marginal keep rates?
+    * Fully exact — count products in decimal(38), one truncating
+    * division. */
+  private def q307(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Agreement.cohenKappa(
+      t(s, dir, "documents")
+        .select((col("n_chars") >= 300L).cast("long").as("ga"),
+                (col("lang") === "en").cast("long").as("gb")),
+      "ga", "gb")
+
+  private val q307Sql =
+    """WITH o AS (
+      |  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+      |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b
+      |  FROM documents),
+      |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_agree,
+      |         CAST(sum(a) AS BIGINT) AS ma1,
+      |         CAST(sum(b) AS BIGINT) AS mb1
+      |       FROM o),
+      |pe AS (SELECT *,
+      |         CAST(ma1 AS HUGEINT) * mb1
+      |           + CAST(n - ma1 AS HUGEINT) * (n - mb1) AS pe_n2
+      |       FROM ag)
+      |SELECT n, n_agree,
+      |  CAST(CASE WHEN CAST(n AS HUGEINT) * n - pe_n2 = 0 THEN NULL
+      |       ELSE (CAST(n AS HUGEINT) * n_agree - pe_n2) * 1000000
+      |            // (CAST(n AS HUGEINT) * n - pe_n2) END AS BIGINT)
+      |    AS kappa_e6
+      |FROM pe""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q306_jensen_shannon", q306, Some(q306Sql)),
+    QueryDef("q307_cohen_kappa", q307, Some(q307Sql)),
     QueryDef("q273_naive_bayes", q273, Some(q273Sql)),
     QueryDef("q274_gini_stump", q274, Some(q274Sql)),
     QueryDef("q276_fuzzy_linkage", q276, Some(q276Sql)),

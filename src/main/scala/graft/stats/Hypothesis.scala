@@ -103,4 +103,50 @@ object Hypothesis {
       when(varU <= 0.0, lit(null))
         .otherwise(round(z * 1000000.0)).cast("long").as("z_e6"))
   }
+
+  /** Welch's unequal-variance t-test per group — the MEANS member of
+    * the two-sample family (q214's z compares proportions, the MWU
+    * compares ranks; this compares means without assuming the two
+    * arms share a variance). Moments are exact integer/decimal(38)
+    * aggregates (Σv² overflows int64 for cents metrics); t and the
+    * Welch–Satterthwaite df are single fixed double trees over them,
+    * replayed verbatim by the oracle.
+    *
+    * @param obs (group, arm, value) rows; arm 0/1; value an exact
+    *            integer grid (cents)
+    * @return per group: (group, n_a, n_b, t_e6, df_e6) — null when
+    *         either arm has n &lt; 2 or both variances vanish */
+  def welchT(obs: DataFrame, groupCol: String, armCol: String,
+             valueCol: String): DataFrame = {
+    val agg = obs
+      .select(col(groupCol).as("grp"), col(armCol).cast("long").as("arm"),
+              col(valueCol).cast("long").as("v"))
+      .groupBy(col("grp"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+           sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+           sum(when(col("arm") === 0L, col("v")).otherwise(0L)).as("s_a"),
+           sum(when(col("arm") === 1L, col("v")).otherwise(0L)).as("s_b"),
+           sum(when(col("arm") === 0L,
+             col("v").cast("decimal(38,0)") * col("v"))).as("q_a"),
+           sum(when(col("arm") === 1L,
+             col("v").cast("decimal(38,0)") * col("v"))).as("q_b"))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val sA = col("s_a").cast("double")
+    val sB = col("s_b").cast("double")
+    val vA = (col("q_a").cast("double") - sA * sA / nA) / (nA - lit(1.0))
+    val vB = (col("q_b").cast("double") - sB * sB / nB) / (nB - lit(1.0))
+    val seA = vA / nA
+    val seB = vB / nB
+    val se2 = seA + seB
+    val t = (sA / nA - sB / nB) / sqrt(se2)
+    val df = se2 * se2 /
+      (seA * seA / (nA - lit(1.0)) + seB * seB / (nB - lit(1.0)))
+    val ok = col("n_a") >= 2L && col("n_b") >= 2L && se2 > lit(0.0)
+    agg.select(col("grp").as(groupCol), col("n_a"), col("n_b"),
+      when(ok, round(t * 1e6).cast("long"))
+        .otherwise(lit(null).cast("long")).as("t_e6"),
+      when(ok, round(df * 1e6).cast("long"))
+        .otherwise(lit(null).cast("long")).as("df_e6"))
+  }
 }

@@ -1,0 +1,45 @@
+package graft.stats
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Agreement.cohenKappa]] — the textbook anchor points of κ. */
+class AgreementSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def kappa(rows: Seq[(Long, Long)]): (Long, Long, Option[Long]) = {
+    import spark.implicits._
+    val r = Agreement.cohenKappa(rows.toDF("a", "b"), "a", "b")
+      .collect().head
+    (r.getLong(0), r.getLong(1),
+     Option(r.get(2)).map(_.asInstanceOf[Long]))
+  }
+
+  test("perfect agreement is exactly 1; total disagreement exactly -1") {
+    assert(kappa(Seq(1L -> 1L, 0L -> 0L, 1L -> 1L)) ==
+      ((3L, 3L, Some(1000000L))))
+    assert(kappa(Seq(1L -> 0L, 0L -> 1L)) == ((2L, 0L, Some(-1000000L))))
+  }
+
+  test("independent raters with matched marginals land exactly at 0") {
+    // all four cells once: po = 1/2 = pe
+    assert(kappa(Seq(1L -> 1L, 1L -> 0L, 0L -> 1L, 0L -> 0L))._3 ==
+      Some(0L))
+  }
+
+  test("chance-corrected: high raw agreement with skewed marginals scores low") {
+    // 90 both-keep, 5 each disagreement cell, 0 both-drop:
+    // po = 0.9; pe = (95*95 + 5*5)/10000 = 0.905 -> kappa < 0
+    val rows = Seq.fill(90)(1L -> 1L) ++ Seq.fill(5)(1L -> 0L) ++
+      Seq.fill(5)(0L -> 1L)
+    val (_, agree, k) = kappa(rows)
+    assert(agree == 90L)
+    // (100*90 - 9050)*1e6 div (10000 - 9050) = -50e6 div 950
+    // = -52631 (truncation toward zero)
+    assert(k == Some(-52631L), s"$k")
+  }
+
+  test("a constant rater with a constant partner degenerates to null") {
+    assert(kappa(Seq(1L -> 1L, 1L -> 1L))._3.isEmpty)
+  }
+}

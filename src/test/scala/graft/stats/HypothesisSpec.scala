@@ -73,4 +73,31 @@ class HypothesisSpec extends AnyFunSuite {
     val r = Hypothesis.mannWhitneyU(df, "grp", "arm", "v").collect()(0)
     assert(r.isNullAt(4))
   }
+
+  test("welchT: hand-computed t and Welch-Satterthwaite df") {
+    // arm0 = [10,12,14] (mean 12, var 4); arm1 = [20,24] (mean 22, var 8)
+    // se2 = 4/3 + 4 = 16/3; t = -10/sqrt(16/3) = -4.330127
+    // df = (16/3)^2 / ((4/3)^2/2 + 16/1) = 1.6842105
+    val r = Hypothesis.welchT(obs(Seq(("g", 0L, 10L), ("g", 0L, 12L),
+        ("g", 0L, 14L), ("g", 1L, 20L), ("g", 1L, 24L))),
+      "grp", "arm", "v").collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == -4330127L, s"$r")
+    assert(r.getLong(4) == 1684211L, s"$r")
+  }
+
+  test("welchT: equal arms give t = 0; degenerate variances null") {
+    val same = obs(Seq(("g", 0L, 5L), ("g", 0L, 7L),
+                       ("g", 1L, 5L), ("g", 1L, 7L)))
+    val r = Hypothesis.welchT(same, "grp", "arm", "v").collect().head
+    assert(r.getLong(3) == 0L, s"$r")
+    // both arms constant: se2 = 0 -> null; tiny arm (n<2) -> null
+    val flat = obs(Seq(("f", 0L, 5L), ("f", 0L, 5L),
+                       ("f", 1L, 9L), ("f", 1L, 9L)))
+    val rf = Hypothesis.welchT(flat, "grp", "arm", "v").collect().head
+    assert(rf.isNullAt(3) && rf.isNullAt(4), s"$rf")
+    val tiny = obs(Seq(("t", 0L, 5L), ("t", 1L, 9L), ("t", 1L, 11L)))
+    val rt = Hypothesis.welchT(tiny, "grp", "arm", "v").collect().head
+    assert(rt.isNullAt(3), s"$rt")
+  }
 }
