@@ -3724,7 +3724,85 @@ object TextQueries {
       |    AS kappa_e6
       |FROM pe""".stripMargin
 
+  /** q308 — exact AUC ([[graft.stats.MlEval.aucExact]]) of word
+    * count as a score for the n_chars ≥ 300 gate: the
+    * Mann–Whitney/midrank identity on the score-value grid, one
+    * truncating division. The classifier-eval twin of q171's IR
+    * scorecard. */
+  private def q308(s: SparkSession, dir: String): DataFrame =
+    graft.stats.MlEval.aucExact(
+      t(s, dir, "documents")
+        .select(size(split(trim(col("text")), " ")).as("s"),
+                (col("n_chars") >= 300L).cast("long").as("y")),
+      "s", "y")
+
+  private val q308Sql =
+    """WITH o AS (
+      |  SELECT len(string_split(trim(text), ' ')) AS s,
+      |         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |g AS (SELECT s, CAST(sum(y) AS BIGINT) AS c_pos,
+      |             CAST(count(*) AS BIGINT) AS c
+      |      FROM o GROUP BY 1),
+      |r AS (SELECT *,
+      |        2*(sum(c) OVER (ORDER BY s) - c) + c + 1 AS r2
+      |      FROM g),
+      |ag AS (SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+      |         CAST(sum(c - c_pos) AS BIGINT) AS n_neg,
+      |         sum(CAST(c_pos AS HUGEINT) * r2) AS r2_pos
+      |       FROM r)
+      |SELECT n_pos, n_neg,
+      |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+      |    (r2_pos - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
+      |    // (CAST(n_pos AS HUGEINT) * n_neg * 2) END AS BIGINT)
+      |    AS auc_e6
+      |FROM ag""".stripMargin
+
+  /** q309 — decile lift table ([[graft.stats.MlEval.liftTable]]) of
+    * the same score/label pair: positives' concentration in the top
+    * score bands, exact equal-count buckets (ties by doc_id), lift
+    * and cumulative capture as integer-div micros. The oracle is the
+    * naive single-window form — the grid decomposition is
+    * hash-pinned to it. */
+  private def q309(s: SparkSession, dir: String): DataFrame =
+    graft.stats.MlEval.liftTable(
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+                size(split(trim(col("text")), " ")).as("s"),
+                (col("n_chars") >= 300L).cast("long").as("y")),
+      "s", "y", "doc_id", nBuckets = 10)
+
+  private val q309Sql =
+    """WITH o AS (
+      |  SELECT doc_id, len(string_split(trim(text), ' ')) AS s,
+      |         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |rk AS (SELECT *,
+      |         row_number() OVER (ORDER BY s DESC, doc_id) - 1 AS r0,
+      |         CAST(count(*) OVER () AS BIGINT) AS n_total
+      |       FROM o),
+      |bk AS (SELECT *, (r0 * 10) // n_total + 1 AS bucket FROM rk),
+      |pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(y) AS BIGINT) AS n_pos,
+      |         CAST(max(n_total) AS BIGINT) AS n_total
+      |       FROM bk GROUP BY 1),
+      |tt AS (SELECT CAST(sum(n_pos) AS BIGINT) AS pos_total FROM pb),
+      |cm AS (SELECT *,
+      |         CAST(sum(n_pos) OVER (ORDER BY bucket) AS BIGINT)
+      |           AS cum_pos
+      |       FROM pb)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, n, n_pos,
+      |  n_pos * 1000000 // n AS rate_e6,
+      |  CAST(CASE WHEN pos_total > 0 THEN
+      |    CAST(n_pos AS HUGEINT) * n_total * 1000000
+      |    // (CAST(n AS HUGEINT) * pos_total) END AS BIGINT) AS lift_e6,
+      |  CASE WHEN pos_total > 0 THEN cum_pos * 1000000 // pos_total END
+      |    AS cum_capture_e6
+      |FROM cm CROSS JOIN tt""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q308_auc_exact", q308, Some(q308Sql)),
+    QueryDef("q309_lift_table", q309, Some(q309Sql)),
     QueryDef("q306_jensen_shannon", q306, Some(q306Sql)),
     QueryDef("q307_cohen_kappa", q307, Some(q307Sql)),
     QueryDef("q273_naive_bayes", q273, Some(q273Sql)),

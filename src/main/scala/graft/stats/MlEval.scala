@@ -1,0 +1,100 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier evaluation — the diagnostics a score-based curation
+  * gate ([[graft.pipeline.Classifier]], quality scores, any ranking
+  * signal) is judged by before its threshold ships: exact AUC (the
+  * probability a random positive outscores a random negative, ties
+  * at half credit) and the decile lift table (how concentrated the
+  * positives are in the top score bands — the "do we only need to
+  * human-review the top 10%" readout).
+  *
+  * Exactness: AUC is the Mann–Whitney identity on DOUBLED midranks
+  * (2·midrank is always an integer — the [[Hypothesis.mannWhitneyU]]
+  * device), so numerator and denominator are exact integers and the
+  * one division truncates on the e6 grid. Lift-table buckets use the
+  * exact equal-count rule ((rank0·n) div total, ties by id — the
+  * RFM/exactNtile device); rates and lifts are integer-div micros.
+  *
+  * Scale shape: both ride the score-VALUE grid through
+  * [[graft.scale.GridPrefix]] — no global sort in one task, however
+  * many rows share a score; the corpus is touched once per statistic
+  * and everything downstream is grid- or bucket-sized. */
+object MlEval {
+
+  /** @param df rows with an integer score and a 0/1 label
+    * @return one row: (n_pos, n_neg, auc_e6) — null AUC when either
+    *         class is empty */
+  def aucExact(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = df.select(col(scoreCol).cast("long").as("s"),
+                      col(labelCol).cast("long").as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("c_pos"),
+           sum(lit(1L) - col("y")).as("c_neg"))
+      .withColumn("c", col("c_pos") + col("c_neg"))
+    val pre = graft.scale.GridPrefix.groupedPrefixSums(
+        g.withColumn("g", lit("all")), "g", "s", Seq("c"))
+      .withColumn("r2", lit(2L) * col("cum_before_c") + col("c") + 1L)
+    val agg = pre.agg(sum(col("c_pos")).as("n_pos"),
+           sum(col("c") - col("c_pos")).as("n_neg"),
+           // Σ pos·2midrank ~ n² — decimal(38), not long
+           sum(col("c_pos").cast("decimal(38,0)") * col("r2")).as("r2_pos"))
+    agg.select(col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0L && col("n_neg") > 0L,
+        expr("CAST((CAST(r2_pos AS DECIMAL(38,0))" +
+             " - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 1000000" +
+             " div (CAST(n_pos AS DECIMAL(38,0)) * n_neg * 2) AS BIGINT)"))
+        .otherwise(lit(null).cast("long")).as("auc_e6"))
+  }
+
+  /** @param df rows with an integer score, a 0/1 label, and a unique
+    *        id (the deterministic tiebreak inside tied scores)
+    * @param nBuckets bucket count (config; bucket 1 = HIGHEST scores)
+    * @return per bucket: (bucket, n, n_pos, rate_e6, lift_e6,
+    *         cum_capture_e6) — lift vs the overall positive rate,
+    *         capture the cumulative share of all positives reached
+    *         through this bucket */
+  def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
+                idCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1000, "nBuckets config-bounded")
+    val base = df.select(col(scoreCol).cast("long").as("s"),
+                         col(labelCol).cast("long").as("y"),
+                         col(idCol).as("id"))
+      // negate so the VALUE-ascending grid walks scores DESCENDING —
+      // bucket 1 is the top band
+      .withColumn("v", -col("s"))
+    val perVal = base.groupBy(col("v")).agg(count(lit(1)).as("cnt_v"))
+    val grid = graft.scale.GridPrefix.prefixSums(perVal, "v", "cnt_v")
+    val tot = grid.agg(max(col("cum")).as("n_total"))
+    val wIn = Window.partitionBy(col("v")).orderBy(col("id"))
+    val a = ((col("cum_before") + row_number().over(wIn) - 1)
+      * nBuckets).cast("long")
+    val bucketed = base
+      .join(grid.select(col("v"), col("cum_before")), Seq("v"))
+      .crossJoin(broadcast(tot))
+      .withColumn("bucket",
+        ((a - pmod(a, col("n_total"))) / col("n_total")).cast("long") + 1L)
+    val perB = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+           max(col("n_total")).as("n_total"))
+    val totals = perB.agg(sum(col("n_pos")).as("pos_total"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the cumulative window runs over nBuckets rows — config-sized,
+    // not a corpus sort
+    perB.crossJoin(broadcast(totals))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        expr("n_pos * 1000000 div n").as("rate_e6"),
+        when(col("pos_total") > 0L,
+          expr("CAST(CAST(n_pos AS DECIMAL(38,0)) * n_total * 1000000" +
+               " div (CAST(n AS DECIMAL(38,0)) * pos_total) AS BIGINT)"))
+          .otherwise(lit(null).cast("long")).as("lift_e6"),
+        when(col("pos_total") > 0L,
+          expr("cum_pos * 1000000 div pos_total"))
+          .otherwise(lit(null).cast("long")).as("cum_capture_e6"))
+  }
+}
