@@ -1931,9 +1931,63 @@ object DiagQueries {
       |    * 1000000.0) END AS BIGINT) AS df_e6
       |FROM fin""".stripMargin
 
+  /** q311 — Brown–Forsythe variance-equality test
+    * ([[graft.stats.Anova.brownForsythe]]) of order value across the
+    * five priorities: do the SPREADS differ (q258 already asks about
+    * the means)? Deviations from exact per-group lower medians, then
+    * the same per-group ANOVA ledger; whole dollars (the q258
+    * overflow rule). */
+  private def q311(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Anova.brownForsythe(
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+                round(col("o_totalprice")).cast("long").as("v")),
+      "o_orderpriority", "v")
+
+  private val q311Sql =
+    """WITH r AS (SELECT o_orderpriority AS grp,
+      |             CAST(round(o_totalprice) AS BIGINT) AS v
+      |           FROM orders),
+      |md AS (SELECT grp, v AS med FROM (
+      |         SELECT grp, v,
+      |           row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+      |           count(*) OVER (PARTITION BY grp) AS n_tot
+      |         FROM r) x
+      |       WHERE rn = (n_tot + 1) // 2),
+      |z AS (SELECT r.grp, abs(r.v - md.med) AS v
+      |      FROM r JOIN md ON md.grp = r.grp),
+      |perg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+      |           CAST(sum(v) AS BIGINT) AS t_sum, sum(v * v) AS s2
+      |         FROM z GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+      |          CAST(sum(t_sum) AS BIGINT) AS t,
+      |          CAST(count(*) AS BIGINT) AS k FROM perg),
+      |terms AS (SELECT grp, n_g, t_sum, k, n,
+      |            CAST(t_sum AS DOUBLE) / n_g AS mean_g,
+      |            CAST(t AS DOUBLE) / n AS mean_all, s2
+      |          FROM perg CROSS JOIN tot),
+      |t2 AS (SELECT grp, n_g, t_sum, k, n,
+      |         CAST(round(mean_g * 100.0) AS BIGINT) AS mean_e2,
+      |         CAST(round(CAST(n_g AS DOUBLE) * (mean_g - mean_all)
+      |           * (mean_g - mean_all)) AS BIGINT) AS ssb_term,
+      |         CAST(round(CAST(s2 AS DOUBLE) - CAST(t_sum AS DOUBLE)
+      |           * CAST(t_sum AS DOUBLE) / n_g) AS BIGINT)
+      |           AS ssw_term
+      |       FROM terms),
+      |gl AS (SELECT CAST(sum(ssb_term) AS BIGINT) AS ssb,
+      |         CAST(sum(ssw_term) AS BIGINT) AS ssw FROM t2)
+      |SELECT grp AS o_orderpriority, n_g, t_sum, mean_e2, ssb_term,
+      |  ssb, ssw, k, n,
+      |  CASE WHEN k > 1 AND n > k THEN
+      |    round((CAST(ssb AS DOUBLE) / (k - 1)) /
+      |          (CAST(ssw AS DOUBLE) / (n - k)), 6)
+      |  END AS f
+      |FROM t2 CROSS JOIN gl""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q304_periodogram", q304, Some(q304Sql)),
     QueryDef("q305_welch_t", q305, Some(q305Sql)),
+    QueryDef("q311_brown_forsythe", q311, Some(q311Sql)),
     QueryDef("q301_ar2_forecast", q301, Some(q301Sql)),
     QueryDef("q302_unit_root", q302, Some(q302Sql)),
     QueryDef("q284_growth_ledger", q284, Some(q284Sql)),

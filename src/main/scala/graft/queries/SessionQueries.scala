@@ -1853,7 +1853,98 @@ object SessionQueries {
       |  CAST(sum(term) // 24 AS BIGINT) AS phi_e6
       |FROM tr GROUP BY 1""".stripMargin
 
+  /** q310 — Markov removal-effect attribution
+    * ([[graft.ts.MarkovAttribution.removalEffects]]): the path-aware
+    * credit model next to q303's set-based Shapley — journeys become
+    * a START→touch→CONV/NULL chain, each channel scored by how much
+    * conversion probability drops when its node is removed. The
+    * oracle rebuilds the chain and unrolls all five scenarios' value
+    * iterations on the same integer grid. */
+  private def q310(s: SparkSession, dir: String): DataFrame =
+    graft.ts.MarkovAttribution.removalEffects(
+      t(s, dir, "events")
+        .withColumn("wk", date_trunc("week", col("ts"))),
+      Seq("user_id", "wk"), "event_type", "ts", "event_id",
+      Seq("view", "click", "signup", "error"), "purchase", iters = 12)
+
+  private val q310Sql: String = {
+    val chans = Seq("view", "click", "signup", "error")
+    val iters = 12
+    val scen: Seq[(String, Option[String])] =
+      ("F", None) +: chans.map(c => (c.take(2), Some(c)))
+    val v0s = scen.map { case (tag, _) =>
+      s"v${tag}0 AS (SELECT s, CAST(0 AS HUGEINT) AS v FROM st)" }
+    val vIters = scen.flatMap { case (tag, removed) =>
+      val rm = removed.map(r => s"st.s = '$r' OR ").getOrElse("")
+      (1 to iters).map { i =>
+        s"""v$tag$i AS MATERIALIZED (
+           |  SELECT st.s,
+           |    CASE WHEN ${rm}tt.n = 0 THEN CAST(0 AS HUGEINT)
+           |         ELSE (cc.cc * 1000000 + coalesce(agg.x, 0)) // tt.n
+           |    END AS v
+           |  FROM st JOIN tt ON tt.s = st.s JOIN cc ON cc.s = st.s
+           |  LEFT JOIN (SELECT trc.src AS s, sum(trc.c * vp.v) AS x
+           |             FROM trc JOIN v$tag${i - 1} vp ON vp.s = trc.dst
+           |             GROUP BY 1) agg ON agg.s = st.s)""".stripMargin
+      }
+    }
+    val prUnion = chans.map { c =>
+      val tag = c.take(2)
+      s"SELECT '$c' AS channel, v AS p_rem FROM v$tag$iters WHERE s = 'START'"
+    }.mkString("\n      UNION ALL\n      ")
+    val stVals = ("START" +: chans).map(s => s"('$s')").mkString(", ")
+    val inList = chans.map(c => s"'$c'").mkString(", ")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT user_id, date_trunc('week', ts) AS wk, event_type AS et,
+       |         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec,
+       |         event_id AS eid
+       |  FROM events),
+       |tch AS MATERIALIZED (
+       |  SELECT *, lead(et) OVER w AS nxt, row_number() OVER w AS rk
+       |  FROM base WHERE et IN ($inList)
+       |  WINDOW w AS (PARTITION BY user_id, wk ORDER BY sec, eid)),
+       |cvj AS (SELECT DISTINCT user_id, wk FROM base
+       |        WHERE et = 'purchase'),
+       |lf AS (SELECT t.et, t.rk,
+       |         coalesce(t.nxt, CASE WHEN cvj.user_id IS NOT NULL
+       |                              THEN 'CONV' ELSE 'NULL' END) AS dst
+       |       FROM tch t LEFT JOIN cvj
+       |         ON cvj.user_id = t.user_id AND cvj.wk = t.wk),
+       |edges AS MATERIALIZED (
+       |  SELECT et AS src, dst FROM lf
+       |  UNION ALL
+       |  SELECT 'START' AS src, et AS dst FROM lf WHERE rk = 1),
+       |tr AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS HUGEINT) AS c
+       |      FROM edges GROUP BY 1, 2),
+       |st(s) AS (VALUES $stVals),
+       |tt AS MATERIALIZED (SELECT st.s,
+       |        coalesce((SELECT sum(c) FROM tr WHERE tr.src = st.s), 0)
+       |          AS n FROM st),
+       |cc AS MATERIALIZED (SELECT st.s,
+       |        coalesce((SELECT sum(c) FROM tr
+       |                  WHERE tr.src = st.s AND tr.dst = 'CONV'), 0)
+       |          AS cc FROM st),
+       |trc AS MATERIALIZED (SELECT src, dst, c FROM tr
+       |       WHERE dst IN ($inList)),
+       |${(v0s ++ vIters).mkString(",\n")},
+       |pf AS (SELECT v AS p_full FROM vF$iters WHERE s = 'START'),
+       |pr AS ($prUnion),
+       |eff AS (SELECT channel, p_full, p_rem,
+       |         CASE WHEN p_full = 0 THEN CAST(0 AS HUGEINT)
+       |              ELSE greatest(p_full - p_rem, 0) * 1000000 // p_full
+       |         END AS removal
+       |        FROM pr CROSS JOIN pf),
+       |es AS (SELECT sum(removal) AS tot_eff FROM eff)
+       |SELECT channel, CAST(p_full AS BIGINT) AS p_full_e6,
+       |  CAST(p_rem AS BIGINT) AS p_removed_e6,
+       |  CAST(removal AS BIGINT) AS removal_e6,
+       |  CAST(CASE WHEN tot_eff = 0 THEN 0
+       |       ELSE removal * 1000000 // tot_eff END AS BIGINT) AS share_e6
+       |FROM eff CROSS JOIN es""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q310_markov_attribution", q310, Some(q310Sql)),
     QueryDef("q299_assoc_rules", q299, Some(q299Sql)),
     QueryDef("q303_shapley_attribution", q303, Some(q303Sql)),
     QueryDef("q238_debounce", q238, Some(q238Sql)),

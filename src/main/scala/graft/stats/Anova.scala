@@ -71,6 +71,37 @@ object Anova {
           .as("f"))
   }
 
+  /** Brown–Forsythe variance-equality test — [[anovaOneWay]] run on
+    * the absolute deviations from each group's EXACT LOWER MEDIAN
+    * (the robust Levene variant: a median center keeps the test
+    * honest under skew, and the lower median is an exact order
+    * statistic both engines agree on). ANOVA answers "do the means
+    * differ"; this answers "do the SPREADS differ" — the
+    * homoscedasticity gate in front of it.
+    *
+    * Scale shape: medians ride
+    * [[graft.scale.GridPrefix.groupedPrefixSums]] over the per-group
+    * value grid (no one-task sort however wide a group), one keyed
+    * join pins each row to its group median, then the one-pass ANOVA
+    * ledger. Output schema is [[anovaOneWay]]'s with the deviation
+    * unit. */
+  def brownForsythe(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val rows = df.select(col(groupCol).as("grp"),
+                         col(valueCol).cast("long").as("v"))
+    val grid = rows.groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val pre = graft.scale.GridPrefix.groupedPrefixSums(grid, "grp", "v",
+      Seq("c"))
+    val m = grid.groupBy(col("grp")).agg(sum(col("c")).as("n_tot"))
+    val med = pre.join(m, Seq("grp"))
+      .filter(col("cum_c") >= expr("(n_tot + 1) div 2"))
+      .groupBy(col("grp")).agg(min(col("v")).as("med"))
+    val z = rows.join(med, Seq("grp"))
+      .select(col("grp").as(groupCol), abs(col("v") - col("med")).as("z"))
+    anovaOneWay(z, groupCol, "z")
+  }
+
   /** Cramér's V of a two-way contingency table — χ² per the q235
     * e6-rounded-term ledger, then V = sqrt(χ² / (n·(min(r,c)−1))).
     * One output row: (n, r, c, chi2_e6, v). All aggregates are

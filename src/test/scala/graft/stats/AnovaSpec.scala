@@ -45,4 +45,31 @@ class AnovaSpec extends AnyFunSuite {
     val v2 = Anova.cramersV(indep, "a", "b").collect().head
     assert(math.abs(v2.getAs[Double]("v")) < 1e-6)
   }
+
+  test("brownForsythe: equal spreads score F = 0 whatever the means") {
+    // same |v - median| profile [1,0,1] in both groups despite a
+    // 10-unit mean shift the plain ANOVA would flag
+    val df = Seq(("u", 1L), ("u", 2L), ("u", 3L),
+                 ("w", 11L), ("w", 12L), ("w", 13L)).toDF("g", "v")
+    val rows = Anova.brownForsythe(df, "g", "v").collect()
+    assert(rows.forall(_.getAs[Long]("ssb") == 0L), rows.mkString(";"))
+    assert(rows.forall(_.getAs[Double]("f") == 0.0), rows.mkString(";"))
+  }
+
+  test("brownForsythe: hand-computed F on unequal spreads; exact lower median") {
+    // u = [1,2,3] -> med 2, z = [1,0,1]; w = [10,30,50] -> med 30,
+    // z = [20,0,20]; ssb = 120+120, ssw = 1+267 -> F = 240/67
+    val df = Seq(("u", 1L), ("u", 2L), ("u", 3L),
+                 ("w", 10L), ("w", 30L), ("w", 50L)).toDF("g", "v")
+    val rows = Anova.brownForsythe(df, "g", "v").collect()
+    val f = rows.head.getAs[Double]("f")
+    assert(math.abs(f - 3.58209) < 1e-5, s"f=$f")
+    // even-count group: lower median (rank (n+1) div 2)
+    val even = Seq(("e", 1L), ("e", 2L), ("e", 5L), ("e", 9L),
+                   ("x", 0L), ("x", 0L), ("x", 1L)).toDF("g", "v")
+    // e: lower median = 2 -> z = [1,0,3,7]
+    val got = Anova.brownForsythe(even, "g", "v").collect()
+      .find(_.getString(0) == "e").get
+    assert(got.getAs[Long]("t_sum") == 11L, s"$got")
+  }
 }
