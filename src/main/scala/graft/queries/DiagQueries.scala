@@ -1984,10 +1984,95 @@ object DiagQueries {
       |  END AS f
       |FROM t2 CROSS JOIN gl""".stripMargin
 
+  /** q312 — Hurst exponent by rescaled range
+    * ([[graft.ts.Hurst.hurstRS]]) of daily order revenue per
+    * priority at chunk sizes 8/16/32/64: long-memory vs
+    * mean-reversion in one number, next to q20's ACF and q302's
+    * unit root. The oracle replays the w-scaled deviations, the
+    * per-chunk R/S double tree, and the e6-quantized log-log slope
+    * with identical ln(w) literals. */
+  private def q312(s: SparkSession, dir: String): DataFrame =
+    graft.ts.Hurst.hurstRS(
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+                 dayBucket(col("o_orderdate")).as("o_orderdate"))
+        .agg(sum(round(col("o_totalprice")).cast("long")).as("y")),
+      "o_orderpriority", "o_orderdate", "y", Seq(8, 16, 32, 64))
+
+  private val q312Sql: String = {
+    val wVals = Seq(8, 16, 32, 64)
+      .map(w => s"($w, ${math.round(math.log(w) * 1e6)})").mkString(", ")
+    s"""WITH daily AS (
+      |  SELECT o_orderpriority AS k,
+      |         CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+      |         CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+      |           AS y
+      |  FROM orders GROUP BY 1, 2),
+      |st AS (SELECT k, y,
+      |         CAST(row_number() OVER (PARTITION BY k ORDER BY d)
+      |              AS BIGINT) AS idx
+      |       FROM daily),
+      |wt(w, x_e6) AS (VALUES $wVals),
+      |ex AS (SELECT st.k, st.idx, st.y, wt.w, wt.x_e6,
+      |         (idx - 1) // w AS chunk, (idx - 1) % w + 1 AS pos
+      |       FROM st CROSS JOIN wt),
+      |dv AS (SELECT *,
+      |         CAST(sum(y) OVER (PARTITION BY k, w, chunk) AS BIGINT)
+      |           AS total,
+      |         CAST(count(*) OVER (PARTITION BY k, w, chunk) AS BIGINT)
+      |           AS n_c,
+      |         CAST(sum(y) OVER (PARTITION BY k, w, chunk ORDER BY pos)
+      |              AS BIGINT) AS cum
+      |       FROM ex),
+      |wz AS (SELECT *, w * cum - pos * total AS wz FROM dv
+      |       WHERE n_c = w),
+      |ch AS (SELECT k, w, x_e6, chunk,
+      |         CAST(max(wz) AS BIGINT) AS wz_max,
+      |         CAST(min(wz) AS BIGINT) AS wz_min,
+      |         CAST(max(total) AS BIGINT) AS total,
+      |         sum(CAST(y AS HUGEINT) * y) AS s2
+      |       FROM wz GROUP BY 1, 2, 3, 4
+      |       HAVING CAST(w AS HUGEINT) * sum(CAST(y AS HUGEINT) * y)
+      |          <> CAST(max(total) AS HUGEINT) * max(total)),
+      |rs AS (SELECT k, w, x_e6,
+      |         CAST(round((CAST(greatest(wz_max, 0) - least(wz_min, 0)
+      |             AS DOUBLE) / w)
+      |           / sqrt((CAST(s2 AS DOUBLE) - CAST(total AS DOUBLE)
+      |               * CAST(total AS DOUBLE) / w) / w)
+      |           * 1000000.0) AS BIGINT) AS rs_e6
+      |       FROM ch),
+      |pw AS (SELECT k, w, x_e6, CAST(count(*) AS BIGINT) AS n_chunks,
+      |         CAST(sum(rs_e6) // count(*) AS BIGINT) AS rs_mean_e6
+      |       FROM rs GROUP BY 1, 2, 3),
+      |pt AS (SELECT *,
+      |         CAST(round(ln(CAST(rs_mean_e6 AS DOUBLE) / 1000000.0)
+      |           * 1000000.0) AS BIGINT) AS yl
+      |       FROM pw),
+      |ag AS (SELECT k, CAST(count(*) AS BIGINT) AS m,
+      |         CAST(sum(x_e6) AS BIGINT) AS sx,
+      |         CAST(sum(yl) AS BIGINT) AS sy,
+      |         sum(CAST(x_e6 AS HUGEINT) * x_e6) AS sxx,
+      |         sum(CAST(x_e6 AS HUGEINT) * yl) AS sxy
+      |       FROM pt GROUP BY 1),
+      |hh AS (SELECT k,
+      |         CASE WHEN m >= 2 AND CAST(m AS HUGEINT) * sxx
+      |                - CAST(sx AS HUGEINT) * sx <> 0 THEN
+      |           CAST(round(CAST(CAST(m AS HUGEINT) * sxy
+      |               - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+      |             / CAST(CAST(m AS HUGEINT) * sxx
+      |               - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+      |             * 1000000.0) AS BIGINT) END AS h_e6
+      |       FROM ag)
+      |SELECT pw.k AS o_orderpriority, CAST(pw.w AS BIGINT) AS w,
+      |  n_chunks, rs_mean_e6, h_e6
+      |FROM pw JOIN hh ON hh.k = pw.k""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q304_periodogram", q304, Some(q304Sql)),
     QueryDef("q305_welch_t", q305, Some(q305Sql)),
     QueryDef("q311_brown_forsythe", q311, Some(q311Sql)),
+    QueryDef("q312_hurst", q312, Some(q312Sql)),
     QueryDef("q301_ar2_forecast", q301, Some(q301Sql)),
     QueryDef("q302_unit_root", q302, Some(q302Sql)),
     QueryDef("q284_growth_ledger", q284, Some(q284Sql)),
