@@ -2068,11 +2068,52 @@ object DiagQueries {
       |FROM pw JOIN hh ON hh.k = pw.k""".stripMargin
   }
 
+  /** q313 — damped-trend Holt ([[graft.ts.ExpSmooth
+    * .dampedExpSmooth]], φ = 9/10) of daily order revenue per
+    * priority: q260's Holt with the Gardner–McKenzie trend damping —
+    * the carried trend shrinks each step instead of extrapolating
+    * linearly forever. Oracle replays the recursion with the same
+    * truncated φ·b term. */
+  private def q313(s: SparkSession, dir: String): DataFrame =
+    graft.ts.ExpSmooth.dampedExpSmooth(
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+                 dayBucket(col("o_orderdate")).as("o_orderdate"))
+        .agg(sum(cents(col("o_totalprice"))).as("y")),
+      "o_orderpriority", "o_orderdate", "y")
+
+  private val q313Sql =
+    """WITH RECURSIVE daily AS (
+      |  SELECT o_orderpriority AS k,
+      |         CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+      |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |           AS y
+      |  FROM orders GROUP BY 1, 2),
+      |s AS (SELECT k, d, y,
+      |        row_number() OVER (PARTITION BY k ORDER BY d) AS rn
+      |      FROM daily),
+      |hw AS (
+      |  SELECT k, rn, d, y, y AS l, CAST(0 AS BIGINT) AS b, y AS pred
+      |  FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.k, s.rn, s.d, s.y,
+      |    (2 * s.y + 8 * (hw.l + ((9 * hw.b) // 10))) // 10,
+      |    (3 * (((2 * s.y + 8 * (hw.l + ((9 * hw.b) // 10))) // 10)
+      |          - hw.l)
+      |     + 7 * ((9 * hw.b) // 10)) // 10,
+      |    hw.l + ((9 * hw.b) // 10)
+      |  FROM hw JOIN s ON s.k = hw.k AND s.rn = hw.rn + 1)
+      |SELECT k AS o_orderpriority, d AS o_orderdate, y AS y_c,
+      |  CAST(l AS BIGINT) AS level_c, CAST(b AS BIGINT) AS trend_c,
+      |  CAST(pred AS BIGINT) AS pred_c
+      |FROM hw""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q304_periodogram", q304, Some(q304Sql)),
     QueryDef("q305_welch_t", q305, Some(q305Sql)),
     QueryDef("q311_brown_forsythe", q311, Some(q311Sql)),
     QueryDef("q312_hurst", q312, Some(q312Sql)),
+    QueryDef("q313_damped_holt", q313, Some(q313Sql)),
     QueryDef("q301_ar2_forecast", q301, Some(q301Sql)),
     QueryDef("q302_unit_root", q302, Some(q302Sql)),
     QueryDef("q284_growth_ledger", q284, Some(q284Sql)),

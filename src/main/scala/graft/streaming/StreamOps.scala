@@ -965,6 +965,86 @@ object StreamOps {
       }
   }
 
+  /** Streaming Croston — the intermittent-demand smoother
+    * ([[graft.ts.Intermittent.croston]]) maintained live per series:
+    * state is the two smoothed levels (demand size, inter-demand
+    * interval) + the last EVENT day + one pending (day, sum)
+    * accumulator — six longs per series forever, and non-event days
+    * (closed with sum ≤ 0) touch nothing, so state updates are as
+    * sparse as the demand itself. Day-close and lateness semantics
+    * are [[streamingHoltWinters]]'s: a day folds exactly once when a
+    * later day first arrives; events for already-closed days are
+    * final. Every emitted row equals the batch croston row over the
+    * closed-day sums (spec-pinned parity). */
+  case class CrostonState(fst: Long, z: Long, p: Long, lastEvtDay: Long,
+                          pendDay: Long, pendSum: Long)
+  case class CrostonUpdate(series: String, day_sec: Long, y_q: Long,
+                           gap_d: Long, size_s: Long, interval_s: Long,
+                           rate_e6: Long)
+
+  def streamingCroston(stream: DataFrame, seriesCol: String, tsCol: String,
+                       vCol: String, aNum: Int = 2, aDen: Int = 10)
+      : org.apache.spark.sql.Dataset[CrostonUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(aNum > 0 && aNum < aDen, "alpha in (0, 1)")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val NONE = Long.MinValue
+    // close the pending day: a positive sum is a demand event (same
+    // truncating long arithmetic as the batch fold); zero/negative
+    // sums are non-events the batch side filters before smoothing
+    def closeDay(st: CrostonState, key: String)
+        : (CrostonState, Option[CrostonUpdate]) = {
+      val y = st.pendSum
+      if (y <= 0L) (st, None)
+      else {
+        val g = if (st.lastEvtDay == NONE) 1L
+                else (st.pendDay - st.lastEvtDay) / 86400L
+        if (st.fst == 1L)
+          (st.copy(fst = 0L, z = y, p = g, lastEvtDay = st.pendDay),
+           Some(CrostonUpdate(key, st.pendDay, y, g, y, g,
+             (y * 1000000L) / g)))
+        else {
+          val zp = (aNum * y + (aDen - aNum) * st.z) / aDen
+          val pp = (aNum * g + (aDen - aNum) * st.p) / aDen
+          (st.copy(z = zp, p = pp, lastEvtDay = st.pendDay),
+           Some(CrostonUpdate(key, st.pendDay, y, g, zp, pp,
+             (zp * 1000000L) / pp)))
+        }
+      }
+    }
+    stream
+      .select(col(seriesCol).cast("string"),
+        date_trunc("day", col(tsCol).cast("timestamp")).cast("long"),
+        col(vCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[CrostonState]) =>
+          var st = state.getOption.getOrElse(
+            CrostonState(1L, 0L, 0L, NONE, NONE, 0L))
+          val days = rows.foldLeft(Map.empty[Long, Long]) {
+            case (acc, (_, d, v)) =>
+              acc.updated(d, acc.getOrElse(d, 0L) + v)
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[CrostonUpdate]
+          days.toSeq.sorted.foreach { case (d, s) =>
+            if (st.pendDay == NONE)
+              st = st.copy(pendDay = d, pendSum = s)
+            else if (d == st.pendDay)
+              st = st.copy(pendSum = st.pendSum + s)
+            else if (d > st.pendDay) {
+              val (st2, row) = closeDay(st, key)
+              row.foreach(out += _)
+              st = st2.copy(pendDay = d, pendSum = s)
+            } // d < pendDay: closed days are final — ignored
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class SeriesUpdate(series: String, n: Long, sum: Double,
                           min_ts: java.sql.Timestamp, max_ts: java.sql.Timestamp)
 

@@ -75,6 +75,64 @@ object ExpSmooth {
               col("r.b").as("trend_c"), col("r.pred").as("pred_c"))
   }
 
+  /** Damped-trend Holt ([[doubleExpSmooth]] with trend damping
+    * φ = pNum/pDen): the plain Holt trend extrapolates linearly
+    * forever — the damped variant shrinks the carried trend each
+    * step (fb = φ·b, truncating), which is the standard fix for
+    * over-forecasting at long horizons (Gardner–McKenzie).
+    * Recurrence (exact longs, every φ·b use the SAME truncated
+    * term):
+    *   pred_t = l + fb
+    *   l'     = (aN·y + (aD − aN)·(l + fb)) div aD
+    *   b'     = (bN·(l' − l) + (bD − bN)·fb) div bD
+    * Scale shape identical to [[doubleExpSmooth]]. */
+  def dampedExpSmooth(daily: DataFrame, keyCol: String, dateCol: String,
+                      vCol: String, aNum: Int = 2, aDen: Int = 10,
+                      bNum: Int = 3, bDen: Int = 10,
+                      pNum: Int = 9, pDen: Int = 10): DataFrame = {
+    require(aNum > 0 && aNum < aDen, "alpha in (0, 1)")
+    require(bNum > 0 && bNum < bDen, "beta in (0, 1)")
+    require(pNum > 0 && pNum <= pDen, "phi in (0, 1]")
+    val packed = daily
+      .select(col(keyCol).as("k"), col(dateCol).as("d"),
+              col(vCol).cast("long").as("y"))
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("d"), col("y")))).as("s"))
+    val fb = s"(($pNum * acc.b) div $pDen)"
+    val lNew = s"(($aNum * x.y + ${aDen - aNum} * (acc.l + $fb)) div $aDen)"
+    val fold = s"""
+      |aggregate(
+      |  s,
+      |  named_struct(
+      |    'fst', 1,
+      |    'l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+      |    'out', CAST(array() AS
+      |      ARRAY<STRUCT<d: DATE, y: BIGINT, l: BIGINT,
+      |                   b: BIGINT, pred: BIGINT>>)),
+      |  (acc, x) -> CASE WHEN acc.fst = 1 THEN
+      |      named_struct('fst', 0, 'l', x.y, 'b', CAST(0 AS BIGINT),
+      |        'out', array(named_struct('d', x.d, 'y', x.y, 'l', x.y,
+      |                     'b', CAST(0 AS BIGINT), 'pred', x.y)))
+      |    ELSE
+      |      named_struct('fst', 0,
+      |        'l', $lNew,
+      |        'b', ($bNum * ($lNew - acc.l)
+      |              + ${bDen - bNum} * $fb) div $bDen,
+      |        'out', array_append(acc.out, named_struct(
+      |          'd', x.d, 'y', x.y,
+      |          'l', $lNew,
+      |          'b', ($bNum * ($lNew - acc.l)
+      |                + ${bDen - bNum} * $fb) div $bDen,
+      |          'pred', acc.l + $fb)))
+      |    END,
+      |  acc -> acc.out)""".stripMargin
+    packed
+      .select(col("k"), explode(expr(fold)).as("r"))
+      .select(col("k").as(keyCol), col("r.d").as(dateCol),
+              col("r.y").as("y_c"), col("r.l").as("level_c"),
+              col("r.b").as("trend_c"), col("r.pred").as("pred_c"))
+  }
+
   /** Holt–Winters triple exponential smoothing (level + trend +
     * ADDITIVE seasonality, period `m`) on the integer cents grid —
     * [[doubleExpSmooth]] plus a length-`m` seasonal state array

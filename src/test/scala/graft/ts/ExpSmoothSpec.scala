@@ -168,4 +168,50 @@ class ExpSmoothSpec extends AnyFunSuite {
            got.size == 2, s"$got")
     assert(ExpSmooth.doubleExpSmooth(df, "k", "d", "y").count() == 3)
   }
+
+  test("dampedExpSmooth: hand-traced recurrence with truncated phi*b") {
+    // alpha=0.2 beta=0.3 phi=0.9; series 100, 200, 300
+    // t0: l=100 b=0 pred=100
+    // t1: fb=0; l=120; b=(3*20)/10=6; pred=100
+    // t2: fb=(9*6) div 10=5; l=(600+8*125) div 10=160;
+    //     b=(3*40+7*5) div 10=15; pred=125
+    val df = Seq(("s", java.sql.Date.valueOf("2024-01-01"), 100L),
+                 ("s", java.sql.Date.valueOf("2024-01-02"), 200L),
+                 ("s", java.sql.Date.valueOf("2024-01-03"), 300L))
+      .toDF("k", "d", "y")
+    val got = ExpSmooth.dampedExpSmooth(df, "k", "d", "y")
+      .orderBy("d").collect()
+      .map(r => (r.getAs[Long]("level_c"), r.getAs[Long]("trend_c"),
+                 r.getAs[Long]("pred_c"))).toSeq
+    assert(got == Seq((100L, 0L, 100L), (120L, 6L, 100L),
+                      (160L, 15L, 125L)), s"$got")
+  }
+
+  test("dampedExpSmooth: phi = 1 is exactly plain Holt") {
+    val df = Seq(("s", java.sql.Date.valueOf("2024-01-01"), 137L),
+                 ("s", java.sql.Date.valueOf("2024-01-02"), 991L),
+                 ("s", java.sql.Date.valueOf("2024-01-03"), 55L),
+                 ("s", java.sql.Date.valueOf("2024-01-04"), 700L))
+      .toDF("k", "d", "y")
+    val damped = ExpSmooth.dampedExpSmooth(df, "k", "d", "y",
+        pNum = 10, pDen = 10).orderBy("d").collect().toSeq
+    val holt = ExpSmooth.doubleExpSmooth(df, "k", "d", "y")
+      .orderBy("d").collect().toSeq
+    assert(damped.map(_.toSeq) == holt.map(_.toSeq))
+  }
+
+  test("dampedExpSmooth: the carried trend decays on a flat tail") {
+    // jump then flat: plain Holt's trend persists longer; the damped
+    // trend must shrink toward 0 strictly faster
+    val days = (1 to 20).map(i =>
+      ("s", java.sql.Date.valueOf(f"2024-01-$i%02d"),
+       if (i <= 2) i * 1000L else 2000L))
+    val df = days.toDF("k", "d", "y")
+    val tDamped = ExpSmooth.dampedExpSmooth(df, "k", "d", "y")
+      .orderBy("d").collect().map(_.getAs[Long]("trend_c")).last
+    val tHolt = ExpSmooth.doubleExpSmooth(df, "k", "d", "y")
+      .orderBy("d").collect().map(_.getAs[Long]("trend_c")).last
+    assert(math.abs(tDamped) <= math.abs(tHolt),
+           s"damped=$tDamped holt=$tHolt")
+  }
 }
