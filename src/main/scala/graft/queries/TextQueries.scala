@@ -3800,7 +3800,101 @@ object TextQueries {
       |    AS cum_capture_e6
       |FROM cm CROSS JOIN tt""".stripMargin
 
+  /** q314 — vocabulary richness ([[graft.pipeline.VocabStats
+    * .vocabRichness]]): Good–Turing unseen mass n₁/N and
+    * bias-corrected Chao1 — how much of the next document is
+    * never-seen tokens, and how many types the corpus still hides.
+    * All exact counting + two truncating divisions. */
+  private def q314(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.VocabStats.vocabRichness(
+      t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= ""),
+      "tok")
+
+  private val q314Sql =
+    """WITH tk AS (
+      |  SELECT unnest(string_split(trim(text), ' ')) AS t
+      |  FROM documents),
+      |ct AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+      |       FROM tk WHERE t <> '' GROUP BY 1),
+      |ag AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+      |         CAST(count(*) AS BIGINT) AS v_types,
+      |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n1,
+      |         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n2
+      |       FROM ct)
+      |SELECT n_tokens, v_types, n1, n2,
+      |  n1 * 1000000 // n_tokens AS unseen_mass_e6,
+      |  v_types * 100 + CAST(CAST(n1 AS HUGEINT) * (n1 - 1) * 100
+      |    // (2 * (n2 + 1)) AS BIGINT) AS chao1_e2
+      |FROM ag""".stripMargin
+
+  /** q315 — Heaps' law curve ([[graft.pipeline.VocabStats
+    * .heapsCurve]]): vocabulary size at 10 equal-count document
+    * checkpoints plus the fitted growth exponent — does the corpus
+    * keep paying new types, or has dedup/scraping saturated it? The
+    * oracle is the naive single-window replay of the same grid. */
+  private def q315(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.VocabStats.heapsCurve(
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+                explode(split(trim(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= ""),
+      "doc_id", "tok", nBuckets = 10)
+
+  private val q315Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
+      |  FROM documents),
+      |tk2 AS (SELECT doc_id, t FROM tk WHERE t <> ''),
+      |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS t_c
+      |       FROM tk2 GROUP BY 1),
+      |fv AS (SELECT d AS doc_id, CAST(count(*) AS BIGINT) AS v_c
+      |       FROM (SELECT t, min(doc_id) AS d FROM tk2 GROUP BY 1)
+      |       GROUP BY 1),
+      |g AS (SELECT pd.doc_id, t_c, coalesce(v_c, 0) AS v_c
+      |      FROM pd LEFT JOIN fv USING (doc_id)),
+      |w AS (SELECT doc_id,
+      |        CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS pos,
+      |        CAST(sum(t_c) OVER (ORDER BY doc_id) AS BIGINT) AS ctk,
+      |        CAST(sum(v_c) OVER (ORDER BY doc_id) AS BIGINT) AS cv,
+      |        CAST(count(*) OVER () AS BIGINT) AS n
+      |      FROM g),
+      |b AS (SELECT ((pos - 1) * 10) // n + 1 AS bucket, pos, ctk, cv
+      |      FROM w),
+      |pb AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+      |         CAST(max(pos) AS BIGINT) AS docs_cum,
+      |         CAST(max_by(ctk, pos) AS BIGINT) AS tokens_cum,
+      |         CAST(max_by(cv, pos) AS BIGINT) AS types_cum
+      |       FROM b GROUP BY 1),
+      |pt AS (SELECT *,
+      |         CAST(round(ln(CAST(tokens_cum AS DOUBLE)) * 1000000.0)
+      |              AS BIGINT) AS x,
+      |         CAST(round(ln(CAST(types_cum AS DOUBLE)) * 1000000.0)
+      |              AS BIGINT) AS yl
+      |       FROM pb),
+      |ag AS (SELECT CAST(count(*) AS BIGINT) AS m,
+      |         CAST(sum(x) AS BIGINT) AS sx,
+      |         CAST(sum(yl) AS BIGINT) AS sy,
+      |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |         sum(CAST(x AS HUGEINT) * yl) AS sxy
+      |       FROM pt),
+      |hh AS (SELECT CASE WHEN m >= 2 AND CAST(m AS HUGEINT) * sxx
+      |                - CAST(sx AS HUGEINT) * sx <> 0 THEN
+      |         CAST(round(CAST(CAST(m AS HUGEINT) * sxy
+      |             - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+      |           / CAST(CAST(m AS HUGEINT) * sxx
+      |             - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+      |           * 1000000.0) AS BIGINT) END AS beta_e6
+      |       FROM ag)
+      |SELECT bucket, docs_cum, tokens_cum, types_cum, beta_e6
+      |FROM pb CROSS JOIN hh""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q314_vocab_richness", q314, Some(q314Sql)),
+    QueryDef("q315_heaps_law", q315, Some(q315Sql)),
     QueryDef("q308_auc_exact", q308, Some(q308Sql)),
     QueryDef("q309_lift_table", q309, Some(q309Sql)),
     QueryDef("q306_jensen_shannon", q306, Some(q306Sql)),

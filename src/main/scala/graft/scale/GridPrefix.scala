@@ -69,7 +69,14 @@ object GridPrefix {
     val spark = grid.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val gcols = grpCols.map(col)
-    val ranged = grid
+    // freeze the INPUT lineage first: RangePartitioner runs a
+    // separate sampling job over its child, which would re-execute
+    // the caller's whole upstream plan (for Theil–Sen that is the
+    // full pairwise self-join); measured r14: q237 1.62 → 1.14 s,
+    // q226 1.11 → 0.95 s, q225 1.52 → 1.40 s at sf0.1 — the sample
+    // now reads materialized rows
+    val src = grid.localCheckpoint()
+    val ranged = src
       .repartitionByRange(parts, gcols :+ col(valCol): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
@@ -104,7 +111,10 @@ object GridPrefix {
   def prefixSums(grid: DataFrame, valCol: String, cntCol: String): DataFrame = {
     val spark = grid.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    val ranged = grid
+    // input frozen before the range exchange — see groupedPrefixSums
+    // (the range sampling job re-executes unmaterialized lineage)
+    val src = grid.localCheckpoint()
+    val ranged = src
       .repartitionByRange(parts, col(valCol))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()

@@ -1,6 +1,7 @@
 package graft.ts
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Non-parametric trend detection over per-key day grids — the
@@ -70,10 +71,21 @@ object TrendTest {
     * the integer grid BEFORE ranking (one rounding per pair, so the
     * median is an exact order statistic both engines agree on; the
     * dy·1e6 product runs in decimal(38) — at corpus scale daily
-    * deltas exceed int64/1e6). The median rank rides
-    * [[graft.scale.GridPrefix.groupedPrefixSums]] over the per-key
-    * slope-value grid — no per-key sort in one task, however many
-    * pairs a key owns.
+    * deltas exceed int64/1e6).
+    *
+    * The median rank rides [[graft.scale.GridPrefix
+    * .groupedPrefixSums]] over the per-key slope-value grid — no
+    * per-key sort in one task, however many pairs a key owns; the
+    * per-key totals read off the checkpointed prefix's max running
+    * sum instead of re-executing the pair join (59 → 32 s at
+    * sf0.1). A two-phase selection variant (coarse adaptive cells →
+    * median cell → in-cell rank) was built and MEASURED SLOWER
+    * (40 s): its per-key stats/median-cell tables come out of
+    * localCheckpoint with no usable size estimate, so both of its
+    * pair-stream joins planned as full shuffle sort-merge — and a
+    * broadcast hint there would be the per-series-table scale bug
+    * the r10 review class forbids. The CDF prefix pays one
+    * materialization and keeps every join keyed.
     * @return per key: (key, n_pairs, slope_e6) — the lower median
     *         (rank ⌈m/2⌉) of the e6 slope grid */
   def theilSen(daily: DataFrame, keyCol: String, dateCol: String,
@@ -82,12 +94,14 @@ object TrendTest {
     val slopes = pairsOf(obs)
       .select(col("k"),
         expr("(CAST(y2 - y1 AS DECIMAL(38,0)) * 1000000) div " +
-             "datediff(d2, d1)").as("slope_e6"))
+             "nullif(datediff(d2, d1), 0)").as("slope_e6"))
     val grid = slopes.groupBy(col("k"), col("slope_e6"))
       .agg(count(lit(1)).as("c"))
     val pre = graft.scale.GridPrefix.groupedPrefixSums(
       grid, "k", "slope_e6", Seq("c"))
-    val m = grid.groupBy(col("k")).agg(sum(col("c")).as("n_pairs"))
+    // per-key totals from the CHECKPOINTED prefix's max running sum —
+    // not a second pass that would re-execute the pair self-join
+    val m = pre.groupBy(col("k")).agg(max(col("cum_c")).as("n_pairs"))
     pre.join(m, Seq("k"))
       .filter(col("cum_c") >= expr("(n_pairs + 1) div 2"))
       .groupBy(col("k"), col("n_pairs"))
