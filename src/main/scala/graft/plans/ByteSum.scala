@@ -216,7 +216,8 @@ object GraftFunctions {
     "bpe_encode" -> (exprs => BpeOps.fromArgs(exprs)),
     "bpe_encode_bytes" -> (exprs => BpeOps.fromArgsBytes(exprs)),
     "winnow_fps" -> (exprs => WinnowFps.fromArgs(exprs)),
-    "char_stats" -> (exprs => CharStats.fromArgs(exprs)))
+    "char_stats" -> (exprs => CharStats.fromArgs(exprs)),
+    "trend_fold" -> (exprs => TrendFold(exprs.head, exprs(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

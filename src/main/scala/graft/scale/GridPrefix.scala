@@ -33,6 +33,25 @@ import org.apache.spark.sql.functions._
   * Integer-exact: sums of longs end to end, no percentile doubles. */
 object GridPrefix {
 
+  /** Freeze `df`'s lineage before the range exchange — the
+    * RangePartitioner runs a separate boundary-sampling job over its
+    * child, which would otherwise re-execute the caller's whole
+    * upstream plan (measured r14: q237 1.62 → 1.14 s, q226
+    * 1.11 → 0.95 s, q225 1.52 → 1.40 s at sf0.1). CONDITIONAL since
+    * r15: a plan that is already a materialized scan — a prior
+    * `localCheckpoint` (LogicalRDD) or a bare relation read — has
+    * nothing upstream worth freezing, and the extra checkpoint is a
+    * full second copy of the grid (the r14 unconditional form taxed
+    * every caller one grid materialization; q256's fused midrank
+    * grid is the largest in the suite). */
+  private def frozen(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.LeafNode
+    df.queryExecution.optimizedPlan match {
+      case _: LeafNode => df // LogicalRDD / LocalRelation / bare relation
+      case _ => df.localCheckpoint()
+    }
+  }
+
   /** GROUP-KEYED distributed prefix sums — the per-group twin of
     * [[prefixSums]] for grids keyed by (group, value) where a SINGLE
     * group's value grid can approach corpus cardinality (per-group
@@ -69,13 +88,10 @@ object GridPrefix {
     val spark = grid.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val gcols = grpCols.map(col)
-    // freeze the INPUT lineage first: RangePartitioner runs a
-    // separate sampling job over its child, which would re-execute
-    // the caller's whole upstream plan (for Theil–Sen that is the
-    // full pairwise self-join); measured r14: q237 1.62 → 1.14 s,
-    // q226 1.11 → 0.95 s, q225 1.52 → 1.40 s at sf0.1 — the sample
-    // now reads materialized rows
-    val src = grid.localCheckpoint()
+    // freeze the INPUT lineage first (see [[frozen]]) so the range
+    // sampler reads materialized rows instead of re-executing the
+    // caller's upstream plan
+    val src = frozen(grid)
     val ranged = src
       .repartitionByRange(parts, gcols :+ col(valCol): _*)
       .withColumn("__pid", spark_partition_id())
@@ -111,9 +127,8 @@ object GridPrefix {
   def prefixSums(grid: DataFrame, valCol: String, cntCol: String): DataFrame = {
     val spark = grid.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    // input frozen before the range exchange — see groupedPrefixSums
-    // (the range sampling job re-executes unmaterialized lineage)
-    val src = grid.localCheckpoint()
+    // input frozen before the range exchange — see [[frozen]]
+    val src = frozen(grid)
     val ranged = src
       .repartitionByRange(parts, col(valCol))
       .withColumn("__pid", spark_partition_id())

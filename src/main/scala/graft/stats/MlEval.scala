@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   * exact equal-count rule ((rank0·n) div total, ties by id — the
   * RFM/exactNtile device); rates and lifts are integer-div micros.
   *
-  * Scale shape: both ride the score-VALUE grid through
-  * [[graft.scale.GridPrefix]] — no global sort in one task, however
-  * many rows share a score; the corpus is touched once per statistic
-  * and everything downstream is grid- or bucket-sized. */
+  * Scale shape: both ride [[graft.scale.GridPrefix]] — AUC over the
+  * score-VALUE grid, the lift table over the (score, id) struct grid
+  * — so neither sorts globally in one task, however many rows share
+  * a score (the in-tie id order is range-decomposed too); the corpus
+  * is touched once per statistic and everything downstream is grid-
+  * or bucket-sized. */
 object MlEval {
 
   /** @param df rows with an integer score and a 0/1 label
@@ -66,17 +68,21 @@ object MlEval {
       // negate so the VALUE-ascending grid walks scores DESCENDING —
       // bucket 1 is the top band
       .withColumn("v", -col("s"))
-    val perVal = base.groupBy(col("v")).agg(count(lit(1)).as("cnt_v"))
-    val grid = graft.scale.GridPrefix.prefixSums(perVal, "v", "cnt_v")
-    val tot = grid.agg(max(col("cum")).as("n_total"))
-    val wIn = Window.partitionBy(col("v")).orderBy(col("id"))
-    val a = ((col("cum_before") + row_number().over(wIn) - 1)
-      * nBuckets).cast("long")
-    val bucketed = base
-      .join(grid.select(col("v"), col("cum_before")), Seq("v"))
+    // rank0 = exclusive prefix count over the (score, id) STRUCT grid
+    // — one grid row per corpus row, the in-tie order decomposed
+    // across range buckets like the score axis itself, so a
+    // coarse-score corpus (q309 scores are word counts) never lands
+    // its widest tie group in one task (the r14 form ranked in-tie
+    // ids with a per-score window — single-task per tie group)
+    val ranked = graft.scale.GridPrefix.prefixSums(
+      base.withColumn("vid", struct(col("v"), col("id")))
+        .withColumn("one", lit(1L)),
+      "vid", "one")
+    val tot = ranked.agg(max(col("cum")).as("n_total"))
+    val bucketed = ranked
       .crossJoin(broadcast(tot))
       .withColumn("bucket",
-        ((a - pmod(a, col("n_total"))) / col("n_total")).cast("long") + 1L)
+        expr(s"(cum_before * CAST($nBuckets AS BIGINT)) div n_total") + 1L)
     val perB = bucketed.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
            max(col("n_total")).as("n_total"))

@@ -25,11 +25,13 @@ import org.apache.spark.sql.functions._
   * iterate. Corpus rows are touched exactly once. */
 object Pca {
 
-  /** @param vecs frame with an array&lt;float/double&gt; column
+  /** @param vecs frame with an array&lt;float/double&gt; column; must
+    *        be non-empty and every vector at least `dims` wide —
+    *        both rejected with an explicit IllegalArgumentException
+    *        (empty input has no principal direction; a short vector
+    *        would silently null out a Gram cell)
     * @param dims leading components entering the analysis (config,
-    *        ≤ 16); vectors shorter than `dims` are rejected by the
-    *        element_at null becoming a runtime NPE in the aggregate —
-    *        callers slice a fixed-width corpus
+    *        ≤ 16)
     * @param iters power-iteration count (config)
     * @return one row per dim: (dim_idx, loading_e6, share_e6) —
     *         loading the final normalized iterate (max |entry| =
@@ -41,17 +43,31 @@ object Pca {
     require(dims >= 2 && dims <= 16, "dims is config-bounded (2..16)")
     require(iters >= 1 && iters <= 64, "iters is config-bounded (1..64)")
     val spark = vecs.sparkSession
+    // `get` (not `element_at`): out-of-bounds yields null instead of
+    // an ANSI array-index error, so a short vector reaches the
+    // explicit min-width check below rather than dying mid-aggregate
     val q = (0 until dims).map(i =>
-      round(element_at(col(vecCol), i + 1).cast("double") * 1000.0)
+      round(get(col(vecCol), lit(i)).cast("double") * 1000.0)
         .cast("long").as(s"v$i"))
-    val proj = vecs.select(q: _*)
+    val proj = vecs.select(size(col(vecCol)).as("__w") +: q: _*)
     val sums =
-      Seq(count(lit(1)).as("n")) ++
+      Seq(count(lit(1)).as("n"), min(col("__w")).as("min_w")) ++
       (0 until dims).map(i => sum(col(s"v$i")).as(s"s$i")) ++
       (for { i <- 0 until dims; j <- i until dims } yield
         sum(col(s"v$i").cast("decimal(38,0)") * col(s"v$j"))
           .as(s"g_${i}_$j"))
     val row = proj.agg(sums.head, sums.tail: _*).collect().head
+    // fail fast, same aggregate pass: an empty corpus has no
+    // principal direction (the sums are null — previously an opaque
+    // driver NPE), and one sub-`dims` vector would silently null a
+    // Gram cell out of its sum
+    if (row.getAs[Long]("n") == 0L)
+      throw new IllegalArgumentException(
+        "Pca.topComponent: empty input — no principal direction")
+    if (row.getAs[Int]("min_w") < dims)
+      throw new IllegalArgumentException(
+        s"Pca.topComponent: vector narrower than dims=$dims " +
+          s"(min width ${row.getAs[Int]("min_w")})")
     val n = BigInt(row.getAs[Long]("n"))
     val s = (0 until dims).map(i => BigInt(row.getAs[Long](s"s$i")))
     val gc = Array.tabulate(dims, dims) { (i, j) =>

@@ -52,4 +52,12 @@ class PcaSpec extends AnyFunSuite {
     val got = run(Seq(Array(5f, 5f), Array(5f, 5f)))
     assert(got.forall(r => r._2 == 0L && r._3 == 0L), s"${got.toSeq}")
   }
+
+  test("empty input and sub-dims vectors fail fast with explicit errors") {
+    val empty = intercept[IllegalArgumentException](run(Seq.empty))
+    assert(empty.getMessage.contains("empty input"), empty.getMessage)
+    val short = intercept[IllegalArgumentException](
+      run(Seq(Array(1f, 2f), Array(3f))))
+    assert(short.getMessage.contains("narrower than dims"), short.getMessage)
+  }
 }
