@@ -929,6 +929,91 @@ object ScaleProbeStats {
   * with long words, so merges keep finding support deep into the run.
   * Usage: runMain graft.ScaleProbeBpe [nDocs] [passes] [batch] [nWords]
   */
+/** APPEND-REGIME probe (VERDICT r14 next-#5): the r14 crossover
+  * verdict left the incremental machinery scoped to append ingestion
+  * — "the delta is the CORPUS batch, not the merge" — but that claim
+  * was never measured either. This probe settles it: train once,
+  * build ingestion state, then APPEND a small doc batch two ways —
+  *  - [[graft.pipeline.Bpe.bpeIngestAppend]]: maintained tables,
+  *    only the batch's new word types are ever segmented;
+  *  - [[graft.pipeline.Bpe.bpeIngestState]] over corpus ∪ batch: the
+  *    full recount (re-encode every word type + corpus window).
+  * Equality of the resulting pair-count tables is asserted (the
+  * BpeSpec append-parity contract at probe scale).
+  * Usage: runMain graft.ScaleProbeBpeAppend [nDocs] [batchPct] [nWords]
+  */
+object ScaleProbeBpeAppend {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(200000)
+    val batchPct = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+    val nWords = args.drop(2).headOption.map(_.toInt).getOrElse(50000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"$label%-58s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    // same deterministic corpus family as ScaleProbeBpe; the batch
+    // is EXTRA doc ids past the corpus (new mix of mostly-known word
+    // types + the alphabet's unseen tail)
+    def mkCorpus(fromDoc: Long, toDoc: Long) = {
+      val letters = "etaoinshrdlu"
+      val wordTbl = spark.range(nWords.toLong).select(
+        col("id").as("wid"),
+        concat((0 until 14).map { c =>
+          when(lit(c) < pmod(hash(col("id") * 131), lit(9)) + 6,
+               substring(lit(letters),
+                         (pmod(hash(col("id") * 17 + c * 3), lit(12)) + 1).cast("int"),
+                         lit(1)))
+            .otherwise(lit(""))
+        }: _*).as("word"))
+      spark.range(fromDoc * 12, toDoc * 12).select(
+        (col("id") / 12).cast("long").as("doc_id"),
+        pmod(col("id"), lit(12)).as("p"),
+        pmod(hash(col("id") * 31).cast("long") *
+               (pmod(hash(col("id") + 7), lit(64)).cast("long") + 1L),
+             lit(nWords.toLong)).as("wid"))
+        .join(broadcast(wordTbl), Seq("wid"))
+        .groupBy(col("doc_id"))
+        .agg(array_join(transform(array_sort(collect_list(
+               struct(col("p"), col("word")))), s => s.getField("word")), " ")
+             .as("text"))
+        .cache()
+    }
+    val corpus = mkCorpus(0L, nDocs.toLong); corpus.count()
+    val nBatch = nDocs.toLong * batchPct / 100
+    val batch = mkCorpus(nDocs.toLong, nDocs.toLong + nBatch); batch.count()
+
+    val merges = time(f"train (batched, 12 passes x 8) docs=$nDocs%,d")(
+      graft.pipeline.Bpe.bpeTrainBatched(corpus, "doc_id", "text",
+        nPasses = 12, batchSize = 8, minPairFreq = 2L))
+    val st0 = time("bpeIngestState (initial, corpus only)")(
+      { val s = graft.pipeline.Bpe.bpeIngestState(corpus, "doc_id", "text",
+          merges); s.pairCounts.count(); s })
+    val app = time(f"APPEND path: bpeIngestAppend batch=$nBatch%,d docs ($batchPct%%)")(
+      { val s = graft.pipeline.Bpe.bpeIngestAppend(st0, batch, "doc_id",
+          "text"); s.pairCounts.count(); s })
+    val rec = time(f"RECOUNT path: bpeIngestState corpus+batch")(
+      { val s = graft.pipeline.Bpe.bpeIngestState(
+          corpus.unionByName(batch), "doc_id", "text", merges)
+        s.pairCounts.count(); s })
+    val diff = app.pairCounts.unionByName(
+        rec.pairCounts.select(col("l"), col("r"), (-col("cnt")).as("cnt")))
+      .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("d"))
+      .filter(col("d") =!= 0L).count()
+    println(s"  pair-count tables differ in $diff cells (must be 0)")
+    st0.release(); app.release(); rec.release()
+    spark.stop()
+  }
+}
+
 object ScaleProbeBpe {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(100000)

@@ -462,6 +462,94 @@ object Bpe {
     trained.merges
   }
 
+  // ------------------------------------------- append ingestion
+
+  /** Ingestion-time maintained state: the learned rules plus the
+    * per-WORD-TYPE adjacency table and live pair counts — what an
+    * append pipeline keeps so a new doc batch folds in without
+    * re-reading (or re-segmenting) the accumulated corpus. `release`
+    * frees the backing checkpoints. */
+  case class BpeIngest(merges: DataFrame, adj: DataFrame,
+                       pairCounts: DataFrame,
+                       private[pipeline] val cks: Seq[DataFrame]) {
+    def release(): Unit = cks.foreach(_.unpersist())
+  }
+
+  /** Build ingestion state from scratch over `df` with a FIXED
+    * learned rule set: word table → native `bpe_encode` segmentation
+    * (spec-pinned equal to the training state) → adjacency → pair
+    * counts. This is also the FULL-RECOUNT rival the append path is
+    * probed against (ScaleProbeBpe append rows): recounting costs one
+    * corpus-types encode + window + aggregate regardless of batch
+    * size. */
+  def bpeIngestState(df: DataFrame, idCol: String, textCol: String,
+                     merges: DataFrame): BpeIngest = {
+    val rules = rulesOf(merges)
+    val words = wordTable(df, textCol)
+    val segs = bpeSegment(words, "w", "w", rules)
+      .join(words, Seq("w"))
+      .select(col("w"), col("freq"),
+              posexplode(col("syms")).as(Seq("pos", "sym")))
+      .select(col("w"), col("freq"), col("pos"), col("sym"))
+    val wWin = Window.partitionBy(col("w")).orderBy(col("pos"))
+    val (adj, adjCk) = checkpointReset(
+      segs.withColumn("nxt", lead(col("sym"), 1).over(wWin)))
+    val (pc, pcCk) = checkpointReset(pairsOfAdj(adj))
+    BpeIngest(merges, adj, pc, Seq(adjCk, pcCk))
+  }
+
+  /** Fold an appended doc batch into maintained ingestion state
+    * WITHOUT touching the accumulated corpus (the regime the r14
+    * crossover verdict left the incremental machinery scoped to —
+    * measured by the ScaleProbeBpe append rows):
+    *
+    *   1. the batch's word table is batch-sized;
+    *   2. KNOWN word types only bump `freq` — segmentation is
+    *      frequency-independent, so their adjacency rows pass
+    *      through with the new freq and their pair-count delta is
+    *      the old pair multiset scaled by the freq delta (a keyed
+    *      join against the batch table, map-side under AQE);
+    *   3. NEW word types — the only text segmented at all — run the
+    *      native `bpe_encode` + a batch-sized adjacency window;
+    *   4. pc' = one pair-vocabulary-sized aggregate over
+    *      (pc ∪ known deltas ∪ new-type pairs).
+    *
+    * State equality with [[bpeIngestState]] over (corpus ∪ batch) is
+    * spec-pinned (BpeSpec append parity). */
+  def bpeIngestAppend(st: BpeIngest, newDocs: DataFrame, idCol: String,
+                      textCol: String): BpeIngest = {
+    val rules = rulesOf(st.merges)
+    val bw = wordTable(newDocs, textCol)
+      .select(col("w"), col("freq").as("freq_b"))
+    // known types: freq-scaled pair deltas + freq bump
+    val knownDelta = pairsOfAdj(
+      st.adj.join(bw, Seq("w"))
+        .select(col("w"), col("freq_b").as("freq"), col("sym"), col("nxt")))
+    val adjKnown = st.adj.join(bw, Seq("w"), "left")
+      .select(col("w"), (col("freq") + coalesce(col("freq_b"), lit(0L)))
+                .as("freq"),
+              col("pos"), col("sym"), col("nxt"))
+    // new types: the only segmentation work in the whole append
+    val newW = bw.join(st.adj.select(col("w")).distinct(),
+                       Seq("w"), "left_anti")
+    val wWin = Window.partitionBy(col("w")).orderBy(col("pos"))
+    val adjNew = bpeSegment(newW, "w", "w", rules)
+      .join(newW, Seq("w"))
+      .select(col("w"), col("freq_b").as("freq"),
+              posexplode(col("syms")).as(Seq("pos", "sym")))
+      .select(col("w"), col("freq"), col("pos"), col("sym"))
+      .withColumn("nxt", lead(col("sym"), 1).over(wWin))
+    val (adj2, adjCk) = checkpointReset(adjKnown.unionByName(adjNew))
+    // pc' = pc + (known pairs scaled by the batch freq) + new-type
+    // pairs — pair counts are linear in word-type freq
+    val (pc2, pcCk) = checkpointReset(
+      st.pairCounts.unionByName(knownDelta)
+        .unionByName(pairsOfAdj(adjNew))
+        .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("cnt"))
+        .filter(col("cnt") > 0L))
+    BpeIngest(st.merges, adj2, pc2, Seq(adjCk, pcCk))
+  }
+
   // ---------------------------------------------------- byte-level
 
   /** Engine-portable GPT-2-style pretokenizer (simplified — no

@@ -1034,6 +1034,117 @@ object DiagQueries {
       |  CAST(seas AS BIGINT) AS seas_c, CAST(pred AS BIGINT) AS pred_c
       |FROM hw WHERE rn >= 8""".stripMargin
 
+  /** q316 — the composed §3.1 analyze slice
+    * ([[graft.forecast.AnalyzeSlice.analyzeSlice]]): the reference's
+    * flagship dataflow as one batch operator — target = daily order
+    * revenue per priority, covariate = daily FILLED-order ('F'
+    * status) count per priority, so the two day grids genuinely
+    * diverge at sf scale: target-only days exercise the covariate's
+    * h-step-ahead prediction (the C6 future-grid walk), cov-only
+    * days fold state without emitting, shared days splice observed
+    * over predicted (J1/J2), and the target's Holt–Winters state
+    * emits per target day (the forecast the streaming twin maintains
+    * live). The oracle replays the SAME union-grid recursion with a
+    * recursive CTE carrying both seasonal lists and the h-gap. */
+  private def q316(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    graft.forecast.AnalyzeSlice.analyzeSlice(
+      o.groupBy(col("o_orderpriority"),
+                dayBucket(col("o_orderdate")).as("o_orderdate"))
+        .agg(sum(cents(col("o_totalprice"))).as("y")),
+      o.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"),
+                 dayBucket(col("o_orderdate")).as("o_orderdate"))
+        .agg(count(lit(1)).as("c")),
+      "o_orderpriority", "o_orderdate", "y", "c")
+  }
+
+  private val q316Sql = {
+    // the recursion's shared sub-expressions, interpolated at every
+    // use site (mirrors AnalyzeSlice's fold fragments; α=0.2 β=0.1
+    // γ=0.3, m=7, truncating // division like Spark's div)
+    val sOldT = "r.svT[CAST(r.tT % 7 AS INT) + 1]"
+    val lpT = s"(2 * (s.yt - $sOldT) + 8 * (r.lT + r.bT)) // 10"
+    val bpT = s"(1 * (($lpT) - r.lT) + 9 * r.bT) // 10"
+    val spT = s"(3 * (s.yt - ($lpT)) + 7 * $sOldT) // 10"
+    val sOldC = "r.svC[CAST(r.tC % 7 AS INT) + 1]"
+    val lpC = s"(2 * (s.yv - $sOldC) + 8 * (r.lC + r.bC)) // 10"
+    val bpC = s"(1 * (($lpC) - r.lC) + 9 * r.bC) // 10"
+    val spC = s"(3 * (s.yv - ($lpC)) + 7 * $sOldC) // 10"
+    val cpred = "CASE WHEN r.tC > 0 THEN r.lC + (r.hg + 1) * r.bC" +
+      " + r.svC[CAST((r.tC + r.hg) % 7 AS INT) + 1] ELSE NULL END"
+    s"""WITH RECURSIVE tgt AS (
+      |  SELECT o_orderpriority AS k,
+      |         CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+      |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |           AS yt
+      |  FROM orders GROUP BY 1, 2),
+      |cov AS (
+      |  SELECT o_orderpriority AS k,
+      |         CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+      |         CAST(count(*) AS BIGINT) AS yv
+      |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1, 2),
+      |u AS (SELECT coalesce(t.k, c.k) AS k, coalesce(t.d, c.d) AS d,
+      |             t.yt, c.yv
+      |      FROM tgt t FULL OUTER JOIN cov c ON t.k = c.k AND t.d = c.d),
+      |s AS (SELECT k, d, yt, yv,
+      |        row_number() OVER (PARTITION BY k ORDER BY d) AS rn
+      |      FROM u),
+      |r AS (
+      |  SELECT k, rn, d, yt, yv,
+      |    CASE WHEN yt IS NULL THEN 0 ELSE 1 END AS tT,
+      |    coalesce(yt, 0) AS lT, CAST(0 AS BIGINT) AS bT,
+      |    [0,0,0,0,0,0,0]::BIGINT[] AS svT,
+      |    CASE WHEN yv IS NULL THEN 0 ELSE 1 END AS tC,
+      |    coalesce(yv, 0) AS lC, CAST(0 AS BIGINT) AS bC,
+      |    [0,0,0,0,0,0,0]::BIGINT[] AS svC,
+      |    CASE WHEN yv IS NULL THEN 1 ELSE 0 END AS hg,
+      |    yv AS cobs, CAST(NULL AS BIGINT) AS cpred, yv AS csp,
+      |    yt AS l, CASE WHEN yt IS NULL THEN NULL ELSE 0 END AS b,
+      |    CASE WHEN yt IS NULL THEN NULL ELSE 0 END AS seas,
+      |    yt AS pred
+      |  FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.k, s.rn, s.d, s.yt, s.yv,
+      |    CASE WHEN s.yt IS NULL THEN r.tT ELSE r.tT + 1 END,
+      |    CASE WHEN s.yt IS NULL THEN r.lT
+      |         WHEN r.tT = 0 THEN s.yt ELSE $lpT END,
+      |    CASE WHEN s.yt IS NULL OR r.tT = 0 THEN r.bT ELSE $bpT END,
+      |    CASE WHEN s.yt IS NULL OR r.tT = 0 THEN r.svT
+      |         ELSE list_transform(r.svT, (e, i) ->
+      |           CASE WHEN i = CAST(r.tT % 7 AS INT) + 1
+      |                THEN $spT ELSE e END) END,
+      |    CASE WHEN s.yv IS NULL THEN r.tC ELSE r.tC + 1 END,
+      |    CASE WHEN s.yv IS NULL THEN r.lC
+      |         WHEN r.tC = 0 THEN s.yv ELSE $lpC END,
+      |    CASE WHEN s.yv IS NULL OR r.tC = 0 THEN r.bC ELSE $bpC END,
+      |    CASE WHEN s.yv IS NULL OR r.tC = 0 THEN r.svC
+      |         ELSE list_transform(r.svC, (e, i) ->
+      |           CASE WHEN i = CAST(r.tC % 7 AS INT) + 1
+      |                THEN $spC ELSE e END) END,
+      |    CASE WHEN s.yv IS NULL THEN r.hg + 1 ELSE 0 END,
+      |    s.yv,
+      |    $cpred,
+      |    coalesce(s.yv, $cpred),
+      |    CASE WHEN s.yt IS NULL THEN NULL
+      |         WHEN r.tT = 0 THEN s.yt ELSE $lpT END,
+      |    CASE WHEN s.yt IS NULL THEN NULL
+      |         WHEN r.tT = 0 THEN 0 ELSE $bpT END,
+      |    CASE WHEN s.yt IS NULL THEN NULL
+      |         WHEN r.tT = 0 THEN 0 ELSE $spT END,
+      |    CASE WHEN s.yt IS NULL THEN NULL
+      |         WHEN r.tT = 0 THEN s.yt
+      |         ELSE r.lT + r.bT + $sOldT END
+      |  FROM r JOIN s ON s.k = r.k AND s.rn = r.rn + 1)
+      |SELECT k AS o_orderpriority, d AS o_orderdate, yt AS y_c,
+      |  CAST(cobs AS BIGINT) AS cov_obs_c,
+      |  CAST(cpred AS BIGINT) AS cov_pred_c,
+      |  CAST(csp AS BIGINT) AS cov_c,
+      |  CAST(l AS BIGINT) AS level_c, CAST(b AS BIGINT) AS trend_c,
+      |  CAST(seas AS BIGINT) AS seas_c, CAST(pred AS BIGINT) AS pred_c
+      |FROM r WHERE yt IS NOT NULL""".stripMargin
+  }
+
   /** q297 — Mann–Kendall trend test ([[graft.ts.TrendTest
     * .mannKendall]]): is daily order revenue per priority trending at
     * all, assuming nothing about linearity or error shape — S from
@@ -2127,6 +2238,7 @@ object DiagQueries {
     QueryDef("q279_dtw_pairs", q279, Some(q279Sql)),
     QueryDef("q267_holt_winters", q267, Some(q267Sql)),
     QueryDef("q296_hw_seeded", q296, Some(q296Sql)),
+    QueryDef("q316_analyze_slice", q316, Some(q316Sql)),
     QueryDef("q297_mann_kendall", q297, Some(q297Sql)),
     QueryDef("q298_theil_sen", q298, Some(q298Sql)),
     QueryDef("q268_croston", q268, Some(q268Sql)),

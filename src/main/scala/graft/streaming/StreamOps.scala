@@ -1045,6 +1045,87 @@ object StreamOps {
       }
   }
 
+  /** STREAMING NEAR-DUP ADMISSION GATE — the STATEFUL member of the
+    * streaming dedup family: where [[streamingNearDupCandidates]] /
+    * [[streamingNearDupConfirmedEst]] probe a STATIC corpus index,
+    * this gate matches each arriving document against the
+    * ACCUMULATED stream itself — every document admitted OR rejected
+    * so far is a reference for later arrivals (the dedupCorpus
+    * convention: a doc rejected as a dup of X still blocks future
+    * dups of itself, keeping clusters transitive through rejected
+    * members as far as arrival order allows).
+    *
+    * Mechanics: per-row minhash signature (native `minhash_sig`,
+    * pure projection) → band explode → `flatMapGroupsWithState`
+    * KEYED BY BAND HASH. Each band bucket's state is the (id,
+    * signature) list of every document that ever landed in the
+    * bucket; an arriving doc emits one match row per (band, earlier
+    * doc) whose signature agreement reaches `minAgree` (the n-of-16
+    * Jaccard estimate — the same confirm as the static-index route),
+    * then joins the bucket. Admission = anti-join: a doc with NO
+    * match row anywhere is new. Docs under 2 words have null
+    * signatures and are dropped (they route through the EXACT gate,
+    * as in batch).
+    *
+    * Order contract: "earlier" = arrival order, id-ascending inside
+    * one micro-batch (deterministic). Parity (spec-pinned): after
+    * any prefix, the distinct (doc, earlier-doc) match pairs equal
+    * the BATCH band-route + agreement-confirm pairs restricted to
+    * earlier partners — the gate sees exactly the batch pair
+    * semantics, minus closure through documents that haven't arrived
+    * yet (inherent to ingest; the periodic batch dedupCorpus remains
+    * the transitive authority).
+    *
+    * State bound (stated, per the review contract): Σ_buckets
+    * occupancy × (id + nHashes hex digests) — linear in documents
+    * ingested × bands, the same cardinality as the batch band index
+    * it replaces, spread across the state store by band key. Bucket
+    * occupancy is the LSH design point (frequent-shingle `exclude`
+    * prunes the boilerplate skew that would concentrate a bucket). */
+  case class NdBucket(ids: List[String], sigs: List[Seq[String]])
+  case class NdMatch(doc_id: String, band: String, matched_id: String,
+                     n_agree: Long)
+
+  def streamingNearDupGate(stream: DataFrame, idCol: String, textCol: String,
+                           nHashes: Int, bandSize: Int,
+                           exclude: Seq[String] = Nil,
+                           minAgree: Int = 8)
+      : org.apache.spark.sql.Dataset[NdMatch] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.pipeline.TextDedup
+    require(minAgree >= 1 && minAgree <= nHashes,
+            s"minAgree must be in [1, $nHashes]")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val signed = TextDedup.withRowMinhashSignature(stream, textCol,
+                                                   nHashes, exclude)
+    signed.select(col(idCol).cast("string").as("id"),
+        array((0 until nHashes).map(i => col(s"h$i")): _*).as("sig"),
+        explode(TextDedup.bandHashArray(nHashes, bandSize)).as("band"))
+      .filter(col("band").isNotNull)
+      .as[(String, Seq[String], String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (band: String, rows: Iterator[(String, Seq[String], String)],
+         state: GroupState[NdBucket]) =>
+          var st = state.getOption.getOrElse(NdBucket(Nil, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[NdMatch]
+          rows.toSeq.sortBy(_._1).foreach { case (id, sig, _) =>
+            if (!st.ids.contains(id)) { // re-delivery is idempotent
+              st.ids.lazyZip(st.sigs).foreach { (pid, psig) =>
+                val agree = sig.zip(psig).count {
+                  case (a, b) => a != null && a == b }
+                if (agree >= minAgree)
+                  out += NdMatch(id, band, pid, agree.toLong)
+              }
+              st = NdBucket(id :: st.ids, sig :: st.sigs)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class SeriesUpdate(series: String, n: Long, sum: Double,
                           min_ts: java.sql.Timestamp, max_ts: java.sql.Timestamp)
 

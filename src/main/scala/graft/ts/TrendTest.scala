@@ -30,7 +30,15 @@ object TrendTest {
 
   /** One row per key: the [[graft.plans.TrendFold]] struct of the
     * day-sorted grid. Keys with no distinct-day pair (n < 2) are
-    * dropped — the pair-join form never emitted them. */
+    * dropped — the pair-join form never emitted them.
+    *
+    * The fold runs INSIDE the aggregate's result expressions (the
+    * two collect_list aggregates are semantically equal — one
+    * buffer), so `f` is a materialized ATTRIBUTE: the downstream
+    * filter and field extractions read the struct value instead of
+    * re-evaluating the quadratic fold per reference (a projected
+    * expression would be re-inlined into the pushed-down filter
+    * predicate — one extra full fold per key). */
   private def foldOf(daily: DataFrame, keyCol: String, dateCol: String,
                      vCol: String): DataFrame = {
     graft.plans.GraftFunctions.register(daily.sparkSession)
@@ -39,11 +47,10 @@ object TrendTest {
         datediff(col(dateCol), lit("1970-01-01")).as("d"),
         col(vCol).cast("long").as("y"))
       .groupBy(col("k"))
-      .agg(sort_array(collect_list(struct(col("d"), col("y")))).as("s"))
-      .select(col("k"),
-        call_function("trend_fold",
-          expr("transform(s, x -> x.d)"),
-          expr("transform(s, x -> x.y)")).as("f"))
+      .agg(call_function("trend_fold",
+        expr("transform(sort_array(collect_list(struct(d, y))), x -> x.d)"),
+        expr("transform(sort_array(collect_list(struct(d, y))), x -> x.y)"))
+        .as("f"))
       .filter(col("f.n_pairs") >= 1L)
   }
 

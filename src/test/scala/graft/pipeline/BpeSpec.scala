@@ -320,4 +320,30 @@ class BpeSpec extends AnyFunSuite {
     assert(decT.forall(_.contains("<unk>")),
            s"OOV ids must decode to the marker: ${decT.toSeq}")
   }
+
+  test("append ingestion: maintained state equals the full recount over corpus+batch") {
+    val merges = Bpe.bpeTrain(classic, "doc_id", "text", 4)
+    // batch mixes KNOWN types (freq bumps: low, newest), a NEW type
+    // sharing merge structure (lowest -> low est), and a NEW type
+    // with no merges (xyz)
+    val batch = Seq((100L, "low lowest newest"), (101L, "xyz low"))
+      .toDF("doc_id", "text")
+    val st0 = Bpe.bpeIngestState(classic, "doc_id", "text", merges)
+    val appended = Bpe.bpeIngestAppend(st0, batch, "doc_id", "text")
+    val recount = Bpe.bpeIngestState(
+      classic.unionByName(batch), "doc_id", "text", merges)
+    def adjRows(s: Bpe.BpeIngest) =
+      s.adj.orderBy("w", "pos").collect().map(_.toString).toSeq
+    def pcRows(s: Bpe.BpeIngest) =
+      s.pairCounts.orderBy("l", "r").collect().map(_.toString).toSeq
+    assert(adjRows(appended) == adjRows(recount),
+           "appended adjacency must equal the recount")
+    assert(pcRows(appended) == pcRows(recount),
+           "appended pair counts must equal the recount")
+    // the known-type delta really fired: 'low' freq rose 5 -> 7
+    val lowFreq = appended.adj.filter(col("w") === "low" && col("pos") === 0)
+      .collect().head.getAs[Long]("freq")
+    assert(lowFreq == 7L, s"low freq after append: $lowFreq")
+    st0.release(); appended.release(); recount.release()
+  }
 }
