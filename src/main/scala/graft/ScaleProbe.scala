@@ -921,10 +921,10 @@ object ScaleProbeStats {
   *    (the r11/r12 "done" criterion's missing measurement): per-MERGE
   *    cost should fall ~batchSize-fold vs the sequential trainer and
   *    stay near-constant as the pass count grows;
-  *  - [[graft.pipeline.Bpe.bpeTrainIncremental]] at the same settings:
-  *    per-pass cost should DROP as training proceeds (the affected
-  *    word fraction collapses), where the batched trainer's per-pass
-  *    cost is flat (full recount every pass).
+  * (The incremental-trainer comparison this probe also ran in
+  * r13/r14 was removed in r15 with the trainer itself — the batched
+  * recount won every training regime; see ScaleProbeBpeAppend for
+  * the append-ingestion measurement.)
   * The synthetic corpus is a Zipf-ish mix over a fixed word alphabet
   * with long words, so merges keep finding support deep into the run.
   * Usage: runMain graft.ScaleProbeBpe [nDocs] [passes] [batch] [nWords]
@@ -1074,13 +1074,8 @@ object ScaleProbeBpe {
     st1.wordSegs.unpersist()
     println(s"  -> $nM merges learned")
 
-    val st2 = time(f"bpeTrainIncremental docs=$nDocs%,d passes=$passes batch=$batch")(
-      graft.pipeline.Bpe.bpeTrainIncrementalState(corpus, "doc_id", "text",
-        nPasses = passes, batchSize = batch, minPairFreq = 2L,
-        onPass = log("incremental")))
-    val nI = st2.merges.count()
-    st2.wordSegs.unpersist()
-    println(s"  -> $nI merges learned (must equal batched: ${nM == nI})")
+    // (incremental-trainer half removed in r15 with the trainer —
+    // the append regime is measured by ScaleProbeBpeAppend above)
     spark.stop()
   }
 }

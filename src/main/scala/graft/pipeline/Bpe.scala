@@ -319,126 +319,17 @@ object Bpe {
       .groupBy(col("sym").as("l"), col("nxt").as("r"))
       .agg(sum(col("freq")).as("cnt"))
 
-  /** INCREMENTALLY-COUNTED batched BPE training (VERDICT r12 next-#7:
-    * even the batched trainer recounts ALL pairs every pass, though
-    * only words containing a just-merged pair change counts). The
-    * loop state is the ADJACENCY table (w, freq, pos, sym, nxt) PLUS
-    * the live pair-count table, and each pass touches only the
-    * AFFECTED words:
-    *
-    *   1. the batch is selected from the maintained pair table
-    *      (pair-vocabulary-sized — no corpus scan, no corpus window);
-    *   2. affected words = words holding a candidate adjacency of a
-    *      selected rule — a broadcast hash join of the adjacency
-    *      state against the ≤ batchSize rule set (map-side; only the
-    *      matching candidate rows shuffle for the distinct), then a
-    *      word-keyed semi/anti split (AQE broadcasts the shrinking
-    *      affected-word set);
-    *   3. the merge pass, the adjacency recompute, and BOTH count
-    *      deltas (−before, +after) run over the affected subset only —
-    *      an unaffected word's adjacencies cannot change under a merge
-    *      of symbols it doesn't contain, so its rows pass through
-    *      untouched (a narrow union, no shuffle);
-    *   4. pc' = groupBy(l, r) over (pc ∪ deltas), zero-counts dropped —
-    *      a pair-vocabulary-sized aggregate.
-    *
-    * As training proceeds the best pair's support shrinks, so the
-    * affected fraction collapses — late passes cost O(|affected|) +
-    * O(|pair vocab|) instead of O(|corpus|): the measured curve is the
-    * ScaleProbeBpe row. Selection, tie-breaks, and the merge pass are
-    * IDENTICAL to [[bpeTrainBatched]] (the maintained pair table
-    * equals the recount inductively), so the two trainers emit the
-    * same merge table — spec-pinned. */
-  private def trainIncrementalFrom(syms0: DataFrame, nPasses: Int,
-                                   batchSize: Int, minPairFreq: Long,
-                                   onPass: (Int, Int, Double) => Unit = null
-                                  ): BpeTrained = {
-    require(nPasses >= 1 && nPasses <= 100000, s"nPasses out of range: $nPasses")
-    require(batchSize >= 1 && batchSize <= 100000, s"batchSize out of range: $batchSize")
-    require(minPairFreq >= 1, s"minPairFreq must be >= 1")
-    val spark = syms0.sparkSession
-    import spark.implicits._
-    val wWin = Window.partitionBy(col("w")).orderBy(col("pos"))
-    // the ONE corpus-wide window: initial adjacency materialization
-    var (adj, adjCk) = checkpointReset(
-      syms0.withColumn("nxt", lead(col("sym"), 1).over(wWin)))
-    var (pc, pcCk) = checkpointReset(pairsOfAdj(adj))
-    val rules = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, String, String, String, Long)]
-    var dry = false
-    var p = 1
-    while (p <= nPasses && !dry) {
-      val t0 = System.nanoTime()
-      val batch = localMaxPairs(pc.filter(col("cnt") >= minPairFreq),
-                                batchSize).collect()
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      if (batch.isEmpty) dry = true
-      else {
-        batch.foreach { case (l, r, cnt) =>
-          rules += ((rules.size + 1L, l, r, l + r, cnt)) }
-        val ruleDf = broadcast(batch.map(t => (t._1, t._2)).toSeq.toDF("l", "r"))
-        val affW = adj
-          .join(ruleDf, col("sym") === col("l") && col("nxt") === col("r"))
-          .select(col("w")).distinct()
-        val (affAdj, affCk) = checkpointReset(
-          adj.join(affW, Seq("w"), "left_semi"))
-        val unaffected = adj.join(affW, Seq("w"), "left_anti")
-        val merged = mergePassMulti(affAdj.select(col("w"), col("freq"),
-                                                  col("pos"), col("sym")),
-                                    batch.map(t => (t._1, t._2)).toSeq)
-        val (mergedAdj, mergedCk) = checkpointReset(
-          merged.withColumn("nxt", lead(col("sym"), 1).over(wWin)))
-        val deltas = pairsOfAdj(affAdj)
-          .select(col("l"), col("r"), (-col("cnt")).as("cnt"))
-          .unionByName(pairsOfAdj(mergedAdj))
-        val (nextPc, nextPcCk) = checkpointReset(
-          pc.unionByName(deltas)
-            .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("cnt"))
-            .filter(col("cnt") > 0L))
-        val (nextAdj, nextAdjCk) = checkpointReset(
-          unaffected.unionByName(mergedAdj))
-        adjCk.unpersist(); pcCk.unpersist()
-        affCk.unpersist(); mergedCk.unpersist()
-        adj = nextAdj; adjCk = nextAdjCk
-        pc = nextPc; pcCk = nextPcCk
-      }
-      if (onPass != null)
-        onPass(p, rules.size, (System.nanoTime() - t0) / 1e9)
-      p += 1
-    }
-    // re-checkpoint the (w, freq, pos, sym) projection so wordSegs is
-    // itself releasable (unpersist on a mere projection of adj would
-    // not free the underlying checkpoint)
-    val segs = adj.select(col("w"), col("freq"), col("pos"), col("sym"))
-      .localCheckpoint()
-    adjCk.unpersist()
-    pcCk.unpersist()
-    BpeTrained(
-      rules.toSeq.toDF("rank", "left_sym", "right_sym", "merged", "cnt"),
-      segs)
-  }
-
-  /** Incremental trainer on the whitespace-word / code-point symbol
-    * universe — [[bpeTrainBatched]]'s exact merge table with per-pass
-    * cost proportional to the AFFECTED word set. */
-  def bpeTrainIncrementalState(df: DataFrame, idCol: String, textCol: String,
-                               nPasses: Int, batchSize: Int,
-                               minPairFreq: Long = 2L,
-                               onPass: (Int, Int, Double) => Unit = null
-                              ): BpeTrained =
-    trainIncrementalFrom(codepointSyms(wordTable(df, textCol)),
-                         nPasses, batchSize, minPairFreq, onPass)
-
-  /** Merge table of the incremental trainer (releases the training
-    * state). */
-  def bpeTrainIncremental(df: DataFrame, idCol: String, textCol: String,
-                          nPasses: Int, batchSize: Int,
-                          minPairFreq: Long = 2L): DataFrame = {
-    val trained = bpeTrainIncrementalState(df, idCol, textCol, nPasses,
-                                           batchSize, minPairFreq)
-    trained.wordSegs.unpersist()
-    trained.merges
-  }
+  // The INCREMENTAL TRAINER (trainIncrementalFrom /
+  // bpeTrainIncremental*) was RETIRED in r15 after its last claimed
+  // regime was measured (the q76 precedent: retire, don't carry).
+  // Batch training: lost to the batched recount in all three r14
+  // probe regimes (COVERAGE.md). Append ingestion: served by
+  // [[bpeIngestState]]/[[bpeIngestAppend]] above — measured to beat
+  // the full recount past ~2M docs (ScaleProbeBpeAppend), with
+  // continued training best run as trainBatchedFrom over the
+  // maintained adjacency (the batched trainer wins every training
+  // regime). The maintained pair-count machinery lives on in
+  // bpeIngestAppend, where it earns its cost.
 
   /** Batched trainer on the whitespace-word / code-point symbol
     * universe — [[bpeTrainState]]'s statistics at 1/batchSize the job

@@ -165,37 +165,10 @@ class BpeSpec extends AnyFunSuite {
            s"divergent vocabularies:\nseq $seqSet\nbat $batSet")
   }
 
-  test("incremental trainer reproduces the batched trainer exactly") {
-    // the maintained pair table must equal the per-pass recount, so
-    // the full merge frame (ranks, symbols, counts) coincides — on
-    // the classic corpus and on a messier mixed corpus with repeats,
-    // unicode, and single-char words
-    for ((nP, bs) <- Seq((4, 1), (8, 4), (3, 8))) {
-      val bat = Bpe.bpeTrainBatched(classic, "doc_id", "text", nP, bs)
-        .orderBy("rank").collect().map(_.toString).toSeq
-      val inc = Bpe.bpeTrainIncremental(classic, "doc_id", "text", nP, bs)
-        .orderBy("rank").collect().map(_.toString).toSeq
-      assert(inc == bat, s"nPasses=$nP batchSize=$bs:\n$inc\nvs\n$bat")
-    }
-    val messy = Seq(
-      (1L, "banana bandana banana"), (2L, "a ab abc abcd"),
-      (3L, "née née naïve"), (4L, "mississippi mississippi"),
-      (5L, "x y z zz zzz")).toDF("doc_id", "text")
-    val bat = Bpe.bpeTrainBatched(messy, "doc_id", "text", 6, 3)
-      .orderBy("rank").collect().map(_.toString).toSeq
-    val inc = Bpe.bpeTrainIncremental(messy, "doc_id", "text", 6, 3)
-      .orderBy("rank").collect().map(_.toString).toSeq
-    assert(inc == bat, s"messy corpus:\n$inc\nvs\n$bat")
-  }
-
-  test("incremental trainer's final segmentation equals the batched state") {
-    val bat = Bpe.bpeTrainBatchedState(classic, "doc_id", "text", 8, 4)
-    val inc = Bpe.bpeTrainIncrementalState(classic, "doc_id", "text", 8, 4)
-    val b = bat.wordSegs.orderBy("w", "pos").collect().map(_.toString).toSeq
-    val i = inc.wordSegs.orderBy("w", "pos").collect().map(_.toString).toSeq
-    assert(i == b)
-    bat.wordSegs.unpersist(); inc.wordSegs.unpersist()
-  }
+  // ("incremental trainer" parity tests removed in r15 with the
+  // trainer itself — see Bpe.scala's retirement note; the maintained
+  // pair-count machinery is now pinned by the append-ingestion
+  // parity test below)
 
   test("byte-level trainer: hex byte symbols, pretokenized words, space prefix") {
     // "aa aa aa" pretokenizes to "aa", " aa", " aa" → hex words
