@@ -1034,6 +1034,89 @@ object DiagQueries {
       |  CAST(seas AS BIGINT) AS seas_c, CAST(pred AS BIGINT) AS pred_c
       |FROM hw WHERE rn >= 8""".stripMargin
 
+  /** q317 — Kruskal–Wallis H ([[graft.stats.Hypothesis
+    * .kruskalWallis]]): do the five priorities' whole-dollar order
+    * values differ in DISTRIBUTION — the non-parametric twin of
+    * q258's ANOVA (same input, rank-based, no normality assumption),
+    * with the exact doubled-midrank ledger and the standard tie
+    * correction. */
+  private def q317(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Hypothesis.kruskalWallis(
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+                round(col("o_totalprice")).cast("long").as("v")),
+      "o_orderpriority", "v")
+
+  private val q317Sql =
+    """WITH r AS (SELECT o_orderpriority AS grp,
+      |            CAST(round(o_totalprice) AS BIGINT) AS v FROM orders),
+      |ga AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1),
+      |pre AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM ga),
+      |r2t AS (SELECT v, c, 2*(cum - c) + c + 1 AS r2 FROM pre),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+      |          CAST(sum(c*c*c - c) AS BIGINT) AS tiesum FROM ga),
+      |pg AS (SELECT grp, CAST(sum(cg) AS BIGINT) AS n_g,
+      |         sum(CAST(cg AS HUGEINT) * r2) AS r2s
+      |       FROM (SELECT grp, v, count(*) AS cg FROM r GROUP BY 1, 2) j
+      |       JOIN r2t USING (v) GROUP BY 1),
+      |t2 AS (SELECT grp, n_g, r2s, n, tiesum,
+      |         CAST((r2s - CAST(n_g AS HUGEINT) * (n + 1))
+      |              * (r2s - CAST(n_g AS HUGEINT) * (n + 1))
+      |              // n_g AS BIGINT) AS h_term
+      |       FROM pg CROSS JOIN tot),
+      |g AS (SELECT CAST(sum(CAST(h_term AS HUGEINT)) AS BIGINT) AS h_sum,
+      |        CAST(count(*) AS BIGINT) AS k FROM t2)
+      |SELECT grp AS o_orderpriority, n_g,
+      |  CAST(r2s AS BIGINT) AS r2_sum, h_term, n, k,
+      |  CASE WHEN k < 2 OR tiesum >= n*n*n - n THEN NULL
+      |    ELSE CAST(round(3.0 * h_sum
+      |      / (CAST(n AS DOUBLE) * (n + 1))
+      |      / (1.0 - CAST(tiesum AS DOUBLE)
+      |         / (CAST(n AS DOUBLE) * n * n - n)) * 1000000)
+      |      AS BIGINT) END AS h_e6
+      |FROM t2 CROSS JOIN g""".stripMargin
+
+  /** q318 — Ljung–Box portmanteau ([[graft.stats.Diagnostics
+    * .ljungBox]], h = 5) over q20's daily event series: is there ANY
+    * autocorrelation left — the whiteness gate composed from the
+    * same biased ACF, each lag term exact on the e6 grid. */
+  private def q318(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Diagnostics.ljungBox(
+      dailyCents(s, dir).withColumnRenamed("event_type", "series"),
+      "series", Some(5))
+      .select(col("series").as("event_type"), col("n_obs"),
+              col("h_lags"), col("q_e6"))
+
+  private val q318Sql =
+    s"""WITH $dailySql,
+      |m AS (SELECT event_type, CAST(sum(y) AS DOUBLE)/count(*) AS mu,
+      |        count(*) AS n FROM daily GROUP BY 1),
+      |d AS (SELECT daily.event_type, ds, y - mu AS dev, n
+      |      FROM daily JOIN m ON daily.event_type = m.event_type),
+      |lags AS (SELECT CAST(unnest(range(0, 6)) AS INTEGER) AS k),
+      |pairs AS (SELECT d1.event_type, l.k, d1.dev * d2.dev AS prod,
+      |            d1.n AS n
+      |          FROM d d1 CROSS JOIN lags l
+      |          JOIN d d2 ON d2.event_type = d1.event_type
+      |                   AND d2.ds = d1.ds + l.k),
+      |sums AS (SELECT event_type, k, sum(prod) AS sm, max(n) AS n
+      |         FROM pairs GROUP BY 1, 2),
+      |r AS (SELECT s.event_type, s.k,
+      |        CAST(round((s.sm/s.n) / (c.sm/c.n) * 1000000) AS BIGINT)
+      |          AS r_e6,
+      |        s.n
+      |      FROM sums s JOIN sums c ON c.event_type = s.event_type
+      |                             AND c.k = 0
+      |      WHERE s.k >= 1),
+      |t AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_obs,
+      |        CAST(count(*) AS BIGINT) AS h_lags,
+      |        CAST(sum(r_e6 * r_e6 // (n - k)) AS BIGINT) AS sm2
+      |      FROM r GROUP BY 1)
+      |SELECT event_type, n_obs, h_lags,
+      |  CAST(CAST(n_obs AS HUGEINT) * (n_obs + 2) * sm2 // 1000000
+      |    AS BIGINT) AS q_e6
+      |FROM t""".stripMargin
+
   /** q316 — the composed §3.1 analyze slice
     * ([[graft.forecast.AnalyzeSlice.analyzeSlice]]): the reference's
     * flagship dataflow as one batch operator — target = daily order
@@ -2239,6 +2322,8 @@ object DiagQueries {
     QueryDef("q267_holt_winters", q267, Some(q267Sql)),
     QueryDef("q296_hw_seeded", q296, Some(q296Sql)),
     QueryDef("q316_analyze_slice", q316, Some(q316Sql)),
+    QueryDef("q317_kruskal_wallis", q317, Some(q317Sql)),
+    QueryDef("q318_ljung_box", q318, Some(q318Sql)),
     QueryDef("q297_mann_kendall", q297, Some(q297Sql)),
     QueryDef("q298_theil_sen", q298, Some(q298Sql)),
     QueryDef("q268_croston", q268, Some(q268Sql)),

@@ -3758,6 +3758,74 @@ object TextQueries {
       |    AS auc_e6
       |FROM ag""".stripMargin
 
+  /** q319 — McNemar's test ([[graft.stats.Agreement.mcnemar]]) on
+    * q307's two quality gates: κ asked whether the length gate and
+    * the language gate AGREE beyond chance; this asks whether their
+    * DISAGREEMENTS are asymmetric — does switching gates move the
+    * keep set in one direction. Off-diagonal counts only, χ² plain
+    * and continuity-corrected, exact integer-div micros. */
+  private def q319(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Agreement.mcnemar(
+      t(s, dir, "documents")
+        .select((col("n_chars") >= 300L).cast("long").as("ga"),
+                (col("lang") === "en").cast("long").as("gb")),
+      "ga", "gb")
+
+  private val q319Sql =
+    """WITH o AS (
+      |  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+      |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b
+      |  FROM documents),
+      |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS b_ct,
+      |         CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS c_ct
+      |       FROM o)
+      |SELECT n, b_ct, c_ct,
+      |  CASE WHEN b_ct + c_ct = 0 THEN NULL
+      |    ELSE CAST(CAST(b_ct - c_ct AS HUGEINT) * (b_ct - c_ct)
+      |      * 1000000 // (b_ct + c_ct) AS BIGINT) END AS chi2_e6,
+      |  CASE WHEN b_ct + c_ct = 0 THEN NULL
+      |    ELSE CAST(CAST(greatest(abs(b_ct - c_ct) - 1, 0) AS HUGEINT)
+      |      * greatest(abs(b_ct - c_ct) - 1, 0)
+      |      * 1000000 // (b_ct + c_ct) AS BIGINT) END AS chi2_cc_e6
+      |FROM ag""".stripMargin
+
+  /** q320 — exact average precision ([[graft.stats.MlEval
+    * .averagePrecision]]) of q308's score/label pair: where AUC asks
+    * "does a random positive outscore a random negative", AP weights
+    * precision by where the positives actually LAND — the retrieval
+    * number for a keep-the-top-slice curation gate. Sklearn step
+    * definition over the descending score grid, one truncating e6
+    * term per distinct score. */
+  private def q320(s: SparkSession, dir: String): DataFrame =
+    graft.stats.MlEval.averagePrecision(
+      t(s, dir, "documents")
+        .select(size(split(trim(col("text")), " ")).as("s"),
+                (col("n_chars") >= 300L).cast("long").as("y")),
+      "s", "y")
+
+  private val q320Sql =
+    """WITH o AS (
+      |  SELECT len(string_split(trim(text), ' ')) AS s,
+      |         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |g AS (SELECT -s AS v, CAST(sum(y) AS BIGINT) AS c_pos,
+      |             CAST(count(*) AS BIGINT) AS c
+      |      FROM o GROUP BY 1),
+      |pre AS (SELECT v, c_pos, c,
+      |          sum(c) OVER (ORDER BY v) AS cum_c,
+      |          sum(c_pos) OVER (ORDER BY v) AS cum_p
+      |        FROM g),
+      |tot AS (SELECT CAST(max(cum_p) AS BIGINT) AS n_p,
+      |          CAST(max(cum_c) AS BIGINT) AS n_all FROM pre)
+      |SELECT n_p AS n_pos, n_all - n_p AS n_neg,
+      |  CASE WHEN n_p = 0 THEN NULL
+      |    ELSE CAST(sum(CAST(c_pos AS HUGEINT) * cum_p * 1000000
+      |      // (CAST(n_p AS HUGEINT) * cum_c)) AS BIGINT) END AS ap_e6
+      |FROM pre CROSS JOIN tot GROUP BY n_p, n_all""".stripMargin
+
   /** q309 — decile lift table ([[graft.stats.MlEval.liftTable]]) of
     * the same score/label pair: positives' concentration in the top
     * score bands, exact equal-count buckets (ties by doc_id), lift
@@ -3897,6 +3965,8 @@ object TextQueries {
     QueryDef("q315_heaps_law", q315, Some(q315Sql)),
     QueryDef("q308_auc_exact", q308, Some(q308Sql)),
     QueryDef("q309_lift_table", q309, Some(q309Sql)),
+    QueryDef("q319_mcnemar", q319, Some(q319Sql)),
+    QueryDef("q320_avg_precision", q320, Some(q320Sql)),
     QueryDef("q306_jensen_shannon", q306, Some(q306Sql)),
     QueryDef("q307_cohen_kappa", q307, Some(q307Sql)),
     QueryDef("q273_naive_bayes", q273, Some(q273Sql)),

@@ -40,4 +40,42 @@ object Agreement {
           "CAST((CAST(n AS DECIMAL(38,0)) * n_agree - pe_n2) * 1000000" +
             " div den AS BIGINT)")).as("kappa_e6"))
   }
+
+  /** McNemar's test — the PAIRED complement to [[cohenKappa]]: κ asks
+    * "do two gates agree beyond chance"; McNemar asks "do they
+    * DISAGREE asymmetrically" — b = #(a=1, b=0) vs c = #(a=0, b=1),
+    * the question that decides whether replacing gate A with gate B
+    * changes the keep set in one direction (marginal homogeneity).
+    * The off-diagonal counts alone carry the test; the agreeing
+    * pairs are ignored by construction.
+    *
+    * χ² = (b−c)²/(b+c), plus the Edwards continuity-corrected
+    * (max(|b−c|−1, 0))²/(b+c) — the clamp keeps the corrected
+    * statistic at 0 for |b−c| ≤ 1 (the correction must never turn
+    * perfect symmetry into evidence). Both exact integer numerators
+    * with ONE truncating e6 division each ((b−c)² ≤ n² needs
+    * decimal(38) past ~3·10⁹ rows). Null when b+c = 0 (no
+    * disagreements — the test is undefined, not zero). ONE corpus
+    * aggregate.
+    * @return one row: (n, b_ct, c_ct, chi2_e6, chi2_cc_e6) */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    df.select(col(aCol).cast("long").as("a"),
+              col(bCol).cast("long").as("b"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("a") === 1L && col("b") === 0L, 1L)
+                 .otherwise(0L)).as("b_ct"),
+           sum(when(col("a") === 0L && col("b") === 1L, 1L)
+                 .otherwise(0L)).as("c_ct"))
+      .select(col("n"), col("b_ct"), col("c_ct"),
+        when(col("b_ct") + col("c_ct") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            s"CAST(CAST(b_ct - c_ct AS $d38) * (b_ct - c_ct) * 1000000" +
+              " div (b_ct + c_ct) AS BIGINT)")).as("chi2_e6"),
+        when(col("b_ct") + col("c_ct") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            s"CAST(CAST(greatest(abs(b_ct - c_ct) - 1, 0) AS $d38)" +
+              " * greatest(abs(b_ct - c_ct) - 1, 0) * 1000000" +
+              " div (b_ct + c_ct) AS BIGINT)")).as("chi2_cc_e6"))
+  }
 }

@@ -35,4 +35,52 @@ object Diagnostics {
       }
       .toDF(seriesCol, "lag", "acf", "pacf")
   }
+
+  /** Ljung–Box portmanteau test — the "is there ANY autocorrelation
+    * left" readout over [[acfPacf]]'s per-lag view:
+    * Q = n(n+2) Σ_{k≤h} r_k²/(n−k), the whiteness gate run on model
+    * residuals (q301's AR fit, the smoothing tiers) before trusting
+    * their forecasts.
+    *
+    * Determinism: r_k is the q20 biased ACF rounded to the e6 grid
+    * (BigDecimal HALF_UP — the engine-portable rounding), each lag
+    * term r_e6² div (n−k) an exact truncating long, the sum over
+    * lags order-free integer addition, and the final n(n+2)·S/10⁶
+    * one exact BigInt expression — the oracle replays every step.
+    * Same per-series array shape as [[acfPacf]] (one bounded
+    * calendar-grid series per task).
+    * @return one row per series: (series, n_obs, h_lags, q_e6) —
+    *         null when n ≤ h (a lag term would divide by ≤ 0) or
+    *         the series is constant (ACF undefined) */
+  def ljungBox(df: DataFrame, seriesCol: String,
+               nlags: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(seriesCol).cast("string"),
+              col("ds").cast("timestamp").cast("long"), col("y").cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (key, it) =>
+        val ys = it.toArray.sortBy(_._2).map(_._3)
+        val n = ys.length
+        val nl = nlags.getOrElse(AutoCorr.defaultNlags(n))
+        val mean = ys.sum / n
+        val constant = ys.forall(_ == mean)
+        if (n <= nl || nl < 1 || constant) (key, n.toLong, nl.toLong, None)
+        else {
+          val a = AutoCorr.acf(ys, nl)
+          var s = 0L
+          var k = 1
+          while (k <= nl) {
+            val rE6 = BigDecimal(a(k) * 1e6)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            s += rE6 * rE6 / (n - k)
+            k += 1
+          }
+          val q = BigInt(n) * (n + 2) * s / 1000000L
+          (key, n.toLong, nl.toLong, Some(q.toLong))
+        }
+      }
+      .toDF(seriesCol, "n_obs", "h_lags", "q_e6")
+  }
 }

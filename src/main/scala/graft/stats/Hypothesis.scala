@@ -149,4 +149,68 @@ object Hypothesis {
       when(ok, round(df * 1e6).cast("long"))
         .otherwise(lit(null).cast("long")).as("df_e6"))
   }
+
+  /** Kruskal–Wallis H — the k-GROUP rank test completing the family:
+    * [[mannWhitneyU]] compares two arms' ranks, ANOVA (q258) compares
+    * k means parametrically; this compares k groups' rank
+    * distributions with no normality assumption (the non-parametric
+    * twin of one-way ANOVA, reducing to MWU at k = 2).
+    *
+    * Midranks over the POOLED value grid are kept exact by doubling
+    * (the [[mannWhitneyU]] device); the doubled per-group rank sum
+    * s2_g = Σ c_g·(2·midrank) is an exact decimal. With doubled
+    * sums, H = 12/(N(N+1))·Σ n_g(R̄_g − (N+1)/2)² becomes
+    * 3/(N(N+1)) · Σ (s2_g − n_g(N+1))²/n_g — each group's term an
+    * exact truncating integer division (the ANOVA ledger rule:
+    * per-group rounding BEFORE the cross-group sum keeps the total
+    * order-free), the final H one double tree with the standard tie
+    * correction C = 1 − Σ(t³−t)/(N³−N).
+    *
+    * Scale shape: pooled-grid prefix rides
+    * [[graft.scale.GridPrefix.prefixSums]] (no one-task sort over a
+    * wide value grid), per-(group, value) counts join the grid by
+    * value — keyed, never broadcast by hint.
+    * @return per group: (group, n_g, r2_sum, h_term, n, k, h_e6) —
+    *         the per-group decomposition with the global H broadcast
+    *         (the q235/q258 output convention); h_e6 tie-corrected,
+    *         null when k < 2 or all values tied */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rows = df.select(col(groupCol).as("grp"),
+                         col(valueCol).cast("long").as("v"))
+    val gridAll = rows.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val pre = graft.scale.GridPrefix.prefixSums(gridAll, "v", "c")
+      .withColumn("r2", lit(2L) * col("cum_before") + col("c") + 1L)
+    val tot = pre.agg(sum(col("c")).as("n"),
+      sum(col("c") * col("c") * col("c") - col("c")).as("tiesum"),
+      count(lit(1)).as("n_vals"))
+    val perG = rows.groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).as("c_g"))
+      .join(pre.select(col("v"), col("r2")), Seq("v"))
+      .groupBy(col("grp"))
+      .agg(sum(col("c_g")).as("n_g"),
+           sum(col("c_g").cast(d38) * col("r2")).as("r2_sum"))
+    val terms = perG.crossJoin(broadcast(tot))
+      // (s2_g − n_g(N+1))² / n_g — exact truncating division per
+      // group (scale: dev ~ n_g·N, dev²/n_g ~ n_g·N² — decimal(38)
+      // holds to ~10¹⁸ rows)
+      .withColumn("h_term", expr(
+        "CAST((r2_sum - CAST(n_g AS DECIMAL(38,0)) * (n + 1))" +
+          " * (r2_sum - CAST(n_g AS DECIMAL(38,0)) * (n + 1))" +
+          " div n_g AS BIGINT)"))
+    val g = terms.agg(sum(col("h_term")).as("h_sum"),
+                      count(lit(1)).as("k"))
+    val c = lit(1.0) - col("tiesum").cast("double") /
+      (col("n").cast("double") * col("n") * col("n") - col("n"))
+    val h = lit(3.0) * col("h_sum").cast("double") /
+      (col("n").cast("double") * (col("n") + 1L)) / c
+    terms.crossJoin(broadcast(g))
+      .select(col("grp").as(groupCol), col("n_g"),
+        col("r2_sum").cast("long").as("r2_sum"), col("h_term"),
+        col("n"), col("k"),
+        when(col("k") < 2L || c <= lit(0.0),
+          lit(null).cast("long"))
+          .otherwise(round(h * 1e6).cast("long")).as("h_e6"))
+  }
 }

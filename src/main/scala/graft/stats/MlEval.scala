@@ -52,6 +52,48 @@ object MlEval {
         .otherwise(lit(null).cast("long")).as("auc_e6"))
   }
 
+  /** Exact average precision (the sklearn step definition) — the
+    * threshold-free companion to [[aucExact]]: AUC asks "does a
+    * random positive outscore a random negative"; AP weights
+    * precision by where the positives actually land, which is the
+    * number a retrieval-style curation gate (keep the top slice)
+    * is judged by. AP = Σ_thresholds (ΔR)·P =
+    * Σ_v (p_v/P) · (TP_v / N_v) over distinct score values v walked
+    * DESCENDING, with TP_v/N_v cumulative through v's whole tie
+    * block (ties enter together — no per-row order dependence).
+    *
+    * Exactness: each threshold term p_v·TP_v·10⁶ div (P·N_v) is one
+    * truncating integer division (decimal(38) — TP·p ~ n² passes
+    * int64), the AP the order-free long sum of the terms (≤ one
+    * e-6 truncation per DISTINCT score — the q306 per-cell rounding
+    * discipline). Rides the same negated-score grid prefix as
+    * [[aucExact]]: no single-task sort, corpus touched once.
+    * @return one row: (n_pos, n_neg, ap_e6) — null when no
+    *         positives */
+  def averagePrecision(df: DataFrame, scoreCol: String,
+                       labelCol: String): DataFrame = {
+    val g = df.select(col(scoreCol).cast("long").as("s"),
+                      col(labelCol).cast("long").as("y"))
+      // negate so the VALUE-ascending grid walks scores DESCENDING
+      .groupBy((-col("s")).as("v"))
+      .agg(sum(col("y")).as("c_pos"), count(lit(1)).as("c"))
+    val pre = graft.scale.GridPrefix.groupedPrefixSums(
+      g.withColumn("g", lit("all")), "g", "v", Seq("c", "c_pos"))
+    val tot = pre.agg(max(col("cum_c_pos")).as("n_p"),
+                      max(col("cum_c")).as("n_all"))
+    pre.crossJoin(broadcast(tot))
+      .withColumn("term", expr(
+        "IF(n_p = 0, CAST(0 AS BIGINT)," + // no positives: AP nulled below
+          " CAST(CAST(c_pos AS DECIMAL(38,0)) * cum_c_pos * 1000000" +
+          " div (CAST(n_p AS DECIMAL(38,0)) * cum_c) AS BIGINT))"))
+      .groupBy(col("n_p"), col("n_all"))
+      .agg(sum(col("term")).as("ap_e6"))
+      .select(col("n_p").as("n_pos"),
+        (col("n_all") - col("n_p")).as("n_neg"),
+        when(col("n_p") > 0L, col("ap_e6"))
+          .otherwise(lit(null).cast("long")).as("ap_e6"))
+  }
+
   /** @param df rows with an integer score, a 0/1 label, and a unique
     *        id (the deterministic tiebreak inside tied scores)
     * @param nBuckets bucket count (config; bucket 1 = HIGHEST scores)

@@ -42,4 +42,31 @@ class AgreementSpec extends AnyFunSuite {
   test("a constant rater with a constant partner degenerates to null") {
     assert(kappa(Seq(1L -> 1L, 1L -> 1L))._3.isEmpty)
   }
+
+  private def mcn(rows: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    val r = Agreement.mcnemar(rows.toDF("a", "b"), "a", "b")
+      .collect().head
+    (r.getLong(1), r.getLong(2),
+     Option(r.get(3)).map(_.asInstanceOf[Long]),
+     Option(r.get(4)).map(_.asInstanceOf[Long]))
+  }
+
+  test("mcnemar: hand-computed off-diagonal chi-square, plain and corrected") {
+    // b = 6 (a only), c = 2 (b only), agreements ignored:
+    // chi2 = (6-2)^2/8 = 2.0; corrected = (|4|-1)^2/8 = 1.125
+    val rows = Seq.fill(6)(1L -> 0L) ++ Seq.fill(2)(0L -> 1L) ++
+      Seq.fill(5)(1L -> 1L) ++ Seq.fill(3)(0L -> 0L)
+    assert(mcn(rows) == ((6L, 2L, Some(2000000L), Some(1125000L))))
+  }
+
+  test("mcnemar: symmetric disagreement is exactly 0; no disagreement is null") {
+    // b = c: both statistics exactly 0 — the continuity clamp keeps
+    // the corrected form from turning symmetry into evidence
+    val sym = Seq.fill(4)(1L -> 0L) ++ Seq.fill(4)(0L -> 1L)
+    val s = mcn(sym)
+    assert(s._3 == Some(0L) && s._4 == Some(0L), s"$s")
+    val none = mcn(Seq.fill(3)(1L -> 1L) ++ Seq.fill(2)(0L -> 0L))
+    assert(none._3.isEmpty && none._4.isEmpty, s"$none")
+  }
 }

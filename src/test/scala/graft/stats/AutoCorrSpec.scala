@@ -54,4 +54,38 @@ class AutoCorrSpec extends AnyFunSuite {
       assert(math.abs(out(("rev", k))._1 - goldenAcf(k)) < 1e-6)
     }
   }
+
+  test("Diagnostics.ljungBox replays the exact integer recipe; degenerate series null") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def series(name: String, ys: Seq[Double]) =
+      ys.zipWithIndex.map { case (v, i) =>
+        (name, new Timestamp(base + i * 86400000L), v) }
+    // periodic series: strong autocorrelation -> large Q; noise-ish
+    // alternation: small; constant and too-short: null
+    val periodic = Seq.tabulate(24)(i => 10.0 + (i % 4) * 5.0)
+    val rows = series("per", periodic) ++
+      series("flat", Seq.fill(12)(7.0)) ++
+      series("tiny", Seq(1.0, 2.0, 3.0))
+    val out = Diagnostics.ljungBox(rows.toDF("series", "ds", "y"),
+        "series", Some(5))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    // plain-Scala replay of the documented recipe for the periodic
+    // series
+    val a = AutoCorr.acf(periodic.toArray, 5)
+    var s = 0L
+    for (k <- 1 to 5) {
+      val rE6 = BigDecimal(a(k) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      s += rE6 * rE6 / (24 - k)
+    }
+    val want = (BigInt(24) * 26 * s / 1000000L).toLong
+    assert(out("per") == ((24L, 5L, Some(want))), s"${out("per")} vs $want")
+    assert(want > 20000000L, s"periodic Q must be large: $want")
+    assert(out("flat")._3.isEmpty, s"${out("flat")}")
+    assert(out("tiny")._3.isEmpty, s"${out("tiny")}")
+  }
 }

@@ -100,4 +100,36 @@ class HypothesisSpec extends AnyFunSuite {
     val rt = Hypothesis.welchT(tiny, "grp", "arm", "v").collect().head
     assert(rt.isNullAt(3), s"$rt")
   }
+
+  private def kw(rows: Seq[(String, Long)]) = {
+    import spark.implicits._
+    Hypothesis.kruskalWallis(rows.toDF("g", "v"), "g", "v")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(6)).map(_.asInstanceOf[Long]))))
+      .toMap
+  }
+
+  test("kruskalWallis: clean two-group separation hits the closed form") {
+    // A = {1,2,3}, B = {4,5,6}: pooled ranks 1..6, no ties;
+    // H = 12/(6*7) * (3*(2-3.5)^2 + 3*(5-3.5)^2) = 27/7 = 3.857143
+    val rows = Seq("a" -> 1L, "a" -> 2L, "a" -> 3L,
+                   "b" -> 4L, "b" -> 5L, "b" -> 6L)
+    val got = kw(rows)
+    assert(got("a") == ((3L, Some(3857143L))), s"$got")
+    assert(got("b") == ((3L, Some(3857143L))), s"$got")
+  }
+
+  test("kruskalWallis: tie correction matches scipy; all-tied is null") {
+    // A = {1,1}, B = {2,2}: doubled midranks 3,3,7,7; H0 = 2.4,
+    // tiesum = 12, C = 0.8 -> H = 3.0 (scipy.kruskal gives 3.0)
+    val tied = kw(Seq("a" -> 1L, "a" -> 1L, "b" -> 2L, "b" -> 2L))
+    assert(tied("a")._2 == Some(3000000L), s"$tied")
+    // every value equal: C = 0 -> null
+    val flat = kw(Seq("a" -> 7L, "a" -> 7L, "b" -> 7L))
+    assert(flat("a")._2.isEmpty && flat("b")._2.isEmpty, s"$flat")
+    // single group: k < 2 -> null
+    val one = kw(Seq("a" -> 1L, "a" -> 2L))
+    assert(one("a")._2.isEmpty, s"$one")
+  }
 }

@@ -61,4 +61,30 @@ class MlEvalSpec extends AnyFunSuite {
       .toMap
     assert(got(1L) == ((2L, 1L)) && got(2L) == ((2L, 1L)), s"$got")
   }
+
+  private def ap(rows: Seq[(Long, Long)]): (Long, Long, Option[Long]) = {
+    import spark.implicits._
+    val r = MlEval.averagePrecision(rows.toDF("s", "y"), "s", "y")
+      .collect().head
+    (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]))
+  }
+
+  test("averagePrecision: perfect ranking 1, worst ranking P/N-at-bottom, ties at block precision") {
+    // perfect: both positives above the negative -> AP = 1
+    assert(ap(Seq(3L -> 1L, 2L -> 1L, 1L -> 0L)) ==
+           ((2L, 1L, Some(1000000L))))
+    // reversed: single positive ranked last of 3 -> AP = 1/3
+    assert(ap(Seq(3L -> 0L, 2L -> 0L, 1L -> 1L)) ==
+           ((1L, 2L, Some(333333L))))
+    // one tie block: AP = block precision = 1/2
+    assert(ap(Seq(5L -> 1L, 5L -> 0L)) == ((1L, 1L, Some(500000L))))
+  }
+
+  test("averagePrecision: sklearn mixed-order example; no positives is null") {
+    // scores desc: y = 1,0,1,0 -> terms: 1*1/(2*1) + 1*2/(2*3)
+    //   = 0.5 + 0.333333 -> 833333 (sklearn average_precision = 5/6)
+    assert(ap(Seq(4L -> 1L, 3L -> 0L, 2L -> 1L, 1L -> 0L)) ==
+           ((2L, 2L, Some(833333L))))
+    assert(ap(Seq(3L -> 0L, 1L -> 0L)) == ((0L, 2L, None)))
+  }
 }
