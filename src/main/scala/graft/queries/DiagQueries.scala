@@ -1117,6 +1117,376 @@ object DiagQueries {
       |    AS BIGINT) AS q_e6
       |FROM t""".stripMargin
 
+  /** q328 — Theta-method smoothing ([[graft.ts.ExpSmooth
+    * .thetaSmooth]], θ = 2, α = 0.2) over daily order revenue per
+    * priority: the OLS-trend / SES decomposition forecast — drift
+    * from the θ = 0 line, local level from SES on the θ = 2 line,
+    * one-step prediction their average; exact e6 integers end to
+    * end, oracle-replayed by a recursive CTE carrying the SES
+    * state. */
+  private def q328(s: SparkSession, dir: String): DataFrame =
+    graft.ts.ExpSmooth.thetaSmooth(
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+                 dayBucket(col("o_orderdate")).as("o_orderdate"))
+        .agg(sum(cents(col("o_totalprice"))).as("y")),
+      "o_orderpriority", "o_orderdate", "y")
+
+  private val q328Sql =
+    """WITH RECURSIVE daily AS (
+      |  SELECT o_orderpriority AS k,
+      |         CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+      |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |           AS y
+      |  FROM orders GROUP BY 1, 2),
+      |s AS (SELECT k, d, y,
+      |        row_number() OVER (PARTITION BY k ORDER BY d) AS rn
+      |      FROM daily),
+      |cf AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(rn * y) AS BIGINT) AS sty FROM s GROUP BY 1),
+      |ab AS (SELECT k, n, sy,
+      |         CASE WHEN n < 2 THEN CAST(0 AS BIGINT)
+      |           ELSE CAST((CAST(n AS HUGEINT) * sty
+      |               - CAST(n * (n + 1) // 2 AS HUGEINT) * sy) * 1000000
+      |             // (CAST(n AS HUGEINT) * n
+      |                * (CAST(n AS HUGEINT) * n - 1) // 12)
+      |             AS BIGINT) END AS b_e6
+      |       FROM cf),
+      |ab2 AS (SELECT k,
+      |          CAST((CAST(sy AS HUGEINT) * 1000000
+      |              - CAST(b_e6 AS HUGEINT) * (n * (n + 1) // 2)) // n
+      |            AS BIGINT) AS a_e6,
+      |          b_e6
+      |        FROM ab),
+      |th AS (
+      |  SELECT s.k, rn, d, y,
+      |    a_e6 + b_e6 AS line,
+      |    2 * 1000000 * y - (a_e6 + b_e6) AS l,
+      |    1000000 * y AS pred, a_e6, b_e6
+      |  FROM s JOIN ab2 ON ab2.k = s.k WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.k, s.rn, s.d, s.y,
+      |    th.a_e6 + th.b_e6 * s.rn,
+      |    (2 * (2 * 1000000 * s.y - (th.a_e6 + th.b_e6 * s.rn))
+      |     + 8 * th.l) // 10,
+      |    (th.l + th.a_e6 + th.b_e6 * s.rn) // 2,
+      |    th.a_e6, th.b_e6
+      |  FROM th JOIN s ON s.k = th.k AND s.rn = th.rn + 1)
+      |SELECT k AS o_orderpriority, d AS o_orderdate, y AS y_c,
+      |  CAST(line AS BIGINT) AS line_e6, CAST(l AS BIGINT) AS ses_e6,
+      |  CAST(pred AS BIGINT) AS pred_e6
+      |FROM th""".stripMargin
+
+  /** q329 — Page–Hinkley drift ledger ([[graft.ts.SeriesOps
+    * .pageHinkley]], δ = 0, λ = 2·10¹¹) over q20's daily series: the
+    * ONLINE change detector (running-mean deviations, cumulative U,
+    * min/max envelopes, alarm flags both directions) whose streaming
+    * twin carries seven longs of state per series — the batch ledger
+    * is the parity reference and the oracle replays every day. */
+  private def q329(s: SparkSession, dir: String): DataFrame =
+    graft.ts.SeriesOps.pageHinkley(
+      dailyCents(s, dir), "event_type", "ds", "y",
+      deltaE6 = 0L, lambdaE6 = 200000000000L)
+
+  private val q329Sql =
+    s"""WITH $dailySql,
+      |seq AS (SELECT event_type, ds, y,
+      |          row_number() OVER (PARTITION BY event_type ORDER BY ds)
+      |            AS t,
+      |          sum(y) OVER (PARTITION BY event_type ORDER BY ds) AS cum
+      |        FROM daily),
+      |dv AS (SELECT event_type, ds, y,
+      |         CAST(CAST(t * y - cum AS HUGEINT) * 1000000 // t AS BIGINT)
+      |           AS dev
+      |       FROM seq),
+      |uu AS (SELECT event_type, ds, y,
+      |         sum(dev) OVER (PARTITION BY event_type ORDER BY ds) AS u
+      |       FROM dv),
+      |mm AS (SELECT event_type, ds, y, CAST(u AS BIGINT) AS u_e6,
+      |         CAST(min(u) OVER (PARTITION BY event_type ORDER BY ds)
+      |           AS BIGINT) AS m,
+      |         CAST(max(u) OVER (PARTITION BY event_type ORDER BY ds)
+      |           AS BIGINT) AS w
+      |       FROM uu)
+      |SELECT event_type, ds, y AS y_c, u_e6,
+      |  CASE WHEN u_e6 - m > 200000000000 THEN CAST(1 AS BIGINT)
+      |    ELSE CAST(0 AS BIGINT) END AS alarm_up,
+      |  CASE WHEN w - u_e6 > 200000000000 THEN CAST(1 AS BIGINT)
+      |    ELSE CAST(0 AS BIGINT) END AS alarm_down
+      |FROM mm""".stripMargin
+
+  /** q330 — pinball-loss quantile scorecard ([[graft.ts.ForecastEval
+    * .pinballScorecard]], w = 28, q ∈ {0.1, 0.5, 0.9}) over daily
+    * order revenue per priority: grade the trailing-28-day exact
+    * order-statistic quantile forecaster by the loss whose minimizer
+    * IS the quantile, plus empirical coverage — the probabilistic
+    * complement to q269's point-forecast scorecard. */
+  private def q330(s: SparkSession, dir: String): DataFrame =
+    graft.ts.ForecastEval.pinballScorecard(
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+                 dayBucket(col("o_orderdate")).as("o_orderdate"))
+        .agg(sum(cents(col("o_totalprice"))).as("y")),
+      "o_orderpriority", "o_orderdate", "y", w = 28)
+
+  private val q330Sql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS k,
+      |         CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+      |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |           AS y
+      |  FROM orders GROUP BY 1, 2),
+      |h AS (SELECT k, d, y,
+      |        list_sort(list(y) OVER (PARTITION BY k ORDER BY d
+      |          ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)) AS srt,
+      |        count(*) OVER (PARTITION BY k ORDER BY d
+      |          ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING) AS cnt
+      |      FROM daily),
+      |f AS (SELECT k, y, srt FROM h WHERE cnt = 28),
+      |q AS (SELECT * FROM (VALUES (1, 10, 3), (5, 10, 14), (9, 10, 25))
+      |        t(qn, qd, idx)),
+      |l AS (SELECT k, qn, qd, y, srt[idx] AS pred
+      |      FROM f CROSS JOIN q)
+      |SELECT k AS o_orderpriority, CAST(qn AS BIGINT) AS q_num,
+      |  CAST(qd AS BIGINT) AS q_den,
+      |  CAST(count(*) AS BIGINT) AS n_eval,
+      |  CAST(CAST(sum(CASE WHEN y >= pred THEN qn * (y - pred)
+      |      ELSE (qd - qn) * (pred - y) END) AS HUGEINT) * 1000000
+      |    // (count(*) * qd) AS BIGINT) AS pinball_e6,
+      |  CAST(sum(CASE WHEN y <= pred THEN 1 ELSE 0 END) * 1000000
+      |    // count(*) AS BIGINT) AS cover_e6
+      |FROM l GROUP BY k, qn, qd""".stripMargin
+
+  /** q331 — Anderson–Darling k-sample test ([[graft.stats.Hypothesis
+    * .andersonDarlingK]]) on q258's input: do the five priorities'
+    * whole-dollar order values differ ANYWHERE in the distribution —
+    * the tail-sensitive member (KS weighs the single largest gap,
+    * KW only location; A² integrates squared gaps with 1/(F(1−F))
+    * weight). Doubled-count exact ledger, split-division e6 cells. */
+  private def q331(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Hypothesis.andersonDarlingK(
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+                round(col("o_totalprice")).cast("long").as("v")),
+      "o_orderpriority", "v")
+
+  private val q331Sql =
+    """WITH r AS (SELECT o_orderpriority AS grp,
+      |             CAST(round(o_totalprice) AS BIGINT) AS v FROM orders),
+      |ga AS (SELECT v, CAST(count(*) AS BIGINT) AS l FROM r GROUP BY 1),
+      |g2 AS (SELECT v, l,
+      |         CAST(2 * sum(l) OVER (ORDER BY v) - l AS BIGINT) AS b2
+      |       FROM ga),
+      |tot AS (SELECT CAST(sum(l) AS BIGINT) AS n,
+      |          CAST(count(*) AS BIGINT) AS n_vals FROM ga),
+      |grps AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_g
+      |         FROM r GROUP BY 1),
+      |pergv AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+      |          FROM r GROUP BY 1, 2),
+      |dense AS (SELECT grps.grp, n_g, g2.v, l, b2,
+      |            coalesce(c, 0) AS cij
+      |          FROM g2 CROSS JOIN grps
+      |          LEFT JOIN pergv ON pergv.grp = grps.grp
+      |                         AND pergv.v = g2.v),
+      |pg AS (SELECT grp, n_g, v, l, b2, cij,
+      |         sum(cij) OVER (PARTITION BY grp ORDER BY v) AS cumg
+      |       FROM dense),
+      |cells AS (SELECT grp, n_g, l, n, n_vals,
+      |            CAST(n AS HUGEINT) * (2 * cumg - cij)
+      |              - CAST(n_g AS HUGEINT) * b2 AS num,
+      |            CAST(b2 AS HUGEINT) * (2 * n - b2)
+      |              - CAST(n AS HUGEINT) * l AS den
+      |          FROM pg CROSS JOIN tot),
+      |rc AS (SELECT grp, n_g, n, n_vals,
+      |         CAST(l AS HUGEINT) * (CASE WHEN den <= 0 THEN 0
+      |           ELSE (num * num // den) * 1000000
+      |                + ((num * num) % den) * 1000000 // den END) AS cell
+      |       FROM cells),
+      |pgv AS (SELECT grp, CAST(max(n_g) AS BIGINT) AS n_g,
+      |          CAST(max(n) AS BIGINT) AS n,
+      |          CAST(max(n_vals) AS BIGINT) AS n_vals,
+      |          sum(cell) AS g_sum FROM rc GROUP BY 1),
+      |gi AS (SELECT grp, n_g, n, n_vals, g_sum // n_g AS gi FROM pgv),
+      |t AS (SELECT sum(gi) AS t_sum, CAST(count(*) AS BIGINT) AS k
+      |      FROM gi)
+      |SELECT grp AS o_orderpriority, n_g, n, k,
+      |  CASE WHEN k < 2 OR n_vals < 2 THEN NULL
+      |    ELSE CAST((CAST(n AS HUGEINT) - 1) * t_sum
+      |      // (CAST(n AS HUGEINT) * n) AS BIGINT)
+      |  END AS a2_e6
+      |FROM gi CROSS JOIN t""".stripMargin
+
+  /** q322 — Cochran–Armitage trend test ([[graft.stats.Hypothesis
+    * .cochranArmitage]]): does the fill rate (status 'F') move
+    * monotonically with order PRIORITY (the digit prefix as the
+    * ordered dose) — the one-degree sharpening of q213's
+    * independence χ² for ordered groups. */
+  private def q322(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Hypothesis.cochranArmitage(
+      t(s, dir, "orders")
+        .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("w"),
+                (col("o_orderstatus") === "F").cast("long").as("y")),
+      "w", "y")
+
+  private val q322Sql =
+    """WITH o AS (
+      |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+      |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      |  FROM orders),
+      |pg AS (SELECT w, CAST(count(*) AS BIGINT) AS n_g,
+      |         CAST(sum(y) AS BIGINT) AS r_g FROM o GROUP BY 1),
+      |ag AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+      |         CAST(sum(r_g) AS BIGINT) AS r,
+      |         CAST(count(*) AS BIGINT) AS k,
+      |         CAST(sum(w * r_g) AS BIGINT) AS u,
+      |         CAST(sum(w * n_g) AS BIGINT) AS wn,
+      |         CAST(sum(w * w * n_g) AS BIGINT) AS w2n FROM pg)
+      |SELECT n, r, k,
+      |  CASE WHEN n < 2 OR CAST(r AS HUGEINT) * (n - r)
+      |        * (CAST(n AS HUGEINT) * w2n - CAST(wn AS HUGEINT) * wn) <= 0
+      |    THEN NULL
+      |    ELSE CAST(round(
+      |      CAST(CAST(n AS HUGEINT) * u - CAST(r AS HUGEINT) * wn AS DOUBLE)
+      |      / sqrt(CAST(CAST(r AS HUGEINT) * (n - r)
+      |          * (CAST(n AS HUGEINT) * w2n - CAST(wn AS HUGEINT) * wn)
+      |          AS DOUBLE) / (n - 1))
+      |      * 1000000) AS BIGINT) END AS z_e6
+      |FROM ag""".stripMargin
+
+  /** q323 — Cliff's delta ([[graft.stats.Hypothesis.cliffsDelta]])
+    * per event type on q305's arms: the EFFECT SIZE next to the
+    * Welch/MWU p-values — P(a&gt;b) − P(a&lt;b) on the n-free
+    * [−1, 1] scale, exact over the per-type value grid. */
+  private def q323(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Hypothesis.cliffsDelta(
+      t(s, dir, "events")
+        .select(col("event_type"), pmod(col("user_id"), lit(2L)).as("arm"),
+                cents(col("value")).as("v")),
+      "event_type", "arm", "v")
+
+  private val q323Sql =
+    """WITH o AS (
+      |  SELECT event_type AS grp, user_id % 2 AS arm,
+      |         CAST(round(value*100) AS BIGINT) AS v FROM events),
+      |g AS (SELECT grp, v,
+      |        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS ca,
+      |        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS cb
+      |      FROM o GROUP BY 1, 2),
+      |pre AS (SELECT grp, v, ca, cb,
+      |          sum(cb) OVER (PARTITION BY grp ORDER BY v) AS cumb
+      |        FROM g),
+      |ag AS (SELECT grp, CAST(sum(ca) AS BIGINT) AS n_a,
+      |         CAST(sum(cb) AS BIGINT) AS n_b,
+      |         sum(CAST(ca AS HUGEINT) * (cumb - cb)) AS gt,
+      |         sum(CAST(ca AS HUGEINT) * cumb) AS s_le
+      |       FROM pre GROUP BY 1)
+      |SELECT grp AS event_type, n_a, n_b,
+      |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+      |    ELSE CAST((gt - (CAST(n_a AS HUGEINT) * n_b - s_le)) * 1000000
+      |      // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) END AS delta_e6
+      |FROM ag""".stripMargin
+
+  /** q326 — Friedman test ([[graft.stats.Hypothesis.friedman]]):
+    * do the five event types differ in daily volume when ranked
+    * WITHIN each day — the repeated-measures complement to q317
+    * (blocks = days kill the day-to-day level shifts a pooled rank
+    * test would drown in). Complete days only; within-day doubled
+    * midranks; exact tie-corrected χ²_F. */
+  private def q326(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Hypothesis.friedman(
+      dailyCents(s, dir), "ds", "event_type", "y")
+
+  private val q326Sql =
+    s"""WITH $dailySql,
+      |kt AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+      |       FROM daily),
+      |cb AS (SELECT ds, count(*) AS c_rows,
+      |         count(DISTINCT event_type) AS c_trt FROM daily GROUP BY 1),
+      |comp AS (SELECT ds FROM cb CROSS JOIN kt
+      |         WHERE c_rows = c_trt AND c_trt = kt.k),
+      |ib AS (SELECT d.event_type, d.ds, d.y
+      |       FROM daily d JOIN comp USING (ds)),
+      |cnt AS (SELECT ds, y, CAST(count(*) AS BIGINT) AS c
+      |        FROM ib GROUP BY 1, 2),
+      |r2t AS (SELECT ds, y,
+      |          2 * (sum(c) OVER (PARTITION BY ds ORDER BY y) - c)
+      |            + c + 1 AS r2
+      |        FROM cnt),
+      |rk AS (SELECT ib.event_type, CAST(r2 AS BIGINT) AS r2
+      |       FROM ib JOIN r2t ON r2t.ds = ib.ds AND r2t.y = ib.y),
+      |pt AS (SELECT event_type, CAST(sum(r2) AS BIGINT) AS r2_sum,
+      |         CAST(count(*) AS BIGINT) AS n_blocks,
+      |         CAST(sum(r2 * r2) AS BIGINT) AS a2p
+      |       FROM rk GROUP BY 1),
+      |tt AS (SELECT CAST(sum(a2p) AS BIGINT) AS a2,
+      |         CAST(max(n_blocks) AS BIGINT) AS n FROM pt),
+      |terms AS (SELECT event_type, r2_sum, n_blocks, kt.k AS k,
+      |            (r2_sum - CAST(n AS HUGEINT) * (kt.k + 1))
+      |              * (r2_sum - CAST(n AS HUGEINT) * (kt.k + 1)) AS dev2,
+      |            a2 - CAST(n AS HUGEINT) * kt.k * (kt.k + 1) * (kt.k + 1)
+      |              AS den
+      |          FROM pt CROSS JOIN tt CROSS JOIN kt),
+      |g AS (SELECT sum(dev2) AS num, max(den) AS den FROM terms)
+      |SELECT event_type, r2_sum, n_blocks, k,
+      |  CASE WHEN g.den <= 0 OR k < 2 THEN NULL
+      |    ELSE CAST((k - 1) * num * 1000000 // g.den AS BIGINT)
+      |  END AS chi2_e6
+      |FROM terms CROSS JOIN g""".stripMargin
+
+  /** q327 — dominant-period detection ([[graft.stats.Diagnostics
+    * .acfPeriod]], lags 2..10) over q20's daily series: read the
+    * season length OFF the data (argmax biased ACF, earliest-lag
+    * ties) with the ±1.96/√n white-noise gate — the lag-7 answer
+    * the Holt–Winters queries take as config. */
+  private def q327(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Diagnostics.acfPeriod(
+      dailyCents(s, dir).withColumnRenamed("event_type", "series"),
+      "series", minLag = 2, nlags = Some(10))
+      .select(col("series").as("event_type"), col("n_obs"),
+              col("best_lag"), col("r_e6"), col("thr_e6"),
+              col("significant"))
+
+  private val q327Sql =
+    s"""WITH $dailySql,
+      |m AS (SELECT event_type, CAST(sum(y) AS DOUBLE)/count(*) AS mu,
+      |        count(*) AS n FROM daily GROUP BY 1),
+      |d AS (SELECT daily.event_type, ds, y - mu AS dev, n
+      |      FROM daily JOIN m ON daily.event_type = m.event_type),
+      |lags AS (SELECT CAST(unnest(range(0, 11)) AS INTEGER) AS k),
+      |pairs AS (SELECT d1.event_type, l.k, d1.dev * d2.dev AS prod,
+      |            d1.n AS n
+      |          FROM d d1 CROSS JOIN lags l
+      |          JOIN d d2 ON d2.event_type = d1.event_type
+      |                   AND d2.ds = d1.ds + l.k),
+      |sums AS (SELECT event_type, k, sum(prod) AS sm, max(n) AS n
+      |         FROM pairs GROUP BY 1, 2),
+      |r AS (SELECT s.event_type, s.k,
+      |        CAST(round((s.sm/s.n) / (c.sm/c.n) * 1000000) AS BIGINT)
+      |          AS r_e6,
+      |        s.n
+      |      FROM sums s JOIN sums c ON c.event_type = s.event_type
+      |                             AND c.k = 0
+      |      WHERE s.k >= 2),
+      |best AS (SELECT event_type, CAST(max(r_e6) AS BIGINT) AS best_r
+      |         FROM r GROUP BY 1),
+      |pick AS (SELECT r.event_type, CAST(min(r.k) AS BIGINT) AS best_lag,
+      |           CAST(max(best_r) AS BIGINT) AS r_e6,
+      |           CAST(max(r.n) AS BIGINT) AS n_obs
+      |         FROM r JOIN best ON best.event_type = r.event_type
+      |                         AND r.r_e6 = best.best_r
+      |         GROUP BY 1)
+      |SELECT event_type, n_obs, best_lag, r_e6,
+      |  CAST(round(1.96 / sqrt(CAST(n_obs AS DOUBLE)) * 1000000)
+      |    AS BIGINT) AS thr_e6,
+      |  CASE WHEN r_e6 > CAST(round(1.96 / sqrt(CAST(n_obs AS DOUBLE))
+      |      * 1000000) AS BIGINT)
+      |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+      |  END AS significant
+      |FROM pick""".stripMargin
+
   /** q316 — the composed §3.1 analyze slice
     * ([[graft.forecast.AnalyzeSlice.analyzeSlice]]): the reference's
     * flagship dataflow as one batch operator — target = daily order
@@ -2324,6 +2694,14 @@ object DiagQueries {
     QueryDef("q316_analyze_slice", q316, Some(q316Sql)),
     QueryDef("q317_kruskal_wallis", q317, Some(q317Sql)),
     QueryDef("q318_ljung_box", q318, Some(q318Sql)),
+    QueryDef("q322_cochran_armitage", q322, Some(q322Sql)),
+    QueryDef("q323_cliffs_delta", q323, Some(q323Sql)),
+    QueryDef("q326_friedman", q326, Some(q326Sql)),
+    QueryDef("q327_acf_period", q327, Some(q327Sql)),
+    QueryDef("q328_theta", q328, Some(q328Sql)),
+    QueryDef("q329_page_hinkley", q329, Some(q329Sql)),
+    QueryDef("q330_pinball", q330, Some(q330Sql)),
+    QueryDef("q331_anderson_darling", q331, Some(q331Sql)),
     QueryDef("q297_mann_kendall", q297, Some(q297Sql)),
     QueryDef("q298_theil_sen", q298, Some(q298Sql)),
     QueryDef("q268_croston", q268, Some(q268Sql)),

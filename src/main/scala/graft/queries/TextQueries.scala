@@ -3826,6 +3826,137 @@ object TextQueries {
       |      // (CAST(n_p AS HUGEINT) * cum_c)) AS BIGINT) END AS ap_e6
       |FROM pre CROSS JOIN tot GROUP BY n_p, n_all""".stripMargin
 
+  /** q321 — Cochran's Q ([[graft.stats.Agreement.cochranQ]]) over
+    * THREE quality gates (length, language, word count) on the same
+    * documents: q319's McNemar compares two gates' marginals; Q asks
+    * whether the whole gate PANEL keeps the same fraction — the
+    * pre-test before pairwise McNemar drill-downs. */
+  private def q321(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Agreement.cochranQ(
+      t(s, dir, "documents")
+        .select((col("n_chars") >= 300L).cast("long").as("ga"),
+                (col("lang") === "en").cast("long").as("gb"),
+                (size(split(trim(col("text")), " ")) >= 50)
+                  .cast("long").as("gc")),
+      Seq("ga", "gb", "gc"))
+
+  private val q321Sql =
+    """WITH o AS (
+      |  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+      |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b,
+      |         CASE WHEN len(string_split(trim(text), ' ')) >= 50
+      |           THEN 1 ELSE 0 END AS c
+      |  FROM documents),
+      |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(a) AS BIGINT) AS t0, CAST(sum(b) AS BIGINT) AS t1,
+      |         CAST(sum(c) AS BIGINT) AS t2,
+      |         CAST(sum(a + b + c) AS BIGINT) AS t_total,
+      |         CAST(sum((a + b + c) * (a + b + c)) AS BIGINT) AS sl2
+      |       FROM o)
+      |SELECT n, CAST(3 AS BIGINT) AS k, t_total,
+      |  CASE WHEN 3 * t_total - sl2 <= 0 THEN NULL
+      |    ELSE CAST(CAST(2 AS HUGEINT)
+      |      * (3 * (CAST(t0 AS HUGEINT) * t0 + CAST(t1 AS HUGEINT) * t1
+      |              + CAST(t2 AS HUGEINT) * t2)
+      |         - CAST(t_total AS HUGEINT) * t_total) * 1000000
+      |      // (3 * t_total - sl2) AS BIGINT) END AS q_e6
+      |FROM ag""".stripMargin
+
+  /** q324 — calibration readout ([[graft.stats.MlEval
+    * .brierCalibration]], 10 bins): treat the length-derived e6
+    * probability least(n_chars/600, 1) as a "keeps-English"
+    * predictor and grade it AS A PROBABILITY against lang = 'en' —
+    * Brier score plus the reliability-bin gaps whose weighted sum
+    * is the ECE. A deliberately mis-calibrated score: the bins show
+    * WHERE it lies. */
+  private def q324(s: SparkSession, dir: String): DataFrame =
+    graft.stats.MlEval.brierCalibration(
+      t(s, dir, "documents")
+        .select(expr("least(CAST(n_chars AS BIGINT) * 1000000 div 600," +
+                  " CAST(1000000 AS BIGINT))").as("p"),
+                (col("lang") === "en").cast("long").as("y")),
+      "p", "y", nBins = 10)
+
+  private val q324Sql =
+    """WITH o AS (
+      |  SELECT least(CAST(n_chars AS BIGINT) * 1000000 // 600, 1000000)
+      |           AS p,
+      |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |pb AS (SELECT least(p * 10 // 1000000, 9) AS bin,
+      |         CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT)
+      |           AS n_pos,
+      |         CAST(sum(p) AS BIGINT) AS sum_p,
+      |         sum(CAST(p - 1000000 * y AS HUGEINT) * (p - 1000000 * y))
+      |           AS sq
+      |       FROM o GROUP BY 1),
+      |tt AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+      |         CAST(sum(abs(sum_p - 1000000 * n_pos)) AS BIGINT)
+      |           AS gap_sum,
+      |         sum(sq) AS sq_sum FROM pb)
+      |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+      |  sum_p // n AS conf_e6,
+      |  n_pos * 1000000 // n AS acc_e6,
+      |  abs(sum_p - 1000000 * n_pos) // n AS gap_e6,
+      |  n_total, gap_sum // n_total AS ece_e6,
+      |  CAST(sq_sum // (CAST(n_total AS HUGEINT) * 1000000) AS BIGINT)
+      |    AS brier_e6
+      |FROM pb CROSS JOIN tt""".stripMargin
+
+  /** q325 — best-F1 threshold sweep ([[graft.stats.MlEval
+    * .bestF1Threshold]]) of q308's score/label pair: AUC graded the
+    * word-count RANKING; this picks the operating point — the
+    * word-count threshold the gate would actually ship with, its
+    * full confusion matrix, and MCC at the winner. */
+  private def q325(s: SparkSession, dir: String): DataFrame =
+    graft.stats.MlEval.bestF1Threshold(
+      t(s, dir, "documents")
+        .select(size(split(trim(col("text")), " ")).as("s"),
+                (col("n_chars") >= 300L).cast("long").as("y")),
+      "s", "y")
+
+  private val q325Sql =
+    """WITH o AS (
+      |  SELECT len(string_split(trim(text), ' ')) AS s,
+      |         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |g AS (SELECT -s AS v, CAST(sum(y) AS BIGINT) AS c_pos,
+      |             CAST(count(*) AS BIGINT) AS c
+      |      FROM o GROUP BY 1),
+      |pre AS (SELECT v, c_pos, c,
+      |          sum(c) OVER (ORDER BY v) AS cum_c,
+      |          sum(c_pos) OVER (ORDER BY v) AS cum_p
+      |        FROM g),
+      |tot AS (SELECT CAST(max(cum_p) AS BIGINT) AS n_p,
+      |          CAST(max(cum_c) AS BIGINT) AS n_all FROM pre),
+      |st AS (SELECT CAST(-v AS BIGINT) AS thr,
+      |         CAST(cum_p AS BIGINT) AS tp,
+      |         CAST(cum_c - cum_p AS BIGINT) AS fp,
+      |         CAST(n_p - cum_p AS BIGINT) AS fn,
+      |         CAST(n_all - n_p - cum_c + cum_p AS BIGINT) AS tn,
+      |         n_p, n_all,
+      |         CAST(2 * cum_p * 1000000
+      |           // (2 * cum_p + (cum_c - cum_p) + (n_p - cum_p))
+      |           AS BIGINT) AS f1_e6
+      |       FROM pre CROSS JOIN tot),
+      |b AS (SELECT CAST(max(f1_e6) AS BIGINT) AS f1_best FROM st),
+      |w AS (SELECT * FROM st CROSS JOIN b WHERE f1_e6 = f1_best),
+      |tb AS (SELECT CAST(max(thr) AS BIGINT) AS thr_best FROM w)
+      |SELECT thr, tp, fp, fn, tn,
+      |  tp * 1000000 // (tp + fp) AS prec_e6,
+      |  CASE WHEN n_p > 0 THEN tp * 1000000 // n_p END AS rec_e6,
+      |  CASE WHEN n_p > 0 THEN f1_e6 END AS f1_e6,
+      |  CASE WHEN n_p > 0 AND n_p < n_all
+      |        AND sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+      |                 * (tn + fp) * (tn + fn)) > 0
+      |    THEN CAST(round(
+      |      CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn
+      |        AS DOUBLE)
+      |      / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+      |             * (tn + fp) * (tn + fn)) * 1000000) AS BIGINT)
+      |  END AS mcc_e6
+      |FROM w CROSS JOIN tb WHERE thr = thr_best""".stripMargin
+
   /** q309 — decile lift table ([[graft.stats.MlEval.liftTable]]) of
     * the same score/label pair: positives' concentration in the top
     * score bands, exact equal-count buckets (ties by doc_id), lift
@@ -3967,6 +4098,9 @@ object TextQueries {
     QueryDef("q309_lift_table", q309, Some(q309Sql)),
     QueryDef("q319_mcnemar", q319, Some(q319Sql)),
     QueryDef("q320_avg_precision", q320, Some(q320Sql)),
+    QueryDef("q321_cochran_q", q321, Some(q321Sql)),
+    QueryDef("q324_calibration", q324, Some(q324Sql)),
+    QueryDef("q325_f1_sweep", q325, Some(q325Sql)),
     QueryDef("q306_jensen_shannon", q306, Some(q306Sql)),
     QueryDef("q307_cohen_kappa", q307, Some(q307Sql)),
     QueryDef("q273_naive_bayes", q273, Some(q273Sql)),

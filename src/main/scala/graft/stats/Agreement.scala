@@ -78,4 +78,44 @@ object Agreement {
               " * greatest(abs(b_ct - c_ct) - 1, 0) * 1000000" +
               " div (b_ct + c_ct) AS BIGINT)")).as("chi2_cc_e6"))
   }
+
+  /** Cochran's Q — the k-GATE generalization completing the family:
+    * [[mcnemar]] compares TWO binary gates' marginals; Q asks whether
+    * k gates (k quality rules, k dedup passes, k classifier
+    * thresholds) keep the same fraction of documents, paired on the
+    * SAME documents. Reduces to McNemar's (uncorrected) χ² at k = 2.
+    *
+    * Q = (k−1)·[k·ΣG_j² − T²] / [k·T − ΣL_i²], with G_j the per-gate
+    * keep totals, L_i the per-document keep count, T = ΣG_j = ΣL_i.
+    * Every term is an exact count aggregate (ΣG_j² ~ k·n² needs
+    * decimal(38) past ~3·10⁹ rows), one truncating e6 division at
+    * the end; null when the denominator vanishes (every document is
+    * kept by all gates or none — no discriminating blocks). ONE
+    * corpus aggregate; k is the column list, config-bounded.
+    * @param cols 2..20 binary (0/1 or boolean) verdict columns
+    * @return one row: (n, k, t_total, q_e6) */
+  def cochranQ(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 20, "gate count config-bounded")
+    val k = cols.size
+    val d38 = "decimal(38,0)"
+    val bits = cols.zipWithIndex.map { case (c, i) =>
+      col(c).cast("long").as(s"g$i") }
+    val rows = df.select(bits: _*)
+      .withColumn("l", cols.indices.map(i => col(s"g$i")).reduce(_ + _))
+    val aggs = cols.indices.map(i => sum(col(s"g$i")).as(s"t$i")) ++ Seq(
+      count(lit(1)).as("n"), sum(col("l")).as("t_total"),
+      sum(col("l") * col("l")).as("sl2"))
+    val a = rows.agg(aggs.head, aggs.tail: _*)
+    val sg2 = cols.indices.map(i =>
+      col(s"t$i").cast(d38) * col(s"t$i")).reduce(_ + _)
+    a.withColumn("num",
+        lit(k).cast(d38) * sg2 - col("t_total").cast(d38) * col("t_total"))
+      .withColumn("den",
+        lit(k.toLong) * col("t_total") - col("sl2"))
+      .select(col("n"), lit(k.toLong).as("k"), col("t_total"),
+        when(col("den") <= 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            s"CAST(CAST(${k - 1} AS $d38) * num * 1000000" +
+              " div den AS BIGINT)")).as("q_e6"))
+  }
 }

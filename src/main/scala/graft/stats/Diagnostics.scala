@@ -83,4 +83,61 @@ object Diagnostics {
       }
       .toDF(seriesCol, "n_obs", "h_lags", "q_e6")
   }
+
+  /** Dominant-period detection — the "WHICH season" answer the fixed
+    * hypotheses leave open: the periodogram (q304) and the seasonal
+    * folds (Holt–Winters m, STL's week) all take the period as
+    * input; this reads it off the data as the argmax of the biased
+    * ACF over a candidate lag range, with the ±1.96/√n white-noise
+    * band as the "is there a season at all" gate.
+    *
+    * Determinism: r_k on the e6 grid (BigDecimal HALF_UP — the
+    * [[ljungBox]] rounding), argmax ties broken toward the EARLIEST
+    * lag (the fundamental, not its harmonic), the significance
+    * threshold one fixed double tree (1.96/√n, e6-rounded) — every
+    * step oracle-replayable. Same per-series bounded-array shape as
+    * [[acfPacf]] (one calendar-grid series per task, any number of
+    * series per pass).
+    * @param minLag lowest candidate lag (≥ 1; default 2 skips the
+    *               trivial lag-1 carryover)
+    * @return per series: (series, n_obs, best_lag, r_e6, thr_e6,
+    *         significant) — null best_lag when the series is
+    *         constant or shorter than minLag + 1 */
+  def acfPeriod(df: DataFrame, seriesCol: String, minLag: Int = 2,
+                nlags: Option[Int] = None): DataFrame = {
+    require(minLag >= 1, "minLag >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(seriesCol).cast("string"),
+              col("ds").cast("timestamp").cast("long"), col("y").cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (key, it) =>
+        val ys = it.toArray.sortBy(_._2).map(_._3)
+        val n = ys.length
+        val nl = nlags.getOrElse(AutoCorr.defaultNlags(n))
+        val mean = ys.sum / n
+        val constant = ys.forall(_ == mean)
+        if (n <= minLag || nl < minLag || constant)
+          (key, n.toLong, None: Option[Long], None: Option[Long],
+            None: Option[Long], None: Option[Long])
+        else {
+          val a = AutoCorr.acf(ys, nl)
+          var bestK = minLag
+          var bestR = Long.MinValue
+          var k = minLag
+          while (k <= nl) {
+            val rE6 = BigDecimal(a(k) * 1e6)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            if (rE6 > bestR) { bestR = rE6; bestK = k }
+            k += 1
+          }
+          val thr = BigDecimal(1.96 / math.sqrt(n.toDouble) * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          (key, n.toLong, Some(bestK.toLong), Some(bestR),
+            Some(thr), Some(if (bestR > thr) 1L else 0L))
+        }
+      }
+      .toDF(seriesCol, "n_obs", "best_lag", "r_e6", "thr_e6", "significant")
+  }
 }

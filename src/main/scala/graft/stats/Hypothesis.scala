@@ -213,4 +213,242 @@ object Hypothesis {
           lit(null).cast("long"))
           .otherwise(round(h * 1e6).cast("long")).as("h_e6"))
   }
+
+  /** Cochran–Armitage trend test — binary outcome vs ORDERED dose
+    * groups: where the chi-square independence test (q213) asks "is
+    * outcome associated with group at all", this asks the sharper
+    * one-degree question "does the success rate move MONOTONICALLY
+    * with the group score" (quality-gate pass rate vs document-length
+    * band, conversion vs recency bucket). Permutation-null z:
+    *
+    *   z = (N·U − R·Σwₙ) / sqrt(R(N−R)·(N·Σw²n − (Σwₙ)²)/(N−1))
+    *
+    * with U = Σ wᵢrᵢ, Σwₙ = Σ wᵢnᵢ — the numerator and the variance
+    * radicand exact integer aggregates over the k per-group (nᵢ, rᵢ)
+    * counts (decimal(38): R(N−R)·N·Σw²n ~ N³w²/4 holds to ~10⁹ rows
+    * at w ≤ 10; scores are small ordered ranks by contract), one
+    * fixed double tree at the end. Null when the radicand vanishes
+    * (constant outcome or a single group). TWO aggregates (per-group
+    * then global — k rows in between); corpus touched once.
+    *
+    * @param df rows with an integer score column (the ordered dose,
+    *           small by contract) and a 0/1 outcome column
+    * @return one row: (n, r, k, z_e6) */
+  def cochranArmitage(df: DataFrame, scoreCol: String,
+                      outcomeCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val perG = df.select(col(scoreCol).cast("long").as("w"),
+                         col(outcomeCol).cast("long").as("y"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_g"), sum(col("y")).as("r_g"))
+    val a = perG.agg(sum(col("n_g")).as("n"), sum(col("r_g")).as("r"),
+      count(lit(1)).as("k"),
+      sum(col("w") * col("r_g")).as("u"),
+      sum(col("w") * col("n_g")).as("wn"),
+      sum(col("w") * col("w") * col("n_g")).as("w2n"))
+    val numN = col("n").cast(d38) * col("u") - col("r").cast(d38) * col("wn")
+    val radicand = col("r").cast(d38) * (col("n") - col("r")) *
+      (col("n").cast(d38) * col("w2n") - col("wn").cast(d38) * col("wn"))
+    val z = numN.cast("double") /
+      sqrt(radicand.cast("double") / (col("n") - 1L))
+    a.select(col("n"), col("r"), col("k"),
+      when(radicand <= lit(0) || col("n") < 2L, lit(null).cast("long"))
+        .otherwise(round(z * 1e6).cast("long")).as("z_e6"))
+  }
+
+  /** Cliff's delta — the EFFECT SIZE the rank tests above leave out:
+    * [[mannWhitneyU]]'s z says whether arm 0 stochastically dominates
+    * arm 1; δ = P(a > b) − P(a &lt; b) says by HOW MUCH, on a scale
+    * ([−1, 1]) that doesn't grow with n the way z does — the number
+    * an experiment readout ships next to the p-value.
+    *
+    * Exact over the pooled per-group value grid: #(a&gt;b) =
+    * Σ_v ca(v)·cum_b(&lt;v) and #(a&lt;b) = Σ_v ca(v)·(n_b −
+    * cum_b(≤v)) are exact integer products (decimal(38) — the pair
+    * count is n_a·n_b), δ one truncating e6 division. Same grouped
+    * grid-prefix shape as [[mannWhitneyU]] (no one-task sort,
+    * corpus touched once).
+    * @param obs (group, arm, value) rows; arm 0/1; value integer
+    * @return per group: (group, n_a, n_b, delta_e6) — null when
+    *         either arm is empty */
+  def cliffsDelta(obs: DataFrame, groupCol: String, armCol: String,
+                  valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val g = obs
+      .select(col(groupCol).as("grp"), col(armCol).cast("long").as("arm"),
+              col(valueCol).cast("long").as("v"))
+      .groupBy(col("grp"), col("v"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("ca"),
+           sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("cb"))
+    val pre = graft.scale.GridPrefix.groupedPrefixSums(g, "grp", "v",
+        Seq("cb"))
+    // #(a<b) = Σ ca·(n_b − cum_b(≤v)) = n_a·n_b − Σ ca·cum_b(≤v):
+    // fold the inclusive-cumulative product instead of carrying n_b
+    // into the sum (no window-inside-aggregate)
+    val agg = pre.groupBy(col("grp"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+           sum(col("ca").cast(d38) * col("cum_before_cb")).as("gt"),
+           sum(col("ca").cast(d38) * col("cum_cb")).as("s_le"))
+    agg.select(col("grp").as(groupCol), col("n_a"), col("n_b"),
+      when(col("n_a") === 0L || col("n_b") === 0L, lit(null).cast("long"))
+        .otherwise(expr(
+          "CAST((gt - (CAST(n_a AS DECIMAL(38,0)) * n_b - s_le)) * 1000000" +
+            " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
+        .as("delta_e6"))
+  }
+
+  /** Anderson–Darling k-sample test (Scholz–Stephens A²akN, the
+    * midrank/tie-adjusted form) — the TAIL-SENSITIVE member of the
+    * two-or-more-sample family: KS weighs the single largest CDF gap
+    * (middle-heavy), Kruskal–Wallis only shifts in location; A²
+    * integrates the squared gap with 1/(F(1−F)) weighting, so it
+    * catches distributions that differ in the TAILS (the heavy-tail
+    * drift a revenue or latency metric shows first).
+    *
+    * Doubled-count ledger (exact integers end to end): per pooled
+    * distinct value j with tie count l_j, B2_j = 2·cum_j − l_j and
+    * per group M2_ij = 2·cum_ij − c_ij double the Scholz–Stephens
+    * midpoint counts; the cell ratio
+    * (N·M2 − n_i·B2)² / (B2(2N−B2) − N·l_j) is exact (denominator
+    * l(N−l) > 0 at the edges whenever the grid has ≥ 2 values), and
+    * its e6 quantization splits the division
+    * ((q div d)·10⁶ + (q mod d)·10⁶ div d) so the largest
+    * intermediate is num² ≤ 4N⁴ — inside decimal(38) to N ≈ 10⁹.
+    * One truncation per cell, one per group (the ANOVA ledger rule),
+    * one final; A²_e6 = (N−1)·T div N².
+    *
+    * Scale shape: pooled grid via [[graft.scale.GridPrefix
+    * .prefixSums]]; the DENSE (group × grid) frame is k·L rows (k
+    * config-small — every group needs its cumulative at EVERY pooled
+    * value because absent cells still carry weight), cumulated by
+    * the GROUPED prefix; aggregates keyed. Null when k &lt; 2 or the
+    * grid is a single value.
+    * @return per group: (group, n_g, n, k, a2_e6) — the global
+    *         statistic broadcast onto each group row (q317
+    *         convention) */
+  def andersonDarlingK(df: DataFrame, groupCol: String,
+                       valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rows = df.select(col(groupCol).as("grp"),
+                         col(valueCol).cast("long").as("v"))
+    val grid = graft.scale.GridPrefix.prefixSums(
+        rows.groupBy(col("v")).agg(count(lit(1)).as("l")), "v", "l")
+      .withColumn("b2", lit(2L) * col("cum") - col("l"))
+      .drop("cum_before")
+    val tot = grid.agg(max(col("cum")).as("n"),
+                       count(lit(1)).as("n_vals"))
+    val grps = rows.groupBy(col("grp")).agg(count(lit(1)).as("n_g"))
+    val perGV = rows.groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).as("c_ij"))
+    // dense (group × pooled-grid) frame: absent cells count 0 but
+    // still contribute (the group's CDF is flat there, the pooled
+    // weight is not)
+    val dense = grid.crossJoin(broadcast(grps))
+      .join(perGV, Seq("grp", "v"), "left")
+      .na.fill(0L, Seq("c_ij"))
+    val cum = graft.scale.GridPrefix.groupedPrefixSums(
+        dense, "grp", "v", Seq("c_ij"))
+      .withColumn("m2", lit(2L) * col("cum_c_ij") - col("c_ij"))
+      .crossJoin(broadcast(tot))
+    val num = col("n").cast(d38) * col("m2") -
+      col("n_g").cast(d38) * col("b2")
+    val cells = cum
+      .withColumn("num2", num * num)
+      .withColumn("den",
+        col("b2").cast(d38) * (lit(2L) * col("n") - col("b2")) -
+          col("n").cast(d38) * col("l"))
+      // e6 ratio with the division split: q·10⁶ would overflow
+      // decimal(38) where q alone does not; den = 0 only on the
+      // single-value degenerate grid (output nulled below) — the
+      // guard keeps ANSI division from throwing there
+      .withColumn("ratio_e6", expr(
+        "CASE WHEN den <= 0 THEN CAST(0 AS DECIMAL(38,0)) ELSE" +
+          " (num2 div den) * 1000000 + (num2 % den) * 1000000 div den" +
+          " END"))
+      .withColumn("cell", col("l").cast(d38) * col("ratio_e6"))
+    val perG = cells.groupBy(col("grp"))
+      .agg(max(col("n_g")).as("n_g"), sum(col("cell")).as("g_sum"),
+           max(col("n")).as("n"), max(col("n_vals")).as("n_vals"))
+      .withColumn("gi", expr("g_sum div n_g"))
+    val t = perG.agg(sum(col("gi")).as("t_sum"), count(lit(1)).as("k"))
+    perG.crossJoin(broadcast(t))
+      .select(col("grp").as(groupCol), col("n_g"), col("n"), col("k"),
+        when(col("k") < 2L || col("n_vals") < 2L, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) - 1) * t_sum" +
+              " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
+          .as("a2_e6"))
+  }
+
+  /** Friedman test — the REPEATED-MEASURES member closing the rank
+    * family: [[kruskalWallis]] compares k INDEPENDENT groups; this
+    * compares k treatments measured on the SAME blocks (k event
+    * types' daily volumes ranked within each day, k quality gates'
+    * scores per document), killing the between-block variance the
+    * way a paired t-test kills between-subject variance. Complete
+    * blocks only (a block missing a treatment is dropped — the
+    * standard Friedman contract); midranks within blocks.
+    *
+    * With doubled midranks r2 = 2·cum_&lt;v + t + 1 (exact integers,
+    * the [[mannWhitneyU]] device), the tie-corrected statistic
+    * χ²_F = (k−1)·Σ_j (R2_j − n(k+1))² / (A2 − C2) with
+    * R2_j = Σ_blocks r2_ij, A2 = Σ_ij r2_ij², C2 = n·k·(k+1)² — all
+    * exact integer aggregates (numerator decimal(38) ~ n²k³), one
+    * truncating e6 division. Null when A2 = C2 (every block fully
+    * tied). Scale shape: the within-block rank window partitions by
+    * BLOCK — each partition is k rows (config-small treatments),
+    * blocks spread across tasks; no pooled sort anywhere.
+    *
+    * @param df (block, treatment, value) rows, ONE row per pair
+    * @return per treatment: (treatment, r2_sum, n_blocks, k,
+    *         chi2_e6) — the per-treatment decomposition with the
+    *         global statistic broadcast (the q317 convention) */
+  def friedman(df: DataFrame, blockCol: String, trtCol: String,
+               valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(blockCol).as("blk"), col(trtCol).as("trt"),
+                         col(valueCol).cast("long").as("v"))
+    val kTot = rows.select(col("trt")).distinct()
+      .agg(count(lit(1)).as("k"))
+    // complete blocks only: exactly one row per (block, treatment)
+    // and all k treatments present
+    val complete = rows.groupBy(col("blk"))
+      .agg(count(lit(1)).as("c_rows"),
+           count_distinct(col("trt")).as("c_trt"))
+      .crossJoin(broadcast(kTot))
+      .filter(col("c_rows") === col("c_trt") && col("c_trt") === col("k"))
+      .select(col("blk"), col("k"))
+    val inBlk = rows.join(complete, Seq("blk"))
+    // doubled midranks within the k-row block: cum over the block's
+    // per-value counts (window partition = one block = k rows)
+    val cnt = inBlk.groupBy(col("blk"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum",
+        sum(col("c")).over(w.partitionBy(col("blk")).orderBy(col("v"))))
+      .withColumn("r2", lit(2L) * (col("cum") - col("c")) + col("c") + 1L)
+    val ranked = inBlk.join(cnt.select(col("blk"), col("v"), col("r2")),
+      Seq("blk", "v"))
+    val perT = ranked.groupBy(col("trt"))
+      .agg(sum(col("r2")).as("r2_sum"), count(lit(1)).as("n_blocks"),
+           max(col("k")).as("k"),
+           sum(col("r2") * col("r2")).as("a2_part"))
+    val tot = perT.agg(sum(col("a2_part")).as("a2"),
+      max(col("n_blocks")).as("n"), max(col("k")).as("kk"))
+    val terms = perT.crossJoin(broadcast(tot))
+      .withColumn("dev2", (col("r2_sum").cast(d38) -
+        col("n").cast(d38) * (col("kk") + 1L)) *
+        (col("r2_sum").cast(d38) - col("n").cast(d38) * (col("kk") + 1L)))
+    val g = terms.agg(sum(col("dev2")).as("num"),
+      max(col("a2") - col("n").cast(d38) * col("kk") *
+        (col("kk") + 1L) * (col("kk") + 1L)).as("den"))
+    terms.crossJoin(broadcast(g))
+      .select(col("trt").as(trtCol), col("r2_sum"), col("n_blocks"),
+        col("k"),
+        when(col("den") <= lit(0) || col("k") < 2L,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((k - 1) * num * 1000000 div den AS BIGINT)"))
+          .as("chi2_e6"))
+  }
 }

@@ -145,4 +145,120 @@ object MlEval {
           expr("cum_pos * 1000000 div pos_total"))
           .otherwise(lit(null).cast("long")).as("cum_capture_e6"))
   }
+
+  /** Calibration readout — Brier score + reliability bins (the ECE
+    * decomposition): [[aucExact]] and [[averagePrecision]] grade the
+    * RANKING a score induces; this grades the score AS A PROBABILITY
+    * — "when the gate says 0.8, is it right 80% of the time" — the
+    * number that decides whether a threshold chosen offline
+    * transfers to a shifted corpus.
+    *
+    * Input probabilities live on the e6 grid (p_e6 ∈ [0, 10⁶], the
+    * engine's fixed-point probability convention). Per fixed-width
+    * bin b: confidence = Σp_e6 div n_b, accuracy = 10⁶·pos_b div
+    * n_b, gap = |Σp_e6 − 10⁶·pos_b| div n_b — exact integers.
+    * Global ECE = Σ_b |Σp_e6(b) − 10⁶·pos_b| div N (ONE truncation,
+    * not a sum of per-bin roundings); global Brier =
+    * Σ(p_e6 − 10⁶y)² div (N·10⁶) (terms ≤ 10¹² — the sum needs
+    * decimal(38) past ~10⁶ rows), landing Brier on the same e6
+    * grid. ONE corpus aggregate into nBins groups; every window-free.
+    *
+    * @param df rows with an e6 probability and a 0/1 label
+    * @param nBins fixed-width bin count (config; bin 0 = [0, 1/B))
+    * @return per bin: (bin, n, n_pos, conf_e6, acc_e6, gap_e6,
+    *         n_total, ece_e6, brier_e6) — global columns broadcast
+    *         onto every bin row (the q317 convention) */
+  def brierCalibration(df: DataFrame, probE6Col: String, labelCol: String,
+                       nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, "nBins config-bounded")
+    val d38 = "decimal(38,0)"
+    val rows = df.select(col(probE6Col).cast("long").as("p"),
+                         col(labelCol).cast("long").as("y"))
+    val perB = rows
+      .withColumn("bin",
+        least(expr(s"p * CAST($nBins AS BIGINT) div 1000000"),
+          lit(nBins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+           sum(col("p")).as("sum_p"),
+           sum((col("p") - lit(1000000L) * col("y")).cast(d38) *
+             (col("p") - lit(1000000L) * col("y"))).as("sq"))
+    val tot = perB.agg(sum(col("n")).as("n_total"),
+      sum(abs(col("sum_p") - lit(1000000L) * col("n_pos"))).as("gap_sum"),
+      sum(col("sq")).as("sq_sum"))
+    perB.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("sum_p div n").as("conf_e6"),
+        expr("n_pos * 1000000 div n").as("acc_e6"),
+        expr("abs(sum_p - 1000000 * n_pos) div n").as("gap_e6"),
+        col("n_total"),
+        expr("gap_sum div n_total").as("ece_e6"),
+        expr("CAST(sq_sum div (CAST(n_total AS DECIMAL(38,0)) * 1000000)" +
+          " AS BIGINT)").as("brier_e6"))
+  }
+
+  /** Best-F1 threshold sweep — the operating-point chooser the rank
+    * metrics above inform but don't decide: walk every distinct
+    * score as the "keep s ≥ thr" threshold, score each by exact F1,
+    * and return the confusion matrix at the argmax (ties broken
+    * toward the HIGHER threshold — the smaller keep set). The
+    * threshold a score-based curation gate actually ships with.
+    *
+    * Per distinct score v (descending): TP = cum_pos, FP = cum −
+    * cum_pos, FN = P − TP; F1 = 2TP/(2TP+FP+FN) exact as
+    * 2·TP·10⁶ div (2TP+FP+FN) (denominator > 0 at every grid
+    * threshold — cum ≥ 1). The argmax is TWO exact max aggregates
+    * (max F1, then max threshold among rows attaining it — no
+    * struct-ordered argmax, both engines replay it verbatim).
+    * Precision/recall at the winner are truncating e6; MCC is one
+    * fixed double tree over the exact counts (products ~ n⁴ sit
+    * well inside double range). Rides the same negated-score grid
+    * prefix as [[aucExact]] — no single-task sort, corpus touched
+    * once.
+    * @return one row: (thr, tp, fp, fn, tn, prec_e6, rec_e6, f1_e6,
+    *         mcc_e6) — f1/recall null when there are no positives;
+    *         MCC null when either class is empty or its denominator
+    *         vanishes */
+  def bestF1Threshold(df: DataFrame, scoreCol: String,
+                      labelCol: String): DataFrame = {
+    val g = df.select(col(scoreCol).cast("long").as("s"),
+                      col(labelCol).cast("long").as("y"))
+      // negate so the VALUE-ascending grid walks scores DESCENDING
+      .groupBy((-col("s")).as("v"))
+      .agg(sum(col("y")).as("c_pos"), count(lit(1)).as("c"))
+    val pre = graft.scale.GridPrefix.groupedPrefixSums(
+      g.withColumn("g", lit("all")), "g", "v", Seq("c", "c_pos"))
+    val tot = pre.agg(max(col("cum_c_pos")).as("n_p"),
+                      max(col("cum_c")).as("n_all"))
+    val stats = pre.crossJoin(broadcast(tot))
+      .select((-col("v")).as("thr"),
+        col("cum_c_pos").as("tp"),
+        (col("cum_c") - col("cum_c_pos")).as("fp"),
+        (col("n_p") - col("cum_c_pos")).as("fn"),
+        (col("n_all") - col("n_p") - col("cum_c") + col("cum_c_pos"))
+          .as("tn"),
+        col("n_p"), col("n_all"))
+      .withColumn("f1_e6",
+        expr("2 * tp * 1000000 div (2 * tp + fp + fn)"))
+    val best = stats.agg(max(col("f1_e6")).as("f1_best"))
+    val win = stats.crossJoin(broadcast(best))
+      .filter(col("f1_e6") === col("f1_best"))
+    val thrBest = win.agg(max(col("thr")).as("thr_best"))
+    val mccDen = sqrt(
+      (col("tp") + col("fp")).cast("double") * (col("tp") + col("fn")) *
+        (col("tn") + col("fp")) * (col("tn") + col("fn")))
+    val mccNum = (col("tp").cast("decimal(38,0)") * col("tn") -
+      col("fp").cast("decimal(38,0)") * col("fn")).cast("double")
+    win.crossJoin(broadcast(thrBest))
+      .filter(col("thr") === col("thr_best"))
+      .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("tp * 1000000 div (tp + fp)").as("prec_e6"),
+        when(col("n_p") > 0L, expr("tp * 1000000 div n_p"))
+          .otherwise(lit(null).cast("long")).as("rec_e6"),
+        when(col("n_p") > 0L, col("f1_e6"))
+          .otherwise(lit(null).cast("long")).as("f1_e6"),
+        when(col("n_p") > 0L && col("n_p") < col("n_all") && mccDen > 0.0,
+          round(mccNum / mccDen * 1e6).cast("long"))
+          .otherwise(lit(null).cast("long")).as("mcc_e6"))
+  }
 }

@@ -1045,6 +1045,79 @@ object StreamOps {
       }
   }
 
+  /** Streaming Page–Hinkley drift gate — the ONLINE change detector
+    * the batch CUSUM can't be ([[graft.ts.SeriesOps.pageHinkley]]'s
+    * scaladoc): the statistic needs only the RUNNING mean, so state
+    * is seven longs per series FOREVER (day count, running sum, U,
+    * min U, max U, pending day, pending sum) — no per-day history,
+    * no calendar bound needed. Day-close and lateness semantics are
+    * [[streamingHoltWinters]]'s: a day folds exactly once when a
+    * later day first arrives; closed days are final. Every emitted
+    * row equals the batch ledger row over the closed-day sums
+    * (spec-pinned parity — identical truncating long arithmetic,
+    * with the same documented |x| ≤ 10⁹-cents bound keeping the
+    * ·10⁶ product inside int64). */
+  case class PhState(t: Long, cum: Long, u: Long, minU: Long, maxU: Long,
+                     pendDay: Long, pendSum: Long)
+  case class PhUpdate(series: String, day_sec: Long, y_c: Long,
+                      u_e6: Long, alarm_up: Long, alarm_down: Long)
+
+  def streamingPageHinkley(stream: DataFrame, seriesCol: String,
+                           tsCol: String, vCol: String,
+                           deltaE6: Long = 0L,
+                           lambdaE6: Long = 50000000L)
+      : org.apache.spark.sql.Dataset[PhUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val NONE = Long.MinValue
+    // fold ONE closed day: t·x − cum is exact; one truncating
+    // division per day — identical to the batch window ledger
+    def foldDay(st: PhState, key: String, d: Long, x: Long)
+        : (PhState, PhUpdate) = {
+      val t = st.t + 1
+      val cum = st.cum + x
+      val dev = (t * x - cum) * 1000000L / t - deltaE6
+      val u = st.u + dev
+      val minU = if (t == 1L) u else math.min(st.minU, u)
+      val maxU = if (t == 1L) u else math.max(st.maxU, u)
+      (st.copy(t = t, cum = cum, u = u, minU = minU, maxU = maxU),
+       PhUpdate(key, d, x, u,
+         if (u - minU > lambdaE6) 1L else 0L,
+         if (maxU - u > lambdaE6) 1L else 0L))
+    }
+    stream
+      .select(col(seriesCol).cast("string"),
+        date_trunc("day", col(tsCol).cast("timestamp")).cast("long"),
+        col(vCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[PhState]) =>
+          var st = state.getOption.getOrElse(
+            PhState(0L, 0L, 0L, 0L, 0L, NONE, 0L))
+          val days = rows.foldLeft(Map.empty[Long, Long]) {
+            case (acc, (_, d, v)) =>
+              acc.updated(d, acc.getOrElse(d, 0L) + v)
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[PhUpdate]
+          days.toSeq.sorted.foreach { case (d, s) =>
+            if (st.pendDay == NONE)
+              st = st.copy(pendDay = d, pendSum = s)
+            else if (d == st.pendDay)
+              st = st.copy(pendSum = st.pendSum + s)
+            else if (d > st.pendDay) {
+              val (st2, row) = foldDay(st, key, st.pendDay, st.pendSum)
+              out += row
+              st = st2.copy(pendDay = d, pendSum = s)
+            } // d < pendDay: closed days are final — ignored
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** STREAMING NEAR-DUP ADMISSION GATE — the STATEFUL member of the
     * streaming dedup family: where [[streamingNearDupCandidates]] /
     * [[streamingNearDupConfirmedEst]] probe a STATIC corpus index,

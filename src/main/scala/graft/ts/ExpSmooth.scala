@@ -342,4 +342,98 @@ object ExpSmooth {
           | element_at(st.sv, CAST((st.t + h - 1) % $m AS INT) + 1)"""
           .stripMargin).as("pred_c"))
   }
+
+  /** Theta-method smoothing (Assimakopoulos–Nikolopoulos, θ = 2) —
+    * the M3-winning middle ground between Holt's recursion and the
+    * plain OLS trend (q-per-series trend): decompose the series into
+    * the θ = 0 line (the OLS trend, pure long-run direction) and the
+    * θ = 2 line z_t = 2y_t − (a + b·t) (curvature doubled), SES the
+    * θ = 2 line, and forecast with the average of the two — the
+    * drift the SES alone underestimates comes from the line, the
+    * local level the line ignores comes from the SES.
+    *
+    * Exactness: the OLS coefficients are quantized ONCE to the e6
+    * grid by truncating division of exact integer sums (b_e6 =
+    * 10⁶·(nΣty − ΣtΣy) div D with D = n²(n²−1)/12 in closed form;
+    * a_e6 = (10⁶Σy − b_e6·Σt) div n — decimal(38) guards nΣty);
+    * everything after runs on exact e6 longs: z, the SES recursion
+    * (l' = (aN·z + (aD−aN)·l) div aD, l₁ = z₁), and the one-step
+    * forecast pred_t = (l_{t−1} + a_e6 + b_e6·t) div 2 made BEFORE
+    * seeing y_t (pred₁ = 10⁶·y₁). A SQL oracle replays every step.
+    *
+    * Scale shape: [[doubleExpSmooth]]'s — one bounded calendar-grid
+    * array per series (the e6 grid bounds |y|·n·10⁶ ≲ int64: cents
+    * levels to ~10⁹ on decade grids), series count is the parallel
+    * axis. @return per (key, date): (key, date, y_c, line_e6,
+    * ses_e6, pred_e6) */
+  def thetaSmooth(daily: DataFrame, keyCol: String, dateCol: String,
+                  vCol: String, aNum: Int = 2, aDen: Int = 10): DataFrame = {
+    require(aNum > 0 && aNum < aDen, "alpha in (0, 1)")
+    val d38 = "decimal(38,0)"
+    val packed = daily
+      .select(col(keyCol).as("k"), col(dateCol).as("d"),
+              col(vCol).cast("long").as("y"))
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("d"), col("y")))).as("s"))
+      .withColumn("n", size(col("s")).cast("long"))
+      // Σy and Σt·y in one array pass (t = 1-based position)
+      .withColumn("sums", expr(
+        """aggregate(s,
+          |  named_struct('t', CAST(0 AS BIGINT), 'sy', CAST(0 AS BIGINT),
+          |               'sty', CAST(0 AS BIGINT)),
+          |  (acc, x) -> named_struct('t', acc.t + 1,
+          |    'sy', acc.sy + x.y, 'sty', acc.sty + (acc.t + 1) * x.y),
+          |  acc -> acc)""".stripMargin))
+      // closed forms: Σt = n(n+1)/2, D = n²(n²−1)/12 (exact — both
+      // divide evenly); decimal(38) carries n·Σty past int64
+      .withColumn("st", expr("n * (n + 1) div 2"))
+      .withColumn("b_e6", expr(
+        s"""CASE WHEN n < 2 THEN CAST(0 AS BIGINT)
+           |ELSE CAST((CAST(n AS $d38) * sums.sty
+           |           - CAST(st AS $d38) * sums.sy) * 1000000
+           |  div (CAST(n AS $d38) * n * (CAST(n AS $d38) * n - 1)
+           |       div 12) AS BIGINT) END""".stripMargin))
+      .withColumn("a_e6", expr(
+        s"""CAST((CAST(sums.sy AS $d38) * 1000000
+           |  - CAST(b_e6 AS $d38) * st) div n AS BIGINT)""".stripMargin))
+    // z_t = 2·10⁶·y − (a + b·t); SES on z; pred from the PREVIOUS
+    // SES state plus the line at t, halved
+    val fold =
+      """aggregate(
+        |  s,
+        |  named_struct(
+        |    't', CAST(0 AS BIGINT), 'l', CAST(0 AS BIGINT),
+        |    'out', CAST(array() AS
+        |      ARRAY<STRUCT<d: DATE, y: BIGINT, line: BIGINT,
+        |                   ses: BIGINT, pred: BIGINT>>)),
+        |  (acc, x) -> CASE WHEN acc.t = 0 THEN
+        |      named_struct('t', CAST(1 AS BIGINT),
+        |        'l', 2 * 1000000 * x.y - (a_e6 + b_e6),
+        |        'out', array(named_struct('d', x.d, 'y', x.y,
+        |          'line', a_e6 + b_e6,
+        |          'ses', 2 * 1000000 * x.y - (a_e6 + b_e6),
+        |          'pred', 1000000 * x.y)))
+        |    ELSE
+        |      named_struct('t', acc.t + 1,
+        |        'l', (ANUM * (2 * 1000000 * x.y
+        |                      - (a_e6 + b_e6 * (acc.t + 1)))
+        |              + ADM * acc.l) div ADEN,
+        |        'out', array_append(acc.out, named_struct(
+        |          'd', x.d, 'y', x.y,
+        |          'line', a_e6 + b_e6 * (acc.t + 1),
+        |          'ses', (ANUM * (2 * 1000000 * x.y
+        |                          - (a_e6 + b_e6 * (acc.t + 1)))
+        |                  + ADM * acc.l) div ADEN,
+        |          'pred', (acc.l + a_e6 + b_e6 * (acc.t + 1)) div 2)))
+        |    END,
+        |  acc -> acc.out)""".stripMargin
+        .replace("ANUM", aNum.toString)
+        .replace("ADM", (aDen - aNum).toString)
+        .replace("ADEN", aDen.toString)
+    packed
+      .select(col("k"), explode(expr(fold)).as("r"))
+      .select(col("k").as(keyCol), col("r.d").as(dateCol),
+              col("r.y").as("y_c"), col("r.line").as("line_e6"),
+              col("r.ses").as("ses_e6"), col("r.pred").as("pred_e6"))
+  }
 }

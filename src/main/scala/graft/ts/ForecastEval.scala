@@ -61,4 +61,63 @@ object ForecastEval {
           .cast("long").as("mase_e6"),
         expr("sm_sum div n_hold").as("smape_e6"))
   }
+
+  /** Pinball-loss scorecard for QUANTILE forecasts — the yardstick
+    * the point-forecast metrics above can't provide: a q-quantile
+    * prediction is judged by the asymmetric pinball loss
+    * (q·(y−ŷ) when y ≥ ŷ, (1−q)·(ŷ−y) otherwise — the loss whose
+    * minimizer IS the q-quantile), plus empirical coverage (the
+    * fraction of days y ≤ ŷ, which a calibrated q-quantile holds
+    * near q). The evaluated forecaster is the honest baseline every
+    * probabilistic model must beat: the exact lower q-quantile of
+    * the trailing w days.
+    *
+    * Exactness: the prediction is an ORDER STATISTIC (index
+    * ((w−1)·qn) div qd, a compile-time constant per quantile — no
+    * interpolation), per-day losses are exact longs scaled by the
+    * quantile denominator, and the two scorecard divisions truncate
+    * (decimal(38) guards Σloss·10⁶). Scale shape: one per-key
+    * w-row sliding window (w config-bounded — the buffer is w longs
+    * per row), quantiles explode a k-literal array; aggregates
+    * keyed. Days without a FULL trailing window are skipped (no
+    * partial-window optimism).
+    *
+    * @param quantiles (num, den) pairs, 0 < num < den
+    * @return per (key, quantile): (key, q_num, q_den, n_eval,
+    *         pinball_e6, cover_e6) */
+  def pinballScorecard(daily: DataFrame, keyCol: String, dateCol: String,
+                       vCol: String, w: Int = 28,
+                       quantiles: Seq[(Int, Int)] =
+                         Seq((1, 10), (5, 10), (9, 10))): DataFrame = {
+    require(w >= 2 && w <= 3653, "window config-bounded")
+    require(quantiles.nonEmpty && quantiles.forall {
+      case (n, d) => n > 0 && n < d }, "quantiles in (0, 1)")
+    val wk = Window.partitionBy(col("k")).orderBy(col("d"))
+      .rowsBetween(-w, -1)
+    val qArr = array(quantiles.map { case (n, d) =>
+      struct(lit(n.toLong).as("qn"), lit(d.toLong).as("qd"),
+             lit(((w - 1) * n) / d + 1).as("idx")) }: _*)
+    val base = daily
+      .select(col(keyCol).as("k"), col(dateCol).as("d"),
+              col(vCol).cast("long").as("y"))
+      .withColumn("hist", collect_list(col("y")).over(wk))
+      .filter(size(col("hist")) === w)
+      .withColumn("srt", array_sort(col("hist")))
+      .withColumn("q", explode(qArr))
+      .withColumn("pred", element_at(col("srt"), col("q.idx")))
+      .withColumn("loss_d", // pinball loss scaled by qd — exact long
+        when(col("y") >= col("pred"),
+          col("q.qn") * (col("y") - col("pred")))
+          .otherwise((col("q.qd") - col("q.qn")) *
+            (col("pred") - col("y"))))
+    base.groupBy(col("k"), col("q.qn").as("q_num"), col("q.qd").as("q_den"))
+      .agg(count(lit(1)).as("n_eval"), sum(col("loss_d")).as("loss_sum"),
+           sum(when(col("y") <= col("pred"), 1L).otherwise(0L))
+             .as("n_cover"))
+      .select(col("k").as(keyCol), col("q_num"), col("q_den"),
+        col("n_eval"),
+        expr("CAST(CAST(loss_sum AS DECIMAL(38,0)) * 1000000" +
+          " div (n_eval * q_den) AS BIGINT)").as("pinball_e6"),
+        expr("n_cover * 1000000 div n_eval").as("cover_e6"))
+  }
 }

@@ -109,6 +109,48 @@ object SeriesOps {
         col("total_n").cast("long").as("total_n"))
   }
 
+  /** Page–Hinkley drift ledger — the ONLINE complement to
+    * [[cusumChangepoint]]: CUSUM locates the single most likely
+    * change RETROSPECTIVELY (it needs the whole series' mean); the
+    * Page–Hinkley statistic needs only the RUNNING mean, so the same
+    * arithmetic can run in a stream with O(1) state per series
+    * ([[graft.streaming.StreamOps.streamingPageHinkley]] — parity
+    * spec-pinned against this ledger). Per day t:
+    *
+    *   dev_t = (t·x_t − cum_t)·10⁶ div t − δ      (x_t − mean_{≤t} − δ)
+    *   U_t   = Σ_{i≤t} dev_i,  M_t = min_{i≤t} U_i,  W_t = max_{i≤t} U_i
+    *   alarm_up_t   = U_t − M_t > λ   (level shifted UP since M's day)
+    *   alarm_down_t = W_t − U_t > λ
+    *
+    * Exactness: t·x − cum is an exact long; the ·10⁶ product runs in
+    * decimal(38) before ONE truncating division per day (the only
+    * quantization), so U/M/W are exact longs (|x| ≤ 10⁹ cents on
+    * decade grids keeps U under int64) and the oracle replays every
+    * day. Shape: per-key running windows only (series-partitioned,
+    * calendar-bounded) — no global sort, no aggregate pass.
+    * @return per (key, day): (key, day, y_c, u_e6, alarm_up,
+    *         alarm_down) */
+  def pageHinkley(daily: DataFrame, keyCol: String, dateCol: String,
+                  vCol: String, deltaE6: Long = 0L,
+                  lambdaE6: Long = 50000000L): DataFrame = {
+    val run = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seq = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+    daily
+      .select(col(keyCol), col(dateCol), col(vCol).cast("long").as("x"))
+      .withColumn("t", row_number().over(seq).cast("long"))
+      .withColumn("cum", sum(col("x")).over(run))
+      .withColumn("dev", expr(
+        s"CAST(CAST(t * x - cum AS DECIMAL(38,0)) * 1000000 div t" +
+          s" AS BIGINT) - $deltaE6"))
+      .withColumn("u_e6", sum(col("dev")).over(run))
+      .withColumn("m", min(col("u_e6")).over(run))
+      .withColumn("w", max(col("u_e6")).over(run))
+      .select(col(keyCol), col(dateCol), col("x").as("y_c"), col("u_e6"),
+        (col("u_e6") - col("m") > lambdaE6).cast("long").as("alarm_up"),
+        (col("w") - col("u_e6") > lambdaE6).cast("long").as("alarm_down"))
+  }
+
   /** Pairwise Pearson correlation across series: every unordered
     * series pair's correlation over their shared dates, from
     * closed-form sums in ONE keyed join + one keyed aggregate. The

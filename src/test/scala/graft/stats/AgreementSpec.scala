@@ -69,4 +69,35 @@ class AgreementSpec extends AnyFunSuite {
     val none = mcn(Seq.fill(3)(1L -> 1L) ++ Seq.fill(2)(0L -> 0L))
     assert(none._3.isEmpty && none._4.isEmpty, s"$none")
   }
+
+  private def cq(rows: Seq[Seq[Long]]): (Long, Long, Long, Option[Long]) = {
+    import spark.implicits._
+    val df = rows.map { r => (r(0), r(1), r.lift(2).getOrElse(-1L)) }
+      .toDF("g0", "g1", "g2")
+    val cols = if (rows.head.size == 2) Seq("g0", "g1")
+               else Seq("g0", "g1", "g2")
+    val r = Agreement.cochranQ(df.select(cols.map(org.apache.spark.sql
+      .functions.col): _*), cols).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2),
+     Option(r.get(3)).map(_.asInstanceOf[Long]))
+  }
+
+  test("cochranQ: k = 2 reduces exactly to McNemar's uncorrected χ²") {
+    // b=6, c=2 → McNemar χ² = 16/8 = 2.0; Q must match
+    val rows = Seq.fill(6)(Seq(1L, 0L)) ++ Seq.fill(2)(Seq(0L, 1L)) ++
+      Seq.fill(5)(Seq(1L, 1L)) ++ Seq.fill(3)(Seq(0L, 0L))
+    val r = cq(rows)
+    assert(r._2 == 2L && r._4 == Some(2000000L), s"$r")
+  }
+
+  test("cochranQ: k = 3 hand case; all-agreeing rows degenerate to null") {
+    // G=(3,3,1), T=7, ΣL²=15: Q = 2·8/6 = 2.666666 (truncating)
+    val rows = Seq(Seq(1L, 1L, 1L), Seq(1L, 0L, 0L),
+                   Seq(0L, 1L, 0L), Seq(1L, 1L, 0L))
+    val r = cq(rows)
+    assert(r == ((4L, 3L, 7L, Some(2666666L))), s"$r")
+    // every doc kept by all gates or none: den = 0 → null
+    val flat = cq(Seq(Seq(1L, 1L, 1L), Seq(0L, 0L, 0L)))
+    assert(flat._4.isEmpty, s"$flat")
+  }
 }

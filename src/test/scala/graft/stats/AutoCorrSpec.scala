@@ -88,4 +88,30 @@ class AutoCorrSpec extends AnyFunSuite {
     assert(out("flat")._3.isEmpty, s"${out("flat")}")
     assert(out("tiny")._3.isEmpty, s"${out("tiny")}")
   }
+
+  test("Diagnostics.acfPeriod finds a planted weekly season; degenerate series null") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def series(name: String, ys: Seq[Double]) =
+      ys.zipWithIndex.map { case (v, i) =>
+        (name, new Timestamp(base + i * 86400000L), v) }
+    // strong period-7 signal over 10 weeks + a constant series
+    val weekly = Seq.tabulate(70)(i =>
+      100.0 + 40.0 * math.cos(2 * math.Pi * i / 7.0))
+    val rows = series("wk", weekly) ++ series("flat", Seq.fill(30)(3.0))
+    val out = Diagnostics.acfPeriod(rows.toDF("series", "ds", "y"),
+        "series", minLag = 2, nlags = Some(10))
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
+    assert(out("wk") == ((Some(7L), Some(1L))), s"${out("wk")}")
+    assert(out("flat")._1.isEmpty, s"${out("flat")}")
+    // threshold replays the fixed double tree
+    val thr = Diagnostics.acfPeriod(rows.toDF("series", "ds", "y"),
+        "series", minLag = 2, nlags = Some(10))
+      .collect().find(_.getString(0) == "wk").get.getLong(4)
+    assert(thr == BigDecimal(1.96 / math.sqrt(70.0) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+  }
 }

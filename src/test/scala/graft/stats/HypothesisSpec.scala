@@ -120,6 +120,109 @@ class HypothesisSpec extends AnyFunSuite {
     assert(got("b") == ((3L, Some(3857143L))), s"$got")
   }
 
+  test("cochranArmitage: perfect dose trend hits the closed form") {
+    // w=0: 0/2, w=1: 1/2, w=2: 2/2. N=6, R=3, U=5, wn=6, w2n=10.
+    // numN = 6·5−3·6 = 12; radicand = 3·3·(6·10−36) = 216;
+    // z = 12/sqrt(216/5) = 1.8257419
+    import spark.implicits._
+    val df = Seq((0L, 0L), (0L, 0L), (1L, 1L), (1L, 0L),
+                 (2L, 1L), (2L, 1L)).toDF("w", "y")
+    val r = Hypothesis.cochranArmitage(df, "w", "y").collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == math.round(12.0 / math.sqrt(216.0 / 5.0) * 1e6),
+      s"$r")
+  }
+
+  test("cochranArmitage: flat rates give z = 0; constant outcome nulls") {
+    import spark.implicits._
+    val flat = Seq((0L, 1L), (0L, 0L), (1L, 1L), (1L, 0L)).toDF("w", "y")
+    assert(Hypothesis.cochranArmitage(flat, "w", "y")
+      .collect().head.getLong(3) == 0L)
+    val const = Seq((0L, 0L), (1L, 0L), (2L, 0L)).toDF("w", "y")
+    assert(Hypothesis.cochranArmitage(const, "w", "y")
+      .collect().head.isNullAt(3))
+  }
+
+  test("cliffsDelta: separation ±1, overlap hand case, empty arm null") {
+    // a = {3,4} all above b = {1,2}: δ = +1
+    val sep = Hypothesis.cliffsDelta(obs(Seq(("g", 0L, 3L), ("g", 0L, 4L),
+      ("g", 1L, 1L), ("g", 1L, 2L))), "grp", "arm", "v").collect().head
+    assert(sep.getLong(3) == 1000000L, s"$sep")
+    // a = {1,2}, b = {2,3}: gt=0, lt=3, one tie → δ = −3/4
+    val mid = Hypothesis.cliffsDelta(obs(Seq(("g", 0L, 1L), ("g", 0L, 2L),
+      ("g", 1L, 2L), ("g", 1L, 3L))), "grp", "arm", "v").collect().head
+    assert(mid.getLong(3) == -750000L, s"$mid")
+    val empty = Hypothesis.cliffsDelta(obs(Seq(("g", 0L, 1L))),
+      "grp", "arm", "v").collect().head
+    assert(empty.isNullAt(3), s"$empty")
+  }
+
+  private def ad(rows: Seq[(String, Long)]) = {
+    import spark.implicits._
+    Hypothesis.andersonDarlingK(rows.toDF("g", "v"), "g", "v")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(4)).map(_.asInstanceOf[Long]))))
+      .toMap
+  }
+
+  test("andersonDarlingK: exact-fraction anchor on the tied fixture") {
+    // a = {1,2,3,7}, b = {2,4,4,5}: the Scholz–Stephens A²akN
+    // formula in exact rationals gives 0.79924853…; the engine's
+    // per-cell e6 ledger (verified against the fraction computation
+    // offline) lands at 799248
+    val got = ad(Seq("a" -> 1L, "a" -> 2L, "a" -> 3L, "a" -> 7L,
+                     "b" -> 2L, "b" -> 4L, "b" -> 4L, "b" -> 5L))
+    assert(got("a") == ((4L, Some(799248L))), s"$got")
+    assert(got("b") == ((4L, Some(799248L))), s"$got")
+  }
+
+  test("andersonDarlingK: identical groups score exactly 0; separation is large; degenerates null") {
+    // two copies of the same sample: every cell numerator
+    // N·M2 − n_g·B2 vanishes identically
+    val same = ad(Seq("a" -> 1L, "a" -> 2L, "a" -> 3L,
+                      "b" -> 1L, "b" -> 2L, "b" -> 3L))
+    assert(same("a")._2 == Some(0L), s"$same")
+    // disjoint supports (offline fraction value 2.48440065…)
+    val sep = ad(Seq("a" -> 1L, "a" -> 2L, "a" -> 3L,
+                     "b" -> 10L, "b" -> 11L, "b" -> 12L))
+    assert(sep("a")._2 == Some(2484400L), s"$sep")
+    // all values tied (single-point grid) and single group: null
+    val flat = ad(Seq("a" -> 7L, "a" -> 7L, "b" -> 7L))
+    assert(flat("a")._2.isEmpty, s"$flat")
+    val one = ad(Seq("a" -> 1L, "a" -> 2L))
+    assert(one("a")._2.isEmpty, s"$one")
+  }
+
+  private def fr(rows: Seq[(String, String, Long)]) = {
+    import spark.implicits._
+    Hypothesis.friedman(rows.toDF("blk", "trt", "v"), "blk", "trt", "v")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), Option(r.get(4)).map(_.asInstanceOf[Long]))))
+      .toMap
+  }
+
+  test("friedman: textbook no-tie case χ² = 4; incomplete blocks drop") {
+    // two blocks, both ranking t1 < t2 < t3: χ²_F = 4 exactly
+    val base = Seq(("b1", "t1", 1L), ("b1", "t2", 2L), ("b1", "t3", 3L),
+                   ("b2", "t1", 10L), ("b2", "t2", 20L), ("b2", "t3", 30L))
+    val got = fr(base)
+    assert(got("t1") == ((2L, Some(4000000L))), s"$got")
+    // a block missing t3 is dropped — statistic unchanged
+    val extra = fr(base ++ Seq(("b3", "t1", 5L), ("b3", "t2", 6L)))
+    assert(extra("t1") == ((2L, Some(4000000L))), s"$extra")
+  }
+
+  test("friedman: within-block midranks; fully-tied blocks null") {
+    // one block (1,1,2): doubled midranks 3,3,6 → num=6, den=6,
+    // χ² = (k−1)·num/den = 2
+    val t1 = fr(Seq(("b", "t1", 1L), ("b", "t2", 1L), ("b", "t3", 2L)))
+    assert(t1("t3") == ((1L, Some(2000000L))), s"$t1")
+    val flat = fr(Seq(("b", "t1", 5L), ("b", "t2", 5L), ("b", "t3", 5L)))
+    assert(flat("t1")._2.isEmpty, s"$flat")
+  }
+
   test("kruskalWallis: tie correction matches scipy; all-tied is null") {
     // A = {1,1}, B = {2,2}: doubled midranks 3,3,7,7; H0 = 2.4,
     // tiesum = 12, C = 0.8 -> H = 3.0 (scipy.kruskal gives 3.0)

@@ -87,4 +87,57 @@ class MlEvalSpec extends AnyFunSuite {
            ((2L, 2L, Some(833333L))))
     assert(ap(Seq(3L -> 0L, 1L -> 0L)) == ((0L, 2L, None)))
   }
+
+  test("brierCalibration: extreme wrong/right probabilities — Brier 1/2, ECE 1/2") {
+    import spark.implicits._
+    val df = Seq((1000000L, 1L), (0L, 1L)).toDF("p", "y")
+    val got = MlEval.brierCalibration(df, "p", "y", nBins = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(7), r.getLong(8)))).toMap
+    // p=1e6 lands in the LAST bin (9) by the clamp; p=0 in bin 0
+    // bin 9: conf 1e6, acc 1e6, gap 0; bin 0: conf 0, acc 1e6, gap 1e6
+    assert(got(9L) == ((1L, 1L, 1000000L, 1000000L, 0L, 500000L, 500000L)),
+      s"$got")
+    assert(got(0L)._5 == 1000000L, s"$got")
+  }
+
+  test("brierCalibration: a perfectly calibrated bin has gap 0, Brier = p(1−p)") {
+    import spark.implicits._
+    // two rows at p = 0.5, one positive: conf = acc = 0.5, ECE = 0,
+    // Brier = 2·(5·10⁵)²/(2·10⁶·10⁶)... = 0.25
+    val df = Seq((500000L, 1L), (500000L, 0L)).toDF("p", "y")
+    val r = MlEval.brierCalibration(df, "p", "y", nBins = 10)
+      .collect().head
+    assert(r.getLong(0) == 5L && r.getLong(5) == 0L) // bin, gap
+    assert(r.getLong(7) == 0L && r.getLong(8) == 250000L, s"$r") // ece, brier
+  }
+
+  private def f1(rows: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    val r = MlEval.bestF1Threshold(rows.toDF("s", "y"), "s", "y")
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+     Option(r.get(7)).map(_.asInstanceOf[Long]),
+     Option(r.get(8)).map(_.asInstanceOf[Long]))
+  }
+
+  test("bestF1Threshold: picks the clean separating threshold, MCC = 1") {
+    // {3:+, 2:+, 1:−}: thr=2 → tp=2 fp=0 fn=0 tn=1, F1 = MCC = 1
+    val r = f1(Seq(3L -> 1L, 2L -> 1L, 1L -> 0L))
+    assert(r == ((2L, 2L, 0L, 0L, 1L, Some(1000000L), Some(1000000L))),
+      s"$r")
+  }
+
+  test("bestF1Threshold: sweep prefers recall-heavy low threshold when it wins") {
+    // {3:+, 2:−, 1:+}: thr=3 → F1 2/3; thr=2 → 1/2; thr=1 → 4/5 (best)
+    val r = f1(Seq(3L -> 1L, 2L -> 0L, 1L -> 1L))
+    assert(r._1 == 1L && r._6 == Some(800000L), s"$r")
+  }
+
+  test("bestF1Threshold: all-negative ties break toward the higher threshold; nulls") {
+    // every threshold scores F1 = 0 → keep the smallest keep set
+    val r = f1(Seq(2L -> 0L, 1L -> 0L))
+    assert(r._1 == 2L && r._6.isEmpty && r._7.isEmpty, s"$r")
+  }
 }

@@ -214,4 +214,39 @@ class ExpSmoothSpec extends AnyFunSuite {
     assert(math.abs(tDamped) <= math.abs(tHolt),
            s"damped=$tDamped holt=$tHolt")
   }
+
+  private def theta(rows: Seq[(String, String, Long)]) =
+    ExpSmooth.thetaSmooth(rows
+      .toDF("k", "ds", "y")
+      .select(org.apache.spark.sql.functions.col("k"),
+              org.apache.spark.sql.functions.to_date(
+                org.apache.spark.sql.functions.col("ds")).as("d"),
+              org.apache.spark.sql.functions.col("y")),
+      "k", "d", "y")
+      .orderBy("d").collect()
+      .map(r => (r.getAs[Long]("y_c"), r.getAs[Long]("line_e6"),
+                 r.getAs[Long]("ses_e6"), r.getAs[Long]("pred_e6"))).toSeq
+
+  test("thetaSmooth: hand-traced perfect-line case (a=0, b=100)") {
+    // y = 100,200,300: OLS line 100·t exactly; z_t = 2y·1e6 − line
+    // = t·1e8; SES(α=0.2): 1e8, 1.2e8, 1.56e8; pred: y₁·1e6, then
+    // (l_{t−1} + line_t)/2
+    val got = theta(Seq(("s", "2024-01-01", 100L),
+                        ("s", "2024-01-02", 200L),
+                        ("s", "2024-01-03", 300L)))
+    assert(got == Seq(
+      (100L, 100000000L, 100000000L, 100000000L),
+      (200L, 200000000L, 120000000L, 150000000L),
+      (300L, 300000000L, 156000000L, 210000000L)), s"$got")
+  }
+
+  test("thetaSmooth: a constant series is predicted exactly; single point safe") {
+    val got = theta(Seq(("s", "2024-01-01", 50L),
+                        ("s", "2024-01-02", 50L),
+                        ("s", "2024-01-03", 50L)))
+    assert(got.forall(r => r._4 == 50000000L), s"$got")
+    assert(got.forall(r => r._2 == 50000000L && r._3 == 50000000L), s"$got")
+    val one = theta(Seq(("s", "2024-01-01", 70L)))
+    assert(one == Seq((70L, 70000000L, 70000000L, 70000000L)), s"$one")
+  }
 }

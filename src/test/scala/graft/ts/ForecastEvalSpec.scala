@@ -40,4 +40,39 @@ class ForecastEvalSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("mase_e6")))
     assert(r.getAs[Long]("smape_e6") == 0L)
   }
+
+  test("pinballScorecard: hand-traced asymmetric losses, both branches") {
+    // rising series, q = 1/2, w = 2: pred = min of trailing two;
+    // partial-window days 1-2 are skipped
+    val up = (1 to 4).map(i =>
+      ("s", java.sql.Date.valueOf(f"2024-01-0$i"), i * 10L))
+      .toDF("k", "d", "y")
+    val ru = ForecastEval.pinballScorecard(up, "k", "d", "y", w = 2,
+        quantiles = Seq((1, 2))).collect().head
+    // day3: pred 10, y 30, loss 1·20; day4: pred 20, y 40, loss 1·20
+    assert(ru.getAs[Long]("n_eval") == 2L)
+    assert(ru.getAs[Long]("pinball_e6") == 10000000L, s"$ru")
+    assert(ru.getAs[Long]("cover_e6") == 0L)
+    // falling series: the (1−q) branch and full coverage
+    val down = (1 to 4).map(i =>
+      ("s", java.sql.Date.valueOf(f"2024-01-0$i"), (5 - i) * 10L))
+      .toDF("k", "d", "y")
+    val rd = ForecastEval.pinballScorecard(down, "k", "d", "y", w = 2,
+        quantiles = Seq((1, 2))).collect().head
+    // day3: pred 30, y 20, loss 1·10; day4: pred 20, y 10, loss 1·10
+    assert(rd.getAs[Long]("pinball_e6") == 5000000L, s"$rd")
+    assert(rd.getAs[Long]("cover_e6") == 1000000L)
+  }
+
+  test("pinballScorecard: order-statistic indices and a calibrated constant") {
+    // constant series: every quantile predicts y exactly — loss 0,
+    // coverage 1 (ties count as covered at every q)
+    val flat = (1 to 6).map(i =>
+      ("s", java.sql.Date.valueOf(f"2024-01-0$i"), 70L)).toDF("k", "d", "y")
+    val got = ForecastEval.pinballScorecard(flat, "k", "d", "y", w = 3)
+      .collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getAs[Long]("pinball_e6") == 0L), s"${got.toSeq}")
+    assert(got.forall(_.getAs[Long]("cover_e6") == 1000000L))
+  }
 }

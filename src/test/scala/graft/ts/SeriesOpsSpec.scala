@@ -304,4 +304,31 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(got == Map("2024-03-01" -> 2L, "2024-03-02" -> 0L,
                       "2024-03-03" -> 1L))
   }
+
+  test("pageHinkley: hand-traced ledger, upward alarm, truncation toward zero") {
+    import spark.implicits._
+    // flat 10,10 then 40: dev = 0, 0, +20e6 — U jumps to 2e7 and
+    // alarms under λ = 1e7; the min envelope stays 0
+    val daily = Seq(("a", d("2024-01-01"), 10L),
+                    ("a", d("2024-01-02"), 10L),
+                    ("a", d("2024-01-03"), 40L))
+      .toDF("k", "dd", "v")
+    val got = SeriesOps.pageHinkley(daily, "k", "dd", "v",
+        deltaE6 = 0L, lambdaE6 = 10000000L)
+      .orderBy("dd").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == Seq((10L, 0L, 0L, 0L), (10L, 0L, 0L, 0L),
+                      (40L, 20000000L, 1L, 0L)), s"$got")
+    // negative non-divisible step truncates TOWARD ZERO (Spark div):
+    // 10,3,3 → t3: dev = (9−16)·1e6/3 = −2333333 (not −2333334)
+    val neg = Seq(("a", d("2024-01-01"), 10L),
+                  ("a", d("2024-01-02"), 3L),
+                  ("a", d("2024-01-03"), 3L))
+      .toDF("k", "dd", "v")
+    val u3 = SeriesOps.pageHinkley(neg, "k", "dd", "v")
+      .orderBy("dd").collect().map(_.getLong(3))
+    // t2: dev = (6−13)·1e6/2 = −3500000; t3: −2333333
+    assert(u3.toSeq == Seq(0L, -3500000L, -5833333L), s"${u3.toSeq}")
+  }
 }
