@@ -1317,6 +1317,216 @@ object DiagQueries {
       |  END AS a2_e6
       |FROM gi CROSS JOIN t""".stripMargin
 
+  /** q332 — SPRT experiment ledger ([[graft.ts.Sprt.sprtLedger]],
+    * H0: p = 0.5 vs H1: p = 0.55, α = 0.05, β = 0.2) per event type:
+    * treat each event's value &gt; 500 as a Bernoulli outcome and ask,
+    * day by day, whether the test can STOP — the first boundary
+    * crossing freezes the decision (the sequential contract). The
+    * four log terms are driver-quantized e6 literals embedded in
+    * BOTH engines' plans, so neither engine evaluates a
+    * transcendental. */
+  private def q332(s: SparkSession, dir: String): DataFrame =
+    graft.ts.Sprt.sprtLedger(
+      t(s, dir, "events")
+        .groupBy(col("event_type"), dayBucket(col("ts")).as("ds"))
+        .agg(sum((col("value") > 500.0).cast("long")).as("succ"),
+             count(lit(1)).as("n")),
+      "event_type", "ds", "succ", "n", p0 = 0.5, p1 = 0.55)
+
+  private val q332Sql = {
+    val (l1, l0, a, b) = graft.ts.Sprt.literals(0.5, 0.55, 0.05, 0.2)
+    s"""WITH daily AS (
+      |  SELECT event_type AS k, CAST(date_trunc('day', ts) AS DATE) AS d,
+      |    CAST(sum(CASE WHEN value > 500 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS s,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |led AS (SELECT k, d, s, n - s AS f,
+      |    CAST(sum(s) OVER (PARTITION BY k ORDER BY d) AS BIGINT)
+      |      AS s_cum,
+      |    CAST(sum(n - s) OVER (PARTITION BY k ORDER BY d) AS BIGINT)
+      |      AS f_cum
+      |  FROM daily),
+      |l2 AS (SELECT k, d, s, f,
+      |    s_cum * ($l1) + f_cum * ($l0) AS llr,
+      |    CASE WHEN s_cum * ($l1) + f_cum * ($l0) >= ($a) THEN 1
+      |         WHEN s_cum * ($l1) + f_cum * ($l0) <= ($b) THEN -1
+      |         ELSE 0 END AS crs
+      |  FROM led)
+      |SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |  CAST(sum(s) AS BIGINT) AS s_tot, CAST(sum(f) AS BIGINT) AS f_tot,
+      |  CAST(max_by(llr, d) AS BIGINT) AS llr_e6,
+      |  CAST(coalesce(arg_min(crs, CASE WHEN crs != 0 THEN d END), 0)
+      |    AS BIGINT) AS decision,
+      |  min(CASE WHEN crs != 0 THEN d END) AS decided_day
+      |FROM l2 GROUP BY k""".stripMargin
+  }
+
+  /** q333 — MULTIPLICATIVE Holt–Winters ([[graft.ts.ExpSmooth
+    * .tripleExpSmoothMul]], m = 7) over daily order revenue per
+    * priority: ratio seasonality for rhythms that scale with the
+    * level — the seasonal state lives on the e6 ratio grid and the
+    * oracle replays the recursion carrying the factor list. */
+  private def q333(s: SparkSession, dir: String): DataFrame =
+    graft.ts.ExpSmooth.tripleExpSmoothMul(
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+                 dayBucket(col("o_orderdate")).as("o_orderdate"))
+        .agg(sum(cents(col("o_totalprice"))).as("y")),
+      "o_orderpriority", "o_orderdate", "y", m = 7)
+
+  private val q333Sql =
+    """WITH RECURSIVE daily AS (
+      |  SELECT o_orderpriority AS k,
+      |         CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+      |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |           AS y
+      |  FROM orders GROUP BY 1, 2),
+      |s AS (SELECT k, d, y,
+      |        row_number() OVER (PARTITION BY k ORDER BY d) AS rn
+      |      FROM daily),
+      |hw AS (
+      |  SELECT k, rn, d, y, y AS l, CAST(0 AS BIGINT) AS b,
+      |         [1000000,1000000,1000000,1000000,1000000,1000000,1000000]
+      |           ::BIGINT[] AS sv,
+      |         CAST(1000000 AS BIGINT) AS seas, y AS pred
+      |  FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.k, s.rn, s.d, s.y,
+      |    (2 * (CASE WHEN hw.sv[(hw.rn % 7) + 1] <= 0 THEN s.y
+      |          ELSE (s.y * 1000000) // hw.sv[(hw.rn % 7) + 1] END)
+      |     + 8 * (hw.l + hw.b)) // 10,
+      |    (1 * (((2 * (CASE WHEN hw.sv[(hw.rn % 7) + 1] <= 0 THEN s.y
+      |            ELSE (s.y * 1000000) // hw.sv[(hw.rn % 7) + 1] END)
+      |            + 8 * (hw.l + hw.b)) // 10) - hw.l)
+      |     + 9 * hw.b) // 10,
+      |    list_transform(hw.sv, (e, i) -> CASE WHEN i = (hw.rn % 7) + 1
+      |      THEN (CASE WHEN ((2 * (CASE WHEN hw.sv[(hw.rn % 7) + 1] <= 0
+      |              THEN s.y
+      |              ELSE (s.y * 1000000) // hw.sv[(hw.rn % 7) + 1] END)
+      |              + 8 * (hw.l + hw.b)) // 10) <= 0
+      |        THEN hw.sv[(hw.rn % 7) + 1]
+      |        ELSE (3 * ((s.y * 1000000)
+      |               // ((2 * (CASE WHEN hw.sv[(hw.rn % 7) + 1] <= 0
+      |                    THEN s.y
+      |                    ELSE (s.y * 1000000)
+      |                         // hw.sv[(hw.rn % 7) + 1] END)
+      |                    + 8 * (hw.l + hw.b)) // 10))
+      |              + 7 * hw.sv[(hw.rn % 7) + 1]) // 10 END)
+      |      ELSE e END),
+      |    (CASE WHEN ((2 * (CASE WHEN hw.sv[(hw.rn % 7) + 1] <= 0
+      |            THEN s.y
+      |            ELSE (s.y * 1000000) // hw.sv[(hw.rn % 7) + 1] END)
+      |            + 8 * (hw.l + hw.b)) // 10) <= 0
+      |      THEN hw.sv[(hw.rn % 7) + 1]
+      |      ELSE (3 * ((s.y * 1000000)
+      |             // ((2 * (CASE WHEN hw.sv[(hw.rn % 7) + 1] <= 0
+      |                  THEN s.y
+      |                  ELSE (s.y * 1000000)
+      |                       // hw.sv[(hw.rn % 7) + 1] END)
+      |                  + 8 * (hw.l + hw.b)) // 10))
+      |            + 7 * hw.sv[(hw.rn % 7) + 1]) // 10 END),
+      |    ((hw.l + hw.b) * hw.sv[(hw.rn % 7) + 1]) // 1000000
+      |  FROM hw JOIN s ON s.k = hw.k AND s.rn = hw.rn + 1)
+      |SELECT k AS o_orderpriority, d AS o_orderdate, y AS y_c,
+      |  CAST(l AS BIGINT) AS level_c, CAST(b AS BIGINT) AS trend_c,
+      |  CAST(seas AS BIGINT) AS seas_e6, CAST(pred AS BIGINT) AS pred_c
+      |FROM hw""".stripMargin
+
+  /** q334 — Durbin–Watson ([[graft.stats.Diagnostics.durbinWatson]])
+    * on OLS-detrended daily series: the lag-1-specific whiteness
+    * gate after a trend fit — residuals on the q328 once-quantized
+    * e6 coefficient grid, DW = Σ(Δr)²·10⁶ div Σr² exact. */
+  private def q334(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Diagnostics.durbinWatson(
+      dailyCents(s, dir).withColumnRenamed("event_type", "series"),
+      "series")
+      .select(col("series").as("event_type"), col("n_obs"), col("dw_e6"))
+
+  private val q334Sql =
+    s"""WITH $dailySql,
+      |s AS (SELECT event_type AS k, ds AS d, y,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY ds)
+      |          AS rn
+      |      FROM daily),
+      |cf AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(rn * y) AS BIGINT) AS sty FROM s GROUP BY 1),
+      |ab AS (SELECT k, n, sy,
+      |         CAST((CAST(n AS HUGEINT) * sty
+      |             - CAST(n * (n + 1) // 2 AS HUGEINT) * sy) * 1000000
+      |           // (CAST(n AS HUGEINT) * n
+      |              * (CAST(n AS HUGEINT) * n - 1) // 12)
+      |           AS HUGEINT) AS b_e6
+      |       FROM cf WHERE n >= 3),
+      |ab2 AS (SELECT k, n, b_e6,
+      |          (CAST(sy AS HUGEINT) * 1000000
+      |           - b_e6 * (n * (n + 1) // 2)) // n AS a_e6
+      |        FROM ab),
+      |r AS (SELECT s.k, rn,
+      |        CAST(s.y AS HUGEINT) * 1000000 - (a_e6 + b_e6 * rn) AS res,
+      |        n
+      |      FROM s JOIN ab2 ON ab2.k = s.k),
+      |dr AS (SELECT k, rn, res, n,
+      |         res - lag(res) OVER (PARTITION BY k ORDER BY rn) AS d1
+      |       FROM r),
+      |agg AS (SELECT k, CAST(max(n) AS BIGINT) AS n_obs,
+      |          sum(res * res) AS den,
+      |          sum(CASE WHEN rn >= 2 THEN d1 * d1 END) AS num
+      |        FROM dr GROUP BY 1)
+      |SELECT k AS event_type, n_obs,
+      |  CASE WHEN den = 0 THEN NULL
+      |    ELSE CAST(num * 1000000 // den AS BIGINT) END AS dw_e6
+      |FROM agg""".stripMargin
+
+  /** q335 — Wald–Wolfowitz runs test ([[graft.stats.Diagnostics
+    * .runsTest]]) vs the exact lower median of each daily series:
+    * the randomness gate — too few above/below-median runs means
+    * regime clustering, too many means alternation; exact counts,
+    * one mirrored double tree for z. */
+  private def q335(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Diagnostics.runsTest(
+      dailyCents(s, dir).withColumnRenamed("event_type", "series"),
+      "series")
+      .select(col("series").as("event_type"), col("n_obs"),
+        col("med_c"), col("n_above"), col("n_below"), col("runs"),
+        col("z_e6"))
+
+  private val q335Sql =
+    s"""WITH $dailySql,
+      |base AS (SELECT event_type AS k, ds AS d, y FROM daily),
+      |rk AS (SELECT k, y, row_number() OVER (PARTITION BY k ORDER BY y)
+      |         AS vr,
+      |         count(*) OVER (PARTITION BY k) AS n
+      |       FROM base),
+      |med AS (SELECT k, CAST(max(n) AS BIGINT) AS n_obs,
+      |          CAST(max(CASE WHEN vr = (n + 1) // 2 THEN y END)
+      |            AS BIGINT) AS med
+      |        FROM rk GROUP BY 1),
+      |sg AS (SELECT b.k, d, CASE WHEN y > med THEN 1 ELSE -1 END AS sn
+      |       FROM base b JOIN med ON med.k = b.k WHERE y != med),
+      |sq AS (SELECT k, sn, lag(sn) OVER (PARTITION BY k ORDER BY d)
+      |         AS pr FROM sg),
+      |ag AS (SELECT k,
+      |         CAST(sum(CASE WHEN sn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n1,
+      |         CAST(sum(CASE WHEN sn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n2,
+      |         CAST(1 + sum(CASE WHEN pr IS NOT NULL AND sn != pr
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS runs
+      |       FROM sq GROUP BY 1)
+      |SELECT med.k AS event_type, n_obs, med AS med_c,
+      |  coalesce(n1, 0) AS n_above, coalesce(n2, 0) AS n_below,
+      |  coalesce(runs, 0) AS runs,
+      |  CASE WHEN n1 IS NULL OR n1 = 0 OR n2 = 0 OR n1 + n2 < 2
+      |    THEN NULL
+      |    ELSE CAST(round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+      |      / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+      |             / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+      |                * (n1 + n2 - 1.0))) * 1000000) AS BIGINT)
+      |  END AS z_e6
+      |FROM med LEFT JOIN ag ON ag.k = med.k""".stripMargin
+
   /** q322 — Cochran–Armitage trend test ([[graft.stats.Hypothesis
     * .cochranArmitage]]): does the fill rate (status 'F') move
     * monotonically with order PRIORITY (the digit prefix as the
@@ -2702,6 +2912,10 @@ object DiagQueries {
     QueryDef("q329_page_hinkley", q329, Some(q329Sql)),
     QueryDef("q330_pinball", q330, Some(q330Sql)),
     QueryDef("q331_anderson_darling", q331, Some(q331Sql)),
+    QueryDef("q332_sprt", q332, Some(q332Sql)),
+    QueryDef("q333_hw_mul", q333, Some(q333Sql)),
+    QueryDef("q334_durbin_watson", q334, Some(q334Sql)),
+    QueryDef("q335_runs_test", q335, Some(q335Sql)),
     QueryDef("q297_mann_kendall", q297, Some(q297Sql)),
     QueryDef("q298_theil_sen", q298, Some(q298Sql)),
     QueryDef("q268_croston", q268, Some(q268Sql)),

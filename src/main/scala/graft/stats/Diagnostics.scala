@@ -140,4 +140,123 @@ object Diagnostics {
       }
       .toDF(seriesCol, "n_obs", "best_lag", "r_e6", "thr_e6", "significant")
   }
+
+  /** Durbin–Watson statistic on OLS-detrended residuals — the
+    * lag-1-specific whiteness gate next to [[ljungBox]]'s
+    * portmanteau: DW ≈ 2(1 − r₁) answers "are the residuals of the
+    * fitted TREND serially correlated" (DW ≪ 2: the trend line is
+    * too stiff and errors persist; DW ≫ 2: alternation), which is
+    * the standard post-fit check for [[graft.ts.SeriesOps
+    * .linearTrend]]-style per-series fits.
+    *
+    * Exactness: residuals use the SAME once-quantized e6 OLS
+    * coefficients as the Theta method ([[graft.ts.ExpSmooth
+    * .thetaSmooth]] — b_e6 = 10⁶(nΣty − ΣtΣy) div D, a_e6 =
+    * (10⁶Σy − b_e6·Σt) div n, all truncating integer arithmetic in
+    * BigInt), r_e6(t) = 10⁶y − (a + b·t) exact longs, and
+    * DW_e6 = Σ(Δr)²·10⁶ div Σr² one truncating BigInt division —
+    * the oracle replays every step with HUGEINT window sums. Same
+    * per-series bounded-array shape as [[acfPacf]].
+    * @return per series: (series, n_obs, dw_e6) — null when n &lt; 3
+    *         or the residuals vanish (a perfect line) */
+  def durbinWatson(df: DataFrame, seriesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(seriesCol).cast("string"),
+              col("ds").cast("timestamp").cast("long"),
+              col("y").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (key, it) =>
+        val ys = it.toArray.sortBy(_._2).map(_._3)
+        val n = ys.length
+        if (n < 3) (key, n.toLong, None: Option[Long])
+        else {
+          var sy = BigInt(0); var sty = BigInt(0)
+          var t = 1
+          while (t <= n) { sy += ys(t - 1); sty += BigInt(t) * ys(t - 1); t += 1 }
+          val bn = BigInt(n)
+          val st = bn * (n + 1) / 2
+          val dd = bn * bn * (bn * bn - 1) / 12
+          // BigInt `/` truncates toward zero — identical to Spark's
+          // `div` and DuckDB's `//`, so the quantized coefficients
+          // replay bit-for-bit in both engines
+          val bE6 = (bn * sty - st * sy) * 1000000 / dd
+          val aE6 = (sy * 1000000 - bE6 * st) / bn
+          var num = BigInt(0); var den = BigInt(0)
+          var prev = BigInt(0)
+          t = 1
+          while (t <= n) {
+            val r = BigInt(ys(t - 1)) * 1000000 - (aE6 + bE6 * t)
+            den += r * r
+            if (t >= 2) { val d = r - prev; num += d * d }
+            prev = r
+            t += 1
+          }
+          if (den == 0) (key, n.toLong, None: Option[Long])
+          else (key, n.toLong, Some((num * 1000000 / den).toLong))
+        }
+      }
+      .toDF(seriesCol, "n_obs", "dw_e6")
+  }
+
+  /** Wald–Wolfowitz runs test vs the exact lower median — the
+    * RANDOMNESS gate that catches what the correlation tests miss:
+    * too FEW runs of above/below-median days means regime clustering
+    * (the series sits above its median for long stretches), too MANY
+    * means forced alternation; either invalidates the i.i.d.
+    * assumption the bootstrap and permutation machinery lean on.
+    * Days exactly AT the median are dropped (the standard
+    * convention), so the engine and oracle agree on the kept
+    * sequence by construction.
+    *
+    * Exactness: the median is the exact lower order statistic
+    * (position (n+1) div 2 of the sorted values — the repo's
+    * lower-median convention), runs/n1/n2 exact integer counts, and
+    * z = (R − μ)/σ one fixed double tree over them (μ =
+    * 2n₁n₂/m + 1, σ² = 2n₁n₂(2n₁n₂−m)/(m²(m−1)), m = n₁+n₂) —
+    * mirrored operation-for-operation by the oracle. Same
+    * per-series bounded-array shape as [[acfPacf]].
+    * @return per series: (series, n_obs, med_c, n_above, n_below,
+    *         runs, z_e6) — z null when either side is empty or
+    *         m &lt; 2 */
+  def runsTest(df: DataFrame, seriesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(seriesCol).cast("string"),
+              col("ds").cast("timestamp").cast("long"),
+              col("y").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (key, it) =>
+        val ys = it.toArray.sortBy(_._2).map(_._3)
+        val n = ys.length
+        val sorted = ys.sorted
+        val med = sorted((n - 1) / 2)
+        val signs = ys.iterator.map(y =>
+          if (y > med) 1 else if (y < med) -1 else 0).filter(_ != 0).toArray
+        val n1 = signs.count(_ == 1).toLong
+        val n2 = signs.count(_ == -1).toLong
+        val runs =
+          if (signs.isEmpty) 0L
+          else 1L + signs.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+        val m = n1 + n2
+        if (n1 == 0L || n2 == 0L || m < 2L)
+          (key, n.toLong, med, n1, n2, runs, None: Option[Long])
+        else {
+          val md = m.toDouble
+          val mu = 2.0 * n1 * n2 / md + 1.0
+          val va = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) /
+            (md * md * (md - 1.0))
+          val z = (runs - mu) / math.sqrt(va)
+          // HALF_UP (away from zero) — matches both engines' round()
+          // on the negative z a clustered series produces
+          (key, n.toLong, med, n1, n2, runs,
+           Some(BigDecimal(z * 1e6)
+             .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+        }
+      }
+      .toDF(seriesCol, "n_obs", "med_c", "n_above", "n_below", "runs",
+            "z_e6")
+  }
 }

@@ -1118,6 +1118,84 @@ object StreamOps {
       }
   }
 
+  /** Streaming SPRT — the live experiment stopper
+    * ([[graft.ts.Sprt.sprtLedger]]'s scaladoc): Wald's sequential
+    * test exists to be run ON THE STREAM — every closed day updates
+    * two counters, compares the exact-integer LLR against the two
+    * driver-quantized boundaries, and the FIRST crossing freezes the
+    * decision forever (that frozenness is what makes the error
+    * rates hold — later noise cannot un-decide a stopped test).
+    * State: eight longs per series (day count, s, f, decision,
+    * decided day, pending day/s/f). Day-close and lateness semantics
+    * are [[streamingHoltWinters]]'s. Every emitted row's cumulative
+    * fields equal the batch ledger over the closed-day sums
+    * (spec-pinned parity, including the frozen decision). */
+  case class SprtState(t: Long, s: Long, f: Long, decided: Long,
+                       decidedDay: Long, pendDay: Long, pendS: Long,
+                       pendF: Long)
+  case class SprtUpdate(series: String, day_sec: Long, n_days: Long,
+                        s_cum: Long, f_cum: Long, llr_e6: Long,
+                        decision: Long, decided_day_sec: Long)
+
+  def streamingSprt(stream: DataFrame, seriesCol: String, tsCol: String,
+                    succCol: String, p0: Double, p1: Double,
+                    alpha: Double = 0.05, beta: Double = 0.2)
+      : org.apache.spark.sql.Dataset[SprtUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val (l1, l0, a, b) = graft.ts.Sprt.literals(p0, p1, alpha, beta)
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val NONE = Long.MinValue
+    def foldDay(st: SprtState, key: String, d: Long, s: Long, f: Long)
+        : (SprtState, SprtUpdate) = {
+      val t = st.t + 1
+      val sc = st.s + s
+      val fc = st.f + f
+      val llr = sc * l1 + fc * l0
+      val (dec, decDay) =
+        if (st.decided != 0L) (st.decided, st.decidedDay)
+        else if (llr >= a) (1L, d)
+        else if (llr <= b) (-1L, d)
+        else (0L, NONE)
+      (st.copy(t = t, s = sc, f = fc, decided = dec, decidedDay = decDay),
+       SprtUpdate(key, d, t, sc, fc, llr, dec, decDay))
+    }
+    stream
+      .select(col(seriesCol).cast("string"),
+        date_trunc("day", col(tsCol).cast("timestamp")).cast("long"),
+        col(succCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[SprtState]) =>
+          var st = state.getOption.getOrElse(
+            SprtState(0L, 0L, 0L, 0L, NONE, NONE, 0L, 0L))
+          // per-day (successes, failures) sums: each event is one
+          // trial, succCol its 0/1 outcome
+          val days = rows.foldLeft(Map.empty[Long, (Long, Long)]) {
+            case (acc, (_, d, y)) =>
+              val (ps, pf) = acc.getOrElse(d, (0L, 0L))
+              acc.updated(d, (ps + y, pf + (1L - y)))
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[SprtUpdate]
+          days.toSeq.sortBy(_._1).foreach { case (d, (s, f)) =>
+            if (st.pendDay == NONE)
+              st = st.copy(pendDay = d, pendS = s, pendF = f)
+            else if (d == st.pendDay)
+              st = st.copy(pendS = st.pendS + s, pendF = st.pendF + f)
+            else if (d > st.pendDay) {
+              val (st2, row) = foldDay(st, key, st.pendDay, st.pendS,
+                st.pendF)
+              out += row
+              st = st2.copy(pendDay = d, pendS = s, pendF = f)
+            } // d < pendDay: closed days are final — ignored
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** STREAMING NEAR-DUP ADMISSION GATE — the STATEFUL member of the
     * streaming dedup family: where [[streamingNearDupCandidates]] /
     * [[streamingNearDupConfirmedEst]] probe a STATIC corpus index,

@@ -208,6 +208,85 @@ object ExpSmooth {
               col("r.pred").as("pred_c"))
   }
 
+  /** MULTIPLICATIVE Holt–Winters — [[tripleExpSmooth]] with RATIO
+    * seasonality: retail/traffic rhythms scale with the level
+    * (a +20% Saturday, not a +2,000¢ Saturday), so the additive
+    * seasonal state chronically under-corrects growing series.
+    * Seasonal factors live on the e6 ratio grid (10⁶ = flat), init
+    * all-1e6 (the multiplicative analog of the additive all-zero
+    * warm-up, same documented first-cycle tradeoff):
+    *
+    *   pred_t = (l + b)·s[p] div 10⁶
+    *   l'     = (aN·(10⁶·y div s[p]) + (aD − aN)·(l + b)) div aD
+    *   b'     = (bN·(l' − l) + (bD − bN)·b) div bD
+    *   s'[p]  = (gN·(10⁶·y div l') + (gD − gN)·s[p]) div gD
+    *
+    * POSITIVE-series contract (multiplicative seasonality is
+    * undefined otherwise); the two guards (s[p] ≤ 0 → deseasonalize
+    * by 1; l' ≤ 0 → carry s[p]) only keep degenerate inputs from
+    * dividing by zero, mirrored exactly by the oracle. 10⁶·y bounds
+    * exactness at |y| ≲ 10¹² cents. Scale shape identical to
+    * [[tripleExpSmooth]].
+    * @return per (key, date): (key, date, y_c, level_c, trend_c,
+    *         seas_e6, pred_c) */
+  def tripleExpSmoothMul(daily: DataFrame, keyCol: String, dateCol: String,
+                         vCol: String, m: Int = 7,
+                         aNum: Int = 2, aDen: Int = 10,
+                         bNum: Int = 1, bDen: Int = 10,
+                         gNum: Int = 3, gDen: Int = 10): DataFrame = {
+    require(m >= 2, "seasonal period must be >= 2")
+    require(aNum > 0 && aNum < aDen, "alpha in (0, 1)")
+    require(bNum > 0 && bNum < bDen, "beta in (0, 1)")
+    require(gNum > 0 && gNum < gDen, "gamma in (0, 1)")
+    val packed = daily
+      .select(col(keyCol).as("k"), col(dateCol).as("d"),
+              col(vCol).cast("long").as("y"))
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("d"), col("y")))).as("s"))
+    val sOld = s"element_at(acc.sv, CAST(acc.t % $m AS INT) + 1)"
+    val ds = s"(CASE WHEN ($sOld) <= 0 THEN x.y" +
+      s" ELSE (x.y * 1000000) div ($sOld) END)"
+    val lp = s"(($aNum * $ds + ${aDen - aNum} * (acc.l + acc.b)) div $aDen)"
+    val bp = s"(($bNum * (($lp) - acc.l) + ${bDen - bNum} * acc.b)" +
+      s" div $bDen)"
+    val sp = s"(CASE WHEN ($lp) <= 0 THEN $sOld" +
+      s" ELSE ($gNum * ((x.y * 1000000) div ($lp))" +
+      s" + ${gDen - gNum} * $sOld) div $gDen END)"
+    val fold = s"""
+      |aggregate(
+      |  s,
+      |  named_struct(
+      |    'fst', 1, 't', CAST(0 AS BIGINT),
+      |    'l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+      |    'sv', array_repeat(CAST(1000000 AS BIGINT), $m),
+      |    'out', CAST(array() AS
+      |      ARRAY<STRUCT<d: DATE, y: BIGINT, l: BIGINT, b: BIGINT,
+      |                   seas: BIGINT, pred: BIGINT>>)),
+      |  (acc, x) -> CASE WHEN acc.fst = 1 THEN
+      |      named_struct('fst', 0, 't', CAST(1 AS BIGINT),
+      |        'l', x.y, 'b', CAST(0 AS BIGINT), 'sv', acc.sv,
+      |        'out', array(named_struct('d', x.d, 'y', x.y, 'l', x.y,
+      |          'b', CAST(0 AS BIGINT), 'seas', CAST(1000000 AS BIGINT),
+      |          'pred', x.y)))
+      |    ELSE
+      |      named_struct('fst', 0, 't', acc.t + 1,
+      |        'l', $lp,
+      |        'b', $bp,
+      |        'sv', transform(acc.sv, (e, i) ->
+      |          CASE WHEN i = CAST(acc.t % $m AS INT) THEN $sp ELSE e END),
+      |        'out', array_append(acc.out, named_struct(
+      |          'd', x.d, 'y', x.y, 'l', $lp, 'b', $bp, 'seas', $sp,
+      |          'pred', ((acc.l + acc.b) * ($sOld)) div 1000000)))
+      |    END,
+      |  acc -> acc.out)""".stripMargin
+    packed
+      .select(col("k"), explode(expr(fold)).as("r"))
+      .select(col("k").as(keyCol), col("r.d").as(dateCol),
+              col("r.y").as("y_c"), col("r.l").as("level_c"),
+              col("r.b").as("trend_c"), col("r.seas").as("seas_e6"),
+              col("r.pred").as("pred_c"))
+  }
+
   /** SEEDED Holt–Winters — [[tripleExpSmooth]] with the textbook
     * first-cycle initialization instead of the all-zero seasonal
     * start (whose first cycle is identical to Holt while the seasonal

@@ -114,4 +114,50 @@ class AutoCorrSpec extends AnyFunSuite {
     assert(thr == BigDecimal(1.96 / math.sqrt(70.0) * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
   }
+
+  test("Diagnostics.durbinWatson: perfect line null, hand-traced alternation") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def series(name: String, ys: Seq[Long]) =
+      ys.zipWithIndex.map { case (v, i) =>
+        (name, new Timestamp(base + i * 86400000L), v) }
+    // line: residuals identically 0 → null; alternation around a
+    // recovered slope-20 line: residuals −2e7, 6e7, −6e7, 2e7 →
+    // DW = 2.72e16·1e6/8e15 = 3.4 exactly
+    val rows = series("line", Seq(10L, 20L, 30L, 40L)) ++
+      series("alt", Seq(0L, 100L, 0L, 100L)) ++
+      series("tiny", Seq(5L, 6L))
+    val out = Diagnostics.durbinWatson(rows.toDF("series", "ds", "y"),
+        "series")
+      .collect().map(r => r.getString(0) ->
+        Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    assert(out("line").isEmpty, s"$out")
+    assert(out("alt") == Some(3400000L), s"$out")
+    assert(out("tiny").isEmpty, s"$out") // n < 3
+  }
+
+  test("Diagnostics.runsTest: hand-traced clustered and alternating series") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def series(name: String, ys: Seq[Long]) =
+      ys.zipWithIndex.map { case (v, i) =>
+        (name, new Timestamp(base + i * 86400000L), v) }
+    // clustered: 1,2,3,10,11,12 — med 3 dropped, signs −−+++ →
+    //   runs 2, z = (2 − 3.4)/√0.84 = −1.527525
+    // alternating: 1,10,2,11,3,12 — med 3 dropped, signs −+−++ →
+    //   runs 4, z = 0.6/√0.84 = 0.654654
+    val rows = series("cl", Seq(1L, 2L, 3L, 10L, 11L, 12L)) ++
+      series("al", Seq(1L, 10L, 2L, 11L, 3L, 12L)) ++
+      series("flat", Seq(7L, 7L, 7L))
+    val out = Diagnostics.runsTest(rows.toDF("series", "ds", "y"),
+        "series")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          Option(r.get(6)).map(_.asInstanceOf[Long])))).toMap
+    assert(out("cl") == ((3L, 3L, 2L, 2L, Some(-1527525L))), s"$out")
+    assert(out("al") == ((3L, 3L, 2L, 4L, Some(654654L))), s"$out")
+    assert(out("flat") == ((7L, 0L, 0L, 0L, None)), s"$out")
+  }
 }

@@ -240,6 +240,43 @@ class ExpSmoothSpec extends AnyFunSuite {
       (300L, 300000000L, 156000000L, 210000000L)), s"$got")
   }
 
+  test("tripleExpSmoothMul: hand-traced m=2 ratio recurrence") {
+    // y = 100, 200, 100; α=.2 β=.1 γ=.3, sv init [1e6, 1e6]
+    // t2 (p=1): ds=200, l=120, b=2, s[1]=(3·(2e8 div 120)+7e6)div10
+    //   = 1199999, pred = 100
+    // t3 (p=0): ds=100, l=(200+8·122)div10=117, b=(−3+18)div10=1,
+    //   s[0]=(3·(1e8 div 117)+7e6)div10 = 956410, pred = 122
+    val df = Seq(("s", "2024-01-01", 100L), ("s", "2024-01-02", 200L),
+                 ("s", "2024-01-03", 100L))
+      .toDF("k", "ds", "y")
+      .select(org.apache.spark.sql.functions.col("k"),
+              org.apache.spark.sql.functions.to_date(
+                org.apache.spark.sql.functions.col("ds")).as("d"),
+              org.apache.spark.sql.functions.col("y"))
+    val got = ExpSmooth.tripleExpSmoothMul(df, "k", "d", "y", m = 2)
+      .orderBy("d").collect()
+      .map(r => (r.getAs[Long]("y_c"), r.getAs[Long]("level_c"),
+                 r.getAs[Long]("trend_c"), r.getAs[Long]("seas_e6"),
+                 r.getAs[Long]("pred_c"))).toSeq
+    assert(got == Seq((100L, 100L, 0L, 1000000L, 100L),
+                      (200L, 120L, 2L, 1199999L, 100L),
+                      (100L, 117L, 1L, 956410L, 122L)), s"$got")
+  }
+
+  test("tripleExpSmoothMul: constant positive series stays flat with unit factors") {
+    val df = (1 to 6).map(i => ("s", f"2024-01-0$i", 50L))
+      .toDF("k", "ds", "y")
+      .select(org.apache.spark.sql.functions.col("k"),
+              org.apache.spark.sql.functions.to_date(
+                org.apache.spark.sql.functions.col("ds")).as("d"),
+              org.apache.spark.sql.functions.col("y"))
+    val got = ExpSmooth.tripleExpSmoothMul(df, "k", "d", "y", m = 2)
+      .orderBy("d").collect()
+    assert(got.forall(_.getAs[Long]("pred_c") == 50L), s"${got.toSeq}")
+    assert(got.forall(_.getAs[Long]("seas_e6") == 1000000L))
+    assert(got.forall(_.getAs[Long]("trend_c") == 0L))
+  }
+
   test("thetaSmooth: a constant series is predicted exactly; single point safe") {
     val got = theta(Seq(("s", "2024-01-01", 50L),
                         ("s", "2024-01-02", 50L),
