@@ -1527,6 +1527,59 @@ object DiagQueries {
       |  END AS z_e6
       |FROM med LEFT JOIN ag ON ag.k = med.k""".stripMargin
 
+  /** q336 — SEASONAL Mann–Kendall ([[graft.ts.TrendTest
+    * .seasonalMannKendall]], months as seasons) over daily order
+    * revenue per priority: compare only like months so the annual
+    * cycle can't bury (or fake) a multi-year trend — per-season
+    * trend_fold statistics combined by exact integer sums
+    * (Hirsch–Slack, independent seasons). */
+  private def q336(s: SparkSession, dir: String): DataFrame =
+    graft.ts.TrendTest.seasonalMannKendall(
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+                 dayBucket(col("o_orderdate")).as("o_orderdate"))
+        .agg(sum(cents(col("o_totalprice"))).as("y"))
+        .withColumn("mth", month(col("o_orderdate")).cast("long")),
+      "o_orderpriority", "o_orderdate", "y", "mth")
+
+  private val q336Sql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS k,
+      |         CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+      |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |           AS y
+      |  FROM orders GROUP BY 1, 2),
+      |ds AS (SELECT k, CAST(month(d) AS BIGINT) AS g, d, y FROM daily),
+      |pr AS (SELECT a.k, a.g,
+      |         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+      |              ELSE 0 END AS sg
+      |       FROM ds a JOIN ds b ON a.k = b.k AND a.g = b.g
+      |                          AND a.d < b.d),
+      |ss AS (SELECT k, g, CAST(sum(sg) AS BIGINT) AS s_g
+      |       FROM pr GROUP BY 1, 2),
+      |nn AS (SELECT k, g, CAST(count(*) AS BIGINT) AS n_g
+      |       FROM ds GROUP BY 1, 2),
+      |ti AS (SELECT k, g, CAST(sum(t*(t-1)*(2*t+5)) AS BIGINT) AS tie18
+      |       FROM (SELECT k, g, y, count(*) AS t FROM ds
+      |             GROUP BY 1, 2, 3)
+      |       GROUP BY 1, 2),
+      |vv AS (SELECT nn.k, nn.g, n_g, coalesce(s_g, 0) AS s_g,
+      |         n_g*(n_g-1)*(2*n_g+5) - tie18 AS v_g
+      |       FROM nn LEFT JOIN ss ON ss.k = nn.k AND ss.g = nn.g
+      |               JOIN ti ON ti.k = nn.k AND ti.g = nn.g),
+      |ag AS (SELECT k, CAST(count(*) AS BIGINT) AS n_seasons,
+      |         CAST(sum(n_g) AS BIGINT) AS n_obs,
+      |         CAST(sum(s_g) AS BIGINT) AS s_stat,
+      |         CAST(sum(v_g) AS BIGINT) AS var18
+      |       FROM vv GROUP BY 1)
+      |SELECT k AS o_orderpriority, n_seasons, n_obs, s_stat, var18,
+      |  CAST(CASE WHEN var18 <= 0 THEN NULL
+      |    ELSE round((s_stat - CASE WHEN s_stat > 0 THEN 1
+      |                              WHEN s_stat < 0 THEN -1 ELSE 0 END)
+      |      / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1000000.0) END
+      |    AS BIGINT) AS z_e6
+      |FROM ag""".stripMargin
+
   /** q322 — Cochran–Armitage trend test ([[graft.stats.Hypothesis
     * .cochranArmitage]]): does the fill rate (status 'F') move
     * monotonically with order PRIORITY (the digit prefix as the
@@ -2916,6 +2969,7 @@ object DiagQueries {
     QueryDef("q333_hw_mul", q333, Some(q333Sql)),
     QueryDef("q334_durbin_watson", q334, Some(q334Sql)),
     QueryDef("q335_runs_test", q335, Some(q335Sql)),
+    QueryDef("q336_seasonal_mk", q336, Some(q336Sql)),
     QueryDef("q297_mann_kendall", q297, Some(q297Sql)),
     QueryDef("q298_theil_sen", q298, Some(q298Sql)),
     QueryDef("q268_croston", q268, Some(q268Sql)),

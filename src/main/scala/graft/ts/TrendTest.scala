@@ -87,4 +87,52 @@ object TrendTest {
     foldOf(daily, keyCol, dateCol, vCol)
       .select(col("k").as(keyCol), col("f.n_pairs").as("n_pairs"),
         col("f.slope_e6").as("slope_e6"))
+
+  /** SEASONAL Mann–Kendall (Hirsch–Slack, independent seasons) —
+    * the variant [[mannKendall]] NEEDS on seasonal data: a strong
+    * annual cycle manufactures within-year sign reversals that bury
+    * a real multi-year trend (or, worse, a trend-free cycle scores
+    * as trend). The fix is to compare only LIKE seasons: S_g and
+    * Var18_g per season subseries (January vs January), then
+    * S' = ΣS_g, Var' = ΣVar_g, z with the same ±1 continuity
+    * correction — exact integer sums of per-season exact integers.
+    *
+    * Scale shape: the SAME [[graft.plans.TrendFold]] in-row fold,
+    * just keyed by (key, season) — m× more groups, each grid m×
+    * shorter, so the quadratic work per group DROPS m× and the
+    * total falls by ~m vs the unseasonal fold. One keyed aggregate
+    * to combine.
+    * @param seasonCol an integer season label column (month,
+    *                  day-of-week) already on the input
+    * @return per key: (key, n_seasons, n_obs, s_stat, var18, z_e6)
+    *         — z null when Var' ≤ 0 (every season constant) */
+  def seasonalMannKendall(daily: DataFrame, keyCol: String,
+                          dateCol: String, vCol: String,
+                          seasonCol: String): DataFrame = {
+    graft.plans.GraftFunctions.register(daily.sparkSession)
+    val perSeason = daily
+      .select(col(keyCol).as("k"), col(seasonCol).as("g"),
+        datediff(col(dateCol), lit("1970-01-01")).as("d"),
+        col(vCol).cast("long").as("y"))
+      .groupBy(col("k"), col("g"))
+      .agg(call_function("trend_fold",
+        expr("transform(sort_array(collect_list(struct(d, y))), x -> x.d)"),
+        expr("transform(sort_array(collect_list(struct(d, y))), x -> x.y)"))
+        .as("f"))
+    perSeason
+      .select(col("k"), col("f.n_obs").as("n_g"),
+        col("f.s_stat").as("s_g"),
+        (col("f.n_obs") * (col("f.n_obs") - 1L)
+          * (col("f.n_obs") * 2L + 5L) - col("f.tie18")).as("v_g"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_seasons"), sum(col("n_g")).as("n_obs"),
+        sum(col("s_g")).as("s_stat"), sum(col("v_g")).as("var18"))
+      .select(col("k").as(keyCol), col("n_seasons"), col("n_obs"),
+        col("s_stat"), col("var18"),
+        when(col("var18") <= 0L, lit(null).cast("long"))
+          .otherwise(round(
+            (col("s_stat") - signum(col("s_stat"))).cast("double")
+              / sqrt(col("var18").cast("double") / 18.0) * 1e6)
+            .cast("long")).as("z_e6"))
+  }
 }

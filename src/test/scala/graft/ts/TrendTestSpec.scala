@@ -64,4 +64,34 @@ class TrendTestSpec extends AnyFunSuite {
       .map(r => (r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((1L, -1428571L)), s"$got")
   }
+
+  test("seasonalMannKendall: year-over-year trend inside seasons hits the closed form") {
+    // 3 seasons × 2 years, each season rising year-over-year:
+    // per season S_g = 1, v_g = 2·1·9 = 18 → S = 3, var18 = 54,
+    // z = (3−1)/√(54/18) = 2/√3 = 1.1547005
+    val rows = for (y <- 0 to 1; g <- 1 to 3) yield
+      ("k", d(f"202${4 + y}-0$g-01"), 100L * g + y, g.toLong)
+    val got = TrendTest.seasonalMannKendall(rows.toDF("k", "dt", "y", "g"),
+        "k", "dt", "y", "g").collect().head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3),
+            got.getLong(4)) == ((3L, 6L, 3L, 54L)), s"$got")
+    assert(got.getLong(5) ==
+      math.round(2.0 / math.sqrt(54.0 / 18.0) * 1e6), s"$got")
+  }
+
+  test("seasonalMannKendall: a pure cycle is NULL where plain MK sees signal") {
+    // strict 4-season cycle repeated 3 years: within each season the
+    // values are constant → every per-season variance term is 0 →
+    // var18 = 0, z null; the PLAIN test on the same rows has a
+    // nonzero variance (the cycle masquerades as pair signal)
+    val rows = for (y <- 0 to 2; g <- 1 to 4) yield
+      ("k", d(f"202${4 + y}-0$g-01"), 10L * g, g.toLong)
+    val seasonal = TrendTest.seasonalMannKendall(
+      rows.toDF("k", "dt", "y", "g"), "k", "dt", "y", "g")
+      .collect().head
+    assert(seasonal.getLong(4) == 0L && seasonal.isNullAt(5), s"$seasonal")
+    val plain = TrendTest.mannKendall(
+      rows.toDF("k", "dt", "y", "g"), "k", "dt", "y").collect().head
+    assert(plain.getLong(3) > 0L, s"$plain")
+  }
 }
