@@ -1580,6 +1580,74 @@ object DiagQueries {
       |    AS BIGINT) AS z_e6
       |FROM ag""".stripMargin
 
+  /** q337 — Jonckheere–Terpstra ([[graft.stats.Hypothesis
+    * .jonckheereTerpstra]]): do whole-dollar order values trend with
+    * the priority's dose rank — the ordered-alternative sharpening
+    * of q317's Kruskal–Wallis (and q322's continuous-outcome
+    * counterpart), exact doubled pair counts over the dense
+    * dose × grid frame, Hollander–Wolfe tie variance. */
+  private def q337(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Hypothesis.jonckheereTerpstra(
+      t(s, dir, "orders")
+        .select(substring(col("o_orderpriority"), 1, 1).cast("long")
+                  .as("g"),
+                round(col("o_totalprice")).cast("long").as("v")),
+      "g", "v")
+
+  private val q337Sql =
+    """WITH r AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+      |             AS g,
+      |             CAST(round(o_totalprice) AS BIGINT) AS v FROM orders),
+      |ga AS (SELECT v, CAST(count(*) AS BIGINT) AS l FROM r GROUP BY 1),
+      |grps AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g
+      |         FROM r GROUP BY 1),
+      |pergv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+      |          FROM r GROUP BY 1, 2),
+      |dense AS (SELECT grps.g, n_g, ga.v, coalesce(c, 0) AS c
+      |          FROM ga CROSS JOIN grps
+      |          LEFT JOIN pergv ON pergv.g = grps.g AND pergv.v = ga.v),
+      |pg AS (SELECT g, v, c,
+      |         sum(c) OVER (PARTITION BY g ORDER BY v) AS cumc
+      |       FROM dense),
+      |aa AS (SELECT g, v, c, 2 * (cumc - c) + c AS a FROM pg),
+      |pa AS (SELECT g, v, c,
+      |         coalesce(sum(a) OVER (PARTITION BY v ORDER BY g
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS pref_a
+      |       FROM aa),
+      |jj AS (SELECT sum(CAST(c AS HUGEINT) * pref_a) AS j2 FROM pa),
+      |tg AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+      |         CAST(count(*) AS BIGINT) AS k,
+      |         sum(CAST(n_g AS HUGEINT) * n_g) AS sn2,
+      |         CAST(sum(n_g*(n_g-1)*(2*n_g+5)) AS BIGINT) AS g18,
+      |         sum(CAST(n_g AS HUGEINT)*(n_g-1)*(n_g-2)) AS g3,
+      |         CAST(sum(n_g*(n_g-1)) AS BIGINT) AS g2 FROM grps),
+      |tv AS (SELECT CAST(sum(l*(l-1)*(2*l+5)) AS BIGINT) AS t18,
+      |         sum(CAST(l AS HUGEINT)*(l-1)*(l-2)) AS t3,
+      |         CAST(sum(l*(l-1)) AS BIGINT) AS t2 FROM ga)
+      |SELECT n, k, CAST(j2 AS BIGINT) AS j2,
+      |  CAST((CAST(n AS HUGEINT) * n - sn2) // 2 AS BIGINT) AS e2,
+      |  CASE WHEN k < 2 OR
+      |      (CAST(CAST(n AS HUGEINT)*(n-1)*(2*n+5) - g18 - t18
+      |         AS DOUBLE) / 72.0
+      |       + CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE)
+      |         / (36.0 * (CAST(n AS DOUBLE) * (n - 1.0) * (n - 2.0)))
+      |       + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+      |         / (8.0 * (CAST(n AS DOUBLE) * (n - 1.0)))) <= 0
+      |    THEN NULL
+      |    ELSE CAST(round(
+      |      CAST(j2 - (CAST(n AS HUGEINT) * n - sn2) // 2 AS DOUBLE)
+      |      / 2.0
+      |      / sqrt(CAST(CAST(n AS HUGEINT)*(n-1)*(2*n+5) - g18 - t18
+      |           AS DOUBLE) / 72.0
+      |         + CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE)
+      |           / (36.0 * (CAST(n AS DOUBLE) * (n - 1.0) * (n - 2.0)))
+      |         + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+      |           / (8.0 * (CAST(n AS DOUBLE) * (n - 1.0))))
+      |      * 1000000) AS BIGINT)
+      |  END AS z_e6
+      |FROM jj CROSS JOIN tg CROSS JOIN tv""".stripMargin
+
   /** q322 — Cochran–Armitage trend test ([[graft.stats.Hypothesis
     * .cochranArmitage]]): does the fill rate (status 'F') move
     * monotonically with order PRIORITY (the digit prefix as the
@@ -2970,6 +3038,7 @@ object DiagQueries {
     QueryDef("q334_durbin_watson", q334, Some(q334Sql)),
     QueryDef("q335_runs_test", q335, Some(q335Sql)),
     QueryDef("q336_seasonal_mk", q336, Some(q336Sql)),
+    QueryDef("q337_jonckheere", q337, Some(q337Sql)),
     QueryDef("q297_mann_kendall", q297, Some(q297Sql)),
     QueryDef("q298_theil_sen", q298, Some(q298Sql)),
     QueryDef("q268_croston", q268, Some(q268Sql)),

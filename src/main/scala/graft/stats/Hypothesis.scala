@@ -380,6 +380,82 @@ object Hypothesis {
           .as("a2_e6"))
   }
 
+  /** Jonckheere–Terpstra trend test — ORDERED k-sample alternatives:
+    * [[kruskalWallis]] asks "do the k groups differ at all";
+    * [[cochranArmitage]] asks the ordered question for BINARY
+    * outcomes; this asks it for continuous ones — "do the values
+    * trend UP with the group's dose rank" — by summing the pairwise
+    * Mann–Whitney counts U_gh over every dose-ordered group pair.
+    * Far more power than KW when the alternative really is ordered.
+    *
+    * Doubled exact ledger: J2 = Σ_v Σ_h c_h(v)·Σ_{g&lt;h}(2·cum_g(&lt;v)
+    * + c_g(v)) — per pooled value v, the inner sum is a running sum
+    * over the k dose-ordered groups (a k-row window per value), and
+    * the per-group cumulatives ride the same dense (group × grid)
+    * frame as [[andersonDarlingK]]. E[J2] = (N² − Σn_g²)/2 exact;
+    * Var(J) is the Hollander–Wolfe three-term tie formula, every
+    * ingredient an exact integer aggregate and the variance one
+    * fixed double tree both engines replay. Null when Var ≤ 0.
+    * @param df rows with an integer dose column (small ordered
+    *           ranks) and an integer value column
+    * @return one row: (n, k, j2, e2, z_e6) */
+  def jonckheereTerpstra(df: DataFrame, doseCol: String,
+                         valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rows = df.select(col(doseCol).cast("long").as("g"),
+                         col(valueCol).cast("long").as("v"))
+    val grid = rows.groupBy(col("v")).agg(count(lit(1)).as("l"))
+    val grps = rows.groupBy(col("g")).agg(count(lit(1)).as("n_g"))
+    val perGV = rows.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val dense = grid.crossJoin(broadcast(grps))
+      .join(perGV, Seq("g", "v"), "left")
+      .na.fill(0L, Seq("c"))
+    val cum = graft.scale.GridPrefix.groupedPrefixSums(
+        dense, "g", "v", Seq("c"))
+      .withColumn("a", lit(2L) * col("cum_before_c") + col("c"))
+    // running Σ_{g<h} A_g at fixed v: the window partition is ONE
+    // value's k dose rows — config-small, never data-wide
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v")).orderBy(col("g"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val j = cum
+      .withColumn("pref_a", coalesce(sum(col("a")).over(w), lit(0L)))
+      .agg(sum(col("c").cast(d38) * col("pref_a")).as("j2"))
+    // tie/group ledgers for E and the three-term variance
+    val tg = grps.agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"),
+      sum(col("n_g").cast(d38) * col("n_g")).as("sn2"),
+      sum(col("n_g") * (col("n_g") - 1L) *
+        (col("n_g") * 2L + 5L)).as("g18"),
+      sum(col("n_g").cast(d38) * (col("n_g") - 1L) *
+        (col("n_g") - 2L)).as("g3"),
+      sum(col("n_g") * (col("n_g") - 1L)).as("g2"))
+    val tv = grid.agg(
+      sum(col("l") * (col("l") - 1L) * (col("l") * 2L + 5L)).as("t18"),
+      sum(col("l").cast(d38) * (col("l") - 1L) *
+        (col("l") - 2L)).as("t3"),
+      sum(col("l") * (col("l") - 1L)).as("t2"))
+    val nD = col("n").cast("double")
+    val term1 = (col("n").cast(d38) * (col("n") - 1L) *
+      (lit(2L) * col("n") + 5L) - col("g18") - col("t18"))
+      .cast("double") / 72.0
+    val term2 = col("g3").cast("double") * col("t3").cast("double") /
+      (lit(36.0) * (nD * (nD - 1.0) * (nD - 2.0)))
+    val term3 = col("g2").cast("double") * col("t2").cast("double") /
+      (lit(8.0) * (nD * (nD - 1.0)))
+    val variance = term1 + term2 + term3
+    // E[J2] = (N² − Σn²)/2 — Σ_{g≠h} n_g·n_h is even, so exact
+    val z = (col("j2") - col("e2")).cast("double") / 2.0 / sqrt(variance)
+    j.crossJoin(broadcast(tg)).crossJoin(broadcast(tv))
+      .withColumn("e2", expr(
+        "CAST((CAST(n AS DECIMAL(38,0)) * n - sn2) div 2 AS BIGINT)"))
+      .select(col("n"), col("k"), col("j2").cast("long").as("j2"),
+        col("e2"),
+        when(col("k") < 2L || variance <= 0.0, lit(null).cast("long"))
+          .otherwise(round(z * 1e6).cast("long")).as("z_e6"))
+  }
+
   /** Friedman test — the REPEATED-MEASURES member closing the rank
     * family: [[kruskalWallis]] compares k INDEPENDENT groups; this
     * compares k treatments measured on the SAME blocks (k event

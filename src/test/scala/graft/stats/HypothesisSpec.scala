@@ -194,6 +194,35 @@ class HypothesisSpec extends AnyFunSuite {
     assert(one("a")._2.isEmpty, s"$one")
   }
 
+  private def jt(rows: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    val r = Hypothesis.jonckheereTerpstra(rows.toDF("g", "v"), "g", "v")
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+     Option(r.get(4)).map(_.asInstanceOf[Long]))
+  }
+
+  test("jonckheereTerpstra: ordered separation hits the closed form") {
+    // g1 = {1,2} < g2 = {3,4}: J = 4 (max), E = 2, Var = 5/3,
+    // z = 2/√(5/3) = 1.5491933
+    val r = jt(Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L)))
+    assert(r._3 == 8L && r._4 == 4L, s"$r") // J2, E2
+    assert(r._5 == Some(math.round(2.0 / math.sqrt(5.0 / 3.0) * 1e6)),
+      s"$r")
+  }
+
+  test("jonckheereTerpstra: ties at half credit and the tie-corrected variance") {
+    // g1 = {1,1}, g2 = {1,2}: U = 2 + ½·2 = 3 → J2 = 6; E2 = 4;
+    // Var = 54/72 + 0 + 24/96 = 1.0 → z = (6−4)/2/1 = 1 exactly
+    val r = jt(Seq((1L, 1L), (1L, 1L), (2L, 1L), (2L, 2L)))
+    assert(r == ((4L, 2L, 6L, 4L, Some(1000000L))), s"$r")
+  }
+
+  test("jonckheereTerpstra: all-tied and single-group degenerate to null") {
+    assert(jt(Seq((1L, 5L), (1L, 5L), (2L, 5L), (2L, 5L)))._5.isEmpty)
+    assert(jt(Seq((1L, 1L), (1L, 2L)))._5.isEmpty)
+  }
+
   private def fr(rows: Seq[(String, String, Long)]) = {
     import spark.implicits._
     Hypothesis.friedman(rows.toDF("blk", "trt", "v"), "blk", "trt", "v")
