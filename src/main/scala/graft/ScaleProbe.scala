@@ -912,6 +912,20 @@ object ScaleProbeStats {
           .agg(max(col("cum_c"))).collect())
     }
 
+    // r15: the Anderson–Darling dense (group × grid) frame across a
+    // grid decade — q331's documented k·L claim measured. Every row a
+    // distinct value (worst case: dense frame = k·L cells, two grid
+    // prefixes, decimal(38) cell arithmetic); a 10× grid should cost
+    // ~10×, not k²· or L²·anything
+    for (rows <- Seq(200000L, 2000000L)) {
+      val obs = spark.range(rows).select(
+        (col("id") % 5L + 1L).as("grp"),
+        // id is unique → every value distinct (grid L = rows)
+        col("id").as("v"))
+      time(f"andersonDarlingK rows=$rows%,d grid=L=rows k=5")(
+        graft.stats.Hypothesis.andersonDarlingK(obs, "grp", "v").count())
+    }
+
     spark.stop()
   }
 }
