@@ -1648,6 +1648,57 @@ object DiagQueries {
       |  END AS z_e6
       |FROM jj CROSS JOIN tg CROSS JOIN tv""".stripMargin
 
+  /** q338 — Ansari–Bradley scale test ([[graft.stats.Hypothesis
+    * .ansariBradley]]) on q305's arms: do the two arms differ in
+    * SPREAD, ranks only — center-heavy scores min(r, N+1−r), exact
+    * permutation moments against the actual score multiset (no
+    * even/odd cases, ties by construction). */
+  private def q338(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Hypothesis.ansariBradley(
+      t(s, dir, "events")
+        .select(col("event_type"), pmod(col("user_id"), lit(2L)).as("arm"),
+                cents(col("value")).as("v")),
+      "event_type", "arm", "v")
+
+  private val q338Sql =
+    """WITH o AS (
+      |  SELECT event_type AS grp, user_id % 2 AS arm,
+      |         CAST(round(value*100) AS BIGINT) AS v FROM events),
+      |g AS (SELECT grp, v,
+      |        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS ca,
+      |        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS cb
+      |      FROM o GROUP BY 1, 2),
+      |r AS (SELECT grp, v, ca, cb, ca + cb AS c,
+      |        2 * (sum(ca + cb) OVER (PARTITION BY grp ORDER BY v)
+      |             - (ca + cb)) + (ca + cb) + 1 AS r2
+      |      FROM g),
+      |tt AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_all
+      |       FROM r GROUP BY 1),
+      |sc AS (SELECT r.grp, ca, cb, c,
+      |         least(r2, 2 * n_all + 2 - r2) AS s2
+      |       FROM r JOIN tt ON tt.grp = r.grp),
+      |ag AS (SELECT grp, CAST(sum(ca) AS BIGINT) AS n_a,
+      |         CAST(sum(cb) AS BIGINT) AS n_b,
+      |         CAST(sum(ca * s2) AS BIGINT) AS w2,
+      |         CAST(sum(c * s2) AS BIGINT) AS s1,
+      |         sum(CAST(c AS HUGEINT) * s2 * s2) AS s2sq
+      |       FROM sc GROUP BY 1)
+      |SELECT grp AS event_type, n_a, n_b, w2,
+      |  CASE WHEN n_a + n_b < 2 OR CAST(n_a AS HUGEINT) * n_b
+      |        * (CAST(n_a + n_b AS HUGEINT) * s2sq
+      |           - CAST(s1 AS HUGEINT) * s1) <= 0 THEN NULL
+      |    ELSE CAST(round(
+      |      CAST(CAST(n_a + n_b AS HUGEINT) * w2
+      |           - CAST(n_a AS HUGEINT) * s1 AS DOUBLE)
+      |      / sqrt(CAST(CAST(n_a AS HUGEINT) * n_b
+      |          * (CAST(n_a + n_b AS HUGEINT) * s2sq
+      |             - CAST(s1 AS HUGEINT) * s1) AS DOUBLE)
+      |          / (n_a + n_b - 1))
+      |      * 1000000) AS BIGINT) END AS z_e6
+      |FROM ag""".stripMargin
+
   /** q322 — Cochran–Armitage trend test ([[graft.stats.Hypothesis
     * .cochranArmitage]]): does the fill rate (status 'F') move
     * monotonically with order PRIORITY (the digit prefix as the
@@ -3039,6 +3090,7 @@ object DiagQueries {
     QueryDef("q335_runs_test", q335, Some(q335Sql)),
     QueryDef("q336_seasonal_mk", q336, Some(q336Sql)),
     QueryDef("q337_jonckheere", q337, Some(q337Sql)),
+    QueryDef("q338_ansari_bradley", q338, Some(q338Sql)),
     QueryDef("q297_mann_kendall", q297, Some(q297Sql)),
     QueryDef("q298_theil_sen", q298, Some(q298Sql)),
     QueryDef("q268_croston", q268, Some(q268Sql)),

@@ -380,6 +380,63 @@ object Hypothesis {
           .as("a2_e6"))
   }
 
+  /** Ansari–Bradley scale test — the DISPERSION member of the rank
+    * family: [[mannWhitneyU]] detects location shifts,
+    * Brown–Forsythe detects spread parametrically (deviations from
+    * medians); this detects spread with RANKS ONLY — scores
+    * a(r) = min(r, N+1−r) are largest in the middle of the pooled
+    * ordering, so an arm squeezed toward the center scores high and
+    * an arm pushed to the tails scores low, whatever the shapes.
+    *
+    * Exact permutation moments (no even/odd-N cases, ties handled by
+    * construction): with doubled midranks r2, the doubled score
+    * s2 = min(r2, 2N+2−r2); W2 = Σ ca·s2, and against the ACTUAL
+    * score multiset S1 = Σ c·s2, S2 = Σ c·s2²:
+    *
+    *   z = (N·W2 − n_a·S1) / sqrt(n_a·n_b·(N·S2 − S1²)/(N−1))
+    *
+    * — numerator and radicand exact integer aggregates
+    * (decimal(38): S2 ~ N³), one fixed double tree, null when the
+    * radicand vanishes. Same grouped grid-prefix shape as the MWU.
+    * @param obs (group, arm, value) rows; arm 0/1; value integer
+    * @return per group: (group, n_a, n_b, w2, z_e6) */
+  def ansariBradley(obs: DataFrame, groupCol: String, armCol: String,
+                    valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val g = obs
+      .select(col(groupCol).as("grp"), col(armCol).cast("long").as("arm"),
+              col(valueCol).cast("long").as("v"))
+      .groupBy(col("grp"), col("v"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("ca"),
+           sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("cb"))
+      .withColumn("c", col("ca") + col("cb"))
+    val ranked = graft.scale.GridPrefix.groupedPrefixSums(g, "grp", "v",
+        Seq("c"))
+      .withColumn("r2", lit(2L) * col("cum_before_c") + col("c") + 1L)
+    val tot = ranked.groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_all"))
+    val scored = ranked.join(tot, Seq("grp"))
+      .withColumn("s2",
+        least(col("r2"), lit(2L) * col("n_all") + 2L - col("r2")))
+    val agg = scored.groupBy(col("grp"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+           sum(col("ca") * col("s2")).as("w2"),
+           sum(col("c") * col("s2")).as("s1"),
+           sum(col("c").cast(d38) * col("s2") * col("s2")).as("s2sq"))
+      .withColumn("n", col("n_a") + col("n_b"))
+    val numN = col("n").cast(d38) * col("w2") -
+      col("n_a").cast(d38) * col("s1")
+    val radicand = col("n_a").cast(d38) * col("n_b") *
+      (col("n").cast(d38) * col("s2sq") -
+        col("s1").cast(d38) * col("s1"))
+    val z = numN.cast("double") /
+      sqrt(radicand.cast("double") / (col("n") - 1L))
+    agg.select(col("grp").as(groupCol), col("n_a"), col("n_b"),
+      col("w2"),
+      when(radicand <= lit(0) || col("n") < 2L, lit(null).cast("long"))
+        .otherwise(round(z * 1e6).cast("long")).as("z_e6"))
+  }
+
   /** Jonckheere–Terpstra trend test — ORDERED k-sample alternatives:
     * [[kruskalWallis]] asks "do the k groups differ at all";
     * [[cochranArmitage]] asks the ordered question for BINARY

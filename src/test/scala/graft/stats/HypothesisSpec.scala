@@ -194,6 +194,29 @@ class HypothesisSpec extends AnyFunSuite {
     assert(one("a")._2.isEmpty, s"$one")
   }
 
+  test("ansariBradley: tails-vs-center hand case hits z = −√3; symmetry gives 0") {
+    // arm0 = {1,4} (tails), arm1 = {2,3} (center): doubled scores
+    // 2,4,4,2 → W2 = 4, S1 = 12, S2q = 40; numN = −8, radicand = 64,
+    // z = −8/√(64/3) = −√3
+    val tails = Hypothesis.ansariBradley(obs(Seq(("g", 0L, 1L),
+      ("g", 0L, 4L), ("g", 1L, 2L), ("g", 1L, 3L))),
+      "grp", "arm", "v").collect().head
+    assert(tails.getLong(3) == 4L, s"$tails")
+    assert(tails.getLong(4) ==
+      math.round(-8.0 / math.sqrt(64.0 / 3.0) * 1e6), s"$tails")
+    // identical arms: numerator exactly 0
+    val same = Hypothesis.ansariBradley(obs(Seq(("g", 0L, 1L),
+      ("g", 0L, 2L), ("g", 0L, 3L), ("g", 1L, 1L), ("g", 1L, 2L),
+      ("g", 1L, 3L))), "grp", "arm", "v").collect().head
+    assert(same.getLong(4) == 0L, s"$same")
+    // every pooled score equal (two tie blocks mirror each other):
+    // score variance 0 → null
+    val flat = Hypothesis.ansariBradley(obs(Seq(("g", 0L, 1L),
+      ("g", 0L, 2L), ("g", 1L, 1L), ("g", 1L, 2L))),
+      "grp", "arm", "v").collect().head
+    assert(flat.isNullAt(4), s"$flat")
+  }
+
   private def jt(rows: Seq[(Long, Long)]) = {
     import spark.implicits._
     val r = Hypothesis.jonckheereTerpstra(rows.toDF("g", "v"), "g", "v")
