@@ -3826,6 +3826,38 @@ object TextQueries {
       |      // (CAST(n_p AS HUGEINT) * cum_c)) AS BIGINT) END AS ap_e6
       |FROM pre CROSS JOIN tot GROUP BY n_p, n_all""".stripMargin
 
+  /** q339 — G-test of independence ([[graft.stats.Hypothesis
+    * .gTest]]): is document LANGUAGE independent of SOURCE — the
+    * log-likelihood twin of the Pearson χ², additive across
+    * drill-downs, per-cell e6 log terms (the q306 discipline). */
+  private def q339(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Hypothesis.gTest(
+      t(s, dir, "documents").select(col("source"), col("lang")),
+      "source", "lang")
+
+  private val q339Sql =
+    """WITH cells AS (SELECT source AS a, lang AS b,
+      |                 CAST(count(*) AS BIGINT) AS o
+      |               FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells
+      |       GROUP BY 1),
+      |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS c_t FROM cells
+      |       GROUP BY 1),
+      |tt AS (SELECT CAST(sum(r) AS BIGINT) AS n,
+      |         CAST(count(*) AS BIGINT) AS r_levels FROM rt),
+      |cl AS (SELECT CAST(count(*) AS BIGINT) AS c_levels FROM ct),
+      |terms AS (SELECT n, r_levels, c_levels,
+      |            CAST(round(CAST(o AS DOUBLE)
+      |              * ln(CAST(o AS DOUBLE) * n
+      |                   / (CAST(r AS DOUBLE) * c_t)) * 1000000)
+      |              AS BIGINT) AS term
+      |          FROM cells JOIN rt USING (a) JOIN ct USING (b)
+      |          CROSS JOIN tt CROSS JOIN cl)
+      |SELECT n, r_levels, c_levels,
+      |  (r_levels - 1) * (c_levels - 1) AS dof,
+      |  CAST(2 * sum(term) AS BIGINT) AS g_e6
+      |FROM terms GROUP BY n, r_levels, c_levels""".stripMargin
+
   /** q321 — Cochran's Q ([[graft.stats.Agreement.cochranQ]]) over
     * THREE quality gates (length, language, word count) on the same
     * documents: q319's McNemar compares two gates' marginals; Q asks
@@ -4099,6 +4131,7 @@ object TextQueries {
     QueryDef("q319_mcnemar", q319, Some(q319Sql)),
     QueryDef("q320_avg_precision", q320, Some(q320Sql)),
     QueryDef("q321_cochran_q", q321, Some(q321Sql)),
+    QueryDef("q339_g_test", q339, Some(q339Sql)),
     QueryDef("q324_calibration", q324, Some(q324Sql)),
     QueryDef("q325_f1_sweep", q325, Some(q325Sql)),
     QueryDef("q306_jensen_shannon", q306, Some(q306Sql)),

@@ -380,6 +380,41 @@ object Hypothesis {
           .as("a2_e6"))
   }
 
+  /** G-test of independence — the log-likelihood-ratio twin of the
+    * Pearson χ² (q213): G = 2ΣO·ln(O·N/(R·C)) is additive across
+    * table partitions (a drill-down's G values sum to the parent's —
+    * the property χ² lacks) and better-behaved when expected counts
+    * are small-ish. Same contingency input as χ², same asymptotic
+    * null.
+    *
+    * Exactness: counts/marginals exact integers; each PRESENT cell's
+    * O·ln(O·N/(R·C)) is one fixed double tree e6-rounded BEFORE the
+    * sum (the q306 per-cell discipline — absent cells contribute 0
+    * by the 0·ln0 convention and are never materialized), the total
+    * an exact long sum doubled at the end. Cell grid is
+    * (levels × levels)-sized; corpus touched once.
+    * @return one row: (n, r_levels, c_levels, dof, g_e6) */
+  def gTest(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(col("a")).agg(sum(col("o")).as("r"))
+    val ct = cells.groupBy(col("b")).agg(sum(col("o")).as("c_t"))
+    val tt = rt.agg(sum(col("r")).as("n"),
+      count(lit(1)).as("r_levels"))
+    val cc = ct.agg(count(lit(1)).as("c_levels"))
+    val term = (col("o").cast("double") *
+      log(col("o").cast("double") * col("n") /
+        (col("r").cast("double") * col("c_t")))) * lit(1e6)
+    cells.join(rt, Seq("a")).join(ct, Seq("b"))
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(cc))
+      .withColumn("term_e6", round(term).cast("long"))
+      .groupBy(col("n"), col("r_levels"), col("c_levels"))
+      .agg(sum(col("term_e6")).as("gsum"))
+      .select(col("n"), col("r_levels"), col("c_levels"),
+        ((col("r_levels") - 1L) * (col("c_levels") - 1L)).as("dof"),
+        (lit(2L) * col("gsum")).as("g_e6"))
+  }
+
   /** Ansari–Bradley scale test — the DISPERSION member of the rank
     * family: [[mannWhitneyU]] detects location shifts,
     * Brown–Forsythe detects spread parametrically (deviations from

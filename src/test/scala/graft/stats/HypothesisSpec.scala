@@ -194,6 +194,21 @@ class HypothesisSpec extends AnyFunSuite {
     assert(one("a")._2.isEmpty, s"$one")
   }
 
+  test("gTest: exact independence gives 0; diagonal table hits 40·ln2") {
+    import spark.implicits._
+    // perfectly independent 2×2 (every cell 1): every E = O → G = 0
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("u", "v")
+    val r0 = Hypothesis.gTest(ind, "u", "v").collect().head
+    assert(r0.getLong(4) == 0L && r0.getLong(3) == 1L, s"$r0")
+    // [[10,0],[0,10]]: G = 4·10·ln2 — per-cell e6 round 6931472,
+    // doubled sum 27725888
+    val diag = (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y")))
+      .toDF("u", "v")
+    val r1 = Hypothesis.gTest(diag, "u", "v").collect().head
+    assert(r1.getLong(0) == 20L && r1.getLong(4) == 27725888L, s"$r1")
+  }
+
   test("ansariBradley: tails-vs-center hand case hits z = −√3; symmetry gives 0") {
     // arm0 = {1,4} (tails), arm1 = {2,3} (center): doubled scores
     // 2,4,4,2 → W2 = 4, S1 = 12, S2q = 40; numN = −8, radicand = 64,
