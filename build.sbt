@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: local[32] is 32 executor threads + the driver + every
+  // memoized corpus/ANN index sharing ONE heap. At 8g the full bench
+  // registry (320+ queries' cached indexes) spent 25-30% of the
+  // cache-heavy text tier's wall-time on GC (COVERAGE.md "Bench
+  // bookkeeping notes (r15)"); production posture is executors with
+  // tens of GB each, so the local stand-in gets the same headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

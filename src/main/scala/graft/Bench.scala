@@ -2,10 +2,28 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every registered query timed at the target
-  * scale factor; one JSON line on stdout. A warmup pass (scan + tiny
-  * aggregate of each table) is excluded from timings so the numbers
-  * measure query execution, not JVM/codegen/file-index warmup. */
+  * scale factor; one JSON line on stdout. Interleaved full-suite
+  * passes with per-query lower-medians reject first-run (codegen/JIT/
+  * index-build) and contention inflation; a wall-time budget degrades
+  * the rep count instead of overrunning the driver's window. */
 object Bench {
+  /** WindowExec logs "No Partition Defined ... single partition" for
+    * EVERY unpartitioned window, including the suite's provably bounded
+    * frames: distinct e6 score levels (pipeline/TextAnalysis.scala
+    * e6-quantized quality scores), distinct length values, decile
+    * buckets (stats/MlEval.scala calibration table), and the
+    * topK-limited BPE vocab (pipeline/Bpe.scala) — each frame is
+    * config- or quantization-bounded, so "all data to a single
+    * partition" is a few hundred rows by construction. The flood (50+
+    * identical WARN lines per run) buries real driver-tail signals, so
+    * bench/verify sessions raise that one logger to ERROR. Real
+    * unbounded global windows would be a plan bug, not a log-level
+    * concern — ExplainAll/ScaleProbe sessions keep the WARN. */
+  private[graft] def silenceBoundedWindowWarn(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every available core (the brief's local[32] posture);
@@ -19,6 +37,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    silenceBoundedWindowWarn()
     // warmup: touch every table once (file listing, footer reads)
     Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
       .foreach { t =>
@@ -35,17 +54,38 @@ object Bench {
     // higher for the pure-projection family than earlier rounds'.
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    // JMH-style warmup: run every query once at the smallest SF so the
-    // timed pass measures steady-state execution rather than first-run
-    // codegen compilation + JIT. The warmup reads DIFFERENT parquet
-    // paths, so no result cache carries into the timed runs; whatever
-    // was cached is dropped before timing.
-    val warmDir = "/root/testdata/sf0.001"
-    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.valuesIterator.foreach { fn =>
-        try materialize(fn(spark, warmDir)) catch { case _: Throwable => }
-      }
-    spark.catalog.clearCache()
+    // Demoted from the TIMED sf0.1 suite on the q76 precedent (bench
+    // wall-time is the driver's correctness budget — r15's suite grew
+    // past the driver window and shipped NO artifacts). Each demoted
+    // entry re-runs a plan the suite already times AND pins
+    // cell-for-cell elsewhere; all four keep their Verify oracles
+    // (sf0.01 correctness is cheap and stays full-registry):
+    //   q86/q87/q88 — the frame-backed IVF serving rungs re-run the
+    //     q65/q70/q74 oracles over a path whose parity with the
+    //     plan-literal rung is spec-pinned (SimilaritySpec);
+    //   q78 — the pair-join union-find flavor; q66 times the canonical
+    //     flavor and the two are parity-tested by spec.
+    val excluded = Set(
+      "q78_dup_clusters_pj", "q86_ivf_ann_frames",
+      "q87_ivf_hier_frames", "q88_ivf_tree_frames")
+    // SPARK_GRAFT_BENCH_ONLY=q78_dup_clusters_pj,q82_curate_corpus
+    // restricts the suite to a comma-separated subset — a dev loop for
+    // timing one query's optimization without paying the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = (SparkEntry.queries.keySet -- excluded).toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    // NO per-query warmup pass. The suite ran a full-registry sf0.001
+    // warmup through r15 so the timed pass would measure steady state —
+    // but at 300+ queries the warmup's PER-QUERY FIXED cost dominates
+    // and the pass costs as much as a full sf0.1 timed pass (measured
+    // r16: 391 s on the r15-slow host class — the single largest
+    // contributor to the r15 driver-window overrun). The interleaved
+    // median already provides the warmup's guarantee for free: pass 1
+    // absorbs codegen + JIT + once-per-(session,dir) index builds, and
+    // the per-query median across passes rejects pass-1 inflation the
+    // same way it rejects a contention window. The table touch above
+    // stays (file listing + footer reads are shared, not per-query).
     // Median-of-3 per query, reps INTERLEAVED across full suite passes:
     // single-shot timings on a shared box swing far beyond the real
     // signal (BENCH_r03 measured 2x the reproducible total under host
@@ -65,42 +105,60 @@ object Bench {
     // the served-workload number; the build cost itself is what
     // ScaleProbe measures.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    // No demoted queries: every registered query is timed (q76, the
-    // 16-bucket-band SimHash that was the one bench exclusion, was
-    // RETIRED in r14 — q77/q85 carry the operator at scale-safe
-    // widths).
-    val excluded = Set.empty[String]
-    // SPARK_GRAFT_BENCH_ONLY=q78_dup_clusters_pj,q82_curate_corpus
-    // restricts the suite to a comma-separated subset — a dev loop for
-    // timing one query's optimization without paying the full suite
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val names = (SparkEntry.queries.keySet -- excluded).toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+    // WALL-TIME BUDGET — the r15 lesson: a bench that cannot finish
+    // inside the driver's window ships NO artifact, which is worse than
+    // a bench with fewer reps. Before starting pass N+1, project its
+    // cost from the last completed pass (with 15% headroom for drift)
+    // and skip remaining passes if they don't fit; an artifact with
+    // reps_completed < reps and a stderr note always beats rc 124.
+    // 1,000 s default leaves startup + sbt compile + shutdown cleanup
+    // inside the ~1,500 s window the r14 driver run proved, even on the
+    // 1.5-2× slow host class r15 measured (q20 control = the tell).
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1000").toDouble
+    val tBench0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - tBench0) / 1e9
     val timesByQuery = scala.collection.mutable.Map.empty[String, List[Double]]
-    for (pass <- 1 to reps; name <- names) {
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try {
-        materialize(fn(spark, sfDir))
-        timesByQuery(name) = ((System.nanoTime() - t0) / 1e9) :: timesByQuery.getOrElse(name, Nil)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"BENCH FAILURE $name pass $pass: ${e.getClass.getName}: ${e.getMessage}")
-      }
+    var repsDone = 0
+    var lastPassSec = 0.0
+    for (pass <- 1 to reps) {
+      if (pass == 1 || elapsedSec + 1.15 * lastPassSec <= budgetSec) {
+        val tPass0 = System.nanoTime()
+        for (name <- names) {
+          val fn = SparkEntry.queries(name)
+          val t0 = System.nanoTime()
+          try {
+            materialize(fn(spark, sfDir))
+            timesByQuery(name) = ((System.nanoTime() - t0) / 1e9) :: timesByQuery.getOrElse(name, Nil)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"BENCH FAILURE $name pass $pass: ${e.getClass.getName}: ${e.getMessage}")
+          }
+        }
+        lastPassSec = (System.nanoTime() - tPass0) / 1e9
+        repsDone = pass
+        System.err.println(f"BENCH pass $pass done in $lastPassSec%.1f s" +
+          f" (elapsed $elapsedSec%.1f of ${budgetSec}%.0f s budget)")
+      } else
+        System.err.println(f"BENCH pass $pass SKIPPED: projected" +
+          f" ${1.15 * lastPassSec}%.1f s exceeds remaining" +
+          f" ${budgetSec - elapsedSec}%.1f s budget")
     }
     var failed = List.empty[String]
+    // LOWER median: 3 reps → the true median; 2 reps (budget-degraded)
+    // → the min, correct because contention and pass-1 first-run costs
+    // only ever INFLATE; 1 rep → the single observation
     val results = names.map { name =>
       val times = timesByQuery.getOrElse(name, Nil)
       if (times.isEmpty) { failed ::= name; name -> -1.0 }
-      else name -> times.sorted.apply(times.size / 2)
+      else name -> times.sorted.apply((times.size - 1) / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","reps_completed":$repsDone}"""
     // capture-proofing: the driver records only the LAST 2000 chars of
     // stdout, and at 140+ registered queries the full per-query map is
     // ~7 KB — BENCH_r11's tail capture cut the line's head off and its
@@ -120,7 +178,7 @@ object Bench {
     val bySlowest = results.sortBy { case (_, v) => -v }
       .map { case (k, v) => s"\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
     val budget = 1700
-    val fixedHead = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"n_queries":${results.size},"full":"$outPath","queries_omitted":000,"queries":{"""
+    val fixedHead = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"n_queries":${results.size},"reps_completed":$repsDone,"full":"$outPath","queries_omitted":000,"queries":{"""
     var used = fixedHead.length + 2
     val kept = bySlowest.takeWhile { e =>
       val fits = used + e.length + 1 <= budget

@@ -1474,10 +1474,10 @@ object DiagQueries {
       |          sum(res * res) AS den,
       |          sum(CASE WHEN rn >= 2 THEN d1 * d1 END) AS num
       |        FROM dr GROUP BY 1)
-      |SELECT k AS event_type, n_obs,
-      |  CASE WHEN den = 0 THEN NULL
+      |SELECT cf.k AS event_type, cf.n AS n_obs,
+      |  CASE WHEN den IS NULL OR den = 0 THEN NULL
       |    ELSE CAST(num * 1000000 // den AS BIGINT) END AS dw_e6
-      |FROM agg""".stripMargin
+      |FROM cf LEFT JOIN agg ON agg.k = cf.k""".stripMargin
 
   /** q335 — Wald–Wolfowitz runs test ([[graft.stats.Diagnostics
     * .runsTest]]) vs the exact lower median of each daily series:
@@ -1559,12 +1559,13 @@ object DiagQueries {
       |       FROM pr GROUP BY 1, 2),
       |nn AS (SELECT k, g, CAST(count(*) AS BIGINT) AS n_g
       |       FROM ds GROUP BY 1, 2),
-      |ti AS (SELECT k, g, CAST(sum(t*(t-1)*(2*t+5)) AS BIGINT) AS tie18
+      |ti AS (SELECT k, g, CAST(sum(CAST(t AS HUGEINT)*(t-1)*(2*t+5))
+      |           AS BIGINT) AS tie18
       |       FROM (SELECT k, g, y, count(*) AS t FROM ds
       |             GROUP BY 1, 2, 3)
       |       GROUP BY 1, 2),
       |vv AS (SELECT nn.k, nn.g, n_g, coalesce(s_g, 0) AS s_g,
-      |         n_g*(n_g-1)*(2*n_g+5) - tie18 AS v_g
+      |         CAST(n_g AS HUGEINT)*(n_g-1)*(2*n_g+5) - tie18 AS v_g
       |       FROM nn LEFT JOIN ss ON ss.k = nn.k AND ss.g = nn.g
       |               JOIN ti ON ti.k = nn.k AND ti.g = nn.g),
       |ag AS (SELECT k, CAST(count(*) AS BIGINT) AS n_seasons,
@@ -1619,10 +1620,10 @@ object DiagQueries {
       |tg AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
       |         CAST(count(*) AS BIGINT) AS k,
       |         sum(CAST(n_g AS HUGEINT) * n_g) AS sn2,
-      |         CAST(sum(n_g*(n_g-1)*(2*n_g+5)) AS BIGINT) AS g18,
+      |         sum(CAST(n_g AS HUGEINT)*(n_g-1)*(2*n_g+5)) AS g18,
       |         sum(CAST(n_g AS HUGEINT)*(n_g-1)*(n_g-2)) AS g3,
       |         CAST(sum(n_g*(n_g-1)) AS BIGINT) AS g2 FROM grps),
-      |tv AS (SELECT CAST(sum(l*(l-1)*(2*l+5)) AS BIGINT) AS t18,
+      |tv AS (SELECT sum(CAST(l AS HUGEINT)*(l-1)*(2*l+5)) AS t18,
       |         sum(CAST(l AS HUGEINT)*(l-1)*(l-2)) AS t3,
       |         CAST(sum(l*(l-1)) AS BIGINT) AS t2 FROM ga)
       |SELECT n, k, CAST(j2 AS BIGINT) AS j2,

@@ -516,15 +516,19 @@ object Hypothesis {
       .withColumn("pref_a", coalesce(sum(col("a")).over(w), lit(0L)))
       .agg(sum(col("c").cast(d38) * col("pref_a")).as("j2"))
     // tie/group ledgers for E and the three-term variance
+    // g18/t18 are ~2n³ in the group/tie size: like the adjacent
+    // g3/t3/sn2 terms, the first factor goes to decimal(38,0) so a
+    // dose group or tie block past ~1.66M rows can't overflow int64
     val tg = grps.agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"),
       sum(col("n_g").cast(d38) * col("n_g")).as("sn2"),
-      sum(col("n_g") * (col("n_g") - 1L) *
+      sum(col("n_g").cast(d38) * (col("n_g") - 1L) *
         (col("n_g") * 2L + 5L)).as("g18"),
       sum(col("n_g").cast(d38) * (col("n_g") - 1L) *
         (col("n_g") - 2L)).as("g3"),
       sum(col("n_g") * (col("n_g") - 1L)).as("g2"))
     val tv = grid.agg(
-      sum(col("l") * (col("l") - 1L) * (col("l") * 2L + 5L)).as("t18"),
+      sum(col("l").cast(d38) * (col("l") - 1L) *
+        (col("l") * 2L + 5L)).as("t18"),
       sum(col("l").cast(d38) * (col("l") - 1L) *
         (col("l") - 2L)).as("t3"),
       sum(col("l") * (col("l") - 1L)).as("t2"))

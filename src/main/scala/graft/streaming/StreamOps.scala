@@ -965,6 +965,86 @@ object StreamOps {
       }
   }
 
+  /** Streaming MULTIPLICATIVE Holt–Winters — the live twin of
+    * [[graft.ts.ExpSmooth.tripleExpSmoothMul]], completing the pair
+    * ([[streamingHoltWinters]] mirrors the additive batch fold, this
+    * mirrors the ratio-seasonality one — retail/traffic rhythms that
+    * scale with the level). Same `flatMapGroupsWithState` shape, same
+    * day-close device, same state bound (m + 6 longs per series
+    * forever); the fold carries the batch side's guarded divisions
+    * fragment-for-fragment (s[p] ≤ 0 → deseasonalize by 1; l' ≤ 0 →
+    * carry s[p]; Java long division ≡ SQL `div`, truncation toward
+    * zero), so every emitted row equals the batch row over the
+    * closed-day sums (spec-pinned parity). Positive-series contract
+    * and the |y| ≲ 10¹² cents exactness bound are the batch op's. */
+  case class HwMulUpdate(series: String, day_sec: Long, y_c: Long,
+                         level_c: Long, trend_c: Long, seas_e6: Long,
+                         pred_c: Long)
+
+  def streamingHoltWintersMul(stream: DataFrame, seriesCol: String,
+                              tsCol: String, vCol: String, m: Int = 7,
+                              aNum: Int = 2, aDen: Int = 10,
+                              bNum: Int = 1, bDen: Int = 10,
+                              gNum: Int = 3, gDen: Int = 10)
+      : org.apache.spark.sql.Dataset[HwMulUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(m >= 2, "seasonal period must be >= 2")
+    require(aNum > 0 && aNum < aDen, "alpha in (0, 1)")
+    require(bNum > 0 && bNum < bDen, "beta in (0, 1)")
+    require(gNum > 0 && gNum < gDen, "gamma in (0, 1)")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val NONE = Long.MinValue
+    def foldDay(st: HwState, key: String, d: Long, y: Long)
+        : (HwState, HwMulUpdate) =
+      if (st.t == 0L)
+        (st.copy(t = 1L, l = y, b = 0L),
+         HwMulUpdate(key, d, y, y, 0L, 1000000L, y))
+      else {
+        val p = (st.t % m).toInt
+        val sOld = st.sv(p)
+        val pred = (st.l + st.b) * sOld / 1000000L
+        val ds = if (sOld <= 0L) y else y * 1000000L / sOld
+        val lp = (aNum * ds + (aDen - aNum) * (st.l + st.b)) / aDen
+        val bp = (bNum * (lp - st.l) + (bDen - bNum) * st.b) / bDen
+        val sp = if (lp <= 0L) sOld
+                 else (gNum * (y * 1000000L / lp) + (gDen - gNum) * sOld) / gDen
+        val sv2 = st.sv.clone(); sv2(p) = sp
+        (st.copy(t = st.t + 1, l = lp, b = bp, sv = sv2),
+         HwMulUpdate(key, d, y, lp, bp, sp, pred))
+      }
+    stream
+      .select(col(seriesCol).cast("string"),
+        date_trunc("day", col(tsCol).cast("timestamp")).cast("long"),
+        col(vCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[HwState]) =>
+          var st = state.getOption.getOrElse(
+            HwState(0L, 0L, 0L, Array.fill(m)(1000000L), NONE, 0L))
+          val days = rows.foldLeft(Map.empty[Long, Long]) {
+            case (acc, (_, d, v)) =>
+              acc.updated(d, acc.getOrElse(d, 0L) + v)
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[HwMulUpdate]
+          days.toSeq.sorted.foreach { case (d, s) =>
+            if (st.pendDay == NONE)
+              st = st.copy(pendDay = d, pendSum = s)
+            else if (d == st.pendDay)
+              st = st.copy(pendSum = st.pendSum + s)
+            else if (d > st.pendDay) {
+              val (st2, row) = foldDay(st, key, st.pendDay, st.pendSum)
+              out += row
+              st = st2.copy(pendDay = d, pendSum = s)
+            } // d < pendDay: closed days are final — ignored
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming Croston — the intermittent-demand smoother
     * ([[graft.ts.Intermittent.croston]]) maintained live per series:
     * state is the two smoothed levels (demand size, inter-demand
@@ -1054,9 +1134,17 @@ object StreamOps {
     * [[streamingHoltWinters]]'s: a day folds exactly once when a
     * later day first arrives; closed days are final. Every emitted
     * row equals the batch ledger row over the closed-day sums
-    * (spec-pinned parity — identical truncating long arithmetic,
-    * with the same documented |x| ≤ 10⁹-cents bound keeping the
-    * ·10⁶ product inside int64). */
+    * (spec-pinned parity). Exactness matches the batch side
+    * term-for-term: the batch ledger runs the ·10⁶ product in
+    * DECIMAL(38) before its one truncating division, so the
+    * streaming fold runs the same product in BigInt — plain long
+    * would wrap once t·(x−mean)·10⁶ passes int64, ~4,600
+    * maximal-swing days at the documented |x| ≤ 10⁹-cents bound,
+    * exactly where decimal was introduced batch-side. U itself is a
+    * long under the SAME envelope as the batch window sum
+    * (sum(BIGINT) raises on overflow rather than wrapping): |x| ≤
+    * 10⁹ cents keeps U inside int64 for ~4,600 worst-case days and
+    * far longer for realistic residuals. */
   case class PhState(t: Long, cum: Long, u: Long, minU: Long, maxU: Long,
                      pendDay: Long, pendSum: Long)
   case class PhUpdate(series: String, day_sec: Long, y_c: Long,
@@ -1071,13 +1159,15 @@ object StreamOps {
     val spark = stream.sparkSession
     import spark.implicits._
     val NONE = Long.MinValue
-    // fold ONE closed day: t·x − cum is exact; one truncating
-    // division per day — identical to the batch window ledger
+    // fold ONE closed day: the ·10⁶ product runs in BigInt before the
+    // one truncating division (toward zero — BigInt `/` ≡ SQL `div`),
+    // mirroring the batch ledger's DECIMAL(38) product; `dev` itself
+    // fits long (|x − mean| ≤ 2·10⁹ cents ⇒ |dev| ≤ 2·10¹⁵ + δ)
     def foldDay(st: PhState, key: String, d: Long, x: Long)
         : (PhState, PhUpdate) = {
       val t = st.t + 1
       val cum = st.cum + x
-      val dev = (t * x - cum) * 1000000L / t - deltaE6
+      val dev = ((BigInt(t) * x - cum) * 1000000L / t).toLong - deltaE6
       val u = st.u + dev
       val minU = if (t == 1L) u else math.min(st.minU, u)
       val maxU = if (t == 1L) u else math.max(st.maxU, u)

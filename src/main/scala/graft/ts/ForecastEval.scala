@@ -70,7 +70,12 @@ object ForecastEval {
     * fraction of days y ≤ ŷ, which a calibrated q-quantile holds
     * near q). The evaluated forecaster is the honest baseline every
     * probabilistic model must beat: the exact lower q-quantile of
-    * the trailing w days.
+    * the trailing w OBSERVED days (a ROWS frame — on a series with
+    * calendar gaps the w observations span more than w calendar
+    * days; a calendar-window variant would pre-densify onto the day
+    * grid like the other ts ops, but the baseline's contract is
+    * "last w data points", and the oracle replays the same ROWS
+    * frame).
     *
     * Exactness: the prediction is an ORDER STATISTIC (index
     * ((w−1)·qn) div qd, a compile-time constant per quantile — no

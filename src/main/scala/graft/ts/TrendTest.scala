@@ -120,15 +120,21 @@ object TrendTest {
         expr("transform(sort_array(collect_list(struct(d, y))), x -> x.y)"))
         .as("f"))
     perSeason
+      // v_g is ~2n³ in the season size: first factor to decimal(38,0)
+      // (the jonckheereTerpstra g18 pattern) so a season past ~1.66M
+      // observations can't overflow int64
       .select(col("k"), col("f.n_obs").as("n_g"),
         col("f.s_stat").as("s_g"),
-        (col("f.n_obs") * (col("f.n_obs") - 1L)
+        (col("f.n_obs").cast("decimal(38,0)") * (col("f.n_obs") - 1L)
           * (col("f.n_obs") * 2L + 5L) - col("f.tie18")).as("v_g"))
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n_seasons"), sum(col("n_g")).as("n_obs"),
         sum(col("s_g")).as("s_stat"), sum(col("v_g")).as("var18"))
       .select(col("k").as(keyCol), col("n_seasons"), col("n_obs"),
-        col("s_stat"), col("var18"),
+        // output stays BIGINT (the q337 j2/e2 pattern): the decimal
+        // ledger above is exact, and a var18 genuinely past int64
+        // raises at this cast (ANSI) instead of wrapping upstream
+        col("s_stat"), col("var18").cast("long").as("var18"),
         when(col("var18") <= 0L, lit(null).cast("long"))
           .otherwise(round(
             (col("s_stat") - signum(col("s_stat"))).cast("double")
