@@ -194,9 +194,30 @@ object Multimodal {
         lit(nFrames.toLong).as("n_frames")).as("meta"))
   }
 
+  /** Synthesize a REAL AVI video table ([[graft.plans.GenAvi]]): one
+    * RIFF/AVI container per row with uncompressed-DIB frames — the
+    * industry container flavor next to [[videoTable]]'s GIF sequence,
+    * decoded by the hand-written RIFF walker rather than an ImageIO
+    * plugin. Same time-extended pixel formula (bit-exact DIB storage),
+    * so the same arithmetic oracle replays every channel mean; width
+    * 5 exercises the format's 4-byte row padding. */
+  def videoTableAvi(docs: DataFrame, idCol: String, w: Int = 5, h: Int = 3,
+                    nFrames: Int = 5): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val media = call_function("gen_avi", col(idCol), lit(w), lit(h), lit(nFrames))
+    docs.select(
+      col(idCol).as("doc_id"),
+      media.as("media"),
+      struct(
+        lit("video/avi").as("mime"),
+        length(media).cast("long").as("n_bytes"),
+        lit(nFrames.toLong).as("n_frames")).as("meta"))
+  }
+
   /** REAL video decode ([[graft.plans.DecodeVideo]]) — the modality's
     * declared stub, RETIRED: every stored frame decoded through the
-    * JDK's GIF reader and reduced to per-channel means, exploded to
+    * JDK's GIF reader (or the AVI container walker — DIB and MJPEG
+    * chunks) and reduced to per-channel means, exploded to
     * one row per (video, frame). Undecodable payloads are skipped, not
     * fabricated. Pure map-side: a native expression + explode, zero
     * shuffles at any corpus size. */

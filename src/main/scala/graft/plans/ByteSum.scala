@@ -201,6 +201,9 @@ object GraftFunctions {
     "gen_gif" -> (exprs => GenGif(exprs.head,
       intLit(exprs(1), "gen_gif width"), intLit(exprs(2), "gen_gif height"),
       intLit(exprs(3), "gen_gif frames"))),
+    "gen_avi" -> (exprs => GenAvi(exprs.head,
+      intLit(exprs(1), "gen_avi width"), intLit(exprs(2), "gen_avi height"),
+      intLit(exprs(3), "gen_avi frames"))),
     "decode_video" -> (exprs => DecodeVideo(exprs.head)),
     "minhash_sig" -> (exprs => MinhashSig.fromArgs(exprs)),
     "cdc_chunks" -> (exprs => CdcChunks.fromArgs(exprs)),

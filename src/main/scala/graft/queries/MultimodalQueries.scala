@@ -266,6 +266,36 @@ object MultimodalQueries {
       |       avg(b) AS mean_b
       |FROM vpx GROUP BY doc_id, f""".stripMargin
 
+  /** q340 — AVI container decode ([[Multimodal.videoTableAvi]] →
+    * [[Multimodal.decodeVideo]]): the INDUSTRY video container next
+    * to q130's GIF sequence. gen_avi writes genuine RIFF/AVI bytes
+    * (header chain, uncompressed-DIB '00db' frames with the format's
+    * 4-byte row padding — width 5 exercises it — and an idx1 index);
+    * decode_video's hand-written RIFF walker reads every frame
+    * straight off the container (no ImageIO plugin exists for AVI).
+    * DIB storage is bit-exact, so the oracle predicts every
+    * per-frame channel mean from the same time-extended pixel
+    * formula as q130. */
+  private def q340(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeVideo(Multimodal.videoTableAvi(t(s, dir, "documents"), "doc_id"))
+
+  private val q340Sql =
+    """WITH vpx AS (
+      |  SELECT d.doc_id, fs.f, g.x, g.y,
+      |         ((d.doc_id * 31 + 7 * g.x + 13 * g.y + 17 * fs.f) % 256 + 256) % 256 AS b
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS f) fs
+      |  CROSS JOIN (
+      |    SELECT xs.x, ys.y
+      |    FROM (SELECT unnest(generate_series(0, 4)) AS x) xs,
+      |         (SELECT unnest(generate_series(0, 2)) AS y) ys) g)
+      |SELECT doc_id, 'video/avi' AS mime, CAST(f AS INTEGER) AS frame_idx,
+      |       CAST(5 AS INTEGER) AS width, CAST(3 AS INTEGER) AS height,
+      |       avg((b + 170) % 256) AS mean_r,
+      |       avg((b + 85) % 256) AS mean_g,
+      |       avg(b) AS mean_b
+      |FROM vpx GROUP BY doc_id, f""".stripMargin
+
   /** q131 — video temporal profile ([[Multimodal.videoSceneStats]]):
     * per-transition L1 delta of the decoded channel means + the
     * scene-cut flag at 100 (the corpus's deltas span 35..113 with 14%
@@ -662,6 +692,7 @@ object MultimodalQueries {
     QueryDef("q128_image_resize_chain", q128, Some(q128Sql)),
     QueryDef("q129_audio_fp_dedup", q129, Some(q129Sql)),
     QueryDef("q130_video_decode", q130, Some(q130Sql)),
+    QueryDef("q340_avi_decode", q340, Some(q340Sql)),
     QueryDef("q131_video_scene_stats", q131, Some(q131Sql)),
     QueryDef("q132_video_fp_dedup", q132, Some(q132Sql)),
     QueryDef("q133_multimodal_manifest", q133, Some(q133Sql)),

@@ -2343,6 +2343,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeVideo(junk).count() == 0)
   }
 
+  test("gen_avi/decode_video: RIFF container round-trip, exact DIB means, MJPEG parity") {
+    graft.plans.GraftFunctions.register(spark)
+    // DIB frames are bit-exact: every decoded mean must EQUAL the
+    // formula prediction (k/15 — width 5 exercises the 4-byte row pad)
+    val ids = Seq(0L, 42L).toDF("doc_id")
+    val got = Multimodal.decodeVideo(Multimodal.videoTableAvi(ids, "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(2)) ->
+        ((r.getInt(3), r.getInt(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    assert(got.size == 10, "2 videos x 5 frames")
+    for (id <- Seq(0L, 42L); f <- 0 until 5) {
+      val px = for { y <- 0 until 3; x <- 0 until 5 }
+        yield java.lang.Math.floorMod(id * 31 + 7 * x + 13 * y + 17 * f, 256L).toInt
+      val (w, h, mr, mg, mb) = got((id, f))
+      assert(w == 5 && h == 3)
+      assert(mr == px.map(v => (v + 170) % 256).sum / 15.0, s"mean_r id=$id f=$f")
+      assert(mg == px.map(v => (v + 85) % 256).sum / 15.0, s"mean_g id=$id f=$f")
+      assert(mb == px.sum / 15.0, s"mean_b id=$id f=$f")
+    }
+    // the payload is a genuine RIFF/AVI container
+    val bytes = graft.plans.GenAvi.avi(7L, 5, 3, 4)
+    assert(bytes.take(4).map(_.toChar).mkString == "RIFF" &&
+      bytes.slice(8, 12).map(_.toChar).mkString == "AVI ")
+    val arr = graft.plans.DecodeVideo.decode(bytes)
+    assert(arr != null && arr.numElements() == 4, "4 stored frames read back")
+    // MJPEG flavor: JPEG frames ride ImageIO — decoding them through
+    // the container must EQUAL decoding the same JPEG bytes directly
+    val jpegs = (0 until 3).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.setRGB(x, y, ((x * 20 + f * 40) << 16) | ((y * 25) << 8) | 128)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", baos)
+      baos.toByteArray
+    }
+    val mj = graft.plans.DecodeVideo.decode(
+      graft.plans.GenAvi.aviMjpeg(8, 8, jpegs))
+    assert(mj != null && mj.numElements() == 3, "3 MJPEG frames read back")
+    val want = jpegs.map { jb =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jb))
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val p = img.getRGB(x, y)
+        sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff; sb += p & 0xff
+      }
+      (sr / 64.0, sg / 64.0, sb / 64.0)
+    }
+    for (f <- 0 until 3) {
+      val row = mj.getStruct(f, 6)
+      assert(row.getInt(1) == 8 && row.getInt(2) == 8)
+      assert((row.getDouble(3), row.getDouble(4), row.getDouble(5)) == want(f),
+        s"MJPEG-in-AVI frame $f must equal the direct JPEG decode")
+    }
+    // garbage bytes and truncated containers are skipped, not fabricated
+    val junk = Seq((9L, "RIFF".getBytes("ISO-8859-1") ++
+        Array.fill[Byte](20)(3))).toDF("doc_id", "media")
+      .select(col("doc_id"), col("media"),
+              struct(lit("video/avi").as("mime")).as("meta"))
+    assert(Multimodal.decodeVideo(junk).count() == 0)
+    assert(graft.plans.DecodeVideo.decode(bytes.take(40)) == null)
+  }
+
   test("video perceptual dedup: luminance-contour bits match a by-hand replay") {
     graft.plans.GraftFunctions.register(spark)
     val ids = Seq(11L, 12L).toDF("doc_id")
