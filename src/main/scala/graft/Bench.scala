@@ -111,22 +111,27 @@ object Bench {
     // cost from the last completed pass (with 15% headroom for drift)
     // and skip remaining passes if they don't fit; an artifact with
     // reps_completed < reps and a stderr note always beats rc 124.
-    // 1,200 s default leaves startup + sbt compile + shutdown cleanup
+    // 1,150 s default leaves startup + sbt compile + shutdown cleanup
     // inside the window the r14 driver run proved (1,486 s total
     // succeeded; r15's overrun failed), even on the 1.5-2× slow host
-    // class r15 measured (q20 control = the tell).
+    // class r15 measured (q20 control = the tell). Measured r16 on the
+    // slow host class: pass 1 = 738 s (codegen + JIT + index builds),
+    // steady pass = 410 s — so a slow host delivers one pass and a
+    // quiet host two; the lower median makes either artifact honest.
     val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1150").toDouble
     val tBench0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - tBench0) / 1e9
     val timesByQuery = scala.collection.mutable.Map.empty[String, List[Double]]
     var repsDone = 0
     var lastPassSec = 0.0
     for (pass <- 1 to reps) {
-      // pass 1 carries the one-time index builds, so it OVER-estimates
-      // pass 2 (no extra headroom needed); steady passes 3+ project
-      // from the previous steady pass with 15% drift headroom
-      val projected = if (pass == 2) lastPassSec else 1.15 * lastPassSec
+      // pass 1 carries one-time codegen + JIT + index builds and
+      // OVER-estimates pass 2 badly — measured r16: pass 2 = 0.56 ×
+      // pass 1 (410 vs 738 s); projected at 0.6 with the budget as
+      // the guard. Steady passes 3+ project from the previous steady
+      // pass with 15% drift headroom.
+      val projected = if (pass == 2) 0.6 * lastPassSec else 1.15 * lastPassSec
       if (pass == 1 || elapsedSec + projected <= budgetSec) {
         val tPass0 = System.nanoTime()
         for (name <- names) {

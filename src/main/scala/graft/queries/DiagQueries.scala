@@ -1700,6 +1700,149 @@ object DiagQueries {
       |      * 1000000) AS BIGINT) END AS z_e6
       |FROM ag""".stripMargin
 
+  /** Shared frame for q341/q342: daily revenue per priority dose —
+    * blocks = days, treatments = the 5 priorities (dose = the digit
+    * prefix, the q322/q337 device). */
+  private def prioDaily(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(substring(col("o_orderpriority"), 1, 1).cast("long")
+                 .as("dose"),
+               dayBucket(col("o_orderdate")).as("blk"))
+      .agg(sum(cents(col("o_totalprice"))).as("y"))
+
+  private val prioDailySql =
+    """daily AS (
+      |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS dose,
+      |         CAST(date_trunc('day', o_orderdate) AS DATE) AS blk,
+      |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+      |           AS BIGINT) AS y
+      |  FROM orders GROUP BY 1, 2),
+      |kt AS (SELECT CAST(count(DISTINCT dose) AS BIGINT) AS k
+      |       FROM daily),
+      |comp AS (SELECT blk FROM daily CROSS JOIN kt
+      |         GROUP BY blk, k
+      |         HAVING count(*) = max(k)
+      |            AND count(DISTINCT dose) = max(k)),
+      |ib AS (SELECT d.* FROM daily d JOIN comp USING (blk)),
+      |cnt AS (SELECT blk, v, count(*) AS c
+      |        FROM (SELECT blk, y AS v FROM ib) GROUP BY 1, 2),
+      |r2t AS (SELECT blk, v,
+      |          2 * (sum(c) OVER (PARTITION BY blk ORDER BY v) - c)
+      |            + c + 1 AS r2
+      |        FROM cnt),
+      |rk AS (SELECT ib.dose, r2
+      |       FROM ib JOIN r2t ON r2t.blk = ib.blk AND r2t.v = ib.y),
+      |pt AS (SELECT dose, CAST(sum(r2) AS BIGINT) AS r2_sum,
+      |         CAST(count(*) AS BIGINT) AS n_blocks
+      |       FROM rk GROUP BY 1)""".stripMargin
+
+  /** q341 — Page's trend test ([[graft.stats.Hypothesis.pageTrend]]):
+    * does daily revenue INCREASE along the priority dose, judged
+    * within each day — the repeated-measures ordered sharpening that
+    * completes the pair symmetry (KW → Jonckheere :: Friedman →
+    * Page). Blocks = days (complete only), doubled midranks, exact
+    * integer L2, one double tree for z. */
+  private def q341(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Hypothesis.pageTrend(prioDaily(s, dir), "blk", "dose", "y")
+
+  private val q341Sql =
+    s"""WITH $prioDailySql,
+      |dr AS (SELECT dose,
+      |         CAST(row_number() OVER (ORDER BY dose) AS BIGINT)
+      |           AS c_rank
+      |       FROM (SELECT DISTINCT dose FROM daily)),
+      |tot AS (SELECT CAST(sum(c_rank * r2_sum) AS BIGINT) AS l2,
+      |          CAST(max(n_blocks) AS BIGINT) AS n
+      |        FROM pt JOIN dr USING (dose))
+      |SELECT pt.dose, c_rank, r2_sum, n_blocks, k, l2,
+      |  CAST(CASE WHEN k < 3 OR n < 1 THEN NULL ELSE round(
+      |    (l2 - CAST(n AS DOUBLE) * k * (k + 1) * (k + 1) / 2.0)
+      |    / sqrt(CAST(n AS DOUBLE) * k * k * (k + 1) * (k + 1)
+      |           * (k - 1) / 36.0) * 1000000) END AS BIGINT) AS z_e6
+      |FROM pt JOIN dr USING (dose) CROSS JOIN tot CROSS JOIN kt""".stripMargin
+
+  /** q342 — Kendall's W ([[graft.stats.Hypothesis.kendallW]]): how
+    * strongly the days AGREE on the priority ranking — the
+    * concordance effect size over q326's Friedman evidence,
+    * tie-corrected, exact integer ledger, one truncating e6
+    * division. */
+  private def q342(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Hypothesis.kendallW(prioDaily(s, dir), "blk", "dose", "y")
+
+  private val q342Sql =
+    s"""WITH $prioDailySql,
+      |ties AS (SELECT CAST(coalesce(sum(c*c*c - c), 0) AS BIGINT)
+      |           AS sum_t FROM cnt),
+      |tot AS (SELECT sum(CAST(r2_sum AS HUGEINT) * r2_sum) AS sr2,
+      |          CAST(max(n_blocks) AS BIGINT) AS n
+      |        FROM pt)
+      |SELECT n AS n_blocks, k, sum_t,
+      |  CASE WHEN k < 2 OR CAST(n AS HUGEINT) * n * k * (k*k - 1)
+      |        - CAST(n AS HUGEINT) * sum_t <= 0 THEN NULL
+      |    ELSE CAST((3 * (sr2 - CAST(n AS HUGEINT) * n * k
+      |        * (k + 1) * (k + 1))) * 1000000
+      |      // (CAST(n AS HUGEINT) * n * k * (k*k - 1)
+      |         - CAST(n AS HUGEINT) * sum_t) AS BIGINT) END AS w_e6
+      |FROM tot CROSS JOIN kt CROSS JOIN ties""".stripMargin
+
+  /** q343 — Mood's median test ([[graft.stats.Hypothesis
+    * .moodMedian]]): per event type, do the three user arms differ
+    * around the pooled LOWER median — the outlier-immune k-sample
+    * gate next to q317's rank-powered one; grid-prefix median, exact
+    * cells, per-arm e6-rounded χ² terms. */
+  private def q343(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Hypothesis.moodMedian(
+      t(s, dir, "events")
+        .select(col("event_type"), pmod(col("user_id"), lit(3L)).as("arm"),
+                cents(col("value")).as("v")),
+      "event_type", "arm", "v")
+
+  private val q343Sql =
+    """WITH o AS (
+      |  SELECT event_type AS grp, user_id % 3 AS arm,
+      |         CAST(round(value*100) AS BIGINT) AS v FROM events),
+      |cnt AS (SELECT grp, v, count(*) AS c FROM o GROUP BY 1, 2),
+      |cm AS (SELECT grp, v,
+      |         sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum
+      |       FROM cnt),
+      |nn AS (SELECT grp, CAST(max(cum) AS BIGINT) AS n
+      |       FROM cm GROUP BY 1),
+      |med AS (SELECT cm.grp, CAST(min(v) AS BIGINT) AS med
+      |        FROM cm JOIN nn USING (grp)
+      |        WHERE cum >= (n + 1) // 2 GROUP BY 1),
+      |cells AS (SELECT o.grp, arm, med,
+      |            CAST(sum(CASE WHEN v > med THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_above,
+      |            CAST(sum(CASE WHEN v <= med THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_le
+      |          FROM o JOIN med USING (grp) GROUP BY 1, 2, 3),
+      |marg AS (SELECT grp, CAST(sum(n_above) AS BIGINT) AS ta,
+      |           CAST(sum(n_le) AS BIGINT) AS tl,
+      |           CAST(count(*) AS BIGINT) AS k
+      |         FROM cells GROUP BY 1),
+      |chi AS (SELECT cells.grp,
+      |          CAST(sum(CAST(round((
+      |            (n_above - (n_above + n_le) * CAST(ta AS DOUBLE)
+      |               / (ta + tl))
+      |            * (n_above - (n_above + n_le) * CAST(ta AS DOUBLE)
+      |               / (ta + tl))
+      |            / ((n_above + n_le) * CAST(ta AS DOUBLE) / (ta + tl))
+      |            + (n_le - (n_above + n_le) * CAST(tl AS DOUBLE)
+      |               / (ta + tl))
+      |            * (n_le - (n_above + n_le) * CAST(tl AS DOUBLE)
+      |               / (ta + tl))
+      |            / ((n_above + n_le) * CAST(tl AS DOUBLE) / (ta + tl))
+      |          ) * 1000000) AS BIGINT)) AS BIGINT) AS chi2_e6_sum,
+      |          CAST(max(k) AS BIGINT) AS k,
+      |          CAST(min(ta) AS BIGINT) AS ta,
+      |          CAST(min(tl) AS BIGINT) AS tl
+      |        FROM cells JOIN marg USING (grp) GROUP BY 1)
+      |SELECT cells.grp AS event_type, arm, n_above, n_le,
+      |  med AS med_c,
+      |  CASE WHEN chi.k < 2 OR chi.ta = 0 OR chi.tl = 0 THEN NULL
+      |    ELSE chi2_e6_sum END AS chi2_e6
+      |FROM cells JOIN chi ON chi.grp = cells.grp""".stripMargin
+
   /** q322 — Cochran–Armitage trend test ([[graft.stats.Hypothesis
     * .cochranArmitage]]): does the fill rate (status 'F') move
     * monotonically with order PRIORITY (the digit prefix as the
@@ -3092,6 +3235,9 @@ object DiagQueries {
     QueryDef("q336_seasonal_mk", q336, Some(q336Sql)),
     QueryDef("q337_jonckheere", q337, Some(q337Sql)),
     QueryDef("q338_ansari_bradley", q338, Some(q338Sql)),
+    QueryDef("q341_page_trend", q341, Some(q341Sql)),
+    QueryDef("q342_kendall_w", q342, Some(q342Sql)),
+    QueryDef("q343_mood_median", q343, Some(q343Sql)),
     QueryDef("q297_mann_kendall", q297, Some(q297Sql)),
     QueryDef("q298_theil_sen", q298, Some(q298Sql)),
     QueryDef("q268_croston", q268, Some(q268Sql)),

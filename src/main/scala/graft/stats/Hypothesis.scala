@@ -623,4 +623,211 @@ object Hypothesis {
             "CAST((k - 1) * num * 1000000 div den AS BIGINT)"))
           .as("chi2_e6"))
   }
+
+  /** Page's trend test — the ORDERED-ALTERNATIVE sharpening of
+    * [[friedman]], completing the repeated-measures pair the way
+    * [[jonckheereTerpstra]] sharpens [[kruskalWallis]]: Friedman asks
+    * "do the k treatments differ at all?", Page's L asks "do they
+    * INCREASE with the treatment's dose rank?" — and when the
+    * alternative really is monotone, L buys the same power at far
+    * smaller samples. L = Σ_j c_j·R_j with c_j the dose's rank among
+    * the k doses and R_j the treatment's within-block rank sum.
+    *
+    * Doubled-midrank ledger (the [[friedman]] device): L2 = Σ c_j·R2_j
+    * doubles L, E[L2] = n·k(k+1)² (ties leave E unchanged — Σ of
+    * midranks per block is invariant), Var[L2] = n·k²(k+1)²(k−1)/36
+    * (the standard Page variance; like the textbook test it is NOT
+    * tie-adjusted — documented, midranks only stabilize L itself).
+    * Every ingredient an exact integer aggregate; z one fixed double
+    * tree. Same complete-blocks contract and k-row block windows as
+    * [[friedman]] — no pooled sort.
+    *
+    * @param df (block, dose, value) rows — dose an integer whose
+    *           ORDER carries the hypothesis (rank is computed here)
+    * @return per dose: (dose, c_rank, r2_sum, n_blocks, k, l2,
+    *         z_e6) — L2 and z broadcast (q317 convention); z null
+    *         when k < 3 (Page needs an ordering to sharpen) */
+  def pageTrend(df: DataFrame, blockCol: String, doseCol: String,
+                valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(blockCol).as("blk"),
+                         col(doseCol).cast("long").as("dose"),
+                         col(valueCol).cast("long").as("v"))
+    val kTot = rows.select(col("dose")).distinct()
+      .agg(count(lit(1)).as("k"))
+    val complete = rows.groupBy(col("blk"))
+      .agg(count(lit(1)).as("c_rows"),
+           count_distinct(col("dose")).as("c_trt"))
+      .crossJoin(broadcast(kTot))
+      .filter(col("c_rows") === col("c_trt") && col("c_trt") === col("k"))
+      .select(col("blk"), col("k"))
+    val inBlk = rows.join(complete, Seq("blk"))
+    val cnt = inBlk.groupBy(col("blk"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum",
+        sum(col("c")).over(w.partitionBy(col("blk")).orderBy(col("v"))))
+      .withColumn("r2", lit(2L) * (col("cum") - col("c")) + col("c") + 1L)
+    val ranked = inBlk.join(cnt.select(col("blk"), col("v"), col("r2")),
+      Seq("blk", "v"))
+    // dose rank 1..k: a k-row window over the DISTINCT doses
+    val doseRank = rows.select(col("dose")).distinct()
+      .withColumn("c_rank",
+        row_number().over(w.orderBy(col("dose"))).cast("long"))
+    val perT = ranked.groupBy(col("dose"))
+      .agg(sum(col("r2")).as("r2_sum"), count(lit(1)).as("n_blocks"),
+           max(col("k")).as("k"))
+      .join(broadcast(doseRank), Seq("dose"))
+    val tot = perT.agg(
+      sum(col("c_rank").cast(d38) * col("r2_sum")).as("l2"),
+      max(col("n_blocks")).as("n"), max(col("k")).as("kk"))
+    perT.crossJoin(broadcast(tot))
+      .select(col("dose").as(doseCol), col("c_rank"), col("r2_sum"),
+        col("n_blocks"), col("k"),
+        col("l2").cast("long").as("l2"),
+        when(col("kk") < 3L || col("n") < 1L, lit(null).cast("long"))
+          .otherwise(round(
+            // E[L2] = n·k(k+1)²/2 (exact: k(k+1)² is always even)
+            (col("l2").cast("double") -
+              col("n").cast("double") * col("kk") * (col("kk") + 1L)
+                * (col("kk") + 1L) / 2.0) /
+            sqrt(col("n").cast("double") * col("kk") * col("kk")
+              * (col("kk") + 1L) * (col("kk") + 1L) * (col("kk") - 1L)
+              / 36.0) * 1e6).cast("long"))
+          .as("z_e6"))
+  }
+
+  /** Kendall's W (coefficient of concordance, tie-corrected) — the
+    * EFFECT SIZE over [[friedman]]'s evidence the way Cliff's δ sits
+    * over Mann–Whitney: χ²_F says the n blocks don't rank the k
+    * treatments at random; W ∈ [0, 1] says how strongly they AGREE
+    * (1 = every block ranks identically), on a scale that doesn't
+    * grow with n.
+    *
+    * Tie-corrected form on the doubled-midrank ledger: with
+    * R2_j = 2·R_j and per-block tie term T_b = Σ_ties (t³ − t),
+    *   W = (3·(ΣR2² − n²k(k+1)²)) / (n²k(k²−1) − 12·n·ΣT_b/... )
+    * computed here as num = 3·(ΣR2_j² − n²·k·(k+1)²) and
+    * den = n²·k·(k²−1) − n·ΣT_b (the standard
+    * 12ΣR²−3n²k(k+1)² over n²k(k²−1)−nΣT with both sides ×4/4) —
+    * exact integer aggregates, one truncating e6 division. Complete
+    * blocks, k-row block windows, no pooled sort.
+    * @return one row: (n_blocks, k, sum_t, w_e6) — null when k < 2
+    *         or den ≤ 0 (every block fully tied) */
+  def kendallW(df: DataFrame, blockCol: String, trtCol: String,
+               valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(blockCol).as("blk"), col(trtCol).as("trt"),
+                         col(valueCol).cast("long").as("v"))
+    val kTot = rows.select(col("trt")).distinct()
+      .agg(count(lit(1)).as("k"))
+    val complete = rows.groupBy(col("blk"))
+      .agg(count(lit(1)).as("c_rows"),
+           count_distinct(col("trt")).as("c_trt"))
+      .crossJoin(broadcast(kTot))
+      .filter(col("c_rows") === col("c_trt") && col("c_trt") === col("k"))
+      .select(col("blk"), col("k"))
+    val inBlk = rows.join(complete, Seq("blk"))
+    val cnt = inBlk.groupBy(col("blk"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum",
+        sum(col("c")).over(w.partitionBy(col("blk")).orderBy(col("v"))))
+      .withColumn("r2", lit(2L) * (col("cum") - col("c")) + col("c") + 1L)
+    // per-block tie term Σ(c³ − c) — c ≤ k, config-small
+    val ties = cnt.agg(coalesce(
+      sum(col("c") * col("c") * col("c") - col("c")), lit(0L)).as("sum_t"))
+    val ranked = inBlk.join(cnt.select(col("blk"), col("v"), col("r2")),
+      Seq("blk", "v"))
+    val perT = ranked.groupBy(col("trt"))
+      .agg(sum(col("r2")).as("r2_sum"), count(lit(1)).as("n_blocks"),
+           max(col("k")).as("k"))
+    val tot = perT.agg(
+      sum(col("r2_sum").cast(d38) * col("r2_sum")).as("sr2"),
+      max(col("n_blocks")).as("n"), max(col("k")).as("kk"))
+      .crossJoin(broadcast(ties))
+    tot.select(col("n").as("n_blocks"), col("kk").as("k"), col("sum_t"),
+      when(col("kk") < 2L, lit(null).cast("long"))
+        .otherwise(expr(
+          // 12ΣR² = 3ΣR2² (R2 = 2R), so numerator and denominator
+          // both sit on the STANDARD scale — no ×4 anywhere
+          "CASE WHEN CAST(n AS DECIMAL(38,0)) * n * kk * (kk * kk - 1)" +
+            " - CAST(n AS DECIMAL(38,0)) * sum_t <= 0 THEN NULL ELSE" +
+            " CAST((3 * (sr2 - CAST(n AS DECIMAL(38,0)) * n * kk" +
+            " * (kk + 1) * (kk + 1))) * 1000000" +
+            " div (CAST(n AS DECIMAL(38,0)) * n * kk * (kk * kk - 1)" +
+            " - CAST(n AS DECIMAL(38,0)) * sum_t) AS BIGINT) END"))
+        .as("w_e6"))
+  }
+
+  /** Mood's median test — the BLUNT-BUT-ROBUST k-sample member: score
+    * every observation only by "above the pooled median or not", then
+    * χ² on the k×2 table. Far less powerful than [[kruskalWallis]]
+    * under clean shift alternatives, but immune to outliers and the
+    * first test a heavy-tailed latency metric gets. Ties at the
+    * median count as NOT-above (the scipy ties='below' convention).
+    *
+    * Pooled LOWER median per group key from the grouped value grid
+    * (min v with cum ≥ (n+1) div 2 — the [[graft.scale.GridPrefix]]
+    * device, no one-task sort); cells/marginals exact integers; χ²'s
+    * per-arm pair of (O−E)²/E terms is one fixed double tree
+    * e6-rounded BEFORE the k-term sum (the gTest per-cell discipline
+    * — a floating k-cell sum is summation-order-dependent).
+    * @param obs (group, arm, value) rows — k arms inside each group
+    * @return per (group, arm): (group, arm, n_above, n_le, med_c,
+    *         chi2_e6) — χ² broadcast per group; null when any
+    *         marginal is empty or k < 2 */
+  def moodMedian(obs: DataFrame, groupCol: String, armCol: String,
+                 valueCol: String): DataFrame = {
+    val g = obs
+      .select(col(groupCol).as("grp"), col(armCol).cast("long").as("arm"),
+              col(valueCol).cast("long").as("v"))
+      .groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val pre = graft.scale.GridPrefix.groupedPrefixSums(g, "grp", "v",
+        Seq("c"))
+    val med = pre.groupBy(col("grp"))
+      .agg(max(col("cum_c")).as("n"))
+      .join(pre, Seq("grp"))
+      .filter(expr("cum_c >= (n + 1) div 2")) // exact LOWER median rank
+      .groupBy(col("grp"), col("n")).agg(min(col("v")).as("med"))
+    val cells = obs
+      .select(col(groupCol).as("grp"), col(armCol).cast("long").as("arm"),
+              col(valueCol).cast("long").as("v"))
+      .join(med, Seq("grp"))
+      .groupBy(col("grp"), col("arm"), col("med"))
+      .agg(sum(when(col("v") > col("med"), 1L).otherwise(0L)).as("n_above"),
+           sum(when(col("v") <= col("med"), 1L).otherwise(0L)).as("n_le"))
+    val marg = cells.groupBy(col("grp"))
+      .agg(sum(col("n_above")).as("tot_above"), sum(col("n_le")).as("tot_le"),
+           count(lit(1)).as("k"))
+    // per-arm term e6-rounded BEFORE the sum (the gTest per-cell
+    // discipline): the k-cell floating sum would otherwise be
+    // summation-order-dependent between engines
+    val eA = (col("n_above") + col("n_le")).cast("double") *
+      col("tot_above") / col("n_tot")
+    val eL = (col("n_above") + col("n_le")).cast("double") *
+      col("tot_le") / col("n_tot")
+    val devA = col("n_above").cast("double") - eA
+    val devL = col("n_le").cast("double") - eL
+    val chi = cells.join(marg, Seq("grp"))
+      .withColumn("n_tot", col("tot_above") + col("tot_le"))
+      // empty marginal ⇒ zero expected count: the output is nulled
+      // below, but ANSI mode would raise on the 0/0 before the null
+      // lands — short-circuit the term
+      .withColumn("term_e6",
+        when(col("tot_above") === 0L || col("tot_le") === 0L, lit(0L))
+          .otherwise(
+            round((devA * devA / eA + devL * devL / eL) * 1e6)
+              .cast("long")))
+      .groupBy(col("grp"))
+      .agg(sum(col("term_e6")).as("chi2_e6_sum"), max(col("k")).as("k"),
+           min(col("tot_above")).as("ta"), min(col("tot_le")).as("tl"))
+    cells.join(chi, Seq("grp"))
+      .select(col("grp").as(groupCol), col("arm"), col("n_above"),
+        col("n_le"), col("med").as("med_c"),
+        when(col("k") < 2L || col("ta") === 0L || col("tl") === 0L,
+          lit(null).cast("long"))
+          .otherwise(col("chi2_e6_sum")).as("chi2_e6"))
+  }
 }

@@ -290,6 +290,67 @@ class HypothesisSpec extends AnyFunSuite {
     assert(flat("t1")._2.isEmpty, s"$flat")
   }
 
+  test("pageTrend: perfect monotone blocks hit the closed form; ties; k<3 null") {
+    import spark.implicits._
+    def pt(rows: Seq[(String, Long, Long)]) =
+      Hypothesis.pageTrend(rows.toDF("blk", "dose", "v"), "blk", "dose", "v")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(5), Option(r.get(6)).map(_.asInstanceOf[Long]))))
+        .toMap
+    // two blocks, both increasing with dose: L = 28 (its maximum),
+    // L2 = 56, E[L2] = 48, Var[L2] = 2·9·16·2/36 = 16 → z = 8/4 = 2
+    // (scipy.page_trend_test on the undoubled scale: (28−24)/√4 = 2)
+    val got = pt(Seq(("b1", 1L, 1L), ("b1", 2L, 2L), ("b1", 3L, 3L),
+                     ("b2", 1L, 10L), ("b2", 2L, 20L), ("b2", 3L, 30L)))
+    assert(got(1L) == ((56L, Some(2000000L))), s"$got")
+    // midranks: one block (1,1,2) → L2 = 1·3+2·3+3·6 = 27, z = 3/√8
+    val tied = pt(Seq(("b", 1L, 1L), ("b", 2L, 1L), ("b", 3L, 2L)))
+    assert(tied(3L) == ((27L, Some(1060660L))), s"$tied")
+    // two doses: nothing to sharpen — z null
+    assert(pt(Seq(("b", 1L, 1L), ("b", 2L, 2L)))(1L)._2.isEmpty)
+  }
+
+  test("kendallW: concordant = 1, reversed pair = 0, fully tied null") {
+    import spark.implicits._
+    def kwc(rows: Seq[(String, Long, Long)]) = {
+      val r = Hypothesis.kendallW(rows.toDF("blk", "trt", "v"),
+        "blk", "trt", "v").collect().head
+      (r.getLong(0), r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Long]))
+    }
+    val agree = kwc(Seq(("b1", 1L, 1L), ("b1", 2L, 2L), ("b1", 3L, 3L),
+                        ("b2", 1L, 5L), ("b2", 2L, 7L), ("b2", 3L, 9L)))
+    assert(agree == ((2L, 3L, Some(1000000L))), s"$agree")
+    val oppose = kwc(Seq(("b1", 1L, 1L), ("b1", 2L, 2L), ("b1", 3L, 3L),
+                         ("b2", 1L, 9L), ("b2", 2L, 7L), ("b2", 3L, 5L)))
+    assert(oppose == ((2L, 3L, Some(0L))), s"$oppose")
+    val flat = kwc(Seq(("b1", 1L, 4L), ("b1", 2L, 4L), ("b1", 3L, 4L)))
+    assert(flat._3.isEmpty, s"$flat")
+  }
+
+  test("moodMedian: 2x2 closed form chi2 = 4; degenerate marginals null") {
+    import spark.implicits._
+    def mm(rows: Seq[(String, Long, Long)]) =
+      Hypothesis.moodMedian(rows.toDF("grp", "arm", "v"), "grp", "arm", "v")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4),
+            Option(r.get(5)).map(_.asInstanceOf[Long]))))
+        .toMap
+    // arm0 = {1,2}, arm1 = {3,4}: lower median 2 (rank (4+1) div 2),
+    // cells (0,2)/(2,0), every expected count 1 → χ² = 4
+    val got = mm(Seq(("g", 0L, 1L), ("g", 0L, 2L),
+                     ("g", 1L, 3L), ("g", 1L, 4L)))
+    assert(got(("g", 0L)) == ((0L, 2L, 2L, Some(4000000L))), s"$got")
+    assert(got(("g", 1L)) == ((2L, 0L, 2L, Some(4000000L))), s"$got")
+    // all values equal: nothing above the median → null
+    val flat = mm(Seq(("g", 0L, 5L), ("g", 1L, 5L)))
+    assert(flat(("g", 0L))._4.isEmpty, s"$flat")
+    // single arm: k < 2 → null
+    val one = mm(Seq(("g", 0L, 1L), ("g", 0L, 9L)))
+    assert(one(("g", 0L))._4.isEmpty, s"$one")
+  }
+
   test("kruskalWallis: tie correction matches scipy; all-tied is null") {
     // A = {1,1}, B = {2,2}: doubled midranks 3,3,7,7; H0 = 2.4,
     // tiesum = 12, C = 0.8 -> H = 3.0 (scipy.kruskal gives 3.0)
