@@ -1700,20 +1700,23 @@ object DiagQueries {
       |      * 1000000) AS BIGINT) END AS z_e6
       |FROM ag""".stripMargin
 
-  /** Shared frame for q341/q342: daily revenue per priority dose —
-    * blocks = days, treatments = the 5 priorities (dose = the digit
-    * prefix, the q322/q337 device). */
+  /** Shared frame for q341/q342: monthly revenue per priority dose —
+    * blocks = months, treatments = the 5 priorities (dose = the
+    * digit prefix, the q322/q337 device). Month grain keeps blocks
+    * COMPLETE at every scale factor (a sparse-day grain leaves no
+    * day with all five priorities at tiny SF — the complete-block
+    * filter would empty the test). */
   private def prioDaily(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy(substring(col("o_orderpriority"), 1, 1).cast("long")
                  .as("dose"),
-               dayBucket(col("o_orderdate")).as("blk"))
+               to_date(date_trunc("month", col("o_orderdate"))).as("blk"))
       .agg(sum(cents(col("o_totalprice"))).as("y"))
 
   private val prioDailySql =
     """daily AS (
       |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS dose,
-      |         CAST(date_trunc('day', o_orderdate) AS DATE) AS blk,
+      |         CAST(date_trunc('month', o_orderdate) AS DATE) AS blk,
       |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
       |           AS BIGINT) AS y
       |  FROM orders GROUP BY 1, 2),
@@ -1737,10 +1740,10 @@ object DiagQueries {
       |       FROM rk GROUP BY 1)""".stripMargin
 
   /** q341 — Page's trend test ([[graft.stats.Hypothesis.pageTrend]]):
-    * does daily revenue INCREASE along the priority dose, judged
-    * within each day — the repeated-measures ordered sharpening that
-    * completes the pair symmetry (KW → Jonckheere :: Friedman →
-    * Page). Blocks = days (complete only), doubled midranks, exact
+    * does monthly revenue INCREASE along the priority dose, judged
+    * within each month — the repeated-measures ordered sharpening
+    * that completes the pair symmetry (KW → Jonckheere :: Friedman →
+    * Page). Blocks = months (complete only), doubled midranks, exact
     * integer L2, one double tree for z. */
   private def q341(s: SparkSession, dir: String): DataFrame =
     graft.stats.Hypothesis.pageTrend(prioDaily(s, dir), "blk", "dose", "y")
@@ -1762,7 +1765,7 @@ object DiagQueries {
       |FROM pt JOIN dr USING (dose) CROSS JOIN tot CROSS JOIN kt""".stripMargin
 
   /** q342 — Kendall's W ([[graft.stats.Hypothesis.kendallW]]): how
-    * strongly the days AGREE on the priority ranking — the
+    * strongly the months AGREE on the priority ranking — the
     * concordance effect size over q326's Friedman evidence,
     * tie-corrected, exact integer ledger, one truncating e6
     * division. */
@@ -3198,6 +3201,461 @@ object DiagQueries {
       |  CAST(pred AS BIGINT) AS pred_c
       |FROM hw""".stripMargin
 
+  // ---- paired monthly frame shared by q344/q345/q346/q349: per
+  // nation, URGENT vs LOW monthly order revenue (cents) — the same
+  // unit (nation-month) measured under two conditions, the paired
+  // shape the PairedRank tier exists for. Customer is a broadcast
+  // dimension; the aggregate shuffles once on (nation, month).
+  private def pairedUrgLow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"),
+               to_date(date_trunc("month", col("o_orderdate"))).as("m"))
+      .agg(sum(when(col("o_orderpriority") === "1-URGENT",
+             cents(col("o_totalprice"))).otherwise(0L)).as("su"),
+           sum(when(col("o_orderpriority") === "5-LOW",
+             cents(col("o_totalprice"))).otherwise(0L)).as("sl"))
+
+  private val pairSql =
+    """pair AS (
+      |  SELECT c_nationkey,
+      |         CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      |         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |           THEN CAST(round(o_totalprice*100) AS BIGINT)
+      |           ELSE 0 END) AS BIGINT) AS su,
+      |         CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+      |           THEN CAST(round(o_totalprice*100) AS BIGINT)
+      |           ELSE 0 END) AS BIGINT) AS sl
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** q344 — Wilcoxon signed-rank ([[graft.stats.PairedRank
+    * .wilcoxonSignedRank]]) on the paired nation-month frame: does
+    * URGENT revenue beat LOW revenue within the same nation-month —
+    * the non-parametric paired t-test, where q305's Welch t compares
+    * unpaired arms. Doubled-midrank |d| grid, exact tie ledger, one
+    * z double tree. */
+  private def q344(s: SparkSession, dir: String): DataFrame =
+    graft.stats.PairedRank.wilcoxonSignedRank(
+      pairedUrgLow(s, dir).select(col("c_nationkey"),
+        (col("su") - col("sl")).as("d")),
+      "c_nationkey", "d")
+
+  private val q344Sql =
+    s"""WITH $pairSql,
+      |d AS (SELECT c_nationkey AS nat, su - sl AS d FROM pair
+      |      WHERE su <> sl),
+      |g AS (SELECT nat, abs(d) AS u,
+      |        CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS cpos,
+      |        CAST(count(*) AS BIGINT) AS c
+      |      FROM d GROUP BY 1, 2),
+      |pre AS (SELECT *, sum(c) OVER w - c AS pc FROM g
+      |        WINDOW w AS (PARTITION BY nat ORDER BY u)),
+      |rk AS (SELECT nat, cpos, c, 2*pc + c + 1 AS r2 FROM pre),
+      |ag AS (SELECT nat, CAST(sum(c) AS BIGINT) AS n,
+      |         CAST(sum(cpos * r2) AS BIGINT) AS w2,
+      |         CAST(sum(CAST(c AS HUGEINT)*c*c - c) AS BIGINT) AS tiesum
+      |       FROM rk GROUP BY 1)
+      |SELECT nat AS c_nationkey, n AS n_pairs, w2 AS w2_plus, tiesum,
+      |  CASE WHEN CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+      |         * (2.0 * CAST(n AS DOUBLE) + 1.0) / 6.0
+      |         - CAST(tiesum AS DOUBLE) / 12.0 <= 0.0 THEN NULL
+      |  ELSE CAST(round(
+      |    (CAST(w2 AS DOUBLE)
+      |      - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 2.0)
+      |    / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+      |           * (2.0 * CAST(n AS DOUBLE) + 1.0) / 6.0
+      |           - CAST(tiesum AS DOUBLE) / 12.0)
+      |    * 1000000.0) AS BIGINT) END AS z_e6
+      |FROM ag""".stripMargin
+
+  /** q345 — exact sign test ([[graft.stats.PairedRank
+    * .signTestExact]]) on the same paired frame: direction-only,
+    * assumption-free, and the p-value is an exact rational num/2ⁿ —
+    * the only p in the suite that needs no approximation, replayed
+    * by a HUGEINT recursive-CTE binomial prefix. */
+  private def q345(s: SparkSession, dir: String): DataFrame =
+    graft.stats.PairedRank.signTestExact(
+      pairedUrgLow(s, dir).select(col("c_nationkey"),
+        (col("su") - col("sl")).as("d")),
+      "c_nationkey", "d")
+      .select(col("c_nationkey").cast("long").as("c_nationkey"),
+        col("n_nonzero"), col("n_pos"), col("p_e6"))
+
+  private val q345Sql =
+    s"""WITH RECURSIVE $pairSql,
+      |d AS (SELECT c_nationkey AS nat, su - sl AS d FROM pair
+      |      WHERE su <> sl),
+      |tc AS (SELECT nat, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS s
+      |       FROM d GROUP BY 1),
+      |mm AS (SELECT nat, n, s, least(s, n - s) AS m FROM tc),
+      |bin AS (
+      |  SELECT nat, n, m, CAST(0 AS BIGINT) AS k,
+      |         CAST(1 AS HUGEINT) AS c, CAST(1 AS HUGEINT) AS tail
+      |  FROM mm
+      |  UNION ALL
+      |  SELECT nat, n, m, k + 1, c*(n-k)//(k+1), tail + c*(n-k)//(k+1)
+      |  FROM bin WHERE k < m)
+      |SELECT mm.nat AS c_nationkey, mm.n AS n_nonzero, mm.s AS n_pos,
+      |  CASE WHEN mm.n > 120 THEN NULL
+      |    ELSE CAST(least(bin.tail*2,
+      |        CAST(1 AS HUGEINT) << CAST(mm.n AS INTEGER)) * 1000000
+      |      // (CAST(1 AS HUGEINT) << CAST(mm.n AS INTEGER)) AS BIGINT)
+      |    END AS p_e6
+      |FROM mm JOIN bin ON bin.nat = mm.nat AND bin.k = mm.m""".stripMargin
+
+  /** q346 — Benjamini–Hochberg FDR ([[graft.stats.Multiplicity
+    * .bhAdjust]]) over q345's 25-nation sign-test battery: the
+    * step-up ledger that turns 25 simultaneous p-values into
+    * rejections with expected false-discovery ≤ 5% — integer-exact
+    * on the e6-quantized p's, battery-bounded windows. */
+  private def q346(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Multiplicity.bhAdjust(
+      q345(s, dir).select(col("c_nationkey"), col("p_e6")),
+      "c_nationkey", "p_e6")
+
+  private val q346Sql =
+    s"""WITH RECURSIVE $pairSql,
+      |d AS (SELECT c_nationkey AS nat, su - sl AS d FROM pair
+      |      WHERE su <> sl),
+      |tc AS (SELECT nat, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS s
+      |       FROM d GROUP BY 1),
+      |mm AS (SELECT nat, n, s, least(s, n - s) AS m FROM tc),
+      |bin AS (
+      |  SELECT nat, n, m, CAST(0 AS BIGINT) AS k,
+      |         CAST(1 AS HUGEINT) AS c, CAST(1 AS HUGEINT) AS tail
+      |  FROM mm
+      |  UNION ALL
+      |  SELECT nat, n, m, k + 1, c*(n-k)//(k+1), tail + c*(n-k)//(k+1)
+      |  FROM bin WHERE k < m),
+      |p AS (SELECT mm.nat,
+      |        CASE WHEN mm.n > 120 THEN NULL
+      |          ELSE CAST(least(bin.tail*2,
+      |              CAST(1 AS HUGEINT) << CAST(mm.n AS INTEGER)) * 1000000
+      |            // (CAST(1 AS HUGEINT) << CAST(mm.n AS INTEGER))
+      |            AS BIGINT) END AS p_e6
+      |      FROM mm JOIN bin ON bin.nat = mm.nat AND bin.k = mm.m),
+      |b AS (SELECT nat, p_e6,
+      |        CAST(count(*) OVER () AS BIGINT) AS m,
+      |        CAST(row_number() OVER (ORDER BY p_e6, nat) AS BIGINT)
+      |          AS rank
+      |      FROM p WHERE p_e6 IS NOT NULL),
+      |adj AS (SELECT *, least(1000000, p_e6 * m // rank) AS raw_adj
+      |        FROM b),
+      |sf AS (SELECT *, min(raw_adj) OVER (ORDER BY p_e6 DESC, nat DESC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS p_adj_e6
+      |       FROM adj)
+      |SELECT nat AS c_nationkey, m, rank, p_e6, p_adj_e6,
+      |  CASE WHEN p_adj_e6 <= 50000 THEN 1 ELSE 0 END AS reject
+      |FROM sf""".stripMargin
+
+  /** q347 — two-sample Cramér–von Mises ([[graft.stats.Hypothesis
+    * .cramerVonMises]]): do finished ('F') and open ('O') orders
+    * draw the same whole-dollar price distribution within each
+    * priority — the whole-curve companion to q225's KS and q331's
+    * AD over the same grid discipline. */
+  private def q347(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Hypothesis.cramerVonMises(
+      t(s, dir, "orders")
+        .where(col("o_orderstatus").isin("F", "O"))
+        .select(col("o_orderpriority"),
+          when(col("o_orderstatus") === "F", 0L).otherwise(1L).as("arm"),
+          round(col("o_totalprice")).cast("long").as("v")),
+      "o_orderpriority", "arm", "v")
+
+  private val q347Sql =
+    """WITH r AS (SELECT o_orderpriority AS grp,
+      |            CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END AS arm,
+      |            CAST(round(o_totalprice) AS BIGINT) AS v
+      |          FROM orders WHERE o_orderstatus IN ('F', 'O')),
+      |g AS (SELECT grp, v,
+      |        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS ca,
+      |        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS cb,
+      |        CAST(count(*) AS BIGINT) AS c
+      |      FROM r GROUP BY 1, 2),
+      |pre AS (SELECT *, sum(c) OVER w - c AS pc,
+      |          sum(ca) OVER w - ca AS pa, sum(cb) OVER w - cb AS pb
+      |        FROM g WINDOW w AS (PARTITION BY grp ORDER BY v)),
+      |blk AS (SELECT grp, ca, cb, 2*pc + c + 1 AS r2, pa, pb FROM pre),
+      |sq AS (SELECT grp, ca, cb,
+      |         CAST(ca AS HUGEINT)*(r2-2*pa)*(r2-2*pa)
+      |           - CAST(2 AS HUGEINT)*(r2-2*pa)*ca*(ca+1)
+      |           + 4*(CAST(ca AS HUGEINT)*(ca+1)*(2*ca+1)//6) AS sqa,
+      |         CAST(cb AS HUGEINT)*(r2-2*pb)*(r2-2*pb)
+      |           - CAST(2 AS HUGEINT)*(r2-2*pb)*cb*(cb+1)
+      |           + 4*(CAST(cb AS HUGEINT)*(cb+1)*(2*cb+1)//6) AS sqb
+      |       FROM blk),
+      |ag AS (SELECT grp, CAST(sum(ca) AS BIGINT) AS n_a,
+      |         CAST(sum(cb) AS BIGINT) AS n_b,
+      |         sum(sqa) AS sa, sum(sqb) AS sb
+      |       FROM sq GROUP BY 1),
+      |u AS (SELECT grp, n_a, n_b,
+      |        CAST(n_a AS HUGEINT) * sa + CAST(n_b AS HUGEINT) * sb
+      |          AS u4
+      |      FROM ag)
+      |SELECT grp AS o_orderpriority, n_a, n_b,
+      |  CAST(u4 AS BIGINT) AS u4,
+      |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+      |    ELSE CAST(round((CAST(u4 AS DOUBLE) / 4.0
+      |        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      |           * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+      |      - (4.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) - 1.0)
+      |        / (6.0 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))))
+      |      * 1000000.0) AS BIGINT) END AS t_e6
+      |FROM u""".stripMargin
+
+  /** q348 — Mantel–Haenszel ([[graft.stats.Hypothesis
+    * .mantelHaenszel]]): is high priority (URGENT/HIGH) associated
+    * with finished status, POOLED ACROSS NATIONS — the
+    * Simpson's-paradox-proof version of q235's chi-square, with the
+    * common odds ratio as the effect size. */
+  private def q348(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Hypothesis.mantelHaenszel(
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("e"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("o")),
+      "c_nationkey", "e", "o")
+
+  private val q348Sql =
+    """WITH r AS (SELECT c_nationkey AS st,
+      |            CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |              THEN 1 ELSE 0 END AS e,
+      |            CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS o
+      |          FROM orders JOIN customer ON o_custkey = c_custkey),
+      |cells AS (SELECT st, CAST(count(*) AS BIGINT) AS n,
+      |            CAST(sum(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS a,
+      |            CAST(sum(e) AS BIGINT) AS n1,
+      |            CAST(sum(o) AS BIGINT) AS m1
+      |          FROM r GROUP BY 1),
+      |x AS (SELECT *, n1 - a AS b, m1 - a AS c,
+      |        n - n1 - (m1 - a) AS d, n - n1 AS n0, n - m1 AS m0
+      |      FROM cells),
+      |q AS (SELECT *,
+      |        CAST(CAST(n1 AS HUGEINT) * m1 * 1000000 // n AS BIGINT)
+      |          AS e_e6,
+      |        CASE WHEN n < 2 THEN 0 ELSE
+      |          CAST(CAST(n1 AS HUGEINT) * n0 * m1 * m0 * 1000000
+      |            // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT) END
+      |          AS v_e6,
+      |        CAST(CAST(a AS HUGEINT) * d * 1000000 // n AS BIGINT)
+      |          AS ad_e6,
+      |        CAST(CAST(b AS HUGEINT) * c * 1000000 // n AS BIGINT)
+      |          AS bc_e6
+      |      FROM x),
+      |gl AS (SELECT CAST(sum(a) AS BIGINT) AS sum_a,
+      |         CAST(sum(e_e6) AS BIGINT) AS sum_e6,
+      |         CAST(sum(v_e6) AS BIGINT) AS sum_v6,
+      |         CAST(sum(ad_e6) AS BIGINT) AS sum_ad6,
+      |         CAST(sum(bc_e6) AS BIGINT) AS sum_bc6
+      |       FROM q),
+      |gv AS (SELECT *,
+      |         greatest(abs(sum_a * 1000000 - sum_e6) - 500000, 0)
+      |           AS cc
+      |       FROM gl)
+      |SELECT q.st AS c_nationkey, q.a, q.n1, q.m1, q.n,
+      |  CASE WHEN gv.sum_v6 <= 0 THEN NULL
+      |    ELSE CAST(round(CAST(gv.cc AS DOUBLE) * CAST(gv.cc AS DOUBLE)
+      |      / (CAST(gv.sum_v6 AS DOUBLE) * 1000000.0) * 1000000.0)
+      |      AS BIGINT) END AS chi2_e6,
+      |  CASE WHEN gv.sum_bc6 <= 0 THEN NULL
+      |    ELSE CAST(round(CAST(gv.sum_ad6 AS DOUBLE)
+      |      / CAST(gv.sum_bc6 AS DOUBLE) * 1000000.0) AS BIGINT)
+      |    END AS or_e6
+      |FROM q CROSS JOIN gv""".stripMargin
+
+  /** q349 — Hodges–Lehmann shift ([[graft.stats.Hypothesis
+    * .hodgesLehmannShift]]) between each nation's URGENT and LOW
+    * monthly revenue series: q344 says they differ; this says by
+    * HOW MANY cents — the robust effect size, exact lower median of
+    * the 80×80 month-pair differences (calendar-bounded grid). */
+  private def q349(s: SparkSession, dir: String): DataFrame = {
+    val pair = pairedUrgLow(s, dir)
+    graft.stats.Hypothesis.hodgesLehmannShift(
+      pair.select(col("c_nationkey"), lit(0L).as("arm"),
+          col("su").as("v"))
+        .unionAll(pair.select(col("c_nationkey"), lit(1L).as("arm"),
+          col("sl").as("v"))),
+      "c_nationkey", "arm", "v")
+  }
+
+  private val q349Sql =
+    s"""WITH $pairSql,
+      |ga AS (SELECT c_nationkey AS nat, su AS v,
+      |         CAST(count(*) AS BIGINT) AS c
+      |       FROM pair GROUP BY 1, 2),
+      |gb AS (SELECT c_nationkey AS nat, sl AS v,
+      |         CAST(count(*) AS BIGINT) AS c
+      |       FROM pair GROUP BY 1, 2),
+      |dd AS (SELECT ga.nat, ga.v - gb.v AS d,
+      |         CAST(sum(ga.c * gb.c) AS BIGINT) AS w
+      |       FROM ga JOIN gb ON gb.nat = ga.nat GROUP BY 1, 2),
+      |cum AS (SELECT nat, d, w,
+      |          CAST(sum(w) OVER (PARTITION BY nat ORDER BY d)
+      |            AS BIGINT) AS cw
+      |        FROM dd),
+      |tot AS (SELECT nat, CAST(sum(w) AS BIGINT) AS n_pairs FROM dd
+      |        GROUP BY 1),
+      |cnt AS (SELECT c_nationkey AS nat,
+      |          CAST(count(*) AS BIGINT) AS n_a,
+      |          CAST(count(*) AS BIGINT) AS n_b
+      |        FROM pair GROUP BY 1),
+      |med AS (SELECT cum.nat, min(cum.d) AS hl_c,
+      |          CAST(max(tot.n_pairs) AS BIGINT) AS n_pairs
+      |        FROM cum JOIN tot ON tot.nat = cum.nat
+      |        WHERE cum.cw >= (tot.n_pairs + 1) // 2
+      |        GROUP BY 1)
+      |SELECT cnt.nat AS c_nationkey, cnt.n_a, cnt.n_b,
+      |  coalesce(med.n_pairs, 0) AS n_pairs, med.hl_c
+      |FROM cnt LEFT JOIN med ON med.nat = cnt.nat""".stripMargin
+
+  /** q350 — turning-point randomness gate ([[graft.stats.Diagnostics
+    * .turningPointTest]]) over the daily event series: the
+    * derivative-level complement to q335's runs test — strict local
+    * extrema counted exactly, Kendall's E/Var, one z tree. */
+  private def q350(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Diagnostics.turningPointTest(dailyCents(s, dir),
+      "event_type")
+
+  private val q350Sql =
+    s"""WITH $dailySql,
+      |s AS (SELECT event_type, ds, y,
+      |        lag(y) OVER w AS yp, lead(y) OVER w AS yn
+      |      FROM daily
+      |      WINDOW w AS (PARTITION BY event_type ORDER BY ds)),
+      |ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN (yp < y AND y > yn)
+      |             OR (yp > y AND y < yn) THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS t
+      |       FROM s GROUP BY 1)
+      |SELECT event_type, n AS n_obs, t AS n_turns,
+      |  CASE WHEN n < 3 THEN NULL
+      |    ELSE CAST(round((CAST(t AS DOUBLE) - 2.0 * (n - 2) / 3.0)
+      |      / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0)
+      |      * 1000000.0) AS BIGINT) END AS z_e6
+      |FROM ag""".stripMargin
+
+  /** q351 — Bartels rank von Neumann ([[graft.stats.Diagnostics
+    * .bartelsRvn]]) over the same series: the rank-robust
+    * Durbin–Watson — serial dependence read off time-ordered ranks,
+    * RVN quantized by one truncating division, exact finite-sample
+    * variance. */
+  private def q351(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Diagnostics.bartelsRvn(dailyCents(s, dir), "event_type")
+
+  private val q351Sql =
+    s"""WITH $dailySql,
+      |rk AS (SELECT event_type, ds, y,
+      |         CAST(2 * (rank() OVER (PARTITION BY event_type
+      |             ORDER BY y) - 1)
+      |           + count(*) OVER (PARTITION BY event_type, y) + 1
+      |           AS BIGINT) AS r2
+      |       FROM daily),
+      |sq AS (SELECT event_type, r2,
+      |         lead(r2) OVER (PARTITION BY event_type ORDER BY ds)
+      |           AS r2n,
+      |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+      |           AS n
+      |       FROM rk),
+      |ag AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN r2n IS NULL THEN 0
+      |           ELSE CAST(r2 - r2n AS HUGEINT) * (r2 - r2n) END)
+      |           AS BIGINT) AS nm4,
+      |         CAST(sum(CAST(r2 - (n + 1) AS HUGEINT) * (r2 - (n + 1)))
+      |           AS BIGINT) AS d4
+      |       FROM sq GROUP BY 1)
+      |SELECT event_type, n AS n_obs, nm4, d4,
+      |  CASE WHEN n < 3 OR d4 = 0 THEN NULL
+      |    ELSE CAST(CAST(nm4 AS HUGEINT) * 1000000 // d4 AS BIGINT)
+      |    END AS rvn_e6,
+      |  CASE WHEN n < 3 OR d4 = 0 THEN NULL
+      |    ELSE CAST(round(
+      |      (CAST(CAST(nm4 AS HUGEINT) * 1000000 // d4 AS DOUBLE)
+      |          / 1000000.0 - 2.0)
+      |      / sqrt(4.0 * (n - 2)
+      |          * (5.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |             - 2.0 * CAST(n AS DOUBLE) - 9.0)
+      |        / (5.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+      |           * (CAST(n AS DOUBLE) - 1.0)
+      |           * (CAST(n AS DOUBLE) - 1.0)))
+      |      * 1000000.0) AS BIGINT) END AS z_e6
+      |FROM ag""".stripMargin
+
+  /** q352 — Quade test ([[graft.stats.PairedRank.quadeTest]]):
+    * blocks = complete days, treatments = the five event types —
+    * the range-weighted Friedman next to q326 (days that
+    * discriminate harder count more). Only days observing every
+    * event type enter (the complete-block contract). */
+  private def q352(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCents(s, dir)
+    val kdf = daily.agg(countDistinct(col("event_type")).as("kk"))
+    val full = daily.groupBy(col("ds"))
+      .agg(count(lit(1)).as("nt"))
+      .crossJoin(broadcast(kdf))
+      .where(col("nt") === col("kk"))
+      .select(col("ds"))
+    graft.stats.PairedRank.quadeTest(daily.join(full, Seq("ds")),
+      "ds", "event_type", "y")
+  }
+
+  private val q352Sql =
+    s"""WITH $dailySql,
+      |bl AS (SELECT ds FROM daily GROUP BY ds
+      |       HAVING count(*) = (SELECT count(DISTINCT event_type)
+      |                          FROM daily)),
+      |rows_ AS (SELECT d.event_type AS t, d.ds AS b, d.y
+      |          FROM daily d JOIN bl ON bl.ds = d.ds),
+      |kk AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM rows_),
+      |rk AS (SELECT t, b, y,
+      |         CAST(2 * (rank() OVER (PARTITION BY b ORDER BY y) - 1)
+      |           + count(*) OVER (PARTITION BY b, y) + 1 AS BIGINT)
+      |           AS r2
+      |       FROM rows_),
+      |rng AS (SELECT b, CAST(max(y) - min(y) AS BIGINT) AS rng
+      |        FROM rows_ GROUP BY 1),
+      |rg AS (SELECT rng, CAST(count(*) AS BIGINT) AS c FROM rng
+      |       GROUP BY 1),
+      |rq AS (SELECT rng,
+      |         CAST(2 * (sum(c) OVER (ORDER BY rng) - c) + c + 1
+      |           AS BIGINT) AS q2
+      |       FROM rg),
+      |bq AS (SELECT rng.b, rq.q2 FROM rng JOIN rq USING (rng)),
+      |sc AS (SELECT rk.t, bq.q2 * (rk.r2 - (kk.k + 1)) AS s4
+      |       FROM rk JOIN bq ON bq.b = rk.b CROSS JOIN kk),
+      |pt AS (SELECT t, CAST(sum(s4) AS BIGINT) AS s4_j,
+      |         sum(CAST(s4 AS HUGEINT) * s4) AS sq_ij
+      |       FROM sc GROUP BY 1),
+      |gl AS (SELECT sum(CAST(s4_j AS HUGEINT) * s4_j) AS sb,
+      |         sum(sq_ij) AS sa
+      |       FROM pt),
+      |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks FROM rng)
+      |SELECT pt.t AS event_type, pt.s4_j, nb.n_blocks, kk.k,
+      |  CASE WHEN CAST(nb.n_blocks AS HUGEINT) * gl.sa - gl.sb <= 0
+      |    THEN NULL
+      |  ELSE CAST(round(CAST(nb.n_blocks - 1 AS DOUBLE)
+      |      * CAST(gl.sb AS DOUBLE)
+      |      / CAST(CAST(nb.n_blocks AS HUGEINT) * gl.sa - gl.sb
+      |          AS DOUBLE)
+      |      * 1000000.0) AS BIGINT) END AS f_e6
+      |FROM pt CROSS JOIN gl CROSS JOIN nb CROSS JOIN kk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q304_periodogram", q304, Some(q304Sql)),
     QueryDef("q305_welch_t", q305, Some(q305Sql)),
@@ -3238,6 +3696,15 @@ object DiagQueries {
     QueryDef("q341_page_trend", q341, Some(q341Sql)),
     QueryDef("q342_kendall_w", q342, Some(q342Sql)),
     QueryDef("q343_mood_median", q343, Some(q343Sql)),
+    QueryDef("q344_wilcoxon_signed_rank", q344, Some(q344Sql)),
+    QueryDef("q345_sign_test", q345, Some(q345Sql)),
+    QueryDef("q346_bh_fdr", q346, Some(q346Sql)),
+    QueryDef("q347_cvm_two_sample", q347, Some(q347Sql)),
+    QueryDef("q348_mantel_haenszel", q348, Some(q348Sql)),
+    QueryDef("q349_hodges_lehmann", q349, Some(q349Sql)),
+    QueryDef("q350_turning_points", q350, Some(q350Sql)),
+    QueryDef("q351_bartels_rvn", q351, Some(q351Sql)),
+    QueryDef("q352_quade", q352, Some(q352Sql)),
     QueryDef("q297_mann_kendall", q297, Some(q297Sql)),
     QueryDef("q298_theil_sen", q298, Some(q298Sql)),
     QueryDef("q268_croston", q268, Some(q268Sql)),

@@ -259,4 +259,114 @@ object Diagnostics {
       .toDF(seriesCol, "n_obs", "med_c", "n_above", "n_below", "runs",
             "z_e6")
   }
+
+  /** Turning-point test — the cheapest randomness gate: count the
+    * interior STRICT local extrema (y_{i−1} < y_i > y_{i+1} or the
+    * mirror); an i.i.d. series has E[T] = 2(n−2)/3 and
+    * Var[T] = (16n − 29)/90 (Kendall's classic result), so too few
+    * turns means trend/momentum and too many means alternation —
+    * the derivative-level complement to [[runsTest]]'s level-based
+    * runs. Plateaus (ties with a neighbor) are NOT turning points
+    * under the strict convention, so engine and oracle agree on
+    * every tie by construction.
+    *
+    * Exactness: T an exact count, z one fixed double tree over
+    * (T, n), e6-rounded HALF_UP (the [[runsTest]] convention).
+    * Same per-series bounded-array shape as [[acfPacf]].
+    * @return per series: (series, n_obs, n_turns, z_e6) — z null
+    *         when n &lt; 3 */
+  def turningPointTest(df: DataFrame, seriesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(seriesCol).cast("string"),
+              col("ds").cast("timestamp").cast("long"),
+              col("y").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (key, it) =>
+        val ys = it.toArray.sortBy(_._2).map(_._3)
+        val n = ys.length
+        var t = 0L
+        var i = 1
+        while (i < n - 1) {
+          if ((ys(i - 1) < ys(i) && ys(i) > ys(i + 1)) ||
+              (ys(i - 1) > ys(i) && ys(i) < ys(i + 1))) t += 1
+          i += 1
+        }
+        if (n < 3) (key, n.toLong, t, None: Option[Long])
+        else {
+          val z = (t.toDouble - 2.0 * (n - 2) / 3.0) /
+            math.sqrt((16.0 * n - 29.0) / 90.0)
+          (key, n.toLong, t,
+           Some(BigDecimal(z * 1e6)
+             .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+        }
+      }
+      .toDF(seriesCol, "n_obs", "n_turns", "z_e6")
+  }
+
+  /** Bartels rank von Neumann ratio test — the RANK-ROBUST
+    * randomness gate: the von Neumann ratio Σ(rᵢ − rᵢ₊₁)² / Σ(rᵢ − r̄)²
+    * over the TIME-ordered ranks of the series (Bartels 1982) reads
+    * ≈ 2 under i.i.d., &lt; 2 under positive serial dependence
+    * (neighbors rank-close), &gt; 2 under alternation — the
+    * non-parametric twin of [[durbinWatson]] (same ratio shape, rank
+    * domain, no linearity assumption).
+    *
+    * Exactness: doubled midranks (integers under ties; Σr2 = n(n+1)
+    * exactly, so the centered denominator is Σ(r2ᵢ − (n+1))² — the
+    * doubling cancels in the ratio), RVN quantized by ONE truncating
+    * BigInt division rvn_e6 = NM4·10⁶ div D4, and
+    * z = (rvn_e6/10⁶ − 2)/√Var with the exact finite-sample
+    * Var = 4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²) — one double tree over
+    * (rvn_e6, n), e6-rounded HALF_UP. Same per-series bounded-array
+    * shape as [[acfPacf]].
+    * @return per series: (series, n_obs, nm4, d4, rvn_e6, z_e6) —
+    *         null rvn/z when the series is constant (D4 = 0) or
+    *         n &lt; 3 */
+  def bartelsRvn(df: DataFrame, seriesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(seriesCol).cast("string"),
+              col("ds").cast("timestamp").cast("long"),
+              col("y").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (key, it) =>
+        val ys = it.toArray.sortBy(_._2).map(_._3)
+        val n = ys.length
+        // doubled midranks of y: 2·(#less) + (#eq) + 1 per value
+        val counts = scala.collection.mutable.TreeMap.empty[Long, Long]
+        ys.foreach(y => counts.update(y, counts.getOrElse(y, 0L) + 1L))
+        var before = 0L
+        val r2of = scala.collection.mutable.LongMap.empty[Long]
+        counts.foreach { case (v, c) =>
+          r2of.update(v, 2L * before + c + 1L); before += c
+        }
+        val r2 = ys.map(r2of)
+        var nm4 = BigInt(0)
+        var d4 = BigInt(0)
+        var i = 0
+        while (i < n) {
+          if (i < n - 1) {
+            val d = BigInt(r2(i) - r2(i + 1)); nm4 += d * d
+          }
+          val c = BigInt(r2(i) - (n + 1L)); d4 += c * c
+          i += 1
+        }
+        if (n < 3 || d4 == 0)
+          (key, n.toLong, nm4.toLong, d4.toLong,
+           None: Option[Long], None: Option[Long])
+        else {
+          val rvnE6 = (nm4 * 1000000 / d4).toLong
+          val va = 4.0 * (n - 2) * (5.0 * n * n - 2.0 * n - 9.0) /
+            (5.0 * n * (n + 1.0) * (n - 1.0) * (n - 1.0))
+          val z = (rvnE6 / 1000000.0 - 2.0) / math.sqrt(va)
+          (key, n.toLong, nm4.toLong, d4.toLong, Some(rvnE6),
+           Some(BigDecimal(z * 1e6)
+             .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+        }
+      }
+      .toDF(seriesCol, "n_obs", "nm4", "d4", "rvn_e6", "z_e6")
+  }
 }

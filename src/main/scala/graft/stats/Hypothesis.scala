@@ -830,4 +830,198 @@ object Hypothesis {
           lit(null).cast("long"))
           .otherwise(col("chi2_e6_sum")).as("chi2_e6"))
   }
+
+  /** Two-sample Cramér–von Mises test per group (Anderson's rank
+    * form) — the WHOLE-CURVE companion to [[ksTest]]: KS reads the
+    * single worst CDF gap, [[andersonDarlingK]] weights the tails;
+    * CvM integrates the SQUARED gap across the entire distribution,
+    * the classic middle ground (more power than KS against diffuse
+    * shape changes, less tail-obsessed than AD).
+    *
+    *   U = n·Σᵢ(rᵢ − i)² + m·Σⱼ(sⱼ − j)²,
+    *   T = U/(n·m·N) − (4nm − 1)/(6N),   N = n + m
+    *
+    * where rᵢ are arm A's pooled ranks and i its own-arm ranks
+    * (Anderson 1962). With midranks doubled for ties the per-tie-
+    * block contribution has the closed form (D = R2 − 2·pa, the
+    * doubled pooled midrank minus twice the arm-prefix):
+    *
+    *   Σ_{t=1..c}(D − 2t)² = c·D² − 2D·c(c+1) + 4·(c(c+1)(2c+1)/6)
+    *
+    * — exact longs per grid row (the div-6 is exact: sum-of-squares
+    * identity), summed into a decimal(38) U4 = 4U, with T one double
+    * tree, e6-rounded. Grid shape: per-group pooled distinct-value
+    * grid via [[graft.scale.GridPrefix.groupedPrefixSums]] — the
+    * ranking is a distributed prefix, never a one-task sort.
+    *
+    * @param obs (group, arm, value) rows; arm 0/1; value an exact
+    *            integer grid (cents)
+    * @return per group: (group, n_a, n_b, u4, t_e6) — t null when
+    *         either arm is empty */
+  def cramerVonMises(obs: DataFrame, groupCol: String, armCol: String,
+                     valueCol: String): DataFrame = {
+    val g = obs
+      .select(col(groupCol).as("grp"), col(armCol).cast("long").as("arm"),
+              col(valueCol).cast("long").as("v"))
+      .groupBy(col("grp"), col("v"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("ca"),
+           sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("cb"))
+      .withColumn("c", col("ca") + col("cb"))
+    val cum = graft.scale.GridPrefix.groupedPrefixSums(g, "grp", "v",
+        Seq("ca", "cb", "c"))
+      .withColumn("r2", lit(2L) * col("cum_before_c") + col("c") + 1L)
+    // per-tie-block Σ(pooled − own)² in closed form, per arm (the
+    // div 6 is an exact integral division — sum-of-squares identity);
+    // first factors ride decimal(38,0): cnt·D² is ~4N³ in the pooled
+    // size, past int64 for N ≳ 1.3M rows (the jonckheere g18 rule)
+    def blockSq(cnt: String, pre: String) = expr(
+      s"CAST($cnt AS DECIMAL(38,0)) * (r2 - 2 * $pre) * (r2 - 2 * $pre)" +
+        s" - CAST(2 AS DECIMAL(38,0)) * (r2 - 2 * $pre) * $cnt * ($cnt + 1)" +
+        s" + 4 * (CAST($cnt AS DECIMAL(38,0)) * ($cnt + 1) * (2 * $cnt + 1) div 6)")
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val agg = cum
+      .withColumn("sqa", blockSq("ca", "cum_before_ca"))
+      .withColumn("sqb", blockSq("cb", "cum_before_cb"))
+      .groupBy(col("grp"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+           sum(col("sqa").cast(d38)).as("sa"),
+           sum(col("sqb").cast(d38)).as("sb"))
+      .withColumn("u4",
+        col("n_a").cast(d38) * col("sa") + col("n_b").cast(d38) * col("sb"))
+    val nD = col("n_a").cast("double")
+    val mD = col("n_b").cast("double")
+    val bigN = nD + mD
+    val t = col("u4").cast("double") / 4.0 / (nD * mD * bigN) -
+      (lit(4.0) * nD * mD - 1.0) / (lit(6.0) * bigN)
+    agg.select(col("grp").as(groupCol), col("n_a"), col("n_b"),
+      col("u4").cast("long").as("u4"),
+      when(col("n_a") === 0L || col("n_b") === 0L, lit(null).cast("long"))
+        .otherwise(round(t * 1e6).cast("long")).as("t_e6"))
+  }
+
+  /** Mantel–Haenszel test over stratified 2×2 tables — the
+    * CONFOUNDER-PROOF association test: q235's chi-square over one
+    * pooled table falls to Simpson's paradox when a stratifier
+    * (nation, cohort, source) drives both exposure and outcome; MH
+    * pools the per-stratum evidence instead, testing the common odds
+    * ratio across strata (Mantel & Haenszel 1959).
+    *
+    * Per stratum i with cells (a=exposed∧outcome, n1=exposed,
+    * m1=outcome, N): E_i = n1·m1/N, V_i = n1·n0·m1·m0/(N²(N−1)),
+    * and the continuity-corrected statistic
+    *
+    *   χ²MH = (|Σa − ΣE| − 1/2)² / ΣV.
+    *
+    * Ledger rule: E and V are rationals with per-stratum
+    * denominators, so each is quantized e6 by one truncating
+    * decimal(38) division BEFORE the cross-stratum sum (the ANOVA
+    * per-group-rounding rule: the total is summation-order-free).
+    * The common odds-ratio estimate rides the same device:
+    * OR = Σ(a·d/N) / Σ(b·c/N) with e6-truncated per-stratum terms.
+    *
+    * @param obs (stratum, exposed, outcome) rows; exposed/outcome
+    *            0/1 longs
+    * @return per stratum: (stratum, a, n1, m1, n) with the global
+    *         (chi2_e6, or_e6) broadcast (q235 output convention);
+    *         chi2 null when ΣV = 0, OR null when the denominator
+    *         term is 0 */
+  def mantelHaenszel(obs: DataFrame, stratumCol: String, expCol: String,
+                     outCol: String): DataFrame = {
+    val cells = obs
+      .select(col(stratumCol).as("st"), col(expCol).cast("long").as("e"),
+              col(outCol).cast("long").as("o"))
+      .groupBy(col("st"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("e") === 1L && col("o") === 1L, 1L).otherwise(0L)).as("a"),
+           sum(col("e")).as("n1"), sum(col("o")).as("m1"))
+      .withColumn("b", col("n1") - col("a"))          // exposed, no outcome
+      .withColumn("c", col("m1") - col("a"))          // unexposed, outcome
+      .withColumn("d", col("n") - col("n1") - col("c"))
+      .withColumn("n0", col("n") - col("n1"))
+      .withColumn("m0", col("n") - col("m1"))
+    // per-stratum e6-truncated rationals (strata with N < 2 carry
+    // zero V by the formula's (N−1) guard; N ≥ 1 always here)
+    val quant = cells
+      .withColumn("e_e6", expr(
+        "CAST(CAST(n1 AS DECIMAL(38,0)) * m1 * 1000000 div n AS BIGINT)"))
+      .withColumn("v_e6", expr(
+        "CASE WHEN n < 2 THEN 0 ELSE CAST(" +
+          "CAST(n1 AS DECIMAL(38,0)) * n0 * m1 * m0 * 1000000" +
+          " div (CAST(n AS DECIMAL(38,0)) * n * (n - 1)) AS BIGINT) END"))
+      .withColumn("ad_e6", expr(
+        "CAST(CAST(a AS DECIMAL(38,0)) * d * 1000000 div n AS BIGINT)"))
+      .withColumn("bc_e6", expr(
+        "CAST(CAST(b AS DECIMAL(38,0)) * c * 1000000 div n AS BIGINT)"))
+    val glob = quant.agg(sum(col("a")).as("sum_a"),
+      sum(col("e_e6")).as("sum_e6"), sum(col("v_e6")).as("sum_v6"),
+      sum(col("ad_e6")).as("sum_ad6"), sum(col("bc_e6")).as("sum_bc6"))
+    // (|Σa·10⁶ − ΣE₆| − 5·10⁵)² / (ΣV₆·10⁶), clamped at 0 before
+    // squaring (the standard correction convention)
+    val cc = greatest(abs(col("sum_a") * 1000000L - col("sum_e6"))
+      - 500000L, lit(0L))
+    val chi = cc.cast("double") * cc.cast("double") /
+      (col("sum_v6").cast("double") * 1e6)
+    val orr = col("sum_ad6").cast("double") / col("sum_bc6")
+    quant.select(col("st").as(stratumCol), col("a"), col("n1"),
+        col("m1"), col("n"))
+      .crossJoin(broadcast(glob.select(
+        when(col("sum_v6") <= 0L, lit(null).cast("long"))
+          .otherwise(round(chi * 1e6).cast("long")).as("chi2_e6"),
+        when(col("sum_bc6") <= 0L, lit(null).cast("long"))
+          .otherwise(round(orr * 1e6).cast("long")).as("or_e6"))))
+  }
+
+  /** Hodges–Lehmann two-sample shift estimator per group — the
+    * ROBUST effect size the rank tests leave implicit:
+    * [[mannWhitneyU]] says the arms differ; HL says BY HOW MUCH —
+    * the median of all n_a·n_b pairwise differences (x − y), the
+    * estimator whose breakdown point and efficiency made it the
+    * standard robust shift readout (Hodges & Lehmann 1963).
+    *
+    * Exactness: the repo's lower-median convention — the smallest
+    * difference whose cumulative pair-weight reaches
+    * (n_a·n_b + 1) div 2 — so the result is a grid value, not an
+    * interpolation.
+    *
+    * Scale contract (bounded-grid, the trend_fold discipline): pairs
+    * are counted on the DISTINCT-VALUE grid — grid_a × grid_b within
+    * each group with weight ca·cb — so the cross product is
+    * |V_a|·|V_b|, bounded by the value domain (calendar-bucketed
+    * sums: months × months), never raw n_a·n_b rows. Feed it
+    * calendar-aggregated or quantized metrics, not raw cents.
+    *
+    * @param obs (group, arm, value) rows; arm 0/1; value an exact
+    *            integer grid
+    * @return per group: (group, n_a, n_b, n_pairs, hl_c) — null hl
+    *         when either arm is empty */
+  def hodgesLehmannShift(obs: DataFrame, groupCol: String, armCol: String,
+                         valueCol: String): DataFrame = {
+    val base = obs
+      .select(col(groupCol).as("grp"), col(armCol).cast("long").as("arm"),
+              col(valueCol).cast("long").as("v"))
+    val ga = base.where(col("arm") === 0L)
+      .groupBy(col("grp"), col("v").as("va"))
+      .agg(count(lit(1)).as("ca"))
+    val gb = base.where(col("arm") === 1L)
+      .groupBy(col("grp"), col("v").as("vb"))
+      .agg(count(lit(1)).as("cb"))
+    val diffs = ga.join(gb, Seq("grp"))            // keyed grid cross
+      .groupBy(col("grp"), (col("va") - col("vb")).as("d"))
+      .agg(sum(col("ca") * col("cb")).as("w"))
+    val cum = graft.scale.GridPrefix.groupedPrefixSums(diffs, "grp", "d",
+        Seq("w"))
+    val tot = diffs.groupBy(col("grp")).agg(sum(col("w")).as("n_pairs"))
+    val counts = base.groupBy(col("grp"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+           sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"))
+    // lower median: the SMALLEST d whose inclusive cumulative weight
+    // reaches (W+1) div 2 — min over qualifying grid rows
+    cum.join(tot, Seq("grp"))
+      .where(expr("cum_w >= (n_pairs + 1) div 2"))
+      .groupBy(col("grp"))
+      .agg(min(col("d")).as("hl_c"), first(col("n_pairs")).as("n_pairs"))
+      .join(counts, Seq("grp"), "right")
+      .select(col("grp").as(groupCol), col("n_a"), col("n_b"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("hl_c"))
+  }
 }
