@@ -3656,6 +3656,140 @@ object DiagQueries {
       |      * 1000000.0) AS BIGINT) END AS f_e6
       |FROM pt CROSS JOIN gl CROSS JOIN nb CROSS JOIN kk""".stripMargin
 
+  /** q353 — EWMA control chart ([[graft.ts.ControlChart.ewmaChart]]):
+    * each event type calibrates mean/σ on its first 14 days, then
+    * charts the exact floor-division EWMA recursion against the
+    * steady-state ±3σ·√(λ/(2−λ)) band — the SPC view of drift next
+    * to q329's Page–Hinkley. The oracle replays the recursion as a
+    * recursive CTE (floor `//` ≡ the engine's Math.floorDiv) and the
+    * limits as the same double tree. */
+  private def q353(s: SparkSession, dir: String): DataFrame =
+    graft.ts.ControlChart.ewmaChart(dailyCents(s, dir), "event_type")
+
+  private val q353Sql =
+    s"""WITH RECURSIVE $dailySql,
+      |s AS (SELECT event_type, ds, y,
+      |        CAST(row_number() OVER (PARTITION BY event_type
+      |          ORDER BY ds) AS BIGINT) AS rn
+      |      FROM daily),
+      |cal AS (SELECT event_type, CAST(sum(y) AS BIGINT) AS s1,
+      |          sum(CAST(y AS HUGEINT) * y) AS q
+      |        FROM s WHERE rn <= 14 GROUP BY 1
+      |        HAVING count(*) = 14),
+      |lim AS (SELECT event_type, s1, s1 // 14 AS mu_c,
+      |          (CAST(q AS DOUBLE)
+      |            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 14.0)
+      |            / 13.0 AS va
+      |        FROM cal),
+      |lv AS (SELECT event_type, mu_c,
+      |         CAST(round((CAST(s1 AS DOUBLE) / 14.0
+      |             - 3.0 * sqrt(va)
+      |               * sqrt((2.0 / 10.0) / (2.0 - 2.0 / 10.0)))
+      |           * 1000000.0) AS BIGINT) AS lim_lo_e6,
+      |         CAST(round((CAST(s1 AS DOUBLE) / 14.0
+      |             + 3.0 * sqrt(va)
+      |               * sqrt((2.0 / 10.0) / (2.0 - 2.0 / 10.0)))
+      |           * 1000000.0) AS BIGINT) AS lim_hi_e6
+      |       FROM lim WHERE va > 0.0),
+      |rec AS (
+      |  SELECT s.event_type, rn, ds, y, lv.mu_c AS z
+      |  FROM s JOIN lv USING (event_type) WHERE rn = 14
+      |  UNION ALL
+      |  SELECT s.event_type, s.rn, s.ds, s.y,
+      |    (2 * s.y + 8 * rec.z) // 10
+      |  FROM rec JOIN s ON s.event_type = rec.event_type
+      |                 AND s.rn = rec.rn + 1)
+      |SELECT rec.event_type,
+      |  CAST(epoch(rec.ds) AS BIGINT) AS ds_sec, rec.y AS y_c,
+      |  rec.z AS z_c, lv.mu_c, lv.lim_lo_e6, lv.lim_hi_e6,
+      |  CASE WHEN rec.z * 1000000 < lv.lim_lo_e6
+      |         OR rec.z * 1000000 > lv.lim_hi_e6 THEN 1 ELSE 0 END
+      |    AS alarm
+      |FROM rec JOIN lv USING (event_type) WHERE rn > 14""".stripMargin
+
+  /** q354 — Grubbs' maximum studentized deviate
+    * ([[graft.stats.Hypothesis.grubbsMax]]) of whole-dollar order
+    * values per priority: is each priority's most extreme price an
+    * outlier against its own distribution — the group-level audit
+    * next to the row-level quality gates; exact integer argmax,
+    * smallest-value tie rule, one double tree. */
+  private def q354(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Hypothesis.grubbsMax(
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice")).cast("long").as("v")),
+      "o_orderpriority", "v")
+
+  private val q354Sql =
+    """WITH r AS (SELECT o_orderpriority AS grp,
+      |            CAST(round(o_totalprice) AS BIGINT) AS v FROM orders),
+      |mom AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |          CAST(sum(v) AS BIGINT) AS s1,
+      |          sum(CAST(v AS HUGEINT) * v) AS q
+      |        FROM r GROUP BY 1),
+      |d AS (SELECT r.grp, v, n, s1, q,
+      |        abs(CAST(v AS HUGEINT) * n - s1) AS dnum
+      |      FROM r JOIN mom ON mom.grp = r.grp),
+      |mx AS (SELECT grp, max(dnum) AS dmax FROM d GROUP BY 1)
+      |SELECT d.grp AS o_orderpriority, n,
+      |  min(v) AS x_at,
+      |  CASE WHEN n < 3 OR (CAST(q AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+      |      <= 0.0 THEN NULL
+      |    ELSE CAST(round(CAST(dmax AS DOUBLE) / CAST(n AS DOUBLE)
+      |      / sqrt((CAST(q AS DOUBLE)
+      |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+      |      * 1000000.0) AS BIGINT) END AS g_e6
+      |FROM d JOIN mx ON mx.grp = d.grp AND d.dnum = mx.dmax
+      |GROUP BY d.grp, n, s1, q, dmax""".stripMargin
+
+  /** q355 — Cox–Stuart trend test ([[graft.stats.Diagnostics
+    * .coxStuart]]) over the daily event series: back half vs front
+    * half, pair by pair, with the exact rational sign-test p — the
+    * assumption-free trend gate next to q297's Mann–Kendall. */
+  private def q355(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Diagnostics.coxStuart(dailyCents(s, dir), "event_type")
+
+  private val q355Sql =
+    s"""WITH RECURSIVE $dailySql,
+      |s AS (SELECT event_type, ds, y,
+      |        CAST(row_number() OVER (PARTITION BY event_type
+      |          ORDER BY ds) AS BIGINT) AS rn
+      |      FROM daily),
+      |cn AS (SELECT event_type, CAST(max(rn) AS BIGINT) AS n FROM s
+      |       GROUP BY 1),
+      |pr AS (SELECT a.event_type, b.y - a.y AS d
+      |       FROM s a JOIN cn ON cn.event_type = a.event_type
+      |       JOIN s b ON b.event_type = a.event_type
+      |               AND b.rn = a.rn + (cn.n + 1) // 2),
+      |tc AS (SELECT event_type,
+      |         CAST(sum(CASE WHEN d <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS np,
+      |         CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS pos
+      |       FROM pr GROUP BY 1),
+      |mm AS (SELECT event_type, np, pos, least(pos, np - pos) AS m
+      |       FROM tc),
+      |bin AS (
+      |  SELECT event_type, np, m, CAST(0 AS BIGINT) AS k,
+      |         CAST(1 AS HUGEINT) AS c, CAST(1 AS HUGEINT) AS tail
+      |  FROM mm
+      |  UNION ALL
+      |  SELECT event_type, np, m, k + 1, c*(np-k)//(k+1),
+      |         tail + c*(np-k)//(k+1)
+      |  FROM bin WHERE k < m)
+      |SELECT cn.event_type, cn.n AS n_obs, mm.np AS n_pairs,
+      |  mm.pos AS n_pos,
+      |  CASE WHEN mm.np > 120 THEN NULL
+      |    ELSE CAST(least(bin.tail*2,
+      |        CAST(1 AS HUGEINT) << CAST(mm.np AS INTEGER)) * 1000000
+      |      // (CAST(1 AS HUGEINT) << CAST(mm.np AS INTEGER))
+      |      AS BIGINT) END AS p_e6
+      |FROM cn JOIN mm ON mm.event_type = cn.event_type
+      |JOIN bin ON bin.event_type = mm.event_type AND bin.k = mm.m""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q304_periodogram", q304, Some(q304Sql)),
     QueryDef("q305_welch_t", q305, Some(q305Sql)),
@@ -3705,6 +3839,9 @@ object DiagQueries {
     QueryDef("q350_turning_points", q350, Some(q350Sql)),
     QueryDef("q351_bartels_rvn", q351, Some(q351Sql)),
     QueryDef("q352_quade", q352, Some(q352Sql)),
+    QueryDef("q353_ewma_chart", q353, Some(q353Sql)),
+    QueryDef("q354_grubbs", q354, Some(q354Sql)),
+    QueryDef("q355_cox_stuart", q355, Some(q355Sql)),
     QueryDef("q297_mann_kendall", q297, Some(q297Sql)),
     QueryDef("q298_theil_sen", q298, Some(q298Sql)),
     QueryDef("q268_croston", q268, Some(q268Sql)),

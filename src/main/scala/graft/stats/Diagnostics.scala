@@ -369,4 +369,43 @@ object Diagnostics {
       }
       .toDF(seriesCol, "n_obs", "nm4", "d4", "rvn_e6", "z_e6")
   }
+
+  /** Cox–Stuart trend test — the sign test aimed at TREND: pair each
+    * of the first ⌊n/2⌋ observations with its counterpart c =
+    * ⌈n/2⌉ positions later (the middle point of an odd series drops
+    * out), and sign-test the differences (Cox & Stuart 1955). No
+    * slope model, no rank machinery — just "is the back half above
+    * the front half, pair by pair", with the EXACT binomial p from
+    * [[PairedRank.binomPE6]] (a rational num/2ⁿ — no approximation,
+    * HUGEINT-replayable; n here is ≤ half the series length, far
+    * under the 120 ceiling for calendar series).
+    *
+    * Same per-series bounded-array shape as [[acfPacf]]; zero
+    * differences are dropped (the sign-test convention), so engine
+    * and oracle agree on the kept pairs by construction.
+    * @return per series: (series, n_obs, n_pairs, n_pos, p_e6) */
+  def coxStuart(df: DataFrame, seriesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(seriesCol).cast("string"),
+              col("ds").cast("timestamp").cast("long"),
+              col("y").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (key, it) =>
+        val ys = it.toArray.sortBy(_._2).map(_._3)
+        val n = ys.length
+        val c = (n + 1) / 2
+        var np = 0L
+        var pos = 0L
+        var i = 0
+        while (i + c < n) {
+          val d = ys(i + c) - ys(i)
+          if (d != 0) { np += 1; if (d > 0) pos += 1 }
+          i += 1
+        }
+        (key, n.toLong, np, pos, PairedRank.binomPE6(np, pos))
+      }
+      .toDF(seriesCol, "n_obs", "n_pairs", "n_pos", "p_e6")
+  }
 }

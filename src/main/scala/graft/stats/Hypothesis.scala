@@ -971,6 +971,48 @@ object Hypothesis {
           .otherwise(round(orr * 1e6).cast("long")).as("or_e6"))))
   }
 
+  /** Grubbs' maximum studentized deviate per group — the one-number
+    * outlier audit: G = max|x − x̄|/s (Grubbs 1950), the screening
+    * statistic behind every "is the worst point an outlier" gate.
+    * Where the quality tiers score rows, this scores the GROUP: a G
+    * far above the t-based critical value says the group's extremum
+    * is not from the same population.
+    *
+    * Exactness: the argmax runs on the exact integer deviation
+    * |v·n − Σv| (scale-free — no per-row division), ties broken
+    * toward the SMALLEST value (the ksTest d_at convention); G is
+    * one double tree over (maxdev, n, Σv, Σv²), e6-rounded. The
+    * deviation ledger rides decimal(38,0): v·n is past int64 for
+    * cents metrics at ≳10⁹ rows.
+    *
+    * @param obs (group, value) rows; value an exact integer grid
+    * @return per group: (group, n, x_at, g_e6) — null g when n &lt; 3
+    *         or the group is constant */
+  def grubbsMax(obs: DataFrame, groupCol: String,
+                valueCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val base = obs.select(col(groupCol).as("grp"),
+                          col(valueCol).cast("long").as("v"))
+    val mom = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+           sum(col("v").cast(d38) * col("v")).as("q"))
+    val dev = base.join(mom, Seq("grp"))
+      .withColumn("dnum", abs(col("v").cast(d38) * col("n") - col("s1")))
+    val arg = dev.groupBy(col("grp"))
+      .agg(max(col("dnum")).as("dmax"),
+           max_by(col("v"), struct(col("dnum"), -col("v"))).as("x_at"),
+           first(col("n")).as("n"), first(col("s1")).as("s1"),
+           first(col("q")).as("q"))
+    val nD = col("n").cast("double")
+    val va = (col("q").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / nD) /
+      (nD - 1.0)
+    val g = col("dmax").cast("double") / nD / sqrt(va)
+    arg.select(col("grp").as(groupCol), col("n"), col("x_at"),
+      when(col("n") < 3L || va <= 0.0, lit(null).cast("long"))
+        .otherwise(round(g * 1e6).cast("long")).as("g_e6"))
+  }
+
   /** Hodges–Lehmann two-sample shift estimator per group — the
     * ROBUST effect size the rank tests leave implicit:
     * [[mannWhitneyU]] says the arms differ; HL says BY HOW MUCH —

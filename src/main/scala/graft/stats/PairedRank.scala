@@ -108,25 +108,31 @@ object PairedRank {
         var n = 0L
         var s = 0L
         it.foreach { case (_, d) => n += 1; if (d > 0) s += 1 }
-        val p =
-          if (n > 120) None
-          else {
-            val m = math.min(s, n - s)
-            var c = BigInt(1)          // C(n,0)
-            var tail = BigInt(1)
-            var k = 1L
-            while (k <= m) {
-              c = c * (n - k + 1) / k  // exact at every step
-              tail += c
-              k += 1
-            }
-            val num = (tail * 2).min(BigInt(1) << n.toInt)
-            Some((num * 1000000 / (BigInt(1) << n.toInt)).toLong)
-          }
-        (key, n, s, p)
+        (key, n, s, binomPE6(n, s))
       }
       .toDF(groupCol, "n_nonzero", "n_pos", "p_e6")
   }
+
+  /** Exact two-sided sign-test p on the e6 grid:
+    * p_e6 = min(2ⁿ, 2·Σ_{k≤min(s,n−s)} C(n,k))·10⁶ div 2ⁿ — BigInt
+    * binomial prefix with exact integer division at every step
+    * (C(n,k) = C(n,k−1)·(n−k+1)/k). None above n = 120, the oracle's
+    * HUGEINT replay ceiling (see [[signTestExact]]). */
+  private[stats] def binomPE6(n: Long, s: Long): Option[Long] =
+    if (n > 120) None
+    else {
+      val m = math.min(s, n - s)
+      var c = BigInt(1)          // C(n,0)
+      var tail = BigInt(1)
+      var k = 1L
+      while (k <= m) {
+        c = c * (n - k + 1) / k  // exact at every step
+        tail += c
+        k += 1
+      }
+      val num = (tail * 2).min(BigInt(1) << n.toInt)
+      Some((num * 1000000 / (BigInt(1) << n.toInt)).toLong)
+    }
 
   /** Quade test — the range-weighted Friedman: k treatments measured
     * on the same n blocks, with each block's within-block ranks

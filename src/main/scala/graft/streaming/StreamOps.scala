@@ -1391,4 +1391,121 @@ object StreamOps {
             new java.sql.Timestamp(next.minTs * 1000), new java.sql.Timestamp(next.maxTs * 1000)))
       }
   }
+
+  /** Streaming EWMA control chart — [[graft.ts.ControlChart
+    * .ewmaChart]] run LIVE: the chart exists to be watched, so the
+    * streaming twin is the natural deployment. The first `calDays`
+    * closed days accumulate the in-control moments (count, Σy, Σy²
+    * — Σy² in two longs via the documented |y| ≤ 10⁹-cent envelope:
+    * y² ≤ 10¹⁸ fits int64 per day, the SUM rides a 10⁹-scaled split
+    * ledger), then every further closed day advances the exact
+    * floor-division recursion and compares z·10⁶ against the frozen
+    * e6 limits — identical arithmetic to the batch op, so every
+    * emitted row equals the batch row over the closed-day sums
+    * (prefix-parity spec-pinned).
+    *
+    * State: nine longs per series FOREVER (phase/count, Σy, Σy²
+    * hi/lo, z, lim_lo, lim_hi, pending day, pending sum). Day-close
+    * and lateness semantics are [[streamingHoltWinters]]'s: a day
+    * folds exactly once when a later day first arrives; closed days
+    * are final. */
+  case class EwmaState(t: Long, sy: Long, sqHi: Long, sqLo: Long,
+                       z: Long, limLo: Long, limHi: Long,
+                       pendDay: Long, pendSum: Long)
+  case class EwmaUpdate(series: String, day_sec: Long, y_c: Long,
+                        z_c: Long, mu_c: Long, lim_lo_e6: Long,
+                        lim_hi_e6: Long, alarm: Long)
+
+  def streamingEwmaChart(stream: DataFrame, seriesCol: String,
+                         tsCol: String, vCol: String, calDays: Int = 14,
+                         aNum: Int = 2, aDen: Int = 10,
+                         lTimes10: Int = 30)
+      : org.apache.spark.sql.Dataset[EwmaUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(aNum > 0 && aNum < aDen, "lambda in (0, 1)")
+    require(calDays >= 2, "calibration needs >= 2 days")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val NONE = Long.MinValue
+    val SPLIT = 1000000000L // Σy² split radix: sq = sqHi·SPLIT² + sqLo
+    def foldDay(st: EwmaState, key: String, d: Long, y: Long)
+        : (EwmaState, Option[EwmaUpdate]) =
+      if (st.t < calDays) {
+        // calibration: accumulate moments, emit nothing (batch
+        // parity: the batch op emits only post-calibration days)
+        val sq = y * y
+        var hi = st.sqHi + sq / SPLIT
+        var lo = st.sqLo + sq % SPLIT
+        if (lo >= SPLIT) { hi += lo / SPLIT; lo = lo % SPLIT }
+        val st2 = st.copy(t = st.t + 1, sy = st.sy + y, sqHi = hi,
+                          sqLo = lo)
+        if (st2.t < calDays) (st2, None)
+        else {
+          // calibration closes: freeze limits (the batch double tree
+          // over the exact moments, replayed term-for-term)
+          val w = calDays.toDouble
+          val q = BigInt(st2.sqHi) * SPLIT + st2.sqLo
+          val va = (q.toDouble - st2.sy.toDouble * st2.sy.toDouble / w) /
+            (w - 1.0)
+          if (va <= 0.0)
+            // degenerate calibration: batch emits nothing; pin the
+            // chart closed (limits collapse to an empty band marker)
+            (st2.copy(limLo = Long.MaxValue, limHi = Long.MinValue), None)
+          else {
+            val lam = aNum.toDouble / aDen.toDouble
+            val half = (lTimes10.toDouble / 10.0) * math.sqrt(va) *
+              math.sqrt(lam / (2.0 - lam))
+            val muD = st2.sy.toDouble / w
+            val lo6 = BigDecimal((muD - half) * 1e6)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            val hi6 = BigDecimal((muD + half) * 1e6)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            (st2.copy(z = Math.floorDiv(st2.sy, calDays.toLong),
+                      limLo = lo6, limHi = hi6), None)
+          }
+        }
+      } else if (st.limLo == Long.MaxValue && st.limHi == Long.MinValue)
+        (st.copy(t = st.t + 1), None) // chart pinned closed (zero var)
+      else {
+        val z = Math.floorDiv(aNum * y + (aDen - aNum) * st.z,
+                              aDen.toLong)
+        val alarm =
+          if (z * 1000000L < st.limLo || z * 1000000L > st.limHi) 1L
+          else 0L
+        (st.copy(t = st.t + 1, z = z),
+         Some(EwmaUpdate(key, d, y, z,
+           Math.floorDiv(st.sy, calDays.toLong), st.limLo, st.limHi,
+           alarm)))
+      }
+    stream
+      .select(col(seriesCol).cast("string"),
+        date_trunc("day", col(tsCol).cast("timestamp")).cast("long"),
+        col(vCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(
+            EwmaState(0L, 0L, 0L, 0L, 0L, 0L, 0L, NONE, 0L))
+          val days = rows.foldLeft(Map.empty[Long, Long]) {
+            case (acc, (_, d, v)) =>
+              acc.updated(d, acc.getOrElse(d, 0L) + v)
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[EwmaUpdate]
+          days.toSeq.sorted.foreach { case (d, s) =>
+            if (st.pendDay == NONE)
+              st = st.copy(pendDay = d, pendSum = s)
+            else if (d == st.pendDay)
+              st = st.copy(pendSum = st.pendSum + s)
+            else if (d > st.pendDay) {
+              val (st2, row) = foldDay(st, key, st.pendDay, st.pendSum)
+              row.foreach(out += _)
+              st = st2.copy(pendDay = d, pendSum = s)
+            } // d < pendDay: closed days are final — ignored
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -188,6 +188,45 @@ class PairedRankSpec extends AnyFunSuite {
     assert(r.isNullAt(4) && r.isNullAt(5))
   }
 
+  // --- Grubbs ----------------------------------------------------
+  // v = {1,2,3,10}: devs |4v − 16| = 12,8,4,24 → max at v = 10;
+  // s² = (114 − 64)/3; G = 6/√(50/3) → 1469694 e6.
+  test("grubbsMax: hand case, argmax at the extreme value") {
+    import spark.implicits._
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 10L))
+      .toDF("grp", "v")
+    val r = Hypothesis.grubbsMax(df, "grp", "v").collect()(0)
+    assert(r.getLong(1) == 4L)
+    assert(r.getLong(2) == 10L)      // x_at
+    assert(r.getLong(3) == 1469694L) // g_e6
+  }
+
+  test("grubbsMax: constant group yields null G") {
+    import spark.implicits._
+    val df = Seq(("g", 5L), ("g", 5L), ("g", 5L)).toDF("grp", "v")
+    val r = Hypothesis.grubbsMax(df, "grp", "v").collect()(0)
+    assert(r.isNullAt(3))
+  }
+
+  // --- Cox–Stuart ------------------------------------------------
+  // [1..6]: c = 3, pairs (1,4),(2,5),(3,6) all rising → n_pairs = 3,
+  // n_pos = 3, p = 2·C(3,0)/2³ = 1/4 → 250000 e6.
+  test("coxStuart: monotone series gives the exact one-sided-tail p") {
+    val r = Diagnostics.coxStuart(
+      series("s", Seq(1L, 2L, 3L, 4L, 5L, 6L)), "series").collect()(0)
+    assert(r.getLong(1) == 6L && r.getLong(2) == 3L && r.getLong(3) == 3L)
+    assert(r.getLong(4) == 250000L)
+  }
+
+  test("coxStuart: odd length drops the middle point") {
+    // [5,1,9,2,7]: c = 3, pairs (x1,x4) = (5,2) ↓ and (x2,x5) =
+    // (1,7) ↑ — the middle x3 pairs with nothing
+    val r = Diagnostics.coxStuart(
+      series("s", Seq(5L, 1L, 9L, 2L, 7L)), "series").collect()(0)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 1L)
+    assert(r.getLong(4) == 1000000L) // s = n/2 → p capped at 1
+  }
+
   // --- Benjamini–Hochberg ---------------------------------------
   // p = [.01,.02,.04,.5], m = 4: raw adj = [40000,40000,53333,
   // 500000]; suffix-min keeps them; rejections at q=5%: first two.
