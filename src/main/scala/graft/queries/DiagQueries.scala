@@ -3790,6 +3790,135 @@ object DiagQueries {
       |FROM cn JOIN mm ON mm.event_type = cn.event_type
       |JOIN bin ON bin.event_type = mm.event_type AND bin.k = mm.m""".stripMargin
 
+  /** q356 — median absolute deviation ([[graft.stats.Robust
+    * .madScale]]) of whole-dollar order values per priority: the
+    * 50%-breakdown scale next to q16's stddev ceiling — two exact
+    * lower-median grid passes, no moments, no floats. */
+  private def q356(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Robust.madScale(
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice")).cast("long").as("v")),
+      "o_orderpriority", "v")
+
+  private val q356Sql =
+    """WITH r AS (SELECT o_orderpriority AS grp,
+      |            CAST(round(o_totalprice) AS BIGINT) AS v FROM orders),
+      |g AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM r
+      |      GROUP BY 1, 2),
+      |tot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM g
+      |        GROUP BY 1),
+      |cum AS (SELECT g.grp, v, c, n,
+      |          CAST(sum(c) OVER (PARTITION BY g.grp ORDER BY v)
+      |            AS BIGINT) AS cc
+      |        FROM g JOIN tot ON tot.grp = g.grp),
+      |med AS (SELECT grp, min(v) AS med, CAST(max(n) AS BIGINT) AS n
+      |        FROM cum WHERE cc >= (n + 1) // 2 GROUP BY 1),
+      |fold AS (SELECT g.grp, abs(v - med) AS d,
+      |           CAST(sum(c) AS BIGINT) AS c
+      |         FROM g JOIN med ON med.grp = g.grp GROUP BY 1, 2),
+      |cum2 AS (SELECT fold.grp, d, c, med.n AS n,
+      |           CAST(sum(c) OVER (PARTITION BY fold.grp ORDER BY d)
+      |             AS BIGINT) AS cc
+      |         FROM fold JOIN med ON med.grp = fold.grp)
+      |SELECT cum2.grp AS o_orderpriority,
+      |  CAST(max(cum2.n) AS BIGINT) AS n,
+      |  max(med.med) AS med_c, min(d) AS mad_c
+      |FROM cum2 JOIN med ON med.grp = cum2.grp
+      |WHERE cc >= (cum2.n + 1) // 2 GROUP BY 1""".stripMargin
+
+  /** q357 — 10%-trimmed mean ([[graft.stats.Robust.trimmedMean]])
+    * of the same values: the bounded-influence location — exact
+    * tie-block splitting at the trim boundaries, kept mass exactly
+    * n − 2k, one truncating e6 division. */
+  private def q357(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Robust.trimmedMean(
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice")).cast("long").as("v")),
+      "o_orderpriority", "v")
+
+  private val q357Sql =
+    """WITH r AS (SELECT o_orderpriority AS grp,
+      |            CAST(round(o_totalprice) AS BIGINT) AS v FROM orders),
+      |g AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM r
+      |      GROUP BY 1, 2),
+      |tot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM g
+      |        GROUP BY 1),
+      |cum AS (SELECT g.grp, v, c, n, n * 1 // 10 AS k,
+      |          CAST(sum(c) OVER (PARTITION BY g.grp ORDER BY v)
+      |            AS BIGINT) AS cc
+      |        FROM g JOIN tot ON tot.grp = g.grp),
+      |kc AS (SELECT *, greatest(0, least(cc, n - k)
+      |         - greatest(cc - c, k)) AS kc
+      |       FROM cum)
+      |SELECT grp AS o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(max(k) AS BIGINT) AS k_trim,
+      |  min(CASE WHEN kc > 0 THEN v END) AS lo_c,
+      |  max(CASE WHEN kc > 0 THEN v END) AS hi_c,
+      |  CASE WHEN max(n) - 2 * max(k) <= 0 THEN NULL
+      |    ELSE CAST(sum(CAST(v AS HUGEINT) * kc) * 1000000
+      |      // (max(n) - 2 * max(k)) AS BIGINT) END AS trimmed_mean_e6
+      |FROM kc GROUP BY 1""".stripMargin
+
+  /** q358 — rank-biased overlap ([[graft.stats.RankCompare.rbo]],
+    * p = 9/10, D = 20): per event type, do revenue and volume agree
+    * on the TOP days — the top-weighted agreement between the
+    * rank-by-daily-revenue and rank-by-daily-count orderings, every
+    * per-depth term an exact rational. */
+  private def q358(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), dayBucket(col("ts")).as("ds"))
+      .agg(sum(cents(col("value"))).as("y"), count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    val ranked = daily
+      .withColumn("posA", row_number().over(
+        w.orderBy(col("y").desc, col("ds"))).cast("long"))
+      .withColumn("posB", row_number().over(
+        w.orderBy(col("cnt").desc, col("ds"))).cast("long"))
+    graft.stats.RankCompare.rbo(ranked, "event_type", "posA", "posB")
+  }
+
+  private val q358Sql = {
+    val depthRows = (1 to 20).map(d =>
+      s"($d, ${BigInt(9).pow(d - 1)}, ${BigInt(10).pow(d)})")
+      .mkString(", ")
+    s"""WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS ds,
+      |         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+      |           AS y,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |rk AS (SELECT event_type,
+      |         CAST(row_number() OVER (PARTITION BY event_type
+      |           ORDER BY y DESC, ds) AS BIGINT) AS pa,
+      |         CAST(row_number() OVER (PARTITION BY event_type
+      |           ORDER BY cnt DESC, ds) AS BIGINT) AS pb
+      |       FROM daily),
+      |m AS (SELECT event_type, greatest(pa, pb) AS m,
+      |        CAST(count(*) AS BIGINT) AS c
+      |      FROM rk WHERE greatest(pa, pb) <= 20 GROUP BY 1, 2),
+      |dep(d, p9, p10) AS (VALUES $depthRows),
+      |terms AS (SELECT event_type, CAST(d AS BIGINT) AS d,
+      |            CAST(sum(c) AS BIGINT) AS o_d,
+      |            CAST(CAST(p9 AS HUGEINT) * sum(c) * 1000000
+      |              // (CAST(p10 AS HUGEINT) * d) AS BIGINT)
+      |              AS term_e6
+      |          FROM m JOIN dep ON m.m <= dep.d
+      |          GROUP BY event_type, d, p9, p10),
+      |ag AS (SELECT event_type,
+      |         CAST(max(CASE WHEN d = 20 THEN o_d END) AS BIGINT)
+      |           AS n_common,
+      |         CAST(sum(term_e6) AS BIGINT) AS rbo_e6
+      |       FROM terms GROUP BY 1)
+      |SELECT rk2.event_type, CAST(20 AS BIGINT) AS depth,
+      |  coalesce(ag.n_common, 0) AS n_common,
+      |  coalesce(ag.rbo_e6, 0) AS rbo_e6
+      |FROM (SELECT DISTINCT event_type FROM rk) rk2
+      |LEFT JOIN ag ON ag.event_type = rk2.event_type""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q304_periodogram", q304, Some(q304Sql)),
     QueryDef("q305_welch_t", q305, Some(q305Sql)),
@@ -3842,6 +3971,9 @@ object DiagQueries {
     QueryDef("q353_ewma_chart", q353, Some(q353Sql)),
     QueryDef("q354_grubbs", q354, Some(q354Sql)),
     QueryDef("q355_cox_stuart", q355, Some(q355Sql)),
+    QueryDef("q356_mad", q356, Some(q356Sql)),
+    QueryDef("q357_trimmed_mean", q357, Some(q357Sql)),
+    QueryDef("q358_rbo", q358, Some(q358Sql)),
     QueryDef("q297_mann_kendall", q297, Some(q297Sql)),
     QueryDef("q298_theil_sen", q298, Some(q298Sql)),
     QueryDef("q268_croston", q268, Some(q268Sql)),
