@@ -926,6 +926,34 @@ object ScaleProbeStats {
         graft.stats.Hypothesis.andersonDarlingK(obs, "grp", "v").count())
     }
 
+    // r16: Cramér–von Mises across a grid decade — every value
+    // distinct (worst case: per-group grid ≈ rows/5), closed-form
+    // tie-block squares over one grouped prefix; a 10× grid should
+    // cost ~10×
+    for (rows <- Seq(200000L, 2000000L)) {
+      val obs = spark.range(rows).select(
+        (col("id") % 5L + 1L).as("grp"),
+        (col("id") % 2L).as("arm"),
+        col("id").as("v"))
+      time(f"cramerVonMises rows=$rows%,d grid=L=rows k=5")(
+        graft.stats.Hypothesis.cramerVonMises(obs, "grp", "arm", "v")
+          .count())
+    }
+
+    // r16: Hodges–Lehmann across a GROUP decade at the documented
+    // bounded-grid contract (fixed 100×100 value grids per group —
+    // the calendar-bucketed shape); cost should track groups
+    // linearly, the per-group cross staying constant
+    for (groups <- Seq(1000L, 10000L)) {
+      val obs = spark.range(groups * 200L).select(
+        (col("id") % groups).as("grp"),
+        (col("id") % 2L).as("arm"),
+        pmod(hash(col("id") * 17L), lit(100)).cast("long").as("v"))
+      time(f"hodgesLehmannShift groups=$groups%,d grid=100x100")(
+        graft.stats.Hypothesis.hodgesLehmannShift(obs, "grp", "arm", "v")
+          .count())
+    }
+
     spark.stop()
   }
 }
