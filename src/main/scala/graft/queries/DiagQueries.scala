@@ -3919,6 +3919,189 @@ object DiagQueries {
       |LEFT JOIN ag ON ag.event_type = rk2.event_type""".stripMargin
   }
 
+  /** q359 — Theil T inequality ([[graft.stats.Concentration
+    * .theilIndex]]) of customer revenue per nation: the
+    * entropy-decomposable twin of q231-style Gini audits — is each
+    * nation's revenue spread or captured by a few customers;
+    * per-row e6-rounded ln terms (gTest discipline), exact moments. */
+  private def q359(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Concentration.theilIndex(
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("c_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("x")),
+      "c_nationkey", "x")
+
+  private val q359Sql =
+    """WITH cust AS (
+      |  SELECT c_nationkey, o_custkey,
+      |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+      |           AS BIGINT) AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |nt AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS total
+      |       FROM cust GROUP BY 1),
+      |tm AS (SELECT cust.c_nationkey,
+      |         CAST(sum(CAST(round((CAST(x AS DOUBLE) / total)
+      |           * ln(CAST(x AS DOUBLE) * n / total) * 1000000.0)
+      |           AS BIGINT)) AS BIGINT) AS tsum
+      |       FROM cust JOIN nt ON nt.c_nationkey = cust.c_nationkey
+      |       WHERE x > 0 GROUP BY 1)
+      |SELECT nt.c_nationkey, nt.n, nt.total,
+      |  CASE WHEN nt.total = 0 THEN NULL ELSE tm.tsum END AS theil_e6
+      |FROM nt LEFT JOIN tm ON tm.c_nationkey = nt.c_nationkey""".stripMargin
+
+  /** Complete-day event matrix shared by q360/q361: one row per day
+    * observing ALL FIVE event types, daily cents per type as
+    * columns. */
+  private def eventMatrix(s: SparkSession, dir: String): DataFrame =
+    dailyCents(s, dir)
+      .groupBy(col("ds"))
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(first(col("y")))
+      .na.drop()
+
+  private val eventMatrixSql =
+    s"""$dailySql,
+      |mat AS (
+      |  SELECT ds,
+      |    max(CASE WHEN event_type = 'click' THEN y END) AS click,
+      |    max(CASE WHEN event_type = 'error' THEN y END) AS error,
+      |    max(CASE WHEN event_type = 'purchase' THEN y END) AS purchase,
+      |    max(CASE WHEN event_type = 'signup' THEN y END) AS signup,
+      |    max(CASE WHEN event_type = 'view' THEN y END) AS view
+      |  FROM daily GROUP BY 1
+      |  HAVING count(*) = 5)""".stripMargin
+
+  /** q360 — Cronbach's alpha ([[graft.stats.Agreement
+    * .cronbachAlpha]]) over the five event types' daily volumes: do
+    * they move as one underlying activity level — the reliability
+    * read next to q342's Kendall W, exact integer variance rational,
+    * one double tree. */
+  private def q360(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Agreement.cronbachAlpha(eventMatrix(s, dir),
+      Seq("click", "error", "purchase", "signup", "view"))
+
+  private val q360Sql =
+    s"""WITH $eventMatrixSql,
+      |rows_ AS (SELECT click AS x0, error AS x1, purchase AS x2,
+      |            signup AS x3, view AS x4,
+      |            click + error + purchase + signup + view AS t
+      |          FROM mat),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(x0) AS BIGINT) AS s0,
+      |        CAST(sum(x1) AS BIGINT) AS s1,
+      |        CAST(sum(x2) AS BIGINT) AS s2,
+      |        CAST(sum(x3) AS BIGINT) AS s3,
+      |        CAST(sum(x4) AS BIGINT) AS s4,
+      |        sum(CAST(x0 AS HUGEINT) * x0) AS q0,
+      |        sum(CAST(x1 AS HUGEINT) * x1) AS q1,
+      |        sum(CAST(x2 AS HUGEINT) * x2) AS q2,
+      |        sum(CAST(x3 AS HUGEINT) * x3) AS q3,
+      |        sum(CAST(x4 AS HUGEINT) * x4) AS q4,
+      |        CAST(sum(t) AS BIGINT) AS st,
+      |        sum(CAST(t AS HUGEINT) * t) AS qt
+      |      FROM rows_),
+      |nd AS (SELECT n,
+      |         (CAST(n AS HUGEINT) * q0 - CAST(s0 AS HUGEINT) * s0)
+      |         + (CAST(n AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1)
+      |         + (CAST(n AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2)
+      |         + (CAST(n AS HUGEINT) * q3 - CAST(s3 AS HUGEINT) * s3)
+      |         + (CAST(n AS HUGEINT) * q4 - CAST(s4 AS HUGEINT) * s4)
+      |           AS num,
+      |         CAST(n AS HUGEINT) * qt - CAST(st AS HUGEINT) * st
+      |           AS den
+      |       FROM a)
+      |SELECT n, CAST(5 AS BIGINT) AS k,
+      |  CASE WHEN den <= 0 THEN NULL
+      |    ELSE CAST(round(1.25 * (1.0 - CAST(num AS DOUBLE)
+      |      / CAST(den AS DOUBLE)) * 1000000.0) AS BIGINT) END
+      |    AS alpha_e6
+      |FROM nd""".stripMargin
+
+  /** q361 — partial correlation ([[graft.stats.RankCorr
+    * .partialCorr]]): does purchase volume track view volume once
+    * click volume is held fixed — the one-confounder deconfounding
+    * over the same complete-day matrix; three e6-quantized pairwise
+    * r's, one small tree for the partial. */
+  private def q361(s: SparkSession, dir: String): DataFrame =
+    graft.stats.RankCorr.partialCorr(
+      eventMatrix(s, dir).withColumn("g", lit("all")),
+      "g", "purchase", "view", "click")
+
+  private val q361Sql =
+    s"""WITH $eventMatrixSql,
+      |rows_ AS (SELECT purchase AS x, view AS y, click AS z FROM mat),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(x) AS BIGINT) AS sx,
+      |        CAST(sum(y) AS BIGINT) AS sy,
+      |        CAST(sum(z) AS BIGINT) AS sz,
+      |        sum(CAST(x AS HUGEINT) * x) AS qx,
+      |        sum(CAST(y AS HUGEINT) * y) AS qy,
+      |        sum(CAST(z AS HUGEINT) * z) AS qz,
+      |        sum(CAST(x AS HUGEINT) * y) AS pxy,
+      |        sum(CAST(x AS HUGEINT) * z) AS pxz,
+      |        sum(CAST(y AS HUGEINT) * z) AS pyz
+      |      FROM rows_),
+      |r AS (SELECT n,
+      |        CASE WHEN CAST(n AS HUGEINT) * qx
+      |            - CAST(sx AS HUGEINT) * sx <= 0
+      |          OR CAST(n AS HUGEINT) * qy
+      |            - CAST(sy AS HUGEINT) * sy <= 0 THEN NULL
+      |        ELSE CAST(round(
+      |          CAST(CAST(n AS HUGEINT) * pxy
+      |            - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+      |          / (sqrt(CAST(CAST(n AS HUGEINT) * qx
+      |              - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+      |           * sqrt(CAST(CAST(n AS HUGEINT) * qy
+      |              - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+      |          * 1000000.0) AS BIGINT) END AS rxy_e6,
+      |        CASE WHEN CAST(n AS HUGEINT) * qx
+      |            - CAST(sx AS HUGEINT) * sx <= 0
+      |          OR CAST(n AS HUGEINT) * qz
+      |            - CAST(sz AS HUGEINT) * sz <= 0 THEN NULL
+      |        ELSE CAST(round(
+      |          CAST(CAST(n AS HUGEINT) * pxz
+      |            - CAST(sx AS HUGEINT) * sz AS DOUBLE)
+      |          / (sqrt(CAST(CAST(n AS HUGEINT) * qx
+      |              - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+      |           * sqrt(CAST(CAST(n AS HUGEINT) * qz
+      |              - CAST(sz AS HUGEINT) * sz AS DOUBLE)))
+      |          * 1000000.0) AS BIGINT) END AS rxz_e6,
+      |        CASE WHEN CAST(n AS HUGEINT) * qy
+      |            - CAST(sy AS HUGEINT) * sy <= 0
+      |          OR CAST(n AS HUGEINT) * qz
+      |            - CAST(sz AS HUGEINT) * sz <= 0 THEN NULL
+      |        ELSE CAST(round(
+      |          CAST(CAST(n AS HUGEINT) * pyz
+      |            - CAST(sy AS HUGEINT) * sz AS DOUBLE)
+      |          / (sqrt(CAST(CAST(n AS HUGEINT) * qy
+      |              - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+      |           * sqrt(CAST(CAST(n AS HUGEINT) * qz
+      |              - CAST(sz AS HUGEINT) * sz AS DOUBLE)))
+      |          * 1000000.0) AS BIGINT) END AS ryz_e6
+      |      FROM a)
+      |SELECT 'all' AS g, n, rxy_e6, rxz_e6, ryz_e6,
+      |  CASE WHEN rxy_e6 IS NULL OR rxz_e6 IS NULL OR ryz_e6 IS NULL
+      |      OR sqrt((1.0 - (CAST(rxz_e6 AS DOUBLE) / 1000000.0)
+      |           * (CAST(rxz_e6 AS DOUBLE) / 1000000.0))
+      |        * (1.0 - (CAST(ryz_e6 AS DOUBLE) / 1000000.0)
+      |           * (CAST(ryz_e6 AS DOUBLE) / 1000000.0))) <= 0.0
+      |    THEN NULL
+      |  ELSE CAST(round((CAST(rxy_e6 AS DOUBLE) / 1000000.0
+      |      - (CAST(rxz_e6 AS DOUBLE) / 1000000.0)
+      |        * (CAST(ryz_e6 AS DOUBLE) / 1000000.0))
+      |    / sqrt((1.0 - (CAST(rxz_e6 AS DOUBLE) / 1000000.0)
+      |         * (CAST(rxz_e6 AS DOUBLE) / 1000000.0))
+      |      * (1.0 - (CAST(ryz_e6 AS DOUBLE) / 1000000.0)
+      |         * (CAST(ryz_e6 AS DOUBLE) / 1000000.0)))
+      |    * 1000000.0) AS BIGINT) END AS pr_e6
+      |FROM r""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q304_periodogram", q304, Some(q304Sql)),
     QueryDef("q305_welch_t", q305, Some(q305Sql)),
@@ -3974,6 +4157,9 @@ object DiagQueries {
     QueryDef("q356_mad", q356, Some(q356Sql)),
     QueryDef("q357_trimmed_mean", q357, Some(q357Sql)),
     QueryDef("q358_rbo", q358, Some(q358Sql)),
+    QueryDef("q359_theil", q359, Some(q359Sql)),
+    QueryDef("q360_cronbach_alpha", q360, Some(q360Sql)),
+    QueryDef("q361_partial_corr", q361, Some(q361Sql)),
     QueryDef("q297_mann_kendall", q297, Some(q297Sql)),
     QueryDef("q298_theil_sen", q298, Some(q298Sql)),
     QueryDef("q268_croston", q268, Some(q268Sql)),

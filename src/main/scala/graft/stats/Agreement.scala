@@ -118,4 +118,51 @@ object Agreement {
             s"CAST(CAST(${k - 1} AS $d38) * num * 1000000" +
               " div den AS BIGINT)")).as("q_e6"))
   }
+
+  /** Cronbach's alpha — the internal-consistency coefficient closing
+    * the reliability corner: [[Hypothesis.kendallW]] asks whether
+    * blocks agree on a RANKING; alpha asks whether k items (k
+    * quality gates' scores, k event types' daily volumes) measure
+    * ONE underlying quantity — α = k/(k−1)·(1 − Σvar_item/var_total)
+    * (Cronbach 1951), the first number read off any composite score.
+    *
+    * Exactness: the variance ratio collapses to the exact integer
+    * rational Σᵢ(n·qᵢ − sᵢ²) / (n·Q − S²) — the (n−1) denominators
+    * cancel — with qᵢ/sᵢ the per-item moments and Q/S the moments of
+    * the per-subject totals, all decimal(38) aggregates; α is one
+    * double tree over the two exact sums, e6-rounded. Null when the
+    * total variance vanishes. Subjects with missing items are the
+    * caller's contract (complete rows, the [[cochranQ]] shape).
+    *
+    * @param df one row per subject, `cols` the k item columns
+    *           (exact integer scores, e.g. cents)
+    * @return one row: (n, k, alpha_e6) — the raw variance ledgers
+    *         stay decimal-internal (n·Σt² passes int64 for cents
+    *         metrics, so they are not emitted) */
+  def cronbachAlpha(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 20, "item count config-bounded")
+    val k = cols.size
+    val d38 = "decimal(38,0)"
+    val items = cols.zipWithIndex.map { case (c, i) =>
+      col(c).cast("long").as(s"x$i") }
+    val rows = df.select(items: _*)
+      .withColumn("t", cols.indices.map(i => col(s"x$i")).reduce(_ + _))
+    val aggs = cols.indices.flatMap(i => Seq(
+      sum(col(s"x$i")).as(s"s$i"),
+      sum(expr(s"CAST(x$i AS $d38) * x$i")).as(s"q$i"))) ++ Seq(
+      count(lit(1)).as("n"), sum(col("t")).as("st"),
+      sum(expr(s"CAST(t AS $d38) * t")).as("qt"))
+    val a = rows.agg(aggs.head, aggs.tail: _*)
+    val num = cols.indices.map(i =>
+        col("n").cast(d38) * col(s"q$i") -
+          col(s"s$i").cast(d38) * col(s"s$i"))
+      .reduce(_ + _)
+    val den = col("n").cast(d38) * col("qt") -
+      col("st").cast(d38) * col("st")
+    val alpha = lit(k.toDouble / (k - 1).toDouble) *
+      (lit(1.0) - num.cast("double") / den.cast("double"))
+    a.select(col("n"), lit(k.toLong).as("k"),
+      when(den <= lit(0L).cast(d38), lit(null).cast("long"))
+        .otherwise(round(alpha * 1e6).cast("long")).as("alpha_e6"))
+  }
 }

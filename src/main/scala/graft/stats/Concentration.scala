@@ -56,6 +56,46 @@ object Concentration {
           * 1000000.0)).cast("long").as("top_decile_share_e6"))
   }
 
+  /** Theil T inequality index per group — the ENTROPY member of the
+    * family: [[gini]] reads rank-weighted spread; Theil
+    * T = Σ (xᵢ/S)·ln(n·xᵢ/S) is additively DECOMPOSABLE (between-
+    * group + within-group inequality sum exactly to the total),
+    * which is why mix-design audits prefer it. 0 = perfect equality,
+    * ln(n) = one member holds everything.
+    *
+    * Float discipline: a raw Σ of per-row ln terms is summation-
+    * order-dependent, so each row's contribution is e6-rounded FIRST
+    * and the sum runs over exact longs (the gTest per-cell rule);
+    * the ln argument is the single expression (x·n)/S on doubles —
+    * identical IEEE in both engines (the q312 ln-parity precedent).
+    * Zero-valued members contribute exactly 0 (lim x·ln x = 0) and
+    * are excluded before the log.
+    *
+    * @param values (group, value) rows; value exact nonnegative
+    *               integer (cents)
+    * @return per group: (group, n, total, theil_e6) — null when the
+    *         group total is 0 */
+  def theilIndex(values: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame = {
+    val rows = values.select(col(groupCol).as("grp"),
+                             col(valueCol).cast("long").as("x"))
+    val nt = rows.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("total"))
+    val term = (col("x").cast("double") / col("total")) *
+      log(col("x").cast("double") * col("n") / col("total")) * lit(1e6)
+    val sums = rows.where(col("x") > 0L)
+      .join(nt, Seq("grp"))
+      .withColumn("term_e6", round(term).cast("long"))
+      .groupBy(col("grp"))
+      .agg(sum(col("term_e6")).as("tsum"))
+    // a positive total implies at least one positive member, so tsum
+    // is only null for the total = 0 groups the null guard covers
+    nt.join(sums, Seq("grp"), "left")
+      .select(col("grp").as(groupCol), col("n"), col("total"),
+        when(col("total") === 0L, lit(null).cast("long"))
+          .otherwise(col("tsum")).as("theil_e6"))
+  }
+
   /** ABC (Pareto) classification per group: members sorted by
     * descending value; class A while the running cumulative share is
     * ≤ aPct% of the group total, B while ≤ bPct%, C after — the

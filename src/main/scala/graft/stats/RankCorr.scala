@@ -115,4 +115,69 @@ object RankCorr {
               (sqrt(d(col("n0")) - d(col("tie_x"))) *
                sqrt(d(col("n0")) - d(col("tie_y")))), 6).as("tau_b"))
   }
+
+  /** First-order partial correlation per group — "does x correlate
+    * with y once z is held fixed": r_xy·z = (r_xy − r_xz·r_yz) /
+    * √((1 − r_xz²)(1 − r_yz²)), the one-confounder deconfounding
+    * next to [[graft.stats.Hypothesis.mantelHaenszel]]'s categorical
+    * version. A raw x–y correlation between two metrics both driven
+    * by volume says nothing; the partial asks what is left.
+    *
+    * Quantized-contract exactness: the three pairwise Pearson r's
+    * are computed from exact decimal(38) moment sums (n, Σx, Σx²,
+    * Σxy, …) and e6-rounded FIRST; the partial is then one small
+    * double tree over the three quantized integers — so the oracle
+    * replays integers-in/one-tree-out rather than a deep float
+    * expression. One corpus aggregate per group, no windows.
+    *
+    * @param df (group, x, y, z) rows; exact integer metrics
+    * @return per group: (group, n, rxy_e6, rxz_e6, ryz_e6, pr_e6) —
+    *         null pr when any pairwise r is null (zero variance) or
+    *         |r_xz| or |r_yz| = 1 (degenerate denominator) */
+  def partialCorr(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String, zCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rows = df.select(col(groupCol).as("grp"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"),
+      col(zCol).cast("long").as("z"))
+    val a = rows.groupBy(col("grp")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("z")).as("sz"),
+      sum(expr(s"CAST(x AS $d38) * x")).as("qx"),
+      sum(expr(s"CAST(y AS $d38) * y")).as("qy"),
+      sum(expr(s"CAST(z AS $d38) * z")).as("qz"),
+      sum(expr(s"CAST(x AS $d38) * y")).as("pxy"),
+      sum(expr(s"CAST(x AS $d38) * z")).as("pxz"),
+      sum(expr(s"CAST(y AS $d38) * z")).as("pyz"))
+    // pairwise r from exact moments: (n·Σab − Σa·Σb) /
+    // (√(n·Σa²−Σa²̄)·√(n·Σb²−Σb²̄)) — numerator/radicands exact
+    // decimals, one double division, e6-rounded
+    def rE6(p: String, sa: String, sb: String, qa: String, qb: String) = {
+      val numI = expr(s"CAST(n AS $d38) * $p - CAST($sa AS $d38) * $sb")
+      val ra = expr(s"CAST(n AS $d38) * $qa - CAST($sa AS $d38) * $sa")
+      val rb = expr(s"CAST(n AS $d38) * $qb - CAST($sb AS $d38) * $sb")
+      when(ra <= lit(0L).cast("decimal(38,0)") ||
+           rb <= lit(0L).cast("decimal(38,0)"), lit(null).cast("long"))
+        .otherwise(round(numI.cast("double") /
+          (sqrt(ra.cast("double")) * sqrt(rb.cast("double"))) * 1e6)
+          .cast("long"))
+    }
+    val q = a
+      .withColumn("rxy_e6", rE6("pxy", "sx", "sy", "qx", "qy"))
+      .withColumn("rxz_e6", rE6("pxz", "sx", "sz", "qx", "qz"))
+      .withColumn("ryz_e6", rE6("pyz", "sy", "sz", "qy", "qz"))
+    // the partial over the QUANTIZED r's: integers in, one tree out
+    val rxy = col("rxy_e6").cast("double") / 1e6
+    val rxz = col("rxz_e6").cast("double") / 1e6
+    val ryz = col("ryz_e6").cast("double") / 1e6
+    val den = sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))
+    q.select(col("grp").as(groupCol), col("n"),
+      col("rxy_e6"), col("rxz_e6"), col("ryz_e6"),
+      when(col("rxy_e6").isNull || col("rxz_e6").isNull ||
+           col("ryz_e6").isNull || den <= lit(0.0),
+        lit(null).cast("long"))
+        .otherwise(round((rxy - rxz * ryz) / den * 1e6).cast("long"))
+        .as("pr_e6"))
+  }
 }
