@@ -4102,6 +4102,41 @@ object DiagQueries {
       |    * 1000000.0) AS BIGINT) END AS pr_e6
       |FROM r""".stripMargin
 
+  /** q362 — isotonic regression ([[graft.ts.Isotonic.pava]]) of each
+    * event type's daily revenue: the best monotone-nondecreasing
+    * trend under squared loss — calibration-grade trend extraction
+    * with no linearity assumption. The oracle replays PAVA through
+    * the minimax characterization fit_i = max_{j≤i} min_{l≥i}
+    * avg(y[j..l]) (O(n³) interval scan, oracle-side only — the
+    * engine is one linear stack pass per series). */
+  private def q362(s: SparkSession, dir: String): DataFrame =
+    graft.ts.Isotonic.pava(dailyCents(s, dir), "event_type")
+
+  private val q362Sql =
+    s"""WITH $dailySql,
+      |s AS (SELECT event_type, ds, y,
+      |        CAST(row_number() OVER (PARTITION BY event_type
+      |          ORDER BY ds) AS BIGINT) AS rn,
+      |        CAST(sum(y) OVER (PARTITION BY event_type ORDER BY ds)
+      |          AS BIGINT) AS p
+      |      FROM daily),
+      |iv AS (SELECT a.event_type, a.rn AS j, b.rn AS l,
+      |         CAST(b.p - (a.p - a.y) AS DOUBLE) / (b.rn - a.rn + 1)
+      |           AS a
+      |       FROM s a JOIN s b ON b.event_type = a.event_type
+      |                        AND b.rn >= a.rn),
+      |mn AS (SELECT iv.event_type, i.rn AS i, iv.j, min(iv.a) AS m
+      |       FROM iv JOIN s i ON i.event_type = iv.event_type
+      |                       AND iv.j <= i.rn AND iv.l >= i.rn
+      |       GROUP BY 1, 2, 3),
+      |ft AS (SELECT event_type, i, max(m) AS fit FROM mn
+      |       GROUP BY 1, 2)
+      |SELECT s.event_type, CAST(epoch(s.ds) AS BIGINT) AS ds_sec,
+      |  s.y AS y_c,
+      |  CAST(round(ft.fit * 1000000.0) AS BIGINT) AS fit_e6
+      |FROM s JOIN ft ON ft.event_type = s.event_type
+      |               AND ft.i = s.rn""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q304_periodogram", q304, Some(q304Sql)),
     QueryDef("q305_welch_t", q305, Some(q305Sql)),
@@ -4160,6 +4195,7 @@ object DiagQueries {
     QueryDef("q359_theil", q359, Some(q359Sql)),
     QueryDef("q360_cronbach_alpha", q360, Some(q360Sql)),
     QueryDef("q361_partial_corr", q361, Some(q361Sql)),
+    QueryDef("q362_isotonic", q362, Some(q362Sql)),
     QueryDef("q297_mann_kendall", q297, Some(q297Sql)),
     QueryDef("q298_theil_sen", q298, Some(q298Sql)),
     QueryDef("q268_croston", q268, Some(q268Sql)),
