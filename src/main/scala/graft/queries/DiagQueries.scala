@@ -4137,6 +4137,148 @@ object DiagQueries {
       |FROM s JOIN ft ON ft.event_type = s.event_type
       |               AND ft.i = s.rn""".stripMargin
 
+  /** q363 — Brunner–Munzel ([[graft.stats.Hypothesis
+    * .brunnerMunzel]]) on q226's arms: the rank test that stays
+    * honest when the two user cohorts differ in SPREAD, not just
+    * location — per-arm placement variances, Welch-type df, the
+    * integer u-ledger on the same grouped grid prefix. */
+  private def q363(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Hypothesis.brunnerMunzel(
+      t(s, dir, "events")
+        .select(col("event_type"), pmod(col("user_id"), lit(2L)).as("arm"),
+                cents(col("value")).as("v")),
+      "event_type", "arm", "v")
+
+  private val q363Sql =
+    """WITH o AS (SELECT event_type AS grp, user_id % 2 AS arm,
+      |            CAST(round(value*100) AS BIGINT) AS v FROM events),
+      |g AS (SELECT grp, v,
+      |        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS ca,
+      |        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS cb,
+      |        CAST(count(*) AS BIGINT) AS c
+      |      FROM o GROUP BY 1, 2),
+      |pre AS (SELECT *, sum(c) OVER w - c AS pc,
+      |          sum(ca) OVER w - ca AS pa, sum(cb) OVER w - cb AS pb
+      |        FROM g WINDOW w AS (PARTITION BY grp ORDER BY v)),
+      |rk AS (SELECT grp, ca, cb, 2*pc + c + 1 AS r2c,
+      |         2*pa + ca + 1 AS r2wa, 2*pb + cb + 1 AS r2wb
+      |       FROM pre),
+      |sm AS (SELECT grp, CAST(sum(ca) AS BIGINT) AS n_a,
+      |         CAST(sum(cb) AS BIGINT) AS n_b,
+      |         sum(CAST(ca AS HUGEINT) * r2c) AS sr2a,
+      |         sum(CAST(cb AS HUGEINT) * r2c) AS sr2b
+      |       FROM rk GROUP BY 1),
+      |u AS (SELECT rk.grp, ca, cb,
+      |        CAST(n_a AS HUGEINT) * (r2c - r2wa)
+      |          - (sr2a - CAST(n_a AS HUGEINT) * (n_a + 1)) AS ua,
+      |        CAST(n_b AS HUGEINT) * (r2c - r2wb)
+      |          - (sr2b - CAST(n_b AS HUGEINT) * (n_b + 1)) AS ub
+      |      FROM rk JOIN sm ON sm.grp = rk.grp),
+      |ag AS (SELECT u.grp, max(n_a) AS n_a, max(n_b) AS n_b,
+      |         max(sr2a) AS sr2a, max(sr2b) AS sr2b,
+      |         sum(CAST(ca AS HUGEINT) * ua * ua) AS su2a,
+      |         sum(CAST(cb AS HUGEINT) * ub * ub) AS su2b
+      |       FROM u JOIN sm ON sm.grp = u.grp GROUP BY 1),
+      |tv AS (SELECT grp, n_a, n_b,
+      |         CAST(su2a AS DOUBLE)
+      |           / (4.0 * CAST(n_a AS DOUBLE)
+      |              * (CAST(n_a AS DOUBLE) - 1.0)) AS vx,
+      |         CAST(su2b AS DOUBLE)
+      |           / (4.0 * CAST(n_b AS DOUBLE)
+      |              * (CAST(n_b AS DOUBLE) - 1.0)) AS vy,
+      |         CAST(n_a AS HUGEINT) * sr2b
+      |           - CAST(n_b AS HUGEINT) * sr2a AS num2
+      |       FROM ag)
+      |SELECT grp AS event_type, n_a, n_b,
+      |  CASE WHEN n_a < 2 OR n_b < 2 OR vx + vy <= 0.0 THEN NULL
+      |    ELSE CAST(round(CAST(num2 AS DOUBLE)
+      |      / (2.0 * (n_a + n_b) * sqrt(vx + vy)) * 1000000.0)
+      |      AS BIGINT) END AS w_e6,
+      |  CASE WHEN n_a < 2 OR n_b < 2 OR vx + vy <= 0.0 THEN NULL
+      |    ELSE CAST(round(((vx + vy) * (vx + vy))
+      |      / (vx * vx / (CAST(n_a AS DOUBLE) - 1.0)
+      |         + vy * vy / (CAST(n_b AS DOUBLE) - 1.0)) * 1000000.0)
+      |      AS BIGINT) END AS df_e6
+      |FROM tv""".stripMargin
+
+  /** q364 — Yuen's trimmed t ([[graft.stats.Robust.yuenT]]) on
+    * q347's arms (finished vs open order prices per priority): the
+    * robust two-sample means test — 10% trimmed means studentized by
+    * winsorized variances, so a few extreme prices can't decide the
+    * comparison the way they would q305's Welch t. */
+  private def q364(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Robust.yuenT(
+      t(s, dir, "orders")
+        .where(col("o_orderstatus").isin("F", "O"))
+        .select(col("o_orderpriority"),
+          when(col("o_orderstatus") === "F", 0L).otherwise(1L).as("arm"),
+          round(col("o_totalprice")).cast("long").as("v")),
+      "o_orderpriority", "arm", "v")
+
+  private val q364Sql =
+    """WITH r AS (SELECT o_orderpriority AS grp,
+      |            CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END AS arm,
+      |            CAST(round(o_totalprice) AS BIGINT) AS v
+      |          FROM orders WHERE o_orderstatus IN ('F', 'O')),
+      |g AS (SELECT grp, arm, v, CAST(count(*) AS BIGINT) AS c FROM r
+      |      GROUP BY 1, 2, 3),
+      |tot AS (SELECT grp, arm, CAST(sum(c) AS BIGINT) AS n FROM g
+      |        GROUP BY 1, 2),
+      |cum AS (SELECT g.grp, g.arm, v, c, n, n * 1 // 10 AS k,
+      |          CAST(sum(c) OVER (PARTITION BY g.grp, g.arm ORDER BY v)
+      |            AS BIGINT) AS cc
+      |        FROM g JOIN tot ON tot.grp = g.grp AND tot.arm = g.arm),
+      |kc AS (SELECT *, greatest(0, least(cc, n - k)
+      |         - greatest(cc - c, k)) AS kc
+      |       FROM cum),
+      |bd AS (SELECT grp, arm,
+      |         min(CASE WHEN kc > 0 THEN v END) AS lo,
+      |         max(CASE WHEN kc > 0 THEN v END) AS hi
+      |       FROM kc GROUP BY 1, 2),
+      |pa AS (SELECT kc.grp, kc.arm, max(n) AS n, max(k) AS k,
+      |         max(n) - 2 * max(k) AS h,
+      |         CAST(sum(CAST(v AS HUGEINT) * kc) * 1000000
+      |           // (max(n) - 2 * max(k)) AS BIGINT) AS tm_e6,
+      |         CAST(sum(CAST(greatest(lo, least(hi, v)) AS HUGEINT) * c)
+      |           AS BIGINT) AS ws,
+      |         sum(CAST(greatest(lo, least(hi, v)) AS HUGEINT)
+      |           * greatest(lo, least(hi, v)) * c) AS wq
+      |       FROM kc JOIN bd ON bd.grp = kc.grp AND bd.arm = kc.arm
+      |       GROUP BY 1, 2),
+      |wide AS (SELECT a.grp, a.n AS n_a, b.n AS n_b, a.h AS h_a,
+      |           b.h AS h_b, a.tm_e6 AS tm_a, b.tm_e6 AS tm_b,
+      |           a.ws AS ws_a, a.wq AS wq_a, b.ws AS ws_b,
+      |           b.wq AS wq_b
+      |         FROM pa a JOIN pa b ON b.grp = a.grp
+      |         WHERE a.arm = 0 AND b.arm = 1),
+      |dd AS (SELECT *,
+      |         (CAST(wq_a AS DOUBLE) - CAST(ws_a AS DOUBLE)
+      |            * CAST(ws_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+      |           / (CAST(n_a AS DOUBLE) - 1.0)
+      |           * (CAST(n_a AS DOUBLE) - 1.0)
+      |           / (CAST(h_a AS DOUBLE) * (CAST(h_a AS DOUBLE) - 1.0))
+      |           AS da,
+      |         (CAST(wq_b AS DOUBLE) - CAST(ws_b AS DOUBLE)
+      |            * CAST(ws_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |           / (CAST(n_b AS DOUBLE) - 1.0)
+      |           * (CAST(n_b AS DOUBLE) - 1.0)
+      |           / (CAST(h_b AS DOUBLE) * (CAST(h_b AS DOUBLE) - 1.0))
+      |           AS db
+      |       FROM wide)
+      |SELECT grp AS o_orderpriority, n_a, n_b, h_a, h_b,
+      |  tm_a AS tm_a_e6, tm_b AS tm_b_e6,
+      |  CASE WHEN h_a <= 1 OR h_b <= 1 OR da + db <= 0.0 THEN NULL
+      |    ELSE CAST(round(CAST(tm_a - tm_b AS DOUBLE) / 1000000.0
+      |      / sqrt(da + db) * 1000000.0) AS BIGINT) END AS t_e6,
+      |  CASE WHEN h_a <= 1 OR h_b <= 1 OR da + db <= 0.0 THEN NULL
+      |    ELSE CAST(round(((da + db) * (da + db))
+      |      / (da * da / (CAST(h_a AS DOUBLE) - 1.0)
+      |         + db * db / (CAST(h_b AS DOUBLE) - 1.0)) * 1000000.0)
+      |      AS BIGINT) END AS df_e6
+      |FROM dd""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q304_periodogram", q304, Some(q304Sql)),
     QueryDef("q305_welch_t", q305, Some(q305Sql)),
@@ -4196,6 +4338,8 @@ object DiagQueries {
     QueryDef("q360_cronbach_alpha", q360, Some(q360Sql)),
     QueryDef("q361_partial_corr", q361, Some(q361Sql)),
     QueryDef("q362_isotonic", q362, Some(q362Sql)),
+    QueryDef("q363_brunner_munzel", q363, Some(q363Sql)),
+    QueryDef("q364_yuen_t", q364, Some(q364Sql)),
     QueryDef("q297_mann_kendall", q297, Some(q297Sql)),
     QueryDef("q298_theil_sen", q298, Some(q298Sql)),
     QueryDef("q268_croston", q268, Some(q268Sql)),

@@ -971,6 +971,80 @@ object Hypothesis {
           .otherwise(round(orr * 1e6).cast("long")).as("or_e6"))))
   }
 
+  /** Brunner–Munzel test per group — the modern replacement for
+    * [[mannWhitneyU]] when the two arms may differ in VARIANCE or
+    * shape (the Behrens–Fisher situation in ranks): MWU's variance
+    * assumes exchangeability under H₀; BM studentizes the relative
+    * effect P(X &lt; Y) + ½P(X = Y) with per-arm placement variances
+    * and a Welch-type df (Brunner & Munzel 2000), so unequal spreads
+    * don't masquerade as location shifts.
+    *
+    * Exact ledger (doubled midranks, value-grid): with R2c the
+    * pooled and R2w the within-arm doubled midranks, each member's
+    * centered placement scales to the INTEGER
+    * u = n·(R2c − R2w) − (ΣR2 − n(n+1)); the arm's variance
+    * ingredient is Σc·u² (decimal(38) — u ~ 2N²), and
+    * n·S² = Σu²/(4n(n−1)). The statistic and df are two double
+    * trees over (NUM2 = n_a·ΣR2_b − n_b·ΣR2_a, Σu²_a, Σu²_b),
+    * replayed term-for-term by the oracle. Grid shape: one grouped
+    * prefix ([[graft.scale.GridPrefix.groupedPrefixSums]]), no
+    * pooled sort.
+    *
+    * @param obs (group, arm, value) rows; arm 0/1; value an exact
+    *            integer grid
+    * @return per group: (group, n_a, n_b, w_e6, df_e6) — null when
+    *         either arm has n &lt; 2 or both placement variances
+    *         vanish */
+  def brunnerMunzel(obs: DataFrame, groupCol: String, armCol: String,
+                    valueCol: String): DataFrame = {
+    val d38s = "decimal(38,0)"
+    val g = obs
+      .select(col(groupCol).as("grp"), col(armCol).cast("long").as("arm"),
+              col(valueCol).cast("long").as("v"))
+      .groupBy(col("grp"), col("v"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("ca"),
+           sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("cb"))
+      .withColumn("c", col("ca") + col("cb"))
+    val cum = graft.scale.GridPrefix.groupedPrefixSums(g, "grp", "v",
+        Seq("ca", "cb", "c"))
+      .withColumn("r2c", lit(2L) * col("cum_before_c") + col("c") + 1L)
+      .withColumn("r2wa", lit(2L) * col("cum_before_ca") + col("ca") + 1L)
+      .withColumn("r2wb", lit(2L) * col("cum_before_cb") + col("cb") + 1L)
+    val sums = cum.groupBy(col("grp"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+           sum(col("ca").cast("decimal(38,0)") * col("r2c")).as("sr2a"),
+           sum(col("cb").cast("decimal(38,0)") * col("r2c")).as("sr2b"))
+    val joined = cum.join(sums, Seq("grp"))
+      .withColumn("ua", expr(
+        s"CAST(n_a AS $d38s) * (r2c - r2wa) - (sr2a - CAST(n_a AS $d38s) * (n_a + 1))"))
+      .withColumn("ub", expr(
+        s"CAST(n_b AS $d38s) * (r2c - r2wb) - (sr2b - CAST(n_b AS $d38s) * (n_b + 1))"))
+    val agg = joined.groupBy(col("grp"))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+           first(col("sr2a")).as("sr2a"), first(col("sr2b")).as("sr2b"),
+           sum(col("ca").cast("decimal(38,0)") * col("ua") * col("ua"))
+             .as("su2a"),
+           sum(col("cb").cast("decimal(38,0)") * col("ub") * col("ub"))
+             .as("su2b"))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val vx = col("su2a").cast("double") / (lit(4.0) * nA * (nA - 1.0))
+    val vy = col("su2b").cast("double") / (lit(4.0) * nB * (nB - 1.0))
+    val num2 = (col("n_a").cast("decimal(38,0)") * col("sr2b") -
+      col("n_b").cast("decimal(38,0)") * col("sr2a"))
+    val w = num2.cast("double") /
+      (lit(2.0) * (col("n_a") + col("n_b")) * sqrt(vx + vy))
+    val df = ((vx + vy) * (vx + vy)) /
+      (vx * vx / (nA - 1.0) + vy * vy / (nB - 1.0))
+    val ok = col("n_a") >= 2L && col("n_b") >= 2L &&
+      (vx + vy) > lit(0.0)
+    agg.select(col("grp").as(groupCol), col("n_a"), col("n_b"),
+      when(ok, round(w * 1e6).cast("long"))
+        .otherwise(lit(null).cast("long")).as("w_e6"),
+      when(ok, round(df * 1e6).cast("long"))
+        .otherwise(lit(null).cast("long")).as("df_e6"))
+  }
+
   /** Grubbs' maximum studentized deviate per group — the one-number
     * outlier audit: G = max|x − x̄|/s (Grubbs 1950), the screening
     * statistic behind every "is the worst point an outlier" gate.

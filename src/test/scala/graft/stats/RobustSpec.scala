@@ -55,6 +55,59 @@ class RobustSpec extends AnyFunSuite {
     assert(r.getLong(3) == 878417L)  // rbo_e6
   }
 
+  test("brunnerMunzel: the published unequal-variance example") {
+    import spark.implicits._
+    // Brunner & Munzel's own data (also scipy's doc example):
+    // W = 3.137467, df = 17.682842 — the integer ledger reproduces
+    // ΣR2_a = 275, Σu²_a = 42966, ΣR2_b = 375, Σu²_b = 62546,
+    // NUM2 = 2225
+    val x = Seq(1L, 2L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 2L, 4L, 1L, 1L)
+    val y = Seq(3L, 3L, 4L, 3L, 1L, 2L, 3L, 1L, 1L, 5L, 4L)
+    val df = (x.map(("g", 0L, _)) ++ y.map(("g", 1L, _)))
+      .toDF("grp", "arm", "v")
+    val r = Hypothesis.brunnerMunzel(df, "grp", "arm", "v").collect()(0)
+    assert(r.getLong(1) == 14L && r.getLong(2) == 11L)
+    assert(r.getLong(3) == 3137467L)
+    assert(r.getLong(4) == 17682842L)
+  }
+
+  test("brunnerMunzel: tiny arms yield null") {
+    import spark.implicits._
+    val df = Seq(("g", 0L, 1L), ("g", 1L, 2L), ("g", 1L, 3L))
+      .toDF("grp", "arm", "v")
+    val r = Hypothesis.brunnerMunzel(df, "grp", "arm", "v").collect()(0)
+    assert(r.isNullAt(3))
+  }
+
+  test("yuenT: trimmed means + winsorized variances, hand case") {
+    import spark.implicits._
+    // A = [1..10, 100] (k=1 → kept 2..10... kept [2..10], h=9,
+    // tm = 6), B = [2..11] (k=1 → kept [3..10], h=8, tm = 6.5);
+    // winsorized moments give t = −0.318447, df = 14.986410
+    val a = (1L to 10L) :+ 100L
+    val b = 2L to 11L
+    val df = (a.map(("g", 0L, _)) ++ b.map(("g", 1L, _)))
+      .toDF("grp", "arm", "v")
+    val r = Robust.yuenT(df, "grp", "arm", "v").collect()(0)
+    assert(r.getLong(1) == 11L && r.getLong(2) == 10L)
+    assert(r.getLong(3) == 9L && r.getLong(4) == 8L)
+    assert(r.getLong(5) == 6000000L && r.getLong(6) == 6500000L)
+    assert(r.getLong(7) == -318447L)
+    assert(r.getLong(8) == 14986410L)
+  }
+
+  test("yuenT: the outlier that wrecks Welch barely moves Yuen") {
+    import spark.implicits._
+    // same arms without the 100-outlier: tm_a shifts only from 6 to
+    // 5.5 (the trim absorbed the outlier's influence)
+    val a = 1L to 10L
+    val b = 2L to 11L
+    val df = (a.map(("g", 0L, _)) ++ b.map(("g", 1L, _)))
+      .toDF("grp", "arm", "v")
+    val r = Robust.yuenT(df, "grp", "arm", "v").collect()(0)
+    assert(r.getLong(5) == 5500000L)
+  }
+
   test("rbo: disjoint top-D prefixes score zero") {
     import spark.implicits._
     val df = (1L to 20L).map(i => ("g", i, i + 20L))
