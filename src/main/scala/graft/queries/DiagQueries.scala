@@ -4279,6 +4279,108 @@ object DiagQueries {
       |      AS BIGINT) END AS df_e6
       |FROM dd""".stripMargin
 
+  /** q365 — winsorized mean/variance ([[graft.stats.Robust
+    * .winsorizedStats]]) of whole-dollar order values per priority:
+    * the clamp-don't-delete robust summary completing the triple
+    * with q356's MAD and q357's trimmed mean — the same exact
+    * tie-block boundary machinery, tails pinned to the kept range. */
+  private def q365(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Robust.winsorizedStats(
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice")).cast("long").as("v")),
+      "o_orderpriority", "v")
+
+  private val q365Sql =
+    """WITH r AS (SELECT o_orderpriority AS grp,
+      |            CAST(round(o_totalprice) AS BIGINT) AS v FROM orders),
+      |g AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM r
+      |      GROUP BY 1, 2),
+      |tot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM g
+      |        GROUP BY 1),
+      |cum AS (SELECT g.grp, v, c, n, n * 1 // 10 AS k,
+      |          CAST(sum(c) OVER (PARTITION BY g.grp ORDER BY v)
+      |            AS BIGINT) AS cc
+      |        FROM g JOIN tot ON tot.grp = g.grp),
+      |kc AS (SELECT *, greatest(0, least(cc, n - k)
+      |         - greatest(cc - c, k)) AS kc
+      |       FROM cum),
+      |bd AS (SELECT grp, min(CASE WHEN kc > 0 THEN v END) AS lo,
+      |         max(CASE WHEN kc > 0 THEN v END) AS hi
+      |       FROM kc GROUP BY 1),
+      |ag AS (SELECT kc.grp, max(n) AS n, max(k) AS k,
+      |         max(lo) AS lo, max(hi) AS hi,
+      |         CAST(sum(CAST(greatest(lo, least(hi, v)) AS HUGEINT) * c)
+      |           AS BIGINT) AS ws,
+      |         sum(CAST(greatest(lo, least(hi, v)) AS HUGEINT)
+      |           * greatest(lo, least(hi, v)) * c) AS wq
+      |       FROM kc JOIN bd ON bd.grp = kc.grp GROUP BY 1)
+      |SELECT grp AS o_orderpriority, n, k AS k_wins, lo AS lo_c,
+      |  hi AS hi_c,
+      |  CAST(CAST(ws AS HUGEINT) * 1000000 // n AS BIGINT)
+      |    AS wins_mean_e6,
+      |  CASE WHEN n < 2 THEN NULL
+      |    ELSE CAST(round((CAST(wq AS DOUBLE)
+      |      - CAST(ws AS DOUBLE) * CAST(ws AS DOUBLE)
+      |        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+      |      * 1000000.0) AS BIGINT) END AS wins_var_e6
+      |FROM ag""".stripMargin
+
+  /** q366 — Kendall tau distance ([[graft.stats.RankCompare
+    * .kendallTauDistance]]) between q358's two top-20 day rankings:
+    * of the days BOTH rankings keep, what fraction of pairs do
+    * revenue and volume order differently — the unweighted
+    * complement to RBO's top-weighted agreement. */
+  private def q366(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), dayBucket(col("ts")).as("ds"))
+      .agg(sum(cents(col("value"))).as("y"), count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    val ranked = daily
+      .withColumn("posA", row_number().over(
+        w.orderBy(col("y").desc, col("ds"))).cast("long"))
+      .withColumn("posB", row_number().over(
+        w.orderBy(col("cnt").desc, col("ds"))).cast("long"))
+    graft.stats.RankCompare.kendallTauDistance(ranked, "event_type",
+      "posA", "posB")
+  }
+
+  private val q366Sql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS ds,
+      |         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+      |           AS y,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |rk AS (SELECT event_type,
+      |         CAST(row_number() OVER (PARTITION BY event_type
+      |           ORDER BY y DESC, ds) AS BIGINT) AS pa,
+      |         CAST(row_number() OVER (PARTITION BY event_type
+      |           ORDER BY cnt DESC, ds) AS BIGINT) AS pb
+      |       FROM daily),
+      |cm AS (SELECT event_type, pa, pb FROM rk
+      |       WHERE pa <= 20 AND pb <= 20),
+      |pr AS (SELECT x.event_type,
+      |         CAST(count(*) AS BIGINT) AS n_pairs,
+      |         CAST(sum(CASE WHEN x.pb > y.pb THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n_disc
+      |       FROM cm x JOIN cm y ON y.event_type = x.event_type
+      |                          AND x.pa < y.pa
+      |       GROUP BY 1),
+      |mm AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_common
+      |       FROM cm GROUP BY 1)
+      |SELECT rk2.event_type, CAST(20 AS BIGINT) AS depth,
+      |  coalesce(mm.n_common, 0) AS n_common,
+      |  coalesce(pr.n_disc, 0) AS n_discordant,
+      |  CASE WHEN coalesce(mm.n_common, 0) < 2 THEN NULL
+      |    ELSE coalesce(pr.n_disc, 0) * 1000000
+      |      // (mm.n_common * (mm.n_common - 1) // 2) END
+      |    AS tau_dist_e6
+      |FROM (SELECT DISTINCT event_type FROM rk) rk2
+      |LEFT JOIN mm ON mm.event_type = rk2.event_type
+      |LEFT JOIN pr ON pr.event_type = rk2.event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q304_periodogram", q304, Some(q304Sql)),
     QueryDef("q305_welch_t", q305, Some(q305Sql)),
@@ -4340,6 +4442,8 @@ object DiagQueries {
     QueryDef("q362_isotonic", q362, Some(q362Sql)),
     QueryDef("q363_brunner_munzel", q363, Some(q363Sql)),
     QueryDef("q364_yuen_t", q364, Some(q364Sql)),
+    QueryDef("q365_winsorized", q365, Some(q365Sql)),
+    QueryDef("q366_tau_distance", q366, Some(q366Sql)),
     QueryDef("q297_mann_kendall", q297, Some(q297Sql)),
     QueryDef("q298_theil_sen", q298, Some(q298Sql)),
     QueryDef("q268_croston", q268, Some(q268Sql)),

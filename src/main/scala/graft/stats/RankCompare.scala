@@ -66,4 +66,52 @@ object RankCompare {
         coalesce(col("n_common"), lit(0L)).as("n_common"),
         coalesce(col("rbo_e6"), lit(0L)).as("rbo_e6"))
   }
+
+  /** Normalized Kendall tau distance between two rankings' shared
+    * top-D items per group — the UNWEIGHTED companion to [[rbo]]:
+    * RBO asks "do the tops agree"; tau distance asks "of the items
+    * both rankings kept, how many pairs do they ORDER differently"
+    * — discordant pairs / C(m, 2) over the m items inside both
+    * top-D prefixes (Kendall 1938's distance form; 0 = identical
+    * order, 10⁶ = exactly reversed).
+    *
+    * Exact: the pair scan is the D²-bounded self-join of the common
+    * prefix (config-bounded — never corpus rows), discordance an
+    * integer count, the normalization one truncating e6 division.
+    * Positions inside a ranking are distinct by construction
+    * (row_number upstream), so there are no ties to adjudicate.
+    *
+    * @param ranks (group, posA, posB) rows, 1-based positions
+    * @param depth D
+    * @return per group: (group, depth, n_common, n_discordant,
+    *         tau_dist_e6) — null distance when m &lt; 2 */
+  def kendallTauDistance(ranks: DataFrame, groupCol: String,
+                         posACol: String, posBCol: String,
+                         depth: Int = 20): DataFrame = {
+    require(depth >= 1, "depth >= 1")
+    val common = ranks
+      .select(col(groupCol).as("grp"),
+        col(posACol).cast("long").as("pa"),
+        col(posBCol).cast("long").as("pb"))
+      .where(col("pa") <= depth.toLong && col("pb") <= depth.toLong)
+    val pairs = common.as("x")
+      .join(common.as("y"),
+        col("x.grp") === col("y.grp") && col("x.pa") < col("y.pa"))
+      .groupBy(col("x.grp").as("grp"))
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(when(col("x.pb") > col("y.pb"), 1L).otherwise(0L))
+             .as("n_discordant"))
+    val m = common.groupBy(col("grp")).agg(count(lit(1)).as("n_common"))
+    ranks.select(col(groupCol).as("grp")).distinct()
+      .join(m, Seq("grp"), "left")
+      .join(pairs, Seq("grp"), "left")
+      .select(col("grp").as(groupCol), lit(depth.toLong).as("depth"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("n_discordant"), lit(0L)).as("n_discordant"),
+        when(coalesce(col("n_common"), lit(0L)) < 2L,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "n_discordant * 1000000 div (n_common * (n_common - 1) div 2)"))
+          .as("tau_dist_e6"))
+  }
 }

@@ -96,6 +96,59 @@ object Robust {
             " AS BIGINT)")).as("trimmed_mean_e6"))
   }
 
+  /** Winsorized mean and variance per group — the third member of
+    * the robust-summary triple ([[madScale]] = scale,
+    * [[trimmedMean]] = location by DELETION; winsorizing CLAMPS the
+    * tails onto the trim boundaries instead, keeping n constant —
+    * the moments [[yuenT]] studentizes with, exposed as a summary).
+    *
+    * Same exact tie-block clamp as [[trimmedMean]]: boundary values
+    * lo/hi are the smallest/largest KEPT values, every grid value is
+    * clamped into [lo, hi] at full count, moments are decimal(38)
+    * sums, mean one truncating e6 division and variance one double
+    * tree.
+    *
+    * @param obs (group, value) rows; value an exact integer grid
+    * @param tNum/tDen winsorizing fraction per side (default 1/10)
+    * @return per group: (group, n, k_wins, lo_c, hi_c,
+    *         wins_mean_e6, wins_var_e6) — null variance when n &lt; 2 */
+  def winsorizedStats(obs: DataFrame, groupCol: String, valueCol: String,
+                      tNum: Int = 1, tDen: Int = 10): DataFrame = {
+    require(tNum >= 0 && 2 * tNum < tDen, "fraction in [0, 1/2)")
+    val base = obs.select(col(groupCol).as("grp"),
+                          col(valueCol).cast("long").as("v"))
+    val g = base.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+    val tot = g.groupBy(col("grp")).agg(sum(col("c")).as("n"))
+    val cum = graft.scale.GridPrefix.groupedPrefixSums(g, "grp", "v",
+        Seq("c"))
+      .join(tot, Seq("grp"))
+      .withColumn("k", expr(s"n * $tNum div $tDen"))
+      .withColumn("kc",
+        greatest(lit(0L),
+          least(col("cum_c"), col("n") - col("k")) -
+            greatest(col("cum_before_c"), col("k"))))
+    val bounds = cum.groupBy(col("grp"))
+      .agg(min(when(col("kc") > 0L, col("v"))).as("lo"),
+           max(when(col("kc") > 0L, col("v"))).as("hi"))
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val agg = cum.join(bounds, Seq("grp"))
+      .withColumn("wv", greatest(col("lo"), least(col("hi"), col("v"))))
+      .groupBy(col("grp"))
+      .agg(first(col("n")).as("n"), first(col("k")).as("k_wins"),
+           first(col("lo")).as("lo_c"), first(col("hi")).as("hi_c"),
+           sum(col("wv").cast(d38) * col("c")).as("ws"),
+           sum(col("wv").cast(d38) * col("wv") * col("c")).as("wq"))
+    val nD = col("n").cast("double")
+    val va = (col("wq").cast("double") -
+      col("ws").cast("double") * col("ws").cast("double") / nD) /
+      (nD - 1.0)
+    agg.select(col("grp").as(groupCol), col("n"), col("k_wins"),
+      col("lo_c"), col("hi_c"),
+      expr("CAST(ws * 1000000 div n AS BIGINT)").as("wins_mean_e6"),
+      when(col("n") < 2L, lit(null).cast("long"))
+        .otherwise(round(va * 1e6).cast("long")).as("wins_var_e6"))
+  }
+
   /** Yuen's trimmed t-test per group — the robust two-sample MEANS
     * test: Welch's t (q305) collapses under heavy tails because both
     * its means and its variances are unbounded-influence; Yuen

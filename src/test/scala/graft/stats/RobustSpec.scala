@@ -108,6 +108,37 @@ class RobustSpec extends AnyFunSuite {
     assert(r.getLong(5) == 5500000L)
   }
 
+  test("winsorizedStats: tails clamp onto the kept range") {
+    // [0..8, 100], k = 1: lo/hi = 1/8; winsorized multiset
+    // {1,1,2..7,8,8}: mean 4.5, var = (269 − 202.5)/9 = 7.388889
+    val r = Robust.winsorizedStats(
+      obs((0L to 8L).map(("g", _)) :+ ("g", 100L)), "grp", "v")
+      .collect()(0)
+    assert(r.getLong(2) == 1L)                        // k_wins
+    assert(r.getLong(3) == 1L && r.getLong(4) == 8L)  // lo, hi
+    assert(r.getLong(5) == 4500000L)
+    assert(r.getLong(6) == 7388889L)
+  }
+
+  test("kendallTauDistance: identical, reversed, and partial orders") {
+    import spark.implicits._
+    val same = (1L to 25L).map(i => ("g", i, i)).toDF("grp", "pa", "pb")
+    val r1 = RankCompare.kendallTauDistance(same, "grp", "pa", "pb")
+      .collect()(0)
+    assert(r1.getLong(2) == 20L && r1.getLong(4) == 0L)
+    val rev = (1L to 20L).map(i => ("g", i, 21L - i))
+      .toDF("grp", "pa", "pb")
+    val r2 = RankCompare.kendallTauDistance(rev, "grp", "pa", "pb")
+      .collect()(0)
+    assert(r2.getLong(3) == 190L && r2.getLong(4) == 1000000L)
+    val part = Seq(("g", 1L, 2L), ("g", 2L, 1L), ("g", 3L, 3L),
+                   ("g", 30L, 30L)).toDF("grp", "pa", "pb")
+    val r3 = RankCompare.kendallTauDistance(part, "grp", "pa", "pb")
+      .collect()(0)
+    assert(r3.getLong(2) == 3L && r3.getLong(3) == 1L)
+    assert(r3.getLong(4) == 333333L)
+  }
+
   test("rbo: disjoint top-D prefixes score zero") {
     import spark.implicits._
     val df = (1L to 20L).map(i => ("g", i, i + 20L))
