@@ -35,6 +35,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf, default 100: at 345 registered queries ×
+      // several codegen units each, a 100-entry compiled-class cache
+      // thrashes and every bench pass re-runs janino on ~every stage.
+      // 4000 entries lets passes 2-3 (and a long-lived service
+      // cycling the same query shapes — the production posture) reuse
+      // compiled code; scale-independent (it caches code, never data)
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     silenceBoundedWindowWarn()

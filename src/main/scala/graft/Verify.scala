@@ -19,6 +19,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // compiled-class cache sized for the full registry (see Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Bench.silenceBoundedWindowWarn() // bounded-frame windows, see Bench

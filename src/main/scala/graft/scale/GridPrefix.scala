@@ -1,8 +1,9 @@
 package graft.scale
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Distributed prefix sums over a distinct-value grid whose
   * cardinality can approach the corpus row count (cents-valued
@@ -11,44 +12,189 @@ import org.apache.spark.sql.functions._
   * plus (when broadcast) a corpus-sized driver copy; at 10⁹ distinct
   * values it is the job's scale killer.
   *
-  * Two-level decomposition instead:
-  *   1. `repartitionByRange(value)` spreads the grid over the
-  *      configured shuffle partitions with ranges aligned to the
-  *      sort order (equal values co-located by the range
-  *      partitioner's contract);
-  *   2. a KEYED window (partition = physical range bucket) computes
-  *      the within-bucket running sum — each partition holds
+  * Two-level decomposition:
+  *   1. each row gets an ORDERED BUCKET id — a pure deterministic
+  *      function of its (group…, value) key against LITERAL
+  *      boundaries sampled once on the driver (≤ 20 rows per input
+  *      partition, config-sized like the P-row totals collect below;
+  *      boundaries embedded as literals, so task retries re-derive
+  *      identical buckets with no lineage freeze);
+  *   2. a KEYED window (partition = (bucket, group…)) computes the
+  *      within-bucket running sum — each partition holds
   *      ~|grid|/P rows, never the whole grid;
-  *   3. per-bucket totals (exactly P ≤ `spark.sql.shuffle.partitions`
-  *      rows — config-sized, the repo's accepted driver-state bound)
-  *      are collected, turned into exclusive bucket offsets in plain
-  *      Scala, and joined back as a P-row broadcast.
+  *   3. per-(bucket, group) totals (≤ P + G rows — the boundaries
+  *      respect the composite (group…, value) order, so one group
+  *      spans a CONTIGUOUS bucket range and contributes its bucket
+  *      count, not P entries) turn into exclusive offsets via a
+  *      window KEYED BY GROUP over the bucket axis (≤ P rows per
+  *      group — bounded by the partition count, never by data) and
+  *      join back unhinted.
   *
-  * The grid is `localCheckpoint`ed after the range exchange so the
-  * `spark_partition_id()` bucket labels are frozen — both the keyed
-  * window and the totals read the SAME materialized assignment
-  * (re-deriving it through two separate plans could re-sample range
-  * boundaries and disagree at bucket edges).
+  * r16 optimization (guide §2.4 — remove shuffles outright): through
+  * r15 step 1 was `repartitionByRange` + `spark_partition_id()` +
+  * `localCheckpoint` — a RANGE EXCHANGE of the full grid, an eager
+  * materialization to freeze the sampled bucket labels, and then the
+  * window's OWN hash exchange on (pid, group) — two full shuffles of
+  * the grid per call, with the window exchange + offsets join
+  * RE-EXECUTED for every downstream reference (callers join the
+  * prefix table back to rows, often twice). Deriving the bucket from
+  * literal boundaries instead needs no exchange and no partitioner
+  * freeze (the label is a pure function of the row), so exactly ONE
+  * full shuffle of the grid remains (the window's), it runs ONCE
+  * into the output checkpoint, and every downstream reference reads
+  * the finished prefix table flat. Measured at sf0.1 on the q356
+  * grid (145 k rows, 32 partitions, steady state): 1.03 s → 0.61 s
+  * for one linear consumption, identical output (exceptAll both
+  * ways = 0); cold-pass cost of the 16-query grid-stats bench family
+  * 158 s → 66 s (steady passes parity within host noise).
+  *
+  * Boundary sampling only balances the buckets — ANY fixed boundary
+  * list yields correct sums (bucket is monotone in the key by
+  * construction); a skewed sample costs balance, never correctness.
+  * Unsupported key types fall back to the r15 range-exchange path
+  * (`legacyPrefix`), keeping the public contract total.
   *
   * Integer-exact: sums of longs end to end, no percentile doubles. */
 object GridPrefix {
 
-  /** Freeze `df`'s lineage before the range exchange — the
-    * RangePartitioner runs a separate boundary-sampling job over its
-    * child, which would otherwise re-execute the caller's whole
-    * upstream plan (measured r14: q237 1.62 → 1.14 s, q226
-    * 1.11 → 0.95 s, q225 1.52 → 1.40 s at sf0.1). CONDITIONAL since
-    * r15: a plan that is already a materialized scan — a prior
-    * `localCheckpoint` (LogicalRDD) or a bare relation read — has
-    * nothing upstream worth freezing, and the extra checkpoint is a
-    * full second copy of the grid (the r14 unconditional form taxed
-    * every caller one grid materialization; q256's fused midrank
-    * grid is the largest in the suite). */
+  /** Freeze `df`'s lineage before the bucketed pass — the boundary
+    * sampler is a separate job over the input, which would otherwise
+    * re-execute the caller's whole upstream plan (measured r14: q237
+    * 1.62 → 1.14 s, q226 1.11 → 0.95 s at sf0.1; re-measured r16 for
+    * the literal-bounds path: unfrozen 1.51 s vs frozen 0.25 + 0.61 s
+    * on the q356 grid). CONDITIONAL since r15: a plan that is already
+    * a materialized scan — a prior `localCheckpoint` (LogicalRDD) or
+    * a bare relation read — has nothing upstream worth freezing, and
+    * the extra checkpoint is a full second copy of the grid. */
   private def frozen(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.LeafNode
     df.queryExecution.optimizedPlan match {
       case _: LeafNode => df // LogicalRDD / LocalRelation / bare relation
       case _ => df.localCheckpoint()
+    }
+  }
+
+  private def supportedKeyType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DoubleType |
+         FloatType | StringType | DateType | TimestampType | BooleanType => true
+    case _: DecimalType => true
+    case st: StructType => st.fields.forall(f => supportedKeyType(f.dataType))
+    case _ => false
+  }
+
+  /** Deterministic per-partition reservoir (≤ `perPart` rows each),
+    * driver-sorted by the composite key: the boundary sketch. The
+    * collect is ≤ 20·(input partitions) narrow key rows — the same
+    * config-sized driver bound as the P-row totals collect the
+    * ungrouped path has always used. */
+  private def sampleBounds(keyed: DataFrame, parts: Int): IndexedSeq[Row] = {
+    val perPart = 20
+    val schema = keyed.schema
+    val sampled: Array[Row] = keyed.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val rnd = new scala.util.Random(0x9E3779B97F4A7C15L ^ pid)
+      val res = new Array[Row](perPart)
+      var seen = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        if (seen < perPart) res(seen.toInt) = r
+        else {
+          val j = (rnd.nextDouble() * (seen + 1)).toLong
+          if (j < perPart) res(j.toInt) = r
+        }
+        seen += 1
+      }
+      res.iterator.filter(_ != null)
+    }.collect()
+    val sorted = sampled.sorted(rowOrdering(schema.fields.map(_.dataType)))
+    val nB = math.min(parts - 1, sorted.length)
+    if (nB <= 0) IndexedSeq.empty
+    else (1 to nB).map(i =>
+      sorted(((i.toLong * sorted.length) / (nB + 1)).toInt
+        .min(sorted.length - 1)))
+  }
+
+  /** Composite-key ordering, nulls first, column by column (struct
+    * fields recursively) — the driver-side twin of the window's
+    * (group…, value) sort order. */
+  private def compareValue(dt: DataType, x: Any, y: Any): Int =
+    if (x == null && y == null) 0
+    else if (x == null) -1
+    else if (y == null) 1
+    else dt match {
+      case LongType => java.lang.Long.compare(x.asInstanceOf[Long], y.asInstanceOf[Long])
+      case IntegerType => Integer.compare(x.asInstanceOf[Int], y.asInstanceOf[Int])
+      case ShortType => java.lang.Short.compare(x.asInstanceOf[Short], y.asInstanceOf[Short])
+      case ByteType => java.lang.Byte.compare(x.asInstanceOf[Byte], y.asInstanceOf[Byte])
+      case DoubleType => java.lang.Double.compare(x.asInstanceOf[Double], y.asInstanceOf[Double])
+      case FloatType => java.lang.Float.compare(x.asInstanceOf[Float], y.asInstanceOf[Float])
+      case StringType => x.asInstanceOf[String].compareTo(y.asInstanceOf[String])
+      case DateType => x.asInstanceOf[java.sql.Date].compareTo(y.asInstanceOf[java.sql.Date])
+      case TimestampType => x.asInstanceOf[java.sql.Timestamp].compareTo(y.asInstanceOf[java.sql.Timestamp])
+      case BooleanType => java.lang.Boolean.compare(x.asInstanceOf[Boolean], y.asInstanceOf[Boolean])
+      case _: DecimalType => x.asInstanceOf[java.math.BigDecimal].compareTo(y.asInstanceOf[java.math.BigDecimal])
+      case st: StructType =>
+        val (rx, ry) = (x.asInstanceOf[Row], y.asInstanceOf[Row])
+        var i = 0
+        while (i < st.fields.length) {
+          val c = compareValue(st.fields(i).dataType, rx.get(i), ry.get(i))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      case other => throw new IllegalArgumentException(s"unsupported key type $other")
+    }
+
+  private def rowOrdering(dts: Array[DataType]): Ordering[Row] =
+    new Ordering[Row] {
+      def compare(a: Row, b: Row): Int = {
+        var i = 0
+        while (i < dts.length) {
+          val c = compareValue(dts(i), a.get(i), b.get(i))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+    }
+
+  /** bucket = #{boundaries ≤ key}: a balanced `when()` tree (depth
+    * log₂P — codegen-friendly at any partition count). Null key
+    * comparisons are SQL-null → the tree falls left, so all-null
+    * keys collapse into bucket 0, matching the nulls-first window
+    * order. Monotone in the key for ANY boundary list, so equal keys
+    * always share a bucket and a group's buckets are contiguous. */
+  private def bucketCol(keyCols: Seq[String], schema: Seq[StructField],
+                        bounds: IndexedSeq[Row]): Column = {
+    def keyExpr: Column =
+      if (keyCols.size == 1) col(keyCols.head)
+      else struct(keyCols.map(col): _*)
+    def litOf(dt: DataType, v: Any): Column = dt match {
+      case st: StructType =>
+        if (v == null) lit(null).cast(st)
+        else {
+          val r = v.asInstanceOf[Row]
+          struct(st.fields.zipWithIndex.map { case (f, i) =>
+            litOf(f.dataType, r.get(i)).as(f.name)
+          }.toSeq: _*)
+        }
+      case _ => lit(v).cast(dt)
+    }
+    def boundExpr(r: Row): Column = {
+      val lits = schema.zipWithIndex.map { case (f, i) =>
+        litOf(f.dataType, r.get(i)).as(f.name)
+      }
+      if (lits.length == 1) lits.head else struct(lits: _*)
+    }
+    if (bounds.isEmpty) lit(0)
+    else {
+      def go(lo: Int, hi: Int): Column =
+        if (lo == hi) lit(lo)
+        else {
+          val mid = (lo + hi + 1) / 2
+          when(keyExpr >= boundExpr(bounds(mid - 1)), go(mid, hi))
+            .otherwise(go(lo, mid - 1))
+        }
+      go(0, bounds.length)
     }
   }
 
@@ -59,16 +205,6 @@ object GridPrefix {
     * quantile matching). The naive `Window.partitionBy(group)
     * .orderBy(value)` sorts each group in ONE task — fine for many
     * small groups, a scale killer for few wide ones.
-    *
-    * Decomposition: `repartitionByRange(group, value)` splits every
-    * group across range buckets; the in-bucket window is keyed by
-    * (bucket, group); bucket totals form a (≤ P + G)-row table whose
-    * exclusive offsets come from a window KEYED BY GROUP over the
-    * bucket axis (≤ P rows per group — bounded by the partition
-    * count, never by data), joined back unhinted. NOTHING is
-    * collected and nothing is broadcast by hint, so the shape holds
-    * for any group count AND any per-group grid width
-    * simultaneously.
     *
     * @param cntCols one or more long weight columns; each `c` gains
     *                `cum_c` (inclusive) and `cum_before_c`
@@ -83,14 +219,84 @@ object GridPrefix {
     * value grids share one pass, the Spearman x/y fusion). */
   def groupedPrefixSums(grid: DataFrame, grpCols: Seq[String],
                         valCol: String, cntCols: Seq[String]): DataFrame = {
+    require(cntCols.nonEmpty, "cntCols must be non-empty")
+    val keyCols = grpCols :+ valCol
+    val keyFields = keyCols.map(n => grid.schema(n))
+    if (!keyFields.forall(f => supportedKeyType(f.dataType)))
+      return if (grpCols.nonEmpty) legacyPrefix(grid, grpCols, valCol, cntCols)
+             else legacyPrefixUngrouped(grid, valCol, cntCols)
+    val spark = grid.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val gcols = grpCols.map(col)
+    // freeze the INPUT lineage first (see [[frozen]]) so the boundary
+    // sampler reads materialized rows instead of re-executing the
+    // caller's upstream plan
+    val src = frozen(grid)
+    val bounds = sampleBounds(src.select(keyCols.map(col): _*), parts)
+    val bucketed = src.withColumn("__b", bucketCol(keyCols, keyFields, bounds))
+    val wIn = Window.partitionBy(col("__b") +: gcols: _*).orderBy(col(valCol))
+    val local = cntCols.foldLeft(bucketed) { (df, c) =>
+      df.withColumn(s"__cin_$c", sum(col(c)).over(wIn))
+    }
+    val totAggs = cntCols.map(c => sum(col(c)).as(s"__t_$c"))
+    val totals = bucketed.groupBy(col("__b") +: gcols: _*)
+      .agg(totAggs.head, totAggs.tail: _*)
+    val offs =
+      if (grpCols.nonEmpty) {
+        // ≤ P rows per group, keyed by group — never unpartitioned
+        val wOff = Window.partitionBy(gcols: _*).orderBy(col("__b"))
+        totals.select(
+          col("__b") +: gcols ++: cntCols.map(c =>
+            (sum(col(s"__t_$c")).over(wOff) - col(s"__t_$c")).as(s"__off_$c")): _*)
+      } else {
+        // ungrouped: the offsets table is exactly ≤ P+1 rows — the
+        // config-sized driver bound this path has always accepted —
+        // so fold the exclusive sums in plain Scala instead of an
+        // unpartitioned window
+        val spark = grid.sparkSession
+        val rows = totals.orderBy(col("__b")).collect()
+        val accs = Array.fill(cntCols.length)(0L)
+        val data = rows.map { r =>
+          val b = r.getInt(0)
+          val offsRow = cntCols.indices.map { i =>
+            val o = accs(i); accs(i) += r.getLong(i + 1); o
+          }
+          Row.fromSeq(b +: offsRow)
+        }
+        val schema = StructType(StructField("__b", IntegerType) +:
+          cntCols.map(c => StructField(s"__off_$c", LongType)))
+        broadcast(spark.createDataFrame(
+          spark.sparkContext.parallelize(data.toIndexedSeq, 1), schema))
+      }
+    val joined = local.join(offs, "__b" +: grpCols)
+    val out = cntCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"cum_$c", col(s"__cin_$c") + col(s"__off_$c"))
+        .withColumn(s"cum_before_$c", col(s"cum_$c") - col(c))
+    }
+    // materialize the RESULT, not an intermediate: callers fan out
+    // (the prefix table is joined back to rows — often twice — and
+    // re-aggregated for totals), and a lazy subtree would re-run the
+    // window+join per reference. The r15 path checkpointed the
+    // post-range-exchange rows and re-ran its window exchange per
+    // downstream reference; checkpointing the finished prefix table
+    // runs the window ONCE and makes every downstream read a flat
+    // scan. Same single-checkpoint budget per call as r15, one fewer
+    // full shuffle of the grid, no per-reference window replay.
+    out.drop("__b" +: cntCols.flatMap(c =>
+      Seq(s"__cin_$c", s"__off_$c")): _*)
+      .localCheckpoint()
+  }
+
+  /** r15 path (range exchange + partition-id checkpoint), kept as the
+    * fallback for key types the literal-boundary sampler does not
+    * order (none in the current registry — exercised by spec). */
+  private[scale] def legacyPrefix(grid: DataFrame, grpCols: Seq[String],
+                                  valCol: String, cntCols: Seq[String]): DataFrame = {
     require(grpCols.nonEmpty && cntCols.nonEmpty,
             "grpCols and cntCols must be non-empty")
     val spark = grid.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val gcols = grpCols.map(col)
-    // freeze the INPUT lineage first (see [[frozen]]) so the range
-    // sampler reads materialized rows instead of re-executing the
-    // caller's upstream plan
     val src = frozen(grid)
     val ranged = src
       .repartitionByRange(parts, gcols :+ col(valCol): _*)
@@ -117,6 +323,47 @@ object GridPrefix {
       Seq(s"__cin_$c", s"__off_$c")): _*)
   }
 
+  /** r15 ungrouped path (range exchange + partition-id checkpoint +
+    * P-row totals collect) — the fallback for any ORDERABLE value
+    * type the literal-bounds sampler does not cover (struct-valued
+    * grids: the liftTable (score, flag) key). */
+  private[scale] def legacyPrefixUngrouped(grid: DataFrame, valCol: String,
+                                           cntCols: Seq[String]): DataFrame = {
+    val spark = grid.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val src = frozen(grid)
+    val ranged = src
+      .repartitionByRange(parts, col(valCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val wIn = Window.partitionBy(col("__pid")).orderBy(col(valCol))
+    val local = cntCols.foldLeft(ranged) { (df, c) =>
+      df.withColumn(s"__cin_$c", sum(col(c)).over(wIn))
+    }
+    val totAggs = cntCols.map(c => sum(col(c)).cast("long").as(s"__t_$c"))
+    val rows = ranged.groupBy(col("__pid"))
+      .agg(totAggs.head, totAggs.tail: _*)
+      .orderBy(col("__pid")).collect()
+    val accs = Array.fill(cntCols.length)(0L)
+    val data = rows.map { r =>
+      val offsRow = cntCols.indices.map { i =>
+        val o = accs(i); accs(i) += r.getLong(i + 1); o
+      }
+      Row.fromSeq(r.getInt(0) +: offsRow)
+    }
+    val schema = StructType(StructField("__pid", IntegerType) +:
+      cntCols.map(c => StructField(s"__off_$c", LongType)))
+    val offs = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(data.toIndexedSeq, 1), schema))
+    val joined = local.join(offs, Seq("__pid"))
+    val out = cntCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"cum_$c", col(s"__cin_$c") + col(s"__off_$c"))
+        .withColumn(s"cum_before_$c", col(s"cum_$c") - col(c))
+    }
+    out.drop("__pid" +: cntCols.flatMap(c =>
+      Seq(s"__cin_$c", s"__off_$c")): _*)
+  }
+
   /** Add running sums over `grid` ordered by `valCol`.
     *
     * @param grid one row per distinct value (typically the output of
@@ -124,31 +371,8 @@ object GridPrefix {
     * @return the grid columns plus `cum` (inclusive prefix sum of
     *         `cntCol` in `valCol` order) and `cum_before`
     *         (exclusive). Row order is not defined. */
-  def prefixSums(grid: DataFrame, valCol: String, cntCol: String): DataFrame = {
-    val spark = grid.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
-    // input frozen before the range exchange — see [[frozen]]
-    val src = frozen(grid)
-    val ranged = src
-      .repartitionByRange(parts, col(valCol))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val wIn = Window.partitionBy(col("__pid")).orderBy(col(valCol))
-    val local = ranged.withColumn("__cum_in", sum(col(cntCol)).over(wIn))
-    // bucket totals: exactly one row per physical range bucket
-    val totals = ranged.groupBy(col("__pid"))
-      .agg(sum(col(cntCol)).cast("long").as("__ptot"))
-      .orderBy(col("__pid"))
-      .collect()
-    var acc = 0L
-    val offs = totals.map { r =>
-      val o = acc; acc += r.getLong(1); (r.getInt(0), o)
-    }.toSeq
-    import spark.implicits._
-    val offDf = offs.toDF("__pid", "__off")
-    local.join(broadcast(offDf), Seq("__pid"))
-      .withColumn("cum", col("__cum_in") + col("__off"))
-      .withColumn("cum_before", col("cum") - col(cntCol))
-      .drop("__pid", "__cum_in", "__off")
-  }
+  def prefixSums(grid: DataFrame, valCol: String, cntCol: String): DataFrame =
+    groupedPrefixSums(grid, Seq.empty, valCol, Seq(cntCol))
+      .withColumnRenamed(s"cum_$cntCol", "cum")
+      .withColumnRenamed(s"cum_before_$cntCol", "cum_before")
 }

@@ -153,49 +153,28 @@ object EventAnalytics {
               round(col("n") / col("n_from"), 6).as("p"))
   }
 
-  /** Exact equal-count bucketing over (value, id):
-    * `((rank−1)·n) div total + 1` — the EVEN-SPREAD rule (remainder
-    * rows interleave across buckets; sizes differ by ≤ 1). This is
-    * deliberately NOT SQL `ntile`, which front-loads all remainder
-    * rows into the first buckets — the even-spread rule is the q174
-    * convention and what the rank decomposition computes exactly:
-    * rank = a prefix over the distinct-VALUE grid + a row_number
-    * keyed by value. The grid prefix rides
-    * [[graft.scale.GridPrefix.prefixSums]]'s two-level decomposition
-    * (range-partitioned buckets + a P-row offset broadcast), because
-    * for near-continuous metrics (monetary cents) the "grid"
-    * approaches corpus cardinality — no single-task sort, and the
-    * grid→rows join is UNHINTED (AQE broadcasts it only when it
-    * really is small). Adds `bucket` (1-based). */
-  private def exactNtile(df: DataFrame, valCol: String, idCol: String,
-                         n: Int): DataFrame = {
-    val perVal = df.groupBy(col(valCol)).agg(count(lit(1)).as("cnt_v"))
-    val grid = graft.scale.GridPrefix.prefixSums(perVal, valCol, "cnt_v")
-    val prefix = grid.select(col(valCol), col("cum_before").as("before_v"))
-    // total from the (checkpointed) grid's max running sum — NOT a
-    // second full-corpus pass
-    val tot = grid.agg(max(col("cum")).as("n_total"))
-    val wIn = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(valCol)).orderBy(col(idCol))
-    val a = ((col("before_v") + row_number().over(wIn) - 1) * n).cast("long")
-    df.join(prefix, Seq(valCol)).crossJoin(broadcast(tot))
-      .withColumn("bucket",
-        ((a - pmod(a, col("n_total"))) / col("n_total")).cast("long") + 1)
-      .drop("before_v", "n_total")
-  }
-
   /** RFM segmentation — the classic user-value model: per user,
     * Recency (days since last event, against the corpus's own max
     * timestamp so the result is input-determined), Frequency (event
     * count) and Monetary (exact cents), each scored 1-5 by exact
     * equal-count quintile (most recent / most frequent / highest
-    * spend = 5; even-spread remainder rule, ties broken by user id —
-    * see [[exactNtile]]), plus the composite
-    * `segment` = 100·R + 10·F + M.
+    * spend = 5), plus the composite `segment` = 100·R + 10·F + M.
     *
-    * Scale shape: one keyed per-user aggregate; three grid-decomposed
-    * ntiles (see [[exactNtile]] — value-grid windows only); the
-    * corpus max timestamp is a 1-row broadcast. */
+    * Bucketing is `((rank−1)·5) div total + 1` — the EVEN-SPREAD rule
+    * (remainder rows interleave across buckets; sizes differ by ≤ 1),
+    * deliberately NOT SQL `ntile`, which front-loads all remainder
+    * rows into the first buckets (the q174 convention). rank = a
+    * prefix over the distinct-VALUE grid + a row_number keyed by
+    * value (ties broken by user id), riding
+    * [[graft.scale.GridPrefix.groupedPrefixSums]] because for
+    * near-continuous metrics (monetary cents) the "grid" approaches
+    * corpus cardinality — no single-task sort, and the grid→rows
+    * join is UNHINTED (AQE broadcasts it only when it really is
+    * small).
+    *
+    * Scale shape: one keyed per-user aggregate; ONE fused
+    * grid-decomposed ntile pass over all three metrics (value-grid
+    * windows only); the corpus max timestamp is a 1-row broadcast. */
   def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
                   valueCol: String): DataFrame = {
     val e = events.select(col(userCol).as("user_id"),
@@ -206,24 +185,53 @@ object EventAnalytics {
       count(lit(1)).cast("long").as("freq"),
       sum(col("v")).cast("long").as("mon_c"))
     val ref = u.agg(max(col("last_sec")).as("ref_sec"))
-    // cached: three chained exactNtile stages each run grid + join
-    // jobs over this frame — uncached, the per-user aggregate would
-    // re-execute for every stage
+    // cached: the grid build, the rank join and the final user join
+    // each read this frame — uncached, the per-user aggregate would
+    // re-execute for every consumer
     val base = graft.queries.cacheOnce(u.crossJoin(broadcast(ref))
       .withColumn("recency_days",
         ((col("ref_sec") - col("last_sec")) -
          pmod(col("ref_sec") - col("last_sec"), lit(86400L))) / 86400L)
       .withColumn("recency_days", col("recency_days").cast("long"))
       .select(col("user_id"), col("recency_days"), col("freq"), col("mon_c")))
-    val withR = exactNtile(base, "recency_days", "user_id", 5)
-      .withColumn("r", (lit(6L) - col("bucket")).cast("long")).drop("bucket")
-    val withF = exactNtile(withR, "freq", "user_id", 5)
-      .withColumn("f", col("bucket").cast("long")).drop("bucket")
-    val withM = exactNtile(withF, "mon_c", "user_id", 5)
-      .withColumn("m", col("bucket").cast("long")).drop("bucket")
-    withM.select(col("user_id"), col("recency_days"), col("freq"),
-                 col("mon_c"), col("r"), col("f"), col("m"),
-                 (col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
+    // r16 (guide §2.3/§2.4): the three quintiles used to run as three
+    // CHAINED exactNtile stages — three grid builds, three grid
+    // prefixes, three grid→rows joins, three per-value row_number
+    // windows, i.e. ~9 shuffles of the user table plus 3 prefix
+    // passes. The three metrics are independent columns of the SAME
+    // frame, so they fuse into ONE tagged pass (the q256 Spearman x/y
+    // fusion, 3-way): stack the metrics as (axis, value) rows, one
+    // grouped grid prefix keyed by axis, one join back, one
+    // (axis, value)-keyed rank window, and one per-user pivot — the
+    // same exact even-spread bucket rule per axis, bit-identical
+    // output (oracle q186 unchanged). Measured at sf0.1: 1.89 → 1.14 s
+    // median (full-suite baseline vs post-change controlled run).
+    val tagged = base.select(col("user_id"),
+      expr("stack(3, 0, recency_days, 1, freq, 2, mon_c) AS (ax, v)"))
+    val perVal = tagged.groupBy(col("ax"), col("v"))
+      .agg(count(lit(1)).as("cnt_v"))
+    val grid = graft.scale.GridPrefix.groupedPrefixSums(
+      perVal, Seq("ax"), "v", Seq("cnt_v"))
+    val prefix = grid.select(col("ax"), col("v"),
+      col("cum_before_cnt_v").as("before_v"))
+    // per-axis total from the prefix table's max running sum — NOT a
+    // second full-corpus pass (3 rows, broadcast)
+    val tot = grid.groupBy(col("ax")).agg(max(col("cum_cnt_v")).as("n_total"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ax"), col("v")).orderBy(col("user_id"))
+    val a = ((col("before_v") + row_number().over(wIn) - 1) * 5).cast("long")
+    val buckets = tagged.join(prefix, Seq("ax", "v"))
+      .join(broadcast(tot), Seq("ax"))
+      .withColumn("bucket",
+        ((a - pmod(a, col("n_total"))) / col("n_total")).cast("long") + 1)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("ax") === 0, lit(6L) - col("bucket"))).as("r"),
+           max(when(col("ax") === 1, col("bucket"))).as("f"),
+           max(when(col("ax") === 2, col("bucket"))).as("m"))
+    base.join(buckets, Seq("user_id"))
+      .select(col("user_id"), col("recency_days"), col("freq"),
+              col("mon_c"), col("r"), col("f"), col("m"),
+              (col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
   }
 
   /** Decay-weighted trending event types: each event contributes

@@ -117,6 +117,78 @@ class GridPrefixSpec extends AnyFunSuite {
     assert(out(("b", 2L)) == ((1L, 30L)))
   }
 
+  test("grouped: literal-bounds path ≡ legacy range-exchange path") {
+    import spark.implicits._
+    // wide + narrow groups, adversarial order: both decompositions
+    // must agree cell-for-cell (the r16 rewrite's safety net)
+    val rows = scala.util.Random.shuffle(
+      (1L to 3000L).map(v => ("w", v * 13 % 3001, v % 4 + 1)) ++
+        Seq(("n", 1L, 5L), ("n", 2L, 5L), ("z", 7L, 1L)))
+    val df = rows.toDF("g", "v", "c")
+    val neu = GridPrefix.groupedPrefixSums(df, "g", "v", Seq("c"))
+      .select("g", "v", "c", "cum_c", "cum_before_c")
+    val old = GridPrefix.legacyPrefix(df, Seq("g"), "v", Seq("c"))
+      .select("g", "v", "c", "cum_c", "cum_before_c")
+    assert(neu.exceptAll(old).count() == 0 && old.exceptAll(neu).count() == 0)
+  }
+
+  test("null values sort first (nulls-first window order preserved)") {
+    import spark.implicits._
+    val df = Seq[(String, Option[Long], Long)](
+      ("a", Some(5L), 2L), ("a", None, 3L), ("a", Some(1L), 4L),
+      ("b", None, 7L), ("b", Some(2L), 1L))
+      .toDF("g", "v", "c")
+    val got = GridPrefix.groupedPrefixSums(df, "g", "v", Seq("c"))
+      .collect().map(r => (r.getString(0), Option(r.get(1))) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("a", None)) == ((3L, 0L)))
+    assert(got(("a", Some(1L))) == ((7L, 3L)))
+    assert(got(("a", Some(5L))) == ((9L, 7L)))
+    assert(got(("b", None)) == ((7L, 0L)))
+    assert(got(("b", Some(2L))) == ((8L, 7L)))
+  }
+
+  test("unsupported key type falls back to the legacy path") {
+    import spark.implicits._
+    // array-typed value column: not orderable by the literal-bounds
+    // sampler — must still produce correct sums via legacyPrefix
+    val df = Seq(("a", Seq(1L), 2L), ("a", Seq(2L), 3L), ("b", Seq(1L), 5L))
+      .toDF("g", "v", "c")
+    val got = GridPrefix.groupedPrefixSums(df, "g", "v", Seq("c"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("a", Seq(1L))) == ((2L, 0L)))
+    assert(got(("a", Seq(2L))) == ((5L, 2L)))
+    assert(got(("b", Seq(1L))) == ((5L, 0L)))
+  }
+
+  test("struct-valued grid takes the literal-bounds path (liftTable key)") {
+    import spark.implicits._
+    val df = Seq((3L, "b", 1L), (1L, "a", 2L), (3L, "a", 4L), (2L, "z", 8L))
+      .toDF("s", "id", "c")
+      .select(struct(col("s"), col("id")).as("v"), col("c"))
+    val got = GridPrefix.prefixSums(df, "v", "c")
+      .select(col("v.s"), col("v.id"), col("cum"), col("cum_before"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got((1L, "a")) == ((2L, 0L)))
+    assert(got((2L, "z")) == ((10L, 2L)))
+    assert(got((3L, "a")) == ((14L, 10L)))
+    assert(got((3L, "b")) == ((15L, 14L)))
+  }
+
+  test("ungrouped unsupported type falls back to the legacy collect path") {
+    import spark.implicits._
+    val df = Seq((Seq(2L), 3L), (Seq(1L), 5L), (Seq(3L), 1L))
+      .toDF("v", "c")
+    val got = GridPrefix.prefixSums(df, "v", "c")
+      .collect().map(r => r.getSeq[Long](0) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(Seq(1L)) == ((5L, 0L)))
+    assert(got(Seq(2L)) == ((8L, 5L)))
+    assert(got(Seq(3L)) == ((9L, 8L)))
+  }
+
   test("grouped: plan contains no unpartitioned WindowExec") {
     import spark.implicits._
     val grid = (1L to 2000L).map(v => ("g", v, 1L)).toDF("g", "v", "c")
