@@ -131,25 +131,51 @@ object Classifier {
                           label: Column, dim: Int = 64,
                           iters: Int = 16): HashedLogistic = {
     require(dim >= 2 && iters >= 1, s"need dim >= 2, iters >= 1")
-    val feat = graft.queries.cacheOnce(tfFeatures(df, idCol, textCol, dim))
     val lab = graft.queries.cacheOnce(
       df.select(col(idCol).as("doc_id"), label.cast("long").as("y")))
     val n = lab.count()
     require(n > 0, "classifier needs a non-empty corpus")
+    // r17 (guide §2.3/§2.4): each GD iteration used to run TWO driver
+    // actions (bucket-gradient collect + bias-sum head), each
+    // re-computing the residual frame through a broadcast join + a
+    // per-doc groupBy + a doc-keyed join — ~3 shuffles and 2
+    // driver-synchronized jobs per iteration, ×16 iterations. The
+    // features are instead packed ONCE into a per-doc array (one
+    // groupBy, cached); a single iteration is then a pure map over the
+    // packed frame (margin = fold of the (dim+1)-entry weight LITERAL
+    // over the doc's own features — bounded by a hyperparameter, the
+    // inline-scorer precedent) + ONE groupBy(h) whose map-side partial
+    // aggregation ships ≤ dim+2 rows per partition, with the bias
+    // gradient riding the same aggregation as a sentinel slot h = −1.
+    // One job, one shuffle per iteration; every sum is an exact
+    // integer fold, so the weight walk is bit-identical to the joined
+    // form (same micro-grid, order-independent long sums).
+    val packed = graft.queries.cacheOnce(
+      lab.join(tfFeatures(df, idCol, textCol, dim)
+                 .groupBy(col("doc_id"))
+                 .agg(collect_list(struct(col("h"), col("f"))).as("fs")),
+               Seq("doc_id"), "left"))
     var w = Array.fill[Long](dim + 1)(0L)
     var b = 0L
+    val emptyFs = array().cast("array<struct<h:bigint,f:bigint>>")
     for (_ <- 1 to iters) {
-      val resid = margins(lab, feat, weightFrame(df, w), b)
-        .select(col("doc_id"),
-          round((sigmoid(col("m_e6")) - col("y")) * 1e6).cast("long").as("r_e6"))
-      // bucket gradients: dim+1 rows after map-side partial aggregation
-      val grads = feat.join(resid, Seq("doc_id"))
-        .groupBy(col("h")).agg(sum(col("r_e6") * col("f")).as("g"))
+      val wArr = array(w.map(lit(_)): _*)
+      val s = aggregate(coalesce(col("fs"), emptyFs), lit(0L),
+        (acc, x) => acc +
+          element_at(wArr, (x.getField("h") + 1).cast("int")) * x.getField("f"))
+      val mE6 = round(s / 1e6).cast("long") + b
+      val rE6 = round((sigmoid(mE6) - col("y")) * 1e6).cast("long")
+      val grads = packed
+        .select(rE6.as("r_e6"),
+                concat(coalesce(col("fs"), emptyFs),
+                       array(struct(lit(-1L).as("h"), lit(1L).as("f")))).as("fs"))
+        .select(col("r_e6"), explode(col("fs")).as("x"))
+        .groupBy(col("x.h").as("h"))
+        .agg(sum(col("r_e6") * col("x.f")).as("g"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val gBias = resid.agg(sum(col("r_e6"))).head().getLong(0)
       w = w.zipWithIndex.map { case (we6, h) =>
         we6 - roundHalfAway(4.0 * grads.getOrElse(h.toLong, 0L) / (n * 1e6)) }
-      b = b - roundHalfAway(4.0 * gBias / n)
+      b = b - roundHalfAway(4.0 * grads.getOrElse(-1L, 0L) / n)
     }
     HashedLogistic(w, b, dim)
   }

@@ -315,13 +315,27 @@ object Multimodal {
     // videos would alias onto the low bits (false dedup drops) — the
     // audio AudioEnergyFp contract mirrored onto the frame axis.
     // Longer videos should fingerprint per fixed-length window.
-    when(size(lum).between(2, 65),
-      aggregate(sequence(lit(1), size(lum) - 1), lit(0L),
-        (acc, k) => acc + when(element_at(lum, k + 1) > element_at(lum, k),
-                               call_function("shiftleft", lit(1L),
-                                             (k - 1).cast("int")))
-                          .otherwise(lit(0L))))
-      .otherwise(lit(null).cast("long"))
+    //
+    // r17 (guide §1.2 per-task work): the fold body is LET-BOUND over
+    // the decoded array via transform(array(lum), l -> ...)[1].
+    // Higher-order functions evaluate interpreted (no whole-stage
+    // subexpression elimination inside the lambda), so the former
+    // inline form re-evaluated `lum` — a FULL GIF decode — at every
+    // element_at/size reference: ~2 decodes per fold step, ≥ 2(n−1)+2
+    // decodes per row for an n-frame video. Binding `lum` to a lambda
+    // variable decodes exactly once per row; the arithmetic (and the
+    // fp bit pattern) is unchanged. Measured: q140 118.4 s → see
+    // OPTIMIZATION_r17.md.
+    element_at(
+      transform(array(lum), l =>
+        when(size(l).between(2, 65),
+          aggregate(sequence(lit(1), size(l) - 1), lit(0L),
+            (acc, k) => acc + when(element_at(l, k + 1) > element_at(l, k),
+                                   call_function("shiftleft", lit(1L),
+                                                 (k - 1).cast("int")))
+                              .otherwise(lit(0L))))
+          .otherwise(lit(null).cast("long"))),
+      1)
   }
 
   def videoPerceptualDedup(media: DataFrame): DataFrame = {

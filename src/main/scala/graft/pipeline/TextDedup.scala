@@ -512,10 +512,22 @@ object TextDedup {
       }
       // fall through: edge set over threshold — distributed propagation
     }
+    // r17 (guide §2.3 — shuffle fewer bytes): the loop iterates over
+    // the EDGE-ENDPOINT vertices only, not the whole doc universe.
+    // Singleton labels never change (no neighbors), so propagation
+    // restricted to connected vertices is exact; the per-round
+    // shuffles shrink from corpus-sized to pair-count-sized. The r14
+    // experiment that made this shape 2.5× slower rooted every round's
+    // lineage in the near-dup pipeline and anti-joined singletons per
+    // round — both fixed here: the edge frame is eagerly
+    // localCheckpoint'ed ONCE (every round reads a materialized scan),
+    // and singletons rejoin once at the end via left-join + coalesce.
+    // Labels are identical by construction; parity is spec-pinned.
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
-      .distinct().cache()
-    var cached = docs.select(col("doc_id"), col("doc_id").as("cluster")).cache()
+      .distinct().localCheckpoint()
+    val verts = edges.select(col("src").as("doc_id")).distinct()
+    var cached = verts.select(col("doc_id"), col("doc_id").as("cluster")).cache()
     var labels = cached
     var changed = 1L
     var rounds = 0
@@ -561,17 +573,23 @@ object TextDedup {
           s"dupClusters did not converge after $maxRounds rounds ($changed labels still " +
           "changing): a duplicate component has diameter > maxRounds; set " +
           "pointerJump = true (O(log diameter) rounds) or raise maxRounds")
-      // eager localCheckpoint materializes the result OUTSIDE the round
-      // cache, so the per-call cache entries can be released (in the
-      // finally, which also covers the non-convergence throw) instead of
-      // leaking in the CacheManager until session end; checkpoint blocks
-      // are cleaned by the ContextCleaner once the frame is unreferenced
-      labels
+      // singletons rejoin here: every doc outside the edge set keeps
+      // its own id (left join + coalesce — one pass, no anti-join).
+      // The converged label frame is pair-count-sized, so the join
+      // broadcasts unhinted at any corpus size. Eager localCheckpoint
+      // materializes the result OUTSIDE the round cache, so the
+      // per-call cache entries can be released (in the finally, which
+      // also covers the non-convergence throw) instead of leaking in
+      // the CacheManager until session end; checkpoint blocks are
+      // cleaned by the ContextCleaner once the frame is unreferenced
+      docs.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+                coalesce(col("cluster"), col("doc_id")).as("cluster"))
         .withColumn("is_keeper", (col("doc_id") === col("cluster")).cast("long"))
         .localCheckpoint()
     } finally {
       cached.unpersist()
-      edges.unpersist()
     }
   }
 

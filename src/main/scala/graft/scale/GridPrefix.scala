@@ -82,35 +82,54 @@ object GridPrefix {
     case _ => false
   }
 
-  /** Deterministic per-partition reservoir (≤ `perPart` rows each),
-    * driver-sorted by the composite key: the boundary sketch. The
-    * collect is ≤ 20·(input partitions) narrow key rows — the same
-    * config-sized driver bound as the P-row totals collect the
-    * ungrouped path has always used. */
-  private def sampleBounds(keyed: DataFrame, parts: Int): IndexedSeq[Row] = {
+  /** Deterministic per-partition reservoir (≤ `perPart` rows from
+    * every step-th partition, capped at `maxSampleParts` contributing
+    * partitions), driver-sorted by the composite key: the boundary
+    * sketch, plus the grid's total row count from the same single
+    * pass. */
+  private def sampleBounds(keyed: DataFrame,
+                           parts: Int): (IndexedSeq[Row], Long) = {
     val perPart = 20
+    // r17 (r16 verdict scale risk (a)): the collect is capped
+    // INDEPENDENTLY of the input partition count — beyond
+    // `maxSampleParts` partitions only every step-th partition
+    // contributes samples, so the driver holds ≤ 20·1024 narrow key
+    // rows + one (count, samples) pair per partition at any input
+    // size. The same single pass also returns the grid's TOTAL row
+    // count, which the small-grid gate reads for free (no extra job).
+    val maxSampleParts = 1024
+    val nIn = keyed.rdd.getNumPartitions
+    val step = math.max(1, (nIn + maxSampleParts - 1) / maxSampleParts)
     val schema = keyed.schema
-    val sampled: Array[Row] = keyed.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val rnd = new scala.util.Random(0x9E3779B97F4A7C15L ^ pid)
-      val res = new Array[Row](perPart)
-      var seen = 0L
-      while (it.hasNext) {
-        val r = it.next()
-        if (seen < perPart) res(seen.toInt) = r
-        else {
-          val j = (rnd.nextDouble() * (seen + 1)).toLong
-          if (j < perPart) res(j.toInt) = r
+    val perPartition: Array[(Long, Array[Row])] =
+      keyed.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val sampling = pid % step == 0
+        val rnd = new scala.util.Random(0x9E3779B97F4A7C15L ^ pid)
+        val res = new Array[Row](if (sampling) perPart else 0)
+        var seen = 0L
+        while (it.hasNext) {
+          val r = it.next()
+          if (sampling) {
+            if (seen < perPart) res(seen.toInt) = r
+            else {
+              val j = (rnd.nextDouble() * (seen + 1)).toLong
+              if (j < perPart) res(j.toInt) = r
+            }
+          }
+          seen += 1
         }
-        seen += 1
-      }
-      res.iterator.filter(_ != null)
-    }.collect()
-    val sorted = sampled.sorted(rowOrdering(schema.fields.map(_.dataType)))
+        Iterator.single((seen, res.filter(_ != null)))
+      }.collect()
+    val total = perPartition.iterator.map(_._1).sum
+    val sorted = perPartition.flatMap(_._2)
+      .sorted(rowOrdering(schema.fields.map(_.dataType)))
     val nB = math.min(parts - 1, sorted.length)
-    if (nB <= 0) IndexedSeq.empty
-    else (1 to nB).map(i =>
-      sorted(((i.toLong * sorted.length) / (nB + 1)).toInt
-        .min(sorted.length - 1)))
+    val bounds =
+      if (nB <= 0) IndexedSeq.empty[Row]
+      else (1 to nB).map(i =>
+        sorted(((i.toLong * sorted.length) / (nB + 1)).toInt
+          .min(sorted.length - 1)))
+    (bounds, total)
   }
 
   /** Composite-key ordering, nulls first, column by column (struct
@@ -198,6 +217,47 @@ object GridPrefix {
     }
   }
 
+  /** Boundary count above which the literal `when()` tree is replaced
+    * by a broadcast sorted-array binary search (r16 verdict scale risk
+    * (b)): at production shuffle-partition counts (10³–10⁴ boundaries)
+    * the literal tree blows past the 64 KB codegen method limit and
+    * falls back to interpreted evaluation of a 10³-deep conditional
+    * per row; a driver-side binary search over the broadcast boundary
+    * array is O(log P) per row at any partition count. Local runs
+    * (P = 32 ⇒ 31 boundaries) keep the codegen-friendly tree. */
+  private val maxLiteralBounds = 256
+
+  /** bucket = #{boundaries ≤ key} via binary search over the broadcast
+    * sorted boundary rows — same monotone-in-key contract as
+    * [[bucketCol]] (equal keys share a bucket; a group's buckets stay
+    * contiguous), with the driver-side [[rowOrdering]] as the
+    * comparator (nulls first, the window's sort-order twin). The two
+    * bucket maps need not agree with each other — ANY fixed monotone
+    * assignment yields correct sums — so the switch changes balance
+    * bookkeeping only, never output. */
+  private def bucketSearchCol(keyed: DataFrame, keyCols: Seq[String],
+                              schema: Seq[StructField],
+                              bounds: IndexedSeq[Row]): Column = {
+    val dts = schema.map(_.dataType).toArray
+    val bc = keyed.sparkSession.sparkContext.broadcast(bounds.toArray)
+    val search = udf((k: Row) => {
+      val arr = bc.value
+      var lo = 0
+      var hi = arr.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        var c = 0
+        var i = 0
+        while (i < dts.length && c == 0) {
+          c = compareValue(dts(i), arr(mid).get(i), k.get(i)); i += 1
+        }
+        if (c <= 0) lo = mid + 1 else hi = mid
+      }
+      lo
+    })
+    search(struct(keyCols.map(col): _*))
+  }
+
   /** GROUP-KEYED distributed prefix sums — the per-group twin of
     * [[prefixSums]] for grids keyed by (group, value) where a SINGLE
     * group's value grid can approach corpus cardinality (per-group
@@ -232,8 +292,34 @@ object GridPrefix {
     // sampler reads materialized rows instead of re-executing the
     // caller's upstream plan
     val src = frozen(grid)
-    val bounds = sampleBounds(src.select(keyCols.map(col): _*), parts)
-    val bucketed = src.withColumn("__b", bucketCol(keyCols, keyFields, bounds))
+    val (bounds, totalRows) =
+      sampleBounds(src.select(keyCols.map(col): _*), parts)
+    // SMALL-GRID GATE (r16 verdict item 3): when the whole grid fits a
+    // single sort task comfortably, the two-level machinery (bucket
+    // expression + totals aggregation + offsets window + join) costs
+    // more than the one keyed window it replaces — half the r16 grid
+    // family regressed at sf0.1 for exactly this reason. The count
+    // rides the sampling pass (no extra job); the threshold is
+    // conf-able (`spark.graft.prefix.smallGrid`, rows) with a local
+    // default that a single task sorts in milliseconds. Identical
+    // output by definition (one window in the same (group…, value)
+    // order); the grouped form keys the window by group, so the WARN
+    // fence for unpartitioned windows is never triggered.
+    val smallGrid = spark.conf
+      .get("spark.graft.prefix.smallGrid", "65536").toLong
+    if (grpCols.nonEmpty && totalRows <= smallGrid) {
+      val wg = Window.partitionBy(gcols: _*).orderBy(col(valCol))
+      val out = cntCols.foldLeft(src) { (df, c) =>
+        df.withColumn(s"cum_$c", sum(col(c)).over(wg))
+          .withColumn(s"cum_before_$c", col(s"cum_$c") - col(c))
+      }
+      // same materialize-the-result contract as the bucketed path
+      return out.localCheckpoint()
+    }
+    val bucketed = src.withColumn("__b",
+      if (bounds.length <= maxLiteralBounds)
+        bucketCol(keyCols, keyFields, bounds)
+      else bucketSearchCol(src, keyCols, keyFields, bounds))
     val wIn = Window.partitionBy(col("__b") +: gcols: _*).orderBy(col(valCol))
     val local = cntCols.foldLeft(bucketed) { (df, c) =>
       df.withColumn(s"__cin_$c", sum(col(c)).over(wIn))
