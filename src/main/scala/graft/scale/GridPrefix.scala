@@ -300,13 +300,22 @@ object GridPrefix {
     // more than the one keyed window it replaces — half the r16 grid
     // family regressed at sf0.1 for exactly this reason. The count
     // rides the sampling pass (no extra job); the threshold is
-    // conf-able (`spark.graft.prefix.smallGrid`, rows) with a local
-    // default that a single task sorts in milliseconds. Identical
+    // conf-able (`spark.graft.prefix.smallGrid`, rows). Default 2¹⁸
+    // rows, picked from a measured crossover, not the core count:
+    // steady-state single-JVM probes at sf0.1 put the gate AHEAD on
+    // ~150 k-row grids (q356 3.56→2.47 s, q337 2.41→1.78, q349
+    // 2.26→1.78, q311 2.34→2.04, q364 1.83→1.64) and BEHIND on the
+    // ~595 k-row stacked Spearman grid (q256 3.30→4.39) — the
+    // single-task sort stops paying between those, so the boundary
+    // sits at 2¹⁸ ≈ 262 k (≤ ~8 MB per task sort — far below task
+    // memory on any cluster, so the constant is
+    // cluster-size-independent; the 10⁸–10⁹-value grids the two-level
+    // path exists for stay bucketed by orders of magnitude). Identical
     // output by definition (one window in the same (group…, value)
     // order); the grouped form keys the window by group, so the WARN
     // fence for unpartitioned windows is never triggered.
     val smallGrid = spark.conf
-      .get("spark.graft.prefix.smallGrid", "65536").toLong
+      .get("spark.graft.prefix.smallGrid", "262144").toLong
     if (grpCols.nonEmpty && totalRows <= smallGrid) {
       val wg = Window.partitionBy(gcols: _*).orderBy(col(valCol))
       val out = cntCols.foldLeft(src) { (df, c) =>

@@ -135,14 +135,25 @@ class GridPrefixSpec extends AnyFunSuite {
   test("grouped: two-level bucketed path forced (small-grid gate off) ≡ reference") {
     // r17: grouped grids under spark.graft.prefix.smallGrid rows take a
     // single keyed window; forcing the gate to 0 keeps the bucketed
-    // machinery itself covered on small fixtures
-    spark.conf.set("spark.graft.prefix.smallGrid", "0")
-    try {
-      checkGrouped(Seq(("a", 5L, 2L), ("a", 1L, 3L), ("b", 9L, 1L),
-                       ("b", 3L, 4L), ("b", 5L, 2L), ("c", 7L, 7L)))
-      val wide = (1L to 3000L).map(v => ("w", v * 13 % 3001, v % 4 + 1))
-      checkGrouped(scala.util.Random.shuffle(wide))
-    } finally spark.conf.unset("spark.graft.prefix.smallGrid")
+    // machinery itself covered on small fixtures. Conf goes on a CLONED
+    // session (own SQLConf, shared context) so parallel suites on the
+    // shared session never observe it.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.prefix.smallGrid", "0")
+    def checkG(rows: Seq[(String, Long, Long)]): Unit = {
+      val got = GridPrefix
+        .groupedPrefixSums(s2.createDataFrame(rows).toDF("g", "v", "c"),
+                           "g", "v", Seq("c"))
+        .select(col("g"), col("v"), col("cum_c"), col("cum_before_c"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      assert(got == refGrouped(rows))
+    }
+    checkG(Seq(("a", 5L, 2L), ("a", 1L, 3L), ("b", 9L, 1L),
+               ("b", 3L, 4L), ("b", 5L, 2L), ("c", 7L, 7L)))
+    val wide = (1L to 3000L).map(v => ("w", v * 13 % 3001, v % 4 + 1))
+    checkG(scala.util.Random.shuffle(wide))
   }
 
   test("binary-search bucket path (boundaries > 256) ≡ reference") {
@@ -150,24 +161,19 @@ class GridPrefixSpec extends AnyFunSuite {
     // literal when() tree is replaced by a broadcast sorted-array
     // binary search. Force it with a production-like shuffle-partition
     // count and enough sampled input partitions (16 × 20 samples ≥ 257
-    // boundaries), gate off so the two-level path runs.
-    import spark.implicits._
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.graft.prefix.smallGrid", "0")
-    spark.conf.set("spark.sql.shuffle.partitions", "300")
-    try {
-      val rows = (1L to 6000L).map(v => (s"g${v % 3}", v, v % 5 + 1))
-      val df = spark.createDataFrame(rows).toDF("g", "v", "c").repartition(16)
-      val got = GridPrefix.groupedPrefixSums(df, "g", "v", Seq("c"))
-        .select(col("g"), col("v"), col("cum_c"), col("cum_before_c"))
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1)) ->
-          ((r.getLong(2), r.getLong(3)))).toMap
-      assert(got == refGrouped(rows))
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      spark.conf.unset("spark.graft.prefix.smallGrid")
-    }
+    // boundaries), gate off so the two-level path runs. Confs live on a
+    // CLONED session — parallel suites never observe them.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.prefix.smallGrid", "0")
+    s2.conf.set("spark.sql.shuffle.partitions", "300")
+    val rows = (1L to 6000L).map(v => (s"g${v % 3}", v, v % 5 + 1))
+    val df = s2.createDataFrame(rows).toDF("g", "v", "c").repartition(16)
+    val got = GridPrefix.groupedPrefixSums(df, "g", "v", Seq("c"))
+      .select(col("g"), col("v"), col("cum_c"), col("cum_before_c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == refGrouped(rows))
   }
 
   test("null values sort first (nulls-first window order preserved)") {
@@ -176,8 +182,8 @@ class GridPrefixSpec extends AnyFunSuite {
       ("a", Some(5L), 2L), ("a", None, 3L), ("a", Some(1L), 4L),
       ("b", None, 7L), ("b", Some(2L), 1L))
       .toDF("g", "v", "c")
-    def check(): Unit = {
-      val got = GridPrefix.groupedPrefixSums(df, "g", "v", Seq("c"))
+    def check(frame: org.apache.spark.sql.DataFrame): Unit = {
+      val got = GridPrefix.groupedPrefixSums(frame, "g", "v", Seq("c"))
         .collect().map(r => (r.getString(0), Option(r.get(1))) ->
           ((r.getLong(3), r.getLong(4)))).toMap
       assert(got(("a", None)) == ((3L, 0L)))
@@ -186,10 +192,12 @@ class GridPrefixSpec extends AnyFunSuite {
       assert(got(("b", None)) == ((7L, 0L)))
       assert(got(("b", Some(2L))) == ((8L, 7L)))
     }
-    check() // small-grid gate path (single keyed window)
-    spark.conf.set("spark.graft.prefix.smallGrid", "0")
-    try check() // bucketed literal-bounds path
-    finally spark.conf.unset("spark.graft.prefix.smallGrid")
+    check(df) // small-grid gate path (single keyed window)
+    // bucketed literal-bounds path, gate off on a CLONED session
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.prefix.smallGrid", "0")
+    import scala.jdk.CollectionConverters._
+    check(s2.createDataFrame(df.collect().toSeq.asJava, df.schema))
   }
 
   test("unsupported key type falls back to the legacy path") {
